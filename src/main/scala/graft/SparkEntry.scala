@@ -1,13 +1,237 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2), each with DuckDB-runnable `oracleSql`. Column names and
+  * arithmetic are kept IDENTICAL between the Spark plan and the SQL so the
+  * driver's sorted-column hash compare is exact (bit-deterministic double
+  * ops: min/max + fixed fractions, no interpolated percentiles, no
+  * unordered double sums). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Water-level range scaled to the events data (value ∈ [0, ~330]);
+    * reference defaults (-10, 50) would flag most rows anomalous. */
+  private val WlMax = 300.0
+
+  /** Deterministic stand-in for the reference's fallback-to-now()
+    * (HRFCOStorageService.java:240-243) — injectable per SURVEY §7. */
+  private def fixedFallback = to_timestamp(lit("1970-01-01 00:00:00"))
+
+  private def rawObs(s: SparkSession, dir: String): DataFrame =
+    Hrfco.rawObservations(Tables.events(s, dir))
+
+  private def parsed(s: SparkSession, dir: String): DataFrame =
+    Hrfco.parseTyped(rawObs(s, dir), fixedFallback)
+
+  private def dim(s: SparkSession, dir: String): DataFrame =
+    Thresholds.fromEvents(Tables.events(s, dir))
+
+  /** Full hot path at data-scaled range. */
+  private def enriched(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Hrfco.pipeline(ev, Thresholds.fromEvents(ev), fixedFallback, wlMax = WlMax)
+  }
+
+  /** Flagship: current alert state of every station — scan → parse/validate
+    * → broadcast threshold join → classify → latest-per-station (window) →
+    * counts per alert level. Driver smoke-checks rows > 0 on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val e = enriched(spark, "/root/testdata/sf0.001")
+    val w = Window.partitionBy("wlobscd").orderBy(col("ts_ns").desc, col("event_id").desc)
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("alert_level")
+      .agg(count(lit(1)).as("n_stations"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- HRFCO core transforms -------------------------------------------
+    "q_raw_parse" -> ((s, dir) =>
+      parsed(s, dir).select(
+        col("event_id"), col("wlobscd"),
+        col("wl").as("wl_raw"), col("fw").as("fw_raw"),
+        col("water_level"), col("flow_rate"), col("obs_time_fmt"),
+        date_format(col("obs_ts_utc"), "yyyy-MM-dd HH:mm:ss").as("obs_ts_str"))
+        .orderBy("event_id")),
+
+    "q_required_filter" -> ((s, dir) =>
+      parsed(s, dir).filter(Hrfco.requiredFields)
+        .select("event_id", "wlobscd", "water_level", "flow_rate")
+        .orderBy("event_id")),
+
+    "q_dlq" -> ((s, dir) => Hrfco.dlqEnvelope(rawObs(s, dir)).orderBy("event_id")),
+
+    "q_threshold_dim" -> ((s, dir) =>
+      dim(s, dir).select("wlobscd", "attwl", "wrnwl", "almwl", "srswl", "obsnm", "addr")
+        .orderBy("wlobscd")),
+
+    "q_classify" -> ((s, dir) =>
+      enriched(s, dir).select(
+        col("event_id"), col("wlobscd"), col("water_level"), col("flow_rate"),
+        col("range_valid"), col("valid_threshold_count"), col("is_anomaly"),
+        col("flood_warning_level"))
+        .orderBy("event_id")),
+
+    "q_alerts" -> ((s, dir) =>
+      enriched(s, dir).select(
+        col("event_id"), col("wlobscd").as("observation_code"),
+        col("obs_time_fmt").as("observation_time"),
+        col("water_level"), col("flow_rate"),
+        col("alert_level").as("warning_level"), col("is_anomaly"), col("message"))
+        .orderBy("event_id")),
+
+    "q_latest_per_station" -> ((s, dir) => {
+      val w = Window.partitionBy("wlobscd").orderBy(col("ts_ns").desc, col("event_id").desc)
+      enriched(s, dir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("wlobscd", "event_id", "water_level", "flood_warning_level", "alert_level")
+        .orderBy("wlobscd")
+    }),
+
+    "q_alert_counts" -> ((s, dir) => {
+      val e = enriched(s, dir)
+      val bucket = when(col("is_anomaly"), "anomaly")
+        .when(col("alert_level").isin("ATTENTION", "CAUTION", "WARNING", "CRITICAL"), "alert")
+        .otherwise("normal")
+      e.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n"))
+        .unionByName(e.agg(count(lit(1)).as("n")).select(lit("all").as("bucket"), col("n")))
+        .orderBy("bucket")
+    }),
+  )
+
+  // ---- DuckDB oracle -----------------------------------------------------
+
+  /** Shared CTE chain mirroring the Spark pipeline expression-for-expression.
+    * `events` is the driver-registered view over the same parquet. */
+  private val C =
+    """WITH raw AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 103 = 0 THEN '' ELSE event_type END AS wlobscd,
+      |    strftime(ts, '%Y%m%d%H%M') AS ymdhm,
+      |    CASE WHEN event_id % 97 = 0 THEN ' '
+      |         WHEN event_id % 89 = 0 THEN 'abc'
+      |         WHEN event_id % 83 = 0 THEN ''
+      |         ELSE CAST(value AS VARCHAR) END AS wl,
+      |    CASE WHEN event_id % 101 = 0 THEN 'x9.9'
+      |         ELSE json_extract_string(props, '$.k') END AS fw,
+      |    CASE WHEN event_id % 107 = 0 THEN '{bad json' ELSE props END AS raw_payload,
+      |    ts
+      |  FROM events),
+      |dim AS (
+      |  SELECT event_type AS wlobscd,
+      |    CASE WHEN event_type IN ('click','purchase') THEN mn + 0.50*(mx-mn) END AS attwl,
+      |    CASE WHEN event_type IN ('click','purchase') THEN mn + 0.70*(mx-mn) END AS wrnwl,
+      |    CASE WHEN event_type IN ('click','purchase') THEN mn + 0.85*(mx-mn) END AS almwl,
+      |    CASE WHEN event_type IN ('click','purchase','view') THEN mn + 0.95*(mx-mn) END AS srswl,
+      |    'station ' || event_type AS obsnm,
+      |    'addr ' || event_type AS addr
+      |  FROM (SELECT event_type, min(value) AS mn, max(value) AS mx FROM events GROUP BY 1)
+      |  WHERE event_type <> 'error'),
+      |parsed AS (
+      |  SELECT *,
+      |    CASE WHEN trim(wl) = '' THEN NULL ELSE TRY_CAST(wl AS DOUBLE) END AS water_level,
+      |    CASE WHEN trim(fw) = '' THEN NULL ELSE TRY_CAST(fw AS DOUBLE) END AS flow_rate,
+      |    CASE WHEN length(ymdhm) = 12
+      |         THEN strftime(strptime(ymdhm, '%Y%m%d%H%M'), '%Y-%m-%d %H:%M')
+      |         ELSE ymdhm END AS obs_time_fmt,
+      |    strptime(ymdhm, '%Y%m%d%H%M') - INTERVAL 9 HOUR AS obs_ts_utc
+      |  FROM raw),
+      |valid AS (
+      |  SELECT * FROM parsed
+      |  WHERE wlobscd IS NOT NULL AND trim(wlobscd) <> ''
+      |    AND ymdhm IS NOT NULL AND trim(ymdhm) <> ''
+      |    AND (water_level IS NOT NULL OR flow_rate IS NOT NULL)),
+      |enriched AS (
+      |  SELECT v.*, d.attwl, d.wrnwl, d.almwl, d.srswl,
+      |    (d.wlobscd IS NOT NULL) AS dim_present,
+      |    ((v.water_level IS NULL OR (v.water_level >= -10.0 AND v.water_level <= 300.0))
+      |     AND (v.flow_rate IS NULL OR (v.flow_rate >= 0.0 AND v.flow_rate <= 50000.0))) AS range_valid,
+      |    CASE WHEN d.wlobscd IS NULL THEN 0 ELSE
+      |      (CASE WHEN d.attwl IS NOT NULL AND d.attwl > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN d.wrnwl IS NOT NULL AND d.wrnwl > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN d.almwl IS NOT NULL AND d.almwl > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN d.srswl IS NOT NULL AND d.srswl > 0 THEN 1 ELSE 0 END) END AS valid_threshold_count
+      |  FROM valid v LEFT JOIN dim d ON v.wlobscd = d.wlobscd),
+      |classified AS (
+      |  SELECT *, (NOT range_valid) AS is_anomaly,
+      |    CASE WHEN NOT range_valid THEN NULL
+      |         WHEN NOT dim_present THEN 'NO_THRESHOLD'
+      |         WHEN water_level IS NOT NULL AND valid_threshold_count = 0 THEN 'NO_THRESHOLD'
+      |         WHEN water_level IS NOT NULL AND valid_threshold_count = 1 THEN 'PARTIAL_THRESHOLD'
+      |         ELSE COALESCE(
+      |           CASE WHEN water_level IS NULL THEN NULL
+      |                WHEN attwl IS NULL AND wrnwl IS NULL AND almwl IS NULL AND srswl IS NULL THEN NULL
+      |                WHEN srswl IS NOT NULL AND water_level >= srswl THEN 'CRITICAL'
+      |                WHEN almwl IS NOT NULL AND water_level >= almwl THEN 'WARNING'
+      |                WHEN wrnwl IS NOT NULL AND water_level >= wrnwl THEN 'CAUTION'
+      |                WHEN attwl IS NOT NULL AND water_level >= attwl THEN 'ATTENTION'
+      |                ELSE 'NORMAL' END, 'NORMAL') END AS flood_warning_level
+      |  FROM enriched),
+      |alerts AS (
+      |  SELECT *,
+      |    CASE WHEN is_anomaly THEN 'ANOMALY'
+      |         WHEN flood_warning_level IS NULL THEN 'NORMAL'
+      |         WHEN flood_warning_level IN ('NO_THRESHOLD','PARTIAL_THRESHOLD') THEN 'NORMAL'
+      |         ELSE flood_warning_level END AS alert_level
+      |  FROM classified),
+      |msgs AS (
+      |  SELECT *,
+      |    CASE WHEN is_anomaly THEN printf('관측소 %s에서 이상 데이터 감지 (수위: %.2f m)', wlobscd, water_level)
+      |         WHEN water_level IS NULL THEN printf('관측소 %s에서 %s 수위 경보 (수위 미계측)', wlobscd, alert_level)
+      |         ELSE printf('관측소 %s에서 %s 수위 경보 (수위: %.2f m)', wlobscd, alert_level, water_level)
+      |    END AS message
+      |  FROM alerts)
+      |""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_raw_parse" -> (C +
+      """SELECT event_id, wlobscd, wl AS wl_raw, fw AS fw_raw, water_level, flow_rate,
+        |  obs_time_fmt, strftime(obs_ts_utc, '%Y-%m-%d %H:%M:%S') AS obs_ts_str
+        |FROM parsed ORDER BY event_id""".stripMargin),
+
+    "q_required_filter" -> (C +
+      "SELECT event_id, wlobscd, water_level, flow_rate FROM valid ORDER BY event_id"),
+
+    "q_dlq" -> (C +
+      """SELECT event_id, wlobscd AS original_key, raw_payload AS original_value,
+        |  'Processing failed: malformed payload' AS error_reason,
+        |  'JsonParseException' AS exception_class
+        |FROM raw
+        |WHERE (CASE WHEN json_valid(raw_payload)
+        |       THEN json_extract_string(raw_payload, '$.k') END) IS NULL
+        |ORDER BY event_id""".stripMargin),
+
+    "q_threshold_dim" -> (C +
+      "SELECT wlobscd, attwl, wrnwl, almwl, srswl, obsnm, addr FROM dim ORDER BY wlobscd"),
+
+    "q_classify" -> (C +
+      """SELECT event_id, wlobscd, water_level, flow_rate, range_valid,
+        |  valid_threshold_count, is_anomaly, flood_warning_level
+        |FROM classified ORDER BY event_id""".stripMargin),
+
+    "q_alerts" -> (C +
+      """SELECT event_id, wlobscd AS observation_code, obs_time_fmt AS observation_time,
+        |  water_level, flow_rate, alert_level AS warning_level, is_anomaly, message
+        |FROM msgs ORDER BY event_id""".stripMargin),
+
+    "q_latest_per_station" -> (C +
+      """SELECT wlobscd, event_id, water_level, flood_warning_level, alert_level
+        |FROM (SELECT *, row_number() OVER (PARTITION BY wlobscd ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM alerts) WHERE rn = 1
+        |ORDER BY wlobscd""".stripMargin),
+
+    "q_alert_counts" -> (C +
+      """SELECT bucket, n FROM (
+        |  SELECT CASE WHEN is_anomaly THEN 'anomaly'
+        |              WHEN alert_level IN ('ATTENTION','CAUTION','WARNING','CRITICAL') THEN 'alert'
+        |              ELSE 'normal' END AS bucket, count(*) AS n
+        |  FROM alerts GROUP BY 1
+        |  UNION ALL SELECT 'all' AS bucket, count(*) AS n FROM alerts)
+        |ORDER BY bucket""".stripMargin),
+  )
 }
