@@ -42,7 +42,7 @@ object SparkEntry {
     * counts per alert level. Driver smoke-checks rows > 0 on sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
     val e = enriched(spark, "/root/testdata/sf0.001")
-    val w = Window.partitionBy("wlobscd").orderBy(col("ts_ns").desc, col("event_id").desc)
+    val w = Window.partitionBy("wlobscd").orderBy(col("ts_us").desc, col("event_id").desc)
     e.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .groupBy("alert_level")
@@ -86,7 +86,7 @@ object SparkEntry {
         .orderBy("event_id")),
 
     "q_latest_per_station" -> ((s, dir) => {
-      val w = Window.partitionBy("wlobscd").orderBy(col("ts_ns").desc, col("event_id").desc)
+      val w = Window.partitionBy("wlobscd").orderBy(col("ts_us").desc, col("event_id").desc)
       enriched(s, dir)
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select("wlobscd", "event_id", "water_level", "flood_warning_level", "alert_level")
@@ -102,6 +102,32 @@ object SparkEntry {
         .unionByName(e.agg(count(lit(1)).as("n")).select(lit("all").as("bucket"), col("n")))
         .orderBy("bucket")
     }),
+
+    // ---- ingestion envelope split (S2→T1→T2) -----------------------------
+    "q_json_split" -> ((s, dir) =>
+      Ingest.splitEnvelopes(Ingest.envelopes(Tables.events(s, dir))).orderBy("event_id")),
+
+    // ---- monitoring / serving surface ------------------------------------
+    "q_topn_recent" -> ((s, dir) => Monitoring.topNRecent(enriched(s, dir))),
+
+    "q_threshold_scale" -> ((s, dir) =>
+      Monitoring.thresholdGaugeScale(dim(s, dir)).orderBy("wlobscd")),
+
+    "q_delta_rate" -> ((s, dir) =>
+      Monitoring.deltaRate(Tables.events(s, dir)).orderBy("event_id")),
+
+    "q_per_record_avg" -> ((s, dir) =>
+      Monitoring.perRecordAvg(Tables.events(s, dir)).orderBy("event_id")),
+
+    "q_station_list" -> ((s, dir) => Monitoring.stationList(dim(s, dir)).orderBy("code")),
+
+    "q_station_detail" -> ((s, dir) => Monitoring.stationDetail(dim(s, dir), "click")),
+
+    // ---- relational / bench-weight queries -------------------------------
+    "q1_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
+    "q3_top_orders" -> ((s, dir) => Relational.topUnshippedOrders(s, dir)),
+    "q5_region_revenue" -> ((s, dir) => Relational.regionRevenue(s, dir)),
+    "q_top_customers" -> ((s, dir) => Relational.topCustomers(s, dir)),
   )
 
   // ---- DuckDB oracle -----------------------------------------------------
@@ -233,5 +259,87 @@ object SparkEntry {
         |  FROM alerts GROUP BY 1
         |  UNION ALL SELECT 'all' AS bucket, count(*) AS n FROM alerts)
         |ORDER BY bucket""".stripMargin),
+
+    "q_json_split" ->
+      "SELECT event_id, event_type, value FROM events ORDER BY event_id",
+
+    "q_topn_recent" -> (C +
+      """SELECT event_id, wlobscd AS observation_code, alert_level AS warning_level,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS alert_ts
+        |FROM msgs ORDER BY ts DESC, event_id DESC LIMIT 500""".stripMargin),
+
+    "q_threshold_scale" -> (C +
+      """SELECT wlobscd, greatest(attwl, wrnwl, almwl, srswl) * 1.2 AS gauge_max
+        |FROM dim ORDER BY wlobscd""".stripMargin),
+
+    "q_delta_rate" ->
+      """SELECT event_id, event_type, value, prev_value, delta,
+        |  delta / nullif((epoch_us(ts) - prev_us) / 1000000.0, 0.0) AS rate_per_sec,
+        |  (delta IS NOT NULL AND delta <> 0.0) AS is_active
+        |FROM (
+        |  SELECT event_id, event_type, value, ts,
+        |    lag(value) OVER w AS prev_value,
+        |    value - lag(value) OVER w AS delta,
+        |    lag(epoch_us(ts)) OVER w AS prev_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+        |ORDER BY event_id""".stripMargin,
+
+    "q_per_record_avg" ->
+      """SELECT event_id, event_type,
+        |  value / CAST(greatest(CAST(json_extract_string(props, '$.k') AS INT), 1) AS DOUBLE) AS per_record_avg
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_station_list" -> (C +
+      "SELECT wlobscd AS code, obsnm AS name, addr AS address FROM dim ORDER BY code"),
+
+    "q_station_detail" -> (C +
+      """SELECT wlobscd AS observation_code, obsnm AS name, addr AS address,
+        |  attwl, wrnwl, almwl, srswl
+        |FROM dim WHERE wlobscd = 'click'""".stripMargin),
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND c_nationkey = s_nationkey
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_top_customers" ->
+      """SELECT c_custkey, c_name, total_spent, n_orders FROM (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1) JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_spent DESC, c_custkey LIMIT 20""".stripMargin,
   )
 }

@@ -17,12 +17,14 @@ object Tables {
   }
 
   /** `events` with ts exposed both as a micro-precision timestamp (`ts`)
-    * and the original epoch-nanos long (`ts_ns`, used for ordering so ties
-    * resolve identically to the nanosecond-precision DuckDB oracle). */
+    * and epoch-micros long (`ts_us`, used for ordering/arithmetic). The
+    * parquet carries sub-microsecond nanos, but both Spark TimestampType
+    * and DuckDB's parquet reader truncate to micros — so micros IS the
+    * common precision the oracle can see; never compute on the raw nanos. */
   def events(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")

@@ -85,7 +85,7 @@ object Hrfco {
       when(id % 101 === 0, lit("x9.9"))
         .otherwise(get_json_object(col("props"), "$.k")).as("fw"),
       when(id % 107 === 0, lit("{bad json")).otherwise(col("props")).as("raw_payload"),
-      col("ts"), col("ts_ns"))
+      col("ts"), col("ts_us"))
   }
 
   /** T3+T4+T5: typed projection with guarded coercions. */

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The monitoring/serving-side read surface (reference dashboard + NiFi
+  * metrics aggregations, SURVEY.md §2.4):
+  *  - A1 count-by-level buckets: dashboard.html:991-1009
+  *  - A2 top-N recent alerts:    dashboard.html:947,1025-1043
+  *  - A3 max-threshold gauge:    dashboard.html:1236-1248
+  *  - A6 delta/rate detection:   NiFiMonitoringService.java:522-604,722-802
+  *  - A7 per-record average:     NiFiMonitoringService.java:500-516
+  *  - T14/T15 station list / detail projections: StationService.java:50-59,88-98
+  *
+  * All are single-shuffle (or shuffle-free) declarative plans: the window
+  * functions partition by station key so state never concentrates on the
+  * driver, and top-N is a sort-limit Catalyst turns into TakeOrdered.
+  */
+object Monitoring {
+
+  /** A2: newest N alerts; ns-long tiebreak keeps ordering identical to the
+    * nanosecond-precision oracle. */
+  def topNRecent(alerts: DataFrame, n: Int = 500): DataFrame =
+    alerts
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .limit(n)
+      .select(
+        col("event_id"), col("wlobscd").as("observation_code"),
+        col("alert_level").as("warning_level"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("alert_ts"))
+
+  /** A3: per-station gauge scale = max(thresholds) * 1.2
+    * (dashboard.html:1236-1248). greatest() ignores nulls in both Spark and
+    * DuckDB; the all-null station yields null. */
+  def thresholdGaugeScale(dim: DataFrame): DataFrame =
+    dim.select(
+      col("wlobscd"),
+      (greatest(col("attwl"), col("wrnwl"), col("almwl"), col("srswl")) * 1.2).as("gauge_max"))
+
+  /** A6: previous-vs-current delta and per-second rate per station, the
+    * lag() form of the NiFi counter-delta activity detection. Exact long
+    * arithmetic for the time delta; rate guarded against zero gaps. */
+  def deltaRate(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+    events
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .withColumn("delta", col("value") - col("prev_value"))
+      .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+      .withColumn("rate_per_sec", col("delta") / nullif(col("gap_us") / lit(1.0e6), lit(0.0)))
+      .withColumn("is_active", col("delta").isNotNull && col("delta") =!= 0.0)
+      .select("event_id", "event_type", "value", "prev_value", "delta", "rate_per_sec", "is_active")
+  }
+
+  /** A7: per-record average cost — value per unit of work
+    * (tasksDurationNanos / max(flowFiles,1) in the reference). */
+  def perRecordAvg(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      col("event_type"),
+      (col("value") / greatest(get_json_object(col("props"), "$.k").cast("int"), lit(1))
+        .cast("double")).as("per_record_avg"))
+
+  /** T14: station list projection (code/name/address). */
+  def stationList(dim: DataFrame): DataFrame =
+    dim.select(
+      col("wlobscd").as("code"),
+      col("obsnm").as("name"),
+      col("addr").as("address"))
+
+  /** S6 + T15: point lookup with `_id`→observationCode remap. On a
+    * broadcast-sized dim this is a partition-pruned local filter. */
+  def stationDetail(dim: DataFrame, code: String): DataFrame =
+    dim.filter(col("wlobscd") === code)
+      .select(
+        col("wlobscd").as("observation_code"),
+        col("obsnm").as("name"), col("addr").as("address"),
+        col("attwl"), col("wrnwl"), col("almwl"), col("srswl"))
+}

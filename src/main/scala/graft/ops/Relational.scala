@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** General relational coverage over the TPC-H-ish tables — the monitoring
+  * tier's scan/join/aggregate shapes at bench-relevant volume (lineitem is
+  * the only table that's large at sf0.1; everything else joins against it).
+  *
+  * Scale notes (the part the small-SF test can't see):
+  *  - money sums go through DECIMAL so partial-aggregate merge order can
+  *    never change the answer (double addition is not associative; decimal
+  *    addition is) — then back to DOUBLE for a stable output schema;
+  *  - only fixed-size dims (region: 5 rows, nation: 25) carry explicit
+  *    broadcast hints; customer/orders/supplier scale with the fact, so
+  *    they stay shuffle joins and AQE is left to downgrade them to
+  *    broadcast when a filter makes a side small at runtime;
+  *  - top-N is orderBy+limit, which Catalyst executes as TakeOrderedAndProject
+  *    (per-partition heap + driver merge of N rows, not a global sort). */
+object Relational {
+
+  /** Exact-in-decimal money aggregate, emitted as double. */
+  private def moneySum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Pricing summary (TPC-H Q1 shape): scan + partial agg, no join. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Shipping-priority top-10 (TPC-H Q3 shape): two joins into the fact,
+    * group, top-N by revenue. customer/orders scale with the fact, so these
+    * are shuffle joins by design (AQE may still downgrade to broadcast at
+    * small SF); only fixed-size dims get explicit broadcast hints. */
+  def topUnshippedOrders(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, dir).filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > to_timestamp(lit("1998-01-01 00:00:00")))
+    li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Local-supplier volume per nation (TPC-H Q5 shape): fact joined to a
+    * star of broadcast dims. */
+  def regionRevenue(s: SparkSession, dir: String, regionName: String = "ASIA"): DataFrame = {
+    val nat = Tables.nation(s, dir)
+    val reg = Tables.region(s, dir).filter(col("r_name") === regionName)
+    val natInRegion = nat.join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+    val sup = Tables.supplier(s, dir).join(broadcast(natInRegion), col("s_nationkey") === col("n_nationkey"))
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+    Tables.lineitem(s, dir)
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_nationkey"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top-spending customers: fact→orders rollup then broadcast-joined to
+    * customer names. */
+  def topCustomers(s: SparkSession, dir: String, n: Int = 20): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(moneySum(col("o_totalprice")).as("total_spent"), count(lit(1)).as("n_orders"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("total_spent"), col("n_orders"))
+      .orderBy(col("total_spent").desc, col("c_custkey"))
+      .limit(n)
+}
