@@ -128,6 +128,40 @@ object SparkEntry {
     "q3_top_orders" -> ((s, dir) => Relational.topUnshippedOrders(s, dir)),
     "q5_region_revenue" -> ((s, dir) => Relational.regionRevenue(s, dir)),
     "q_top_customers" -> ((s, dir) => Relational.topCustomers(s, dir)),
+
+    // ---- LLM-pipeline: dedup ---------------------------------------------
+    "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir)).orderBy("keep_id")),
+
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir)).orderBy("id1", "id2")),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables.documents(s, dir)).orderBy("id1", "id2")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir)).orderBy("id1", "id2")),
+
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDup(Tables.embeddings(s, dir)).orderBy("id1", "id2")),
+
+    // ---- LLM-pipeline: similarity search ---------------------------------
+    "sim_topk_brute" -> ((s, dir) =>
+      Similarity.topKBrute(Tables.embeddings(s, dir)).orderBy("query_id", "rank")),
+
+    "sim_topk_ivf" -> ((s, dir) =>
+      Similarity.topKIvf(Tables.embeddings(s, dir)).orderBy("query_id", "rank")),
+
+    // ---- LLM-pipeline: text analysis -------------------------------------
+    "text_langid" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id")),
+    "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir)).orderBy("doc_id")),
+    "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir)).orderBy("doc_id")),
+    "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // ---- LLM-pipeline: multimodal plumbing -------------------------------
+    "q_multimodal" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.mediaFrame(Tables.documents(s, dir)))
+        .select("doc_id", "media_type", "n_bytes", "width", "height")
+        .orderBy("doc_id")),
   )
 
   // ---- DuckDB oracle -----------------------------------------------------
@@ -341,5 +375,104 @@ object SparkEntry {
         |    count(*) AS n_orders
         |  FROM orders GROUP BY 1) JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_spent DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    // dedup_minhash verifies its LSH candidates with exact jaccard, so its
+    // oracle is the same brute-force inverted-index query.
+    "dedup_jaccard" -> JACCARD_SQL,
+    "dedup_minhash" -> JACCARD_SQL,
+    // dedup_simhash / sim_topk_ivf: hash-family/ANN internals are not
+    // SQL-expressible; the driver records rows-only checks for them.
+
+    "dedup_embedding" ->
+      """SELECT id1, id2, label, cosine FROM (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2, a.label AS label,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine
+        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.3 ORDER BY id1, id2""".stripMargin,
+
+    "sim_topk_brute" ->
+      """SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+        |               b.vec_id) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "text_langid" ->
+      """SELECT doc_id, vowel_ratio, avg_word_len,
+        |  CASE WHEN vowel_ratio >= 0.38 THEN 'es'
+        |       WHEN avg_word_len >= 4.6 THEN 'de'
+        |       WHEN vowel_ratio <= 0.33 THEN 'zh'
+        |       ELSE 'en' END AS predicted_lang,
+        |  actual_lang,
+        |  (CASE WHEN vowel_ratio >= 0.38 THEN 'es'
+        |        WHEN avg_word_len >= 4.6 THEN 'de'
+        |        WHEN vowel_ratio <= 0.33 THEN 'zh'
+        |        ELSE 'en' END) = actual_lang AS match
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE) / length(text) AS vowel_ratio,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len,
+        |    lang AS actual_lang
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id, n_chars, n_tokens, ttr, stopword_ratio, avg_word_len,
+        |  ttr * 0.4 + stopword_ratio * 0.3 +
+        |    CASE WHEN n_tokens >= 40 THEN 0.3 ELSE CAST(n_tokens AS DOUBLE) / 40.0 * 0.3 END AS quality_score
+        |FROM (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS stopword_ratio,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens,
+        |  length(replace(text, ' ', '')) AS n_token_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |              (a, b) -> (a * 31 + b) % 1000000007) AS content_fp,
+        |  list_reduce(list_transform(string_split(substring(text, 1, 64), ''), c -> CAST(ascii(c) AS BIGINT)),
+        |              (a, b) -> (a * 31 + b) % 1000000007) AS prefix_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal" ->
+      """SELECT doc_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        |  CAST(doc_id % 640 + 64 AS INT) AS width,
+        |  CAST(doc_id % 480 + 48 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
+
+  /** Brute-force word-shingle Jaccard (DuckDB side of dedup_jaccard and
+    * the verification bar for dedup_minhash). */
+  private val JACCARD_SQL =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM w),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s FROM idx),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id1, id2, jaccard FROM (
+      |  SELECT id1, id2, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2)
+      |WHERE jaccard >= 0.8 ORDER BY id1, id2""".stripMargin
 }

@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for a training-data pipeline, over `documents`
+  * (doc_id, text, lang, source, n_chars). Beyond the reference's surface —
+  * these are the north-star LLM-pipeline operators, built scale-first:
+  *
+  *  - exact: hash-groupBy on content — one shuffle, no driver state.
+  *  - ngramJaccard: word-shingle inverted index + pair-count join — the
+  *    exact algorithm; quadratic only within a posting list, so it is the
+  *    oracle-able baseline. At 100 TB a hot shingle's posting list explodes
+  *    — `maxDocFreq` caps it (drop shingles appearing in more than N docs;
+  *    ubiquitous shingles carry no dedup signal), and the probabilistic
+  *    scale path is minhashLsh below.
+  *  - minhashLsh: banded MinHash (K=64, 16 bands × 4 rows). Candidates are
+  *    generated ONLY within identical (band, band-signature) buckets —
+  *    never all-pairs — then verified with exact Jaccard, so output equals
+  *    the exact algorithm's with false-negative probability (1-j^4)^16
+  *    (≈2e-4 at j=0.8, ≈4e-8 at j=0.9).
+  *  - simhash: 64-bit sign-aggregated fingerprint; pigeonhole on 16-bit
+  *    chunks (hamming ≤3 ⇒ at least one of 4 chunks equal) makes the
+  *    candidate join an equi-join on chunk value, then verify bit_count.
+  *
+  * Everything is built-in expressions (xxhash64, bit ops, HOFs) — fully
+  * codegen'd, no UDFs, no driver collects.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of the text. Short texts (< n words)
+    * yield a single truncated shingle, mirroring list_slice semantics. */
+  def shingles(text: Column, n: Int = 3): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(split(text, " ")) - n, lit(0))),
+      i => concat_ws(" ", slice(split(text, " "), i + 1, lit(n)))))
+
+  /** Exact dedup: one surviving doc_id (the min) per identical text, with
+    * multiplicity. `dropDuplicates("text")` gives the kept rows; this form
+    * also reports group sizes. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** Exploded (doc_id, shingle) postings. */
+  private def postings(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted index.
+    * maxDocFreq < Int.MaxValue drops ubiquitous shingles before the
+    * pair-generating self-join (the scale guard; default keeps exact
+    * semantics for the oracle). */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
+                   maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val tok = postings(docs, n)
+    val filtered =
+      if (maxDocFreq == Int.MaxValue) tok
+      else {
+        val rare = tok.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
+        tok.join(rare.select("s"), "s")
+      }
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = filtered.as("a")
+      .join(filtered.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    jaccardFilter(inter, sizes, threshold)
+  }
+
+  /** jaccard = |∩| / (|A|+|B|-|∩|), filtered at threshold. */
+  private def jaccardFilter(inter: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("n", "na"), "id1")
+      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("n", "nb"), "id2")
+      .select(col("id1"), col("id2"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Banded MinHash LSH near-dup pairs, verified with exact Jaccard.
+    * numHashes = bands * rowsPerBand; hash family h_i(s) = xxhash64(i, s). */
+  def minhashLsh(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
+                 bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val tok = postings(docs, n)
+    // per-(doc, hash-index) minimum over the doc's shingles
+    val minh = tok
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, col("s")))))
+      .groupBy(col("doc_id"), col("pos").as("h_idx"))
+      .agg(min("col").as("min_h"))
+    // band signature: ordered concat of the band's row minima
+    val bandsDf = minh
+      .groupBy(col("doc_id"), (col("h_idx") / rowsPerBand).cast("int").as("band"))
+      .agg(concat_ws(",", transform(sort_array(collect_list(struct(col("h_idx"), col("min_h")))),
+        x => x.getField("min_h"))).as("sig"))
+    // candidates: same band + same signature, distinct pairs
+    val cand = bandsDf.as("a")
+      .join(bandsDf.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    // verify candidates with exact jaccard
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val t1 = tok.select(col("doc_id").as("id1"), col("s"))
+    val t2 = tok.select(col("doc_id").as("id2b"), col("s").as("s2"))
+    val inter = cand
+      .join(t1, Seq("id1"))
+      .join(t2, col("id2") === col("id2b") && col("s") === col("s2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    jaccardFilter(inter, sizes, threshold)
+  }
+
+  /** 64-bit SimHash per doc: bit j is the sign of the sum over shingles of
+    * ±1 (set/unset bit j of the shingle's xxhash64). */
+  def simhash(docs: DataFrame, n: Int = 3): DataFrame = {
+    val tok = postings(docs, n).withColumn("h", xxhash64(col("s")))
+    val bitCols = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$j"))
+    val bitSums = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    bitSums.select(col("doc_id"),
+      (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+        .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (< 16 bits):
+    * pigeonhole on 4×16-bit chunks — the candidate join is an equi-join on
+    * (chunk index, chunk value), never all-pairs. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, n: Int = 3): DataFrame = {
+    val sh = simhash(docs, n)
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup: cosine ≥ threshold within a blocking key (label) —
+    * blocked equi-join, not a cartesian product. The ANN scale path is
+    * Similarity.topKIvf. Arithmetic mirrors DuckDB's list_cosine_similarity
+    * exactly: sequential double sums, dot/(sqrt(na)*sqrt(nb)). */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("id1"), col("label"),
+      Similarity.toDouble(col("embedding")).as("va"))
+    val b = embeddings.select(col("vec_id").as("id2"), col("label"),
+      Similarity.toDouble(col("embedding")).as("vb"))
+    a.join(b, Seq("label"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("label"),
+        Similarity.cosine(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

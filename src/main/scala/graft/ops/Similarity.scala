@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (vec_id, embedding float[64],
+  * label). Two paths:
+  *
+  *  - topKBrute: a bounded query set against the full corpus — each query
+  *    is a linear scan (the exact baseline every ANN variant is judged
+  *    against). The query side is tiny and broadcast, so the "cross" join
+  *    is a broadcast nested loop over one pass of the corpus: at 100 TB
+  *    this is the plan you'd run for a handful of ad-hoc queries.
+  *  - topKIvf: IVF-style ANN — deterministic centroid set, vectors
+  *    partitioned into cells by nearest centroid, queries probe only the
+  *    nprobe nearest cells. Candidate generation is an equi-join on
+  *    cell id; corpus-side work drops by ~#cells/nprobe. This is the
+  *    scale path for query sets that are themselves large.
+  *
+  * Cosine arithmetic intentionally mirrors DuckDB's
+  * list_cosine_similarity bit-for-bit (sequential double sums,
+  * dot/(sqrt(na)*sqrt(nb))) so results are oracle-exact.
+  */
+object Similarity {
+
+  /** float[] → double[] (exact widening). */
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  private def seqSum(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => acc + x)
+
+  /** Sequential-sum cosine, DuckDB-identical. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = seqSum(zip_with(a, b, (x, y) => x * y))
+    val na = seqSum(transform(a, x => x * x))
+    val nb = seqSum(transform(b, x => x * x))
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Exact top-k neighbours for queries `vec_id < numQueries`. */
+  def topKBrute(embeddings: DataFrame, k: Int = 5, numQueries: Int = 10): DataFrame = {
+    val queries = broadcast(
+      embeddings.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv")))
+    val corpus = embeddings
+      .select(col("vec_id").as("neighbor_id"), toDouble(col("embedding")).as("nv"))
+    val scored = queries.join(corpus, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** IVF cell assignment: nearest centroid by cosine (centroids = every
+    * `centroidStride`-th vector — a deterministic stand-in for k-means,
+    * which would be an offline training job at scale). */
+  private def assignCells(embeddings: DataFrame, centroids: DataFrame, probe: Int): DataFrame = {
+    val scored = embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(centroids)) // centroid side is tiny: nested-loop over one corpus pass
+      .select(col("vec_id"), col("v"),
+        col("centroid_id"), cosine(col("v"), col("cv")).as("csim"))
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id"))
+    scored.withColumn("crank", row_number().over(w)).filter(col("crank") <= probe)
+      .select(col("vec_id"), col("v"), col("centroid_id").as("cell"))
+  }
+
+  /** ANN top-k: corpus vectors live in their 1 nearest cell; queries probe
+    * their `nprobe` nearest cells; ranking within candidates only. */
+  def topKIvf(embeddings: DataFrame, k: Int = 5, numQueries: Int = 10,
+              centroidStride: Int = 50, nprobe: Int = 3): DataFrame = {
+    val centroids = broadcast(
+      embeddings.filter(col("vec_id") % centroidStride === 0)
+        .select(col("vec_id").as("centroid_id"), toDouble(col("embedding")).as("cv")))
+    val cells = assignCells(embeddings, centroids, probe = 1)
+    val queryCells = assignCells(embeddings.filter(col("vec_id") < numQueries), centroids, probe = nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+    val scored = queryCells
+      .join(cells.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cosine"))
+      .groupBy("query_id", "neighbor_id").agg(first("cosine").as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+}
