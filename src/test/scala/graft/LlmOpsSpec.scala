@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal, Ingest}
+
+/** Unit fixtures for the LLM-pipeline operators: known duplicates, known
+  * vectors, known strings — independent of the driver test tables. */
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 0
+    (3L, "completely different content about spark query engines here now"),
+    (4L, "another unrelated document speaking of benchmarks and storage")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id and counts copies") {
+    val r = Dedup.exact(docs).orderBy("keep_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ===
+      Seq((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("ngram jaccard finds exact and near duplicates, not unrelated pairs") {
+    val pairs = Dedup.ngramJaccard(docs, threshold = 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))       // identical: jaccard 1.0
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH with exact verification matches the exact algorithm") {
+    val exact = Dedup.ngramJaccard(docs, threshold = 0.5)
+      .select("id1", "id2", "jaccard").collect().map(_.toSeq).toSet
+    val lsh = Dedup.minhashLsh(docs, threshold = 0.5)
+      .select("id1", "id2", "jaccard").collect().map(_.toSeq).toSet
+    assert(lsh === exact)
+  }
+
+  test("simhash of identical docs has hamming 0 and is reported as a pair") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((0L, 1L)).contains(0))
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),  // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f), 0),  // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f), 1), // opposite of 0, other label
+    (4L, Array(0.5f, 0.5f, 0.0f), 0)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine expression: identical=1, orthogonal=0") {
+    val c = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.vec_id") === 0 && col("b.vec_id").isin(0, 2))
+      .select(col("b.vec_id"), Similarity.cosine(
+        Similarity.toDouble(col("a.embedding")), Similarity.toDouble(col("b.embedding"))).as("c"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(c(0L) - 1.0) < 1e-12 && math.abs(c(2L)) < 1e-12)
+  }
+
+  test("brute top-k ranks the closest vector first") {
+    val top = Similarity.topKBrute(vecs, k = 2, numQueries = 1).orderBy("rank").collect()
+    assert(top(0).getAs[Long]("neighbor_id") === 1L) // 0.9,0.1 is nearest to 1,0
+    assert(top.length === 2)
+  }
+
+  test("embedding near-dup is blocked by label: opposite-label pair never compared") {
+    val pairs = Dedup.embeddingNearDup(vecs, threshold = -2.0) // keep all compared pairs
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("rolling-hash fingerprint matches the reference formula") {
+    val text = "ab c"
+    var expect = 0L
+    text.foreach(ch => expect = (expect * 31 + ch.toLong) % 1000000007L)
+    val got = Seq((0L, text)).toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprintExpr(col("text")).as("fp")).collect()(0).getLong(0)
+    assert(got === expect)
+  }
+
+  test("token counts on a known string") {
+    val r = TextAnalysis.tokenCounts(Seq((0L, "ab 12 c.")).toDF("doc_id", "text")).collect()(0)
+    assert(r.getAs[Int]("n_ws_tokens") === 3)
+    assert(r.getAs[Int]("n_re_tokens") === 4) // ab | 12 | c | .
+    assert(r.getAs[Int]("n_token_chars") === 6)
+  }
+
+  test("quality: type-token ratio and stopword ratio") {
+    val r = TextAnalysis.quality(Seq((0L, "the cat the dog")).toDF("doc_id", "text")).collect()(0)
+    assert(r.getAs[Double]("ttr") === 0.75)            // 3 distinct / 4
+    assert(r.getAs[Double]("stopword_ratio") === 0.5)  // 2×'the' / 4
+  }
+
+  test("langid emits a prediction and match flag for every row") {
+    val r = TextAnalysis.langId(Seq((0L, "aeiou aeiou", "es")).toDF("doc_id", "text", "lang")).collect()(0)
+    assert(r.getAs[String]("predicted_lang") === "es" && r.getAs[Boolean]("match"))
+  }
+
+  test("multimodal: batch feature extraction is deterministic and typed") {
+    val media = Multimodal.mediaFrame(Seq((7L, "some payload bytes", "en", "src", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val f1 = Multimodal.extractFeatures(media, batchSize = 2).collect()(0)
+    val f2 = Multimodal.extractFeatures(media, batchSize = 64).collect()(0)
+    assert(f1.getAs[Int]("n_bytes") === 18)
+    assert(f1.getSeq[Float](5) === f2.getSeq[Float](5))
+    assert(f1.getAs[String]("media_type") === "audio") // 7 % 3 == 1
+  }
+
+  test("ingest envelopes round-trip through to_json/from_json/explode") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val back = Ingest.splitEnvelopes(Ingest.envelopes(ev))
+    val orig = ev.select("event_id", "event_type", "value")
+    assert(back.count() === orig.count())
+    assert(back.exceptAll(orig).count() === 0)
+  }
+}
