@@ -16,15 +16,30 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** `events` with ts exposed both as a micro-precision timestamp (`ts`)
-    * and epoch-micros long (`ts_us`, used for ordering/arithmetic). The
-    * parquet carries sub-microsecond nanos, but both Spark TimestampType
-    * and DuckDB's parquet reader truncate to micros — so micros IS the
-    * common precision the oracle can see; never compute on the raw nanos. */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    load(spark, sfDir, "events")
+  /** Raw schema of the events parquet under nanosAsLong (ts = epoch-nanos
+    * long) — needed by the streaming file source, which requires an
+    * explicit schema. */
+  val eventsRawSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
+
+  /** Normalize raw events: ts exposed both as a micro-precision timestamp
+    * (`ts`) and epoch-micros long (`ts_us`, used for ordering/arithmetic).
+    * The parquet carries sub-microsecond nanos, but both Spark
+    * TimestampType and DuckDB's parquet reader truncate to micros — so
+    * micros IS the common precision the oracle can see; never compute on
+    * the raw nanos. */
+  def normalizeEvents(raw: DataFrame): DataFrame =
+    raw
       .withColumn("ts_us", expr("ts DIV 1000"))
       .withColumn("ts", timestamp_micros(col("ts_us")))
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEvents(load(spark, sfDir, "events"))
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")

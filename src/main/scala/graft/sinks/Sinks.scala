@@ -1,0 +1,146 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Per-sink success tracking, mirroring the reference's StorageResult
+  * (service/StorageResult.java:11-79): which sinks succeeded, and the
+  * failure reasons that route the batch to the DLQ. */
+final case class StorageResult(
+    archiveOk: Boolean,
+    timeseriesOk: Boolean,
+    rawOk: Boolean,
+    failures: Seq[(String, String)]) {
+  def allOk: Boolean = archiveOk && timeseriesOk && rawOk
+  def anyOk: Boolean = archiveOk || timeseriesOk || rawOk
+}
+
+/** Batch sinks mirroring the reference's storage tier, re-expressed as
+  * micro-batch writers (the single biggest idiomatic win over the
+  * reference's per-record INSERT/PUT — TimescaleDBRepository.java:136-161,
+  * MinIORepository.java:76-93 write one row per call):
+  *
+  *  - K1 archive: partitioned JSON, normal/anomalies × yyyy/MM/dd layout
+  *    (HRFCOStorageService.java:145-158,206-214; date is PROCESSING time,
+  *    not observation time — kept, but injectable for determinism).
+  *  - K2 time-series append: batched columnar append (JDBC in production —
+  *    `.write.jdbc` is the same call shape — parquet stand-in offline).
+  *  - K3 raw insert: original payload + flags + created_at
+  *    (HRFCOStorageService.java:187-201).
+  *  - K4 dimension upsert: key-precedence merge, new rows win
+  *    (MongoDBRepository.java:90-108).
+  *  - K5/K6 alert / DLQ frames: key/value pairs ready for a kafka sink
+  *    (kafka itself is config-gated; no broker in CI).
+  *  - K8 fanout: the tri-store write with per-sink failure isolation and
+  *    partial-failure → DLQ routing (HRFCOStorageService.java:72-122,
+  *    WaterLevelProcessor.java:70-75).
+  */
+object Sinks {
+
+  /** K1: partitioned JSON archive. Layout: type=normal|anomalies/y/M/d.
+    * One file per partition per batch instead of one file per record. */
+  def writeArchive(classified: DataFrame, basePath: String,
+                   processingTime: Column = current_timestamp()): Unit =
+    classified
+      .withColumn("type", when(col("is_anomaly"), "anomalies").otherwise("normal"))
+      .withColumn("y", date_format(processingTime, "yyyy"))
+      .withColumn("m", date_format(processingTime, "MM"))
+      .withColumn("d", date_format(processingTime, "dd"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("type", "y", "m", "d")
+      .json(basePath)
+
+  /** K2: time-series batch append in the enriched-measurement schema
+    * (TimescaleDBRepository.java:81-93). Swap `.parquet(target)` for
+    * `.jdbc(url, "hrfco.water_level_data", props)` when a database is
+    * reachable — the frame is identical. */
+  def writeTimeseries(classified: DataFrame, target: String,
+                      createdAt: Column = current_timestamp()): Unit =
+    classified.select(
+      col("wlobscd").as("observation_code"),
+      col("obs_ts_utc").as("observation_time"),
+      col("water_level"), col("flow_rate"),
+      col("is_anomaly"), col("flood_warning_level"),
+      createdAt.as("created_at"))
+      .write.mode(SaveMode.Append).parquet(target)
+
+  /** K3: raw payload + classification flags. */
+  def writeRaw(classified: DataFrame, target: String,
+               createdAt: Column = current_timestamp()): Unit =
+    classified.select(
+      col("raw_payload"), col("wlobscd"),
+      col("is_anomaly"), col("flood_warning_level"),
+      createdAt.as("created_at"))
+      .write.mode(SaveMode.Append).parquet(target)
+
+  /** K4: dimension upsert — rows in `updates` replace same-key rows in
+    * `existing`, new keys are inserted (the replaceOne(upsert=true)
+    * semantics). Pure frame-in/frame-out so it composes with any store. */
+  def upsertDim(existing: DataFrame, updates: DataFrame, key: String = "wlobscd"): DataFrame = {
+    val cols = existing.columns
+    existing.withColumn("__prio", lit(0))
+      .unionByName(updates.withColumn("__prio", lit(1)))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(key).orderBy(col("__prio").desc)))
+      .filter(col("__rn") === 1)
+      .select(cols.map(col): _*)
+  }
+
+  /** K5: alert key/value frame (key = observationCode, value = alert JSON
+    * per AlertPublisher.java:45-67). `.write.format("kafka")` takes this
+    * frame as-is when a broker exists. */
+  def alertFrame(alerts: DataFrame, timestamp: Column = unix_millis(current_timestamp())): DataFrame =
+    alerts.select(
+      col("wlobscd").as("key"),
+      to_json(struct(
+        col("wlobscd").as("observationCode"),
+        col("obs_time_fmt").as("observationTime"),
+        col("water_level").as("waterLevel"),
+        col("flow_rate").as("flowRate"),
+        col("alert_level").as("warningLevel"),
+        col("is_anomaly").as("isAnomaly"),
+        col("message"),
+        timestamp.as("timestamp"))).as("value"))
+
+  /** K6: DLQ envelope frame (DeadLetterQueueProducer.java:51-61). */
+  def dlqFrame(failed: DataFrame, errorReason: String,
+               exceptionClass: String = "StorageException",
+               timestamp: Column = unix_millis(current_timestamp())): DataFrame =
+    failed.select(
+      col("wlobscd").as("originalKey"),
+      col("raw_payload").as("originalValue"),
+      lit(errorReason).as("errorReason"),
+      lit(exceptionClass).as("exceptionClass"),
+      timestamp.as("timestamp"))
+
+  /** K8: tri-store fanout with per-sink failure isolation. The batch is
+    * persisted once, written to the three stores, and per-sink failures
+    * are captured instead of failing the stream; partial failure produces
+    * a DLQ frame covering the batch (the reference's per-record
+    * StorageResult folded up to batch granularity). */
+  def fanout(classified: DataFrame, archivePath: String, timeseriesPath: String,
+             rawPath: String, processingTime: Column = current_timestamp()): (StorageResult, Option[DataFrame]) = {
+    classified.persist()
+    try {
+      val attempts = Seq(
+        "archive" -> (() => writeArchive(classified, archivePath, processingTime)),
+        "timeseries" -> (() => writeTimeseries(classified, timeseriesPath, processingTime)),
+        "raw" -> (() => writeRaw(classified, rawPath, processingTime)))
+        .map { case (name, run) =>
+          try { run(); name -> None }
+          catch { case e: Throwable => name -> Some(e.toString) }
+        }
+      val failures = attempts.collect { case (n, Some(msg)) => (n, msg) }
+      val result = StorageResult(
+        archiveOk = !failures.exists(_._1 == "archive"),
+        timeseriesOk = !failures.exists(_._1 == "timeseries"),
+        rawOk = !failures.exists(_._1 == "raw"),
+        failures = failures)
+      val dlq =
+        if (failures.isEmpty) None
+        else Some(dlqFrame(classified,
+          errorReason = s"Storage failed for: ${failures.map(_._1).mkString(",")}"))
+      (result, dlq)
+    } finally classified.unpersist()
+  }
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.Tables
+import graft.ops.{Hrfco, Thresholds}
+import graft.sinks.Sinks
+
+/** Structured Streaming wiring of the same batch `ops` pipeline
+  * (HRFCOStreamsApp.java:72-90 re-expressed):
+  *
+  *  - file source stands in for the kafka source (no broker in CI; with
+  *    one, swap `readStream.schema(...).parquet` for
+  *    `readStream.format("kafka")...` — everything downstream is
+  *    identical because the transform is a pure DataFrame function);
+  *  - the 10-minute reference cadence maps to
+  *    Trigger.ProcessingTime("10 minutes"); tests use AvailableNow;
+  *  - `maxFilesPerTrigger` is the file-source analogue of
+  *    `maxOffsetsPerTrigger` backpressure;
+  *  - foreachBatch does the K8 tri-sink fanout with per-sink failure →
+  *    DLQ parquet (at-least-once, DLQ-not-fail: SURVEY.md §2.6);
+  *  - the threshold dim is re-derived per batch — the streaming analogue
+  *    of the reference's continuously-refreshed broadcast dimension.
+  */
+object StreamingPipeline {
+
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  final case class SinkPaths(archive: String, timeseries: String, raw: String, dlq: String)
+
+  def start(spark: SparkSession, sourceDir: String, dimSource: DataFrame,
+            paths: SinkPaths, checkpoint: String,
+            trigger: Trigger = Trigger.AvailableNow(),
+            maxFilesPerTrigger: Int = 10,
+            wlMax: Double = Hrfco.WlMaxDefault): StreamingQuery = {
+    val dim = Thresholds.fromEvents(dimSource)
+    val raw = spark.readStream
+      .schema(Tables.eventsRawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+
+    val stream = Tables.normalizeEvents(raw)
+
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val classified = Hrfco.pipeline(batch, dim, wlMax = wlMax)
+        val (result, dlq) = Sinks.fanout(classified, paths.archive, paths.timeseries, paths.raw)
+        dlq.foreach(_.write.mode("append").parquet(paths.dlq))
+        if (!result.allOk)
+          logger.warn(s"batch $batchId partial storage failure: ${result.failures}")
+        ()
+      }
+      .start()
+  }
+}

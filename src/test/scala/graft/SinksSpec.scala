@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.{Hrfco, Thresholds}
+import graft.sinks.Sinks
+
+/** Round-trip tests for the K1/K2/K8 sink layout and failure routing. */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory(new java.io.File("target/test-out").getAbsoluteFile.toPath
+      .tap(p => Files.createDirectories(p)), "sink").toString
+
+  implicit private class Tap[A](a: A) { def tap(f: A => Unit): A = { f(a); a } }
+
+  private lazy val classified = {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    Hrfco.pipeline(ev, Thresholds.fromEvents(ev),
+      tsFallback = to_timestamp(lit("1970-01-01")), wlMax = 300.0)
+  }
+
+  test("K1 archive: partition layout is type/y/m/d and rows survive re-read") {
+    val base = tmp()
+    val fixedNow = to_timestamp(lit("2026-03-04 05:06:07"))
+    Sinks.writeArchive(classified, base, fixedNow)
+    val normal = new java.io.File(s"$base/type=normal/y=2026/m=03/d=04")
+    val anomalies = new java.io.File(s"$base/type=anomalies/y=2026/m=03/d=04")
+    assert(normal.isDirectory && anomalies.isDirectory)
+    val back = spark.read.json(base)
+    assert(back.count() === classified.count())
+    assert(back.filter(col("type") === "anomalies").count() ===
+      classified.filter(col("is_anomaly")).count())
+  }
+
+  test("K2 timeseries: batched append accumulates batches in the enriched schema") {
+    val t = tmp() + "/ts"
+    Sinks.writeTimeseries(classified, t)
+    Sinks.writeTimeseries(classified, t)
+    val back = spark.read.parquet(t)
+    assert(back.count() === classified.count() * 2)
+    assert(back.columns.toSet === Set("observation_code", "observation_time",
+      "water_level", "flow_rate", "is_anomaly", "flood_warning_level", "created_at"))
+  }
+
+  test("K4 upsert: updates replace same-key rows, new keys insert") {
+    val existing = Seq(("A", 1.0), ("B", 2.0)).toDF("wlobscd", "attwl")
+    val updates = Seq(("B", 20.0), ("C", 3.0)).toDF("wlobscd", "attwl")
+    val merged = Sinks.upsertDim(existing, updates)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(merged === Map("A" -> 1.0, "B" -> 20.0, "C" -> 3.0))
+  }
+
+  test("K5 alert frame: key is the station, value is parseable alert JSON") {
+    val f = Sinks.alertFrame(classified.limit(5), timestamp = lit(123L)).collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      assert(r.getString(0).nonEmpty)
+      val v = r.getString(1)
+      assert(v.contains("\"observationCode\"") && v.contains("\"warningLevel\"") &&
+        v.contains("\"timestamp\":123"))
+    }
+  }
+
+  test("K8 fanout: all sinks succeed → no DLQ; bad sink path → failure recorded + DLQ") {
+    val base = tmp()
+    val (ok, dlqNone) = Sinks.fanout(classified.limit(10),
+      s"$base/a", s"$base/t", s"$base/r")
+    assert(ok.allOk && dlqNone.isEmpty)
+
+    // an unwritable timeseries target forces a single-sink failure
+    val roFile = new java.io.File(s"$base/not-a-dir"); roFile.createNewFile()
+    val (partial, dlq) = Sinks.fanout(classified.limit(10),
+      s"$base/a2", roFile.getAbsolutePath + "/x", s"$base/r2")
+    assert(partial.archiveOk && partial.rawOk && !partial.timeseriesOk)
+    assert(partial.failures.map(_._1) === Seq("timeseries"))
+    val env = dlq.get.collect()
+    assert(env.length === 10)
+    assert(env.head.getAs[String]("errorReason").contains("timeseries"))
+  }
+}
