@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Print formatted physical plans for selected queries — the scale audit:
+  * broadcast joins where intended, pushed filters, pruned read schemas,
+  * WholeStageCodegen coverage. Usage: runMain graft.PlanAudit [query ...] */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_classify", "q1_pricing_summary", "q3_top_orders", "q_latest_per_station")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      println(s"\n===== $n =====")
+      SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")
+    }
+    spark.stop()
+  }
+}

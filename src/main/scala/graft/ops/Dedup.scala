@@ -53,7 +53,9 @@ object Dedup {
     * semantics for the oracle). */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
                    maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val tok = postings(docs, n)
+    // the exploded postings feed the pair join twice plus the size agg —
+    // persist so shingling (regex split + HOFs, interpreted) runs once
+    val tok = postings(docs, n).persist()
     val filtered =
       if (maxDocFreq == Int.MaxValue) tok
       else {
@@ -82,18 +84,20 @@ object Dedup {
   def minhashLsh(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
                  bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val tok = postings(docs, n)
-    // per-(doc, hash-index) minimum over the doc's shingles
-    val minh = tok
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, col("s")))))
-      .groupBy(col("doc_id"), col("pos").as("h_idx"))
-      .agg(min("col").as("min_h"))
+    val tok = postings(docs, n).persist() // reused by signatures, sizes, and both verify sides
+
+    // signature row per doc: 64 codegen'd min-aggregates in ONE shuffle of
+    // docs×K values (an exploded (doc, hash-index) layout would push the
+    // hashing through interpreted HOFs and a K×-wider shuffle)
+    val minCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val sigs = tok.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     // band signature: ordered concat of the band's row minima
-    val bandsDf = minh
-      .groupBy(col("doc_id"), (col("h_idx") / rowsPerBand).cast("int").as("band"))
-      .agg(concat_ws(",", transform(sort_array(collect_list(struct(col("h_idx"), col("min_h")))),
-        x => x.getField("min_h"))).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      concat_ws(",", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+    }
+    val bandsDf = sigs
+      .select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
     // candidates: same band + same signature, distinct pairs
     val cand = bandsDf.as("a")
       .join(bandsDf.as("b"),
@@ -148,14 +152,20 @@ object Dedup {
     * Similarity.topKIvf. Arithmetic mirrors DuckDB's list_cosine_similarity
     * exactly: sequential double sums, dot/(sqrt(na)*sqrt(nb)). */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("id1"), col("label"),
-      Similarity.toDouble(col("embedding")).as("va"))
-    val b = embeddings.select(col("vec_id").as("id2"), col("label"),
-      Similarity.toDouble(col("embedding")).as("vb"))
+    // norms depend on one vector only — compute them once per row before
+    // the pair join instead of once per pair (identical bits: same
+    // sequential sum and sqrt over the same vector)
+    val base = embeddings.select(col("vec_id"), col("label"),
+      Similarity.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val a = base.select(col("vec_id").as("id1"), col("label"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("vec_id").as("id2"), col("label"),
+      col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("label"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("label"),
-        Similarity.cosine(col("va"), col("vb")).as("cosine"))
+        Similarity.cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -38,15 +38,26 @@ object Similarity {
     dot / (sqrt(na) * sqrt(nb))
   }
 
+  /** sqrt of the self-dot — precompute once per vector; feeding it into
+    * cosinePrenormed gives bit-identical results to cosine() at a third of
+    * the per-pair lambda work. */
+  def norm(v: Column): Column = sqrt(seqSum(transform(v, x => x * x)))
+
+  def cosinePrenormed(a: Column, b: Column, normA: Column, normB: Column): Column =
+    seqSum(zip_with(a, b, (x, y) => x * y)) / (normA * normB)
+
   /** Exact top-k neighbours for queries `vec_id < numQueries`. */
   def topKBrute(embeddings: DataFrame, k: Int = 5, numQueries: Int = 10): DataFrame = {
     val queries = broadcast(
       embeddings.filter(col("vec_id") < numQueries)
-        .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv")))
+        .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv"))
+        .withColumn("qn", norm(col("qv"))))
     val corpus = embeddings
       .select(col("vec_id").as("neighbor_id"), toDouble(col("embedding")).as("nv"))
+      .withColumn("nn", norm(col("nv")))
     val scored = queries.join(corpus, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePrenormed(col("qv"), col("nv"), col("qn"), col("nn")).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
@@ -77,9 +88,12 @@ object Similarity {
     val queryCells = assignCells(embeddings.filter(col("vec_id") < numQueries), centroids, probe = nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
     val scored = queryCells
-      .join(cells.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("cell")), Seq("cell"))
+      .withColumn("qn", norm(col("qv")))
+      .join(cells.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("cell"))
+        .withColumn("nn", norm(col("nv"))), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePrenormed(col("qv"), col("nv"), col("qn"), col("nn")).as("cosine"))
       .groupBy("query_id", "neighbor_id").agg(first("cosine").as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
