@@ -119,6 +119,20 @@ object SparkEntry {
     "q_per_record_avg" -> ((s, dir) =>
       Monitoring.perRecordAvg(Tables.events(s, dir)).orderBy("event_id")),
 
+    "q_queue_backpressure" -> ((s, dir) =>
+      Monitoring.queueBackpressure(Tables.events(s, dir)).orderBy("event_type")),
+
+    "q_processor_rollup" -> ((s, dir) =>
+      Monitoring.processorRollup(Tables.events(s, dir)).orderBy("event_type")),
+
+    "q_humanize_bytes" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(sum(floor(col("value") * 1000000.0).cast("long")).as("bytes"))
+        .select(col("event_type"), col("bytes"),
+          Monitoring.humanizeBytes(col("bytes")).as("human"))
+        .orderBy("event_type")),
+
     "q_station_list" -> ((s, dir) => Monitoring.stationList(dim(s, dir)).orderBy("code")),
 
     "q_station_detail" -> ((s, dir) => Monitoring.stationDetail(dim(s, dir), "click")),
@@ -323,6 +337,32 @@ object SparkEntry {
       """SELECT event_id, event_type,
         |  value / CAST(greatest(CAST(json_extract_string(props, '$.k') AS INT), 1) AS DOUBLE) AS per_record_avg
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_queue_backpressure" ->
+      """SELECT event_type,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS flow_files_queued,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bytes_queued,
+        |  count(CASE WHEN value >= 300.0 THEN 1 END) AS saturated,
+        |  count(*) AS connections
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_processor_rollup" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS processors,
+        |  count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 0 THEN 1 END) AS active_samples,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS total_work,
+        |  count(*) AS samples
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_humanize_bytes" ->
+      """SELECT event_type, bytes,
+        |  CASE WHEN bytes < 1024 THEN CAST(bytes AS VARCHAR) || ' B'
+        |       WHEN bytes < 1024 * 1024 THEN printf('%.1f KB', CAST(bytes AS DOUBLE) / 1024.0)
+        |       WHEN bytes < 1024 * 1024 * 1024 THEN printf('%.1f MB', CAST(bytes AS DOUBLE) / (1024.0 * 1024))
+        |       ELSE printf('%.1f GB', CAST(bytes AS DOUBLE) / (1024.0 * 1024 * 1024)) END AS human
+        |FROM (SELECT event_type, sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS bytes
+        |      FROM events GROUP BY 1)
+        |ORDER BY event_type""".stripMargin,
 
     "q_station_list" -> (C +
       "SELECT wlobscd AS code, obsnm AS name, addr AS address FROM dim ORDER BY code"),

@@ -61,6 +61,49 @@ object Monitoring {
       (col("value") / greatest(get_json_object(col("props"), "$.k").cast("int"), lit(1))
         .cast("double")).as("per_record_avg"))
 
+  /** A4: queue/backpressure rollup (NiFiMonitoringService.java:671-717):
+    * totals of queued units/bytes plus the count of saturated connections.
+    * Role mapping: each event is a "connection" sample — props.k plays
+    * flowFilesQueued, value plays bytesQueued, saturation = value ≥ the
+    * pressure threshold. */
+  def queueBackpressure(events: DataFrame, pressureThreshold: Double = 300.0): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("queued"),
+        col("value"))
+      .groupBy("event_type")
+      .agg(
+        sum("queued").as("flow_files_queued"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("bytes_queued"),
+        count(when(col("value") >= pressureThreshold, 1)).as("saturated"),
+        count(lit(1)).as("connections"))
+
+  /** A5: processor-status rollup (NiFiMonitoringService.java:807-883):
+    * running/active/with-data counts and totals per group. Role mapping:
+    * user_id plays the processor id, event presence plays activity. */
+  def processorRollup(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("work"))
+      .groupBy("event_type")
+      .agg(
+        countDistinct("user_id").as("processors"),
+        count(when(col("work") > 0, 1)).as("active_samples"),
+        sum("work").as("total_work"),
+        count(lit(1)).as("samples"))
+
+  /** §2.5 humanized byte formatting (NiFiMetricsUtils.java:20-103): the
+    * dashboard's B/KB/MB/GB rendering as a column expression. Thresholds
+    * and one-decimal rounding mirror the reference. */
+  def humanizeBytes(bytes: Column): Column =
+    when(bytes < 1024L, concat(bytes.cast("string"), lit(" B")))
+      .when(bytes < 1024L * 1024,
+        format_string("%.1f KB", bytes.cast("double") / 1024.0))
+      .when(bytes < 1024L * 1024 * 1024,
+        format_string("%.1f MB", bytes.cast("double") / (1024.0 * 1024)))
+      .otherwise(format_string("%.1f GB", bytes.cast("double") / (1024.0 * 1024 * 1024)))
+
   /** T14: station list projection (code/name/address). */
   def stationList(dim: DataFrame): DataFrame =
     dim.select(
