@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
+
 /** Similarity search over `embeddings` (vec_id, embedding float[64],
   * label). Two paths:
   *
@@ -27,24 +29,20 @@ object Similarity {
   /** float[] → double[] (exact widening). */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  private def seqSum(v: Column): Column =
-    aggregate(v, lit(0.0), (acc, x) => acc + x)
-
-  /** Sequential-sum cosine, DuckDB-identical. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = seqSum(zip_with(a, b, (x, y) => x * y))
-    val na = seqSum(transform(a, x => x * x))
-    val nb = seqSum(transform(b, x => x * x))
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  /** Sequential-sum cosine, DuckDB-identical. The dot products use the
+    * codegen'd native expression (graft.functions.DotProduct) — same
+    * arithmetic as `aggregate(zip_with(...))`, compiled instead of
+    * interpreted. */
+  def cosine(a: Column, b: Column): Column =
+    VectorFunctions.dot(a, b) / (sqrt(VectorFunctions.dot(a, a)) * sqrt(VectorFunctions.dot(b, b)))
 
   /** sqrt of the self-dot — precompute once per vector; feeding it into
     * cosinePrenormed gives bit-identical results to cosine() at a third of
-    * the per-pair lambda work. */
-  def norm(v: Column): Column = sqrt(seqSum(transform(v, x => x * x)))
+    * the per-pair work. */
+  def norm(v: Column): Column = VectorFunctions.l2Norm(v)
 
   def cosinePrenormed(a: Column, b: Column, normA: Column, normB: Column): Column =
-    seqSum(zip_with(a, b, (x, y) => x * y)) / (normA * normB)
+    VectorFunctions.dot(a, b) / (normA * normB)
 
   /** Exact top-k neighbours for queries `vec_id < numQueries`. */
   def topKBrute(embeddings: DataFrame, k: Int = 5, numQueries: Int = 10): DataFrame = {

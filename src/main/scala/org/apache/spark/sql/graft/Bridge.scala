@@ -1,0 +1,13 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Expression↔Column bridge. ExpressionUtils is private[sql], so the
+  * conversion lives in the sql package namespace — the standard idiom for
+  * Spark-native extension libraries shipping custom expressions. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
