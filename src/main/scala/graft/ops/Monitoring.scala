@@ -104,6 +104,33 @@ object Monitoring {
         format_string("%.1f MB", bytes.cast("double") / (1024.0 * 1024)))
       .otherwise(format_string("%.1f GB", bytes.cast("double") / (1024.0 * 1024 * 1024)))
 
+  /** §2.5 inverse: parse a humanized byte string back to bytes
+    * (NiFiMetricsUtils.java:38-82 — the dashboard round-trips formatted
+    * values). Unknown units / garbage → null, matching the reference's
+    * defensive parse. */
+  def parseBytes(human: Column): Column = {
+    val num = regexp_extract(human, "^([0-9]+(?:\\.[0-9]+)?) ", 1).try_cast("double")
+    val unit = regexp_extract(human, " (B|KB|MB|GB|TB)$", 1)
+    when(unit === "B", num)
+      .when(unit === "KB", num * 1024.0)
+      .when(unit === "MB", num * 1024.0 * 1024)
+      .when(unit === "GB", num * 1024.0 * 1024 * 1024)
+      .when(unit === "TB", num * 1024.0 * 1024 * 1024 * 1024)
+      .otherwise(lit(null).cast("double"))
+  }
+
+  /** §2.5 duration humanization (NiFiMetricsUtils.java:85-103): millis →
+    * "2h 5m" / "3m 12s" / "45s". */
+  def humanizeDuration(millis: Column): Column = {
+    val totalSec = (millis / 1000L).cast("long")
+    val h = (totalSec / 3600L).cast("long")
+    val m = ((totalSec % 3600L) / 60L).cast("long")
+    val s = (totalSec % 60L).cast("long")
+    when(h > 0, format_string("%dh %dm", h, m))
+      .when(m > 0, format_string("%dm %ds", m, s))
+      .otherwise(format_string("%ds", s))
+  }
+
   /** T14: station list projection (code/name/address). */
   def stationList(dim: DataFrame): DataFrame =
     dim.select(

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Monitoring, Skew}
+
+class SkewAndScalarsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parseBytes inverts humanizeBytes units; garbage parses to null") {
+    val got = Seq("512 B", "2.0 KB", "5.0 MB", "3.0 GB", "1.5 TB", "oops")
+      .toDF("h").select(Monitoring.parseBytes(col("h")).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(got === Seq(Some(512.0), Some(2048.0), Some(5.0 * 1024 * 1024),
+      Some(3.0 * 1024 * 1024 * 1024), Some(1.5 * 1024 * 1024 * 1024 * 1024), None))
+  }
+
+  test("humanizeDuration renders h/m/s breaks") {
+    val got = Seq(45000L, 192000L, 7500000L)
+      .toDF("ms").select(Monitoring.humanizeDuration(col("ms")).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("45s", "3m 12s", "2h 5m"))
+  }
+
+  test("salted count-distinct matches plain count-distinct") {
+    val df = Seq.tabulate(1000)(i => ("k" + i % 3, "v" + i % 47)).toDF("k", "v")
+    val plain = df.groupBy("k").agg(countDistinct("v").as("v_distinct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCountDistinct(df, "k", "v", salts = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+
+  test("salted join equals plain join") {
+    val fact = Seq.tabulate(500)(i => ("k" + i % 5, i)).toDF("k", "x")
+    val dim = Seq(("k0", "a"), ("k1", "b"), ("k2", "c"), ("k3", "d"), ("k4", "e")).toDF("k", "name")
+    val plain = fact.join(dim, "k").select("k", "x", "name")
+    val salted = Skew.saltedJoin(fact, dim, "k", salts = 4).select("k", "x", "name")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+  }
+}
