@@ -94,12 +94,14 @@ object SparkEntry {
     }),
 
     "q_alert_counts" -> ((s, dir) => {
-      val e = enriched(s, dir)
       val bucket = when(col("is_anomaly"), "anomaly")
         .when(col("alert_level").isin("ATTENTION", "CAUTION", "WARNING", "CRITICAL"), "alert")
         .otherwise("normal")
-      e.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n"))
-        .unionByName(e.agg(count(lit(1)).as("n")).select(lit("all").as("bucket"), col("n")))
+      // single pass: the 'all' row is the sum of the bucket counts, so the
+      // pipeline is evaluated once, not once per union branch
+      val counts = enriched(s, dir).groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n"))
+      counts
+        .unionByName(counts.agg(sum("n").cast("long").as("n")).select(lit("all").as("bucket"), col("n")))
         .orderBy("bucket")
     }),
 

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamingMonitors
+
+/** Streaming-native monitors: the stateful delta detector must reproduce
+  * the batch lag() results, and the watermarked window agg must match a
+  * batch grouping at AvailableNow completeness. */
+class StreamingMonitorsSpec extends SparkSpec {
+
+  private def streamOfEvents(work: String) = {
+    val srcDir = new java.io.File(s"$work/incoming"); srcDir.mkdirs()
+    Files.copy(new java.io.File("/root/testdata/sf0.001/events.parquet").toPath,
+      new java.io.File(srcDir, "events.parquet").toPath)
+    Tables.normalizeEvents(
+      spark.readStream.schema(Tables.eventsRawSchema).parquet(srcDir.getAbsolutePath))
+  }
+
+  private def work(): String = {
+    val base = new java.io.File("target/test-out").getAbsoluteFile.toPath
+    Files.createDirectories(base)
+    Files.createTempDirectory(base, "mon").toString
+  }
+
+  test("stateful delta/rate matches the batch lag() form") {
+    val w = work()
+    val q = StreamingMonitors.statefulDeltaRate(streamOfEvents(w))
+      .writeStream.format("memory").queryName("deltas")
+      .option("checkpointLocation", s"$w/ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("deltas")
+      .select("event_id", "delta", "rate_per_sec")
+    val batch = graft.ops.Monitoring.deltaRate(Tables.events(spark, "/root/testdata/sf0.001"))
+      .filter(col("prev_value").isNotNull)
+      .select("event_id", "delta", "rate_per_sec")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+  }
+
+  test("watermarked windowed stats match batch tumbling-window grouping") {
+    val w = work()
+    val q = StreamingMonitors.windowedStationStats(streamOfEvents(w))
+      .writeStream.format("memory").queryName("winstats")
+      .option("checkpointLocation", s"$w/ckpt")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("winstats")
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_obs"), min("value").as("min_value"), max("value").as("max_value"))
+      .select(col("event_type"), col("window.start").as("window_start"),
+        col("n_obs"), col("min_value"), col("max_value"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+  }
+}
