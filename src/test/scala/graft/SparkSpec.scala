@@ -12,6 +12,8 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        new java.io.File("target/test-warehouse").getAbsolutePath)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
