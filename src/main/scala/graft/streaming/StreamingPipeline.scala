@@ -47,6 +47,10 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // T3 parse failures → DLQ (the drop-vs-DLQ asymmetry: required-field
+        // failures are silently dropped inside the pipeline)
+        val parseFailures = Hrfco.dlqEnvelope(Hrfco.rawObservations(batch))
+        parseFailures.write.mode("append").parquet(paths.dlq)
         val classified = Hrfco.pipeline(batch, dim, wlMax = wlMax)
         val (result, dlq) = Sinks.fanout(classified, paths.archive, paths.timeseries, paths.raw)
         dlq.foreach(_.write.mode("append").parquet(paths.dlq))

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.Hrfco
+
+/** ScalaCheck properties from SURVEY §5's test plan: coercions are total
+  * (never throw), classification is monotone in the water level, and the
+  * cascade respects its priority order. Raw ScalaCheck generators with
+  * fixed seeds (the scalatest bridge artifact isn't in the offline cache),
+  * evaluated over generated DataFrame batches. */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val anyString: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr, Gen.asciiPrintableStr, Gen.const(""), Gen.const(" "),
+    Gen.const(null: String), Gen.numStr.map(s => " " + s + " "),
+    Gen.chooseNum(-1e6, 1e6).map(d => f"$d%.3f"))
+
+  test("property: guardedDouble is total over arbitrary strings") {
+    (1L to 10L).foreach { seed =>
+      val ss = sample(Gen.listOfN(50, anyString), seed)
+      val n = ss.map(Option(_)).toDF("v")
+        .select(Hrfco.guardedDouble(col("v")).as("d")).count()
+      assert(n === ss.length) // no exception, one row out per row in
+    }
+  }
+
+  test("property: formattedObservationTime is total and length-guarded") {
+    (1L to 10L).foreach { seed =>
+      val ss = sample(Gen.listOfN(50, anyString), seed).map(s => Option(s).getOrElse(""))
+      val out = ss.toDF("ymdhm")
+        .select(col("ymdhm"), Hrfco.formattedObservationTime(col("ymdhm")).as("t"))
+        .collect()
+      out.foreach { r =>
+        val in = r.getString(0)
+        if (in.length != 12) assert(r.getString(1) === in) // passthrough
+      }
+    }
+  }
+
+  test("property: flood classification is monotone non-decreasing in wl") {
+    val rank = Map("NORMAL" -> 0, "ATTENTION" -> 1, "CAUTION" -> 2,
+      "WARNING" -> 3, "CRITICAL" -> 4)
+    (1L to 10L).foreach { seed =>
+      val wls = sample(Gen.listOfN(30, Gen.chooseNum(-5.0, 15.0)), seed)
+      val levels = wls.map(Some(_)).toDF("wl")
+        .withColumn("attwl", lit(3.0)).withColumn("wrnwl", lit(5.0))
+        .withColumn("almwl", lit(7.0)).withColumn("srswl", lit(9.0))
+        .select(col("wl"), Hrfco.floodLevel(col("wl")).as("lvl"))
+        .orderBy("wl").collect().map(_.getString(1))
+      levels.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(rank(a) <= rank(b), s"$a -> $b not monotone")
+        case _ =>
+      }
+    }
+  }
+
+  test("property: cascade priority — level matches the closed-form threshold rule") {
+    (1L to 40L).foreach { seed =>
+      val wl = sample(Gen.chooseNum(-5.0, 15.0), seed)
+      val lvl = Seq(Some(wl)).toDF("wl")
+        .withColumn("attwl", lit(3.0)).withColumn("wrnwl", lit(5.0))
+        .withColumn("almwl", lit(7.0)).withColumn("srswl", lit(9.0))
+        .select(Hrfco.floodLevel(col("wl")).as("lvl")).collect()(0).getString(0)
+      val expected =
+        if (wl >= 9.0) "CRITICAL" else if (wl >= 7.0) "WARNING"
+        else if (wl >= 5.0) "CAUTION" else if (wl >= 3.0) "ATTENTION" else "NORMAL"
+      assert(lvl === expected)
+    }
+  }
+}

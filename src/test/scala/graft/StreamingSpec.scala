@@ -34,7 +34,10 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() === batch.count())
     assert(streamed.select("observation_code", "water_level", "flow_rate",
       "is_anomaly", "flood_warning_level").exceptAll(batch).count() === 0)
-    // no DLQ writes on the happy path
-    assert(!new java.io.File(paths.dlq).exists())
+    // DLQ holds exactly the parse failures (sink failures would append more)
+    val dlq = spark.read.parquet(paths.dlq)
+    val expectedParseFailures = graft.ops.Hrfco.dlqEnvelope(
+      graft.ops.Hrfco.rawObservations(ev)).count()
+    assert(dlq.count() === expectedParseFailures && expectedParseFailures > 0)
   }
 }
