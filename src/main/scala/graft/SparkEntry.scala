@@ -173,6 +173,9 @@ object SparkEntry {
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    "text_curation" -> ((s, dir) =>
+      Curation.curationStats(Tables.documents(s, dir))),
+
     // ---- LLM-pipeline: multimodal plumbing -------------------------------
     "q_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.mediaFrame(Tables.documents(s, dir)))
@@ -494,6 +497,37 @@ object SparkEntry {
         |  list_reduce(list_transform(string_split(substring(text, 1, 64), ''), c -> CAST(ascii(c) AS BIGINT)),
         |              (a, b) -> (a * 31 + b) % 1000000007) AS prefix_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_curation" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM w),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s FROM idx),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |prs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |losers AS (
+        |  SELECT DISTINCT id2 AS doc_id FROM prs
+        |  JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+        |qual AS (
+        |  SELECT doc_id, lang,
+        |    ttr * 0.4 + stopword_ratio * 0.3 +
+        |      CASE WHEN n_tokens >= 40 THEN 0.3 ELSE CAST(n_tokens AS DOUBLE) / 40.0 * 0.3 END AS quality_score
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      len(string_split(text, ' ')) AS n_tokens,
+        |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr,
+        |      CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) AS stopword_ratio
+        |    FROM documents)),
+        |curated AS (
+        |  SELECT q.* FROM qual q LEFT JOIN losers l ON q.doc_id = l.doc_id
+        |  WHERE l.doc_id IS NULL AND q.quality_score >= 0.46)
+        |SELECT lang, count(*) AS n_kept,
+        |  CAST(sum(CAST(quality_score AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS mean_quality,
+        |  min(quality_score) AS min_quality,
+        |  max(quality_score) AS max_quality
+        |FROM curated GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id,
