@@ -1,0 +1,40 @@
+package graft
+
+/** Plan contracts: the scale properties the code comments promise must be
+  * visible in the executed plans, or a refactor silently regressed them. */
+class PlanContractSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+
+  test("hot-path classify joins the dim by broadcast, never sort-merge") {
+    val p = plan("q_classify")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join in:\n$p")
+  }
+
+  test("pricing summary pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed in:\n$p")
+  }
+
+  test("classify prunes unused columns from the events scan") {
+    val p = plan("q_classify")
+    assert(!p.contains("user_id"), s"user_id should be pruned from:\n$p")
+  }
+
+  test("top-N recent compiles to TakeOrdered, not a global sort") {
+    val p = plan("q_topn_recent")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered in:\n$p")
+  }
+
+  test("near-dup operators have no cartesian product") {
+    Seq("dedup_jaccard", "dedup_minhash", "dedup_simhash", "dedup_embedding").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
+    }
+  }
+}
