@@ -144,6 +144,12 @@ object SparkEntry {
     "q3_top_orders" -> ((s, dir) => Relational.topUnshippedOrders(s, dir)),
     "q5_region_revenue" -> ((s, dir) => Relational.regionRevenue(s, dir)),
     "q_top_customers" -> ((s, dir) => Relational.topCustomers(s, dir)),
+    "q6_revenue_change" -> ((s, dir) => Relational.revenueChange(s, dir)),
+    "q12_shipmode_priority" -> ((s, dir) => Relational.shipmodePriority(s, dir)),
+    "q14_promo_share" -> ((s, dir) => Relational.promoShare(s, dir)),
+
+    "q_sessionize" -> ((s, dir) =>
+      Monitoring.sessionize(Tables.events(s, dir)).orderBy("user_id", "session_seq")),
 
     // ---- LLM-pipeline: dedup ---------------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir)).orderBy("keep_id")),
@@ -345,7 +351,7 @@ object SparkEntry {
 
     "q_queue_backpressure" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS flow_files_queued,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS flow_files_queued,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bytes_queued,
         |  count(CASE WHEN value >= 300.0 THEN 1 END) AS saturated,
         |  count(*) AS connections
@@ -355,7 +361,7 @@ object SparkEntry {
       """SELECT event_type,
         |  count(DISTINCT user_id) AS processors,
         |  count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 0 THEN 1 END) AS active_samples,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS total_work,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_work,
         |  count(*) AS samples
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
@@ -365,7 +371,7 @@ object SparkEntry {
         |       WHEN bytes < 1024 * 1024 THEN printf('%.1f KB', CAST(bytes AS DOUBLE) / 1024.0)
         |       WHEN bytes < 1024 * 1024 * 1024 THEN printf('%.1f MB', CAST(bytes AS DOUBLE) / (1024.0 * 1024))
         |       ELSE printf('%.1f GB', CAST(bytes AS DOUBLE) / (1024.0 * 1024 * 1024)) END AS human
-        |FROM (SELECT event_type, sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS bytes
+        |FROM (SELECT event_type, CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS bytes
         |      FROM events GROUP BY 1)
         |ORDER BY event_type""".stripMargin,
 
@@ -420,6 +426,46 @@ object SparkEntry {
         |    count(*) AS n_orders
         |  FROM orders GROUP BY 1) JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_spent DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q6_revenue_change" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24""".stripMargin,
+
+    "q12_shipmode_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_priority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT 100.0 * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS promo_share_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""".stripMargin,
+
+    "q_sessionize" ->
+      """SELECT user_id, session_seq, count(*) AS n_events,
+        |  (max(us) - min(us)) / 1000000 AS duration_sec
+        |FROM (
+        |  SELECT user_id, us, event_id,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM (
+        |    SELECT user_id, event_id, epoch_us(ts) AS us,
+        |      CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |    FROM events
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)))
+        |GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies

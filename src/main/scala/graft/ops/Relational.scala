@@ -76,6 +76,45 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Forecast-revenue-change (TPC-H Q6 shape): pure scan + filter + agg —
+    * the pushdown benchmark (every predicate reaches the parquet scan). */
+  def revenueChange(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")) &&
+          col("l_discount").between(0.04, 0.06) && col("l_quantity") < 24)
+      .agg(moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Shipping-mode priority buckets (TPC-H Q12 shape): conditional
+    * aggregation — CASE inside sum. */
+  def shipmodePriority(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_priority"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_priority"))
+      .orderBy("l_linestatus")
+
+  /** Promo revenue share (TPC-H Q14 shape): ratio of two decimal-exact
+    * sums — both operands deterministic, so the double division is too. */
+  def promoShare(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-06-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-07-01 00:00:00")))
+      .agg(
+        (lit(100.0) * moneySum(when(col("p_type").startsWith("PROMO"),
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0)))
+          / moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("promo_share_pct"))
+
   /** Top-spending customers: fact→orders rollup then broadcast-joined to
     * customer names. */
   def topCustomers(s: SparkSession, dir: String, n: Int = 20): DataFrame =

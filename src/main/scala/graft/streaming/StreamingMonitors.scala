@@ -41,6 +41,12 @@ object StreamingMonitors {
         col("window.start").as("window_start"),
         col("n_obs"), col("min_value"), col("max_value"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same event within
+    * the watermark horizon — the at-least-once-source companion (state is
+    * one row per event_id inside the horizon, GC'd by the watermark). */
+  def dedupStream(stream: DataFrame, lateness: String = "1 hour"): DataFrame =
+    stream.withWatermark("ts", lateness).dropDuplicates("event_id")
+
   /** Keyed-state delta/rate: remembers the last observation per station
     * across batches and emits one delta record per subsequent event.
     * Events inside a batch are processed in event-time order. */

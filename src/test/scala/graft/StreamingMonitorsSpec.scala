@@ -41,6 +41,25 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() === 0)
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    val w = work()
+    // deliver the same file twice → every event is duplicated at the source
+    val srcDir = new java.io.File(s"$w/incoming"); srcDir.mkdirs()
+    Files.copy(new java.io.File("/root/testdata/sf0.001/events.parquet").toPath,
+      new java.io.File(srcDir, "a.parquet").toPath)
+    Files.copy(new java.io.File("/root/testdata/sf0.001/events.parquet").toPath,
+      new java.io.File(srcDir, "b.parquet").toPath)
+    val stream = Tables.normalizeEvents(
+      spark.readStream.schema(Tables.eventsRawSchema).parquet(srcDir.getAbsolutePath))
+    val q = StreamingMonitors.dedupStream(stream)
+      .writeStream.format("memory").queryName("deduped")
+      .option("checkpointLocation", s"$w/ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("deduped").count() === 1000)
+    assert(spark.table("deduped").select("event_id").distinct().count() === 1000)
+  }
+
   test("watermarked windowed stats match batch tumbling-window grouping") {
     val w = work()
     val q = StreamingMonitors.windowedStationStats(streamOfEvents(w))
