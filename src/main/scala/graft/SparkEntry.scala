@@ -151,6 +151,26 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       Monitoring.sessionize(Tables.events(s, dir)).orderBy("user_id", "session_seq")),
 
+    // grouping sets: per-(station, level) counts with station subtotals
+    "q_alert_rollup" -> ((s, dir) =>
+      enriched(s, dir)
+        .rollup(col("wlobscd"), col("alert_level"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("wlobscd"), lit("<all>")).as("station"),
+          coalesce(col("alert_level"), lit("<all>")).as("level"),
+          col("n"))
+        .orderBy("station", "level")),
+
+    // set operation: users active in the first month but silent after
+    "q_churned_users" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cutoff = to_timestamp(lit("2024-02-01 00:00:00"))
+      ev.filter(col("ts") < cutoff).select("user_id")
+        .except(ev.filter(col("ts") >= cutoff).select("user_id"))
+        .orderBy("user_id")
+    }),
+
     // ---- LLM-pipeline: dedup ---------------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir)).orderBy("keep_id")),
 
@@ -426,6 +446,18 @@ object SparkEntry {
         |    count(*) AS n_orders
         |  FROM orders GROUP BY 1) JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_spent DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_alert_rollup" -> (C +
+      """SELECT coalesce(wlobscd, '<all>') AS station,
+        |  coalesce(alert_level, '<all>') AS level, count(*) AS n
+        |FROM alerts GROUP BY ROLLUP (wlobscd, alert_level)
+        |ORDER BY station, level""".stripMargin),
+
+    "q_churned_users" ->
+      """SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-02-01 00:00:00'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-02-01 00:00:00'
+        |ORDER BY user_id""".stripMargin,
 
     "q6_revenue_change" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
