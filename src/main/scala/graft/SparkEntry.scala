@@ -74,7 +74,7 @@ object SparkEntry {
       enriched(s, dir).select(
         col("event_id"), col("wlobscd"), col("water_level"), col("flow_rate"),
         col("range_valid"), col("valid_threshold_count"), col("is_anomaly"),
-        col("flood_warning_level"))
+        col("anomaly_reason"), col("flood_warning_level"))
         .orderBy("event_id")),
 
     "q_alerts" -> ((s, dir) =>
@@ -250,7 +250,7 @@ object SparkEntry {
       |  SELECT * FROM parsed
       |  WHERE wlobscd IS NOT NULL AND trim(wlobscd) <> ''
       |    AND ymdhm IS NOT NULL AND trim(ymdhm) <> ''
-      |    AND (water_level IS NOT NULL OR flow_rate IS NOT NULL)),
+      |    AND ((wl IS NOT NULL AND trim(wl) <> '') OR (fw IS NOT NULL AND trim(fw) <> ''))),
       |enriched AS (
       |  SELECT v.*, d.attwl, d.wrnwl, d.almwl, d.srswl,
       |    (d.wlobscd IS NOT NULL) AS dim_present,
@@ -264,6 +264,7 @@ object SparkEntry {
       |  FROM valid v LEFT JOIN dim d ON v.wlobscd = d.wlobscd),
       |classified AS (
       |  SELECT *, (NOT range_valid) AS is_anomaly,
+      |    CASE WHEN NOT range_valid THEN 'Data out of physical range' END AS anomaly_reason,
       |    CASE WHEN NOT range_valid THEN NULL
       |         WHEN NOT dim_present THEN 'NO_THRESHOLD'
       |         WHEN water_level IS NOT NULL AND valid_threshold_count = 0 THEN 'NO_THRESHOLD'
@@ -286,7 +287,7 @@ object SparkEntry {
       |  FROM classified),
       |msgs AS (
       |  SELECT *,
-      |    CASE WHEN is_anomaly THEN printf('관측소 %s에서 이상 데이터 감지 (수위: %.2f m)', wlobscd, water_level)
+      |    CASE WHEN is_anomaly THEN printf('관측소 %s에서 이상치 감지 (수위: %.2f m)', wlobscd, water_level)
       |         WHEN water_level IS NULL THEN printf('관측소 %s에서 %s 수위 경보 (수위 미계측)', wlobscd, alert_level)
       |         ELSE printf('관측소 %s에서 %s 수위 경보 (수위: %.2f m)', wlobscd, alert_level, water_level)
       |    END AS message
@@ -316,7 +317,7 @@ object SparkEntry {
 
     "q_classify" -> (C +
       """SELECT event_id, wlobscd, water_level, flow_rate, range_valid,
-        |  valid_threshold_count, is_anomaly, flood_warning_level
+        |  valid_threshold_count, is_anomaly, anomaly_reason, flood_warning_level
         |FROM classified ORDER BY event_id""".stripMargin),
 
     "q_alerts" -> (C +

@@ -98,11 +98,15 @@ object Hrfco {
 
   /** T6 required-fields predicate. Rows failing it are SILENTLY dropped —
     * not DLQ'd (WaterLevelProcessor.java:53-57). Requires station code,
-    * observation time, and at least one measurement. */
-  def requiredFields: Column =
-    col("wlobscd").isNotNull && trim(col("wlobscd")) =!= "" &&
-      col("ymdhm").isNotNull && trim(col("ymdhm")) =!= "" &&
-      (col("water_level").isNotNull || col("flow_rate").isNotNull)
+    * observation time, and at least one measurement — checked on the RAW
+    * string fields (WaterLevelValidator.java:71-76 uses getWaterLevel(),
+    * not the parsed value): a garbage-but-present measurement passes
+    * required-fields and flows on with a null parsed value. */
+  def requiredFields: Column = {
+    def present(c: Column): Column = c.isNotNull && trim(c) =!= ""
+    present(col("wlobscd")) && present(col("ymdhm")) &&
+      (present(col("wl")) || present(col("fw")))
+  }
 
   /** T7 physical-range flag: null passes; out-of-range ⇒ false.
     * Reference WaterLevelValidator.java:85-115. */
@@ -170,6 +174,9 @@ object Hrfco {
       .withColumn("valid_threshold_count",
         when(col("dim_present").isNotNull, validThresholdCount).otherwise(lit(0)))
       .withColumn("is_anomaly", !col("range_valid"))
+      .withColumn("anomaly_reason",
+        when(!col("range_valid"), "Data out of physical range")
+          .otherwise(lit(null).cast("string")))
       .withColumn("flood_warning_level",
         when(!col("range_valid"), lit(null).cast("string"))
           .when(col("dim_present").isNull, "NO_THRESHOLD")
@@ -191,7 +198,7 @@ object Hrfco {
     * Anomaly and missing-measurement variants guard the %.2f argument. */
   def alertMessage: Column =
     when(col("is_anomaly"),
-      format_string("관측소 %s에서 이상 데이터 감지 (수위: %.2f m)", col("wlobscd"), col("water_level")))
+      format_string("관측소 %s에서 이상치 감지 (수위: %.2f m)", col("wlobscd"), col("water_level")))
       .when(col("water_level").isNull,
         format_string("관측소 %s에서 %s 수위 경보 (수위 미계측)", col("wlobscd"), alertLevel))
       .otherwise(

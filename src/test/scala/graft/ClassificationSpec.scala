@@ -87,18 +87,25 @@ class ClassificationSpec extends SparkSpec {
   private def validCount(df: DataFrame): Long = df.filter(Hrfco.requiredFields).count()
 
   test("record missing station code is silently dropped") {
-    val df = Seq(("", "202512091530", Some(1.0), Some(2.0)), ("S1", "202512091530", Some(1.0), Some(2.0)))
-      .toDF("wlobscd", "ymdhm", "water_level", "flow_rate")
+    val df = Seq(("", "202512091530", "1.0", "2.0"), ("S1", "202512091530", "1.0", "2.0"))
+      .toDF("wlobscd", "ymdhm", "wl", "fw")
     assert(validCount(df) === 1)
   }
   test("record missing both measurements is silently dropped") {
-    val df = Seq(("S1", "202512091530", Option.empty[Double], Option.empty[Double]))
-      .toDF("wlobscd", "ymdhm", "water_level", "flow_rate")
+    val df = Seq(("S1", "202512091530", " ", ""))
+      .toDF("wlobscd", "ymdhm", "wl", "fw")
     assert(validCount(df) === 0)
   }
   test("record with only flow rate is kept") {
-    val df = Seq(("S1", "202512091530", Option.empty[Double], Some(2.0)))
-      .toDF("wlobscd", "ymdhm", "water_level", "flow_rate")
+    val df = Seq(("S1", "202512091530", "", "2.0"))
+      .toDF("wlobscd", "ymdhm", "wl", "fw")
+    assert(validCount(df) === 1)
+  }
+  test("garbage-but-present measurement passes required-fields (raw-string check)") {
+    // WaterLevelValidator.java:71-76 checks getWaterLevel() (the raw
+    // string), so "abc" counts as present even though it parses to null
+    val df = Seq(("S1", "202512091530", "abc", " "))
+      .toDF("wlobscd", "ymdhm", "wl", "fw")
     assert(validCount(df) === 1)
   }
   test("malformed payload goes to the DLQ envelope (not silently dropped)") {
@@ -122,6 +129,6 @@ class ClassificationSpec extends SparkSpec {
     val df = Seq(("1001602", Some(99.0), true, null: String))
       .toDF("wlobscd", "water_level", "is_anomaly", "flood_warning_level")
       .withColumn("message", Hrfco.alertMessage)
-    assert(df.collect()(0).getAs[String]("message").contains("이상 데이터 감지"))
+    assert(df.collect()(0).getAs[String]("message").contains("이상치 감지"))
   }
 }
