@@ -242,7 +242,9 @@ object SparkEntry {
       |    CASE WHEN trim(wl) = '' THEN NULL ELSE TRY_CAST(wl AS DOUBLE) END AS water_level,
       |    CASE WHEN trim(fw) = '' THEN NULL ELSE TRY_CAST(fw AS DOUBLE) END AS flow_rate,
       |    CASE WHEN length(ymdhm) = 12
-      |         THEN strftime(strptime(ymdhm, '%Y%m%d%H%M'), '%Y-%m-%d %H:%M')
+      |         THEN substring(ymdhm, 1, 4) || '-' || substring(ymdhm, 5, 2) || '-' ||
+      |              substring(ymdhm, 7, 2) || ' ' || substring(ymdhm, 9, 2) || ':' ||
+      |              substring(ymdhm, 11, 2)
       |         ELSE ymdhm END AS obs_time_fmt,
       |    strptime(ymdhm, '%Y%m%d%H%M') - INTERVAL 9 HOUR AS obs_ts_utc
       |  FROM raw),

@@ -51,10 +51,16 @@ object Hrfco {
       .otherwise(c.try_cast("double"))
 
   /** 12-digit `yyyyMMddHHmm` → "yyyy-MM-dd HH:mm"; any other length passes
-    * through unchanged. Reference WaterLevelData.java:82-96. */
+    * through unchanged. Pure substring reassembly with no validity parse —
+    * exactly the reference's behavior (WaterLevelData.java:82-96 does
+    * substring splits, so even a 12-char non-numeric string is
+    * reassembled). */
   def formattedObservationTime(ymdhm: Column): Column =
     when(length(ymdhm) === 12,
-      date_format(try_to_timestamp(ymdhm, lit("yyyyMMddHHmm")), "yyyy-MM-dd HH:mm"))
+      concat(
+        substring(ymdhm, 1, 4), lit("-"), substring(ymdhm, 5, 2), lit("-"),
+        substring(ymdhm, 7, 2), lit(" "), substring(ymdhm, 9, 2), lit(":"),
+        substring(ymdhm, 11, 2)))
       .otherwise(ymdhm)
 
   /** Observation time interpreted as Asia/Seoul wall-clock → UTC timestamp,

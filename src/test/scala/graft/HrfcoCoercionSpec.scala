@@ -41,6 +41,10 @@ class HrfcoCoercionSpec extends SparkSpec {
     assert(fmtTime("20251209153000") === "20251209153000")
   }
 
+  test("12-char reformat is substring reassembly, not a parse (reference behavior)") {
+    assert(fmtTime("abcdefghijkl") === "abcd-ef-gh ij:kl")
+  }
+
   test("observation time is interpreted as KST and shifted to UTC") {
     val utc = Seq("202512091530").toDF("ymdhm")
       .select(date_format(
