@@ -307,8 +307,9 @@ object SparkEntry {
 
     "q_dlq" -> (C +
       """SELECT event_id, wlobscd AS original_key, raw_payload AS original_value,
-        |  'Processing failed: malformed payload' AS error_reason,
-        |  'JsonParseException' AS exception_class
+        |  'Processing failed: JsonParseException' AS error_reason,
+        |  'JsonParseException' AS exception_class,
+        |  'malformed payload' AS exception_message
         |FROM raw
         |WHERE (CASE WHEN json_valid(raw_payload)
         |       THEN json_extract_string(raw_payload, '$.k') END) IS NULL
@@ -351,7 +352,10 @@ object SparkEntry {
         |FROM msgs ORDER BY ts DESC, event_id DESC LIMIT 500""".stripMargin),
 
     "q_threshold_scale" -> (C +
-      """SELECT wlobscd, greatest(attwl, wrnwl, almwl, srswl) * 1.2 AS gauge_max
+      """SELECT wlobscd, coalesce(greatest(
+        |    CASE WHEN attwl > 0 THEN attwl END, CASE WHEN wrnwl > 0 THEN wrnwl END,
+        |    CASE WHEN almwl > 0 THEN almwl END, CASE WHEN srswl > 0 THEN srswl END) * 1.2,
+        |  10.0) AS gauge_max
         |FROM dim ORDER BY wlobscd""".stripMargin),
 
     "q_delta_rate" ->

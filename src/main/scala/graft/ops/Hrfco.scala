@@ -131,8 +131,9 @@ object Hrfco {
         col("event_id"),
         col("wlobscd").as("original_key"),
         col("raw_payload").as("original_value"),
-        lit("Processing failed: malformed payload").as("error_reason"),
-        lit("JsonParseException").as("exception_class"))
+        lit("Processing failed: JsonParseException").as("error_reason"),
+        lit("JsonParseException").as("exception_class"),
+        lit("malformed payload").as("exception_message"))
 
   /** T9: count of thresholds that are non-null AND > 0
     * (AnomalyDetector.java:98-105). */

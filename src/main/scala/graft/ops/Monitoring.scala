@@ -30,13 +30,16 @@ object Monitoring {
         col("alert_level").as("warning_level"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("alert_ts"))
 
-  /** A3: per-station gauge scale = max(thresholds) * 1.2
-    * (dashboard.html:1236-1248). greatest() ignores nulls in both Spark and
-    * DuckDB; the all-null station yields null. */
-  def thresholdGaugeScale(dim: DataFrame): DataFrame =
+  /** A3: per-station gauge scale = max(positive thresholds) * 1.2, default
+    * 10 when no threshold qualifies (dashboard.html:1236-1248 filters
+    * `l != null && l > 0` and starts from maxLevel = 10). */
+  def thresholdGaugeScale(dim: DataFrame): DataFrame = {
+    def pos(c: String): Column = when(col(c) > 0.0, col(c))
     dim.select(
       col("wlobscd"),
-      (greatest(col("attwl"), col("wrnwl"), col("almwl"), col("srswl")) * 1.2).as("gauge_max"))
+      coalesce(greatest(pos("attwl"), pos("wrnwl"), pos("almwl"), pos("srswl")) * 1.2,
+        lit(10.0)).as("gauge_max"))
+  }
 
   /** A6: previous-vs-current delta and per-second rate per station, the
     * lag() form of the NiFi counter-delta activity detection. Exact long

@@ -105,12 +105,14 @@ object Sinks {
   /** K6: DLQ envelope frame (DeadLetterQueueProducer.java:51-61). */
   def dlqFrame(failed: DataFrame, errorReason: String,
                exceptionClass: String = "StorageException",
+               exceptionMessage: String = null,
                timestamp: Column = unix_millis(current_timestamp())): DataFrame =
     failed.select(
       col("wlobscd").as("originalKey"),
       col("raw_payload").as("originalValue"),
       lit(errorReason).as("errorReason"),
       lit(exceptionClass).as("exceptionClass"),
+      lit(exceptionMessage).cast("string").as("exceptionMessage"),
       timestamp.as("timestamp"))
 
   /** K8: tri-store fanout with per-sink failure isolation. The batch is
