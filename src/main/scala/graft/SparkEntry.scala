@@ -193,6 +193,14 @@ object SparkEntry {
     "sim_topk_ivf" -> ((s, dir) =>
       Similarity.topKIvf(Tables.embeddings(s, dir)).orderBy("query_id", "rank")),
 
+    "q_embed_quantize" -> ((s, dir) => {
+      val q = Quantization.quantize(Tables.embeddings(s, dir))
+      q.select(
+        (Seq(col("vec_id"), col("qmin"), col("qscale")) ++
+          (0 until 8).map(i => element_at(col("codes"), i + 1).as(s"q$i"))): _*)
+        .orderBy("vec_id")
+    }),
+
     // ---- LLM-pipeline: text analysis -------------------------------------
     "text_langid" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -534,6 +542,19 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
         |  WHERE a.vec_id < 10)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_quantize" ->
+      ("""SELECT vec_id,
+        |  list_aggregate(CAST(embedding AS DOUBLE[]), 'min') AS qmin,
+        |  (list_aggregate(CAST(embedding AS DOUBLE[]), 'max')
+        |   - list_aggregate(CAST(embedding AS DOUBLE[]), 'min')) / 255.0 AS qscale,
+        |""".stripMargin +
+        (0 until 8).map(i =>
+          s"""  CAST(round((CAST(embedding[${i + 1}] AS DOUBLE) - list_aggregate(CAST(embedding AS DOUBLE[]), 'min'))
+             |    / ((list_aggregate(CAST(embedding AS DOUBLE[]), 'max')
+             |        - list_aggregate(CAST(embedding AS DOUBLE[]), 'min')) / 255.0)) AS INT) AS q$i""".stripMargin)
+          .mkString(",\n") +
+        "\nFROM embeddings ORDER BY vec_id"),
 
     "text_langid" ->
       """SELECT doc_id, vowel_ratio, avg_word_len,
