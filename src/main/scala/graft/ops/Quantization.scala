@@ -17,18 +17,21 @@ object Quantization {
 
   private def vd(c: Column): Column = Similarity.toDouble(c)
 
-  /** Per-vector quantization parameters and the int8 codes. */
-  def quantize(embeddings: DataFrame): DataFrame = {
-    val v = vd(col("embedding"))
-    embeddings.select(
-      col("vec_id"),
-      array_min(v).as("qmin"),
-      ((array_max(v) - array_min(v)) / 255.0).as("qscale"),
-      transform(v, x =>
-        when(array_max(v) === array_min(v), 0)
-          .otherwise(round((x - array_min(v)) / ((array_max(v) - array_min(v)) / 255.0))
-            .cast("int"))).as("codes"))
-  }
+  /** Per-vector quantization parameters and the int8 codes. Params are
+    * projected first so the per-element lambda references them as columns
+    * (inlining array_min/max into the lambda would re-scan the vector per
+    * element — O(d²)). */
+  def quantize(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), vd(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"),
+        array_min(col("v")).as("qmin"),
+        ((array_max(col("v")) - array_min(col("v"))) / 255.0).as("qscale"))
+      .select(
+        col("vec_id"), col("qmin"), col("qscale"),
+        transform(col("v"), x =>
+          when(col("qscale") === 0.0, 0)
+            .otherwise(round((x - col("qmin")) / col("qscale")).cast("int"))).as("codes"))
 
   /** Reconstruct approximate double vectors from the codes. */
   def dequantize(quantized: DataFrame): DataFrame =
