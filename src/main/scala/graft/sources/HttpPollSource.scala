@@ -30,6 +30,27 @@ object HttpPollSource {
       .select(col("rec.*"))
   }
 
+  /** S3 with the reference's store-everything semantics
+    * (StationThresholdLoader.java:74-99): the four threshold fields are
+    * parsed to nullable doubles (blank/garbage → null), wlobscd is the
+    * key, and EVERY other field survives as-is in an open string map —
+    * the dynamic-schema side of the dimension. */
+  def pollStationsOpen(spark: SparkSession, fetch: () => String): DataFrame = {
+    import spark.implicits._
+    val body = fetch()
+    val known = Seq("wlobscd", "attwl", "wrnwl", "almwl", "srswl")
+    Seq(body).toDF("body")
+      .select(explode(expr(
+        "from_json(get_json_object(body, '$.content'), 'ARRAY<MAP<STRING,STRING>>')")).as("rec"))
+      .select(
+        col("rec")("wlobscd").as("wlobscd"),
+        graft.ops.Hrfco.guardedDouble(col("rec")("attwl")).as("attwl"),
+        graft.ops.Hrfco.guardedDouble(col("rec")("wrnwl")).as("wrnwl"),
+        graft.ops.Hrfco.guardedDouble(col("rec")("almwl")).as("almwl"),
+        graft.ops.Hrfco.guardedDouble(col("rec")("srswl")).as("srswl"),
+        map_filter(col("rec"), (k, _) => known.map(n => k =!= n).reduce(_ && _)).as("extra"))
+  }
+
   /** S3: station-info poll → dimension refresh. Returns the new dim
     * snapshot merged over the previous one (K4 upsert semantics), ready to
     * broadcast. */

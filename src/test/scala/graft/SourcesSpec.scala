@@ -37,6 +37,22 @@ class SourcesSpec extends SparkSpec {
     assert(m === Map("A" -> 1.0, "B" -> 9.0, "C" -> 3.0))
   }
 
+  test("open-schema station poll parses thresholds and keeps unknown fields") {
+    val body =
+      """{"content": [
+        |  {"wlobscd": "1001602", "attwl": "3.0", "wrnwl": " ", "almwl": "oops", "srswl": "9.0",
+        |   "obsnm": "서울", "agcnm": "agency", "lon": "127-02-00", "fstnyn": "Y"}
+        |]}""".stripMargin
+    val dim = graft.sources.HttpPollSource.pollStationsOpen(spark, () => body)
+    val r = dim.collect()(0)
+    assert(r.getAs[String]("wlobscd") === "1001602")
+    assert(r.getAs[Double]("attwl") === 3.0 && r.getAs[Double]("srswl") === 9.0)
+    assert(r.isNullAt(r.fieldIndex("wrnwl")) && r.isNullAt(r.fieldIndex("almwl")))
+    val extra = r.getAs[Map[String, String]]("extra")
+    assert(extra === Map("obsnm" -> "서울", "agcnm" -> "agency",
+      "lon" -> "127-02-00", "fstnyn" -> "Y"))
+  }
+
   test("humanizeBytes matches the reference's unit breaks") {
     val got = Seq(512L, 2048L, 5L * 1024 * 1024, 3L * 1024 * 1024 * 1024)
       .toDF("b").select(Monitoring.humanizeBytes(col("b")).as("h"))
