@@ -50,6 +50,43 @@ object Sinks {
       .partitionBy("type", "y", "m", "d")
       .json(basePath)
 
+  /** Read the K1 archive back with partition pruning: filters on the
+    * partition columns (type/y/m/d) are resolved against directory
+    * metadata, so a one-day anomaly scan touches one leaf directory of a
+    * years-deep archive — verify with the PartitionFilters plan assertion
+    * in SinksSpec. */
+  def readArchive(spark: org.apache.spark.sql.SparkSession, basePath: String,
+                  archiveType: Option[String] = None,
+                  date: Option[(String, String, String)] = None): DataFrame = {
+    val df = spark.read.json(basePath)
+    val t = archiveType.map(col("type") === _)
+    val d = date.map { case (y, m, dd) => col("y") === y && col("m") === m && col("d") === dd }
+    (t.toSeq ++ d.toSeq).foldLeft(df)(_ filter _)
+  }
+
+  /** Compact a partitioned archive: streaming micro-batches leave one
+    * small file per partition per batch; at cluster scale that is the
+    * small-files problem (NameNode/list pressure, tiny scans). Hash-
+    * repartitioning on the partition columns lands each leaf directory's
+    * rows in exactly one task → one file per leaf; `parallelism` spreads
+    * different leaves across tasks. */
+  def compactArchive(spark: org.apache.spark.sql.SparkSession, basePath: String,
+                     parallelism: Int = 8): Unit = {
+    val tmp = basePath + ".compacting"
+    spark.read.json(basePath)
+      .repartition(parallelism, col("type"), col("y"), col("m"), col("d"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("type", "y", "m", "d")
+      .json(tmp)
+    val base = new java.io.File(basePath)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(base)
+    if (!new java.io.File(tmp).renameTo(base))
+      throw new java.io.IOException(s"compaction rename failed: $tmp -> $basePath")
+  }
+
   /** K2: time-series batch append in the enriched-measurement schema
     * (TimescaleDBRepository.java:81-93). Swap `.parquet(target)` for
     * `.jdbc(url, "hrfco.water_level_data", props)` when a database is

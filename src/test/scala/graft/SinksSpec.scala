@@ -34,6 +34,31 @@ class SinksSpec extends SparkSpec {
       classified.filter(col("is_anomaly")).count())
   }
 
+  test("archive reads prune partitions; compaction collapses small files") {
+    val base = tmp()
+    val fixedNow = to_timestamp(lit("2026-03-04 05:06:07"))
+    // two appends → ≥2 files per partition (the streaming small-file shape)
+    Sinks.writeArchive(classified, base, fixedNow)
+    Sinks.writeArchive(classified, base, fixedNow)
+
+    val pruned = Sinks.readArchive(spark, base,
+      archiveType = Some("anomalies"), date = Some(("2026", "03", "04")))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("isnotnull(type"),
+      s"partition filters not applied:\n$plan")
+    assert(pruned.count() === classified.filter(col("is_anomaly")).count() * 2)
+
+    def leafFiles(dir: java.io.File): Int =
+      if (dir.isDirectory) dir.listFiles().map(leafFiles).sum
+      else if (dir.getName.endsWith(".json")) 1 else 0
+    val before = leafFiles(new java.io.File(s"$base/type=normal"))
+    assert(before >= 2)
+    Sinks.compactArchive(spark, base)
+    val after = leafFiles(new java.io.File(s"$base/type=normal"))
+    assert(after === 1, s"expected 1 compacted file, got $after")
+    assert(Sinks.readArchive(spark, base).count() === classified.count() * 2)
+  }
+
   test("K2 timeseries: batched append accumulates batches in the enriched schema") {
     val t = tmp() + "/ts"
     Sinks.writeTimeseries(classified, t)
