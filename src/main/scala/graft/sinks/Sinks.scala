@@ -50,41 +50,78 @@ object Sinks {
       .partitionBy("type", "y", "m", "d")
       .json(basePath)
 
+  /** Run `body` with partition-value type inference disabled: the archive
+    * writes zero-padded STRING partition values (m=03), and letting the
+    * reader re-infer them as ints would make any rewrite land in a
+    * parallel m=3 directory. */
+  private def withStringPartitions[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Read the K1 archive back with partition pruning: filters on the
     * partition columns (type/y/m/d) are resolved against directory
     * metadata, so a one-day anomaly scan touches one leaf directory of a
     * years-deep archive — verify with the PartitionFilters plan assertion
-    * in SinksSpec. */
+    * in SinksSpec. Pass the data schema (known at write time) to skip the
+    * full-archive JSON schema-inference pass at planning. */
   def readArchive(spark: org.apache.spark.sql.SparkSession, basePath: String,
                   archiveType: Option[String] = None,
-                  date: Option[(String, String, String)] = None): DataFrame = {
-    val df = spark.read.json(basePath)
-    val t = archiveType.map(col("type") === _)
-    val d = date.map { case (y, m, dd) => col("y") === y && col("m") === m && col("d") === dd }
-    (t.toSeq ++ d.toSeq).foldLeft(df)(_ filter _)
-  }
+                  date: Option[(String, String, String)] = None,
+                  schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    withStringPartitions(spark) {
+      val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+      val df = reader.json(basePath)
+      val t = archiveType.map(col("type") === _)
+      val d = date.map { case (y, m, dd) => col("y") === y && col("m") === m && col("d") === dd }
+      (t.toSeq ++ d.toSeq).foldLeft(df)(_ filter _)
+    }
 
   /** Compact a partitioned archive: streaming micro-batches leave one
     * small file per partition per batch; at cluster scale that is the
     * small-files problem (NameNode/list pressure, tiny scans). Hash-
     * repartitioning on the partition columns lands each leaf directory's
-    * rows in exactly one task → one file per leaf; `parallelism` spreads
-    * different leaves across tasks. */
+    * rows in exactly one task → one file per leaf.
+    *
+    * Scope with `archiveType`/`date` to rewrite only the leaves that need
+    * it (routine compaction targets the recent streaming-append days, not
+    * the whole history). Leaves are swapped in individually via the Hadoop
+    * FileSystem API (works on HDFS/local; on S3 rename is a copy), so the
+    * exposure window is per-leaf, not whole-archive. Concurrent writers to
+    * the SAME leaf during its swap can still lose a micro-batch — pause
+    * the stream for the target dates or use a transactional table format
+    * when that matters. */
   def compactArchive(spark: org.apache.spark.sql.SparkSession, basePath: String,
-                     parallelism: Int = 8): Unit = {
+                     archiveType: Option[String] = None,
+                     date: Option[(String, String, String)] = None,
+                     schema: Option[org.apache.spark.sql.types.StructType] = None,
+                     parallelism: Int = 8): Unit = withStringPartitions(spark) {
+    import org.apache.hadoop.fs.Path
     val tmp = basePath + ".compacting"
-    spark.read.json(basePath)
+    readArchive(spark, basePath, archiveType, date, schema)
       .repartition(parallelism, col("type"), col("y"), col("m"), col("d"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("type", "y", "m", "d")
       .json(tmp)
-    val base = new java.io.File(basePath)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    val basePth = new Path(basePath)
+    val tmpPth = new Path(tmp)
+    val fs = basePth.getFileSystem(spark.sessionState.newHadoopConf())
+    val leaves = fs.globStatus(new Path(tmpPth, "type=*/y=*/m=*/d=*"))
+    leaves.foreach { leaf =>
+      val rel = leaf.getPath.toUri.getPath.stripPrefix(tmpPth.toUri.getPath).stripPrefix("/")
+      val target = new Path(basePth, rel)
+      fs.delete(target, true)
+      fs.mkdirs(target.getParent)
+      if (!fs.rename(leaf.getPath, target))
+        throw new java.io.IOException(s"compaction rename failed: ${leaf.getPath} -> $target")
     }
-    rm(base)
-    if (!new java.io.File(tmp).renameTo(base))
-      throw new java.io.IOException(s"compaction rename failed: $tmp -> $basePath")
+    fs.delete(tmpPth, true)
   }
 
   /** K2: time-series batch append in the enriched-measurement schema

@@ -57,6 +57,32 @@ class SinksSpec extends SparkSpec {
     val after = leafFiles(new java.io.File(s"$base/type=normal"))
     assert(after === 1, s"expected 1 compacted file, got $after")
     assert(Sinks.readArchive(spark, base).count() === classified.count() * 2)
+
+    // append AFTER compaction: the rewrite must have kept the zero-padded
+    // string partition values, or this lands in a parallel m=3 directory
+    Sinks.writeArchive(classified, base, fixedNow)
+    assert(new java.io.File(s"$base/type=normal/y=2026/m=03/d=04").isDirectory)
+    assert(!new java.io.File(s"$base/type=normal/y=2026/m=3").exists(),
+      "partition type inference split the leaf directories")
+    assert(Sinks.readArchive(spark, base).count() === classified.count() * 3)
+  }
+
+  test("scoped compaction rewrites only the targeted leaves") {
+    val base = tmp()
+    Sinks.writeArchive(classified, base, to_timestamp(lit("2026-03-04 05:06:07")))
+    Sinks.writeArchive(classified, base, to_timestamp(lit("2026-03-04 05:06:07")))
+    Sinks.writeArchive(classified, base, to_timestamp(lit("2026-05-06 07:08:09")))
+    Sinks.writeArchive(classified, base, to_timestamp(lit("2026-05-06 07:08:09")))
+    def leafFiles(p: String): Int = {
+      val d = new java.io.File(p)
+      if (!d.isDirectory) 0
+      else d.listFiles().map(f => if (f.isDirectory) leafFiles(f.getPath)
+        else if (f.getName.endsWith(".json")) 1 else 0).sum
+    }
+    Sinks.compactArchive(spark, base, date = Some(("2026", "03", "04")))
+    assert(leafFiles(s"$base/type=normal/y=2026/m=03") === 1)    // compacted
+    assert(leafFiles(s"$base/type=normal/y=2026/m=05") === 2)    // untouched
+    assert(Sinks.readArchive(spark, base).count() === classified.count() * 4)
   }
 
   test("K2 timeseries: batched append accumulates batches in the enriched schema") {
