@@ -60,11 +60,13 @@ object SparkEntry {
         .orderBy("event_id")),
 
     "q_required_filter" -> ((s, dir) =>
-      parsed(s, dir).filter(Hrfco.requiredFields)
+      parsed(s, dir).filter(!Hrfco.parseFailed && Hrfco.requiredFields)
         .select("event_id", "wlobscd", "water_level", "flow_rate")
         .orderBy("event_id")),
 
-    "q_dlq" -> ((s, dir) => Hrfco.dlqEnvelope(rawObs(s, dir)).orderBy("event_id")),
+    "q_dlq" -> ((s, dir) =>
+      Hrfco.dlqEnvelope(rawObs(s, dir), timestamp = lit(0L))
+        .drop("timestamp").orderBy("event_id")),
 
     "q_threshold_dim" -> ((s, dir) =>
       dim(s, dir).select("wlobscd", "attwl", "wrnwl", "almwl", "srswl", "obsnm", "addr")
@@ -258,7 +260,9 @@ object SparkEntry {
       |  FROM raw),
       |valid AS (
       |  SELECT * FROM parsed
-      |  WHERE wlobscd IS NOT NULL AND trim(wlobscd) <> ''
+      |  WHERE (CASE WHEN json_valid(raw_payload)
+      |         THEN json_extract_string(raw_payload, '$.k') END) IS NOT NULL
+      |    AND wlobscd IS NOT NULL AND trim(wlobscd) <> ''
       |    AND ymdhm IS NOT NULL AND trim(ymdhm) <> ''
       |    AND ((wl IS NOT NULL AND trim(wl) <> '') OR (fw IS NOT NULL AND trim(fw) <> ''))),
       |enriched AS (
@@ -314,10 +318,10 @@ object SparkEntry {
       "SELECT event_id, wlobscd, water_level, flow_rate FROM valid ORDER BY event_id"),
 
     "q_dlq" -> (C +
-      """SELECT event_id, wlobscd AS original_key, raw_payload AS original_value,
-        |  'Processing failed: JsonParseException' AS error_reason,
-        |  'JsonParseException' AS exception_class,
-        |  'malformed payload' AS exception_message
+      """SELECT event_id, wlobscd AS "originalKey", raw_payload AS "originalValue",
+        |  'Processing failed: JsonParseException' AS "errorReason",
+        |  'JsonParseException' AS "exceptionClass",
+        |  'malformed payload' AS "exceptionMessage"
         |FROM raw
         |WHERE (CASE WHEN json_valid(raw_payload)
         |       THEN json_extract_string(raw_payload, '$.k') END) IS NULL
@@ -552,7 +556,7 @@ object SparkEntry {
         (0 until 8).map(i =>
           s"""  CAST(round((CAST(embedding[${i + 1}] AS DOUBLE) - list_aggregate(CAST(embedding AS DOUBLE[]), 'min'))
              |    / ((list_aggregate(CAST(embedding AS DOUBLE[]), 'max')
-             |        - list_aggregate(CAST(embedding AS DOUBLE[]), 'min')) / 255.0)) AS INT) AS q$i""".stripMargin)
+             |        - list_aggregate(CAST(embedding AS DOUBLE[]), 'min')) / 255.0)) - 128 AS TINYINT) AS q$i""".stripMargin)
           .mkString(",\n") +
         "\nFROM embeddings ORDER BY vec_id"),
 

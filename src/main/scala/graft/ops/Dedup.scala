@@ -54,7 +54,10 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
                    maxDocFreq: Int = Int.MaxValue): DataFrame = {
     // the exploded postings feed the pair join twice plus the size agg —
-    // persist so shingling (regex split + HOFs, interpreted) runs once
+    // persist so shingling (regex split + HOFs, interpreted) runs once.
+    // Lifecycle note: the cache is released by LRU pressure or the
+    // caller's spark.catalog.clearCache(); unpersisting here would evict
+    // it before the caller ever runs an action.
     val tok = postings(docs, n).persist()
     val filtered =
       if (maxDocFreq == Int.MaxValue) tok
@@ -62,7 +65,10 @@ object Dedup {
         val rare = tok.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
         tok.join(rare.select("s"), "s")
       }
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // sizes MUST come from the same (filtered) universe as the
+    // intersections, or capping deflates every score (identical docs
+    // would stop scoring 1.0)
+    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = filtered.as("a")
       .join(filtered.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
@@ -128,10 +134,14 @@ object Dedup {
         .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (< 16 bits):
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming:
     * pigeonhole on 4×16-bit chunks — the candidate join is an equi-join on
-    * (chunk index, chunk value), never all-pairs. */
+    * (chunk index, chunk value), never all-pairs. The 4-chunk split only
+    * guarantees a shared chunk for distance ≤ 3; larger thresholds would
+    * silently lose recall, so they are rejected. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, n: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4-chunk pigeonhole guarantee (max 3)")
     val sh = simhash(docs, n)
     val chunks = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>

@@ -121,19 +121,28 @@ object Hrfco {
     (col("water_level").isNull || (col("water_level") >= wlMin && col("water_level") <= wlMax)) &&
       (col("flow_rate").isNull || (col("flow_rate") >= fwMin && col("flow_rate") <= fwMax))
 
-  /** T3-failure branch → DLQ envelope (DeadLetterQueueProducer.java:51-61).
-    * A raw payload whose JSON cannot be parsed (here: `$.k` unextractable)
-    * is a parse failure; contrast with T6's silent drop. */
-  def dlqEnvelope(raw: DataFrame): DataFrame =
+  /** T3 parse-failure predicate: the raw payload's JSON is unparseable
+    * (`$.k` unextractable). In the reference this throws before any other
+    * step (WaterLevelProcessor.java:45,90-94), so such records are DLQ'd
+    * and NEVER processed/stored — the either/or contract. */
+  def parseFailed: Column = get_json_object(col("raw_payload"), "$.k").isNull
+
+  /** T3-failure branch → DLQ envelope, field names per
+    * DeadLetterQueueProducer.java:51-61 (camelCase, with timestamp —
+    * injectable for determinism). Shares its schema with Sinks.dlqFrame so
+    * both DLQ producers can append to one store. */
+  def dlqEnvelope(raw: DataFrame,
+                  timestamp: Column = unix_millis(current_timestamp())): DataFrame =
     raw
-      .filter(get_json_object(col("raw_payload"), "$.k").isNull)
+      .filter(parseFailed)
       .select(
         col("event_id"),
-        col("wlobscd").as("original_key"),
-        col("raw_payload").as("original_value"),
-        lit("Processing failed: JsonParseException").as("error_reason"),
-        lit("JsonParseException").as("exception_class"),
-        lit("malformed payload").as("exception_message"))
+        col("wlobscd").as("originalKey"),
+        col("raw_payload").as("originalValue"),
+        lit("Processing failed: JsonParseException").as("errorReason"),
+        lit("JsonParseException").as("exceptionClass"),
+        lit("malformed payload").as("exceptionMessage"),
+        timestamp.as("timestamp"))
 
   /** T9: count of thresholds that are non-null AND > 0
     * (AnomalyDetector.java:98-105). */
@@ -201,8 +210,11 @@ object Hrfco {
       .when(col("flood_warning_level").isin("NO_THRESHOLD", "PARTIAL_THRESHOLD"), "NORMAL")
       .otherwise(col("flood_warning_level"))
 
-  /** T13: Korean alert message template (AlertPublisher.java:53-60).
-    * Anomaly and missing-measurement variants guard the %.2f argument. */
+  /** T13: Korean alert message template (AlertPublisher.java:53-60). The
+    * non-anomaly branch guards null wl; the anomaly branch deliberately
+    * does NOT — Java's String.format("%.2f", null) prints "nu" (precision
+    * applied to "null") and format_string matches it, so an fw-only
+    * anomaly renders exactly as the reference does, bug-for-bug. */
   def alertMessage: Column =
     when(col("is_anomaly"),
       format_string("관측소 %s에서 이상치 감지 (수위: %.2f m)", col("wlobscd"), col("water_level")))
@@ -211,13 +223,17 @@ object Hrfco {
       .otherwise(
         format_string("관측소 %s에서 %s 수위 경보 (수위: %.2f m)", col("wlobscd"), alertLevel, col("water_level")))
 
-  /** Full hot path: raw → parse → required-filter (silent drop) → classify
-    * → alert columns. One narrow stage: scan + broadcast join, no shuffle. */
+  /** Full hot path: raw → drop parse failures (they go to the DLQ, never
+    * stored — the reference throws at step 1) → parse → required-filter
+    * (silent drop) → classify → alert columns. One narrow stage: scan +
+    * broadcast join, no shuffle. */
   def pipeline(events: DataFrame, dim: DataFrame,
                tsFallback: Column = current_timestamp(),
                wlMin: Double = WlMinDefault, wlMax: Double = WlMaxDefault,
                fwMin: Double = FwMinDefault, fwMax: Double = FwMaxDefault): DataFrame =
-    classify(parseTyped(rawObservations(events), tsFallback).filter(requiredFields),
+    classify(
+      parseTyped(rawObservations(events).filter(!parseFailed), tsFallback)
+        .filter(requiredFields),
       dim, wlMin, wlMax, fwMin, fwMax)
       .withColumn("alert_level", alertLevel)
       .withColumn("message", alertMessage)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * difference between memory-resident and spilling ANN cells. Per-vector
   * min/max affine quantization (the simplest deterministic scheme):
   *
-  *   scale = (max - min) / 255;  q_i = round((x_i - min) / scale)
+  *   scale = (max - min) / 255;  q_i = round((x_i - min) / scale) - 128  ∈ [-128, 127]
   *
   * Dequantized search keeps cosine error small enough for candidate
   * generation; exact re-ranking on the float vectors happens on the
@@ -29,13 +29,17 @@ object Quantization {
         ((array_max(col("v")) - array_min(col("v"))) / 255.0).as("qscale"))
       .select(
         col("vec_id"), col("qmin"), col("qscale"),
+        // shift 0..255 → -128..127 so the codes genuinely fit TINYINT —
+        // array<byte> is what delivers the 4× in-memory win over float32
         transform(col("v"), x =>
-          when(col("qscale") === 0.0, 0)
-            .otherwise(round((x - col("qmin")) / col("qscale")).cast("int"))).as("codes"))
+          when(col("qscale") === 0.0, lit(-128))
+            .otherwise(round((x - col("qmin")) / col("qscale")) - 128)
+            .cast("byte")).as("codes"))
 
   /** Reconstruct approximate double vectors from the codes. */
   def dequantize(quantized: DataFrame): DataFrame =
     quantized.select(
       col("vec_id"),
-      transform(col("codes"), q => col("qmin") + q.cast("double") * col("qscale")).as("v"))
+      transform(col("codes"),
+        q => col("qmin") + (q.cast("double") + 128.0) * col("qscale")).as("v"))
 }

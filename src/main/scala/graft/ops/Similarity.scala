@@ -68,26 +68,34 @@ object Similarity {
     * approximate index, not an oracle-compared value. At 100 TB this is
     * the offline training job (sampled corpus, same plan). */
   def trainCentroids(embeddings: DataFrame, stride: Int = 50, iterations: Int = 3): DataFrame = {
-    var centroids = embeddings.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("centroid_id"), toDouble(col("embedding")).as("cv"))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val corpus = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v")).persist()
+    corpus.count() // eager: the per-iteration collects below must hit the cache
+    // centroids are tiny (corpus/stride rows): materialize them to the
+    // driver each iteration so the lineage doesn't nest one full corpus
+    // scan per iteration (the standard iterative-algorithm pattern)
+    var centroids: Seq[(Long, Seq[Double])] = corpus
+      .filter(col("vec_id") % stride === 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     (1 to iterations).foreach { _ =>
-      val assigned = corpus
-        .crossJoin(broadcast(centroids))
+      val cdf = broadcast(centroids.toDF("centroid_id", "cv"))
+      centroids = corpus
+        .crossJoin(cdf)
         .select(col("vec_id"), col("v"), col("centroid_id"), cosine(col("v"), col("cv")).as("csim"))
         .withColumn("r", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id"))))
         .filter(col("r") === 1)
-      centroids = assigned
         .select(col("centroid_id"), posexplode(col("v")))
         .groupBy(col("centroid_id"), col("pos"))
         .agg(avg("col").as("m"))
         .groupBy("centroid_id")
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("cv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     }
     corpus.unpersist()
-    centroids
+    centroids.toDF("centroid_id", "cv")
   }
 
   /** IVF cell assignment: nearest centroid by cosine (centroids = every
@@ -131,7 +139,9 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosinePrenormed(col("qv"), col("nv"), col("qn"), col("nn")).as("cosine"))
-      .groupBy("query_id", "neighbor_id").agg(first("cosine").as("cosine"))
+    // no dedup needed: each corpus vector lives in exactly one cell and a
+    // query's probed cells are distinct, so every pair occurs once —
+    // aggregating here would only add a shuffle
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")

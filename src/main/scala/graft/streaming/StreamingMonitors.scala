@@ -42,10 +42,11 @@ object StreamingMonitors {
         col("n_obs"), col("min_value"), col("max_value"))
 
   /** Streaming exact dedup: drop re-deliveries of the same event within
-    * the watermark horizon — the at-least-once-source companion (state is
-    * one row per event_id inside the horizon, GC'd by the watermark). */
+    * the watermark horizon — the at-least-once-source companion. Must use
+    * dropDuplicatesWithinWatermark: plain dropDuplicates on a non-event-
+    * time key never GCs its state (one row per distinct id forever). */
   def dedupStream(stream: DataFrame, lateness: String = "1 hour"): DataFrame =
-    stream.withWatermark("ts", lateness).dropDuplicates("event_id")
+    stream.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("event_id")
 
   /** Keyed-state delta/rate: remembers the last observation per station
     * across batches and emits one delta record per subsequent event.

@@ -47,10 +47,12 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // T3 parse failures → DLQ (the drop-vs-DLQ asymmetry: required-field
-        // failures are silently dropped inside the pipeline)
-        val parseFailures = Hrfco.dlqEnvelope(Hrfco.rawObservations(batch))
-        parseFailures.write.mode("append").parquet(paths.dlq)
+        // T3 parse failures → DLQ only; the pipeline drops them itself, so
+        // a record is either stored or DLQ'd, never both (required-field
+        // failures, by contrast, are silently dropped — the asymmetry).
+        // Both DLQ producers share one envelope schema (camelCase + ts).
+        Hrfco.dlqEnvelope(Hrfco.rawObservations(batch)).drop("event_id")
+          .write.mode("append").parquet(paths.dlq)
         val classified = Hrfco.pipeline(batch, dim, wlMax = wlMax)
         val (result, dlq) = Sinks.fanout(classified, paths.archive, paths.timeseries, paths.raw)
         dlq.foreach(_.write.mode("append").parquet(paths.dlq))

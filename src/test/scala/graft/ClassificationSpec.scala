@@ -112,8 +112,8 @@ class ClassificationSpec extends SparkSpec {
     val raw = Seq((1L, "S1", "{bad json"), (2L, "S1", """{"k": 7}"""))
       .toDF("event_id", "wlobscd", "raw_payload")
     val dlq = Hrfco.dlqEnvelope(raw).collect()
-    assert(dlq.length === 1 && dlq(0).getAs[String]("original_value") === "{bad json")
-    assert(dlq(0).getAs[String]("error_reason").startsWith("Processing failed"))
+    assert(dlq.length === 1 && dlq(0).getAs[String]("originalValue") === "{bad json")
+    assert(dlq(0).getAs[String]("errorReason").startsWith("Processing failed"))
   }
 
   // -- T13 Korean alert message --------------------------------------------

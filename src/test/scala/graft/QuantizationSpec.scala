@@ -9,10 +9,12 @@ class QuantizationSpec extends SparkSpec {
   test("codes are int8-range and dequantization reconstructs within one step") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = Quantization.quantize(emb)
+    assert(q.schema("codes").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
     val bounds = q.select(
       min(array_min(col("codes"))).as("lo"), max(array_max(col("codes"))).as("hi"))
       .collect()(0)
-    assert(bounds.getInt(0) >= 0 && bounds.getInt(1) <= 255)
+    assert(bounds.getByte(0) >= -128 && bounds.getByte(1) <= 127)
 
     // reconstruction error per element is at most qscale/2 (+ float noise)
     val err = Quantization.dequantize(q)
