@@ -40,14 +40,10 @@ object SparkEntry {
   /** Flagship: current alert state of every station — scan → parse/validate
     * → broadcast threshold join → classify → latest-per-station (window) →
     * counts per alert level. Driver smoke-checks rows > 0 on sf0.001. */
-  def entry(spark: SparkSession): DataFrame = {
-    val e = enriched(spark, "/root/testdata/sf0.001")
-    val w = Window.partitionBy("wlobscd").orderBy(col("ts_us").desc, col("event_id").desc)
-    e.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  def entry(spark: SparkSession): DataFrame =
+    Monitoring.latestPerStation(enriched(spark, "/root/testdata/sf0.001"))
       .groupBy("alert_level")
       .agg(count(lit(1)).as("n_stations"))
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- HRFCO core transforms -------------------------------------------
@@ -87,13 +83,10 @@ object SparkEntry {
         col("alert_level").as("warning_level"), col("is_anomaly"), col("message"))
         .orderBy("event_id")),
 
-    "q_latest_per_station" -> ((s, dir) => {
-      val w = Window.partitionBy("wlobscd").orderBy(col("ts_us").desc, col("event_id").desc)
-      enriched(s, dir)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    "q_latest_per_station" -> ((s, dir) =>
+      Monitoring.latestPerStation(enriched(s, dir))
         .select("wlobscd", "event_id", "water_level", "flood_warning_level", "alert_level")
-        .orderBy("wlobscd")
-    }),
+        .orderBy("wlobscd")),
 
     "q_alert_counts" -> ((s, dir) => {
       val bucket = when(col("is_anomaly"), "anomaly")
@@ -103,7 +96,8 @@ object SparkEntry {
       // pipeline is evaluated once, not once per union branch
       val counts = enriched(s, dir).groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n"))
       counts
-        .unionByName(counts.agg(sum("n").cast("long").as("n")).select(lit("all").as("bucket"), col("n")))
+        .unionByName(counts.agg(coalesce(sum("n"), lit(0L)).cast("long").as("n"))
+          .select(lit("all").as("bucket"), col("n")))
         .orderBy("bucket")
     }),
 
@@ -554,9 +548,11 @@ object SparkEntry {
         |   - list_aggregate(CAST(embedding AS DOUBLE[]), 'min')) / 255.0 AS qscale,
         |""".stripMargin +
         (0 until 8).map(i =>
-          s"""  CAST(round((CAST(embedding[${i + 1}] AS DOUBLE) - list_aggregate(CAST(embedding AS DOUBLE[]), 'min'))
+          s"""  CAST(CASE WHEN list_aggregate(CAST(embedding AS DOUBLE[]), 'max')
+             |            = list_aggregate(CAST(embedding AS DOUBLE[]), 'min') THEN -128
+             |    ELSE round((CAST(embedding[${i + 1}] AS DOUBLE) - list_aggregate(CAST(embedding AS DOUBLE[]), 'min'))
              |    / ((list_aggregate(CAST(embedding AS DOUBLE[]), 'max')
-             |        - list_aggregate(CAST(embedding AS DOUBLE[]), 'min')) / 255.0)) - 128 AS TINYINT) AS q$i""".stripMargin)
+             |        - list_aggregate(CAST(embedding AS DOUBLE[]), 'min')) / 255.0)) - 128 END AS TINYINT) AS q$i""".stripMargin)
           .mkString(",\n") +
         "\nFROM embeddings ORDER BY vec_id"),
 

@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Monitoring {
 
+  /** Latest observation per station: the one window function of the
+    * flagship path (row_number over ts, event_id tiebreak). Shared by
+    * SparkEntry.entry and q_latest_per_station. */
+  def latestPerStation(classified: DataFrame): DataFrame = {
+    val w = Window.partitionBy("wlobscd").orderBy(col("ts_us").desc, col("event_id").desc)
+    classified.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
   /** A2: newest N alerts; ns-long tiebreak keeps ordering identical to the
     * nanosecond-precision oracle. */
   def topNRecent(alerts: DataFrame, n: Int = 500): DataFrame =

@@ -50,10 +50,18 @@ object Sinks {
       .partitionBy("type", "y", "m", "d")
       .json(basePath)
 
+  /** Partition columns of the K1 layout, as the strings they are written
+    * as. Appending these to an explicit data schema bypasses partition
+    * type inference without touching session conf. */
+  private val ArchivePartitionFields = Seq("type", "y", "m", "d")
+    .map(org.apache.spark.sql.types.StructField(_, org.apache.spark.sql.types.StringType))
+
   /** Run `body` with partition-value type inference disabled: the archive
     * writes zero-padded STRING partition values (m=03), and letting the
     * reader re-infer them as ints would make any rewrite land in a
-    * parallel m=3 directory. */
+    * parallel m=3 directory. NOTE: this toggles a session-global conf for
+    * the duration of `body` — in a session with concurrent planners,
+    * prefer passing an explicit schema, which skips the toggle entirely. */
   private def withStringPartitions[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
     val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val prev = spark.conf.getOption(key)
@@ -74,14 +82,23 @@ object Sinks {
   def readArchive(spark: org.apache.spark.sql.SparkSession, basePath: String,
                   archiveType: Option[String] = None,
                   date: Option[(String, String, String)] = None,
-                  schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
-    withStringPartitions(spark) {
-      val reader = schema.fold(spark.read)(s => spark.read.schema(s))
-      val df = reader.json(basePath)
+                  schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    def filtered(df: DataFrame): DataFrame = {
       val t = archiveType.map(col("type") === _)
       val d = date.map { case (y, m, dd) => col("y") === y && col("m") === m && col("d") === dd }
       (t.toSeq ++ d.toSeq).foldLeft(df)(_ filter _)
     }
+    schema match {
+      // explicit data schema: append the string partition fields and skip
+      // both schema inference AND the session-conf toggle
+      case Some(s) =>
+        filtered(spark.read.schema(
+          org.apache.spark.sql.types.StructType(s.fields ++ ArchivePartitionFields))
+          .json(basePath))
+      case None =>
+        withStringPartitions(spark)(filtered(spark.read.json(basePath)))
+    }
+  }
 
   /** Compact a partitioned archive: streaming micro-batches leave one
     * small file per partition per batch; at cluster scale that is the
@@ -101,12 +118,14 @@ object Sinks {
                      archiveType: Option[String] = None,
                      date: Option[(String, String, String)] = None,
                      schema: Option[org.apache.spark.sql.types.StructType] = None,
-                     parallelism: Int = 8): Unit = withStringPartitions(spark) {
+                     parallelism: Int = 8): Unit = {
     import org.apache.hadoop.fs.Path
-    val tmp = basePath + ".compacting"
+    // unique tmp per run: a crashed run's tmp (which may hold the only
+    // copy of a leaf mid-swap) is never clobbered by the next run
+    val tmp = basePath + s".compacting-${System.currentTimeMillis()}"
     readArchive(spark, basePath, archiveType, date, schema)
       .repartition(parallelism, col("type"), col("y"), col("m"), col("d"))
-      .write.mode(SaveMode.Overwrite)
+      .write.mode(SaveMode.ErrorIfExists)
       .partitionBy("type", "y", "m", "d")
       .json(tmp)
     val basePth = new Path(basePath)
@@ -116,10 +135,19 @@ object Sinks {
     leaves.foreach { leaf =>
       val rel = leaf.getPath.toUri.getPath.stripPrefix(tmpPth.toUri.getPath).stripPrefix("/")
       val target = new Path(basePth, rel)
-      fs.delete(target, true)
+      val aside = new Path(target.getParent, target.getName + ".old")
+      // rename-aside ordering: the old leaf survives until the new one is
+      // in place, so a crash leaves either the old or the new data live
+      fs.delete(aside, true)
+      val hadOld = fs.exists(target)
+      if (hadOld && !fs.rename(target, aside))
+        throw new java.io.IOException(s"compaction aside-rename failed: $target")
       fs.mkdirs(target.getParent)
-      if (!fs.rename(leaf.getPath, target))
+      if (!fs.rename(leaf.getPath, target)) {
+        if (hadOld) fs.rename(aside, target) // roll back
         throw new java.io.IOException(s"compaction rename failed: ${leaf.getPath} -> $target")
+      }
+      fs.delete(aside, true)
     }
     fs.delete(tmpPth, true)
   }
@@ -152,10 +180,15 @@ object Sinks {
     * semantics). Pure frame-in/frame-out so it composes with any store. */
   def upsertDim(existing: DataFrame, updates: DataFrame, key: String = "wlobscd"): DataFrame = {
     val cols = existing.columns
-    existing.withColumn("__prio", lit(0))
+    val all = existing.withColumn("__prio", lit(0))
       .unionByName(updates.withColumn("__prio", lit(1)))
+    // a DataFrame has no row order, so "last write wins" inside one
+    // snapshot is undefined; break same-priority ties deterministically by
+    // content hash so repeated runs pick the same winner
+    all
       .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(key).orderBy(col("__prio").desc)))
+        org.apache.spark.sql.expressions.Window.partitionBy(key)
+          .orderBy(col("__prio").desc, hash(struct(cols.map(col): _*)).desc)))
       .filter(col("__rn") === 1)
       .select(cols.map(col): _*)
   }
@@ -214,8 +247,17 @@ object Sinks {
         failures = failures)
       val dlq =
         if (failures.isEmpty) None
-        else Some(dlqFrame(classified,
-          errorReason = s"Storage failed for: ${failures.map(_._1).mkString(",")}"))
+        else {
+          // materialize the envelope while `classified` is still cached:
+          // returning a lazy frame would let the caller recompute the whole
+          // batch lineage after the unpersist below (and possibly diverge
+          // from what the sinks actually saw)
+          val f = dlqFrame(classified,
+            errorReason = s"Storage failed for: ${failures.map(_._1).mkString(",")}")
+          f.persist()
+          f.count()
+          Some(f) // caller should unpersist after delivering it
+        }
       (result, dlq)
     } finally classified.unpersist()
   }

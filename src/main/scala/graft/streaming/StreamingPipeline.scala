@@ -55,7 +55,10 @@ object StreamingPipeline {
           .write.mode("append").parquet(paths.dlq)
         val classified = Hrfco.pipeline(batch, dim, wlMax = wlMax)
         val (result, dlq) = Sinks.fanout(classified, paths.archive, paths.timeseries, paths.raw)
-        dlq.foreach(_.write.mode("append").parquet(paths.dlq))
+        dlq.foreach { d =>
+          d.write.mode("append").parquet(paths.dlq)
+          d.unpersist()
+        }
         if (!result.allOk)
           logger.warn(s"batch $batchId partial storage failure: ${result.failures}")
         ()
