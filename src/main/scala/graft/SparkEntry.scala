@@ -158,6 +158,16 @@ object SparkEntry {
           col("n"))
         .orderBy("station", "level")),
 
+    // pivot: station × alert-level count matrix (fixed level list so the
+    // output schema is static and oracle-expressible)
+    "q_alert_pivot" -> ((s, dir) =>
+      enriched(s, dir)
+        .groupBy(col("wlobscd").as("station"))
+        .pivot("alert_level", Seq("NORMAL", "ATTENTION", "CAUTION", "WARNING", "CRITICAL", "ANOMALY"))
+        .agg(coalesce(count(lit(1)), lit(0L)))
+        .na.fill(0L)
+        .orderBy("station")),
+
     // set operation: users active in the first month but silent after
     "q_churned_users" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -465,6 +475,16 @@ object SparkEntry {
         |  coalesce(alert_level, '<all>') AS level, count(*) AS n
         |FROM alerts GROUP BY ROLLUP (wlobscd, alert_level)
         |ORDER BY station, level""".stripMargin),
+
+    "q_alert_pivot" -> (C +
+      """SELECT wlobscd AS station,
+        |  count(CASE WHEN alert_level = 'NORMAL' THEN 1 END) AS "NORMAL",
+        |  count(CASE WHEN alert_level = 'ATTENTION' THEN 1 END) AS "ATTENTION",
+        |  count(CASE WHEN alert_level = 'CAUTION' THEN 1 END) AS "CAUTION",
+        |  count(CASE WHEN alert_level = 'WARNING' THEN 1 END) AS "WARNING",
+        |  count(CASE WHEN alert_level = 'CRITICAL' THEN 1 END) AS "CRITICAL",
+        |  count(CASE WHEN alert_level = 'ANOMALY' THEN 1 END) AS "ANOMALY"
+        |FROM alerts GROUP BY 1 ORDER BY station""".stripMargin),
 
     "q_churned_users" ->
       """SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-02-01 00:00:00'

@@ -142,6 +142,19 @@ object Monitoring {
       .otherwise(format_string("%ds", s))
   }
 
+  /** Sketch-based distinct: HyperLogLog++ via approx_count_distinct — at
+    * 100 TB an exact distinct over a high-cardinality key is a massive
+    * shuffle, while the sketch is mergeable constant-size state per
+    * partition. Engine-specific estimates can't hash-match an oracle, so
+    * this is spec-checked against the exact count (relative error bound
+    * driven by rsd). */
+  def approxDistinct(events: DataFrame, keyCol: String, byCol: String,
+                     rsd: Double = 0.02): DataFrame =
+    events.groupBy(byCol)
+      .agg(
+        approx_count_distinct(col(keyCol), rsd).as("approx_distinct"),
+        countDistinct(col(keyCol)).as("exact_distinct"))
+
   /** Sessionization: split each user's event stream into sessions at
     * inactivity gaps — two stacked window functions (gap flag via lag,
     * session id via running sum), both partitioned by user so state never

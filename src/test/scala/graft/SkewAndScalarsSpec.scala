@@ -21,6 +21,19 @@ class SkewAndScalarsSpec extends SparkSpec {
     assert(got === Seq("45s", "3m 12s", "2h 5m"))
   }
 
+  test("approx distinct sketch lands within its error bound of exact") {
+    val r = graft.ops.Monitoring.approxDistinct(
+      Tables.events(spark, "/root/testdata/sf0.001"), "user_id", "event_type", rsd = 0.02)
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val approx = row.getAs[Long]("approx_distinct").toDouble
+      val exact = row.getAs[Long]("exact_distinct").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.1,
+        s"sketch off by ${math.abs(approx - exact) / exact} for ${row.get(0)}")
+    }
+  }
+
   test("salted count-distinct matches plain count-distinct") {
     val df = Seq.tabulate(1000)(i => ("k" + i % 3, "v" + i % 47)).toDF("k", "v")
     val plain = df.groupBy("k").agg(countDistinct("v").as("v_distinct"))
