@@ -192,6 +192,9 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, dir)).orderBy("id1", "id2")),
 
+    "dedup_editdist" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir)).orderBy("id1", "id2")),
+
     // ---- LLM-pipeline: similarity search ---------------------------------
     "sim_topk_brute" -> ((s, dir) =>
       Similarity.topKBrute(Tables.embeddings(s, dir)).orderBy("query_id", "rank")),
@@ -542,6 +545,24 @@ object SparkEntry {
     "dedup_minhash" -> JACCARD_SQL,
     // dedup_simhash / sim_topk_ivf: hash-family/ANN internals are not
     // SQL-expressible; the driver records rows-only checks for them.
+
+    "dedup_editdist" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM w),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s FROM idx),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |prs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT id1, id2, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+        |  FROM prs JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8)
+        |SELECT id1, id2, jaccard,
+        |  CAST(levenshtein(d1.text, d2.text) AS INT) AS edit_dist,
+        |  1.0 - CAST(levenshtein(d1.text, d2.text) AS DOUBLE)
+        |    / greatest(length(d1.text), length(d2.text)) AS edit_sim
+        |FROM cand JOIN documents d1 ON d1.doc_id = id1 JOIN documents d2 ON d2.doc_id = id2
+        |ORDER BY id1, id2""".stripMargin,
 
     "dedup_embedding" ->
       """SELECT id1, id2, label, cosine FROM (

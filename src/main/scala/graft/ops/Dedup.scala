@@ -157,6 +157,23 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Edit-distance verification over near-dup candidates: exact Levenshtein
+    * is O(len²) per pair, so it is NEVER run all-pairs — candidates come
+    * from the shingle-Jaccard prefilter (or LSH at scale) and only those
+    * pairs pay the quadratic cost. Returns similarity = 1 - dist/maxLen. */
+  def editDistancePairs(docs: DataFrame, candidateThreshold: Double = 0.8,
+                        n: Int = 3): DataFrame = {
+    val cand = ngramJaccard(docs, candidateThreshold, n)
+    val texts = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(texts.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
+      .join(texts.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
+      .select(col("id1"), col("id2"), col("jaccard"),
+        levenshtein(col("t1"), col("t2")).as("edit_dist"),
+        (lit(1.0) - levenshtein(col("t1"), col("t2")).cast("double")
+          / greatest(length(col("t1")), length(col("t2")))).as("edit_sim"))
+  }
+
   /** Embedding near-dup: cosine ≥ threshold within a blocking key (label) —
     * blocked equi-join, not a cartesian product. The ANN scale path is
     * Similarity.topKIvf. Arithmetic mirrors DuckDB's list_cosine_similarity
