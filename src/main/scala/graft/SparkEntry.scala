@@ -216,6 +216,9 @@ object SparkEntry {
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    "text_tf" -> ((s, dir) =>
+      TextAnalysis.termFrequency(Tables.documents(s, dir)).orderBy("lang", "rnk")),
+
     "text_curation" -> ((s, dir) =>
       Curation.curationStats(Tables.documents(s, dir))),
 
@@ -675,6 +678,16 @@ object SparkEntry {
         |  min(quality_score) AS min_quality,
         |  max(quality_score) AS max_quality
         |FROM curated GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "text_tf" ->
+      """SELECT lang, token, n, rnk FROM (
+        |  SELECT lang, token, n,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS BIGINT) AS rnk
+        |  FROM (
+        |    SELECT lang, token, count(*) AS n FROM (
+        |      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+        |    GROUP BY 1, 2))
+        |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id,

@@ -61,6 +61,20 @@ object TextAnalysis {
       size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("n_re_tokens"),
       length(regexp_replace(col("text"), " ", "")).as("n_token_chars"))
 
+  /** Term frequency per language: tokenize → explode → count, ranked
+    * within each language (the classic tf table; one shuffle on
+    * (lang, token), map-side combined). */
+  def termFrequency(docs: DataFrame, topK: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n").desc, col("token"))
+    docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("lang", "token")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+  }
+
   /** Polynomial rolling hash (base 31, mod 1e9+7) over the codepoints —
     * the classic content fingerprint; `prefix_fp` over the head is the
     * cheap first-pass cluster key. */
