@@ -22,7 +22,8 @@ object StreamingMonitors {
   final case class StationEvent(event_type: String, event_id: Long, value: Double, ts_us: Long)
   final case class StationState(lastValue: Double, lastTsUs: Long)
   final case class DeltaRecord(event_type: String, event_id: Long, value: Double,
-                               prev_value: Double, delta: Double, rate_per_sec: Double)
+                               prev_value: Double, delta: Double,
+                               rate_per_sec: Option[Double])
 
   /** Watermarked tumbling-window stats per station: counts and extrema
     * per hour of event time, tolerating 10 minutes of lateness. */
@@ -67,7 +68,8 @@ object StreamingMonitors {
             cur.foreach { prev =>
               val delta = e.value - prev.lastValue
               val gapSec = (e.ts_us - prev.lastTsUs) / 1.0e6
-              val rate = if (gapSec == 0.0) Double.NaN else delta / gapSec
+              // null (not NaN) on a zero gap — matches the batch lag() form
+              val rate = if (gapSec == 0.0) None else Some(delta / gapSec)
               out += DeltaRecord(key, e.event_id, e.value, prev.lastValue, delta, rate)
             }
             cur = Some(StationState(e.value, e.ts_us))

@@ -10,12 +10,12 @@ import graft.ops.Hrfco
 class HrfcoCoercionSpec extends SparkSpec {
   import spark.implicits._
 
-  private def coerce(s: String): Option[Double] =
-    Seq(Option(s)).toDF("v")
+  private def coerce(s: String): Option[Double] = {
+    val r = Seq(Option(s)).toDF("v")
       .select(Hrfco.guardedDouble(col("v")).as("d"))
-      .collect()(0).let(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
-
-  implicit private class Let[A](a: A) { def let[B](f: A => B): B = f(a) }
+      .collect()(0)
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
 
   test("null string coerces to null")        { assert(coerce(null).isEmpty) }
   test("empty string coerces to null")       { assert(coerce("").isEmpty) }

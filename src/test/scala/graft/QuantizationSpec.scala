@@ -11,10 +11,15 @@ class QuantizationSpec extends SparkSpec {
     val q = Quantization.quantize(emb)
     assert(q.schema("codes").dataType ===
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
-    val bounds = q.select(
-      min(array_min(col("codes"))).as("lo"), max(array_max(col("codes"))).as("hi"))
-      .collect()(0)
-    assert(bounds.getByte(0) >= -128 && bounds.getByte(1) <= 127)
+    // byte-range check must run on the PRE-cast doubles (a Byte compared
+    // against Byte bounds is vacuously in range even after a wraparound)
+    val raw = emb.select(Similarity.toDouble(col("embedding")).as("v"))
+      .select(col("v"), array_min(col("v")).as("mn"),
+        ((array_max(col("v")) - array_min(col("v"))) / 255.0).as("sc"))
+      .select(explode(transform(col("v"),
+        x => round((x - col("mn")) / col("sc")) - 128)).as("code"))
+      .agg(min("code").as("lo"), max("code").as("hi")).collect()(0)
+    assert(raw.getDouble(0) >= -128.0 && raw.getDouble(1) <= 127.0)
 
     // reconstruction error per element is at most qscale/2 (+ float noise)
     val err = Quantization.dequantize(q)

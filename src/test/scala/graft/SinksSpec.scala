@@ -9,11 +9,11 @@ import graft.sinks.Sinks
 class SinksSpec extends SparkSpec {
   import spark.implicits._
 
-  private def tmp(): String =
-    Files.createTempDirectory(new java.io.File("target/test-out").getAbsoluteFile.toPath
-      .tap(p => Files.createDirectories(p)), "sink").toString
-
-  implicit private class Tap[A](a: A) { def tap(f: A => Unit): A = { f(a); a } }
+  private def tmp(): String = {
+    val base = new java.io.File("target/test-out").getAbsoluteFile.toPath
+    Files.createDirectories(base)
+    Files.createTempDirectory(base, "sink").toString
+  }
 
   private lazy val classified = {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")

@@ -22,7 +22,4 @@ object TestSpark {
 
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
-  import org.apache.spark.sql.{DataFrame, Row}
-
-  def rows(df: DataFrame): Seq[Row] = df.collect().toSeq
 }

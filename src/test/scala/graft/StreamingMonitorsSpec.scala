@@ -30,7 +30,7 @@ class StreamingMonitorsSpec extends SparkSpec {
       .writeStream.format("memory").queryName("deltas")
       .option("checkpointLocation", s"$w/ckpt")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query timed out")
 
     val streamed = spark.table("deltas")
       .select("event_id", "delta", "rate_per_sec")
@@ -55,7 +55,7 @@ class StreamingMonitorsSpec extends SparkSpec {
       .writeStream.format("memory").queryName("deduped")
       .option("checkpointLocation", s"$w/ckpt")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query timed out")
     assert(spark.table("deduped").count() === 1000)
     assert(spark.table("deduped").select("event_id").distinct().count() === 1000)
   }
@@ -66,7 +66,7 @@ class StreamingMonitorsSpec extends SparkSpec {
       .writeStream.format("memory").queryName("winstats")
       .option("checkpointLocation", s"$w/ckpt")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query timed out")
 
     val streamed = spark.table("winstats")
     val batch = Tables.events(spark, "/root/testdata/sf0.001")

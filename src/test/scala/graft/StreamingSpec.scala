@@ -24,7 +24,7 @@ class StreamingSpec extends SparkSpec {
       s"$work/archive", s"$work/timeseries", s"$work/raw", s"$work/dlq")
     val q = StreamingPipeline.start(
       spark, srcDir.getAbsolutePath, ev, paths, s"$work/ckpt", wlMax = 300.0)
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query timed out")
 
     val streamed = spark.read.parquet(paths.timeseries)
     val batch = Hrfco.pipeline(ev, Thresholds.fromEvents(ev), wlMax = 300.0)

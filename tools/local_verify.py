@@ -18,6 +18,11 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+unknown = only - set(oracle)
+if unknown:
+    print(f"FATAL: unknown query name(s): {sorted(unknown)}")
+    sys.exit(2)
+
 fail = 0
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
@@ -27,6 +32,9 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: no spark output dir"); fail += 1; continue
     try:
         got = con.sql(f"SELECT * FROM '{pq}/*.parquet'").df()
+    except Exception as e:
+        print(f"FAIL {name}: engine-output read error: {e}"); fail += 1; continue
+    try:
         want = con.sql(sql).df()
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}"); fail += 1; continue
@@ -48,12 +56,17 @@ for name, sql in sorted(oracle.items()):
         print(f"PASS {name} ({len(got)} rows)")
     except AssertionError as e:
         print(f"FAIL {name}: value mismatch: {str(e)[:500]}")
-        diff = (g != w) & ~(g.isna() & w.isna())
-        bad = diff.any(axis=1)
-        if bad.any():
-            i = bad.idxmax()
-            print("  first bad row got :", g.loc[i].to_dict())
-            print("  first bad row want:", w.loc[i].to_dict())
+        # truthful first-diff: anti-join (independent sorts would misalign)
+        try:
+            m = g.merge(w, how="outer", indicator=True)
+            lo = m[m["_merge"] == "left_only"]
+            ro = m[m["_merge"] == "right_only"]
+            if len(lo):
+                print("  engine-only row:", lo.iloc[0].drop("_merge").to_dict())
+            if len(ro):
+                print("  oracle-only row:", ro.iloc[0].drop("_merge").to_dict())
+        except Exception:
+            pass  # unhashable column types: keep the assert message only
         fail += 1
 print("ALL PASS" if fail == 0 else f"{fail} FAILURES")
 sys.exit(1 if fail else 0)
