@@ -117,6 +117,9 @@ object SparkEntry {
     "q_per_record_avg" -> ((s, dir) =>
       Monitoring.perRecordAvg(Tables.events(s, dir)).orderBy("event_id")),
 
+    "q_quantiles" -> ((s, dir) =>
+      Monitoring.discreteQuantiles(Tables.events(s, dir)).orderBy("event_type")),
+
     "q_queue_backpressure" -> ((s, dir) =>
       Monitoring.queueBackpressure(Tables.events(s, dir)).orderBy("event_type")),
 
@@ -397,6 +400,17 @@ object SparkEntry {
       """SELECT event_id, event_type,
         |  value / CAST(greatest(CAST(json_extract_string(props, '$.k') AS INT), 1) AS DOUBLE) AS per_record_avg
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT event_type,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN value END) AS p50,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT)) THEN value END) AS p90
+        |FROM (
+        |  SELECT event_type, value, event_id,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q_queue_backpressure" ->
       """SELECT event_type,

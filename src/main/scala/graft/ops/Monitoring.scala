@@ -142,6 +142,22 @@ object Monitoring {
       .otherwise(format_string("%ds", s))
   }
 
+  /** Exact discrete quantiles per station (type-1 / lower quantile: the
+    * element at rank ceil(p·n)). Unlike interpolated percentiles, the
+    * picked value is an actual data point, so it is bit-identical across
+    * engines — the deterministic way to derive per-key thresholds. */
+  def discreteQuantiles(events: DataFrame, ps: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val ranked = events
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    val aggs = ps.map { p =>
+      max(when(col("rn") === greatest(lit(1L), ceil(lit(p) * col("n"))), col("value")))
+        .as(s"p${(p * 100).toInt}")
+    }
+    ranked.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Sketch-based distinct: HyperLogLog++ via approx_count_distinct — at
     * 100 TB an exact distinct over a high-cardinality key is a massive
     * shuffle, while the sketch is mergeable constant-size state per
