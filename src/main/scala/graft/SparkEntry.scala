@@ -167,8 +167,8 @@ object SparkEntry {
       enriched(s, dir)
         .groupBy(col("wlobscd").as("station"))
         .pivot("alert_level", Seq("NORMAL", "ATTENTION", "CAUTION", "WARNING", "CRITICAL", "ANOMALY"))
-        .agg(coalesce(count(lit(1)), lit(0L)))
-        .na.fill(0L)
+        .agg(count(lit(1)))
+        .na.fill(0L) // zero-fills the missing pivot cells (count itself is never null)
         .orderBy("station")),
 
     // set operation: users active in the first month but silent after
@@ -431,9 +431,12 @@ object SparkEntry {
     "q_humanize_bytes" ->
       """SELECT event_type, bytes,
         |  CASE WHEN bytes < 1024 THEN CAST(bytes AS VARCHAR) || ' B'
-        |       WHEN bytes < 1024 * 1024 THEN printf('%.1f KB', CAST(bytes AS DOUBLE) / 1024.0)
-        |       WHEN bytes < 1024 * 1024 * 1024 THEN printf('%.1f MB', CAST(bytes AS DOUBLE) / (1024.0 * 1024))
-        |       ELSE printf('%.1f GB', CAST(bytes AS DOUBLE) / (1024.0 * 1024 * 1024)) END AS human
+        |       WHEN bytes < 1024 * 1024
+        |         THEN printf('%.1f KB', floor(CAST(bytes AS DOUBLE) / 1024.0 * 10.0 + 0.5) / 10.0)
+        |       WHEN bytes < 1024 * 1024 * 1024
+        |         THEN printf('%.1f MB', floor(CAST(bytes AS DOUBLE) / (1024.0 * 1024) * 10.0 + 0.5) / 10.0)
+        |       ELSE printf('%.1f GB', floor(CAST(bytes AS DOUBLE) / (1024.0 * 1024 * 1024) * 10.0 + 0.5) / 10.0)
+        |  END AS human
         |FROM (SELECT event_type, CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS bytes
         |      FROM events GROUP BY 1)
         |ORDER BY event_type""".stripMargin,

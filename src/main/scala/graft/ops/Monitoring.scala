@@ -107,13 +107,19 @@ object Monitoring {
   /** §2.5 humanized byte formatting (NiFiMetricsUtils.java:20-103): the
     * dashboard's B/KB/MB/GB rendering as a column expression. Thresholds
     * and one-decimal rounding mirror the reference. */
-  def humanizeBytes(bytes: Column): Column =
+  def humanizeBytes(bytes: Column): Column = {
+    // explicit half-up rounding BEFORE formatting: Java's %.1f rounds
+    // half-up but C/DuckDB printf rounds half-to-even, and bytes/1024.0
+    // is an exact dyadic double, so ties (x.x5) actually occur (~1/512) —
+    // floor(v*10 + 0.5)/10 is bit-identical in both engines
+    def r1(v: Column): Column = floor(v * 10.0 + 0.5) / 10.0
     when(bytes < 1024L, concat(bytes.cast("string"), lit(" B")))
       .when(bytes < 1024L * 1024,
-        format_string("%.1f KB", bytes.cast("double") / 1024.0))
+        format_string("%.1f KB", r1(bytes.cast("double") / 1024.0)))
       .when(bytes < 1024L * 1024 * 1024,
-        format_string("%.1f MB", bytes.cast("double") / (1024.0 * 1024)))
-      .otherwise(format_string("%.1f GB", bytes.cast("double") / (1024.0 * 1024 * 1024)))
+        format_string("%.1f MB", r1(bytes.cast("double") / (1024.0 * 1024))))
+      .otherwise(format_string("%.1f GB", r1(bytes.cast("double") / (1024.0 * 1024 * 1024))))
+  }
 
   /** §2.5 inverse: parse a humanized byte string back to bytes
     * (NiFiMetricsUtils.java:38-82 — the dashboard round-trips formatted
@@ -153,7 +159,7 @@ object Monitoring {
       .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
     val aggs = ps.map { p =>
       max(when(col("rn") === greatest(lit(1L), ceil(lit(p) * col("n"))), col("value")))
-        .as(s"p${(p * 100).toInt}")
+        .as(s"p${math.round(p * 100)}") // round, not truncate: 0.29*100 is 28.999…
     }
     ranked.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
   }

@@ -54,9 +54,11 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("humanizeBytes matches the reference's unit breaks") {
-    val got = Seq(512L, 2048L, 5L * 1024 * 1024, 3L * 1024 * 1024 * 1024)
+    val got = Seq(512L, 2048L, 1280L, 5L * 1024 * 1024, 3L * 1024 * 1024 * 1024)
       .toDF("b").select(Monitoring.humanizeBytes(col("b")).as("h"))
       .collect().map(_.getString(0)).toSeq
-    assert(got === Seq("512 B", "2.0 KB", "5.0 MB", "3.0 GB"))
+    // 1280 B = exactly 1.25 KB: the dyadic tie must round half-up ("1.3")
+    // in both engines (explicit floor rounding, not printf's half-even)
+    assert(got === Seq("512 B", "2.0 KB", "1.3 KB", "5.0 MB", "3.0 GB"))
   }
 }
