@@ -38,7 +38,13 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }
       }
-      (once(), once()) match {
+      val first = once()
+      // queries that persist() intermediates would serve run 2 from run
+      // 1's cache and undercount — clear between executions
+      spark.catalog.clearCache()
+      val second = once()
+      spark.catalog.clearCache()
+      (first, second) match {
         case (Some(a), Some(b)) => (name, math.min(a, b), true)
         case _ => (name, 0.0, false)
       }

@@ -314,7 +314,9 @@ object SparkEntry {
       |  FROM classified),
       |msgs AS (
       |  SELECT *,
-      |    CASE WHEN is_anomaly THEN printf('관측소 %s에서 이상치 감지 (수위: %.2f m)', wlobscd, water_level)
+      |    CASE WHEN is_anomaly AND water_level IS NULL
+      |           THEN printf('관측소 %s에서 이상치 감지 (수위 미계측)', wlobscd)
+      |         WHEN is_anomaly THEN printf('관측소 %s에서 이상치 감지 (수위: %.2f m)', wlobscd, water_level)
       |         WHEN water_level IS NULL THEN printf('관측소 %s에서 %s 수위 경보 (수위 미계측)', wlobscd, alert_level)
       |         ELSE printf('관측소 %s에서 %s 수위 경보 (수위: %.2f m)', wlobscd, alert_level, water_level)
       |    END AS message

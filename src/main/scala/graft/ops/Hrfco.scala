@@ -211,13 +211,16 @@ object Hrfco {
       .otherwise(col("flood_warning_level"))
 
   /** T13: Korean alert message template (AlertPublisher.java:53-60). The
-    * non-anomaly branch guards null wl; the anomaly branch deliberately
-    * does NOT — Java's String.format("%.2f", null) prints "nu" (precision
-    * applied to "null") and format_string matches it, so an fw-only
-    * anomaly renders exactly as the reference does, bug-for-bug. */
+    * anomaly-with-null-wl case (fw-only range violation) is a DELIBERATE
+    * divergence from the reference: Java String.format("%.2f", null)
+    * prints the garbage "nu" (precision applied to "null"), which is
+    * unreproducible in SQL (DuckDB printf(NULL) nulls the whole string) —
+    * we emit the missing-measurement variant instead. */
   def alertMessage: Column =
-    when(col("is_anomaly"),
-      format_string("관측소 %s에서 이상치 감지 (수위: %.2f m)", col("wlobscd"), col("water_level")))
+    when(col("is_anomaly") && col("water_level").isNull,
+      format_string("관측소 %s에서 이상치 감지 (수위 미계측)", col("wlobscd")))
+      .when(col("is_anomaly"),
+        format_string("관측소 %s에서 이상치 감지 (수위: %.2f m)", col("wlobscd"), col("water_level")))
       .when(col("water_level").isNull,
         format_string("관측소 %s에서 %s 수위 경보 (수위 미계측)", col("wlobscd"), alertLevel))
       .otherwise(

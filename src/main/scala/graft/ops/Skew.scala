@@ -35,9 +35,15 @@ object Skew {
       .agg(sum("__partial").as(s"${value}_distinct"))
 
   /** Salt the fact side, replicate the dim side across all salts, join on
-    * (key, salt). Result is identical to a plain equi-join. */
+    * (key, salt). Result is identical to a plain equi-join. The salt is
+    * derived from the row's CONTENT, never from monotonically_increasing_id
+    * or rand(): nondeterministic salts change under task recomputation and
+    * can duplicate/lose rows mid-shuffle (the rand()-salting failure
+    * class). Identical rows share a salt — acceptable: the hot KEY still
+    * spreads across salts because its rows differ in payload. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int = 16): DataFrame = {
-    val saltedFact = fact.withColumn("__salt", salt(salts, monotonically_increasing_id()))
+    val saltedFact = fact.withColumn("__salt",
+      salt(salts, struct(fact.columns.map(col): _*)))
     val replicated = dim.crossJoin(
       fact.sparkSession.range(salts).select(col("id").cast("int").as("__salt")))
     saltedFact.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -131,4 +131,10 @@ class ClassificationSpec extends SparkSpec {
       .withColumn("message", Hrfco.alertMessage)
     assert(df.collect()(0).getAs[String]("message").contains("이상치 감지"))
   }
+  test("fw-only anomaly (null wl) gets the missing-measurement anomaly variant") {
+    val df = Seq(("1001602", Option.empty[Double], true, null: String))
+      .toDF("wlobscd", "water_level", "is_anomaly", "flood_warning_level")
+      .withColumn("message", Hrfco.alertMessage)
+    assert(df.collect()(0).getAs[String]("message") === "관측소 1001602에서 이상치 감지 (수위 미계측)")
+  }
 }
