@@ -9,10 +9,19 @@ import org.apache.spark.sql.functions._
   * partition pruning — here they are single parquet files per table.
   */
 object Tables {
+  /** Confs every graft session needs, applied at builder time by the
+    * entrypoints (Bench/Verify/Smoke/PlanAudit/StreamingDemo/tests):
+    * events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
+    * read as a raw long. */
+  val sessionConfs: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects; read it
-    // as a raw long (runtime conf, harmless for the other tables).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Fallback for externally-built sessions only: set once, not per load
+    // (a per-load session-conf mutation races with concurrent planners).
+    sessionConfs.foreach { case (k, v) =>
+      if (!spark.conf.getOption(k).contains(v)) spark.conf.set(k, v)
+    }
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

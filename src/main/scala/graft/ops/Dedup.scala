@@ -47,34 +47,47 @@ object Dedup {
   private def postings(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
 
+  /** Cache scope for the multi-use postings frame: persist the input,
+    * build the result, materialize it eagerly (dup pairs are orders of
+    * magnitude smaller than the postings they came from), then release
+    * the input cache. Without this, every invocation in a long-lived
+    * session leaks one exploded-postings cache until LRU pressure. The
+    * returned frame itself stays cached; callers running many dedup jobs
+    * can unpersist it once consumed. */
+  private def withScopedCache(input: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
+    val cached = input.persist()
+    try {
+      val out = build(cached).persist()
+      out.count() // materialize while the input cache is live
+      out
+    } finally cached.unpersist(blocking = false)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via inverted index.
     * maxDocFreq < Int.MaxValue drops ubiquitous shingles before the
     * pair-generating self-join (the scale guard; default keeps exact
     * semantics for the oracle). */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
-                   maxDocFreq: Int = Int.MaxValue): DataFrame = {
+                   maxDocFreq: Int = Int.MaxValue): DataFrame =
     // the exploded postings feed the pair join twice plus the size agg —
-    // persist so shingling (regex split + HOFs, interpreted) runs once.
-    // Lifecycle note: the cache is released by LRU pressure or the
-    // caller's spark.catalog.clearCache(); unpersisting here would evict
-    // it before the caller ever runs an action.
-    val tok = postings(docs, n).persist()
-    val filtered =
-      if (maxDocFreq == Int.MaxValue) tok
-      else {
-        val rare = tok.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
-        tok.join(rare.select("s"), "s")
-      }
-    // sizes MUST come from the same (filtered) universe as the
-    // intersections, or capping deflates every score (identical docs
-    // would stop scoring 1.0)
-    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = filtered.as("a")
-      .join(filtered.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .agg(count(lit(1)).as("inter"))
-    jaccardFilter(inter, sizes, threshold)
-  }
+    // cache-scope so shingling (regex split + HOFs, interpreted) runs once
+    withScopedCache(postings(docs, n)) { tok =>
+      val filtered =
+        if (maxDocFreq == Int.MaxValue) tok
+        else {
+          val rare = tok.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
+          tok.join(rare.select("s"), "s")
+        }
+      // sizes MUST come from the same (filtered) universe as the
+      // intersections, or capping deflates every score (identical docs
+      // would stop scoring 1.0)
+      val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = filtered.as("a")
+        .join(filtered.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("inter"))
+      jaccardFilter(inter, sizes, threshold)
+    }
 
   /** jaccard = |∩| / (|A|+|B|-|∩|), filtered at threshold. */
   private def jaccardFilter(inter: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
@@ -90,36 +103,38 @@ object Dedup {
   def minhashLsh(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
                  bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val tok = postings(docs, n).persist() // reused by signatures, sizes, and both verify sides
+    // postings are reused by signatures, sizes, and both verify sides
+    withScopedCache(postings(docs, n)) { tok =>
 
-    // signature row per doc: 64 codegen'd min-aggregates in ONE shuffle of
-    // docs×K values (an exploded (doc, hash-index) layout would push the
-    // hashing through interpreted HOFs and a K×-wider shuffle)
-    val minCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    val sigs = tok.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    // band signature: ordered concat of the band's row minima
-    val bandCols = (0 until bands).map { b =>
-      concat_ws(",", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+      // signature row per doc: 64 codegen'd min-aggregates in ONE shuffle of
+      // docs×K values (an exploded (doc, hash-index) layout would push the
+      // hashing through interpreted HOFs and a K×-wider shuffle)
+      val minCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+      val sigs = tok.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      // band signature: ordered concat of the band's row minima
+      val bandCols = (0 until bands).map { b =>
+        concat_ws(",", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+      }
+      val bandsDf = sigs
+        .select(col("doc_id"), posexplode(array(bandCols: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+      // candidates: same band + same signature, distinct pairs
+      val cand = bandsDf.as("a")
+        .join(bandsDf.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      // verify candidates with exact jaccard
+      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val t1 = tok.select(col("doc_id").as("id1"), col("s"))
+      val t2 = tok.select(col("doc_id").as("id2b"), col("s").as("s2"))
+      val inter = cand
+        .join(t1, Seq("id1"))
+        .join(t2, col("id2") === col("id2b") && col("s") === col("s2"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+      jaccardFilter(inter, sizes, threshold)
     }
-    val bandsDf = sigs
-      .select(col("doc_id"), posexplode(array(bandCols: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
-    // candidates: same band + same signature, distinct pairs
-    val cand = bandsDf.as("a")
-      .join(bandsDf.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
-    // verify candidates with exact jaccard
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val t1 = tok.select(col("doc_id").as("id1"), col("s"))
-    val t2 = tok.select(col("doc_id").as("id2b"), col("s").as("s2"))
-    val inter = cand
-      .join(t1, Seq("id1"))
-      .join(t2, col("id2") === col("id2b") && col("s") === col("s2"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
-    jaccardFilter(inter, sizes, threshold)
   }
 
   /** 64-bit SimHash per doc: bit j is the sign of the sum over shingles of

@@ -125,6 +125,12 @@ object Similarity {
   def topKIvf(embeddings: DataFrame, k: Int = 5, numQueries: Int = 10,
               centroidStride: Int = 50, nprobe: Int = 3,
               trainIterations: Int = 2): DataFrame = {
+    // Determinism note: trainCentroids averages doubles with avg(), whose
+    // partial-merge order varies across runs/partitionings, so trained
+    // centroids (and thus cell assignments near ties) can differ bit-wise
+    // between executions. The driver's check for sim_topk_ivf is rows-only
+    // for exactly this reason; do not hash-compare this query, or train
+    // with trainIterations = 0 (stride seeds are bit-deterministic).
     val centroids = broadcast(
       if (trainIterations > 0) trainCentroids(embeddings, centroidStride, trainIterations)
       else embeddings.filter(col("vec_id") % centroidStride === 0)

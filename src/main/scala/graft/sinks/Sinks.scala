@@ -120,6 +120,10 @@ object Sinks {
                      schema: Option[org.apache.spark.sql.types.StructType] = None,
                      parallelism: Int = 8): Unit = {
     import org.apache.hadoop.fs.Path
+    // crash recovery first: a JVM death between the aside-rename and the
+    // new-leaf rename leaves `<leaf>.old` holding the only copy of that
+    // leaf's data — restore any such orphan before compacting
+    restoreOrphanedLeaves(spark, basePath)
     // unique tmp per run: a crashed run's tmp (which may hold the only
     // copy of a leaf mid-swap) is never clobbered by the next run
     val tmp = basePath + s".compacting-${System.currentTimeMillis()}"
@@ -150,6 +154,26 @@ object Sinks {
       fs.delete(aside, true)
     }
     fs.delete(tmpPth, true)
+  }
+
+  /** Recover leaves orphaned by a compaction crash: an `<leaf>.old` whose
+    * target directory is missing is the pre-compaction data mid-swap —
+    * rename it back. An `.old` whose target EXISTS is a completed swap
+    * that only missed its cleanup delete; drop it. */
+  private[sinks] def restoreOrphanedLeaves(spark: org.apache.spark.sql.SparkSession,
+                                           basePath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val basePth = new Path(basePath)
+    val fs = basePth.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(basePth)) return
+    val orphans = fs.globStatus(new Path(basePth, "type=*/y=*/m=*/d=*.old"))
+    if (orphans != null) orphans.foreach { o =>
+      val target = new Path(o.getPath.getParent, o.getPath.getName.stripSuffix(".old"))
+      if (!fs.exists(target)) {
+        if (!fs.rename(o.getPath, target))
+          throw new java.io.IOException(s"orphan restore failed: ${o.getPath} -> $target")
+      } else fs.delete(o.getPath, true)
+    }
   }
 
   /** K2: time-series batch append in the enriched-measurement schema
@@ -236,8 +260,10 @@ object Sinks {
         "timeseries" -> (() => writeTimeseries(classified, timeseriesPath, processingTime)),
         "raw" -> (() => writeRaw(classified, rawPath, processingTime)))
         .map { case (name, run) =>
+          // NonFatal only: an OOM/LinkageError means the JVM is suspect and
+          // must not be recorded as a routine sink failure
           try { run(); name -> None }
-          catch { case e: Throwable => name -> Some(e.toString) }
+          catch { case scala.util.control.NonFatal(e) => name -> Some(e.toString) }
         }
       val failures = attempts.collect { case (n, Some(msg)) => (n, msg) }
       val result = StorageResult(

@@ -85,6 +85,33 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.readArchive(spark, base).count() === classified.count() * 4)
   }
 
+  test("compaction recovers a leaf orphaned mid-swap by a crash") {
+    val base = tmp()
+    Sinks.writeArchive(classified, base, to_timestamp(lit("2026-03-04 05:06:07")))
+    Sinks.writeArchive(classified, base, to_timestamp(lit("2026-03-04 05:06:07")))
+    val total = Sinks.readArchive(spark, base).count()
+
+    // simulate a crash between the aside-rename and the new-leaf rename:
+    // the live leaf is gone, only the .old copy remains
+    val leaf = new java.io.File(s"$base/type=normal/y=2026/m=03/d=04")
+    val aside = new java.io.File(leaf.getPath + ".old")
+    assert(leaf.renameTo(aside))
+    assert(!leaf.exists() && aside.exists())
+
+    // the next compaction run must restore the orphan before compacting
+    Sinks.compactArchive(spark, base)
+    assert(leaf.isDirectory && !aside.exists())
+    assert(Sinks.readArchive(spark, base).count() === total)
+
+    // a leftover .old whose target EXISTS (completed swap, missed cleanup)
+    // is swept without touching the live leaf
+    val stale = new java.io.File(s"$base/type=anomalies/y=2026/m=03/d=04.old")
+    Files.createDirectories(stale.toPath)
+    Sinks.compactArchive(spark, base)
+    assert(!stale.exists())
+    assert(Sinks.readArchive(spark, base).count() === total)
+  }
+
   test("K2 timeseries: batched append accumulates batches in the enriched schema") {
     val t = tmp() + "/ts"
     Sinks.writeTimeseries(classified, t)
