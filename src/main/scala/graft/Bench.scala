@@ -11,12 +11,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = Tables.configured(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // Tables.sessionConfs
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -33,6 +32,12 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run for targeted profiling
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // a typo'd filter must not masquerade as a (fast, empty) full run
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        sys.error(s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(",")}")
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
@@ -61,7 +66,10 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // "filtered" marks partial runs so they can never be mistaken for the
+    // official full-bench line
+    val filtered = if (only.isDefined) ""","filtered":true""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$filtered,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -9,11 +9,10 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_classify", "q1_pricing_summary", "q3_top_orders", "q_latest_per_station")
-    val spark = SparkSession.builder().master("local[8]")
+    val spark = Tables.configured(SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // Tables.sessionConfs
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>

@@ -16,6 +16,11 @@ object Tables {
   val sessionConfs: Map[String, String] =
     Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
+  /** Apply `sessionConfs` to a builder mechanically — every entrypoint goes
+    * through here, so adding a conf above propagates everywhere at once. */
+  def configured(b: SparkSession.Builder): SparkSession.Builder =
+    sessionConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Fallback for externally-built sessions only: set once, not per load
     // (a per-load session-conf mutation races with concurrent planners).

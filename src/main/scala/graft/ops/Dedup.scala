@@ -48,19 +48,45 @@ object Dedup {
     docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
 
   /** Cache scope for the multi-use postings frame: persist the input,
-    * build the result, materialize it eagerly (dup pairs are orders of
-    * magnitude smaller than the postings they came from), then release
-    * the input cache. Without this, every invocation in a long-lived
-    * session leaks one exploded-postings cache until LRU pressure. The
-    * returned frame itself stays cached; callers running many dedup jobs
-    * can unpersist it once consumed. */
+    * build the result LAZILY, and release the input cache from a
+    * QueryExecutionListener after the first action that consumed it.
+    *
+    * Why not materialize eagerly (round-3 design): persisting the OUTPUT
+    * and counting it compiles the whole job under the cache manager, and
+    * cached plans forgo AQE re-planning
+    * (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning defaults
+    * off) — the verify joins then run as static sort-merge instead of
+    * AQE-broadcast, which is exactly the 2.5× dedup_minhash regression the
+    * round-3 bench caught. Lazy + listener keeps AQE on the real job,
+    * keeps explain()/composition free of side effects, and still bounds
+    * the postings cache's lifetime to one consuming action. An
+    * explain-only caller that never runs an action leaves the entry
+    * registered but unmaterialized (zero storage) plus one listener —
+    * released by the next consuming action on the same lineage. */
   private def withScopedCache(input: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
+    val spark = input.sparkSession
     val cached = input.persist()
-    try {
-      val out = build(cached).persist()
-      out.count() // materialize while the input cache is live
-      out
-    } finally cached.unpersist(blocking = false)
+    val inputPlan = cached.queryExecution.analyzed
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def maybeRelease(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+        val usedInput =
+          try qe.analyzed.exists(_.sameResult(inputPlan))
+          catch { case scala.util.control.NonFatal(_) => false } // analysis failed: not ours
+        if (usedInput && released.compareAndSet(false, true)) {
+          cached.unpersist(blocking = false)
+          spark.listenerManager.unregister(this)
+        }
+      }
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = maybeRelease(qe)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = maybeRelease(qe)
+    }
+    spark.listenerManager.register(listener)
+    build(cached)
   }
 
   /** Exact n-gram Jaccard near-dup pairs via inverted index.

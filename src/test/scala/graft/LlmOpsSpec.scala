@@ -38,6 +38,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("scoped postings cache is released after the consuming action") {
+    spark.catalog.clearCache() // isolate from earlier suites' leftovers
+    // the dedup call itself must stay lazy (no jobs at construction time)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val pairs = Dedup.ngramJaccard(docs, threshold = 0.5)
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length === before,
+      "ngramJaccard ran jobs at plan-construction time")
+    pairs.collect() // first consuming action
+    // the QueryExecutionListener fires on the async listener bus
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (!org.apache.spark.sql.graft.Bridge.cacheIsEmpty(spark) &&
+           System.nanoTime() < deadline) Thread.sleep(50)
+    assert(org.apache.spark.sql.graft.Bridge.cacheIsEmpty(spark),
+      "postings cache still registered 10s after the consuming action")
+  }
+
   test("simhash of identical docs has hamming 0 and is reported as a pair") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap

@@ -7,14 +7,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * wall-clock otherwise). */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    val s = Tables.configured(SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // Tables.sessionConfs
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
-        new java.io.File("target/test-warehouse").getAbsolutePath)
+        new java.io.File("target/test-warehouse").getAbsolutePath))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
