@@ -189,6 +189,13 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.documents(s, dir)).orderBy("id1", "id2")),
 
+    // the 100 TB scale guard: drop shingles present in more than
+    // maxDocFreq docs BEFORE the pair-generating self-join (a ubiquitous
+    // shingle's posting list is a quadratic blowup and carries no dedup
+    // signal). 5 bites on this corpus (max df is 7-9 at test SFs).
+    "dedup_jaccard_capped" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir), maxDocFreq = 5).orderBy("id1", "id2")),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir)).orderBy("id1", "id2")),
 
@@ -565,6 +572,7 @@ object SparkEntry {
     // oracle is the same brute-force inverted-index query.
     "dedup_jaccard" -> JACCARD_SQL,
     "dedup_minhash" -> JACCARD_SQL,
+    "dedup_jaccard_capped" -> JACCARD_CAPPED_SQL,
     // dedup_simhash / sim_topk_ivf: hash-family/ANN internals are not
     // SQL-expressible; the driver records rows-only checks for them.
 
@@ -726,6 +734,23 @@ object SparkEntry {
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id1, id2, jaccard FROM (
+      |  SELECT id1, id2, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2)
+      |WHERE jaccard >= 0.8 ORDER BY id1, id2""".stripMargin
+
+  /** Capped variant: shingles in more than 5 docs are dropped before BOTH
+    * the intersections and the sizes (same universe, or capping would
+    * deflate every score). */
+  private val JACCARD_CAPPED_SQL =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM w),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s FROM idx),
+      |df AS (SELECT s, count(*) AS c FROM sh GROUP BY 1),
+      |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN df ON sh.s = df.s WHERE df.c <= 5),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      |          FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
       |SELECT id1, id2, jaccard FROM (
       |  SELECT id1, id2, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
       |  FROM pairs JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2)

@@ -64,9 +64,12 @@ object Similarity {
   /** A few Lloyd iterations over the corpus: assign each vector to its
     * nearest centroid (by cosine), recompute centroids as per-cell means.
     * Deterministic seeding (every strideth vector); the per-dimension mean
-    * uses posexplode + avg — fine here because centroids feed an
-    * approximate index, not an oracle-compared value. At 100 TB this is
-    * the offline training job (sampled corpus, same plan). */
+    * sums DECIMAL(38,30) (exact, so order-independent across partitionings
+    * — the same trick Relational uses for money sums) rather than avg() on
+    * doubles, whose partial-merge order varies run to run. Trained
+    * centroids, and therefore topKIvf output, are bit-identical across
+    * executions. At 100 TB this is the offline training job (sampled
+    * corpus, same plan). */
   def trainCentroids(embeddings: DataFrame, stride: Int = 50, iterations: Int = 3): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -88,7 +91,11 @@ object Similarity {
         .filter(col("r") === 1)
         .select(col("centroid_id"), posexplode(col("v")))
         .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg("col").as("m"))
+        // decimal(38,30): 8 integer digits hold any cell's sum of these
+        // O(1)-magnitude components; 30 fractional digits fix the rounding
+        // point so the sum is exact and merge-order-independent
+        .agg((sum(col("col").cast("decimal(38,30)")) / count(lit(1)))
+          .cast("double").as("m"))
         .groupBy("centroid_id")
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("cv"))
@@ -125,12 +132,11 @@ object Similarity {
   def topKIvf(embeddings: DataFrame, k: Int = 5, numQueries: Int = 10,
               centroidStride: Int = 50, nprobe: Int = 3,
               trainIterations: Int = 2): DataFrame = {
-    // Determinism note: trainCentroids averages doubles with avg(), whose
-    // partial-merge order varies across runs/partitionings, so trained
-    // centroids (and thus cell assignments near ties) can differ bit-wise
-    // between executions. The driver's check for sim_topk_ivf is rows-only
-    // for exactly this reason; do not hash-compare this query, or train
-    // with trainIterations = 0 (stride seeds are bit-deterministic).
+    // Bit-deterministic end to end: stride seeds, decimal-mean Lloyd
+    // refinement (see trainCentroids), and tie-broken row_number ranking —
+    // two runs produce identical bits (asserted by LlmOpsSpec). The
+    // driver's check stays rows-only because ANN internals aren't
+    // SQL-expressible, not because output varies.
     val centroids = broadcast(
       if (trainIterations > 0) trainCentroids(embeddings, centroidStride, trainIterations)
       else embeddings.filter(col("vec_id") % centroidStride === 0)

@@ -90,6 +90,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("IVF top-k is bit-identical across runs and input partitionings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // different physical partitionings exercise different partial-agg merge
+    // orders in centroid training — the decimal mean must absorb them
+    def run(parts: Int): Seq[Seq[Any]] =
+      Similarity.topKIvf(emb.repartition(parts), k = 5, numQueries = 5)
+        .orderBy("query_id", "rank").collect().toSeq.map(_.toSeq)
+    val a = run(3)
+    val b = run(7)
+    assert(a === b) // includes the cosine doubles, bit for bit
+  }
+
   test("rolling-hash fingerprint matches the reference formula") {
     val text = "ab c"
     var expect = 0L
