@@ -234,8 +234,18 @@ object Hrfco {
                tsFallback: Column = current_timestamp(),
                wlMin: Double = WlMinDefault, wlMax: Double = WlMaxDefault,
                fwMin: Double = FwMinDefault, fwMax: Double = FwMaxDefault): DataFrame =
+    pipelineFromRaw(rawObservations(events), dim, tsFallback, wlMin, wlMax, fwMin, fwMax)
+
+  /** The same hot path over an already-projected raw-observation frame —
+    * the streaming entry computes `rawObservations(batch)` ONCE and feeds
+    * both this and the DLQ branch, so a micro-batch is scanned once, not
+    * once per branch. */
+  def pipelineFromRaw(raw: DataFrame, dim: DataFrame,
+                      tsFallback: Column = current_timestamp(),
+                      wlMin: Double = WlMinDefault, wlMax: Double = WlMaxDefault,
+                      fwMin: Double = FwMinDefault, fwMax: Double = FwMaxDefault): DataFrame =
     classify(
-      parseTyped(rawObservations(events).filter(!parseFailed), tsFallback)
+      parseTyped(raw.filter(!parseFailed), tsFallback)
         .filter(requiredFields),
       dim, wlMin, wlMax, fwMin, fwMax)
       .withColumn("alert_level", alertLevel)

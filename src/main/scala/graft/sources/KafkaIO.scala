@@ -34,13 +34,22 @@ object KafkaIO {
       .option("startingOffsets", "latest")
       .load()
 
+  /** The exact option set a K5/K6/K7 producer runs with (acks=all matches
+    * the DLQ/NiFi producers) — exposed as data so tests can assert the
+    * contract without a broker. */
+  def topicSinkOptions(bootstrap: String, topic: String,
+                       checkpoint: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "kafka.acks" -> "all",
+    "topic" -> topic,
+    "checkpointLocation" -> checkpoint)
+
   /** K5/K6/K7: key/value frame → Kafka topic. Feed with Sinks.alertFrame /
-    * Sinks.dlqFrame. acks=all matches the DLQ/NiFi producers. */
+    * Sinks.dlqFrame. */
   def topicSink(frame: DataFrame, bootstrap: String, topic: String,
                 checkpoint: String): DataStreamWriter[Row] =
-    frame.writeStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("kafka.acks", "all")
-      .option("topic", topic)
-      .option("checkpointLocation", checkpoint)
+    topicSinkOptions(bootstrap, topic, checkpoint)
+      .foldLeft(frame.writeStream.format("kafka")) {
+        case (w, (k, v)) => w.option(k, v)
+      }
 }

@@ -51,16 +51,21 @@ object StreamingPipeline {
         // a record is either stored or DLQ'd, never both (required-field
         // failures, by contrast, are silently dropped — the asymmetry).
         // Both DLQ producers share one envelope schema (camelCase + ts).
-        Hrfco.dlqEnvelope(Hrfco.rawObservations(batch)).drop("event_id")
-          .write.mode("append").parquet(paths.dlq)
-        val classified = Hrfco.pipeline(batch, dim, wlMax = wlMax)
-        val (result, dlq) = Sinks.fanout(classified, paths.archive, paths.timeseries, paths.raw)
-        dlq.foreach { d =>
-          d.write.mode("append").parquet(paths.dlq)
-          d.unpersist()
-        }
-        if (!result.allOk)
-          logger.warn(s"batch $batchId partial storage failure: ${result.failures}")
+        // The raw projection is computed once and persisted so the DLQ
+        // write and the storage fanout share ONE scan of the micro-batch.
+        val raw = Hrfco.rawObservations(batch).persist()
+        try {
+          Hrfco.dlqEnvelope(raw).drop("event_id")
+            .write.mode("append").parquet(paths.dlq)
+          val classified = Hrfco.pipelineFromRaw(raw, dim, wlMax = wlMax)
+          val (result, dlq) = Sinks.fanout(classified, paths.archive, paths.timeseries, paths.raw)
+          dlq.foreach { d =>
+            d.write.mode("append").parquet(paths.dlq)
+            d.unpersist()
+          }
+          if (!result.allOk)
+            logger.warn(s"batch $batchId partial storage failure: ${result.failures}")
+        } finally raw.unpersist(blocking = false)
         ()
       }
       .start()
