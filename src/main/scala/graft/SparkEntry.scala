@@ -232,10 +232,15 @@ object SparkEntry {
     "text_curation" -> ((s, dir) =>
       Curation.curationStats(Tables.documents(s, dir))),
 
-    // ---- LLM-pipeline: multimodal plumbing -------------------------------
+    // ---- LLM-pipeline: multimodal decode ---------------------------------
+    // end-to-end byte round-trip: the BMP/WAV headers are BUILT by
+    // expression on the write side and PARSED from the raw bytes on the
+    // read side; the oracle recomputes the expected fields independently,
+    // so a wrong header offset or byte order fails the hash compare
     "q_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.mediaFrame(Tables.documents(s, dir)))
-        .select("doc_id", "media_type", "n_bytes", "width", "height")
+        .select("doc_id", "media_type", "container", "n_bytes",
+          "width", "height", "sample_rate", "channels")
         .orderBy("doc_id")),
   )
 
@@ -719,9 +724,13 @@ object SparkEntry {
     "q_multimodal" ->
       """SELECT doc_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
-        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
-        |  CAST(doc_id % 640 + 64 AS INT) AS width,
-        |  CAST(doc_id % 480 + 48 AS INT) AS height
+        |  CASE WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'bmp' END AS container,
+        |  CAST(octet_length(CAST(text AS BLOB))
+        |       + CASE WHEN doc_id % 3 = 1 THEN 44 ELSE 54 END AS INT) AS n_bytes,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 640 + 64 AS INT) END AS width,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 480 + 48 AS INT) END AS height,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST((doc_id % 8) * 4000 + 8000 AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 2 + 1 AS INT) END AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 

@@ -1,46 +1,118 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column handling: media as opaque `binary` payloads with
   * typed metadata, processed in executor-side batches.
   *
-  * The Spark-side plumbing is real — schema, partition-parallel batch
-  * iteration, fixed batch shape, feature schema — while the codec itself
-  * is STUBBED with a deterministic fake (this container has no image/audio
-  * libraries): `decodeStub` is the seam where a real implementation would
-  * call the decoder per batch. The batch loop is the JVM analogue of a
-  * vectorized-UDF body: amortize per-batch setup (codec init, buffer
-  * reuse) across `batchSize` records instead of paying it per row.
+  * The container layer is REAL: payloads carry genuine BMP / WAV headers
+  * (both are pure header arithmetic — no codec libraries needed), built
+  * with codegen'd expressions on the write side and parsed from the
+  * actual bytes on the read side. `decodeHeader` recovers width/height
+  * (BMP) and sample-rate/channels (WAV) from the byte stream, so the
+  * decode path is exercised end-to-end: a wrong offset or endianness
+  * breaks the oracle compare, not just a unit test.
+  *
+  * Only the FEATURE extractor below the container remains a deterministic
+  * stand-in (`pseudoFeature`) — real pixel/PCM DSP needs image/audio
+  * libraries this sandbox doesn't ship. The batch loop is the JVM
+  * analogue of a vectorized-UDF body: amortize per-batch setup (decoder
+  * init, buffer reuse) across `batchSize` records instead of paying it
+  * per row.
   */
 object Multimodal {
 
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("media_type", StringType),
+    StructField("container", StringType),
     StructField("n_bytes", IntegerType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
     StructField("feature", ArrayType(FloatType))))
 
-  /** documents → media frame: payload is the utf-8 blob (stand-in for real
-    * image/audio bytes), media_type/width/height are deterministic typed
-    * metadata. */
-  def mediaFrame(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-      col("text").cast("binary").as("payload"),
-      (col("doc_id") % 640 + 64).cast("int").as("width"),
-      (col("doc_id") % 480 + 48).cast("int").as("height"))
+  /** Little-endian hex encoding of the low `nBytes` bytes of an integral
+    * column — the byte-order workhorse for binary header construction
+    * with nothing but built-in (codegen'd) expressions. */
+  private def leHex(v: Column, nBytes: Int): Column =
+    concat((0 until nBytes).map(i =>
+      lpad(hex(shiftright(v.cast("long"), 8 * i).bitwiseAND(255L)), 2, "0")): _*)
 
-  /** STUB: a real build decodes the payload (JPEG/PCM/container frames)
-    * and extracts features; offline we derive a deterministic 8-dim
-    * pseudo-feature from the bytes so the plumbing is testable. */
-  private def decodeStub(payload: Array[Byte]): Array[Float] = {
+  /** A valid BMP: BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER (40
+    * bytes, width at offset 18, height at 22, both int32 LE) + `data` as
+    * the pixel stream. 24bpp, uncompressed, 2835 ppm (the standard 72dpi
+    * value). */
+  def bmpPayload(width: Column, height: Column, data: Column): Column = {
+    val dataSize = length(data)
+    concat(
+      unhex(concat(
+        lit("424D"), leHex(dataSize + 54, 4), lit("0000000036000000"),
+        lit("28000000"), leHex(width, 4), leHex(height, 4),
+        lit("0100"), lit("1800"), lit("00000000"), leHex(dataSize, 4),
+        lit("130B0000"), lit("130B0000"), lit("00000000"), lit("00000000"))),
+      data)
+  }
+
+  /** A valid 16-bit PCM WAV: RIFF/fmt/data header (44 bytes, channels at
+    * offset 22 int16 LE, sample rate at 24 int32 LE) + `data` as the
+    * sample stream. */
+  def wavPayload(sampleRate: Column, channels: Column, data: Column): Column = {
+    val dataSize = length(data)
+    concat(
+      unhex(concat(
+        lit("52494646"), leHex(dataSize + 36, 4), lit("57415645"),
+        lit("666D7420"), lit("10000000"), lit("0100"), leHex(channels, 2),
+        leHex(sampleRate, 4), leHex(sampleRate * channels * 2, 4),
+        leHex(channels * 2, 2), lit("1000"),
+        lit("64617461"), leHex(dataSize, 4))),
+      data)
+  }
+
+  /** documents → media frame: every payload is a real container — images
+    * and video keyframes are BMPs carrying deterministic dimensions in
+    * their headers, audio is WAV carrying sample-rate/channel metadata;
+    * the document text stands in for the pixel/PCM body. Downstream
+    * consumers recover the metadata from the BYTES (decodeHeader), not
+    * from side columns. */
+  def mediaFrame(docs: DataFrame): DataFrame = {
+    val data = col("text").cast("binary")
+    val width = (col("doc_id") % 640 + 64).cast("int")
+    val height = (col("doc_id") % 480 + 48).cast("int")
+    val sampleRate = (col("doc_id") % 8).cast("int") * 4000 + 8000
+    val channels = (col("doc_id") % 2 + 1).cast("int")
+    val mediaType = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    docs.select(
+      col("doc_id"), mediaType.as("media_type"),
+      when(mediaType === "audio", wavPayload(sampleRate, channels, data))
+        .otherwise(bmpPayload(width, height, data)).as("payload"))
+  }
+
+  /** Decoded container metadata: (container, width, height, sampleRate,
+    * channels). Real byte parsing — magic sniff, then fixed-offset
+    * little-endian field reads per the BMP/WAV specs. */
+  def decodeHeader(p: Array[Byte])
+      : (String, Option[Int], Option[Int], Option[Int], Option[Int]) = {
+    def le32(off: Int): Int =
+      (p(off) & 0xff) | (p(off + 1) & 0xff) << 8 |
+        (p(off + 2) & 0xff) << 16 | (p(off + 3) & 0xff) << 24
+    def le16(off: Int): Int = (p(off) & 0xff) | (p(off + 1) & 0xff) << 8
+    if (p.length >= 54 && p(0) == 'B' && p(1) == 'M')
+      ("bmp", Some(le32(18)), Some(le32(22)), None, None)
+    else if (p.length >= 44 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+             p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')
+      ("wav", None, None, Some(le32(24)), Some(le16(22)))
+    else ("unknown", None, None, None, None)
+  }
+
+  /** STUB: a real build runs DSP over the decoded pixel/PCM body; offline
+    * we derive a deterministic 8-dim pseudo-feature from the bytes so the
+    * plumbing stays testable. */
+  private def pseudoFeature(payload: Array[Byte]): Array[Float] = {
     val acc = new Array[Long](8)
     var i = 0
     while (i < payload.length) {
@@ -51,20 +123,24 @@ object Multimodal {
     acc.map(_.toFloat / 1000003f)
   }
 
-  /** Batch feature extraction over partitions: grouped iteration keeps the
-    * streaming/memory profile of a vectorized UDF (no partition-sized
-    * materialization beyond one batch). */
+  /** Batch decode + feature extraction over partitions: grouped iteration
+    * keeps the streaming/memory profile of a vectorized UDF (no
+    * partition-sized materialization beyond one batch). Header fields come
+    * from the payload bytes, nothing else. */
   def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select("doc_id", "media_type", "payload", "width", "height").rdd
+    val rdd = media.select("doc_id", "media_type", "payload").rdd
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // per-batch setup would init the codec once, here
+          // per-batch setup would init the real codec once, here
           batch.iterator.map { r =>
             val payload = r.getAs[Array[Byte]]("payload")
+            val (container, w, h, sr, ch) = decodeHeader(payload)
             Row(r.getAs[Long]("doc_id"), r.getAs[String]("media_type"),
-              payload.length, r.getAs[Int]("width"), r.getAs[Int]("height"),
-              decodeStub(payload).toSeq)
+              container, payload.length,
+              w.map(Int.box).orNull, h.map(Int.box).orNull,
+              sr.map(Int.box).orNull, ch.map(Int.box).orNull,
+              pseudoFeature(payload).toSeq)
           }
         }
       }
@@ -73,7 +149,7 @@ object Multimodal {
 
   /** Frame sampling: every strideth byte window of the payload — the
     * column-expression form (real frame extraction lives behind the same
-    * batch seam as decodeStub). */
+    * batch seam as the header decode). */
   def sampleFrames(media: DataFrame, frameBytes: Int = 16, nFrames: Int = 4): DataFrame =
     media.select(
       col("doc_id"), col("media_type"),

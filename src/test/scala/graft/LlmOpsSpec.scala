@@ -130,13 +130,48 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("multimodal: batch feature extraction is deterministic and typed") {
-    val media = Multimodal.mediaFrame(Seq((7L, "some payload bytes", "en", "src", 18L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars"))
-    val f1 = Multimodal.extractFeatures(media, batchSize = 2).collect()(0)
-    val f2 = Multimodal.extractFeatures(media, batchSize = 64).collect()(0)
-    assert(f1.getAs[Int]("n_bytes") === 18)
-    assert(f1.getSeq[Float](5) === f2.getSeq[Float](5))
-    assert(f1.getAs[String]("media_type") === "audio") // 7 % 3 == 1
+    val docs = Seq((7L, "some payload bytes", "en", "src", 18L),
+                   (6L, "pixels go here....", "en", "src", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.mediaFrame(docs)
+    val f1 = Multimodal.extractFeatures(media, batchSize = 2)
+      .orderBy("doc_id").collect()
+    val f2 = Multimodal.extractFeatures(media, batchSize = 64)
+      .orderBy("doc_id").collect()
+    assert(f1.map(_.getSeq[Float](8)).toSeq === f2.map(_.getSeq[Float](8)).toSeq)
+    val wav = f1(1) // doc 7: 7 % 3 == 1 → audio → WAV container
+    assert(wav.getAs[String]("media_type") === "audio")
+    assert(wav.getAs[String]("container") === "wav")
+    assert(wav.getAs[Int]("n_bytes") === 18 + 44)
+    assert(wav.getAs[Int]("sample_rate") === (7 % 8) * 4000 + 8000)
+    assert(wav.getAs[Int]("channels") === 2)
+    assert(wav.isNullAt(wav.fieldIndex("width")))
+    val bmp = f1(0) // doc 6: image → BMP container
+    assert(bmp.getAs[String]("container") === "bmp")
+    assert(bmp.getAs[Int]("n_bytes") === 18 + 54)
+    assert(bmp.getAs[Int]("width") === 6 % 640 + 64)
+    assert(bmp.getAs[Int]("height") === 6 % 480 + 48)
+    assert(bmp.isNullAt(bmp.fieldIndex("sample_rate")))
+  }
+
+  test("multimodal: decodeHeader reads golden BMP/WAV bytes (pins endianness)") {
+    // hand-assembled 54-byte BMP header, width=300 (0x012C), height=200
+    // (0xC8) — little-endian at offsets 18/22 per the spec
+    val bmp = new Array[Byte](54)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(18) = 0x2C; bmp(19) = 0x01 // 300 LE
+    bmp(22) = 0xC8.toByte          // 200 LE
+    assert(Multimodal.decodeHeader(bmp) === ("bmp", Some(300), Some(200), None, None))
+    // hand-assembled 44-byte WAV header, sampleRate=44100 (0xAC44) at
+    // offset 24, channels=2 at offset 22
+    val wav = new Array[Byte](44)
+    wav(0) = 'R'; wav(1) = 'I'; wav(2) = 'F'; wav(3) = 'F'
+    wav(8) = 'W'; wav(9) = 'A'; wav(10) = 'V'; wav(11) = 'E'
+    wav(22) = 2
+    wav(24) = 0x44; wav(25) = 0xAC.toByte // 44100 LE
+    assert(Multimodal.decodeHeader(wav) === ("wav", None, None, Some(44100), Some(2)))
+    // unknown magic → metadata-free passthrough, never a crash
+    assert(Multimodal.decodeHeader(Array[Byte](1, 2, 3))._1 === "unknown")
   }
 
   test("ingest envelopes round-trip through to_json/from_json/explode") {
