@@ -11,20 +11,32 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * or programmatically via `GraftExtensions.register(spark)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.dotFunction)
+    GraftExtensions.functions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val dotFunction = (
-    FunctionIdentifier("graft_dot"),
-    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-    (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+  private val functions = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        // n parameterizes the plan, so it must be a literal int
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles(text, n): n must be an integer literal, got $other")
+        }
+        WordShingles(children.head, n)
+      }))
 
   /** Idempotent in-session registration (for sessions built without the
     * extensions config — e.g. the driver's own). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = dotFunction
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+    functions.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+    }
   }
 }

@@ -29,11 +29,15 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Distinct word n-gram shingles of the text. Short texts (< n words)
-    * yield a single truncated shingle, mirroring list_slice semantics. */
+    * yield a single truncated shingle, mirroring list_slice semantics.
+    * Native codegen'd expression (graft.functions.WordShingles) with the
+    * exact semantics of the HOF form
+    * `array_distinct(transform(sequence(0, greatest(size(split(t," "))-n, 0)),
+    * i => concat_ws(" ", slice(split(t," "), i+1, n))))` — pinned
+    * against it by PropertiesSpec; the HOF lambdas evaluate interpreted
+    * and dominated the shingling pass before the swap. */
   def shingles(text: Column, n: Int = 3): Column =
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(split(text, " ")) - n, lit(0))),
-      i => concat_ws(" ", slice(split(text, " "), i + 1, lit(n)))))
+    graft.functions.TextFunctions.shingles(text, n)
 
   /** Exact dedup: one surviving doc_id (the min) per identical text, with
     * multiplicity. `dropDuplicates("text")` gives the kept rows; this form

@@ -18,4 +18,15 @@ class ExtensionsSpec extends SparkSpec {
     GraftExtensions.register(spark)
     assert(spark.sql("SELECT graft_dot(NULL, array(1.0d)) AS d").collect()(0).isNullAt(0))
   }
+
+  test("graft_shingles is callable from SQL; n must be a literal") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT graft_shingles('a b c d', 3) AS s")
+      .collect()(0).getSeq[String](0)
+    assert(r === Seq("a b c", "b c d"))
+    assert(spark.sql("SELECT graft_shingles(NULL, 3) AS s").collect()(0).isNullAt(0))
+    intercept[Exception] {
+      spark.sql("SELECT graft_shingles('a b', length('xx'))").collect()
+    }
+  }
 }

@@ -43,6 +43,32 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: native shingle kernel matches the HOF expression form exactly") {
+    // the codegen'd WordShingles replaced this chain — any divergence on
+    // empties, multi-spaces, or short texts breaks the dedup oracles
+    def hofShingles(n: Int) = array_distinct(transform(
+      sequence(lit(0), greatest(size(split(col("text"), " ")) - n, lit(0))),
+      i => concat_ws(" ", slice(split(col("text"), " "), i + 1, lit(n)))))
+    val adversarial = Seq("", " ", "  ", "a", "a b", "a  b", " a b ",
+      "a b c d", "tab\tkept as one word", "a b a b a b", "ü ñ 漢字 word")
+    val wordy: Gen[String] =
+      Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const(""), Gen.const("x")))
+        .map(_.mkString(" "))
+    (1L to 10L).foreach { seed =>
+      val texts = adversarial ++ sample(Gen.listOfN(30, wordy), seed)
+      Seq(1, 2, 3, 5).foreach { n =>
+        val rows = texts.toDF("text")
+          .select(graft.ops.Dedup.shingles(col("text"), n).as("native"),
+            hofShingles(n).as("hof"))
+          .collect()
+        rows.zip(texts).foreach { case (r, t) =>
+          assert(r.getSeq[String](0) === r.getSeq[String](1),
+            s"shingle divergence on '${t.take(40)}' n=$n")
+        }
+      }
+    }
+  }
+
   test("property: flood classification is monotone non-decreasing in wl") {
     val rank = Map("NORMAL" -> 0, "ATTENTION" -> 1, "CAUTION" -> 2,
       "WARNING" -> 3, "CRITICAL" -> 4)
