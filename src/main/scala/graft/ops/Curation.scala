@@ -10,11 +10,18 @@ import org.apache.spark.sql.functions._
   * operators; one extra anti-join and one aggregation on top of them. */
 object Curation {
 
+  /** At 100 TB set `useLsh = true` (bucket-bounded MinHash candidates) or
+    * cap `maxDocFreq` (drop ubiquitous shingles) — the curated output is
+    * identical up to LSH's documented false-negative rate because both
+    * paths verify candidates with exact Jaccard at the same threshold. */
   def curate(docs: DataFrame, jaccardThreshold: Double = 0.8,
-             qualityFloor: Double = 0.46): DataFrame = {
+             qualityFloor: Double = 0.46, useLsh: Boolean = false,
+             maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val quality = TextAnalysis.quality(docs).select("doc_id", "quality_score")
-    val losers = Dedup.ngramJaccard(docs, jaccardThreshold)
-      .select(col("id2").as("doc_id")).distinct()
+    val pairs =
+      if (useLsh) Dedup.minhashLsh(docs, jaccardThreshold)
+      else Dedup.ngramJaccard(docs, jaccardThreshold, maxDocFreq = maxDocFreq)
+    val losers = pairs.select(col("id2").as("doc_id")).distinct()
     docs.select("doc_id", "lang")
       .join(quality, "doc_id")
       .join(losers, Seq("doc_id"), "left_anti")

@@ -204,11 +204,20 @@ object Dedup {
 
   /** Edit-distance verification over near-dup candidates: exact Levenshtein
     * is O(len²) per pair, so it is NEVER run all-pairs — candidates come
-    * from the shingle-Jaccard prefilter (or LSH at scale) and only those
-    * pairs pay the quadratic cost. Returns similarity = 1 - dist/maxLen. */
+    * from the shingle-Jaccard prefilter, and only those pairs pay the
+    * quadratic cost. Returns similarity = 1 - dist/maxLen.
+    *
+    * At 100 TB set `useLsh = true`: candidates then come from banded
+    * MinHash (bucket-bounded work) instead of the exact inverted index
+    * (posting-list-bounded). Output is identical up to LSH's documented
+    * false-negative rate because both candidate sets are verified with
+    * exact Jaccard at the same threshold (asserted by LlmOpsSpec). */
   def editDistancePairs(docs: DataFrame, candidateThreshold: Double = 0.8,
-                        n: Int = 3): DataFrame = {
-    val cand = ngramJaccard(docs, candidateThreshold, n)
+                        n: Int = 3, useLsh: Boolean = false,
+                        maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val cand =
+      if (useLsh) minhashLsh(docs, candidateThreshold, n)
+      else ngramJaccard(docs, candidateThreshold, n, maxDocFreq)
     val texts = docs.select(col("doc_id"), col("text"))
     cand
       .join(texts.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")

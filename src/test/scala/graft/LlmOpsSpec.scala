@@ -54,6 +54,20 @@ class LlmOpsSpec extends SparkSpec {
       "postings cache still registered 10s after the consuming action")
   }
 
+  test("edit-distance and curation scale paths (LSH candidates) match the exact path") {
+    val exactEd = Dedup.editDistancePairs(docs, candidateThreshold = 0.5)
+      .collect().map(_.toSeq).toSet
+    val lshEd = Dedup.editDistancePairs(docs, candidateThreshold = 0.5, useLsh = true)
+      .collect().map(_.toSeq).toSet
+    assert(lshEd === exactEd)
+    val withLang = docs.withColumn("lang", lit("en"))
+    val exactCur = graft.ops.Curation.curate(withLang, jaccardThreshold = 0.5, qualityFloor = 0.0)
+      .collect().map(_.getLong(0)).toSet
+    val lshCur = graft.ops.Curation.curate(withLang, jaccardThreshold = 0.5, qualityFloor = 0.0,
+      useLsh = true).collect().map(_.getLong(0)).toSet
+    assert(lshCur === exactCur)
+  }
+
   test("simhash of identical docs has hamming 0 and is reported as a pair") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap

@@ -30,6 +30,17 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered in:\n$p")
   }
 
+  test("shingle projection stays inside whole-stage codegen") {
+    // WordShingles generates a static kernel call — if a refactor breaks
+    // its doGenCode, the Generate drops out of codegen ('Generate' loses
+    // its '*(n)' prefix) and the dedup family pays interpreted eval again
+    val p = plan("dedup_jaccard")
+    val generateLines = p.linesIterator.filter(_.contains("Generate explode")).toSeq
+    assert(generateLines.nonEmpty, s"no explode in:\n$p")
+    assert(generateLines.forall(_.trim.matches("""^[+:\-\s]*\*\(\d+\) Generate explode.*""")),
+      s"shingle Generate not codegen'd:\n${generateLines.mkString("\n")}")
+  }
+
   test("near-dup operators have no cartesian product") {
     Seq("dedup_jaccard", "dedup_minhash", "dedup_simhash", "dedup_embedding").foreach { q =>
       val p = plan(q)
