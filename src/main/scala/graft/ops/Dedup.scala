@@ -67,9 +67,18 @@ object Dedup {
     * explain-only caller that never runs an action leaves the entry
     * registered but unmaterialized (zero storage) plus one listener —
     * released by the next consuming action on the same lineage. */
+  private val scopeCounter = new java.util.concurrent.atomic.AtomicLong()
+
   private def withScopedCache(input: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
     val spark = input.sparkSession
-    val cached = input.persist()
+    // unique scope tag: the cache manager matches BOTH lookups and
+    // unpersists by plan equality, so two invocations over the same input
+    // must not produce equal plans — otherwise the first to finish
+    // releases the second's postings cache mid-job. The constant column
+    // is RLE-compressed in the columnar cache and pruned from every
+    // downstream plan.
+    val scoped = input.withColumn("__cache_scope", lit(scopeCounter.incrementAndGet()))
+    val cached = scoped.persist()
     val inputPlan = cached.queryExecution.analyzed
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -90,7 +99,7 @@ object Dedup {
                              exception: Exception): Unit = maybeRelease(qe)
     }
     spark.listenerManager.register(listener)
-    build(cached)
+    build(cached.drop("__cache_scope"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs via inverted index.

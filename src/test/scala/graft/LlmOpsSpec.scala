@@ -46,6 +46,11 @@ class LlmOpsSpec extends SparkSpec {
     assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length === before,
       "ngramJaccard ran jobs at plan-construction time")
     pairs.collect() // first consuming action
+    // the postings cache must actually be SUBSTITUTED into the job (the
+    // scope-tag projection must not break sameResult matching) — otherwise
+    // shingling silently recomputes per use
+    assert(pairs.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "postings cache not substituted into the dedup plan")
     // the QueryExecutionListener fires on the async listener bus
     val deadline = System.nanoTime() + 10_000_000_000L
     while (!org.apache.spark.sql.graft.Bridge.cacheIsEmpty(spark) &&
