@@ -202,6 +202,28 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, dir)).orderBy("id1", "id2")),
 
+    // unlabeled scale path: banded SRP-LSH buckets + exact-cosine verify.
+    // The corpus has no natural near-dups (max pairwise cosine ≈ 0.48), so
+    // the query PLANTS scaled copies of the first 20 vectors: a scaled
+    // copy has structurally identical projection signs → recall 1.0 by
+    // construction, precision exact by verification — which is what lets a
+    // probabilistic LSH operator be hash-compared against a brute-force
+    // DuckDB oracle over the same planted corpus. Compared output is the
+    // pair SET only: a scaled pair's cosine is degenerate (≈1.0), where
+    // DuckDB's list_cosine_similarity clamps to exactly 1.0 while the
+    // mirrored arithmetic lands one ulp below — cosine VALUES are
+    // hash-checked by dedup_embedding, whose natural pairs sit far from
+    // the boundary.
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("embedding"))
+      val planted = base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), _ * lit(1.001)).as("embedding"))
+      Dedup.embeddingNearDupLsh(base.unionByName(planted), threshold = 0.99)
+        .select("id1", "id2").orderBy("id1", "id2")
+    }),
+
     "dedup_editdist" -> ((s, dir) =>
       Dedup.editDistancePairs(Tables.documents(s, dir)).orderBy("id1", "id2")),
 
@@ -605,6 +627,17 @@ object SparkEntry {
         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine
         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cosine >= 0.3 ORDER BY id1, id2""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |planted AS (SELECT vec_id + 1000000 AS vec_id,
+        |                   list_transform(v, x -> x * CAST(1.001 AS DOUBLE)) AS v
+        |            FROM base WHERE vec_id < 20),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+        |SELECT id1, id2 FROM (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2, list_cosine_similarity(a.v, b.v) AS cosine
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.99 ORDER BY id1, id2""".stripMargin,
 
     "sim_topk_brute" ->
       """SELECT query_id, rank, neighbor_id, cosine FROM (

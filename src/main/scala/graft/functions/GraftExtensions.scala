@@ -15,21 +15,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Plan-time parameters (shingle width, signature bits) must be integer
+    * literals, not data. */
+  private def literalInt(fn: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: parameter must be an integer literal, got $other")
+  }
+
   private val functions = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1)): Expression),
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
-      (children: Seq[Expression]) => {
-        // n parameterizes the plan, so it must be a literal int
-        val n = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_shingles(text, n): n must be an integer literal, got $other")
-        }
-        WordShingles(children.head, n)
-      }))
+      (children: Seq[Expression]) =>
+        WordShingles(children.head, literalInt("graft_shingles(text, n)", children(1))): Expression),
+    (FunctionIdentifier("graft_srp_sig"),
+      new ExpressionInfo(classOf[SrpSignature].getName, "graft_srp_sig"),
+      (children: Seq[Expression]) =>
+        SrpSignature(children.head, literalInt("graft_srp_sig(vec, numBits)", children(1))): Expression))
 
   /** Idempotent in-session registration (for sessions built without the
     * extensions config — e.g. the driver's own). */

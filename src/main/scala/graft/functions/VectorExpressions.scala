@@ -57,6 +57,79 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-random-projection kernel: bit j of the signature is the sign of
+  * the dot product of the vector with the j-th Rademacher (±1) hyperplane.
+  * Hyperplanes are derived deterministically from a splitmix64 mix of
+  * (bit, dimension) — no RNG state, identical on every executor and every
+  * run — and cached per (numBits, dims) so each executor pays the
+  * derivation once, not per row. */
+object SrpKernel {
+
+  private val tables = new java.util.concurrent.ConcurrentHashMap[Long, Array[Double]]()
+
+  private def mix(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def table(numBits: Int, dims: Int): Array[Double] =
+    tables.computeIfAbsent((numBits.toLong << 32) | dims, { _ =>
+      val t = new Array[Double](numBits * dims)
+      var j = 0
+      while (j < numBits) {
+        var k = 0
+        while (k < dims) {
+          t(j * dims + k) = if ((mix(j.toLong * 1000003L + k) & 1L) == 0L) 1.0 else -1.0
+          k += 1
+        }
+        j += 1
+      }
+      t
+    })
+
+  def signature(v: ArrayData, numBits: Int): Long = {
+    val d = v.numElements()
+    val t = table(numBits, d)
+    var sig = 0L
+    var j = 0
+    while (j < numBits) {
+      var s = 0.0
+      var k = 0
+      while (k < d) { s += v.getDouble(k) * t(j * d + k); k += 1 }
+      if (s > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+/** `graft_srp_sig(vec, numBits)`: the SRP signature as a long (numBits ≤
+  * 64, fixed at plan time). The collision probability of two vectors on
+  * one bit is 1 - θ/π (θ = their angle), which makes banded signatures an
+  * LSH family for cosine similarity. */
+case class SrpSignature(child: Expression, numBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+
+  require(numBits > 0 && numBits <= 64, s"numBits must be in [1, 64], got $numBits")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "graft_srp_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SrpKernel.signature(input.asInstanceOf[ArrayData], numBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SrpKernel$$.MODULE$$.signature($c, $numBits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Codegen'd sequential dot product of two double arrays. */
   def dot(a: Column, b: Column): Column =
@@ -64,4 +137,8 @@ object VectorFunctions {
 
   /** Codegen'd L2 norm. */
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Codegen'd sign-random-projection signature. */
+  def srpSignature(v: Column, numBits: Int): Column =
+    Bridge.column(SrpSignature(Bridge.expression(v), numBits))
 }

@@ -237,6 +237,48 @@ object Dedup {
           / greatest(length(col("t1")), length(col("t2")))).as("edit_sim"))
   }
 
+  /** Embedding near-dup WITHOUT a blocking key: banded sign-random-
+    * projection LSH over the cosine metric. Signature bit j is the sign of
+    * the dot with a deterministic ±1 hyperplane (P[bits agree] = 1 - θ/π);
+    * candidates share at least one (band, band-bits) bucket — an equi-join,
+    * never all-pairs — and are verified with EXACT cosine, so precision is
+    * exact and the only loss is banded-LSH false negatives
+    * (P[miss] = (1-(1-θ/π)^rowsPerBand)^bands, ≈3e-7 per pair at cos 0.99
+    * with the 8×8 default). Identically-oriented vectors (e.g. scaled
+    * copies) have equal signatures structurally, so recall for them is 1.0,
+    * not probabilistic — which is what makes dedup_embedding_lsh
+    * oracle-checkable. The labeled fast path remains embeddingNearDup. */
+  def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.99,
+                          bands: Int = 8, rowsPerBand: Int = 8): DataFrame = {
+    val numBits = bands * rowsPerBand
+    require(numBits <= 64, s"bands*rowsPerBand must fit a long, got $numBits")
+    val base = embeddings.select(col("vec_id"),
+      Similarity.toDouble(col("embedding")).as("v"))
+      .withColumn("sig", graft.functions.VectorFunctions.srpSignature(col("v"), numBits))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    // base feeds the bucket join twice and the verify join twice
+    withScopedCache(base) { b =>
+      val bandCols = (0 until bands).map { i =>
+        shiftright(col("sig"), i * rowsPerBand).bitwiseAND(lit((1L << rowsPerBand) - 1))
+      }
+      val buckets = b
+        .select(col("vec_id"), posexplode(array(bandCols: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bits")
+      val cand = buckets.as("a")
+        .join(buckets.as("b"),
+          col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+        .distinct()
+      cand
+        .join(b.select(col("vec_id").as("id1"), col("v").as("va"), col("nrm").as("na")), "id1")
+        .join(b.select(col("vec_id").as("id2"), col("v").as("vb"), col("nrm").as("nb")), "id2")
+        .select(col("id1"), col("id2"),
+          Similarity.cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    }
+  }
+
   /** Embedding near-dup: cosine ≥ threshold within a blocking key (label) —
     * blocked equi-join, not a cartesian product. The ANN scale path is
     * Similarity.topKIvf. Arithmetic mirrors DuckDB's list_cosine_similarity

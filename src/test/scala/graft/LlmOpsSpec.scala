@@ -109,6 +109,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("SRP-LSH near-dup finds planted duplicates without labels, exactly") {
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("embedding"))
+    val planted = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), _ * lit(1.001)).as("embedding"))
+    val corpus = base.unionByName(planted)
+    val got = graft.ops.Dedup.embeddingNearDupLsh(corpus, threshold = 0.99)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth by brute force over the same corpus
+    val a = corpus.select(col("vec_id").as("id1"), col("embedding").as("va"))
+    val b = corpus.select(col("vec_id").as("id2"), col("embedding").as("vb"))
+    val expect = a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), Similarity.cosine(col("va"), col("vb")).as("c"))
+      .filter(col("c") >= 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expect.size === 10) // exactly the planted pairs
+    assert(got === expect)
+  }
+
+  test("SRP signature is scale-invariant and flips under negation") {
+    import graft.functions.VectorFunctions.srpSignature
+    val vs = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+      .select(Similarity.toDouble(col("embedding")).as("v"))
+    val sigs = vs.select(
+      srpSignature(col("v"), 64).as("s"),
+      srpSignature(transform(col("v"), _ * lit(7.5)), 64).as("scaled"),
+      srpSignature(transform(col("v"), _ * lit(-1.0)), 64).as("negated")).collect()
+    sigs.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1)) // positive scaling preserves signs
+      // negation flips every sign bit: s>0 becomes s<0 (never exactly 0
+      // on real-valued embeddings), so the signatures are complements
+      assert(r.getLong(2) === ~r.getLong(0))
+    }
+  }
+
   test("IVF top-k is bit-identical across runs and input partitionings") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     // different physical partitionings exercise different partial-agg merge

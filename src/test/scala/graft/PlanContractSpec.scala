@@ -42,7 +42,8 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("near-dup operators have no cartesian product") {
-    Seq("dedup_jaccard", "dedup_minhash", "dedup_simhash", "dedup_embedding").foreach { q =>
+    Seq("dedup_jaccard", "dedup_minhash", "dedup_simhash", "dedup_embedding",
+        "dedup_embedding_lsh").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
