@@ -234,6 +234,15 @@ object SparkEntry {
     "sim_topk_ivf" -> ((s, dir) =>
       Similarity.topKIvf(Tables.embeddings(s, dir)).orderBy("query_id", "rank")),
 
+    // exactness dial at full: probing EVERY cell makes IVF equivalent to
+    // the brute scan, so the whole machinery (Lloyd training, cell
+    // assignment, probing, candidate ranking) is oracle-checked exactly;
+    // the approximate nprobe=3 variant above stays rows-only because ANN
+    // candidate internals aren't SQL-expressible.
+    "sim_topk_ivf_full" -> ((s, dir) =>
+      Similarity.topKIvf(Tables.embeddings(s, dir), nprobe = Int.MaxValue)
+        .orderBy("query_id", "rank")),
+
     "q_embed_quantize" -> ((s, dir) => {
       val q = Quantization.quantize(Tables.embeddings(s, dir))
       q.select(
@@ -639,16 +648,9 @@ object SparkEntry {
         |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.99 ORDER BY id1, id2""".stripMargin,
 
-    "sim_topk_brute" ->
-      """SELECT query_id, rank, neighbor_id, cosine FROM (
-        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine,
-        |    row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
-        |               b.vec_id) AS rank
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-        |  WHERE a.vec_id < 10)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "sim_topk_brute" -> TOPK_SQL,
+    // full-probe IVF == the brute scan (see the queries entry)
+    "sim_topk_ivf_full" -> TOPK_SQL,
 
     "q_embed_quantize" ->
       ("""SELECT vec_id,
@@ -766,6 +768,19 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 2 + 1 AS INT) END AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
+
+  /** Exact top-k cosine (DuckDB side of sim_topk_brute, and of
+    * sim_topk_ivf_full — full-probe IVF reduces to the same scan). */
+  private val TOPK_SQL =
+    """SELECT query_id, rank, neighbor_id, cosine FROM (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+      |               b.vec_id) AS rank
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      |  WHERE a.vec_id < 10)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Brute-force word-shingle Jaccard (DuckDB side of dedup_jaccard and
     * the verification bar for dedup_minhash). */
