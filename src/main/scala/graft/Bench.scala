@@ -49,12 +49,19 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }
       }
+      // isolation barrier: queries that persist() intermediates would
+      // serve run 2 from run 1's cache and undercount, and the scoped
+      // caches release via ASYNC listener events — drain the bus so a
+      // prior run's release (or lingering storage) can't land mid-way
+      // through the next timed run, then clear whatever remains
+      def barrier(): Unit = {
+        org.apache.spark.sql.graft.Bridge.drainListenerBus(spark)
+        spark.catalog.clearCache()
+      }
       val first = once()
-      // queries that persist() intermediates would serve run 2 from run
-      // 1's cache and undercount — clear between executions
-      spark.catalog.clearCache()
+      barrier()
       val second = once()
-      spark.catalog.clearCache()
+      barrier()
       (first, second) match {
         case (Some(a), Some(b)) => (name, math.min(a, b), true)
         case _ => (name, 0.0, false)

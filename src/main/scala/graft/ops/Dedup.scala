@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   *
   * Everything is built-in expressions (xxhash64, bit ops, HOFs) — fully
   * codegen'd, no UDFs, no driver collects.
+  *
+  * ==Cache contract (ngramJaccard / minhashLsh / embeddingNearDupLsh)==
+  * These operators persist their shared index (shingle postings / SRP
+  * base) when CALLED, and release it automatically after the FIRST action
+  * that consumes the returned frame. Run one action per call — the normal
+  * shape for a dedup pass. A caller that needs several actions over one
+  * result (e.g. count then write) should `.persist()` the RESULT frame
+  * itself, or re-invoke the operator (index build is one bounded job).
   */
 object Dedup {
 
@@ -52,21 +60,23 @@ object Dedup {
     docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
 
   /** Cache scope for the multi-use postings frame: persist the input,
-    * build the result LAZILY, and release the input cache from a
-    * QueryExecutionListener after the first action that consumed it.
+    * materialize it EAGERLY with one cheap count, build the result, and
+    * release the input cache from a QueryExecutionListener after the first
+    * action that consumed it.
     *
-    * Why not materialize eagerly (round-3 design): persisting the OUTPUT
-    * and counting it compiles the whole job under the cache manager, and
-    * cached plans forgo AQE re-planning
+    * Eager on the INPUT, never the output (round-3 lesson): persisting the
+    * OUTPUT and counting it compiles the whole job under the cache
+    * manager, and cached plans forgo AQE re-planning
     * (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning defaults
     * off) — the verify joins then run as static sort-merge instead of
-    * AQE-broadcast, which is exactly the 2.5× dedup_minhash regression the
-    * round-3 bench caught. Lazy + listener keeps AQE on the real job,
-    * keeps explain()/composition free of side effects, and still bounds
-    * the postings cache's lifetime to one consuming action. An
-    * explain-only caller that never runs an action leaves the entry
-    * registered but unmaterialized (zero storage) plus one listener —
-    * released by the next consuming action on the same lineage. */
+    * AQE-broadcast, the 2.5× dedup_minhash regression the round-3 bench
+    * caught. Counting just the input leaves the consuming job's plan
+    * untouched (the InMemoryRelation is identical either way, AQE stays
+    * on) while fixing the round-4/5 lesson: lazy materialization let 32
+    * threads race to compute the same cache blocks inside the first
+    * consuming join ("Block rdd_N already exists" in both bench tails)
+    * with run-to-run variance of 2-6× on the dedup family. One job builds
+    * the index; the consumers only read it. */
   private val scopeCounter = new java.util.concurrent.atomic.AtomicLong()
 
   private def withScopedCache(input: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
@@ -79,6 +89,11 @@ object Dedup {
     // downstream plan.
     val scoped = input.withColumn("__cache_scope", lit(scopeCounter.incrementAndGet()))
     val cached = scoped.persist()
+    cached.count() // materialize the index once, before any consumer
+    // the count's own execution-end event must not reach the release
+    // listener registered below (it would free the cache before the real
+    // job): drain the bus so in-flight events are delivered first
+    org.apache.spark.sql.graft.Bridge.drainListenerBus(spark)
     val inputPlan = cached.queryExecution.analyzed
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       private val released = new java.util.concurrent.atomic.AtomicBoolean(false)

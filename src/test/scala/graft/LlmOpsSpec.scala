@@ -38,13 +38,14 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
-  test("scoped postings cache is released after the consuming action") {
+  test("scoped postings cache is materialized eagerly and released after the consuming action") {
     spark.catalog.clearCache() // isolate from earlier suites' leftovers
-    // the dedup call itself must stay lazy (no jobs at construction time)
-    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // construction runs the ONE index-materialization job (eager count —
+    // the round-6 fix for concurrent cache-block computation races), and
+    // the cache must hold data before any consumer runs
     val pairs = Dedup.ngramJaccard(docs, threshold = 0.5)
-    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length === before,
-      "ngramJaccard ran jobs at plan-construction time")
+    assert(!org.apache.spark.sql.graft.Bridge.cacheIsEmpty(spark),
+      "postings cache not registered at construction time")
     pairs.collect() // first consuming action
     // the postings cache must actually be SUBSTITUTED into the job (the
     // scope-tag projection must not break sameResult matching) — otherwise
@@ -143,6 +144,19 @@ class LlmOpsSpec extends SparkSpec {
       // on real-valued embeddings), so the signatures are complements
       assert(r.getLong(2) === ~r.getLong(0))
     }
+  }
+
+  test("IVF centroid count is bounded by k and √N, independent of corpus size") {
+    val small = Tables.embeddings(spark, "/root/testdata/sf0.001") // 500 rows
+    val big = Tables.embeddings(spark, "/root/testdata/sf0.1")     // 2000 rows
+    // seeds (iterations = 0): exactly min(k, ⌊√N⌋) on ANY corpus — the
+    // round-5 N/stride parameterization grew linearly with the corpus
+    assert(Similarity.trainCentroids(small, k = 8, iterations = 0).count() === 8L)
+    assert(Similarity.trainCentroids(big, k = 8, iterations = 0).count() === 8L)
+    // √N cap: a 9-row corpus can host at most 3 centroids
+    assert(Similarity.trainCentroids(small.limit(9), k = 16, iterations = 0).count() === 3L)
+    // Lloyd refinement can only empty cells, never add them
+    assert(Similarity.trainCentroids(big, k = 8, iterations = 2).count() <= 8L)
   }
 
   test("IVF top-k is bit-identical across runs and input partitionings") {
