@@ -199,6 +199,26 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir)).orderBy("id1", "id2")),
 
+    // simhash's hash family isn't SQL-expressible, but identical shingle
+    // SETS imply identical simhash structurally — so planting exact copies
+    // (and pairing at hamming 0) reduces the operator to an
+    // oracle-checkable one: the pair set must equal the identical-
+    // shingle-set (jaccard = 1.0) pairs over the same planted universe,
+    // recall 1.0 by construction. The universe is docs 0..99 — measured
+    // free of natural near-dups at every SF — because simhash at hamming 0
+    // legitimately pairs the generator's planted near-dups too (2-3
+    // differing shingles need not flip any of 64 bit-sums), and no jaccard
+    // threshold separates those from non-pairs. The probabilistic
+    // hamming<=3 variant above stays rows-only.
+    "dedup_simhash_planted" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select("doc_id", "text")
+        .filter(col("doc_id") < 100)
+      val planted = base.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.simhashPairs(base.unionByName(planted), maxHamming = 0)
+        .select("id1", "id2").orderBy("id1", "id2")
+    }),
+
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, dir)).orderBy("id1", "id2")),
 
@@ -610,7 +630,24 @@ object SparkEntry {
     "dedup_minhash" -> JACCARD_SQL,
     "dedup_jaccard_capped" -> JACCARD_CAPPED_SQL,
     // dedup_simhash / sim_topk_ivf: hash-family/ANN internals are not
-    // SQL-expressible; the driver records rows-only checks for them.
+    // SQL-expressible; the driver records rows-only checks for them. The
+    // planted reductions below ARE hash-checked (identical shingle sets /
+    // full probing make the probabilistic machinery exact).
+
+    "dedup_simhash_planted" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |planted AS (SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id < 20),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM w),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s FROM idx),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id1, id2
+        |FROM pairs JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 1.0
+        |ORDER BY id1, id2""".stripMargin,
 
     "dedup_editdist" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
