@@ -286,12 +286,11 @@ object SparkEntry {
     // ---- LLM-pipeline: multimodal decode ---------------------------------
     // end-to-end byte round-trip: the BMP/WAV headers are BUILT by
     // expression on the write side and PARSED from the raw bytes on the
-    // read side; the oracle recomputes the expected fields independently,
-    // so a wrong header offset or byte order fails the hash compare
+    // read side (decodeHeaders — pure expressions, no RDD hop); the oracle
+    // recomputes the expected fields independently, so a wrong header
+    // offset or byte order fails the hash compare
     "q_multimodal" -> ((s, dir) =>
-      Multimodal.extractFeatures(Multimodal.mediaFrame(Tables.documents(s, dir)))
-        .select("doc_id", "media_type", "container", "n_bytes",
-          "width", "height", "sample_rate", "channels")
+      Multimodal.decodeHeaders(Multimodal.mediaFrame(Tables.documents(s, dir)))
         .orderBy("doc_id")),
   )
 

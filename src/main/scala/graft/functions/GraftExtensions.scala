@@ -23,18 +23,32 @@ object GraftExtensions {
       s"$fn: parameter must be an integer literal, got $other")
   }
 
+  /** A SQL call with the wrong argument count must fail at analysis with
+    * the function's signature, not with an IndexOutOfBounds from the
+    * builder. */
+  private def arity2(fn: String, children: Seq[Expression]): Unit =
+    if (children.size != 2) throw new IllegalArgumentException(
+      s"$fn expects 2 arguments, got ${children.size}")
+
   private val functions = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1)): Expression),
+      (children: Seq[Expression]) => {
+        arity2("graft_dot(a, b)", children)
+        DotProduct(children(0), children(1)): Expression
+      }),
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
-      (children: Seq[Expression]) =>
-        WordShingles(children.head, literalInt("graft_shingles(text, n)", children(1))): Expression),
+      (children: Seq[Expression]) => {
+        arity2("graft_shingles(text, n)", children)
+        WordShingles(children.head, literalInt("graft_shingles(text, n)", children(1))): Expression
+      }),
     (FunctionIdentifier("graft_srp_sig"),
       new ExpressionInfo(classOf[SrpSignature].getName, "graft_srp_sig"),
-      (children: Seq[Expression]) =>
-        SrpSignature(children.head, literalInt("graft_srp_sig(vec, numBits)", children(1))): Expression))
+      (children: Seq[Expression]) => {
+        arity2("graft_srp_sig(vec, numBits)", children)
+        SrpSignature(children.head, literalInt("graft_srp_sig(vec, numBits)", children(1))): Expression
+      }))
 
   /** Idempotent in-session registration (for sessions built without the
     * extensions config — e.g. the driver's own). */

@@ -65,7 +65,15 @@ case class DotProduct(left: Expression, right: Expression)
   * derivation once, not per row. */
 object SrpKernel {
 
+  /** One hyperplane table per (numBits, dims) pair. A fixed pipeline uses
+    * exactly one entry per executor; the cap guards the pathological case
+    * of heterogeneous vector dims in one column (data-dependent keys), in
+    * which the table is derived per call instead of cached — correct,
+    * just not amortized — rather than growing an unbounded map. */
+  private val MaxCachedTables = 64
   private val tables = new java.util.concurrent.ConcurrentHashMap[Long, Array[Double]]()
+
+  private[graft] def cachedTableCount: Int = tables.size()
 
   private def mix(x: Long): Long = {
     var z = x + 0x9E3779B97F4A7C15L
@@ -74,20 +82,27 @@ object SrpKernel {
     z ^ (z >>> 31)
   }
 
-  private def table(numBits: Int, dims: Int): Array[Double] =
-    tables.computeIfAbsent((numBits.toLong << 32) | dims, { _ =>
-      val t = new Array[Double](numBits * dims)
-      var j = 0
-      while (j < numBits) {
-        var k = 0
-        while (k < dims) {
-          t(j * dims + k) = if ((mix(j.toLong * 1000003L + k) & 1L) == 0L) 1.0 else -1.0
-          k += 1
-        }
-        j += 1
+  private def derive(numBits: Int, dims: Int): Array[Double] = {
+    val t = new Array[Double](numBits * dims)
+    var j = 0
+    while (j < numBits) {
+      var k = 0
+      while (k < dims) {
+        t(j * dims + k) = if ((mix(j.toLong * 1000003L + k) & 1L) == 0L) 1.0 else -1.0
+        k += 1
       }
-      t
-    })
+      j += 1
+    }
+    t
+  }
+
+  private def table(numBits: Int, dims: Int): Array[Double] = {
+    val key = (numBits.toLong << 32) | dims
+    val cached = tables.get(key)
+    if (cached != null) cached
+    else if (tables.size() < MaxCachedTables) tables.computeIfAbsent(key, _ => derive(numBits, dims))
+    else derive(numBits, dims) // over the cap: per-call derivation, bounded memory
+  }
 
   def signature(v: ArrayData, numBits: Int): Long = {
     val d = v.numElements()

@@ -92,9 +92,45 @@ object Multimodal {
         .otherwise(bmpPayload(width, height, data)).as("payload"))
   }
 
+  /** Little-endian integer read of `nBytes` at 1-based byte offset `off`
+    * — the exact mirror image of leHex on the write side, again nothing
+    * but built-in codegen'd expressions (substring on binary → hex →
+    * conv), so the header DECODE path stays inside WholeStageCodegen
+    * instead of dropping to an RDD (the round-5 audit's nit: fixed-offset
+    * header reads are Catalyst-expressible and don't belong behind the
+    * codec seam). */
+  private def leInt(p: Column, off: Int, nBytes: Int): Column =
+    (0 until nBytes).map(i =>
+      conv(hex(substring(p, off + i, 1)), 16, 10).cast("long") * lit(1L << (8 * i)))
+      .reduce(_ + _).cast("int")
+
+  /** Pure-expression header decode: magic sniff + fixed-offset LE field
+    * reads per the BMP/WAV specs, straight off the payload BYTES. This is
+    * the whole oracle-checked read path; only feature extraction (real
+    * DSP) sits behind the batch seam in extractFeatures. */
+  private def headerCols(p: Column): Seq[Column] = {
+    val isBmp = (length(p) >= 54) && (hex(substring(p, 1, 2)) === lit("424D"))
+    val isWav = (length(p) >= 44) && (hex(substring(p, 1, 4)) === lit("52494646")) &&
+      (hex(substring(p, 9, 4)) === lit("57415645"))
+    Seq(
+      when(isBmp, "bmp").when(isWav, "wav").otherwise("unknown").as("container"),
+      length(p).cast("int").as("n_bytes"),
+      when(isBmp, leInt(p, 19, 4)).as("width"),        // int32 LE at offset 18
+      when(isBmp, leInt(p, 23, 4)).as("height"),       // int32 LE at offset 22
+      when(isWav, leInt(p, 25, 4)).as("sample_rate"),  // int32 LE at offset 24
+      when(isWav, leInt(p, 23, 2)).as("channels"))     // int16 LE at offset 22
+  }
+
+  /** media → decoded container metadata, fully expression-side (codegen'd,
+    * no RDD hop): (doc_id, media_type, container, n_bytes, width, height,
+    * sample_rate, channels). */
+  def decodeHeaders(media: DataFrame): DataFrame =
+    media.select(Seq(col("doc_id"), col("media_type")) ++ headerCols(col("payload")): _*)
+
   /** Decoded container metadata: (container, width, height, sampleRate,
-    * channels). Real byte parsing — magic sniff, then fixed-offset
-    * little-endian field reads per the BMP/WAV specs. */
+    * channels) — JVM twin of headerCols, kept as the executable spec of
+    * the byte layout (golden-byte unit tests pin both to the same
+    * offsets/endianness). */
   def decodeHeader(p: Array[Byte])
       : (String, Option[Int], Option[Int], Option[Int], Option[Int]) = {
     def le32(off: Int): Int =
@@ -123,27 +159,28 @@ object Multimodal {
     acc.map(_.toFloat / 1000003f)
   }
 
-  /** Batch decode + feature extraction over partitions: grouped iteration
-    * keeps the streaming/memory profile of a vectorized UDF (no
-    * partition-sized materialization beyond one batch). Header fields come
-    * from the payload bytes, nothing else. */
+  /** Batch feature extraction over partitions: grouped iteration keeps
+    * the streaming/memory profile of a vectorized UDF (no partition-sized
+    * materialization beyond one batch). Header fields are decoded by the
+    * EXPRESSION path (decodeHeaders — codegen'd, from the payload bytes);
+    * only the feature DSP crosses the batch seam, which is exactly where
+    * a real codec would init per batch. */
   def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select("doc_id", "media_type", "payload").rdd
-      .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          // per-batch setup would init the real codec once, here
-          batch.iterator.map { r =>
-            val payload = r.getAs[Array[Byte]]("payload")
-            val (container, w, h, sr, ch) = decodeHeader(payload)
-            Row(r.getAs[Long]("doc_id"), r.getAs[String]("media_type"),
-              container, payload.length,
-              w.map(Int.box).orNull, h.map(Int.box).orNull,
-              sr.map(Int.box).orNull, ch.map(Int.box).orNull,
-              pseudoFeature(payload).toSeq)
-          }
+    val decoded = media.select(
+      (Seq(col("doc_id"), col("media_type")) ++
+        headerCols(col("payload")) :+ col("payload")): _*)
+    val rdd = decoded.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch setup would init the real codec once, here
+        batch.iterator.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          // fields 0-7: doc_id..channels pass through from the expression
+          // decode; the seam only ADDS the feature vector
+          Row.fromSeq(r.toSeq.init :+ (pseudoFeature(payload).toSeq: Any))
         }
       }
+    }
     spark.createDataFrame(rdd, featureSchema)
   }
 

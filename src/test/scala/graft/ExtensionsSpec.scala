@@ -29,4 +29,30 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT graft_shingles('a b', length('xx'))").collect()
     }
   }
+
+  test("wrong arity fails with the function signature, not an index error") {
+    GraftExtensions.register(spark)
+    for (bad <- Seq("graft_dot(array(1.0d))", "graft_shingles('a', 2, 3)",
+                    "graft_srp_sig(array(1.0d))")) {
+      val e = intercept[Exception] { spark.sql(s"SELECT $bad").collect() }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("expects 2 arguments"))),
+        s"$bad: ${e.getMessage}")
+    }
+  }
+
+  test("SRP hyperplane table cache stays bounded under heterogeneous dims") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // 80 distinct dims > the 64-entry cap: every row must still compute
+    // (per-call derivation over the cap), and the cache must not grow
+    // past the bound
+    val n = (1 to 80).toDF("d")
+      .select(expr("graft_srp_sig(transform(sequence(1, d), x -> cast(x as double)), 16)").as("s"))
+      .distinct().count()
+    assert(n > 1)
+    assert(graft.functions.SrpKernel.cachedTableCount <= 64)
+  }
 }

@@ -223,6 +223,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(bmp.isNullAt(bmp.fieldIndex("sample_rate")))
   }
 
+  test("multimodal: expression header decode matches the JVM twin, with no RDD scan") {
+    val docs = Seq((6L, "pixels go here....", "en", "src", 18L),
+                   (7L, "some payload bytes", "en", "src", 18L),
+                   (8L, "video keyframe data", "en", "src", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.mediaFrame(docs)
+    val expr = Multimodal.decodeHeaders(media).orderBy("doc_id").collect()
+    val jvm = media.orderBy("doc_id").collect().map { r =>
+      val (c, w, h, sr, ch) = Multimodal.decodeHeader(r.getAs[Array[Byte]]("payload"))
+      (r.getLong(0), c, w, h, sr, ch)
+    }
+    assert(expr.map(r => (r.getLong(0), r.getString(2),
+      Option(r.get(4)), Option(r.get(5)), Option(r.get(6)), Option(r.get(7)))).toSeq === jvm.toSeq)
+    // the oracle-checked decode path must stay expression-side (codegen'd)
+    val plan = Multimodal.decodeHeaders(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), "header decode dropped to an RDD scan")
+  }
+
   test("multimodal: decodeHeader reads golden BMP/WAV bytes (pins endianness)") {
     // hand-assembled 54-byte BMP header, width=300 (0x012C), height=200
     // (0xC8) — little-endian at offsets 18/22 per the spec

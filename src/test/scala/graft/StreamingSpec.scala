@@ -40,4 +40,50 @@ class StreamingSpec extends SparkSpec {
       graft.ops.Hrfco.rawObservations(ev)).count()
     assert(dlq.count() === expectedParseFailures && expectedParseFailures > 0)
   }
+
+  test("streaming at volume: sf0.1 through fanout+DLQ in backpressured micro-batches matches batch") {
+    val base = new java.io.File("target/test-out").getAbsoluteFile.toPath
+    Files.createDirectories(base)
+    val work = Files.createTempDirectory(base, "streamvol").toString
+    val source = "/root/testdata/sf0.1"
+    val ev = Tables.events(spark, source)
+
+    // split the raw events into 8 files so AvailableNow +
+    // maxFilesPerTrigger=2 drives FOUR micro-batches — state (file-source
+    // log, checkpoint) and output correctness must hold across batch
+    // boundaries, not just on a single-batch run
+    val srcDir = s"$work/incoming"
+    spark.read.parquet(s"$source/events.parquet").repartition(8)
+      .write.parquet(srcDir)
+
+    val paths = StreamingPipeline.SinkPaths(
+      s"$work/archive", s"$work/timeseries", s"$work/raw", s"$work/dlq")
+    val q = StreamingPipeline.start(
+      spark, srcDir, ev, paths, s"$work/ckpt", maxFilesPerTrigger = 2, wlMax = 300.0)
+    assert(q.awaitTermination(300000), "streaming query timed out")
+
+    // backpressure really split the work: >= 4 triggers, none of which
+    // ingested the whole corpus (bounded per-trigger state/memory)
+    val progresses = q.recentProgress.filter(_.numInputRows > 0)
+    val total = progresses.map(_.numInputRows).sum
+    assert(progresses.length >= 4, s"expected >= 4 micro-batches, got ${progresses.length}")
+    assert(progresses.map(_.numInputRows).max < total,
+      "a single trigger ingested the whole corpus — backpressure did not bound the batch")
+
+    // exact output equality with the batch pipeline, both directions
+    val streamed = spark.read.parquet(paths.timeseries)
+      .select("observation_code", "water_level", "flow_rate", "is_anomaly", "flood_warning_level")
+    val batch = graft.ops.Hrfco.pipeline(ev, Thresholds.fromEvents(ev), wlMax = 300.0)
+      .select(col("wlobscd").as("observation_code"), col("water_level"),
+        col("flow_rate"), col("is_anomaly"), col("flood_warning_level"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+
+    // DLQ accumulated exactly the parse failures across all batches
+    val expectedParseFailures = graft.ops.Hrfco.dlqEnvelope(
+      graft.ops.Hrfco.rawObservations(ev)).count()
+    assert(spark.read.parquet(paths.dlq).count() === expectedParseFailures)
+    assert(expectedParseFailures > 0)
+  }
 }
