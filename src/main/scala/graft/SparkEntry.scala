@@ -150,6 +150,10 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       Monitoring.sessionize(Tables.events(s, dir)).orderBy("user_id", "session_seq")),
 
+    // as-of join: purchases to the same user's most recent prior view
+    "q_asof_attribution" -> ((s, dir) =>
+      TimeSeries.purchaseAttribution(Tables.events(s, dir)).orderBy("event_id")),
+
     // grouping sets: per-(station, level) counts with station subtotals
     "q_alert_rollup" -> ((s, dir) =>
       enriched(s, dir)
@@ -618,6 +622,20 @@ object SparkEntry {
         |    FROM events
         |    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)))
         |GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_asof_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us, value
+        |           FROM events WHERE event_type = 'view')
+        |SELECT p.event_id AS event_id, p.user_id AS user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        |  p.value AS purchase_value,
+        |  v.event_id AS view_event_id,
+        |  v.value AS view_value,
+        |  p.ts_us - v.ts_us AS lag_us
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY event_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies

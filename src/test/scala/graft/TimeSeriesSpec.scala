@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TimeSeries
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, ts_us, event_id, value) rows; tieCol = event_id
+  private def frame(rows: Seq[(Long, Long, Long, Double)]) =
+    rows.toDF("user_id", "ts_us", "event_id", "value")
+
+  test("asof join picks the greatest prior right row per key, inclusive at equal ts") {
+    val left = frame(Seq((1L, 100L, 10L, 1.0), (1L, 200L, 11L, 2.0), (2L, 150L, 12L, 3.0)))
+    val right = frame(Seq(
+      (1L, 50L, 1L, 0.5), (1L, 100L, 2L, 0.7), // ts=100 ties left event 10 → inclusive match
+      (1L, 180L, 3L, 0.9), (2L, 160L, 4L, 0.4))) // 160 > 150: user 2 has no prior
+    val got = TimeSeries.asofJoin(left, right, Seq("user_id"), "ts_us", "event_id",
+        payload = Seq("event_id", "value"))
+      .select("event_id", "asof_event_id", "asof_ts_us")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got === Set(
+      (10L, Some(2L), Some(100L)), // equal-ts right row matched (>= semantics)
+      (11L, Some(3L), Some(180L)), // greatest prior, not first prior
+      (12L, None, None)))          // no prior → left-join nulls
+  }
+
+  test("right rows tied on (key, ts) resolve to the greatest tiebreak, atomically") {
+    val left = frame(Seq((1L, 100L, 10L, 1.0)))
+    val right = frame(Seq((1L, 90L, 1L, 0.1), (1L, 90L, 3L, 0.3), (1L, 90L, 2L, 0.2)))
+    val got = TimeSeries.asofJoin(left, right, Seq("user_id"), "ts_us", "event_id",
+        payload = Seq("event_id", "value"))
+      .select("asof_event_id", "asof_value").as[(Long, Double)].collect().toSeq
+    // event_id 3 wins the tie and its OWN value comes with it (struct-carried
+    // payload — per-column last() could mix rows when a field is null)
+    assert(got === Seq((3L, 0.3)))
+  }
+
+  test("output is exactly one row per left row with left columns unchanged") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val out = TimeSeries.purchaseAttribution(ev)
+    assert(out.count() === purchases.count())
+    val sums = out.agg(
+      sum(when(col("view_event_id").isNull, 1).otherwise(0)).as("unmatched"),
+      sum(when(col("lag_us") < 0, 1).otherwise(0)).as("negative_lag"))
+      .collect().head
+    assert(sums.getLong(0) > 0, "sf0.001 should contain early purchases with no prior view")
+    assert(sums.getLong(1) === 0, "as-of match must never be in the left row's future")
+  }
+
+  test("plan contract: no join operator, one window over the key") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val plan = TimeSeries.purchaseAttribution(ev).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin")
+      && !plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of must be the union+window plan, not a range join:\n$plan")
+    assert(plan.contains("Window"), s"expected a window operator:\n$plan")
+  }
+}
