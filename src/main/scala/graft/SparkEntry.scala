@@ -154,6 +154,11 @@ object SparkEntry {
     "q_asof_attribution" -> ((s, dir) =>
       TimeSeries.purchaseAttribution(Tables.events(s, dir)).orderBy("event_id")),
 
+    // range join: purchases contained in the same user's browse sessions
+    "q_range_sessions" -> ((s, dir) =>
+      TimeSeries.purchasesInSessions(Tables.events(s, dir))
+        .orderBy("user_id", "session_seq", "event_id")),
+
     // grouping sets: per-(station, level) counts with station subtotals
     "q_alert_rollup" -> ((s, dir) =>
       enriched(s, dir)
@@ -636,6 +641,32 @@ object SparkEntry {
         |  p.ts_us - v.ts_us AS lag_us
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY event_id""".stripMargin,
+
+    "q_range_sessions" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq,
+        |    us
+        |  FROM base),
+        |bounds AS (
+        |  SELECT user_id, session_seq, min(us) AS start_us,
+        |    min(us) - 3600000000 AS win_start_us, max(us) + 3600000000 AS win_end_us
+        |  FROM sess GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id AS user_id, b.session_seq AS session_seq,
+        |  p.event_id AS event_id, p.value AS purchase_value,
+        |  p.ts_us - b.start_us AS offset_us
+        |FROM p JOIN bounds b ON p.user_id = b.user_id
+        |  AND p.ts_us BETWEEN b.win_start_us AND b.win_end_us
+        |ORDER BY user_id, session_seq, event_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies

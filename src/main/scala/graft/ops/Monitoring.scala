@@ -181,24 +181,28 @@ object Monitoring {
     * inactivity gaps — two stacked window functions (gap flag via lag,
     * session id via running sum), both partitioned by user so state never
     * leaves the key's partition. */
-  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionIntervals(events, gapMinutes)
+      .select(
+        col("user_id"), col("session_seq"), col("n_events"),
+        ((col("end_us") - col("start_us")) / lit(1000000L)).cast("double").as("duration_sec"))
+
+  /** Session bounds per (user, session_seq) — the interval form consumed by
+    * TimeSeries.rangeJoin; sessionize is its duration projection. */
+  def sessionIntervals(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
     val gapUs = gapMinutes * 60L * 1000000L
-    val flagged = events
+    events
       .withColumn("prev_us", lag("ts_us", 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
       .withColumn("session_seq", sum("new_session").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    flagged
       .groupBy(col("user_id"), col("session_seq"))
       .agg(
         count(lit(1)).as("n_events"),
         min("ts_us").as("start_us"),
         max("ts_us").as("end_us"))
-      .select(
-        col("user_id"), col("session_seq"), col("n_events"),
-        ((col("end_us") - col("start_us")) / lit(1000000L)).cast("double").as("duration_sec"))
   }
 
   /** T14: station list projection (code/name/address). */

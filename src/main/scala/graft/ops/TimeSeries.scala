@@ -86,6 +86,68 @@ object TimeSeries {
         carried.map(c => col("__match").getField(c).as(s"$prefix$c")): _*)
   }
 
+  /** Scale-safe interval (range) join via time bucketing: inner-joins each
+    * `points` row to every `intervals` row of the same `keys` whose
+    * [`startCol`, `endCol`] contains `ptsCol` (both ends inclusive).
+    *
+    * A literal `p.ts BETWEEN i.start AND i.end` range predicate gives Spark
+    * no equi-key and degenerates to BroadcastNestedLoopJoin — O(|P|·|I|)
+    * per key. Instead each interval is exploded to the coarse time buckets
+    * it overlaps (`sequence(start div b, end div b)`) and each point to the
+    * ONE bucket containing it, turning the range predicate into an
+    * equi-join on (keys, bucket) + a residual filter. Replication factor is
+    * interval_length/bucketUs + 1 — bounded, and tunable to the workload's
+    * median interval. Each qualifying (point, interval) pair joins in
+    * exactly one bucket (the point's), so no post-join dedup is needed.
+    *
+    * Bucket ids use integer `div`, never double division: at epoch-micros
+    * magnitude a double quotient can round across an integer boundary and
+    * silently misplace a point within ~100µs of a bucket edge.
+    *
+    * Non-key column names must be disjoint between the two sides (the
+    * query selects from both).
+    */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      ptsCol: String,
+      startCol: String,
+      endCol: String,
+      bucketUs: Long = 3600L * 1000000L): DataFrame = {
+    require(keys.nonEmpty, "rangeJoin needs at least one key column")
+    val bucketed = intervals.withColumn("__bucket",
+      explode(sequence(expr(s"$startCol div $bucketUs"), expr(s"$endCol div $bucketUs"))))
+    points
+      .withColumn("__bucket", expr(s"$ptsCol div $bucketUs"))
+      .join(bucketed, keys :+ "__bucket")
+      .filter(col(ptsCol) >= col(startCol) && col(ptsCol) <= col(endCol))
+      .drop("__bucket")
+  }
+
+  /** Range-join query: purchases landing within `padUs` of the same user's
+    * browse sessions (sessions built from click/view events only, so
+    * containment is not tautological). The pad makes this an attribution
+    * window — and since adjacent padded windows can overlap, a purchase may
+    * legitimately attribute to several sessions (the inner join keeps every
+    * qualifying pair). `offset_us` is measured from the UNPADDED session
+    * start; negative means the purchase preceded the session. */
+  def purchasesInSessions(events: DataFrame, padUs: Long = 3600L * 1000000L): DataFrame = {
+    val sessions = Monitoring
+      .sessionIntervals(events.filter(col("event_type").isin("click", "view")))
+      .select(
+        col("user_id"), col("session_seq"), col("start_us"),
+        (col("start_us") - padUs).as("win_start_us"),
+        (col("end_us") + padUs).as("win_end_us"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us", "value")
+    rangeJoin(purchases, sessions, Seq("user_id"), "ts_us", "win_start_us", "win_end_us")
+      .select(
+        col("user_id"), col("session_seq"), col("event_id"),
+        col("value").as("purchase_value"),
+        (col("ts_us") - col("start_us")).as("offset_us"))
+  }
+
   /** Attribution query over the events stream: each purchase joined as-of
     * to the same user's most recent prior view. The analytics shape of the
     * reference's "current state at event time" lookup, over the synthetic

@@ -51,6 +51,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(sums.getLong(1) === 0, "as-of match must never be in the left row's future")
   }
 
+  test("range join is inclusive at both interval ends and drops outside points") {
+    val points = frame(Seq(
+      (1L, 100L, 1L, 0.0), (1L, 150L, 2L, 0.0), (1L, 200L, 3L, 0.0),
+      (1L, 201L, 4L, 0.0), (2L, 150L, 5L, 0.0)))
+    val intervals = Seq((1L, 7L, 100L, 200L)).toDF("user_id", "iv_id", "start_us", "end_us")
+    val got = TimeSeries.rangeJoin(points, intervals, Seq("user_id"),
+        "ts_us", "start_us", "end_us", bucketUs = 50L)
+      .select("event_id", "iv_id").as[(Long, Long)].collect().toSet
+    // 100 and 200 are the closed ends; 201 is out; user 2 has no interval
+    assert(got === Set((1L, 7L), (2L, 7L), (3L, 7L)))
+  }
+
+  test("a pair joins exactly once even when the interval spans many buckets") {
+    val points = frame(Seq((1L, 500L, 1L, 0.0)))
+    val intervals = Seq((1L, 7L, 0L, 1000L)).toDF("user_id", "iv_id", "start_us", "end_us")
+    val out = TimeSeries.rangeJoin(points, intervals, Seq("user_id"),
+      "ts_us", "start_us", "end_us", bucketUs = 10L) // interval covers 101 buckets
+    assert(out.count() === 1)
+  }
+
+  test("range-join plan is an equi-join, never a nested-loop fallback") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val plan = TimeSeries.purchasesInSessions(ev).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bucketed range join must stay an equi-join:\n$plan")
+  }
+
   test("plan contract: no join operator, one window over the key") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val plan = TimeSeries.purchaseAttribution(ev).queryExecution.executedPlan.toString
