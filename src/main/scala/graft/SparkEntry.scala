@@ -189,6 +189,20 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- LLM-pipeline: reproducible sampling -----------------------------
+    "q_split_census" -> ((s, dir) =>
+      Sampling.splitCensus(Tables.documents(s, dir)).orderBy("lang", "split")),
+
+    "q_source_cap" -> ((s, dir) =>
+      Sampling.perSourceCap(Tables.documents(s, dir), cap = 100)
+        .select(col("source"), col("rank_in_source").cast("long").as("rank_in_source"),
+          col("doc_id"), col("n_chars"))
+        .orderBy("source", "rank_in_source")),
+
+    "q_shuffle_order" -> ((s, dir) =>
+      Sampling.deterministicShuffle(Tables.documents(s, dir), seed = "epoch1:")
+        .select("doc_id", "shuffle_key").limit(100)),
+
     // ---- LLM-pipeline: dedup ---------------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir)).orderBy("keep_id")),
 
@@ -667,6 +681,25 @@ object SparkEntry {
         |FROM p JOIN bounds b ON p.user_id = b.user_id
         |  AND p.ts_us BETWEEN b.win_start_us AND b.win_end_us
         |ORDER BY user_id, session_seq, event_id""".stripMargin,
+
+    "q_split_census" ->
+      """SELECT lang,
+        |  CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5'
+        |       THEN 'train' ELSE 'eval' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    "q_source_cap" ->
+      """SELECT source, rank_in_source, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+        |      AS rank_in_source
+        |  FROM documents)
+        |WHERE rank_in_source <= 100 ORDER BY source, rank_in_source""".stripMargin,
+
+    "q_shuffle_order" ->
+      """SELECT doc_id, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key LIMIT 100""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling/splitting primitives for the training-data
+  * pipeline. A corpus feeding a training run needs (a) a train/eval split
+  * that never moves between runs or engines, (b) per-source quotas so one
+  * over-represented domain can't dominate a mixture, and (c) a
+  * deterministic global shuffle for training order. All three key off
+  * content hashes, never `rand()`/`monotonically_increasing_id`: a
+  * nondeterministic split changes under task retry and silently leaks eval
+  * rows into train on a 1000-executor cluster (same failure class as
+  * rand()-salting, ops/Skew.scala).
+  *
+  * md5 is the hash on purpose — every engine renders it as identical
+  * lowercase hex, so splits reproduce bit-for-bit outside Spark (DuckDB,
+  * Python) and the assignment itself is oracle-checkable. Spark's native
+  * `hash()`/`xxhash64` are Spark-private seeds, non-portable.
+  */
+object Sampling {
+
+  /** Lowercase-hex md5 of a stable id rendered as a string; the seed folds
+    * in so distinct use sites (split vs shuffle) decorrelate. */
+  private def idHash(idCol: Column, seed: String): Column =
+    md5(concat(lit(seed), idCol.cast("string")))
+
+  /** Deterministic train/eval assignment from the first two hex chars of
+    * the id hash: 256 buckets, `trainBuckets` of them → train (230 ≈ a
+    * 90/10 split). Purely per-row — no shuffle, survives repartitioning,
+    * and composes with any downstream filter. */
+  def splitColumn(idCol: Column, trainBuckets: Int = 230, seed: String = "split:"): Column = {
+    require(trainBuckets > 0 && trainBuckets < 256, "trainBuckets must be in (0, 256)")
+    // string compare on fixed-width lowercase hex == numeric bucket compare
+    val bound = f"${trainBuckets - 1}%02x"
+    when(substring(idHash(idCol, seed), 1, 2) <= bound, "train").otherwise("eval")
+  }
+
+  /** Split census: per-(lang, split) document and char volume — the
+    * sanity-check a pipeline runs before training (is eval ~10% in every
+    * language, or did a skewed id space starve one?). */
+  def splitCensus(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("split", splitColumn(col("doc_id")))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+
+  /** Per-source quota: keep at most `cap` docs per source, preferring the
+    * longest (n_chars desc, doc_id tiebreak). One shuffle on source; the
+    * window prunes to a per-partition top-k before anything downstream.
+    * At 100 TB a hot source still funnels through one task — for extreme
+    * skew, pre-prune with a salted per-(source, salt) top-`cap` first, then
+    * re-rank the ≤ salts·cap survivors (same two-phase shape as
+    * Skew.saltedCountDistinct); single-phase is right below that scale. */
+  def perSourceCap(docs: DataFrame, cap: Int = 100): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    docs.withColumn("rank_in_source", row_number().over(w))
+      .filter(col("rank_in_source") <= cap)
+  }
+
+  /** Deterministic global shuffle: orders by the seeded id hash. Changing
+    * the seed re-deals the order; the same seed reproduces it anywhere.
+    * A total sort costs one range-partitioning exchange — at cluster scale
+    * that IS the intended plan (training shards then read back in hash
+    * order); for shard-local orders, sortWithinPartitions on the same key. */
+  def deterministicShuffle(docs: DataFrame, seed: String): DataFrame =
+    docs.withColumn("shuffle_key", idHash(col("doc_id"), seed))
+      .orderBy("shuffle_key")
+}

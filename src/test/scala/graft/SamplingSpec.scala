@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("split assignment matches an independent JVM md5, id by id") {
+    val got = Seq(0L, 1L, 42L, 999999L).toDF("doc_id")
+      .select(col("doc_id"), Sampling.splitColumn(col("doc_id")).as("split"))
+      .as[(Long, String)].collect().toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.foreach { case (id, split) =>
+      val hex = md.digest(s"split:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val want = if (hex.substring(0, 2) <= "e5") "train" else "eval"
+      assert(split === want, s"doc $id: hash $hex")
+    }
+  }
+
+  test("split is ~90/10, covers every row, and is stable across evaluations") {
+    val splits = docs.select(Sampling.splitColumn(col("doc_id")).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    val total = splits.values.sum
+    assert(total === docs.count())
+    val trainFrac = splits("train").toDouble / total
+    assert(trainFrac > 0.80 && trainFrac < 0.97, s"train fraction $trainFrac")
+    // re-evaluating yields the identical assignment (content hash, not rand)
+    val again = docs.select(Sampling.splitColumn(col("doc_id")).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(again === splits)
+  }
+
+  test("per-source cap keeps at most N, longest-first, deterministic tiebreak") {
+    val capped = Sampling.perSourceCap(docs, cap = 10)
+    val bySource = capped.groupBy("source").agg(
+      count(lit(1)).as("n"), min("n_chars").as("kept_min"))
+      .as[(String, Long, Long)].collect()
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, n, keptMin) =>
+      assert(n <= 10, s"source $src kept $n > cap")
+      // nothing dropped is longer than the shortest kept doc
+      val droppedMax = docs.filter(col("source") === src)
+        .join(capped.select("doc_id"), Seq("doc_id"), "left_anti")
+        .agg(max("n_chars")).collect().head
+      if (!droppedMax.isNullAt(0))
+        assert(droppedMax.getLong(0) <= keptMin, s"source $src dropped a longer doc")
+    }
+  }
+
+  test("deterministic shuffle reproduces under the same seed and moves under a new one") {
+    val a = Sampling.deterministicShuffle(docs, "epoch1:").select("doc_id")
+      .limit(50).as[Long].collect().toSeq
+    val b = Sampling.deterministicShuffle(docs, "epoch1:").select("doc_id")
+      .limit(50).as[Long].collect().toSeq
+    val c = Sampling.deterministicShuffle(docs, "epoch2:").select("doc_id")
+      .limit(50).as[Long].collect().toSeq
+    assert(a === b)
+    assert(a !== c)
+  }
+}
