@@ -203,6 +203,13 @@ object SparkEntry {
       Sampling.deterministicShuffle(Tables.documents(s, dir), seed = "epoch1:")
         .select("doc_id", "shuffle_key").limit(100)),
 
+    // decontamination: train docs containing >=50% of an eval doc's
+    // shingles, with the eval side drawn by the reproducible split
+    "text_decontaminate" -> ((s, dir) =>
+      Dedup.decontaminate(Tables.documents(s, dir),
+          isEval = Sampling.splitColumn(col("doc_id")) === "eval")
+        .orderBy("train_id", "eval_id")),
+
     // ---- LLM-pipeline: dedup ---------------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir)).orderBy("keep_id")),
 
@@ -700,6 +707,25 @@ object SparkEntry {
     "q_shuffle_order" ->
       """SELECT doc_id, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
         |FROM documents ORDER BY shuffle_key LIMIT 100""".stripMargin,
+
+    "text_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |    CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5'
+        |         THEN 0 ELSE 1 END AS is_eval
+        |  FROM documents),
+        |idx AS (SELECT doc_id, is_eval, w,
+        |        unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM w),
+        |sh AS (SELECT DISTINCT doc_id, is_eval,
+        |       array_to_string(list_slice(w, i, i + 2), ' ') AS s FROM idx),
+        |ev AS (SELECT doc_id, s FROM sh WHERE is_eval = 1),
+        |tr AS (SELECT doc_id, s FROM sh WHERE is_eval = 0),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM ev GROUP BY 1),
+        |inter AS (SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS i
+        |          FROM tr t JOIN ev e ON t.s = e.s GROUP BY 1, 2)
+        |SELECT train_id, eval_id, containment FROM (
+        |  SELECT train_id, eval_id, CAST(i AS DOUBLE) / sizes.n AS containment
+        |  FROM inter JOIN sizes ON sizes.doc_id = eval_id)
+        |WHERE containment >= 0.5 ORDER BY train_id, eval_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies

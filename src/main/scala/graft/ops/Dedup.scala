@@ -143,6 +143,40 @@ object Dedup {
       jaccardFilter(inter, sizes, threshold)
     }
 
+  /** Eval-set decontamination: every (train, eval) doc pair where the
+    * train doc contains at least `threshold` of the eval doc's shingle
+    * set — `containment = |sh(train) ∩ sh(eval)| / |sh(eval)|`, the
+    * standard benchmark-leakage metric (asymmetric on purpose: a long
+    * train doc quoting a whole short eval doc must score 1.0, which
+    * Jaccard would dilute). Same inverted-index shape as ngramJaccard —
+    * the pair join is train×eval postings on the shingle key, never
+    * all-pairs — with the same df cap available, and one shingling pass
+    * over the combined corpus serving both sides via the scoped cache. */
+  def decontaminate(docs: DataFrame, isEval: Column, threshold: Double = 0.5,
+                    n: Int = 3, maxDocFreq: Int = Int.MaxValue): DataFrame =
+    withScopedCache(
+      docs.select(col("doc_id"), isEval.as("__eval"),
+        explode(shingles(col("text"), n)).as("s"))) { tok =>
+      val filtered =
+        if (maxDocFreq == Int.MaxValue) tok
+        else {
+          val rare = tok.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
+          tok.join(rare.select("s"), "s")
+        }
+      val evalTok = filtered.filter(col("__eval")).select(col("doc_id").as("eval_id"), col("s"))
+      val trainTok = filtered.filter(!col("__eval")).select(col("doc_id").as("train_id"), col("s"))
+      // denominators from the same (possibly capped) universe as the
+      // intersections, for the same reason as ngramJaccard's sizes
+      val evalSizes = evalTok.groupBy("eval_id").agg(count(lit(1)).as("__n_eval"))
+      trainTok.join(evalTok, "s")
+        .groupBy("train_id", "eval_id")
+        .agg(count(lit(1)).as("__inter"))
+        .join(evalSizes, "eval_id")
+        .select(col("train_id"), col("eval_id"),
+          (col("__inter").cast("double") / col("__n_eval")).as("containment"))
+        .filter(col("containment") >= threshold)
+    }
+
   /** jaccard = |∩| / (|A|+|B|-|∩|), filtered at threshold. */
   private def jaccardFilter(inter: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
     inter

@@ -51,6 +51,20 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("decontamination scores eval-side containment, not jaccard") {
+    val corpus = Seq(
+      // train doc 1 quotes ALL of eval doc 10 inside a longer text
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (10L, "gamma delta epsilon zeta"), // 2 shingles, both inside doc 1
+      (2L, "one two three four five six"), // unrelated train doc
+      (11L, "seven eight nine ten eleven twelve")) // unrelated eval doc
+      .toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.decontaminate(corpus, isEval = col("doc_id") >= 10)
+      .as[(Long, Long, Double)].collect().toSet
+    // full containment despite tiny jaccard (2 shared / 8+2-2 = 0.25)
+    assert(pairs === Set((1L, 10L, 1.0)))
+  }
+
   test("deterministic shuffle reproduces under the same seed and moves under a new one") {
     val a = Sampling.deterministicShuffle(docs, "epoch1:").select("doc_id")
       .limit(50).as[Long].collect().toSeq
