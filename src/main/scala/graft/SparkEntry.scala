@@ -203,6 +203,10 @@ object SparkEntry {
       Sampling.deterministicShuffle(Tables.documents(s, dir), seed = "epoch1:")
         .select("doc_id", "shuffle_key").limit(100)),
 
+    // repetition metrics: top-word and top-bigram shares per doc
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(Tables.documents(s, dir)).orderBy("doc_id")),
+
     // decontamination: train docs containing >=50% of an eval doc's
     // shingles, with the eval side drawn by the reproducible split
     "text_decontaminate" -> ((s, dir) =>
@@ -707,6 +711,22 @@ object SparkEntry {
     "q_shuffle_order" ->
       """SELECT doc_id, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
         |FROM documents ORDER BY shuffle_key LIMIT 100""".stripMargin,
+
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |words AS (SELECT doc_id, unnest(ws) AS w FROM w),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+        |tw AS (SELECT doc_id, max(c) AS top_wc, CAST(sum(c) AS BIGINT) AS n_words
+        |       FROM wc GROUP BY 1),
+        |bi AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+        |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bi GROUP BY 1, 2),
+        |tb AS (SELECT doc_id, max(c) AS top_bc, CAST(sum(c) AS BIGINT) AS n_bigrams
+        |       FROM bc GROUP BY 1)
+        |SELECT tw.doc_id AS doc_id, tw.n_words,
+        |  CAST(tw.top_wc AS DOUBLE) / tw.n_words AS top_word_frac,
+        |  CAST(tb.top_bc AS DOUBLE) / tb.n_bigrams AS top_bigram_frac
+        |FROM tw JOIN tb ON tw.doc_id = tb.doc_id ORDER BY doc_id""".stripMargin,
 
     "text_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w,

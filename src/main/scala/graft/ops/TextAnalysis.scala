@@ -52,6 +52,33 @@ object TextAnalysis {
           when(col("n_tokens") >= 40, 0.3).otherwise(col("n_tokens").cast("double") / 40.0 * 0.3))
   }
 
+  /** Repetition metrics, the Gopher-rule family the scalar quality score
+    * can't see: the most frequent word's share of all words and the most
+    * frequent bigram's share of all bigrams (high values = boilerplate /
+    * degenerate loops, filtered before training). Relational shape —
+    * explode → per-(doc, gram) count → per-doc max/sum — two map-side-
+    * combined shuffles keyed by doc, no interpreted HOFs; a single
+    * pathological doc serializes into one task, like any per-doc window. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val topWord = ws.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_wc"), sum("c").as("n_words"))
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    val topBigram = ws.select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "w")))
+      .withColumn("nx", lead("w", 1).over(byPos))
+      .filter(col("nx").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("nx")).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bc"), sum("c").as("n_bigrams"))
+    topWord.join(topBigram, "doc_id")
+      .select(
+        col("doc_id"), col("n_words"),
+        (col("top_wc").cast("double") / col("n_words")).as("top_word_frac"),
+        (col("top_bc").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+  }
+
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single punctuation). */
   def tokenCounts(docs: DataFrame): DataFrame =

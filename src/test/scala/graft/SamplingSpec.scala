@@ -65,6 +65,19 @@ class SamplingSpec extends SparkSpec {
     assert(pairs === Set((1L, 10L, 1.0)))
   }
 
+  test("repetition fractions match hand counts on a degenerate doc") {
+    val corpus = Seq(
+      (1L, "spam spam spam ham"),          // top word 3/4; top bigram "spam spam" 2/3
+      (2L, "a b c d"))                     // all distinct: 1/4 and 1/3
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.repetition(corpus)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 4L, 3.0 / 4.0, 2.0 / 3.0),
+      (2L, 4L, 1.0 / 4.0, 1.0 / 3.0)))
+  }
+
   test("deterministic shuffle reproduces under the same seed and moves under a new one") {
     val a = Sampling.deterministicShuffle(docs, "epoch1:").select("doc_id")
       .limit(50).as[Long].collect().toSeq
