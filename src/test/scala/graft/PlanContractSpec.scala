@@ -43,10 +43,17 @@ class PlanContractSpec extends SparkSpec {
 
   test("near-dup operators have no cartesian product") {
     Seq("dedup_jaccard", "dedup_minhash", "dedup_simhash", "dedup_embedding",
-        "dedup_embedding_lsh").foreach { q =>
+        "dedup_embedding_lsh", "text_decontaminate").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
     }
+  }
+
+  test("split census never reads the text column") {
+    // the split keys off doc_id alone; at 100 TB reading `text` for a
+    // census would be the dominant IO cost of the whole query
+    val p = plan("q_split_census")
+    assert(!p.contains("text"), s"text should be pruned from the documents scan:\n$p")
   }
 }
