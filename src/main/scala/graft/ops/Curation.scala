@@ -39,4 +39,32 @@ object Curation {
         min("quality_score").as("min_quality"),
         max("quality_score").as("max_quality"))
       .orderBy("lang")
+
+  /** The full training-corpus pipeline: near-dup removal + quality floor
+    * (`curate`), then the repetition cap, eval-set decontamination, and
+    * the reproducible train split — the complete chain a corpus walks
+    * from raw documents to train-ready, every stage oracle-checked on its
+    * own and here in composition. All stages are per-row filters or
+    * key-bounded anti-joins over ids, so the composite inherits each
+    * stage's scale shape unchanged. */
+  def trainReady(docs: DataFrame, repetitionCap: Double = 0.1): DataFrame = {
+    val rep = TextAnalysis.repetition(docs).select("doc_id", "top_bigram_frac")
+    val contaminated = Dedup.decontaminate(docs,
+        isEval = Sampling.splitColumn(col("doc_id")) === "eval")
+      .select(col("train_id").as("doc_id")).distinct()
+    curate(docs)
+      .filter(Sampling.splitColumn(col("doc_id")) === "train")
+      .join(rep, "doc_id").filter(col("top_bigram_frac") <= repetitionCap)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Per-language census of the train-ready corpus. */
+  def trainReadyStats(docs: DataFrame): DataFrame =
+    trainReady(docs)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("quality_score").cast("decimal(18,12)")).cast("double") / count(lit(1)))
+          .as("mean_quality"))
+      .orderBy("lang")
 }
