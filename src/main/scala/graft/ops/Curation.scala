@@ -40,22 +40,39 @@ object Curation {
         max("quality_score").as("max_quality"))
       .orderBy("lang")
 
-  /** The full training-corpus pipeline: near-dup removal + quality floor
-    * (`curate`), then the repetition cap, eval-set decontamination, and
-    * the reproducible train split — the complete chain a corpus walks
-    * from raw documents to train-ready, every stage oracle-checked on its
-    * own and here in composition. All stages are per-row filters or
-    * key-bounded anti-joins over ids, so the composite inherits each
-    * stage's scale shape unchanged. */
-  def trainReady(docs: DataFrame, repetitionCap: Double = 0.1): DataFrame = {
+  /** The full training-corpus pipeline: near-dup removal + quality floor,
+    * then the repetition cap, eval-set decontamination, and the
+    * reproducible train split — the complete chain a corpus walks from raw
+    * documents to train-ready, every stage oracle-checked on its own and
+    * here in composition. All stages are per-row filters or key-bounded
+    * anti-joins over ids, so the composite inherits each stage's scale
+    * shape unchanged.
+    *
+    * Jaccard dedup and decontamination both consume shingle postings, so
+    * the composite builds them ONCE under a shared scoped cache (the
+    * `__eval` flag is a pure function of doc_id and is re-derived on the
+    * postings) instead of paying two shingling passes — at 100 TB the
+    * shingling scan is the dominant cost of both stages. */
+  def trainReady(docs: DataFrame, jaccardThreshold: Double = 0.8,
+                 qualityFloor: Double = 0.46, repetitionCap: Double = 0.1,
+                 contaminationThreshold: Double = 0.5): DataFrame = {
+    val quality = TextAnalysis.quality(docs).select("doc_id", "quality_score")
     val rep = TextAnalysis.repetition(docs).select("doc_id", "top_bigram_frac")
-    val contaminated = Dedup.decontaminate(docs,
-        isEval = Sampling.splitColumn(col("doc_id")) === "eval")
-      .select(col("train_id").as("doc_id")).distinct()
-    curate(docs)
-      .filter(Sampling.splitColumn(col("doc_id")) === "train")
-      .join(rep, "doc_id").filter(col("top_bigram_frac") <= repetitionCap)
-      .join(contaminated, Seq("doc_id"), "left_anti")
+    Dedup.withScopedCache(Dedup.postings(docs, n = 3)) { tok =>
+      val losers = Dedup.jaccardFrom(tok, jaccardThreshold, Int.MaxValue)
+        .select(col("id2").as("doc_id")).distinct()
+      val contaminated = Dedup.decontaminateFrom(
+          tok.withColumn("__eval", Sampling.splitColumn(col("doc_id")) === "eval"),
+          contaminationThreshold, Int.MaxValue)
+        .select(col("train_id").as("doc_id")).distinct()
+      docs.select("doc_id", "lang")
+        .join(quality, "doc_id")
+        .filter(col("quality_score") >= qualityFloor)
+        .join(losers, Seq("doc_id"), "left_anti")
+        .filter(Sampling.splitColumn(col("doc_id")) === "train")
+        .join(rep, "doc_id").filter(col("top_bigram_frac") <= repetitionCap)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+    }
   }
 
   /** Per-language census of the train-ready corpus. */

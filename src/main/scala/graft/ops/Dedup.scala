@@ -56,7 +56,7 @@ object Dedup {
       .select("keep_id", "n_copies")
 
   /** Exploded (doc_id, shingle) postings. */
-  private def postings(docs: DataFrame, n: Int): DataFrame =
+  private[ops] def postings(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
 
   /** Cache scope for the multi-use postings frame: persist the input,
@@ -79,7 +79,7 @@ object Dedup {
     * the index; the consumers only read it. */
   private val scopeCounter = new java.util.concurrent.atomic.AtomicLong()
 
-  private def withScopedCache(input: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
+  private[ops] def withScopedCache(input: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
     val spark = input.sparkSession
     // unique scope tag: the cache manager matches BOTH lookups and
     // unpersists by plan equality, so two invocations over the same input
@@ -125,22 +125,32 @@ object Dedup {
                    maxDocFreq: Int = Int.MaxValue): DataFrame =
     // the exploded postings feed the pair join twice plus the size agg —
     // cache-scope so shingling (regex split + HOFs, interpreted) runs once
-    withScopedCache(postings(docs, n)) { tok =>
-      val filtered =
-        if (maxDocFreq == Int.MaxValue) tok
-        else {
-          val rare = tok.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
-          tok.join(rare.select("s"), "s")
-        }
-      // sizes MUST come from the same (filtered) universe as the
-      // intersections, or capping deflates every score (identical docs
-      // would stop scoring 1.0)
-      val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = filtered.as("a")
-        .join(filtered.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .agg(count(lit(1)).as("inter"))
-      jaccardFilter(inter, sizes, threshold)
+    withScopedCache(postings(docs, n))(jaccardFrom(_, threshold, maxDocFreq))
+
+  /** Pair scoring over an already-materialized postings frame — shared by
+    * ngramJaccard and composites (Curation.trainReady) that serve several
+    * consumers from ONE cached shingling pass. */
+  private[ops] def jaccardFrom(tok: DataFrame, threshold: Double,
+                               maxDocFreq: Int): DataFrame = {
+    val filtered = capDocFreq(tok, maxDocFreq)
+    // sizes MUST come from the same (filtered) universe as the
+    // intersections, or capping deflates every score (identical docs
+    // would stop scoring 1.0)
+    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = filtered.as("a")
+      .join(filtered.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    jaccardFilter(inter, sizes, threshold)
+  }
+
+  /** The 100 TB posting-list guard: drop shingles present in more than
+    * `maxDocFreq` docs before any pair-generating join. */
+  private def capDocFreq(tok: DataFrame, maxDocFreq: Int): DataFrame =
+    if (maxDocFreq == Int.MaxValue) tok
+    else {
+      val rare = tok.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
+      tok.join(rare.select("s"), "s")
     }
 
   /** Eval-set decontamination: every (train, eval) doc pair where the
@@ -156,26 +166,27 @@ object Dedup {
                     n: Int = 3, maxDocFreq: Int = Int.MaxValue): DataFrame =
     withScopedCache(
       docs.select(col("doc_id"), isEval.as("__eval"),
-        explode(shingles(col("text"), n)).as("s"))) { tok =>
-      val filtered =
-        if (maxDocFreq == Int.MaxValue) tok
-        else {
-          val rare = tok.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
-          tok.join(rare.select("s"), "s")
-        }
-      val evalTok = filtered.filter(col("__eval")).select(col("doc_id").as("eval_id"), col("s"))
-      val trainTok = filtered.filter(!col("__eval")).select(col("doc_id").as("train_id"), col("s"))
-      // denominators from the same (possibly capped) universe as the
-      // intersections, for the same reason as ngramJaccard's sizes
-      val evalSizes = evalTok.groupBy("eval_id").agg(count(lit(1)).as("__n_eval"))
-      trainTok.join(evalTok, "s")
-        .groupBy("train_id", "eval_id")
-        .agg(count(lit(1)).as("__inter"))
-        .join(evalSizes, "eval_id")
-        .select(col("train_id"), col("eval_id"),
-          (col("__inter").cast("double") / col("__n_eval")).as("containment"))
-        .filter(col("containment") >= threshold)
-    }
+        explode(shingles(col("text"), n)).as("s")))(
+      decontaminateFrom(_, threshold, maxDocFreq))
+
+  /** Containment scoring over a postings frame carrying an `__eval` flag —
+    * the shareable half of `decontaminate` (see jaccardFrom). */
+  private[ops] def decontaminateFrom(tok: DataFrame, threshold: Double,
+                                     maxDocFreq: Int): DataFrame = {
+    val filtered = capDocFreq(tok, maxDocFreq)
+    val evalTok = filtered.filter(col("__eval")).select(col("doc_id").as("eval_id"), col("s"))
+    val trainTok = filtered.filter(!col("__eval")).select(col("doc_id").as("train_id"), col("s"))
+    // denominators from the same (possibly capped) universe as the
+    // intersections, for the same reason as ngramJaccard's sizes
+    val evalSizes = evalTok.groupBy("eval_id").agg(count(lit(1)).as("__n_eval"))
+    trainTok.join(evalTok, "s")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("__inter"))
+      .join(evalSizes, "eval_id")
+      .select(col("train_id"), col("eval_id"),
+        (col("__inter").cast("double") / col("__n_eval")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
 
   /** jaccard = |∩| / (|A|+|B|-|∩|), filtered at threshold. */
   private def jaccardFilter(inter: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
