@@ -154,6 +154,10 @@ object SparkEntry {
     "q_asof_attribution" -> ((s, dir) =>
       TimeSeries.purchaseAttribution(Tables.events(s, dir)).orderBy("event_id")),
 
+    // RANGE-frame window: trailing 1h mean/count per event type
+    "q_trailing_avg" -> ((s, dir) =>
+      Monitoring.trailingStats(Tables.events(s, dir)).orderBy("event_id")),
+
     // range join: purchases contained in the same user's browse sessions
     "q_range_sessions" -> ((s, dir) =>
       TimeSeries.purchasesInSessions(Tables.events(s, dir))
@@ -669,6 +673,16 @@ object SparkEntry {
         |  v.value AS view_value,
         |  p.ts_us - v.ts_us AS lag_us
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "q_trailing_avg" ->
+      """SELECT event_id, event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS trailing_avg,
+        |  count(*) OVER w AS n_window
+        |FROM (SELECT event_id, event_type, value, epoch_us(ts) AS ts_us FROM events)
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
     "q_range_sessions" ->

@@ -205,6 +205,23 @@ object Monitoring {
         max("ts_us").as("end_us"))
   }
 
+  /** Trailing time-window stats: each event's 1-hour-lookback mean and
+    * count within its event_type — the RANGE-frame window shape (frame
+    * bounds in event-time units, not row counts; rows arriving in a burst
+    * share a frame regardless of how many there are). Sum runs over
+    * decimal, not double: both engines aggregate a window frame in
+    * whatever association order their segment-tree picks, and decimal
+    * addition is the one that's exact under every order. */
+  def trailingStats(events: DataFrame, lookbackUs: Long = 3600L * 1000000L): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("ts_us")
+      .rangeBetween(-lookbackUs, Window.currentRow)
+    events.select(
+      col("event_id"), col("event_type"),
+      (sum(col("value").cast("decimal(18,4)")).over(w).cast("double") /
+        count(lit(1)).over(w)).as("trailing_avg"),
+      count(lit(1)).over(w).as("n_window"))
+  }
+
   /** T14: station list projection (code/name/address). */
   def stationList(dim: DataFrame): DataFrame =
     dim.select(

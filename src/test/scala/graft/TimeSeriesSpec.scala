@@ -78,6 +78,22 @@ class TimeSeriesSpec extends SparkSpec {
       s"bucketed range join must stay an equi-join:\n$plan")
   }
 
+  test("trailing stats use a RANGE frame: burst rows share one time window") {
+    val ev = Seq(
+      // (event_id, ts_us, value): three rows inside one hour, one beyond it
+      (1L, 0L, 10.0), (2L, 1000L, 20.0), (3L, 2000L, 30.0),
+      (4L, 5000000000L, 40.0))
+      .map { case (id, ts, v) => (id, ts, "x", v) }
+      .toDF("event_id", "ts_us", "event_type", "value")
+    val got = graft.ops.Monitoring.trailingStats(ev)
+      .orderBy("event_id").as[(Long, String, Double, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "x", 10.0, 1L),
+      (2L, "x", 15.0, 2L),          // (10+20)/2 — ROW frame would differ only
+      (3L, "x", 20.0, 3L),          // (10+20+30)/3: all three in the hour
+      (4L, "x", 40.0, 1L)))         // hour expired: frame restarts
+  }
+
   test("plan contract: no join operator, one window over the key") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val plan = TimeSeries.purchaseAttribution(ev).queryExecution.executedPlan.toString
