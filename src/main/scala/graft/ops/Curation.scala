@@ -55,12 +55,19 @@ object Curation {
     * shingling scan is the dominant cost of both stages. */
   def trainReady(docs: DataFrame, jaccardThreshold: Double = 0.8,
                  qualityFloor: Double = 0.46, repetitionCap: Double = 0.1,
-                 contaminationThreshold: Double = 0.5): DataFrame = {
+                 contaminationThreshold: Double = 0.5,
+                 useLsh: Boolean = false): DataFrame = {
     val quality = TextAnalysis.quality(docs).select("doc_id", "quality_score")
     val rep = TextAnalysis.repetition(docs).select("doc_id", "top_bigram_frac")
     Dedup.withScopedCache(Dedup.postings(docs, n = 3)) { tok =>
-      val losers = Dedup.jaccardFrom(tok, jaccardThreshold, Int.MaxValue)
-        .select(col("id2").as("doc_id")).distinct()
+      // useLsh swaps the quadratic-within-posting-list exact pair join for
+      // banded MinHash candidates + exact verify — same threshold, same
+      // shared postings, output identical up to LSH's documented
+      // false-negative rate; the 100 TB default
+      val pairs =
+        if (useLsh) Dedup.minhashFrom(tok, jaccardThreshold)
+        else Dedup.jaccardFrom(tok, jaccardThreshold, Int.MaxValue)
+      val losers = pairs.select(col("id2").as("doc_id")).distinct()
       val contaminated = Dedup.decontaminateFrom(
           tok.withColumn("__eval", Sampling.splitColumn(col("doc_id")) === "eval"),
           contaminationThreshold, Int.MaxValue)

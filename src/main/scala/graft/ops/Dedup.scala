@@ -200,10 +200,17 @@ object Dedup {
   /** Banded MinHash LSH near-dup pairs, verified with exact Jaccard.
     * numHashes = bands * rowsPerBand; hash family h_i(s) = xxhash64(i, s). */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
-                 bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val numHashes = bands * rowsPerBand
+                 bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
     // postings are reused by signatures, sizes, and both verify sides
-    withScopedCache(postings(docs, n)) { tok =>
+    withScopedCache(postings(docs, n))(minhashFrom(_, threshold, bands, rowsPerBand))
+
+  /** Banded candidate generation + exact verify over an already-cached
+    * postings frame — the shareable half of `minhashLsh` (see
+    * jaccardFrom). */
+  private[ops] def minhashFrom(tok: DataFrame, threshold: Double,
+                               bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    locally {
 
       // signature row per doc: 64 codegen'd min-aggregates in ONE shuffle of
       // docs×K values (an exploded (doc, hash-index) layout would push the

@@ -78,6 +78,16 @@ class SamplingSpec extends SparkSpec {
       (2L, 4L, 1.0 / 4.0, 1.0 / 3.0)))
   }
 
+  test("train-ready LSH scale path keeps the exact path's output on this corpus") {
+    val exact = graft.ops.Curation.trainReady(docs).select("doc_id")
+      .as[Long].collect().toSet
+    val lsh = graft.ops.Curation.trainReady(docs, useLsh = true).select("doc_id")
+      .as[Long].collect().toSet
+    // false-negative odds at j>=0.8 are (1-j^4)^16 ≈ 2e-4 per pair — on
+    // this corpus the candidate sets coincide, so outputs match exactly
+    assert(lsh === exact)
+  }
+
   test("deterministic shuffle reproduces under the same seed and moves under a new one") {
     val a = Sampling.deterministicShuffle(docs, "epoch1:").select("doc_id")
       .limit(50).as[Long].collect().toSeq
