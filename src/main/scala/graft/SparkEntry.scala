@@ -174,6 +174,18 @@ object SparkEntry {
           col("n"))
         .orderBy("station", "level")),
 
+    // full CUBE: every grouping-set combination, incl. the per-level
+    // margin ROLLUP cannot produce
+    "q_alert_cube" -> ((s, dir) =>
+      enriched(s, dir)
+        .cube(col("wlobscd"), col("alert_level"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("wlobscd"), lit("<all>")).as("station"),
+          coalesce(col("alert_level"), lit("<all>")).as("level"),
+          col("n"))
+        .orderBy("station", "level")),
+
     // pivot: station × alert-level count matrix (fixed level list so the
     // output schema is static and oracle-expressible)
     "q_alert_pivot" -> ((s, dir) =>
@@ -603,6 +615,12 @@ object SparkEntry {
       """SELECT coalesce(wlobscd, '<all>') AS station,
         |  coalesce(alert_level, '<all>') AS level, count(*) AS n
         |FROM alerts GROUP BY ROLLUP (wlobscd, alert_level)
+        |ORDER BY station, level""".stripMargin),
+
+    "q_alert_cube" -> (C +
+      """SELECT coalesce(wlobscd, '<all>') AS station,
+        |  coalesce(alert_level, '<all>') AS level, count(*) AS n
+        |FROM alerts GROUP BY CUBE (wlobscd, alert_level)
         |ORDER BY station, level""".stripMargin),
 
     "q_alert_pivot" -> (C +
