@@ -86,6 +86,80 @@ object TimeSeries {
         carried.map(c => col("__match").getField(c).as(s"$prefix$c")): _*)
   }
 
+  /** The hot-key refinement of `asofJoin`: identical output, but no single
+    * task ever holds a whole key. The plain form serializes each key into
+    * one window task — correct until one key's row count outgrows a task
+    * at cluster scale. This variant runs three bounded stages:
+    *
+    *  1. per-(key, time-bucket) last right payload — a parallel aggregate
+    *     (`max_by` over the (ts, tie) order), never a per-key scan;
+    *  2. carry-in per bucket: the last payload of any STRICTLY EARLIER
+    *     bucket, a window over the per-bucket summary (rows per key =
+    *     #buckets, not #events — including empty-on-the-right buckets,
+    *     which are materialized from the union's bucket set so a carry
+    *     can cross them);
+    *  3. within-bucket as-of windowed by (key, bucket) — the hot key now
+    *     spreads across #buckets tasks — seeded with the bucket's carry-in
+    *     for left rows preceding every in-bucket right row.
+    *
+    * Costs one extra shuffle and an aggregate vs `asofJoin`; worth it only
+    * when keys are hot enough to straggle. Equality with `asofJoin` is
+    * spec-asserted (TimeSeriesSpec) — same inclusive `>=` boundary, same
+    * (ts, side, tie) total order, same struct-carried payload. */
+  def asofJoinBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      payload: Seq[String],
+      bucketUs: Long = 3600L * 1000000L,
+      prefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "asofJoinBucketed needs at least one key column")
+    val carried = (payload ++ Seq(tsCol, tieCol)).distinct
+    val carriedType = StructType(carried.map(c => right.schema(c).copy(name = c)))
+    val orderCols = keys ++ Seq(tsCol, tieCol)
+    val leftCols = left.columns.toSeq
+    val keyCols = keys.map(col)
+
+    val leftBranch = left.select(
+      leftCols.map(col) ++ Seq(
+        lit(null).cast(carriedType).as("__asof"), lit(1).as("__side")): _*)
+    val rightBranch = right.select(
+      leftCols.map { c =>
+        if (orderCols.contains(c)) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)
+      } ++ Seq(
+        struct(carried.map(col): _*).as("__asof"), lit(0).as("__side")): _*)
+    val unioned = leftBranch.unionByName(rightBranch)
+      .withColumn("__bucket", expr(s"$tsCol div $bucketUs"))
+
+    // 1. parallel per-bucket summary of the right side
+    val bucketLast = unioned.filter(col("__side") === 0)
+      .groupBy(keyCols :+ col("__bucket"): _*)
+      .agg(max_by(col("__asof"), struct(col(tsCol), col(tieCol))).as("__last"))
+    // 2. carry-in across buckets (empty right buckets included via the
+    //    union's bucket set; frame excludes the current bucket)
+    val allBuckets = unioned.select(keyCols :+ col("__bucket"): _*).distinct()
+    val carryW = Window.partitionBy(keyCols: _*).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = allBuckets
+      .join(bucketLast, keys :+ "__bucket", "left")
+      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(carryW))
+      .select(keyCols ++ Seq(col("__bucket"), col("__carry")): _*)
+    // 3. within-bucket as-of, seeded by the carry-in
+    val w = Window
+      .partitionBy(keyCols :+ col("__bucket"): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned.join(carryIn, keys :+ "__bucket")
+      .withColumn("__match",
+        coalesce(last(col("__asof"), ignoreNulls = true).over(w), col("__carry")))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        carried.map(c => col("__match").getField(c).as(s"$prefix$c")): _*)
+  }
+
   /** Scale-safe interval (range) join via time bucketing: inner-joins each
     * `points` row to every `intervals` row of the same `keys` whose
     * [`startCol`, `endCol`] contains `ptsCol` (both ends inclusive).

@@ -51,6 +51,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(sums.getLong(1) === 0, "as-of match must never be in the left row's future")
   }
 
+  test("bucketed as-of equals the single-pass as-of, including across empty buckets") {
+    // fixture: match must carry across buckets 1-4 (no right rows there)
+    val left = frame(Seq((1L, 450L, 10L, 1.0), (1L, 40L, 11L, 2.0)))
+    val right = frame(Seq((1L, 50L, 1L, 0.5), (1L, 60L, 2L, 0.7)))
+    val a = TimeSeries.asofJoin(left, right, Seq("user_id"), "ts_us", "event_id",
+      payload = Seq("event_id", "value"))
+    val b = TimeSeries.asofJoinBucketed(left, right, Seq("user_id"), "ts_us", "event_id",
+      payload = Seq("event_id", "value"), bucketUs = 100L)
+    assert(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty,
+      s"bucketed mismatch:\n${b.collect().mkString("\n")}\nvs\n${a.collect().mkString("\n")}")
+    // and on real data, at a bucket width that forces many carries
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val views = ev.filter(col("event_type") === "view")
+    val fa = TimeSeries.asofJoin(purchases, views, Seq("user_id"), "ts_us", "event_id",
+      payload = Seq("event_id", "value"))
+    val fb = TimeSeries.asofJoinBucketed(purchases, views, Seq("user_id"), "ts_us", "event_id",
+      payload = Seq("event_id", "value"), bucketUs = 600L * 1000000L)
+    assert(fb.exceptAll(fa).isEmpty && fa.exceptAll(fb).isEmpty)
+  }
+
   test("range join is inclusive at both interval ends and drops outside points") {
     val points = frame(Seq(
       (1L, 100L, 1L, 0.0), (1L, 150L, 2L, 0.0), (1L, 200L, 3L, 0.0),
