@@ -88,6 +88,25 @@ class SamplingSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("split column is stateless and stream-safe: streaming assignment equals batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ids = (0L until 200L).toSeq
+    val stream = MemoryStream[Long]
+    stream.addData(ids: _*)
+    val q = stream.toDF().withColumnRenamed("value", "doc_id")
+      .select(col("doc_id"), Sampling.splitColumn(col("doc_id")).as("split"))
+      .writeStream.format("memory").queryName("split_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("split_stream").as[(Long, String)].collect().toMap
+    val batch = ids.toDF("doc_id")
+      .select(col("doc_id"), Sampling.splitColumn(col("doc_id")).as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(streamed === batch)
+  }
+
   test("deterministic shuffle reproduces under the same seed and moves under a new one") {
     val a = Sampling.deterministicShuffle(docs, "epoch1:").select("doc_id")
       .limit(50).as[Long].collect().toSeq

@@ -51,6 +51,19 @@ class TimeSeriesSpec extends SparkSpec {
     assert(sums.getLong(1) === 0, "as-of match must never be in the left row's future")
   }
 
+  test("as-of join scopes matches to the full composite key") {
+    val left = Seq((1L, "a", 100L, 10L, 1.0), (1L, "b", 100L, 11L, 2.0))
+      .toDF("user_id", "region", "ts_us", "event_id", "value")
+    val right = Seq((1L, "a", 50L, 1L, 0.5))
+      .toDF("user_id", "region", "ts_us", "event_id", "value")
+    val got = TimeSeries.asofJoin(left, right, Seq("user_id", "region"),
+        "ts_us", "event_id", payload = Seq("event_id"))
+      .select("event_id", "asof_event_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    // (1,"b") must NOT see (1,"a")'s right row
+    assert(got === Set((10L, Some(1L)), (11L, None)))
+  }
+
   test("bucketed as-of equals the single-pass as-of, including across empty buckets") {
     // fixture: match must carry across buckets 1-4 (no right rows there)
     val left = frame(Seq((1L, 450L, 10L, 1.0), (1L, 40L, 11L, 2.0)))
