@@ -25,6 +25,26 @@ object Bench {
       .groupBy("k").count().write.format("noop").mode("overwrite").save()
     Tables.lineitem(spark, sfDir).limit(1).collect()
 
+    // Host calibration: a fixed synthetic workload (no data dependency, no
+    // IO variance) timed before and after the query loop. This sandbox's
+    // host demonstrably slows 2.5x mid-session on byte-identical code
+    // (GATE_r6.md); the cal numbers let a reader — and bench_gate.py —
+    // distinguish host drift from genuine regression. min-of-3 after the
+    // warm-up above, so JIT/codegen are already paid.
+    def hostCal(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(8000000L)
+          .select((col("id") % 9973).as("k"), col("id"))
+          .groupBy("k")
+          .agg(sum("id").as("s"), avg("id").as("a"), count(lit(1)).as("c"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq.fill(3)(once()).min
+    }
+    val calBefore = hostCal()
+
     // two executions per query, keep the min: the first run pays JIT +
     // codegen compilation (measured 3-6x on the hot path) and this host's
     // load noise is large; steady-state is the honest number for an
@@ -73,10 +93,11 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    val calAfter = hostCal()
     // "filtered" marks partial runs so they can never be mistaken for the
     // official full-bench line
     val filtered = if (only.isDefined) ""","filtered":true""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$filtered,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$filtered,"host_cal_before":$calBefore,"host_cal_after":$calAfter,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

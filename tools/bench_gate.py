@@ -39,7 +39,19 @@ def load_queries(path):
         sys.exit(f"[gate] {path}: no 'queries' field (rc!=0 bench run?)")
     if d.get("filtered"):
         sys.exit(f"[gate] {path}: filtered (partial) bench run — not comparable")
-    return d["queries"]
+    # host calibration stanza (round 7+): min of before/after is the best
+    # view of the host's speed during the run (the after number can be
+    # inflated by lingering GC/compaction from the query loop itself)
+    cal = None
+    cals = [d[k] for k in ("host_cal_before", "host_cal_after")
+            if isinstance(d.get(k), (int, float)) and d[k] > 0]
+    if cals:
+        cal = min(cals)
+        if len(cals) == 2 and max(cals) / min(cals) > 1.3:
+            print(f"[gate] note: {os.path.basename(path)} host drifted "
+                  f"{max(cals) / min(cals):.2f}x DURING the run "
+                  f"(cal {cals[0]:.2f}s -> {cals[1]:.2f}s)")
+    return d["queries"], cal
 
 
 def main():
@@ -60,9 +72,29 @@ def main():
     else:
         sys.exit(__doc__)
 
-    old_q, new_q = load_queries(old_path), load_queries(new_path)
+    (old_q, old_cal), (new_q, new_cal) = load_queries(old_path), load_queries(new_path)
     print(f"[gate] {os.path.basename(old_path)} -> {os.path.basename(new_path)} "
           f"(threshold {threshold}x)")
+
+    # Host-drift normalization: when both runs carry a calibration number
+    # and the host speed differs >1.3x, rescale the new run's timings to
+    # the old run's host before ratio-ing. The cal workload is fixed and
+    # data-independent, so its ratio measures the host, not the engine —
+    # without this, a slow host reads as a uniform phantom regression
+    # (BENCH_r06's 2.5-4x dedup "regressions" vs same-code gate runs).
+    scale = 1.0
+    if old_cal and new_cal:
+        cal_ratio = new_cal / old_cal
+        if cal_ratio > 1.3 or cal_ratio < 1 / 1.3:
+            scale = 1.0 / cal_ratio
+            print(f"[gate] HOST DRIFT: cal {old_cal:.2f}s -> {new_cal:.2f}s "
+                  f"({cal_ratio:.2f}x) — rescaling new-run timings by {scale:.2f} "
+                  f"to compare engines, not hosts")
+        else:
+            print(f"[gate] host cal: {old_cal:.2f}s -> {new_cal:.2f}s "
+                  f"({cal_ratio:.2f}x, within 1.3x — no rescale)")
+    elif old_cal or new_cal:
+        print("[gate] note: only one run has host_cal — comparing raw timings")
 
     bad = []
     for name in sorted(new_q):
@@ -71,6 +103,7 @@ def main():
         if new_s < 0:
             bad.append((name, old_s, new_s, "FAILED in new run"))
             continue
+        new_s = new_s * scale
         if old_s is None:
             print(f"  new   {name}: {new_s:.2f}s (no prior)")
             continue
@@ -88,8 +121,9 @@ def main():
         print(f"  note  queries dropped since old run: {', '.join(gone)}")
 
     total_old = sum(v for v in old_q.values() if v > 0)
-    total_new = sum(v for v in new_q.values() if v > 0)
-    print(f"[gate] totals: {total_old:.1f}s -> {total_new:.1f}s")
+    total_new = sum(v * scale for v in new_q.values() if v > 0)
+    scaled = " (host-normalized)" if scale != 1.0 else ""
+    print(f"[gate] totals: {total_old:.1f}s -> {total_new:.1f}s{scaled}")
     if bad:
         print("[gate] REGRESSIONS:")
         for name, old_s, new_s, why in bad:
