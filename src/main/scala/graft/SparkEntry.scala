@@ -215,6 +215,14 @@ object SparkEntry {
           col("doc_id"), col("n_chars"))
         .orderBy("source", "rank_in_source")),
 
+    // two-phase hot-source form; same oracle as q_source_cap because the
+    // salted pre-prune provably never changes the output
+    "q_source_cap_salted" -> ((s, dir) =>
+      Sampling.perSourceCapSalted(Tables.documents(s, dir), cap = 100, salts = 8)
+        .select(col("source"), col("rank_in_source").cast("long").as("rank_in_source"),
+          col("doc_id"), col("n_chars"))
+        .orderBy("source", "rank_in_source")),
+
     "q_shuffle_order" -> ((s, dir) =>
       Sampling.deterministicShuffle(Tables.documents(s, dir), seed = "epoch1:")
         .select("doc_id", "shuffle_key").limit(100)),
@@ -737,6 +745,14 @@ object SparkEntry {
         |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
     "q_source_cap" ->
+      """SELECT source, rank_in_source, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+        |      AS rank_in_source
+        |  FROM documents)
+        |WHERE rank_in_source <= 100 ORDER BY source, rank_in_source""".stripMargin,
+
+    "q_source_cap_salted" ->
       """SELECT source, rank_in_source, doc_id, n_chars FROM (
         |  SELECT source, doc_id, n_chars,
         |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)

@@ -50,12 +50,35 @@ object Sampling {
     * longest (n_chars desc, doc_id tiebreak). One shuffle on source; the
     * window prunes to a per-partition top-k before anything downstream.
     * At 100 TB a hot source still funnels through one task — for extreme
-    * skew, pre-prune with a salted per-(source, salt) top-`cap` first, then
-    * re-rank the ≤ salts·cap survivors (same two-phase shape as
-    * Skew.saltedCountDistinct); single-phase is right below that scale. */
+    * skew use [[perSourceCapSalted]], the two-phase form; single-phase is
+    * right below that scale. */
   def perSourceCap(docs: DataFrame, cap: Int = 100): DataFrame = {
     val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
     docs.withColumn("rank_in_source", row_number().over(w))
+      .filter(col("rank_in_source") <= cap)
+  }
+
+  /** Two-phase [[perSourceCap]] for hot-source skew (same shape as
+    * Skew.saltedCountDistinct): phase 1 ranks within (source, salt) and
+    * keeps each salt's top `cap`, spreading a 10 TB source across `salts`
+    * tasks; phase 2 re-ranks the ≤ salts·cap survivors per source. Every
+    * row in the global top `cap` is in its own salt's top `cap`, so the
+    * result — including `rank_in_source` — is row-for-row identical to the
+    * single-phase form (spec-pinned, SamplingSpec). The salt hashes the
+    * doc_id (never `rand()`: a retried task must re-deal identically), and
+    * it needs no cross-engine portability — it shapes the plan, not the
+    * output. */
+  def perSourceCapSalted(docs: DataFrame, cap: Int = 100, salts: Int = 16): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val order = Seq(col("n_chars").desc, col("doc_id"))
+    val pre = Window.partitionBy(col("source"), pmod(xxhash64(col("doc_id")), lit(salts)))
+      .orderBy(order: _*)
+    val post = Window.partitionBy("source").orderBy(order: _*)
+    docs
+      .withColumn("salt_rank", row_number().over(pre))
+      .filter(col("salt_rank") <= cap)
+      .drop("salt_rank")
+      .withColumn("rank_in_source", row_number().over(post))
       .filter(col("rank_in_source") <= cap)
   }
 

@@ -51,6 +51,34 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("salted two-phase cap equals single-phase on a hot-source fixture, with the pre-prune in the plan") {
+    // one hot source carrying 80% of the rows plus a long tail, with
+    // n_chars ties to exercise the doc_id tiebreak across salts
+    val rows = (0L until 2000L).map { i =>
+      val src = if (i < 1600) "hot" else s"cold_${i % 7}"
+      (i, src, (i % 50) + 100L)
+    }
+    val fixture = rows.toDF("doc_id", "source", "n_chars")
+    val single = Sampling.perSourceCap(fixture, cap = 25)
+      .select("source", "rank_in_source", "doc_id", "n_chars")
+    val salted = Sampling.perSourceCapSalted(fixture, cap = 25, salts = 8)
+      .select("source", "rank_in_source", "doc_id", "n_chars")
+    assert(single.exceptAll(salted).isEmpty && salted.exceptAll(single).isEmpty,
+      "two-phase output differs from single-phase")
+    // plan contract: two window stages — the salted pre-prune then the re-rank
+    val p = salted.queryExecution.executedPlan.toString
+    val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.size === 2, s"expected 2 window stages in:\n$p")
+    // the pre-prune partitions by (source, salt) — the salt shows up as a
+    // pre-projected _w0 column in its partition spec; the re-rank by source alone
+    assert(windowLines.count(_.contains("_w0")) === 1,
+      s"salted pre-prune window missing in:\n$p")
+    // both phases get map-side WindowGroupLimit pre-pruning (Partial before
+    // each exchange) — the property that makes phase 1 spread a hot source
+    assert(p.linesIterator.count(l => l.contains("WindowGroupLimit") && l.contains("Partial")) === 2,
+      s"expected partial window-group-limits in:\n$p")
+  }
+
   test("decontamination scores eval-side containment, not jaccard") {
     val corpus = Seq(
       // train doc 1 quotes ALL of eval doc 10 inside a longer text
