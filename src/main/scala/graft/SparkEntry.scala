@@ -321,6 +321,16 @@ object SparkEntry {
       Similarity.topKIvf(Tables.embeddings(s, dir), nprobe = Int.MaxValue)
         .orderBy("query_id", "rank")),
 
+    // IVF recall certificate: on the planted-cluster corpus the true top-5
+    // of each query are its cluster siblings BY CONSTRUCTION, so the
+    // approximate path (nprobe=3 of 16 cells) structurally achieves recall
+    // 1.0 and the output is hash-checkable against DuckDB brute force —
+    // the clustered-data recall claim sim_topk_ivf rests on, proven.
+    "sim_topk_ivf_clustered" -> ((s, dir) =>
+      Similarity.topKIvf(Similarity.plantedClusterCorpus(Tables.embeddings(s, dir)),
+        k = 5, numQueries = 8, numCells = 16, nprobe = 3)
+        .orderBy("query_id", "rank")),
+
     "q_embed_quantize" -> ((s, dir) => {
       val q = Quantization.quantize(Tables.embeddings(s, dir))
       q.select(
@@ -867,6 +877,29 @@ object SparkEntry {
     "sim_topk_brute" -> TOPK_SQL,
     // full-probe IVF == the brute scan (see the queries entry)
     "sim_topk_ivf_full" -> TOPK_SQL,
+
+    // brute force over the planted-cluster corpus: recall 1.0 is structural
+    // there, so approximate IVF (nprobe=3) must reproduce it exactly
+    "sim_topk_ivf_clustered" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> x) AS v
+        |  FROM embeddings),
+        |members AS (
+        |  SELECT CASE WHEN j = 0 THEN s.vec_id
+        |              ELSE 1000 + s.vec_id * 6 + j END AS vec_id,
+        |         list_transform(s.v, x -> x + 0.002 * j) AS v
+        |  FROM (SELECT vec_id, v FROM base WHERE vec_id < 8) s
+        |  CROSS JOIN (SELECT unnest(range(6)) AS j) js),
+        |bg AS (SELECT vec_id + 1000000 AS vec_id, v FROM base WHERE vec_id >= 8),
+        |corpus AS (SELECT vec_id, v FROM members UNION ALL SELECT vec_id, v FROM bg)
+        |SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.v, b.v) AS cosine,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id) AS rank
+        |  FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 8)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_embed_quantize" ->
       ("""SELECT vec_id,

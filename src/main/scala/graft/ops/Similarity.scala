@@ -61,6 +61,36 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Planted-cluster corpus for certifying IVF recall on CLUSTERED data
+    * (the regime IVF is for — `sim_topk_ivf`'s recall story on the
+    * near-random synthetic corpus is only nprobe/#cells). Each seed vector
+    * (vec_id < seeds) spawns `copies` members: copy j adds 0.002·j to every
+    * component. The embeddings are unit-norm with ~0.125-scale components,
+    * so the tilt keeps intra-cluster cosines ≥ ~0.997 — far above any
+    * random 64-dim background pair (max ~0.4 at tested SFs), so the true
+    * top-(copies-1) of each seed are exactly its siblings — yet ≥1e-4
+    * clear of DuckDB's ±1 cosine clamp (see dedup_embedding_lsh's 1-ulp
+    * note). Seeds keep their id and are the
+    * queries; copies and background get disjoint id ranges, and the
+    * original seed rows are excluded from the background so no exactly
+    * -parallel pair exists. Fully deterministic, so brute-force top-k over
+    * the derived corpus is a DuckDB-expressible oracle: IVF achieving
+    * recall 1.0 here is a structural property (siblings share the query's
+    * cell direction), not luck. */
+  def plantedClusterCorpus(embeddings: DataFrame, seeds: Int = 8, copies: Int = 6): DataFrame = {
+    val base = embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val members = base.filter(col("vec_id") < seeds)
+      .select(col("vec_id"), explode(sequence(lit(0), lit(copies - 1))).as("j"), col("v"))
+      .select(
+        when(col("j") === 0, col("vec_id"))
+          .otherwise(lit(1000L) + col("vec_id") * copies + col("j")).as("vec_id"),
+        transform(col("v"), x => x + lit(0.002) * col("j")).as("embedding"))
+    val background = base.filter(col("vec_id") >= seeds)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("v").as("embedding"))
+    members.unionByName(background)
+  }
+
   /** k-means centroid training with BOUNDED cardinality and BOUNDED input:
     * exactly min(k, ⌊√N⌋) seeds — never a count that grows with the corpus
     * (the round-5 audit flagged the old stride parameterization as
