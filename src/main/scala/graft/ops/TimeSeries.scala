@@ -14,6 +14,26 @@ import org.apache.spark.sql.types.StructType
   */
 object TimeSeries {
 
+  /** Exact integer floor division for bucket ids. SQL `div` truncates
+    * toward zero, which would fold pre-epoch timestamps in (-b, b) into one
+    * bucket 0 and break bucket monotonicity; all tested data is epoch-micros
+    * (non-negative) so this only matters for exotic domains, but floor is
+    * cheap and unconditionally correct. Never double division: at
+    * epoch-micros magnitude a double quotient can round across an integer
+    * boundary and silently misplace a point within ~100µs of a bucket edge. */
+  private[graft] def floorDiv(x: Column, b: Long): Column =
+    // x - pmod(x,b) is the exact greatest multiple of b <= x, so the
+    // truncating SQL `div` of it IS floor division — all integer arithmetic
+    call_function("div", x - pmod(x, lit(b)), lit(b))
+
+  /** Interval side of the bucketed range join: one row per (interval,
+    * overlapped bucket). Exposed package-private so specs can count the
+    * replication a bucket size actually produces. */
+  private[graft] def explodeToBuckets(
+      intervals: DataFrame, startCol: String, endCol: String, bucketUs: Long): DataFrame =
+    intervals.withColumn("__bucket",
+      explode(sequence(floorDiv(col(startCol), bucketUs), floorDiv(col(endCol), bucketUs))))
+
   /** Scale-safe as-of join, union + window form.
     *
     * For every `left` row, attaches the columns of the `right` row with the
@@ -132,7 +152,7 @@ object TimeSeries {
       } ++ Seq(
         struct(carried.map(col): _*).as("__asof"), lit(0).as("__side")): _*)
     val unioned = leftBranch.unionByName(rightBranch)
-      .withColumn("__bucket", expr(s"$tsCol div $bucketUs"))
+      .withColumn("__bucket", floorDiv(col(tsCol), bucketUs))
 
     // 1. parallel per-bucket summary of the right side
     val bucketLast = unioned.filter(col("__side") === 0)
@@ -174,9 +194,15 @@ object TimeSeries {
     * median interval. Each qualifying (point, interval) pair joins in
     * exactly one bucket (the point's), so no post-join dedup is needed.
     *
-    * Bucket ids use integer `div`, never double division: at epoch-micros
-    * magnitude a double quotient can round across an integer boundary and
-    * silently misplace a point within ~100µs of a bucket edge.
+    * Bucket ids use integer floor division (see floorDiv), never double
+    * division: at epoch-micros magnitude a double quotient can round across
+    * an integer boundary and silently misplace a point within ~100µs of a
+    * bucket edge.
+    *
+    * Replication is linear in interval length, so a degenerate tail (one
+    * year-long interval at the default 1 h bucket → ~8,760 rows) is the
+    * scale risk — [[rangeJoinGuarded]] bounds it and is the production
+    * default; this single-granularity form is the building block.
     *
     * Non-key column names must be disjoint between the two sides (the
     * query selects from both).
@@ -190,13 +216,46 @@ object TimeSeries {
       endCol: String,
       bucketUs: Long = 3600L * 1000000L): DataFrame = {
     require(keys.nonEmpty, "rangeJoin needs at least one key column")
-    val bucketed = intervals.withColumn("__bucket",
-      explode(sequence(expr(s"$startCol div $bucketUs"), expr(s"$endCol div $bucketUs"))))
     points
-      .withColumn("__bucket", expr(s"$ptsCol div $bucketUs"))
-      .join(bucketed, keys :+ "__bucket")
+      .withColumn("__bucket", floorDiv(col(ptsCol), bucketUs))
+      .join(explodeToBuckets(intervals, startCol, endCol, bucketUs), keys :+ "__bucket")
       .filter(col(ptsCol) >= col(startCol) && col(ptsCol) <= col(endCol))
       .drop("__bucket")
+  }
+
+  /** [[rangeJoin]] with bounded replication under a degenerate interval
+    * tail. Intervals spanning fewer than `maxBucketsPerInterval` fine
+    * buckets take the plain bucketed path (replication ≤
+    * maxBucketsPerInterval); longer ones — the tail that would explode, a
+    * year-long interval being ~8,760 fine buckets — are exploded at the
+    * COARSE granularity `bucketUs · maxBucketsPerInterval` instead, cutting
+    * their replication by that factor (the year-long interval: ~138 rows at
+    * the defaults). Worst-case per-interval replication is therefore
+    * max(maxBucketsPerInterval, len/(bucketUs·maxBucketsPerInterval) + 1)
+    * instead of len/bucketUs + 1; more tiers would tighten the bound
+    * logarithmically but two covers every realistic tail.
+    *
+    * Exactly-once still holds: each interval lives in exactly ONE branch,
+    * and within a branch a point joins only the single bucket containing it.
+    * The coarse branch re-scans the points side, but its interval side is
+    * the tail — typically tiny or empty — so AQE broadcasts it and the
+    * second pass is a cheap map-side join, no extra shuffle of points. */
+  def rangeJoinGuarded(
+      points: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      ptsCol: String,
+      startCol: String,
+      endCol: String,
+      bucketUs: Long = 3600L * 1000000L,
+      maxBucketsPerInterval: Int = 64): DataFrame = {
+    require(maxBucketsPerInterval > 1, "maxBucketsPerInterval must exceed 1")
+    val span = floorDiv(col(endCol), bucketUs) - floorDiv(col(startCol), bucketUs)
+    val shortSide = intervals.filter(span < maxBucketsPerInterval)
+    val longSide = intervals.filter(span >= maxBucketsPerInterval)
+    val coarseUs = bucketUs * maxBucketsPerInterval
+    rangeJoin(points, shortSide, keys, ptsCol, startCol, endCol, bucketUs)
+      .unionByName(rangeJoin(points, longSide, keys, ptsCol, startCol, endCol, coarseUs))
   }
 
   /** Range-join query: purchases landing within `padUs` of the same user's
@@ -215,7 +274,7 @@ object TimeSeries {
         (col("end_us") + padUs).as("win_end_us"))
     val purchases = events.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts_us", "value")
-    rangeJoin(purchases, sessions, Seq("user_id"), "ts_us", "win_start_us", "win_end_us")
+    rangeJoinGuarded(purchases, sessions, Seq("user_id"), "ts_us", "win_start_us", "win_end_us")
       .select(
         col("user_id"), col("session_seq"), col("event_id"),
         col("value").as("purchase_value"),

@@ -105,6 +105,48 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.count() === 1)
   }
 
+  test("guarded range join bounds a degenerate interval's replication, output unchanged") {
+    // 200 routine one-hour sessions plus one pathological YEAR-long
+    // interval; points scattered across the year
+    val hourUs = 3600L * 1000000L
+    val points = frame((0L until 500L).map(i =>
+      (i % 3, i * (365L * 24 * hourUs / 500), i, 0.0)))
+    val routine = (0L until 200L).map(i => (i % 3, i, i * 40 * hourUs, i * 40 * hourUs + hourUs))
+    val intervals = (routine :+ (1L, 999L, 0L, 365L * 24 * hourUs))
+      .toDF("user_id", "iv_id", "start_us", "end_us")
+    val plain = TimeSeries.rangeJoin(points, intervals, Seq("user_id"),
+      "ts_us", "start_us", "end_us", bucketUs = hourUs)
+    val guarded = TimeSeries.rangeJoinGuarded(points, intervals, Seq("user_id"),
+      "ts_us", "start_us", "end_us", bucketUs = hourUs, maxBucketsPerInterval = 64)
+    assert(guarded.exceptAll(plain).isEmpty && plain.exceptAll(guarded).isEmpty,
+      "guarded output differs from plain")
+    // replication accounting, counted on the actual exploded interval sides:
+    // plain pays the full year at 1h buckets; the guard's coarse branch pays
+    // year/(64h) and its fine branch only the routine intervals
+    val plainRows = TimeSeries.explodeToBuckets(intervals, "start_us", "end_us", hourUs).count()
+    val span = (col("end_us") - col("start_us")) / hourUs
+    val fineRows = TimeSeries.explodeToBuckets(
+      intervals.filter(span < 64), "start_us", "end_us", hourUs).count()
+    val coarseRows = TimeSeries.explodeToBuckets(
+      intervals.filter(span >= 64), "start_us", "end_us", hourUs * 64).count()
+    assert(plainRows > 8760L, s"fixture should explode plain ($plainRows rows)")
+    assert(fineRows + coarseRows < 600L,
+      s"guard should bound replication, got ${fineRows + coarseRows}")
+  }
+
+  test("floor-div bucket ids stay monotonic across negative timestamps") {
+    // pre-epoch point inside a pre-epoch interval: truncating div would
+    // fold (-b, b) into bucket 0 and still find it, but a point in
+    // (-2b, -b) against an interval ending before -b is the breaking case
+    val points = frame(Seq((1L, -150L, 1L, 0.0), (1L, -50L, 2L, 0.0), (1L, 50L, 3L, 0.0)))
+    val intervals = Seq((1L, 7L, -180L, -120L), (1L, 8L, -60L, 60L))
+      .toDF("user_id", "iv_id", "start_us", "end_us")
+    val got = TimeSeries.rangeJoin(points, intervals, Seq("user_id"),
+        "ts_us", "start_us", "end_us", bucketUs = 100L)
+      .select("event_id", "iv_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 7L), (2L, 8L), (3L, 8L)))
+  }
+
   test("range-join plan is an equi-join, never a nested-loop fallback") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val plan = TimeSeries.purchasesInSessions(ev).queryExecution.executedPlan.toString
