@@ -154,6 +154,12 @@ object SparkEntry {
     "q_asof_attribution" -> ((s, dir) =>
       TimeSeries.purchaseAttribution(Tables.events(s, dir)).orderBy("event_id")),
 
+    // the hot-key bucketed refinement produces identical output (carry-in
+    // across 6h buckets), so it shares the plain form's oracle
+    "q_asof_attribution_bucketed" -> ((s, dir) =>
+      TimeSeries.purchaseAttribution(Tables.events(s, dir),
+        bucketUs = Some(6L * 3600L * 1000000L)).orderBy("event_id")),
+
     // RANGE-frame window: trailing 1h mean/count per event type
     "q_trailing_avg" -> ((s, dir) =>
       Monitoring.trailingStats(Tables.events(s, dir)).orderBy("event_id")),
@@ -697,19 +703,14 @@ object SparkEntry {
         |    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)))
         |GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
 
-    "q_asof_attribution" ->
-      """WITH p AS (SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us, value
-        |           FROM events WHERE event_type = 'purchase'),
-        |     v AS (SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us, value
-        |           FROM events WHERE event_type = 'view')
-        |SELECT p.event_id AS event_id, p.user_id AS user_id,
-        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
-        |  p.value AS purchase_value,
-        |  v.event_id AS view_event_id,
-        |  v.value AS view_value,
-        |  p.ts_us - v.ts_us AS lag_us
-        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
-        |ORDER BY event_id""".stripMargin,
+    // v is pre-reduced to one row per (user_id, ts) keeping the greatest
+    // event_id (with ITS value, atomically): DuckDB's ASOF JOIN has no
+    // tie-break among right rows sharing a timestamp, while the Spark side
+    // pins (ts, event_id) — without the reduction, agreement would hinge on
+    // the data never holding duplicate (user_id, ts) view rows
+    "q_asof_attribution" -> ASOF_ATTRIBUTION_SQL,
+    // bucketed refinement == the plain as-of, same oracle
+    "q_asof_attribution_bucketed" -> ASOF_ATTRIBUTION_SQL,
 
     "q_trailing_avg" ->
       """SELECT event_id, event_type,
@@ -1072,6 +1073,22 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 2 + 1 AS INT) END AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
+
+  /** DuckDB side of q_asof_attribution (and its bucketed twin). */
+  private val ASOF_ATTRIBUTION_SQL =
+    """WITH p AS (SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us, value
+      |           FROM events WHERE event_type = 'purchase'),
+      |     v AS (SELECT user_id, ts, epoch_us(ts) AS ts_us,
+      |             max(event_id) AS event_id, arg_max(value, event_id) AS value
+      |           FROM events WHERE event_type = 'view' GROUP BY 1, 2, 3)
+      |SELECT p.event_id AS event_id, p.user_id AS user_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+      |  p.value AS purchase_value,
+      |  v.event_id AS view_event_id,
+      |  v.value AS view_value,
+      |  p.ts_us - v.ts_us AS lag_us
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY event_id""".stripMargin
 
   /** Exact top-k cosine (DuckDB side of sim_topk_brute, and of
     * sim_topk_ivf_full — full-probe IVF reduces to the same scan). */

@@ -111,13 +111,15 @@ object TimeSeries {
     * one window task — correct until one key's row count outgrows a task
     * at cluster scale. This variant runs three bounded stages:
     *
-    *  1. per-(key, time-bucket) last right payload — a parallel aggregate
-    *     (`max_by` over the (ts, tie) order), never a per-key scan;
+    *  1. per-(key, time-bucket) last right payload — ONE parallel aggregate
+    *     over the tagged union (`max_by` over the (ts, tie) order, null
+    *     ordering for left rows), which doubles as the bucket census:
+    *     buckets holding only left rows summarize to a null payload, so no
+    *     separate distinct() shuffle is needed to materialize them;
     *  2. carry-in per bucket: the last payload of any STRICTLY EARLIER
     *     bucket, a window over the per-bucket summary (rows per key =
-    *     #buckets, not #events — including empty-on-the-right buckets,
-    *     which are materialized from the union's bucket set so a carry
-    *     can cross them);
+    *     #buckets, not #events — right-empty buckets included via their
+    *     null summaries, so a carry can cross them);
     *  3. within-bucket as-of windowed by (key, bucket) — the hot key now
     *     spreads across #buckets tasks — seeded with the bucket's carry-in
     *     for left rows preceding every in-bucket right row.
@@ -154,17 +156,21 @@ object TimeSeries {
     val unioned = leftBranch.unionByName(rightBranch)
       .withColumn("__bucket", floorDiv(col(tsCol), bucketUs))
 
-    // 1. parallel per-bucket summary of the right side
-    val bucketLast = unioned.filter(col("__side") === 0)
+    // 1. parallel per-bucket summary over the UNION: one aggregate yields
+    //    every (key, bucket) present on either side AND the bucket's last
+    //    right payload (max_by skips rows whose ordering is null, so left
+    //    rows contribute the bucket's existence but never a payload — a
+    //    right-empty bucket summarizes to null and the carry can cross it).
+    //    Folding the bucket census in here saves the full second
+    //    |L|+|R|-row distinct() shuffle the census used to cost.
+    val bucketLast = unioned
       .groupBy(keyCols :+ col("__bucket"): _*)
-      .agg(max_by(col("__asof"), struct(col(tsCol), col(tieCol))).as("__last"))
-    // 2. carry-in across buckets (empty right buckets included via the
-    //    union's bucket set; frame excludes the current bucket)
-    val allBuckets = unioned.select(keyCols :+ col("__bucket"): _*).distinct()
+      .agg(max_by(col("__asof"),
+        when(col("__side") === 0, struct(col(tsCol), col(tieCol)))).as("__last"))
+    // 2. carry-in across buckets (frame excludes the current bucket)
     val carryW = Window.partitionBy(keyCols: _*).orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carryIn = allBuckets
-      .join(bucketLast, keys :+ "__bucket", "left")
+    val carryIn = bucketLast
       .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(carryW))
       .select(keyCols ++ Seq(col("__bucket"), col("__carry")): _*)
     // 3. within-bucket as-of, seeded by the carry-in
@@ -285,11 +291,16 @@ object TimeSeries {
     * to the same user's most recent prior view. The analytics shape of the
     * reference's "current state at event time" lookup, over the synthetic
     * clickstream. */
-  def purchaseAttribution(events: DataFrame): DataFrame = {
+  def purchaseAttribution(events: DataFrame, bucketUs: Option[Long] = None): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
     val views = events.filter(col("event_type") === "view")
-    asofJoin(purchases, views, Seq("user_id"), "ts_us", "event_id",
+    val joined = bucketUs match {
+      case Some(b) => asofJoinBucketed(purchases, views, Seq("user_id"), "ts_us", "event_id",
+        payload = Seq("event_id", "value"), bucketUs = b)
+      case None => asofJoin(purchases, views, Seq("user_id"), "ts_us", "event_id",
         payload = Seq("event_id", "value"))
+    }
+    joined
       .select(
         col("event_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),

@@ -83,6 +83,13 @@ class TimeSeriesSpec extends SparkSpec {
     val fb = TimeSeries.asofJoinBucketed(purchases, views, Seq("user_id"), "ts_us", "event_id",
       payload = Seq("event_id", "value"), bucketUs = 600L * 1000000L)
     assert(fb.exceptAll(fa).isEmpty && fa.exceptAll(fb).isEmpty)
+    // plan contract: the bucket census is folded into the stage-1 aggregate,
+    // so the whole three-stage variant needs exactly 3 exchanges (union agg,
+    // carry-in window repartition, stage-3 join+window repartition) — the
+    // old separate distinct() census cost a fourth
+    val exchanges = fb.queryExecution.executedPlan.toString.linesIterator
+      .count(_.trim.matches("""^[+:\-\s]*Exchange .*"""))
+    assert(exchanges <= 3, s"expected <=3 exchanges in bucketed as-of, got $exchanges")
   }
 
   test("range join is inclusive at both interval ends and drops outside points") {
