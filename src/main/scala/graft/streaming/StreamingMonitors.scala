@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -48,6 +49,54 @@ object StreamingMonitors {
     * time key never GCs its state (one row per distinct id forever). */
   def dedupStream(stream: DataFrame, lateness: String = "1 hour"): DataFrame =
     stream.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming as-of against a VERSIONED STATIC dimension — the streaming
+    * form of ops/TimeSeries.asofJoin, and the closest analytics shape to
+    * the reference's whole topology (attach the dimension state current at
+    * event time to each event; WaterLevelProcessor holds that state in
+    * memory record-at-a-time).
+    *
+    * Instead of a window over the union (not expressible on a stream), the
+    * static side is rewritten into validity INTERVALS: version v of a key
+    * is current on [v.ts, next_version.ts) — `lead()` over the versions,
+    * computed batch-side. The join is then a STATELESS stream-static left
+    * join on key + interval containment: each event matches at most one
+    * version, so there is no post-join argmax, no streaming state, no
+    * watermark requirement, and late or out-of-order events still attach
+    * to the version current at THEIR event time. At scale the static side
+    * broadcasts when small (the usual dim case) or shuffles once per
+    * micro-batch otherwise.
+    *
+    * Semantics pinned to the batch form (StreamingMonitorsSpec asserts
+    * stream ≡ batch on real data): inclusive `>=` at a version's start,
+    * and among versions tied on (key, ts) the greatest `tieCol` wins —
+    * ties are pre-reduced on the static side, payload carried as one
+    * struct so columns can never tear. */
+  def asofStreamStatic(
+      stream: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      payload: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "asofStreamStatic needs at least one key column")
+    val carried = (payload ++ Seq(tsCol, tieCol)).distinct
+    val tieW = Window.partitionBy((keys :+ tsCol).map(col): _*).orderBy(col(tieCol).desc)
+    val validW = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val dimSide = dim
+      .withColumn("__vrank", row_number().over(tieW)).filter(col("__vrank") === 1)
+      .withColumn("__valid_to", lead(col(tsCol), 1).over(validW))
+      .select(keys.map(c => col(c).as(s"__k_$c")) ++ Seq(
+        col(tsCol).as("__valid_from"), col("__valid_to"),
+        struct(carried.map(col): _*).as("__asof")): _*)
+    val cond = keys.map(c => stream(c) === dimSide(s"__k_$c")).reduce(_ && _) &&
+      stream(tsCol) >= dimSide("__valid_from") &&
+      (dimSide("__valid_to").isNull || stream(tsCol) < dimSide("__valid_to"))
+    stream.join(dimSide, cond, "left")
+      .select(stream.columns.toSeq.map(stream(_)) ++
+        carried.map(c => col("__asof").getField(c).as(s"$prefix$c")): _*)
+  }
 
   /** Keyed-state delta/rate: remembers the last observation per station
     * across batches and emits one delta record per subsequent event.

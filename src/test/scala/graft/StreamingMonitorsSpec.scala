@@ -10,9 +10,9 @@ import graft.streaming.StreamingMonitors
   * batch grouping at AvailableNow completeness. */
 class StreamingMonitorsSpec extends SparkSpec {
 
-  private def streamOfEvents(work: String) = {
+  private def streamOfEvents(work: String, sfDir: String = "/root/testdata/sf0.001") = {
     val srcDir = new java.io.File(s"$work/incoming"); srcDir.mkdirs()
-    Files.copy(new java.io.File("/root/testdata/sf0.001/events.parquet").toPath,
+    Files.copy(new java.io.File(s"$sfDir/events.parquet").toPath,
       new java.io.File(srcDir, "events.parquet").toPath)
     Tables.normalizeEvents(
       spark.readStream.schema(Tables.eventsRawSchema).parquet(srcDir.getAbsolutePath))
@@ -58,6 +58,32 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(q.awaitTermination(120000), "streaming query timed out")
     assert(spark.table("deduped").count() === 1000)
     assert(spark.table("deduped").select("event_id").distinct().count() === 1000)
+  }
+
+  test("stream-static as-of equals the batch as-of join on real data") {
+    val w = work()
+    // stream side: purchases; static versioned dim: the same users' views —
+    // the exact purchaseAttribution shape, so batch asofJoin is the oracle
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    val views = ev.filter(col("event_type") === "view")
+    val purchases = streamOfEvents(w, "/root/testdata/sf0.01")
+      .filter(col("event_type") === "purchase")
+    val q = StreamingMonitors.asofStreamStatic(purchases, views,
+        Seq("user_id"), "ts_us", "event_id", payload = Seq("event_id", "value"))
+      .select("event_id", "user_id", "asof_event_id", "asof_value", "asof_ts_us")
+      .writeStream.format("memory").queryName("asof_stream")
+      .option("checkpointLocation", s"$w/ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming query timed out")
+
+    val streamed = spark.table("asof_stream")
+    val batch = graft.ops.TimeSeries.asofJoin(
+        ev.filter(col("event_type") === "purchase"), views,
+        Seq("user_id"), "ts_us", "event_id", payload = Seq("event_id", "value"))
+      .select("event_id", "user_id", "asof_event_id", "asof_value", "asof_ts_us")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
   }
 
   test("watermarked windowed stats match batch tumbling-window grouping") {
