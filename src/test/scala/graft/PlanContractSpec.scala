@@ -56,4 +56,35 @@ class PlanContractSpec extends SparkSpec {
     val p = plan("q_split_census")
     assert(!p.contains("text"), s"text should be pruned from the documents scan:\n$p")
   }
+
+  test("as-of attribution is the union+window plan: one exchange, zero joins") {
+    val p = plan("q_asof_attribution")
+    Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct", "BroadcastNestedLoopJoin")
+      .foreach(j => assert(!p.contains(j), s"as-of must not contain $j:\n$p"))
+    // one shuffle on the key (the final orderBy adds a range exchange for
+    // presentation; the JOIN itself costs exactly the hashpartitioning one)
+    val hashExchanges = p.linesIterator
+      .count(l => l.trim.matches("""^[+:\-\s]*Exchange hashpartitioning.*"""))
+    assert(hashExchanges === 1, s"expected exactly 1 hash exchange, got $hashExchanges:\n$p")
+  }
+
+  test("range-session attribution joins by equi-key in both guard branches") {
+    val p = plan("q_range_sessions")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a non-equi join:\n$p")
+  }
+
+  test("train-ready pipeline shares ONE cached postings scan") {
+    val p = plan("text_train_ready")
+    // every consumer (jaccard pairing, decontamination) must read the same
+    // InMemoryRelation — a second one means the shingling scan is paid twice
+    val relations = p.linesIterator.filter(_.trim.matches("""^[+:\-\s]*InMemoryRelation.*""")).toSeq
+    assert(relations.nonEmpty, s"expected a cached postings relation in:\n$p")
+    // InMemoryRelation lines repeat once per consumer in the plan STRING
+    // with fresh attribute ids; after normalizing ids they must all be the
+    // same [doc_id, shingle, scope] postings cache
+    assert(relations.map(_.replaceAll("""#\d+""", "").replaceAll("""^[+:\-\s]*""", ""))
+        .distinct.size === 1,
+      s"more than one distinct cache in train-ready:\n${relations.mkString("\n")}")
+  }
 }
