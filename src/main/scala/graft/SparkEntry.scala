@@ -361,14 +361,26 @@ object SparkEntry {
     "text_train_ready" -> ((s, dir) =>
       Curation.trainReadyStats(Tables.documents(s, dir))),
 
-    // ---- LLM-pipeline: multimodal decode ---------------------------------
+    // ---- LLM-pipeline: multimodal decode + features ----------------------
     // end-to-end byte round-trip: the BMP/WAV headers are BUILT by
-    // expression on the write side and PARSED from the raw bytes on the
-    // read side (decodeHeaders — pure expressions, no RDD hop); the oracle
-    // recomputes the expected fields independently, so a wrong header
-    // offset or byte order fails the hash compare
+    // expression on the write side, PARSED from the raw bytes on the read
+    // side, and the body DSP (per-channel mean/std over BMP pixels, RMS +
+    // zero-crossing rate over WAV PCM) runs as codegen'd expressions over
+    // the same bytes; the oracle recomputes headers AND features
+    // independently from the byte stream, so a wrong offset, byte order,
+    // or accumulation order fails the hash compare
     "q_multimodal" -> ((s, dir) =>
-      Multimodal.decodeHeaders(Multimodal.mediaFrame(Tables.documents(s, dir)))
+      Multimodal.extractFeatures(Multimodal.mediaFrame(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("media_type"), col("container"), col("n_bytes"),
+          col("width"), col("height"), col("sample_rate"), col("channels"),
+          when(col("container") === "wav", element_at(col("feature"), 1)).as("pcm_rms"),
+          when(col("container") === "wav", element_at(col("feature"), 2)).as("pcm_zcr"),
+          when(col("container") === "bmp", element_at(col("feature"), 1)).as("px_mean_b"),
+          when(col("container") === "bmp", element_at(col("feature"), 2)).as("px_mean_g"),
+          when(col("container") === "bmp", element_at(col("feature"), 3)).as("px_mean_r"),
+          when(col("container") === "bmp", element_at(col("feature"), 4)).as("px_std_b"),
+          when(col("container") === "bmp", element_at(col("feature"), 5)).as("px_std_g"),
+          when(col("container") === "bmp", element_at(col("feature"), 6)).as("px_std_r"))
         .orderBy("doc_id")),
   )
 
@@ -1061,17 +1073,72 @@ object SparkEntry {
         |    GROUP BY 1, 2))
         |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
 
+    // features recomputed independently from the byte stream (text is pure
+    // ASCII at every SF, so ord(char) IS the body byte): BMP channel c =
+    // body index mod 3, WAV sample k = bytes (2k, 2k+1) as signed int16 LE.
+    // All sums stay integral (DuckDB widens to HUGEINT, Spark holds longs —
+    // same exact integers), with one double division + sqrt at the end,
+    // mirroring DspKernel's operation order bit-for-bit.
     "q_multimodal" ->
-      """SELECT doc_id,
-        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
-        |  CASE WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'bmp' END AS container,
-        |  CAST(octet_length(CAST(text AS BLOB))
-        |       + CASE WHEN doc_id % 3 = 1 THEN 44 ELSE 54 END AS INT) AS n_bytes,
-        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 640 + 64 AS INT) END AS width,
-        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 480 + 48 AS INT) END AS height,
-        |  CASE WHEN doc_id % 3 = 1 THEN CAST((doc_id % 8) * 4000 + 8000 AS INT) END AS sample_rate,
-        |  CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 2 + 1 AS INT) END AS channels
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH flat AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(string_split(text, ''), (c, i) -> {'idx': i - 1, 'v': ord(c)})) AS e
+        |  FROM documents),
+        |b AS (SELECT doc_id, e.idx AS idx, e.v AS v FROM flat),
+        |ch AS (
+        |  SELECT doc_id, idx % 3 AS c, count(*) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS ss
+        |  FROM b GROUP BY 1, 2),
+        |chs AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN c = 0 THEN CAST(s AS DOUBLE) / n END) AS mean_b,
+        |    max(CASE WHEN c = 1 THEN CAST(s AS DOUBLE) / n END) AS mean_g,
+        |    max(CASE WHEN c = 2 THEN CAST(s AS DOUBLE) / n END) AS mean_r,
+        |    max(CASE WHEN c = 0 THEN sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE)) END) AS std_b,
+        |    max(CASE WHEN c = 1 THEN sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE)) END) AS std_g,
+        |    max(CASE WHEN c = 2 THEN sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE)) END) AS std_r
+        |  FROM ch GROUP BY doc_id),
+        |pair AS (
+        |  SELECT doc_id, idx // 2 AS k,
+        |    max(CASE WHEN idx % 2 = 0 THEN v END) AS lo,
+        |    max(CASE WHEN idx % 2 = 1 THEN v END) AS hi
+        |  FROM b GROUP BY 1, 2),
+        |smp AS (
+        |  SELECT doc_id, k,
+        |    lo + 256 * hi - CASE WHEN lo + 256 * hi >= 32768 THEN 65536 ELSE 0 END AS smpv
+        |  FROM pair WHERE hi IS NOT NULL),
+        |sgn AS (
+        |  SELECT doc_id, smpv, lag(smpv) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+        |  FROM smp),
+        |wavs AS (
+        |  SELECT doc_id,
+        |    sqrt(CAST(CAST(sum(smpv * smpv) AS BIGINT) AS DOUBLE) / count(*)) AS pcm_rms,
+        |    CASE WHEN count(*) < 2 THEN 0.0
+        |         ELSE CAST(CAST(sum(CASE WHEN prev IS NOT NULL
+        |                AND ((smpv >= 0) <> (prev >= 0)) THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |              / (count(*) - 1) END AS pcm_zcr
+        |  FROM sgn GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id,
+        |  (['image', 'audio', 'video'])[CAST(d.doc_id % 3 AS INT) + 1] AS media_type,
+        |  CASE WHEN d.doc_id % 3 = 1 THEN 'wav' ELSE 'bmp' END AS container,
+        |  CAST(octet_length(CAST(d.text AS BLOB))
+        |       + CASE WHEN d.doc_id % 3 = 1 THEN 44 ELSE 54 END AS INT) AS n_bytes,
+        |  CASE WHEN d.doc_id % 3 <> 1 THEN CAST(d.doc_id % 640 + 64 AS INT) END AS width,
+        |  CASE WHEN d.doc_id % 3 <> 1 THEN CAST(d.doc_id % 480 + 48 AS INT) END AS height,
+        |  CASE WHEN d.doc_id % 3 = 1 THEN CAST((d.doc_id % 8) * 4000 + 8000 AS INT) END AS sample_rate,
+        |  CASE WHEN d.doc_id % 3 = 1 THEN CAST(d.doc_id % 2 + 1 AS INT) END AS channels,
+        |  CASE WHEN d.doc_id % 3 = 1 THEN w.pcm_rms END AS pcm_rms,
+        |  CASE WHEN d.doc_id % 3 = 1 THEN w.pcm_zcr END AS pcm_zcr,
+        |  CASE WHEN d.doc_id % 3 <> 1 THEN c.mean_b END AS px_mean_b,
+        |  CASE WHEN d.doc_id % 3 <> 1 THEN c.mean_g END AS px_mean_g,
+        |  CASE WHEN d.doc_id % 3 <> 1 THEN c.mean_r END AS px_mean_r,
+        |  CASE WHEN d.doc_id % 3 <> 1 THEN c.std_b END AS px_std_b,
+        |  CASE WHEN d.doc_id % 3 <> 1 THEN c.std_g END AS px_std_g,
+        |  CASE WHEN d.doc_id % 3 <> 1 THEN c.std_r END AS px_std_r
+        |FROM documents d
+        |LEFT JOIN chs c ON c.doc_id = d.doc_id
+        |LEFT JOIN wavs w ON w.doc_id = d.doc_id
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** DuckDB side of q_asof_attribution (and its bucketed twin). */

@@ -30,6 +30,10 @@ object GraftExtensions {
     if (children.size != 2) throw new IllegalArgumentException(
       s"$fn expects 2 arguments, got ${children.size}")
 
+  private def arity3(fn: String, children: Seq[Expression]): Unit =
+    if (children.size != 3) throw new IllegalArgumentException(
+      s"$fn expects 3 arguments, got ${children.size}")
+
   private val functions = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
@@ -48,6 +52,20 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         arity2("graft_srp_sig(vec, numBits)", children)
         SrpSignature(children.head, literalInt("graft_srp_sig(vec, numBits)", children(1))): Expression
+      }),
+    (FunctionIdentifier("graft_pcm_stats"),
+      new ExpressionInfo(classOf[PcmStats].getName, "graft_pcm_stats"),
+      (children: Seq[Expression]) => {
+        arity2("graft_pcm_stats(payload, offset)", children)
+        PcmStats(children.head, literalInt("graft_pcm_stats(payload, offset)", children(1))): Expression
+      }),
+    (FunctionIdentifier("graft_byte_channel_stats"),
+      new ExpressionInfo(classOf[ByteChannelStats].getName, "graft_byte_channel_stats"),
+      (children: Seq[Expression]) => {
+        arity3("graft_byte_channel_stats(payload, offset, stride)", children)
+        ByteChannelStats(children.head,
+          literalInt("graft_byte_channel_stats(payload, offset, stride)", children(1)),
+          literalInt("graft_byte_channel_stats(payload, offset, stride)", children(2))): Expression
       }))
 
   /** Idempotent in-session registration (for sessions built without the

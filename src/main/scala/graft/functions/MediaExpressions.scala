@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
+
+/** Real DSP kernels for the multimodal feature path — the math a feature
+  * extractor actually runs over decoded media bodies, expressed so the
+  * result is bit-deterministic across engines (all accumulation in exact
+  * integers; ONE double division and ONE correctly-rounded sqrt at the
+  * end, the same shape a DuckDB oracle computes with HUGEINT sums).
+  *
+  * These replace the round-6 `pseudoFeature` stand-in: BMP pixel streams
+  * get per-channel mean/std, WAV PCM gets RMS and zero-crossing rate.
+  * What remains non-real is only the upstream content (document text
+  * standing in for pixels/samples) — the arithmetic is the true DSP.
+  */
+object DspKernel {
+
+  /** [rms, zcr] over signed 16-bit little-endian PCM starting at byte
+    * `offset` (0-based). A trailing odd byte is ignored (not a sample).
+    * rms = sqrt(sum(s²)/n) with the sum held exactly in a long (safe for
+    * bodies up to ~8 TB per row); zcr counts sign boundaries between
+    * consecutive samples (s >= 0 vs s < 0) over n-1 transitions, 0.0 for
+    * a single sample. Returns null when no complete sample exists. */
+  def pcmStats(p: Array[Byte], offset: Int): GenericArrayData = {
+    val n = (p.length - offset) / 2
+    if (n <= 0) return null
+    var sumSq = 0L
+    var crossings = 0L
+    var prevNonNeg = false
+    var k = 0
+    while (k < n) {
+      val lo = p(offset + 2 * k) & 0xff
+      val s = (p(offset + 2 * k + 1) << 8) | lo // signed high byte: signed int16
+      sumSq += s.toLong * s
+      val nonNeg = s >= 0
+      if (k > 0 && nonNeg != prevNonNeg) crossings += 1
+      prevNonNeg = nonNeg
+      k += 1
+    }
+    val rms = math.sqrt(sumSq.toDouble / n)
+    val zcr = if (n < 2) 0.0 else crossings.toDouble / (n - 1)
+    new GenericArrayData(Array(rms, zcr))
+  }
+
+  /** [mean_0..stride-1, std_0..stride-1] over unsigned bytes from `offset`,
+    * channel = byte index mod stride (BMP 24bpp: stride 3 = B,G,R).
+    * Population std via the exact integer identity n·Σv² − (Σv)², divided
+    * by n² as ONE double division so the oracle's HUGEINT arithmetic lands
+    * on the identical double. Returns null when fewer than `stride` bytes
+    * remain (some channel would be empty). */
+  def byteChannelStats(p: Array[Byte], offset: Int, stride: Int): GenericArrayData = {
+    if (p.length - offset < stride) return null
+    val sum = new Array[Long](stride)
+    val sumSq = new Array[Long](stride)
+    val cnt = new Array[Long](stride)
+    var i = offset
+    while (i < p.length) {
+      val c = (i - offset) % stride
+      val v = (p(i) & 0xff).toLong
+      sum(c) += v
+      sumSq(c) += v * v
+      cnt(c) += 1
+      i += 1
+    }
+    val out = new Array[Double](2 * stride)
+    var c = 0
+    while (c < stride) {
+      val n = cnt(c)
+      out(c) = sum(c).toDouble / n
+      out(stride + c) = math.sqrt((n * sumSq(c) - sum(c) * sum(c)).toDouble / (n * n).toDouble)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_pcm_stats(payload, offset)`: [rms, zcr] of the 16-bit PCM body
+  * at a fixed header offset (44 for the WAV container). */
+case class PcmStats(child: Expression, offset: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(offset >= 0, s"offset must be non-negative, got $offset")
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pcm_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DspKernel.pcmStats(input.asInstanceOf[Array[Byte]], offset)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.pcmStats($c, $offset);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_byte_channel_stats(payload, offset, stride)`: per-channel
+  * [means..., stds...] of the interleaved byte body at a fixed header
+  * offset (54 + stride 3 for the 24bpp BMP container). */
+case class ByteChannelStats(child: Expression, offset: Int, stride: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(offset >= 0, s"offset must be non-negative, got $offset")
+  require(stride > 0, s"stride must be positive, got $stride")
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_byte_channel_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DspKernel.byteChannelStats(input.asInstanceOf[Array[Byte]], offset, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.byteChannelStats($c, $offset, $stride);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MediaFunctions {
+  /** Codegen'd [rms, zcr] of a 16-bit LE PCM body. */
+  def pcmStats(payload: Column, offset: Int): Column =
+    Bridge.column(PcmStats(Bridge.expression(payload), offset))
+
+  /** Codegen'd per-channel [means..., stds...] of an interleaved byte body. */
+  def byteChannelStats(payload: Column, offset: Int, stride: Int): Column =
+    Bridge.column(ByteChannelStats(Bridge.expression(payload), offset, stride))
+}

@@ -1,11 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal column handling: media as opaque `binary` payloads with
-  * typed metadata, processed in executor-side batches.
+  * typed metadata, decoded and featurized entirely by expressions.
   *
   * The container layer is REAL: payloads carry genuine BMP / WAV headers
   * (both are pure header arithmetic — no codec libraries needed), built
@@ -15,25 +14,16 @@ import org.apache.spark.sql.types._
   * decode path is exercised end-to-end: a wrong offset or endianness
   * breaks the oracle compare, not just a unit test.
   *
-  * Only the FEATURE extractor below the container remains a deterministic
-  * stand-in (`pseudoFeature`) — real pixel/PCM DSP needs image/audio
-  * libraries this sandbox doesn't ship. The batch loop is the JVM
-  * analogue of a vectorized-UDF body: amortize per-batch setup (decoder
-  * init, buffer reuse) across `batchSize` records instead of paying it
-  * per row.
+  * The FEATURE layer is real DSP over the body bytes: per-channel
+  * mean/std for BMP pixel streams, RMS + zero-crossing rate for WAV PCM
+  * — codegen'd native expressions (graft.functions.{ByteChannelStats,
+  * PcmStats}), so the whole decode→feature path runs inside
+  * WholeStageCodegen with no RDD hop. What remains synthetic is only the
+  * CONTENT (document text standing in for pixels/samples — the sandbox
+  * ships no codec libraries to produce real media); the arithmetic is
+  * the true feature math and is oracle-checked byte-for-byte.
   */
 object Multimodal {
-
-  val featureSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("media_type", StringType),
-    StructField("container", StringType),
-    StructField("n_bytes", IntegerType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("sample_rate", IntegerType),
-    StructField("channels", IntegerType),
-    StructField("feature", ArrayType(FloatType))))
 
   /** Little-endian hex encoding of the low `nBytes` bytes of an integral
     * column — the byte-order workhorse for binary header construction
@@ -105,9 +95,8 @@ object Multimodal {
       .reduce(_ + _).cast("int")
 
   /** Pure-expression header decode: magic sniff + fixed-offset LE field
-    * reads per the BMP/WAV specs, straight off the payload BYTES. This is
-    * the whole oracle-checked read path; only feature extraction (real
-    * DSP) sits behind the batch seam in extractFeatures. */
+    * reads per the BMP/WAV specs, straight off the payload BYTES. The
+    * feature DSP below (extractFeatures) is equally expression-side. */
   private def headerCols(p: Column): Seq[Column] = {
     val isBmp = (length(p) >= 54) && (hex(substring(p, 1, 2)) === lit("424D"))
     val isWav = (length(p) >= 44) && (hex(substring(p, 1, 4)) === lit("52494646")) &&
@@ -145,44 +134,27 @@ object Multimodal {
     else ("unknown", None, None, None, None)
   }
 
-  /** STUB: a real build runs DSP over the decoded pixel/PCM body; offline
-    * we derive a deterministic 8-dim pseudo-feature from the bytes so the
-    * plumbing stays testable. */
-  private def pseudoFeature(payload: Array[Byte]): Array[Float] = {
-    val acc = new Array[Long](8)
-    var i = 0
-    while (i < payload.length) {
-      val j = i % 8
-      acc(j) = (acc(j) * 31 + (payload(i) & 0xff)) % 1000003L
-      i += 1
-    }
-    acc.map(_.toFloat / 1000003f)
-  }
-
-  /** Batch feature extraction over partitions: grouped iteration keeps
-    * the streaming/memory profile of a vectorized UDF (no partition-sized
-    * materialization beyond one batch). Header fields are decoded by the
-    * EXPRESSION path (decodeHeaders — codegen'd, from the payload bytes);
-    * only the feature DSP crosses the batch seam, which is exactly where
-    * a real codec would init per batch. */
-  def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
-    val spark = media.sparkSession
-    val decoded = media.select(
-      (Seq(col("doc_id"), col("media_type")) ++
+  /** Feature extraction, pure expressions end to end: container sniffed
+    * from the bytes picks the DSP — WAV bodies (16-bit LE PCM at offset
+    * 44) yield [rms, zcr]; BMP bodies (24bpp interleaved at offset 54)
+    * yield per-channel [mean_b, mean_g, mean_r, std_b, std_g, std_r].
+    * The kernels accumulate in exact integers (see DspKernel), so the
+    * doubles are bit-deterministic and DuckDB-mirrorable — q_multimodal
+    * hash-checks them against an independent byte-stream recomputation.
+    * No RDD seam remains: a real codec's per-batch init would sit behind
+    * `mapInPandas`-style batching, but header parse and body DSP are
+    * fixed-offset arithmetic, which is exactly what Catalyst codegen is
+    * for. */
+  def extractFeatures(media: DataFrame): DataFrame =
+    media
+      .select((Seq(col("doc_id"), col("media_type")) ++
         headerCols(col("payload")) :+ col("payload")): _*)
-    val rdd = decoded.rdd.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        // per-batch setup would init the real codec once, here
-        batch.iterator.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
-          // fields 0-7: doc_id..channels pass through from the expression
-          // decode; the seam only ADDS the feature vector
-          Row.fromSeq(r.toSeq.init :+ (pseudoFeature(payload).toSeq: Any))
-        }
-      }
-    }
-    spark.createDataFrame(rdd, featureSchema)
-  }
+      .withColumn("feature",
+        when(col("container") === "wav",
+          graft.functions.MediaFunctions.pcmStats(col("payload"), offset = 44))
+        .when(col("container") === "bmp",
+          graft.functions.MediaFunctions.byteChannelStats(col("payload"), offset = 54, stride = 3)))
+      .drop("payload")
 
   /** Frame sampling: every strideth byte window of the payload — the
     * column-expression form (real frame extraction lives behind the same

@@ -198,29 +198,53 @@ class LlmOpsSpec extends SparkSpec {
     assert(r.getAs[String]("predicted_lang") === "es" && r.getAs[Boolean]("match"))
   }
 
-  test("multimodal: batch feature extraction is deterministic and typed") {
+  test("multimodal: header decode and feature DSP match an independent byte computation") {
     val docs = Seq((7L, "some payload bytes", "en", "src", 18L),
                    (6L, "pixels go here....", "en", "src", 18L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val media = Multimodal.mediaFrame(docs)
-    val f1 = Multimodal.extractFeatures(media, batchSize = 2)
-      .orderBy("doc_id").collect()
-    val f2 = Multimodal.extractFeatures(media, batchSize = 64)
-      .orderBy("doc_id").collect()
-    assert(f1.map(_.getSeq[Float](8)).toSeq === f2.map(_.getSeq[Float](8)).toSeq)
-    val wav = f1(1) // doc 7: 7 % 3 == 1 → audio → WAV container
+    val f = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
+    val bmp = f(0) // doc 6: image → BMP container
+    val wav = f(1) // doc 7: 7 % 3 == 1 → audio → WAV container
     assert(wav.getAs[String]("media_type") === "audio")
     assert(wav.getAs[String]("container") === "wav")
     assert(wav.getAs[Int]("n_bytes") === 18 + 44)
     assert(wav.getAs[Int]("sample_rate") === (7 % 8) * 4000 + 8000)
     assert(wav.getAs[Int]("channels") === 2)
     assert(wav.isNullAt(wav.fieldIndex("width")))
-    val bmp = f1(0) // doc 6: image → BMP container
     assert(bmp.getAs[String]("container") === "bmp")
     assert(bmp.getAs[Int]("n_bytes") === 18 + 54)
     assert(bmp.getAs[Int]("width") === 6 % 640 + 64)
     assert(bmp.getAs[Int]("height") === 6 % 480 + 48)
     assert(bmp.isNullAt(bmp.fieldIndex("sample_rate")))
+    // features recomputed independently from the raw text bytes
+    val wb = "some payload bytes".getBytes("UTF-8")
+    val samples = wb.grouped(2).filter(_.length == 2)
+      .map(p => (p(1) << 8) | (p(0) & 0xff)).toSeq
+    val expRms = math.sqrt(samples.map(s => s.toLong * s).sum.toDouble / samples.size)
+    val expZcr = samples.sliding(2).count(w => (w(0) >= 0) != (w(1) >= 0))
+      .toDouble / (samples.size - 1)
+    assert(wav.getSeq[Double](8) === Seq(expRms, expZcr))
+    val bb = "pixels go here....".getBytes("UTF-8")
+    val byCh = bb.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+      .map(_._2.map(x => (x._1 & 0xff).toLong).toSeq)
+    val expMeans = byCh.map(c => c.sum.toDouble / c.size)
+    val expStds = byCh.map { c =>
+      val n = c.size.toLong
+      math.sqrt((n * c.map(v => v * v).sum - c.sum * c.sum).toDouble / (n * n).toDouble)
+    }
+    assert(bmp.getSeq[Double](8) === expMeans ++ expStds)
+  }
+
+  test("pcm kernel: signed samples, zero crossings, and the no-sample null") {
+    def le(s: Int) = Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
+    val body = Seq(1000, -1000, -2000, 5).flatMap(le).toArray
+    val stats = graft.functions.DspKernel.pcmStats(body, 0)
+    assert(stats.getDouble(0) ===
+      math.sqrt((1000L * 1000 + 1000L * 1000 + 2000L * 2000 + 25L).toDouble / 4))
+    assert(stats.getDouble(1) === 2.0 / 3.0) // + → - → - → + : 2 of 3 transitions
+    assert(graft.functions.DspKernel.pcmStats(Array[Byte](1), 0) === null)
+    assert(graft.functions.DspKernel.byteChannelStats(Array[Byte](1, 2), 0, 3) === null)
   }
 
   test("multimodal: expression header decode matches the JVM twin, with no RDD scan") {
