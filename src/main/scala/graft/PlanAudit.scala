@@ -19,6 +19,10 @@ object PlanAudit {
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")
+      // scoped caches eager-materialize at plan-construction time (so bench
+      // runs are reproducible); an explain-only audit never consumes them,
+      // so release here or each audited cached plan stays resident
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

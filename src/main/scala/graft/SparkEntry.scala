@@ -1053,11 +1053,11 @@ object SparkEntry {
         |  SELECT q.doc_id, q.lang, q.quality_score FROM qual q
         |  LEFT JOIN losers l ON q.doc_id = l.doc_id
         |  LEFT JOIN contaminated c ON q.doc_id = c.doc_id
-        |  JOIN tb ON tb.doc_id = q.doc_id
+        |  LEFT JOIN tb ON tb.doc_id = q.doc_id
         |  JOIN w ON w.doc_id = q.doc_id
         |  WHERE l.doc_id IS NULL AND c.doc_id IS NULL
         |    AND q.quality_score >= 0.46
-        |    AND tb.top_bigram_frac <= 0.1
+        |    AND coalesce(tb.top_bigram_frac, 0.0) <= 0.1
         |    AND w.is_eval = 0)
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CAST(quality_score AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS mean_quality

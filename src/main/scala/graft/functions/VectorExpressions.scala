@@ -100,8 +100,19 @@ object SrpKernel {
     val key = (numBits.toLong << 32) | dims
     val cached = tables.get(key)
     if (cached != null) cached
-    else if (tables.size() < MaxCachedTables) tables.computeIfAbsent(key, _ => derive(numBits, dims))
-    else derive(numBits, dims) // over the cap: per-call derivation, bounded memory
+    else tables.synchronized {
+      // size check and insert under one lock: the lock-free check-then-act
+      // form could overshoot the cap by up to the thread count on
+      // concurrent first-touch of distinct keys. Insertion is once per
+      // (bits, dims) per executor — the lock is never on the hot path.
+      val again = tables.get(key)
+      if (again != null) again
+      else {
+        val t = derive(numBits, dims)
+        if (tables.size() < MaxCachedTables) tables.put(key, t)
+        t // over the cap: per-call derivation, bounded memory
+      }
+    }
   }
 
   def signature(v: ArrayData, numBits: Int): Long = {

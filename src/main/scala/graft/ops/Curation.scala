@@ -77,7 +77,10 @@ object Curation {
         .filter(col("quality_score") >= qualityFloor)
         .join(losers, Seq("doc_id"), "left_anti")
         .filter(Sampling.splitColumn(col("doc_id")) === "train")
-        .join(rep, "doc_id").filter(col("top_bigram_frac") <= repetitionCap)
+        // LEFT join: a doc too short to have a bigram (one word) has no
+        // repetition row — that's vacuously unrepetitive, not a drop
+        .join(rep, Seq("doc_id"), "left")
+        .filter(coalesce(col("top_bigram_frac"), lit(0.0)) <= repetitionCap)
         .join(contaminated, Seq("doc_id"), "left_anti")
     }
   }
