@@ -229,6 +229,28 @@ object SparkEntry {
           col("doc_id"), col("n_chars"))
         .orderBy("source", "rank_in_source")),
 
+    // contiguous-fill sequence packing in reproducible hash order
+    "q_seq_pack" -> ((s, dir) =>
+      Sampling.packSequences(Tables.documents(s, dir), budgetTokens = 2048L)
+        .orderBy("doc_id")),
+
+    // PII scrub over a PLANTED corpus (the synthetic documents carry no
+    // natural emails/IPs, so deterministic ones are appended for some ids
+    // — mirrored in the oracle — making counts AND redacted text
+    // hash-checkable)
+    "text_pii" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val planted = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" from 10.0."), col("doc_id") % 256, lit(".1 logged")))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.piiScrub(planted).orderBy("doc_id")
+    }),
+
     "q_shuffle_order" -> ((s, dir) =>
       Sampling.deterministicShuffle(Tables.documents(s, dir), seed = "epoch1:")
         .select("doc_id", "shuffle_key").limit(100)),
@@ -774,6 +796,43 @@ object SparkEntry {
         |      AS rank_in_source
         |  FROM documents)
         |WHERE rank_in_source <= 100 ORDER BY source, rank_in_source""".stripMargin,
+
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, md5('pack:' || CAST(doc_id AS VARCHAR)) AS h,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, h, n_tokens,
+        |    CAST(instr('0123456789abcdef', substr(h, 1, 1)) - 1 AS INT) AS shard
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM s)
+        |SELECT doc_id, shard, n_tokens,
+        |  (cum_tokens - n_tokens) // 2048 AS pack_id,
+        |  (cum_tokens - n_tokens) % 2048 AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_pii" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 logged'
+        |         ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM planted ORDER BY doc_id""".stripMargin,
 
     "q_source_cap_salted" ->
       """SELECT source, rank_in_source, doc_id, n_chars FROM (

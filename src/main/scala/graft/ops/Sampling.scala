@@ -82,6 +82,33 @@ object Sampling {
       .filter(col("rank_in_source") <= cap)
   }
 
+  /** Deterministic sequence packing: deal the corpus into training
+    * sequences of exactly `budgetTokens` whitespace tokens — contiguous
+    * fill in a reproducible order, the standard pretraining packing (docs
+    * may span pack boundaries; no padding waste). Docs shard by the first
+    * hex digit of their id-hash, so packing is embarrassingly parallel (one
+    * shuffle, 16 independent window scans) and the assignment is invariant
+    * to input partitioning, engine, and retries; within a shard the order
+    * is (hash, doc_id). Emits, per doc, the pack holding its FIRST token
+    * and the offset there — enough for a reader to slice exact sequences.
+    * At 100 TB, widen to more shards by keying on more hex digits; the
+    * per-shard scan is linear and the cumsum never materializes a pack. */
+  def packSequences(docs: DataFrame, budgetTokens: Long = 2048L,
+                    seed: String = "pack:"): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), idHash(col("doc_id"), seed).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("shard", conv(substring(col("h"), 1, 1), 16, 10).cast("int"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .select(
+        col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"(cum_tokens - n_tokens) div $budgetTokens").as("pack_id"),
+        ((col("cum_tokens") - col("n_tokens")) % budgetTokens).as("pack_offset"))
+  }
+
   /** Deterministic global shuffle: orders by the seeded id hash. Changing
     * the seed re-deals the order; the same seed reproduces it anywhere.
     * A total sort costs one range-partitioning exchange — at cluster scale

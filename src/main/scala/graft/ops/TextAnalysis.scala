@@ -102,6 +102,26 @@ object TextAnalysis {
       .filter(col("rnk") <= topK)
   }
 
+  /** Email/IPv4 patterns chosen to mean the same thing in Java regex
+    * (Spark) and RE2 (DuckDB): plain classes, bounded repetition, ASCII
+    * word boundaries — no backreferences or lookaround, which RE2 lacks. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** PII scrub, the pass a corpus takes before any text leaves the
+    * pipeline: count and redact email addresses and IPv4 literals. Pure
+    * per-row regex — scan speed, no shuffle; emails are redacted FIRST so
+    * an address's host part can never half-match as an IP afterwards.
+    * Redaction order and patterns are mirrored in the oracle, so the
+    * redacted TEXT is hash-compared, not just the counts. */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ipv4"),
+      regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>").as("redacted"))
+
   /** Polynomial rolling hash (base 31, mod 1e9+7) over the codepoints —
     * the classic content fingerprint; `prefix_fp` over the head is the
     * cheap first-pass cluster key. */

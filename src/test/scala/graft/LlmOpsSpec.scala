@@ -193,6 +193,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("stopword_ratio") === 0.5)  // 2×'the' / 4
   }
 
+  test("pii scrub counts both kinds and redacts emails before ips") {
+    val df = Seq(
+      (1L, "mail a@b.co then 1.2.3.4 then c@d.org end"),
+      (2L, "clean text no pii"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(df).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 1L, "mail <EMAIL> then <IP> then <EMAIL> end"),
+      (2L, 0L, 0L, "clean text no pii")))
+  }
+
   test("langid emits a prediction and match flag for every row") {
     val r = TextAnalysis.langId(Seq((0L, "aeiou aeiou", "es")).toDF("doc_id", "text", "lang")).collect()(0)
     assert(r.getAs[String]("predicted_lang") === "es" && r.getAs[Boolean]("match"))

@@ -135,6 +135,25 @@ class SamplingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("sequence packing is a gapless token stream per shard") {
+    val budget = 256L
+    val packed = Sampling.packSequences(docs, budgetTokens = budget)
+      .select("shard", "pack_id", "pack_offset", "n_tokens").collect()
+    assert(packed.nonEmpty)
+    packed.groupBy(_.getInt(0)).values.foreach { rs =>
+      // stream order within a shard == (pack_id, pack_offset); walking it,
+      // every doc must start exactly where the previous one ended — no
+      // gaps, no overlaps, offsets always inside the budget
+      val sorted = rs.sortBy(r => (r.getLong(1), r.getLong(2)))
+      var cursor = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(1) * budget + r.getLong(2) === cursor, "gap in packed stream")
+        assert(r.getLong(2) < budget)
+        cursor += r.getLong(3)
+      }
+    }
+  }
+
   test("deterministic shuffle reproduces under the same seed and moves under a new one") {
     val a = Sampling.deterministicShuffle(docs, "epoch1:").select("doc_id")
       .limit(50).as[Long].collect().toSeq
