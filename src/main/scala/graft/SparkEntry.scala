@@ -143,6 +143,9 @@ object SparkEntry {
     "q3_top_orders" -> ((s, dir) => Relational.topUnshippedOrders(s, dir)),
     "q5_region_revenue" -> ((s, dir) => Relational.regionRevenue(s, dir)),
     "q_top_customers" -> ((s, dir) => Relational.topCustomers(s, dir)),
+    "q_spend_ranks" -> ((s, dir) => Relational.customerSpendRanks(s, dir)),
+    "q_semi_anti" -> ((s, dir) => Relational.nationCustomerPresence(s, dir)),
+    "q_intersect" -> ((s, dir) => Relational.repeatCustomersIntersect(s, dir)),
     "q6_revenue_change" -> ((s, dir) => Relational.revenueChange(s, dir)),
     "q12_shipmode_priority" -> ((s, dir) => Relational.shipmodePriority(s, dir)),
     "q14_promo_share" -> ((s, dir) => Relational.promoShare(s, dir)),
@@ -668,6 +671,32 @@ object SparkEntry {
         |    count(*) AS n_orders
         |  FROM orders GROUP BY 1) JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_spent DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_spend_ranks" ->
+      """SELECT o_custkey AS custkey, total_spent,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent
+        |  FROM orders GROUP BY 1)
+        |WINDOW w AS (ORDER BY total_spent DESC, o_custkey)
+        |ORDER BY total_spent DESC, custkey LIMIT 50""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT n_nationkey, n_name, TRUE AS has_customers FROM nation n
+        |WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+        |UNION ALL
+        |SELECT n_nationkey, n_name, FALSE AS has_customers FROM nation n
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
+        |ORDER BY o_custkey""".stripMargin,
 
     "q_alert_rollup" -> (C +
       """SELECT coalesce(wlobscd, '<all>') AS station,

@@ -125,4 +125,51 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("total_spent"), col("n_orders"))
       .orderBy(col("total_spent").desc, col("c_custkey"))
       .limit(n)
+
+  /** Ranking-window family over per-customer spend: ntile quartiles,
+    * percent_rank, cume_dist — all integer-ratio arithmetic on exact
+    * counts, so bit-identical across engines. One shuffle (the agg);
+    * the unpartitioned window is a presentation-sized scan here, and at
+    * scale would partition by a bucketing key exactly like q_seq_pack's
+    * shards. */
+  def customerSpendRanks(s: SparkSession, dir: String, n: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("total_spent").desc, col("o_custkey"))
+    Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(moneySum(col("o_totalprice")).as("total_spent"))
+      .select(
+        col("o_custkey").as("custkey"), col("total_spent"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("total_spent").desc, col("custkey"))
+      .limit(n)
+  }
+
+  /** Semi/anti join pair: nations that have at least one customer vs
+    * nations with none — the EXISTS / NOT EXISTS shapes. The dim side is
+    * the keep side (left), so both run as broadcast-able joins on the
+    * small side with the fact streamed once. */
+  def nationCustomerPresence(s: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    val custNations = Tables.customer(s, dir).select(col("c_nationkey"))
+    nations.join(custNations, col("n_nationkey") === col("c_nationkey"), "left_semi")
+      .withColumn("has_customers", lit(true))
+      .unionByName(
+        nations.join(custNations, col("n_nationkey") === col("c_nationkey"), "left_anti")
+          .withColumn("has_customers", lit(false)))
+      .orderBy("n_nationkey")
+  }
+
+  /** INTERSECT: customer keys that placed orders in BOTH halves of the
+    * order date range (set semantics — Spark compiles to a left-semi
+    * aggregate join, no full distinct shuffle of the union). */
+  def repeatCustomersIntersect(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val mid = to_timestamp(lit("1998-06-01 00:00:00"))
+    orders.filter(col("o_orderdate") < mid).select(col("o_custkey"))
+      .intersect(orders.filter(col("o_orderdate") >= mid).select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
 }
