@@ -148,12 +148,13 @@ object Relational {
   }
 
   /** Semi/anti join pair: nations that have at least one customer vs
-    * nations with none — the EXISTS / NOT EXISTS shapes. The dim side is
-    * the keep side (left), so both run as broadcast-able joins on the
-    * small side with the fact streamed once. */
+    * nations with none — the EXISTS / NOT EXISTS shapes. The probe column
+    * is pre-aggregated to its distinct values (bounded by the 25-row dim,
+    * regardless of customer volume) so the broadcast build side can never
+    * scale with the fact table. */
   def nationCustomerPresence(s: SparkSession, dir: String): DataFrame = {
     val nations = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
-    val custNations = Tables.customer(s, dir).select(col("c_nationkey"))
+    val custNations = Tables.customer(s, dir).select(col("c_nationkey")).distinct()
     nations.join(custNations, col("n_nationkey") === col("c_nationkey"), "left_semi")
       .withColumn("has_customers", lit(true))
       .unionByName(
