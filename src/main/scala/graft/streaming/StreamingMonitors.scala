@@ -43,6 +43,26 @@ object StreamingMonitors {
         col("window.start").as("window_start"),
         col("n_obs"), col("min_value"), col("max_value"))
 
+  /** Streaming-native sessionization via `session_window` — the event-time
+    * twin of the batch form (Monitoring.sessionIntervals): same gap, same
+    * counts/bounds per (user, session), with state bounded by the
+    * watermark (closed sessions finalize and evict; the batch window form
+    * can't run on a stream because an unbounded-preceding sum has no
+    * eviction point). The +1µs on the gap aligns the two boundary rules:
+    * session_window merges on diff < gap (exclusive) where the batch
+    * sessionizer keeps diff <= gap (inclusive). */
+  def sessionStats(stream: DataFrame, gapMinutes: Int = 30,
+                   lateness: String = "10 minutes"): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L + 1L
+    stream
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapUs microseconds"))
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+      .select(col("user_id"), col("start_us"), col("n_events"),
+        ((col("end_us") - col("start_us")) / lit(1000000L)).cast("double").as("duration_sec"))
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same event within
     * the watermark horizon — the at-least-once-source companion. Must use
     * dropDuplicatesWithinWatermark: plain dropDuplicates on a non-event-

@@ -60,6 +60,24 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(spark.table("deduped").select("event_id").distinct().count() === 1000)
   }
 
+  test("session_window sessionization equals the batch sessionizer") {
+    val w = work()
+    val q = StreamingMonitors.sessionStats(streamOfEvents(w))
+      .writeStream.format("memory").queryName("sess_stream")
+      .option("checkpointLocation", s"$w/ckpt")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming query timed out")
+
+    val streamed = spark.table("sess_stream")
+    val batch = graft.ops.Monitoring
+      .sessionIntervals(Tables.events(spark, "/root/testdata/sf0.001"))
+      .select(col("user_id"), col("start_us"), col("n_events"),
+        ((col("end_us") - col("start_us")) / lit(1000000L)).cast("double").as("duration_sec"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("stream-static as-of equals the batch as-of join on real data") {
     val w = work()
     // stream side: purchases; static versioned dim: the same users' views —
