@@ -144,6 +144,8 @@ object SparkEntry {
     "q5_region_revenue" -> ((s, dir) => Relational.regionRevenue(s, dir)),
     "q_top_customers" -> ((s, dir) => Relational.topCustomers(s, dir)),
     "q_spend_ranks" -> ((s, dir) => Relational.customerSpendRanks(s, dir)),
+    "q13_order_dist" -> ((s, dir) => Relational.customerOrderDistribution(s, dir)),
+    "q16_supplier_variety" -> ((s, dir) => Relational.supplierVarietyByType(s, dir)),
     "q_semi_anti" -> ((s, dir) => Relational.nationCustomerPresence(s, dir)),
     "q_intersect" -> ((s, dir) => Relational.repeatCustomersIntersect(s, dir)),
     "q6_revenue_change" -> ((s, dir) => Relational.revenueChange(s, dir)),
@@ -671,6 +673,22 @@ object SparkEntry {
         |    count(*) AS n_orders
         |  FROM orders GROUP BY 1) JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_spent DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q13_order_dist" ->
+      """SELECT n_orders, n_customers FROM (
+        |  SELECT n_orders, count(*) AS n_customers FROM (
+        |    SELECT c_custkey, count(o_orderkey) AS n_orders
+        |    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |    GROUP BY 1)
+        |  GROUP BY 1)
+        |ORDER BY n_customers DESC, n_orders DESC""".stripMargin,
+
+    "q16_supplier_variety" ->
+      """SELECT p_type,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+        |  count(*) AS n_lineitems
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY n_suppliers DESC, p_type""".stripMargin,
 
     "q_spend_ranks" ->
       """SELECT o_custkey AS custkey, total_spent,

@@ -163,6 +163,33 @@ object Relational {
       .orderBy("n_nationkey")
   }
 
+  /** Customer order-count distribution (TPC-H Q13 shape): LEFT join so
+    * order-less customers land in the 0 bucket, then a second-level
+    * aggregation over the first — the classic histogram-of-groups plan
+    * (two shuffles, both map-side combined). */
+  def customerOrderDistribution(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders")) // count() skips the null-extended rows
+      .groupBy("n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("n_orders").desc)
+
+  /** Supplier variety per part type (TPC-H Q16 shape): the
+    * distinct-aggregate plan — Spark expands count(DISTINCT) into a
+    * two-phase aggregate on (group, value) then (group), so a hot part
+    * type never funnels its duplicates through one task. */
+  def supplierVarietyByType(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(Tables.part(s, dir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type")
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("n_suppliers").desc, col("p_type"))
+
   /** INTERSECT: customer keys that placed orders in BOTH halves of the
     * order date range (set semantics — Spark compiles to a left-semi
     * aggregate join, no full distinct shuffle of the union). */
