@@ -118,6 +118,33 @@ object StreamingMonitors {
         carried.map(c => col("__asof").getField(c).as(s"$prefix$c")): _*)
   }
 
+  /** Stream-stream interval join: purchases joined to the same user's
+    * views from the trailing `lookback` window — BOTH sides unbounded
+    * streams, the case stream-static can't cover (the dimension itself is
+    * a stream). The time-range predicate plus per-side watermarks bound
+    * the join state: a buffered view can be evicted once the watermark
+    * passes its ts + lookback, so state is O(rate × lookback) per key
+    * range, never unbounded. Inner join in append mode — each matched
+    * pair emits exactly once, and the output equals the batch join with
+    * the identical predicate (spec-asserted). */
+  def streamStreamAttribution(purchases: DataFrame, views: DataFrame,
+                              lookback: String = "1 hour",
+                              lateness: String = "10 minutes"): DataFrame = {
+    val p = purchases.select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("ts_us").as("p_ts_us"),
+        col("value").as("purchase_value"))
+      .withWatermark("p_ts", lateness)
+    val v = views.select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("v_ts"), col("ts_us").as("v_ts_us"))
+      .withWatermark("v_ts", lateness)
+    p.join(v,
+        col("user_id") === col("v_user_id") &&
+          col("v_ts") >= col("p_ts") - expr(s"INTERVAL $lookback") &&
+          col("v_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        col("purchase_value"), (col("p_ts_us") - col("v_ts_us")).as("lag_us"))
+  }
+
   /** Keyed-state delta/rate: remembers the last observation per station
     * across batches and emits one delta record per subsequent event.
     * Events inside a batch are processed in event-time order. */

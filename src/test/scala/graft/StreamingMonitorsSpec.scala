@@ -104,6 +104,36 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("stream-stream interval join equals the batch join with the same predicate") {
+    val w = work()
+    val stream = streamOfEvents(w)
+    val q = StreamingMonitors.streamStreamAttribution(
+        stream.filter(col("event_type") === "purchase"),
+        stream.filter(col("event_type") === "view"))
+      .writeStream.format("memory").queryName("ss_attr")
+      .option("checkpointLocation", s"$w/ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming query timed out")
+
+    val streamed = spark.table("ss_attr")
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val bp = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("p_ts_us"), col("value").as("purchase_value"))
+    val bv = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts_us").as("v_ts_us"))
+    val batch = bp.join(bv,
+        col("user_id") === col("v_user_id") &&
+          col("v_ts_us") >= col("p_ts_us") - 3600L * 1000000L &&
+          col("v_ts_us") <= col("p_ts_us"))
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        col("purchase_value"), (col("p_ts_us") - col("v_ts_us")).as("lag_us"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("watermarked windowed stats match batch tumbling-window grouping") {
     val w = work()
     val q = StreamingMonitors.windowedStationStats(streamOfEvents(w))
