@@ -239,6 +239,9 @@ object SparkEntry {
       Sampling.packSequences(Tables.documents(s, dir), budgetTokens = 2048L)
         .orderBy("doc_id")),
 
+    "text_normalize" -> ((s, dir) =>
+      TextAnalysis.normalize(Tables.documents(s, dir)).orderBy("doc_id")),
+
     // PII scrub over a PLANTED corpus (the synthetic documents carry no
     // natural emails/IPs, so deterministic ones are appended for some ids
     // — mirrored in the oracle — making counts AND redacted text
@@ -862,6 +865,12 @@ object SparkEntry {
         |  (cum_tokens - n_tokens) // 2048 AS pack_id,
         |  (cum_tokens - n_tokens) % 2048 AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_normalize" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars_raw,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS normalized,
+        |  CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS INT) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_pii" ->
       """WITH planted AS (

@@ -102,6 +102,17 @@ object TextAnalysis {
       .filter(col("rnk") <= topK)
   }
 
+  /** Canonical text normalization — the first pass of any corpus build:
+    * lowercase, collapse whitespace runs to one space, trim. Pure per-row
+    * string ops (scan speed); ASCII-safe lowercase and `\s` agree between
+    * Java regex and RE2, so the normalized TEXT is hash-comparable. */
+  def normalize(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_raw"),
+      trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("normalized"))
+      .withColumn("n_chars_norm", length(col("normalized")))
+
   /** Email/IPv4 patterns chosen to mean the same thing in Java regex
     * (Spark) and RE2 (DuckDB): plain classes, bounded repetition, ASCII
     * word boundaries — no backreferences or lookaround, which RE2 lacks. */
