@@ -165,6 +165,20 @@ object SparkEntry {
       TimeSeries.purchaseAttribution(Tables.events(s, dir),
         bucketUs = Some(6L * 3600L * 1000000L)).orderBy("event_id")),
 
+    // nearest-event join: minimum |Δt| either direction (as-of is its
+    // backward half); tie policy (|Δt|, view id) mirrored in the oracle
+    "q_nearest_view" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      TimeSeries.nearestJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "view"),
+          Seq("user_id"), "ts_us", "event_id", payload = Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("nearest_event_id").as("view_event_id"),
+          col("nearest_dist").as("dist_us"))
+        .orderBy("event_id")
+    }),
+
     // RANGE-frame window: trailing 1h mean/count per event type
     "q_trailing_avg" -> ((s, dir) =>
       Monitoring.trailingStats(Tables.events(s, dir)).orderBy("event_id")),
@@ -795,6 +809,22 @@ object SparkEntry {
     "q_asof_attribution" -> ASOF_ATTRIBUTION_SQL,
     // bucketed refinement == the plain as-of, same oracle
     "q_asof_attribution_bucketed" -> ASOF_ATTRIBUTION_SQL,
+
+    "q_nearest_view" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type = 'purchase'),
+        |     v AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type = 'view'),
+        |cand AS (
+        |  SELECT p.event_id, v.event_id AS view_event_id,
+        |    abs(p.ts_us - v.ts_us) AS d,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY abs(p.ts_us - v.ts_us), v.event_id) AS rn
+        |  FROM p JOIN v ON p.user_id = v.user_id)
+        |SELECT p.event_id AS event_id, p.user_id AS user_id,
+        |  c.view_event_id AS view_event_id, c.d AS dist_us
+        |FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c ON c.event_id = p.event_id
+        |ORDER BY event_id""".stripMargin,
 
     "q_trailing_avg" ->
       """SELECT event_id, event_type,

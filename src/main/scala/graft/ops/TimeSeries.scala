@@ -264,6 +264,54 @@ object TimeSeries {
       .unionByName(rangeJoin(points, longSide, keys, ptsCol, startCol, endCol, coarseUs))
   }
 
+  /** Nearest-event join: for every left row, the right row with the
+    * MINIMUM |Δt| within the key — either direction (the sensor-alignment
+    * shape; as-of is its backward-only half). Built as two as-of passes
+    * over the same machinery: the backward pass as-is, the forward pass on
+    * NEGATED timestamps (prior-in-negated-space == next-in-real-space),
+    * then a per-row pick of the closer candidate. Cost: two one-shuffle
+    * window passes — still never a range join.
+    *
+    * Tie policy, mirrored by the oracle: candidates order by
+    * (|Δt|, tieCol) ascending, so equidistant prior/next resolve to the
+    * smaller tiebreak, and ties WITHIN a timestamp do too (the passes feed
+    * a negated tiebreak to asofJoin's greatest-tie rule).
+    *
+    * (`keys`, `tieCol`) must uniquely identify left rows (it re-joins the
+    * two passes); at 100 TB the cost is two keyed window shuffles plus
+    * that equi-join. */
+  def nearestJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      payload: Seq[String],
+      prefix: String = "nearest_"): DataFrame = {
+    val carried = (payload ++ Seq(tsCol, tieCol)).distinct
+    def negated(df: DataFrame, negTs: Boolean): DataFrame = {
+      val base = df.withColumn("__tie_neg", -col(tieCol))
+      if (negTs) base.withColumn("__ts_neg", -col(tsCol)) else base
+    }
+    val back = asofJoin(negated(left, negTs = false), negated(right, negTs = false),
+      keys, tsCol, "__tie_neg", payload = carried, prefix = "__b_")
+    val fwd = asofJoin(negated(left, negTs = true), negated(right, negTs = true),
+      keys, "__ts_neg", "__tie_neg", payload = carried, prefix = "__f_")
+      .select((keys :+ tieCol).map(col) ++
+        carried.map(c => col(s"__f_$c")): _*)
+    val joined = back.join(fwd, keys :+ tieCol)
+    val dB = col(tsCol) - col(s"__b_$tsCol")
+    val dF = col(s"__f_$tsCol") - col(tsCol)
+    val pickBack = col(s"__f_$tsCol").isNull ||
+      (col(s"__b_$tsCol").isNotNull &&
+        struct(dB.as("d"), col(s"__b_$tieCol").as("t")) <=
+          struct(dF.as("d"), col(s"__f_$tieCol").as("t")))
+    joined.select(left.columns.toSeq.map(col) ++
+      carried.map(c =>
+        when(pickBack, col(s"__b_$c")).otherwise(col(s"__f_$c")).as(s"$prefix$c")) :+
+      when(pickBack, dB).otherwise(dF).as(s"${prefix}dist"): _*)
+  }
+
   /** Range-join query: purchases landing within `padUs` of the same user's
     * browse sessions (sessions built from click/view events only, so
     * containment is not tautological). The pad makes this an attribution

@@ -92,6 +92,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(exchanges <= 3, s"expected <=3 exchanges in bucketed as-of, got $exchanges")
   }
 
+  test("nearest join picks the closer side and breaks distance ties by smaller id") {
+    val left = frame(Seq((1L, 100L, 10L, 1.0), (2L, 100L, 11L, 1.0)))
+    val right = frame(Seq(
+      (1L, 90L, 1L, 0.1),   // backward d=10
+      (1L, 105L, 2L, 0.2),  // forward d=5  → wins for plain case...
+      (1L, 95L, 3L, 0.3)))  // backward d=5 → ties forward; id 2 < 3 wins
+    val got = TimeSeries.nearestJoin(left, right, Seq("user_id"), "ts_us", "event_id",
+        payload = Seq("event_id"))
+      .select("event_id", "nearest_event_id", "nearest_dist")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got === Set(
+      (10L, Some(2L), Some(5L)),  // (5, 2) beats (5, 3) and (10, 1)
+      (11L, None, None)))         // user 2 has no views at all
+  }
+
   test("range join is inclusive at both interval ends and drops outside points") {
     val points = frame(Seq(
       (1L, 100L, 1L, 0.0), (1L, 150L, 2L, 0.0), (1L, 200L, 3L, 0.0),
