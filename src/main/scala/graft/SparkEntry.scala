@@ -68,6 +68,16 @@ object SparkEntry {
       dim(s, dir).select("wlobscd", "attwl", "wrnwl", "almwl", "srswl", "obsnm", "addr")
         .orderBy("wlobscd")),
 
+    // unpivot/melt (the reverse of q_alert_pivot's shape): wide threshold
+    // columns to long (station, name, value) form
+    "q_threshold_unpivot" -> ((s, dir) =>
+      dim(s, dir)
+        .unpivot(Array(col("wlobscd")),
+          Array(col("attwl"), col("wrnwl"), col("almwl"), col("srswl")),
+          "threshold_name", "threshold_value")
+        .filter(col("threshold_value").isNotNull) // explicit either way: melt null policy is not part of the contract
+        .orderBy("wlobscd", "threshold_name")),
+
     "q_classify" -> ((s, dir) =>
       enriched(s, dir).select(
         col("event_id"), col("wlobscd"), col("water_level"), col("flow_rate"),
@@ -540,6 +550,15 @@ object SparkEntry {
 
     "q_threshold_dim" -> (C +
       "SELECT wlobscd, attwl, wrnwl, almwl, srswl, obsnm, addr FROM dim ORDER BY wlobscd"),
+
+    "q_threshold_unpivot" -> (C +
+      """SELECT wlobscd, threshold_name, threshold_value FROM (
+        |  SELECT wlobscd, 'attwl' AS threshold_name, attwl AS threshold_value FROM dim
+        |  UNION ALL SELECT wlobscd, 'wrnwl', wrnwl FROM dim
+        |  UNION ALL SELECT wlobscd, 'almwl', almwl FROM dim
+        |  UNION ALL SELECT wlobscd, 'srswl', srswl FROM dim)
+        |WHERE threshold_value IS NOT NULL
+        |ORDER BY wlobscd, threshold_name""".stripMargin),
 
     "q_classify" -> (C +
       """SELECT event_id, wlobscd, water_level, flow_rate, range_valid,
