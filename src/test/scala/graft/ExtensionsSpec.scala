@@ -42,6 +42,27 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("dsp functions are callable from SQL with literal offsets") {
+    GraftExtensions.register(spark)
+    // 4 bytes = samples [+256, +1]: rms = sqrt((65536+1)/2), zcr = 0
+    val r = spark.sql(
+      "SELECT graft_pcm_stats(CAST(x'00010100' AS BINARY), 0) AS s")
+      .collect()(0).getSeq[Double](0)
+    assert(r === Seq(math.sqrt((256.0 * 256 + 1) / 2), 0.0))
+    // bytes [1,2,3,4] at stride 2: ch0 = {1,3} mean 2, ch1 = {2,4} mean 3
+    val c = spark.sql(
+      "SELECT graft_byte_channel_stats(CAST(x'01020304' AS BINARY), 0, 2) AS s")
+      .collect()(0).getSeq[Double](0)
+    assert(c === Seq(2.0, 3.0, 1.0, 1.0))
+    for (bad <- Seq("graft_pcm_stats(CAST(x'00' AS BINARY))",
+                    "graft_byte_channel_stats(CAST(x'00' AS BINARY), 0)")) {
+      val e = intercept[Exception] { spark.sql(s"SELECT $bad").collect() }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("arguments"))))
+    }
+  }
+
   test("SRP hyperplane table cache stays bounded under heterogeneous dims") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -57,6 +57,23 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("text"), s"text should be pruned from the documents scan:\n$p")
   }
 
+  test("multimodal DSP projection stays inside whole-stage codegen") {
+    // PcmStats/ByteChannelStats implement doGenCode; if a refactor breaks
+    // it, the Project drops out of codegen (loses its '*(n)' prefix) and
+    // the feature pass pays interpreted eval per row. The operator output
+    // is inspected directly (no presentation sort) so the plan has no AQE
+    // wrapper deferring codegen collapse.
+    val df = graft.ops.Multimodal.extractFeatures(
+      graft.ops.Multimodal.mediaFrame(Tables.documents(spark, "/root/testdata/sf0.001")))
+    val p = df.queryExecution.executedPlan.toString
+    val dspLines = p.linesIterator
+      .filter(l => l.contains("graft_pcm_stats") || l.contains("graft_byte_channel_stats"))
+      .toSeq
+    assert(dspLines.nonEmpty, s"no DSP projection found in:\n$p")
+    assert(dspLines.forall(_.trim.matches("""^[+:\-\s]*\*\(\d+\) Project.*""")),
+      s"DSP Project not codegen'd:\n${dspLines.mkString("\n")}")
+  }
+
   test("as-of attribution is the union+window plan: one exchange, zero joins") {
     val p = plan("q_asof_attribution")
     Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct", "BroadcastNestedLoopJoin")
