@@ -69,6 +69,27 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: floorDiv is true floor division over arbitrary longs") {
+    val xs = (1 to 200).map(i =>
+      sample(Gen.chooseNum(Long.MinValue / 4, Long.MaxValue / 4), 9000 + i))
+    val bs = Seq(1L, 2L, 3L, 100L, 3600000000L)
+    val rows = for { x <- xs; b <- bs } yield (x, b)
+    val got = rows.toDF("x", "b")
+      .select(col("x"), col("b"),
+        graft.ops.TimeSeries.floorDiv(col("x"), 1L).as("q1"))
+      // per-b evaluation below; q1 covers the b=1 identity inline
+      .collect()
+    got.foreach(r => assert(r.getLong(2) === r.getLong(0)))
+    bs.foreach { b =>
+      val qs = xs.toDF("x")
+        .select(col("x"), graft.ops.TimeSeries.floorDiv(col("x"), b).as("q"))
+        .as[(Long, Long)].collect()
+      qs.foreach { case (x, q) =>
+        assert(q === Math.floorDiv(x, b), s"floorDiv($x, $b)")
+      }
+    }
+  }
+
   test("property: flood classification is monotone non-decreasing in wl") {
     val rank = Map("NORMAL" -> 0, "ATTENTION" -> 1, "CAUTION" -> 2,
       "WARNING" -> 3, "CRITICAL" -> 4)
