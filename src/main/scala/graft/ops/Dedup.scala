@@ -298,9 +298,13 @@ object Dedup {
     cand
       .join(texts.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
       .join(texts.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
-      .select(col("id1"), col("id2"), col("jaccard"),
-        levenshtein(col("t1"), col("t2")).as("edit_dist"),
-        (lit(1.0) - levenshtein(col("t1"), col("t2")).cast("double")
+      // materialize the distance as its own column so the O(len²) DP runs
+      // once per pair by construction, not per referencing expression
+      // (codegen subexpression elimination would usually catch it, but the
+      // cost bound shouldn't depend on an optimizer heuristic)
+      .withColumn("edit_dist", levenshtein(col("t1"), col("t2")))
+      .select(col("id1"), col("id2"), col("jaccard"), col("edit_dist"),
+        (lit(1.0) - col("edit_dist").cast("double")
           / greatest(length(col("t1")), length(col("t2")))).as("edit_sim"))
   }
 
