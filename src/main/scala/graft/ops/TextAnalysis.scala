@@ -36,17 +36,23 @@ object TextAnalysis {
   }
 
   /** Quality signals: length, type-token ratio, stopword ratio, word
-    * shape; combined into one score for threshold-filtering a corpus. */
+    * shape; combined into one score for threshold-filtering a corpus.
+    * The tokenization is staged into its own projection so the split runs
+    * once per row, not once per consuming column (CollapseProject keeps
+    * the stage because duplicating a non-cheap expression is against its
+    * policy; size() on the materialized array is O(1)). */
   def quality(docs: DataFrame): DataFrame = {
     val t = col("text")
-    val words = split(t, " ")
-    docs.select(
-      col("doc_id"),
-      length(t).as("n_chars"),
-      nTokens(t).as("n_tokens"),
-      (size(array_distinct(words)).cast("double") / nTokens(t)).as("ttr"),
-      (size(filter(words, w => w.isin("the", "a"))).cast("double") / nTokens(t)).as("stopword_ratio"),
-      avgWordLen(t).as("avg_word_len"))
+    val w = col("__words")
+    docs
+      .select(col("doc_id"), t, split(t, " ").as("__words"))
+      .select(
+        col("doc_id"),
+        length(t).as("n_chars"),
+        size(w).as("n_tokens"),
+        (size(array_distinct(w)).cast("double") / size(w)).as("ttr"),
+        (size(filter(w, x => x.isin("the", "a"))).cast("double") / size(w)).as("stopword_ratio"),
+        (length(regexp_replace(t, " ", "")).cast("double") / size(w)).as("avg_word_len"))
       .withColumn("quality_score",
         col("ttr") * 0.4 + col("stopword_ratio") * 0.3 +
           when(col("n_tokens") >= 40, 0.3).otherwise(col("n_tokens").cast("double") / 40.0 * 0.3))
