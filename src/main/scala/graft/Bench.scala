@@ -8,6 +8,8 @@ import org.apache.spark.sql.functions._
   * the noop datasource (full execution of every operator and expression —
   * `.count()` would let Catalyst prune most of the work). */
 object Bench {
+  @volatile private var calSink: Long = 0L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -43,7 +45,28 @@ object Bench {
       }
       Seq.fill(3)(once()).min
     }
+    // Engine-INDEPENDENT calibration: a pure-JVM xorshift loop that never
+    // touches Spark. The Spark-based cal above runs through the engine under
+    // test, so a uniform engine regression in aggregation/codegen would
+    // inflate it identically and be rescaled away by the gate; this loop
+    // measures only the host CPU. bench_gate.py prefers this number when
+    // both compared runs carry it.
+    def jvmCal(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        var x = 0x9E3779B97F4A7C15L
+        var s = 0L
+        var i = 0
+        while (i < 300000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; s += x; i += 1
+        }
+        calSink = s // observable side effect so the JIT can't elide the loop
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq.fill(3)(once()).min
+    }
     val calBefore = hostCal()
+    val jvmCalBefore = jvmCal()
 
     // two executions per query, keep the min: the first run pays JIT +
     // codegen compilation (measured 3-6x on the hot path) and this host's
@@ -94,10 +117,18 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     val calAfter = hostCal()
+    val jvmCalAfter = jvmCal()
     // "filtered" marks partial runs so they can never be mistaken for the
     // official full-bench line
     val filtered = if (only.isDefined) ""","filtered":true""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$filtered,"host_cal_before":$calBefore,"host_cal_after":$calAfter,"sf":"$sfDir"}""")
+    val cals = s""""host_cal_before":$calBefore,"host_cal_after":$calAfter,"jvm_cal_before":$jvmCalBefore,"jvm_cal_after":$jvmCalAfter"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$filtered,$cals,"sf":"$sfDir"}""")
+    // Compact trailing summary: the per-query line above grows with the
+    // query count and an 8 KiB tail window truncates its FRONT (the round-7
+    // record lost the total and the dedup family that way). This second
+    // line is small and LAST, so any tail capture always carries the total,
+    // both calibrations, the query count, and the failure list.
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed$filtered,$cals,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,10 +22,13 @@ object DspKernel {
 
   /** [rms, zcr] over signed 16-bit little-endian PCM starting at byte
     * `offset` (0-based). A trailing odd byte is ignored (not a sample).
-    * rms = sqrt(sum(s²)/n) with the sum held exactly in a long (safe for
-    * bodies up to ~8 TB per row); zcr counts sign boundaries between
-    * consecutive samples (s >= 0 vs s < 0) over n-1 transitions, 0.0 for
-    * a single sample. Returns null when no complete sample exists. */
+    * rms = sqrt(sum(s²)/n) with the sum held exactly in a long. Worst case
+    * (every sample full-scale -32768, s² = 2³⁰) the sum overflows at
+    * ~8.6e9 samples ≈ 17 GB of body — beyond the JVM's ~2.1 GB per-array
+    * cap on `p`, so the identity is exact for every representable input;
+    * zcr counts sign boundaries between consecutive samples (s >= 0 vs
+    * s < 0) over n-1 transitions, 0.0 for a single sample. Returns null
+    * when no complete sample exists. */
   def pcmStats(p: Array[Byte], offset: Int): GenericArrayData = {
     val n = (p.length - offset) / 2
     if (n <= 0) return null
@@ -47,12 +50,29 @@ object DspKernel {
     new GenericArrayData(Array(rms, zcr))
   }
 
+  /** Largest per-channel count for which the variance identity provably
+    * stays in Long: with v ≤ 255, both n·Σv² and (Σv)² are ≤ 65025·n²,
+    * which fits in a signed 64-bit only while
+    * n ≤ ⌊√(Long.Max/65025)⌋ = 11_909_896. Strictly, two's-complement
+    * wrap cancels in the SUBTRACTION (exact mod 2^64), so the identity
+    * only truly breaks once the difference n²·Var itself exceeds 2^63 —
+    * n ≈ 2.4e7 at maximal variance — but that bound is data-dependent;
+    * the guard uses the conservative intermediate-safe bound, which is
+    * still well within the JVM's ~2.1 GB array cap (a stride-1 body
+    * reaches it), so the overflow IS reachable and IS guarded. */
+  private val ChannelCountLongSafe = 11909896L
+
   /** [mean_0..stride-1, std_0..stride-1] over unsigned bytes from `offset`,
     * channel = byte index mod stride (BMP 24bpp: stride 3 = B,G,R).
     * Population std via the exact integer identity n·Σv² − (Σv)², divided
     * by n² as ONE double division so the oracle's HUGEINT arithmetic lands
-    * on the identical double. Returns null when fewer than `stride` bytes
-    * remain (some channel would be empty). */
+    * on the identical double. Channels with more than
+    * [[ChannelCountLongSafe]] bytes take an exact BigInteger path (the
+    * Long products would silently wrap to a wrong std or NaN while the
+    * oracle's int128 stays exact); the per-byte accumulators themselves
+    * are Long-safe to the array cap (Σv² ≤ 65025·n ≤ 1.4e14). Returns
+    * null when fewer than `stride` bytes remain (some channel would be
+    * empty). */
   def byteChannelStats(p: Array[Byte], offset: Int, stride: Int): GenericArrayData = {
     if (p.length - offset < stride) return null
     val sum = new Array[Long](stride)
@@ -72,7 +92,15 @@ object DspKernel {
     while (c < stride) {
       val n = cnt(c)
       out(c) = sum(c).toDouble / n
-      out(stride + c) = math.sqrt((n * sumSq(c) - sum(c) * sum(c)).toDouble / (n * n).toDouble)
+      out(stride + c) =
+        if (n <= ChannelCountLongSafe)
+          math.sqrt((n * sumSq(c) - sum(c) * sum(c)).toDouble / (n * n).toDouble)
+        else {
+          val bn = java.math.BigInteger.valueOf(n)
+          val num = bn.multiply(java.math.BigInteger.valueOf(sumSq(c)))
+            .subtract(java.math.BigInteger.valueOf(sum(c)).pow(2))
+          math.sqrt(num.doubleValue() / bn.pow(2).doubleValue())
+        }
       c += 1
     }
     new GenericArrayData(out)

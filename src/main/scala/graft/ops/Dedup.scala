@@ -320,11 +320,21 @@ object Dedup {
     * not probabilistic — which is what makes dedup_embedding_lsh
     * oracle-checkable. The labeled fast path remains embeddingNearDup. */
   def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.99,
-                          bands: Int = 8, rowsPerBand: Int = 8): DataFrame = {
+                          bands: Int = 8, rowsPerBand: Int = 8): DataFrame =
+    srpPairs(embeddings, threshold, bands, rowsPerBand, keys = Nil)
+      .select("id1", "id2", "cosine")
+
+  /** The SRP banded-LSH pairing core shared by [[embeddingNearDupLsh]]
+    * (keyless) and [[embeddingNearDup]]'s hot-label fallback (keyed by
+    * label): candidates share (keys..., band, band-bits) — an equi-join,
+    * never all-pairs — and are verified with EXACT cosine. Output:
+    * (id1, id2, keys..., cosine). */
+  private def srpPairs(embeddings: DataFrame, threshold: Double,
+                       bands: Int, rowsPerBand: Int, keys: Seq[String]): DataFrame = {
     val numBits = bands * rowsPerBand
     require(numBits <= 64, s"bands*rowsPerBand must fit a long, got $numBits")
-    val base = embeddings.select(col("vec_id"),
-      Similarity.toDouble(col("embedding")).as("v"))
+    val base = embeddings.select(keys.map(col) ++ Seq(col("vec_id"),
+        Similarity.toDouble(col("embedding")).as("v")): _*)
       .withColumn("sig", graft.functions.VectorFunctions.srpSignature(col("v"), numBits))
       .withColumn("nrm", Similarity.norm(col("v")))
     // base feeds the bucket join twice and the verify join twice
@@ -333,19 +343,21 @@ object Dedup {
         shiftright(col("sig"), i * rowsPerBand).bitwiseAND(lit((1L << rowsPerBand) - 1))
       }
       val buckets = b
-        .select(col("vec_id"), posexplode(array(bandCols: _*)))
+        .select(keys.map(col) :+ col("vec_id") :+ posexplode(array(bandCols: _*)): _*)
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bits")
       val cand = buckets.as("a")
         .join(buckets.as("b"),
-          col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+          (keys.map(k => col(s"a.$k") === col(s"b.$k")) ++ Seq(
+            col("a.band") === col("b.band"), col("a.bits") === col("b.bits"),
+            col("a.vec_id") < col("b.vec_id"))).reduce(_ && _))
+        .select(col("a.vec_id").as("id1") +: col("b.vec_id").as("id2") +:
+          keys.map(k => col(s"a.$k")): _*)
         .distinct()
       cand
         .join(b.select(col("vec_id").as("id1"), col("v").as("va"), col("nrm").as("na")), "id1")
         .join(b.select(col("vec_id").as("id2"), col("v").as("vb"), col("nrm").as("nb")), "id2")
-        .select(col("id1"), col("id2"),
-          Similarity.cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
+        .select(col("id1") +: col("id2") +: keys.map(col) :+
+          Similarity.cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")).as("cosine"): _*)
         .filter(col("cosine") >= threshold)
     }
   }
@@ -353,22 +365,45 @@ object Dedup {
   /** Embedding near-dup: cosine ≥ threshold within a blocking key (label) —
     * blocked equi-join, not a cartesian product. The ANN scale path is
     * Similarity.topKIvf. Arithmetic mirrors DuckDB's list_cosine_similarity
-    * exactly: sequential double sums, dot/(sqrt(na)*sqrt(nb)). */
-  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
+    * exactly: sequential double sums, dot/(sqrt(na)*sqrt(nb)).
+    *
+    * The within-label pair join is quadratic in the label's group size —
+    * the documented fast path for bounded labels. A pathologically hot
+    * label would explode it, so labels whose size exceeds
+    * `maxExactLabelSize` are automatically routed through the banded
+    * SRP-LSH core instead (same exact-cosine verify, same threshold;
+    * output differs only by banded-LSH false negatives — ≈3e-7 per pair at
+    * cos 0.99 with the 8×8 default, structurally zero for
+    * identically-oriented vectors; at LOW thresholds the banded recall
+    * decays, so size the cap to keep low-threshold labels on the exact
+    * path). The census is one map-side-combined count per label; hot
+    * labels are a broadcast-sized set by construction (each holds >cap
+    * rows). */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.3,
+                       maxExactLabelSize: Long = 10000L,
+                       bands: Int = 8, rowsPerBand: Int = 8): DataFrame = {
+    val hotLabels = broadcast(
+      embeddings.groupBy("label").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxExactLabelSize).select("label"))
+    val cold = embeddings.join(hotLabels, Seq("label"), "left_anti")
+    val hot = embeddings.join(hotLabels, Seq("label"), "left_semi")
     // norms depend on one vector only — compute them once per row before
     // the pair join instead of once per pair (identical bits: same
     // sequential sum and sqrt over the same vector)
-    val base = embeddings.select(col("vec_id"), col("label"),
+    val base = cold.select(col("vec_id"), col("label"),
       Similarity.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
     val a = base.select(col("vec_id").as("id1"), col("label"),
       col("v").as("va"), col("nrm").as("na"))
     val b = base.select(col("vec_id").as("id2"), col("label"),
       col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("label"))
+    val exact = a.join(b, Seq("label"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("label"),
         Similarity.cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
       .filter(col("cosine") >= threshold)
+    val lsh = srpPairs(hot, threshold, bands, rowsPerBand, keys = Seq("label"))
+      .select(col("id1"), col("id2"), col("label"), col("cosine"))
+    exact.unionByName(lsh)
   }
 }

@@ -200,4 +200,70 @@ object Relational {
       .intersect(orders.filter(col("o_orderdate") >= mid).select(col("o_custkey")))
       .orderBy("o_custkey")
   }
+
+  /** The two decorrelation shapes are written as SQL TEXT and parsed by
+    * both engines: Spark executes the string below and the driver's DuckDB
+    * oracle runs the IDENTICAL string, so the semantics can never drift
+    * between the sides. Arithmetic follows the cross-engine rules: money
+    * sums through DECIMAL, ONE cast to double, integer-exact counts. */
+  private def tpchViews(s: SparkSession, dir: String): Unit = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("part")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+  }
+
+  /** TPC-H Q17 shape: small-quantity revenue per brand, gated by a
+    * CORRELATED scalar subquery (each part's own average quantity). This
+    * forces Catalyst's scalar-subquery decorrelation: the per-part
+    * aggregate materializes ONCE and equi-joins back on p_partkey — never
+    * a per-outer-row re-aggregation, never a cartesian (plan-contracted).
+    * The threshold is built from a decimal-exact sum divided by an exact
+    * count so both engines land on the identical double. */
+  val smallQuantityRevenueSql: String =
+    """SELECT p_brand,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+      |  count(*) AS n_small
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_quantity < (
+      |  SELECT CAST(0.2 AS DOUBLE) * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*))
+      |  FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  def smallQuantityRevenue(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(smallQuantityRevenueSql)
+  }
+
+  /** TPC-H Q21 shape (adapted to this schema: lateness = shipped more than
+    * 90 days after the order date): suppliers who were the SOLE late
+    * shipper on a multi-supplier finalized order — an EXISTS + NOT EXISTS
+    * chain. Catalyst decorrelates the pair into a left-semi and a
+    * left-anti join on l_orderkey (the correlated equality), with the
+    * `<>`-supplier and lateness predicates riding the join condition; the
+    * NOT EXISTS branch joins orders internally rather than referencing the
+    * outer order date, so its only correlation is the equi-key.
+    * No cartesian, no nested-loop (plan-contracted). */
+  val lateSoleSuppliersSql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    JOIN orders o2 ON o2.o_orderkey = l3.l_orderkey
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o2.o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
+  def lateSoleSuppliers(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(lateSoleSuppliersSql)
+  }
 }

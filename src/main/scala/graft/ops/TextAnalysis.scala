@@ -110,33 +110,51 @@ object TextAnalysis {
 
   /** Canonical text normalization — the first pass of any corpus build:
     * lowercase, collapse whitespace runs to one space, trim. Pure per-row
-    * string ops (scan speed); ASCII-safe lowercase and `\s` agree between
-    * Java regex and RE2, so the normalized TEXT is hash-comparable. */
+    * string ops (scan speed). The whitespace class is spelled out rather
+    * than `\s` because Java's `\s` includes vertical tab while RE2's is
+    * `[\t\n\f\r ]` — the explicit class means the same thing in both
+    * engines for ANY input, so the normalized TEXT is hash-comparable
+    * data-independently. */
+  val WhitespaceRunRe = "[ \\t\\n\\x0B\\f\\r]+"
+
   def normalize(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       length(col("text")).as("n_chars_raw"),
-      trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("normalized"))
+      trim(regexp_replace(lower(col("text")), WhitespaceRunRe, " ")).as("normalized"))
       .withColumn("n_chars_norm", length(col("normalized")))
 
-  /** Email/IPv4 patterns chosen to mean the same thing in Java regex
-    * (Spark) and RE2 (DuckDB): plain classes, bounded repetition, ASCII
-    * word boundaries — no backreferences or lookaround, which RE2 lacks. */
+  /** PII patterns chosen to mean the same thing in Java regex (Spark)
+    * and RE2 (DuckDB): plain classes, bounded repetition, ASCII word
+    * boundaries — no backreferences or lookaround, which RE2 lacks.
+    * Redaction order is PINNED (email → card → phone → IPv4) so one
+    * pattern's leftovers can never half-match a later one: an address's
+    * host part as an IP, a card's 4-digit groups as a phone, a
+    * dot-separated phone's prefix as an IP. */
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val CardRe = "\\b[0-9]{4}([- ]?[0-9]{4}){3}\\b"
+  private val PhoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
   private val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 
   /** PII scrub, the pass a corpus takes before any text leaves the
-    * pipeline: count and redact email addresses and IPv4 literals. Pure
-    * per-row regex — scan speed, no shuffle; emails are redacted FIRST so
-    * an address's host part can never half-match as an IP afterwards.
-    * Redaction order and patterns are mirrored in the oracle, so the
-    * redacted TEXT is hash-compared, not just the counts. */
+    * pipeline: count and redact email addresses, 16-digit card numbers
+    * (bare or 4-4-4-4 grouped), NANP-style phone numbers, and IPv4
+    * literals. Pure per-row regex — scan speed, no shuffle. Redaction
+    * order and patterns are mirrored in the oracle, so the redacted TEXT
+    * is hash-compared, not just the counts. */
   def piiScrub(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(CardRe)).cast("long").as("n_cards"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
       regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ipv4"),
-      regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+            CardRe, "<CARD>"),
+          PhoneRe, "<PHONE>"),
         Ipv4Re, "<IP>").as("redacted"))
 
   /** Polynomial rolling hash (base 31, mod 1e9+7) over the codepoints —

@@ -266,20 +266,27 @@ object TimeSeries {
 
   /** Nearest-event join: for every left row, the right row with the
     * MINIMUM |Δt| within the key — either direction (the sensor-alignment
-    * shape; as-of is its backward-only half). Built as two as-of passes
-    * over the same machinery: the backward pass as-is, the forward pass on
-    * NEGATED timestamps (prior-in-negated-space == next-in-real-space),
-    * then a per-row pick of the closer candidate. Cost: two one-shuffle
-    * window passes — still never a range join.
+    * shape; as-of is its backward-only half). ONE pass over the tagged
+    * union: both directions are windows over the SAME key partitioning —
+    * backward = `last(payload)` over (unboundedPreceding, current],
+    * forward = `first(payload)` over [current, unboundedFollowing) — so
+    * the whole operator costs a single hash exchange and zero join
+    * operators (plan-contracted like as-of; the second window only adds
+    * an in-partition re-sort). The earlier two-as-of-passes + re-join
+    * form cost two shuffles and required (keys, tieCol) to uniquely
+    * identify left rows; this form has no such precondition.
     *
     * Tie policy, mirrored by the oracle: candidates order by
     * (|Δt|, tieCol) ascending, so equidistant prior/next resolve to the
-    * smaller tiebreak, and ties WITHIN a timestamp do too (the passes feed
-    * a negated tiebreak to asofJoin's greatest-tie rule).
-    *
-    * (`keys`, `tieCol`) must uniquely identify left rows (it re-joins the
-    * two passes); at 100 TB the cost is two keyed window shuffles plus
-    * that equi-join. */
+    * smaller tiebreak, and ties WITHIN a timestamp do too. Each window's
+    * ordering encodes its inclusive boundary and tie rule: backward
+    * orders (ts asc, right-before-left, tieCol DESC) so `last` lands on
+    * the smallest-tie right row at the greatest ts <= left.ts; forward
+    * orders (ts asc, LEFT-before-right, tieCol asc) so equal-ts right
+    * rows fall inside the forward frame and `first` lands on the
+    * smallest-tie right row at the least ts >= left.ts. An equal-ts
+    * right row is both candidates at distance 0 — the pick is identical
+    * either way. */
   def nearestJoin(
       left: DataFrame,
       right: DataFrame,
@@ -288,27 +295,43 @@ object TimeSeries {
       tieCol: String,
       payload: Seq[String],
       prefix: String = "nearest_"): DataFrame = {
+    require(keys.nonEmpty, "nearestJoin needs at least one key column")
     val carried = (payload ++ Seq(tsCol, tieCol)).distinct
-    def negated(df: DataFrame, negTs: Boolean): DataFrame = {
-      val base = df.withColumn("__tie_neg", -col(tieCol))
-      if (negTs) base.withColumn("__ts_neg", -col(tsCol)) else base
-    }
-    val back = asofJoin(negated(left, negTs = false), negated(right, negTs = false),
-      keys, tsCol, "__tie_neg", payload = carried, prefix = "__b_")
-    val fwd = asofJoin(negated(left, negTs = true), negated(right, negTs = true),
-      keys, "__ts_neg", "__tie_neg", payload = carried, prefix = "__f_")
-      .select((keys :+ tieCol).map(col) ++
-        carried.map(c => col(s"__f_$c")): _*)
-    val joined = back.join(fwd, keys :+ tieCol)
-    val dB = col(tsCol) - col(s"__b_$tsCol")
-    val dF = col(s"__f_$tsCol") - col(tsCol)
-    val pickBack = col(s"__f_$tsCol").isNull ||
-      (col(s"__b_$tsCol").isNotNull &&
-        struct(dB.as("d"), col(s"__b_$tieCol").as("t")) <=
-          struct(dF.as("d"), col(s"__f_$tieCol").as("t")))
-    joined.select(left.columns.toSeq.map(col) ++
+    val carriedType = StructType(carried.map(c => right.schema(c).copy(name = c)))
+    val orderCols = keys ++ Seq(tsCol, tieCol)
+    val leftCols = left.columns.toSeq
+
+    val leftBranch = left.select(
+      leftCols.map(col) ++ Seq(
+        lit(null).cast(carriedType).as("__asof"), lit(1).as("__side")): _*)
+    val rightBranch = right.select(
+      leftCols.map { c =>
+        if (orderCols.contains(c)) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)
+      } ++ Seq(
+        struct(carried.map(col): _*).as("__asof"), lit(0).as("__side")): _*)
+
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc, col(tieCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").desc, col(tieCol).asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val picked = leftBranch.unionByName(rightBranch)
+      .withColumn("__b", last(col("__asof"), ignoreNulls = true).over(wB))
+      .withColumn("__f", first(col("__asof"), ignoreNulls = true).over(wF))
+      .filter(col("__side") === 1)
+    val dB = col(tsCol) - col("__b").getField(tsCol)
+    val dF = col("__f").getField(tsCol) - col(tsCol)
+    val pickBack = col("__f").isNull ||
+      (col("__b").isNotNull &&
+        struct(dB.as("d"), col("__b").getField(tieCol).as("t")) <=
+          struct(dF.as("d"), col("__f").getField(tieCol).as("t")))
+    picked.select(leftCols.map(col) ++
       carried.map(c =>
-        when(pickBack, col(s"__b_$c")).otherwise(col(s"__f_$c")).as(s"$prefix$c")) :+
+        when(pickBack, col("__b").getField(c))
+          .otherwise(col("__f").getField(c)).as(s"$prefix$c")) :+
       when(pickBack, dB).otherwise(dF).as(s"${prefix}dist"): _*)
   }
 

@@ -20,7 +20,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingMonitors {
 
-  final case class StationEvent(event_type: String, event_id: Long, value: Double, ts_us: Long)
+  /** `ts` carries the watermarked event-time attribute through to the
+    * flatMapGroupsWithState child — EventTimeTimeout requires it present
+    * in the child output, not merely below it in the plan. */
+  final case class StationEvent(event_type: String, event_id: Long, value: Double,
+                                ts_us: Long, ts: java.sql.Timestamp)
   final case class StationState(lastValue: Double, lastTsUs: Long)
   final case class DeltaRecord(event_type: String, event_id: Long, value: Double,
                                prev_value: Double, delta: Double,
@@ -145,33 +149,94 @@ object StreamingMonitors {
         col("purchase_value"), (col("p_ts_us") - col("v_ts_us")).as("lag_us"))
   }
 
+  /** Streaming nearest-event: the bounded-lookback twin of
+    * ops/TimeSeries.nearestJoin (the unbounded batch form is not
+    * streamable — a nearer future view can arrive arbitrarily late, so
+    * no finite watermark can finalize an unbounded pick). Candidates come
+    * from ONE symmetric watermark-bounded interval join
+    * (|Δt| <= lookback; state O(rate × lookback) per side, evicted by the
+    * watermark), and the per-purchase pick is a downstream streaming
+    * min_by aggregation keyed by (purchase, its event-time window) so the
+    * watermark finalizes each purchase exactly once — the
+    * multi-stateful-operator append pipeline. Purchases with no view in
+    * the window emit nothing (inner-join semantics, matching the batch
+    * candidate restriction). Tie policy matches nearestJoin: minimum
+    * (|Δt|, view_id). */
+  def streamNearestView(purchases: DataFrame, views: DataFrame,
+                        lookback: String = "1 hour",
+                        lateness: String = "10 minutes"): DataFrame = {
+    val p = purchases.select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("ts_us").as("p_ts_us"))
+      .withWatermark("p_ts", lateness)
+    val v = views.select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("v_ts"), col("ts_us").as("v_ts_us"))
+      .withWatermark("v_ts", lateness)
+    p.join(v,
+        col("user_id") === col("v_user_id") &&
+          col("v_ts") >= col("p_ts") - expr(s"INTERVAL $lookback") &&
+          col("v_ts") <= col("p_ts") + expr(s"INTERVAL $lookback"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"), col("view_id"),
+        abs(col("p_ts_us") - col("v_ts_us")).as("dist_us"))
+      .groupBy(col("purchase_id"), col("user_id"), window(col("p_ts"), "1 hour"))
+      .agg(min_by(struct(col("view_id"), col("dist_us")),
+        struct(col("dist_us"), col("view_id"))).as("best"))
+      .select(col("purchase_id"), col("user_id"),
+        col("best.view_id").as("view_event_id"), col("best.dist_us").as("dist_us"))
+  }
+
   /** Keyed-state delta/rate: remembers the last observation per station
     * across batches and emits one delta record per subsequent event.
-    * Events inside a batch are processed in event-time order. */
-  def statefulDeltaRate(stream: DataFrame): Dataset[DeltaRecord] = {
+    * Events inside a batch are processed in event-time order.
+    *
+    * State is BOUNDED: each key's state carries an event-time timeout of
+    * `stateTtl` past its last observation, clocked by the watermark
+    * (`lateness` behind max event time). A key silent for longer than the
+    * TTL evicts — on a key-churning stream (user-keyed events) state is
+    * O(active keys), not O(all keys ever seen). A revived key restarts
+    * cleanly: its first event after eviction emits no delta (there is no
+    * prev), exactly like a brand-new key; live keys (gaps < TTL) are
+    * untouched, so the batch-equality contract holds on the live path.
+    * The timeout timestamp is clamped above the current watermark — a
+    * late-but-valid event (within `lateness`) whose ts+TTL would land at
+    * or below the watermark must still get a strictly-future timeout or
+    * the state store rejects it. */
+  def statefulDeltaRate(stream: DataFrame,
+                        lateness: String = "10 minutes",
+                        stateTtl: java.time.Duration = java.time.Duration.ofHours(24)): Dataset[DeltaRecord] = {
     val spark = stream.sparkSession
     import spark.implicits._
+    val ttlMs = stateTtl.toMillis
     stream
-      .select(col("event_type"), col("event_id"), col("value"), col("ts_us"))
+      .withWatermark("ts", lateness)
+      .select(col("event_type"), col("event_id"), col("value"), col("ts_us"), col("ts"))
       .as[StationEvent]
       .groupByKey(_.event_type)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: String, events: Iterator[StationEvent], state: GroupState[StationState]) =>
-          val ordered = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
-          val out = Seq.newBuilder[DeltaRecord]
-          var cur = state.getOption
-          ordered.foreach { e =>
-            cur.foreach { prev =>
-              val delta = e.value - prev.lastValue
-              val gapSec = (e.ts_us - prev.lastTsUs) / 1.0e6
-              // null (not NaN) on a zero gap — matches the batch lag() form
-              val rate = if (gapSec == 0.0) None else Some(delta / gapSec)
-              out += DeltaRecord(key, e.event_id, e.value, prev.lastValue, delta, rate)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ordered = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            val out = Seq.newBuilder[DeltaRecord]
+            var cur = state.getOption
+            ordered.foreach { e =>
+              cur.foreach { prev =>
+                val delta = e.value - prev.lastValue
+                val gapSec = (e.ts_us - prev.lastTsUs) / 1.0e6
+                // null (not NaN) on a zero gap — matches the batch lag() form
+                val rate = if (gapSec == 0.0) None else Some(delta / gapSec)
+                out += DeltaRecord(key, e.event_id, e.value, prev.lastValue, delta, rate)
+              }
+              cur = Some(StationState(e.value, e.ts_us))
             }
-            cur = Some(StationState(e.value, e.ts_us))
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, st.lastTsUs / 1000L + ttlMs))
+            }
+            out.result().iterator
           }
-          cur.foreach(state.update)
-          out.result().iterator
       }
   }
 }

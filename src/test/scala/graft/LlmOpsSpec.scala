@@ -171,6 +171,52 @@ class LlmOpsSpec extends SparkSpec {
     assert(a === b) // includes the cosine doubles, bit for bit
   }
 
+  test("embeddingNearDup routes hot labels through SRP-LSH, same pairs, no pair explosion") {
+    import org.apache.spark.sql.functions.{array, col, lit, transform => htransform}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // plant a scaled copy of vec 0 (identical direction → identical SRP
+    // signature structurally, so LSH recall for the pair is 1.0, not luck)
+    val copy = emb.filter(col("vec_id") === 0)
+      .select(lit(100000L).as("vec_id"),
+        htransform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
+        col("label"))
+    val corpus = emb.select("vec_id", "embedding", "label").unionByName(copy)
+    def pairs(cap: Long) =
+      graft.ops.Dedup.embeddingNearDup(corpus, threshold = 0.99, maxExactLabelSize = cap)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val viaExact = pairs(Long.MaxValue)      // every label on the quadratic path
+    val viaLsh = pairs(30L)                  // every label (~50 rows) is HOT → LSH path
+    // identical pair sets: the planted near-copy, and nothing else at 0.99
+    // (random 64-dim background pairs top out near cos 0.4)
+    assert(viaExact.contains((0L, 100000L)))
+    assert(viaLsh === viaExact)
+    // the hot branch really is the banded-LSH plan, not a quadratic join
+    val hotPlan = graft.ops.Dedup.embeddingNearDup(corpus, threshold = 0.99,
+      maxExactLabelSize = 30L).queryExecution.executedPlan.toString
+    assert(hotPlan.contains("graft_srp_sig"), s"hot labels not routed via SRP:\n$hotPlan")
+  }
+
+  test("IVF pre-trained centroid artifact reproduces self-training output bit-for-bit") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target/test-out").getAbsoluteFile.toPath, "centroids").toString
+    val path = s"$dir/c"
+    // first touch trains and writes; the artifact is a tiny parquet file
+    val c1 = Similarity.centroidArtifact(emb, path, k = 16, iterations = 2)
+    assert(new java.io.File(path, "_SUCCESS").exists())
+    val pre = Similarity.topKIvf(emb, pretrained = Some(c1))
+      .orderBy("query_id", "rank").collect().toSeq.map(_.toSeq)
+    val self = Similarity.topKIvf(emb)
+      .orderBy("query_id", "rank").collect().toSeq.map(_.toSeq)
+    assert(pre === self) // doubles round-trip parquet exactly
+    // second touch must READ, not retrain: poison the corpus — a retrain
+    // on it would produce different centroids and differing top-k
+    val poisoned = emb.filter(col("vec_id") =!= 0)
+    val c2 = Similarity.centroidArtifact(poisoned, path, k = 16, iterations = 2)
+    assert(c2.collect().toSeq.map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      === c1.collect().toSeq.map(_.toSeq).sortBy(_.head.asInstanceOf[Long]))
+  }
+
   test("rolling-hash fingerprint matches the reference formula") {
     val text = "ab c"
     var expect = 0L
@@ -193,16 +239,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("stopword_ratio") === 0.5)  // 2×'the' / 4
   }
 
-  test("pii scrub counts both kinds and redacts emails before ips") {
+  test("pii scrub counts all four kinds and redacts in pinned order") {
     val df = Seq(
       (1L, "mail a@b.co then 1.2.3.4 then c@d.org end"),
-      (2L, "clean text no pii"))
+      (2L, "clean text no pii"),
+      (3L, "card 4111-1111-1111-1234 or 4111111111111234 pay"),
+      (4L, "call 555-123-4567 or 555.123.4567 now"))
       .toDF("doc_id", "text")
     val got = TextAnalysis.piiScrub(df).orderBy("doc_id")
-      .as[(Long, Long, Long, String)].collect().toSeq
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
     assert(got === Seq(
-      (1L, 2L, 1L, "mail <EMAIL> then <IP> then <EMAIL> end"),
-      (2L, 0L, 0L, "clean text no pii")))
+      (1L, 2L, 0L, 0L, 1L, "mail <EMAIL> then <IP> then <EMAIL> end"),
+      (2L, 0L, 0L, 0L, 0L, "clean text no pii"),
+      (3L, 0L, 2L, 0L, 0L, "card <CARD> or <CARD> pay"),
+      (4L, 0L, 0L, 2L, 0L, "call <PHONE> or <PHONE> now")))
+  }
+
+  test("pii scrub: a dot-separated phone never half-matches as an IPv4") {
+    val got = TextAnalysis.piiScrub(Seq((1L, "dial 555.123.4567 end")).toDF("doc_id", "text"))
+      .select("n_phones", "n_ipv4", "redacted").collect()(0)
+    assert(got.getLong(0) === 1L && got.getLong(1) === 0L)
+    assert(got.getString(2) === "dial <PHONE> end")
   }
 
   test("langid emits a prediction and match flag for every row") {
@@ -257,6 +314,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(stats.getDouble(1) === 2.0 / 3.0) // + → - → - → + : 2 of 3 transitions
     assert(graft.functions.DspKernel.pcmStats(Array[Byte](1), 0) === null)
     assert(graft.functions.DspKernel.byteChannelStats(Array[Byte](1, 2), 0, 3) === null)
+  }
+
+  test("byte-channel stats stay exact past the Long-safe channel bound") {
+    // 30e6 alternating 0/255 bytes on one channel. Two's-complement wrap
+    // CANCELS in n·Σv² − (Σv)² while the true difference fits in a signed
+    // 64-bit (the identity is exact mod 2^64), so a low-variance input
+    // would mask the bug; at maximal variance the difference itself is
+    // n²·127.5² ≈ 1.46e19 > 2^63 and the wrapped Long identity goes
+    // negative → NaN std — this input must take the exact BigInteger path
+    val n = 30000001
+    val p = new Array[Byte](n)
+    var i = 0
+    while (i < n) { p(i) = (if (i % 2 == 0) 0 else 255).toByte; i += 1 }
+    val c255 = n / 2L
+    val sum = 255L * c255
+    val sumSq = 255L * 255L * c255
+    val bn = java.math.BigInteger.valueOf(n)
+    val num = bn.multiply(java.math.BigInteger.valueOf(sumSq))
+      .subtract(java.math.BigInteger.valueOf(sum).pow(2))
+    val expected = math.sqrt(num.doubleValue() / bn.pow(2).doubleValue())
+    val wrapped = math.sqrt((n * sumSq - sum * sum).toDouble / (n.toLong * n).toDouble)
+    assert(wrapped.isNaN || math.abs(wrapped - expected) > 1e-3,
+      "test input no longer overflows the Long identity — raise n")
+    val stats = graft.functions.DspKernel.byteChannelStats(p, 0, 1)
+    assert(stats.getDouble(0) === sum.toDouble / n)
+    assert(stats.getDouble(1) === expected)
   }
 
   test("multimodal: expression header decode matches the JVM twin, with no RDD scan") {

@@ -85,10 +85,37 @@ class PlanContractSpec extends SparkSpec {
     assert(hashExchanges === 1, s"expected exactly 1 hash exchange, got $hashExchanges:\n$p")
   }
 
+  test("nearest view is the single-pass union+window plan: one exchange, zero joins") {
+    // both directions (backward last, forward first) ride ONE key
+    // partitioning — the second window adds only an in-partition re-sort
+    val p = plan("q_nearest_view")
+    Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct", "BroadcastNestedLoopJoin")
+      .foreach(j => assert(!p.contains(j), s"nearest must not contain $j:\n$p"))
+    val hashExchanges = p.linesIterator
+      .count(l => l.trim.matches("""^[+:\-\s]*Exchange hashpartitioning.*"""))
+    assert(hashExchanges === 1, s"expected exactly 1 hash exchange, got $hashExchanges:\n$p")
+  }
+
   test("range-session attribution joins by equi-key in both guard branches") {
     val p = plan("q_range_sessions")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"range join degenerated to a non-equi join:\n$p")
+  }
+
+  test("correlated subqueries decorrelate to equi-joins, never cartesians") {
+    // Q17: the correlated scalar avg must materialize once and equi-join
+    // back on p_partkey; Q21: EXISTS/NOT EXISTS become semi/anti joins on
+    // l_orderkey. A per-outer-row re-evaluation would surface as a
+    // cartesian or nested-loop join.
+    Seq("q17_small_qty_revenue", "q21_late_suppliers").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
+    }
+    // the EXISTS/NOT EXISTS pair must actually be semi/anti joins
+    val p21 = plan("q21_late_suppliers")
+    assert(p21.contains("LeftSemi"), s"q21 lost its semi join:\n$p21")
+    assert(p21.contains("LeftAnti"), s"q21 lost its anti join:\n$p21")
   }
 
   test("train-ready pipeline shares ONE cached postings scan") {

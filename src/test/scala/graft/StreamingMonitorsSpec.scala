@@ -181,4 +181,102 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(streamed.count() === batch.count())
     assert(streamed.exceptAll(batch).count() === 0)
   }
+
+  test("streaming nearest view equals the batch pick on the lookback-restricted candidates") {
+    val w = work()
+    val srcDir = new java.io.File(s"$w/incoming"); srcDir.mkdirs()
+    Files.copy(new java.io.File("/root/testdata/sf0.001/events.parquet").toPath,
+      new java.io.File(srcDir, "a.parquet").toPath)
+    // sentinel file far past every real event, delivered as a SECOND batch
+    // (maxFilesPerTrigger=1): advances the watermark so the append-mode
+    // aggregation finalizes every real purchase's window
+    val farNs = Tables.events(spark, "/root/testdata/sf0.001")
+      .agg(max("ts_us")).collect()(0).getLong(0) * 1000L + 365L * 86400L * 1000000000L
+    import spark.implicits._
+    Seq((9000001L, farNs, 999999L, "purchase", 1.0, "{}"),
+        (9000002L, farNs + 1000000000L, 999999L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$w/sentinel")
+    val part = new java.io.File(s"$w/sentinel").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, new java.io.File(srcDir, "b.parquet").toPath)
+    val stream = Tables.normalizeEvents(
+      spark.readStream.schema(Tables.eventsRawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.getAbsolutePath))
+    val q = StreamingMonitors.streamNearestView(
+        stream.filter(col("event_type") === "purchase"),
+        stream.filter(col("event_type") === "view"))
+      .writeStream.format("memory").queryName("nearest_stream")
+      .option("checkpointLocation", s"$w/ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(180000), "streaming query timed out")
+    val streamed = spark.table("nearest_stream")
+      .filter(col("user_id") =!= 999999L)
+      .select("purchase_id", "view_event_id", "dist_us")
+    // batch oracle: the same symmetric lookback candidate restriction and
+    // the same (|Δt|, view_id) pick, in plain batch DataFrame ops
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val bp = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us").as("p_ts_us"))
+    val bv = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vu"), col("ts_us").as("v_ts_us"))
+    val batch = bp.join(bv, col("user_id") === col("vu") &&
+        abs(col("v_ts_us") - col("p_ts_us")) <= 3600L * 1000000L)
+      .select(col("purchase_id"), col("view_id"),
+        abs(col("v_ts_us") - col("p_ts_us")).as("dist_us"))
+      .groupBy("purchase_id")
+      .agg(min_by(struct(col("view_id"), col("dist_us")),
+        struct(col("dist_us"), col("view_id"))).as("best"))
+      .select(col("purchase_id"), col("best.view_id").as("view_event_id"),
+        col("best.dist_us").as("dist_us"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("stateful delta/rate evicts idle keys past the TTL and revives cleanly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double, Long)]
+    val events = mem.toDF().toDF("event_type", "event_id", "value", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamingMonitors.statefulDeltaRate(events,
+        lateness = "0 seconds", stateTtl = java.time.Duration.ofMinutes(30))
+      .writeStream.format("memory").queryName("delta_ttl")
+      .option("checkpointLocation", s"${work()}/ckpt")
+      .outputMode("append").start()
+    // base away from epoch 0: the initial watermark is 0, and batch-1
+    // events AT the watermark sit on the late-row boundary
+    def min(m: Long): Long = 946684800L * 1000000L + m * 60L * 1000000L
+    try {
+      // batch 1: A and B observed at t=0
+      mem.addData(("A", 1L, 10.0, min(0)), ("B", 1L, 5.0, min(0)))
+      q.processAllAvailable()
+      // batch 2: B at t=120min. B had data before any timeout fired, so its
+      // 120min-gap delta emits — eviction is clocked by the WATERMARK
+      // passing a key's ts+TTL, never by gap length alone. The watermark
+      // (0s lateness) advances to 120min after this batch.
+      mem.addData(("B", 2L, 6.0, min(120)))
+      q.processAllAvailable()
+      // batch 3: A's timeout (t=30min) is now below the watermark — its
+      // group fires with hasTimedOut and the state evicts
+      mem.addData(("B", 3L, 7.0, min(121)))
+      q.processAllAvailable()
+      // batch 4: A revives — no state, so its first event emits NO delta
+      mem.addData(("A", 2L, 99.0, min(122)))
+      q.processAllAvailable()
+      // batch 5: A deltas against the REVIVED observation, not the old one
+      mem.addData(("A", 3L, 100.0, min(123)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("delta_ttl")
+    val a = out.filter(col("event_type") === "A").orderBy("event_id")
+      .select("event_id", "prev_value", "delta").collect()
+    assert(a.map(_.getLong(0)).toSeq === Seq(3L)) // revival event emitted nothing
+    assert(a(0).getDouble(1) === 99.0 && a(0).getDouble(2) === 1.0)
+    // live-key path untouched by the TTL machinery
+    val b = out.filter(col("event_type") === "B").orderBy("event_id").collect()
+    assert(b.map(_.getLong(1)).toSeq === Seq(2L, 3L), s"B rows: ${b.mkString("; ")}")
+  }
 }

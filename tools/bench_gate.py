@@ -7,14 +7,25 @@ ship silently inside an improving total (round 3 shipped a 2.5x
 dedup_minhash regression that way).
 
 Inputs can be either the driver's BENCH_r{N}.json wrapper (which holds
-the bench line under "parsed") or a raw one-line JSON printed by
-graft.Bench. With no arguments, compares the two most recent
-BENCH_r*.json in the repo root.
+the bench line under "parsed") or a raw output of graft.Bench (which
+since round 8 prints TWO lines: the detailed per-query line, then a
+compact {"metric":"summary",...} line that survives any tail window).
+With no arguments, compares the two most recent BENCH_r*.json in the
+repo root.
+
+Host-drift normalization prefers the engine-INDEPENDENT jvm_cal
+(pure-JVM loop, round 8+) over the Spark-based host_cal: the Spark cal
+runs through the engine under test, so a genuine uniform engine
+regression would inflate it and be rescaled away. When only the Spark
+cal is available AND rescaling flips a per-query pass/fail outcome, the
+gate exits 3 unless --ack-drift is passed — a masked outcome must be
+acknowledged, not silently normalized.
 
 Usage:
-  tools/bench_gate.py [old.json new.json] [--threshold 1.5]
+  tools/bench_gate.py [old.json new.json] [--threshold 1.5] [--ack-drift]
 
-Exit codes: 0 ok, 1 regression(s), 2 unusable input.
+Exit codes: 0 ok, 1 regression(s), 2 unusable input,
+            3 spark-cal rescale changed an outcome (pass --ack-drift).
 """
 import glob
 import json
@@ -24,39 +35,73 @@ import sys
 
 
 def load_queries(path):
+    """Returns (queries_or_None, cal_dict, total_or_None).
+
+    cal_dict maps 'jvm'/'spark' to the min of before/after when present.
+    queries is None when only the compact summary survived (truncated
+    official record) — the caller falls back to a totals-only compare.
+    """
     with open(path) as f:
         d = json.load(f)
+    detail, summary = None, None
     if "parsed" in d and isinstance(d["parsed"], dict):
-        d = d["parsed"]
-    elif "queries" not in d and "tail" in d:
-        # driver wrapper with parsed=null: the bench line is embedded in
-        # the captured output tail — take the LAST metric line
-        lines = re.findall(r'\{"metric".*', d["tail"])
-        if not lines:
-            sys.exit(f"[gate] {path}: no bench JSON line in tail")
-        d = json.loads(lines[-1])
-    if "queries" not in d:
-        sys.exit(f"[gate] {path}: no 'queries' field (rc!=0 bench run?)")
-    if d.get("filtered"):
+        p = d["parsed"]
+        if p.get("metric") == "summary":
+            summary = p
+        else:
+            detail = p
+    if detail is None and "tail" in d:
+        # driver wrapper: bench lines are embedded in the captured output
+        # tail. The detailed line may be front-truncated; the summary line
+        # is last and compact, so it always parses.
+        for line in re.findall(r'\{"metric".*', d["tail"]):
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                continue  # front-truncated detailed line
+            if obj.get("metric") == "summary":
+                summary = obj
+            elif "queries" in obj:
+                detail = obj
+    if detail is None and summary is None:
+        if "queries" in d:  # raw single-line bench output
+            detail = d
+        else:
+            sys.exit(f"[gate] {path}: no parseable bench line")
+    src = detail or summary
+    if src.get("filtered"):
         sys.exit(f"[gate] {path}: filtered (partial) bench run — not comparable")
-    # host calibration stanza (round 7+): min of before/after is the best
-    # view of the host's speed during the run (the after number can be
-    # inflated by lingering GC/compaction from the query loop itself)
-    cal = None
-    cals = [d[k] for k in ("host_cal_before", "host_cal_after")
-            if isinstance(d.get(k), (int, float)) and d[k] > 0]
-    if cals:
-        cal = min(cals)
-        if len(cals) == 2 and max(cals) / min(cals) > 1.3:
-            print(f"[gate] note: {os.path.basename(path)} host drifted "
-                  f"{max(cals) / min(cals):.2f}x DURING the run "
-                  f"(cal {cals[0]:.2f}s -> {cals[1]:.2f}s)")
-    return d["queries"], cal
+    cal = {}
+    for key, names in (("jvm", ("jvm_cal_before", "jvm_cal_after")),
+                       ("spark", ("host_cal_before", "host_cal_after"))):
+        vals = [src[k] for k in names
+                if isinstance(src.get(k), (int, float)) and src[k] > 0]
+        if vals:
+            cal[key] = min(vals)
+            if len(vals) == 2 and max(vals) / min(vals) > 1.3:
+                print(f"[gate] note: {os.path.basename(path)} host drifted "
+                      f"{max(vals) / min(vals):.2f}x DURING the run "
+                      f"({key} cal {vals[0]:.2f}s -> {vals[1]:.2f}s)")
+    total = src.get("value") if isinstance(src.get("value"), (int, float)) else None
+    queries = detail.get("queries") if detail else None
+    if queries is None:
+        print(f"[gate] note: {os.path.basename(path)} has only the compact "
+              f"summary (detailed line truncated) — totals-only compare")
+    return queries, cal, total
+
+
+def pick_cal(old_cal, new_cal):
+    """Prefer the engine-independent jvm cal; fall back to spark cal."""
+    for key in ("jvm", "spark"):
+        if old_cal.get(key) and new_cal.get(key):
+            return key, old_cal[key], new_cal[key]
+    return None, None, None
 
 
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     threshold = 1.5
+    ack_drift = "--ack-drift" in sys.argv[1:]
     for a in sys.argv[1:]:
         if a.startswith("--threshold"):
             threshold = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
@@ -72,50 +117,73 @@ def main():
     else:
         sys.exit(__doc__)
 
-    (old_q, old_cal), (new_q, new_cal) = load_queries(old_path), load_queries(new_path)
+    old_q, old_cal, old_total = load_queries(old_path)
+    new_q, new_cal, new_total = load_queries(new_path)
     print(f"[gate] {os.path.basename(old_path)} -> {os.path.basename(new_path)} "
           f"(threshold {threshold}x)")
 
     # Host-drift normalization: when both runs carry a calibration number
     # and the host speed differs >1.3x, rescale the new run's timings to
-    # the old run's host before ratio-ing. The cal workload is fixed and
-    # data-independent, so its ratio measures the host, not the engine —
-    # without this, a slow host reads as a uniform phantom regression
-    # (BENCH_r06's 2.5-4x dedup "regressions" vs same-code gate runs).
+    # the old run's host before ratio-ing — a slow host must not read as a
+    # uniform phantom regression (BENCH_r06's 2.5-4x dedup "regressions"
+    # vs same-code gate runs).
     scale = 1.0
-    if old_cal and new_cal:
-        cal_ratio = new_cal / old_cal
+    cal_kind, oc, nc = pick_cal(old_cal, new_cal)
+    if cal_kind:
+        cal_ratio = nc / oc
         if cal_ratio > 1.3 or cal_ratio < 1 / 1.3:
             scale = 1.0 / cal_ratio
-            print(f"[gate] HOST DRIFT: cal {old_cal:.2f}s -> {new_cal:.2f}s "
+            print(f"[gate] HOST DRIFT ({cal_kind} cal): {oc:.2f}s -> {nc:.2f}s "
                   f"({cal_ratio:.2f}x) — rescaling new-run timings by {scale:.2f} "
                   f"to compare engines, not hosts")
         else:
-            print(f"[gate] host cal: {old_cal:.2f}s -> {new_cal:.2f}s "
+            print(f"[gate] host cal ({cal_kind}): {oc:.2f}s -> {nc:.2f}s "
                   f"({cal_ratio:.2f}x, within 1.3x — no rescale)")
-    elif old_cal or new_cal:
-        print("[gate] note: only one run has host_cal — comparing raw timings")
+    else:
+        print("[gate] note: no shared calibration — comparing raw timings")
 
-    bad = []
+    if old_q is None or new_q is None:
+        # Truncated official record: compare totals only, cal-normalized.
+        if old_total is None or new_total is None:
+            sys.exit("[gate] cannot compare: no per-query data and no totals")
+        scaled_new = new_total * scale
+        ratio = scaled_new / old_total if old_total > 0 else float("inf")
+        scaled = " (host-normalized)" if scale != 1.0 else ""
+        print(f"[gate] totals-only: {old_total:.1f}s -> {scaled_new:.1f}s{scaled} "
+              f"({ratio:.2f}x)")
+        if ratio > threshold:
+            print(f"[gate] FAIL: suite total regressed {ratio:.2f}x")
+            sys.exit(1)
+        print("[gate] OK — total within threshold (per-query detail unavailable)")
+        return
+
+    def find_bad(s):
+        out = []
+        for name in sorted(new_q):
+            new_s = new_q[name]
+            old_s = old_q.get(name)
+            if new_s < 0:
+                out.append((name, old_s, new_s, "FAILED in new run"))
+                continue
+            new_s = new_s * s
+            if old_s is None or old_s <= 0:
+                continue
+            ratio = new_s / old_s
+            # sub-second absolute deltas are host noise, not regressions
+            if ratio > threshold and new_s - old_s > 1.0:
+                out.append((name, old_s, new_s, f"{ratio:.2f}x"))
+        return out
+
+    bad = find_bad(scale)
     for name in sorted(new_q):
-        new_s = new_q[name]
-        old_s = old_q.get(name)
-        if new_s < 0:
-            bad.append((name, old_s, new_s, "FAILED in new run"))
+        new_s, old_s = new_q[name] * scale, old_q.get(name)
+        if new_q[name] < 0:
             continue
-        new_s = new_s * scale
         if old_s is None:
             print(f"  new   {name}: {new_s:.2f}s (no prior)")
-            continue
-        if old_s <= 0:
-            continue  # failed in the old run; nothing to ratio against
-        ratio = new_s / old_s
-        # sub-second absolute deltas are host noise, not regressions
-        if ratio > threshold and new_s - old_s > 1.0:
-            bad.append((name, old_s, new_s, f"{ratio:.2f}x"))
-        elif ratio > threshold:
+        elif old_s > 0 and new_s / old_s > threshold and new_s - old_s <= 1.0:
             print(f"  note  {name}: {old_s:.2f}s -> {new_s:.2f}s "
-                  f"({ratio:.2f}x, <1s absolute — ignored)")
+                  f"({new_s / old_s:.2f}x, <1s absolute — ignored)")
     gone = sorted(set(old_q) - set(new_q))
     if gone:
         print(f"  note  queries dropped since old run: {', '.join(gone)}")
@@ -124,6 +192,23 @@ def main():
     total_new = sum(v * scale for v in new_q.values() if v > 0)
     scaled = " (host-normalized)" if scale != 1.0 else ""
     print(f"[gate] totals: {total_old:.1f}s -> {total_new:.1f}s{scaled}")
+
+    # An engine-DEPENDENT (spark) cal rescale that flips outcomes needs
+    # explicit acknowledgment: the drift it "corrects" could itself be a
+    # uniform engine regression. The jvm cal cannot be inflated by the
+    # engine, so its rescale is trusted.
+    if scale != 1.0 and cal_kind == "spark":
+        bad_names = {b[0] for b in bad}
+        masked = [b for b in find_bad(1.0) if b[0] not in bad_names]
+        if masked and not ack_drift:
+            print("[gate] DRIFT-MASKED outcomes (raw FAIL, pass after spark-cal "
+                  "rescale) — the spark cal runs through the engine under test, "
+                  "so this could be a uniform engine regression. Re-run with "
+                  "--ack-drift to accept, or bench on a settled host:")
+            for name, old_s, new_s, why in masked:
+                print(f"  MASKED {name}: {old_s:.2f}s -> {new_s:.2f}s  ({why})")
+            sys.exit(3)
+
     if bad:
         print("[gate] REGRESSIONS:")
         for name, old_s, new_s, why in bad:
