@@ -331,6 +331,16 @@ object SparkEntry {
     "dedup_jaccard_capped" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), maxDocFreq = 5).orderBy("id1", "id2")),
 
+    // terminal dedup stage: resolve the jaccard pair list into connected
+    // components (min-label + pointer doubling, O(log n) rounds), then map
+    // EVERY corpus doc to its cluster representative.
+    "dedup_components" -> ((s, dir) => Graph.connectedComponents(
+      Dedup.ngramJaccard(Tables.documents(s, dir))).orderBy("id")),
+
+    "dedup_canonical" -> ((s, dir) => Graph.canonicalize(
+      Tables.documents(s, dir),
+      Dedup.ngramJaccard(Tables.documents(s, dir))).orderBy("doc_id")),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir)).orderBy("id1", "id2")),
 
@@ -1047,6 +1057,13 @@ object SparkEntry {
     "dedup_jaccard" -> JACCARD_SQL,
     "dedup_minhash" -> JACCARD_SQL,
     "dedup_jaccard_capped" -> JACCARD_CAPPED_SQL,
+
+    // component resolution over the jaccard pairs: DuckDB computes the
+    // transitive closure with a recursive CTE (UNION dedups, labels are a
+    // finite id set → terminates); min reachable id per node is exactly
+    // the min-label fixpoint the engine's pointer-doubling loop certifies.
+    "dedup_components" -> COMPONENTS_SQL,
+    "dedup_canonical" -> CANONICAL_SQL,
     // dedup_simhash / sim_topk_ivf: hash-family/ANN internals are not
     // SQL-expressible; the driver records rows-only checks for them. The
     // planted reductions below ARE hash-checked (identical shingle sets /
@@ -1416,4 +1433,37 @@ object SparkEntry {
       |  SELECT id1, id2, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
       |  FROM pairs JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2)
       |WHERE jaccard >= 0.8 ORDER BY id1, id2""".stripMargin
+
+  /** Shared CTE chain for the component-resolution oracles: the JACCARD_SQL
+    * pair derivation (verbatim semantics), then symmetric edges, then the
+    * transitive closure as a recursive CTE ending in per-node min label. */
+  private val COMPONENT_CTES =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM w),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s FROM idx),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |p AS (SELECT id1, id2 FROM (
+      |    SELECT id1, id2, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |    FROM cand JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2)
+      |  WHERE jaccard >= 0.8),
+      |e AS (SELECT id1 AS u, id2 AS v FROM p UNION SELECT id2, id1 FROM p),
+      |reach(id, lab) AS (
+      |  SELECT u, u FROM e
+      |  UNION
+      |  SELECT e.u, r.lab FROM reach r JOIN e ON e.v = r.id),
+      |comp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)""".stripMargin
+
+  private val COMPONENTS_SQL =
+    s"""WITH RECURSIVE
+       |$COMPONENT_CTES
+       |SELECT id, comp FROM comp ORDER BY id""".stripMargin
+
+  private val CANONICAL_SQL =
+    s"""WITH RECURSIVE
+       |$COMPONENT_CTES
+       |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS canonical_id
+       |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a near-dup pair list, and the
+  * canonical-document resolution it enables — the terminal stage every
+  * dedup pipeline needs: the pair generators (Dedup.ngramJaccard /
+  * minhashLsh / simhashPairs / embeddingNearDupLsh) emit EDGES, but a
+  * corpus pass must resolve those edges into CLUSTERS and keep exactly one
+  * representative per cluster. (The reference pipeline has no analog — its
+  * record-at-a-time flow never joins records to records; this is part of
+  * the LLM-pipeline surface built beyond it.)
+  *
+  * Algorithm: min-label propagation with pointer doubling. Every node
+  * starts labeled with itself; each round first lowers a node's label to
+  * the min over its neighbors' labels (one equi-join + min-aggregate),
+  * then compresses one hop — lab := lab(lab) — via a self-equi-join
+  * (labels are always node ids, so the join always hits). Lowering alone
+  * needs O(diameter) rounds; the doubling step halves chain depth each
+  * round, giving O(log n) convergence on paths — the same shortcutting
+  * idea as the alternating-star MapReduce algorithms (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14). Both steps
+  * are per-element monotonically non-increasing on a finite id domain, so
+  * sum(label) equality between rounds certifies the exact fixpoint — and
+  * at the fixpoint labels are constant per component and equal the
+  * component's min node id.
+  *
+  * 100 TB shape: every step is an equi-join or an aggregate — no cartesian
+  * anywhere, no driver-side graph state (the driver sees one scalar per
+  * round). Each iterate is `localCheckpoint`ed: the convergence aggregate
+  * materializes it, lineage is severed so the plan stays one-round deep
+  * regardless of iteration count, and superseded iterates are GC'd by the
+  * context cleaner. (On a real cluster swap in reliable `checkpoint` for
+  * executor-loss tolerance — same contract, durable storage.) The label
+  * frame holds only nodes that appear in a pair — for near-dup edges that
+  * is a small fraction of the corpus.
+  */
+object Graph {
+
+  /** (id, comp) for every node appearing in `pairs`, comp = min node id of
+    * the node's connected component. Ids must be integral (cast to long). */
+  def connectedComponents(pairs: DataFrame, srcCol: String = "id1",
+                          dstCol: String = "id2", maxIter: Int = 64): DataFrame = {
+    val oriented = pairs
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+    val sym = oriented
+      .union(oriented.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+      .localCheckpoint()
+    // sum over distinct longs (node ids) can exceed Long on a 100 TB id
+    // space — certify the fixpoint in decimal
+    def labSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("lab").cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO))
+        .as("s")).head().getDecimal(0)
+    var prev = labSum(labels)
+    var converged = false
+    var i = 0
+    while (i < maxIter && !converged) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("v"), col("lab").as("vlab")), "v")
+        .groupBy("u").agg(min("vlab").as("nmin"))
+      val lowered = labels
+        .join(nbrMin.select(col("u").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"), least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
+      val jumped = lowered
+        .join(lowered.select(col("id").as("lab"), col("lab").as("lab2")), Seq("lab"))
+        .select(col("id"), col("lab2").as("lab"))
+        .localCheckpoint()
+      val s = labSum(jumped)
+      // per-element non-increasing ⇒ equal sums ⇔ nothing moved ⇒ fixpoint
+      converged = s.compareTo(prev) == 0
+      prev = s
+      labels = jumped
+      i += 1
+    }
+    sym.unpersist(blocking = false)
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id"), col("lab").as("comp"))
+  }
+
+  /** Per-document canonical id: the min doc id of the document's near-dup
+    * component, itself for documents in no pair. `SELECT ... WHERE doc_id =
+    * canonical_id` (or a join on it) is the deduplicated corpus. The
+    * component frame only holds paired nodes, so the join back to the full
+    * corpus is a left equi-join against a much smaller right side —
+    * broadcast-able when the dup rate is low, AQE-planned otherwise. */
+  def canonicalize(docs: DataFrame, pairs: DataFrame,
+                   idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol))
+      .join(connectedComponents(pairs).select(col("id").as(idCol), col("comp")),
+            Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol).cast("long")).as("canonical_id"))
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** Connected components + canonicalization: hand-built graphs with known
+  * component structure, including a long path (exercises the pointer-
+  * doubling convergence — plain propagation would need one round per hop). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two components and an isolated pair resolve to min-id labels") {
+    // {1,2,3,4} via 1-2, 2-3, 3-4; {10,11}; duplicate + self edges ignored
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (10L, 11L), (5L, 5L))
+      .toDF("id1", "id2")
+    val comp = Graph.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("a 200-node path converges well inside the round budget") {
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val comp = Graph.connectedComponents(pairs, maxIter = 16).collect()
+    assert(comp.length === 200)
+    assert(comp.forall(_.getLong(1) == 0L))
+  }
+
+  test("canonicalize maps unpaired docs to themselves and paired docs to the component min") {
+    val docs = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (7L, "e"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 3L)).toDF("id1", "id2")
+    val canon = Graph.canonicalize(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 7L -> 7L))
+    // the dedup'd corpus: one representative per component + all singletons
+    val kept = Graph.canonicalize(docs, pairs)
+      .where(col("doc_id") === col("canonical_id")).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 1L, 2L, 7L))
+  }
+}
