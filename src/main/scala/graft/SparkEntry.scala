@@ -168,6 +168,9 @@ object SparkEntry {
     "q_intersect" -> ((s, dir) => Relational.repeatCustomersIntersect(s, dir)),
     "q17_small_qty_revenue" -> ((s, dir) => Relational.smallQuantityRevenue(s, dir)),
     "q21_late_suppliers" -> ((s, dir) => Relational.lateSoleSuppliers(s, dir)),
+    "q18_large_orders" -> ((s, dir) => Relational.largeVolumeOrders(s, dir)),
+    "q19_branded_revenue" -> ((s, dir) => Relational.brandedRevenue(s, dir)),
+    "q22_dormant_balances" -> ((s, dir) => Relational.dormantBalances(s, dir)),
     "q6_revenue_change" -> ((s, dir) => Relational.revenueChange(s, dir)),
     "q12_shipmode_priority" -> ((s, dir) => Relational.shipmodePriority(s, dir)),
     "q14_promo_share" -> ((s, dir) => Relational.promoShare(s, dir)),
@@ -801,6 +804,9 @@ object SparkEntry {
     // executes (Relational.scala) — both engines parse one string
     "q17_small_qty_revenue" -> Relational.smallQuantityRevenueSql,
     "q21_late_suppliers" -> Relational.lateSoleSuppliersSql,
+    "q18_large_orders" -> Relational.largeVolumeOrdersSql,
+    "q19_branded_revenue" -> Relational.brandedRevenueSql,
+    "q22_dormant_balances" -> Relational.dormantBalancesSql,
 
     "q_alert_rollup" -> (C +
       """SELECT coalesce(wlobscd, '<all>') AS station,

@@ -211,6 +211,8 @@ object Relational {
     Tables.part(s, dir).createOrReplaceTempView("part")
     Tables.orders(s, dir).createOrReplaceTempView("orders")
     Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
   }
 
   /** TPC-H Q17 shape: small-quantity revenue per brand, gated by a
@@ -265,5 +267,75 @@ object Relational {
   def lateSoleSuppliers(s: SparkSession, dir: String): DataFrame = {
     tpchViews(s, dir)
     s.sql(lateSoleSuppliersSql)
+  }
+
+  /** TPC-H Q18 shape: large-volume orders. The IN over a grouped-HAVING
+    * subquery rewrites to a left-semi join against a pre-aggregated
+    * lineitem — the aggregate runs ONCE (map-side partials + one shuffle
+    * on l_orderkey), then semi-prunes the fact before the customer join.
+    * At 100 TB the semi join keeps only the handful of >350-qty orders, so
+    * the 3-way join that follows is over a vanishing fraction of the fact. */
+  val largeVolumeOrdersSql: String =
+    """SELECT c_name, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM customer
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 350)
+      |GROUP BY c_name, o_orderkey, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
+
+  def largeVolumeOrders(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(largeVolumeOrdersSql)
+  }
+
+  /** TPC-H Q19 shape (adapted: brand/size/quantity in place of the missing
+    * container/shipmode columns): revenue under a DISJUNCTION of per-brand
+    * branch predicates. Exercises Catalyst's CNF conversion: the common
+    * `p_partkey = l_partkey` stays the equi-join key, extractable
+    * conjuncts (`l_quantity <= 40` below is implied per-branch) push to
+    * the scans, and the residual OR rides the join — never a cartesian.
+    * Revenue follows the cross-engine money rule (decimal sum, one cast
+    * to double at the end). */
+  val brandedRevenueSql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
+  def brandedRevenue(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(brandedRevenueSql)
+  }
+
+  /** TPC-H Q22 shape (adapted: nation in place of the missing phone
+    * prefix): dormant high-balance customers — balance above the global
+    * positive-balance average (UNCORRELATED scalar subquery, computed once
+    * and broadcast as a literal-like input) with no order since the
+    * cutoff (NOT EXISTS → left-anti join on o_custkey, the date predicate
+    * riding the anti-join's build side). Two different subquery facilities
+    * in one query, both decorrelation-free-cartesian by contract. */
+  val dormantBalancesSql: String =
+    """SELECT n_name, count(*) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+      |FROM customer JOIN nation ON n_nationkey = c_nationkey
+      |WHERE c_acctbal > (
+      |    SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+      |    FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey
+      |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  def dormantBalances(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(dormantBalancesSql)
   }
 }

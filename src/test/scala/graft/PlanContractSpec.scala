@@ -118,6 +118,29 @@ class PlanContractSpec extends SparkSpec {
     assert(p21.contains("LeftAnti"), s"q21 lost its anti join:\n$p21")
   }
 
+  test("q18/q19/q22 subquery and disjunction shapes stay cartesian-free") {
+    Seq("q18_large_orders", "q19_branded_revenue", "q22_dormant_balances").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
+    }
+    // Q18's IN-over-grouped-HAVING must become a semi join against ONE
+    // pre-aggregation, not a re-aggregation per outer row
+    val p18 = plan("q18_large_orders")
+    assert(p18.contains("LeftSemi"), s"q18 lost its semi join:\n$p18")
+    // Q22's NOT EXISTS must be an anti join; the scalar avg is a separate
+    // one-row subquery, never a join blow-up
+    val p22 = plan("q22_dormant_balances")
+    assert(p22.contains("LeftAnti"), s"q22 lost its anti join:\n$p22")
+    // Q19: the equi-key must survive CNF extraction — a disjunction that
+    // swallowed the join key would plan as a nested loop (asserted absent
+    // above); the join must also not degrade to sort-merge given part is
+    // broadcast-able at every SF the suite runs
+    val p19 = plan("q19_branded_revenue")
+    assert(p19.contains("BroadcastHashJoin") || p19.contains("ShuffledHashJoin"),
+      s"q19 lost its hash equi-join:\n$p19")
+  }
+
   test("train-ready pipeline shares ONE cached postings scan") {
     val p = plan("text_train_ready")
     // every consumer (jaccard pairing, decontamination) must read the same
