@@ -276,6 +276,13 @@ object SparkEntry {
       Sampling.packSequences(Tables.documents(s, dir), budgetTokens = 2048L)
         .orderBy("doc_id")),
 
+    // corpus mixing: keep 50% of en, 25% of zh, everything else whole —
+    // membership purely per-row off the portable md5, exact vs the oracle
+    "q_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables.documents(s, dir),
+          rates = Map("en" -> 0.5, "zh" -> 0.25))
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
+
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.normalize(Tables.documents(s, dir)).orderBy("doc_id")),
 
@@ -1018,6 +1025,16 @@ object SparkEntry {
     "q_shuffle_order" ->
       """SELECT doc_id, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
         |FROM documents ORDER BY shuffle_key LIMIT 100""".stripMargin,
+
+    // bounds are first-16-bit hex of ceil(rate*65536)-1: 0.5 → 7fff,
+    // 0.25 → 3fff — the same fixed-width-hex compare the split uses
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CASE
+        |  WHEN lang = 'en' THEN substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4) <= '7fff'
+        |  WHEN lang = 'zh' THEN substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4) <= '3fff'
+        |  ELSE TRUE END
+        |ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

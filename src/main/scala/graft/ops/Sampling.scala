@@ -114,6 +114,33 @@ object Sampling {
     * A total sort costs one range-partitioning exchange — at cluster scale
     * that IS the intended plan (training shards then read back in hash
     * order); for shard-local orders, sortWithinPartitions on the same key. */
+  /** Stratified downsampling at a per-stratum rate — the corpus-mixing
+    * primitive (e.g. keep 50% of English, all of the low-resource
+    * languages). Purely per-row like [[splitColumn]]: the doc's md5 maps
+    * it into 65536 buckets and the stratum's rate keeps the first
+    * ⌈rate·65536⌉ of them, so membership is deterministic under retries,
+    * repartitioning, and streaming; no shuffle, no sampling state. The
+    * rate quantization error is ≤ 1/65536 per stratum; fixed-width
+    * lowercase-hex string compare == numeric bucket compare (same trick
+    * as splitColumn, portable to any engine with md5). */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
+                       strataCol: String = "lang", idCol: String = "doc_id",
+                       defaultRate: Double = 1.0,
+                       seed: String = "strat:"): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rate out of [0,1]: $r"))
+    def keep(rate: Double): Column = {
+      val n = math.ceil(rate * 65536).toLong
+      if (n <= 0L) lit(false)
+      else if (n >= 65536L) lit(true)
+      else substring(idHash(col(idCol), seed), 1, 4) <= f"${n - 1}%04x"
+    }
+    val cond = rates.foldLeft(when(lit(false), lit(false))) {
+      case (acc, (stratum, rate)) => acc.when(col(strataCol) === stratum, keep(rate))
+    }.otherwise(keep(defaultRate))
+    docs.filter(cond)
+  }
+
   def deterministicShuffle(docs: DataFrame, seed: String): DataFrame =
     docs.withColumn("shuffle_key", idHash(col("doc_id"), seed))
       .orderBy("shuffle_key")

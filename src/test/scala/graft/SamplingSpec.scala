@@ -154,6 +154,28 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample matches an independent JVM md5 per stratum and hits its rates") {
+    val kept = Sampling.stratifiedSample(docs, rates = Map("en" -> 0.5, "zh" -> 0.25))
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val all = docs.select("doc_id", "lang").as[(Long, String)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Int = Integer.parseInt(
+      md.digest(s"strat:$id".getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString, 16)
+    val expect = all.filter { case (id, lang) =>
+      lang match {
+        case "en" => bucket(id) < 32768
+        case "zh" => bucket(id) < 16384
+        case _    => true
+      }
+    }
+    assert(kept.sortBy(_._1).toSeq === expect.sortBy(_._1).toSeq)
+    // rate edges: 0 drops the stratum entirely, 1 keeps it whole
+    val edges = Sampling.stratifiedSample(docs, rates = Map("en" -> 0.0, "zh" -> 1.0))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(!edges.contains("en"))
+    assert(edges("zh") === all.count(_._2 == "zh"))
+  }
+
   test("deterministic shuffle reproduces under the same seed and moves under a new one") {
     val a = Sampling.deterministicShuffle(docs, "epoch1:").select("doc_id")
       .limit(50).as[Long].collect().toSeq
