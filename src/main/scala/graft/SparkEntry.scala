@@ -406,6 +406,16 @@ object SparkEntry {
     "sim_topk_brute" -> ((s, dir) =>
       Similarity.topKBrute(Tables.embeddings(s, dir)).orderBy("query_id", "rank")),
 
+    // class prototypes + belongs-to-its-class scoring: the centroid is
+    // quantized-integer-exact, so it is bit-identical across engines
+    "q_label_centroid" -> ((s, dir) =>
+      Similarity.labelCentroids(Tables.embeddings(s, dir))
+        .select(col("label"), col("pos").cast("long").as("pos"), col("mean"))
+        .orderBy("label", "pos")),
+
+    "q_embed_outliers" -> ((s, dir) =>
+      Similarity.centroidOutliers(Tables.embeddings(s, dir))),
+
     // All three IVF entries run the train-once/apply-many shape a real
     // deployment uses: centroids come from a persisted artifact (trained
     // on first touch, a tiny parquet read afterwards), so repeated query
@@ -1144,6 +1154,32 @@ object SparkEntry {
         |WHERE cosine >= 0.99 ORDER BY id1, id2""".stripMargin,
 
     "sim_topk_brute" -> TOPK_SQL,
+
+    // centroid = mean of floor(e*1e6) integers (exact long sum, pure
+    // double mean) — no decimal-cast rounding conventions in play;
+    // multi-unnest zips, range() is 0-based like posexplode
+    "q_label_centroid" ->
+      """WITH x AS (SELECT label,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS e,
+        |    unnest(range(len(embedding))) AS pos
+        |  FROM embeddings)
+        |SELECT label, pos, CAST(sum(CAST(floor(e * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |    / (1000000.0 * count(*)) AS mean
+        |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "q_embed_outliers" ->
+      """WITH x AS (SELECT label,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS e,
+        |    unnest(range(len(embedding))) AS pos
+        |  FROM embeddings),
+        |c AS (SELECT label, pos, CAST(sum(CAST(floor(e * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |    / (1000000.0 * count(*)) AS mean
+        |  FROM x GROUP BY label, pos),
+        |cl AS (SELECT label, list(mean ORDER BY pos) AS cv FROM c GROUP BY label)
+        |SELECT vec_id, e.label,
+        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cl.cv) AS centroid_sim
+        |FROM embeddings e JOIN cl ON cl.label = e.label
+        |ORDER BY centroid_sim, vec_id LIMIT 25""".stripMargin,
     // full-probe IVF == the brute scan (see the queries entry)
     "sim_topk_ivf_full" -> TOPK_SQL,
 

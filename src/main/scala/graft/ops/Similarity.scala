@@ -229,4 +229,38 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
+
+  /** Per-label embedding centroid, long form (label, pos, mean) — the
+    * class prototype a curation pass scores against. Components are
+    * quantized to exact 1e-6 integers BEFORE summing (floor(e·1e6) — one
+    * IEEE multiply + floor, identical in any engine), the sum is exact
+    * Long arithmetic, and the mean is derived in pure double ops — so the
+    * centroid is bit-deterministic across partitionings, runs, AND engines
+    * with no dependence on decimal-cast rounding conventions. (The
+    * IVF trainer's decimal(38,30) means are equally deterministic but not
+    * oracle-portable; this form is.) Long-safe: |e|·1e6 < 2^43 for any
+    * unit-scale embedding, times 2^63-capacity leaves room for 2^20 rows
+    * per (label,pos) cell at full magnitude — and 100 TB corpora aggregate
+    * per label×dim, far below that. One shuffle on (label, pos). */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("label"), posexplode(toDouble(col("embedding"))))
+      .groupBy("label", "pos")
+      .agg((sum(floor(col("col") * lit(1000000.0)).cast("long")).cast("double")
+        / (lit(1000000.0) * count(lit(1)))).as("mean"))
+
+  /** Embedding-space outlier scoring: each vector's cosine to its OWN
+    * label's centroid, lowest-n returned — the "does this doc belong to
+    * its class?" curation filter. The centroid frame is labels×dim rows
+    * (bounded — labels are a dimension), broadcast into one corpus pass;
+    * global bottom-n is TakeOrdered (per-partition heap, no full sort). */
+  def centroidOutliers(embeddings: DataFrame, n: Int = 25): DataFrame = {
+    val cent = labelCentroids(embeddings)
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("mean")))),
+        x => x.getField("mean")).as("cv"))
+    embeddings.select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"), cosine(col("v"), col("cv")).as("centroid_sim"))
+      .orderBy(col("centroid_sim").asc, col("vec_id")).limit(n)
+  }
 }

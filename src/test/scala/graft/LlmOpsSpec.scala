@@ -103,6 +103,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(top.length === 2)
   }
 
+  test("label centroid is the quantized per-dimension mean; outliers rank by distance to it") {
+    // label 0 vectors: (1,0,0),(0.9,0.1,0),(0,1,0),(0.5,0.5,0) → mean
+    // (0.6, 0.4, 0.0) exactly at 1e-6 quantization
+    val cent = Similarity.labelCentroids(vecs).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(cent((0, 0)) - 0.6) < 1e-6)
+    assert(math.abs(cent((0, 1)) - 0.4) < 1e-6)
+    assert(cent((0, 2)) === 0.0)
+    assert(cent((1, 0)) === -1.0)
+    // label 1 has one member: its centroid is itself → similarity 1; the
+    // least-typical label-0 member is the orthogonal-ish (0,1,0)
+    val out = Similarity.centroidOutliers(vecs, n = 5).collect()
+    assert(out.head.getAs[Long]("vec_id") === 2L)
+    assert(math.abs(out.last.getAs[Double]("centroid_sim") - 1.0) < 1e-12)
+  }
+
   test("embedding near-dup is blocked by label: opposite-label pair never compared") {
     val pairs = Dedup.embeddingNearDup(vecs, threshold = -2.0) // keep all compared pairs
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
