@@ -42,7 +42,13 @@ def load_queries(path):
     official record) — the caller falls back to a totals-only compare.
     """
     with open(path) as f:
-        d = json.load(f)
+        text = f.read()
+    try:
+        d = json.loads(text)
+    except ValueError:
+        # raw graft.Bench output is TWO json lines (detail, then summary) —
+        # route through the same line scanner the driver-wrapper tail uses
+        d = {"tail": text}
     detail, summary = None, None
     if "parsed" in d and isinstance(d["parsed"], dict):
         p = d["parsed"]
