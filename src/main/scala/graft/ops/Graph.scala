@@ -34,7 +34,11 @@ import org.apache.spark.sql.functions._
   * context cleaner. (On a real cluster swap in reliable `checkpoint` for
   * executor-loss tolerance — same contract, durable storage.) The label
   * frame holds only nodes that appear in a pair — for near-dup edges that
-  * is a small fraction of the corpus.
+  * is a small fraction of the corpus. Skew: a giant dup cluster makes its
+  * min id a hot key on the jump join's PROBE side (build side stays
+  * unique-per-id); that is the partition AQE's skew-join splitting exists
+  * for, and the aggregate steps are partial-agg'd before the shuffle
+  * either way.
   */
 object Graph {
 
@@ -49,8 +53,11 @@ object Graph {
       .union(oriented.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .persist()
-    var labels = sym.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("lab"))
+    // seed labels with round 1's lowering for free: min(N(u) ∪ {u}) is one
+    // aggregate over the symmetric edges — no join, and it both enumerates
+    // the nodes and saves a full iteration
+    var labels = sym.groupBy(col("u").as("id"))
+      .agg(least(min(col("v")), col("u")).as("lab"))
       .localCheckpoint()
     // sum over distinct longs (node ids) can exceed Long on a 100 TB id
     // space — certify the fixpoint in decimal
