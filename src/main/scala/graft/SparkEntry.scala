@@ -328,6 +328,15 @@ object SparkEntry {
     // ---- LLM-pipeline: dedup ---------------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir)).orderBy("keep_id")),
 
+    // append-only ingest: docs >= 250 arrive as the new batch, docs < 250
+    // are the accumulated corpus — survivors are batch-unseen texts
+    "dedup_incremental" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      Dedup.exactIncrement(
+        all.filter(col("doc_id") >= 250),
+        all.filter(col("doc_id") < 250)).orderBy("keep_id")
+    }),
+
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir)).orderBy("id1", "id2")),
 
@@ -1084,6 +1093,13 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH seen AS (SELECT md5(text) AS h FROM documents WHERE doc_id < 250),
+        |b AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 250)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM b WHERE h NOT IN (SELECT h FROM seen)
+        |GROUP BY h ORDER BY keep_id""".stripMargin,
 
     // dedup_minhash verifies its LSH candidates with exact jaccard, so its
     // oracle is the same brute-force inverted-index query.

@@ -55,6 +55,21 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
+  /** Incremental exact dedup — the append-only ingest shape (daily crawl
+    * against an accumulated corpus). A new doc survives only if its
+    * content hash is absent from `seen` (left-anti join) and it is the
+    * min-id copy within its own batch. Joins on fixed-width md5, never
+    * full text — the portable hash, so the increment is reproducible
+    * outside Spark. At 100 TB the anti join shuffles the (small) batch
+    * against the corpus hash set; keep the seen hashes bucketed by `h`
+    * and the corpus side of every increment is exchange-free. */
+  def exactIncrement(batch: DataFrame, seen: DataFrame): DataFrame =
+    batch.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(seen.select(md5(col("text")).as("h")), Seq("h"), "left_anti")
+      .groupBy("h")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
   /** Exploded (doc_id, shingle) postings. */
   private[ops] def postings(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))

@@ -22,6 +22,19 @@ class LlmOpsSpec extends SparkSpec {
       Seq((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
   }
 
+  test("incremental dedup drops seen texts and keeps one copy per new text") {
+    val seen = Seq((0L, "already in the corpus")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "already in the corpus"),   // dropped: seen
+      (11L, "fresh content one"),
+      (12L, "fresh content one"),       // batch dup of 11
+      (13L, "fresh content two")
+    ).toDF("doc_id", "text")
+    val r = Dedup.exactIncrement(batch, seen).orderBy("keep_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r === Seq((11L, 2L), (13L, 1L)))
+  }
+
   test("ngram jaccard finds exact and near duplicates, not unrelated pairs") {
     val pairs = Dedup.ngramJaccard(docs, threshold = 0.5)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -135,6 +135,26 @@ class SamplingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stratified sample is stateless and stream-safe: streaming membership equals batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(rows: _*)
+    val q = stream.toDF().toDF("doc_id", "lang")
+      .transform(df => Sampling.stratifiedSample(df, rates = Map("en" -> 0.3)))
+      .writeStream.format("memory").queryName("strat_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("strat_stream").as[(Long, String)].collect().toSet
+    val batch = Sampling.stratifiedSample(
+      rows.toDF("doc_id", "lang"), rates = Map("en" -> 0.3))
+      .as[(Long, String)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.exists(_._2 == "en") && batch.count(_._2 == "de") === 100)
+  }
+
   test("sequence packing is a gapless token stream per shard") {
     val budget = 256L
     val packed = Sampling.packSequences(docs, budgetTokens = budget)
