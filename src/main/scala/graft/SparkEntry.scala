@@ -171,6 +171,7 @@ object SparkEntry {
     "q18_large_orders" -> ((s, dir) => Relational.largeVolumeOrders(s, dir)),
     "q19_branded_revenue" -> ((s, dir) => Relational.brandedRevenue(s, dir)),
     "q22_dormant_balances" -> ((s, dir) => Relational.dormantBalances(s, dir)),
+    "q7_bilateral_trade" -> ((s, dir) => Relational.bilateralTrade(s, dir)),
     "q6_revenue_change" -> ((s, dir) => Relational.revenueChange(s, dir)),
     "q12_shipmode_priority" -> ((s, dir) => Relational.shipmodePriority(s, dir)),
     "q14_promo_share" -> ((s, dir) => Relational.promoShare(s, dir)),
@@ -833,6 +834,7 @@ object SparkEntry {
     "q18_large_orders" -> Relational.largeVolumeOrdersSql,
     "q19_branded_revenue" -> Relational.brandedRevenueSql,
     "q22_dormant_balances" -> Relational.dormantBalancesSql,
+    "q7_bilateral_trade" -> Relational.bilateralTradeSql,
 
     "q_alert_rollup" -> (C +
       """SELECT coalesce(wlobscd, '<all>') AS station,

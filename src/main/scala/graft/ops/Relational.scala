@@ -338,4 +338,35 @@ object Relational {
     tpchViews(s, dir)
     s.sql(dormantBalancesSql)
   }
+
+  /** TPC-H Q7 shape: bilateral trade volume — the fact joined out to TWO
+    * different nation lookups (supplier's and customer's) with a
+    * symmetric pair filter and a year rollup. The planner must reuse the
+    * 25-row nation dim on both arms as broadcasts, keep the fact in one
+    * pipeline through four joins, and push the nation-pair disjunction
+    * down each dim arm. Year extraction is integer-exact; revenue follows
+    * the decimal money rule. */
+  val bilateralTradeSql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+      |    l_extendedprice * (1.0 - l_discount) AS volume
+      |  FROM lineitem
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      |  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  def bilateralTrade(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(bilateralTradeSql)
+  }
 }

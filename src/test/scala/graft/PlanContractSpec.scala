@@ -119,7 +119,8 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("q18/q19/q22 subquery and disjunction shapes stay cartesian-free") {
-    Seq("q18_large_orders", "q19_branded_revenue", "q22_dormant_balances").foreach { q =>
+    Seq("q18_large_orders", "q19_branded_revenue", "q22_dormant_balances",
+        "q7_bilateral_trade").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
@@ -139,6 +140,11 @@ class PlanContractSpec extends SparkSpec {
     val p19 = plan("q19_branded_revenue")
     assert(p19.contains("BroadcastHashJoin") || p19.contains("ShuffledHashJoin"),
       s"q19 lost its hash equi-join:\n$p19")
+    // Q7: both nation arms must be broadcasts — a 25-row dim that plans as
+    // a shuffle join would shuffle the whole fact twice for nothing
+    val p7 = plan("q7_bilateral_trade")
+    assert(p7.split("BroadcastHashJoin").length - 1 >= 2,
+      s"q7 lost a broadcast nation arm:\n$p7")
   }
 
   test("train-ready pipeline shares ONE cached postings scan") {
