@@ -179,6 +179,12 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       Monitoring.sessionize(Tables.events(s, dir)).orderBy("user_id", "session_seq")),
 
+    // ordered-sequence funnel: one shuffle + codegen'd array fold vs the
+    // oracle's n-self-join min cascade
+    "q_funnel" -> ((s, dir) =>
+      Funnel.funnel(Tables.events(s, dir), Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
+
     // as-of join: purchases to the same user's most recent prior view
     "q_asof_attribution" -> ((s, dir) =>
       TimeSeries.purchaseAttribution(Tables.events(s, dir)).orderBy("event_id")),
@@ -888,6 +894,26 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""".stripMargin,
+
+    // stage k+1 must be STRICTLY later than the recorded stage-k time, so
+    // the walk's first-qualifying pick equals the min-cascade below
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 GROUP BY 1)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage_reached,
+        |  t1 AS t1_us, t2 AS t2_us, t3 AS t3_us
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "q_sessionize" ->
       """SELECT user_id, session_seq, count(*) AS n_events,

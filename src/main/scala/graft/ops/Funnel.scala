@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence (funnel) analysis over an event stream: for each user,
+  * the earliest time each stage of `stages` was reached, where stage k+1
+  * must occur STRICTLY after the recorded stage-k time. The canonical
+  * product-analytics question (view → click → purchase) the reference's
+  * record-at-a-time pipeline could only answer with per-key mutable state;
+  * here it is one shuffle and a codegen'd array fold:
+  *
+  *  - one `groupBy(user)` collects the user's (ts, id, type) events into a
+  *    sorted array (ties broken by event id — deterministic);
+  *  - a single `aggregate` HOF walks the array once with the stage vector
+  *    as the accumulator: k = #completed stages; an event advances the
+  *    funnel iff it matches stage k+1's type and is strictly later than
+  *    the stage-k timestamp. O(events · n_stages) per user, no window, no
+  *    self-join, whole-stage codegen throughout.
+  *
+  * Scale: state per user is one n-long array; the collected event array is
+  * bounded by the user's own history — cap upstream (e.g. perSourceCap on
+  * user) if a key can emit unbounded events. Skewed users land in one task
+  * each; the fold is linear, so a million-event user is ~ms, not a blowup.
+  * Equivalent min-cascade SQL (the oracle) needs n self-joins of the fact.
+  */
+object Funnel {
+
+  /** Per-user funnel: (user, stage_reached, t1_us .. tn_us). */
+  def funnel(events: DataFrame, stages: Seq[String],
+             userCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "ts_us", idCol: String = "event_id"): DataFrame = {
+    val n = stages.length
+    require(n >= 1, "funnel needs at least one stage")
+    val stageArr = array(stages.map(lit): _*)
+    val nulls = (c: Column) => array_repeat(lit(null).cast("long"), c)
+    val merge: (Column, Column) => Column = (acc, e) => {
+      val k = size(filter(acc, a => a.isNotNull))
+      val ts = e.getField(tsCol)
+      val advance = (k < lit(n)) &&
+        (e.getField(typeCol) === get(stageArr, k)) &&
+        (k === lit(0) || ts > get(acc, k - 1))
+      when(advance,
+        concat(slice(acc, lit(1), k), array(ts), nulls(lit(n) - k - 1)))
+        .otherwise(acc)
+    }
+    val walked = events
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col(tsCol), col(idCol), col(typeCol))))
+        .as("seq"))
+      .select(col(userCol),
+        aggregate(col("seq"), nulls(lit(n)), merge).as("stages"))
+    walked.select(
+      col(userCol) +:
+      size(filter(col("stages"), a => a.isNotNull)).cast("long").as("stage_reached") +:
+      (1 to n).map(i => element_at(col("stages"), i).as(s"t${i}_us")): _*)
+  }
+}

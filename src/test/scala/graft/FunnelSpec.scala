@@ -1,0 +1,41 @@
+package graft
+
+import graft.ops.Funnel
+
+/** Hand-built event sequences with known funnel outcomes. */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (event_id, ts_us, user_id, event_type)
+  private val events = Seq(
+    // user 1: clean view → click → purchase
+    (1L, 100L, 1L, "view"), (2L, 200L, 1L, "click"), (3L, 300L, 1L, "purchase"),
+    // user 2: click BEFORE the first view must not count; no purchase
+    (4L, 100L, 2L, "click"), (5L, 200L, 2L, "view"), (6L, 300L, 2L, "click"),
+    // user 3: same-timestamp click is NOT strictly after the view
+    (7L, 100L, 3L, "view"), (8L, 100L, 3L, "click"),
+    // user 4: never enters the funnel
+    (9L, 100L, 4L, "error"),
+    // user 5: second view is irrelevant once stage 1 is set
+    (10L, 100L, 5L, "view"), (11L, 150L, 5L, "view"), (12L, 160L, 5L, "click")
+  ).toDF("event_id", "ts_us", "user_id", "event_type")
+
+  test("funnel walks stages strictly in order and strictly forward in time") {
+    val r = Funnel.funnel(events, Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        Option(x.get(2)), Option(x.get(3)), Option(x.get(4)))).toSeq
+    assert(r === Seq(
+      (1L, 3L, Some(100L), Some(200L), Some(300L)),
+      (2L, 2L, Some(200L), Some(300L), None),
+      (3L, 1L, Some(100L), None, None),
+      (4L, 0L, None, None, None),
+      (5L, 2L, Some(100L), Some(160L), None)))
+  }
+
+  test("a single-stage funnel reduces to first-occurrence") {
+    val r = Funnel.funnel(events, Seq("click")).orderBy("user_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 0L), (5L, 1L)))
+  }
+}

@@ -147,6 +147,14 @@ class PlanContractSpec extends SparkSpec {
       s"q7 lost a broadcast nation arm:\n$p7")
   }
 
+  test("funnel is one hash exchange and zero joins — never the n-self-join cascade") {
+    val p = plan("q_funnel")
+    assert(!p.contains("Join"), s"funnel must not join:\n$p")
+    val hashExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1, s"expected exactly one hash exchange in:\n$p")
+  }
+
   test("train-ready pipeline shares ONE cached postings scan") {
     val p = plan("text_train_ready")
     // every consumer (jaccard pairing, decontamination) must read the same
