@@ -283,6 +283,13 @@ object SparkEntry {
       Sampling.packSequences(Tables.documents(s, dir), budgetTokens = 2048L)
         .orderBy("doc_id")),
 
+    // write-path layout key: Z-order interleave of (p_size, floor(price))
+    // — the two-dimensional pruning sort key, bit-exact across engines
+    "q_zorder_layout" -> ((s, dir) =>
+      Tables.part(s, dir).select(col("p_partkey"),
+        Layout.zorderKey(col("p_size"), floor(col("p_retailprice"))).as("zkey"))
+        .orderBy("zkey", "p_partkey")),
+
     // corpus mixing: keep 50% of en, 25% of zh, everything else whole —
     // membership purely per-row off the portable md5, exact vs the oracle
     "q_stratified_sample" -> ((s, dir) =>
@@ -1072,6 +1079,11 @@ object SparkEntry {
     "q_shuffle_order" ->
       """SELECT doc_id, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
         |FROM documents ORDER BY shuffle_key LIMIT 100""".stripMargin,
+
+    "q_zorder_layout" ->
+      s"""SELECT p_partkey,
+         |  ${Layout.zorderSql("p_size", "CAST(floor(p_retailprice) AS BIGINT)")} AS zkey
+         |FROM part ORDER BY zkey, p_partkey""".stripMargin,
 
     // bounds are first-16-bit hex of ceil(rate*65536)-1: 0.5 → 7fff,
     // 0.25 → 3fff — the same fixed-width-hex compare the split uses
