@@ -29,6 +29,11 @@ object StreamingMonitors {
   final case class DeltaRecord(event_type: String, event_id: Long, value: Double,
                                prev_value: Double, delta: Double,
                                rate_per_sec: Option[Double])
+  final case class FunnelEvent(user_id: Long, event_id: Long, event_type: String,
+                               ts_us: Long, ts: java.sql.Timestamp)
+  /** Completed-stage timestamps, in order — k = stageTs.length. */
+  final case class FunnelProgress(stageTs: Seq[Long])
+  final case class FunnelAdvance(user_id: Long, stage_reached: Int, t_us: Long)
 
   /** Watermarked tumbling-window stats per station: counts and extrema
     * per hour of event time, tolerating 10 minutes of lateness. */
@@ -234,6 +239,62 @@ object StreamingMonitors {
               state.update(st)
               state.setTimeoutTimestamp(
                 math.max(state.getCurrentWatermarkMs() + 1, st.lastTsUs / 1000L + ttlMs))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming funnel — the online form of ops/Funnel.funnel: per-user
+    * keyed state holds the completed-stage timestamp prefix; every event
+    * that advances the funnel (matches stage k+1's type, strictly later
+    * than the stage-k time) emits one FunnelAdvance record in append mode.
+    * Within a batch events are walked in (ts_us, event_id) order, so the
+    * stream equals the batch funnel whenever events arrive in event-time
+    * order across batches (the spec's contract); a cross-batch
+    * out-of-order event inside the lateness bound can only MISS a
+    * conversion, never invent one — the online-funnel semantics.
+    *
+    * State is one short array per user and carries an event-time TTL past
+    * the user's last activity — the conversion-window-style eviction that
+    * keeps state O(active users) under key churn, same contract as
+    * statefulDeltaRate. */
+  def streamingFunnel(stream: DataFrame, stages: Seq[String],
+                      lateness: String = "10 minutes",
+                      stateTtl: java.time.Duration = java.time.Duration.ofHours(24)): Dataset[FunnelAdvance] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val n = stages.length
+    val ttlMs = stateTtl.toMillis
+    stream
+      .withWatermark("ts", lateness)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"), col("ts"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[FunnelEvent], state: GroupState[FunnelProgress]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ordered = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            val out = Seq.newBuilder[FunnelAdvance]
+            var done = state.getOption.map(_.stageTs.toVector).getOrElse(Vector.empty)
+            var lastTs = 0L
+            ordered.foreach { e =>
+              val k = done.length
+              if (k < n && e.event_type == stages(k) &&
+                  (k == 0 || e.ts_us > done(k - 1))) {
+                done = done :+ e.ts_us
+                out += FunnelAdvance(user, done.length, e.ts_us)
+              }
+              lastTs = math.max(lastTs, e.ts_us)
+            }
+            if (ordered.nonEmpty || state.exists) {
+              state.update(FunnelProgress(done))
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, lastTs / 1000L + ttlMs))
             }
             out.result().iterator
           }

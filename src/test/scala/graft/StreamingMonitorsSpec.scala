@@ -279,4 +279,44 @@ class StreamingMonitorsSpec extends SparkSpec {
     val b = out.filter(col("event_type") === "B").orderBy("event_id").collect()
     assert(b.map(_.getLong(1)).toSeq === Seq(2L, 3L), s"B rows: ${b.mkString("; ")}")
   }
+
+  test("streaming funnel equals the batch funnel on in-order delivery, across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val events = mem.toDF().toDF("user_id", "event_id", "event_type", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val stages = Seq("view", "click", "purchase")
+    val q = StreamingMonitors.streamingFunnel(events, stages, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("funnel_stream")
+      .option("checkpointLocation", s"${work()}/ckpt")
+      .outputMode("append").start()
+    def min(m: Long): Long = 946684800L * 1000000L + m * 60L * 1000000L
+    // three users, stages spread across batches; user 2 stalls at click;
+    // user 3's click shares the view's timestamp (must not advance)
+    val all = Seq(
+      (1L, 1L, "view", min(0)), (2L, 2L, "view", min(0)),
+      (3L, 3L, "view", min(1)), (3L, 4L, "click", min(1)),
+      (1L, 5L, "click", min(2)), (2L, 6L, "click", min(3)),
+      (1L, 7L, "purchase", min(4)), (2L, 8L, "error", min(5)))
+    try {
+      all.grouped(3).foreach { batch =>
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // final stage per user from the advance log == batch funnel over the
+    // same events (for users that entered the funnel at all)
+    val streamed = spark.table("funnel_stream")
+      .groupBy("user_id").agg(max("stage_reached").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batchSide = graft.ops.Funnel.funnel(
+        all.toDF("user_id", "event_id", "event_type", "ts_us"), stages)
+      .select("user_id", "stage_reached")
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt)
+      .filter(_._2 > 0).toMap
+    assert(streamed === batchSide)
+    assert(streamed === Map(1L -> 3, 2L -> 2, 3L -> 1))
+  }
 }
