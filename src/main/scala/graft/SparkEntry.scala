@@ -189,6 +189,11 @@ object SparkEntry {
     "q_asof_attribution" -> ((s, dir) =>
       TimeSeries.purchaseAttribution(Tables.events(s, dir)).orderBy("event_id")),
 
+    // regular hourly grid + forward fill: the resample/gap-fill staple
+    "q_resample_ffill" -> ((s, dir) =>
+      TimeSeries.resampleHourly(Tables.events(s, dir))
+        .orderBy("event_type", "bucket")),
+
     // the hot-key bucketed refinement produces identical output (carry-in
     // across 6h buckets), so it shares the plain form's oracle
     "q_asof_attribution_bucketed" -> ((s, dir) =>
@@ -943,6 +948,30 @@ object SparkEntry {
     // pins (ts, event_id) — without the reduction, agreement would hinge on
     // the data never holding duplicate (user_id, ts) view rows
     "q_asof_attribution" -> ASOF_ATTRIBUTION_SQL,
+
+    // last-in-bucket pick mirrors max_by(value, (ts, event_id)); the
+    // fill window reads the GRID, nulls before a key's first observation
+    "q_resample_ffill" ->
+      """WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |                       date_trunc('hour', max(ts)) AS hi FROM events),
+        |grid AS (SELECT k.event_type,
+        |    unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+        |  FROM (SELECT DISTINCT event_type FROM events) k, bounds b),
+        |ranked AS (SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type, date_trunc('hour', ts)) AS n_obs
+        |  FROM events),
+        |hourly AS (SELECT event_type, bucket, n_obs, value AS last_value
+        |  FROM ranked WHERE rn = 1)
+        |SELECT g.event_type, strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  coalesce(h.n_obs, 0) AS n_obs,
+        |  last_value(h.last_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM grid g LEFT JOIN hourly h
+        |  ON h.event_type = g.event_type AND h.bucket = g.bucket
+        |ORDER BY g.event_type, g.bucket""".stripMargin,
     // bucketed refinement == the plain as-of, same oracle
     "q_asof_attribution_bucketed" -> ASOF_ATTRIBUTION_SQL,
 

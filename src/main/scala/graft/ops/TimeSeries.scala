@@ -380,4 +380,44 @@ object TimeSeries {
         col("asof_value").as("view_value"),
         (col("ts_us") - col("asof_ts_us")).as("lag_us"))
   }
+
+  /** Resample to a regular hourly grid with forward fill — the time-series
+    * store staple (downsample + gap-fill) the reference's dashboard
+    * queries approximate with application code. Every (key, hour) bucket
+    * between the corpus's first and last hour gets a row: observed buckets
+    * carry their count and LAST observation (max (ts, id) — deterministic
+    * under ties), empty buckets carry n_obs = 0 and the most recent
+    * earlier value per key (null before a key's first observation).
+    *
+    * Scale shape: the dense grid is keys × hours — a dimension-sized
+    * frame built from a distinct + a generated sequence, never from the
+    * fact; the fact aggregates once into hourly partials (map-side
+    * combine) and left-joins the grid. The forward fill is one window per
+    * key over the GRID (bounded rows), not over the fact. The [lo, hi]
+    * bounds are two scalars from one aggregate — driver state is O(1). */
+  def resampleHourly(events: DataFrame, keyCol: String = "event_type",
+                     tsCol: String = "ts", idCol: String = "event_id",
+                     valCol: String = "value"): DataFrame = {
+    val bounds = events
+      .agg(date_trunc("hour", min(col(tsCol))).as("lo"),
+           date_trunc("hour", max(col(tsCol))).as("hi")).head()
+    val (lo, hi) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+    val grid = events.select(col(keyCol)).distinct()
+      .select(col(keyCol),
+        explode(sequence(lit(lo), lit(hi), expr("INTERVAL 1 HOUR"))).as("bucket"))
+    val hourly = events
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n_obs"),
+        max_by(col(valCol), struct(col(tsCol), col(idCol))).as("last_value"))
+    grid.join(hourly, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        last(col("last_value"), ignoreNulls = true)
+          .over(Window.partitionBy(keyCol).orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("filled_value"))
+      .select(col(keyCol),
+        date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("n_obs"), col("filled_value"))
+  }
 }

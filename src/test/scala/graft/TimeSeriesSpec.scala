@@ -202,4 +202,29 @@ class TimeSeriesSpec extends SparkSpec {
       s"as-of must be the union+window plan, not a range join:\n$plan")
     assert(plan.contains("Window"), s"expected a window operator:\n$plan")
   }
+
+  test("hourly resample fills gaps forward, leaves leading holes null, ties on (ts,id)") {
+    def t(h: Int, m: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ev = Seq(
+      // key A: obs in hours 0 and 3 (gap hours 1, 2); tie in hour 0 —
+      // two events at the same ts, larger event_id must win
+      ("A", t(0, 30), 1L, 10.0), ("A", t(0, 30), 2L, 11.0), ("A", t(3, 0), 3L, 30.0),
+      // key B: first obs in hour 2 → hours 0-1 stay null
+      ("B", t(2, 15), 4L, 7.0))
+      .toDF("event_type", "ts", "event_id", "value")
+    val got = TimeSeries.resampleHourly(ev)
+      .orderBy("event_type", "bucket").collect()
+      .map(r => (r.getString(0), r.getString(1).substring(11, 13),
+        r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.toSeq === Seq(
+      ("A", "00", 2L, Some(11.0)), // tie → event_id 2
+      ("A", "01", 0L, Some(11.0)), // forward-filled
+      ("A", "02", 0L, Some(11.0)),
+      ("A", "03", 1L, Some(30.0)),
+      ("B", "00", 0L, None),       // before B's first observation
+      ("B", "01", 0L, None),
+      ("B", "02", 1L, Some(7.0)),
+      ("B", "03", 0L, Some(7.0))))
+  }
 }
