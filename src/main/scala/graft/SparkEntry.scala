@@ -379,6 +379,12 @@ object SparkEntry {
       Tables.documents(s, dir),
       Dedup.ngramJaccard(Tables.documents(s, dir))).orderBy("doc_id")),
 
+    // the 100 TB composition: CC over the MinHash-LSH pair generator —
+    // same oracle as dedup_components because LSH+verify reproduces the
+    // exact pair set on this corpus (the dedup_minhash contract)
+    "dedup_components_lsh" -> ((s, dir) => Graph.connectedComponents(
+      Dedup.minhashLsh(Tables.documents(s, dir))).orderBy("id")),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir)).orderBy("id1", "id2")),
 
@@ -1181,6 +1187,7 @@ object SparkEntry {
     // finite id set → terminates); min reachable id per node is exactly
     // the min-label fixpoint the engine's pointer-doubling loop certifies.
     "dedup_components" -> COMPONENTS_SQL,
+    "dedup_components_lsh" -> COMPONENTS_SQL,
     "dedup_canonical" -> CANONICAL_SQL,
     // dedup_simhash / sim_topk_ivf: hash-family/ANN internals are not
     // SQL-expressible; the driver records rows-only checks for them. The

@@ -56,9 +56,12 @@ object Graph {
     // seed labels with round 1's lowering for free: min(N(u) ∪ {u}) is one
     // aggregate over the symmetric edges — no join, and it both enumerates
     // the nodes and saves a full iteration
+    // lazy checkpoints: the convergence aggregate below is the first
+    // action on each iterate, so it materializes the checkpoint and
+    // certifies the fixpoint in ONE job per round instead of two
     var labels = sym.groupBy(col("u").as("id"))
       .agg(least(min(col("v")), col("u")).as("lab"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // sum over distinct longs (node ids) can exceed Long on a 100 TB id
     // space — certify the fixpoint in decimal
     def labSum(df: DataFrame): java.math.BigDecimal =
@@ -77,7 +80,7 @@ object Graph {
       val jumped = lowered
         .join(lowered.select(col("id").as("lab"), col("lab").as("lab2")), Seq("lab"))
         .select(col("id"), col("lab2").as("lab"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s = labSum(jumped)
       // per-element non-increasing ⇒ equal sums ⇔ nothing moved ⇒ fixpoint
       converged = s.compareTo(prev) == 0

@@ -141,6 +141,28 @@ object Sampling {
     docs.filter(cond)
   }
 
+  /** Temperature-based mixture rates for [[stratifiedSample]]: stratum l
+    * gets share p_l ∝ n_l^alpha (alpha 1 → proportional, i.e. uniform
+    * downsampling; alpha 0 → equal share per stratum, maximally
+    * up-weighting rare strata; multilingual pipelines typically run
+    * 0.2-0.7). The per-doc keep rate targets `targetFraction` of the
+    * corpus in expectation, capped at 1 per stratum (a capped stratum
+    * contributes all it has; the realized total then undershoots — by
+    * design, never oversample). Driver-side O(#strata) arithmetic over
+    * the per-stratum counts (one small aggregate to produce). */
+  def mixtureRates(counts: Map[String, Long], alpha: Double,
+                   targetFraction: Double): Map[String, Double] = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha out of [0,1]: $alpha")
+    require(targetFraction > 0.0 && targetFraction <= 1.0,
+      s"targetFraction out of (0,1]: $targetFraction")
+    val n = counts.values.map(_.toDouble).sum
+    val weights = counts.map { case (k, c) => k -> math.pow(c.toDouble, alpha) }
+    val z = weights.values.sum
+    counts.map { case (k, c) =>
+      k -> math.min(1.0, targetFraction * n * (weights(k) / z) / c.toDouble)
+    }
+  }
+
   def deterministicShuffle(docs: DataFrame, seed: String): DataFrame =
     docs.withColumn("shuffle_key", idHash(col("doc_id"), seed))
       .orderBy("shuffle_key")

@@ -196,6 +196,21 @@ class SamplingSpec extends SparkSpec {
     assert(edges("zh") === all.count(_._2 == "zh"))
   }
 
+  test("mixture rates: alpha=1 is uniform downsampling, alpha=0 equalizes strata, caps at 1") {
+    val counts = Map("en" -> 8000L, "de" -> 1500L, "rare" -> 500L)
+    val uniform = Sampling.mixtureRates(counts, alpha = 1.0, targetFraction = 0.25)
+    uniform.values.foreach(r => assert(math.abs(r - 0.25) < 1e-12))
+    val equal = Sampling.mixtureRates(counts, alpha = 0.0, targetFraction = 0.3)
+    // expected docs per stratum: 0.3 * 10000 / 3 = 1000 each; rare (500)
+    // caps at rate 1.0 and contributes all it has
+    assert(equal("rare") === 1.0)
+    assert(math.abs(equal("en") * 8000 - 1000.0) < 1e-9)
+    assert(math.abs(equal("de") * 1500 - 1000.0) < 1e-9)
+    // rates feed stratifiedSample directly
+    val sampled = Sampling.stratifiedSample(docs, rates = uniform)
+    assert(sampled.count() > 0)
+  }
+
   test("deterministic shuffle reproduces under the same seed and moves under a new one") {
     val a = Sampling.deterministicShuffle(docs, "epoch1:").select("doc_id")
       .limit(50).as[Long].collect().toSeq
