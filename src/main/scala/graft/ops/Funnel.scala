@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   *    as the accumulator: k = #completed stages; an event advances the
   *    funnel iff it matches stage k+1's type and is strictly later than
   *    the stage-k timestamp. O(events · n_stages) per user, no window, no
-  *    self-join, whole-stage codegen throughout.
+  *    self-join. (HOF lambdas evaluate interpreted inside the codegen'd
+  *    stage — the shuffle dominates regardless; a native expression is
+  *    the documented escalation if a profile ever says otherwise, the
+  *    same bar WordShingles cleared.)
   *
   * Scale: state per user is one n-long array; the collected event array is
   * bounded by the user's own history — cap upstream (e.g. perSourceCap on

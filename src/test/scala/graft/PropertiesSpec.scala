@@ -120,4 +120,30 @@ class PropertiesSpec extends SparkSpec {
       assert(lvl === expected)
     }
   }
+
+  test("property: connected components equal a driver-side union-find on random graphs") {
+    (1L to 5L).foreach { seed =>
+      val edges = sample(Gen.listOfN(60,
+        Gen.zip(Gen.chooseNum(0L, 39L), Gen.chooseNum(0L, 39L))), 7000 + seed)
+      // reference: plain union-find with min-id relabeling
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val loops = edges.filter { case (a, b) => a == b }
+      edges.filterNot { case (a, b) => a == b }.foreach { case (a, b) => union(a, b) }
+      val nodes = edges.filterNot { case (a, b) => a == b }
+        .flatMap { case (a, b) => Seq(a, b) }.toSet
+      val expected = nodes.map(n => n -> find(n)).toMap
+      val got = graft.ops.Graph.connectedComponents(
+          edges.toDF("id1", "id2"), maxIter = 16)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"seed $seed (self-loops dropped: ${loops.size})")
+    }
+  }
 }
