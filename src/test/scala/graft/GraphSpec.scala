@@ -25,6 +25,18 @@ class GraphSpec extends SparkSpec {
     assert(comp.forall(_.getLong(1) == 0L))
   }
 
+  test("empty pair list: components empty, canonicalize maps every doc to itself") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Graph.connectedComponents(noPairs).collect().isEmpty)
+    // self-loops only is equivalent to empty
+    val selfOnly = Seq((5L, 5L)).toDF("id1", "id2")
+    assert(Graph.connectedComponents(selfOnly).collect().isEmpty)
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val canon = Graph.canonicalize(docs, noPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon === Map(1L -> 1L, 2L -> 2L))
+  }
+
   test("canonicalize maps unpaired docs to themselves and paired docs to the component min") {
     val docs = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (7L, "e"))
       .toDF("doc_id", "text")
