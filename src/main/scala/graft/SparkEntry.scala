@@ -169,6 +169,7 @@ object SparkEntry {
     "q17_small_qty_revenue" -> ((s, dir) => Relational.smallQuantityRevenue(s, dir)),
     "q21_late_suppliers" -> ((s, dir) => Relational.lateSoleSuppliers(s, dir)),
     "q18_large_orders" -> ((s, dir) => Relational.largeVolumeOrders(s, dir)),
+    "q18_large_orders_cte" -> ((s, dir) => Relational.largeVolumeOrdersCte(s, dir)),
     "q19_branded_revenue" -> ((s, dir) => Relational.brandedRevenue(s, dir)),
     "q22_dormant_balances" -> ((s, dir) => Relational.dormantBalances(s, dir)),
     "q7_bilateral_trade" -> ((s, dir) => Relational.bilateralTrade(s, dir)),
@@ -856,6 +857,7 @@ object SparkEntry {
     "q17_small_qty_revenue" -> Relational.smallQuantityRevenueSql,
     "q21_late_suppliers" -> Relational.lateSoleSuppliersSql,
     "q18_large_orders" -> Relational.largeVolumeOrdersSql,
+    "q18_large_orders_cte" -> Relational.largeVolumeOrdersCteSql,
     "q19_branded_revenue" -> Relational.brandedRevenueSql,
     "q22_dormant_balances" -> Relational.dormantBalancesSql,
     "q7_bilateral_trade" -> Relational.bilateralTradeSql,

@@ -292,6 +292,31 @@ object Relational {
     s.sql(largeVolumeOrdersSql)
   }
 
+  /** The production form of Q18: Catalyst decorrelates the IN-subquery
+    * above by semi-pruning BOTH join inputs, which duplicates the
+    * lineitem pre-aggregation (no exchange reuse — the two semi probes
+    * differ); at 100 TB that is two full-fact aggregations. Hoisting the
+    * aggregate into a CTE and joining it directly runs ONE aggregation
+    * and drops the second lineitem scan entirely — identical results
+    * (plan-contracted to a single lineitem scan). Keep the IN form too:
+    * it exercises the decorrelation facility on purpose. */
+  val largeVolumeOrdersCteSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 350)
+      |SELECT c_name, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, sum_qty
+      |FROM big
+      |JOIN orders ON o_orderkey = big.l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
+
+  def largeVolumeOrdersCte(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(largeVolumeOrdersCteSql)
+  }
+
   /** TPC-H Q19 shape (adapted: brand/size/quantity in place of the missing
     * container/shipmode columns): revenue under a DISJUNCTION of per-brand
     * branch predicates. Exercises Catalyst's CNF conversion: the common

@@ -145,6 +145,12 @@ class PlanContractSpec extends SparkSpec {
     val p7 = plan("q7_bilateral_trade")
     assert(p7.split("BroadcastHashJoin").length - 1 >= 2,
       s"q7 lost a broadcast nation arm:\n$p7")
+    // the CTE form of Q18 exists to run ONE lineitem aggregation: exactly
+    // one lineitem scan in the plan (the IN form has three — outer + two
+    // duplicated semi-probe aggregations, Catalyst's decorrelation artifact)
+    val p18cte = plan("q18_large_orders_cte")
+    assert(p18cte.split("lineitem.parquet").length - 1 === 1,
+      s"q18 CTE form must scan lineitem once:\n$p18cte")
   }
 
   test("funnel is one hash exchange and zero joins — never the n-self-join cascade") {
