@@ -237,4 +237,22 @@ object Monitoring {
         col("wlobscd").as("observation_code"),
         col("obsnm").as("name"), col("addr").as("address"),
         col("attwl"), col("wrnwl"), col("almwl"), col("srswl"))
+
+  /** Inline pipeline metrics via `observe` (CollectMetrics): the
+    * reference's per-processor counters (NiFi queue/processor stats it
+    * polls over REST) as zero-cost instrumentation — the aggregates ride
+    * the existing pass as accumulator-style partials, adding NO scan, NO
+    * shuffle, and NO action of their own, and surface on the driver via
+    * `queryExecution.observedMetrics` (batch — on the QueryExecution that
+    * actually runs; writes plan their own QE, so production write paths
+    * read them from a QueryExecutionListener) or
+    * `StreamingQueryProgress.observedMetrics` (per micro-batch). The
+    * default metric set is the ingest health trio: rows seen, rows
+    * missing both measurements, parse-clean fraction denominators. */
+  def withIngestMetrics(df: DataFrame, name: String = "graft_ingest"): DataFrame =
+    df.observe(name,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("water_level").isNull && col("flow_rate").isNull, 1L)
+        .otherwise(0L)).as("n_no_measurement"),
+      sum(when(col("observation_time").isNull, 1L).otherwise(0L)).as("n_bad_time"))
 }

@@ -280,6 +280,42 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(b.map(_.getLong(1)).toSeq === Seq(2L, 3L), s"B rows: ${b.mkString("; ")}")
   }
 
+  test("observe metrics ride the pass in batch and per micro-batch in streaming") {
+    import graft.ops.Monitoring
+    import spark.implicits._
+    val rows = Seq(
+      (Some(1.0), Some(2.0), Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))),
+      (None, None, Some(java.sql.Timestamp.valueOf("2024-01-01 00:01:00"))),
+      (Some(3.0), None, None))
+    val df = Monitoring.withIngestMetrics(
+      rows.toDF("water_level", "flow_rate", "observation_time"))
+    // the metrics land on the QueryExecution that actually runs — an
+    // action on the frame itself, not a write (which plans its own QE)
+    df.collect()
+    val m = df.queryExecution.observedMetrics("graft_ingest")
+    assert(m.getAs[Long]("n_rows") === 3L)
+    assert(m.getAs[Long]("n_no_measurement") === 1L)
+    assert(m.getAs[Long]("n_bad_time") === 1L)
+
+    // streaming: same metrics appear on every micro-batch's progress
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Option[Double], Option[Double], Option[Long])]
+    val sdf = Monitoring.withIngestMetrics(mem.toDF()
+      .toDF("water_level", "flow_rate", "us")
+      .withColumn("observation_time", timestamp_micros(col("us"))))
+    val q = sdf.writeStream.format("noop")
+      .option("checkpointLocation", s"${work()}/ckpt").start()
+    try {
+      mem.addData((Some(1.0), None, Some(1L)), (None, None, None))
+      q.processAllAvailable()
+      val sm = q.lastProgress.observedMetrics.get("graft_ingest")
+      assert(sm.getAs[Long]("n_rows") === 2L)
+      assert(sm.getAs[Long]("n_no_measurement") === 1L)
+      assert(sm.getAs[Long]("n_bad_time") === 1L)
+    } finally q.stop()
+  }
+
   test("streaming funnel equals the batch funnel on in-order delivery, across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
