@@ -186,6 +186,15 @@ object SparkEntry {
       Funnel.funnel(Tables.events(s, dir), Seq("view", "click", "purchase"))
         .orderBy("user_id")),
 
+    // day-1 window: at this corpus's density every user converts over the
+    // full month, so the rollup is windowed to keep stage variety
+    "q_funnel_rollup" -> ((s, dir) =>
+      Funnel.conversionRollup(
+        Tables.events(s, dir)
+          .filter(col("ts") < to_timestamp(lit("2024-01-02 00:00:00"))),
+        Seq("view", "click", "purchase"))
+        .orderBy("stage_reached")),
+
     // as-of join: purchases to the same user's most recent prior view
     "q_asof_attribution" -> ((s, dir) =>
       TimeSeries.purchaseAttribution(Tables.events(s, dir)).orderBy("event_id")),
@@ -918,22 +927,15 @@ object SparkEntry {
     // stage k+1 must be STRICTLY later than the recorded stage-k time, so
     // the walk's first-qualifying pick equals the min-cascade below
     "q_funnel" ->
-      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
-        |  JOIN s1 ON e.user_id = s1.user_id
-        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 GROUP BY 1),
-        |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
-        |  JOIN s2 ON e.user_id = s2.user_id
-        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 GROUP BY 1)
-        |SELECT u.user_id,
-        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
-        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage_reached,
-        |  t1 AS t1_us, t2 AS t2_us, t3 AS t3_us
-        |FROM (SELECT DISTINCT user_id FROM events) u
-        |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
-        |LEFT JOIN s3 USING (user_id)
-        |ORDER BY user_id""".stripMargin,
+      s"""WITH $FUNNEL_CTES
+         |SELECT user_id, stage_reached, t1_us, t2_us, t3_us FROM f
+         |ORDER BY user_id""".stripMargin,
+
+    "q_funnel_rollup" ->
+      s"""WITH $FUNNEL_DAY1_CTES
+         |SELECT stage_reached, count(*) AS n_users,
+         |  CAST(sum(t3_us - t1_us) AS DOUBLE) / count(t3_us) AS avg_convert_us
+         |FROM f GROUP BY stage_reached ORDER BY stage_reached""".stripMargin,
 
     "q_sessionize" ->
       """SELECT user_id, session_seq, count(*) AS n_events,
@@ -1586,6 +1588,30 @@ object SparkEntry {
       |  SELECT id1, id2, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
       |  FROM pairs JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2)
       |WHERE jaccard >= 0.8 ORDER BY id1, id2""".stripMargin
+
+  /** Min-cascade funnel CTEs shared by the per-user and rollup oracles,
+    * parameterized over the event source (the rollup windows it down so
+    * stage variety survives this corpus's per-user event density). */
+  private def funnelCtes(src: String) =
+    s"""ev AS ($src),
+       |s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM ev
+       |  WHERE event_type = 'view' GROUP BY 1),
+       |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM ev e
+       |  JOIN s1 ON e.user_id = s1.user_id
+       |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 GROUP BY 1),
+       |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM ev e
+       |  JOIN s2 ON e.user_id = s2.user_id
+       |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 GROUP BY 1),
+       |f AS (SELECT u.user_id,
+       |    CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+       |              WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage_reached,
+       |    t1 AS t1_us, t2 AS t2_us, t3 AS t3_us
+       |  FROM (SELECT DISTINCT user_id FROM ev) u
+       |  LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       |  LEFT JOIN s3 USING (user_id))""".stripMargin
+  private val FUNNEL_CTES = funnelCtes("SELECT * FROM events")
+  private val FUNNEL_DAY1_CTES = funnelCtes(
+    "SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'")
 
   /** Shared CTE chain for the component-resolution oracles: the JACCARD_SQL
     * pair derivation (verbatim semantics), then symmetric edges, then the

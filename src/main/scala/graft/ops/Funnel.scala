@@ -58,4 +58,18 @@ object Funnel {
       size(filter(col("stages"), a => a.isNotNull)).cast("long").as("stage_reached") +:
       (1 to n).map(i => element_at(col("stages"), i).as(s"t${i}_us")): _*)
   }
+
+  /** The dashboard rollup over [[funnel]]: users per final stage, and for
+    * full converters the mean end-to-end time — exact Long micros summed,
+    * one double division at the end (the cross-engine money rule applied
+    * to durations). One extra aggregation over the per-user frame. */
+  def conversionRollup(events: DataFrame, stages: Seq[String],
+                       userCol: String = "user_id"): DataFrame = {
+    val n = stages.length
+    funnel(events, stages, userCol)
+      .groupBy("stage_reached")
+      .agg(count(lit(1)).as("n_users"),
+        (sum(col(s"t${n}_us") - col("t1_us")).cast("double") /
+          count(col(s"t${n}_us"))).as("avg_convert_us"))
+  }
 }

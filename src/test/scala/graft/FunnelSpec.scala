@@ -33,6 +33,16 @@ class FunnelSpec extends SparkSpec {
       (5L, 2L, Some(100L), Some(160L), None)))
   }
 
+  test("conversion rollup counts final stages and averages full-convert time exactly") {
+    val r = Funnel.conversionRollup(events, Seq("view", "click", "purchase"))
+      .orderBy("stage_reached").collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toSeq
+    // users: 4→stage0, 3→stage1, 2 and 5→stage2, 1→stage3 (t3-t1 = 200µs)
+    assert(r === Seq((0L, 1L, None), (1L, 1L, None), (2L, 2L, None),
+      (3L, 1L, Some(200.0))))
+  }
+
   test("a single-stage funnel reduces to first-occurrence") {
     val r = Funnel.funnel(events, Seq("click")).orderBy("user_id").collect()
       .map(x => (x.getLong(0), x.getLong(1))).toSeq
