@@ -121,6 +121,33 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: funnel equals a driver-side sequential fold on random event streams") {
+    val stages = Seq("view", "click", "purchase")
+    (1L to 5L).foreach { seed =>
+      val events = sample(Gen.listOfN(80, Gen.zip(
+        Gen.chooseNum(0L, 9L),                       // user
+        Gen.chooseNum(0L, 19L),                      // ts (dense → ties)
+        Gen.oneOf("view", "click", "purchase", "error"))), 8000 + seed)
+        .zipWithIndex.map { case ((u, ts, ty), i) => (u, ts, i.toLong, ty) }
+      // reference: walk each user's (ts, id)-sorted history sequentially
+      val expected = events.groupBy(_._1).map { case (u, evs) =>
+        var done = Vector.empty[Long]
+        evs.sortBy(e => (e._2, e._3)).foreach { e =>
+          if (done.length < stages.length && e._4 == stages(done.length) &&
+              (done.isEmpty || e._2 > done.last)) done = done :+ e._2
+        }
+        u -> done
+      }
+      val got = graft.ops.Funnel.funnel(
+          events.toDF("user_id", "ts_us", "event_id", "event_type"), stages)
+        .collect().map { r =>
+          r.getLong(0) -> (2 to 4).flatMap(i =>
+            if (r.isNullAt(i)) None else Some(r.getLong(i))).toVector
+        }.toMap
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("property: connected components equal a driver-side union-find on random graphs") {
     (1L to 5L).foreach { seed =>
       val edges = sample(Gen.listOfN(60,
