@@ -50,6 +50,25 @@ object Sinks {
       .partitionBy("type", "y", "m", "d")
       .json(basePath)
 
+  /** Idempotent re-run of the K1 archive: overwrite ONLY the partitions
+    * present in the replacement frame (dynamic partition overwrite as a
+    * per-write option — no session toggle), leaving every other leaf
+    * byte-identical. This is the operational semantics a daily
+    * re-process needs: append-mode re-runs duplicate the day, and static
+    * overwrite would truncate the whole archive. At 100 TB the rewrite
+    * cost is the replaced leaves only. */
+  def rewriteArchive(classified: DataFrame, basePath: String,
+                     processingTime: Column): Unit =
+    classified
+      .withColumn("type", when(col("is_anomaly"), "anomalies").otherwise("normal"))
+      .withColumn("y", date_format(processingTime, "yyyy"))
+      .withColumn("m", date_format(processingTime, "MM"))
+      .withColumn("d", date_format(processingTime, "dd"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("type", "y", "m", "d")
+      .json(basePath)
+
   /** Partition columns of the K1 layout, as the strings they are written
     * as. Appending these to an explicit data schema bypasses partition
     * type inference without touching session conf. */

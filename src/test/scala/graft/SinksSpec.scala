@@ -34,6 +34,23 @@ class SinksSpec extends SparkSpec {
       classified.filter(col("is_anomaly")).count())
   }
 
+  test("K1 re-run: dynamic overwrite replaces only the rewritten day's partitions") {
+    val base = tmp()
+    val day1 = to_timestamp(lit("2026-03-04 05:06:07"))
+    val day2 = to_timestamp(lit("2026-03-05 05:06:07"))
+    Sinks.writeArchive(classified, base, day1)
+    Sinks.writeArchive(classified, base, day2)
+    val day1Count = spark.read.json(base).filter(col("d") === "04").count()
+    // re-process day 2 with HALF the rows (simulating a corrected re-run;
+    // an append would duplicate, a static overwrite would erase day 1)
+    val corrected = classified.filter(col("event_id") % 2 === 0)
+    Sinks.rewriteArchive(corrected, base, day2)
+    val back = spark.read.json(base)
+    assert(back.filter(col("d") === "04").count() === day1Count, "day 1 touched")
+    assert(back.filter(col("d") === "05").count() === corrected.count(),
+      "day 2 not replaced exactly")
+  }
+
   test("archive reads prune partitions; compaction collapses small files") {
     val base = tmp()
     val fixedNow = to_timestamp(lit("2026-03-04 05:06:07"))
