@@ -48,6 +48,9 @@ object Funnel {
         .otherwise(acc)
     }
     val walked = events
+      // a null-time event has no position in the sequence; letting it in
+      // would plant a null stage timestamp that resets the completed-count
+      .where(col(tsCol).isNotNull)
       .groupBy(col(userCol))
       .agg(sort_array(collect_list(struct(col(tsCol), col(idCol), col(typeCol))))
         .as("seq"))

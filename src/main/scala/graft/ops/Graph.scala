@@ -46,6 +46,17 @@ object Graph {
     * the node's connected component. Ids must be integral (cast to long). */
   def connectedComponents(pairs: DataFrame, srcCol: String = "id1",
                           dstCol: String = "id2", maxIter: Int = 64): DataFrame = {
+    // a silent cast("long") of string ids would null both endpoints and
+    // drop every edge — fail loudly instead of returning empty components
+    Seq(srcCol, dstCol).foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val ok = pairs.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok,
+        s"connectedComponents needs integral node ids; $c is ${pairs.schema(c).dataType}")
+    }
     val oriented = pairs
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .where(col("u") =!= col("v"))

@@ -401,6 +401,18 @@ object TimeSeries {
     val bounds = events
       .agg(date_trunc("hour", min(col(tsCol))).as("lo"),
            date_trunc("hour", max(col(tsCol))).as("hi")).head()
+    if (bounds.isNullAt(0)) {
+      // empty (or all-null-time) input: no grid — sequence(null, null)
+      // would not even analyze
+      import org.apache.spark.sql.types._
+      return events.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField(keyCol, events.schema(keyCol).dataType),
+          StructField("bucket", StringType),
+          StructField("n_obs", LongType, nullable = false),
+          StructField("filled_value", events.schema(valCol).dataType))))
+    }
     val (lo, hi) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
     val grid = events.select(col(keyCol)).distinct()
       .select(col(keyCol),

@@ -269,6 +269,7 @@ object StreamingMonitors {
     val ttlMs = stateTtl.toMillis
     stream
       .withWatermark("ts", lateness)
+      .where(col("ts_us").isNotNull) // same rule as the batch funnel
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"), col("ts"))
       .as[FunnelEvent]
       .groupByKey(_.user_id)

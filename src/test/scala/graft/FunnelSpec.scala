@@ -48,4 +48,15 @@ class FunnelSpec extends SparkSpec {
       .map(x => (x.getLong(0), x.getLong(1))).toSeq
     assert(r === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 0L), (5L, 1L)))
   }
+
+  test("null-time events are excluded from the walk, not planted as null stages") {
+    val withNull = Seq(
+      (1L, Some(100L), 9L, "view"),
+      (2L, None, 9L, "view"),        // must not occupy a stage slot
+      (3L, Some(200L), 9L, "click"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    val r = Funnel.funnel(withNull, Seq("view", "click", "purchase"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r === Map(9L -> 2L))
+  }
 }

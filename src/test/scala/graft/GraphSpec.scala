@@ -25,6 +25,14 @@ class GraphSpec extends SparkSpec {
     assert(comp.forall(_.getLong(1) == 0L))
   }
 
+  test("non-integral node ids are rejected loudly, not silently dropped") {
+    val stringIds = Seq(("a", "b")).toDF("id1", "id2")
+    val e = intercept[IllegalArgumentException] {
+      Graph.connectedComponents(stringIds)
+    }
+    assert(e.getMessage.contains("integral node ids"))
+  }
+
   test("empty pair list: components empty, canonicalize maps every doc to itself") {
     val noPairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
     assert(Graph.connectedComponents(noPairs).collect().isEmpty)

@@ -203,6 +203,14 @@ class TimeSeriesSpec extends SparkSpec {
     assert(plan.contains("Window"), s"expected a window operator:\n$plan")
   }
 
+  test("hourly resample of an empty frame returns an empty, correctly-shaped grid") {
+    val empty = Seq.empty[(String, java.sql.Timestamp, Long, Double)]
+      .toDF("event_type", "ts", "event_id", "value")
+    val out = TimeSeries.resampleHourly(empty)
+    assert(out.columns.toSeq === Seq("event_type", "bucket", "n_obs", "filled_value"))
+    assert(out.collect().isEmpty)
+  }
+
   test("hourly resample fills gaps forward, leaves leading holes null, ties on (ts,id)") {
     def t(h: Int, m: Int): java.sql.Timestamp =
       java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
