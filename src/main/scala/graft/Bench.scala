@@ -122,7 +122,21 @@ object Bench {
     // official full-bench line
     val filtered = if (only.isDefined) ""","filtered":true""" else ""
     val cals = s""""host_cal_before":$calBefore,"host_cal_after":$calAfter,"jvm_cal_before":$jvmCalBefore,"jvm_cal_after":$jvmCalAfter"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$filtered,$cals,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$filtered,$cals,"sf":"$sfDir"}"""
+    println(fullLine)
+    // Self-contained record: the stdout capture is tail-windowed (8 KiB)
+    // and the per-query line's FRONT scrolls out past ~90 queries, so the
+    // full record also lands in a file no window can truncate. Official
+    // full runs only — a filtered run must never overwrite the record.
+    if (only.isEmpty)
+      try {
+        val p = java.nio.file.Paths.get("tools/bench_last.json")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p,
+          (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write tools/bench_last.json: ${e.getMessage}")
+      }
     // Compact trailing summary: the per-query line above grows with the
     // query count and an 8 KiB tail window truncates its FRONT (the round-7
     // record lost the total and the dedup family that way). This second

@@ -366,6 +366,15 @@ object SparkEntry {
         all.filter(col("doc_id") < 250)).orderBy("keep_id")
     }),
 
+    // the fuzzy twin: batch docs near-duplicating the accumulated corpus
+    // via the banded MinHash table (what a rolling ingest drops nightly)
+    "dedup_incremental_lsh" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      Dedup.minhashIncrement(
+        all.filter(col("doc_id") >= 250),
+        all.filter(col("doc_id") < 250)).orderBy("batch_id", "seen_id")
+    }),
+
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir)).orderBy("id1", "id2")),
 
@@ -1173,12 +1182,30 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
 
+    // NOT EXISTS (not NOT IN) + explicit null-text filters: pins the same
+    // null semantics as the Scala side's isNotNull + anti join
     "dedup_incremental" ->
-      """WITH seen AS (SELECT md5(text) AS h FROM documents WHERE doc_id < 250),
-        |b AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 250)
+      """WITH seen AS (SELECT md5(text) AS h FROM documents WHERE doc_id < 250 AND text IS NOT NULL),
+        |b AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 250 AND text IS NOT NULL)
         |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM b WHERE h NOT IN (SELECT h FROM seen)
-        |GROUP BY h ORDER BY keep_id""".stripMargin,
+        |FROM b WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.h = b.h)
+        |GROUP BY b.h ORDER BY keep_id""".stripMargin,
+
+    // LSH candidates + exact-Jaccard verify against the brute-force
+    // batch×seen cross scoring (misses are governed by the 16×4 band
+    // family — ~2e-4 at j=0.8, vanishing at the planted-dup 1.0)
+    "dedup_incremental_lsh" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM w),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s FROM idx),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT b.doc_id AS batch_id, a.doc_id AS seen_id, count(*) AS inter
+        |          FROM sh b JOIN sh a ON b.s = a.s AND b.doc_id >= 250 AND a.doc_id < 250
+        |          GROUP BY 1, 2)
+        |SELECT batch_id, seen_id, jaccard FROM (
+        |  SELECT batch_id, seen_id, CAST(inter AS DOUBLE) / (sb.n + sa.n - inter) AS jaccard
+        |  FROM pairs JOIN sizes sb ON sb.doc_id = batch_id JOIN sizes sa ON sa.doc_id = seen_id)
+        |WHERE jaccard >= 0.8 ORDER BY batch_id, seen_id""".stripMargin,
 
     // dedup_minhash verifies its LSH candidates with exact jaccard, so its
     // oracle is the same brute-force inverted-index query.

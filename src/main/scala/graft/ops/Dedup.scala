@@ -62,10 +62,18 @@ object Dedup {
     * full text — the portable hash, so the increment is reproducible
     * outside Spark. At 100 TB the anti join shuffles the (small) batch
     * against the corpus hash set; keep the seen hashes bucketed by `h`
-    * and the corpus side of every increment is exchange-free. */
+    * and the corpus side of every increment is exchange-free.
+    *
+    * Null text is dropped on BOTH sides up front: md5(null) is null, and
+    * SQL NOT IN vs Spark's anti join disagree on null keys (NOT IN drops
+    * every batch row if `seen` holds one null hash; the anti join keeps
+    * null-hash batch rows). A null document has no content to dedup, so
+    * excluding it pins the semantics identically in every engine. */
   def exactIncrement(batch: DataFrame, seen: DataFrame): DataFrame =
-    batch.select(col("doc_id"), md5(col("text")).as("h"))
-      .join(seen.select(md5(col("text")).as("h")), Seq("h"), "left_anti")
+    batch.filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(seen.filter(col("text").isNotNull)
+        .select(md5(col("text")).as("h")), Seq("h"), "left_anti")
       .groupBy("h")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
@@ -212,6 +220,25 @@ object Dedup {
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
+  /** The banded MinHash table: one (doc_id, band, sig) row per doc×band.
+    * This frame IS the storable LSH index of a rolling deployment — the
+    * hash family xxhash64(i, shingle) is deterministic, so a persisted
+    * table (bucketed by sig) and a recompute are bit-identical.
+    * Signature rows are K codegen'd min-aggregates in ONE shuffle of
+    * docs×K values (an exploded (doc, hash-index) layout would push the
+    * hashing through interpreted HOFs and a K×-wider shuffle); band
+    * signature = ordered concat of the band's row minima. */
+  private[ops] def bandSigs(tok: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val minCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val sigs = tok.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      concat_ws(",", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+    }
+    sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+  }
+
   /** Banded MinHash LSH near-dup pairs, verified with exact Jaccard.
     * numHashes = bands * rowsPerBand; hash family h_i(s) = xxhash64(i, s). */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
@@ -224,21 +251,8 @@ object Dedup {
     * jaccardFrom). */
   private[ops] def minhashFrom(tok: DataFrame, threshold: Double,
                                bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val numHashes = bands * rowsPerBand
     locally {
-
-      // signature row per doc: 64 codegen'd min-aggregates in ONE shuffle of
-      // docs×K values (an exploded (doc, hash-index) layout would push the
-      // hashing through interpreted HOFs and a K×-wider shuffle)
-      val minCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-      val sigs = tok.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-      // band signature: ordered concat of the band's row minima
-      val bandCols = (0 until bands).map { b =>
-        concat_ws(",", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
-      }
-      val bandsDf = sigs
-        .select(col("doc_id"), posexplode(array(bandCols: _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+      val bandsDf = bandSigs(tok, bands, rowsPerBand)
       // candidates: same band + same signature, distinct pairs
       val cand = bandsDf.as("a")
         .join(bandsDf.as("b"),
@@ -255,6 +269,54 @@ object Dedup {
         .join(t2, col("id2") === col("id2b") && col("s") === col("s2"))
         .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
       jaccardFilter(inter, sizes, threshold)
+    }
+  }
+
+  /** Incremental NEAR-dup — the fuzzy twin of [[exactIncrement]], the
+    * shape a rolling 100 TB ingest runs nightly: new-batch docs vs the
+    * accumulated corpus via the banded MinHash table. Candidates come
+    * from an equi-join of the batch's band signatures against the seen
+    * side's [[bandSigs]] frame — in a real deployment the STORED index,
+    * bucketed by (band, sig), so every nightly increment joins the small
+    * batch against it exchange-free on the corpus side and never touches
+    * batch×seen all-pairs. Candidates are verified with exact Jaccard at
+    * the same thresholds as [[minhashLsh]] (recompute ≡ stored table:
+    * the hash family is deterministic).
+    *
+    * Output: (batch_id, seen_id, jaccard) — the batch docs a rolling
+    * ingest would drop as near-copies of already-seen content. Batch-
+    * internal duplicates are [[minhashLsh]] over the batch alone; this
+    * operator is only the cross-corpus increment. One shingling pass over
+    * the tagged union serves both sides via the scoped cache. */
+  def minhashIncrement(batch: DataFrame, seen: DataFrame, threshold: Double = 0.8,
+                       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val tagged = batch.select(col("doc_id"), col("text"), lit(true).as("__new"))
+      .unionByName(seen.select(col("doc_id"), col("text"), lit(false).as("__new")))
+    withScopedCache(
+      tagged.select(col("doc_id"), col("__new"),
+        explode(shingles(col("text"), n)).as("s"))) { tok =>
+      val bTok = tok.filter(col("__new")).select("doc_id", "s")
+      val sTok = tok.filter(!col("__new")).select("doc_id", "s")
+      val cand = bandSigs(bTok, bands, rowsPerBand)
+        .select(col("doc_id").as("batch_id"), col("band"), col("sig"))
+        .join(bandSigs(sTok, bands, rowsPerBand)
+          .select(col("doc_id").as("seen_id"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .select("batch_id", "seen_id").distinct()
+      // exact-Jaccard verify over the candidates only, shingle-key joins
+      val bSizes = bTok.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+      val sSizes = sTok.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      val inter = cand
+        .join(bTok.select(col("doc_id").as("batch_id"), col("s")), Seq("batch_id"))
+        .join(sTok.select(col("doc_id").as("sid2"), col("s").as("s2")),
+          col("seen_id") === col("sid2") && col("s") === col("s2"))
+        .groupBy("batch_id", "seen_id").agg(count(lit(1)).as("inter"))
+      inter
+        .join(bSizes.withColumnRenamed("doc_id", "batch_id"), "batch_id")
+        .join(sSizes.withColumnRenamed("doc_id", "seen_id"), "seen_id")
+        .select(col("batch_id"), col("seen_id"),
+          (col("inter").cast("double") / (col("nb") + col("ns") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
     }
   }
 

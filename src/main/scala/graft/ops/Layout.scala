@@ -30,11 +30,19 @@ object Layout {
     require(bits >= 1 && bits <= 31, s"bits out of (0, 31]: $bits")
     val xs = x.cast("long")
     val ys = y.cast("long")
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+    val key = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
         .bitwiseOR(shiftleft(shiftright(xs, i).bitwiseAND(lit(1L)), 2 * i))
         .bitwiseOR(shiftleft(shiftright(ys, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
+    // A negative input's two's-complement low bits would silently scatter
+    // the row across the curve and degrade pruning with no symptom — fail
+    // loudly instead (callers quantize signed domains first). raise_error
+    // is codegen'd, so the guard stays inside whole-stage codegen.
+    when(xs < 0 || ys < 0,
+      raise_error(concat(lit("zorderKey: negative input x="), xs.cast("string"),
+        lit(" y="), ys.cast("string"))))
+      .otherwise(key)
   }
 
   /** The matching SQL text for `zorderKey`, for oracles and engines that

@@ -155,6 +155,12 @@ object Sampling {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha out of [0,1]: $alpha")
     require(targetFraction > 0.0 && targetFraction <= 1.0,
       s"targetFraction out of (0,1]: $targetFraction")
+    // a zero-count stratum with alpha > 0 yields 0/0 = NaN, which would
+    // only surface later in stratifiedSample's rate check with no hint of
+    // which stratum — name it here at the source instead
+    counts.collectFirst { case (k, c) if c <= 0 => k }.foreach(k =>
+      throw new IllegalArgumentException(
+        s"mixtureRates: stratum '$k' has non-positive count ${counts(k)}"))
     val n = counts.values.map(_.toDouble).sum
     val weights = counts.map { case (k, c) => k -> math.pow(c.toDouble, alpha) }
     val z = weights.values.sum

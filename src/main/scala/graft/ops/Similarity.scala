@@ -178,7 +178,13 @@ object Similarity {
   def centroidArtifact(embeddings: DataFrame, path: String, k: Int = 16,
                        iterations: Int = 3, maxSample: Int = 65536): DataFrame = {
     val spark = embeddings.sparkSession
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    // Probe through the Hadoop FileSystem API so the artifact check works
+    // on whatever filesystem `path` names — s3a, HDFS, local — not just
+    // java.io.File's local view. At 100 TB the artifact lives in object
+    // storage; a local-only probe would silently retrain on every call.
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker))
       trainCentroids(embeddings, k, iterations, maxSample)
         .coalesce(1).write.mode("overwrite").parquet(path)
     spark.read.parquet(path)

@@ -398,7 +398,12 @@ object TimeSeries {
   def resampleHourly(events: DataFrame, keyCol: String = "event_type",
                      tsCol: String = "ts", idCol: String = "event_id",
                      valCol: String = "value"): DataFrame = {
-    val bounds = events
+    // Null keys are excluded EXPLICITLY (mirroring the null-ts handling):
+    // the grid⋈hourly equi-join below is not null-safe, so a null key
+    // would otherwise produce a silent all-empty grid row (n_obs=0,
+    // filled_value null) rather than resampling its observations.
+    val events0 = events.filter(col(keyCol).isNotNull)
+    val bounds = events0
       .agg(date_trunc("hour", min(col(tsCol))).as("lo"),
            date_trunc("hour", max(col(tsCol))).as("hi")).head()
     if (bounds.isNullAt(0)) {
@@ -414,10 +419,10 @@ object TimeSeries {
           StructField("filled_value", events.schema(valCol).dataType))))
     }
     val (lo, hi) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
-    val grid = events.select(col(keyCol)).distinct()
+    val grid = events0.select(col(keyCol)).distinct()
       .select(col(keyCol),
         explode(sequence(lit(lo), lit(hi), expr("INTERVAL 1 HOUR"))).as("bucket"))
-    val hourly = events
+    val hourly = events0
       .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("bucket"))
       .agg(count(lit(1)).as("n_obs"),
         max_by(col(valCol), struct(col(tsCol), col(idCol))).as("last_value"))

@@ -241,9 +241,49 @@ class LlmOpsSpec extends SparkSpec {
     // second touch must READ, not retrain: poison the corpus — a retrain
     // on it would produce different centroids and differing top-k
     val poisoned = emb.filter(col("vec_id") =!= 0)
-    val c2 = Similarity.centroidArtifact(poisoned, path, k = 16, iterations = 2)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val c2 =
+      try {
+        val r = Similarity.centroidArtifact(poisoned, path, k = 16, iterations = 2)
+        org.apache.spark.sql.graft.Bridge.drainListenerBus(spark)
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // training schedules ≥6 jobs (corpus count, sample count, seed +
+    // per-iteration collects, write); a pure artifact read schedules at
+    // most the one parquet footer/schema-listing job
+    assert(jobs.get() <= 1, s"second centroidArtifact call ran ${jobs.get()} jobs — it retrained")
     assert(c2.collect().toSeq.map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
       === c1.collect().toSeq.map(_.toSeq).sortBy(_.head.asInstanceOf[Long]))
+  }
+
+  test("centroidArtifact probes through the Hadoop FileSystem, not java.io.File") {
+    // An explicit file:-scheme URI path: java.io.File("file:/…") never
+    // exists, so the old local-only probe would retrain on EVERY call.
+    // The Hadoop-resolved probe must see the artifact on the second call.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target/test-out").getAbsoluteFile.toPath, "centroidsFsUri").toString
+    val path = s"file:$dir/c"
+    assert(!new java.io.File(path, "_SUCCESS").exists()) // the probe java.io.File can't model
+    Similarity.centroidArtifact(emb, path, k = 4, iterations = 0)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Similarity.centroidArtifact(emb, path, k = 4, iterations = 0)
+      org.apache.spark.sql.graft.Bridge.drainListenerBus(spark)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // ≤1: the footer/schema-listing job of the read; a missed probe would
+    // schedule the full training cascade (≥4 jobs even at iterations=0)
+    assert(jobs.get() <= 1, s"URI-path artifact re-touch ran ${jobs.get()} jobs — probe missed it")
   }
 
   test("rolling-hash fingerprint matches the reference formula") {
