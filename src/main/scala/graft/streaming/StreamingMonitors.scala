@@ -32,7 +32,11 @@ object StreamingMonitors {
   final case class FunnelEvent(user_id: Long, event_id: Long, event_type: String,
                                ts_us: Long, ts: java.sql.Timestamp)
   /** Completed-stage timestamps, in order — k = stageTs.length. */
-  final case class FunnelProgress(stageTs: Seq[Long])
+  /** `lastActivityUs` carries the key's true last event time across
+    * batches so the TTL timeout is monotone: a late batch of OLDER events
+    * must never re-arm the eviction earlier than activity already seen
+    * (the statefulDeltaRate pattern). */
+  final case class FunnelProgress(stageTs: Seq[Long], lastActivityUs: Long = 0L)
   final case class FunnelAdvance(user_id: Long, stage_reached: Int, t_us: Long)
 
   /** Watermarked tumbling-window stats per station: counts and extrema
@@ -282,7 +286,9 @@ object StreamingMonitors {
             val ordered = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
             val out = Seq.newBuilder[FunnelAdvance]
             var done = state.getOption.map(_.stageTs.toVector).getOrElse(Vector.empty)
-            var lastTs = 0L
+            // seed from the stored last activity: the max over ALL batches,
+            // not just this one, so out-of-order arrival can't shrink the TTL
+            var lastTs = state.getOption.map(_.lastActivityUs).getOrElse(0L)
             ordered.foreach { e =>
               val k = done.length
               if (k < n && e.event_type == stages(k) &&
@@ -293,12 +299,44 @@ object StreamingMonitors {
               lastTs = math.max(lastTs, e.ts_us)
             }
             if (ordered.nonEmpty || state.exists) {
-              state.update(FunnelProgress(done))
+              state.update(FunnelProgress(done, lastTs))
               state.setTimeoutTimestamp(
                 math.max(state.getCurrentWatermarkMs() + 1, lastTs / 1000L + ttlMs))
             }
             out.result().iterator
           }
       }
+  }
+
+  /** Streaming twin of ops/Funnel.conversionRollup: per-stage CURRENT
+    * user counts over the advance stream. Each FunnelAdvance(user, k)
+    * means the user moved k-1 → k — a +1 at stage k and (for k > 1) a -1
+    * at stage k-1; summing the deltas per stage is the changelog form of
+    * the batch rollup's groupBy(stage_reached).count(), and Spark keeps
+    * the running sums in the aggregation state (append-mode
+    * flatMapGroupsWithState feeding one streaming aggregate — the
+    * supported chain). Sink in update/complete mode.
+    *
+    * Covers stages ≥ 1 only: a user with activity but no stage-1 event
+    * emits no advance, so the batch rollup's stage-0 row has no
+    * counterpart in the advance stream by construction.
+    *
+    * Requires `spark.sql.streaming.statefulOperator.checkCorrectness
+    * .enabled=false` at query start: Spark's static checker flags ANY
+    * stateful op downstream of flatMapGroupsWithState because the latter
+    * can emit rows behind the watermark — but this aggregate is global
+    * and watermark-free (complete/update mode, no eviction), so a late
+    * advance is summed like any other and no row can be discarded. */
+  def streamingConversionRollup(stream: DataFrame, stages: Seq[String],
+                                lateness: String = "10 minutes",
+                                stateTtl: java.time.Duration = java.time.Duration.ofHours(24)): DataFrame = {
+    val adv = streamingFunnel(stream, stages, lateness, stateTtl).toDF()
+    val enter = struct(col("stage_reached").cast("long").as("stage"), lit(1L).as("d"))
+    val leave = struct((col("stage_reached") - 1).cast("long").as("stage"), lit(-1L).as("d"))
+    adv
+      .select(explode(when(col("stage_reached") > 1, array(enter, leave))
+        .otherwise(array(enter))).as("x"))
+      .groupBy(col("x.stage").as("stage_reached"))
+      .agg(sum(col("x.d")).as("n_users"))
   }
 }

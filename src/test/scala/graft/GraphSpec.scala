@@ -25,6 +25,26 @@ class GraphSpec extends SparkSpec {
     assert(comp.forall(_.getLong(1) == 0L))
   }
 
+  test("giant component (80% of nodes) converges in the round budget with no row multiplication") {
+    // worst-case shape for label propagation: one 1600-node RING (depth
+    // n/2 — a near-clique dup cluster would converge in ~2 rounds) holding
+    // 80% of the 2000 nodes, plus 200 two-node components. Pointer
+    // doubling must close the ring in O(log n) ≈ 11 rounds, not O(n).
+    val ring = (0L until 1600L).map(i => (i, (i + 1) % 1600L))
+    val smalls = (1600L until 2000L by 2).map(i => (i, i + 1))
+    val pairs = (ring ++ smalls).toDF("id1", "id2")
+    val comp = Graph.connectedComponents(pairs, maxIter = 16)
+    val rows = comp.collect()
+    // exactly one row per node, ids distinct: if the jump join's build
+    // side (id → lab, keyed by the unique node id) ever carried duplicate
+    // keys, the join would multiply rows and this count would inflate
+    assert(rows.length === 2000)
+    assert(rows.map(_.getLong(0)).distinct.length === 2000)
+    val byNode = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 1600L).forall(byNode(_) == 0L), "giant ring not fully labeled 0")
+    assert((1600L until 2000L by 2).forall(i => byNode(i) == i && byNode(i + 1) == i))
+  }
+
   test("non-integral node ids are rejected loudly, not silently dropped") {
     val stringIds = Seq(("a", "b")).toDF("id1", "id2")
     val e = intercept[IllegalArgumentException] {

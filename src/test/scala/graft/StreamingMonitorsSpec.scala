@@ -355,4 +355,82 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(streamed === batchSide)
     assert(streamed === Map(1L -> 3, 2L -> 2, 3L -> 1))
   }
+
+  test("streaming conversion rollup equals the batch rollup on in-order delivery") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val events = mem.toDF().toDF("user_id", "event_id", "event_type", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val stages = Seq("view", "click", "purchase")
+    // complete mode: the memory table always holds the CURRENT counts, so
+    // intermediate batches (where users sit at earlier stages) don't pile up.
+    // The static checker must be off for this chain (see the operator's
+    // scaladoc: the downstream aggregate is watermark-free, so the flagged
+    // late-row discard cannot occur).
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val q =
+      try StreamingMonitors.streamingConversionRollup(events, stages, lateness = "0 seconds")
+        .writeStream.format("memory").queryName("rollup_stream")
+        .option("checkpointLocation", s"${work()}/ckpt")
+        .outputMode("complete").start()
+      finally spark.conf.unset("spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    def min(m: Long): Long = 946684800L * 1000000L + m * 60L * 1000000L
+    val all = Seq(
+      (1L, 1L, "view", min(0)), (2L, 2L, "view", min(0)),
+      (3L, 3L, "view", min(1)), (3L, 4L, "click", min(1)),
+      (1L, 5L, "click", min(2)), (2L, 6L, "click", min(3)),
+      (1L, 7L, "purchase", min(4)), (2L, 8L, "error", min(5)))
+    try {
+      all.grouped(3).foreach { batch =>
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("rollup_stream")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchSide = graft.ops.Funnel.conversionRollup(
+        all.toDF("user_id", "event_id", "event_type", "ts_us")
+          .withColumn("ts", timestamp_micros(col("ts_us"))), stages)
+      .filter(col("stage_reached") >= 1) // stage 0 has no advance-stream counterpart
+      .select("stage_reached", "n_users")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batchSide)
+    assert(streamed === Map(1L -> 1, 2L -> 1, 3L -> 1))
+  }
+
+  test("funnel state TTL is monotone: a late batch of older events cannot re-arm eviction earlier") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val events = mem.toDF().toDF("user_id", "event_id", "event_type", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamingMonitors.streamingFunnel(events, Seq("view", "click"),
+        lateness = "20 minutes", stateTtl = java.time.Duration.ofMinutes(10))
+      .writeStream.format("memory").queryName("funnel_ttl_stream")
+      .option("checkpointLocation", s"${work()}/ckpt")
+      .outputMode("append").start()
+    def min(m: Long): Long = 946684800L * 1000000L + m * 60L * 1000000L
+    try {
+      // user 7 views at t=100; true last activity = 100 → timeout t=110
+      mem.addData((7L, 1L, "view", min(100))); q.processAllAvailable()
+      // LATE older event (t=95, within the 20-min lateness). If the TTL
+      // clock were batch-local it would re-arm to 95+10 = t=105.
+      mem.addData((7L, 2L, "other", min(95))); q.processAllAvailable()
+      // watermark → t=107 (127-20), between the buggy and true deadlines
+      mem.addData((99L, 3L, "view", min(127))); q.processAllAvailable()
+      // a batch with no data for user 7 while wm=107: a batch-local clock
+      // would fire the timeout here and evict; the monotone clock holds on
+      mem.addData((99L, 4L, "view", min(128))); q.processAllAvailable()
+      // the click can only advance if user 7's state survived
+      mem.addData((7L, 5L, "click", min(115))); q.processAllAvailable()
+    } finally q.stop()
+    val stages7 = spark.table("funnel_ttl_stream")
+      .filter(col("user_id") === 7L)
+      .collect().map(_.getInt(1)).toSet
+    assert(stages7 === Set(1, 2),
+      s"expected user 7 to reach stage 2 (state retained past the late batch); got $stages7")
+  }
 }
