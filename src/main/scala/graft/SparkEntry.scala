@@ -195,6 +195,14 @@ object SparkEntry {
     "q6_revenue_change" -> ((s, dir) => Relational.revenueChange(s, dir)),
     "q12_shipmode_priority" -> ((s, dir) => Relational.shipmodePriority(s, dir)),
     "q14_promo_share" -> ((s, dir) => Relational.promoShare(s, dir)),
+    "q2_min_cost_supplier" -> ((s, dir) => Relational.minCostSupplier(s, dir)),
+    "q4_late_priority" -> ((s, dir) => Relational.latePriorityCount(s, dir)),
+    "q8_market_share" -> ((s, dir) => Relational.marketShare(s, dir)),
+    "q9_product_profit" -> ((s, dir) => Relational.productProfit(s, dir)),
+    "q10_returned_items" -> ((s, dir) => Relational.returnedItems(s, dir)),
+    "q11_important_parts" -> ((s, dir) => Relational.importantParts(s, dir)),
+    "q15_top_supplier" -> ((s, dir) => Relational.topSupplier(s, dir)),
+    "q20_volume_suppliers" -> ((s, dir) => Relational.volumeSuppliers(s, dir)),
 
     "q_sessionize" -> ((s, dir) =>
       Monitoring.sessionize(Tables.events(s, dir)).orderBy("user_id", "session_seq")),
@@ -896,6 +904,57 @@ object SparkEntry {
     // executes (Relational.scala) — both engines parse one string
     "q17_small_qty_revenue" -> Relational.smallQuantityRevenueSql,
     "q21_late_suppliers" -> Relational.lateSoleSuppliersSql,
+    "q2_min_cost_supplier" -> Relational.minCostSupplierSql,
+    "q4_late_priority" -> Relational.latePriorityCountSql,
+    "q11_important_parts" -> Relational.importantPartsSql,
+    "q15_top_supplier" -> Relational.topSupplierSql,
+    "q20_volume_suppliers" -> Relational.volumeSuppliersSql,
+
+    "q8_market_share" ->
+      """SELECT o_year, mkt_share FROM (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(sum(CAST(CASE WHEN n1.n_name = 'NATION_3'
+        |        THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n2.n_regionkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY 1)
+        |ORDER BY o_year""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT nation, o_year, sum_profit FROM (
+        |  SELECT n_name AS nation,
+        |    CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE p_name LIKE '%widget%'
+        |  GROUP BY 1, 2)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name, revenue FROM (
+        |  SELECT c_custkey, c_name, c_acctbal, n_name,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1, 2, 3, 4)
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q18_large_orders" -> Relational.largeVolumeOrdersSql,
     "q18_large_orders_cte" -> Relational.largeVolumeOrdersCteSql,
     "q19_branded_revenue" -> Relational.brandedRevenueSql,

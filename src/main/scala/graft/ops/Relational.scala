@@ -213,6 +213,7 @@ object Relational {
     Tables.supplier(s, dir).createOrReplaceTempView("supplier")
     Tables.customer(s, dir).createOrReplaceTempView("customer")
     Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.region(s, dir).createOrReplaceTempView("region")
   }
 
   /** TPC-H Q17 shape: small-quantity revenue per brand, gated by a
@@ -363,6 +364,217 @@ object Relational {
     tpchViews(s, dir)
     s.sql(dormantBalancesSql)
   }
+
+  /** TPC-H Q4 shape (adapted: lateness = shipped more than 60 days after
+    * the order date, the Q21 adaptation, in place of the missing
+    * commit/receipt dates): order-priority counts over orders with at
+    * least one late line — a correlated EXISTS whose predicate references
+    * the OUTER order date. Catalyst decorrelates to a left-semi join on
+    * o_orderkey with the date comparison riding the join condition; the
+    * orders scan keeps its own date-window pushdown. No cartesian. */
+  val latePriorityCountSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  def latePriorityCount(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(latePriorityCountSql)
+  }
+
+  /** TPC-H Q15 shape: top supplier by quarterly revenue. The revenue CTE
+    * is referenced TWICE — once as the join input, once under the
+    * uncorrelated scalar max — and the planner must reuse one aggregation
+    * result (or at worst re-run the same deterministic agg), never
+    * re-aggregate per outer row. Revenue is a decimal-exact sum cast once
+    * to double, so the max-equality comparison lands on identical bits in
+    * both engines. */
+  val topSupplierSql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(topSupplierSql)
+  }
+
+  /** TPC-H Q2 shape (adapted: the offer table — each supplier's minimum
+    * observed unit price per part — is derived from lineitem in place of
+    * the missing partsupp): for each small-size part, the region's
+    * suppliers matching the part's MINIMUM regional unit cost. The
+    * correlated scalar min re-derives the same offer CTE under
+    * region-restricted joins; Catalyst decorrelates it into one grouped
+    * aggregate equi-joined back on partkey. Unit cost is a per-row IEEE
+    * division and min() is exact, so the equality is engine-portable. */
+  val minCostSupplierSql: String =
+    """WITH offer AS (
+      |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+      |    min(l_extendedprice / l_quantity) AS unit_cost
+      |  FROM lineitem WHERE l_quantity > 0.0
+      |  GROUP BY 1, 2)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, unit_cost
+      |FROM part
+      |JOIN offer ON partkey = p_partkey
+      |JOIN supplier ON s_suppkey = suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |JOIN region ON r_regionkey = n_regionkey
+      |WHERE p_size <= 3 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+      |  AND unit_cost = (
+      |    SELECT min(o2.unit_cost)
+      |    FROM offer o2
+      |    JOIN supplier s2 ON s2.s_suppkey = o2.suppkey
+      |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+      |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+      |    WHERE o2.partkey = p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin
+
+  def minCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(minCostSupplierSql)
+  }
+
+  /** TPC-H Q11 shape (adapted: part value = lineitem revenue through one
+    * nation's suppliers, in place of the missing partsupp stock value):
+    * parts whose single-nation value exceeds a FRACTION of the nation
+    * total — a grouped aggregate filtered against an uncorrelated scalar
+    * over the same CTE. Values are decimal-exact sums (and the global
+    * total re-sums them in decimal), so the threshold is bit-stable. */
+  val importantPartsSql: String =
+    """WITH val AS (
+      |  SELECT l_partkey AS partkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS value
+      |  FROM lineitem
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON n_nationkey = s_nationkey
+      |  WHERE n_name = 'NATION_3'
+      |  GROUP BY 1)
+      |SELECT partkey, value FROM val
+      |WHERE value > (
+      |  SELECT CAST(0.002 AS DOUBLE) * CAST(sum(CAST(v2.value AS DECIMAL(18,4))) AS DOUBLE)
+      |  FROM val v2)
+      |ORDER BY value DESC, partkey""".stripMargin
+
+  def importantParts(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(importantPartsSql)
+  }
+
+  /** TPC-H Q20 shape (adapted: "shipped more than 15% of the part's total
+    * volume" in place of the missing partsupp availability threshold):
+    * suppliers dominating any small-part's supply — an IN subquery whose
+    * inner rows are gated by a CORRELATED scalar over the same shipped
+    * CTE (per-part total). Two decorrelations stacked: the scalar becomes
+    * a grouped agg joined on partkey; the IN becomes a left-semi join on
+    * suppkey. Per-(part,supplier) and per-part sums are decimal-exact. */
+  val volumeSuppliersSql: String =
+    """WITH shipped AS (
+      |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_name LIKE 'small%'
+      |  GROUP BY 1, 2)
+      |SELECT s_suppkey, s_name, s_acctbal
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT sh.suppkey FROM shipped sh
+      |  WHERE sh.qty > (
+      |    SELECT CAST(0.15 AS DOUBLE) * CAST(sum(CAST(sh2.qty AS DECIMAL(18,4))) AS DOUBLE)
+      |    FROM shipped sh2 WHERE sh2.partkey = sh.partkey))
+      |ORDER BY s_suppkey""".stripMargin
+
+  def volumeSuppliers(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(volumeSuppliersSql)
+  }
+
+  /** TPC-H Q8 shape: one nation's share of a region's market by order
+    * year. The fact flows through orders→customer (market restriction,
+    * region dim broadcast through nation) and supplier→nation (share
+    * attribution); the share is a ratio of two decimal-exact sums per
+    * year, one double division at the end. Conditional aggregation keeps
+    * it to ONE pass — no self-join of the numerator against the
+    * denominator. */
+  def marketShare(s: SparkSession, dir: String,
+                  nation: String = "NATION_3", region: String = "ASIA"): DataFrame = {
+    val nat = Tables.nation(s, dir)
+    val marketNations = nat
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("mkt_nationkey"))
+    val marketCust = Tables.customer(s, dir)
+      .join(broadcast(marketNations), col("c_nationkey") === col("mkt_nationkey"))
+      .select("c_custkey")
+    val supNation = Tables.supplier(s, dir)
+      .join(broadcast(nat.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(marketCust, col("o_custkey") === col("c_custkey"))
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"),
+        col("supp_nation"))
+      .groupBy("o_year")
+      .agg((moneySum(when(col("supp_nation") === nation, col("volume")).otherwise(lit(0.0)))
+        / moneySum(col("volume"))).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9 shape (adapted: supply cost = 60% of the part's retail
+    * price, in place of the missing partsupp cost): profit per supplier
+    * nation per order year over name-matched parts. The LIKE filter rides
+    * the part scan; nation is the only broadcast-hinted dim; the profit
+    * expression is per-row IEEE arithmetic written identically in the
+    * oracle, summed in decimal. */
+  def productProfit(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir).filter(col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice"), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          - lit(0.6) * col("p_retailprice") * col("l_quantity")).as("amount"))
+      .groupBy("nation", "o_year")
+      .agg(moneySum(col("amount")).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** TPC-H Q10 shape: returned-item revenue — top customers by lost
+    * revenue in a quarter. Fact filtered on return flag (pushed to the
+    * scan), two scaling joins left to AQE, nation broadcast; global
+    * top-20 is TakeOrdered, never a full sort. */
+  def returnedItems(s: SparkSession, dir: String, n: Int = 20): DataFrame =
+    Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+        .select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(n)
 
   /** TPC-H Q7 shape: bilateral trade volume — the fact joined out to TWO
     * different nation lookups (supplier's and customer's) with a
