@@ -153,6 +153,34 @@ class PlanContractSpec extends SparkSpec {
       s"q18 CTE form must scan lineitem once:\n$p18cte")
   }
 
+  test("q2/q4/q11/q15/q20 subquery shapes stay cartesian-free and keep their join kinds") {
+    Seq("q2_min_cost_supplier", "q4_late_priority", "q11_important_parts",
+        "q15_top_supplier", "q20_volume_suppliers", "q8_market_share",
+        "q9_product_profit", "q10_returned_items").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
+    }
+    // Q4's correlated EXISTS (with the outer-date predicate in the
+    // correlation) must become a semi join on the order key
+    val p4 = plan("q4_late_priority")
+    assert(p4.contains("LeftSemi"), s"q4 lost its semi join:\n$p4")
+    // Q20's IN must be a semi join; its correlated per-part threshold is a
+    // grouped aggregate equi-joined on partkey (no per-row re-aggregation,
+    // asserted cartesian-free above)
+    val p20 = plan("q20_volume_suppliers")
+    assert(p20.contains("LeftSemi"), s"q20 lost its semi join:\n$p20")
+    // Q10's global top-20 must be TakeOrdered (per-partition heaps), never
+    // a full sort of the grouped frame
+    val p10 = plan("q10_returned_items")
+    assert(p10.contains("TakeOrderedAndProject"), s"q10 lost TakeOrdered:\n$p10")
+    // Q8: the one-pass conditional-aggregation share means exactly ONE
+    // lineitem scan — a numerator/denominator self-join would show two
+    val p8 = plan("q8_market_share")
+    assert(p8.split("lineitem.parquet").length - 1 === 1,
+      s"q8 must scan lineitem once:\n$p8")
+  }
+
   test("funnel is one hash exchange and zero joins — never the n-self-join cascade") {
     val p = plan("q_funnel")
     assert(!p.contains("Join"), s"funnel must not join:\n$p")
