@@ -428,6 +428,14 @@ object SparkEntry {
       Tables.documents(s, dir),
       jaccardPairs(s, dir)).orderBy("doc_id")),
 
+    // curation dashboards over the same pair artifact: which sources copy
+    // which, and how much of each source a dedup pass would drop
+    "dedup_source_matrix" -> ((s, dir) => Graph.sourceDupMatrix(
+      Tables.documents(s, dir), jaccardPairs(s, dir)).orderBy("source_a", "source_b")),
+
+    "dedup_source_rate" -> ((s, dir) => Graph.sourceDupRate(
+      Tables.documents(s, dir), jaccardPairs(s, dir)).orderBy("source")),
+
     // the 100 TB composition: CC over the MinHash-LSH pair generator —
     // same oracle as dedup_components because LSH+verify reproduces the
     // exact pair set on this corpus (the dedup_minhash contract)
@@ -1300,6 +1308,25 @@ object SparkEntry {
     // the min-label fixpoint the engine's pointer-doubling loop certifies.
     "dedup_components" -> COMPONENTS_SQL,
     "dedup_components_lsh" -> COMPONENTS_SQL,
+
+    "dedup_source_matrix" ->
+      s"""WITH RECURSIVE
+         |$COMPONENT_CTES
+         |SELECT source_a, source_b, count(*) AS n_pairs FROM (
+         |  SELECT least(da.source, db.source) AS source_a,
+         |         greatest(da.source, db.source) AS source_b
+         |  FROM p
+         |  JOIN documents da ON da.doc_id = p.id1
+         |  JOIN documents db ON db.doc_id = p.id2)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dedup_source_rate" ->
+      s"""WITH RECURSIVE
+         |$COMPONENT_CTES
+         |SELECT d.source, count(*) AS n_docs,
+         |  count(CASE WHEN coalesce(c.comp, d.doc_id) <> d.doc_id THEN 1 END) AS n_dups
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_canonical" -> CANONICAL_SQL,
     // dedup_simhash / sim_topk_ivf: hash-family/ANN internals are not
     // SQL-expressible; the driver records rows-only checks for them. The

@@ -116,4 +116,34 @@ object Graph {
       .join(connectedComponents(pairs).select(col("id").as(idCol), col("comp")),
             Seq(idCol), "left")
       .select(col(idCol), coalesce(col("comp"), col(idCol).cast("long")).as("canonical_id"))
+
+  /** Cross-source duplication matrix — which sources copy which: each
+    * near-dup pair attributed to its unordered (source, source) cell.
+    * The curation dashboard that decides WHERE to point the dedup effort
+    * at 100 TB (a hot off-diagonal cell means one source mirrors
+    * another; a hot diagonal means within-source churn). The pair list
+    * is the small side; the (doc_id, source) projection joins back
+    * per-endpoint as an equi-join (AQE broadcasts the pair side when the
+    * dup rate is low). One shuffle for the final cell count. */
+  def sourceDupMatrix(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.toDF("id1", "s1"), "id1")
+      .join(src.toDF("id2", "s2"), "id2")
+      .select(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Per-source duplication rate: how many of each source's docs are
+    * non-canonical (the rows a dedup pass would drop) — the quality
+    * metric that ranks sources for exclusion. Component resolution once,
+    * one join to the source dimension, one aggregate. */
+  def sourceDupRate(docs: DataFrame, pairs: DataFrame): DataFrame =
+    canonicalize(docs, pairs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("canonical_id") =!= col("doc_id"), 1)).as("n_dups"))
 }

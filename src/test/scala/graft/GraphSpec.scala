@@ -65,6 +65,22 @@ class GraphSpec extends SparkSpec {
     assert(canon === Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("source dup matrix orients pairs canonically; dup rate counts non-canonical docs") {
+    val docs = Seq(
+      (0L, "a", "web"), (1L, "b", "books"), (2L, "c", "web"),
+      (3L, "d", "web"), (4L, "e", "books")).toDF("doc_id", "text", "source")
+    // 0-1 crosses web/books (either orientation must land in the same
+    // cell), 0-2 is within web, 3-4 crosses again
+    val pairs = Seq((1L, 0L), (0L, 2L), (3L, 4L)).toDF("id1", "id2")
+    val matrix = Graph.sourceDupMatrix(docs, pairs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(matrix === Map(("books", "web") -> 2L, ("web", "web") -> 1L))
+    // component {0,1,2} keeps 0 (2 dups: one web, one books); {3,4} keeps 3
+    val rate = Graph.sourceDupRate(docs, pairs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rate === Map("web" -> (3L, 1L), "books" -> (2L, 2L)))
+  }
+
   test("canonicalize maps unpaired docs to themselves and paired docs to the component min") {
     val docs = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (7L, "e"))
       .toDF("doc_id", "text")
