@@ -564,6 +564,17 @@ object SparkEntry {
     "text_tf" -> ((s, dir) =>
       TextAnalysis.termFrequency(Tables.documents(s, dir)).orderBy("lang", "rnk")),
 
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.distinctiveTerms(Tables.documents(s, dir))
+        .orderBy(col("doc_id"), col("score").desc, col("token"))),
+
+    "text_top_shingles" -> ((s, dir) =>
+      Dedup.shingleDocFreq(Tables.documents(s, dir))),
+
+    "sim_label_affinity" -> ((s, dir) =>
+      graft.ops.Similarity.labelAffinity(Tables.embeddings(s, dir))
+        .orderBy("label_a", "label_b")),
+
     "text_curation" -> ((s, dir) =>
       Curation.curationStats(Tables.documents(s, dir))),
 
@@ -1595,6 +1606,50 @@ object SparkEntry {
         |      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
         |    GROUP BY 1, 2))
         |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+
+    // the score is the log-free weight tf*(N+1)/(df+1): one exact-integer
+    // division and one multiply, identical to the Spark expression
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, token, tf, df, score FROM (
+        |  SELECT doc_id, tf.token AS token, tf, df.df AS df,
+        |    CAST(tf AS DOUBLE) * (CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY CAST(tf AS DOUBLE) * (CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) DESC,
+        |               tf.token) AS rnk
+        |  FROM tf JOIN df ON df.token = tf.token CROSS JOIN n)
+        |WHERE rnk <= 5 ORDER BY doc_id, score DESC, token""".stripMargin,
+
+    "text_top_shingles" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM w),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s FROM idx)
+        |SELECT s, df FROM (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+        |ORDER BY df DESC, s LIMIT 50""".stripMargin,
+
+    // cosine over the UNNORMALIZED quantized component-sum vectors
+    // (scale-invariant, so identical to the mean-vector cosine) — every
+    // dot is an exact decimal sum of integer products
+    "sim_label_affinity" ->
+      """WITH x AS (SELECT label,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS e,
+        |    unnest(range(len(embedding))) AS pos
+        |  FROM embeddings),
+        |q AS (SELECT label, pos, sum(CAST(floor(e * 1000000.0) AS BIGINT)) AS sq
+        |  FROM x GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        |  CAST(dab AS DOUBLE) / (sqrt(CAST(daa AS DOUBLE)) * sqrt(CAST(dbb AS DOUBLE))) AS affinity
+        |FROM (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    sum(CAST(a.sq AS DECIMAL(18,0)) * CAST(b.sq AS DECIMAL(18,0))) AS dab,
+        |    sum(CAST(a.sq AS DECIMAL(18,0)) * CAST(a.sq AS DECIMAL(18,0))) AS daa,
+        |    sum(CAST(b.sq AS DECIMAL(18,0)) * CAST(b.sq AS DECIMAL(18,0))) AS dbb
+        |  FROM q a JOIN q b ON a.pos = b.pos AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |ORDER BY label_a, label_b""".stripMargin,
 
     // features recomputed independently from the byte stream (text is pure
     // ASCII at every SF, so ord(char) IS the body byte): BMP channel c =

@@ -272,6 +272,16 @@ object Dedup {
     }
   }
 
+  /** Corpus shingle document-frequency head — the tuning statistic behind
+    * `maxDocFreq` (the 100 TB posting-list guard): the top-k shingles by
+    * how many docs contain them, i.e. exactly the postings the df cap
+    * would drop first. One explode + one aggregate; global top-k is
+    * TakeOrdered, never a full sort of the shingle universe. */
+  def shingleDocFreq(docs: DataFrame, n: Int = 3, topK: Int = 50): DataFrame =
+    postings(docs, n)
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("s")).limit(topK)
+
   /** Incremental NEAR-dup — the fuzzy twin of [[exactIncrement]], the
     * shape a rolling 100 TB ingest runs nightly: new-batch docs vs the
     * accumulated corpus via the banded MinHash table. Candidates come

@@ -244,6 +244,36 @@ object Similarity {
       .agg((sum(floor(col("col") * lit(1000000.0)).cast("long")).cast("double")
         / (lit(1000000.0) * count(lit(1)))).as("mean"))
 
+  /** Label-affinity matrix: pairwise cosine between label centroids — the
+    * class-confusion structure a curation pass reads before merging or
+    * splitting labels. Engine-portable by construction: cosine is
+    * scale-invariant, so instead of the means it uses the UNNORMALIZED
+    * integer vectors of quantized component sums (the [[labelCentroids]]
+    * quantization), and every dot product is an exact decimal sum of
+    * integer products — no cross-row double addition anywhere, the last
+    * operations (sqrt, one division, one multiply) are correctly-rounded
+    * IEEE on identical inputs in any engine. labels×dim rows shuffle
+    * once on pos for the pair join; labels are a dimension, so the
+    * matrix is tiny at any corpus scale. */
+  def labelAffinity(embeddings: DataFrame): DataFrame = {
+    val q = embeddings.select(col("label"), posexplode(toDouble(col("embedding"))))
+      .groupBy("label", "pos")
+      .agg(sum(floor(col("col") * lit(1000000.0)).cast("long")).as("sq"))
+    val a = q.toDF("label_a", "pos", "qa")
+    val b = q.toDF("label_b", "pos", "qb")
+    val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+      sum((x.cast("decimal(18,0)") * y.cast("decimal(18,0)")))
+    a.join(b, Seq("pos")).filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(dot(col("qa"), col("qb")).as("dab"),
+        dot(col("qa"), col("qa")).as("daa"),
+        dot(col("qb"), col("qb")).as("dbb"))
+      .select(col("label_a"), col("label_b"),
+        (col("dab").cast("double")
+          / (sqrt(col("daa").cast("double")) * sqrt(col("dbb").cast("double"))))
+          .as("affinity"))
+  }
+
   /** Embedding-space outlier scoring: each vector's cosine to its OWN
     * label's centroid, lowest-n returned — the "does this doc belong to
     * its class?" curation filter. The centroid frame is labels×dim rows

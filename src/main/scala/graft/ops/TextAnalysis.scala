@@ -108,6 +108,30 @@ object TextAnalysis {
       .filter(col("rnk") <= topK)
   }
 
+  /** Per-doc distinctive terms — TF-IDF with a LOG-FREE inverse-frequency
+    * weight, `score = tf · (N+1)/(df+1)`: the weight keeps tf-idf's
+    * ordering within a document (monotone in tf and 1/df) while staying
+    * engine-portable — one integer-exact division and one multiply, no
+    * transcendental whose last ulp differs between libm builds. The
+    * corpus size N is one metadata-cheap count (the trainCentroids
+    * pattern). Two shuffles (doc×token tf, then token df joined back);
+    * per-doc top-k via a doc-partitioned window — no global sort. */
+  def distinctiveTerms(docs: DataFrame, topK: Int = 5): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    tf.join(df, "token")
+      .withColumn("score",
+        col("tf").cast("double") * (lit((n + 1).toDouble) / (col("df") + lit(1)).cast("double")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select("doc_id", "token", "tf", "df", "score")
+  }
+
   /** Canonical text normalization — the first pass of any corpus build:
     * lowercase, collapse whitespace runs to one space, trim. Pure per-row
     * string ops (scan speed). The whitespace class is spelled out rather

@@ -51,6 +51,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("incremental minhash equals the cross-side slice of full-corpus LSH") {
+    val seen = docs // ids 0-4
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // dup of seen 0/1
+      (11L, "some genuinely new content that matches nothing at all today"),
+      (12L, "another unrelated document speaking of benchmarks and storage")  // dup of seen 4
+    ).toDF("doc_id", "text")
+    val inc = Dedup.minhashIncrement(batch, seen, threshold = 0.5)
+      .select("batch_id", "seen_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: full-corpus LSH over the union, restricted to pairs
+    // that cross the batch/seen boundary (batch ids are the larger side)
+    val full = Dedup.minhashLsh(seen.unionByName(batch), threshold = 0.5)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 10L && b >= 10L }
+      .map { case (a, b) => (b, a) }.toSet
+    assert(inc === full)
+    assert(inc.contains((10L, 0L)) && inc.contains((10L, 1L)) && inc.contains((12L, 4L)))
+    assert(!inc.exists(_._1 == 11L))
+  }
+
   test("scoped postings cache is materialized eagerly and released after the consuming action") {
     spark.catalog.clearCache() // isolate from earlier suites' leftovers
     // construction runs the ONE index-materialization job (eager count —
