@@ -51,6 +51,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("incremental dedup drops null text on both sides (anti join vs NOT IN pin)") {
+    // a null hash in `seen` must not nuke the whole batch (the SQL NOT IN
+    // hazard), and null-text batch rows must not survive as keepers
+    val seen = Seq((0L, Option("kept text")), (1L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, Option("kept text")), (11L, Option.empty[String]),
+      (12L, Option("fresh text"))).toDF("doc_id", "text")
+    val r = Dedup.exactIncrement(batch, seen).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r === Seq((12L, 1L)))
+  }
+
   test("incremental minhash equals the cross-side slice of full-corpus LSH") {
     val seen = docs // ids 0-4
     val batch = Seq(

@@ -211,6 +211,13 @@ class SamplingSpec extends SparkSpec {
     assert(sampled.count() > 0)
   }
 
+  test("mixture rates reject a zero-count stratum by name instead of propagating NaN") {
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixtureRates(Map("en" -> 8000L, "ghost" -> 0L), alpha = 0.5, targetFraction = 0.2)
+    }
+    assert(e.getMessage.contains("ghost"), s"error must name the offending stratum: ${e.getMessage}")
+  }
+
   test("deterministic shuffle reproduces under the same seed and moves under a new one") {
     val a = Sampling.deterministicShuffle(docs, "epoch1:").select("doc_id")
       .limit(50).as[Long].collect().toSeq

@@ -211,6 +211,17 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.collect().isEmpty)
   }
 
+  test("hourly resample excludes null keys explicitly rather than emitting empty grid rows") {
+    def t(h: Int): java.sql.Timestamp = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val ev = Seq(
+      (Some("A"), t(0), 1L, 1.0), (Some("A"), t(1), 2L, 2.0),
+      (None, t(0), 3L, 9.0)) // null key: dropped, not an all-empty grid row
+      .toDF("event_type", "ts", "event_id", "value")
+    val got = TimeSeries.resampleHourly(ev).collect()
+    assert(got.forall(!_.isNullAt(0)), "null key leaked into the resample grid")
+    assert(got.length === 2) // A's two hour buckets only
+  }
+
   test("hourly resample fills gaps forward, leaves leading holes null, ties on (ts,id)") {
     def t(h: Int, m: Int): java.sql.Timestamp =
       java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
