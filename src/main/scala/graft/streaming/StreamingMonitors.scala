@@ -83,6 +83,43 @@ object StreamingMonitors {
   def dedupStream(stream: DataFrame, lateness: String = "1 hour"): DataFrame =
     stream.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming incremental exact dedup — the streaming face of
+    * ops/Dedup.exactIncrement: each micro-batch anti-joined on the
+    * portable md5 against a STATIC seen corpus (the nightly-refreshed
+    * accumulated hash set), composed with within-watermark in-stream
+    * dedup so re-deliveries and same-stream copies also collapse. The
+    * stream-static anti join is STATELESS per micro-batch (the seen side
+    * broadcasts when small, shuffles per batch otherwise); the only
+    * streaming state is the watermark-bounded dedup store on the hash.
+    * Online semantics: the FIRST-ARRIVED copy of a new text survives
+    * (the batch form keeps min doc_id — on in-order delivery they agree;
+    * the spec pins the surviving hash set equal either way). Null text
+    * is dropped on both sides, same rule as the batch op. */
+  def dedupIncrementStream(stream: DataFrame, seen: DataFrame,
+                           lateness: String = "1 hour"): DataFrame = {
+    val seenH = seen.filter(col("text").isNotNull).select(md5(col("text")).as("h"))
+    stream
+      .filter(col("text").isNotNull)
+      .withColumn("h", md5(col("text")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("h")
+      .join(seenH, Seq("h"), "left_anti")
+  }
+
+  /** Streaming approximate distinct count — HLL inside a watermarked
+    * tumbling window: distinct keys per window at O(registers) state per
+    * window instead of O(distinct keys), the streaming face of the batch
+    * HLL entry. HLL registers merge by max, so the estimate is
+    * arrival-order-independent — stream ≡ batch exactly, not just
+    * approximately (spec-pinned). */
+  def approxDistinctStream(stream: DataFrame, windowLen: String = "1 hour",
+                           lateness: String = "10 minutes",
+                           keyCol: String = "user_id"): DataFrame =
+    stream.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(approx_count_distinct(col(keyCol)).as("n_approx"))
+      .select(col("window.start").as("window_start"), col("n_approx"))
+
   /** Streaming as-of against a VERSIONED STATIC dimension — the streaming
     * form of ops/TimeSeries.asofJoin, and the closest analytics shape to
     * the reference's whole topology (attach the dimension state current at

@@ -316,6 +316,63 @@ class StreamingMonitorsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup keeps the same surviving hash set as the batch op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val seen = Seq((0L, Option("already seen")), (1L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, Option[String], Long)]
+    val stream = mem.toDF().toDF("doc_id", "text", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamingMonitors.dedupIncrementStream(stream, seen)
+      .writeStream.format("memory").queryName("inc_dedup_stream")
+      .option("checkpointLocation", s"${work()}/ckpt")
+      .outputMode("append").start()
+    val t0 = 946684800L * 1000000L
+    val batchRows = Seq(
+      (10L, Option("already seen"), t0),      // dropped: in the seen corpus
+      (11L, Option("fresh one"), t0 + 1),
+      (12L, Option("fresh one"), t0 + 2),     // dropped: in-stream copy of 11
+      (13L, Option.empty[String], t0 + 3),    // dropped: null text
+      (14L, Option("fresh two"), t0 + 4))
+    try {
+      batchRows.grouped(2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("inc_dedup_stream")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed === Set(11L, 14L))
+    // the surviving TEXT set equals the batch op's (ids differ by contract:
+    // batch keeps min-id, stream keeps first-arrival — same here)
+    val batchKeep = graft.ops.Dedup.exactIncrement(
+        batchRows.map(r => (r._1, r._2)).toDF("doc_id", "text"), seen)
+      .collect().map(_.getLong(0)).toSet
+    assert(batchKeep === streamed)
+  }
+
+  test("streaming windowed approx-distinct equals the batch HLL on the same data") {
+    val w = work()
+    val stream = streamOfEvents(w)
+    // complete mode: append only emits windows the final watermark has
+    // passed, which would hold back the stream's tail windows forever at
+    // AvailableNow termination
+    val q = StreamingMonitors.approxDistinctStream(stream, windowLen = "1 hour")
+      .writeStream.format("memory").queryName("approx_distinct_stream")
+      .option("checkpointLocation", s"$w/ckpt")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming query timed out")
+    val streamed = spark.table("approx_distinct_stream")
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct(col("user_id")).as("n"))
+      .collect().map(r => r.getStruct(0).getTimestamp(0) -> r.getLong(1)).toMap
+    // HLL registers merge by max — order-independent, so the streaming
+    // estimate is BIT-equal to the batch one, not just close
+    assert(streamed === batch)
+    assert(streamed.nonEmpty && streamed.values.forall(_ > 0))
+  }
+
   test("streaming funnel equals the batch funnel on in-order delivery, across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
