@@ -295,6 +295,21 @@ class LlmOpsSpec extends SparkSpec {
       === c1.collect().toSeq.map(_.toSeq).sortBy(_.head.asInstanceOf[Long]))
   }
 
+  test("a partial artifact dir without _SUCCESS is rebuilt, not trusted") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target/test-out").getAbsoluteFile.toPath, "centroidsPartial").toString
+    val path = s"$dir/c"
+    // simulate a crash mid-write: a parquet file landed but no _SUCCESS
+    val c1 = Similarity.centroidArtifact(emb, path, k = 4, iterations = 0)
+    val expected = c1.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    new java.io.File(path, "_SUCCESS").delete()
+    val c2 = Similarity.centroidArtifact(emb, path, k = 4, iterations = 0)
+    // the rebuild must run (marker restored) and reproduce identical bits
+    assert(new java.io.File(path, "_SUCCESS").exists(), "rebuild did not restore the marker")
+    assert(c2.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]) === expected)
+  }
+
   test("centroidArtifact probes through the Hadoop FileSystem, not java.io.File") {
     // An explicit file:-scheme URI path: java.io.File("file:/…") never
     // exists, so the old local-only probe would retrain on EVERY call.

@@ -181,6 +181,23 @@ class PlanContractSpec extends SparkSpec {
       s"q8 must scan lineitem once:\n$p8")
   }
 
+  test("round-9 llm entries stay equi-join-only (no cartesian, no nested loop)") {
+    // dedup_incremental_lsh: band-signature equi-join candidates + shingle
+    // equi-join verify; sim_label_affinity: pos equi-join over bounded
+    // label×dim frames; dedup_source_*: pair-to-dim equi-joins; text_tfidf:
+    // token equi-join (N is a driver scalar, never a cross join)
+    Seq("dedup_incremental_lsh", "sim_label_affinity", "dedup_source_matrix",
+        "dedup_source_rate", "text_tfidf").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
+    }
+    // top-shingles must be TakeOrdered over the df aggregate, not a full
+    // sort of the shingle universe
+    val pts = plan("text_top_shingles")
+    assert(pts.contains("TakeOrderedAndProject"), s"top-shingles lost TakeOrdered:\n$pts")
+  }
+
   test("funnel is one hash exchange and zero joins — never the n-self-join cascade") {
     val p = plan("q_funnel")
     assert(!p.contains("Join"), s"funnel must not join:\n$p")
