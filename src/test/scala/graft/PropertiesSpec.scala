@@ -121,6 +121,31 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: zorder key round-trips — deinterleaving recovers (x, y) exactly") {
+    def deinterleave(z: Long, bits: Int): (Long, Long) = {
+      var x = 0L; var y = 0L
+      (0 until bits).foreach { i =>
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (x, y)
+    }
+    (1L to 5L).foreach { seed =>
+      val bits = 1 + (seed % 31).toInt // exercise the full legal range incl. 31
+      val dom = (1L << bits) - 1L
+      val pts = sample(Gen.listOfN(200,
+        Gen.zip(Gen.chooseNum(0L, dom), Gen.chooseNum(0L, dom))), seed)
+      val keys = pts.toDF("x", "y")
+        .select(col("x"), col("y"),
+          graft.ops.Layout.zorderKey(col("x"), col("y"), bits).as("z"))
+        .collect()
+      keys.foreach { r =>
+        assert(deinterleave(r.getLong(2), bits) === ((r.getLong(0), r.getLong(1))),
+          s"bits=$bits x=${r.getLong(0)} y=${r.getLong(1)} z=${r.getLong(2)}")
+      }
+    }
+  }
+
   test("property: funnel equals a driver-side sequential fold on random event streams") {
     val stages = Seq("view", "click", "purchase")
     (1L to 5L).foreach { seed =>
