@@ -571,6 +571,15 @@ object SparkEntry {
     "text_top_shingles" -> ((s, dir) =>
       Dedup.shingleDocFreq(Tables.documents(s, dir))),
 
+    // context-window prep: 16-token windows every 12 tokens (short docs in
+    // this corpus still produce 2-3 overlapping chunks each)
+    "text_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, dir), window = 16, stride = 12)
+        .orderBy("doc_id", "chunk_id")),
+
+    "text_oov" -> ((s, dir) =>
+      TextAnalysis.oovRate(Tables.documents(s, dir)).orderBy("doc_id")),
+
     "sim_label_affinity" -> ((s, dir) =>
       graft.ops.Similarity.labelAffinity(Tables.embeddings(s, dir))
         .orderBy("label_a", "label_b")),
@@ -1622,6 +1631,32 @@ object SparkEntry {
         |               tf.token) AS rnk
         |  FROM tf JOIN df ON df.token = tf.token CROSS JOIN n)
         |WHERE rnk <= 5 ORDER BY doc_id, score DESC, token""".stripMargin,
+
+    // chunk starts every 12 tokens while < len; list_slice is 1-based
+    // inclusive, so chunk i covers tokens [i*12+1, i*12+16]
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |        unnest(range(0, CAST(floor(CAST(len(toks) - 1 AS DOUBLE) / 12) AS BIGINT) + 1)) AS chunk_id
+        |      FROM t)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(list_slice(toks, CAST(chunk_id * 12 + 1 AS BIGINT), CAST(chunk_id * 12 + 16 AS BIGINT)), ' ') AS chunk_text,
+        |  least(len(toks) - chunk_id * 12, 16) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "text_oov" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |vocab AS (SELECT token FROM (
+        |    SELECT token, count(*) AS n FROM tok GROUP BY 1)
+        |  ORDER BY n DESC, token LIMIT 100)
+        |SELECT doc_id, n_tokens, n_in_vocab,
+        |  1.0 - CAST(n_in_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+        |FROM (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    count(CASE WHEN vocab.token IS NOT NULL THEN 1 END) AS n_in_vocab
+        |  FROM tok LEFT JOIN vocab ON vocab.token = tok.token
+        |  GROUP BY 1)
+        |ORDER BY doc_id""".stripMargin,
 
     "text_top_shingles" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -132,6 +132,48 @@ object TextAnalysis {
       .select("doc_id", "token", "tf", "df", "score")
   }
 
+  /** Sliding-window document chunking — context-window preparation: token
+    * windows of `window` tokens starting every `stride` tokens (the last
+    * chunk may run short; overlap = window − stride). One explode over a
+    * per-row computed chunk count, pure codegen'd array ops — chunking
+    * 100 TB is exactly one scan wide with output ~len/stride per doc.
+    * Chunk starts stop once they pass the end, so every token lands in
+    * ≥1 chunk and no empty trailing chunks are emitted. */
+  def chunkDocuments(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          floor((size(col("toks")) - 1).cast("double") / stride).cast("long"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"), lit(window)), " ")
+          .as("chunk_text"),
+        least(size(col("toks")) - col("chunk_id") * stride, lit(window)).cast("long")
+          .as("n_tokens"))
+  }
+
+  /** Vocabulary coverage / OOV rate — the tokenizer-coverage proxy: build
+    * the top-`vocabSize` token vocabulary by corpus frequency (TakeOrdered,
+    * never a full sort), then score each doc's fraction of token
+    * OCCURRENCES outside it. The vocab is bounded, so the membership join
+    * broadcasts at any corpus scale; the rate is one division of exact
+    * counts. */
+  def oovRate(docs: DataFrame, vocabSize: Int = 100): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(vocabSize)
+      .select(col("token"), lit(1).as("__in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("__in_vocab")).as("n_in_vocab"))
+      .select(col("doc_id"), col("n_tokens"), col("n_in_vocab"),
+        (lit(1.0) - col("n_in_vocab").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+  }
+
   /** Canonical text normalization — the first pass of any corpus build:
     * lowercase, collapse whitespace runs to one space, trim. Pure per-row
     * string ops (scan speed). The whitespace class is spelled out rather

@@ -351,6 +351,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(r.getAs[Int]("n_token_chars") === 6)
   }
 
+  test("chunking: window/stride coverage, overlap, short tail") {
+    // 7 tokens, window 3 stride 2 → starts 0,2,4,6: chunks of 3,3,3,1
+    val doc = Seq((0L, "t0 t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(doc, window = 3, stride = 2)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (0L, "t0 t1 t2", 3L), (1L, "t2 t3 t4", 3L),
+      (2L, "t4 t5 t6", 3L), (3L, "t6", 1L)))
+    // every token covered; consecutive chunks overlap by window - stride
+    assert(got.flatMap(_._2.split(" ")).toSet === (0 to 6).map(i => s"t$i").toSet)
+  }
+
+  test("oov rate against a tiny vocabulary") {
+    // vocab (size 2, by freq then token): "a" (3), "b" (2); doc 1 is fully
+    // in-vocab, doc 2 has 2 of 3 occurrences outside it
+    val docs = Seq((1L, "a b a"), (2L, "a x y"), (3L, "b")).toDF("doc_id", "text")
+    val r = TextAnalysis.oovRate(docs, vocabSize = 2).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) === ((3L, 3L, 0.0)))
+    assert(r(2L)._2 === 1L && math.abs(r(2L)._3 - 2.0 / 3.0) < 1e-15)
+    assert(r(3L) === ((1L, 1L, 0.0)))
+  }
+
   test("quality: type-token ratio and stopword ratio") {
     val r = TextAnalysis.quality(Seq((0L, "the cat the dog")).toDF("doc_id", "text")).collect()(0)
     assert(r.getAs[Double]("ttr") === 0.75)            // 3 distinct / 4
