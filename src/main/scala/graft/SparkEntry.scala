@@ -209,6 +209,9 @@ object SparkEntry {
 
     // ordered-sequence funnel: one shuffle + codegen'd array fold vs the
     // oracle's n-self-join min cascade
+    "q_retention" -> ((s, dir) =>
+      Funnel.retentionCohorts(Tables.events(s, dir)).orderBy("cohort_week", "week_offset")),
+
     "q_funnel" -> ((s, dir) =>
       Funnel.funnel(Tables.events(s, dir), Seq("view", "click", "purchase"))
         .orderBy("user_id")),
@@ -1048,6 +1051,17 @@ object SparkEntry {
       s"""WITH $FUNNEL_CTES
          |SELECT user_id, stage_reached, t1_us, t2_us, t3_us FROM f
          |ORDER BY user_id""".stripMargin,
+
+    // week = integral epoch-micros // week_micros (// is floor division;
+    // timestamps are non-negative, so it matches Spark's truncating DIV)
+    "q_retention" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+        |  FROM events WHERE ts IS NOT NULL),
+        |cohorts AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY 1)
+        |SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_users
+        |FROM weeks JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_funnel_rollup" ->
       s"""WITH $FUNNEL_DAY1_CTES

@@ -62,6 +62,31 @@ object Funnel {
       (1 to n).map(i => element_at(col("stages"), i).as(s"t${i}_us")): _*)
   }
 
+  /** Cohort retention triangle — the other canonical product-analytics
+    * rollup: users grouped by their FIRST-activity week (the cohort), and
+    * for each later week-offset, how many of that cohort were active.
+    * Weeks are exact integer epoch-week indices (floor of epoch-micros /
+    * week — no calendar/timezone dependence, portable to any engine).
+    * Two shuffles: user-week distinct (map-side combined), then the
+    * cohort min per user rides the same user partitioning; the final
+    * (cohort, offset) aggregate counts rows of an already user-week-
+    * distinct frame, so no count-distinct state anywhere. */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+                       tsUsCol: String = "ts_us"): DataFrame = {
+    val weekUs = 7L * 24 * 3600 * 1000000L
+    val weeks = events
+      .where(col(tsUsCol).isNotNull)
+      // integral DIV, not double division: epoch-micros exceed 2^50 and
+      // the quotient must be exact; timestamps are non-negative so
+      // truncating DIV ≡ floor division in every engine
+      .select(col(userCol), expr(s"$tsUsCol DIV $weekUs").as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy(userCol).agg(min("week").as("cohort_week"))
+    weeks.join(cohorts, userCol)
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** The dashboard rollup over [[funnel]]: users per final stage, and for
     * full converters the mean end-to-end time — exact Long micros summed,
     * one double division at the end (the cross-engine money rule applied

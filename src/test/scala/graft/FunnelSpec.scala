@@ -49,6 +49,29 @@ class FunnelSpec extends SparkSpec {
     assert(r === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 0L), (5L, 1L)))
   }
 
+  test("cohort retention counts each cohort's active users per week offset") {
+    val wk = 7L * 24 * 3600 * 1000000L
+    // user 1: weeks 0,1,3 (cohort 0); user 2: weeks 0,0,1 (dup-week events
+    // collapse); user 3: first seen week 1, returns week 2 (cohort 1);
+    // null-ts event ignored
+    val ev = Seq(
+      (1L, Some(0L * wk), 1L, "view"), (2L, Some(1L * wk + 5L), 1L, "view"),
+      (3L, Some(3L * wk), 1L, "view"),
+      (4L, Some(0L * wk + 9L), 2L, "view"), (5L, Some(0L * wk + 10L), 2L, "view"),
+      (6L, Some(1L * wk), 2L, "view"),
+      (7L, Some(1L * wk + 1L), 3L, "view"), (8L, Some(2L * wk), 3L, "view"),
+      (9L, Option.empty[Long], 3L, "view"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    val r = Funnel.retentionCohorts(ev).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r === Map(
+      (0L, 0L) -> 2L, // users 1 and 2 in week 0
+      (0L, 1L) -> 2L, // both return in week 1
+      (0L, 3L) -> 1L, // only user 1 at offset 3
+      (1L, 0L) -> 1L, // user 3's cohort starts week 1
+      (1L, 1L) -> 1L))
+  }
+
   test("null-time events are excluded from the walk, not planted as null stages") {
     val withNull = Seq(
       (1L, Some(100L), 9L, "view"),
