@@ -196,6 +196,8 @@ object SparkEntry {
     "q12_shipmode_priority" -> ((s, dir) => Relational.shipmodePriority(s, dir)),
     "q14_promo_share" -> ((s, dir) => Relational.promoShare(s, dir)),
     "q2_min_cost_supplier" -> ((s, dir) => Relational.minCostSupplier(s, dir)),
+    "q2_min_cost_supplier_cte" -> ((s, dir) => Relational.minCostSupplierCte(s, dir)),
+    "q20_volume_suppliers_cte" -> ((s, dir) => Relational.volumeSuppliersCte(s, dir)),
     "q4_late_priority" -> ((s, dir) => Relational.latePriorityCount(s, dir)),
     "q8_market_share" -> ((s, dir) => Relational.marketShare(s, dir)),
     "q9_product_profit" -> ((s, dir) => Relational.productProfit(s, dir)),
@@ -936,6 +938,8 @@ object SparkEntry {
     "q17_small_qty_revenue" -> Relational.smallQuantityRevenueSql,
     "q21_late_suppliers" -> Relational.lateSoleSuppliersSql,
     "q2_min_cost_supplier" -> Relational.minCostSupplierSql,
+    "q2_min_cost_supplier_cte" -> Relational.minCostSupplierCteSql,
+    "q20_volume_suppliers_cte" -> Relational.volumeSuppliersCteSql,
     "q4_late_priority" -> Relational.latePriorityCountSql,
     "q11_important_parts" -> Relational.importantPartsSql,
     "q15_top_supplier" -> Relational.topSupplierSql,

@@ -448,6 +448,36 @@ object Relational {
     s.sql(minCostSupplierSql)
   }
 
+  /** The production form of Q2: the correlated scalar min re-derives the
+    * whole region-restricted offer pipeline per Catalyst's decorrelation
+    * (two lineitem scans + two aggregation trees in the IN-form plan);
+    * here the regional minimum is a window over ONE offer derivation, so
+    * the plan carries exactly one lineitem scan (plan-contracted). Same
+    * result set as [[minCostSupplierSql]] by construction. */
+  val minCostSupplierCteSql: String =
+    """WITH offer AS (
+      |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+      |    min(l_extendedprice / l_quantity) AS unit_cost
+      |  FROM lineitem WHERE l_quantity > 0.0
+      |  GROUP BY 1, 2),
+      |regional AS (
+      |  SELECT partkey, suppkey, unit_cost, s_acctbal, s_name, n_name,
+      |    min(unit_cost) OVER (PARTITION BY partkey) AS min_cost
+      |  FROM offer
+      |  JOIN supplier ON s_suppkey = suppkey
+      |  JOIN nation ON n_nationkey = s_nationkey
+      |  JOIN region ON r_regionkey = n_regionkey
+      |  WHERE r_name = 'EUROPE')
+      |SELECT s_acctbal, s_name, n_name, p_partkey, unit_cost
+      |FROM part JOIN regional ON partkey = p_partkey
+      |WHERE p_size <= 3 AND p_type = 'SMALL' AND unit_cost = min_cost
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin
+
+  def minCostSupplierCte(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(minCostSupplierCteSql)
+  }
+
   /** TPC-H Q11 shape (adapted: part value = lineitem revenue through one
     * nation's suppliers, in place of the missing partsupp stock value):
     * parts whose single-nation value exceeds a FRACTION of the nation
@@ -500,6 +530,33 @@ object Relational {
   def volumeSuppliers(s: SparkSession, dir: String): DataFrame = {
     tpchViews(s, dir)
     s.sql(volumeSuppliersSql)
+  }
+
+  /** The production form of Q20: the correlated per-part total becomes a
+    * window sum over ONE shipped derivation — one lineitem scan
+    * (plan-contracted) instead of the decorrelation's re-aggregated
+    * second pass. The share comparison divides nothing: qty is compared
+    * against 0.15 × an exact-decimal total, same bits as the IN form. */
+  val volumeSuppliersCteSql: String =
+    """WITH shipped AS (
+      |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_name LIKE 'small%'
+      |  GROUP BY 1, 2),
+      |shares AS (
+      |  SELECT suppkey, qty,
+      |    CAST(0.15 AS DOUBLE) * CAST(sum(CAST(qty AS DECIMAL(18,4)))
+      |      OVER (PARTITION BY partkey) AS DOUBLE) AS threshold
+      |  FROM shipped)
+      |SELECT s_suppkey, s_name, s_acctbal
+      |FROM supplier
+      |WHERE s_suppkey IN (SELECT suppkey FROM shares WHERE qty > threshold)
+      |ORDER BY s_suppkey""".stripMargin
+
+  def volumeSuppliersCte(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(volumeSuppliersCteSql)
   }
 
   /** TPC-H Q8 shape: one nation's share of a region's market by order

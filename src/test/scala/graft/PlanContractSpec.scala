@@ -179,6 +179,16 @@ class PlanContractSpec extends SparkSpec {
     val p8 = plan("q8_market_share")
     assert(p8.split("lineitem.parquet").length - 1 === 1,
       s"q8 must scan lineitem once:\n$p8")
+    // the production CTE forms exist to run ONE base aggregation: exactly
+    // one lineitem scan each, vs the IN forms' duplicated decorrelation
+    // trees (same contract as q18_large_orders_cte)
+    Seq("q2_min_cost_supplier_cte", "q20_volume_suppliers_cte").foreach { q =>
+      val p = plan(q)
+      assert(p.split("lineitem.parquet").length - 1 === 1,
+        s"$q must scan lineitem once:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q has a non-equi join:\n$p")
+    }
   }
 
   test("round-9 llm entries stay equi-join-only (no cartesian, no nested loop)") {
