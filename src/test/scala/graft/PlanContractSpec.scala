@@ -20,6 +20,29 @@ class PlanContractSpec extends SparkSpec {
       s"shipdate filter not pushed in:\n$p")
   }
 
+  test("q6 pushes every predicate to the scan and prunes to the 4 needed columns") {
+    // the scan node caps each metadata value (PushedFilters, ReadSchema)
+    // at 100 chars in the plan string — raise it so every pushed
+    // predicate is assertable
+    spark.conf.set("spark.sql.maxMetadataStringLength", 1000)
+    val p = try plan("q6_revenue_change")
+      finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    // all four predicates must reach the parquet reader (row-group skipping)
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.04)", "LessThanOrEqual(l_discount,0.06)",
+        "LessThan(l_quantity,24.0)").foreach { f =>
+      assert(p.contains(f), s"predicate $f not pushed in:\n$p")
+    }
+    // and the scan must read only the referenced columns, not the row
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice").foreach { c =>
+      assert(read.contains(c), s"$c missing from ReadSchema: $read")
+    }
+    Seq("l_orderkey", "l_partkey", "l_returnflag").foreach { c =>
+      assert(!read.contains(c), s"$c should be pruned from ReadSchema: $read")
+    }
+  }
+
   test("classify prunes unused columns from the events scan") {
     val p = plan("q_classify")
     assert(!p.contains("user_id"), s"user_id should be pruned from:\n$p")
