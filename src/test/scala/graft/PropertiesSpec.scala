@@ -146,6 +146,29 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: chunking covers every token with the promised window/stride/overlap") {
+    (1L to 5L).foreach { seed =>
+      val window = 1 + (seed * 3 % 7).toInt
+      val stride = 1 + ((seed * 2) % window).toInt
+      val nTok = 1 + (seed * 13 % 40).toInt
+      val text = (0 until nTok).map(i => s"t$i").mkString(" ")
+      val chunks = graft.ops.TextAnalysis.chunkDocuments(
+          Seq((0L, text)).toDF("doc_id", "text"), window, stride)
+        .orderBy("chunk_id").collect()
+        .map(r => (r.getLong(1), r.getString(2).split(" ").toSeq, r.getLong(3)))
+      // chunk i starts at token i*stride, is window long except the tail,
+      // every token is covered, and n_tokens matches the actual slice
+      chunks.foreach { case (i, toks, n) =>
+        assert(toks.head === s"t${i * stride}", s"seed=$seed chunk $i misaligned")
+        assert(toks.length === math.min(window, nTok - i * stride).toInt)
+        assert(n === toks.length.toLong)
+      }
+      assert(chunks.flatMap(_._2).toSet === (0 until nTok).map(i => s"t$i").toSet,
+        s"seed=$seed w=$window s=$stride: tokens lost")
+      assert(chunks.last._1 * stride < nTok, s"seed=$seed: empty trailing chunk emitted")
+    }
+  }
+
   test("property: funnel equals a driver-side sequential fold on random event streams") {
     val stages = Seq("view", "click", "purchase")
     (1L to 5L).foreach { seed =>
