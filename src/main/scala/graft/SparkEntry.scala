@@ -585,6 +585,9 @@ object SparkEntry {
     "text_oov" -> ((s, dir) =>
       TextAnalysis.oovRate(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    "text_source_scorecard" -> ((s, dir) =>
+      TextAnalysis.sourceScorecard(Tables.documents(s, dir)).orderBy("source")),
+
     "sim_label_affinity" -> ((s, dir) =>
       graft.ops.Similarity.labelAffinity(Tables.embeddings(s, dir))
         .orderBy("label_a", "label_b")),
@@ -1675,6 +1678,35 @@ object SparkEntry {
         |  FROM tok LEFT JOIN vocab ON vocab.token = tok.token
         |  GROUP BY 1)
         |ORDER BY doc_id""".stripMargin,
+
+    // quality_score reproduced exactly as in text_quality's oracle; the
+    // dominant language is the (n, lang)-max per source — the same
+    // struct-max tie rule as Spark's max_by
+    "text_source_scorecard" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) * 0.4 +
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) * 0.3 +
+        |    CASE WHEN len(string_split(text, ' ')) >= 40 THEN 0.3
+        |         ELSE CAST(len(string_split(text, ' ')) AS DOUBLE) / 40.0 * 0.3 END AS quality_score
+        |  FROM documents),
+        |per_source AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(CAST(n_tokens AS BIGINT)) AS n_tokens_total,
+        |    count(CASE WHEN quality_score >= 0.5 THEN 1 END) AS n_quality_pass
+        |  FROM documents JOIN q USING (doc_id) GROUP BY 1),
+        |lang_counts AS (
+        |  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+        |dom AS (
+        |  SELECT source, lang AS dominant_lang FROM (
+        |    SELECT source, lang,
+        |      row_number() OVER (PARTITION BY source ORDER BY n DESC, lang DESC) AS r
+        |    FROM lang_counts) WHERE r = 1)
+        |SELECT source, n_docs, n_tokens_total, n_quality_pass, dominant_lang
+        |FROM per_source JOIN dom USING (source)
+        |ORDER BY source""".stripMargin,
 
     "text_top_shingles" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

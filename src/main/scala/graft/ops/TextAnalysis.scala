@@ -174,6 +174,27 @@ object TextAnalysis {
           .as("oov_rate"))
   }
 
+  /** Per-source quality scorecard — the dashboard row that ranks sources
+    * for inclusion: doc count, exact total token count, how many docs
+    * clear the quality floor, and the source's dominant language. One
+    * [[quality]] scan feeding one aggregate; the dominant language is a
+    * max_by over exact per-(source, lang) counts with the tie broken by
+    * lang (deterministic). Sources and languages are dimensions, so every
+    * frame past the scan is tiny at any corpus scale. */
+  def sourceScorecard(docs: DataFrame, qualityFloor: Double = 0.5): DataFrame = {
+    val q = quality(docs).select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val base = docs.select(col("doc_id"), col("source"), col("lang"))
+    val perSource = base.join(q, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens_total"),
+        count(when(col("quality_score") >= qualityFloor, 1)).as("n_quality_pass"))
+    val domLang = base.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(max_by(col("lang"), struct(col("n"), col("lang"))).as("dominant_lang"))
+    perSource.join(domLang, "source")
+  }
+
   /** Canonical text normalization — the first pass of any corpus build:
     * lowercase, collapse whitespace runs to one space, trim. Pure per-row
     * string ops (scan speed). The whitespace class is spelled out rather

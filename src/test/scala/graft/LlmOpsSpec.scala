@@ -375,6 +375,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(r(3L) === ((1L, 1L, 0.0)))
   }
 
+  test("source scorecard: counts, floor pass, dominant language with deterministic tie") {
+    val docs = Seq(
+      (1L, "the a the a one", "web", "en"),   // high stopword ratio → passes floor
+      (2L, "x y z w v", "web", "de"),
+      (3L, "p q r s t", "web", "de"),
+      (4L, "m n o", "books", "fr"),
+      (5L, "u v w", "books", "zh"))           // books: fr/zh tie at 1 → zh (lang desc)
+      .toDF("doc_id", "text", "source", "lang")
+    val r = graft.ops.TextAnalysis.sourceScorecard(docs, qualityFloor = 0.5).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getString(4))).toMap
+    assert(r("web") === ((3L, 15L, "de")))   // de count 2 beats en 1
+    assert(r("books") === ((2L, 6L, "zh")))  // tie broken by lang desc
+  }
+
   test("quality: type-token ratio and stopword ratio") {
     val r = TextAnalysis.quality(Seq((0L, "the cat the dog")).toDF("doc_id", "text")).collect()(0)
     assert(r.getAs[Double]("ttr") === 0.75)            // 3 distinct / 4
