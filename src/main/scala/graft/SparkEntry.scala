@@ -211,6 +211,9 @@ object SparkEntry {
 
     // ordered-sequence funnel: one shuffle + codegen'd array fold vs the
     // oracle's n-self-join min cascade
+    "q_resample_interp" -> ((s, dir) =>
+      TimeSeries.resampleHourlyInterp(Tables.events(s, dir)).orderBy("event_type", "bucket")),
+
     "q_retention" -> ((s, dir) =>
       Funnel.retentionCohorts(Tables.events(s, dir)).orderBy("cohort_week", "week_offset")),
 
@@ -1121,6 +1124,44 @@ object SparkEntry {
         |FROM grid g LEFT JOIN hourly h
         |  ON h.event_type = g.event_type AND h.bucket = g.bucket
         |ORDER BY g.event_type, g.bucket""".stripMargin,
+    // linear interpolation at each grid instant: union of grid + obs rows,
+    // one window per direction; exact-time observations sort before their
+    // grid instant (side 0 < 1), so the weight degenerates to 0 there and
+    // the division is micros-exact-integer over micros-exact-integer
+    "q_resample_interp" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS v, event_id
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |bounds AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |grid AS (SELECT k.event_type,
+        |    unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+        |  FROM (SELECT DISTINCT event_type FROM events
+        |        WHERE event_type IS NOT NULL AND ts IS NOT NULL) k, bounds b),
+        |u AS (
+        |  SELECT event_type, bucket, epoch_us(bucket) AS t_us, 1 AS side,
+        |    NULL AS v, NULL AS oid FROM grid
+        |  UNION ALL
+        |  SELECT event_type, NULL, ts_us, 0, v, event_id FROM ev),
+        |w AS (
+        |  SELECT *,
+        |    last_value(v IGNORE NULLS) OVER win_prev AS prev_v,
+        |    last_value(CASE WHEN side = 0 THEN t_us END IGNORE NULLS) OVER win_prev AS prev_t,
+        |    first_value(v IGNORE NULLS) OVER win_next AS next_v,
+        |    first_value(CASE WHEN side = 0 THEN t_us END IGNORE NULLS) OVER win_next AS next_t
+        |  FROM u
+        |  WINDOW
+        |    win_prev AS (PARTITION BY event_type ORDER BY t_us, side, oid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    win_next AS (PARTITION BY event_type ORDER BY t_us, side, oid
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  CASE WHEN prev_t = t_us THEN prev_v
+        |       WHEN prev_t IS NOT NULL AND next_t IS NOT NULL
+        |       THEN prev_v + (next_v - prev_v)
+        |            * (CAST(t_us - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE)) END
+        |    AS interp_value
+        |FROM w WHERE side = 1 ORDER BY event_type, bucket""".stripMargin,
+
     // bucketed refinement == the plain as-of, same oracle
     "q_asof_attribution_bucketed" -> ASOF_ATTRIBUTION_SQL,
 

@@ -437,4 +437,72 @@ object TimeSeries {
         date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("n_obs"), col("filled_value"))
   }
+
+  /** Hourly resampling with LINEAR interpolation — the sensor-data
+    * companion to [[resampleHourly]]'s step fill: the value AT each grid
+    * instant is interpolated between the latest observation at-or-before
+    * it and the earliest one strictly after; null outside the key's
+    * observed range (no extrapolation). Among same-timestamp observations
+    * the greatest (ts, id) wins, matching the step fill's tie rule.
+    *
+    * Single-pass shape (the nearestJoin pattern): grid and observation
+    * rows UNION into one frame, one window per direction over the
+    * ordering (ts, side, id) — observations sort before the grid instant
+    * they coincide with, so an exact-time observation is the "previous"
+    * endpoint and the weight degenerates to 0 (the interpolation then
+    * returns it bit-exactly). No join of the fact against the grid at
+    * all; two window passes over keys × (hours + observations). The
+    * weight arithmetic is micros-exact integer differences divided once
+    * in double — engine-portable. */
+  def resampleHourlyInterp(events: DataFrame, keyCol: String = "event_type",
+                           tsCol: String = "ts", idCol: String = "event_id",
+                           valCol: String = "value"): DataFrame = {
+    val events0 = events.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+    val bounds = events0
+      .agg(date_trunc("hour", min(col(tsCol))).as("lo"),
+           date_trunc("hour", max(col(tsCol))).as("hi")).head()
+    if (bounds.isNullAt(0)) {
+      import org.apache.spark.sql.types._
+      return events.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField(keyCol, events.schema(keyCol).dataType),
+          StructField("bucket", StringType),
+          StructField("interp_value", DoubleType))))
+    }
+    val (lo, hi) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+    val grid = events0.select(col(keyCol)).distinct()
+      .select(col(keyCol),
+        explode(sequence(lit(lo), lit(hi), expr("INTERVAL 1 HOUR"))).as("bucket"))
+      .select(col(keyCol), col("bucket"),
+        unix_micros(col("bucket")).as("t_us"), lit(1).as("side"),
+        lit(null).cast("double").as("v"), lit(null).cast("long").as("oid"))
+    // null-valued observations carry no endpoint: dropping them keeps
+    // prev_v/prev_t picked from the SAME row (v is non-null iff side=0)
+    val obs = events0.filter(col(valCol).isNotNull).select(col(keyCol),
+      lit(null).cast("timestamp").as("bucket"),
+      unix_micros(col(tsCol)).as("t_us"), lit(0).as("side"),
+      col(valCol).cast("double").as("v"), col(idCol).cast("long").as("oid"))
+    val ord = Seq(col("t_us"), col("side"), col("oid"))
+    val prevW = Window.partitionBy(keyCol).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nextW = Window.partitionBy(keyCol).orderBy(ord: _*)
+      .rowsBetween(1, Window.unboundedFollowing)
+    grid.unionByName(obs)
+      .withColumn("prev_v", last(col("v"), ignoreNulls = true).over(prevW))
+      .withColumn("prev_t", last(when(col("side") === 0, col("t_us")), ignoreNulls = true).over(prevW))
+      .withColumn("next_v", first(col("v"), ignoreNulls = true).over(nextW))
+      .withColumn("next_t", first(when(col("side") === 0, col("t_us")), ignoreNulls = true).over(nextW))
+      .filter(col("side") === 1)
+      .select(col(keyCol),
+        date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        // an exact-time observation IS the value — including at the range
+        // end, where no "next" endpoint exists
+        when(col("prev_t") === col("t_us"), col("prev_v"))
+          .when(col("prev_t").isNotNull && col("next_t").isNotNull,
+            col("prev_v") + (col("next_v") - col("prev_v"))
+              * ((col("t_us") - col("prev_t")).cast("double")
+                 / (col("next_t") - col("prev_t")).cast("double")))
+          .as("interp_value"))
+  }
 }

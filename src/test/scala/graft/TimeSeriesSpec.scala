@@ -211,6 +211,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.collect().isEmpty)
   }
 
+  test("hourly linear interpolation: exact at observations, weighted between, null outside") {
+    def t(h: Int, m: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ev = Seq(
+      // key A: obs at 01:00 (=10) and 03:00 (=30): bucket 01 exact 10,
+      // bucket 02 halfway = 20, bucket 03 exact 30, bucket 00 null (before)
+      ("A", t(1, 0), 1L, 10.0), ("A", t(3, 0), 2L, 30.0),
+      // key B: obs at 00:30 (=8) and 01:30 (=12): bucket 01 is 2/3 of the
+      // hour past 00:30 → 8 + 4*(1/2) = 10 at 01:00 (30 of 60 min)
+      ("B", t(0, 30), 3L, 8.0), ("B", t(1, 30), 4L, 12.0))
+      .toDF("event_type", "ts", "event_id", "value")
+    val got = graft.ops.TimeSeries.resampleHourlyInterp(ev)
+      .orderBy("event_type", "bucket").collect()
+      .map(r => (r.getString(0), r.getString(1).substring(11, 13),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.toSeq === Seq(
+      ("A", "00", None),        // before A's first observation
+      ("A", "01", Some(10.0)),  // exact-time obs → weight 0
+      ("A", "02", Some(20.0)),  // halfway between 10 and 30
+      ("A", "03", Some(30.0)),
+      ("B", "00", None),        // 00:00 precedes B's first obs at 00:30
+      ("B", "01", Some(10.0)),  // 30 of 60 minutes between 8 and 12
+      ("B", "02", None),        // past B's last obs: no extrapolation
+      ("B", "03", None)))
+  }
+
   test("hourly resample excludes null keys explicitly rather than emitting empty grid rows") {
     def t(h: Int): java.sql.Timestamp = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
     val ev = Seq(
