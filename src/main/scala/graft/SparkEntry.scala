@@ -1152,7 +1152,7 @@ object SparkEntry {
         |  WINDOW
         |    win_prev AS (PARTITION BY event_type ORDER BY t_us, side, oid
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |    win_next AS (PARTITION BY event_type ORDER BY t_us, side, oid
+        |    win_next AS (PARTITION BY event_type ORDER BY t_us, side, oid DESC
         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
         |SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
         |  CASE WHEN prev_t = t_us THEN prev_v

@@ -474,35 +474,67 @@ object TimeSeries {
     val grid = events0.select(col(keyCol)).distinct()
       .select(col(keyCol),
         explode(sequence(lit(lo), lit(hi), expr("INTERVAL 1 HOUR"))).as("bucket"))
-      .select(col(keyCol), col("bucket"),
-        unix_micros(col("bucket")).as("t_us"), lit(1).as("side"),
-        lit(null).cast("double").as("v"), lit(null).cast("long").as("oid"))
-    // null-valued observations carry no endpoint: dropping them keeps
-    // prev_v/prev_t picked from the SAME row (v is non-null iff side=0)
-    val obs = events0.filter(col(valCol).isNotNull).select(col(keyCol),
-      lit(null).cast("timestamp").as("bucket"),
-      unix_micros(col(tsCol)).as("t_us"), lit(0).as("side"),
-      col(valCol).cast("double").as("v"), col(idCol).cast("long").as("oid"))
-    val ord = Seq(col("t_us"), col("side"), col("oid"))
-    val prevW = Window.partitionBy(keyCol).orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val nextW = Window.partitionBy(keyCol).orderBy(ord: _*)
-      .rowsBetween(1, Window.unboundedFollowing)
-    grid.unionByName(obs)
-      .withColumn("prev_v", last(col("v"), ignoreNulls = true).over(prevW))
-      .withColumn("prev_t", last(when(col("side") === 0, col("t_us")), ignoreNulls = true).over(prevW))
-      .withColumn("next_v", first(col("v"), ignoreNulls = true).over(nextW))
-      .withColumn("next_t", first(when(col("side") === 0, col("t_us")), ignoreNulls = true).over(nextW))
-      .filter(col("side") === 1)
+      .select(col(keyCol), col("bucket"), unix_micros(col("bucket")).as("t_us"))
+    interpolateAt(grid, events0, keyCol, "t_us", tsCol, idCol, valCol)
       .select(col(keyCol),
         date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("interp_value"))
+  }
+
+  /** Point-in-time LINEAR interpolation join — the general form behind
+    * [[resampleHourlyInterp]], and the training-time feature-attach
+    * shape: for every query row, the observation series' value AT the
+    * query instant, interpolated between the latest observation
+    * at-or-before it and the earliest strictly after; null outside the
+    * key's observed range (no extrapolation); an exact-time observation
+    * passes through bit-exactly (including at the range end). Among
+    * same-timestamp observations the greatest (ts, id) wins.
+    *
+    * Single-pass: queries and observations UNION into one frame, one
+    * window per direction over (ts, side, id) — no join of the fact
+    * against the queries. Null-valued observations are dropped up front
+    * so both interpolation endpoints come from the SAME row (`v` is
+    * non-null iff the row is an observation). Output: the query frame's
+    * columns plus `interp_value`. */
+  def interpolateAt(queries: DataFrame, obs: DataFrame, keyCol: String,
+                    qTsUsCol: String, tsCol: String = "ts",
+                    idCol: String = "event_id", valCol: String = "value"): DataFrame = {
+    val qCols = queries.columns.toSeq
+    val qSide = queries.select(
+      qCols.map(col) :+ col(qTsUsCol).as("__t_us") :+ lit(1).as("__side") :+
+        lit(null).cast("double").as("__v") :+ lit(null).cast("long").as("__oid"): _*)
+    val oSide = obs
+      .filter(col(valCol).isNotNull && col(tsCol).isNotNull)
+      .select(
+        qCols.map(c => (if (c == keyCol) col(keyCol)
+                        else lit(null).cast(queries.schema(c).dataType)).as(c)) :+
+          unix_micros(col(tsCol)).as("__t_us") :+ lit(0).as("__side") :+
+          col(valCol).cast("double").as("__v") :+ col(idCol).cast("long").as("__oid"): _*)
+    val prevW = Window.partitionBy(keyCol)
+      .orderBy(col("__t_us"), col("__side"), col("__oid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the next window orders ids DESCENDING within a timestamp so BOTH
+    // endpoints apply the same tie rule — greatest (ts, id) wins; side
+    // still keeps observations ahead of queries at an equal instant
+    val nextW = Window.partitionBy(keyCol)
+      .orderBy(col("__t_us"), col("__side"), col("__oid").desc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    qSide.unionByName(oSide)
+      .withColumn("__prev_v", last(col("__v"), ignoreNulls = true).over(prevW))
+      .withColumn("__prev_t",
+        last(when(col("__side") === 0, col("__t_us")), ignoreNulls = true).over(prevW))
+      .withColumn("__next_v", first(col("__v"), ignoreNulls = true).over(nextW))
+      .withColumn("__next_t",
+        first(when(col("__side") === 0, col("__t_us")), ignoreNulls = true).over(nextW))
+      .filter(col("__side") === 1)
+      .select(qCols.map(col) :+
         // an exact-time observation IS the value — including at the range
         // end, where no "next" endpoint exists
-        when(col("prev_t") === col("t_us"), col("prev_v"))
-          .when(col("prev_t").isNotNull && col("next_t").isNotNull,
-            col("prev_v") + (col("next_v") - col("prev_v"))
-              * ((col("t_us") - col("prev_t")).cast("double")
-                 / (col("next_t") - col("prev_t")).cast("double")))
-          .as("interp_value"))
+        when(col("__prev_t") === col("__t_us"), col("__prev_v"))
+          .when(col("__prev_t").isNotNull && col("__next_t").isNotNull,
+            col("__prev_v") + (col("__next_v") - col("__prev_v"))
+              * ((col("__t_us") - col("__prev_t")).cast("double")
+                 / (col("__next_t") - col("__prev_t")).cast("double")))
+          .as("interp_value"): _*)
   }
 }

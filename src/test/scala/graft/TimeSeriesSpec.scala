@@ -237,6 +237,26 @@ class TimeSeriesSpec extends SparkSpec {
       ("B", "03", None)))
   }
 
+  test("interpolateAt attaches point-in-time values at arbitrary query instants") {
+    def t(h: Int, m: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val obs = Seq(
+      ("A", t(1, 0), 1L, 10.0), ("A", t(2, 0), 2L, 40.0),
+      ("A", t(2, 0), 3L, 50.0)) // same-ts tie: greater id (50.0) wins
+      .toDF("event_type", "ts", "event_id", "value")
+    def us(h: Int, m: Int): Long = t(h, m).getTime * 1000L
+    val queries = Seq(
+      (100L, "A", us(1, 15)),  // quarter of the hour: 10 + 40*0.25 = 20
+      (101L, "A", us(2, 0)),   // exact at the tie → 50
+      (102L, "A", us(0, 30)),  // before first obs → null
+      (103L, "B", us(1, 30))   // key with no obs → null
+    ).toDF("q_id", "event_type", "q_ts_us")
+    val got = TimeSeries.interpolateAt(queries, obs, "event_type", "q_ts_us")
+      .orderBy("q_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got === Map(100L -> Some(20.0), 101L -> Some(50.0), 102L -> None, 103L -> None))
+  }
+
   test("hourly resample excludes null keys explicitly rather than emitting empty grid rows") {
     def t(h: Int): java.sql.Timestamp = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
     val ev = Seq(
