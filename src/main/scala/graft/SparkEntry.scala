@@ -436,6 +436,20 @@ object SparkEntry {
       Tables.documents(s, dir),
       jaccardPairs(s, dir)).orderBy("doc_id")),
 
+    // cluster-keyed split over the same pair artifact: near-dups can
+    // never straddle the train/eval boundary
+    "q_split_leakage_safe" -> ((s, dir) =>
+      Sampling.leakageSafeSplit(Tables.documents(s, dir), jaccardPairs(s, dir))
+        .orderBy("doc_id")),
+
+    // per-user DAILY ingest throttle on the event stream (day bucket:
+    // this corpus tops out at 3 events per user-hour but 10 per user-day,
+    // so the cap provably drops rows here)
+    "q_rate_cap" -> ((s, dir) =>
+      Sampling.rateCap(Tables.events(s, dir), cap = 5, bucket = "day")
+        .select("event_id", "user_id", "rank_in_bucket")
+        .orderBy("event_id")),
+
     // curation dashboards over the same pair artifact: which sources copy
     // which, and how much of each source a dedup pass would drop
     "dedup_source_matrix" -> ((s, dir) => Graph.sourceDupMatrix(
@@ -1390,6 +1404,25 @@ object SparkEntry {
     // the min-label fixpoint the engine's pointer-doubling loop certifies.
     "dedup_components" -> COMPONENTS_SQL,
     "dedup_components_lsh" -> COMPONENTS_SQL,
+
+    // the canonical-id CTE then the SAME 256-bucket md5 rule as
+    // q_split_census, keyed on the cluster representative
+    "q_split_leakage_safe" ->
+      s"""WITH RECURSIVE
+         |$COMPONENT_CTES
+         |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS canonical_id,
+         |  CASE WHEN substr(md5('split:' || CAST(coalesce(c.comp, d.doc_id) AS VARCHAR)), 1, 2) <= 'e5'
+         |       THEN 'train' ELSE 'eval' END AS split
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_rate_cap" ->
+      """SELECT event_id, user_id, rank_in_bucket FROM (
+        |  SELECT event_id, user_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |      ORDER BY ts, event_id) AS BIGINT) AS rank_in_bucket
+        |  FROM events WHERE ts IS NOT NULL)
+        |WHERE rank_in_bucket <= 5 ORDER BY event_id""".stripMargin,
 
     "dedup_source_matrix" ->
       s"""WITH RECURSIVE

@@ -172,4 +172,34 @@ object Sampling {
   def deterministicShuffle(docs: DataFrame, seed: String): DataFrame =
     docs.withColumn("shuffle_key", idHash(col("doc_id"), seed))
       .orderBy("shuffle_key")
+
+  /** Leakage-safe train/eval split: assignment by the doc's near-dup
+    * CLUSTER, not the doc. Hashing raw doc ids lets a near-duplicate of
+    * an eval doc land in train — the silent benchmark-inflation path
+    * decontamination exists to close. Hashing the CANONICAL id (the
+    * cluster representative from [[Graph.canonicalize]]) gives every
+    * member of a dup cluster the same assignment, so no cluster can
+    * straddle the boundary — same 256-bucket hash rule as [[splitColumn]],
+    * so singleton docs split exactly as before. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       trainBuckets: Int = 230, seed: String = "split:"): DataFrame =
+    Graph.canonicalize(docs, pairs)
+      .withColumn("split", splitColumn(col("canonical_id"), trainBuckets, seed))
+
+  /** Per-key rate cap within a time bucket: keep at most `cap` events
+    * per (key, bucket) — the ingest throttle bounding any key's
+    * contribution per period (a runaway logger must not dominate a
+    * period's training slice). Deterministic keep rule: earliest
+    * (ts, id) first. One shuffle on (key, bucket); the window prunes per
+    * partition. `bucket` is any date_trunc unit ("hour", "day", ...). */
+  def rateCap(events: DataFrame, cap: Int = 5, bucket: String = "hour",
+              keyCol: String = "user_id",
+              tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = Window.partitionBy(col(keyCol), date_trunc(bucket, col(tsCol)))
+      .orderBy(col(tsCol), col(idCol))
+    events.where(col(tsCol).isNotNull)
+      .withColumn("rank_in_bucket", row_number().over(w))
+      .filter(col("rank_in_bucket") <= cap)
+  }
 }

@@ -211,6 +211,36 @@ class SamplingSpec extends SparkSpec {
     assert(sampled.count() > 0)
   }
 
+  test("leakage-safe split gives every member of a dup cluster the same assignment") {
+    val docs = (0L until 40L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    // clusters {0,1,2} and {10,11}; everything else singleton
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id1", "id2")
+    val r = Sampling.leakageSafeSplit(docs, pairs, trainBuckets = 128).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getString(2))).toMap
+    assert(r(0L)._2 === r(1L)._2 && r(1L)._2 === r(2L)._2, "cluster {0,1,2} straddles the split")
+    assert(r(10L)._2 === r(11L)._2, "cluster {10,11} straddles the split")
+    // cluster members key off the canonical id, singletons off their own —
+    // so a singleton's assignment matches splitColumn exactly
+    val single = docs.filter(col("doc_id") === 20L)
+      .select(Sampling.splitColumn(col("doc_id"), trainBuckets = 128)).head().getString(0)
+    assert(r(20L)._2 === single)
+    // with a 50/50 bucket split over 40 docs both sides must be inhabited
+    assert(r.values.map(_._2).toSet === Set("train", "eval"))
+  }
+
+  test("rate cap keeps the earliest `cap` events per key and bucket") {
+    def t(d: Int, h: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      (1L, t(1, 0), 7L, 1.0), (2L, t(1, 5), 7L, 1.0), (3L, t(1, 9), 7L, 1.0),
+      (4L, t(2, 0), 7L, 1.0), // next day: counter resets
+      (5L, t(1, 3), 8L, 1.0)) // other key unaffected
+      .toDF("event_id", "ts", "user_id", "value")
+    val kept = Sampling.rateCap(ev, cap = 2, bucket = "day")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 4L, 5L)) // event 3 is user 7's third that day
+  }
+
   test("mixture rates reject a zero-count stratum by name instead of propagating NaN") {
     val e = intercept[IllegalArgumentException] {
       Sampling.mixtureRates(Map("en" -> 8000L, "ghost" -> 0L), alpha = 0.5, targetFraction = 0.2)
