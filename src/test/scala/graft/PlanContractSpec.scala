@@ -231,6 +231,18 @@ class PlanContractSpec extends SparkSpec {
     assert(pts.contains("TakeOrderedAndProject"), s"top-shingles lost TakeOrdered:\n$pts")
   }
 
+  test("interpolation resample is the union+window plan: no fact-grid join in the interp pass") {
+    val p = plan("q_resample_interp")
+    // the interpolation itself must be windows over ONE union — the only
+    // join allowed is the grid constructor (keys × hours, dim-sized);
+    // a fact-vs-grid join (the naive per-bucket lookup) must not appear
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"interp resample degenerated to a fact join:\n$p")
+    assert(p.contains("Window"), s"expected window operators:\n$p")
+    assert(p.contains("Union"), s"expected the grid+obs union:\n$p")
+  }
+
   test("funnel is one hash exchange and zero joins — never the n-self-join cascade") {
     val p = plan("q_funnel")
     assert(!p.contains("Join"), s"funnel must not join:\n$p")
