@@ -106,6 +106,54 @@ object StreamingMonitors {
       .join(seenH, Seq("h"), "left_anti")
   }
 
+  /** Per-(key, bucket) running count for [[rateCapStream]]. */
+  final case class CapState(n: Long)
+
+  /** Streaming per-key rate cap — the online face of ops/Sampling.rateCap:
+    * at most `cap` events pass per (key, epoch-aligned bucket); within a
+    * batch events are walked in (ts_us, event_id) order, so on in-order
+    * delivery the surviving set equals the batch op's earliest-N
+    * (spec-pinned). Keyed state is ONE counter per active (key, bucket),
+    * evicted by event-time timeout at bucket end + lateness — past that
+    * point the watermark admits no more events for the bucket, so state
+    * is O(keys × buckets-in-flight), never unbounded. */
+  def rateCapStream(stream: DataFrame, cap: Int = 5,
+                    bucketLen: java.time.Duration = java.time.Duration.ofDays(1),
+                    lateness: java.time.Duration = java.time.Duration.ofHours(1),
+                    keyCol: String = "user_id"): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val bucketUs = bucketLen.toMillis * 1000L
+    val latenessMs = lateness.toMillis
+    stream
+      .withWatermark("ts", s"$latenessMs milliseconds")
+      .where(col("ts_us").isNotNull)
+      .select(col(keyCol), col("event_id"), col("ts_us"), col("ts"),
+        (col("ts_us") - pmod(col("ts_us"), lit(bucketUs))).as("bucket_us"))
+      .as[(Long, Long, Long, java.sql.Timestamp, Long)]
+      .groupByKey(r => (r._1, r._5))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, Long), rows: Iterator[(Long, Long, Long, java.sql.Timestamp, Long)],
+         state: GroupState[CapState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sofar = state.getOption.map(_.n).getOrElse(0L)
+            val ordered = rows.toSeq.sortBy(r => (r._3, r._2))
+            val room = math.max(0L, cap.toLong - sofar).toInt
+            val kept = ordered.take(room)
+            state.update(CapState(math.min(cap.toLong, sofar + ordered.length)))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1,
+                (key._2 + bucketUs) / 1000L + latenessMs))
+            kept.map(r => (r._1, r._2, r._3)).iterator
+          }
+      }
+      .toDF(keyCol, "event_id", "ts_us")
+  }
+
   /** Streaming approximate distinct count — HLL inside a watermarked
     * tumbling window: distinct keys per window at O(registers) state per
     * window instead of O(distinct keys), the streaming face of the batch

@@ -350,6 +350,41 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(batchKeep === streamed)
   }
 
+  test("streaming rate cap equals the batch cap on in-order delivery, across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val stream = mem.toDF().toDF("user_id", "event_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val day = 24L * 3600 * 1000000L
+    def t(d: Long, m: Long): Long = d * day + m * 60L * 1000000L
+    val q = StreamingMonitors.rateCapStream(stream, cap = 2)
+      .writeStream.format("memory").queryName("rate_cap_stream")
+      .option("checkpointLocation", s"${work()}/ckpt")
+      .outputMode("append").start()
+    // user 7: three events on day 1 (third must drop — split across
+    // batches, so the counter must survive batch boundaries), one on day
+    // 2 (fresh bucket); user 8 unaffected
+    val all = Seq(
+      (7L, 1L, t(1, 0)), (8L, 5L, t(1, 3)),
+      (7L, 2L, t(1, 5)), (7L, 3L, t(1, 9)),
+      (7L, 4L, t(2, 0)))
+    try {
+      all.grouped(2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("rate_cap_stream")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val batchKept = graft.ops.Sampling.rateCap(
+        all.toDF("user_id", "event_id", "ts_us")
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+          .withColumn("value", lit(1.0)),
+        cap = 2, bucket = "day")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(streamed === batchKept)
+    assert(streamed === Set(1L, 2L, 4L, 5L))
+  }
+
   test("streaming windowed approx-distinct equals the batch HLL on the same data") {
     val w = work()
     val stream = streamOfEvents(w)
