@@ -381,6 +381,15 @@ object Dedup {
     val cand =
       if (useLsh) minhashLsh(docs, candidateThreshold, n)
       else ngramJaccard(docs, candidateThreshold, n, maxDocFreq)
+    editDistanceFrom(cand, docs)
+  }
+
+  /** Edit-distance verify over an already-generated candidate pair list
+    * (id1, id2, jaccard) — the artifact-consuming half of
+    * [[editDistancePairs]]: in a rolling deployment the near-dup pair
+    * list is a nightly write-once artifact and the quadratic DP verify
+    * consumes it without re-shingling the corpus. */
+  def editDistanceFrom(cand: DataFrame, docs: DataFrame): DataFrame = {
     val texts = docs.select(col("doc_id"), col("text"))
     cand
       .join(texts.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
