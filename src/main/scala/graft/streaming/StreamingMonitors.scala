@@ -393,6 +393,104 @@ object StreamingMonitors {
       }
   }
 
+  /** Open-bucket aggregate for [[streamingResampleFfill]]: count plus the
+    * greatest-(ts, id) observation, the same last-value rule as the batch
+    * resampler's max_by. */
+  final case class BucketAgg(n: Long, lastTsUs: Long, lastId: Long, lastVal: Double)
+  /** pending = open buckets (start-µs → agg); nextEmitUs = the first
+    * unclosed bucket (MinValue until the key's first observation);
+    * fillValue = last closed observed value (the forward-fill carry);
+    * lastActivityUs = monotone max event time (the TTL clock — never
+    * re-armed earlier by a late batch of older events). */
+  final case class ResampleState(pending: Map[Long, BucketAgg], nextEmitUs: Long,
+                                 fillValue: Option[Double], lastActivityUs: Long)
+  final case class ResampleRow(event_type: String, bucket_us: Long, n_obs: Long,
+                               filled_value: Option[Double])
+
+  /** Streaming twin of ops/TimeSeries.resampleHourly: per-key hourly
+    * buckets with count + last observation, gap buckets forward-filled —
+    * emitted in APPEND mode as the watermark closes each bucket (bucket
+    * end ≤ watermark means the watermark gate admits no more events for
+    * it, so a closed bucket is final and stream ≡ batch holds for every
+    * event that passes the gate; within-lateness out-of-order arrival
+    * lands in the still-open bucket and reorders freely).
+    *
+    * Differences from the batch form are exactly the streaming-necessary
+    * ones: the grid starts at each KEY's first observed bucket (a stream
+    * has no corpus-global lo), and gap emission runs with the watermark
+    * until the key has been silent for `stateTtl` — then the key evicts
+    * and a later revival restarts the grid at its new first bucket (the
+    * statefulDeltaRate contract). State per key is O(open buckets), i.e.
+    * O(lateness/1h + 1), never the emitted history. */
+  def streamingResampleFfill(stream: DataFrame,
+                             lateness: String = "10 minutes",
+                             stateTtl: java.time.Duration = java.time.Duration.ofHours(24)): Dataset[ResampleRow] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    val ttlUs = stateTtl.toMillis * 1000L
+    stream
+      .withWatermark("ts", lateness)
+      .where(col("ts_us").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"), col("ts_us"), col("ts"))
+      .as[StationEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, events: Iterator[StationEvent], state: GroupState[ResampleState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st0 = state.getOption.getOrElse(
+            ResampleState(Map.empty, Long.MinValue, None, 0L))
+          var pending = st0.pending
+          var lastActivity = st0.lastActivityUs
+          events.foreach { e =>
+            val b = e.ts_us - java.lang.Math.floorMod(e.ts_us, hourUs)
+            val merged = pending.get(b) match {
+              case None => BucketAgg(1L, e.ts_us, e.event_id, e.value)
+              case Some(a) =>
+                val newer = e.ts_us > a.lastTsUs ||
+                  (e.ts_us == a.lastTsUs && e.event_id > a.lastId)
+                BucketAgg(a.n + 1L,
+                  if (newer) e.ts_us else a.lastTsUs,
+                  if (newer) e.event_id else a.lastId,
+                  if (newer) e.value else a.lastVal)
+            }
+            pending += (b -> merged)
+            lastActivity = math.max(lastActivity, e.ts_us)
+          }
+          var nextEmit =
+            if (st0.nextEmitUs != Long.MinValue) st0.nextEmitUs
+            else if (pending.nonEmpty) pending.keys.min
+            else Long.MinValue
+          var fill = st0.fillValue
+          val out = Seq.newBuilder[ResampleRow]
+          if (nextEmit != Long.MinValue) {
+            // observed buckets always precede the TTL horizon (ttl >> 1h),
+            // so the horizon only cuts off trailing GAP emission
+            while (nextEmit + hourUs <= wmUs && nextEmit <= lastActivity + ttlUs) {
+              pending.get(nextEmit) match {
+                case Some(a) =>
+                  fill = Some(a.lastVal)
+                  out += ResampleRow(key, nextEmit, a.n, fill)
+                  pending -= nextEmit
+                case None =>
+                  out += ResampleRow(key, nextEmit, 0L, fill)
+              }
+              nextEmit += hourUs
+            }
+          }
+          val past = pending.isEmpty &&
+            (nextEmit == Long.MinValue || nextEmit > lastActivity + ttlUs)
+          if (past && state.exists) { state.remove(); out.result().iterator }
+          else if (nextEmit == Long.MinValue) out.result().iterator
+          else {
+            state.update(ResampleState(pending, nextEmit, fill, lastActivity))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1, (nextEmit + hourUs) / 1000L))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming twin of ops/Funnel.conversionRollup: per-stage CURRENT
     * user counts over the advance stream. Each FunnelAdvance(user, k)
     * means the user moved k-1 → k — a +1 at stage k and (for k > 1) a -1

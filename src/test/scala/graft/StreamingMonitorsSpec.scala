@@ -525,4 +525,53 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(stages7 === Set(1, 2),
       s"expected user 7 to reach stage 2 (state retained past the late batch); got $stages7")
   }
+
+  test("streaming resample/ffill equals the batch resampler as the watermark closes buckets") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double, Long)]
+    val events = mem.toDF().toDF("event_type", "event_id", "value", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamingMonitors.streamingResampleFfill(events, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("resample_stream")
+      .option("checkpointLocation", s"${work()}/ckpt")
+      .outputMode("append").start()
+    val h0 = 946684800L * 1000000L // on an hour boundary
+    def hr(h: Long, m: Long = 0L): Long = h0 + h * 3600000000L + m * 60000000L
+    // A: two obs in bucket 0 fed OUT OF ORDER inside the batch (pins the
+    // greatest-(ts,id) last-value rule), then h1, a 2-hour gap, h4.
+    // B: h0 then silent — every later bucket forward-fills from h0.
+    val rows = Seq(
+      Seq(("A", 2L, 20.0, hr(0, 30)), ("A", 1L, 10.0, hr(0, 10)), ("B", 3L, 7.0, hr(0, 5))),
+      Seq(("A", 4L, 30.0, hr(1, 15))),
+      Seq(("A", 5L, 40.0, hr(4, 45))))
+    try {
+      rows.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      // sentinel key advances the watermark past bucket 4's end; the
+      // second sentinel batch runs with that watermark so A/B's armed
+      // event-time timeouts fire and close their buckets
+      mem.addData(("zz", 100L, 0.0, hr(6))); q.processAllAvailable()
+      mem.addData(("zz", 101L, 0.0, hr(6, 1))); q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.ops.TimeSeries.resampleHourly(
+      rows.flatten.toDF("event_type", "event_id", "value", "ts_us")
+        .withColumn("ts", timestamp_micros(col("ts_us"))))
+    // compare on the batch grid's bucket range: the stream additionally
+    // emits gap rows past the last observation as the watermark advances
+    // (here bucket 5 for A/B) — the documented streaming-necessary delta
+    val streamed = spark.table("resample_stream")
+      .filter(col("event_type") =!= "zz" && col("bucket_us") <= lit(hr(4)))
+      .select(col("event_type"),
+        date_format(timestamp_micros(col("bucket_us")), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("n_obs"), col("filled_value"))
+    assert(streamed.count() === batch.count(),
+      s"row counts: stream ${streamed.count()} vs batch ${batch.count()}")
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    // the gap rows past the last observation ARE emitted (stream-only tail)
+    val tail = spark.table("resample_stream")
+      .filter(col("event_type") === "B" && col("bucket_us") === lit(hr(5))).collect()
+    assert(tail.length === 1 && tail(0).getLong(2) === 0L && tail(0).getDouble(3) === 7.0)
+  }
 }
