@@ -608,6 +608,9 @@ object SparkEntry {
     "text_oov" -> ((s, dir) =>
       TextAnalysis.oovRate(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    "text_unigram_lp" -> ((s, dir) =>
+      TextAnalysis.unigramLogLik(Tables.documents(s, dir)).orderBy("doc_id")),
+
     "text_source_scorecard" -> ((s, dir) =>
       TextAnalysis.sourceScorecard(Tables.documents(s, dir)).orderBy("source")),
 
@@ -1758,6 +1761,21 @@ object SparkEntry {
         |  FROM tok LEFT JOIN vocab ON vocab.token = tok.token
         |  GROUP BY 1)
         |ORDER BY doc_id""".stripMargin,
+
+    // per-token logprob quantized to integer micro-nats BEFORE the per-doc
+    // sum (exact integer aggregate — the raw-double-sum rule); round() is
+    // half-away-from-zero in both engines
+    "text_unigram_lp" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |counts AS (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM toks),
+        |q AS (SELECT t.doc_id,
+        |        CAST(round(ln(CAST(c.cnt AS DOUBLE) / n_total) * 1000000) AS BIGINT) AS qlp
+        |      FROM toks t JOIN counts c ON t.w = c.w CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  CAST(sum(qlp) AS BIGINT) AS sum_qlp,
+        |  CAST(CAST(sum(qlp) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*) AS mean_logprob
+        |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // quality_score reproduced exactly as in text_quality's oracle; the
     // dominant language is the (n, lang)-max per source — the same

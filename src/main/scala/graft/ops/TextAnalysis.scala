@@ -174,6 +174,39 @@ object TextAnalysis {
           .as("oov_rate"))
   }
 
+  /** Corpus-trained unigram log-likelihood — the KenLM-style fluency
+    * proxy: P(w) = count(w)/N over the whole corpus, per-doc score the
+    * mean ln P over its tokens (rare-token-heavy docs score low). Trained
+    * on the corpus itself, every token has a nonzero count, so no
+    * smoothing is needed; scoring against an external vocabulary would
+    * add the usual add-one.
+    *
+    * Engine-portable by construction: the per-token logprob is quantized
+    * to integer micro-nats BEFORE the per-doc sum, so the compared
+    * aggregate is an exact integer — summation order can't perturb it
+    * (the raw-double-sum rule); the mean is then one per-row division of
+    * exact integers. Plan shape: one exploded token pass cached for its
+    * three consumers (counts, total, score join), the count join an
+    * equi-join on token (vocabulary-sized build side — AQE broadcasts
+    * when small), the corpus total a broadcast one-row cross join. */
+  def unigramLogLik(docs: DataFrame, quantum: Long = 1000000L): DataFrame =
+    Dedup.withScopedCache(
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))) { toks =>
+      val counts = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      toks
+        .join(counts, "w")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          round(log(col("cnt").cast("double") / col("n_total")) * quantum)
+            .cast("long").as("qlp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(col("qlp")).as("sum_qlp"))
+        .select(col("doc_id"), col("n_tok"), col("sum_qlp"),
+          (col("sum_qlp").cast("double") / quantum.toDouble / col("n_tok"))
+            .as("mean_logprob"))
+    }
+
   /** Per-source quality scorecard — the dashboard row that ranks sources
     * for inclusion: doc count, exact total token count, how many docs
     * clear the quality floor, and the source's dominant language. One

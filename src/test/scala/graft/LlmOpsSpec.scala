@@ -375,6 +375,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(r(3L) === ((1L, 1L, 0.0)))
   }
 
+  test("unigram log-likelihood: quantized sums match a driver-side model, common beats rare") {
+    // corpus: N=6 tokens; counts a=3, b=2, z=1
+    val docs = Seq((1L, "a a a"), (2L, "b b"), (3L, "z")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramLogLik(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    def qlp(cnt: Long): Long = math.round(math.log(cnt.toDouble / 6.0) * 1e6)
+    assert(r(1L) === ((3L, 3 * qlp(3), 3 * qlp(3) / 1e6 / 3)))
+    assert(r(2L) === ((2L, 2 * qlp(2), 2 * qlp(2) / 1e6 / 2)))
+    assert(r(3L) === ((1L, qlp(1), qlp(1) / 1e6 / 1)))
+    // the fluency ordering: all-common > mid > rare, and every score < 0
+    assert(r(1L)._3 > r(2L)._3 && r(2L)._3 > r(3L)._3 && r(1L)._3 < 0.0)
+  }
+
   test("source scorecard: counts, floor pass, dominant language with deterministic tie") {
     val docs = Seq(
       (1L, "the a the a one", "web", "en"),   // high stopword ratio → passes floor
