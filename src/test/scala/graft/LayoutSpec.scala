@@ -91,4 +91,49 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("hive-partitioned fact scan is dynamically pruned by a filtered dim join") {
+    // The third layout lever after pushdown and z-order: a fact written
+    // partitionBy(dim key) lets a join against a FILTERED dimension prune
+    // fact partitions at RUNTIME — the dim filter's surviving keys become
+    // a dynamicpruning subquery in the scan's PartitionFilters (fed from
+    // the reused broadcast, so the pruning is free). At 100 TB this is
+    // the difference between scanning 2 and 8 date/type partitions when
+    // the dim filter survives 2 — no static predicate could know which.
+    val base = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target/test-out").getAbsoluteFile.toPath, "dpp").toString
+    spark.range(800)
+      .select((col("id") % 8).cast("string").as("pt"), col("id").as("v"))
+      .selectExpr("concat('type_', pt) AS event_type", "v")
+      .write.partitionBy("event_type").parquet(s"$base/fact")
+    val fact = spark.read.parquet(s"$base/fact")
+    // the dim must be a real source, not a LocalRelation — the optimizer
+    // folds a filter over local rows into the relation itself, and the
+    // pruning rule then sees no selective predicate on the build side
+    (0 until 8).map(i => (s"type_$i", if (i < 2) "keep" else "drop"))
+      .toDF("event_type", "category").write.parquet(s"$base/dim")
+    val dim = spark.read.parquet(s"$base/dim")
+    val joined = fact.join(dim.filter(col("category") === "keep"), Seq("event_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning"),
+      s"no dynamicpruning expression in the fact scan's PartitionFilters:\n$planStr")
+    assert(joined.collect().map(_.getLong(1)).toSeq === Seq(100L, 100L))
+    // runtime proof, not just the plan: the scan opened 2 of 8 partitions.
+    // AQE wraps materialized stages in QueryStageExec leaves, so the scan
+    // hunt must descend into each stage's subplan.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.flatMap {
+      case s: FileSourceScanExec => Seq(s)
+      case q: QueryStageExec => scans(q.plan)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case _ => Nil
+    }
+    val scan = scans(joined.queryExecution.executedPlan)
+      .find(_.metrics.contains("numPartitions"))
+      .getOrElse(fail("no partitioned FileSourceScanExec in the final plan"))
+    val read = scan.metrics("numPartitions").value
+    assert(read === 2, s"scan read $read partitions; expected the dim filter's 2 survivors of 8")
+  }
 }
