@@ -491,6 +491,111 @@ object StreamingMonitors {
       }
   }
 
+  /** One buffered observation for [[streamingResampleInterp]]. */
+  final case class ObsP(tsUs: Long, id: Long, v: Double)
+  /** pending = buffered observations not yet consumed as a left endpoint
+    * (per-timestamp deduped to the greatest id — the batch tie rule);
+    * prev = greatest (ts, id) observation at-or-before nextEmitUs;
+    * nextEmitUs = next grid instant (MinValue until the first
+    * observation); lastActivityUs = the monotone TTL clock. */
+  final case class InterpState(pending: Seq[ObsP], prev: Option[ObsP],
+                               nextEmitUs: Long, lastActivityUs: Long)
+  final case class InterpRow(event_type: String, bucket_us: Long, interp_value: Double)
+
+  /** Streaming twin of ops/TimeSeries.resampleHourlyInterp: per-key
+    * hourly grid instants, each valued by LINEAR interpolation between
+    * the bracketing observations (exact-time observation passes through;
+    * greatest (ts, id) wins a timestamp tie) — emitted in APPEND mode.
+    *
+    * The finality argument is sharper than forward fill's: a grid
+    * instant needs its NEXT observation, so it finalizes when the
+    * watermark passes the earliest buffered observation at-or-after it —
+    * past that point the gate admits nothing below that observation's
+    * ts, so the bracket (and every observation between the last emitted
+    * instant and it) is provably complete, and stream ≡ batch holds for
+    * every event that passes the gate. The stream therefore emits
+    * EXACTLY the batch resampler's non-null rows (no extrapolation
+    * exists in either form: batch grid rows outside a key's observed
+    * range are null, and the stream never reaches them — before the
+    * first observation the grid starts late, after the last one no
+    * bracket ever finalizes). State per key is the observation buffer
+    * inside the lateness horizon plus one carried endpoint — O(rate ×
+    * lateness), evicted whole after `stateTtl` of silence. */
+  def streamingResampleInterp(stream: DataFrame,
+                              lateness: String = "10 minutes",
+                              stateTtl: java.time.Duration = java.time.Duration.ofHours(24)): Dataset[InterpRow] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    val ttlUs = stateTtl.toMillis * 1000L
+    stream
+      .withWatermark("ts", lateness)
+      .where(col("ts_us").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"), col("ts_us"), col("ts"))
+      .as[StationEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, events: Iterator[StationEvent], state: GroupState[InterpState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st0 = state.getOption.getOrElse(InterpState(Nil, None, Long.MinValue, 0L))
+          var lastActivity = st0.lastActivityUs
+          val incoming = events.map { e =>
+            lastActivity = math.max(lastActivity, e.ts_us)
+            ObsP(e.ts_us, e.event_id, e.value)
+          }.toSeq
+          // merge + per-timestamp dedupe to the greatest id (batch tie rule)
+          var pending = (st0.pending ++ incoming)
+            .groupBy(_.tsUs).map { case (_, os) => os.maxBy(_.id) }
+            .toSeq.sortBy(o => o.tsUs)
+          var prev = st0.prev
+          var nextEmit =
+            if (st0.nextEmitUs != Long.MinValue) st0.nextEmitUs
+            else if (pending.nonEmpty) {
+              val first = pending.head.tsUs
+              first + java.lang.Math.floorMod(-first, hourUs) // ceil to the hour
+            } else Long.MinValue
+          val out = Seq.newBuilder[InterpRow]
+          if (nextEmit != Long.MinValue) {
+            var continue = true
+            while (continue) {
+              pending.find(o => o.tsUs >= nextEmit && o.tsUs <= wmUs) match {
+                case Some(next) =>
+                  // every observation below next.ts is final — consume the
+                  // ones before this grid instant as the left endpoint
+                  val (before, rest) = pending.partition(_.tsUs < nextEmit)
+                  if (before.nonEmpty) prev = Some(before.maxBy(o => (o.tsUs, o.id)))
+                  pending = rest
+                  val value =
+                    if (next.tsUs == nextEmit) Some(next.v)
+                    else prev.map { p =>
+                      p.v + (next.v - p.v) *
+                        ((nextEmit - p.tsUs).toDouble / (next.tsUs - p.tsUs))
+                    }
+                  value.foreach(v => out += InterpRow(key, nextEmit, v))
+                  nextEmit += hourUs
+                case None => continue = false
+              }
+            }
+          }
+          val idle = lastActivity > 0L && wmUs > lastActivity + ttlUs
+          if (idle && state.exists) { state.remove(); out.result().iterator }
+          else if (nextEmit == Long.MinValue && !idle && pending.isEmpty && !state.exists) {
+            out.result().iterator
+          } else {
+            state.update(InterpState(pending, prev, nextEmit, lastActivity))
+            // the next emission fires when the watermark passes the
+            // earliest buffered observation at-or-after the grid cursor;
+            // with no such candidate, sleep until the TTL eviction point
+            val wake = pending.find(_.tsUs >= nextEmit)
+              .map(o => (o.tsUs + 999L) / 1000L)
+              .getOrElse((lastActivity + ttlUs) / 1000L + 1L)
+            state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs() + 1, wake))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming twin of ops/Funnel.conversionRollup: per-stage CURRENT
     * user counts over the advance stream. Each FunnelAdvance(user, k)
     * means the user moved k-1 → k — a +1 at stage k and (for k > 1) a -1

@@ -574,4 +574,51 @@ class StreamingMonitorsSpec extends SparkSpec {
       .filter(col("event_type") === "B" && col("bucket_us") === lit(hr(5))).collect()
     assert(tail.length === 1 && tail(0).getLong(2) === 0L && tail(0).getDouble(3) === 7.0)
   }
+
+  test("streaming interpolation emits exactly the batch resampler's non-null grid rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double, Long)]
+    val events = mem.toDF().toDF("event_type", "event_id", "value", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamingMonitors.streamingResampleInterp(events, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("interp_stream")
+      .option("checkpointLocation", s"${work()}/ckpt")
+      .outputMode("append").start()
+    val h0 = 946684800L * 1000000L
+    def at(h: Long, m: Long): Long = h0 + h * 3600000000L + m * 60000000L
+    // A: off-grid brackets (1:00/2:00 interpolate 0:30→2:30), an exact
+    // grid-point observation at 3:00 (passes through, including a same-ts
+    // tie where the greater id must win), then 4:00/5:00 from 3:00→5:15.
+    // B: an exact observation ON the range start and one interior bracket.
+    val rows = Seq(
+      Seq(("A", 1L, 10.0, at(0, 30)), ("B", 2L, 5.0, at(0, 0))),
+      Seq(("A", 3L, 30.0, at(2, 30)), ("A", 5L, 77.0, at(3, 0)), ("A", 4L, 11.0, at(3, 0))),
+      Seq(("A", 6L, 99.0, at(5, 15)), ("B", 7L, 47.0, at(4, 40))))
+    try {
+      rows.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      mem.addData(("zz", 100L, 0.0, at(7, 0))); q.processAllAvailable()
+      mem.addData(("zz", 101L, 0.0, at(7, 1))); q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.ops.TimeSeries.resampleHourlyInterp(
+      rows.flatten.toDF("event_type", "event_id", "value", "ts_us")
+        .withColumn("ts", timestamp_micros(col("ts_us"))))
+      .filter(col("interp_value").isNotNull)
+    val streamed = spark.table("interp_stream")
+      .filter(col("event_type") =!= "zz")
+      .select(col("event_type"),
+        date_format(timestamp_micros(col("bucket_us")), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("interp_value"))
+    assert(streamed.count() === batch.count(),
+      s"row counts: stream ${streamed.count()} vs batch ${batch.count()}")
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    // spot-pin the semantics the equality rides on: exact pass-through
+    // with the greatest-id tie, and a linear midpoint
+    val a = spark.table("interp_stream").filter(col("event_type") === "A")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(a(at(3, 0)) === 77.0, "exact-time observation must pass through with max-id tie")
+    assert(math.abs(a(at(1, 0)) - (10.0 + 20.0 * 0.25)) < 1e-12)
+  }
 }
