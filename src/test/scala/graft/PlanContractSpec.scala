@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Plan contracts: the scale properties the code comments promise must be
   * visible in the executed plans, or a refactor silently regressed them. */
 class PlanContractSpec extends SparkSpec {
@@ -263,5 +265,42 @@ class PlanContractSpec extends SparkSpec {
     assert(relations.map(_.replaceAll("""#\d+""", "").replaceAll("""^[+:\-\s]*""", ""))
         .distinct.size === 1,
       s"more than one distinct cache in train-ready:\n${relations.mkString("\n")}")
+  }
+
+  test("a selective dim filter injects a bloom runtime filter into a shuffle join's fact side") {
+    // The row-level sibling of dynamic partition pruning (LayoutSpec): when
+    // the fact is NOT partitioned by the join key and the join is too big
+    // to broadcast, Spark can still build a bloom filter from the filtered
+    // dim and apply it on the fact side BEFORE the shuffle — at 100 TB
+    // that's the difference between shuffling every fact row and shuffling
+    // only candidate matches. The size thresholds exist for real clusters;
+    // pinning them down for sf-scale data only makes the rule fire, it
+    // does not change the plan shape being contracted.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val lineitem = Tables.lineitem(spark, dir)
+      val part = Tables.part(spark, dir).filter(col("p_brand") === "Brand#1")
+      val joined = lineitem.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand").agg(sum("l_quantity").as("qty"))
+      val p = joined.queryExecution.executedPlan.toString
+      // the probe renders as might_contain(subquery, xxhash64(l_partkey))
+      // in a Filter on the fact side; the build as bloom_filter_agg over
+      // the FILTERED dim
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"no bloom runtime filter on the fact side:\n$p")
+      assert(p.linesIterator.exists(l =>
+        l.contains("might_contain") && l.contains("l_partkey")),
+        s"bloom probe not applied to the fact join key:\n$p")
+      assert(joined.collect().nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 }
