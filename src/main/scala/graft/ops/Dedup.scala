@@ -79,7 +79,7 @@ object Dedup {
       .select("keep_id", "n_copies")
 
   /** Exploded (doc_id, shingle) postings. */
-  private[ops] def postings(docs: DataFrame, n: Int): DataFrame =
+  private[graft] def postings(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
 
   /** Cache scope for the multi-use postings frame: persist the input,
@@ -228,7 +228,7 @@ object Dedup {
     * docs×K values (an exploded (doc, hash-index) layout would push the
     * hashing through interpreted HOFs and a K×-wider shuffle); band
     * signature = ordered concat of the band's row minima. */
-  private[ops] def bandSigs(tok: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  private[graft] def bandSigs(tok: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
     val minCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
     val sigs = tok.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)

@@ -106,6 +106,63 @@ object StreamingMonitors {
       .join(seenH, Seq("h"), "left_anti")
   }
 
+  /** Streaming incremental NEAR-dup — the streaming face of
+    * ops/Dedup.minhashIncrement (the nightly rolling-ingest shape, online):
+    * each arriving doc is banded-MinHash-matched against the STATIC seen
+    * corpus's stored band table and exact-Jaccard verified, emitting
+    * (batch_id, seen_id, jaccard) pairs above the threshold.
+    *
+    * The stream side computes its signatures PER ROW — shingles via the
+    * codegen'd kernel, each band row's minimum as an array_min over the
+    * hashed shingle array — so there is no streaming aggregation in the
+    * candidate path; the only stateful operator is the windowed max that
+    * collapses multi-band hits of the same pair (append mode, finalized
+    * by the watermark). The per-row HOF minima trade the batch form's
+    * signature shuffle for interpreted lambdas, the right trade exactly
+    * here: the stream side is the small side by construction (a
+    * micro-batch vs the corpus), and the seen side's table is the SAME
+    * deterministic xxhash64 band family as the batch op, so a persisted
+    * nightly band table and this stream's probes are bit-compatible
+    * (spec'd pair-set equal to minhashIncrement on the same data). */
+  def nearDupIncrementStream(stream: DataFrame, seen: DataFrame,
+                             threshold: Double = 0.8, n: Int = 3,
+                             bands: Int = 16, rowsPerBand: Int = 4,
+                             lateness: String = "10 minutes",
+                             window: String = "1 hour"): DataFrame = {
+    import graft.ops.Dedup
+    val numHashes = bands * rowsPerBand
+    val seenDocs = seen.filter(col("text").isNotNull)
+    val seenSh = seenDocs.select(col("doc_id").as("seen_id"),
+      Dedup.shingles(col("text"), n).as("__seen_sh"))
+    val seenBands = Dedup.bandSigs(Dedup.postings(seenDocs, n), bands, rowsPerBand)
+      .select(col("doc_id").as("seen_id"), col("band"), col("sig"))
+    val mins = (0 until numHashes).map(i =>
+      array_min(transform(col("__sh"), x => xxhash64(lit(i), x))).as(s"h$i"))
+    val bandCols = (0 until bands).map { b =>
+      concat_ws(",", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+    }
+    stream
+      .withWatermark("ts", lateness)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id").as("batch_id"), col("ts"),
+        Dedup.shingles(col("text"), n).as("__sh"))
+      .select(Seq(col("batch_id"), col("ts"), col("__sh")) ++ mins: _*)
+      .select(col("batch_id"), col("ts"), col("__sh"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+      .join(seenBands, Seq("band", "sig")) // stream-static equi-join, stateless
+      .join(seenSh, Seq("seen_id"))
+      .withColumn("__inter", size(array_intersect(col("__sh"), col("__seen_sh"))))
+      // shingles are DISTINCT by kernel contract, so set arithmetic is
+      // exact Jaccard — same formula as the batch op's count-based verify
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (size(col("__sh")) + size(col("__seen_sh")) - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("batch_id"), col("seen_id"),
+        org.apache.spark.sql.functions.window(col("ts"), window))
+      .agg(max(col("jaccard")).as("jaccard"))
+      .select("batch_id", "seen_id", "jaccard")
+  }
+
   /** Per-(key, bucket) running count for [[rateCapStream]]. */
   final case class CapState(n: Long)
 

@@ -621,4 +621,49 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(a(at(3, 0)) === 77.0, "exact-time observation must pass through with max-id tie")
     assert(math.abs(a(at(1, 0)) - (10.0 + 20.0 * 0.25)) < 1e-12)
   }
+
+  test("streaming incremental near-dup emits the batch minhashIncrement pair set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val common = (1 to 30).map(i => s"w$i").mkString(" ")
+    val seen = Seq(
+      (100L, s"$common tail one two"),   // near-dup target of doc 1
+      (101L, "completely different text about rivers and stations"),
+      (102L, common))                    // exact-copy target of doc 2
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = mem.toDF().toDF("doc_id", "text", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamingMonitors.nearDupIncrementStream(stream, seen, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .option("checkpointLocation", s"${work()}/ckpt")
+      .outputMode("append").start()
+    val t0 = 946684800L * 1000000L
+    val batchRows = Seq(
+      (1L, s"$common tail one three", t0),     // near-dups seen 100 (and 102)
+      (2L, common, t0 + 1),                    // exact copy of seen 102
+      (3L, "nothing in common with anything here at all", t0 + 2))
+    try {
+      batchRows.grouped(2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      // advance the watermark past the pair window so the append agg emits
+      mem.addData((999L, "zz yy xx", t0 + 7200L * 1000000L)); q.processAllAvailable()
+      mem.addData((998L, "zz yy xx", t0 + 7201L * 1000000L)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("neardup_stream")
+      .filter(col("batch_id") < 900L)
+      .select("batch_id", "seen_id", "jaccard")
+    val batch = graft.ops.Dedup.minhashIncrement(
+      batchRows.map(r => (r._1, r._2)).toDF("doc_id", "text"), seen)
+      .select(col("batch_id"), col("seen_id"), col("jaccard"))
+    assert(streamed.count() > 0, "expected at least one near-dup pair")
+    assert(streamed.exceptAll(batch).count() === 0,
+      "stream emitted a pair (or jaccard) the batch op does not")
+    assert(batch.exceptAll(streamed).count() === 0,
+      "stream missed a pair the batch op finds")
+    // and the exact copy scores 1.0 through the streaming path
+    val copies = spark.table("neardup_stream")
+      .filter(col("batch_id") === 2L && col("seen_id") === 102L).collect()
+    assert(copies.length === 1 && copies(0).getDouble(2) === 1.0)
+  }
 }
