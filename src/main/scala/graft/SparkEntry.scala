@@ -157,6 +157,12 @@ object SparkEntry {
     "q_quantiles" -> ((s, dir) =>
       Monitoring.discreteQuantiles(Tables.events(s, dir)).orderBy("event_type")),
 
+    // sketch family: no oracle by design (GK vs t-digest differ by
+    // algorithm); the structural companion is q_quantiles itself plus the
+    // SkewAndScalarsSpec rank-error-bound case — the approxDistinct pattern
+    "q_quantiles_approx" -> ((s, dir) =>
+      Monitoring.approxQuantiles(Tables.events(s, dir)).orderBy("event_type")),
+
     "q_queue_backpressure" -> ((s, dir) =>
       Monitoring.queueBackpressure(Tables.events(s, dir)).orderBy("event_type")),
 

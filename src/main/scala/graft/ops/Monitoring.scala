@@ -177,6 +177,22 @@ object Monitoring {
         approx_count_distinct(col(keyCol), rsd).as("approx_distinct"),
         countDistinct(col(keyCol)).as("exact_distinct"))
 
+  /** Sketch-based percentiles: percentile_approx (Greenwald-Khanna) — the
+    * quantile member of the sketch family next to [[approxDistinct]]'s
+    * HLL. At 100 TB the exact discrete quantile pays a per-key global
+    * sort; the GK sketch is mergeable bounded-size state with a RANK
+    * error guarantee of n/accuracy. Engine sketches differ by algorithm,
+    * so like approxDistinct this is spec-checked against
+    * [[discreteQuantiles]] (rank distance of the returned value bounded
+    * by the accuracy guarantee) instead of hash-compared to an oracle. */
+  def approxQuantiles(events: DataFrame, ps: Seq[Double] = Seq(0.5, 0.9),
+                      accuracy: Int = 10000): DataFrame = {
+    val aggs = ps.map(p =>
+      percentile_approx(col("value"), lit(p), lit(accuracy))
+        .as(s"p${math.round(p * 100)}_approx"))
+    events.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Sessionization: split each user's event stream into sessions at
     * inactivity gaps — two stacked window functions (gap flag via lag,
     * session id via running sum), both partitioned by user so state never

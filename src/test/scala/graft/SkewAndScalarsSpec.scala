@@ -34,6 +34,29 @@ class SkewAndScalarsSpec extends SparkSpec {
     }
   }
 
+  test("approx quantile sketch lands within its rank-error bound of exact") {
+    // accuracy=50 on a few-thousand-row key actually exercises the sketch
+    // (n > accuracy); the GK guarantee is rank error <= n/accuracy
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val approx = graft.ops.Monitoring.approxQuantiles(ev, Seq(0.5, 0.9), accuracy = 50)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.nonEmpty)
+    val values = ev.select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    approx.foreach { case (k, (p50, p90)) =>
+      val vs = values(k); val n = vs.length
+      Seq(0.5 -> p50, 0.9 -> p90).foreach { case (p, got) =>
+        // rank of the returned value (it must be an actual data point)
+        val lo = vs.indexWhere(_ >= got); val hi = vs.lastIndexWhere(_ <= got)
+        assert(lo >= 0 && hi >= 0, s"$k p$p: $got is not inside the data range")
+        val target = math.ceil(p * n)
+        val dist = math.min(math.abs(lo + 1 - target), math.abs(hi + 1 - target))
+        assert(dist <= n / 50.0 + 1,
+          s"$k p$p: rank distance $dist exceeds n/accuracy = ${n / 50.0}")
+      }
+    }
+  }
+
   test("salted count-distinct matches plain count-distinct") {
     val df = Seq.tabulate(1000)(i => ("k" + i % 3, "v" + i % 47)).toDF("k", "v")
     val plain = df.groupBy("k").agg(countDistinct("v").as("v_distinct"))
