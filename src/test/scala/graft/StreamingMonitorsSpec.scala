@@ -622,6 +622,47 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(math.abs(a(at(1, 0)) - (10.0 + 20.0 * 0.25)) < 1e-12)
   }
 
+  test("per-row text curation ops run unchanged on a stream and equal their batch output") {
+    // quality / piiScrub / langId are pure column expressions (narrow,
+    // stateless), so the SAME operator code composes with readStream with
+    // no twin needed — the streaming story for most of the text surface
+    // is transparency, not reimplementation. Pinned here so a refactor
+    // that sneaks a shuffle/sort into these ops fails loudly: a stateless
+    // op that stops being streamable is a 100 TB regression too.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      (1L, "the rain in spain stays mainly on the plain the the a a"),
+      (2L, "reach me at bob@example.com or 203.0.113.7 thanks"),
+      (3L, "ein langes deutsches wortungetuem zum testen"))
+    val mem = MemoryStream[(Long, String)]
+    val streamDocs = mem.toDF().toDF("doc_id", "text")
+    val ops: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] =
+      Seq(
+        "quality" -> (df => graft.ops.TextAnalysis.quality(df)),
+        "pii" -> (df => graft.ops.TextAnalysis.piiScrub(df)),
+        "langid" -> (df => graft.ops.TextAnalysis.langId(
+          df.withColumn("lang", lit("en")))))
+    val queries = ops.map { case (name, op) =>
+      name -> op(streamDocs)
+        .writeStream.format("memory").queryName(s"text_stream_$name")
+        .option("checkpointLocation", s"${work()}/ckpt_$name")
+        .outputMode("append").start()
+    }
+    try {
+      mem.addData(rows: _*)
+      queries.foreach(_._2.processAllAvailable())
+    } finally queries.foreach(_._2.stop())
+    ops.foreach { case (name, op) =>
+      val streamed = spark.table(s"text_stream_$name")
+      val batch = op(rows.toDF("doc_id", "text"))
+      assert(streamed.count() === 3, s"$name emitted ${streamed.count()} rows")
+      assert(streamed.exceptAll(batch).count() === 0, s"$name stream-only rows")
+      assert(batch.exceptAll(streamed).count() === 0, s"$name missing rows")
+    }
+  }
+
   test("streaming incremental near-dup emits the batch minhashIncrement pair set") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
