@@ -223,6 +223,16 @@ object SparkEntry {
     "q_retention" -> ((s, dir) =>
       Funnel.retentionCohorts(Tables.events(s, dir)).orderBy("cohort_week", "week_offset")),
 
+    "q_scd2_intervals" -> ((s, dir) => {
+      val iv = TimeSeries.validityIntervals(Tables.events(s, dir),
+        Seq("event_type"), "ts", "event_id", Seq("value"))
+      iv.select(col("event_type"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("value"))
+        .orderBy("event_type", "valid_from")
+    }),
+
     "q_funnel" -> ((s, dir) =>
       Funnel.funnel(Tables.events(s, dir), Seq("view", "click", "purchase"))
         .orderBy("user_id")),
@@ -1129,6 +1139,20 @@ object SparkEntry {
     // pins (ts, event_id) — without the reduction, agreement would hinge on
     // the data never holding duplicate (user_id, ts) view rows
     "q_asof_attribution" -> ASOF_ATTRIBUTION_SQL,
+
+    // same-ts versions pre-reduce to the greatest event_id (the as-of tie
+    // rule); the open-ended last version's valid_to is null
+    "q_scd2_intervals" ->
+      """WITH v AS (SELECT event_type, ts, value,
+        |    row_number() OVER (PARTITION BY event_type, ts ORDER BY event_id DESC) AS vrank
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |d AS (SELECT event_type, ts, value FROM v WHERE vrank = 1)
+        |SELECT event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(lead(ts) OVER (PARTITION BY event_type ORDER BY ts),
+        |           '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  value
+        |FROM d ORDER BY event_type, valid_from""".stripMargin,
 
     // last-in-bucket pick mirrors max_by(value, (ts, event_id)); the
     // fill window reads the GRID, nulls before a key's first observation

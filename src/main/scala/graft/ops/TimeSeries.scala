@@ -264,6 +264,32 @@ object TimeSeries {
       .unionByName(rangeJoin(points, longSide, keys, ptsCol, startCol, endCol, coarseUs))
   }
 
+  /** SCD2 validity intervals from a versioned dimension feed: version v
+    * of a key is current on [v.ts, next_version.ts), the open-ended last
+    * version has valid_to null — the standard slowly-changing-dimension
+    * history table, and the batch face of the interval rewrite
+    * streaming/StreamingMonitors.asofStreamStatic performs inline (an
+    * as-of join against the result is a plain interval-containment join,
+    * no per-event argmax). Same-timestamp versions pre-reduce to the
+    * greatest tieCol (the as-of tie rule); null keys and null timestamps
+    * are excluded explicitly (a version without a key or an effective
+    * time is meaningless, and the two engines disagree on null window
+    * ordering). One window pair over the versions — at scale this is a
+    * single hash exchange of the dimension feed, nothing touches a fact. */
+  def validityIntervals(versions: DataFrame, keys: Seq[String], tsCol: String,
+                        tieCol: String, payload: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "validityIntervals needs at least one key column")
+    val clean = versions.filter(
+      keys.map(col(_).isNotNull).reduce(_ && _) && col(tsCol).isNotNull)
+    val tieW = Window.partitionBy((keys :+ tsCol).map(col): _*).orderBy(col(tieCol).desc)
+    val validW = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    clean
+      .withColumn("__vrank", row_number().over(tieW)).filter(col("__vrank") === 1)
+      .withColumn("valid_to", lead(col(tsCol), 1).over(validW))
+      .select(keys.map(col) ++ Seq(col(tsCol).as("valid_from"), col("valid_to")) ++
+        payload.filterNot(c => keys.contains(c) || c == tsCol).map(col): _*)
+  }
+
   /** Nearest-event join: for every left row, the right row with the
     * MINIMUM |Δt| within the key — either direction (the sensor-alignment
     * shape; as-of is its backward-only half). ONE pass over the tagged

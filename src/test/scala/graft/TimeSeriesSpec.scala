@@ -203,6 +203,44 @@ class TimeSeriesSpec extends SparkSpec {
     assert(plan.contains("Window"), s"expected a window operator:\n$plan")
   }
 
+  test("SCD2 intervals: tie pre-reduce, half-open adjacency, and as-of equivalence") {
+    val versions = frame(Seq(
+      (1L, 100L, 1L, 10.0), (1L, 100L, 2L, 11.0), // same-ts tie → id 2 wins
+      (1L, 300L, 3L, 12.0),
+      (2L, 50L, 4L, 7.0)))
+    val iv = TimeSeries.validityIntervals(versions, Seq("user_id"), "ts_us",
+        "event_id", Seq("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getDouble(3))).toSet
+    assert(iv === Set(
+      (1L, 100L, Some(300L), 11.0), // tie reduced to id 2's value; closed by v300
+      (1L, 300L, None, 12.0),       // open-ended last version
+      (2L, 50L, None, 7.0)))
+    // the kinship claim: an interval-containment join against the history
+    // table IS the as-of join (the asofStreamStatic rewrite, batch-side)
+    val queries = frame(Seq((1L, 99L, 20L, 0.0), (1L, 100L, 21L, 0.0),
+      (1L, 250L, 22L, 0.0), (1L, 300L, 23L, 0.0), (2L, 60L, 24L, 0.0)))
+    val hist = TimeSeries.validityIntervals(versions, Seq("user_id"), "ts_us",
+      "event_id", Seq("value"))
+    val viaIntervals = queries.as("q")
+      .join(hist.as("h"),
+        col("q.user_id") === col("h.user_id") &&
+          col("q.ts_us") >= col("h.valid_from") &&
+          (col("h.valid_to").isNull || col("q.ts_us") < col("h.valid_to")),
+        "left")
+      .select(col("q.event_id"), col("h.value"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val viaAsof = TimeSeries.asofJoin(queries, versions, Seq("user_id"),
+        "ts_us", "event_id", payload = Seq("value"))
+      .select(col("event_id"), col("asof_value"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(viaIntervals === viaAsof)
+    assert(viaAsof(20L) === None && viaAsof(21L) === Some(11.0) &&
+      viaAsof(23L) === Some(12.0))
+  }
+
   test("hourly resample of an empty frame returns an empty, correctly-shaped grid") {
     val empty = Seq.empty[(String, java.sql.Timestamp, Long, Double)]
       .toDF("event_type", "ts", "event_id", "value")
