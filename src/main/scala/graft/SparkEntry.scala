@@ -223,6 +223,17 @@ object SparkEntry {
     "q_retention" -> ((s, dir) =>
       Funnel.retentionCohorts(Tables.events(s, dir)).orderBy("cohort_week", "week_offset")),
 
+    // incremental view maintenance: the engine merges a two-way split of
+    // the history; the oracle recomputes directly — the associativity law
+    "q_rollup_increment" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val prev = Incremental.partialRollup(ev.filter(dayofmonth(col("ts")) < 15))
+      val delta = Incremental.partialRollup(ev.filter(dayofmonth(col("ts")) >= 15))
+      Incremental.mergeRollups(prev, delta)
+        .select("event_type", "day", "n", "sum_q", "min_v", "max_v")
+        .orderBy("event_type", "day")
+    }),
+
     "q_scd2_intervals" -> ((s, dir) => {
       val iv = TimeSeries.validityIntervals(Tables.events(s, dir),
         Seq("event_type"), "ts", "event_id", Seq("value"))
@@ -1139,6 +1150,15 @@ object SparkEntry {
     // pins (ts, event_id) — without the reduction, agreement would hinge on
     // the data never holding duplicate (user_id, ts) view rows
     "q_asof_attribution" -> ASOF_ATTRIBUTION_SQL,
+
+    // the oracle is the DIRECT rollup — merge(partial(A), partial(B)) must
+    // equal partial(A ∪ B); sums are micro-quantized integers (exact)
+    "q_rollup_increment" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_q,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // same-ts versions pre-reduce to the greatest event_id (the as-of tie
     // rule); the open-ended last version's valid_to is null

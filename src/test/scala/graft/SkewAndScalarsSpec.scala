@@ -57,6 +57,25 @@ class SkewAndScalarsSpec extends SparkSpec {
     }
   }
 
+  test("rollup merge is the monoid law: merge of partials equals the direct partial") {
+    import graft.ops.Incremental
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    // three-way split by an arbitrary non-day key, so partial day rows
+    // genuinely straddle the splits and the merge has real work to do
+    val parts = (0 until 3).map(i => Incremental.partialRollup(
+      ev.filter(pmod(col("event_id"), lit(3)) === i)))
+    val merged = Incremental.serveRollup(Incremental.mergeRollups(parts: _*))
+    val direct = Incremental.serveRollup(Incremental.partialRollup(ev))
+    // the HLL estimate column participates: register-max merge makes the
+    // merged sketch's estimate BIT-identical to the direct sketch's
+    assert(merged.count() === direct.count())
+    assert(merged.exceptAll(direct).count() === 0, "merged rows differ from direct")
+    assert(direct.exceptAll(merged).count() === 0)
+    // and merging in a different order changes nothing (commutativity)
+    val reversed = Incremental.serveRollup(Incremental.mergeRollups(parts.reverse: _*))
+    assert(reversed.exceptAll(direct).count() === 0)
+  }
+
   test("salted count-distinct matches plain count-distinct") {
     val df = Seq.tabulate(1000)(i => ("k" + i % 3, "v" + i % 47)).toDF("k", "v")
     val plain = df.groupBy("k").agg(countDistinct("v").as("v_distinct"))
