@@ -223,6 +223,12 @@ object SparkEntry {
     "q_retention" -> ((s, dir) =>
       Funnel.retentionCohorts(Tables.events(s, dir)).orderBy("cohort_week", "week_offset")),
 
+    // integer-exact damped PageRank over the event-transition graph; the
+    // oracle unrolls the same 5 iterations in SQL (no floats anywhere)
+    "graph_pagerank" -> ((s, dir) =>
+      Graph.pagerankInt(Graph.eventTransitions(Tables.events(s, dir)))
+        .orderBy("node")),
+
     // incremental view maintenance: the engine merges a two-way split of
     // the history; the oracle recomputes directly — the associativity law
     "q_rollup_increment" -> ((s, dir) => {
@@ -1151,6 +1157,8 @@ object SparkEntry {
     // the data never holding duplicate (user_id, ts) view rows
     "q_asof_attribution" -> ASOF_ATTRIBUTION_SQL,
 
+    "graph_pagerank" -> PAGERANK_SQL,
+
     // the oracle is the DIRECT rollup — merge(partial(A), partial(B)) must
     // equal partial(A ∪ B); sums are micro-quantized integers (exact)
     "q_rollup_increment" ->
@@ -1953,6 +1961,43 @@ object SparkEntry {
   )
 
   /** DuckDB side of q_asof_attribution (and its bucketed twin). */
+  /** DuckDB twin of Graph.pagerankInt over Graph.eventTransitions: the
+    * same 5 integer-exact iterations UNROLLED as chained CTEs (aggregates
+    * are illegal in a recursive term, and a fixed iteration count needs
+    * no recursion). Every expression is integer division on positives —
+    * `//`/`%` here, `DIV`/`%` in Spark — including the overflow-free
+    * per-edge split, so the frames hash-match bit-for-bit. */
+  private val PAGERANK_SQL: String = {
+    val (scale, num, den, iters) = (1000000000000L, 85, 100, 5)
+    def iter(k: Int) =
+      s"""it$k AS (
+         |  SELECT n.node,
+         |    (CAST($scale AS BIGINT) * ${den - num}) // ($den * nc.n)
+         |      + ($num * coalesce(c.contrib, CAST(0 AS BIGINT))) // $den AS r
+         |  FROM nodes n CROSS JOIN ncount nc
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(sum((r.r // o.w) * e.m + ((r.r % o.w) * e.m) // o.w) AS BIGINT) AS contrib
+         |    FROM it${k - 1} r JOIN edges e ON e.src = r.node
+         |    JOIN outw o ON o.src = e.src
+         |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+    s"""WITH seq AS (SELECT user_id, event_type, ts, event_id FROM events
+       |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL),
+       |pairs AS (SELECT event_type AS src,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+       |  FROM seq),
+       |edges AS (SELECT src, dst, count(*) AS m FROM pairs WHERE dst IS NOT NULL
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |ncount AS (SELECT count(*) AS n FROM nodes),
+       |outw AS (SELECT src, CAST(sum(m) AS BIGINT) AS w FROM edges GROUP BY 1),
+       |it0 AS (SELECT n.node, CAST($scale AS BIGINT) // nc.n AS r
+       |  FROM nodes n CROSS JOIN ncount nc),
+       |${(1 to iters).map(iter).mkString(",\n")}
+       |SELECT node, r AS rank_q, CAST(r AS DOUBLE) / $scale AS rank
+       |FROM it$iters ORDER BY node""".stripMargin
+  }
+
   private val ASOF_ATTRIBUTION_SQL =
     """WITH p AS (SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us, value
       |           FROM events WHERE event_type = 'purchase'),

@@ -146,4 +146,79 @@ object Graph {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("canonical_id") =!= col("doc_id"), 1)).as("n_dups"))
+
+  /** Weighted event-type transition edges: per user, consecutive events
+    * in (ts, id) order yield one (src → dst) transition; edge weight m =
+    * transition count over the corpus. One window over the user
+    * partitioning + one aggregate — the standard path-to-graph reduction
+    * feeding [[pagerankInt]]. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("ts_us").isNotNull)
+      .withColumn("__next", lead(col("event_type"), 1).over(
+        Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("event_type").as("src"), col("__next").as("dst"))
+      .agg(count(lit(1)).as("m"))
+  }
+
+  /** Damped PageRank over a weighted edge list in EXACT integer
+    * arithmetic — the weighted, damped member of the graph family next
+    * to [[connectedComponents]]'s unweighted closure. Ranks live in
+    * integer `scale`-units and every update is integer division, so a
+    * fixed iteration count is bit-deterministic and ENGINE-PORTABLE: the
+    * DuckDB oracle unrolls the same five iterations in SQL and
+    * hash-matches (no floating-point accumulation order anywhere).
+    *
+    * Update rule per node v:
+    *   r'(v) = (scale·(dampDen−dampNum)) div (dampDen·n)
+    *         + (dampNum · Σ_{(u,v,m)∈E} contrib(u, m)) div dampDen
+    * with the per-edge term computed overflow-free as
+    *   contrib = (r(u) div w(u))·m + ((r(u) mod w(u))·m) div w(u)
+    * (= floor(r·m/w) exactly: r·m alone can pass 2^63 once scale·maxDeg
+    * does, while both summands here stay ≤ scale and w², and Σ contrib
+    * over ALL edges is ≤ scale because each node distributes at most its
+    * own rank). Dangling nodes leak their damped mass — the simple
+    * variant, noted so the oracle matches by construction.
+    *
+    * 100 TB shape: per iteration one equi-join of ranks to edges, one
+    * aggregate, one left join back to nodes — no cartesian, no driver
+    * graph state (the driver holds two scalars: n and the loop counter);
+    * iterates are lazily `localCheckpoint`ed like connectedComponents so
+    * the plan stays one-round deep. */
+  def pagerankInt(edges: DataFrame, iterations: Int = 5,
+                  scale: Long = 1000000000000L,
+                  dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iterations >= 1, "pagerankInt needs at least one iteration")
+    require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
+      s"damping $dampNum/$dampDen out of [0,1]")
+    val e = edges
+      .select(col("src"), col("dst"), col("m").cast("long").as("m"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("m") > 0)
+    val outw = e.groupBy("src").agg(sum("m").as("w"))
+    val ew = e.join(outw, "src").persist()
+    val nodes = ew.select(col("src").as("node"))
+      .union(ew.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes.count()
+    require(n > 0, "pagerankInt: empty graph")
+    val base = (scale * (dampDen - dampNum)) / (dampDen * n)
+    var r = nodes.select(col("node"), lit(scale / n).as("r")).localCheckpoint(false)
+    (1 to iterations).foreach { _ =>
+      val contrib = r.join(ew, col("node") === col("src"))
+        .select(col("dst"),
+          expr("(r DIV w) * m + ((r % w) * m) DIV w").as("c"))
+        .groupBy(col("dst").as("node")).agg(sum("c").as("contrib"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), (lit(base) +
+          expr(s"($dampNum * coalesce(contrib, CAST(0 AS BIGINT))) DIV $dampDen")).as("r"))
+        .localCheckpoint(false)
+      r.count() // materialize: sever lineage NOW, free the prior iterate
+    }
+    ew.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    r.select(col("node"), col("r").as("rank_q"),
+      (col("r").cast("double") / lit(scale)).as("rank"))
+  }
 }

@@ -81,6 +81,36 @@ class GraphSpec extends SparkSpec {
     assert(rate === Map("web" -> (3L, 1L), "books" -> (2L, 2L)))
   }
 
+  test("integer pagerank matches a driver-side model and ranks the hub highest") {
+    // star + back-edges: everyone links the hub, hub links node a
+    val edges = Seq(
+      ("a", "hub", 3L), ("b", "hub", 1L), ("c", "hub", 2L),
+      ("hub", "a", 4L)).toDF("src", "dst", "m")
+    val got = Graph.pagerankInt(edges, iterations = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // reference: the same fixed-point-free integer recurrence in plain Scala
+    val scale = 1000000000000L
+    val adj = Map("a" -> Seq(("hub", 3L)), "b" -> Seq(("hub", 1L)),
+      "c" -> Seq(("hub", 2L)), "hub" -> Seq(("a", 4L)))
+    val outw = adj.map { case (k, es) => k -> es.map(_._2).sum }
+    val nodes = Seq("a", "b", "c", "hub")
+    val base = (scale * 15L) / (100L * nodes.length)
+    var r = nodes.map(_ -> scale / nodes.length).toMap
+    (1 to 5).foreach { _ =>
+      val contrib = nodes.map { v =>
+        v -> adj.toSeq.flatMap { case (u, es) =>
+          es.collect { case (`v`, m) =>
+            (r(u) / outw(u)) * m + ((r(u) % outw(u)) * m) / outw(u) }
+        }.sum
+      }.toMap
+      r = nodes.map(v => v -> (base + (85L * contrib(v)) / 100L)).toMap
+    }
+    assert(got === r, s"engine $got vs model $r")
+    // structure: the hub out-ranks every spoke; total mass stays <= scale
+    assert(got("hub") > got("a") && got("hub") > got("b") && got("hub") > got("c"))
+    assert(got.values.sum <= scale)
+  }
+
   test("canonicalize maps unpaired docs to themselves and paired docs to the component min") {
     val docs = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (7L, "e"))
       .toDF("doc_id", "text")
