@@ -267,6 +267,24 @@ class PlanContractSpec extends SparkSpec {
       s"more than one distinct cache in train-ready:\n${relations.mkString("\n")}")
   }
 
+  test("the late-round-9 entries stay equi-join-only; unigram's one cross join is the broadcast scalar") {
+    // pagerank: rank-to-edge equi-joins per iteration; rollup merge: a
+    // union + re-aggregate, no join of facts; scd2: one window pair, no
+    // join at all
+    Seq("graph_pagerank", "q_rollup_increment", "q_scd2_intervals").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
+    }
+    // unigram's corpus total N is a ONE-ROW aggregate broadcast-crossed
+    // into the per-token projection (the IVF-centroid exception shape);
+    // anything beyond that single bounded cross join is a regression
+    val pu = plan("text_unigram_lp")
+    assert(!pu.contains("CartesianProduct"), s"unigram has an unplanned cartesian:\n$pu")
+    val bnlj = pu.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj === 1, s"unigram must have exactly the one broadcast scalar cross join, found $bnlj:\n$pu")
+  }
+
   test("a selective dim filter injects a bloom runtime filter into a shuffle join's fact side") {
     // The row-level sibling of dynamic partition pruning (LayoutSpec): when
     // the fact is NOT partitioned by the join key and the join is too big
