@@ -223,6 +223,9 @@ object SparkEntry {
     "q_retention" -> ((s, dir) =>
       Funnel.retentionCohorts(Tables.events(s, dir)).orderBy("cohort_week", "week_offset")),
 
+    "q_quality_thin" -> ((s, dir) =>
+      Sampling.qualityThin(Tables.documents(s, dir), 1L, 2L).orderBy("doc_id")),
+
     // integer-exact damped PageRank over the event-transition graph; the
     // oracle unrolls the same 5 iterations in SQL (no floats anywhere)
     "graph_pagerank" -> ((s, dir) =>
@@ -1156,6 +1159,24 @@ object SparkEntry {
     // pins (ts, event_id) — without the reduction, agreement would hinge on
     // the data never holding duplicate (user_id, ts) view rows
     "q_asof_attribution" -> ASOF_ATTRIBUTION_SQL,
+
+    // quality_score reproduced exactly as in text_quality's oracle; keep
+    // test = per-row hex threshold over the md5 slice, all integer
+    "q_quality_thin" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) * 0.4 +
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) * 0.3 +
+        |    CASE WHEN len(string_split(text, ' ')) >= 40 THEN 0.3
+        |         ELSE CAST(len(string_split(text, ' ')) AS DOUBLE) / 40.0 * 0.3 END AS quality_score
+        |  FROM documents),
+        |qq AS (SELECT doc_id, CAST(floor(quality_score * 1000000.0) AS BIGINT) AS qq FROM q)
+        |SELECT doc_id, qq FROM qq
+        |WHERE 1 * qq >= 2 * 1000000
+        |   OR substr(md5('qthin:' || CAST(doc_id AS VARCHAR)), 1, 5)
+        |      < lpad(lower(to_hex((1 * qq * 1048576) // (2 * 1000000))), 5, '0')
+        |ORDER BY doc_id""".stripMargin,
 
     "graph_pagerank" -> PAGERANK_SQL,
 

@@ -109,6 +109,34 @@ object Sampling {
         ((col("cum_tokens") - col("n_tokens")) % budgetTokens).as("pack_offset"))
   }
 
+  /** Quality-proportional thinning — per-doc importance sampling: doc i
+    * is kept with probability (targetNum/targetDen) · quality(i), so the
+    * surviving corpus is quality-weighted without ranking or sorting
+    * (the DCLM-style soft filter, vs [[stratifiedSample]]'s hard
+    * per-stratum rates). Purely per-row like splitColumn — no global
+    * aggregate, no shuffle, scan-speed at 100 TB, deterministic under
+    * retries and repartitioning; the expected kept fraction is
+    * target · mean(quality) (budget a fixed fraction by solving target
+    * from a separate mean pass, or use [[mixtureRates]] for stratum
+    * budgets). Engine-portable by the same trick as stratifiedSample:
+    * the keep test compares a fixed-width hex slice of the portable md5
+    * against a PER-ROW integer threshold rendered in hex —
+    * floor(target · qq · 16^5 / 10^6) over the micro-quantized quality,
+    * all Long arithmetic; rate ≥ 1 short-circuits to keep-all (a 6-hex
+    * threshold would compare lexicographically wrong). */
+  def qualityThin(docs: DataFrame, targetNum: Long = 1L, targetDen: Long = 1L,
+                  seed: String = "qthin:"): DataFrame = {
+    require(targetNum > 0 && targetDen > 0 && targetNum <= targetDen,
+      s"target $targetNum/$targetDen out of (0,1]")
+    TextAnalysis.quality(docs)
+      .select(col("doc_id"),
+        floor(col("quality_score") * 1000000.0).cast("long").as("qq"))
+      .filter((lit(targetNum) * col("qq") >= lit(targetDen) * lit(1000000L)) ||
+        substring(idHash(col("doc_id"), seed), 1, 5) <
+          lpad(lower(hex(expr(
+            s"($targetNum * qq * 1048576) DIV ($targetDen * 1000000)"))), 5, "0"))
+  }
+
   /** Deterministic global shuffle: orders by the seeded id hash. Changing
     * the seed re-deals the order; the same seed reproduces it anywhere.
     * A total sort costs one range-partitioning exchange — at cluster scale

@@ -155,6 +155,28 @@ class SamplingSpec extends SparkSpec {
     assert(batch.exists(_._2 == "en") && batch.count(_._2 == "de") === 100)
   }
 
+  test("quality thinning keeps proportionally to quality, deterministically") {
+    // two quality tiers: rich diverse docs with stopwords vs one repeated
+    // word; thinning at rate 1 keeps the high tier much more often
+    val hi = (0L until 200L).map(i =>
+      (i, s"the a w$i x$i y$i z$i " + (1 to 40).map(j => s"t${i}_$j").mkString(" ")))
+    val lo = (200L until 400L).map(i => (i, Array.fill(45)("same").mkString(" ")))
+    val docs = (hi ++ lo).toDF("doc_id", "text")
+    val kept = Sampling.qualityThin(docs).collect().map(_.getLong(0)).toSet
+    val keptHi = kept.count(_ < 200L)
+    val keptLo = kept.count(_ >= 200L)
+    // hi quality ≈ 0.4+0.3·(2/45)+0.3 ≈ 0.71; lo ≈ 0.4/45+0.3 ≈ 0.31 —
+    // expected keeps 142 vs 62; allow generous slack, require separation
+    assert(keptHi > 110 && keptHi < 175, s"hi tier kept $keptHi of 200")
+    assert(keptLo > 35 && keptLo < 90, s"lo tier kept $keptLo of 200")
+    assert(keptHi > keptLo + 30, "thinning must favor the high-quality tier")
+    // determinism: a second evaluation keeps the identical set
+    assert(Sampling.qualityThin(docs).collect().map(_.getLong(0)).toSet === kept)
+    // halving the target roughly halves each tier, and keeps a subset
+    val half = Sampling.qualityThin(docs, 1L, 2L).collect().map(_.getLong(0)).toSet
+    assert(half.size < kept.size)
+  }
+
   test("sequence packing is a gapless token stream per shard") {
     val budget = 256L
     val packed = Sampling.packSequences(docs, budgetTokens = budget)
