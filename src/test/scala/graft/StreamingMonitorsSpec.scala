@@ -622,6 +622,92 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(math.abs(a(at(1, 0)) - (10.0 + 20.0 * 0.25)) < 1e-12)
   }
 
+  test("resample twins absorb a late-but-valid cross-batch reorder inside the lateness bound") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val h0 = 946684800L * 1000000L
+    def at(h: Long, m: Long): Long = h0 + h * 3600000000L + m * 60000000L
+    // ffill: the late event (batch 3, ts 0:50) is OLDER than batch 2's
+    // 1:10 but still above the watermark (1:10 - 30min = 0:40), and its
+    // bucket 0 is still open (closes at wm >= 1:00) — it must land there
+    // and become the bucket's last value
+    val memF = MemoryStream[(String, Long, Double, Long)]
+    val eventsF = memF.toDF().toDF("event_type", "event_id", "value", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val qF = StreamingMonitors.streamingResampleFfill(eventsF, lateness = "30 minutes")
+      .writeStream.format("memory").queryName("resample_late")
+      .option("checkpointLocation", s"${work()}/ckptF")
+      .outputMode("append").start()
+    val rowsF = Seq(
+      Seq(("A", 1L, 10.0, at(0, 40))),
+      Seq(("A", 2L, 20.0, at(1, 10))),
+      Seq(("A", 3L, 30.0, at(0, 50))), // late, within lateness, reordered
+      Seq(("A", 4L, 40.0, at(2, 20))))
+    try {
+      rowsF.foreach { b => memF.addData(b: _*); qF.processAllAvailable() }
+      memF.addData(("zz", 100L, 0.0, at(5, 0))); qF.processAllAvailable()
+      memF.addData(("zz", 101L, 0.0, at(5, 1))); qF.processAllAvailable()
+    } finally qF.stop()
+    val batchF = graft.ops.TimeSeries.resampleHourly(
+      rowsF.flatten.toDF("event_type", "event_id", "value", "ts_us")
+        .withColumn("ts", timestamp_micros(col("ts_us"))))
+    val streamedF = spark.table("resample_late")
+      .filter(col("event_type") === "A" && col("bucket_us") <= lit(at(2, 0)))
+      .select(col("event_type"),
+        date_format(timestamp_micros(col("bucket_us")), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("n_obs"), col("filled_value"))
+    assert(streamedF.exceptAll(batchF).count() === 0 &&
+      batchF.exceptAll(streamedF).count() === 0,
+      s"ffill diverged from batch under reorder:\n${streamedF.collect().mkString("\n")}")
+    val b0 = spark.table("resample_late")
+      .filter(col("event_type") === "A" && col("bucket_us") === lit(at(0, 0))).collect()
+    assert(b0.length === 1 && b0(0).getLong(2) === 2L && b0(0).getDouble(3) === 30.0,
+      "late event must join its still-open bucket and win the last-value pick")
+
+    // interp: the late 1:30 observation refines grid 1:00's bracket from
+    // (0:30 -> 2:30) to (0:30 -> 1:30); it arrives when wm == 1:30, and
+    // the grid instant only finalizes then — never with the stale bracket
+    val memI = MemoryStream[(String, Long, Double, Long)]
+    val eventsI = memI.toDF().toDF("event_type", "event_id", "value", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val qI = StreamingMonitors.streamingResampleInterp(eventsI, lateness = "1 hour")
+      .writeStream.format("memory").queryName("interp_late")
+      .option("checkpointLocation", s"${work()}/ckptI")
+      .outputMode("append").start()
+    val rowsI = Seq(
+      Seq(("A", 1L, 10.0, at(0, 30))),
+      Seq(("A", 2L, 50.0, at(2, 30))),
+      // late but STRICTLY above the watermark (1:30 after batch 2): a row
+      // at exactly ts == wm is already dropped by the stateful op's late
+      // filter — the boundary the lateness contract actually guarantees
+      Seq(("A", 3L, 40.0, at(1, 45))))
+    try {
+      rowsI.foreach { b => memI.addData(b: _*); qI.processAllAvailable() }
+      memI.addData(("zz", 100L, 0.0, at(6, 0))); qI.processAllAvailable()
+      memI.addData(("zz", 101L, 0.0, at(6, 1))); qI.processAllAvailable()
+    } finally qI.stop()
+    val batchI = graft.ops.TimeSeries.resampleHourlyInterp(
+      rowsI.flatten.toDF("event_type", "event_id", "value", "ts_us")
+        .withColumn("ts", timestamp_micros(col("ts_us"))))
+      .filter(col("interp_value").isNotNull)
+    val streamedI = spark.table("interp_late")
+      .filter(col("event_type") === "A")
+      .select(col("event_type"),
+        date_format(timestamp_micros(col("bucket_us")), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("interp_value"))
+    assert(streamedI.exceptAll(batchI).count() === 0 &&
+      batchI.exceptAll(streamedI).count() === 0,
+      s"interp diverged from batch under reorder:\n${streamedI.collect().mkString("\n")}")
+    val g1 = spark.table("interp_late")
+      .filter(col("event_type") === "A" && col("bucket_us") === lit(at(1, 0))).collect()
+    // refined bracket (0:30 v10 -> 1:45 v40) gives 22; the stale bracket
+    // (0:30 v10 -> 2:30 v50) would give 20 — the values must disagree for
+    // the assertion to mean anything
+    assert(g1.length === 1 && math.abs(g1(0).getDouble(2) - 22.0) < 1e-12,
+      s"grid 1:00 must interpolate against the REFINED bracket, got ${g1.headOption}")
+  }
+
   test("per-row text curation ops run unchanged on a stream and equal their batch output") {
     // quality / piiScrub / langId are pure column expressions (narrow,
     // stateless), so the SAME operator code composes with readStream with
