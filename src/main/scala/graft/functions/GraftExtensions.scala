@@ -47,6 +47,13 @@ object GraftExtensions {
         arity2("graft_shingles(text, n)", children)
         WordShingles(children.head, literalInt("graft_shingles(text, n)", children(1))): Expression
       }),
+    (FunctionIdentifier("graft_minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "graft_minhash_sigs"),
+      (children: Seq[Expression]) => {
+        arity2("graft_minhash_sigs(shingles, numHashes)", children)
+        MinHashSigs(children.head,
+          literalInt("graft_minhash_sigs(shingles, numHashes)", children(1))): Expression
+      }),
     (FunctionIdentifier("graft_srp_sig"),
       new ExpressionInfo(classOf[SrpSignature].getName, "graft_srp_sig"),
       (children: Seq[Expression]) => {

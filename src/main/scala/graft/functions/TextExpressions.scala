@@ -86,8 +86,82 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** One-pass MinHash signatures of a shingle array.
+  *
+  * The per-row streaming near-dup path originally computed each of the K
+  * row minima as `array_min(transform(sh, x -> xxhash64(i, x)))` — K
+  * interpreted lambda passes over the array per row. Same hash family,
+  * one kernel: for each shingle, fold all K hashes in a tight loop
+  * (K chained seeds precomputed once per row), called from generated
+  * code. Hash i of shingle s is EXACTLY Spark's `xxhash64(lit(i), s)` —
+  * seed 42 chained through the int then the string, via the same XXH64
+  * primitives — so signatures are bit-compatible with the batch
+  * bandSigs table built from the exploded-postings aggregate
+  * (ExtensionsSpec pins both equalities). */
+object MinHashKernel {
+
+  private val Xx42 = 42L
+
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+              numHashes: Int): GenericArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.fill[Any](numHashes)(null))
+    val seeds = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) { seeds(i) = XXH64.hashInt(i, Xx42); i += 1 }
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      val base = s.getBaseObject
+      val off = s.getBaseOffset
+      val len = s.numBytes
+      i = 0
+      while (i < numHashes) {
+        val h = XXH64.hashUnsafeBytes(base, off, len, seeds(i))
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** `graft_minhash_sigs(shingles, numHashes)`; numHashes is fixed at plan
+  * time. Output: array of the K per-row minima (nulls only for an empty
+  * input array, mirroring array_min-over-empty). */
+case class MinHashSigs(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = true)
+
+  override def prettyName: String = "graft_minhash_sigs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashKernel.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashKernel$$.MODULE$$.compute($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Codegen'd distinct word n-gram shingles. */
   def shingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
+
+  /** Codegen'd one-pass MinHash signature array. */
+  def minhashSigs(shingles: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSigs(Bridge.expression(shingles), numHashes))
 }

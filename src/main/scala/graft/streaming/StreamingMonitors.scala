@@ -136,17 +136,20 @@ object StreamingMonitors {
       Dedup.shingles(col("text"), n).as("__seen_sh"))
     val seenBands = Dedup.bandSigs(Dedup.postings(seenDocs, n), bands, rowsPerBand)
       .select(col("doc_id").as("seen_id"), col("band"), col("sig"))
-    val mins = (0 until numHashes).map(i =>
-      array_min(transform(col("__sh"), x => xxhash64(lit(i), x))).as(s"h$i"))
+    // all K row minima in ONE codegen'd pass over the shingle array
+    // (graft_minhash_sigs) instead of K interpreted array_min/transform
+    // lambdas; bit-compatible with the batch band table by kernel contract
     val bandCols = (0 until bands).map { b =>
-      concat_ws(",", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+      concat_ws(",",
+        (0 until rowsPerBand).map(r => col("__sigs").getItem(b * rowsPerBand + r)): _*)
     }
     stream
       .withWatermark("ts", lateness)
       .filter(col("text").isNotNull)
       .select(col("doc_id").as("batch_id"), col("ts"),
         Dedup.shingles(col("text"), n).as("__sh"))
-      .select(Seq(col("batch_id"), col("ts"), col("__sh")) ++ mins: _*)
+      .withColumn("__sigs",
+        graft.functions.TextFunctions.minhashSigs(col("__sh"), numHashes))
       .select(col("batch_id"), col("ts"), col("__sh"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
       .join(seenBands, Seq("band", "sig")) // stream-static equi-join, stateless

@@ -30,6 +30,37 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_minhash_sigs equals the HOF form AND the exploded-aggregate band table") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a much longer second document with quite a few more words in it"),
+      (3L, "x")).toDF("doc_id", "text")
+    val sh = graft.ops.Dedup.shingles(col("text"), 3)
+    // 1) per-hash equality with the interpreted HOF chain it replaced
+    val both = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.minhashSigs(sh, 8).as("kernel"),
+      array((0 until 8).map(i =>
+        array_min(transform(sh, x => xxhash64(lit(i), x)))): _*).as("hof"))
+    assert(both.filter(col("kernel") =!= col("hof")).count() === 0,
+      both.collect().mkString("\n"))
+    // 2) per-doc minima equal the batch bandSigs aggregate's row minima
+    //    (same family: min over exploded postings of xxhash64(i, s))
+    val agg = graft.ops.Dedup.postings(docs, 3).groupBy("doc_id")
+      .agg(array((0 until 8).map(i => min(xxhash64(lit(i), col("s")))): _*).as("agg"))
+    val joined = both.join(agg, "doc_id")
+    assert(joined.filter(col("kernel") =!= col("agg")).count() === 0)
+    // 3) SQL registration, literal enforcement
+    val viaSql = spark.sql(
+      "SELECT graft_minhash_sigs(graft_shingles('a b c d', 3), 4) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql.length === 4)
+    intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sigs(graft_shingles('a b', 3), length('xx'))").collect()
+    }
+  }
+
   test("wrong arity fails with the function signature, not an index error") {
     GraftExtensions.register(spark)
     for (bad <- Seq("graft_dot(array(1.0d))", "graft_shingles('a', 2, 3)",
