@@ -41,6 +41,10 @@ object SparkEntry {
     new java.io.File("target/graft-artifacts/pairs_v1_" + tag + "_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
 
+  private def pqArtifactPath(tag: String, dir: String): String =
+    new java.io.File("target/graft-artifacts/pq_v1_" + tag + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     graft.ops.Artifacts.parquetArtifact(s, pairArtifactPath("jaccard", dir))(
       Dedup.ngramJaccard(Tables.documents(s, dir)))
@@ -608,6 +612,36 @@ object SparkEntry {
       Similarity.topKIvf(corpus, k = 5, numQueries = 8, numCells = 16, nprobe = 3,
         pretrained = Some(Similarity.centroidArtifact(corpus,
           ivfArtifactPath("clustered", dir), k = 16, iterations = 2)))
+        .orderBy("query_id", "rank")
+    }),
+
+    // PQ on the real corpus: rows-only by design (codebook internals are
+    // not SQL-expressible); the oracle-green companion is _planted below
+    "sim_topk_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.topKPqRerank(emb, pretrained =
+        Some(Similarity.pqCodebookArtifact(emb, pqArtifactPath("base", dir))))
+        .orderBy("query_id", "rank")
+    }),
+
+    // full-shortlist PQ ≡ brute (the sim_topk_ivf_full pattern): the cut
+    // keeps everything, so the exact rerank IS the brute scan — proves
+    // the rerank arithmetic against the same TOPK oracle
+    "sim_topk_pq_full" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.topKPqRerank(emb, numQueries = 10, shortlist = Int.MaxValue,
+        pretrained = Some(Similarity.pqCodebookArtifact(emb, pqArtifactPath("base", dir))))
+        .orderBy("query_id", "rank")
+    }),
+
+    // PQ recall certificate, the sim_topk_ivf_clustered pattern: cluster
+    // siblings share near-identical codes, so the ADC shortlist keeps the
+    // true top-5 structurally and the exact rerank reproduces brute force
+    // — hash-checked against the SAME DuckDB brute-force oracle
+    "sim_topk_pq_planted" -> ((s, dir) => {
+      val corpus = Similarity.plantedClusterCorpus(Tables.embeddings(s, dir))
+      Similarity.topKPqRerank(corpus, pretrained =
+        Some(Similarity.pqCodebookArtifact(corpus, pqArtifactPath("planted", dir))))
         .orderBy("query_id", "rank")
     }),
 
@@ -1617,9 +1651,34 @@ object SparkEntry {
     // full-probe IVF == the brute scan (see the queries entry)
     "sim_topk_ivf_full" -> TOPK_SQL,
 
+    "sim_topk_pq_full" -> TOPK_SQL,
+
     // brute force over the planted-cluster corpus: recall 1.0 is structural
     // there, so approximate IVF (nprobe=3) must reproduce it exactly
     "sim_topk_ivf_clustered" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> x) AS v
+        |  FROM embeddings),
+        |members AS (
+        |  SELECT CASE WHEN j = 0 THEN s.vec_id
+        |              ELSE 1000 + s.vec_id * 6 + j END AS vec_id,
+        |         list_transform(s.v, x -> x + 0.002 * j) AS v
+        |  FROM (SELECT vec_id, v FROM base WHERE vec_id < 8) s
+        |  CROSS JOIN (SELECT unnest(range(6)) AS j) js),
+        |bg AS (SELECT vec_id + 1000000 AS vec_id, v FROM base WHERE vec_id >= 8),
+        |corpus AS (SELECT vec_id, v FROM members UNION ALL SELECT vec_id, v FROM bg)
+        |SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.v, b.v) AS cosine,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id) AS rank
+        |  FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 8)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // identical to sim_topk_ivf_clustered's oracle: the planted corpus is
+    // SQL-reconstructible and the certified output IS brute-force top-5
+    "sim_topk_pq_planted" ->
       """WITH base AS (
         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> x) AS v
         |  FROM embeddings),

@@ -289,4 +289,148 @@ object Similarity {
       .select(col("vec_id"), col("label"), cosine(col("v"), col("cv")).as("centroid_sim"))
       .orderBy(col("centroid_sim").asc, col("vec_id")).limit(n)
   }
+
+  // ---- Product quantization ----------------------------------------------
+
+  /** Squared L2 over double arrays via the codegen'd dot kernel:
+    * |a−b|² = a·a − 2a·b + b·b (per-row ops, deterministic). */
+  private def l2sq(a: Column, b: Column): Column =
+    VectorFunctions.dot(a, a) - lit(2.0) * VectorFunctions.dot(a, b) +
+      VectorFunctions.dot(b, b)
+
+  /** (vec_id, sub, sv): the M contiguous subvector slices of each vector. */
+  private def subSlices(vecs: DataFrame, m: Int, subDim: Int): DataFrame =
+    vecs.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("v"), col("sub") * subDim + 1, lit(subDim)).as("sv"))
+
+  /** Nearest codeword per (vec_id, sub): L2 argmin with the
+    * (distance, centroid_id) tie rule. The codebook side is m·k rows —
+    * always broadcast. */
+  private def pqAssign(slices: DataFrame, books: DataFrame): DataFrame =
+    slices.join(broadcast(books), "sub")
+      .select(col("vec_id"), col("sub"), col("sv"), col("centroid_id"),
+        l2sq(col("sv"), col("cv")).as("d"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("vec_id", "sub").orderBy(col("d"), col("centroid_id"))))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("sub"), col("centroid_id").as("code"))
+
+  /** Product-quantization codebooks: the vector space splits into `m`
+    * contiguous subspaces and each trains an independent k-means codebook
+    * (proper L2 — PQ approximates distances, not directions), ALL M
+    * trainings riding one exploded frame so an iteration is one job
+    * regardless of m. Same determinism contract as [[trainCentroids]]:
+    * hash-drawn seeds per subspace, decimal-exact means, bounded sample —
+    * codebooks are bit-identical across runs, so
+    * [[pqCodebookArtifact]] is a cache, never a semantic fork.
+    * Output: (sub, centroid_id, cv) with |cv| = dim/m. */
+  def trainPqCodebooks(embeddings: DataFrame, m: Int = 4, kCode: Int = 16,
+                       iterations: Int = 3, maxSample: Int = 65536): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val dim = corpus.select(size(col("v"))).head().getInt(0)
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    val subDim = dim / m
+    val n = corpus.count()
+    val kEff = math.max(1L, math.min(kCode.toLong, math.sqrt(n.toDouble).toLong)).toInt
+    val stride = math.max(1L, n / math.max(1, maxSample))
+    val sample =
+      if (stride == 1L) corpus
+      else corpus.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+    val sub = subSlices(sample, m, subDim).persist()
+    sub.count() // eager, as in trainCentroids
+    var books: Seq[(Int, Long, Seq[Double])] = sub
+      .withColumn("r", row_number().over(
+        Window.partitionBy("sub").orderBy(xxhash64(col("vec_id")), col("vec_id"))))
+      .filter(col("r") <= kEff)
+      .select(col("sub"), (col("r") - 1).cast("long").as("centroid_id"), col("sv"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))).toSeq
+    (1 to iterations).foreach { _ =>
+      val bdf = books.toDF("sub", "centroid_id", "cv")
+      books = subSlicesAssignMeans(sub, bdf)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))).toSeq
+    }
+    sub.unpersist()
+    books.toDF("sub", "centroid_id", "cv")
+  }
+
+  /** One Lloyd step over the exploded slices: L2 argmin assignment, then
+    * decimal-exact per-(sub, centroid, pos) means re-assembled to cv. */
+  private def subSlicesAssignMeans(sub: DataFrame, books: DataFrame): DataFrame =
+    sub.join(broadcast(books), "sub")
+      .select(col("vec_id"), col("sub"), col("sv"), col("centroid_id"),
+        l2sq(col("sv"), col("cv")).as("d"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("vec_id", "sub").orderBy(col("d"), col("centroid_id"))))
+      .filter(col("r") === 1)
+      .select(col("sub"), col("centroid_id"), posexplode(col("sv")))
+      .groupBy(col("sub"), col("centroid_id"), col("pos"))
+      .agg((sum(col("col").cast("decimal(38,30)")) / count(lit(1)))
+        .cast("double").as("mval"))
+      .groupBy("sub", "centroid_id")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("mval")))),
+        x => x.getField("mval")).as("cv"))
+
+  /** Train-once seam for the PQ codebooks (see centroidArtifact — same
+    * contract: deterministic training, Hadoop-FS probe, m·k-row file). */
+  def pqCodebookArtifact(embeddings: DataFrame, path: String, m: Int = 4,
+                         kCode: Int = 16, iterations: Int = 3): DataFrame =
+    Artifacts.parquetArtifact(embeddings.sparkSession, path)(
+      trainPqCodebooks(embeddings, m, kCode, iterations).coalesce(1))
+
+  /** PQ top-k with asymmetric-distance shortlist + EXACT rerank — the
+    * standard serving shape: the corpus is stored as m small integer
+    * codes per vector (here 4 codes for 64 dims — a 64× compression of
+    * the scan), queries stay exact. Per query the ADC table (m·k
+    * sub-dots, computed once against the codebook) scores every corpus
+    * vector through an equi-join on (sub, code) — the corpus side touches
+    * CODES only, never vectors — and the top `shortlist` by approximate
+    * dot (decimal-exact sum, so the cut is order-independent) are
+    * re-scored with exact cosine against the true vectors. Output matches
+    * [[topKBrute]] whenever the shortlist captures the true top-k — on a
+    * clustered corpus that is structural (cluster siblings share
+    * near-identical codes and dominate the ADC ranking), which is what
+    * sim_topk_pq_planted proves against the brute-force oracle.
+    *
+    * 100 TB shape: codes are the only corpus-sized frame (m longs per
+    * vector); the ADC table and codebooks broadcast; the rerank touches
+    * `shortlist` vectors per query. No cartesian — candidate generation
+    * is the (sub, code) equi-join. */
+  def topKPqRerank(embeddings: DataFrame, k: Int = 5, numQueries: Int = 8,
+                   m: Int = 4, kCode: Int = 16, shortlist: Int = 32,
+                   trainIterations: Int = 2,
+                   pretrained: Option[DataFrame] = None): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val dim = corpus.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    val subDim = dim / m
+    val books = broadcast(pretrained.getOrElse(
+      trainPqCodebooks(embeddings, m, kCode, iterations = trainIterations)))
+    val codes = pqAssign(subSlices(corpus, m, subDim), books)
+    val adc = subSlices(corpus.filter(col("vec_id") < numQueries), m, subDim)
+      .join(broadcast(books), "sub")
+      .select(col("vec_id").as("query_id"), col("sub"),
+        col("centroid_id").as("code"),
+        VectorFunctions.dot(col("sv"), col("cv")).as("dsub"))
+    val short = codes.join(broadcast(adc), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("dsub").cast("decimal(38,30)")).cast("double").as("approx_dot"))
+      .withColumn("r", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("approx_dot").desc, col("vec_id"))))
+      .filter(col("r") <= shortlist)
+    short
+      .join(corpus.select(col("vec_id"), col("v").as("nv")), "vec_id")
+      .join(broadcast(corpus.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("cosine"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
 }

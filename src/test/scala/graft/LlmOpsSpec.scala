@@ -295,6 +295,29 @@ class LlmOpsSpec extends SparkSpec {
       === c1.collect().toSeq.map(_.toSeq).sortBy(_.head.asInstanceOf[Long]))
   }
 
+  test("PQ: deterministic codebooks, m codes per vector, full shortlist equals brute") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // bit-identical training across runs — the artifact-is-a-cache premise
+    val b1 = Similarity.trainPqCodebooks(emb, m = 4, kCode = 8, iterations = 2)
+      .orderBy("sub", "centroid_id").collect().toSeq.map(_.toSeq)
+    val b2 = Similarity.trainPqCodebooks(emb, m = 4, kCode = 8, iterations = 2)
+      .orderBy("sub", "centroid_id").collect().toSeq.map(_.toSeq)
+    assert(b1 === b2)
+    // the codebook is (sub, centroid_id, cv) with |cv| = dim/m and every
+    // subspace populated — the 64x scan-compression claim's shape
+    val bySub = b1.groupBy(_.head.asInstanceOf[Int])
+    assert(bySub.keySet === Set(0, 1, 2, 3))
+    assert(b1.forall(_(2).asInstanceOf[scala.collection.Seq[Double]].length === 16))
+    // an exhaustive shortlist makes the exact rerank reproduce brute force
+    // regardless of codebook quality — the arithmetic certificate
+    val full = Similarity.topKPqRerank(emb, numQueries = 6,
+        shortlist = Int.MaxValue, trainIterations = 1)
+      .orderBy("query_id", "rank").collect().toSeq.map(_.toSeq)
+    val brute = Similarity.topKBrute(emb, numQueries = 6)
+      .orderBy("query_id", "rank").collect().toSeq.map(_.toSeq)
+    assert(full === brute)
+  }
+
   test("a partial artifact dir without _SUCCESS is rebuilt, not trusted") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory(
