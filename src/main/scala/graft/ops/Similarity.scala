@@ -279,11 +279,17 @@ object Similarity {
     * its class?" curation filter. The centroid frame is labels×dim rows
     * (bounded — labels are a dimension), broadcast into one corpus pass;
     * global bottom-n is TakeOrdered (per-partition heap, no full sort). */
-  def centroidOutliers(embeddings: DataFrame, n: Int = 25): DataFrame = {
-    val cent = labelCentroids(embeddings)
+  /** (label, cv): the per-label prototype vectors assembled wide — the
+    * bounded (labels are a dimension) broadcast side of every
+    * belongs-to-class pass, batch or streaming. */
+  def labelPrototypes(embeddings: DataFrame): DataFrame =
+    labelCentroids(embeddings)
       .groupBy("label")
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("mean")))),
         x => x.getField("mean")).as("cv"))
+
+  def centroidOutliers(embeddings: DataFrame, n: Int = 25): DataFrame = {
+    val cent = labelPrototypes(embeddings)
     embeddings.select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
       .join(broadcast(cent), "label")
       .select(col("vec_id"), col("label"), cosine(col("v"), col("cv")).as("centroid_sim"))
@@ -403,6 +409,8 @@ object Similarity {
                    m: Int = 4, kCode: Int = 16, shortlist: Int = 32,
                    trainIterations: Int = 2,
                    pretrained: Option[DataFrame] = None): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist=$shortlist < k=$k would silently return fewer than k neighbors")
     val corpus = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val dim = corpus.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")

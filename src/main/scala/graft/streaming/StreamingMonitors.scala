@@ -166,6 +166,31 @@ object StreamingMonitors {
       .select("batch_id", "seen_id", "jaccard")
   }
 
+  /** Streaming nearest-class-prototype attach — the similarity family's
+    * streaming face: each arriving embedding is scored against the STATIC
+    * per-label prototype table (ops/Similarity.labelPrototypes — bounded,
+    * labels are a dimension, always broadcast) and emits its best label
+    * once the watermark closes its window. The cross join is the bounded
+    * labels×rows pass every belongs-to-class scorer pays (stateless); the
+    * only stateful operator is the per-(vec, window) argmax the
+    * watermark finalizes — the streamNearestView append chain. Tie rule
+    * (greatest sim, then greatest label) is pinned stream ≡ batch. */
+  def nearestPrototypeStream(stream: DataFrame, prototypes: DataFrame,
+                             lateness: String = "10 minutes",
+                             windowLen: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark("ts", lateness)
+      .select(col("vec_id"), col("ts"),
+        graft.ops.Similarity.toDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(prototypes))
+      .select(col("vec_id"), col("ts"), col("label"),
+        graft.ops.Similarity.cosine(col("v"), col("cv")).as("sim"))
+      .groupBy(col("vec_id"), window(col("ts"), windowLen))
+      .agg(max_by(struct(col("label"), col("sim")),
+        struct(col("sim"), col("label"))).as("best"))
+      .select(col("vec_id"), col("best.label").as("predicted_label"),
+        col("best.sim").as("prototype_sim"))
+
   /** Per-(key, bucket) running count for [[rateCapStream]]. */
   final case class CapState(n: Long)
 

@@ -749,6 +749,47 @@ class StreamingMonitorsSpec extends SparkSpec {
     }
   }
 
+  test("streaming prototype attach assigns the same labels as the batch argmax") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val protos = graft.ops.Similarity.labelPrototypes(emb)
+    val rows = emb.limit(40)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val t0 = 946684800L * 1000000L
+    val mem = MemoryStream[(Long, Seq[Double], Long)]
+    val stream = mem.toDF().toDF("vec_id", "embedding", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamingMonitors.nearestPrototypeStream(stream, protos, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("proto_stream")
+      .option("checkpointLocation", s"${work()}/ckpt")
+      .outputMode("append").start()
+    try {
+      rows.grouped(15).foreach { b =>
+        mem.addData(b.map { case (id, v) => (id, v, t0 + id) }: _*)
+        q.processAllAvailable()
+      }
+      mem.addData((9999L, rows.head._2, t0 + 7200L * 1000000L)); q.processAllAvailable()
+      mem.addData((9998L, rows.head._2, t0 + 7201L * 1000000L)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("proto_stream").filter(col("vec_id") < 9000L)
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.getDouble(2))).toMap
+    val batch = emb.limit(40)
+      .select(col("vec_id"), graft.ops.Similarity.toDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(protos))
+      .select(col("vec_id"), col("label"),
+        graft.ops.Similarity.cosine(col("v"), col("cv")).as("sim"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("label"), col("sim")),
+        struct(col("sim"), col("label"))).as("best"))
+      .select(col("vec_id"), col("best.label"), col("best.sim"))
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.getDouble(2))).toMap
+    assert(streamed === batch)
+    assert(streamed.size === 40)
+  }
+
   test("streaming incremental near-dup emits the batch minhashIncrement pair set") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
