@@ -283,6 +283,14 @@ class PlanContractSpec extends SparkSpec {
     assert(!pu.contains("CartesianProduct"), s"unigram has an unplanned cartesian:\n$pu")
     val bnlj = pu.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
     assert(bnlj === 1, s"unigram must have exactly the one broadcast scalar cross join, found $bnlj:\n$pu")
+    // PQ: every join in the serving path is an equi-join (codebook assign
+    // on sub, ADC on (sub, code), rerank on ids) — broadcast-hashed, never
+    // nested-loop; quality thinning is pure per-row — NO join at all
+    val ppq = plan("sim_topk_pq")
+    assert(!ppq.contains("CartesianProduct") && !ppq.contains("BroadcastNestedLoopJoin"),
+      s"PQ serving path lost its equi-join-only shape:\n$ppq")
+    val pqt = plan("q_quality_thin")
+    assert(!pqt.contains("Join"), s"quality thinning must stay join-free per-row:\n$pqt")
   }
 
   test("a selective dim filter injects a bloom runtime filter into a shuffle join's fact side") {
