@@ -230,6 +230,19 @@ object SparkEntry {
     "q_quality_thin" -> ((s, dir) =>
       Sampling.qualityThin(Tables.documents(s, dir), 1L, 2L).orderBy("doc_id")),
 
+    // the pre-training validation gate: one profile pass, declared rules,
+    // auditable pass/fail report (the enforce() form throws naming every
+    // violated expectation — spec'd)
+    "q_data_expectations" -> ((s, dir) => {
+      import graft.ops.{Expectations => E}
+      E.report(Tables.events(s, dir), Seq(
+        E.nonEmpty("event_id"), E.notNull("event_id"), E.unique("event_id"),
+        E.notNull("event_type"), E.notNull("value"),
+        E.minAtLeast("value", 0.0), E.maxAtMost("value", 100000.0),
+        E.unique("user_id")))
+        .orderBy("column", "check")
+    }),
+
     // integer-exact damped PageRank over the event-transition graph; the
     // oracle unrolls the same 5 iterations in SQL (no floats anywhere)
     "graph_pagerank" -> ((s, dir) =>
@@ -1193,6 +1206,48 @@ object SparkEntry {
     // pins (ts, event_id) — without the reduction, agreement would hinge on
     // the data never holding duplicate (user_id, ts) view rows
     "q_asof_attribution" -> ASOF_ATTRIBUTION_SQL,
+
+    // per-column profile via UNION ALL, rules as literal rows over it;
+    // double min/max render through DECIMAL(28,6) in both engines
+    "q_data_expectations" ->
+      """WITH p AS (
+        |  SELECT 'event_id' AS col_name, count(*) AS n_rows,
+        |    count(CASE WHEN event_id IS NULL THEN 1 END) AS n_null,
+        |    count(DISTINCT event_id) AS n_distinct,
+        |    CAST(min(event_id) AS VARCHAR) AS min_value,
+        |    CAST(max(event_id) AS VARCHAR) AS max_value FROM events
+        |  UNION ALL SELECT 'event_type', count(*),
+        |    count(CASE WHEN event_type IS NULL THEN 1 END),
+        |    count(DISTINCT event_type),
+        |    CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR) FROM events
+        |  UNION ALL SELECT 'value', count(*),
+        |    count(CASE WHEN value IS NULL THEN 1 END),
+        |    count(DISTINCT value),
+        |    CAST(CAST(min(value) AS DECIMAL(28,6)) AS VARCHAR),
+        |    CAST(CAST(max(value) AS DECIMAL(28,6)) AS VARCHAR) FROM events
+        |  UNION ALL SELECT 'user_id', count(*),
+        |    count(CASE WHEN user_id IS NULL THEN 1 END),
+        |    count(DISTINCT user_id),
+        |    CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM events),
+        |r AS (
+        |  SELECT 'event_id' AS "column", 'non_empty' AS "check",
+        |    'event_id must have rows' AS expectation, n_rows > 0 AS passed,
+        |    n_rows, n_null, n_distinct, min_value, max_value FROM p WHERE col_name = 'event_id'
+        |  UNION ALL SELECT 'event_id', 'not_null', 'event_id must contain no nulls',
+        |    n_null = 0, n_rows, n_null, n_distinct, min_value, max_value FROM p WHERE col_name = 'event_id'
+        |  UNION ALL SELECT 'event_id', 'unique', 'event_id must be unique among non-null values',
+        |    n_distinct = n_rows - n_null, n_rows, n_null, n_distinct, min_value, max_value FROM p WHERE col_name = 'event_id'
+        |  UNION ALL SELECT 'event_type', 'not_null', 'event_type must contain no nulls',
+        |    n_null = 0, n_rows, n_null, n_distinct, min_value, max_value FROM p WHERE col_name = 'event_type'
+        |  UNION ALL SELECT 'value', 'not_null', 'value must contain no nulls',
+        |    n_null = 0, n_rows, n_null, n_distinct, min_value, max_value FROM p WHERE col_name = 'value'
+        |  UNION ALL SELECT 'value', 'min_at_least', 'value minimum must be >= 0.0',
+        |    CAST(min_value AS DOUBLE) >= 0.0, n_rows, n_null, n_distinct, min_value, max_value FROM p WHERE col_name = 'value'
+        |  UNION ALL SELECT 'value', 'max_at_most', 'value maximum must be <= 100000.0',
+        |    CAST(max_value AS DOUBLE) <= 100000.0, n_rows, n_null, n_distinct, min_value, max_value FROM p WHERE col_name = 'value'
+        |  UNION ALL SELECT 'user_id', 'unique', 'user_id must be unique among non-null values',
+        |    n_distinct = n_rows - n_null, n_rows, n_null, n_distinct, min_value, max_value FROM p WHERE col_name = 'user_id')
+        |SELECT * FROM r ORDER BY "column", "check"""".stripMargin,
 
     // quality_score reproduced exactly as in text_quality's oracle; keep
     // test = per-row hex threshold over the md5 slice, all integer

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality expectations — the validation pass a training pipeline
+  * runs BEFORE a 100 TB job consumes a new drop: profile the columns in
+  * ONE aggregate pass, then check declared expectations against the
+  * profile and fail loudly naming every violated rule (the deequ-style
+  * contract; silent bad data is how a week of training dies).
+  *
+  * The profile is a single groupBy-free aggregate — every metric is a
+  * partial-aggregable expression, so the pass is one map-side-combined
+  * job over the scan at any scale; nothing driver-side but the one
+  * profile row. Exact counts only (null/distinct/bounds) — estimates
+  * belong to the monitoring surface (approxDistinct), not a gate that
+  * decides whether data ships. */
+object Expectations {
+
+  /** One row per profiled column: n, n_null, n_distinct, min/max as
+    * strings (type-erased for the cross-column long format). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
+    val aggs = cols.flatMap { c =>
+      // floating columns render through a fixed-scale decimal: raw
+      // double→string formatting differs between engines, decimal→string
+      // does not (the portable-report requirement)
+      val shown: Column => Column = df.schema(c).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType =>
+          x => x.cast("decimal(28,6)").cast("string")
+        case _ => x => x.cast("string")
+      }
+      Seq(count(lit(1)).as(s"__n_$c"),
+        count(when(col(c).isNull, 1)).as(s"__null_$c"),
+        count_distinct(col(c)).as(s"__dist_$c"),
+        shown(min(col(c))).as(s"__min_$c"),
+        shown(max(col(c))).as(s"__max_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column"), col(s"__n_$c").as("n_rows"),
+        col(s"__null_$c").as("n_null"), col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"), col(s"__max_$c").as("max_value"))
+    }
+    row.select(explode(array(stacked: _*)).as("p")).select("p.*")
+  }
+
+  /** One declared expectation over a profiled column. */
+  final case class Rule(column: String, check: String,
+                       predicate: Column, describe: String)
+
+  /** Common rule builders. */
+  def notNull(c: String): Rule =
+    Rule(c, "not_null", col("n_null") === 0, s"$c must contain no nulls")
+  def unique(c: String): Rule =
+    Rule(c, "unique", col("n_distinct") === col("n_rows") - col("n_null"),
+      s"$c must be unique among non-null values")
+  def nonEmpty(c: String): Rule =
+    Rule(c, "non_empty", col("n_rows") > 0, s"$c must have rows")
+  def minAtLeast(c: String, bound: Double): Rule =
+    Rule(c, "min_at_least", col("min_value").cast("double") >= bound,
+      s"$c minimum must be >= $bound")
+  def maxAtMost(c: String, bound: Double): Rule =
+    Rule(c, "max_at_most", col("max_value").cast("double") <= bound,
+      s"$c maximum must be <= $bound")
+
+  /** Evaluate rules against the profile: one row per rule with a pass
+    * flag — the auditable report form (write it next to the data drop). */
+  def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "report needs at least one rule")
+    val prof = profile(df, rules.map(_.column).distinct)
+    rules.map { r =>
+      prof.filter(col("column") === r.column)
+        .select(lit(r.column).as("column"), lit(r.check).as("check"),
+          lit(r.describe).as("expectation"), r.predicate.as("passed"),
+          col("n_rows"), col("n_null"), col("n_distinct"),
+          col("min_value"), col("max_value"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The gate form: throws listing EVERY violated expectation by name —
+    * never a partial signal, never a silent pass-through. */
+  def enforce(df: DataFrame, rules: Seq[Rule]): Unit = {
+    val failed = report(df, rules).filter(!col("passed"))
+      .select("expectation").collect().map(_.getString(0))
+    if (failed.nonEmpty) throw new IllegalStateException(
+      s"data expectations violated (${failed.length}): ${failed.mkString("; ")}")
+  }
+}

@@ -57,6 +57,30 @@ class SkewAndScalarsSpec extends SparkSpec {
     }
   }
 
+  test("expectations gate fails loudly naming EVERY violated rule") {
+    import graft.ops.{Expectations => E}
+    val df = Seq((1L, Option("a"), 1.5), (2L, Option("a"), -0.5),
+      (2L, Option.empty[String], 9.0)).toDF("id", "tag", "score")
+    val report = E.report(df, Seq(
+      E.notNull("id"), E.unique("id"), E.notNull("tag"),
+      E.minAtLeast("score", 0.0), E.maxAtMost("score", 10.0)))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(3)).toMap
+    assert(report === Map(
+      ("id", "not_null") -> true, ("id", "unique") -> false,
+      ("tag", "not_null") -> false,
+      ("score", "min_at_least") -> false, ("score", "max_at_most") -> true))
+    val err = intercept[IllegalStateException] {
+      E.enforce(df, Seq(E.unique("id"), E.notNull("tag"), E.minAtLeast("score", 0.0)))
+    }
+    // all three violations named in one failure — never a partial signal
+    assert(err.getMessage.contains("id must be unique"))
+    assert(err.getMessage.contains("tag must contain no nulls"))
+    assert(err.getMessage.contains("score minimum must be >= 0.0"))
+    // a clean frame passes the gate silently
+    E.enforce(df.filter(col("tag").isNotNull && col("score") >= 0),
+      Seq(E.notNull("tag"), E.minAtLeast("score", 0.0)))
+  }
+
   test("rollup merge is the monoid law: merge of partials equals the direct partial") {
     import graft.ops.Incremental
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
