@@ -47,9 +47,11 @@ object Expectations {
     row.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }
 
-  /** One declared expectation over a profiled column. */
+  /** One declared expectation over a profiled column; `bound` only
+    * applies to the threshold checks (NaN otherwise). */
   final case class Rule(column: String, check: String,
-                       predicate: Column, describe: String)
+                        predicate: Column, describe: String,
+                        bound: Double = Double.NaN)
 
   /** Common rule builders. */
   def notNull(c: String): Rule =
@@ -61,10 +63,10 @@ object Expectations {
     Rule(c, "non_empty", col("n_rows") > 0, s"$c must have rows")
   def minAtLeast(c: String, bound: Double): Rule =
     Rule(c, "min_at_least", col("min_value").cast("double") >= bound,
-      s"$c minimum must be >= $bound")
+      s"$c minimum must be >= $bound", bound)
   def maxAtMost(c: String, bound: Double): Rule =
     Rule(c, "max_at_most", col("max_value").cast("double") <= bound,
-      s"$c maximum must be <= $bound")
+      s"$c maximum must be <= $bound", bound)
 
   /** Evaluate rules against the profile: one row per rule with a pass
     * flag — the auditable report form (write it next to the data drop). */
@@ -88,4 +90,54 @@ object Expectations {
     if (failed.nonEmpty) throw new IllegalStateException(
       s"data expectations violated (${failed.length}): ${failed.mkString("; ")}")
   }
+
+  /** Streaming form: the profile metrics ride the pass as an `observe`
+    * payload — zero extra jobs, surfaced on every micro-batch's progress
+    * (the CollectMetrics channel withIngestMetrics uses) — and
+    * [[evaluateObserved]] turns one batch's metrics row into the same
+    * named-violation list `enforce` throws. The stream is validated
+    * continuously without a second scan; wiring the evaluation into a
+    * StreamingQueryListener makes it a per-batch circuit breaker. */
+  def observed(df: DataFrame, rules: Seq[Rule],
+               name: String = "graft_expectations"): DataFrame = {
+    require(rules.nonEmpty, "observed needs at least one rule")
+    // DISTINCT aggregates are illegal in CollectMetrics, and a per-batch
+    // distinct count could not check cross-batch uniqueness anyway —
+    // reject the rule loudly instead of silently weakening it (streaming
+    // dedup is dropDuplicatesWithinWatermark's job, before this observer)
+    rules.find(_.check == "unique").foreach(r =>
+      throw new IllegalArgumentException(
+        s"observed: '${r.describe}' is not checkable per micro-batch — " +
+          "enforce uniqueness upstream with dropDuplicatesWithinWatermark"))
+    // double bounds only where a threshold rule needs them — an ANSI cast
+    // of a non-numeric column's extrema would fail the whole stream
+    val byCol = rules.groupBy(_.column).toSeq.sortBy(_._1)
+    val aggs = byCol.flatMap { case (c, rs) =>
+      val bounds =
+        if (rs.exists(r => r.check == "min_at_least" || r.check == "max_at_most"))
+          Seq(min(col(c)).cast("double").as(s"min_$c"),
+            max(col(c)).cast("double").as(s"max_$c"))
+        else Nil
+      Seq(count(lit(1)).as(s"n_rows_$c"),
+        count(when(col(c).isNull, 1)).as(s"n_null_$c")) ++ bounds
+    }
+    df.observe(name, aggs.head, aggs.tail: _*)
+  }
+
+  /** Violated-expectation descriptions for one observed metrics row. */
+  def evaluateObserved(metrics: org.apache.spark.sql.Row, rules: Seq[Rule]): Seq[String] =
+    rules.filterNot { r =>
+      val n = metrics.getAs[Long](s"n_rows_${r.column}")
+      val nNull = metrics.getAs[Long](s"n_null_${r.column}")
+      def minV = Option(metrics.getAs[java.lang.Double](s"min_${r.column}"))
+      def maxV = Option(metrics.getAs[java.lang.Double](s"max_${r.column}"))
+      r.check match {
+        case "not_null" => nNull == 0L
+        case "non_empty" => n > 0L
+        case "min_at_least" => minV.forall(_ >= r.bound)
+        case "max_at_most" => maxV.forall(_ <= r.bound)
+        case other => throw new IllegalArgumentException(
+          s"unknown or non-streaming check: $other")
+      }
+    }.map(_.describe)
 }

@@ -81,6 +81,43 @@ class SkewAndScalarsSpec extends SparkSpec {
       Seq(E.notNull("tag"), E.minAtLeast("score", 0.0)))
   }
 
+  test("expectations ride a stream per micro-batch via observe") {
+    import graft.ops.{Expectations => E}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val rules = Seq(E.notNull("tag"), E.minAtLeast("score", 0.0),
+      E.maxAtMost("score", 10.0))
+    val mem = MemoryStream[(Long, Option[String], Double)]
+    // uniqueness is not per-batch-checkable — rejected loudly, not weakened
+    intercept[IllegalArgumentException] {
+      E.observed(mem.toDF().toDF("id", "tag", "score"), Seq(E.unique("id")))
+    }
+    val sdf = E.observed(mem.toDF().toDF("id", "tag", "score"), rules)
+    val q = sdf.writeStream.format("noop")
+      .option("checkpointLocation", s"${work()}/ckpt").start()
+    try {
+      // batch 1: one null tag, score over the bound
+      mem.addData((1L, Some("a"), 1.0), (1L, None, 99.0))
+      q.processAllAvailable()
+      val m1 = q.lastProgress.observedMetrics.get("graft_expectations")
+      val v1 = E.evaluateObserved(m1, rules)
+      assert(v1.toSet === Set("tag must contain no nulls",
+        "score maximum must be <= 10.0"))
+      // batch 2: clean — no violations
+      mem.addData((2L, Some("b"), 2.0), (3L, Some("c"), 3.0))
+      q.processAllAvailable()
+      val v2 = E.evaluateObserved(
+        q.lastProgress.observedMetrics.get("graft_expectations"), rules)
+      assert(v2.isEmpty, s"clean batch reported: $v2")
+    } finally q.stop()
+  }
+
+  private def work(): String = {
+    val base = new java.io.File("target/test-out").getAbsoluteFile.toPath
+    java.nio.file.Files.createDirectories(base)
+    java.nio.file.Files.createTempDirectory(base, "exp").toString
+  }
+
   test("rollup merge is the monoid law: merge of partials equals the direct partial") {
     import graft.ops.Incremental
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
