@@ -658,6 +658,29 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the production composition: IVF probe restriction × PQ ADC scoring
+    // × exact rerank; rows-only on the real corpus, certified by _planted
+    "sim_topk_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.topKIvfPq(emb,
+        centroids = Some(Similarity.centroidArtifact(emb,
+          ivfArtifactPath("base", dir), k = 16, iterations = 2)),
+        codebooks = Some(Similarity.pqCodebookArtifact(emb, pqArtifactPath("base", dir))))
+        .orderBy("query_id", "rank")
+    }),
+
+    // composed certificate: siblings land in the probed cells (IVF
+    // argument) with dominant ADC scores (PQ argument) — output is brute
+    // force, hash-checked against the same clustered oracle
+    "sim_topk_ivfpq_planted" -> ((s, dir) => {
+      val corpus = Similarity.plantedClusterCorpus(Tables.embeddings(s, dir))
+      Similarity.topKIvfPq(corpus,
+        centroids = Some(Similarity.centroidArtifact(corpus,
+          ivfArtifactPath("clustered", dir), k = 16, iterations = 2)),
+        codebooks = Some(Similarity.pqCodebookArtifact(corpus, pqArtifactPath("planted", dir))))
+        .orderBy("query_id", "rank")
+    }),
+
     "q_embed_quantize" -> ((s, dir) => {
       val q = Quantization.quantize(Tables.embeddings(s, dir))
       q.select(
@@ -1711,48 +1734,14 @@ object SparkEntry {
     // brute force over the planted-cluster corpus: recall 1.0 is structural
     // there, so approximate IVF (nprobe=3) must reproduce it exactly
     "sim_topk_ivf_clustered" ->
-      """WITH base AS (
-        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> x) AS v
-        |  FROM embeddings),
-        |members AS (
-        |  SELECT CASE WHEN j = 0 THEN s.vec_id
-        |              ELSE 1000 + s.vec_id * 6 + j END AS vec_id,
-        |         list_transform(s.v, x -> x + 0.002 * j) AS v
-        |  FROM (SELECT vec_id, v FROM base WHERE vec_id < 8) s
-        |  CROSS JOIN (SELECT unnest(range(6)) AS j) js),
-        |bg AS (SELECT vec_id + 1000000 AS vec_id, v FROM base WHERE vec_id >= 8),
-        |corpus AS (SELECT vec_id, v FROM members UNION ALL SELECT vec_id, v FROM bg)
-        |SELECT query_id, rank, neighbor_id, cosine FROM (
-        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |    list_cosine_similarity(a.v, b.v) AS cosine,
-        |    row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id) AS rank
-        |  FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
-        |  WHERE a.vec_id < 8)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      PLANTED_TOPK_SQL,
+
+    "sim_topk_ivfpq_planted" -> PLANTED_TOPK_SQL,
 
     // identical to sim_topk_ivf_clustered's oracle: the planted corpus is
     // SQL-reconstructible and the certified output IS brute-force top-5
     "sim_topk_pq_planted" ->
-      """WITH base AS (
-        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> x) AS v
-        |  FROM embeddings),
-        |members AS (
-        |  SELECT CASE WHEN j = 0 THEN s.vec_id
-        |              ELSE 1000 + s.vec_id * 6 + j END AS vec_id,
-        |         list_transform(s.v, x -> x + 0.002 * j) AS v
-        |  FROM (SELECT vec_id, v FROM base WHERE vec_id < 8) s
-        |  CROSS JOIN (SELECT unnest(range(6)) AS j) js),
-        |bg AS (SELECT vec_id + 1000000 AS vec_id, v FROM base WHERE vec_id >= 8),
-        |corpus AS (SELECT vec_id, v FROM members UNION ALL SELECT vec_id, v FROM bg)
-        |SELECT query_id, rank, neighbor_id, cosine FROM (
-        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |    list_cosine_similarity(a.v, b.v) AS cosine,
-        |    row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id) AS rank
-        |  FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
-        |  WHERE a.vec_id < 8)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      PLANTED_TOPK_SQL,
 
     "q_embed_quantize" ->
       ("""SELECT vec_id,
@@ -2150,6 +2139,30 @@ object SparkEntry {
 
   /** Exact top-k cosine (DuckDB side of sim_topk_brute, and of
     * sim_topk_ivf_full — full-probe IVF reduces to the same scan). */
+  /** Brute-force top-5 over the SQL-reconstructed planted-cluster corpus —
+    * the shared certificate oracle for sim_topk_ivf_clustered,
+    * sim_topk_pq_planted, and sim_topk_ivfpq_planted. */
+  private val PLANTED_TOPK_SQL =
+    """WITH base AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> x) AS v
+      |  FROM embeddings),
+      |members AS (
+      |  SELECT CASE WHEN j = 0 THEN s.vec_id
+      |              ELSE 1000 + s.vec_id * 6 + j END AS vec_id,
+      |         list_transform(s.v, x -> x + 0.002 * j) AS v
+      |  FROM (SELECT vec_id, v FROM base WHERE vec_id < 8) s
+      |  CROSS JOIN (SELECT unnest(range(6)) AS j) js),
+      |bg AS (SELECT vec_id + 1000000 AS vec_id, v FROM base WHERE vec_id >= 8),
+      |corpus AS (SELECT vec_id, v FROM members UNION ALL SELECT vec_id, v FROM bg)
+      |SELECT query_id, rank, neighbor_id, cosine FROM (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    list_cosine_similarity(a.v, b.v) AS cosine,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id) AS rank
+      |  FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
+      |  WHERE a.vec_id < 8)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private val TOPK_SQL =
     """SELECT query_id, rank, neighbor_id, cosine FROM (
       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

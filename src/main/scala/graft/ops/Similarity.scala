@@ -405,6 +405,62 @@ object Similarity {
     * vector); the ADC table and codebooks broadcast; the rerank touches
     * `shortlist` vectors per query. No cartesian — candidate generation
     * is the (sub, code) equi-join. */
+  /** The production ANN stack — IVF cells × PQ codes: corpus vectors
+    * live in their nearest cell AND are stored as m codes; a query probes
+    * its `nprobe` cells and ADC-scores ONLY the codes in them, then the
+    * shortlist reranks exactly. Composes the two certificates: the
+    * planted variant's true top-k are cluster siblings, siblings land in
+    * the query's probed cells (the IVF argument) with dominant ADC
+    * scores (the PQ argument), so the output is brute force and
+    * hash-checks against the same oracle. Every join is an equi-join on
+    * a broadcast side (cells, ADC table, ids); the only corpus-sized
+    * frames are the cell assignment and the m-codes table. */
+  def topKIvfPq(embeddings: DataFrame, k: Int = 5, numQueries: Int = 8,
+                numCells: Int = 16, nprobe: Int = 3,
+                m: Int = 4, kCode: Int = 16, shortlist: Int = 32,
+                centroids: Option[DataFrame] = None,
+                codebooks: Option[DataFrame] = None): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist=$shortlist < k=$k would silently return fewer than k neighbors")
+    val corpus = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val dim = corpus.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    val subDim = dim / m
+    val cents = broadcast(centroids.getOrElse(
+      trainCentroids(embeddings, numCells, iterations = 2)))
+    val books = broadcast(codebooks.getOrElse(
+      trainPqCodebooks(embeddings, m, kCode, iterations = 2)))
+    val cells = assignCells(embeddings, cents, probe = 1)
+      .select(col("vec_id"), col("cell"))
+    val codes = pqAssign(subSlices(corpus, m, subDim), books).join(cells, "vec_id")
+    val queryCells = assignCells(embeddings.filter(col("vec_id") < numQueries), cents, probe = nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val adc = subSlices(corpus.filter(col("vec_id") < numQueries), m, subDim)
+      .join(broadcast(books), "sub")
+      .select(col("vec_id").as("query_id"), col("sub"),
+        col("centroid_id").as("code"),
+        VectorFunctions.dot(col("sv"), col("cv")).as("dsub"))
+    val short = codes
+      .join(broadcast(queryCells), "cell") // probe restriction: cell equi-join
+      .join(broadcast(adc), Seq("query_id", "sub", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("dsub").cast("decimal(38,30)")).cast("double").as("approx_dot"))
+      .withColumn("r", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("approx_dot").desc, col("vec_id"))))
+      .filter(col("r") <= shortlist)
+    short
+      .join(corpus.select(col("vec_id"), col("v").as("nv")), "vec_id")
+      .join(broadcast(corpus.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("cosine"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   def topKPqRerank(embeddings: DataFrame, k: Int = 5, numQueries: Int = 8,
                    m: Int = 4, kCode: Int = 16, shortlist: Int = 32,
                    trainIterations: Int = 2,

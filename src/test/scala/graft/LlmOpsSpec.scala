@@ -318,6 +318,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(full === brute)
   }
 
+  test("IVF-PQ with full probe and full shortlist degenerates to brute force") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Similarity.topKIvfPq(emb, numQueries = 6,
+        nprobe = Int.MaxValue, shortlist = Int.MaxValue)
+      .orderBy("query_id", "rank").collect().toSeq.map(_.toSeq)
+    val brute = Similarity.topKBrute(emb, numQueries = 6)
+      .orderBy("query_id", "rank").collect().toSeq.map(_.toSeq)
+    assert(got === brute)
+  }
+
   test("a partial artifact dir without _SUCCESS is rebuilt, not trusted") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory(

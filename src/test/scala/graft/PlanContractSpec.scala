@@ -289,6 +289,16 @@ class PlanContractSpec extends SparkSpec {
     val ppq = plan("sim_topk_pq")
     assert(!ppq.contains("CartesianProduct") && !ppq.contains("BroadcastNestedLoopJoin"),
       s"PQ serving path lost its equi-join-only shape:\n$ppq")
+    // ivfpq additionally pays assignCells' bounded centroid passes — the
+    // documented broadcast-tiny cross joins (≤k centroid rows); every
+    // BNLJ in the plan must be that Cross shape and nothing else
+    val pivfpq = plan("sim_topk_ivfpq")
+    assert(!pivfpq.contains("CartesianProduct"),
+      s"ivfpq has an unplanned cartesian:\n$pivfpq")
+    val badBnlj = pivfpq.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).filterNot(_.contains("Cross"))
+    assert(badBnlj.isEmpty,
+      s"ivfpq has a non-centroid nested-loop join:\n${badBnlj.mkString("\n")}")
     val pqt = plan("q_quality_thin")
     assert(!pqt.contains("Join"), s"quality thinning must stay join-free per-row:\n$pqt")
   }
