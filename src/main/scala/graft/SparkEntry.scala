@@ -249,6 +249,14 @@ object SparkEntry {
       Graph.pagerankInt(Graph.eventTransitions(Tables.events(s, dir)))
         .orderBy("node")),
 
+    // dangling-mass-conserving PageRank on the event-chain graph, whose
+    // per-user terminal events are certified sinks; the oracle unrolls
+    // the same iterations with the same per-iteration dangling scalar
+    "graph_pagerank_dangling" -> ((s, dir) =>
+      Graph.pagerankInt(Graph.eventChainEdges(Tables.events(s, dir)),
+          redistributeDangling = true)
+        .orderBy("node")),
+
     // incremental view maintenance: the engine merges a two-way split of
     // the history; the oracle recomputes directly — the associativity law
     "q_rollup_increment" -> ((s, dir) => {
@@ -1292,6 +1300,8 @@ object SparkEntry {
 
     "graph_pagerank" -> PAGERANK_SQL,
 
+    "graph_pagerank_dangling" -> PAGERANK_DANGLING_SQL,
+
     // the oracle is the DIRECT rollup — merge(partial(A), partial(B)) must
     // equal partial(A ∪ B); sums are micro-quantized integers (exact)
     "q_rollup_increment" ->
@@ -2091,27 +2101,36 @@ object SparkEntry {
     * no recursion). Every expression is integer division on positives —
     * `//`/`%` here, `DIV`/`%` in Spark — including the overflow-free
     * per-edge split, so the frames hash-match bit-for-bit. */
-  private val PAGERANK_SQL: String = {
+  /** The shared unrolled-iteration PageRank oracle: `edgesCtes` supplies
+    * `seq`/`pairs`/`edges` (the graph construction varies; the
+    * recurrence doesn't), `dangling` adds the per-iteration redistributed
+    * dangling-mass scalar — the same `D div n` term, computed the same
+    * way, as the engine's `redistributeDangling` path. */
+  private def pagerankSqlFor(edgesCtes: String, dangling: Boolean): String = {
     val (scale, num, den, iters) = (1000000000000L, 85, 100, 5)
-    def iter(k: Int) =
+    def iter(k: Int) = {
+      val dangJoin = if (dangling)
+        s"""
+           |  CROSS JOIN (SELECT coalesce(sum(r), CAST(0 AS BIGINT)) AS d
+           |    FROM it${k - 1} WHERE node NOT IN (SELECT src FROM outw)) ds""".stripMargin
+      else ""
+      val contribTerm = if (dangling)
+        s"($num * (coalesce(c.contrib, CAST(0 AS BIGINT)) + ds.d // nc.n)) // $den"
+      else
+        s"($num * coalesce(c.contrib, CAST(0 AS BIGINT))) // $den"
       s"""it$k AS (
          |  SELECT n.node,
          |    (CAST($scale AS BIGINT) * ${den - num}) // ($den * nc.n)
-         |      + ($num * coalesce(c.contrib, CAST(0 AS BIGINT))) // $den AS r
-         |  FROM nodes n CROSS JOIN ncount nc
+         |      + $contribTerm AS r
+         |  FROM nodes n CROSS JOIN ncount nc$dangJoin
          |  LEFT JOIN (
          |    SELECT e.dst AS node,
          |      CAST(sum((r.r // o.w) * e.m + ((r.r % o.w) * e.m) // o.w) AS BIGINT) AS contrib
          |    FROM it${k - 1} r JOIN edges e ON e.src = r.node
          |    JOIN outw o ON o.src = e.src
          |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
-    s"""WITH seq AS (SELECT user_id, event_type, ts, event_id FROM events
-       |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL),
-       |pairs AS (SELECT event_type AS src,
-       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
-       |  FROM seq),
-       |edges AS (SELECT src, dst, count(*) AS m FROM pairs WHERE dst IS NOT NULL
-       |  GROUP BY 1, 2),
+    }
+    s"""WITH $edgesCtes,
        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
        |ncount AS (SELECT count(*) AS n FROM nodes),
        |outw AS (SELECT src, CAST(sum(m) AS BIGINT) AS w FROM edges GROUP BY 1),
@@ -2121,6 +2140,27 @@ object SparkEntry {
        |SELECT node, r AS rank_q, CAST(r AS DOUBLE) / $scale AS rank
        |FROM it$iters ORDER BY node""".stripMargin
   }
+
+  private val PAGERANK_SQL: String = pagerankSqlFor(
+    """seq AS (SELECT user_id, event_type, ts, event_id FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL),
+      |pairs AS (SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |  FROM seq),
+      |edges AS (SELECT src, dst, count(*) AS m FROM pairs WHERE dst IS NOT NULL
+      |  GROUP BY 1, 2)""".stripMargin, dangling = false)
+
+  /** Event-chain graph (node = event_id, per-user consecutive edges,
+    * weight 1): every user's terminal event is a certified dangling sink,
+    * so this exercises the redistribution path on every iteration. */
+  private val PAGERANK_DANGLING_SQL: String = pagerankSqlFor(
+    """seq AS (SELECT user_id, event_id, ts FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL),
+      |pairs AS (SELECT event_id AS src,
+      |    lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |  FROM seq),
+      |edges AS (SELECT src, dst, CAST(1 AS BIGINT) AS m FROM pairs
+      |  WHERE dst IS NOT NULL)""".stripMargin, dangling = true)
 
   private val ASOF_ATTRIBUTION_SQL =
     """WITH p AS (SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us, value

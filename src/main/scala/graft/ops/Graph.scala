@@ -164,6 +164,28 @@ object Graph {
       .agg(count(lit(1)).as("m"))
   }
 
+  /** Per-user event-chain edges at EVENT granularity: each event links to
+    * the user's next event (same (ts, id) order and null filter as
+    * [[eventTransitions]]), weight 1. Unlike the type-level graph — where
+    * every type re-occurs as a source and nothing dangles — every user's
+    * terminal event is a CERTIFIED dangling sink here (it has no
+    * out-edge by construction), which is exactly what
+    * [[pagerankInt]]'s `redistributeDangling` variant needs a graph to
+    * exercise: without redistribution ~|users|/|events| of the damped
+    * mass drains per iteration; with it, total mass is conserved up to
+    * integer truncation (spec'd both ways). */
+  def eventChainEdges(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("ts_us").isNotNull)
+      .withColumn("__next", lead(col("event_id"), 1).over(
+        Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))))
+      .filter(col("__next").isNotNull)
+      .select(col("event_id").as("src"), col("__next").as("dst"),
+        lit(1L).as("m"))
+  }
+
   /** Damped PageRank over a weighted edge list in EXACT integer
     * arithmetic — the weighted, damped member of the graph family next
     * to [[connectedComponents]]'s unweighted closure. Ranks live in
@@ -180,8 +202,15 @@ object Graph {
     * (= floor(r·m/w) exactly: r·m alone can pass 2^63 once scale·maxDeg
     * does, while both summands here stay ≤ scale and w², and Σ contrib
     * over ALL edges is ≤ scale because each node distributes at most its
-    * own rank). Dangling nodes leak their damped mass — the simple
-    * variant, noted so the oracle matches by construction.
+    * own rank). Dangling nodes (no out-edges) leak their damped mass in
+    * the default simple variant; `redistributeDangling = true` instead
+    * spreads each iteration's dangling mass D uniformly — every node's
+    * contribution gains the scalar `D div n` before damping, computed as
+    * a one-row aggregate cross-joined in broadcast (never a driver
+    * round-trip), so the recurrence stays integer-exact and
+    * engine-portable (the oracle computes the same scalar per unrolled
+    * iteration). On a graph with no dangling nodes D = 0 every iteration
+    * and the two variants are bit-identical (spec'd).
     *
     * 100 TB shape: per iteration one equi-join of ranks to edges, one
     * aggregate, one left join back to nodes — no cartesian, no driver
@@ -190,7 +219,8 @@ object Graph {
     * the plan stays one-round deep. */
   def pagerankInt(edges: DataFrame, iterations: Int = 5,
                   scale: Long = 1000000000000L,
-                  dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+                  dampNum: Long = 85, dampDen: Long = 100,
+                  redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 1, "pagerankInt needs at least one iteration")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       s"damping $dampNum/$dampDen out of [0,1]")
@@ -210,10 +240,19 @@ object Graph {
         .select(col("dst"),
           expr("(r DIV w) * m + ((r % w) * m) DIV w").as("c"))
         .groupBy(col("dst").as("node")).agg(sum("c").as("contrib"))
-      r = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"), (lit(base) +
+      val withContrib = nodes.join(contrib, Seq("node"), "left")
+      r = (if (!redistributeDangling) {
+        withContrib.select(col("node"), (lit(base) +
           expr(s"($dampNum * coalesce(contrib, CAST(0 AS BIGINT))) DIV $dampDen")).as("r"))
-        .localCheckpoint(false)
+      } else {
+        // this iteration's dangling mass: one-row aggregate over the rank
+        // rows with no out-edges, broadcast-crossed in (bounded 1×n)
+        val dang = r.join(ew.select("src"), col("node") === col("src"), "left_anti")
+          .agg(coalesce(sum("r"), lit(0L)).cast("long").as("dsum"))
+        withContrib.crossJoin(broadcast(dang))
+          .select(col("node"), (lit(base) +
+            expr(s"($dampNum * (coalesce(contrib, CAST(0 AS BIGINT)) + dsum DIV $n)) DIV $dampDen")).as("r"))
+      }).localCheckpoint(false)
       r.count() // materialize: sever lineage NOW, free the prior iterate
     }
     ew.unpersist(blocking = false)

@@ -111,6 +111,68 @@ class GraphSpec extends SparkSpec {
     assert(got.values.sum <= scale)
   }
 
+  test("dangling redistribution matches a driver-side model on a sink-hub star") {
+    // a, b, c all link the hub; the hub has NO out-edge — a certified
+    // dangling sink holding most of the mass by iteration 2
+    val edges = Seq(("a", "hub", 1L), ("b", "hub", 1L), ("c", "hub", 1L))
+      .toDF("src", "dst", "m")
+    val got = Graph.pagerankInt(edges, iterations = 5, redistributeDangling = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the same integer recurrence in plain Scala, dangling term included
+    val scale = 1000000000000L
+    val nodes = Seq("a", "b", "c", "hub")
+    val n = nodes.length
+    val base = (scale * 15L) / (100L * n)
+    var r = nodes.map(_ -> scale / n).toMap
+    (1 to 5).foreach { _ =>
+      val d = r("hub") // the only node without out-edges
+      val contrib = Map("a" -> 0L, "b" -> 0L, "c" -> 0L,
+        "hub" -> (r("a") + r("b") + r("c")))
+      r = nodes.map(v => v -> (base + (85L * (contrib(v) + d / n)) / 100L)).toMap
+    }
+    assert(got === r, s"engine $got vs model $r")
+    // conservation: truncation is the only loss — a handful of units,
+    // not the ~21% five damped leaks of the hub's mass would cost
+    assert(got.values.sum <= scale && got.values.sum > scale - 100L)
+  }
+
+  test("on a graph with no dangling nodes the two pagerank variants are bit-identical") {
+    // the type-level transition graph: every type re-occurs as a source
+    // (checked here, not assumed), so D = 0 every iteration
+    val edges = Graph.eventTransitions(
+      Tables.events(spark, "/root/testdata/sf0.001"))
+    val dangling = edges.select(col("dst")).except(edges.select(col("src"))).count()
+    assert(dangling === 0L, "precondition: the type graph must have no sinks")
+    val simple = Graph.pagerankInt(edges).orderBy("node")
+      .collect().map(_.toSeq)
+    val redist = Graph.pagerankInt(edges, redistributeDangling = true)
+      .orderBy("node").collect().map(_.toSeq)
+    assert(redist === simple)
+  }
+
+  test("on the event-chain graph redistribution conserves mass; the simple variant leaks it") {
+    val edges = Graph.eventChainEdges(
+      Tables.events(spark, "/root/testdata/sf0.001"))
+    val n = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().count()
+    val sumOf = (redistribute: Boolean) =>
+      Graph.pagerankInt(edges, redistributeDangling = redistribute)
+        .agg(sum("rank_q")).head().getLong(0)
+    val conserved = sumOf(true)
+    val leaked = sumOf(false)
+    val scale = 1000000000000L
+    // truncation loses < ~4 units per node per iteration (base div,
+    // damped div, edge floor, D mod n spread) — bound it at 20n over the
+    // 5 iterations plus the initial scale-mod-n split
+    assert(conserved <= scale, s"mass grew: $conserved > $scale")
+    assert(scale - conserved <= 20L * n + n,
+      s"redistribution lost ${scale - conserved} units (n=$n) — more than truncation explains")
+    // the simple variant drains ~0.85·|sinks|/n of the mass per
+    // iteration — orders of magnitude beyond any truncation effect
+    assert(leaked < conserved - 1000000L,
+      s"simple=$leaked should leak far below conserved=$conserved")
+  }
+
   test("canonicalize maps unpaired docs to themselves and paired docs to the component min") {
     val docs = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (7L, "e"))
       .toDF("doc_id", "text")

@@ -271,7 +271,8 @@ class PlanContractSpec extends SparkSpec {
     // pagerank: rank-to-edge equi-joins per iteration; rollup merge: a
     // union + re-aggregate, no join of facts; scd2: one window pair, no
     // join at all
-    Seq("graph_pagerank", "q_rollup_increment", "q_scd2_intervals").foreach { q =>
+    Seq("graph_pagerank", "graph_pagerank_dangling", "q_rollup_increment",
+        "q_scd2_intervals").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
