@@ -257,6 +257,13 @@ object SparkEntry {
           redistributeDangling = true)
         .orderBy("node")),
 
+    // per-part triangle counts on the co-ordered-parts graph; the engine
+    // enumerates by degree-ordered wedge closure, the oracle by plain
+    // id-order — the triangle SET is orientation-invariant
+    "graph_triangles" -> ((s, dir) =>
+      Graph.triangleCounts(Graph.coOrderedParts(Tables.lineitem(s, dir)))
+        .orderBy("part")),
+
     // incremental view maintenance: the engine merges a two-way split of
     // the history; the oracle recomputes directly — the associativity law
     "q_rollup_increment" -> ((s, dir) => {
@@ -1301,6 +1308,21 @@ object SparkEntry {
     "graph_pagerank" -> PAGERANK_SQL,
 
     "graph_pagerank_dangling" -> PAGERANK_DANGLING_SQL,
+
+    // id-ordered enumeration (a < b < c with all three edges present) —
+    // the orientation-free statement of the same exact triangle set
+    "graph_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS a, b.p AS b
+        |      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |tri AS (SELECT e1.a, e1.b, e2.b AS c
+        |        FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT part, count(*) AS n_tri FROM (
+        |  SELECT a AS part FROM tri UNION ALL
+        |  SELECT b FROM tri UNION ALL
+        |  SELECT c FROM tri)
+        |GROUP BY part ORDER BY part""".stripMargin,
 
     // the oracle is the DIRECT rollup — merge(partial(A), partial(B)) must
     // equal partial(A ∪ B); sums are micro-quantized integers (exact)

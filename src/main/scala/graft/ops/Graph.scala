@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over a near-dup pair list, and the
@@ -184,6 +184,93 @@ object Graph {
       .filter(col("__next").isNotNull)
       .select(col("event_id").as("src"), col("__next").as("dst"),
         lit(1L).as("m"))
+  }
+
+  /** Undirected distinct-edge co-occurrence graph over parts: two parts
+    * are adjacent iff some order contains both (a < b canonical). The
+    * classic market-basket projection, built WITHOUT a self-join: one
+    * shuffle groups each order into its sorted part set, two chained
+    * generators emit exactly the ordered pairs (slice from i+2 — no
+    * overgenerate-then-filter), one dedup. 100 TB note: the group-by
+    * fan-in is items-per-order (≤7 here, bounded by basket size on any
+    * retail-shaped corpus), so the collected arrays stay tiny and the
+    * skew-prone hot-part keys only appear AFTER the pair dedup. */
+  def coOrderedParts(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey").as("o"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+      .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
+      .distinct()
+
+  /** Per-node triangle counts by degree-ordered wedge closure (the
+    * node-iterator / compact-forward algorithm): orient every undirected
+    * edge toward its higher-(degree, id) endpoint — the resulting DAG has
+    * max out-degree O(√m) on any graph — enumerate wedges as a
+    * self-equi-join of the oriented edges on their source, and close each
+    * wedge with one more equi-join probing the oriented edge set. Every
+    * triangle is found exactly once (its lowest-ordered vertex is the
+    * wedge pivot), so the counts are exact integers and the DuckDB oracle
+    * can enumerate by plain id-order instead — same set, no degree logic.
+    *
+    * 100 TB shape: degrees are one aggregate; the orientation is a
+    * per-row expression after two broadcast-or-shuffle equi-joins of the
+    * (node, deg) frame; the wedge join shuffles on the pivot, whose
+    * fan-out the orientation bounds (a hot celebrity node of degree d
+    * contributes wedges from its LOW-degree neighbors, not d² of its
+    * own); the closure join shuffles on (v, w). No cartesian, no driver
+    * state. Ids must be non-negative and < 2^40 so (deg, id) packs into
+    * one monotone long — violations raise, never wrap. */
+  def triangleCounts(edges: DataFrame, broadcastClosure: Boolean = true): DataFrame = {
+    val checkedId = (c: Column) =>
+      when(c < 0L || c >= (1L << 40),
+        raise_error(concat(lit("triangleCounts: id out of [0, 2^40): "), c.cast("string"))))
+        .otherwise(c)
+    val deg = edges.select(col("a").as("node")).union(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast("long").as("deg"))
+    val key = (d: Column, id: Column) => d * (1L << 40) + checkedId(id)
+    // persisted: consumed three times (both wedge sides + the closure
+    // build); without it the deg joins re-run per consumer
+    val oriented = edges
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(key(col("da"), col("a")) < key(col("db"), col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(key(col("da"), col("a")) < key(col("db"), col("b")), col("b"))
+          .otherwise(col("a")).as("v"),
+        greatest(key(col("da"), col("a")), key(col("db"), col("b"))).as("kv"))
+      .persist()
+    // both build sides below are the DEDUPED edge projection — orders of
+    // magnitude smaller than the wedge stream flowing between them — so
+    // broadcast them (default) and the whole hot path fuses into ONE
+    // codegen stage with no exchange of the intermediate: scan oriented →
+    // hash-expand wedges on the pivot → hash-probe the closure on (v, w)
+    // → explode corners → partial count. On a graph whose deduped edge
+    // list outgrows the driver, flip the knob for shuffle joins on the
+    // pivot and on (v, w) — same semantics, two more wedge-sized
+    // exchanges.
+    val maybeBcast = (df: DataFrame) => if (broadcastClosure) broadcast(df) else df
+    // wedge generation from per-pivot sorted adjacency ARRAYS instead of
+    // a self-join: one shuffle of the edge list builds the arrays, then
+    // two chained generators emit exactly the ordered out-neighbor pairs
+    // (slice from i+2 on the kv-sorted array) — no outdeg² overgenerate-
+    // then-filter, no join machinery in the hottest loop
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(struct(col("kv"), col("v")))).as("nbrs"))
+    val wedges = adj
+      .select(col("u").as("t1"), col("nbrs"),
+        posexplode(col("nbrs")).as(Seq("i", "x")))
+      .select(col("t1"), col("x.v").as("t2"),
+        explode(expr("slice(nbrs, i + 2, size(nbrs))")).as("y"))
+      .select(col("t1"), col("t2"), col("y.v").as("t3"))
+    val closure = oriented.select(col("u").as("t2"), col("v").as("t3"))
+    val triangles = wedges.join(maybeBcast(closure), Seq("t2", "t3"))
+    // ONE pass over the triangle stream: explode the three corners —
+    // a 3-way union would recompute the wedge pipeline per branch
+    triangles
+      .select(explode(array(col("t1"), col("t2"), col("t3"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n_tri"))
   }
 
   /** Damped PageRank over a weighted edge list in EXACT integer

@@ -173,6 +173,47 @@ class GraphSpec extends SparkSpec {
       s"simple=$leaked should leak far below conserved=$conserved")
   }
 
+  test("triangle counts: K4, a pendant, and a triangle-free path") {
+    // K4 on {1,2,3,4} has 4 triangles, every vertex in 3 of them; vertex
+    // 5 hangs off vertex 1 (pendant — in no triangle, absent from the
+    // output); 10-11-12 is a path — no triangles at all
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (10L, 11L), (11L, 12L)).toDF("a", "b")
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("degree-ordered closure matches id-ordered brute enumeration on the real graph") {
+    val edges = Graph.coOrderedParts(
+      Tables.lineitem(spark, "/root/testdata/sf0.001")).persist()
+    val got = Graph.triangleCounts(edges).orderBy("part")
+      .collect().map(_.toSeq)
+    // brute reference: id-oriented wedge (a<b<c) closure, no degree logic
+    val e = edges.select(col("a"), col("b"))
+    val tri = e.as("e1").join(e.as("e2"),
+        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      .join(e.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"))
+    val brute = tri.select(col("x").as("part"))
+      .union(tri.select(col("y"))).union(tri.select(col("z")))
+      .groupBy("part").agg(count(lit(1)).as("n_tri"))
+      .orderBy("part").collect().map(_.toSeq)
+    edges.unpersist(blocking = false)
+    assert(got === brute)
+    assert(got.nonEmpty, "the sf0.001 co-order graph should have triangles")
+  }
+
+  test("triangle counting raises on ids that cannot pack into the (deg, id) key") {
+    val bad = Seq((-1L, 2L), (2L, 3L)).toDF("a", "b")
+    val ex = intercept[Exception] {
+      Graph.triangleCounts(bad).collect()
+    }
+    assert(ex.getMessage.contains("id out of [0, 2^40)"),
+      s"wrong failure: ${ex.getMessage}")
+  }
+
   test("canonicalize maps unpaired docs to themselves and paired docs to the component min") {
     val docs = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (7L, "e"))
       .toDF("doc_id", "text")

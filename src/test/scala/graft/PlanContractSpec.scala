@@ -271,8 +271,10 @@ class PlanContractSpec extends SparkSpec {
     // pagerank: rank-to-edge equi-joins per iteration; rollup merge: a
     // union + re-aggregate, no join of facts; scd2: one window pair, no
     // join at all
-    Seq("graph_pagerank", "graph_pagerank_dangling", "q_rollup_increment",
-        "q_scd2_intervals").foreach { q =>
+    // triangles: every join keys on an equi column (order, pivot, (v,w));
+    // the < conditions ride along as post-join filters, never a loop
+    Seq("graph_pagerank", "graph_pagerank_dangling", "graph_triangles",
+        "q_rollup_increment", "q_scd2_intervals").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
