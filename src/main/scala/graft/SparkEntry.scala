@@ -257,6 +257,11 @@ object SparkEntry {
           redistributeDangling = true)
         .orderBy("node")),
 
+    // market-basket lift over part pairs with co-order support >= 2;
+    // integer counts, one bit-exact double division
+    "q_basket_lift" -> ((s, dir) =>
+      Graph.basketLift(Tables.lineitem(s, dir)).orderBy("a", "b")),
+
     // per-part triangle counts on the co-ordered-parts graph; the engine
     // enumerates by degree-ordered wedge closure, the oracle by plain
     // id-order — the triangle SET is orientation-invariant
@@ -1308,6 +1313,19 @@ object SparkEntry {
     "graph_pagerank" -> PAGERANK_SQL,
 
     "graph_pagerank_dangling" -> PAGERANK_DANGLING_SQL,
+
+    "q_basket_lift" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |pc AS (SELECT a.p AS a, b.p AS b, count(*) AS n_ab
+        |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+        |parts AS (SELECT p, count(*) AS n_p FROM op GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT o) AS n_orders FROM op)
+        |SELECT pc.a, pc.b, pc.n_ab, pa.n_p AS n_a, pb.n_p AS n_b,
+        |  CAST(t.n_orders * pc.n_ab AS DOUBLE) / (pa.n_p * pb.n_p) AS lift
+        |FROM pc JOIN parts pa ON pa.p = pc.a JOIN parts pb ON pb.p = pc.b
+        |CROSS JOIN tot t
+        |WHERE pc.n_ab >= 2
+        |ORDER BY a, b""".stripMargin,
 
     // id-ordered enumeration (a < b < c with all three edges present) —
     // the orientation-free statement of the same exact triangle set

@@ -203,6 +203,40 @@ object Graph {
       .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
       .distinct()
 
+  /** Association scores over the same co-order projection: for every
+    * part pair sharing at least `minSupport` orders, the lift
+    * n·c(a,b) / (c(a)·c(b)) — the observed-vs-independent co-occurrence
+    * ratio that ranks market-basket rules. All counts are exact integers
+    * (distinct orders), so the one double division at the end is
+    * bit-exact in any engine. 100 TB shape: the pair-count aggregate
+    * shuffles the generator stream (bounded by basket² per order); the
+    * support filter runs BEFORE the enrichment joins, so only the
+    * surviving pairs (a tiny fraction) join the broadcast per-part
+    * counts; the total-order count is the one documented bounded scalar
+    * cross join. */
+  def basketLift(lineitem: DataFrame, minSupport: Long = 2L): DataFrame = {
+    require(minSupport >= 1L,
+      s"basketLift: minSupport=$minSupport must be >= 1 (0 would divide by unjoined parts)")
+    val op = lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairCounts = lineitem
+      .groupBy(col("l_orderkey").as("o"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+      .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    val partCounts = op.groupBy("p").agg(count(lit(1)).as("n_p"))
+    val total = op.agg(countDistinct(col("o")).as("n_orders"))
+    pairCounts
+      .join(broadcast(partCounts.select(col("p").as("a"), col("n_p").as("n_a"))), "a")
+      .join(broadcast(partCounts.select(col("p").as("b"), col("n_p").as("n_b"))), "b")
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_orders") * col("n_ab")).cast("double") / (col("n_a") * col("n_b")))
+          .as("lift"))
+  }
+
   /** Per-node triangle counts by degree-ordered wedge closure (the
     * node-iterator / compact-forward algorithm): orient every undirected
     * edge toward its higher-(degree, id) endpoint — the resulting DAG has

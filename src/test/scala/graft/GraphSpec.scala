@@ -205,6 +205,30 @@ class GraphSpec extends SparkSpec {
     assert(got.nonEmpty, "the sf0.001 co-order graph should have triangles")
   }
 
+  test("basket lift matches hand-computed ratios and drops sub-support pairs") {
+    // 4 orders: {1,2} appears together in o1, o2, o3 (support 3);
+    // {1,3} only in o4 (support 1 — filtered); part 1 in 4 orders,
+    // part 2 in 3, part 3 in 1
+    val li = Seq(
+      (101L, 1L), (101L, 2L), (102L, 1L), (102L, 2L),
+      (103L, 1L), (103L, 2L), (104L, 1L), (104L, 3L),
+      (104L, 3L) // duplicate lineitem row: counts must stay distinct-order
+    ).toDF("l_orderkey", "l_partkey")
+    val got = Graph.basketLift(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // lift(1,2) = n·c(1,2)/(c(1)·c(2)) = 4·3/(4·3) = 1.0
+    assert(got === Map((1L, 2L) -> ((3L, 4L, 3L, 1.0))))
+    // support 1 keeps the {1,3} pair too, with lift 4·1/(4·1) = 1.0
+    val all = Graph.basketLift(li, minSupport = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all === Set((1L, 2L), (1L, 3L)))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.basketLift(li, minSupport = 0L)
+    }
+    assert(ex.getMessage.contains("minSupport"))
+  }
+
   test("triangle counting raises on ids that cannot pack into the (deg, id) key") {
     val bad = Seq((-1L, 2L), (2L, 3L)).toDF("a", "b")
     val ex = intercept[Exception] {

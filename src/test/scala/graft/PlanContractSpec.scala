@@ -286,6 +286,14 @@ class PlanContractSpec extends SparkSpec {
     assert(!pu.contains("CartesianProduct"), s"unigram has an unplanned cartesian:\n$pu")
     val bnlj = pu.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
     assert(bnlj === 1, s"unigram must have exactly the one broadcast scalar cross join, found $bnlj:\n$pu")
+    // basket lift has the same shape: two broadcast-hash part-count
+    // enrichments plus exactly the one n_orders scalar cross join
+    val pbl = plan("q_basket_lift")
+    assert(!pbl.contains("CartesianProduct"), s"basket lift has a cartesian:\n$pbl")
+    assert(pbl.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) === 1,
+      s"basket lift must have exactly the one scalar cross join:\n$pbl")
+    assert(pbl.contains("BroadcastHashJoin"),
+      s"the part-count enrichments should broadcast:\n$pbl")
     // PQ: every join in the serving path is an equi-join (codebook assign
     // on sub, ADC on (sub, code), rerank on ids) — broadcast-hashed, never
     // nested-loop; quality thinning is pure per-row — NO join at all
