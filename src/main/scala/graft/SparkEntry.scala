@@ -262,6 +262,18 @@ object SparkEntry {
     "q_basket_lift" -> ((s, dir) =>
       Graph.basketLift(Tables.lineitem(s, dir)).orderBy("a", "b")),
 
+    // incremental maintenance of the same view: split on the ORDER key
+    // (basket-atomic — a date split would sever baskets, spec'd as a
+    // negative law), merge the monoid state, serve; oracle = the direct
+    // computation's SQL, so merge-then-serve must equal recompute exactly
+    "q_basket_increment" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val prev = Incremental.partialBasketStats(li.filter(col("l_orderkey") % 2 === 0))
+      val delta = Incremental.partialBasketStats(li.filter(col("l_orderkey") % 2 === 1))
+      Incremental.serveBasketLift(Incremental.mergeBasketStats(prev, delta))
+        .orderBy("a", "b")
+    }),
+
     // per-part triangle counts on the co-ordered-parts graph; the engine
     // enumerates by degree-ordered wedge closure, the oracle by plain
     // id-order — the triangle SET is orientation-invariant
@@ -1314,18 +1326,11 @@ object SparkEntry {
 
     "graph_pagerank_dangling" -> PAGERANK_DANGLING_SQL,
 
-    "q_basket_lift" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |pc AS (SELECT a.p AS a, b.p AS b, count(*) AS n_ab
-        |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
-        |parts AS (SELECT p, count(*) AS n_p FROM op GROUP BY 1),
-        |tot AS (SELECT count(DISTINCT o) AS n_orders FROM op)
-        |SELECT pc.a, pc.b, pc.n_ab, pa.n_p AS n_a, pb.n_p AS n_b,
-        |  CAST(t.n_orders * pc.n_ab AS DOUBLE) / (pa.n_p * pb.n_p) AS lift
-        |FROM pc JOIN parts pa ON pa.p = pc.a JOIN parts pb ON pb.p = pc.b
-        |CROSS JOIN tot t
-        |WHERE pc.n_ab >= 2
-        |ORDER BY a, b""".stripMargin,
+    // identical to q_basket_lift by the merge law: the oracle recomputes
+    // directly, the engine merges the order-key split
+    "q_basket_increment" -> BASKET_LIFT_SQL,
+
+    "q_basket_lift" -> BASKET_LIFT_SQL,
 
     // id-ordered enumeration (a < b < c with all three edges present) —
     // the orientation-free statement of the same exact triangle set
@@ -2141,6 +2146,22 @@ object SparkEntry {
     * no recursion). Every expression is integer division on positives —
     * `//`/`%` here, `DIV`/`%` in Spark — including the overflow-free
     * per-edge split, so the frames hash-match bit-for-bit. */
+  /** Direct lift recomputation — the shared oracle for q_basket_lift
+    * (computed directly by the engine too) and q_basket_increment
+    * (engine merges an order-key split; the merge law makes them equal). */
+  private val BASKET_LIFT_SQL =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pc AS (SELECT a.p AS a, b.p AS b, count(*) AS n_ab
+      |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      |parts AS (SELECT p, count(*) AS n_p FROM op GROUP BY 1),
+      |tot AS (SELECT count(DISTINCT o) AS n_orders FROM op)
+      |SELECT pc.a, pc.b, pc.n_ab, pa.n_p AS n_a, pb.n_p AS n_b,
+      |  CAST(t.n_orders * pc.n_ab AS DOUBLE) / (pa.n_p * pb.n_p) AS lift
+      |FROM pc JOIN parts pa ON pa.p = pc.a JOIN parts pb ON pb.p = pc.b
+      |CROSS JOIN tot t
+      |WHERE pc.n_ab >= 2
+      |ORDER BY a, b""".stripMargin
+
   /** The shared unrolled-iteration PageRank oracle: `edgesCtes` supplies
     * `seq`/`pairs`/`edges` (the graph construction varies; the
     * recurrence doesn't), `dangling` adds the per-iteration redistributed

@@ -60,4 +60,68 @@ object Incremental {
     state.select(col("event_type"), col("day"), col("n"), col("sum_q"),
       col("min_v"), col("max_v"),
       hll_sketch_estimate(col("user_sketch")).as("approx_users"))
+
+  /** Mergeable market-basket state: ONE monoid table holding all three
+    * grains the lift computation needs — (a, b) pair co-order counts,
+    * (a, null) per-part order counts, (null, null) the total order
+    * count. Every row is "number of distinct orders", so the merge is a
+    * plain sum at every grain — PROVIDED the increment split never
+    * severs a basket. Partition increments by the ORDER key: a
+    * shipdate/file/arrival split puts one basket's lineitems in two
+    * increments, each too poor to see their cross-increment pairs, and
+    * no merge can recover them (spec'd as a negative law, not just
+    * asserted). Support filtering happens at SERVE time only — a
+    * filtered partial would under-merge pairs that cross the support
+    * floor later. */
+  def partialBasketStats(lineitem: DataFrame): DataFrame = {
+    val op = lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = lineitem
+      .groupBy(col("l_orderkey").as("o"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+      .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+    val parts = op.groupBy(col("p").as("a"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("a"), lit(null).cast("long").as("b"), col("n"))
+    val total = op.agg(countDistinct(col("o")).as("n"))
+      .select(lit(null).cast("long").as("a"), lit(null).cast("long").as("b"),
+        col("n"))
+    pairs.select(col("a"), col("b"), col("n"))
+      .unionByName(parts).unionByName(total)
+  }
+
+  /** Merge basket-state increments: one aggregate, one monoid (null
+    * grain keys group together, so all three grains merge in the same
+    * pass). */
+  def mergeBasketStats(partials: DataFrame*): DataFrame = {
+    require(partials.nonEmpty, "mergeBasketStats needs at least one partial")
+    partials.reduce(_ unionByName _)
+      .groupBy(col("a"), col("b")).agg(sum(col("n")).as("n"))
+  }
+
+  /** Serve lift from a merged state table — same output contract as
+    * Graph.basketLift computed directly. The state is persisted before
+    * the three grain slices read it (in production it would be a
+    * materialized table; here the persist models that read-back). */
+  def serveBasketLift(state: DataFrame, minSupport: Long = 2L): DataFrame = {
+    require(minSupport >= 1L,
+      s"serveBasketLift: minSupport=$minSupport must be >= 1")
+    val s = state.persist()
+    val pairs = s.filter(col("a").isNotNull && col("b").isNotNull &&
+        col("n") >= minSupport)
+      .select(col("a"), col("b"), col("n").as("n_ab"))
+    val parts = s.filter(col("a").isNotNull && col("b").isNull)
+      .select(col("a").as("p"), col("n").as("n_p"))
+    val total = s.filter(col("a").isNull && col("b").isNull)
+      .select(col("n").as("n_orders"))
+    pairs
+      .join(broadcast(parts.select(col("p").as("a"), col("n_p").as("n_a"))), "a")
+      .join(broadcast(parts.select(col("p").as("b"), col("n_p").as("n_b"))), "b")
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_orders") * col("n_ab")).cast("double") / (col("n_a") * col("n_b")))
+          .as("lift"))
+  }
 }

@@ -137,6 +137,30 @@ class SkewAndScalarsSpec extends SparkSpec {
     assert(reversed.exceptAll(direct).count() === 0)
   }
 
+  test("basket merge law holds on an order split and BREAKS on a basket-severing split") {
+    import graft.ops.{Graph, Incremental}
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val direct = Graph.basketLift(li).orderBy("a", "b").collect().toSeq
+    // order-key split: baskets stay atomic → merge-then-serve == direct
+    val byOrder = (0 until 3).map(i => Incremental.partialBasketStats(
+      li.filter(pmod(col("l_orderkey"), lit(3)) === i)))
+    val merged = Incremental.serveBasketLift(
+        Incremental.mergeBasketStats(byOrder: _*))
+      .orderBy("a", "b").collect().toSeq
+    assert(merged === direct)
+    // the NEGATIVE law: a lineitem-level split severs baskets — the two
+    // halves each miss the pairs whose legs land on opposite sides, and
+    // no merge can recover them. This is why increments must be cut on
+    // the basket key, not arrival/date/file order.
+    val severed = (0 until 2).map(i => Incremental.partialBasketStats(
+      li.filter(pmod(col("l_linenumber"), lit(2)) === i)))
+    val wrong = Incremental.serveBasketLift(
+        Incremental.mergeBasketStats(severed: _*))
+      .orderBy("a", "b").collect().toSeq
+    assert(wrong !== direct,
+      "a basket-severing split should NOT satisfy the merge law")
+  }
+
   test("salted count-distinct matches plain count-distinct") {
     val df = Seq.tabulate(1000)(i => ("k" + i % 3, "v" + i % 47)).toDF("k", "v")
     val plain = df.groupBy("k").agg(countDistinct("v").as("v_distinct"))
