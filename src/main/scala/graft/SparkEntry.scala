@@ -1106,11 +1106,11 @@ object SparkEntry {
     "q21_late_suppliers" -> Relational.lateSoleSuppliersSql,
     "q2_min_cost_supplier" -> Relational.minCostSupplierSql,
     "q2_min_cost_supplier_cte" -> Relational.minCostSupplierCteSql,
-    "q20_volume_suppliers_cte" -> Relational.volumeSuppliersCteSql,
+    "q20_volume_suppliers_cte" -> Relational.volumeSuppliersCteSql(),
     "q4_late_priority" -> Relational.latePriorityCountSql,
     "q11_important_parts" -> Relational.importantPartsSql,
     "q15_top_supplier" -> Relational.topSupplierSql,
-    "q20_volume_suppliers" -> Relational.volumeSuppliersSql,
+    "q20_volume_suppliers" -> Relational.volumeSuppliersSql(),
 
     "q8_market_share" ->
       """SELECT o_year, mkt_share FROM (

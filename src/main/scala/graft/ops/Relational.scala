@@ -510,9 +510,13 @@ object Relational {
     * inner rows are gated by a CORRELATED scalar over the same shipped
     * CTE (per-part total). Two decorrelations stacked: the scalar becomes
     * a grouped agg joined on partkey; the IN becomes a left-semi join on
-    * suppkey. Per-(part,supplier) and per-part sums are decimal-exact. */
-  val volumeSuppliersSql: String =
-    """WITH shipped AS (
+    * suppkey. Per-(part,supplier) and per-part sums are decimal-exact.
+    * The share threshold is a PARAMETER (0.15 default keeps the oracle
+    * entry's output non-empty at the small test SFs — a presentation
+    * choice, not a correctness dependency: the spec cross-validates this
+    * form against the CTE form across thresholds). */
+  def volumeSuppliersSql(threshold: Double = 0.15): String =
+    s"""WITH shipped AS (
       |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
       |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
       |  FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -523,13 +527,14 @@ object Relational {
       |WHERE s_suppkey IN (
       |  SELECT sh.suppkey FROM shipped sh
       |  WHERE sh.qty > (
-      |    SELECT CAST(0.15 AS DOUBLE) * CAST(sum(CAST(sh2.qty AS DECIMAL(18,4))) AS DOUBLE)
+      |    SELECT CAST($threshold AS DOUBLE) * CAST(sum(CAST(sh2.qty AS DECIMAL(18,4))) AS DOUBLE)
       |    FROM shipped sh2 WHERE sh2.partkey = sh.partkey))
       |ORDER BY s_suppkey""".stripMargin
 
-  def volumeSuppliers(s: SparkSession, dir: String): DataFrame = {
+  def volumeSuppliers(s: SparkSession, dir: String,
+                      threshold: Double = 0.15): DataFrame = {
     tpchViews(s, dir)
-    s.sql(volumeSuppliersSql)
+    s.sql(volumeSuppliersSql(threshold))
   }
 
   /** The production form of Q20: the correlated per-part total becomes a
@@ -537,8 +542,8 @@ object Relational {
     * (plan-contracted) instead of the decorrelation's re-aggregated
     * second pass. The share comparison divides nothing: qty is compared
     * against 0.15 × an exact-decimal total, same bits as the IN form. */
-  val volumeSuppliersCteSql: String =
-    """WITH shipped AS (
+  def volumeSuppliersCteSql(threshold: Double = 0.15): String =
+    s"""WITH shipped AS (
       |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
       |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
       |  FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -546,7 +551,7 @@ object Relational {
       |  GROUP BY 1, 2),
       |shares AS (
       |  SELECT suppkey, qty,
-      |    CAST(0.15 AS DOUBLE) * CAST(sum(CAST(qty AS DECIMAL(18,4)))
+      |    CAST($threshold AS DOUBLE) * CAST(sum(CAST(qty AS DECIMAL(18,4)))
       |      OVER (PARTITION BY partkey) AS DOUBLE) AS threshold
       |  FROM shipped)
       |SELECT s_suppkey, s_name, s_acctbal
@@ -554,9 +559,10 @@ object Relational {
       |WHERE s_suppkey IN (SELECT suppkey FROM shares WHERE qty > threshold)
       |ORDER BY s_suppkey""".stripMargin
 
-  def volumeSuppliersCte(s: SparkSession, dir: String): DataFrame = {
+  def volumeSuppliersCte(s: SparkSession, dir: String,
+                         threshold: Double = 0.15): DataFrame = {
     tpchViews(s, dir)
-    s.sql(volumeSuppliersCteSql)
+    s.sql(volumeSuppliersCteSql(threshold))
   }
 
   /** TPC-H Q8 shape: one nation's share of a region's market by order

@@ -196,6 +196,26 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: q20's two decorrelation forms agree at every share threshold") {
+    // the 0.15 the oracle entry ships is a presentation choice; the
+    // correctness claim is the DERIVATION, cross-validated here by two
+    // independent forms (correlated-scalar decorrelation vs one-scan
+    // window CTE) at thresholds spanning empty to everything
+    val dir = "/root/testdata/sf0.001"
+    val counts = Seq(0.05, 0.15, 0.3, 0.5, 0.9).map { t =>
+      val a = graft.ops.Relational.volumeSuppliers(spark, dir, t)
+        .collect().map(_.toSeq).toSeq
+      val b = graft.ops.Relational.volumeSuppliersCte(spark, dir, t)
+        .collect().map(_.toSeq).toSeq
+      assert(a === b, s"forms diverge at threshold $t")
+      a.size
+    }
+    // raising the share floor can only shrink the supplier set
+    assert(counts === counts.sorted.reverse,
+      s"supplier counts should be non-increasing in threshold: $counts")
+    assert(counts.head > 0, "lowest threshold should return suppliers")
+  }
+
   test("property: connected components equal a driver-side union-find on random graphs") {
     (1L to 5L).foreach { seed =>
       val edges = sample(Gen.listOfN(60,
