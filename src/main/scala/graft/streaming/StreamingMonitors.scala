@@ -712,4 +712,61 @@ object StreamingMonitors {
       .groupBy(col("x.stage").as("stage_reached"))
       .agg(sum(col("x.d")).as("n_users"))
   }
+
+  /** Streaming maintenance of the basket-lift state
+    * (ops/Incremental.partialBasketStats): each micro-batch folds into a
+    * VERSIONED parquet state via one monoid merge in foreachBatch —
+    * read latest state, merge the batch's partial, write `v<batchId>`.
+    * Writing the version keyed by batchId makes replay IDEMPOTENT: a
+    * restarted batch overwrites its own version, never double-merges
+    * (spec'd), the same re-run contract as the K1 day archive. The
+    * reader takes the highest committed version (`_SUCCESS` present —
+    * Hadoop FS probe, works on object stores).
+    *
+    * The merge-law precondition travels here too: micro-batches must
+    * carry WHOLE baskets (an order's lineitems split across batches
+    * would sever pairs — ops/Incremental.partialBasketStats doc, spec'd
+    * negative law). At scale that means the upstream producer keys its
+    * commit unit on the order, which an order-atomic CDC feed or a
+    * file-per-order-range drop gives naturally. */
+  def basketStateSink(lineitemStream: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    lineitemStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = graft.ops.Incremental.partialBasketStats(batch)
+        val merged = latestBasketState(batch.sparkSession, stateDir, batchId) match {
+          case Some(prev) => graft.ops.Incremental.mergeBasketStats(prev, partial)
+          case None => partial
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        ()
+      }
+      .start()
+
+  /** Highest committed state version strictly BELOW `beforeBatch`
+    * (so a replayed batch merges against its ORIGINAL predecessor, not
+    * its own failed output). Pass Long.MaxValue to read the tip. */
+  def latestBasketState(spark: org.apache.spark.sql.SparkSession,
+                        stateDir: String,
+                        beforeBatch: Long = Long.MaxValue): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) None
+    else {
+      val versions = fs.listStatus(path).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .flatMap { p =>
+          val name = p.getName
+          if (name.startsWith("v") && name.drop(1).forall(_.isDigit) &&
+              fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+            Some(name.drop(1).toLong -> p)
+          else None
+        }
+        .filter(_._1 < beforeBatch)
+      if (versions.isEmpty) None
+      else Some(spark.read.parquet(versions.maxBy(_._1)._2.toString))
+    }
+  }
 }

@@ -790,6 +790,45 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(streamed.size === 40)
   }
 
+  test("streamed basket state serves the batch lift; replay of a batch is idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_partkey").persist()
+    val rows = li.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("l_orderkey", "l_partkey")
+    val stateDir = s"${work()}/basket-state"
+    val q = StreamingMonitors.basketStateSink(stream, stateDir)
+    try {
+      // three order-atomic micro-batches (the merge-law precondition)
+      (0 until 3).foreach { i =>
+        mem.addData(rows.filter(_._1 % 3 == i).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val served = graft.ops.Incremental.serveBasketLift(
+        StreamingMonitors.latestBasketState(spark, stateDir).get)
+      .orderBy("a", "b").collect().toSeq
+    val direct = graft.ops.Graph.basketLift(li.toDF())
+      .orderBy("a", "b").collect().toSeq
+    assert(served === direct)
+    // replay semantics: re-merging batch 2 against its ORIGINAL
+    // predecessor (beforeBatch = 2) and overwriting v2 must leave the
+    // tip state identical — the restart path never double-merges
+    val prev = StreamingMonitors.latestBasketState(spark, stateDir, beforeBatch = 2L).get
+    val partial2 = graft.ops.Incremental.partialBasketStats(
+      rows.filter(_._1 % 3 == 2).toSeq.toDF("l_orderkey", "l_partkey"))
+    graft.ops.Incremental.mergeBasketStats(prev, partial2)
+      .write.mode("overwrite").parquet(s"$stateDir/v2")
+    val replayed = graft.ops.Incremental.serveBasketLift(
+        StreamingMonitors.latestBasketState(spark, stateDir).get)
+      .orderBy("a", "b").collect().toSeq
+    li.unpersist(blocking = false)
+    assert(replayed === direct, "replaying batch 2 changed the served state")
+  }
+
   test("streaming incremental near-dup emits the batch minhashIncrement pair set") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
