@@ -376,6 +376,22 @@ object SparkEntry {
           col("n"))
         .orderBy("station", "level")),
 
+    // arbitrary GROUPING SETS (the three sets rollup can't pick: both
+    // margins plus the detail, NO grand total), disambiguated by
+    // grouping_id — the bit vector both engines derive identically
+    "q_alert_grouping_sets" -> ((s, dir) =>
+      enriched(s, dir)
+        .groupingSets(
+          Seq(Seq(col("wlobscd")), Seq(col("alert_level")),
+            Seq(col("wlobscd"), col("alert_level"))),
+          col("wlobscd"), col("alert_level"))
+        .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+        .select(
+          coalesce(col("wlobscd"), lit("<all>")).as("station"),
+          coalesce(col("alert_level"), lit("<all>")).as("level"),
+          col("n"), col("gid"))
+        .orderBy("gid", "station", "level")),
+
     // pivot: station × alert-level count matrix (fixed level list so the
     // output schema is static and oracle-expressible)
     "q_alert_pivot" -> ((s, dir) =>
@@ -1174,6 +1190,14 @@ object SparkEntry {
         |  coalesce(alert_level, '<all>') AS level, count(*) AS n
         |FROM alerts GROUP BY CUBE (wlobscd, alert_level)
         |ORDER BY station, level""".stripMargin),
+
+    "q_alert_grouping_sets" -> (C +
+      """SELECT coalesce(wlobscd, '<all>') AS station,
+        |  coalesce(alert_level, '<all>') AS level, count(*) AS n,
+        |  CAST(2 * GROUPING(wlobscd) + GROUPING(alert_level) AS BIGINT) AS gid
+        |FROM alerts
+        |GROUP BY GROUPING SETS ((wlobscd), (alert_level), (wlobscd, alert_level))
+        |ORDER BY gid, station, level""".stripMargin),
 
     "q_alert_pivot" -> (C +
       """SELECT wlobscd AS station,

@@ -21,6 +21,52 @@ class SinksSpec extends SparkSpec {
       tsFallback = to_timestamp(lit("1970-01-01")), wlMax = 300.0)
   }
 
+  test("format matrix: parquet/orc/json/csv round-trip the same typed rows") {
+    // one frame exercising the types each format stresses: long, double
+    // (incl. a value needing full precision), string with delimiter and
+    // quote characters, null, and a timestamp carried as a formatted
+    // string (the repo-wide temporal output rule)
+    val src = Seq(
+      (1L, 3.141592653589793, "plain", Option("2024-03-01 10:00:00")),
+      (2L, -0.1, "comma, quote \" and\nnewline", None),
+      (3L, 1.0e-300, "", Option("2024-03-02 00:00:00"))
+    ).toDF("id", "x", "s", "t")
+    val dir = tmp()
+    // self-describing columnar formats: schema AND values survive as-is
+    Seq("parquet", "orc").foreach { fmt =>
+      src.write.format(fmt).save(s"$dir/$fmt")
+      val back = spark.read.format(fmt).load(s"$dir/$fmt")
+      // nullability intentionally ignored: file readers conservatively
+      // mark every column nullable regardless of writer-side flags
+      assert(back.schema.map(f => (f.name, f.dataType)) ===
+        src.schema.map(f => (f.name, f.dataType)), s"$fmt schema drifted")
+      assert(back.orderBy("id").collect().toSeq === src.orderBy("id").collect().toSeq,
+        s"$fmt values drifted")
+    }
+    // json: values survive but the schema must be supplied on read —
+    // inference would widen/reorder; empty string DOES survive (vs csv)
+    src.write.json(s"$dir/json")
+    val jback = spark.read.schema(src.schema).json(s"$dir/json")
+    assert(jback.orderBy("id").collect().toSeq === src.orderBy("id").collect().toSeq,
+      "json values drifted under explicit schema")
+    // csv: needs explicit schema, multiLine for the embedded newline,
+    // and the SAME escape pinned on both sides (Spark's default is
+    // backslash-escape, not RFC-4180 double-quote — an asymmetric
+    // write/read pair silently shreds quoted rows); its ONE lossy
+    // corner — empty string collapsing to null — is pinned here so
+    // nobody discovers it at 100 TB
+    src.write.option("header", "true").option("escape", "\"").csv(s"$dir/csv")
+    val cback = spark.read.schema(src.schema)
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(s"$dir/csv")
+    val expectCsv = src.withColumn("s",
+      when(col("s") === "", lit(null: String)).otherwise(col("s")))
+    assert(cback.orderBy("id").collect().toSeq ===
+      expectCsv.orderBy("id").collect().toSeq,
+      "csv values drifted beyond the documented empty-string collapse")
+  }
+
   test("K1 archive: partition layout is type/y/m/d and rows survive re-read") {
     val base = tmp()
     val fixedNow = to_timestamp(lit("2026-03-04 05:06:07"))
