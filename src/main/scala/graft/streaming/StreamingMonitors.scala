@@ -455,6 +455,13 @@ object StreamingMonitors {
           } else {
             val ordered = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
             val out = Seq.newBuilder[FunnelAdvance]
+            // first-ever sight of this user: a stage-0 presence advance,
+            // so the downstream rollup counts users the batch funnel
+            // reports at stage 0 (activity but no stage-1 event). Emitted
+            // once per state lifetime — a TTL-evicted user that revives
+            // re-enters at stage 0, the statefulDeltaRate revival contract.
+            if (!state.exists && ordered.nonEmpty)
+              out += FunnelAdvance(user, 0, ordered.head.ts_us)
             var done = state.getOption.map(_.stageTs.toVector).getOrElse(Vector.empty)
             // seed from the stored last activity: the max over ALL batches,
             // not just this one, so out-of-order arrival can't shrink the TTL
@@ -690,9 +697,10 @@ object StreamingMonitors {
     * flatMapGroupsWithState feeding one streaming aggregate — the
     * supported chain). Sink in update/complete mode.
     *
-    * Covers stages ≥ 1 only: a user with activity but no stage-1 event
-    * emits no advance, so the batch rollup's stage-0 row has no
-    * counterpart in the advance stream by construction.
+    * Covers ALL stages including 0: the funnel emits a one-time stage-0
+    * presence advance on first sight of a user, so users with activity
+    * but no stage-1 event are counted exactly as the batch rollup counts
+    * them (spec'd stream ≡ batch over the full stage range).
     *
     * Requires `spark.sql.streaming.statefulOperator.checkCorrectness
     * .enabled=false` at query start: Spark's static checker flags ANY
@@ -707,7 +715,9 @@ object StreamingMonitors {
     val enter = struct(col("stage_reached").cast("long").as("stage"), lit(1L).as("d"))
     val leave = struct((col("stage_reached") - 1).cast("long").as("stage"), lit(-1L).as("d"))
     adv
-      .select(explode(when(col("stage_reached") > 1, array(enter, leave))
+      // stage-0 presence rows enter with no leave; every real advance
+      // k >= 1 leaves k-1 (incl. k = 1 now that stage 0 is occupied)
+      .select(explode(when(col("stage_reached") >= 1, array(enter, leave))
         .otherwise(array(enter))).as("x"))
       .groupBy(col("x.stage").as("stage_reached"))
       .agg(sum(col("x.d")).as("n_users"))

@@ -421,13 +421,15 @@ class StreamingMonitorsSpec extends SparkSpec {
       .option("checkpointLocation", s"${work()}/ckpt")
       .outputMode("append").start()
     def min(m: Long): Long = 946684800L * 1000000L + m * 60L * 1000000L
-    // three users, stages spread across batches; user 2 stalls at click;
-    // user 3's click shares the view's timestamp (must not advance)
+    // four users, stages spread across batches; user 2 stalls at click;
+    // user 3's click shares the view's timestamp (must not advance);
+    // user 4 never enters the funnel — stage-0 presence only
     val all = Seq(
       (1L, 1L, "view", min(0)), (2L, 2L, "view", min(0)),
       (3L, 3L, "view", min(1)), (3L, 4L, "click", min(1)),
       (1L, 5L, "click", min(2)), (2L, 6L, "click", min(3)),
-      (1L, 7L, "purchase", min(4)), (2L, 8L, "error", min(5)))
+      (1L, 7L, "purchase", min(4)), (2L, 8L, "error", min(5)),
+      (4L, 9L, "error", min(5)), (4L, 10L, "error", min(6)))
     try {
       all.grouped(3).foreach { batch =>
         mem.addData(batch: _*)
@@ -435,17 +437,21 @@ class StreamingMonitorsSpec extends SparkSpec {
       }
     } finally q.stop()
     // final stage per user from the advance log == batch funnel over the
-    // same events (for users that entered the funnel at all)
-    val streamed = spark.table("funnel_stream")
+    // same events — INCLUDING the stage-0 row for user 4 (presence
+    // advance), and exactly one presence row per user
+    val advances = spark.table("funnel_stream")
+    val streamed = advances
       .groupBy("user_id").agg(max("stage_reached").as("s"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val batchSide = graft.ops.Funnel.funnel(
         all.toDF("user_id", "event_id", "event_type", "ts_us"), stages)
       .select("user_id", "stage_reached")
-      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt)
-      .filter(_._2 > 0).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
     assert(streamed === batchSide)
-    assert(streamed === Map(1L -> 3, 2L -> 2, 3L -> 1))
+    assert(streamed === Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0))
+    val presences = advances.filter(col("stage_reached") === 0)
+      .groupBy("user_id").count().collect().map(r => r.getLong(1)).toSet
+    assert(presences === Set(1L), "each user gets exactly one stage-0 presence row")
   }
 
   test("streaming conversion rollup equals the batch rollup on in-order delivery") {
@@ -473,7 +479,8 @@ class StreamingMonitorsSpec extends SparkSpec {
       (1L, 1L, "view", min(0)), (2L, 2L, "view", min(0)),
       (3L, 3L, "view", min(1)), (3L, 4L, "click", min(1)),
       (1L, 5L, "click", min(2)), (2L, 6L, "click", min(3)),
-      (1L, 7L, "purchase", min(4)), (2L, 8L, "error", min(5)))
+      (1L, 7L, "purchase", min(4)), (2L, 8L, "error", min(5)),
+      (4L, 9L, "error", min(5)), (4L, 10L, "error", min(6)))
     try {
       all.grouped(3).foreach { batch =>
         mem.addData(batch: _*)
@@ -482,14 +489,15 @@ class StreamingMonitorsSpec extends SparkSpec {
     } finally q.stop()
     val streamed = spark.table("rollup_stream")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the FULL stage range — stage 0 (user 4: activity, never entered
+    // the funnel) now has its changelog counterpart via the presence row
     val batchSide = graft.ops.Funnel.conversionRollup(
         all.toDF("user_id", "event_id", "event_type", "ts_us")
           .withColumn("ts", timestamp_micros(col("ts_us"))), stages)
-      .filter(col("stage_reached") >= 1) // stage 0 has no advance-stream counterpart
       .select("stage_reached", "n_users")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed === batchSide)
-    assert(streamed === Map(1L -> 1, 2L -> 1, 3L -> 1))
+    assert(streamed === Map(0L -> 1, 1L -> 1, 2L -> 1, 3L -> 1))
   }
 
   test("funnel state TTL is monotone: a late batch of older events cannot re-arm eviction earlier") {
@@ -522,7 +530,9 @@ class StreamingMonitorsSpec extends SparkSpec {
     val stages7 = spark.table("funnel_ttl_stream")
       .filter(col("user_id") === 7L)
       .collect().map(_.getInt(1)).toSet
-    assert(stages7 === Set(1, 2),
+    // 0 is the first-sight presence row; reaching 2 proves the state
+    // survived the late batch (a batch-local TTL clock would have evicted)
+    assert(stages7 === Set(0, 1, 2),
       s"expected user 7 to reach stage 2 (state retained past the late batch); got $stages7")
   }
 
