@@ -249,6 +249,17 @@ object SparkEntry {
       Graph.pagerankInt(Graph.eventTransitions(Tables.events(s, dir)))
         .orderBy("node")),
 
+    // exact Markov transition shares over the type graph: integer counts
+    // plus one bit-exact double division per row
+    "graph_transition_probs" -> ((s, dir) =>
+      Graph.transitionProbs(Graph.eventTransitions(Tables.events(s, dir)))
+        .orderBy("src", "dst")),
+
+    // robust anomaly screen: micro-quantized lower median / MAD / k·MAD
+    // outlier counts — pure integer selection, zero interpolation
+    "q_value_mad" -> ((s, dir) =>
+      Monitoring.madOutliers(Tables.events(s, dir)).orderBy("event_type")),
+
     // dangling-mass-conserving PageRank on the event-chain graph, whose
     // per-user terminal events are certified sinks; the oracle unrolls
     // the same iterations with the same per-iteration dangling scalar
@@ -1349,6 +1360,38 @@ object SparkEntry {
     "graph_pagerank" -> PAGERANK_SQL,
 
     "graph_pagerank_dangling" -> PAGERANK_DANGLING_SQL,
+
+    "graph_transition_probs" ->
+      """WITH seq AS (SELECT user_id, event_type, ts, event_id FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL),
+        |pairs AS (SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM seq),
+        |edges AS (SELECT src, dst, count(*) AS m FROM pairs WHERE dst IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT src, dst, m,
+        |  CAST(sum(m) OVER (PARTITION BY src) AS BIGINT) AS w,
+        |  CAST(m AS DOUBLE) / CAST(sum(m) OVER (PARTITION BY src) AS BIGINT) AS p
+        |FROM edges ORDER BY src, dst""".stripMargin,
+
+    "q_value_mad" ->
+      """WITH q AS (SELECT event_type, CAST(floor(value * 1000000.0) AS BIGINT) AS qv
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT event_type, qv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY qv) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM q),
+        |med AS (SELECT event_type, qv AS med_q FROM r WHERE rn = (n + 1) // 2),
+        |d AS (SELECT q.event_type, q.qv, med.med_q, abs(q.qv - med.med_q) AS dev
+        |      FROM q JOIN med USING (event_type)),
+        |rd AS (SELECT event_type, dev,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM d),
+        |mad AS (SELECT event_type, dev AS mad_q FROM rd WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, count(*) AS n, max(d.med_q) AS med_q,
+        |  max(mad.mad_q) AS mad_q,
+        |  CAST(sum(CASE WHEN d.dev > 3 * mad.mad_q THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     // identical to q_basket_lift by the merge law: the oracle recomputes
     // directly, the engine merges the order-key split

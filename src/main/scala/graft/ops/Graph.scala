@@ -164,6 +164,20 @@ object Graph {
       .agg(count(lit(1)).as("m"))
   }
 
+  /** Markov transition probabilities over a weighted edge list: per-src
+    * row shares m / Σm — the normalized form of [[eventTransitions]] a
+    * next-event model consumes. Integer counts carried alongside; the one
+    * double division divides two exact longs per row, so every engine
+    * agrees bitwise. One window sum over the src partitioning — no joins,
+    * no second aggregate pass. */
+  def transitionProbs(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    edges
+      .withColumn("w", sum(col("m")).over(Window.partitionBy("src")))
+      .select(col("src"), col("dst"), col("m"), col("w"),
+        (col("m").cast("double") / col("w")).as("p"))
+  }
+
   /** Per-user event-chain edges at EVENT granularity: each event links to
     * the user's next event (same (ts, id) order and null filter as
     * [[eventTransitions]]), weight 1. Unlike the type-level graph — where

@@ -164,6 +164,45 @@ object Monitoring {
     ranked.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Robust per-type anomaly stats — median, MAD, and the heavy-tail
+    * outlier count — in EXACT integer arithmetic end to end: values are
+    * micro-quantized (the repo money rule), the median and the MAD are
+    * both LOWER medians selected by rank ((n+1) div 2-th smallest — pure
+    * integer selection, no interpolation for engines to disagree about),
+    * deviations are integer absolute differences, and the outlier gate
+    * dev > k·mad multiplies exact longs. The classic threshold-free
+    * anomaly screen next to the reference's fixed threshold table (T11).
+    *
+    * Shape: two rank windows over the type partitioning + one broadcast
+    * join of the one-row-per-type medians back to the quantized frame.
+    * Skew note: a single giant event_type serializes its rank window —
+    * at real scale pre-aggregate equal values (qv, count) first if types
+    * are few and huge. */
+  def madOutliers(events: DataFrame, k: Long = 3L): DataFrame = {
+    require(k >= 1L, s"madOutliers: k=$k must be >= 1")
+    val q = events
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), floor(col("value") * 1000000.0).cast("long").as("qv"))
+    val byType = Window.partitionBy("event_type")
+    val med = q
+      .withColumn("rn", row_number().over(byType.orderBy(col("qv"))))
+      .withColumn("n", count(lit(1)).over(byType))
+      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .select(col("event_type"), col("qv").as("med_q"))
+    val dev = q.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("qv") - col("med_q")))
+    val mad = dev
+      .withColumn("rn", row_number().over(byType.orderBy(col("dev"))))
+      .withColumn("n", count(lit(1)).over(byType))
+      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .select(col("event_type"), col("dev").as("mad_q"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("med_q").as("med_q"),
+        max("mad_q").as("mad_q"),
+        sum(when(col("dev") > lit(k) * col("mad_q"), 1L).otherwise(0L)).as("n_out"))
+  }
+
   /** Sketch-based distinct: HyperLogLog++ via approx_count_distinct — at
     * 100 TB an exact distinct over a high-cardinality key is a massive
     * shuffle, while the sketch is mergeable constant-size state per

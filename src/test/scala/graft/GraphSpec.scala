@@ -205,6 +205,23 @@ class GraphSpec extends SparkSpec {
     assert(got.nonEmpty, "the sf0.001 co-order graph should have triangles")
   }
 
+  test("transition probabilities: per-src shares sum to one and match counts") {
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 2L))
+      .toDF("src", "dst", "m")
+    val got = Graph.transitionProbs(edges).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got === Map(
+      ("a", "b") -> ((3L, 4L, 0.75)), ("a", "c") -> ((1L, 4L, 0.25)),
+      ("b", "a") -> ((2L, 2L, 1.0))))
+    // real graph: every src's shares sum to exactly 1 within one ulp-sum
+    val real = Graph.transitionProbs(Graph.eventTransitions(
+      Tables.events(spark, "/root/testdata/sf0.001")))
+    val sums = real.groupBy("src").agg(sum("p").as("s"))
+      .collect().map(_.getDouble(1))
+    assert(sums.nonEmpty && sums.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+
   test("basket lift matches hand-computed ratios and drops sub-support pairs") {
     // 4 orders: {1,2} appears together in o1, o2, o3 (support 3);
     // {1,3} only in o4 (support 1 — filtered); part 1 in 4 orders,

@@ -137,6 +137,29 @@ class SkewAndScalarsSpec extends SparkSpec {
     assert(reversed.exceptAll(direct).count() === 0)
   }
 
+  test("MAD outliers: hand-computed lower medians, odd and even counts, the k gate") {
+    import graft.ops.Monitoring
+    // type A (n=5, odd): values 1..4 and a far outlier 100.
+    //   quantized {1e6,2e6,3e6,4e6,100e6} → med = 3e6 (rank 3);
+    //   devs {2e6,1e6,0,1e6,97e6} sorted {0,1e6,1e6,2e6,97e6} → mad = 1e6
+    //   (rank 3); gate 3·mad = 3e6 → only dev 97e6 exceeds → n_out 1.
+    // type B (n=4, even): {10,20,30,40} → lower med = 20e6 (rank 2);
+    //   devs {10e6,0,10e6,20e6} sorted {0,10e6,10e6,20e6} → mad = 10e6
+    //   (rank 2); gate 30e6 → nothing exceeds → n_out 0.
+    val ev = Seq(
+      ("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 4.0), ("A", 100.0),
+      ("B", 10.0), ("B", 20.0), ("B", 30.0), ("B", 40.0))
+      .toDF("event_type", "value")
+    val got = Monitoring.madOutliers(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got === Map(
+      "A" -> ((5L, 3000000L, 1000000L, 1L)),
+      "B" -> ((4L, 20000000L, 10000000L, 0L))))
+    val ex = intercept[IllegalArgumentException] { Monitoring.madOutliers(ev, k = 0L) }
+    assert(ex.getMessage.contains("madOutliers"))
+  }
+
   test("basket merge law holds on an order split and BREAKS on a basket-severing split") {
     import graft.ops.{Graph, Incremental}
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
