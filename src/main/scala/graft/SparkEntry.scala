@@ -260,6 +260,12 @@ object SparkEntry {
     "q_value_mad" -> ((s, dir) =>
       Monitoring.madOutliers(Tables.events(s, dir)).orderBy("event_type")),
 
+    // Misra-Gries proposes (no token shuffle), exact pass disposes: the
+    // n/k guarantee makes the verified output deterministic, so a plain
+    // HAVING oracle hash-matches a sketch-driven plan
+    "q_heavy_tokens" -> ((s, dir) =>
+      HeavyHitters.heavyTokens(Tables.documents(s, dir)).orderBy("token")),
+
     // dangling-mass-conserving PageRank on the event-chain graph, whose
     // per-user terminal events are certified sinks; the oracle unrolls
     // the same iterations with the same per-iteration dangling scalar
@@ -1373,6 +1379,17 @@ object SparkEntry {
         |  CAST(sum(m) OVER (PARTITION BY src) AS BIGINT) AS w,
         |  CAST(m AS DOUBLE) / CAST(sum(m) OVER (PARTITION BY src) AS BIGINT) AS p
         |FROM edges ORDER BY src, dst""".stripMargin,
+
+    "q_heavy_tokens" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |tt AS (SELECT token FROM t WHERE token <> ''),
+        |tot AS (SELECT count(*) AS n FROM tt)
+        |SELECT token, count(*) AS cnt
+        |FROM tt CROSS JOIN tot
+        |GROUP BY token, tot.n
+        |HAVING count(*) * 32 > tot.n
+        |ORDER BY token""".stripMargin,
 
     "q_value_mad" ->
       """WITH q AS (SELECT event_type, CAST(floor(value * 1000000.0) AS BIGINT) AS qv

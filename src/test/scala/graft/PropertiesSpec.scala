@@ -216,6 +216,25 @@ class PropertiesSpec extends SparkSpec {
     assert(counts.head > 0, "lowest threshold should return suppliers")
   }
 
+  test("property: sketch-verified heavy hitters equal the exact heavy set on random streams") {
+    import graft.ops.HeavyHitters
+    (1L to 5L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // skewed draw: cubing pushes mass onto the low token ids
+      val words = Seq.fill(400)(s"w${(math.pow(rnd.nextDouble(), 3) * 40).toInt}")
+      val docs = words.grouped(9).zipWithIndex
+        .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      val k = 10
+      val exact = words.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+        .filter { case (_, c) => c * k > words.size }
+      val got = HeavyHitters.heavyTokens(docs.repartition(3), k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === exact, s"seed $seed: sketch-verified set diverged from exact")
+    }
+  }
+
   test("property: connected components equal a driver-side union-find on random graphs") {
     (1L to 5L).foreach { seed =>
       val edges = sample(Gen.listOfN(60,

@@ -137,6 +137,32 @@ class SkewAndScalarsSpec extends SparkSpec {
     assert(reversed.exceptAll(direct).count() === 0)
   }
 
+  test("heavy hitters: the MG guarantee makes the verified output exact under any partitioning") {
+    import graft.ops.HeavyHitters
+    // adversarial-ish stream: two true heavies (a: 30, b: 12 of n=60,
+    // both > 60/8), a mid item below the gate, and a 16-item tail that
+    // churns the sketch's counters
+    val words = Seq.fill(30)("a") ++ Seq.fill(12)("b") ++ Seq.fill(2)("mid") ++
+      (0 until 16).map(i => s"tail$i")
+    def docsOf(texts: Seq[String]) = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // one doc per token and one doc holding many — the splitter must agree
+    val docs = docsOf(words.grouped(7).map(_.mkString(" ")).toSeq)
+    val exact = Map("a" -> 30L, "b" -> 12L)
+    Seq(1, 7).foreach { parts =>
+      val got = HeavyHitters.heavyTokens(docs.repartition(parts), k = 8)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === exact, s"partitioning=$parts must not change the verified output")
+    }
+    // tightest interesting k: every item with cnt*k > n survives even
+    // when the sketch holds only k-1 = 2 counters
+    val got3 = HeavyHitters.heavyTokens(docs, k = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got3 === Map("a" -> 30L), "k=3 keeps only the one-third-heavy item")
+    val ex = intercept[IllegalArgumentException] { new HeavyHitters.MisraGries(1) }
+    assert(ex.getMessage.contains("k >= 2"))
+  }
+
   test("MAD outliers: hand-computed lower medians, odd and even counts, the k gate") {
     import graft.ops.Monitoring
     // type A (n=5, odd): values 1..4 and a far outlier 100.
