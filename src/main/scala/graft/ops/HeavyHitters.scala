@@ -64,15 +64,27 @@ object HeavyHitters {
     override def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
   }
 
+  /** Driver-side sketch merge — the same weighted offers the Aggregator
+    * replays, exposed for cross-batch state maintenance (the streaming
+    * face folds each micro-batch's sketch into the stored one; the
+    * mergeable-summaries bound is indifferent to the merge tree). */
+  def mergeSketches(a: Map[String, Long], b: Map[String, Long], k: Int): Map[String, Long] =
+    new MisraGries(k).merge(a, b)
+
+  /** The tokenization every pass shares (whitespace split, empty tokens
+    * dropped — the text-family convention the oracles mirror). */
+  def tokensOf(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+
   /** Exact heavy tokens (count·k > n) over the documents corpus via the
     * sketch-propose / exact-verify two-pass. The whitespace tokenization
     * and the empty-token filter match the text-family convention, so the
     * oracle is the plain HAVING aggregation. */
   def heavyTokens(docs: DataFrame, k: Int = 32): DataFrame = {
-    val toks = docs
-      .filter(col("text").isNotNull)
-      .select(explode(split(col("text"), " ")).as("token"))
-      .filter(col("token") =!= "")
+    val toks = tokensOf(docs)
     // ONE aggregate job produces both the merged sketch and the exact
     // total: the sketch rides the normal partial-aggregate tree. Typed
     // select so the Aggregator's String input encoder binds to the rows.
@@ -86,6 +98,23 @@ object HeavyHitters {
       .filter(col("token").isin(candidates: _*))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       // integer gate — cnt > n/k without a division to round
+      .filter(col("cnt") * k > n)
+  }
+
+  /** Serve the streamed sketch state against the archived corpus: the
+    * state's candidates (≤ k−1) are exactly verified over `docs` and
+    * gated on count·k > n with the STREAM's total n — provided the
+    * archive holds the same documents the stream saw, the n/k guarantee
+    * makes this equal to [[heavyTokens]] run directly (spec'd). A state
+    * with no total row fails loudly — it isn't a sketch state. */
+  def serveHeavyTokens(docs: DataFrame, state: DataFrame, k: Int = 32): DataFrame = {
+    val rows = state.collect()
+    val n = rows.find(_.isNullAt(0)).map(_.getLong(1)).getOrElse(
+      sys.error("serveHeavyTokens: state has no (null, n) total row"))
+    val candidates = rows.filter(!_.isNullAt(0)).map(_.getString(0)).toSeq
+    tokensOf(docs)
+      .filter(col("token").isin(candidates: _*))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * k > n)
   }
 }

@@ -745,7 +745,7 @@ object StreamingMonitors {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val partial = graft.ops.Incremental.partialBasketStats(batch)
-        val merged = latestBasketState(batch.sparkSession, stateDir, batchId) match {
+        val merged = latestVersionedState(batch.sparkSession, stateDir, batchId) match {
           case Some(prev) => graft.ops.Incremental.mergeBasketStats(prev, partial)
           case None => partial
         }
@@ -754,12 +754,54 @@ object StreamingMonitors {
       }
       .start()
 
+  /** Streaming maintenance of the heavy-hitter sketch
+    * (ops/HeavyHitters): each micro-batch's Misra-Gries sketch and token
+    * count fold into the stored state — the mergeable-summaries bound is
+    * indifferent to the merge tree, so the cross-batch sketch keeps the
+    * n/k undercount guarantee over the whole stream. Same versioned
+    * idempotent-replay contract as [[basketStateSink]]. State rows are
+    * (token, cnt) plus one (null, n) total row — ≤ k rows per version.
+    * Serving verifies the stored candidates EXACTLY against the archived
+    * corpus (ops/HeavyHitters.serveHeavyTokens): the stream proposes,
+    * the archive disposes, and the guarantee makes the served set equal
+    * to the batch computation (spec'd). */
+  def heavySketchSink(docStream: DataFrame, stateDir: String, k: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        import graft.ops.HeavyHitters
+        val (bs, bn) = HeavyHitters.tokensOf(batch).as[String]
+          .select(new HeavyHitters.MisraGries(k).toColumn, count(lit(1)).as[Long])
+          .head()
+        val (ps, pn) = latestVersionedState(spark, stateDir, batchId) match {
+          case Some(prev) =>
+            val rows = prev.collect()
+            val total = rows.find(_.isNullAt(0)).map(_.getLong(1)).getOrElse(0L)
+            val m = rows.filter(!_.isNullAt(0))
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
+            (m, total)
+          case None => (Map.empty[String, Long], 0L)
+        }
+        val merged = HeavyHitters.mergeSketches(ps, bs, k)
+        val out = merged.toSeq.map { case (t, c) => (Option(t), c) } :+
+          ((None: Option[String], pn + bn))
+        out.toDF("token", "cnt")
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        ()
+      }
+      .start()
+
   /** Highest committed state version strictly BELOW `beforeBatch`
     * (so a replayed batch merges against its ORIGINAL predecessor, not
-    * its own failed output). Pass Long.MaxValue to read the tip. */
-  def latestBasketState(spark: org.apache.spark.sql.SparkSession,
-                        stateDir: String,
-                        beforeBatch: Long = Long.MaxValue): Option[DataFrame] = {
+    * its own failed output). Pass Long.MaxValue to read the tip. Shared
+    * by every versioned-merge sink (basket stats, heavy-hitter sketch). */
+  def latestVersionedState(spark: org.apache.spark.sql.SparkSession,
+                           stateDir: String,
+                           beforeBatch: Long = Long.MaxValue): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(stateDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) None

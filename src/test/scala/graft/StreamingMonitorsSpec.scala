@@ -819,7 +819,7 @@ class StreamingMonitorsSpec extends SparkSpec {
       }
     } finally q.stop()
     val served = graft.ops.Incremental.serveBasketLift(
-        StreamingMonitors.latestBasketState(spark, stateDir).get)
+        StreamingMonitors.latestVersionedState(spark, stateDir).get)
       .orderBy("a", "b").collect().toSeq
     val direct = graft.ops.Graph.basketLift(li.toDF())
       .orderBy("a", "b").collect().toSeq
@@ -827,16 +827,45 @@ class StreamingMonitorsSpec extends SparkSpec {
     // replay semantics: re-merging batch 2 against its ORIGINAL
     // predecessor (beforeBatch = 2) and overwriting v2 must leave the
     // tip state identical — the restart path never double-merges
-    val prev = StreamingMonitors.latestBasketState(spark, stateDir, beforeBatch = 2L).get
+    val prev = StreamingMonitors.latestVersionedState(spark, stateDir, beforeBatch = 2L).get
     val partial2 = graft.ops.Incremental.partialBasketStats(
       rows.filter(_._1 % 3 == 2).toSeq.toDF("l_orderkey", "l_partkey"))
     graft.ops.Incremental.mergeBasketStats(prev, partial2)
       .write.mode("overwrite").parquet(s"$stateDir/v2")
     val replayed = graft.ops.Incremental.serveBasketLift(
-        StreamingMonitors.latestBasketState(spark, stateDir).get)
+        StreamingMonitors.latestVersionedState(spark, stateDir).get)
       .orderBy("a", "b").collect().toSeq
     li.unpersist(blocking = false)
     assert(replayed === direct, "replaying batch 2 changed the served state")
+  }
+
+  test("streamed heavy-hitter sketch serves the batch heavy set against the archive") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").persist()
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val stateDir = s"${work()}/heavy-state"
+    val q = StreamingMonitors.heavySketchSink(stream, stateDir)
+    try {
+      (0 until 3).foreach { i =>
+        mem.addData(rows.filter(_._1 % 3 == i).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val state = StreamingMonitors.latestVersionedState(spark, stateDir).get
+    val served = graft.ops.HeavyHitters.serveHeavyTokens(docs.toDF(), state)
+      .orderBy("token").collect().map(_.toSeq)
+    val direct = graft.ops.HeavyHitters.heavyTokens(docs.toDF())
+      .orderBy("token").collect().map(_.toSeq)
+    docs.unpersist(blocking = false)
+    assert(served === direct)
+    assert(served.nonEmpty, "the corpus should have heavy tokens")
+    // the state is bounded: at most k-1 candidates + the total row
+    assert(state.count() <= 32L)
   }
 
   test("streaming incremental near-dup emits the batch minhashIncrement pair set") {
