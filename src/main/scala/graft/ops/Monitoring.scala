@@ -177,7 +177,14 @@ object Monitoring {
     * join of the one-row-per-type medians back to the quantized frame.
     * Skew note: a single giant event_type serializes its rank window —
     * at real scale pre-aggregate equal values (qv, count) first if types
-    * are few and huge. */
+    * are few and huge.
+    *
+    * Streaming disposition: exact rank-selected medians are NOT
+    * mergeable state (unlike counts, sketches, or MG counters), so this
+    * op deliberately has no streaming twin — the streaming answer to
+    * "where is the distribution" is the mergeable GK sketch
+    * (q_quantiles_approx) with its rank-error bound, not a pretend-exact
+    * median. */
   def madOutliers(events: DataFrame, k: Long = 3L): DataFrame = {
     require(k >= 1L, s"madOutliers: k=$k must be >= 1")
     val q = events

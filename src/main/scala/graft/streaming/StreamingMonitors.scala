@@ -765,9 +765,11 @@ object StreamingMonitors {
     * corpus (ops/HeavyHitters.serveHeavyTokens): the stream proposes,
     * the archive disposes, and the guarantee makes the served set equal
     * to the batch computation (spec'd). */
-  def heavySketchSink(docStream: DataFrame, stateDir: String, k: Int = 32)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    docStream.writeStream
+  def heavySketchSink(docStream: DataFrame, stateDir: String, k: Int = 32,
+                      checkpoint: Option[String] = None,
+                      availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -793,7 +795,11 @@ object StreamingMonitors {
           .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
         ()
       }
-      .start()
+    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow)
+      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else ck).start()
+  }
 
   /** Highest committed state version strictly BELOW `beforeBatch`
     * (so a replayed batch merges against its ORIGINAL predecessor, not

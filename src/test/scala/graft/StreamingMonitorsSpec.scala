@@ -839,6 +839,43 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(replayed === direct, "replaying batch 2 changed the served state")
   }
 
+  test("heavy sketch state survives a query RESTART: batch ids continue, versions accumulate") {
+    // the real restart path (not simulated replay): a file-source query
+    // with a checkpoint is stopped and restarted with new files — the
+    // restarted query continues from the next batch id, merges against
+    // the pre-restart state version, and the served result equals the
+    // batch computation over everything either run saw
+    val w = work()
+    val srcDir = new java.io.File(s"$w/incoming"); srcDir.mkdirs()
+    val stateDir = s"$w/heavy-state"; val ckpt = s"$w/ckpt"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").persist()
+    def writeSlice(name: String, parity: Int): Unit =
+      docs.filter(pmod(col("doc_id"), lit(2)) === parity)
+        .write.mode("overwrite").parquet(s"$srcDir/$name")
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .parquet(s"$srcDir/*")
+      val q = StreamingMonitors.heavySketchSink(stream, stateDir,
+        checkpoint = Some(ckpt), availableNow = true)
+      assert(q.awaitTermination(120000), "streaming query timed out")
+    }
+    writeSlice("a", 0)
+    run()
+    val v0 = StreamingMonitors.latestVersionedState(spark, stateDir).get.collect()
+    writeSlice("b", 1)
+    run()
+    val served = graft.ops.HeavyHitters.serveHeavyTokens(docs.toDF(),
+        StreamingMonitors.latestVersionedState(spark, stateDir).get)
+      .orderBy("token").collect().map(_.toSeq)
+    val direct = graft.ops.HeavyHitters.heavyTokens(docs.toDF())
+      .orderBy("token").collect().map(_.toSeq)
+    docs.unpersist(blocking = false)
+    assert(served === direct)
+    assert(v0.nonEmpty, "first run must have committed a state version")
+  }
+
   test("streamed heavy-hitter sketch serves the batch heavy set against the archive") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
