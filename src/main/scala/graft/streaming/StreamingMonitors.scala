@@ -739,9 +739,11 @@ object StreamingMonitors {
     * negative law). At scale that means the upstream producer keys its
     * commit unit on the order, which an order-atomic CDC feed or a
     * file-per-order-range drop gives naturally. */
-  def basketStateSink(lineitemStream: DataFrame, stateDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    lineitemStream.writeStream
+  def basketStateSink(lineitemStream: DataFrame, stateDir: String,
+                      checkpoint: Option[String] = None,
+                      availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = lineitemStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val partial = graft.ops.Incremental.partialBasketStats(batch)
@@ -752,7 +754,11 @@ object StreamingMonitors {
         merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
         ()
       }
-      .start()
+    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow)
+      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else ck).start()
+  }
 
   /** Streaming maintenance of the heavy-hitter sketch
     * (ops/HeavyHitters): each micro-batch's Misra-Gries sketch and token
