@@ -235,6 +235,54 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: MAD screen equals a driver-side model on random skewed values") {
+    import graft.ops.Monitoring
+    (1L to 5L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // two types, heavy-tailed: mostly unit-scale, a few 100x spikes
+      val rows = Seq.tabulate(120) { i =>
+        val t = if (i % 2 == 0) "X" else "Y"
+        val v = if (rnd.nextDouble() < 0.08) rnd.nextDouble() * 500.0
+                else rnd.nextDouble() * 5.0
+        (t, v)
+      }
+      val got = Monitoring.madOutliers(rows.toDF("event_type", "value"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      // plain-Scala model: same quantization, same lower-median rank
+      val expected = rows.groupBy(_._1).map { case (t, vs) =>
+        val q = vs.map(v => math.floor(v._2 * 1000000.0).toLong).sorted
+        val med = q((q.size + 1) / 2 - 1)
+        val dev = q.map(x => math.abs(x - med)).sorted
+        val mad = dev((dev.size + 1) / 2 - 1)
+        t -> ((q.size.toLong, med, mad, dev.count(_ > 3 * mad).toLong))
+      }
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("property: triangle counts equal a driver-side enumeration on random graphs") {
+    import graft.ops.Graph
+    (1L to 5L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(80)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val got = Graph.triangleCounts(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val es = edges.toSet
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+      val tris = for {
+        i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+        if es((i, j)) && es((i, k)) && es((j, k))
+      } yield Seq(i, j, k)
+      val expected = tris.flatten.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      assert(got === expected, s"seed $seed (${tris.size} triangles)")
+    }
+  }
+
   test("property: connected components equal a driver-side union-find on random graphs") {
     (1L to 5L).foreach { seed =>
       val edges = sample(Gen.listOfN(60,
