@@ -209,13 +209,24 @@ object Graph {
     * fan-in is items-per-order (≤7 here, bounded by basket size on any
     * retail-shaped corpus), so the collected arrays stay tiny and the
     * skew-prone hot-part keys only appear AFTER the pair dedup. */
-  def coOrderedParts(lineitem: DataFrame): DataFrame =
+  /** One grouped scan: each order's sorted distinct part set — the frame
+    * every basket-family consumer (pairs, per-part counts, totals)
+    * derives from. */
+  private[ops] def orderPartSets(lineitem: DataFrame): DataFrame =
     lineitem
       .groupBy(col("l_orderkey").as("o"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+
+  /** Ordered co-order pairs from the part-set arrays: two chained
+    * generators emit exactly the a < b pairs (slice from i+2 — no
+    * overgenerate-then-filter). */
+  private[ops] def orderedPairs(sets: DataFrame): DataFrame =
+    sets
       .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
       .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
-      .distinct()
+
+  def coOrderedParts(lineitem: DataFrame): DataFrame =
+    orderedPairs(orderPartSets(lineitem)).distinct()
 
   /** Association scores over the same co-order projection: for every
     * part pair sharing at least `minSupport` orders, the lift
@@ -231,13 +242,14 @@ object Graph {
   def basketLift(lineitem: DataFrame, minSupport: Long = 2L): DataFrame = {
     require(minSupport >= 1L,
       s"basketLift: minSupport=$minSupport must be >= 1 (0 would divide by unjoined parts)")
+    // deliberately NOT a shared persisted scan: materializing the
+    // order-set arrays costs more than the work it saves (measured —
+    // the per-part and total counts are a cheap distinct over the
+    // two-column projection, fully pipelined, and AQE's ReuseExchange
+    // dedupes the identical broadcast builds at execution)
     val op = lineitem
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val pairCounts = lineitem
-      .groupBy(col("l_orderkey").as("o"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
-      .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
+    val pairCounts = orderedPairs(orderPartSets(lineitem))
       .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
     val partCounts = op.groupBy("p").agg(count(lit(1)).as("n_p"))

@@ -74,13 +74,13 @@ object Incremental {
     * filtered partial would under-merge pairs that cross the support
     * floor later. */
   def partialBasketStats(lineitem: DataFrame): DataFrame = {
+    // same shapes as the direct computation (Graph.basketLift): the pair
+    // grain via the shared generator chain, the part/total grains via the
+    // pipelined two-column distinct — measured faster than materializing
+    // the order-set arrays once and deriving everything from them
     val op = lineitem
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val pairs = lineitem
-      .groupBy(col("l_orderkey").as("o"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
-      .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
+    val pairs = Graph.orderedPairs(Graph.orderPartSets(lineitem))
       .groupBy("a", "b").agg(count(lit(1)).as("n"))
     val parts = op.groupBy(col("p").as("a"))
       .agg(count(lit(1)).as("n"))
