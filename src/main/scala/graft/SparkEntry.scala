@@ -260,6 +260,11 @@ object SparkEntry {
     "q_value_mad" -> ((s, dir) =>
       Monitoring.madOutliers(Tables.events(s, dir)).orderBy("event_type")),
 
+    // deterministic Poisson bootstrap: hex-threshold weights, exact
+    // integer replicate sums, rank-selected band — hash-matchable CI
+    "q_bootstrap_ci" -> ((s, dir) =>
+      Sampling.bootstrapCI(Tables.events(s, dir)).orderBy("event_type")),
+
     // Misra-Gries proposes (no token shuffle), exact pass disposes: the
     // n/k guarantee makes the verified output deterministic, so a plain
     // HAVING oracle hash-matches a sketch-driven plan
@@ -1379,6 +1384,39 @@ object SparkEntry {
         |  CAST(sum(m) OVER (PARTITION BY src) AS BIGINT) AS w,
         |  CAST(m AS DOUBLE) / CAST(sum(m) OVER (PARTITION BY src) AS BIGINT) AS p
         |FROM edges ORDER BY src, dst""".stripMargin,
+
+    "q_bootstrap_ci" ->
+      """WITH q AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS qv
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |hg AS (SELECT event_type, qv, g,
+        |    md5('boot:' || CAST(event_id AS VARCHAR) || ':' || CAST(g AS VARCHAR)) AS h
+        |  FROM q CROSS JOIN (SELECT unnest(range(25)) AS g) r),
+        |reps AS (SELECT event_type, qv, substr(h, 1 + 8 * j, 8) AS h8,
+        |    g * 4 + j AS rep
+        |  FROM hg CROSS JOIN (SELECT unnest(range(4)) AS j) s),
+        |wt AS (SELECT event_type, rep, qv,
+        |    CASE WHEN h8 < '5e2d58d8' THEN 0 WHEN h8 < 'bc5ab1b1' THEN 1
+        |         WHEN h8 < 'eb715e1d' THEN 2 WHEN h8 < 'fb239797' THEN 3
+        |         WHEN h8 < 'ff1025f5' THEN 4 WHEN h8 < 'ffd90f3b' THEN 5
+        |         WHEN h8 < 'fffa8b71' THEN 6 ELSE 7 END AS w
+        |  FROM reps),
+        |mb AS (SELECT event_type, rep,
+        |    CAST(CAST(sum(w * qv) AS BIGINT) AS DOUBLE) / CAST(sum(w) AS BIGINT) AS mean_b
+        |  FROM wt GROUP BY 1, 2 HAVING CAST(sum(w) AS BIGINT) > 0),
+        |rk AS (SELECT event_type, mean_b,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY mean_b) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nb FROM mb),
+        |lo AS (SELECT event_type, mean_b AS ci_lo FROM rk
+        |  WHERE rn = greatest(1, CAST(ceil(0.05 * nb) AS BIGINT))),
+        |hi AS (SELECT event_type, mean_b AS ci_hi FROM rk
+        |  WHERE rn = greatest(1, CAST(ceil(0.95 * nb) AS BIGINT))),
+        |pt AS (SELECT event_type, count(*) AS n,
+        |    CAST(CAST(sum(qv) AS BIGINT) AS DOUBLE) / count(*) AS mean_q
+        |  FROM q GROUP BY 1)
+        |SELECT pt.event_type, n, mean_q, ci_lo, ci_hi
+        |FROM pt JOIN lo USING (event_type) JOIN hi USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     "q_heavy_tokens" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token

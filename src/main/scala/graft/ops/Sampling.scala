@@ -214,6 +214,79 @@ object Sampling {
     Graph.canonicalize(docs, pairs)
       .withColumn("split", splitColumn(col("canonical_id"), trainBuckets, seed))
 
+  /** Deterministic Poisson-bootstrap confidence interval for the
+    * per-type mean — resampling with NO randomness at run time: each
+    * (event, replicate) draws its Poisson(1) weight by comparing the
+    * first 8 hex chars of the portable md5 of (seed, id, replicate)
+    * against the Poisson CDF thresholds rendered as fixed-width
+    * lowercase hex (string compare ≡ numeric compare, the
+    * [[qualityThin]] device), so every engine resamples IDENTICALLY and
+    * the whole CI is hash-matchable. Replicate means divide exact
+    * integer sums (micro-quantized values, integer weights ≤ 7 — the
+    * CDF tail beyond 7 is < 1e-4 and maps to 7); the band endpoints are
+    * rank-selected replicate means (ceil(p·B), the discrete-quantile
+    * rule — no interpolation).
+    *
+    * 100 TB shape: one explode ×B/4 with each md5 sliced into FOUR
+    * replicate weights (an md5 has 32 hex chars — burning 8 and
+    * discarding 24 per draw would quadruple the hash bill, the actual
+    * hot cost), one shuffle whose map-side combine collapses to
+    * (type × B) rows per partition, one rank window over B-sized
+    * partitions with BOTH band endpoints picked in the same pass (a
+    * second consumer would re-run the whole hash pipeline). B scales
+    * the explode linearly — the classic Poisson-bootstrap trade,
+    * embarrassingly parallel. */
+  def bootstrapCI(events: DataFrame, replicates: Int = 100,
+                  loP: Double = 0.05, hiP: Double = 0.95,
+                  seed: String = "boot:"): DataFrame = {
+    require(replicates >= 4 && replicates % 4 == 0,
+      s"bootstrapCI: replicates=$replicates must be a positive multiple of 4 " +
+        "(each portable md5 is sliced into four draws)")
+    require(loP > 0 && loP < hiP && hiP < 1,
+      s"bootstrapCI: need 0 < loP=$loP < hiP=$hiP < 1")
+    // Poisson(1) CDF · 2^32, floor, as fixed-width lowercase hex
+    val thresholds = Seq(
+      "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+      "ff1025f5", "ffd90f3b", "fffa8b71")
+    val q = events
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 1000000.0).cast("long").as("qv"))
+    val h8 = col("h8")
+    val w = thresholds.zipWithIndex
+      .foldRight(lit(7L)) { case ((t, i), rest) => when(h8 < t, i.toLong).otherwise(rest) }
+    val hashCol = md5(concat(lit(seed), col("event_id").cast("string"),
+      lit(":"), col("g").cast("string")))
+    val means = q
+      .select(col("event_type"), col("event_id"), col("qv"),
+        explode(sequence(lit(0), lit(replicates / 4 - 1))).as("g"))
+      .withColumn("h", hashCol)
+      .select(col("event_type"), col("qv"), col("g"),
+        posexplode(array((0 until 4).map(j => substring(col("h"), j * 8 + 1, 8)): _*))
+          .as(Seq("j", "h8")))
+      .select(col("event_type"), col("qv"),
+        (col("g") * 4 + col("j")).as("rep"), w.as("w"))
+      .groupBy("event_type", "rep")
+      .agg(sum(col("w") * col("qv")).as("swq"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0) // a zero-weight replicate has no mean
+      .withColumn("mean_b", col("swq").cast("double") / col("sw"))
+    val byType = Window.partitionBy("event_type")
+    val band = means
+      .withColumn("rn", row_number().over(byType.orderBy(col("mean_b"))))
+      .withColumn("nb", count(lit(1)).over(byType))
+      .groupBy("event_type")
+      .agg(
+        max(when(col("rn") === greatest(lit(1L), ceil(lit(loP) * col("nb"))),
+          col("mean_b"))).as("ci_lo"),
+        max(when(col("rn") === greatest(lit(1L), ceil(lit(hiP) * col("nb"))),
+          col("mean_b"))).as("ci_hi"))
+    q.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("qv").as("sq"))
+      .withColumn("mean_q", col("sq").cast("double") / col("n"))
+      .drop("sq")
+      .join(broadcast(band), "event_type")
+  }
+
   /** Per-key rate cap within a time bucket: keep at most `cap` events
     * per (key, bucket) — the ingest throttle bounding any key's
     * contribution per period (a runaway logger must not dominate a

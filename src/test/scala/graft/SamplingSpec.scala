@@ -270,6 +270,29 @@ class SamplingSpec extends SparkSpec {
     assert(e.getMessage.contains("ghost"), s"error must name the offending stratum: ${e.getMessage}")
   }
 
+
+  test("bootstrap CI is partitioning-invariant, ordered, and brackets the point mean") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val a = Sampling.bootstrapCI(ev).orderBy("event_type")
+      .collect().map(_.toSeq)
+    val b = Sampling.bootstrapCI(ev.repartition(13)).orderBy("event_type")
+      .collect().map(_.toSeq)
+    // md5-driven weights + exact integer sums: the layout cannot matter
+    assert(a === b)
+    a.foreach { r =>
+      val (mean, lo, hi) = (r(2).asInstanceOf[Double],
+        r(3).asInstanceOf[Double], r(4).asInstanceOf[Double])
+      assert(lo <= hi, s"band inverted: $r")
+      // 100 replicates over hundreds of rows: the 90% band brackets the
+      // point mean (deterministic given the fixed seed, so never flaky)
+      assert(lo <= mean && mean <= hi, s"band misses the point mean: $r")
+    }
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.bootstrapCI(ev, loP = 0.9, hiP = 0.1)
+    }
+    assert(ex.getMessage.contains("bootstrapCI"))
+  }
+
   test("deterministic shuffle reproduces under the same seed and moves under a new one") {
     val a = Sampling.deterministicShuffle(docs, "epoch1:").select("doc_id")
       .limit(50).as[Long].collect().toSeq
