@@ -260,6 +260,11 @@ object SparkEntry {
     "q_value_mad" -> ((s, dir) =>
       Monitoring.madOutliers(Tables.events(s, dir)).orderBy("event_type")),
 
+    // CUSUM drift flags via the prefix-min identity (recursive max(0,·)
+    // = P - cummin(P)) — two windows, pure integer arithmetic
+    "q_cusum_drift" -> ((s, dir) =>
+      TimeSeries.cusumDrift(Tables.events(s, dir)).orderBy("key", "bucket_us")),
+
     // deterministic Poisson bootstrap: hex-threshold weights, exact
     // integer replicate sums, rank-selected band — hash-matchable CI
     "q_bootstrap_ci" -> ((s, dir) =>
@@ -1384,6 +1389,29 @@ object SparkEntry {
         |  CAST(sum(m) OVER (PARTITION BY src) AS BIGINT) AS w,
         |  CAST(m AS DOUBLE) / CAST(sum(m) OVER (PARTITION BY src) AS BIGINT) AS p
         |FROM edges ORDER BY src, dst""".stripMargin,
+
+    "q_cusum_drift" ->
+      """WITH q AS (SELECT event_type AS key,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS qv
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+        |hourly AS (SELECT key, bucket_us, CAST(sum(qv) AS BIGINT) AS swq,
+        |    count(*) AS n FROM q GROUP BY 1, 2),
+        |ref AS (SELECT CAST(sum(qv) AS BIGINT) // count(*) AS k_ref FROM q),
+        |px AS (SELECT key, bucket_us, n,
+        |    sum(swq - k_ref * n) OVER w AS p,
+        |    k_ref
+        |  FROM hourly CROSS JOIN ref
+        |  WINDOW w AS (PARTITION BY key ORDER BY bucket_us
+        |               ROWS UNBOUNDED PRECEDING)),
+        |cs AS (SELECT key, bucket_us, n, k_ref,
+        |    p - min(p) OVER (PARTITION BY key ORDER BY bucket_us
+        |                     ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM px)
+        |SELECT key, bucket_us, n, s AS cusum_q,
+        |  s * 10 > 1 * k_ref * n AS drift
+        |FROM cs ORDER BY key, bucket_us""".stripMargin,
 
     "q_bootstrap_ci" ->
       """WITH q AS (SELECT event_type, event_id,

@@ -528,6 +528,50 @@ object TimeSeries {
     * so both interpolation endpoints come from the SAME row (`v` is
     * non-null iff the row is an observation). Output: the query frame's
     * columns plus `interp_value`. */
+  /** Weighted CUSUM drift detection over hourly buckets, in EXACT
+    * integer arithmetic end to end. The classic recursive form
+    * S_t = max(0, S_{t-1} + x_t) cannot be written as a plain window —
+    * but it EQUALS P_t − min_{i≤t} P_i for P = the running sum of x
+    * (the floor-at-zero resets exactly where the prefix minimum
+    * updates), so two cumulative windows compute it in any engine with
+    * no recursion.
+    *
+    * x_t = swq_t − k·n_t, where swq/n are the hour's micro-quantized
+    * value sum and count and k is the corpus-wide reference level
+    * floor(Σqv div N) — so x_t is n_t·(mean_t − k) in integer units:
+    * hours drifting above the reference accumulate, quiet hours decay
+    * the statistic through the prefix minimum. `threshold` flags
+    * S_t > threshold·k·n̄ scaled equivalently in integers (documented
+    * in-line) — every comparison is Long arithmetic, no doubles
+    * anywhere until the serving projection. */
+  def cusumDrift(events: DataFrame, keyCol: String = "event_type",
+                 thresholdNum: Long = 1L, thresholdDen: Long = 10L): DataFrame = {
+    require(thresholdDen > 0, s"cusumDrift: thresholdDen=$thresholdDen must be > 0")
+    val q = events
+      .filter(col(keyCol).isNotNull && col("value").isNotNull && col("ts_us").isNotNull)
+      .select(col(keyCol).as("key"),
+        (col("ts_us") - pmod(col("ts_us"), lit(3600000000L))).as("bucket_us"),
+        floor(col("value") * 1000000.0).cast("long").as("qv"))
+    val hourly = q.groupBy("key", "bucket_us")
+      .agg(sum("qv").as("swq"), count(lit(1)).as("n"))
+    // corpus-wide reference: one integer division, broadcast back
+    val ref = q.agg(
+      expr("sum(qv) DIV count(1)").as("k_ref"),
+      count(lit(1)).as("n_total"))
+    val prefix = Window.partitionBy("key").orderBy("bucket_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly
+      .crossJoin(broadcast(ref))
+      .withColumn("x", col("swq") - col("k_ref") * col("n"))
+      .withColumn("p", sum(col("x")).over(prefix))
+      .withColumn("s", col("p") - min(col("p")).over(prefix))
+      // flag: S_t > (num/den)·k_ref·n_t in exact cross-multiplied longs
+      .withColumn("drift",
+        col("s") * thresholdDen > lit(thresholdNum) * col("k_ref") * col("n"))
+      .select(col("key"), col("bucket_us"), col("n"), col("s").as("cusum_q"),
+        col("drift"))
+  }
+
   def interpolateAt(queries: DataFrame, obs: DataFrame, keyCol: String,
                     qTsUsCol: String, tsCol: String = "ts",
                     idCol: String = "event_id", valCol: String = "value"): DataFrame = {
