@@ -545,19 +545,33 @@ object TimeSeries {
     * in-line) — every comparison is Long arithmetic, no doubles
     * anywhere until the serving projection. */
   def cusumDrift(events: DataFrame, keyCol: String = "event_type",
-                 thresholdNum: Long = 1L, thresholdDen: Long = 10L): DataFrame = {
-    require(thresholdDen > 0, s"cusumDrift: thresholdDen=$thresholdDen must be > 0")
-    val q = events
+                 thresholdNum: Long = 1L, thresholdDen: Long = 10L): DataFrame =
+    cusumServe(hourlyQuantized(events, keyCol), thresholdNum, thresholdDen)
+
+  /** The mergeable half of [[cusumDrift]]: per-(key, hour) quantized
+    * value sums and counts — plain sums, so a bucket whose events
+    * straddle micro-batches merges EXACTLY (unlike the basket pairs,
+    * the grain here is a single event; there is nothing a split can
+    * sever). The streaming face maintains this frame through the
+    * versioned state seam and serves the sequential statistic from it. */
+  def hourlyQuantized(events: DataFrame, keyCol: String = "event_type"): DataFrame =
+    events
       .filter(col(keyCol).isNotNull && col("value").isNotNull && col("ts_us").isNotNull)
       .select(col(keyCol).as("key"),
         (col("ts_us") - pmod(col("ts_us"), lit(3600000000L))).as("bucket_us"),
         floor(col("value") * 1000000.0).cast("long").as("qv"))
-    val hourly = q.groupBy("key", "bucket_us")
+      .groupBy("key", "bucket_us")
       .agg(sum("qv").as("swq"), count(lit(1)).as("n"))
+
+  /** The sequential half: the two-window prefix-min CUSUM over an
+    * hourly frame (live or merged-from-state — identical either way,
+    * because the corpus reference Σswq div Σn equals the event-level
+    * Σqv div N exactly). */
+  def cusumServe(hourly: DataFrame,
+                 thresholdNum: Long = 1L, thresholdDen: Long = 10L): DataFrame = {
+    require(thresholdDen > 0, s"cusumDrift: thresholdDen=$thresholdDen must be > 0")
     // corpus-wide reference: one integer division, broadcast back
-    val ref = q.agg(
-      expr("sum(qv) DIV count(1)").as("k_ref"),
-      count(lit(1)).as("n_total"))
+    val ref = hourly.agg(expr("sum(swq) DIV sum(n)").as("k_ref"))
     val prefix = Window.partitionBy("key").orderBy("bucket_us")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hourly

@@ -807,6 +807,40 @@ object StreamingMonitors {
     else ck).start()
   }
 
+  /** Streaming maintenance of the hourly CUSUM partials
+    * (ops/TimeSeries.hourlyQuantized): per-(key, hour) sums merge by
+    * plain addition — the grain is a single event, so micro-batch
+    * boundaries can't sever anything (contrast the basket sink's
+    * order-atomicity precondition) — and the ORDER-dependent statistic
+    * is computed at serve time by the SAME two-window batch code over
+    * the merged state (ops/TimeSeries.cusumServe). Streaming the
+    * mergeable half and serving the sequential half is the general
+    * recipe for prefix-dependent statistics; same versioned
+    * idempotent-replay contract as the other state sinks. */
+  def hourlyStateSink(eventStream: DataFrame, stateDir: String,
+                      keyCol: String = "event_type",
+                      checkpoint: Option[String] = None,
+                      availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = eventStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = graft.ops.TimeSeries.hourlyQuantized(batch, keyCol)
+        val merged = latestVersionedState(batch.sparkSession, stateDir, batchId) match {
+          case Some(prev) => prev.unionByName(partial)
+            .groupBy("key", "bucket_us")
+            .agg(sum("swq").as("swq"), sum("n").as("n"))
+          case None => partial
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        ()
+      }
+    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow)
+      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else ck).start()
+  }
+
   /** Highest committed state version strictly BELOW `beforeBatch`
     * (so a replayed batch merges against its ORIGINAL predecessor, not
     * its own failed output). Pass Long.MaxValue to read the tip. Shared

@@ -314,6 +314,26 @@ class PlanContractSpec extends SparkSpec {
     assert(!pqt.contains("Join"), s"quality thinning must stay join-free per-row:\n$pqt")
   }
 
+  test("the session-4 statistics entries stay equi-join-only with bounded scalar crosses") {
+    // bootstrap: the reference-level and band frames broadcast; cusum:
+    // one one-row reference cross; MAD: two broadcast median joins;
+    // transition probs: window-only (no join at all); heavy tokens: the
+    // exact pass is a single aggregate over an isin-filtered scan
+    Seq("q_bootstrap_ci", "q_cusum_drift", "q_value_mad",
+        "graph_transition_probs", "q_heavy_tokens").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian:\n$p")
+      val badBnlj = p.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin")).filterNot(_.contains("Cross"))
+      assert(badBnlj.isEmpty,
+        s"$q has a non-scalar nested-loop join:\n${badBnlj.mkString("\n")}")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q should never sort-merge (all build sides are tiny):\n$p")
+    }
+    val ptp = plan("graph_transition_probs")
+    assert(!ptp.contains("Join"), s"transition probs must stay window-only:\n$ptp")
+  }
+
   test("a selective dim filter injects a bloom runtime filter into a shuffle join's fact side") {
     // The row-level sibling of dynamic partition pruning (LayoutSpec): when
     // the fact is NOT partitioned by the join key and the join is too big

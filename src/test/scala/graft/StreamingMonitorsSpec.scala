@@ -876,6 +876,37 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(v0.nonEmpty, "first run must have committed a state version")
   }
 
+  test("streamed hourly state serves the exact batch CUSUM, buckets straddling batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_type", "event_id", "value", "ts_us").persist()
+    val rows = ev.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val mem = MemoryStream[(String, Long, Double, Long)]
+    val stream = mem.toDF().toDF("event_type", "event_id", "value", "ts_us")
+    val stateDir = s"${work()}/hourly-state"
+    val q = StreamingMonitors.hourlyStateSink(stream, stateDir)
+    try {
+      // split by EVENT ID parity — hour buckets deliberately straddle
+      // micro-batches; plain-sum merging makes that harmless (the
+      // contrast with the basket sink's order-atomicity requirement)
+      (0 until 3).foreach { i =>
+        mem.addData(rows.filter(_._2 % 3 == i).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val served = graft.ops.TimeSeries.cusumServe(
+        StreamingMonitors.latestVersionedState(spark, stateDir).get)
+      .orderBy("key", "bucket_us").collect().map(_.toSeq)
+    val direct = graft.ops.TimeSeries.cusumDrift(ev.toDF())
+      .orderBy("key", "bucket_us").collect().map(_.toSeq)
+    ev.unpersist(blocking = false)
+    assert(served === direct)
+    assert(served.nonEmpty)
+  }
+
   test("streamed heavy-hitter sketch serves the batch heavy set against the archive") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
