@@ -246,6 +246,17 @@ class GraphSpec extends SparkSpec {
     assert(ex.getMessage.contains("minSupport"))
   }
 
+  test("the shuffle-closure knob picks the same triangles as the broadcast path") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (5L, 6L)).toDF("a", "b")
+    val bcast = Graph.triangleCounts(edges).orderBy("part")
+      .collect().map(_.toSeq)
+    val shuffled = Graph.triangleCounts(edges, broadcastClosure = false)
+      .orderBy("part").collect().map(_.toSeq)
+    assert(shuffled === bcast)
+  }
+
   test("triangle counting raises on ids that cannot pack into the (deg, id) key") {
     val bad = Seq((-1L, 2L), (2L, 3L)).toDF("a", "b")
     val ex = intercept[Exception] {

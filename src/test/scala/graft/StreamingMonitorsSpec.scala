@@ -876,6 +876,16 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(v0.nonEmpty, "first run must have committed a state version")
   }
 
+  test("serving a heavy state without its total row fails loudly, not with a wrong gate") {
+    import spark.implicits._
+    val bogus = Seq((Option("tok"), 5L)).toDF("token", "cnt")
+    val ex = intercept[RuntimeException] {
+      graft.ops.HeavyHitters.serveHeavyTokens(
+        Tables.documents(spark, "/root/testdata/sf0.001"), bogus)
+    }
+    assert(ex.getMessage.contains("total row"), s"wrong failure: ${ex.getMessage}")
+  }
+
   test("streamed hourly state serves the exact batch CUSUM, buckets straddling batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
