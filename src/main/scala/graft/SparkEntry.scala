@@ -260,6 +260,11 @@ object SparkEntry {
     "q_value_mad" -> ((s, dir) =>
       Monitoring.madOutliers(Tables.events(s, dir)).orderBy("event_type")),
 
+    // equi-depth bin edges by pure-integer rank selection, with the
+    // exact ≤-edge counts that make tie inflation visible
+    "q_equidepth_bins" -> ((s, dir) =>
+      Monitoring.equidepthBins(Tables.events(s, dir)).orderBy("event_type", "bin")),
+
     // CUSUM drift flags via the prefix-min identity (recursive max(0,·)
     // = P - cummin(P)) — two windows, pure integer arithmetic
     "q_cusum_drift" -> ((s, dir) =>
@@ -1389,6 +1394,23 @@ object SparkEntry {
         |  CAST(sum(m) OVER (PARTITION BY src) AS BIGINT) AS w,
         |  CAST(m AS DOUBLE) / CAST(sum(m) OVER (PARTITION BY src) AS BIGINT) AS p
         |FROM edges ORDER BY src, dst""".stripMargin,
+
+    "q_equidepth_bins" ->
+      """WITH q AS (SELECT event_type, CAST(floor(value * 1000000.0) AS BIGINT) AS qv
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT event_type, qv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY qv) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM q),
+        |cum AS (SELECT event_type, qv,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY qv
+        |                   ROWS UNBOUNDED PRECEDING) AS n_le
+        |  FROM (SELECT event_type, qv, count(*) AS cnt FROM q GROUP BY 1, 2)),
+        |edges AS (SELECT r.event_type, b.bin, r.qv AS edge_q
+        |  FROM r CROSS JOIN (SELECT unnest(range(1, 11)) AS bin) b
+        |  WHERE r.rn = (b.bin * r.n + 9) // 10)
+        |SELECT e.event_type AS event_type, e.bin, e.edge_q, c.n_le
+        |FROM edges e JOIN cum c ON c.event_type = e.event_type AND c.qv = e.edge_q
+        |ORDER BY e.event_type, e.bin""".stripMargin,
 
     "q_cusum_drift" ->
       """WITH q AS (SELECT event_type AS key,

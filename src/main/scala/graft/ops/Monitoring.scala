@@ -164,6 +164,41 @@ object Monitoring {
     ranked.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Equi-depth histogram edges per type in EXACT integer arithmetic —
+    * the feature-binning staple: edge i is the ceil(i·n/bins)-th
+    * smallest micro-quantized value, computed as the (i·n + bins − 1)
+    * div bins rank (pure integer ceil — no doubles in the selection),
+    * alongside the EXACT count of rows ≤ that edge (max row_number of
+    * the edge's value group — with ties the count exceeds the nominal
+    * depth, and emitting it makes tie inflation visible instead of
+    * silently pretending depths are equal). One rank window + one
+    * per-value aggregate; the explode ×bins filters on the ranks. */
+  def equidepthBins(events: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"equidepthBins: bins=$bins must be >= 2")
+    val q = events
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * 1000000.0).cast("long").as("qv"))
+    val byType = Window.partitionBy("event_type")
+    val ranked = q
+      .withColumn("rn", row_number().over(byType.orderBy(col("qv"))))
+      .withColumn("n", count(lit(1)).over(byType))
+    val cumLe = q.groupBy("event_type", "qv")
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("n_le", sum(col("__cnt")).over(
+        Window.partitionBy("event_type").orderBy(col("qv"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_type"), col("qv"), col("n_le"))
+    ranked
+      .select(col("event_type"), col("qv"), col("rn"), col("n"),
+        explode(sequence(lit(1), lit(bins))).as("bin"))
+      .filter(col("rn").cast("long") ===
+        expr(s"(bin * n + ${bins - 1}) DIV $bins"))
+      .select(col("event_type"), col("bin"), col("qv").as("edge_q"))
+      .join(cumLe.withColumnRenamed("qv", "edge_q"), Seq("event_type", "edge_q"))
+      .select("event_type", "bin", "edge_q", "n_le")
+  }
+
   /** Robust per-type anomaly stats — median, MAD, and the heavy-tail
     * outlier count — in EXACT integer arithmetic end to end: values are
     * micro-quantized (the repo money rule), the median and the MAD are

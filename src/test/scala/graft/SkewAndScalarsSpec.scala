@@ -163,6 +163,32 @@ class SkewAndScalarsSpec extends SparkSpec {
     assert(ex.getMessage.contains("k >= 2"))
   }
 
+  test("equi-depth bins: rank-selected edges, tie inflation visible, tiny-n collapse") {
+    import graft.ops.Monitoring
+    // type A: n=10, values 1..10 → with bins=5 the edges are the
+    // 2,4,6,8,10-th smallest = 2,4,6,8,10; all n_le equal the nominal
+    // depth (no ties). Type B: n=10, eight copies of 5 then 7, 9 →
+    // edges land INSIDE the tie run: edge=5 with n_le=8 (inflation
+    // the emitted count makes visible)
+    val ev = ((1 to 10).map(v => ("A", v.toDouble)) ++
+      (Seq.fill(8)(5.0) ++ Seq(7.0, 9.0)).map(("B", _))).toDF("event_type", "value")
+    val got = Monitoring.equidepthBins(ev, bins = 5).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val m = 1000000L
+    assert(got(("A", 1)) === ((2L * m, 2L)) && got(("A", 3)) === ((6L * m, 6L)) &&
+      got(("A", 5)) === ((10L * m, 10L)))
+    assert(got(("B", 1)) === ((5L * m, 8L)), "edge inside the tie run reports the true <= count")
+    assert(got(("B", 4)) === ((5L * m, 8L)) && got(("B", 5)) === ((9L * m, 10L)))
+    // n < bins: every edge still selects a valid rank (ceil collapses
+    // several bins onto the same order statistics)
+    val tiny = Seq(("C", 1.0), ("C", 2.0)).toDF("event_type", "value")
+    val gotTiny = Monitoring.equidepthBins(tiny, bins = 5).collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(gotTiny.size === 5 && gotTiny(5) === 2L * m && gotTiny(1) === 1L * m)
+    val ex = intercept[IllegalArgumentException] { Monitoring.equidepthBins(ev, bins = 1) }
+    assert(ex.getMessage.contains("equidepthBins"))
+  }
+
   test("MAD outliers: hand-computed lower medians, odd and even counts, the k gate") {
     import graft.ops.Monitoring
     // type A (n=5, odd): values 1..4 and a far outlier 100.
