@@ -116,6 +116,11 @@ object Incremental {
       .select(col("a").as("p"), col("n").as("n_p"))
     val total = s.filter(col("a").isNull && col("b").isNull)
       .select(col("n").as("n_orders"))
+    // a state without its (null, null) total row is not a basket state;
+    // serving it would silently cross-join against nothing and emit an
+    // EMPTY result — fail loudly instead (the serveHeavyTokens rule)
+    require(total.count() == 1L,
+      "serveBasketLift: state has no (null, null) total-orders row — not a basket state")
     pairs
       .join(broadcast(parts.select(col("p").as("a"), col("n_p").as("n_a"))), "a")
       .join(broadcast(parts.select(col("p").as("b"), col("n_p").as("n_b"))), "b")

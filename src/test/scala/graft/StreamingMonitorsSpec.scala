@@ -886,6 +886,15 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("total row"), s"wrong failure: ${ex.getMessage}")
   }
 
+  test("serving a basket state without its total row fails loudly, not empty") {
+    import spark.implicits._
+    val bogus = Seq((Option(1L), Option(2L), 3L)).toDF("a", "b", "n")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Incremental.serveBasketLift(bogus)
+    }
+    assert(ex.getMessage.contains("total-orders row"), s"wrong failure: ${ex.getMessage}")
+  }
+
   test("streamed hourly state serves the exact batch CUSUM, buckets straddling batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
