@@ -558,7 +558,9 @@ object TimeSeries {
     events
       .filter(col(keyCol).isNotNull && col("value").isNotNull && col("ts_us").isNotNull)
       .select(col(keyCol).as("key"),
-        (col("ts_us") - pmod(col("ts_us"), lit(3600000000L))).as("bucket_us"),
+        // sign-following % (not pmod): matches SQL % exactly even for
+        // pre-epoch timestamps, so the oracle can never diverge on sign
+        (col("ts_us") - col("ts_us") % lit(3600000000L)).as("bucket_us"),
         floor(col("value") * 1000000.0).cast("long").as("qv"))
       .groupBy("key", "bucket_us")
       .agg(sum("qv").as("swq"), count(lit(1)).as("n"))
