@@ -260,6 +260,11 @@ object SparkEntry {
     "q_value_mad" -> ((s, dir) =>
       Monitoring.madOutliers(Tables.events(s, dir)).orderBy("event_type")),
 
+    // exact-moment Pearson correlation (decimal/HUGEINT integers until
+    // the final division and correctly-rounded sqrt)
+    "q_value_hour_corr" -> ((s, dir) =>
+      Monitoring.valueHourCorr(Tables.events(s, dir)).orderBy("event_type")),
+
     // equi-depth bin edges by pure-integer rank selection, with the
     // exact ≤-edge counts that make tie inflation visible
     "q_equidepth_bins" -> ((s, dir) =>
@@ -1394,6 +1399,23 @@ object SparkEntry {
         |  CAST(sum(m) OVER (PARTITION BY src) AS BIGINT) AS w,
         |  CAST(m AS DOUBLE) / CAST(sum(m) OVER (PARTITION BY src) AS BIGINT) AS p
         |FROM edges ORDER BY src, dst""".stripMargin,
+
+    "q_value_hour_corr" ->
+      """WITH q AS (SELECT event_type,
+        |    CAST(floor(value * 1000000.0) AS HUGEINT) AS x,
+        |    CAST(epoch_us(ts) % 86400000000 // 3600000000 AS HUGEINT) AS y
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+        |m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM q GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+        |       ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+        |            sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |                 CAST(n * syy - sy * sy AS DOUBLE)) END AS corr_xy
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "q_equidepth_bins" ->
       """WITH q AS (SELECT event_type, CAST(floor(value * 1000000.0) AS BIGINT) AS qv

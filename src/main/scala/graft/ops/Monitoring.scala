@@ -245,6 +245,43 @@ object Monitoring {
         sum(when(col("dev") > lit(k) * col("mad_q"), 1L).otherwise(0L)).as("n_out"))
   }
 
+  /** Pearson correlation between value and hour-of-day per type, exact
+    * until the last operation: both variables are integers (micro-
+    * quantized value, hour 0-23), every moment (Σx, Σy, Σxy, Σx², Σy²)
+    * is an exact integer sum, and the textbook combination
+    * n·Σxy − Σx·Σy runs in DECIMAL(38,0) — n·Σxy alone can pass 2^63 —
+    * so both engines hold bit-identical integers right up to the final
+    * double division and IEEE-754 sqrt (both correctly rounded, hence
+    * deterministic). Spark's own corr() streams doubles and is NOT
+    * reproducible across engines — that is exactly why this shape
+    * exists. Degenerate variance yields null, never NaN. */
+  def valueHourCorr(events: DataFrame): DataFrame = {
+    val q = events
+      .filter(col("event_type").isNotNull && col("value").isNotNull &&
+        col("ts_us").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * 1000000.0).cast("long").as("x"),
+        // sign-following % + integral DIV, same rule family as the
+        // CUSUM bucket — no float intermediary anywhere
+        expr("ts_us % 86400000000 DIV 3600000000").cast("long").as("y"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    q.groupBy("event_type")
+      // x² reaches 10^22 — past Long — so the x-bearing products run in
+      // decimal per row (the oracle mirrors with HUGEINT); y² ≤ 529
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(d(col("x")) * d(col("y"))).as("sxy"),
+        sum(d(col("x")) * d(col("x"))).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("num", d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+      .withColumn("dx", d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+      .withColumn("dy", d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))
+      .withColumn("corr_xy",
+        when(col("dx") === 0 || col("dy") === 0, lit(null).cast("double"))
+          .otherwise(col("num").cast("double") /
+            sqrt(col("dx").cast("double") * col("dy").cast("double"))))
+      .select("event_type", "n", "corr_xy")
+  }
+
   /** Sketch-based distinct: HyperLogLog++ via approx_count_distinct — at
     * 100 TB an exact distinct over a high-cardinality key is a massive
     * shuffle, while the sketch is mergeable constant-size state per

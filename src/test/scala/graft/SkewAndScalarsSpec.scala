@@ -163,6 +163,42 @@ class SkewAndScalarsSpec extends SparkSpec {
     assert(ex.getMessage.contains("k >= 2"))
   }
 
+  test("exact-moment correlation: perfect, inverted, degenerate, and a BigInt model") {
+    import graft.ops.Monitoring
+    val h = 3600000000L
+    // type P: value grows exactly with the hour → r = 1.0 EXACTLY (the
+    // integer moments factor perfectly; no float noise to blur it);
+    // type N: value falls with the hour → r = -1.0; type Z: constant
+    // value → zero variance → null, never NaN
+    val ev = ((0 until 8).map(i => ("P", 1L + i, (i + 1).toDouble, i * h)) ++
+      (0 until 8).map(i => ("N", 20L + i, (8 - i).toDouble, i * h)) ++
+      (0 until 8).map(i => ("Z", 40L + i, 7.0, i * h)))
+      .toDF("event_type", "event_id", "value", "ts_us")
+    val got = Monitoring.valueHourCorr(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), Option(r.get(2)))).toMap
+    assert(got("P") === ((8L, Some(1.0))))
+    assert(got("N") === ((8L, Some(-1.0))))
+    assert(got("Z") === ((8L, None)))
+    // real data: the engine's r equals a driver-side BigInt recomputation
+    val real = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = real.filter(col("event_type").isNotNull && col("value").isNotNull &&
+        col("ts_us").isNotNull)
+      .select(col("event_type"), floor(col("value") * 1000000.0).cast("long"),
+        expr("ts_us % 86400000000 DIV 3600000000").cast("long"))
+      .collect().map(r => (r.getString(0), BigInt(r.getLong(1)), BigInt(r.getLong(2))))
+    val model = rows.groupBy(_._1).map { case (t, vs) =>
+      val n = BigInt(vs.length)
+      val (sx, sy) = (vs.map(_._2).sum, vs.map(_._3).sum)
+      val sxy = vs.map(v => v._2 * v._3).sum
+      val (sxx, syy) = (vs.map(v => v._2 * v._2).sum, vs.map(v => v._3 * v._3).sum)
+      val (dx, dy) = (n * sxx - sx * sx, n * syy - sy * sy)
+      t -> ((n * sxy - sx * sy).toDouble / math.sqrt(dx.toDouble * dy.toDouble))
+    }
+    val engine = Monitoring.valueHourCorr(real).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(engine === model)
+  }
+
   test("equi-depth bins: rank-selected edges, tie inflation visible, tiny-n collapse") {
     import graft.ops.Monitoring
     // type A: n=10, values 1..10 → with bins=5 the edges are the
