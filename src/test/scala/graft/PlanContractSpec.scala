@@ -332,6 +332,15 @@ class PlanContractSpec extends SparkSpec {
     }
     val ptp = plan("graph_transition_probs")
     assert(!ptp.contains("Join"), s"transition probs must stay window-only:\n$ptp")
+    // correlation is ONE aggregate — no join, no window, no second pass
+    val pc = plan("q_value_hour_corr")
+    assert(!pc.contains("Join") && !pc.contains("Window"),
+      s"correlation must stay a single aggregate:\n$pc")
+    // equi-depth: the edge/cumulative join is an equi-join on
+    // (type, value) — never a loop
+    val pb = plan("q_equidepth_bins")
+    assert(!pb.contains("CartesianProduct") && !pb.contains("BroadcastNestedLoopJoin"),
+      s"equi-depth bins lost the equi-join shape:\n$pb")
   }
 
   test("a selective dim filter injects a bloom runtime filter into a shuffle join's fact side") {
