@@ -235,6 +235,29 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: equi-depth edges equal a driver-side model on random tied values") {
+    import graft.ops.Monitoring
+    (1L to 5L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // coarse rounding forces heavy ties — the regime where naive
+      // binning silently lies about depths
+      val rows = Seq.fill(90)(("T", (rnd.nextInt(12) + 1).toDouble)) ++
+        Seq.fill(7)(("U", (rnd.nextInt(3) + 1).toDouble))
+      val got = Monitoring.equidepthBins(rows.toDF("event_type", "value"), bins = 4)
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val expected = rows.groupBy(_._1).flatMap { case (t, vs) =>
+        val q = vs.map(v => math.floor(v._2 * 1000000.0).toLong).sorted
+        val n = q.size
+        (1 to 4).map { bin =>
+          val edge = q((bin * n + 3) / 4 - 1)
+          (t, bin) -> ((edge, q.count(_ <= edge).toLong))
+        }
+      }
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("property: MAD screen equals a driver-side model on random skewed values") {
     import graft.ops.Monitoring
     (1L to 5L).foreach { seed =>
