@@ -299,6 +299,11 @@ object SparkEntry {
     "q_basket_lift" -> ((s, dir) =>
       Graph.basketLift(Tables.lineitem(s, dir)).orderBy("a", "b")),
 
+    // the directional companion: confidence P(cons | ante), both
+    // directions per surviving pair, exact counts, one division
+    "q_basket_confidence" -> ((s, dir) =>
+      Graph.basketConfidence(Tables.lineitem(s, dir)).orderBy("ante", "cons")),
+
     // incremental maintenance of the same view: split on the ORDER key
     // (basket-atomic — a date split would sever baskets, spec'd as a
     // negative law), merge the monoid state, serve; oracle = the direct
@@ -1519,6 +1524,19 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN d.dev > 3 * mad.mad_q THEN 1 ELSE 0 END) AS BIGINT) AS n_out
         |FROM d JOIN mad USING (event_type)
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+    "q_basket_confidence" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |pc AS (SELECT a.p AS a, b.p AS b, count(*) AS n_ab
+        |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2
+        |       HAVING count(*) >= 2),
+        |parts AS (SELECT p, count(*) AS n_p FROM op GROUP BY 1),
+        |dir AS (SELECT a AS ante, b AS cons, n_ab FROM pc
+        |        UNION ALL SELECT b, a, n_ab FROM pc)
+        |SELECT d.ante AS ante, d.cons, d.n_ab, pa.n_p AS n_ante,
+        |  CAST(d.n_ab AS DOUBLE) / pa.n_p AS confidence
+        |FROM dir d JOIN parts pa ON pa.p = d.ante
+        |ORDER BY d.ante, d.cons""".stripMargin,
 
     // identical to q_basket_lift by the merge law: the oracle recomputes
     // directly, the engine merges the order-key split

@@ -263,6 +263,32 @@ object Graph {
           .as("lift"))
   }
 
+  /** Directional association rules from the same counts: confidence
+    * P(consequent | antecedent) = c(a,b) / c(antecedent) — the
+    * asymmetric companion of [[basketLift]] (lift cannot tell which way
+    * a rule points; confidence can). Each surviving pair emits BOTH
+    * directions; the one double division divides two exact
+    * distinct-order counts. */
+  def basketConfidence(lineitem: DataFrame, minSupport: Long = 2L): DataFrame = {
+    require(minSupport >= 1L,
+      s"basketConfidence: minSupport=$minSupport must be >= 1")
+    val op = lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairCounts = orderedPairs(orderPartSets(lineitem))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    val partCounts = op.groupBy("p").agg(count(lit(1)).as("n_p"))
+    val directed = pairCounts
+      .select(col("a").as("ante"), col("b").as("cons"), col("n_ab"))
+      .unionByName(pairCounts
+        .select(col("b").as("ante"), col("a").as("cons"), col("n_ab")))
+    directed
+      .join(broadcast(partCounts.select(col("p").as("ante"), col("n_p").as("n_ante"))),
+        "ante")
+      .select(col("ante"), col("cons"), col("n_ab"), col("n_ante"),
+        (col("n_ab").cast("double") / col("n_ante")).as("confidence"))
+  }
+
   /** Per-node triangle counts by degree-ordered wedge closure (the
     * node-iterator / compact-forward algorithm): orient every undirected
     * edge toward its higher-(degree, id) endpoint — the resulting DAG has

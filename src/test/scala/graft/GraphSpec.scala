@@ -246,6 +246,20 @@ class GraphSpec extends SparkSpec {
     assert(ex.getMessage.contains("minSupport"))
   }
 
+  test("basket confidence is directional: the rare->common rule scores higher") {
+    // parts 1 and 2 co-occur in 2 orders; part 1 is in 4 orders, part 2
+    // in 2 → conf(2→1) = 2/2 = 1.0 but conf(1→2) = 2/4 = 0.5
+    val li = Seq(
+      (101L, 1L), (101L, 2L), (102L, 1L), (102L, 2L),
+      (103L, 1L), (104L, 1L)).toDF("l_orderkey", "l_partkey")
+    val got = Graph.basketConfidence(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got === Map(
+      (1L, 2L) -> ((2L, 4L, 0.5)),
+      (2L, 1L) -> ((2L, 2L, 1.0))))
+  }
+
   test("the shuffle-closure knob picks the same triangles as the broadcast path") {
     val edges = Seq(
       (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
