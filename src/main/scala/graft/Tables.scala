@@ -30,27 +30,49 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** Raw schema of the events parquet under nanosAsLong (ts = epoch-nanos
-    * long) — needed by the streaming file source, which requires an
-    * explicit schema. */
+  /** Raw schema of the events parquet — needed by the streaming file
+    * source, which requires an explicit schema. The driver currently
+    * writes ts as parquet timestamp[us]; `normalizeEvents` also accepts
+    * the earlier nanos-as-long encoding for batch reads. */
   val eventsRawSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
   }
 
   /** Normalize raw events: ts exposed both as a micro-precision timestamp
     * (`ts`) and epoch-micros long (`ts_us`, used for ordering/arithmetic).
-    * The parquet carries sub-microsecond nanos, but both Spark
-    * TimestampType and DuckDB's parquet reader truncate to micros — so
-    * micros IS the common precision the oracle can see; never compute on
-    * the raw nanos. */
-  def normalizeEvents(raw: DataFrame): DataFrame =
-    raw
-      .withColumn("ts_us", expr("ts DIV 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    * Adaptive to how the driver encoded the column: a genuine parquet
+    * timestamp[us] surfaces as TimestampType (current testdata), while a
+    * TIMESTAMP(NANOS) column under `nanosAsLong` surfaces as a raw
+    * epoch-nanos long (earlier testdata) — micros is the common precision
+    * either way (DuckDB's oracle read also sees micros), so downstream
+    * code computes only on `ts`/`ts_us` and never on raw nanos. */
+  def normalizeEvents(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) under nanosAsLong (earlier testdata)
+        raw
+          .withColumn("ts_us", expr("ts DIV 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case TimestampNTZType =>
+        // parquet timestamp[us] with isAdjustedToUTC=false (current
+        // testdata). The naive value IS the UTC instant (DuckDB reads it
+        // the same way), so pin the interpretation to UTC explicitly —
+        // correct under ANY session timezone, not just our UTC sessions.
+        val asUtc = to_utc_timestamp(col("ts"), "UTC")
+        raw
+          .withColumn("ts_us", unix_micros(asUtc))
+          .withColumn("ts", asUtc)
+      case TimestampType =>
+        raw.withColumn("ts_us", unix_micros(col("ts")))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts has unsupported type $other — expected long (nanos), timestamp, or timestamp_ntz")
+    }
+  }
 
   def events(spark: SparkSession, sfDir: String): DataFrame =
     normalizeEvents(load(spark, sfDir, "events"))

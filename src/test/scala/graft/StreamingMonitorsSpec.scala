@@ -190,12 +190,16 @@ class StreamingMonitorsSpec extends SparkSpec {
     // sentinel file far past every real event, delivered as a SECOND batch
     // (maxFilesPerTrigger=1): advances the watermark so the append-mode
     // aggregation finalizes every real purchase's window
-    val farNs = Tables.events(spark, "/root/testdata/sf0.001")
-      .agg(max("ts_us")).collect()(0).getLong(0) * 1000L + 365L * 86400L * 1000000000L
+    val farUs = Tables.events(spark, "/root/testdata/sf0.001")
+      .agg(max("ts_us")).collect()(0).getLong(0) + 365L * 86400L * 1000000L
     import spark.implicits._
-    Seq((9000001L, farNs, 999999L, "purchase", 1.0, "{}"),
-        (9000002L, farNs + 1000000000L, 999999L, "view", 1.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // ts must carry the SAME parquet type as the real file (timestamp_ntz
+    // micros) — a file source reads the whole directory under one schema
+    Seq((9000001L, farUs, 999999L, "purchase", 1.0, "{}"),
+        (9000002L, farUs + 1000000L, 999999L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts_raw", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts_raw")).cast("timestamp_ntz"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(s"$w/sentinel")
     val part = new java.io.File(s"$w/sentinel").listFiles()
       .filter(_.getName.endsWith(".parquet")).head
