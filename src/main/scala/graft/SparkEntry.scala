@@ -260,6 +260,11 @@ object SparkEntry {
     "q_value_mad" -> ((s, dir) =>
       Monitoring.madOutliers(Tables.events(s, dir)).orderBy("event_type")),
 
+    // robust location next to MAD's robust spread: exact rank-selected
+    // [p5, p95] cut points, integer clamp + sum, one rendering division
+    "q_value_winsorize" -> ((s, dir) =>
+      Monitoring.winsorizedStats(Tables.events(s, dir)).orderBy("event_type")),
+
     // exact-moment Pearson correlation (decimal/HUGEINT integers until
     // the final division and correctly-rounded sqrt)
     "q_value_hour_corr" -> ((s, dir) =>
@@ -456,6 +461,16 @@ object SparkEntry {
     // ---- LLM-pipeline: reproducible sampling -----------------------------
     "q_split_census" -> ((s, dir) =>
       Sampling.splitCensus(Tables.documents(s, dir)).orderBy("lang", "split")),
+
+    // deterministic k-fold assignment census: fold = md5 byte mod k,
+    // per-row and engine-portable like the split column
+    "q_kfold_census" -> ((s, dir) =>
+      Sampling.kfoldCensus(Tables.documents(s, dir), k = 5).orderBy("fold", "lang")),
+
+    // ceil-pow2 token-length histogram + pad-waste — integer-only bucket
+    // via bit length, no float log2 to mis-bin at exact powers of two
+    "q_length_buckets" -> ((s, dir) =>
+      Sampling.lengthBuckets(Tables.documents(s, dir)).orderBy("bucket")),
 
     "q_source_cap" -> ((s, dir) =>
       Sampling.perSourceCap(Tables.documents(s, dir), cap = 100)
@@ -794,6 +809,11 @@ object SparkEntry {
 
     "text_top_shingles" -> ((s, dir) =>
       Dedup.shingleDocFreq(Tables.documents(s, dir))),
+
+    // per-doc duplicated-shingle coverage: the substring-level dedup
+    // signal (corpus-repeated fraction), exact counts + one division
+    "text_dup_coverage" -> ((s, dir) =>
+      Dedup.dupShingleCoverage(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // context-window prep: 16-token windows every 12 tokens (short docs in
     // this corpus still produce 2-3 overlapping chunks each)
@@ -1525,6 +1545,25 @@ object SparkEntry {
         |FROM d JOIN mad USING (event_type)
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
+    // cut points by the same rank selection as the engine ((n-1)*p//100+1
+    // on the micro-quantized values); rendering division in the
+    // unigram_lp order so the double is bit-identical
+    "q_value_winsorize" ->
+      """WITH q AS (SELECT event_type, CAST(floor(value * 1000000.0) AS BIGINT) AS qv
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT event_type, qv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY qv) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM q),
+        |cuts AS (SELECT event_type, min(qv) AS lo_q, max(qv) AS hi_q FROM r
+        |  WHERE rn = (n - 1) * 5 // 100 + 1 OR rn = (n - 1) * 95 // 100 + 1
+        |  GROUP BY 1)
+        |SELECT q.event_type, count(*) AS n, max(lo_q) AS lo_q, max(hi_q) AS hi_q,
+        |  CAST(sum(least(greatest(q.qv, lo_q), hi_q)) AS BIGINT) AS sum_w_q,
+        |  CAST(CAST(sum(least(greatest(q.qv, lo_q), hi_q)) AS BIGINT) AS DOUBLE)
+        |    / 1000000.0 / count(*) AS mean_w
+        |FROM q JOIN cuts USING (event_type)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     "q_basket_confidence" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |pc AS (SELECT a.p AS a, b.p AS b, count(*) AS n_ab
@@ -1704,6 +1743,36 @@ object SparkEntry {
         |       THEN 'train' ELSE 'eval' END AS split,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
         |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    // the first md5 byte parsed with plain string ops (the q_seq_pack
+    // hex-digit trick), then mod k — same fold ids as the engine
+    "q_kfold_census" ->
+      """WITH f AS (
+        |  SELECT lang, n_chars,
+        |    CAST((
+        |      (instr('0123456789abcdef',
+        |         substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |      + instr('0123456789abcdef',
+        |          substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+        |    ) % 5 AS INT) AS fold
+        |  FROM documents)
+        |SELECT fold, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM f GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin,
+
+    // ceil-pow2 by bit length of n-1 — integer-only in both engines
+    "q_length_buckets" ->
+      """WITH t AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT n_tokens,
+        |    CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(1 AS BIGINT) << length(bin(n_tokens - 1)) END AS bucket
+        |  FROM t)
+        |SELECT bucket, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+        |  CAST(sum(bucket - n_tokens) AS BIGINT) AS pad_tokens
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_source_cap" ->
       """SELECT source, rank_in_source, doc_id, n_chars FROM (
@@ -2261,6 +2330,20 @@ object SparkEntry {
         |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s FROM idx)
         |SELECT s, df FROM (SELECT s, count(*) AS df FROM sh GROUP BY 1)
         |ORDER BY df DESC, s LIMIT 50""".stripMargin,
+
+    // same shingle construction as text_top_shingles, aggregated back
+    // per doc against the corpus df
+    "text_dup_coverage" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM w),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s FROM idx),
+        |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+        |  CAST(CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / count(*) AS dup_rate
+        |FROM sh JOIN df USING (s)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // cosine over the UNNORMALIZED quantized component-sum vectors
     // (scale-invariant, so identical to the mean-vector cosine) — every

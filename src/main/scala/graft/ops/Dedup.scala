@@ -282,6 +282,30 @@ object Dedup {
       .groupBy("s").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("s")).limit(topK)
 
+  /** Per-doc duplicated-shingle coverage — the document-level version of
+    * the corpus statistic [[shingleDocFreq]] ranks: for every doc, how
+    * many of its distinct n-gram shingles also appear in at least one
+    * OTHER doc (corpus df > 1), and the resulting dup fraction. This is
+    * the per-doc signal behind substring-level dedup policies: a doc
+    * whose shingles are mostly corpus-repeated is boilerplate or a
+    * near-copy even when no single pair-wise match fires. Counts are
+    * exact integers; the one double division is bit-exact per row.
+    *
+    * 100 TB shape: one shingling pass, one df aggregate over the shingle
+    * universe, one shuffle join back on the shingle — all equi-keyed; a
+    * df cap (as in [[jaccardPairs]]) bounds the hot-posting fan-in if
+    * the corpus has mega-df boilerplate shingles. */
+  def dupShingleCoverage(docs: DataFrame, n: Int = 3): DataFrame =
+    withScopedCache(postings(docs, n)) { post =>
+      val df = post.groupBy("s").agg(count(lit(1)).as("df"))
+      post.join(df, "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") > 1L, 1L).otherwise(0L)).as("n_dup_shingles"))
+        .withColumn("dup_rate",
+          col("n_dup_shingles").cast("double") / col("n_shingles"))
+    }
+
   /** Incremental NEAR-dup — the fuzzy twin of [[exactIncrement]], the
     * shape a rolling 100 TB ingest runs nightly: new-batch docs vs the
     * accumulated corpus via the banded MinHash table. Candidates come

@@ -245,6 +245,41 @@ object Monitoring {
         sum(when(col("dev") > lit(k) * col("mad_q"), 1L).otherwise(0L)).as("n_out"))
   }
 
+  /** Winsorized per-type mean — the robust-location companion to
+    * [[madOutliers]]'s robust-spread screen: clamp values to the exact
+    * rank-selected [p5, p95] cut points, then average. Same integer
+    * discipline end to end: micro-quantized values, cut points selected
+    * by pure integer rank ((n−1)·p div 100 + 1, zero interpolation),
+    * clamping and the sum on exact longs; only the final rendering
+    * divides (sum → double → /1e6 → /n, the unigram_lp order), so the
+    * compared aggregate is engine-exact. The heavy-tail-immune mean a
+    * pipeline alerts on when a few wild sensor spikes would swamp avg().
+    *
+    * Shape: ONE rank window over the type partitioning (both cut points
+    * fall out of the same pass via conditional min/max — vs MAD's two
+    * windows, since deviations need the median first), one broadcast
+    * join of the per-type cuts, one aggregate. Same skew note as MAD. */
+  def winsorizedStats(events: DataFrame, pLow: Long = 5L, pHigh: Long = 95L): DataFrame = {
+    require(0L <= pLow && pLow < pHigh && pHigh <= 100L,
+      s"winsorizedStats: need 0 <= pLow < pHigh <= 100, got [$pLow, $pHigh]")
+    val q = events
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), floor(col("value") * 1000000.0).cast("long").as("qv"))
+    val byType = Window.partitionBy("event_type")
+    val cuts = q
+      .withColumn("rn", row_number().over(byType.orderBy(col("qv"))))
+      .withColumn("n", count(lit(1)).over(byType))
+      .filter(col("rn") === expr(s"(n - 1) * $pLow DIV 100 + 1") ||
+        col("rn") === expr(s"(n - 1) * $pHigh DIV 100 + 1"))
+      .groupBy("event_type").agg(min("qv").as("lo_q"), max("qv").as("hi_q"))
+    q.join(broadcast(cuts), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("lo_q").as("lo_q"), max("hi_q").as("hi_q"),
+        sum(least(greatest(col("qv"), col("lo_q")), col("hi_q"))).as("sum_w_q"))
+      .withColumn("mean_w",
+        col("sum_w_q").cast("double") / 1000000.0 / col("n"))
+  }
+
   /** Pearson correlation between value and hour-of-day per type, exact
     * until the last operation: both variables are integers (micro-
     * quantized value, hour 0-23), every moment (Σx, Σy, Σxy, Σx², Σy²)

@@ -46,6 +46,47 @@ object Sampling {
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
 
+  /** Deterministic k-fold assignment: fold = (first hash byte) mod k.
+    * The cross-validation sibling of [[splitColumn]] — per-row, no
+    * shuffle, survives repartitioning and task retry, and reproduces
+    * bit-for-bit in any engine that can render md5 hex (the byte parses
+    * with plain string ops — no engine-private hash seeds). Folds are
+    * equal-probability only when 256 mod k == 0; the residue classes are
+    * off by at most 1/256 of the mass, which a census makes visible. */
+  def kfoldColumn(idCol: Column, k: Int = 5, seed: String = "fold:"): Column = {
+    require(k >= 2 && k <= 256, s"kfold: k=$k must be in [2, 256]")
+    (conv(substring(idHash(idCol, seed), 1, 2), 16, 10).cast("int") % k).as("fold")
+  }
+
+  /** k-fold census: per-(fold, lang) document and char volume — the
+    * pre-training check that no fold starves a language (same role as
+    * [[splitCensus]] for the train/eval split). */
+  def kfoldCensus(docs: DataFrame, k: Int = 5): DataFrame =
+    docs
+      .withColumn("fold", kfoldColumn(col("doc_id"), k))
+      .groupBy("fold", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+
+  /** Token-length histogram over power-of-two buckets — the statistic a
+    * packing planner reads before choosing sequence lengths: how many
+    * docs and tokens land in each ceil-pow2 length class, and how many
+    * pad tokens a naive one-doc-per-sequence batching of that class
+    * would burn (`pad_tokens` = Σ bucket − n). The bucket is computed
+    * WITHOUT transcendentals — ceil(log2(n)) is the bit length of n−1
+    * (`length(bin(n-1))`), exact integer-only and engine-portable, where
+    * a float log2 could mis-bin near exact powers of two. Purely per-row
+    * until one small aggregate (≤ ~40 buckets). */
+  def lengthBuckets(docs: DataFrame): DataFrame =
+    docs
+      .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        when(col("n_tokens") <= 1L, 1L)
+          .otherwise(expr("CAST(shiftleft(1L, length(bin(n_tokens - 1))) AS BIGINT)")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens_total"),
+        sum(col("bucket") - col("n_tokens")).as("pad_tokens"))
+
   /** Per-source quota: keep at most `cap` docs per source, preferring the
     * longest (n_chars desc, doc_id tiebreak). One shuffle on source; the
     * window prunes to a per-partition top-k before anything downstream.

@@ -35,6 +35,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(r === Seq((11L, 2L), (13L, 1L)))
   }
 
+  test("dup-shingle coverage: planted overlap by hand, independent doc at zero") {
+    // doc 0 and 1 are identical (every shingle df >= 2 → rate 1.0);
+    // doc 2 shares its first trigram with them ("a b c") but not the
+    // second; doc 3 shares nothing.
+    val planted = Seq(
+      (0L, "a b c d"),   // shingles: "a b c", "b c d"
+      (1L, "a b c d"),
+      (2L, "a b c x"),   // shingles: "a b c" (shared), "b c x" (unique)
+      (3L, "p q r s")    // shingles: "p q r", "q r s" — both unique
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupShingleCoverage(planted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      0L -> ((2L, 2L, 1.0)), 1L -> ((2L, 2L, 1.0)),
+      2L -> ((2L, 1L, 0.5)), 3L -> ((2L, 0L, 0.0))))
+  }
+
   test("ngram jaccard finds exact and near duplicates, not unrelated pairs") {
     val pairs = Dedup.ngramJaccard(docs, threshold = 0.5)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -34,6 +34,47 @@ class SamplingSpec extends SparkSpec {
     assert(again === splits)
   }
 
+  test("kfold assignment matches an independent JVM md5 byte mod k, id by id") {
+    val k = 5
+    val got = Seq(0L, 1L, 42L, 999999L).toDF("doc_id")
+      .select(col("doc_id"), Sampling.kfoldColumn(col("doc_id"), k).as("fold"))
+      .as[(Long, Int)].collect().toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.foreach { case (id, fold) =>
+      val b0 = md.digest(s"fold:$id".getBytes("UTF-8"))(0) & 0xff
+      assert(fold === b0 % k, s"doc $id: byte $b0")
+    }
+  }
+
+  test("kfold census covers every doc exactly once with folds in [0, k)") {
+    val k = 5
+    val census = Sampling.kfoldCensus(docs, k)
+      .as[(Int, String, Long, Long)].collect()
+    assert(census.map(_._3).sum === docs.count())
+    assert(census.forall(r => r._1 >= 0 && r._1 < k))
+    assert(census.map(_._1).distinct.length === k, "some fold got no docs")
+    // per-(fold, lang) char volume re-derives from the assignment column
+    val perLang = docs.select(Sampling.kfoldColumn(col("doc_id"), k).as("fold"),
+        col("lang"), col("n_chars"))
+      .groupBy("fold", "lang").agg(sum("n_chars").as("n_chars"))
+      .as[(Int, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    census.foreach { case (f, l, _, chars) => assert(perLang((f, l)) === chars) }
+  }
+
+  test("length buckets: ceil-pow2 edges by hand, pad arithmetic exact") {
+    // token counts 1..9 land in buckets 1,2,4,4,8,8,8,8,16
+    val rows = Seq.tabulate(9)(i => (i.toLong, ("w " * (i + 1)).trim))
+      .toDF("doc_id", "text")
+    val got = Sampling.lengthBuckets(rows)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got === Map(
+      1L -> (1L, 1L, 0L),              // n=1
+      2L -> (1L, 2L, 0L),              // n=2
+      4L -> (2L, 3L + 4L, 1L),         // n=3,4
+      8L -> (4L, 5L + 6L + 7L + 8L, 3L + 2L + 1L), // n=5..8
+      16L -> (1L, 9L, 7L)))            // n=9
+  }
+
   test("per-source cap keeps at most N, longest-first, deterministic tiebreak") {
     val capped = Sampling.perSourceCap(docs, cap = 10)
     val bySource = capped.groupBy("source").agg(

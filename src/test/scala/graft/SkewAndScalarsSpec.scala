@@ -248,6 +248,30 @@ class SkewAndScalarsSpec extends SparkSpec {
     assert(ex.getMessage.contains("madOutliers"))
   }
 
+  test("winsorized mean: hand-computed rank cuts, clamping, and the degenerate type") {
+    import graft.ops.Monitoring
+    // type A (n=10, values 1..9 and outlier 1000): lo rank (9*5)//100+1 = 1
+    //   → lo = 1e6; hi rank (9*95)//100+1 = 9 → hi = 9e6 (the outlier is
+    //   rank 10, so it clamps to 9e6). winsorized sum = (1+..+9 + 9)e6 =
+    //   54e6 → mean 54e6/1e6/10 = 5.4 — vs the raw mean 104.5 the
+    //   outlier would have dragged.
+    // type B (n=1): both cut ranks = 1 → lo = hi = 7e6, sum 7e6, mean 7.0.
+    val ev = Seq("A" -> 1000.0, "B" -> 7.0)
+      .++((1 to 9).map(i => "A" -> i.toDouble))
+      .toDF("event_type", "value")
+    val got = Monitoring.winsorizedStats(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(got === Map(
+      "A" -> ((10L, 1000000L, 9000000L, 54000000L, 5.4)),
+      "B" -> ((1L, 7000000L, 7000000L, 7000000L, 7.0))))
+    val ex = intercept[IllegalArgumentException] {
+      Monitoring.winsorizedStats(ev, pLow = 50L, pHigh = 40L)
+    }
+    assert(ex.getMessage.contains("winsorizedStats"))
+  }
+
   test("basket merge law holds on an order split and BREAKS on a basket-severing split") {
     import graft.ops.{Graph, Incremental}
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
