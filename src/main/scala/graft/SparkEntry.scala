@@ -265,6 +265,11 @@ object SparkEntry {
     "q_value_winsorize" -> ((s, dir) =>
       Monitoring.winsorizedStats(Tables.events(s, dir)).orderBy("event_type")),
 
+    // event-time disorder vs arrival order — the statistic that sizes
+    // streaming watermarks; integer micros, one running-max window
+    "q_disorder_audit" -> ((s, dir) =>
+      Monitoring.disorderAudit(Tables.events(s, dir)).orderBy("event_type")),
+
     // exact-moment Pearson correlation (decimal/HUGEINT integers until
     // the final division and correctly-rounded sqrt)
     "q_value_hour_corr" -> ((s, dir) =>
@@ -814,6 +819,22 @@ object SparkEntry {
     // signal (corpus-repeated fraction), exact counts + one division
     "text_dup_coverage" -> ((s, dir) =>
       Dedup.dupShingleCoverage(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // sparse lexical retrieval next to the dense ANN stack: integer
+    // idf-surrogate weights, postings self-join, per-doc top-k window
+    "sim_lexical_topk" -> ((s, dir) =>
+      Dedup.lexicalTopK(Tables.documents(s, dir)).orderBy("doc_id", "rank")),
+
+    // k-anonymity exposure over (lang, source, ceil-pow2 length) quasi-
+    // identifiers — the indirect-identifier audit next to the PII scrub
+    "q_anonymity_census" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("len_bucket",
+          when(col("n_chars") <= 1L, 1L)
+            .otherwise(expr("CAST(shiftleft(1L, length(bin(n_chars - 1))) AS BIGINT)")))
+      Expectations.kAnonymityCensus(d, Seq("lang", "source", "len_bucket"), k = 5L)
+        .orderBy("lang")
+    }),
 
     // context-window prep: 16-token windows every 12 tokens (short docs in
     // this corpus still produce 2-3 overlapping chunks each)
@@ -1563,6 +1584,58 @@ object SparkEntry {
         |    / 1000000.0 / count(*) AS mean_w
         |FROM q JOIN cuts USING (event_type)
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // NULL prev_max on each type's first arrival falls to late 0 in both
+    // engines (NULL > x is NULL, CASE else-branch)
+    "q_disorder_audit" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type IS NOT NULL),
+        |m AS (SELECT event_type, ts_us,
+        |    max(ts_us) OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_us
+        |  FROM e),
+        |d AS (SELECT event_type,
+        |    CASE WHEN prev_max_us > ts_us THEN prev_max_us - ts_us ELSE 0 END AS late_us
+        |  FROM m)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(max(late_us) AS BIGINT) AS max_late_us,
+        |  CAST(CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / count(*) AS late_rate
+        |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // same integer idf surrogate as text_tfidf ((N+1)//(df+1), scaled
+    // 10^6), same df cap as the engine, ties by neighbor id
+    "sim_lexical_topk" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS s
+        |  FROM documents),
+        |w AS (SELECT s, (1000000 * ((SELECT count(*) FROM documents) + 1)) // (df + 1) AS w
+        |  FROM (SELECT s, count(*) AS df FROM tok GROUP BY 1 HAVING count(*) <= 1000)),
+        |tw AS (SELECT tok.doc_id, tok.s, w.w FROM tok JOIN w USING (s)),
+        |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(sum(a.w) AS BIGINT) AS score
+        |  FROM tw a JOIN tw b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |m AS (SELECT id1 AS doc_id, id2 AS nbr_id, score FROM pairs
+        |      UNION ALL SELECT id2, id1, score FROM pairs),
+        |r AS (SELECT doc_id, nbr_id, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, nbr_id)
+        |      AS BIGINT) AS rank
+        |  FROM m)
+        |SELECT doc_id, nbr_id, score, rank FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    // the q_length_buckets pow2 bucket reused as the third quasi-identifier
+    "q_anonymity_census" ->
+      """WITH b AS (SELECT lang, source,
+        |    CASE WHEN n_chars <= 1 THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(1 AS BIGINT) << length(bin(n_chars - 1)) END AS len_bucket
+        |  FROM documents),
+        |g AS (SELECT lang, source, len_bucket, count(*) AS n_rows
+        |  FROM b GROUP BY 1, 2, 3)
+        |SELECT lang, count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN n_rows < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+        |  CAST(sum(CASE WHEN n_rows < 5 THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+        |FROM g GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "q_basket_confidence" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

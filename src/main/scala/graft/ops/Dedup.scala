@@ -176,6 +176,46 @@ object Dedup {
       tok.join(rare.select("s"), "s")
     }
 
+  /** Sparse lexical top-k similar docs — the inverted-index retrieval
+    * companion to the dense ANN stack (ops/Similarity): score(a, b) =
+    * Σ over shared distinct tokens of an idf-style weight, and each doc
+    * keeps its k best neighbors. The weight is the log-free integer
+    * rational floor(10^6·(N+1)/(df+1)) (the text_tfidf family's
+    * engine-portable idf surrogate): rare shared tokens dominate, and
+    * every score is an exact integer sum — no float accumulation order,
+    * no transcendentals, ties broken by neighbor id.
+    *
+    * 100 TB shape: the pair stream is the postings SELF-JOIN ON THE
+    * TOKEN KEY — never doc×doc — with [[capDocFreq]]'s guard dropping
+    * posting lists longer than `maxDocFreq` before the join (a hot
+    * stopword's df² pairs is the one quadratic cliff; its weight is the
+    * corpus minimum anyway). One shingling pass via the scoped cache;
+    * the per-doc top-k is a rank window, pruned map-side to each
+    * partition's k before the shuffle. */
+  def lexicalTopK(docs: DataFrame, k: Int = 3, maxDocFreq: Int = 1000): DataFrame =
+    withScopedCache(postings(docs, 1)) { tok =>
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val w = tok.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDocFreq)
+        .crossJoin(broadcast(total))
+        .select(col("s"), expr("1000000L * (n_docs + 1) DIV (df + 1)").as("w"))
+      val tokW = tok.join(w, "s")
+      val pairs = tokW.as("a")
+        .join(tokW.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(sum(col("a.w")).as("score"))
+      val mirrored = pairs
+        .select(col("id1").as("doc_id"), col("id2").as("nbr_id"), col("score"))
+        .unionByName(pairs
+          .select(col("id2").as("doc_id"), col("id1").as("nbr_id"), col("score")))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("nbr_id"))
+      mirrored
+        .withColumn("rank", row_number().over(byDoc).cast("long"))
+        .filter(col("rank") <= k)
+    }
+
   /** Eval-set decontamination: every (train, eval) doc pair where the
     * train doc contains at least `threshold` of the eval doc's shingle
     * set — `containment = |sh(train) ∩ sh(eval)| / |sh(eval)|`, the

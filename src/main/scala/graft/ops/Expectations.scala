@@ -134,6 +134,25 @@ object Expectations {
     df.observe(name, aggs.head, aggs.tail: _*)
   }
 
+  /** k-anonymity census over a quasi-identifier tuple — the privacy
+    * sibling of the PII scrub (TextAnalysis.piiScrub redacts direct
+    * identifiers; this audits INDIRECT ones): group by the QI columns,
+    * then per (first QI column) report how many QI groups exist, how
+    * many are smaller than k, and how many rows sit in those small
+    * groups — the re-identification exposure a release gate checks
+    * before publishing a training corpus. Two cascaded integer
+    * aggregates, no joins; the inner groupBy carries the full QI tuple
+    * so the shuffle key is as wide as the audit itself. */
+  def kAnonymityCensus(df: DataFrame, qiCols: Seq[String], k: Long = 5L): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymityCensus: need at least one QI column")
+    require(k >= 2L, s"kAnonymityCensus: k=$k must be >= 2")
+    val groups = df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("n_rows"))
+    groups.groupBy(col(qiCols.head))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n_rows") < k, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when(col("n_rows") < k, col("n_rows")).otherwise(0L)).as("n_rows_at_risk"))
+  }
+
   /** Violated-expectation descriptions for one observed metrics row. */
   def evaluateObserved(metrics: org.apache.spark.sql.Row, rules: Seq[Rule]): Seq[String] =
     rules.filterNot { r =>

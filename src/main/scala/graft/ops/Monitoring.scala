@@ -245,6 +245,33 @@ object Monitoring {
         sum(when(col("dev") > lit(k) * col("mad_q"), 1L).otherwise(0L)).as("n_out"))
   }
 
+  /** Event-time disorder audit — the batch statistic that SIZES the
+    * streaming watermarks (streaming/StreamingMonitors picks lateness
+    * bounds; this measures what the data actually needs): per type,
+    * taking event_id as the arrival order, an event is late iff its
+    * event time is behind the running max of everything that arrived
+    * before it, and its lateness is that deficit. Reports the late
+    * fraction and the worst lateness — a watermark below max_late_us
+    * provably drops rows of this corpus. One rank window (running max
+    * by arrival) + one aggregate, all integer micros until the single
+    * rate division. */
+  def disorderAudit(events: DataFrame): DataFrame = {
+    val byArrival = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .filter(col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"), col("ts_us"))
+      .withColumn("prev_max_us", max("ts_us").over(byArrival))
+      .withColumn("late_us",
+        when(col("prev_max_us") > col("ts_us"), col("prev_max_us") - col("ts_us"))
+          .otherwise(0L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_late"),
+        max("late_us").as("max_late_us"))
+      .withColumn("late_rate", col("n_late").cast("double") / col("n"))
+  }
+
   /** Winsorized per-type mean — the robust-location companion to
     * [[madOutliers]]'s robust-spread screen: clamp values to the exact
     * rank-selected [p5, p95] cut points, then average. Same integer

@@ -52,6 +52,27 @@ class LlmOpsSpec extends SparkSpec {
       2L -> ((2L, 1L, 0.5)), 3L -> ((2L, 0L, 0.0))))
   }
 
+  test("lexical top-k: rare shared token outranks common one, ties by neighbor id") {
+    // token "zebra" appears in docs 0,1 only (df 2); "the" in all four
+    // (df 4). N=4 → w(zebra) = 5e6 // 3 = 1666666, w(the) = 5e6 // 5 =
+    // 1000000. doc 0's best neighbor must be 1 (zebra + the =
+    // 2666666) over 2 and 3 (the = 1000000, tie broken by id).
+    val planted = Seq(
+      (0L, "the zebra"), (1L, "the zebra"),
+      (2L, "the cat"), (3L, "the dog")).toDF("doc_id", "text")
+    val got = Dedup.lexicalTopK(planted, k = 3)
+      .select("doc_id", "nbr_id", "score", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val doc0 = got.filter(_._1 == 0L).sortBy(_._4)
+    assert(doc0 === Array((0L, 1L, 2666666L, 1L), (0L, 2L, 1000000L, 2L),
+      (0L, 3L, 1000000L, 3L)))
+    // the df cap drops the ubiquitous token entirely: with maxDocFreq=3,
+    // "the" (df 4) generates no pairs, so 2 and 3 lose every neighbor
+    val capped = Dedup.lexicalTopK(planted, k = 3, maxDocFreq = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(capped === Set(0L, 1L))
+  }
+
   test("ngram jaccard finds exact and near duplicates, not unrelated pairs") {
     val pairs = Dedup.ngramJaccard(docs, threshold = 0.5)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -248,6 +248,37 @@ class SkewAndScalarsSpec extends SparkSpec {
     assert(ex.getMessage.contains("madOutliers"))
   }
 
+  test("k-anonymity census: hand-planted small groups, rows-at-risk arithmetic") {
+    import graft.ops.Expectations
+    // lang en: group (en,web) has 5 rows (safe at k=5), (en,books) has 2
+    // (risky). lang zh: one group of 1 (risky).
+    val rows = (Seq.fill(5)(("en", "web")) ++ Seq.fill(2)(("en", "books")) ++
+      Seq(("zh", "web"))).toDF("lang", "source")
+    val got = Expectations.kAnonymityCensus(rows, Seq("lang", "source"), k = 5L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map("en" -> ((2L, 1L, 2L)), "zh" -> ((1L, 1L, 1L))))
+    val ex = intercept[IllegalArgumentException] {
+      Expectations.kAnonymityCensus(rows, Seq.empty, k = 5L)
+    }
+    assert(ex.getMessage.contains("kAnonymityCensus"))
+  }
+
+  test("disorder audit: hand-built arrival sequence, lateness vs running max") {
+    import graft.ops.Monitoring
+    // arrival order (event_id): ts 10, 30, 20, 40, 25 (micros).
+    // late events: id 3 (30-20=10 late), id 5 (40-25=15 late) → n_late 2,
+    // max_late 15, rate 0.4. Type B is in order → 0 late.
+    val ev = Seq(
+      ("A", 1L, 10L), ("A", 2L, 30L), ("A", 3L, 20L), ("A", 4L, 40L), ("A", 5L, 25L),
+      ("B", 1L, 1L), ("B", 2L, 2L))
+      .toDF("event_type", "event_id", "ts_us")
+    val got = Monitoring.disorderAudit(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got === Map("A" -> ((5L, 2L, 15L, 0.4)), "B" -> ((2L, 0L, 0L, 0.0))))
+  }
+
   test("winsorized mean: hand-computed rank cuts, clamping, and the degenerate type") {
     import graft.ops.Monitoring
     // type A (n=10, values 1..9 and outlier 1000): lo rank (9*5)//100+1 = 1
