@@ -31,6 +31,9 @@ object StreamingMonitors {
                                rate_per_sec: Option[Double])
   final case class FunnelEvent(user_id: Long, event_id: Long, event_type: String,
                                ts_us: Long, ts: java.sql.Timestamp)
+  final case class DisorderState(maxTsUs: Long, n: Long, nLate: Long, maxLateUs: Long)
+  final case class DisorderRow(event_type: String, n: Long, n_late: Long,
+                               max_late_us: Long, late_rate: Double)
   /** Completed-stage timestamps, in order — k = stageTs.length. */
   /** `lastActivityUs` carries the key's true last event time across
     * batches so the TTL timeout is monotone: a late batch of OLDER events
@@ -416,6 +419,41 @@ object StreamingMonitors {
             }
             out.result().iterator
           }
+      }
+  }
+
+  /** Streaming disorder audit — the online form of
+    * ops/Monitoring.disorderAudit, so the watermark-sizing statistic is
+    * itself measurable ON the stream it will configure: per-type keyed
+    * state carries (running max ts, n, n_late, max_late) — a constant-
+    * size monoid-ish record, O(#types) state total, so NoTimeout is
+    * safe — and each micro-batch walks its events in event_id order
+    * (the same arrival proxy as the batch op) and emits the updated
+    * census row in Update mode. Equals the batch audit whenever files
+    * deliver in id order across batches (the suite's in-order-delivery
+    * contract); an out-of-order CROSS-batch split can only shift which
+    * events count late — exactly the arrival-order dependence the
+    * statistic measures. */
+  def disorderStream(stream: DataFrame): Dataset[DisorderRow] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col("event_type"), col("event_id"), col("value"), col("ts_us"), col("ts"))
+      .filter(col("event_type").isNotNull)
+      .as[StationEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, events: Iterator[StationEvent], state: GroupState[DisorderState]) =>
+          val ordered = events.toSeq.sortBy(_.event_id)
+          var st = state.getOption.getOrElse(DisorderState(Long.MinValue, 0L, 0L, 0L))
+          ordered.foreach { e =>
+            val late = if (st.n > 0L && st.maxTsUs > e.ts_us) st.maxTsUs - e.ts_us else 0L
+            st = DisorderState(math.max(st.maxTsUs, e.ts_us), st.n + 1L,
+              st.nLate + (if (late > 0L) 1L else 0L), math.max(st.maxLateUs, late))
+          }
+          state.update(st)
+          Iterator.single(DisorderRow(key, st.n, st.nLate, st.maxLateUs,
+            st.nLate.toDouble / st.n))
       }
   }
 

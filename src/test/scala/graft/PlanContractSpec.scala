@@ -343,6 +343,36 @@ class PlanContractSpec extends SparkSpec {
       s"equi-depth bins lost the equi-join shape:\n$pb")
   }
 
+  test("the round-10 entries stay equi-join-only; lexical's one cross is the broadcast scalar") {
+    // winsorize: one window + one broadcast cuts join; disorder: window
+    // then aggregate, no join at all; kfold/length/anonymity: pure
+    // aggregates; dup coverage: one equi-join on the shingle key;
+    // lexical: postings equi-self-join + the one-row n_docs cross
+    Seq("q_value_winsorize", "q_kfold_census", "q_length_buckets",
+        "q_anonymity_census", "text_dup_coverage", "sim_lexical_topk").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian:\n$p")
+      val badBnlj = p.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin")).filterNot(_.contains("Cross"))
+      assert(badBnlj.isEmpty,
+        s"$q has a non-scalar nested-loop join:\n${badBnlj.mkString("\n")}")
+    }
+    Seq("q_kfold_census", "q_length_buckets", "q_anonymity_census",
+        "q_disorder_audit").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must stay join-free:\n$p")
+    }
+    // the census entries never read the text column (kfold keys off the
+    // id; anonymity keys off lang/source/n_chars) — column pruning at
+    // the scan is the 100 TB difference between a metadata pass and a
+    // full-corpus read
+    Seq("q_kfold_census", "q_anonymity_census").foreach { q =>
+      val p = plan(q)
+      val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(!read.contains("text"), s"$q reads text:\n$read")
+    }
+  }
+
   test("a selective dim filter injects a bloom runtime filter into a shuffle join's fact side") {
     // The row-level sibling of dynamic partition pruning (LayoutSpec): when
     // the fact is NOT partitioned by the join key and the join is too big

@@ -354,6 +354,36 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(batchKeep === streamed)
   }
 
+  test("streaming disorder audit equals the batch statistic on in-order delivery") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val evDf = Tables.events(spark, "/root/testdata/sf0.001")
+    val arrivals = evDf.filter(col("event_type").isNotNull)
+      .select("event_type", "event_id", "value", "ts_us")
+      .as[(String, Long, Double, Long)].collect().sortBy(_._2)
+    val mem = MemoryStream[(String, Long, Double, Long)]
+    val stream = mem.toDF().toDF("event_type", "event_id", "value", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamingMonitors.disorderStream(stream)
+      .writeStream.format("memory").queryName("disorder_stream")
+      .option("checkpointLocation", s"${work()}/ckpt")
+      .outputMode("update").start()
+    // the running max must survive batch boundaries: deliver in many
+    // small id-ordered batches, never one lump
+    try {
+      arrivals.grouped(300).foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // each batch re-emits a type's census; the final one (max n) is the answer
+    val streamed = spark.table("disorder_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .groupBy(_._1).values.map(_.maxBy(_._2)).toSet
+    val batch = graft.ops.Monitoring.disorderAudit(evDf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(streamed === batch)
+  }
+
   test("streaming rate cap equals the batch cap on in-order delivery, across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
