@@ -270,6 +270,36 @@ object SparkEntry {
     "q_disorder_audit" -> ((s, dir) =>
       Monitoring.disorderAudit(Tables.events(s, dir)).orderBy("event_type")),
 
+    // referential-integrity preflight over the TPC-H relations: anti
+    // joins against deduped parent keys, scalar-cross summary rows
+    "q_ref_integrity" -> ((s, dir) =>
+      Expectations.orphanAudit(Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey", "lineitem->orders")
+        .unionByName(Expectations.orphanAudit(Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey", "orders->customer"))
+        .orderBy("relation")),
+
+    // CDC reconciliation: mid-month latest-value snapshot vs the full
+    // month's, diffed by one full-outer join into exact counts
+    "q_snapshot_diff" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+      def latest(df: DataFrame): DataFrame = df.groupBy("user_id")
+        .agg(max_by(col("value"), struct(col("ts_us"), col("event_id"))).as("v"))
+      Incremental.snapshotDiff(
+        latest(ev.filter(dayofmonth(col("ts")) < 15)), latest(ev), "user_id", "v")
+    }),
+
+    // chi-square drift of the event-type mix, first half vs second half
+    // of the month — decimal-exact numerators, one double division
+    "q_type_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Expectations.distributionDrift(
+        ev.filter(dayofmonth(col("ts")) < 15),
+        ev.filter(dayofmonth(col("ts")) >= 15), "event_type")
+        .orderBy("event_type")
+    }),
+
     // exact-moment Pearson correlation (decimal/HUGEINT integers until
     // the final division and correctly-rounded sqrt)
     "q_value_hour_corr" -> ((s, dir) =>
@@ -1584,6 +1614,65 @@ object SparkEntry {
         |    / 1000000.0 / count(*) AS mean_w
         |FROM q JOIN cuts USING (event_type)
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // orphans via NOT EXISTS (NULL-safe where NOT IN is not); the
+    // scalar one-row CTEs mirror the engine's bounded crosses
+    "q_ref_integrity" ->
+      """WITH l AS (SELECT count(*) AS n_child, count(l_orderkey) AS n_nonnull FROM lineitem),
+        |lo AS (SELECT count(*) AS n_orphans FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)),
+        |c AS (SELECT count(*) AS n_child, count(o_custkey) AS n_nonnull FROM orders),
+        |co AS (SELECT count(*) AS n_orphans FROM orders
+        |  WHERE o_custkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+        |SELECT 'lineitem->orders' AS relation, l.n_child,
+        |  l.n_child - l.n_nonnull AS n_null_keys, lo.n_orphans,
+        |  CAST(lo.n_orphans AS DOUBLE) / l.n_child AS orphan_rate FROM l, lo
+        |UNION ALL
+        |SELECT 'orders->customer', c.n_child, c.n_child - c.n_nonnull, co.n_orphans,
+        |  CAST(co.n_orphans AS DOUBLE) / c.n_child FROM c, co
+        |ORDER BY relation""".stripMargin,
+
+    // latest-per-key picks mirror max_by(value, (ts_us, event_id))
+    "q_snapshot_diff" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |o AS (SELECT user_id, value AS v_old FROM (
+        |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |    FROM e WHERE day(ts) < 15) WHERE rn = 1),
+        |n AS (SELECT user_id, value AS v_new FROM (
+        |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |j AS (SELECT o.v_old, n.v_new FROM o FULL OUTER JOIN n USING (user_id))
+        |SELECT count(v_old) AS n_old, count(v_new) AS n_new,
+        |  CAST(sum(CASE WHEN v_old IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN v_new IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN v_old IS NOT NULL AND v_new IS NOT NULL
+        |                 AND v_old <> v_new THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN v_old = v_new THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM j""".stripMargin,
+
+    // HUGEINT numerator/denominator cast to double and divided ONCE —
+    // mirrors the engine's decimal(38,0) discipline
+    "q_type_drift" ->
+      """WITH o AS (SELECT event_type, count(*) AS c_old FROM events
+        |  WHERE event_type IS NOT NULL AND day(ts) < 15 GROUP BY 1),
+        |n AS (SELECT event_type, count(*) AS c_new FROM events
+        |  WHERE event_type IS NOT NULL AND day(ts) >= 15 GROUP BY 1),
+        |t AS (SELECT (SELECT sum(c_old) FROM o) AS n_old,
+        |             (SELECT sum(c_new) FROM n) AS n_new),
+        |j AS (SELECT event_type, coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+        |      FROM o FULL OUTER JOIN n USING (event_type))
+        |SELECT j.event_type, CAST(c_old AS BIGINT) AS c_old, CAST(c_new AS BIGINT) AS c_new,
+        |  CASE WHEN c_old > 0 THEN
+        |    CAST((CAST(c_new AS HUGEINT) * n_old - CAST(c_old AS HUGEINT) * n_new)
+        |       * (CAST(c_new AS HUGEINT) * n_old - CAST(c_old AS HUGEINT) * n_new) AS DOUBLE)
+        |    / CAST(CAST(c_old AS HUGEINT) * n_new * n_old AS DOUBLE)
+        |  END AS chi2_term
+        |FROM j, t ORDER BY event_type""".stripMargin,
 
     // NULL prev_max on each type's first arrival falls to late 0 in both
     // engines (NULL > x is NULL, CASE else-branch)

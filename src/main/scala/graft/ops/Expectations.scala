@@ -134,6 +134,62 @@ object Expectations {
     df.observe(name, aggs.head, aggs.tail: _*)
   }
 
+  /** Referential-integrity audit for one child→parent relation: how many
+    * child rows carry a key with no parent (orphans) or no key at all.
+    * The fact-table preflight before any join-dependent pipeline runs —
+    * an orphan rate that moved since yesterday means the upstream export
+    * raced or truncated. Shape: one anti join of the child's non-null
+    * keys against the DEDUPED parent key projection (broadcast when the
+    * parent is a dim), plus two one-row aggregates combined by the
+    * documented bounded scalar cross — no row-level output, so the audit
+    * runs at scan speed regardless of child size. */
+  def orphanAudit(child: DataFrame, childKey: String,
+                  parent: DataFrame, parentKey: String,
+                  relation: String): DataFrame = {
+    val keys = child.select(col(childKey).as("k"))
+    val totals = keys.agg(count(lit(1)).as("n_child"), count(col("k")).as("n_nonnull"))
+    val orphans = keys.filter(col("k").isNotNull)
+      .join(parent.select(col(parentKey).as("k")).distinct(), Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    totals.crossJoin(orphans)
+      .select(lit(relation).as("relation"), col("n_child"),
+        (col("n_child") - col("n_nonnull")).as("n_null_keys"), col("n_orphans"),
+        (col("n_orphans").cast("double") / col("n_child")).as("orphan_rate"))
+  }
+
+  /** Chi-square distribution drift between two snapshots of a categorical
+    * column — the pre-training check that yesterday's event mix still
+    * looks like today's. Per category: old/new counts and the category's
+    * χ² contribution (o_new − e)²/e with e the old share scaled to the
+    * new total. The arithmetic is EXACT until one double division per
+    * row: the contribution is algebraically
+    * (o·N_old − c_old·N_new)² / (c_old·N_new·N_old), whose numerator
+    * runs in DECIMAL(38,0) (the square passes 2^63 long before the
+    * counts do — the valueHourCorr discipline) and whose denominator is
+    * a decimal product of exact longs; both engines cast the same exact
+    * decimals to double and divide once. Categories absent from the old
+    * snapshot have no finite expectation — reported with a null term,
+    * never a division by zero. */
+  def distributionDrift(oldSnap: DataFrame, newSnap: DataFrame,
+                        category: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val oldC = oldSnap.filter(col(category).isNotNull)
+      .groupBy(col(category)).agg(count(lit(1)).as("c_old"))
+    val newC = newSnap.filter(col(category).isNotNull)
+      .groupBy(col(category)).agg(count(lit(1)).as("c_new"))
+    val oldTot = oldC.agg(sum("c_old").as("n_old"))
+    val newTot = newC.agg(sum("c_new").as("n_new"))
+    val diff = d(col("c_new")) * d(col("n_old")) - d(col("c_old")) * d(col("n_new"))
+    oldC.join(newC, Seq(category), "full_outer")
+      .na.fill(0L, Seq("c_old", "c_new"))
+      .crossJoin(broadcast(oldTot)).crossJoin(broadcast(newTot))
+      .select(col(category), col("c_old"), col("c_new"),
+        when(col("c_old") > 0L,
+          (diff * diff).cast("double") /
+            (d(col("c_old")) * d(col("n_new")) * d(col("n_old"))).cast("double"))
+          .as("chi2_term"))
+  }
+
   /** k-anonymity census over a quasi-identifier tuple — the privacy
     * sibling of the PII scrub (TextAnalysis.piiScrub redacts direct
     * identifiers; this audits INDIRECT ones): group by the QI columns,

@@ -129,4 +129,25 @@ object Incremental {
         ((col("n_orders") * col("n_ab")).cast("double") / (col("n_a") * col("n_b")))
           .as("lift"))
   }
+
+  /** CDC snapshot diff — the audit a table-maintenance pipeline runs
+    * after every sync: given two keyed snapshots, count keys added,
+    * removed, changed, and unchanged. One full-outer equi-join on the
+    * key, one aggregate, no row-level output — scan speed at any size,
+    * and the counts are the exact reconciliation numbers a sync report
+    * needs (added + unchanged + changed = |new|). Values compare by
+    * exact equality — quantize upstream if the source is lossy. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   key: String, value: String): DataFrame =
+    oldSnap.select(col(key).as("k"), col(value).as("v_old"))
+      .join(newSnap.select(col(key).as("k"), col(value).as("v_new")), Seq("k"), "full_outer")
+      .agg(
+        count(col("v_old")).as("n_old"),
+        count(col("v_new")).as("n_new"),
+        sum(when(col("v_old").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("v_new").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("v_old").isNotNull && col("v_new").isNotNull &&
+          col("v_old") =!= col("v_new"), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("v_old").isNotNull && col("v_new").isNotNull &&
+          col("v_old") === col("v_new"), 1L).otherwise(0L)).as("n_unchanged"))
 }

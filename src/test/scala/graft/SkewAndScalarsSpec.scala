@@ -248,6 +248,43 @@ class SkewAndScalarsSpec extends SparkSpec {
     assert(ex.getMessage.contains("madOutliers"))
   }
 
+  test("orphan audit: planted orphans and null keys count exactly") {
+    import graft.ops.Expectations
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    // 5 child rows: two valid, one orphan (99), two null keys
+    val child = Seq(Some(1L), Some(2L), Some(99L), None, None).toDF("ck")
+    val r = Expectations.orphanAudit(child, "ck", parent, "pk", "rel").collect()(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)) ===
+      (("rel", 5L, 2L, 1L, 0.2)))
+  }
+
+  test("snapshot diff: planted add/remove/change/unchanged reconcile") {
+    import graft.ops.Incremental
+    val old = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val neu = Seq((2L, 20.0), (3L, 99.0), (4L, 40.0)).toDF("k", "v")
+    val r = Incremental.snapshotDiff(old, neu, "k", "v").collect()(0)
+    // key 1 removed, 2 unchanged, 3 changed, 4 added
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ===
+      ((3L, 3L, 1L, 1L, 1L, 1L)))
+  }
+
+  test("distribution drift: hand-computed chi-square terms, new-only category is null") {
+    import graft.ops.Expectations
+    // old {A:2, B:2} (n=4) vs new {A:3, B:1, C:1} (n=5):
+    //   term_A = (3*4 - 2*5)^2 / (2*5*4) = 4/40 = 0.1
+    //   term_B = (1*4 - 2*5)^2 / (2*5*4) = 36/40 = 0.9
+    //   C has no old mass -> null, never a division by zero
+    val old = Seq("A", "A", "B", "B").toDF("cat")
+    val neu = Seq("A", "A", "A", "B", "C").toDF("cat")
+    val got = Expectations.distributionDrift(old, neu, "cat").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    assert(got === Map(
+      "A" -> ((2L, 3L, Some(0.1))), "B" -> ((2L, 1L, Some(0.9))),
+      "C" -> ((0L, 1L, None))))
+  }
+
   test("k-anonymity census: hand-planted small groups, rows-at-risk arithmetic") {
     import graft.ops.Expectations
     // lang en: group (en,web) has 5 rows (safe at k=5), (en,books) has 2
