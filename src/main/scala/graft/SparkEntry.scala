@@ -290,6 +290,11 @@ object SparkEntry {
         latest(ev.filter(dayofmonth(col("ts")) < 15)), latest(ev), "user_id", "v")
     }),
 
+    // empirical-CDF normalization: ties share a RANGE-frame position,
+    // one double division of exact longs per row
+    "q_value_cdf" -> ((s, dir) =>
+      Monitoring.quantileNormalize(Tables.events(s, dir)).orderBy("event_id")),
+
     // chi-square drift of the event-type mix, first half vs second half
     // of the month — decimal-exact numerators, one double division
     "q_type_drift" -> ((s, dir) => {
@@ -1654,6 +1659,20 @@ object SparkEntry {
         |                 AND v_old <> v_new THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
         |  CAST(sum(CASE WHEN v_old = v_new THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
         |FROM j""".stripMargin,
+
+    // RANGE frame (not rows) so ties share one deterministic position
+    "q_value_cdf" ->
+      """WITH q AS (SELECT event_id, event_type,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS qv
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |w AS (SELECT event_id, event_type, qv,
+        |    CAST(count(*) OVER (PARTITION BY event_type ORDER BY qv
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_le,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM q)
+        |SELECT event_id, event_type, qv, n_le, n,
+        |  CAST(n_le AS DOUBLE) / n AS cdf
+        |FROM w ORDER BY event_id""".stripMargin,
 
     // HUGEINT numerator/denominator cast to double and divided ONCE —
     // mirrors the engine's decimal(38,0) discipline

@@ -307,6 +307,28 @@ object Monitoring {
         col("sum_w_q").cast("double") / 1000000.0 / col("n"))
   }
 
+  /** Empirical-CDF (quantile) normalization — the rank-based feature
+    * transform that makes per-type values comparable across wildly
+    * different scales (the percentile-normalize step before mixing
+    * heterogeneous signals into one model): each event's value maps to
+    * the fraction of its type at or below it. Exact integers up to the
+    * one division: the ≤-count is a RANGE-frame window count (peers
+    * included, so ties share one deterministic position — no
+    * row_number arbitrariness to diverge between engines), n is the
+    * partition count, and cdf = n_le/n is a single double division of
+    * exact longs. Same one-rank-window shape and skew note as MAD. */
+  def quantileNormalize(events: DataFrame): DataFrame = {
+    val q = events
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 1000000.0).cast("long").as("qv"))
+    val le = Window.partitionBy("event_type").orderBy("qv")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    q.withColumn("n_le", count(lit(1)).over(le))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("cdf", col("n_le").cast("double") / col("n"))
+  }
+
   /** Pearson correlation between value and hour-of-day per type, exact
     * until the last operation: both variables are integers (micro-
     * quantized value, hour 0-23), every moment (Σx, Σy, Σxy, Σx², Σy²)

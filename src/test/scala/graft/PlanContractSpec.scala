@@ -371,6 +371,17 @@ class PlanContractSpec extends SparkSpec {
       val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
       assert(!read.contains("text"), s"$q reads text:\n$read")
     }
+    // the audit trio: integrity's anti joins and drift/diff's outer
+    // joins stay equi-keyed; the only nested loops are the documented
+    // one-row scalar crosses
+    Seq("q_ref_integrity", "q_snapshot_diff", "q_type_drift").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian:\n$p")
+      val badBnlj = p.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin")).filterNot(_.contains("Cross"))
+      assert(badBnlj.isEmpty,
+        s"$q has a non-scalar nested-loop join:\n${badBnlj.mkString("\n")}")
+    }
   }
 
   test("a selective dim filter injects a bloom runtime filter into a shuffle join's fact side") {

@@ -248,6 +248,19 @@ class SkewAndScalarsSpec extends SparkSpec {
     assert(ex.getMessage.contains("madOutliers"))
   }
 
+  test("quantile normalization: ties share a RANGE-frame position") {
+    import graft.ops.Monitoring
+    // values 1,1,2,3: both 1s count 2 rows at-or-below (peers included),
+    // so ties get ONE deterministic cdf — 0.5, 0.5, 0.75, 1.0
+    val ev = Seq((1L, "A", 1.0), (2L, "A", 1.0), (3L, "A", 2.0), (4L, "A", 3.0))
+      .toDF("event_id", "event_type", "value")
+    val got = Monitoring.quantileNormalize(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === Map(
+      1L -> ((2L, 4L, 0.5)), 2L -> ((2L, 4L, 0.5)),
+      3L -> ((3L, 4L, 0.75)), 4L -> ((4L, 4L, 1.0))))
+  }
+
   test("orphan audit: planted orphans and null keys count exactly") {
     import graft.ops.Expectations
     val parent = Seq(1L, 2L, 3L).toDF("pk")
