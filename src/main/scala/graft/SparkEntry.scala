@@ -295,6 +295,11 @@ object SparkEntry {
     "q_value_cdf" -> ((s, dir) =>
       Monitoring.quantileNormalize(Tables.events(s, dir)).orderBy("event_id")),
 
+    // PAA time-series similarity: which types share a temporal shape —
+    // 64 integer segments, decimal-exact pairwise distance
+    "q_series_paa_dist" -> ((s, dir) =>
+      TimeSeries.paaProfileDistance(Tables.events(s, dir)).orderBy("key_a", "key_b")),
+
     // chi-square drift of the event-type mix, first half vs second half
     // of the month — decimal-exact numerators, one double division
     "q_type_drift" -> ((s, dir) => {
@@ -1659,6 +1664,30 @@ object SparkEntry {
         |                 AND v_old <> v_new THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
         |  CAST(sum(CASE WHEN v_old = v_new THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
         |FROM j""".stripMargin,
+
+    // the same hourly frame as cusum, compressed to 64 integer
+    // segments; HUGEINT squared diffs cast to double once
+    "q_series_paa_dist" ->
+      """WITH q AS (SELECT event_type AS key,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS qv
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+        |h AS (SELECT key, bucket_us, sum(qv) AS swq FROM q GROUP BY 1, 2),
+        |sp AS (SELECT min(bucket_us) AS h_min, max(bucket_us) AS h_max FROM h),
+        |s AS (SELECT key,
+        |    CAST((bucket_us - h_min) * 64 // (h_max - h_min + 3600000000) AS INT) AS seg,
+        |    CAST(sum(swq) AS BIGINT) AS sv
+        |  FROM h, sp GROUP BY 1, 2),
+        |grid AS (SELECT k.key, g.seg
+        |  FROM (SELECT DISTINCT key FROM s) k CROSS JOIN (SELECT DISTINCT seg FROM s) g),
+        |dense AS (SELECT grid.key, grid.seg, coalesce(s.sv, 0) AS sv
+        |  FROM grid LEFT JOIN s USING (key, seg))
+        |SELECT a.key AS key_a, b.key AS key_b, count(*) AS n_segs,
+        |  CAST(sum((CAST(a.sv AS HUGEINT) - b.sv) * (CAST(a.sv AS HUGEINT) - b.sv))
+        |    AS VARCHAR) AS dist_sq
+        |FROM dense a JOIN dense b ON a.seg = b.seg AND a.key < b.key
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // RANGE frame (not rows) so ties share one deterministic position
     "q_value_cdf" ->

@@ -565,6 +565,56 @@ object TimeSeries {
       .groupBy("key", "bucket_us")
       .agg(sum("qv").as("swq"), count(lit(1)).as("n"))
 
+  /** PAA (piecewise aggregate approximation) profile distance between
+    * keys — the time-series-similarity primitive (which event types
+    * have the same temporal activity shape?): each key's hourly
+    * quantized-sum series compresses to `segments` equal time slices,
+    * and every key pair gets the exact squared Euclidean distance
+    * between profiles. PAA is THE standard dimensionality reduction
+    * before any series index (SAX, iSAX); here the segment count — not
+    * the raw hour span — bounds all downstream work, so the all-pairs
+    * stage costs #keys²·segments however long the series grow.
+    *
+    * Integer-exact end to end: hourly sums reuse [[hourlyQuantized]]'s
+    * frame, the segment id is pure integer arithmetic off a one-row
+    * min/max broadcast, per-segment totals are exact longs, and the
+    * distance accumulates (a−b)² in DECIMAL(38,0) — RENDERED AS THE
+    * EXACT DECIMAL STRING, because the totals clear 2^64 where DuckDB's
+    * hugeint→double cast double-rounds (upper·2^64 + lower in float)
+    * while Spark's BigDecimal cast rounds once: the two engines can
+    * disagree by one ulp on a plain double column (observed at sf0.01),
+    * and a distance used for RANKING loses nothing as a string.
+    * Absolute sums on
+    * purpose: share-normalizing would square a product of two 10^21
+    * terms past decimal(38,0); normalize upstream if shape-only
+    * comparison is wanted. The key×segment grid is a documented
+    * bounded cross (#keys · ≤`segments` rows). */
+  def paaProfileDistance(events: DataFrame, segments: Int = 64,
+                         keyCol: String = "event_type"): DataFrame = {
+    require(segments >= 1 && segments <= 4096,
+      s"paaProfileDistance: segments=$segments must be in [1, 4096]")
+    val hourly = hourlyQuantized(events, keyCol)
+    val span = hourly.agg(min("bucket_us").as("h_min"), max("bucket_us").as("h_max"))
+    val seg = hourly.crossJoin(broadcast(span))
+      .select(col("key"),
+        expr(s"CAST((bucket_us - h_min) * ${segments}L DIV (h_max - h_min + 3600000000) AS INT)")
+          .as("seg"),
+        col("swq"))
+      .groupBy("key", "seg").agg(sum("swq").as("sv"))
+    val grid = seg.select("key").distinct()
+      .crossJoin(broadcast(seg.select("seg").distinct()))
+    val dense = grid.join(seg, Seq("key", "seg"), "left").na.fill(0L, Seq("sv"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    dense.as("a").join(dense.as("b"),
+        col("a.seg") === col("b.seg") && col("a.key") < col("b.key"))
+      .groupBy(col("a.key").as("key_a"), col("b.key").as("key_b"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum((d(col("a.sv")) - d(col("b.sv"))) * (d(col("a.sv")) - d(col("b.sv"))))
+          .as("dist_d"))
+      .select(col("key_a"), col("key_b"), col("n_segs"),
+        col("dist_d").cast("string").as("dist_sq"))
+  }
+
   /** The sequential half: the two-window prefix-min CUSUM over an
     * hourly frame (live or merged-from-state — identical either way,
     * because the corpus reference Σswq div Σn equals the event-level

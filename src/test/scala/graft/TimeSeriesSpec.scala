@@ -296,6 +296,27 @@ class TimeSeriesSpec extends SparkSpec {
   }
 
 
+  test("PAA profile distance: hand-built two-segment series, grid zero-fill") {
+    val hr = 3600000000L
+    // two segments over a 2-hour span: hour 0 -> seg 0, hour 1 -> seg 1.
+    // A = [1e6, 2e6], B = [3e6, 5e6], C = [10e6, 0 (grid fill)]:
+    //   d(A,B) = (2e6)^2 + (3e6)^2 = 13e12
+    //   d(A,C) = (9e6)^2 + (2e6)^2 = 85e12
+    //   d(B,C) = (7e6)^2 + (5e6)^2 = 74e12
+    val ev = Seq(
+      ("A", 1L, 100L, 1.0), ("A", 2L, hr + 5L, 2.0),
+      ("B", 3L, 200L, 3.0), ("B", 4L, hr + 9L, 5.0),
+      ("C", 5L, 300L, 10.0))
+      .toDF("event_type", "event_id", "ts_us", "value")
+    val got = TimeSeries.paaProfileDistance(ev, segments = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got === Map(
+      ("A", "B") -> ((2L, "13000000000000")),
+      ("A", "C") -> ((2L, "85000000000000")),
+      ("B", "C") -> ((2L, "74000000000000"))))
+  }
+
   test("CUSUM via the prefix-min identity equals the recursive definition and resets") {
     import graft.ops.TimeSeries
     // one key, six hours: level k_ref-ish, then a drift burst, then quiet
