@@ -300,6 +300,11 @@ object SparkEntry {
     "q_series_paa_dist" -> ((s, dir) =>
       TimeSeries.paaProfileDistance(Tables.events(s, dir)).orderBy("key_a", "key_b")),
 
+    // volume-spike detection vs the trailing-24h baseline — the burst
+    // axis next to CUSUM's drift; cross-multiplied integer gate
+    "q_burst_hours" -> ((s, dir) =>
+      TimeSeries.burstHours(Tables.events(s, dir)).orderBy("key")),
+
     // chi-square drift of the event-type mix, first half vs second half
     // of the month — decimal-exact numerators, one double division
     "q_type_drift" -> ((s, dir) => {
@@ -1664,6 +1669,27 @@ object SparkEntry {
         |                 AND v_old <> v_new THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
         |  CAST(sum(CASE WHEN v_old = v_new THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
         |FROM j""".stripMargin,
+
+    // the burst gate is the cross-multiplied integer comparison; only
+    // the reported peak ratio divides
+    "q_burst_hours" ->
+      """WITH q AS (SELECT event_type AS key,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+        |h AS (SELECT key, bucket_us, count(*) AS n FROM q GROUP BY 1, 2),
+        |w AS (SELECT key, n,
+        |    sum(n) OVER (PARTITION BY key ORDER BY bucket_us
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS t_sum,
+        |    count(*) OVER (PARTITION BY key ORDER BY bucket_us
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS t_cnt
+        |  FROM h)
+        |SELECT key, count(*) AS n_hours,
+        |  CAST(sum(CASE WHEN t_cnt > 0 AND n * t_cnt > 3 * t_sum
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_burst_hours,
+        |  max(CASE WHEN t_cnt > 0 THEN CAST(n * t_cnt AS DOUBLE) / t_sum END)
+        |    AS max_ratio
+        |FROM w GROUP BY 1 ORDER BY key""".stripMargin,
 
     // the same hourly frame as cusum, compressed to 64 integer
     // segments; HUGEINT squared diffs cast to double once

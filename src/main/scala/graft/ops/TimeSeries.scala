@@ -565,6 +565,36 @@ object TimeSeries {
       .groupBy("key", "bucket_us")
       .agg(sum("qv").as("swq"), count(lit(1)).as("n"))
 
+  /** Burst detection over hourly event volume — the SPIKE axis next to
+    * [[cusumDrift]]'s sustained-drift axis: an hour bursts when its
+    * event count exceeds `factorNum/factorDen` times the mean of the
+    * trailing `window` OBSERVED hours (gap hours are skipped, not
+    * zero-filled — resample first via [[resampleHourly]] for strict
+    * clock-hour baselines). The burst test is the cross-multiplied
+    * integer comparison n·t_cnt·den > num·t_sum — no division decides
+    * anything — and only the reported peak ratio divides (once, exact
+    * longs). A key's first hours (empty baseline) never burst. One
+    * rank window over the hourly frame + one aggregate. */
+  def burstHours(events: DataFrame, keyCol: String = "event_type",
+                 factorNum: Long = 3L, factorDen: Long = 1L,
+                 window: Int = 24): DataFrame = {
+    require(factorNum >= 1L && factorDen >= 1L && window >= 1,
+      s"burstHours: factor $factorNum/$factorDen and window $window must be positive")
+    val trailing = Window.partitionBy("key").orderBy("bucket_us")
+      .rowsBetween(-window, -1)
+    hourlyQuantized(events, keyCol)
+      .withColumn("t_sum", sum("n").over(trailing))
+      .withColumn("t_cnt", count(lit(1)).over(trailing))
+      .withColumn("is_burst",
+        col("t_cnt") > 0L &&
+          col("n") * col("t_cnt") * lit(factorDen) > lit(factorNum) * col("t_sum"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when(col("is_burst"), 1L).otherwise(0L)).as("n_burst_hours"),
+        max(when(col("t_cnt") > 0L,
+          (col("n") * col("t_cnt")).cast("double") / col("t_sum"))).as("max_ratio"))
+  }
+
   /** PAA (piecewise aggregate approximation) profile distance between
     * keys — the time-series-similarity primitive (which event types
     * have the same temporal activity shape?): each key's hourly

@@ -296,6 +296,23 @@ class TimeSeriesSpec extends SparkSpec {
   }
 
 
+  test("burst hours: quiet baseline then a spike, first-hour exemption") {
+    val hr = 3600000000L
+    // key A: hours 0..3 have 1 event each (baseline), hour 4 has 9 —
+    // 9 * 4 > 3 * 4 → burst, ratio 9.0. Hours 1..3: n=1, 1*t_cnt ==
+    // t_sum < 3*t_sum → quiet. Hour 0 has no baseline → exempt.
+    val quiet = (0 to 3).map(i => ("A", i.toLong + 1L, i * hr + 7L, 1.0))
+    val spike = (0 until 9).map(i => ("A", 100L + i, 4 * hr + i.toLong, 1.0))
+    val ev = (quiet ++ spike).toDF("event_type", "event_id", "ts_us", "value")
+    val r = TimeSeries.burstHours(ev).collect()(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ===
+      (("A", 5L, 1L, 9.0)))
+    val ex = intercept[IllegalArgumentException] {
+      TimeSeries.burstHours(ev, window = 0)
+    }
+    assert(ex.getMessage.contains("burstHours"))
+  }
+
   test("PAA profile distance: hand-built two-segment series, grid zero-fill") {
     val hr = 3600000000L
     // two segments over a 2-hour span: hour 0 -> seg 0, hour 1 -> seg 1.
