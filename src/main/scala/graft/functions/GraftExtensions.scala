@@ -10,8 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
   * or programmatically via `GraftExtensions.register(spark)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // band-join rewrite: abs(x − y) <= d inner joins become bucketed
+    // equi-joins instead of nested loops (graft.plans.RangeJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {
