@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
 object Tables {
   /** Confs every graft session needs, applied at builder time by the
     * entrypoints (Bench/Verify/Smoke/PlanAudit/StreamingDemo/tests):
-    * events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
-    * read as a raw long. */
+    * nanosAsLong stays set so a TIMESTAMP(NANOS) events regeneration
+    * (the pre-round-9 encoding, which Spark 4 otherwise rejects) reads
+    * as a raw long that `normalizeEvents` adapts to; on the current
+    * timestamp[us] data the conf is a no-op. */
   val sessionConfs: Map[String, String] =
     Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
