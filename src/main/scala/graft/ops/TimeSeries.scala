@@ -577,12 +577,24 @@ object TimeSeries {
     * rank window over the hourly frame + one aggregate. */
   def burstHours(events: DataFrame, keyCol: String = "event_type",
                  factorNum: Long = 3L, factorDen: Long = 1L,
+                 window: Int = 24): DataFrame =
+    burstServe(hourlyQuantized(events, keyCol), factorNum, factorDen, window)
+
+  /** The sequential half of [[burstHours]] over an hourly frame — live
+    * or merged from the streaming state seam: the same
+    * (key, bucket_us, n) plain-sum partials the CUSUM sink maintains
+    * (streaming/StreamingMonitors.hourlyStateSink) serve burst stats
+    * identically, because hourly counts merge exactly across
+    * micro-batch straddles. One more prefix-dependent statistic off
+    * ONE maintained state table. */
+  def burstServe(hourly: DataFrame,
+                 factorNum: Long = 3L, factorDen: Long = 1L,
                  window: Int = 24): DataFrame = {
     require(factorNum >= 1L && factorDen >= 1L && window >= 1,
       s"burstHours: factor $factorNum/$factorDen and window $window must be positive")
     val trailing = Window.partitionBy("key").orderBy("bucket_us")
       .rowsBetween(-window, -1)
-    hourlyQuantized(events, keyCol)
+    hourly
       .withColumn("t_sum", sum("n").over(trailing))
       .withColumn("t_cnt", count(lit(1)).over(trailing))
       .withColumn("is_burst",

@@ -950,14 +950,22 @@ class StreamingMonitorsSpec extends SparkSpec {
         q.processAllAvailable()
       }
     } finally q.stop()
-    val served = graft.ops.TimeSeries.cusumServe(
-        StreamingMonitors.latestVersionedState(spark, stateDir).get)
+    val state = StreamingMonitors.latestVersionedState(spark, stateDir).get
+    val served = graft.ops.TimeSeries.cusumServe(state)
       .orderBy("key", "bucket_us").collect().map(_.toSeq)
     val direct = graft.ops.TimeSeries.cusumDrift(ev.toDF())
       .orderBy("key", "bucket_us").collect().map(_.toSeq)
+    // the SAME maintained state table serves the burst statistic too —
+    // one seam, every prefix-dependent hourly consumer
+    val burstServed = graft.ops.TimeSeries.burstServe(state)
+      .orderBy("key").collect().map(_.toSeq)
+    val burstDirect = graft.ops.TimeSeries.burstHours(ev.toDF())
+      .orderBy("key").collect().map(_.toSeq)
     ev.unpersist(blocking = false)
     assert(served === direct)
     assert(served.nonEmpty)
+    assert(burstServed === burstDirect)
+    assert(burstServed.nonEmpty)
   }
 
   test("streamed heavy-hitter sketch serves the batch heavy set against the archive") {
