@@ -305,6 +305,11 @@ object SparkEntry {
     "q_burst_hours" -> ((s, dir) =>
       TimeSeries.burstHours(Tables.events(s, dir)).orderBy("key")),
 
+    // who moves first: argmax-lag exact cross-correlation numerator
+    // over the hourly series, ±3h scan, decimal-string dots
+    "q_series_lead_lag" -> ((s, dir) =>
+      TimeSeries.leadLagDot(Tables.events(s, dir)).orderBy("key_a", "key_b")),
+
     // chi-square drift of the event-type mix, first half vs second half
     // of the month — decimal-exact numerators, one double division
     "q_type_drift" -> ((s, dir) => {
@@ -1669,6 +1674,30 @@ object SparkEntry {
         |                 AND v_old <> v_new THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
         |  CAST(sum(CASE WHEN v_old = v_new THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
         |FROM j""".stripMargin,
+
+    // argmax by (dot DESC, lag) row_number — the engine's rank window;
+    // HUGEINT dots rendered as strings (the PAA 2^64 rule)
+    "q_series_lead_lag" ->
+      """WITH q AS (SELECT event_type AS key,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS qv
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+        |h AS (SELECT key, bucket_us, sum(qv) AS swq FROM q GROUP BY 1, 2),
+        |l AS (SELECT key AS key_b, bucket_us, swq AS swq_b,
+        |    unnest(range(-3, 4)) AS lag FROM h),
+        |j AS (SELECT a.key AS key_a, l.key_b, l.lag,
+        |    sum(CAST(a.swq AS HUGEINT) * l.swq_b) AS dot, count(*) AS n_overlap
+        |  FROM h a JOIN l ON a.bucket_us = l.bucket_us + l.lag * 3600000000
+        |    AND a.key < l.key_b
+        |  GROUP BY 1, 2, 3),
+        |r AS (SELECT key_a, key_b, lag, dot, n_overlap,
+        |    row_number() OVER (PARTITION BY key_a, key_b
+        |      ORDER BY dot DESC, lag) AS rn
+        |  FROM j)
+        |SELECT key_a, key_b, CAST(lag AS BIGINT) AS best_lag,
+        |  CAST(n_overlap AS BIGINT) AS n_overlap, CAST(dot AS VARCHAR) AS dot
+        |FROM r WHERE rn = 1 ORDER BY key_a, key_b""".stripMargin,
 
     // the burst gate is the cross-multiplied integer comparison; only
     // the reported peak ratio divides

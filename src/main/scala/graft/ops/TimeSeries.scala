@@ -607,6 +607,46 @@ object TimeSeries {
           (col("n") * col("t_cnt")).cast("double") / col("t_sum"))).as("max_ratio"))
   }
 
+  /** Lead-lag scan between key series — [[paaProfileDistance]] answers
+    * "which series have the same shape"; this answers "who moves
+    * FIRST": for every ordered key pair and every lag in [−maxLag,
+    * +maxLag] hours, the exact cross-correlation numerator
+    * Σ_t a[t]·b[t−L] over the hourly quantized sums, keeping the lag
+    * that maximizes it (ties → smallest lag). best_lag > 0 means b's
+    * series leads a's by that many hours — the alerting-precedence
+    * question (which sensor moves first?) the reference's fixed
+    * thresholds cannot ask. Dots are exact decimal(38,0) sums of long
+    * products, rendered as the decimal string (the PAA 2^64 rule);
+    * pair selection is one rank window. The lag expansion replicates
+    * ONE side (2·maxLag+1)× before an equi-join on the shifted bucket —
+    * never a θ-join — and the pair stream is bounded by overlap hours ·
+    * lags · key pairs, independent of raw event count. */
+  def leadLagDot(events: DataFrame, maxLag: Int = 3,
+                 keyCol: String = "event_type"): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 168,
+      s"leadLagDot: maxLag=$maxLag must be in [1, 168]")
+    val hr = 3600000000L
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val hourly = hourlyQuantized(events, keyCol)
+      .select(col("key"), col("bucket_us"), col("swq"))
+    val shifted = hourly
+      .select(col("key").as("key_b"), col("bucket_us"), col("swq").as("swq_b"))
+      .withColumn("lag", explode(sequence(lit(-maxLag), lit(maxLag))))
+      .withColumn("bucket_join", col("bucket_us") + col("lag").cast("long") * lit(hr))
+    val byPair = Window.partitionBy("key_a", "key_b")
+      .orderBy(col("dot_d").desc, col("lag"))
+    hourly
+      .select(col("key").as("key_a"), col("bucket_us").as("b_a"), col("swq").as("swq_a"))
+      .join(shifted, col("b_a") === col("bucket_join") && col("key_a") < col("key_b"))
+      .groupBy("key_a", "key_b", "lag")
+      .agg(sum(d(col("swq_a")) * d(col("swq_b"))).as("dot_d"),
+        count(lit(1)).as("n_overlap"))
+      .withColumn("rn", row_number().over(byPair))
+      .filter(col("rn") === 1)
+      .select(col("key_a"), col("key_b"), col("lag").cast("long").as("best_lag"),
+        col("n_overlap"), col("dot_d").cast("string").as("dot"))
+  }
+
   /** PAA (piecewise aggregate approximation) profile distance between
     * keys — the time-series-similarity primitive (which event types
     * have the same temporal activity shape?): each key's hourly

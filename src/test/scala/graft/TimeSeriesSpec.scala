@@ -313,6 +313,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(ex.getMessage.contains("burstHours"))
   }
 
+  test("lead-lag scan: a planted 2-hour shift is recovered as best_lag = 2") {
+    val hr = 3600000000L
+    // B pulses at hour 0, A pulses at hour 2 — the only lag with any
+    // overlap is a.bucket = b.bucket + 2h, so b LEADS a by 2 hours and
+    // the dot is 5e6 * 3e6 = 15e12 over one overlapping hour
+    val ev = Seq(
+      ("A", 1L, 2 * hr + 11L, 5.0),
+      ("B", 2L, 13L, 3.0))
+      .toDF("event_type", "event_id", "ts_us", "value")
+    val r = TimeSeries.leadLagDot(ev).collect()
+    assert(r.length === 1)
+    assert((r(0).getString(0), r(0).getString(1), r(0).getLong(2),
+        r(0).getLong(3), r(0).getString(4)) ===
+      (("A", "B", 2L, 1L, "15000000000000")))
+    val ex = intercept[IllegalArgumentException] { TimeSeries.leadLagDot(ev, maxLag = 0) }
+    assert(ex.getMessage.contains("leadLagDot"))
+  }
+
   test("PAA profile distance: hand-built two-segment series, grid zero-fill") {
     val hr = 3600000000L
     // two segments over a 2-hour span: hour 0 -> seg 0, hour 1 -> seg 1.
