@@ -270,6 +270,11 @@ object SparkEntry {
     "q_disorder_audit" -> ((s, dir) =>
       Monitoring.disorderAudit(Tables.events(s, dir)).orderBy("event_type")),
 
+    // the pre-join skew profile: top-20 hottest l_partkey values with
+    // shares — the statistic that decides plain shuffle vs salting
+    "q_join_skew_audit" -> ((s, dir) =>
+      graft.ops.Skew.keySkewAudit(Tables.lineitem(s, dir), "l_partkey").orderBy("rank")),
+
     // referential-integrity preflight over the TPC-H relations: anti
     // joins against deduped parent keys, scalar-cross summary rows
     "q_ref_integrity" -> ((s, dir) =>
@@ -1634,6 +1639,22 @@ object SparkEntry {
         |    / 1000000.0 / count(*) AS mean_w
         |FROM q JOIN cuts USING (event_type)
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // (n desc, key) is the engine's TakeOrdered tie rule; shares are
+    // single divisions of exact longs
+    "q_join_skew_audit" ->
+      """WITH c AS (SELECT l_partkey AS key, count(*) AS n FROM lineitem
+        |  WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+        |top AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 20),
+        |r AS (SELECT key, CAST(n AS BIGINT) AS n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rank,
+        |    sum(n) OVER (ORDER BY n DESC, key
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM top)
+        |SELECT key, n, rank, CAST(n AS DOUBLE) / n_total AS share,
+        |  CAST(cum AS DOUBLE) / n_total AS cum_share
+        |FROM r, t ORDER BY rank""".stripMargin,
 
     // orphans via NOT EXISTS (NULL-safe where NOT IN is not); the
     // scalar one-row CTEs mirror the engine's bounded crosses

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew-handling utilities for the 100 TB path. At test scale nothing here
@@ -47,5 +48,31 @@ object Skew {
     val replicated = dim.crossJoin(
       fact.sparkSession.range(salts).select(col("id").cast("int").as("__salt")))
     saltedFact.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Join-key skew audit — the measurement that DECIDES when the salting
+    * above is worth its replication cost: the top-k hottest values of a
+    * prospective join/aggregation key, each with its share of all rows
+    * and the running cumulative share. A top key near 1/#partitions of
+    * the total serializes its shuffle partition; reading this profile
+    * before wiring a big join is how the 100 TB plan picks between a
+    * plain shuffle, AQE skew splitting, and [[saltedJoin]]. One
+    * aggregate + TakeOrdered(k) + a one-row total cross; the global
+    * rank window runs over k rows, never the key universe. Shares are
+    * single divisions of exact longs. */
+  def keySkewAudit(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"keySkewAudit: topK=$topK must be >= 1")
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("n_total"))
+    val byHeat = Window.orderBy(col("n").desc, col("key"))
+    counts.orderBy(col("n").desc, col("key")).limit(topK)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(byHeat).cast("long"))
+      .withColumn("share", col("n").cast("double") / col("n_total"))
+      .withColumn("cum_share",
+        sum("n").over(byHeat.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / col("n_total"))
+      .select("key", "n", "rank", "share", "cum_share")
   }
 }

@@ -248,6 +248,16 @@ class SkewAndScalarsSpec extends SparkSpec {
     assert(ex.getMessage.contains("madOutliers"))
   }
 
+  test("key skew audit: planted hot key, shares against the FULL total") {
+    import graft.ops.Skew
+    // key 1 x6, key 2 x3, key 3 x1 (total 10); topK=2 must still share
+    // against all 10 rows, not just the kept keys
+    val rows = (Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)).toDF("k")
+    val got = Skew.keySkewAudit(rows, "k", topK = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got === Array((1L, 6L, 1L, 0.6, 0.6), (2L, 3L, 2L, 0.3, 0.9)))
+  }
+
   test("quantile normalization: ties share a RANGE-frame position") {
     import graft.ops.Monitoring
     // values 1,1,2,3: both 1s count 2 rows at-or-below (peers included),
