@@ -330,6 +330,11 @@ object SparkEntry {
     "q_value_hour_corr" -> ((s, dir) =>
       Monitoring.valueHourCorr(Tables.events(s, dir)).orderBy("event_type")),
 
+    // Pearson on within-type min-ranks: the monotone-robust dependence
+    // measure, integer-exact to the final division + sqrt
+    "q_value_hour_rankcorr" -> ((s, dir) =>
+      Monitoring.valueHourRankCorr(Tables.events(s, dir)).orderBy("event_type")),
+
     // equi-depth bin edges by pure-integer rank selection, with the
     // exact ≤-edge counts that make tie inflation visible
     "q_equidepth_bins" -> ((s, dir) =>
@@ -1516,6 +1521,27 @@ object SparkEntry {
         |       ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
         |            sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
         |                 CAST(n * syy - sy * sy AS DOUBLE)) END AS corr_xy
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    // min-rank (rank(), not tie-averaged) mirrors the engine exactly
+    "q_value_hour_rankcorr" ->
+      """WITH q0 AS (SELECT event_type,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS qv,
+        |    CAST(epoch_us(ts) % 86400000000 // 3600000000 AS HUGEINT) AS y
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+        |q AS (SELECT event_type, y,
+        |    CAST(rank() OVER (PARTITION BY event_type ORDER BY qv) AS HUGEINT) AS x
+        |  FROM q0),
+        |m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM q GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+        |       ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+        |            sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |                 CAST(n * syy - sy * sy AS DOUBLE)) END AS rank_corr
         |FROM m ORDER BY event_type""".stripMargin,
 
     "q_equidepth_bins" ->

@@ -366,6 +366,43 @@ object Monitoring {
       .select("event_type", "n", "corr_xy")
   }
 
+  /** Spearman-flavored rank correlation between value and hour-of-day —
+    * the monotone-robust companion to [[valueHourCorr]]: Pearson's
+    * formula applied to the value's within-type RANK instead of the
+    * value itself, so one wild sensor spike moves x by one rank, not
+    * five orders of magnitude. Ties take the MIN rank (`rank()`), not
+    * the textbook tie-averaged fractional rank — average ranks would
+    * reintroduce non-integer arithmetic, and the min-rank convention is
+    * deterministic, engine-identical, and monotone-invariant, which is
+    * the property actually wanted. Same decimal(38,0) moment
+    * discipline, single double division + correctly-rounded sqrt as
+    * the exact-moment form; same skew note (one giant type serializes
+    * its rank window). */
+  def valueHourRankCorr(events: DataFrame): DataFrame = {
+    val q0 = events
+      .filter(col("event_type").isNotNull && col("value").isNotNull &&
+        col("ts_us").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * 1000000.0).cast("long").as("qv"),
+        expr("ts_us % 86400000000 DIV 3600000000").cast("long").as("y"))
+    val q = q0.withColumn("x",
+      rank().over(Window.partitionBy("event_type").orderBy("qv")).cast("long"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    q.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(d(col("x")) * d(col("y"))).as("sxy"),
+        sum(d(col("x")) * d(col("x"))).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("num", d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+      .withColumn("dx", d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+      .withColumn("dy", d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))
+      .withColumn("rank_corr",
+        when(col("dx") === 0 || col("dy") === 0, lit(null).cast("double"))
+          .otherwise(col("num").cast("double") /
+            sqrt(col("dx").cast("double") * col("dy").cast("double"))))
+      .select("event_type", "n", "rank_corr")
+  }
+
   /** Sketch-based distinct: HyperLogLog++ via approx_count_distinct — at
     * 100 TB an exact distinct over a high-cardinality key is a massive
     * shuffle, while the sketch is mergeable constant-size state per

@@ -199,6 +199,26 @@ class SkewAndScalarsSpec extends SparkSpec {
     assert(engine === model)
   }
 
+  test("rank correlation is exactly monotone-invariant where Pearson is not") {
+    import graft.ops.Monitoring
+    val hr = 3600000000L
+    // hours 0..4 with strictly increasing values: linear (1..5) vs
+    // convex (1,2,4,8,16) have IDENTICAL ranks, so rank_corr is exactly
+    // 1.0 for both — while Pearson drops below 1 on the curved series
+    def series(vals: Seq[Double], typ: String) =
+      vals.zipWithIndex.map { case (v, h) => (typ, h.toLong + 1L, h * hr + 3L, v) }
+    val ev = (series(Seq(1, 2, 3, 4, 5).map(_.toDouble), "LIN") ++
+        series(Seq(1, 2, 4, 8, 16).map(_.toDouble), "EXP"))
+      .toDF("event_type", "event_id", "ts_us", "value")
+    val rank = Monitoring.valueHourRankCorr(ev).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rank === Map("LIN" -> 1.0, "EXP" -> 1.0))
+    val pearson = Monitoring.valueHourCorr(ev).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(pearson("LIN") === 1.0)
+    assert(pearson("EXP") < 1.0)
+  }
+
   test("equi-depth bins: rank-selected edges, tie inflation visible, tiny-n collapse") {
     import graft.ops.Monitoring
     // type A: n=10, values 1..10 → with bins=5 the edges are the
