@@ -911,6 +911,10 @@ object SparkEntry {
     "text_source_scorecard" -> ((s, dir) =>
       TextAnalysis.sourceScorecard(Tables.documents(s, dir)).orderBy("source")),
 
+    // corpus-balance inequality: rank-form Gini in ONE division
+    "text_source_gini" -> ((s, dir) =>
+      TextAnalysis.sourceGini(Tables.documents(s, dir)).orderBy("source")),
+
     "sim_label_affinity" -> ((s, dir) =>
       graft.ops.Similarity.labelAffinity(Tables.embeddings(s, dir))
         .orderBy("label_a", "label_b")),
@@ -2642,6 +2646,23 @@ object SparkEntry {
         |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s FROM idx)
         |SELECT s, df FROM (SELECT s, count(*) AS df FROM sh GROUP BY 1)
         |ORDER BY df DESC, s LIMIT 50""".stripMargin,
+
+    // ascending (n_chars, doc_id) row_number mirrors the engine's rank;
+    // equal lengths commute so the tie order cannot move the statistic
+    "text_source_gini" ->
+      """WITH r AS (SELECT source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS HUGEINT) AS r
+        |  FROM documents),
+        |m AS (SELECT source, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(n_chars) AS HUGEINT) AS tot, sum(r * n_chars) AS srx
+        |  FROM r GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(tot AS BIGINT) AS n_chars_total,
+        |  CASE WHEN tot > 0 THEN
+        |    CAST(2 * srx - (n + 1) * tot AS DOUBLE) / CAST(n * tot AS DOUBLE)
+        |  END AS gini
+        |FROM m ORDER BY source""".stripMargin,
 
     // same shingle construction as text_top_shingles, aggregated back
     // per doc against the corpus df

@@ -228,6 +228,36 @@ object TextAnalysis {
     perSource.join(domLang, "source")
   }
 
+  /** Per-source Gini concentration of document length — the corpus-
+    * balance inequality audit (is one source's volume a few mega-docs
+    * or many small ones? the answer changes dedup and packing
+    * strategy). The rank form of the Gini coefficient rearranges into
+    * ONE division: G = (2·Σ r·x − (n+1)·Σx) / (n·Σx) with x ascending
+    * and r its row_number (ties ordered by doc_id — equal x commute,
+    * so the statistic is tie-order-invariant while the plan stays
+    * deterministic). The r·x products run in decimal(38,0) (r·x alone
+    * passes 2^63 at ~10^9 docs/source); numerator and denominator stay
+    * below 2^53 at every test SF, so the one double division is
+    * bit-identical cross-engine. Empty volume → null, never NaN. */
+  def sourceGini(docs: DataFrame): DataFrame = {
+    val d = (c: Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    docs.select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_total"),
+        sum(d(col("r")) * d(col("n_chars"))).as("srx"))
+      .withColumn("gini",
+        when(col("n_chars_total") > 0L,
+          (d(lit(2L)) * col("srx") -
+            d(col("n_docs") + lit(1L)) * d(col("n_chars_total"))).cast("double") /
+            (d(col("n_docs")) * d(col("n_chars_total"))).cast("double"))
+          .otherwise(lit(null).cast("double")))
+      .select("source", "n_docs", "n_chars_total", "gini")
+  }
+
   /** Canonical text normalization — the first pass of any corpus build:
     * lowercase, collapse whitespace runs to one space, trim. Pure per-row
     * string ops (scan speed). The whitespace class is spelled out rather

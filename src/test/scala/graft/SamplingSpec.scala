@@ -75,6 +75,25 @@ class SamplingSpec extends SparkSpec {
       16L -> (1L, 9L, 7L)))            // n=9
   }
 
+  test("source Gini: zero on equal lengths, hand-computed concentration, null on empty volume") {
+    import graft.ops.TextAnalysis
+    // eq: {5,5} -> G = 0; hot: {0,0,0,10} -> (2*40 - 5*10)/(4*10) = 0.75;
+    // zero: all-zero volume -> null, never NaN
+    val rows = Seq(
+      ("eq", 1L, 5L), ("eq", 2L, 5L),
+      ("hot", 1L, 0L), ("hot", 2L, 0L), ("hot", 3L, 0L), ("hot", 4L, 10L),
+      ("zero", 1L, 0L))
+      .toDF("source", "doc_id", "n_chars")
+    val got = TextAnalysis.sourceGini(rows).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    assert(got === Map(
+      "eq" -> ((2L, 10L, Some(0.0))),
+      "hot" -> ((4L, 10L, Some(0.75))),
+      "zero" -> ((1L, 0L, None))))
+  }
+
   test("per-source cap keeps at most N, longest-first, deterministic tiebreak") {
     val capped = Sampling.perSourceCap(docs, cap = 10)
     val bySource = capped.groupBy("source").agg(
