@@ -315,6 +315,11 @@ object SparkEntry {
     "q_series_lead_lag" -> ((s, dir) =>
       TimeSeries.leadLagDot(Tables.events(s, dir)).orderBy("key_a", "key_b")),
 
+    // daily mix concentration by Gini-Simpson (1 - sum p^2): the
+    // log-free entropy surrogate, exact to one division
+    "q_type_diversity" -> ((s, dir) =>
+      Expectations.dailyDiversity(Tables.events(s, dir)).orderBy("day")),
+
     // chi-square drift of the event-type mix, first half vs second half
     // of the month — decimal-exact numerators, one double division
     "q_type_drift" -> ((s, dir) => {
@@ -1808,6 +1813,21 @@ object SparkEntry {
         |SELECT event_id, event_type, qv, n_le, n,
         |  CAST(n_le AS DOUBLE) / n AS cdf
         |FROM w ORDER BY event_id""".stripMargin,
+
+    // (N^2 - sum c^2) / N^2 in HUGEINT, one division — the strftime
+    // day matches the engine's date_format under the UTC session
+    "q_type_diversity" ->
+      """WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |    CAST(count(*) AS HUGEINT) AS c
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (SELECT day, sum(c) AS n, count(*) AS n_categories,
+        |    sum(c * c) AS sc2
+        |  FROM c GROUP BY 1)
+        |SELECT day, CAST(n AS BIGINT) AS n,
+        |  CAST(n_categories AS BIGINT) AS n_categories,
+        |  CAST(n * n - sc2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS diversity
+        |FROM m ORDER BY day""".stripMargin,
 
     // HUGEINT numerator/denominator cast to double and divided ONCE —
     // mirrors the engine's decimal(38,0) discipline

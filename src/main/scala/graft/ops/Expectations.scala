@@ -190,6 +190,30 @@ object Expectations {
           .as("chi2_term"))
   }
 
+  /** Per-day categorical diversity by the Gini-Simpson index — the
+    * log-free entropy surrogate (1 − Σp², the probability two sampled
+    * rows differ in category), so the daily "is the event mix
+    * collapsing?" monitor stays engine-exact where Shannon entropy's
+    * transcendentals could not: diversity = (N² − Σc²)/N², exact
+    * integer squares in decimal and ONE double division. Complements
+    * [[distributionDrift]]: drift compares two snapshots against each
+    * other, diversity watches one stream's mix concentration day by
+    * day. Two cascaded aggregates, no joins. */
+  def dailyDiversity(events: DataFrame, category: String = "event_type"): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    events
+      .filter(col(category).isNotNull && col("ts").isNotNull)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col(category))
+      .groupBy("day", category).agg(count(lit(1)).as("c"))
+      .groupBy("day")
+      .agg(sum("c").as("n"), count(lit(1)).as("n_categories"),
+        sum(d(col("c")) * d(col("c"))).as("sc2"))
+      .withColumn("diversity",
+        (d(col("n")) * d(col("n")) - col("sc2")).cast("double") /
+          (d(col("n")) * d(col("n"))).cast("double"))
+      .select("day", "n", "n_categories", "diversity")
+  }
+
   /** k-anonymity census over a quasi-identifier tuple — the privacy
     * sibling of the PII scrub (TextAnalysis.piiScrub redacts direct
     * identifiers; this audits INDIRECT ones): group by the QI columns,

@@ -311,6 +311,29 @@ class SkewAndScalarsSpec extends SparkSpec {
       ((3L, 3L, 1L, 1L, 1L, 1L)))
   }
 
+  test("daily diversity: uniform mix, monoculture, and the hand-computed middle") {
+    import graft.ops.Expectations
+    val hr = 3600000000L
+    def at(day: Int, i: Long, typ: String) =
+      (typ, i, timestampMicros(day.toLong * 24L * hr + i * 1000L))
+    // day 1: A,B uniform (2+2): 1 - (4+4)/16 = 0.5
+    // day 2: all A (monoculture): 1 - 9/9 = 0.0
+    // day 3: A x3, B x1: 1 - (9+1)/16 = 0.375
+    val rows = (Seq(at(1, 1, "A"), at(1, 2, "A"), at(1, 3, "B"), at(1, 4, "B")) ++
+      (1 to 3).map(i => at(2, i.toLong + 10L, "A")) ++
+      Seq(at(3, 21L, "A"), at(3, 22L, "A"), at(3, 23L, "A"), at(3, 24L, "B")))
+    val ev = rows.toDF("event_type", "event_id", "ts")
+    val got = Expectations.dailyDiversity(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      "1970-01-02" -> ((4L, 2L, 0.5)),
+      "1970-01-03" -> ((3L, 1L, 0.0)),
+      "1970-01-04" -> ((4L, 2L, 0.375))))
+  }
+
+  private def timestampMicros(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS))
+
   test("distribution drift: hand-computed chi-square terms, new-only category is null") {
     import graft.ops.Expectations
     // old {A:2, B:2} (n=4) vs new {A:3, B:1, C:1} (n=5):
