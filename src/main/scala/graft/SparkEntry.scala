@@ -924,6 +924,11 @@ object SparkEntry {
       graft.ops.Similarity.labelAffinity(Tables.embeddings(s, dir))
         .orderBy("label_a", "label_b")),
 
+    // per-class cohesion: mean (micro-quantized before the sum) and
+    // worst member->centroid cosine — the label-quality table
+    "sim_label_cohesion" -> ((s, dir) =>
+      graft.ops.Similarity.labelCohesion(Tables.embeddings(s, dir)).orderBy("label")),
+
     "text_curation" -> ((s, dir) =>
       Curation.curationStats(Tables.documents(s, dir))),
 
@@ -2384,6 +2389,32 @@ object SparkEntry {
         |SELECT label, pos, CAST(sum(CAST(floor(e * 1000000.0) AS BIGINT)) AS DOUBLE)
         |    / (1000000.0 * count(*)) AS mean
         |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    // the q_embed_outliers per-member cosine, rolled up per label with
+    // the micro-quantize-before-sum mean and the (sim, vec_id) argmin
+    "sim_label_cohesion" ->
+      """WITH x AS (SELECT label,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS e,
+        |    unnest(range(len(embedding))) AS pos
+        |  FROM embeddings),
+        |c AS (SELECT label, pos, CAST(sum(CAST(floor(e * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |    / (1000000.0 * count(*)) AS mean
+        |  FROM x GROUP BY label, pos),
+        |cl AS (SELECT label, list(mean ORDER BY pos) AS cv FROM c GROUP BY label),
+        |s AS (SELECT e.label, e.vec_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cl.cv) AS sim
+        |  FROM embeddings e JOIN cl ON cl.label = e.label),
+        |m AS (SELECT label, count(*) AS n,
+        |    CAST(sum(CAST(floor(sim * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_q,
+        |    min(sim) AS min_sim
+        |  FROM s GROUP BY 1),
+        |w AS (SELECT label, vec_id AS worst_vec_id FROM (
+        |    SELECT label, vec_id,
+        |      row_number() OVER (PARTITION BY label ORDER BY sim, vec_id) AS rn
+        |    FROM s) WHERE rn = 1)
+        |SELECT m.label, m.n, CAST(sum_q AS DOUBLE) / 1000000.0 / m.n AS mean_sim,
+        |  min_sim, worst_vec_id
+        |FROM m JOIN w USING (label) ORDER BY label""".stripMargin,
 
     "q_embed_outliers" ->
       """WITH x AS (SELECT label,

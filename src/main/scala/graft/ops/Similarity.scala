@@ -296,6 +296,33 @@ object Similarity {
       .orderBy(col("centroid_sim").asc, col("vec_id")).limit(n)
   }
 
+  /** Per-label cohesion rollup — [[centroidOutliers]] ranks individual
+    * strays; this scores each CLASS: the mean and worst member→own-
+    * centroid cosine, the label-quality table a curation pass reads
+    * before trusting labels as dedup blocks or eval strata (a label
+    * with low cohesion is two clusters wearing one name — see
+    * labelAffinity for which other label it is confused with). The
+    * per-member cosine is the per-row deterministic kernel (portable —
+    * both engines accumulate the dot in index order); the cross-row
+    * MEAN micro-quantizes each cosine first (the unigram_lp rule), so
+    * the compared aggregate is an exact integer sum; min and its
+    * argmin are order-insensitive with the (sim, vec_id) tie rule.
+    * One broadcast of the bounded prototype frame, one corpus pass. */
+  def labelCohesion(embeddings: DataFrame): DataFrame = {
+    val cent = labelPrototypes(embeddings)
+    embeddings.select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .join(broadcast(cent), "label")
+      .select(col("label"), col("vec_id"), cosine(col("v"), col("cv")).as("sim"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("sim") * 1000000.0).cast("long")).as("sum_sim_q"),
+        min("sim").as("min_sim"),
+        min_by(col("vec_id"), struct(col("sim"), col("vec_id"))).as("worst_vec_id"))
+      .withColumn("mean_sim",
+        col("sum_sim_q").cast("double") / 1000000.0 / col("n"))
+      .select("label", "n", "mean_sim", "min_sim", "worst_vec_id")
+  }
+
   // ---- Product quantization ----------------------------------------------
 
   /** Squared L2 over double arrays via the codegen'd dot kernel:

@@ -211,6 +211,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("label cohesion: perfect class at 1.0, split class flagged with the tie-rule argmin") {
+    import graft.ops.Similarity
+    // label 0: two identical vectors -> mean = min = 1.0 (cosine of a
+    // vector with its own centroid direction). label 1: orthogonal pair
+    // -> both members sit cos(45°) from the mean centroid; equal sims
+    // tie, so worst_vec_id is the smaller id.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (10L, Array(1.0f, 0.0f), 1), (11L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCohesion(emb).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(got(0)._1 === 2L && got(0)._2 === 1.0 && got(0)._3 === 1.0)
+    assert(got(1)._1 === 2L)
+    assert(math.abs(got(1)._3 - math.sqrt(0.5)) < 1e-9, s"min_sim ${got(1)._3}")
+    assert(got(1)._4 === 10L, "equal sims must tie-break to the smaller vec_id")
+    // the quantized mean can only sit at/below the raw per-member value
+    assert(got(1)._2 <= got(1)._3 && got(1)._2 > got(1)._3 - 1e-6)
+  }
+
   test("SRP-LSH near-dup finds planted duplicates without labels, exactly") {
     val base = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("embedding"))
