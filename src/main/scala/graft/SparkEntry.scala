@@ -929,6 +929,12 @@ object SparkEntry {
     "sim_label_cohesion" -> ((s, dir) =>
       graft.ops.Similarity.labelCohesion(Tables.embeddings(s, dir)).orderBy("label")),
 
+    // embedding drift between the vec_id-parity halves: cross-multiplied
+    // exact centroid shift, decimal-string rendered
+    "sim_centroid_drift" -> ((s, dir) =>
+      graft.ops.Similarity.centroidDrift(Tables.embeddings(s, dir),
+        col("vec_id") % 2 === 1).orderBy("label")),
+
     "text_curation" -> ((s, dir) =>
       Curation.curationStats(Tables.documents(s, dir))),
 
@@ -2389,6 +2395,31 @@ object SparkEntry {
         |SELECT label, pos, CAST(sum(CAST(floor(e * 1000000.0) AS BIGINT)) AS DOUBLE)
         |    / (1000000.0 * count(*)) AS mean
         |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    // the mean difference rescaled integer: Ca*n_b - Cb*n_a per
+    // component, squared and summed in HUGEINT, string-rendered
+    "sim_centroid_drift" ->
+      """WITH x AS (SELECT label, vec_id,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS e,
+        |    unnest(range(len(embedding))) AS pos
+        |  FROM embeddings),
+        |s AS (SELECT label, pos,
+        |    sum(CASE WHEN vec_id % 2 = 0 THEN CAST(floor(e * 1000000.0) AS BIGINT)
+        |             ELSE 0 END) AS ca,
+        |    sum(CASE WHEN vec_id % 2 = 1 THEN CAST(floor(e * 1000000.0) AS BIGINT)
+        |             ELSE 0 END) AS cb
+        |  FROM x GROUP BY 1, 2),
+        |n AS (SELECT label,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n_a,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n_b
+        |  FROM embeddings GROUP BY 1),
+        |d AS (SELECT s.label,
+        |    sum((CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a)
+        |      * (CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a)) AS shift
+        |  FROM s JOIN n USING (label) GROUP BY 1)
+        |SELECT d.label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(shift AS VARCHAR) AS shift_sq
+        |FROM d JOIN n USING (label) ORDER BY label""".stripMargin,
 
     // the q_embed_outliers per-member cosine, rolled up per label with
     // the micro-quantize-before-sum mean and the (sim, vec_id) argmin

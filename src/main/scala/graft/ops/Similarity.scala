@@ -296,6 +296,39 @@ object Similarity {
       .orderBy(col("centroid_sim").asc, col("vec_id")).limit(n)
   }
 
+  /** Per-label centroid drift between two corpus halves — the embedding
+    * analogue of the categorical drift check (ops/Expectations
+    * .distributionDrift): has a label's mean vector MOVED between
+    * yesterday's corpus and today's? Exact by cross-multiplication:
+    * the mean difference C_a/n_a − C_b/n_b rescales to the integer
+    * vector C_a·n_b − C_b·n_a over quantized component sums, and the
+    * reported squared shift Σ_pos(·)² accumulates in decimal(38,0),
+    * rendered as the exact decimal string (the PAA 2^64 rule). Compare
+    * shifts ACROSS labels after dividing by (n_a·n_b)² downstream —
+    * kept raw here so the compared value stays integer-exact. One
+    * exploded aggregate + a bounded per-label count join. */
+  def centroidDrift(embeddings: DataFrame, isNew: Column): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val qv = floor(col("col") * lit(1000000.0)).cast("long")
+    val sums = embeddings
+      .select(col("label"), isNew.as("__new"), posexplode(toDouble(col("embedding"))))
+      .groupBy("label", "pos")
+      .agg(sum(when(!col("__new"), qv).otherwise(0L)).as("ca"),
+        sum(when(col("__new"), qv).otherwise(0L)).as("cb"))
+    val counts = embeddings
+      .select(col("label"), isNew.as("__new"))
+      .groupBy("label")
+      .agg(sum(when(!col("__new"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__new"), 1L).otherwise(0L)).as("n_b"))
+    val diff = d(col("ca")) * d(col("n_b")) - d(col("cb")) * d(col("n_a"))
+    sums.join(broadcast(counts), "label")
+      .groupBy("label")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        sum(diff * diff).as("shift_d"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        col("shift_d").cast("string").as("shift_sq"))
+  }
+
   /** Per-label cohesion rollup — [[centroidOutliers]] ranks individual
     * strays; this scores each CLASS: the mean and worst member→own-
     * centroid cosine, the label-quality table a curation pass reads

@@ -233,6 +233,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(1)._2 <= got(1)._3 && got(1)._2 > got(1)._3 - 1e-6)
   }
 
+  test("centroid drift: identical halves at zero, a planted 90-degree move measured exactly") {
+    import graft.ops.Similarity
+    // label 0: both halves identical -> shift 0. label 1: old half on
+    // the x axis, new half on y -> per-component diffs (1e6, -1e6),
+    // shift = 2e12 exactly.
+    val emb = Seq(
+      (0L, Array(0.5f, 0.5f), 0), (1L, Array(0.5f, 0.5f), 0),
+      (10L, Array(1.0f, 0.0f), 1), (11L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidDrift(emb, col("vec_id") % 2 === 1).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got === Map(
+      0 -> ((1L, 1L, "0")),
+      1 -> ((1L, 1L, "2000000000000"))))
+  }
+
   test("SRP-LSH near-dup finds planted duplicates without labels, exactly") {
     val base = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("embedding"))
