@@ -320,6 +320,12 @@ object SparkEntry {
     "q_type_diversity" -> ((s, dir) =>
       Expectations.dailyDiversity(Tables.events(s, dir)).orderBy("day")),
 
+    // nonparametric drift: integer-exact two-sample KS distance of doc
+    // lengths between the doc_id-parity halves, per language
+    "text_length_ks" -> ((s, dir) =>
+      Expectations.ksDistance(Tables.documents(s, dir), "n_chars",
+        col("doc_id") % 2 === 1, "lang").orderBy("lang")),
+
     // chi-square drift of the event-type mix, first half vs second half
     // of the month — decimal-exact numerators, one double division
     "q_type_drift" -> ((s, dir) => {
@@ -1824,6 +1830,30 @@ object SparkEntry {
         |SELECT event_id, event_type, qv, n_le, n,
         |  CAST(n_le AS DOUBLE) / n AS cdf
         |FROM w ORDER BY event_id""".stripMargin,
+
+    // max |cum_a*n_b - cum_b*n_a| over the merged value grid — every
+    // candidate integer, one division renders D
+    "text_length_ks" ->
+      """WITH c AS (SELECT lang, n_chars AS v,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (SELECT lang,
+        |    sum(ca) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+        |    sum(cb) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+        |    sum(ca) OVER (PARTITION BY lang) AS tot_a,
+        |    sum(cb) OVER (PARTITION BY lang) AS tot_b
+        |  FROM c)
+        |SELECT lang, CAST(max(tot_a) AS BIGINT) AS n_a,
+        |  CAST(max(tot_b) AS BIGINT) AS n_b,
+        |  CASE WHEN max(tot_a) > 0 AND max(tot_b) > 0 THEN
+        |    CAST(max(abs(cum_a * tot_b - cum_b * tot_a)) AS DOUBLE)
+        |      / CAST(max(tot_a) * max(tot_b) AS DOUBLE)
+        |  END AS ks
+        |FROM w GROUP BY 1 ORDER BY lang""".stripMargin,
 
     // (N^2 - sum c^2) / N^2 in HUGEINT, one division — the strftime
     // day matches the engine's date_format under the UTC session

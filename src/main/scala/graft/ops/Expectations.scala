@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality expectations — the validation pass a training pipeline
@@ -188,6 +189,40 @@ object Expectations {
           (diff * diff).cast("double") /
             (d(col("c_old")) * d(col("n_new")) * d(col("n_old"))).cast("double"))
           .as("chi2_term"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance in PURE integers — the
+    * nonparametric drift test for a numeric column, next to
+    * [[distributionDrift]]'s categorical χ²: D = max_x |F_a(x) − F_b(x)|
+    * cross-multiplies into max |cum_a(x)·n_b − cum_b(x)·n_a| over the
+    * merged value grid — every candidate is an exact integer, the max
+    * is order-insensitive, and ONE division renders D ∈ [0, 1]. No
+    * binning to tune, no distributional assumption, and ties are exact
+    * (both CDFs step at the same grid point). Per group: one counts
+    * aggregate, one cumulative window over distinct values, one max.
+    * Empty side → null (no distribution to compare). */
+  def ksDistance(df: DataFrame, valueCol: String, isB: Column,
+                 groupCol: String): DataFrame = {
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+      .agg(sum(when(!isB, 1L).otherwise(0L)).as("ca"),
+        sum(when(isB, 1L).otherwise(0L)).as("cb"))
+    val cum = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("cum_a", sum("ca").over(cum))
+      .withColumn("cum_b", sum("cb").over(cum))
+      .withColumn("tot_a", sum("ca").over(Window.partitionBy("g")))
+      .withColumn("tot_b", sum("cb").over(Window.partitionBy("g")))
+      .withColumn("num",
+        abs(col("cum_a") * col("tot_b") - col("cum_b") * col("tot_a")))
+      .groupBy("g")
+      .agg(max("tot_a").as("n_a"), max("tot_b").as("n_b"), max("num").as("d_num"))
+      .withColumn("ks",
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          col("d_num").cast("double") / (col("n_a") * col("n_b")).cast("double")))
+      .select(col("g").as(groupCol), col("n_a"), col("n_b"), col("ks"))
   }
 
   /** Per-day categorical diversity by the Gini-Simpson index — the

@@ -311,6 +311,27 @@ class SkewAndScalarsSpec extends SparkSpec {
       ((3L, 3L, 1L, 1L, 1L, 1L)))
   }
 
+  test("KS distance: hand-computed CDF gap, zero on identical halves, null on an empty side") {
+    import graft.ops.Expectations
+    // g1: A={1,2}, B={2,3} -> grid cum_a 1,2,2 / cum_b 0,1,2 -> max
+    // |cum_a*2 - cum_b*2| = 2 -> ks 0.5. g2: identical halves -> 0.
+    // g3: only the A side -> null.
+    val rows = Seq(
+      ("g1", 1L, 1L), ("g1", 3L, 2L), ("g1", 2L, 2L), ("g1", 4L, 3L),
+      ("g2", 5L, 7L), ("g2", 6L, 7L),
+      ("g3", 7L, 9L), ("g3", 9L, 9L))
+      .toDF("grp", "doc_id", "v")
+    val got = Expectations.ksDistance(rows, "v", col("doc_id") % 2 === 0, "grp")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    assert(got === Map(
+      "g1" -> ((2L, 2L, Some(0.5))),
+      "g2" -> ((1L, 1L, Some(0.0))),
+      "g3" -> ((2L, 0L, None))))
+  }
+
   test("daily diversity: uniform mix, monoculture, and the hand-computed middle") {
     import graft.ops.Expectations
     val hr = 3600000000L
