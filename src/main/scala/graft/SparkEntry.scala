@@ -326,6 +326,30 @@ object SparkEntry {
       Expectations.ksDistance(Tables.documents(s, dir), "n_chars",
         col("doc_id") % 2 === 1, "lang").orderBy("lang")),
 
+    // the same generic KS over micro-quantized VALUES between month
+    // halves — did each type's level distribution move, not just its mean
+    "q_value_ks" -> ((s, dir) =>
+      Expectations.ksDistance(
+        Tables.events(s, dir).withColumn("qv",
+          floor(col("value") * 1000000.0).cast("long")),
+        "qv", dayofmonth(col("ts")) >= 15, "event_type").orderBy("event_type")),
+
+    // diurnal peak: each type's busiest hour-of-day and its share —
+    // struct-max pick, one division of exact longs
+    "q_diurnal_peak" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("ts_us").isNotNull)
+        .select(col("event_type"),
+          expr("ts_us % 86400000000 DIV 3600000000").cast("long").as("hour"))
+        .groupBy("event_type", "hour").agg(count(lit(1)).as("c"))
+      hourly.groupBy("event_type")
+        .agg(sum("c").as("n"),
+          max_by(col("hour"), struct(col("c"), -col("hour"))).as("peak_hour"),
+          max(struct(col("c"), -col("hour"))).getField("c").as("peak_n"))
+        .withColumn("peak_share", col("peak_n").cast("double") / col("n"))
+        .orderBy("event_type")
+    }),
+
     // chi-square drift of the event-type mix, first half vs second half
     // of the month — decimal-exact numerators, one double division
     "q_type_drift" -> ((s, dir) => {
@@ -1830,6 +1854,44 @@ object SparkEntry {
         |SELECT event_id, event_type, qv, n_le, n,
         |  CAST(n_le AS DOUBLE) / n AS cdf
         |FROM w ORDER BY event_id""".stripMargin,
+
+    // the generic KS shape over micro-quantized values, month halves
+    "q_value_ks" ->
+      """WITH c AS (SELECT event_type, CAST(floor(value * 1000000.0) AS BIGINT) AS v,
+        |    sum(CASE WHEN day(ts) < 15 THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN day(ts) >= 15 THEN 1 ELSE 0 END) AS cb
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (SELECT event_type,
+        |    sum(ca) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+        |    sum(cb) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+        |    sum(ca) OVER (PARTITION BY event_type) AS tot_a,
+        |    sum(cb) OVER (PARTITION BY event_type) AS tot_b
+        |  FROM c)
+        |SELECT event_type, CAST(max(tot_a) AS BIGINT) AS n_a,
+        |  CAST(max(tot_b) AS BIGINT) AS n_b,
+        |  CASE WHEN max(tot_a) > 0 AND max(tot_b) > 0 THEN
+        |    CAST(max(abs(cum_a * tot_b - cum_b * tot_a)) AS DOUBLE)
+        |      / CAST(max(tot_a) * max(tot_b) AS DOUBLE)
+        |  END AS ks
+        |FROM w GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // (c DESC, hour) row_number mirrors max_by's (c, -hour) struct pick
+    "q_diurnal_peak" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(epoch_us(ts) % 86400000000 // 3600000000 AS BIGINT) AS hour,
+        |    count(*) AS c
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (SELECT event_type, hour, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c DESC, hour) AS rn,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, hour AS peak_hour,
+        |  CAST(c AS BIGINT) AS peak_n, CAST(c AS DOUBLE) / n AS peak_share
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     // max |cum_a*n_b - cum_b*n_a| over the merged value grid — every
     // candidate integer, one division renders D
