@@ -950,6 +950,11 @@ object SparkEntry {
     "text_source_gini" -> ((s, dir) =>
       TextAnalysis.sourceGini(Tables.documents(s, dir)).orderBy("source")),
 
+    // Heaps-law checkpoints: distinct vocabulary among the first
+    // 1%/10%/100% of doc ids — min-first-seen, no cumulative distinct
+    "text_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(Tables.documents(s, dir)).orderBy("pct")),
+
     "sim_label_affinity" -> ((s, dir) =>
       graft.ops.Similarity.labelAffinity(Tables.embeddings(s, dir))
         .orderBy("label_a", "label_b")),
@@ -2820,6 +2825,20 @@ object SparkEntry {
         |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s FROM idx)
         |SELECT s, df FROM (SELECT s, count(*) AS df FROM sh GROUP BY 1)
         |ORDER BY df DESC, s LIMIT 50""".stripMargin,
+
+    // vocab(cut) = #tokens with min(doc_id) <= max_id*pct//100
+    "text_vocab_growth" ->
+      """WITH f AS (SELECT tok, min(doc_id) AS first_id FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1),
+        |mx AS (SELECT max(doc_id) AS max_id FROM documents),
+        |p AS (SELECT unnest([1, 10, 100]) AS pct),
+        |v AS (SELECT pct, count(*) AS vocab
+        |  FROM f, mx, p WHERE first_id <= max_id * pct // 100 GROUP BY 1),
+        |d AS (SELECT pct, count(*) AS n_docs
+        |  FROM documents, mx, p WHERE doc_id <= max_id * pct // 100 GROUP BY 1)
+        |SELECT CAST(p.pct AS BIGINT) AS pct, d.n_docs, v.vocab
+        |FROM p JOIN v USING (pct) JOIN d USING (pct) ORDER BY pct""".stripMargin,
 
     // ascending (n_chars, doc_id) row_number mirrors the engine's rank;
     // equal lengths commute so the tie order cannot move the statistic

@@ -228,6 +228,39 @@ object TextAnalysis {
     perSource.join(domLang, "source")
   }
 
+  /** Vocabulary-growth checkpoints (the Heaps-law curve, sampled): how
+    * many distinct tokens exist among the first 1% / 10% / 100% of the
+    * corpus by doc id. Sub-linear growth between checkpoints is healthy;
+    * a flat curve means the tail is boilerplate/near-dup (new docs add
+    * no new language) and a linear one means noise — the single
+    * cheapest corpus-health curve a pipeline can watch. Computed WITHOUT
+    * any cumulative-distinct machinery: vocab(cut) = #tokens whose MIN
+    * doc id ≤ cut, so one groupBy(token) agg + three conditional counts
+    * replace three distinct passes; cuts are integer fractions of the
+    * max id off a one-row broadcast. */
+  def vocabGrowth(docs: DataFrame, pcts: Seq[Int] = Seq(1, 10, 100)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"vocabGrowth: pcts $pcts must be in [1, 100]")
+    val firstSeen = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(min("doc_id").as("first_id"))
+    val mx = docs.agg(max("doc_id").as("max_id"))
+    firstSeen.crossJoin(broadcast(mx))
+      .select(explode(array(pcts.map(p => lit(p)): _*)).as("pct"),
+        col("first_id"), col("max_id"))
+      .filter(col("first_id") <= expr("max_id * pct DIV 100"))
+      .groupBy("pct")
+      .agg(count(lit(1)).as("vocab"))
+      .join(
+        docs.crossJoin(broadcast(mx))
+          .select(explode(array(pcts.map(p => lit(p)): _*)).as("pct"),
+            col("doc_id"), col("max_id"))
+          .filter(col("doc_id") <= expr("max_id * pct DIV 100"))
+          .groupBy("pct").agg(count(lit(1)).as("n_docs")),
+        Seq("pct"))
+      .select(col("pct").cast("long").as("pct"), col("n_docs"), col("vocab"))
+  }
+
   /** Per-source Gini concentration of document length — the corpus-
     * balance inequality audit (is one source's volume a few mega-docs
     * or many small ones? the answer changes dedup and packing

@@ -35,6 +35,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(r === Seq((11L, 2L), (13L, 1L)))
   }
 
+  test("vocab growth: min-first-seen checkpoints equal brute distinct counts") {
+    import graft.ops.TextAnalysis
+    // ids 1..10; cuts at 50% (id<=5) and 100%. doc i contributes token
+    // "t<i>" plus the shared "the" — vocab(50%) = 5 + 1, vocab(100%) = 11
+    val planted = (1 to 10).map(i => (i.toLong, s"the t$i"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(planted, pcts = Seq(50, 100)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(50L -> ((5L, 6L)), 100L -> ((10L, 11L))))
+  }
+
   test("dup-shingle coverage: planted overlap by hand, independent doc at zero") {
     // doc 0 and 1 are identical (every shingle df >= 2 → rate 1.0);
     // doc 2 shares its first trigram with them ("a b c") but not the
