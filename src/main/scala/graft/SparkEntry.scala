@@ -370,6 +370,12 @@ object SparkEntry {
     "q_value_hour_rankcorr" -> ((s, dir) =>
       Monitoring.valueHourRankCorr(Tables.events(s, dir)).orderBy("event_type")),
 
+    // the post-screen drill-down: each type's k lowest/highest readings
+    // with deterministic (qv, event_id) tie order
+    "q_value_extremes" -> ((s, dir) =>
+      Monitoring.valueExtremes(Tables.events(s, dir))
+        .orderBy("event_type", "side", "rank")),
+
     // equi-depth bin edges by pure-integer rank selection, with the
     // exact ≤-edge counts that make tie inflation visible
     "q_equidepth_bins" -> ((s, dir) =>
@@ -954,6 +960,11 @@ object SparkEntry {
     // 1%/10%/100% of doc ids — min-first-seen, no cumulative distinct
     "text_vocab_growth" -> ((s, dir) =>
       TextAnalysis.vocabGrowth(Tables.documents(s, dir)).orderBy("pct")),
+
+    // char-class composition: the C4-family debris detector (markup,
+    // base64, emoji soup all surface as high other_share)
+    "text_char_classes" -> ((s, dir) =>
+      TextAnalysis.charClasses(Tables.documents(s, dir)).orderBy("doc_id")),
 
     "sim_label_affinity" -> ((s, dir) =>
       graft.ops.Similarity.labelAffinity(Tables.embeddings(s, dir))
@@ -1577,6 +1588,23 @@ object SparkEntry {
         |            sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
         |                 CAST(n * syy - sy * sy AS DOUBLE)) END AS corr_xy
         |FROM m ORDER BY event_type""".stripMargin,
+
+    // both windows rank the (quantized value, event_id) tuple
+    "q_value_extremes" ->
+      """WITH q AS (SELECT event_type, event_id, value,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS qv
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |lo AS (SELECT event_type, 'low' AS side,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY qv, event_id) AS BIGINT) AS rank, event_id, value
+        |  FROM q),
+        |hi AS (SELECT event_type, 'high' AS side,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY qv DESC, event_id DESC) AS BIGINT) AS rank, event_id, value
+        |  FROM q)
+        |SELECT * FROM (SELECT * FROM lo WHERE rank <= 3
+        |  UNION ALL SELECT * FROM hi WHERE rank <= 3)
+        |ORDER BY event_type, side, rank""".stripMargin,
 
     // min-rank (rank(), not tie-averaged) mirrors the engine exactly
     "q_value_hour_rankcorr" ->
@@ -2825,6 +2853,26 @@ object SparkEntry {
         |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s FROM idx)
         |SELECT s, df FROM (SELECT s, count(*) AS df FROM sh GROUP BY 1)
         |ORDER BY df DESC, s LIMIT 50""".stripMargin,
+
+    // DuckDB needs the explicit 'g' flag to delete ALL matches like
+    // Spark does
+    "text_char_classes" ->
+      """SELECT doc_id, len(text) AS n_chars,
+        |  len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        |  len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+        |  len(regexp_replace(text, '[^ ]', '', 'g')) AS n_space,
+        |  len(text) - len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |    - len(regexp_replace(text, '[^0-9]', '', 'g'))
+        |    - len(regexp_replace(text, '[^ ]', '', 'g')) AS n_other,
+        |  CASE WHEN len(text) > 0 THEN
+        |    CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / len(text)
+        |  END AS alpha_share,
+        |  CASE WHEN len(text) > 0 THEN
+        |    CAST(len(text) - len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |      - len(regexp_replace(text, '[^0-9]', '', 'g'))
+        |      - len(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / len(text)
+        |  END AS other_share
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // vocab(cut) = #tokens with min(doc_id) <= max_id*pct//100
     "text_vocab_growth" ->

@@ -366,6 +366,30 @@ object Monitoring {
       .select("event_type", "n", "corr_xy")
   }
 
+  /** Per-type extreme values — the "show me the actual spikes" query an
+    * operator runs after any screen (MAD, winsorize, CUSUM) flags a
+    * type: the k lowest and k highest readings with their event ids.
+    * Both sides rank by the (micro-quantized value, event_id) tuple, so
+    * duplicate readings order deterministically; the raw double rides
+    * along per-row. Two rank windows over one shuffle. */
+  def valueExtremes(events: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"valueExtremes: k=$k must be >= 1")
+    val q = events
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"),
+        floor(col("value") * 1000000.0).cast("long").as("qv"))
+    val byType = Window.partitionBy("event_type")
+    val low = q
+      .withColumn("rank",
+        row_number().over(byType.orderBy(col("qv"), col("event_id"))).cast("long"))
+      .filter(col("rank") <= k).withColumn("side", lit("low"))
+    val high = q
+      .withColumn("rank",
+        row_number().over(byType.orderBy(col("qv").desc, col("event_id").desc)).cast("long"))
+      .filter(col("rank") <= k).withColumn("side", lit("high"))
+    low.unionByName(high).select("event_type", "side", "rank", "event_id", "value")
+  }
+
   /** Spearman-flavored rank correlation between value and hour-of-day —
     * the monotone-robust companion to [[valueHourCorr]]: Pearson's
     * formula applied to the value's within-type RANK instead of the

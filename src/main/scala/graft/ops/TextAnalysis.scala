@@ -228,6 +228,29 @@ object TextAnalysis {
     perSource.join(domLang, "source")
   }
 
+  /** Per-doc character-class composition — the C4-family quality signal
+    * the composite score doesn't expose individually: how much of the
+    * doc is letters, digits, whitespace, or other (markup debris, emoji
+    * soup, base64 blobs all surface as high `other`). Counts are exact
+    * (length after deleting the complement class — Spark replaces ALL
+    * matches; the oracle needs DuckDB's explicit 'g' flag to match);
+    * each share is one per-row division. Scan-speed, no shuffle. */
+  def charClasses(docs: DataFrame): DataFrame = {
+    val n = length(col("text"))
+    val cnt = (re: String) => length(regexp_replace(col("text"), re, ""))
+    docs.select(
+      col("doc_id"), n.as("n_chars"),
+      cnt("[^A-Za-z]").as("n_alpha"),
+      cnt("[^0-9]").as("n_digit"),
+      cnt("[^ ]").as("n_space"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_alpha") - col("n_digit") - col("n_space"))
+      .withColumn("alpha_share",
+        when(col("n_chars") > 0, col("n_alpha").cast("double") / col("n_chars")))
+      .withColumn("other_share",
+        when(col("n_chars") > 0, col("n_other").cast("double") / col("n_chars")))
+  }
+
   /** Vocabulary-growth checkpoints (the Heaps-law curve, sampled): how
     * many distinct tokens exist among the first 1% / 10% / 100% of the
     * corpus by doc id. Sub-linear growth between checkpoints is healthy;

@@ -278,6 +278,30 @@ class SkewAndScalarsSpec extends SparkSpec {
     assert(got === Array((1L, 6L, 1L, 0.6, 0.6), (2L, 3L, 2L, 0.3, 0.9)))
   }
 
+  test("value extremes: both sides ranked, duplicate readings tie by event_id") {
+    import graft.ops.Monitoring
+    // values 1,1,5,9 (k=3): low side takes both 1s (ids 1 then 2) then 5;
+    // high side takes 9, 5, then the LATER duplicate 1 (id 2, desc order)
+    val ev = Seq((1L, "A", 1.0), (2L, "A", 1.0), (3L, "A", 5.0), (4L, "A", 9.0))
+      .toDF("event_id", "event_type", "value")
+    val got = Monitoring.valueExtremes(ev).collect()
+      .map(r => (r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got === Map(
+      ("low", 1L) -> 1L, ("low", 2L) -> 2L, ("low", 3L) -> 3L,
+      ("high", 1L) -> 4L, ("high", 2L) -> 3L, ("high", 3L) -> 2L))
+  }
+
+  test("char classes: hand-counted composition, zero-length doc guarded") {
+    import graft.ops.TextAnalysis
+    val docs = Seq((1L, "ab 12!"), (2L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.charClasses(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getInt(5), if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+    // "ab 12!": 6 chars = 2 alpha + 2 digit + 1 space + 1 other
+    assert(got(1L) === ((6, 2, 2, 1, 1, Some(2.0 / 6.0))))
+    assert(got(2L) === ((0, 0, 0, 0, 0, None)))
+  }
+
   test("quantile normalization: ties share a RANGE-frame position") {
     import graft.ops.Monitoring
     // values 1,1,2,3: both 1s count 2 rows at-or-below (peers included),
