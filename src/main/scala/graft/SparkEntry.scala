@@ -1640,7 +1640,8 @@ object SparkEntry {
         |edges AS (SELECT r.event_type, b.bin, r.qv AS edge_q
         |  FROM r CROSS JOIN (SELECT unnest(range(1, 11)) AS bin) b
         |  WHERE r.rn = (b.bin * r.n + 9) // 10)
-        |SELECT e.event_type AS event_type, e.bin, e.edge_q, c.n_le
+        |SELECT e.event_type AS event_type, e.bin, e.edge_q,
+        |  CAST(c.n_le AS BIGINT) AS n_le
         |FROM edges e JOIN cum c ON c.event_type = e.event_type AND c.qv = e.edge_q
         |ORDER BY e.event_type, e.bin""".stripMargin,
 
@@ -1652,7 +1653,9 @@ object SparkEntry {
         |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
         |hourly AS (SELECT key, bucket_us, CAST(sum(qv) AS BIGINT) AS swq,
         |    count(*) AS n FROM q GROUP BY 1, 2),
-        |ref AS (SELECT CAST(sum(qv) AS BIGINT) // count(*) AS k_ref FROM q),
+        |ref AS (SELECT CASE WHEN sum(qv) >= 0
+        |      THEN CAST(sum(qv) AS BIGINT) // count(*)
+        |      ELSE -(CAST(-sum(qv) AS BIGINT) // count(*)) END AS k_ref FROM q),
         |px AS (SELECT key, bucket_us, n,
         |    sum(swq - k_ref * n) OVER w AS p,
         |    k_ref
@@ -1663,7 +1666,7 @@ object SparkEntry {
         |    p - min(p) OVER (PARTITION BY key ORDER BY bucket_us
         |                     ROWS UNBOUNDED PRECEDING) AS s
         |  FROM px)
-        |SELECT key, bucket_us, n, s AS cusum_q,
+        |SELECT key, bucket_us, n, CAST(s AS BIGINT) AS cusum_q,
         |  s * 10 > 1 * k_ref * n AS drift
         |FROM cs ORDER BY key, bucket_us""".stripMargin,
 
@@ -2833,8 +2836,9 @@ object SparkEntry {
         |  FROM documents),
         |per_source AS (
         |  SELECT source, count(*) AS n_docs,
-        |    sum(CAST(n_tokens AS BIGINT)) AS n_tokens_total,
-        |    count(CASE WHEN quality_score >= 0.5 THEN 1 END) AS n_quality_pass
+        |    CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS n_tokens_total,
+        |    count(CASE WHEN floor(quality_score * 1000000) >= 500000 THEN 1 END)
+        |      AS n_quality_pass
         |  FROM documents JOIN q USING (doc_id) GROUP BY 1),
         |lang_counts AS (
         |  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
@@ -2894,7 +2898,8 @@ object SparkEntry {
       """WITH r AS (SELECT source, n_chars,
         |    CAST(row_number() OVER (PARTITION BY source
         |      ORDER BY n_chars, doc_id) AS HUGEINT) AS r
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
         |m AS (SELECT source, CAST(count(*) AS HUGEINT) AS n,
         |    CAST(sum(n_chars) AS HUGEINT) AS tot, sum(r * n_chars) AS srx
         |  FROM r GROUP BY 1)
@@ -3067,7 +3072,8 @@ object SparkEntry {
        |it0 AS (SELECT n.node, CAST($scale AS BIGINT) // nc.n AS r
        |  FROM nodes n CROSS JOIN ncount nc),
        |${(1 to iters).map(iter).mkString(",\n")}
-       |SELECT node, r AS rank_q, CAST(r AS DOUBLE) / $scale AS rank
+       |SELECT node, CAST(r AS BIGINT) AS rank_q,
+       |  CAST(r AS DOUBLE) / $scale AS rank
        |FROM it$iters ORDER BY node""".stripMargin
   }
 

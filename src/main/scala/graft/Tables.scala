@@ -62,12 +62,15 @@ object Tables {
       case TimestampNTZType =>
         // parquet timestamp[us] with isAdjustedToUTC=false (current
         // testdata). The naive value IS the UTC instant (DuckDB reads it
-        // the same way), so pin the interpretation to UTC explicitly —
-        // correct under ANY session timezone, not just our UTC sessions.
-        val asUtc = to_utc_timestamp(col("ts"), "UTC")
+        // the same way). Micros-since-epoch is computed as a pure NTZ
+        // difference from the NTZ epoch — NO timezone enters anywhere
+        // (to_utc_timestamp would first cast NTZ→Timestamp THROUGH the
+        // session timezone, shifting ts_us on any non-UTC session), so
+        // this is correct under ANY session timezone.
         raw
-          .withColumn("ts_us", unix_micros(asUtc))
-          .withColumn("ts", asUtc)
+          .withColumn("ts_us",
+            expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
       case TimestampType =>
         raw.withColumn("ts_us", unix_micros(col("ts")))
       case other =>

@@ -306,8 +306,32 @@ object Graph {
     * contributes wedges from its LOW-degree neighbors, not d² of its
     * own); the closure join shuffles on (v, w). No cartesian, no driver
     * state. Ids must be non-negative and < 2^40 so (deg, id) packs into
-    * one monotone long — violations raise, never wrap. */
-  def triangleCounts(edges: DataFrame, broadcastClosure: Boolean = true): DataFrame = {
+    * one monotone long — violations raise, never wrap.
+    *
+    * The closure-probe strategy is chosen BY DATA, not by caller
+    * knowledge: the deduped oriented edge list is counted (one cheap
+    * aggregate that also materializes its cache) and broadcast only
+    * while it stays under `broadcastMaxEdges` rows (~24 B/row, so the
+    * 8M default is ≈200 MB of build side — executor-memory scale);
+    * past the ceiling both wedge expansion and closure fall back to
+    * shuffle equi-joins with identical semantics. The result is
+    * eagerly materialized (it is node-count-bounded and tiny next to
+    * the wedge stream) so the oriented cache can be unpersisted before
+    * returning — no slow leak across repeated calls in a long session. */
+  def triangleCounts(edges: DataFrame,
+                     broadcastMaxEdges: Long = 8000000L): DataFrame = {
+    val (counts, oriented) = triangleCountsPlan(edges, broadcastMaxEdges)
+    val out = counts.localCheckpoint(true)
+    oriented.unpersist()
+    out
+  }
+
+  /** The lazy planning half of [[triangleCounts]] — exposed package-
+    * private so specs can assert the chosen plan SHAPE on either side
+    * of the broadcast ceiling. Returns (counts, the persisted oriented
+    * frame the caller must unpersist). */
+  private[graft] def triangleCountsPlan(
+      edges: DataFrame, broadcastMaxEdges: Long): (DataFrame, DataFrame) = {
     val checkedId = (c: Column) =>
       when(c < 0L || c >= (1L << 40),
         raise_error(concat(lit("triangleCounts: id out of [0, 2^40): "), c.cast("string"))))
@@ -329,14 +353,16 @@ object Graph {
       .persist()
     // both build sides below are the DEDUPED edge projection — orders of
     // magnitude smaller than the wedge stream flowing between them — so
-    // broadcast them (default) and the whole hot path fuses into ONE
+    // while it fits, broadcast it and the whole hot path fuses into ONE
     // codegen stage with no exchange of the intermediate: scan oriented →
     // hash-expand wedges on the pivot → hash-probe the closure on (v, w)
-    // → explode corners → partial count. On a graph whose deduped edge
-    // list outgrows the driver, flip the knob for shuffle joins on the
-    // pivot and on (v, w) — same semantics, two more wedge-sized
-    // exchanges.
-    val maybeBcast = (df: DataFrame) => if (broadcastClosure) broadcast(df) else df
+    // → explode corners → partial count. The count below sizes the build
+    // side AND materializes the persist in the same pass; past the
+    // ceiling, shuffle joins on the pivot and on (v, w) — same
+    // semantics, two more wedge-sized exchanges.
+    val edgeCount = oriented.count()
+    val maybeBcast = (df: DataFrame) =>
+      if (edgeCount <= broadcastMaxEdges) broadcast(df) else df
     // wedge generation from per-pivot sorted adjacency ARRAYS instead of
     // a self-join: one shuffle of the edge list builds the arrays, then
     // two chained generators emit exactly the ordered out-neighbor pairs
@@ -354,9 +380,10 @@ object Graph {
     val triangles = wedges.join(maybeBcast(closure), Seq("t2", "t3"))
     // ONE pass over the triangle stream: explode the three corners —
     // a 3-way union would recompute the wedge pipeline per branch
-    triangles
+    val counts = triangles
       .select(explode(array(col("t1"), col("t2"), col("t3"))).as("part"))
       .groupBy("part").agg(count(lit(1)).as("n_tri"))
+    (counts, oriented)
   }
 
   /** Damped PageRank over a weighted edge list in EXACT integer

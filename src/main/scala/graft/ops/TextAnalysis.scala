@@ -217,11 +217,15 @@ object TextAnalysis {
   def sourceScorecard(docs: DataFrame, qualityFloor: Double = 0.5): DataFrame = {
     val q = quality(docs).select(col("doc_id"), col("n_tokens"), col("quality_score"))
     val base = docs.select(col("doc_id"), col("source"), col("lang"))
+    // quality floor compared in integer micro-units (the repo money rule):
+    // both engines floor the same double product, so the gate is exact
+    val qFloorMicro = math.floor(qualityFloor * 1000000.0).toLong
     val perSource = base.join(q, "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("n_tokens_total"),
-        count(when(col("quality_score") >= qualityFloor, 1)).as("n_quality_pass"))
+        count(when(floor(col("quality_score") * 1000000.0) >= qFloorMicro, 1))
+          .as("n_quality_pass"))
     val domLang = base.groupBy("source", "lang").agg(count(lit(1)).as("n"))
       .groupBy("source")
       .agg(max_by(col("lang"), struct(col("n"), col("lang"))).as("dominant_lang"))
@@ -301,6 +305,10 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
     docs.select(col("source"), col("n_chars"), col("doc_id"))
+      // null lengths must not enter the rank: Spark windows sort NULLS
+      // FIRST while SQL row_number defaults NULLS LAST — a single null
+      // would shift every real rank AND corrupt the rank-form identity
+      .filter(col("n_chars").isNotNull && col("doc_id").isNotNull)
       .withColumn("r", row_number().over(w).cast("long"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_total"),

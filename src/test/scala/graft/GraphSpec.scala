@@ -260,15 +260,39 @@ class GraphSpec extends SparkSpec {
       (2L, 1L) -> ((2L, 2L, 1.0))))
   }
 
-  test("the shuffle-closure knob picks the same triangles as the broadcast path") {
+  test("the broadcast ceiling picks the closure strategy by data, same triangles either side") {
     val edges = Seq(
       (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
       (1L, 5L), (5L, 6L)).toDF("a", "b")
     val bcast = Graph.triangleCounts(edges).orderBy("part")
       .collect().map(_.toSeq)
-    val shuffled = Graph.triangleCounts(edges, broadcastClosure = false)
+    // 0-row ceiling: 8 oriented edges exceed it → shuffle closure path
+    val shuffled = Graph.triangleCounts(edges, broadcastMaxEdges = 0L)
       .orderBy("part").collect().map(_.toSeq)
     assert(shuffled === bcast)
+    // plan SHAPE on either side of the ceiling: under it the closure is a
+    // broadcast hash probe; over it a shuffle join replaces it
+    // at-scale conditions: only the EXPLICIT hint may broadcast (the
+    // auto threshold would convert the tiny test frame either way).
+    // newSession(): own SQLConf, shared context — suites run in
+    // parallel against ONE session, so never mutate the shared conf
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val edges2 = s2.createDataFrame(edges.collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1)))).toDF("a", "b")
+    def planOf(maxEdges: Long): String = {
+      val (counts, oriented) = Graph.triangleCountsPlan(edges2, maxEdges)
+      val plan = counts.queryExecution.executedPlan.toString
+      oriented.unpersist()
+      plan
+    }
+    def nBroadcastJoins(p: String) = "BroadcastHashJoin".r.findAllIn(p).size
+    val under = planOf(Long.MaxValue)
+    val over = planOf(0L)
+    assert(nBroadcastJoins(under) > nBroadcastJoins(over),
+      s"expected the closure probe to broadcast only under the ceiling:\n$under\n---\n$over")
+    assert(over.contains("SortMergeJoin") || over.contains("ShuffledHashJoin"),
+      s"expected a shuffle join past the ceiling:\n$over")
   }
 
   test("triangle counting raises on ids that cannot pack into the (deg, id) key") {

@@ -35,7 +35,19 @@ for name, sql in sorted(oracle.items()):
     except Exception as e:
         print(f"FAIL {name}: engine-output read error: {e}"); fail += 1; continue
     try:
-        want = con.sql(sql).df()
+        rel = con.sql(sql)
+        # HUGEINT/DECIMAL output columns render engine-dependently (the
+        # driver's duckdb/pandas may stringify them as floats or Decimals
+        # while Spark writes int64) — the root cause of the r9/r10 hash
+        # fails. Gate on the NATIVE relation type, before .df() masks it.
+        wide = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                if str(t) in ("HUGEINT", "UHUGEINT")
+                or str(t).startswith("DECIMAL")]
+        if wide:
+            print(f"FAIL {name}: oracle output not driver-portable "
+                  f"(CAST to BIGINT/DOUBLE): {wide}")
+            fail += 1; continue
+        want = rel.df()
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}"); fail += 1; continue
     gc, wc = sorted(got.columns), sorted(want.columns)
@@ -49,6 +61,15 @@ for name, sql in sorted(oracle.items()):
         for c in df.columns:
             if str(df[c].dtype).startswith("datetime"):
                 df[c] = df[c].astype(str)
+    # dtype-KIND mismatch (int vs float vs object) survives the value
+    # compare below (check_dtype=False) but not the driver's hash —
+    # surface it as a failure in its own right
+    kind_bad = [(c, str(g[c].dtype), str(w[c].dtype)) for c in g.columns
+                if g[c].dtype.kind != w[c].dtype.kind
+                and {g[c].dtype.kind, w[c].dtype.kind} != {"i", "u"}]
+    if kind_bad:
+        print(f"FAIL {name}: dtype-kind mismatch engine-vs-oracle: {kind_bad}")
+        fail += 1; continue
     g = g.sort_values(gc, kind="mergesort").reset_index(drop=True)
     w = w.sort_values(wc, kind="mergesort").reset_index(drop=True)
     try:
