@@ -335,20 +335,10 @@ object SparkEntry {
         "qv", dayofmonth(col("ts")) >= 15, "event_type").orderBy("event_type")),
 
     // diurnal peak: each type's busiest hour-of-day and its share —
-    // struct-max pick, one division of exact longs
-    "q_diurnal_peak" -> ((s, dir) => {
-      val hourly = Tables.events(s, dir)
-        .filter(col("event_type").isNotNull && col("ts_us").isNotNull)
-        .select(col("event_type"),
-          expr("ts_us % 86400000000 DIV 3600000000").cast("long").as("hour"))
-        .groupBy("event_type", "hour").agg(count(lit(1)).as("c"))
-      hourly.groupBy("event_type")
-        .agg(sum("c").as("n"),
-          max_by(col("hour"), struct(col("c"), -col("hour"))).as("peak_hour"),
-          max(struct(col("c"), -col("hour"))).getField("c").as("peak_n"))
-        .withColumn("peak_share", col("peak_n").cast("double") / col("n"))
-        .orderBy("event_type")
-    }),
+    // struct-max pick, one division of exact longs; served from the
+    // same (day, hour, type) counts frame the diversity family shares
+    "q_diurnal_peak" -> ((s, dir) =>
+      Monitoring.diurnalPeak(Tables.events(s, dir)).orderBy("event_type")),
 
     // chi-square drift of the event-type mix, first half vs second half
     // of the month — decimal-exact numerators, one double division

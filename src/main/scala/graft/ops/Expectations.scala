@@ -234,12 +234,32 @@ object Expectations {
     * [[distributionDrift]]: drift compares two snapshots against each
     * other, diversity watches one stream's mix concentration day by
     * day. Two cascaded aggregates, no joins. */
-  def dailyDiversity(events: DataFrame, category: String = "event_type"): DataFrame = {
-    val d = (c: Column) => c.cast("decimal(38,0)")
+  def dailyDiversity(events: DataFrame, category: String = "event_type"): DataFrame =
+    dailyDiversityServe(typeTimeCounts(events, category), category)
+
+  /** The mergeable half shared by [[dailyDiversityServe]] and
+    * Monitoring.diurnalServe: exact per-(day, hour-of-day, category)
+    * counts. Plain sums at single-event grain — micro-batch boundaries
+    * cannot sever anything, so the streaming seam
+    * (streaming/StreamingMonitors.typeTimeStateSink) maintains THIS
+    * frame and every daily-mix/diurnal consumer serves from it. */
+  def typeTimeCounts(events: DataFrame, category: String = "event_type"): DataFrame =
     events
       .filter(col(category).isNotNull && col("ts").isNotNull)
-      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col(category))
-      .groupBy("day", category).agg(count(lit(1)).as("c"))
+      // hour-of-day from the INSTANT (unix_micros is timezone-free, and
+      // equals ts_us on normalized frames), so ts is the only required
+      // column — streaming batches and hand-built specs need no ts_us
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        expr("unix_micros(ts) % 86400000000 DIV 3600000000").cast("long").as("hour"),
+        col(category))
+      .groupBy("day", "hour", category).agg(count(lit(1)).as("c"))
+
+  /** The serve half of [[dailyDiversity]] over a (day, hour, category, c)
+    * counts frame — live or merged from the streaming state seam. */
+  def dailyDiversityServe(counts: DataFrame, category: String = "event_type"): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    counts
+      .groupBy("day", category).agg(sum("c").as("c"))
       .groupBy("day")
       .agg(sum("c").as("n"), count(lit(1)).as("n_categories"),
         sum(d(col("c")) * d(col("c"))).as("sc2"))

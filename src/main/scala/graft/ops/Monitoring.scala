@@ -104,6 +104,26 @@ object Monitoring {
         sum("work").as("total_work"),
         count(lit(1)).as("samples"))
 
+  /** Diurnal peak: each type's busiest hour-of-day and its share of the
+    * type's volume — struct-max pick (tie → earliest hour), one division
+    * of exact longs. Batch form over raw events; the hour-of-day counts
+    * are the SAME mergeable frame the daily-diversity family maintains
+    * (Expectations.typeTimeCounts), so the streaming face serves this
+    * from one shared state table. */
+  def diurnalPeak(events: DataFrame, category: String = "event_type"): DataFrame =
+    diurnalServe(graft.ops.Expectations.typeTimeCounts(events, category), category)
+
+  /** The serve half of [[diurnalPeak]] over a (day, hour, category, c)
+    * counts frame — live or merged from the streaming state seam. */
+  def diurnalServe(counts: DataFrame, category: String = "event_type"): DataFrame =
+    counts
+      .groupBy(category, "hour").agg(sum("c").as("c"))
+      .groupBy(category)
+      .agg(sum("c").as("n"),
+        max_by(col("hour"), struct(col("c"), -col("hour"))).as("peak_hour"),
+        max(struct(col("c"), -col("hour"))).getField("c").as("peak_n"))
+      .withColumn("peak_share", col("peak_n").cast("double") / col("n"))
+
   /** §2.5 humanized byte formatting (NiFiMetricsUtils.java:20-103): the
     * dashboard's B/KB/MB/GB rendering as a column expression. Thresholds
     * and one-decimal rounding mirror the reference. */

@@ -214,23 +214,42 @@ object TextAnalysis {
     * max_by over exact per-(source, lang) counts with the tie broken by
     * lang (deterministic). Sources and languages are dimensions, so every
     * frame past the scan is tiny at any corpus scale. */
-  def sourceScorecard(docs: DataFrame, qualityFloor: Double = 0.5): DataFrame = {
+  def sourceScorecard(docs: DataFrame, qualityFloor: Double = 0.5): DataFrame =
+    sourceScorecardServe(scorecardPartials(docs, qualityFloor))
+
+  /** The mergeable half of [[sourceScorecard]]: per-(source, lang)
+    * doc/token/quality-pass counters. Every column is a plain sum or
+    * count at single-document grain — micro-batch boundaries cannot
+    * sever anything — so the streaming seam
+    * (streaming/StreamingMonitors.scorecardStateSink) maintains THIS
+    * frame and the serve half reads it. The quality floor is compared
+    * in integer micro-units (the repo money rule): both engines floor
+    * the same double product, so the gate is exact. */
+  def scorecardPartials(docs: DataFrame, qualityFloor: Double = 0.5): DataFrame = {
     val q = quality(docs).select(col("doc_id"), col("n_tokens"), col("quality_score"))
-    val base = docs.select(col("doc_id"), col("source"), col("lang"))
-    // quality floor compared in integer micro-units (the repo money rule):
-    // both engines floor the same double product, so the gate is exact
     val qFloorMicro = math.floor(qualityFloor * 1000000.0).toLong
-    val perSource = base.join(q, "doc_id")
-      .groupBy("source")
+    docs.select(col("doc_id"), col("source"), col("lang"))
+      .join(q, "doc_id")
+      .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("n_tokens_total"),
         count(when(floor(col("quality_score") * 1000000.0) >= qFloorMicro, 1))
           .as("n_quality_pass"))
-    val domLang = base.groupBy("source", "lang").agg(count(lit(1)).as("n"))
-      .groupBy("source")
-      .agg(max_by(col("lang"), struct(col("n"), col("lang"))).as("dominant_lang"))
-    perSource.join(domLang, "source")
   }
+
+  /** The serve half of [[sourceScorecard]] over a partials frame — live
+    * or merged from the streaming state seam: sum the counters up to
+    * source grain and pick the dominant language as the per-(source,
+    * lang) doc-count max with the tie broken by lang (deterministic,
+    * identical to the batch max_by rule). */
+  def sourceScorecardServe(partials: DataFrame): DataFrame =
+    partials
+      .groupBy("source")
+      .agg(sum("n_docs").as("n_docs"),
+        sum("n_tokens_total").as("n_tokens_total"),
+        sum("n_quality_pass").as("n_quality_pass"),
+        max_by(col("lang"), struct(col("n_docs"), col("lang"))).as("dominant_lang"))
+      .select("source", "n_docs", "n_tokens_total", "n_quality_pass", "dominant_lang")
 
   /** Per-doc character-class composition — the C4-family quality signal
     * the composite score doesn't expose individually: how much of the

@@ -879,6 +879,72 @@ object StreamingMonitors {
     else ck).start()
   }
 
+  /** Streaming maintenance of the (day, hour-of-day, category) counts
+    * frame (ops/Expectations.typeTimeCounts) — ONE state table serving
+    * every daily-mix consumer: dailyDiversityServe (Gini-Simpson per
+    * day) and Monitoring.diurnalServe (busiest hour per type). Counts
+    * at single-event grain merge by plain addition, so micro-batch
+    * straddles are harmless; same versioned idempotent-replay contract
+    * as the other state sinks. */
+  def typeTimeStateSink(eventStream: DataFrame, stateDir: String,
+                        category: String = "event_type",
+                        checkpoint: Option[String] = None,
+                        availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = eventStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = graft.ops.Expectations.typeTimeCounts(batch, category)
+        val merged = latestVersionedState(batch.sparkSession, stateDir, batchId) match {
+          case Some(prev) => prev.unionByName(partial)
+            .groupBy("day", "hour", category)
+            .agg(org.apache.spark.sql.functions.sum("c").as("c"))
+          case None => partial
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        ()
+      }
+    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow)
+      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else ck).start()
+  }
+
+  /** Streaming maintenance of the per-(source, lang) scorecard counters
+    * (ops/TextAnalysis.scorecardPartials): doc counts, exact token
+    * totals, and quality-floor passes all merge by plain addition at
+    * single-document grain, and the serve half
+    * (TextAnalysis.sourceScorecardServe) recomputes the dominant
+    * language from the merged counters — the last batch-only member of
+    * the monitoring scorecard family gains its streaming face through
+    * the same versioned seam. */
+  def scorecardStateSink(docStream: DataFrame, stateDir: String,
+                         qualityFloor: Double = 0.5,
+                         checkpoint: Option[String] = None,
+                         availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.sum
+    val writer = docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = graft.ops.TextAnalysis.scorecardPartials(batch, qualityFloor)
+        val merged = latestVersionedState(batch.sparkSession, stateDir, batchId) match {
+          case Some(prev) => prev.unionByName(partial)
+            .groupBy("source", "lang")
+            .agg(sum("n_docs").as("n_docs"),
+              sum("n_tokens_total").as("n_tokens_total"),
+              sum("n_quality_pass").as("n_quality_pass"))
+          case None => partial
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        ()
+      }
+    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow)
+      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else ck).start()
+  }
+
   /** Highest committed state version strictly BELOW `beforeBatch`
     * (so a replayed batch merges against its ORIGINAL predecessor, not
     * its own failed output). Pass Long.MaxValue to read the tip. Shared

@@ -968,6 +968,72 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(burstServed.nonEmpty)
   }
 
+  test("streamed (day, hour, type) state serves exact batch diversity AND diurnal peak") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_type", "event_id", "ts_us").persist()
+    val rows = ev.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val mem = MemoryStream[(String, Long, Long)]
+    val stream = mem.toDF().toDF("event_type", "event_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val stateDir = s"${work()}/typetime-state"
+    val q = StreamingMonitors.typeTimeStateSink(stream, stateDir)
+    try {
+      // event-id parity split: days and hours straddle micro-batches;
+      // plain-sum count merging makes that harmless
+      (0 until 3).foreach { i =>
+        mem.addData(rows.filter(_._2 % 3 == i).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val state = StreamingMonitors.latestVersionedState(spark, stateDir).get
+    val evB = ev.withColumn("ts", timestamp_micros(col("ts_us"))).toDF()
+    val divServed = graft.ops.Expectations.dailyDiversityServe(state)
+      .orderBy("day").collect().map(_.toSeq)
+    val divDirect = graft.ops.Expectations.dailyDiversity(evB)
+      .orderBy("day").collect().map(_.toSeq)
+    // the SAME maintained state table serves the diurnal peak too
+    val diuServed = graft.ops.Monitoring.diurnalServe(state)
+      .orderBy("event_type").collect().map(_.toSeq)
+    val diuDirect = graft.ops.Monitoring.diurnalPeak(evB)
+      .orderBy("event_type").collect().map(_.toSeq)
+    ev.unpersist(blocking = false)
+    assert(divServed === divDirect)
+    assert(divServed.nonEmpty)
+    assert(diuServed === diuDirect)
+    assert(diuServed.nonEmpty)
+  }
+
+  test("streamed scorecard counters serve the exact batch source scorecard") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "source", "lang").persist()
+    val rows = docs.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val mem = MemoryStream[(Long, String, String, String)]
+    val stream = mem.toDF().toDF("doc_id", "text", "source", "lang")
+    val stateDir = s"${work()}/scorecard-state"
+    val q = StreamingMonitors.scorecardStateSink(stream, stateDir)
+    try {
+      (0 until 3).foreach { i =>
+        mem.addData(rows.filter(_._1 % 3 == i).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val state = StreamingMonitors.latestVersionedState(spark, stateDir).get
+    val served = graft.ops.TextAnalysis.sourceScorecardServe(state)
+      .orderBy("source").collect().map(_.toSeq)
+    val direct = graft.ops.TextAnalysis.sourceScorecard(docs.toDF())
+      .orderBy("source").collect().map(_.toSeq)
+    docs.unpersist(blocking = false)
+    assert(served === direct)
+    assert(served.nonEmpty)
+  }
+
   test("streamed heavy-hitter sketch serves the batch heavy set against the archive") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
