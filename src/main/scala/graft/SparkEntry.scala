@@ -946,6 +946,16 @@ object SparkEntry {
     "text_source_gini" -> ((s, dir) =>
       TextAnalysis.sourceGini(Tables.documents(s, dir)).orderBy("source")),
 
+    // vocabulary diversity per source: token Shannon entropy in exact
+    // integer micro-nats (template farms score low, prose high)
+    "text_source_entropy" -> ((s, dir) =>
+      TextAnalysis.sourceEntropy(Tables.documents(s, dir)).orderBy("source")),
+
+    // quality-floor threshold sweep: docs/tokens surviving each candidate
+    // floor — the curve read before committing to the scorecard floor
+    "text_quality_calibration" -> ((s, dir) =>
+      TextAnalysis.qualityCalibration(Tables.documents(s, dir)).orderBy("floor_pct")),
+
     // Heaps-law checkpoints: distinct vocabulary among the first
     // 1%/10%/100% of doc ids — min-first-seen, no cumulative distinct
     "text_vocab_growth" -> ((s, dir) =>
@@ -998,6 +1008,13 @@ object SparkEntry {
           when(col("container") === "bmp", element_at(col("feature"), 4)).as("px_std_b"),
           when(col("container") === "bmp", element_at(col("feature"), 5)).as("px_std_g"),
           when(col("container") === "bmp", element_at(col("feature"), 6)).as("px_std_r"))
+        .orderBy("doc_id")),
+
+    // JPEG/FLAC: container build → marker-walk / bit-group decode, all
+    // expression-side; the exposed sof_off pins the walk (its landing
+    // offset varies per row with the doc_id-derived COM length)
+    "q_multimodal_codecs" -> ((s, dir) =>
+      Multimodal.decodeCodecHeaders(Multimodal.codecFrame(Tables.documents(s, dir)))
         .orderBy("doc_id")),
   )
 
@@ -2900,6 +2917,56 @@ object SparkEntry {
         |  END AS gini
         |FROM m ORDER BY source""".stripMargin,
 
+    // per-token −p·ln p quantized to integer micro-nats BEFORE the
+    // per-source sum (the raw-double-sum rule); every term is ≥ 0 so
+    // round() never faces a negative half-boundary; operation order
+    // ((−ln p)·p)·1e6 mirrors the Spark expression left-associatively
+    "text_source_entropy" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |counts AS (SELECT source, w, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens
+        |  FROM counts GROUP BY 1),
+        |q AS (SELECT c.source, t.n_tokens,
+        |    CAST(round(-ln(CAST(c.cnt AS DOUBLE) / t.n_tokens)
+        |      * (CAST(c.cnt AS DOUBLE) / t.n_tokens) * 1000000) AS BIGINT) AS qent
+        |  FROM counts c JOIN tot t ON c.source = t.source)
+        |SELECT source, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_distinct_tokens,
+        |  CAST(sum(qent) AS BIGINT) AS sum_qent,
+        |  CAST(CAST(sum(qent) AS BIGINT) AS DOUBLE) / 1000000.0 AS entropy_nats
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
+
+    // quality_score reproduced exactly as in text_quality's oracle, then
+    // floored to integer micro-units BEFORE bucketing (the money rule);
+    // all division operands non-negative, so // == trunc == floor
+    "text_quality_calibration" ->
+      """WITH q AS (
+        |  SELECT len(string_split(text, ' ')) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) * 0.4 +
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) * 0.3 +
+        |    CASE WHEN len(string_split(text, ' ')) >= 40 THEN 0.3
+        |         ELSE CAST(len(string_split(text, ' ')) AS DOUBLE) / 40.0 * 0.3 END
+        |      AS quality_score
+        |  FROM documents),
+        |h AS (
+        |  SELECT least(CAST(floor(quality_score * 1000000) AS BIGINT) // 50000, 20) AS b,
+        |    count(*) AS h_docs, CAST(sum(n_tokens) AS BIGINT) AS h_tokens
+        |  FROM q GROUP BY 1),
+        |tot AS (SELECT CAST(sum(h_docs) AS BIGINT) AS tot_docs,
+        |    CAST(sum(h_tokens) AS BIGINT) AS tot_tokens FROM h),
+        |t AS (SELECT unnest(range(21)) AS t)
+        |SELECT CAST(t.t * 5 AS INT) AS floor_pct,
+        |  CAST(coalesce(sum(h.h_docs), 0) AS BIGINT) AS n_docs_pass,
+        |  CAST(coalesce(sum(h.h_tokens), 0) AS BIGINT) AS n_tokens_pass,
+        |  CAST(coalesce(sum(h.h_docs), 0) AS DOUBLE) / tot_docs AS doc_share,
+        |  CAST(coalesce(sum(h.h_tokens), 0) AS DOUBLE) / tot_tokens AS token_share
+        |FROM t LEFT JOIN h ON h.b >= t.t CROSS JOIN tot
+        |GROUP BY t.t, tot_docs, tot_tokens
+        |ORDER BY floor_pct""".stripMargin,
+
     // same shingle construction as text_top_shingles, aggregated back
     // per doc against the corpus df
     "text_dup_coverage" ->
@@ -3000,6 +3067,36 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN chs c ON c.doc_id = d.doc_id
         |LEFT JOIN wavs w ON w.doc_id = d.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // JPEG/FLAC seam: the engine BUILDS real JPEG/FLAC containers then
+    // re-derives every field from the BYTES — JPEG via a marker WALK whose
+    // landing offset (sof_off) the output exposes, FLAC by unpacking the
+    // bit-packed STREAMINFO group. The oracle derives the same fields
+    // analytically from the doc_id construction formulas, so a wrong hop
+    // length, endianness, or shift/mask fails the hash.
+    // JPEG layout: SOI(2) + APP0(18) + COM(4+clen) + SOF0(19) + body + EOI(2)
+    //   with clen = doc_id%13+1 → sof_off = 25+clen, n_bytes = 45+clen+len.
+    // FLAC layout: magic(4) + blockhdr(4) + STREAMINFO(34) + body → 42+len;
+    //   total_samples = len // (channels*2), all operands non-negative.
+    "q_multimodal_codecs" ->
+      """SELECT doc_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |  CASE WHEN doc_id % 3 = 1 THEN 'flac' ELSE 'jpeg' END AS container,
+        |  CAST(octet_length(CAST(text AS BLOB))
+        |       + CASE WHEN doc_id % 3 = 1 THEN 42
+        |              ELSE 45 + (doc_id % 13 + 1) END AS INT) AS n_bytes,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(25 + doc_id % 13 + 1 AS INT) END AS sof_off,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(8 AS INT) END AS sof_precision,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 480 + 48 AS INT) END AS height,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 640 + 64 AS INT) END AS width,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(3 AS INT) END AS n_components,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST((doc_id % 8) * 4000 + 8000 AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 2 + 1 AS INT) END AS channels,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(16 AS INT) END AS bits_per_sample,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(octet_length(CAST(text AS BLOB))
+        |       // ((doc_id % 2 + 1) * 2) AS BIGINT) END AS total_samples
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
   )
 

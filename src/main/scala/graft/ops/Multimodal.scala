@@ -165,4 +165,141 @@ object Multimodal {
       transform(sequence(lit(0), lit(nFrames - 1)),
         i => substring_index(base64(substr(col("payload"),
           i * (length(col("payload")) / nFrames) + 1, lit(frameBytes))), "=", 1)).as("frames"))
+
+  // ---- JPEG / FLAC container seams ---------------------------------------
+  // Same philosophy as BMP/WAV but one notch harder on the decode side:
+  // JPEG metadata is NOT at a fixed offset — SOF0 sits behind a chain of
+  // variable-length marker segments, so the decoder is a real marker WALK
+  // (expression-native via `aggregate` over a bounded step sequence, still
+  // codegen-friendly); FLAC STREAMINFO packs sample-rate/channels/bits/
+  // total-samples into one bit-packed big-endian 64-bit group. No codec
+  // (entropy decode) is attempted — the sandbox ships none — but every
+  // byte these parsers touch is real per the public JPEG/FLAC specs.
+
+  /** Big-endian hex of the low `nBytes` bytes of an integral column —
+    * JPEG/FLAC headers are network byte order, the mirror of leHex. */
+  private def beHex(v: Column, nBytes: Int): Column =
+    concat((nBytes - 1 to 0 by -1).map(i =>
+      lpad(hex(shiftright(v.cast("long"), 8 * i).bitwiseAND(255L)), 2, "0")): _*)
+
+  /** Big-endian integer read of `nBytes` at 1-based DYNAMIC byte offset
+    * `off` (a Column — marker walks land at data-dependent positions). */
+  private def beIntAt(p: Column, off: Column, nBytes: Int): Column =
+    (0 until nBytes).map(i =>
+      conv(hex(p.substr(off + lit(i), lit(1))), 16, 10).cast("long") *
+        lit(1L << (8 * (nBytes - 1 - i)))).reduce(_ + _)
+
+  /** A structurally valid JPEG/JFIF: SOI, APP0 (JFIF 1.1, 72dpi), a COM
+    * segment of `comLen` filler bytes (VARIABLE length — this is what
+    * forces the reader to walk markers instead of indexing a constant),
+    * SOF0 (baseline, 8-bit, 3 components, height/width big-endian), the
+    * body `data` standing in for entropy-coded scan bytes, EOI. */
+  def jpegPayload(width: Column, height: Column, comLen: Column, data: Column): Column =
+    concat(
+      unhex(concat(
+        lit("FFD8" +                                    // SOI
+          "FFE000104A46494600010100004800480000" +      // APP0: len 16, "JFIF\0", v1.1, 72x72 dpi
+          "FFFE"),                                      // COM marker
+        beHex(comLen.cast("long") + 2L, 2))),           // COM length (incl. itself)
+      lit("x" * 13).substr(lit(1), comLen).cast("binary"),
+      unhex(concat(
+        lit("FFC0001108"),                              // SOF0, len 17, precision 8
+        beHex(height, 2), beHex(width, 2),
+        lit("03012200021101031101"))),                  // 3 components: Y 2x2, Cb/Cr 1x1
+      data,
+      unhex(lit("FFD9")))                               // EOI
+
+  /** A structurally valid FLAC: "fLaC" magic + a single (last) STREAMINFO
+    * metadata block. Sample rate (20 bits), channels−1 (3), bits/sample−1
+    * (5) and total samples (36) live bit-packed in one big-endian 64-bit
+    * group at STREAMINFO offset 10 — built here by integer arithmetic. */
+  def flacPayload(sampleRate: Column, channels: Column, data: Column): Column = {
+    val totalSamples = (length(data) / (channels * 2)).cast("long")
+    val packed = sampleRate.cast("long") * lit(1L << 44) +
+      (channels.cast("long") - 1L) * lit(1L << 41) +
+      lit(15L * (1L << 36)) +                           // bits/sample − 1 = 15 (16-bit)
+      totalSamples
+    concat(
+      unhex(concat(
+        lit("664C6143" +                                // "fLaC"
+          "80000022" +                                  // last-block flag, type 0, len 34
+          "10001000" +                                  // min/max blocksize 4096
+          "000000000000"),                              // min/max framesize unknown
+        beHex(packed, 8),
+        lit("00" * 16))),                               // MD5 of unencoded audio: zeros
+      data)
+  }
+
+  /** documents → codec-container frame: audio rows carry FLAC, image/video
+    * rows carry JPEG whose SOF0 offset varies per row (doc_id-derived COM
+    * length), so the downstream marker walk is exercised on real variable
+    * geometry, not one constant layout. */
+  def codecFrame(docs: DataFrame): DataFrame = {
+    val data = col("text").cast("binary")
+    val width = (col("doc_id") % 640 + 64).cast("int")
+    val height = (col("doc_id") % 480 + 48).cast("int")
+    val comLen = (col("doc_id") % 13 + 1).cast("int")
+    val sampleRate = ((col("doc_id") % 8) * 4000 + 8000).cast("int")
+    val channels = (col("doc_id") % 2 + 1).cast("int")
+    val mediaType = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    docs.select(
+      col("doc_id"), mediaType.as("media_type"),
+      when(mediaType === "audio", flacPayload(sampleRate, channels, data))
+        .otherwise(jpegPayload(width, height, comLen, data)).as("payload"))
+  }
+
+  /** Expression-native JPEG marker walk: starting at the first marker
+    * after SOI, hop `offset += 2 + segment_length` until an SOF marker
+    * (FFC0–FFC2) is found, bounded at `maxSegments` hops. `aggregate`
+    * over a constant step sequence carries (offset, sofOffset) as the
+    * fold state — data-dependent control flow without leaving Catalyst.
+    * Returns the 1-based offset of the SOF marker byte, or −1. */
+  private def jpegSofOffset(p: Column, maxSegments: Int = 8): Column = {
+    val init = struct(lit(3L).as("off"), lit(-1L).as("sof"))
+    val walked = aggregate(
+      sequence(lit(1), lit(maxSegments)),
+      init,
+      (acc, _) => {
+        val off = acc.getField("off")
+        val sof = acc.getField("sof")
+        val m2 = conv(hex(p.substr(off + lit(1L), lit(1))), 16, 10).cast("long")
+        val isSof = m2 >= lit(0xC0L) && m2 <= lit(0xC2L)
+        val done = sof =!= lit(-1L) || off + lit(3L) > length(p).cast("long")
+        struct(
+          when(done || isSof, off)
+            .otherwise(off + lit(2L) + beIntAt(p, off + lit(2L), 2)).as("off"),
+          when(done, sof).when(isSof, off).otherwise(lit(-1L)).as("sof"))
+      })
+    walked.getField("sof")
+  }
+
+  /** media → decoded JPEG/FLAC metadata, fully expression-side: JPEG
+    * fields read relative to the WALKED SOF0 offset (which the output
+    * exposes as `sof_off` so the compare pins the walk itself), FLAC
+    * fields unpacked by shift/mask from the STREAMINFO bit group. */
+  def decodeCodecHeaders(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val isJpeg = (length(p) >= 4) && (hex(substring(p, 1, 2)) === lit("FFD8"))
+    val isFlac = (length(p) >= 42) && (hex(substring(p, 1, 4)) === lit("664C6143"))
+    val sof = jpegSofOffset(p)
+    val packed = beIntAt(p, lit(19L), 8)    // STREAMINFO offset 10 → absolute 19, 1-based
+    media.select(
+      col("doc_id"), col("media_type"),
+      when(isJpeg, "jpeg").when(isFlac, "flac").otherwise("unknown").as("container"),
+      length(p).cast("int").as("n_bytes"),
+      when(isJpeg, sof).cast("int").as("sof_off"),
+      when(isJpeg, conv(hex(p.substr(sof + lit(4L), lit(1))), 16, 10).cast("int"))
+        .as("sof_precision"),
+      when(isJpeg, beIntAt(p, sof + lit(5L), 2).cast("int")).as("height"),
+      when(isJpeg, beIntAt(p, sof + lit(7L), 2).cast("int")).as("width"),
+      when(isJpeg, conv(hex(p.substr(sof + lit(9L), lit(1))), 16, 10).cast("int"))
+        .as("n_components"),
+      when(isFlac, shiftright(packed, 44).cast("int")).as("sample_rate"),
+      when(isFlac, (shiftright(packed, 41).bitwiseAND(lit(7L)) + 1L).cast("int"))
+        .as("channels"),
+      when(isFlac, (shiftright(packed, 36).bitwiseAND(lit(31L)) + 1L).cast("int"))
+        .as("bits_per_sample"),
+      when(isFlac, packed.bitwiseAND(lit((1L << 36) - 1))).as("total_samples"))
+  }
 }

@@ -341,6 +341,67 @@ object TextAnalysis {
       .select("source", "n_docs", "n_chars_total", "gini")
   }
 
+  /** Per-source token Shannon entropy — the vocabulary-DIVERSITY half of
+    * the source ranking signal (sourceGini measures length concentration;
+    * this measures how repetitive a source's language is: template/boiler-
+    * plate farms score low, natural prose high). Each distinct token's
+    * −p·ln p term is quantized to integer micro-nats BEFORE the per-source
+    * sum (the raw-double-sum rule: the compared aggregate is an exact
+    * integer, so summation order can't perturb it). Plan: one exploded
+    * pass → (source, token) counts (map-side partial combine does the
+    * heavy lifting); per-source totals derive from the counts frame — no
+    * second corpus scan — and join back broadcast (sources are a
+    * dimension). Terms are ≥ 0 (p ≤ 1), so round() can't face a negative
+    * half-boundary in either engine. */
+  def sourceEntropy(docs: DataFrame, quantum: Long = 1000000L): DataFrame = {
+    val counts = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("source").agg(sum("cnt").as("n_tokens"))
+    val p = col("cnt").cast("double") / col("n_tokens").cast("double")
+    counts.join(broadcast(totals), "source")
+      .select(col("source"), col("n_tokens"),
+        round(-log(p) * p * lit(quantum.toDouble)).cast("long").as("qent"))
+      .groupBy("source")
+      .agg(max("n_tokens").as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        sum("qent").as("sum_qent"))
+      .select(col("source"), col("n_tokens"), col("n_distinct_tokens"),
+        col("sum_qent"),
+        (col("sum_qent").cast("double") / quantum.toDouble).as("entropy_nats"))
+  }
+
+  /** Quality-floor calibration curve: for each candidate floor t = k·5%,
+    * how many docs and tokens survive — the sweep a curation engineer
+    * reads before committing to [[sourceScorecard]]'s floor (choosing a
+    * floor blind to its token cost is how corpora lose half their data).
+    * Per-doc scores histogram ONCE into 21 exact micro-unit bins (floor
+    * to integer micro before bucketing — the repo money rule), so the
+    * sweep is a ≥-join of the 21-row threshold dim against the 21-row
+    * histogram: nothing past the first aggregate scales with the corpus,
+    * and the corpus totals derive from the histogram, not a second scan. */
+  def qualityCalibration(docs: DataFrame): DataFrame = {
+    val q = quality(docs).select(col("n_tokens"), col("quality_score"))
+    val hist = q
+      .groupBy(least(
+        (floor(col("quality_score") * 1000000.0).cast("long") / lit(50000L)).cast("long"),
+        lit(20L)).as("b"))
+      .agg(count(lit(1)).as("h_docs"), sum(col("n_tokens").cast("long")).as("h_tokens"))
+    val tot = hist.agg(sum("h_docs").as("tot_docs"), sum("h_tokens").as("tot_tokens"))
+    val thresholds = docs.sparkSession.range(0, 21).select(col("id").as("t"))
+    thresholds
+      .join(hist, col("b") >= col("t"), "left")
+      .groupBy("t")
+      .agg(coalesce(sum("h_docs"), lit(0L)).as("n_docs_pass"),
+        coalesce(sum("h_tokens"), lit(0L)).as("n_tokens_pass"))
+      .crossJoin(broadcast(tot))
+      .select(
+        (col("t") * 5L).cast("int").as("floor_pct"),
+        col("n_docs_pass"), col("n_tokens_pass"),
+        (col("n_docs_pass").cast("double") / col("tot_docs").cast("double")).as("doc_share"),
+        (col("n_tokens_pass").cast("double") / col("tot_tokens").cast("double")).as("token_share"))
+  }
+
   /** Canonical text normalization — the first pass of any corpus build:
     * lowercase, collapse whitespace runs to one space, trim. Pure per-row
     * string ops (scan speed). The whitespace class is spelled out rather

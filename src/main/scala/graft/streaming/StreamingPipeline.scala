@@ -36,6 +36,24 @@ object StreamingPipeline {
             maxFilesPerTrigger: Int = 10,
             wlMax: Double = Hrfco.WlMaxDefault): StreamingQuery = {
     val dim = Thresholds.fromEvents(dimSource)
+    startWithDim(spark, sourceDir, () => dim, paths, checkpoint, trigger,
+      maxFilesPerTrigger, wlMax)
+  }
+
+  /** Dimension-refresh liveness: the reference's station dim is upserted
+    * by an independent 10-minute NiFi loop (HRFCO_Data_Pipeline.json
+    * processors 1-8) while the stream keeps classifying — so the dim here
+    * is a PROVIDER consulted once per micro-batch, not a frame captured at
+    * start. Swapping the snapshot between triggers (S3's
+    * refreshStationDim output) changes classification on the very next
+    * batch with no stream restart; the constant-dim `start` overload is
+    * the degenerate provider. */
+  def startWithDim(spark: SparkSession, sourceDir: String,
+                   dimProvider: () => DataFrame,
+                   paths: SinkPaths, checkpoint: String,
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   maxFilesPerTrigger: Int = 10,
+                   wlMax: Double = Hrfco.WlMaxDefault): StreamingQuery = {
     val raw = spark.readStream
       .schema(Tables.eventsRawSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -57,7 +75,7 @@ object StreamingPipeline {
         try {
           Hrfco.dlqEnvelope(raw).drop("event_id")
             .write.mode("append").parquet(paths.dlq)
-          val classified = Hrfco.pipelineFromRaw(raw, dim, wlMax = wlMax)
+          val classified = Hrfco.pipelineFromRaw(raw, dimProvider(), wlMax = wlMax)
           val (result, dlq) = Sinks.fanout(classified, paths.archive, paths.timeseries, paths.raw)
           dlq.foreach { d =>
             d.write.mode("append").parquet(paths.dlq)

@@ -669,6 +669,86 @@ class LlmOpsSpec extends SparkSpec {
     assert(Multimodal.decodeHeader(Array[Byte](1, 2, 3))._1 === "unknown")
   }
 
+  test("qualityCalibration: monotone sweep with exact endpoint rows") {
+    val docs = Seq((1L, "a b c d e f", "en", "A", 11L),   // distinct-heavy → high ttr
+                   (2L, "x x x x x x x x", "en", "A", 15L), // repetitive → low score
+                   (3L, "the a the a quick brown fox", "en", "B", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = TextAnalysis.qualityCalibration(docs).orderBy("floor_pct").collect()
+    assert(rows.length === 21)
+    assert(rows.head.getAs[Int]("floor_pct") === 0 && rows.last.getAs[Int]("floor_pct") === 100)
+    // floor 0 keeps everything
+    assert(rows.head.getAs[Long]("n_docs_pass") === 3L)
+    assert(rows.head.getAs[Double]("doc_share") === 1.0)
+    // the survivor count can only fall as the floor rises
+    val counts = rows.map(_.getAs[Long]("n_docs_pass")).toSeq
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, counts)
+    // token mass is conserved at the bottom of the sweep
+    val totalTokens = 6L + 8L + 7L
+    assert(rows.head.getAs[Long]("n_tokens_pass") === totalTokens)
+    assert(rows.head.getAs[Double]("token_share") === 1.0)
+  }
+
+  test("sourceEntropy: quantized micro-nat terms sum to the exact Shannon entropy") {
+    // source A: "a a b" + "a" → counts a=3, b=1, N=4 → H = 3/4·ln(4/3) + 1/4·ln 4
+    // source B: "c c" → single token → H = 0
+    val docs = Seq((1L, "a a b", "en", "A", 5L), (2L, "a", "en", "A", 1L),
+                   (3L, "c c", "en", "B", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.sourceEntropy(docs).orderBy("source").collect()
+    val a = r(0); val b = r(1)
+    assert(a.getAs[Long]("n_tokens") === 4L && a.getAs[Long]("n_distinct_tokens") === 2L)
+    val qa = math.round(-math.log(3.0 / 4) * (3.0 / 4) * 1e6) +
+      math.round(-math.log(1.0 / 4) * (1.0 / 4) * 1e6)
+    assert(a.getAs[Long]("sum_qent") === qa)
+    assert(a.getAs[Double]("entropy_nats") === qa.toDouble / 1e6)
+    assert(b.getAs[Long]("n_tokens") === 2L && b.getAs[Long]("sum_qent") === 0L)
+  }
+
+  test("multimodal: JPEG marker walk and FLAC bit-group decode round-trip the built bytes") {
+    val docs = Seq((6L, "pixels go here....", "en", "src", 18L),
+                   (7L, "some payload bytes", "en", "src", 18L),
+                   (8L, "another image body!", "en", "src", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.codecFrame(docs)
+    val rows = Multimodal.decodeCodecHeaders(media).orderBy("doc_id").collect()
+    val j6 = rows(0); val f7 = rows(1); val j8 = rows(2)
+    // doc 6 (image → jpeg): COM len = 6%13+1 = 7 → SOF at 25+7 = 32
+    assert(j6.getAs[String]("container") === "jpeg")
+    assert(j6.getAs[Int]("sof_off") === 32)
+    assert(j6.getAs[Int]("width") === 6 % 640 + 64)
+    assert(j6.getAs[Int]("height") === 6 % 480 + 48)
+    assert(j6.getAs[Int]("sof_precision") === 8 && j6.getAs[Int]("n_components") === 3)
+    assert(j6.getAs[Int]("n_bytes") === 45 + 7 + 18)
+    assert(j6.isNullAt(j6.fieldIndex("sample_rate")))
+    // doc 8 (video → jpeg) lands SOF at a DIFFERENT offset: COM len
+    // 8%13+1 = 9 → SOF at 34 — the walk really is per-row variable
+    assert(j8.getAs[Int]("sof_off") === 25 + 8 % 13 + 1)
+    assert(j8.getAs[Int]("width") === 8 % 640 + 64)
+    // doc 7 (audio → flac)
+    assert(f7.getAs[String]("container") === "flac")
+    assert(f7.getAs[Int]("sample_rate") === (7 % 8) * 4000 + 8000)
+    assert(f7.getAs[Int]("channels") === 2)
+    assert(f7.getAs[Int]("bits_per_sample") === 16)
+    assert(f7.getAs[Long]("total_samples") === 18L / (2 * 2))
+    assert(f7.getAs[Int]("n_bytes") === 42 + 18)
+    assert(f7.isNullAt(f7.fieldIndex("width")))
+    // byte-level golden checks on the built containers
+    val payloads = media.orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    val jp = payloads(6L)
+    assert((jp(0) & 0xff) === 0xFF && (jp(1) & 0xff) === 0xD8)          // SOI
+    assert((jp(jp.length - 2) & 0xff) === 0xFF && (jp.last & 0xff) === 0xD9) // EOI
+    assert((jp(31) & 0xff) === 0xFF && (jp(32) & 0xff) === 0xC0)        // SOF0 at walked offset (0-based 31)
+    assert(((jp(36) & 0xff) << 8 | (jp(37) & 0xff)) === 6 % 480 + 48)   // height BE at sof+5
+    val fp = payloads(7L)
+    assert(new String(fp.take(4), "US-ASCII") === "fLaC")
+    assert((fp(4) & 0xff) === 0x80 && (fp(7) & 0xff) === 0x22)          // last STREAMINFO, len 34
+    val packed = (18 until 26).foldLeft(0L)((a, i) => (a << 8) | (fp(i) & 0xff))
+    assert((packed >>> 44) === (7 % 8) * 4000 + 8000)
+    assert(((packed >>> 41) & 7) + 1 === 2)
+  }
+
   test("ingest envelopes round-trip through to_json/from_json/explode") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val back = Ingest.splitEnvelopes(Ingest.envelopes(ev))

@@ -41,6 +41,56 @@ class StreamingSpec extends SparkSpec {
     assert(dlq.count() === expectedParseFailures && expectedParseFailures > 0)
   }
 
+  test("dimension-refresh liveness: a mid-stream dim swap reclassifies on the next micro-batch") {
+    // The reference refreshes the station dim on an independent 10-minute
+    // NiFi upsert loop while the stream keeps running
+    // (HRFCO_Data_Pipeline.json processors 1-8) — so swapping the snapshot
+    // between triggers must change classification WITHOUT a stream
+    // restart. Two identical single-row source files + maxFilesPerTrigger=1
+    // force two micro-batches; the provider serves lenient thresholds to
+    // the first and strict ones after, so the same observation must come
+    // out NORMAL once and CRITICAL once.
+    import spark.implicits._
+    val base = new java.io.File("target/test-out").getAbsoluteFile.toPath
+    Files.createDirectories(base)
+    val work = Files.createTempDirectory(base, "dimswap").toString
+    val srcDir = new java.io.File(s"$work/incoming"); srcDir.mkdirs()
+
+    val ts = java.time.LocalDateTime.of(2025, 12, 9, 15, 30)
+    def writeEvent(id: Long, name: String): Unit = {
+      val staging = s"$work/stage_$name"
+      Seq((id, ts, 42L, "click", 100.0, """{"k": "5.0"}"""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, new java.io.File(srcDir, s"$name.parquet").toPath)
+    }
+    writeEvent(1L, "a"); writeEvent(2L, "b")
+
+    def dim(attwl: Double, wrnwl: Double, almwl: Double, srswl: Double) =
+      Seq(("click", attwl, wrnwl, almwl, srswl, "station click", "addr click"))
+        .toDF("wlobscd", "attwl", "wrnwl", "almwl", "srswl", "obsnm", "addr")
+    val lenient = dim(900, 920, 950, 980) // wl=100 below everything → NORMAL
+    val strict = dim(10, 20, 30, 40)      // wl=100 ≥ srswl → CRITICAL
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    val paths = StreamingPipeline.SinkPaths(
+      s"$work/archive", s"$work/timeseries", s"$work/raw", s"$work/dlq")
+    val q = StreamingPipeline.startWithDim(
+      spark, srcDir.getAbsolutePath,
+      () => if (calls.incrementAndGet() == 1) lenient else strict,
+      paths, s"$work/ckpt", maxFilesPerTrigger = 1, wlMax = 300.0)
+    assert(q.awaitTermination(120000), "streaming query timed out")
+
+    assert(q.recentProgress.count(_.numInputRows > 0) === 2,
+      "expected exactly two micro-batches")
+    val out = spark.read.parquet(paths.timeseries)
+      .select("flood_warning_level").as[String].collect().sorted.toSeq
+    assert(out === Seq("CRITICAL", "NORMAL"),
+      s"dim swap did not reclassify mid-stream: $out")
+  }
+
   test("streaming at volume: sf0.1 through fanout+DLQ in backpressured micro-batches matches batch") {
     val base = new java.io.File("target/test-out").getAbsoluteFile.toPath
     Files.createDirectories(base)
