@@ -315,6 +315,11 @@ object SparkEntry {
     "q_series_lead_lag" -> ((s, dir) =>
       TimeSeries.leadLagDot(Tables.events(s, dir)).orderBy("key_a", "key_b")),
 
+    // seasonality diagnostic: lag-1..12 autocorrelation of the hourly
+    // activity series, exact integer moments to one division + sqrt
+    "q_series_acf" -> ((s, dir) =>
+      TimeSeries.hourlyAcf(Tables.events(s, dir)).orderBy("lag")),
+
     // daily mix concentration by Gini-Simpson (1 - sum p^2): the
     // log-free entropy surrogate, exact to one division
     "q_type_diversity" -> ((s, dir) =>
@@ -1838,6 +1843,29 @@ object SparkEntry {
         |SELECT key_a, key_b, CAST(lag AS BIGINT) AS best_lag,
         |  CAST(n_overlap AS BIGINT) AS n_overlap, CAST(dot AS VARCHAR) AS dot
         |FROM r WHERE rn = 1 ORDER BY key_a, key_b""".stripMargin,
+
+    // hourly counts pair at (h, h+lag) only where BOTH hours have rows
+    // (sparse convention, as lead_lag); HUGEINT moments mirror the
+    // engine's decimal(38,0); ts floor-div is non-negative epoch so
+    // // == floor == the engine's floorDiv
+    "q_series_acf" ->
+      """WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS h,
+        |    CAST(count(*) AS HUGEINT) AS c
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |pairs AS (SELECT l.lag, a.c AS x, b.c AS y
+        |  FROM (SELECT unnest(range(1, 13)) AS lag) l
+        |  CROSS JOIN hourly a
+        |  JOIN hourly b ON b.h = a.h + l.lag),
+        |m AS (SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM pairs GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+        |       ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+        |            sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |                 CAST(n * syy - sy * sy AS DOUBLE)) END AS acf
+        |FROM m ORDER BY lag""".stripMargin,
 
     // the burst gate is the cross-multiplied integer comparison; only
     // the reported peak ratio divides

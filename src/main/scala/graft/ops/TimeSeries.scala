@@ -647,6 +647,72 @@ object TimeSeries {
         col("n_overlap"), col("dot_d").cast("string").as("dot"))
   }
 
+  /** Lag-k autocorrelation of the hourly event-count series — the
+    * seasonality diagnostic read before trusting any day-over-day
+    * comparison (a 24h peak says "this metric has a daily cycle;
+    * compare same-hour, not adjacent-hour"). Self-correlation of ONE
+    * aggregate series, complementing [[leadLagDot]]'s cross-KEY
+    * alignment. Hours with zero events are missing rows, so pairs
+    * require both endpoints present (the sparse-series convention,
+    * shared with leadLagDot's overlap join).
+    *
+    * Exact-moment discipline (the [[Monitoring.valueHourCorr]] shape):
+    * counts are integers, every moment accumulates in DECIMAL(38,0)
+    * (counts at corpus scale put n·Σxy past 2^63), and only the final
+    * division + correctly-rounded sqrt run in doubles. The hourly frame
+    * is bounded by the TIME SPAN, not the corpus (one row per hour
+    * forever ≈ 9k rows/year), so the lag explosion and self-join cost
+    * maxLag × hours regardless of input size. */
+  def hourlyAcf(events: DataFrame, maxLag: Int = 12): DataFrame =
+    acfFromCounts(
+      events
+        .filter(col("ts_us").isNotNull)
+        .groupBy(floorDiv(col("ts_us"), 3600000000L).as("h"))
+        .agg(count(lit(1)).as("c")),
+      maxLag)
+
+  /** ACF served from the maintained hourly state table — the same
+    * (key, bucket_us, n) plain-sum partials the CUSUM/burst sinks keep
+    * (streaming/StreamingMonitors.hourlyStateSink): counts merge exactly
+    * across micro-batch straddles, so summing keys up to global hourly
+    * volume and running the same moment arithmetic serves the identical
+    * ACF one more statistic off ONE state table. Population note: the
+    * state excludes null-key/value rows (hourlyQuantized's filter), so
+    * serve ≡ batch holds against events under that same filter. */
+  def acfServe(hourly: DataFrame, maxLag: Int = 12): DataFrame =
+    acfFromCounts(
+      hourly
+        .groupBy(floorDiv(col("bucket_us"), 3600000000L).as("h"))
+        .agg(sum("n").as("c")),
+      maxLag)
+
+  private def acfFromCounts(counts: DataFrame, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 168,
+      s"hourlyAcf: maxLag=$maxLag must be in [1, 168]")
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val hourly = counts
+    val left = hourly
+      .withColumn("lag", explode(sequence(lit(1L), lit(maxLag.toLong))))
+      .select(col("lag"), (col("h") + col("lag")).as("h_pair"), col("c").as("x"))
+    hourly
+      .select(col("h").as("h_pair"), col("c").as("y"))
+      .join(left, "h_pair")
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(d(col("x")) * d(col("y"))).as("sxy"),
+        sum(d(col("x")) * d(col("x"))).as("sxx"),
+        sum(d(col("y")) * d(col("y"))).as("syy"))
+      .withColumn("num", d(col("n_pairs")) * col("sxy") - d(col("sx")) * d(col("sy")))
+      .withColumn("dx", d(col("n_pairs")) * col("sxx") - d(col("sx")) * d(col("sx")))
+      .withColumn("dy", d(col("n_pairs")) * col("syy") - d(col("sy")) * d(col("sy")))
+      .withColumn("acf",
+        when(col("dx") === 0 || col("dy") === 0, lit(null).cast("double"))
+          .otherwise(col("num").cast("double") /
+            sqrt(col("dx").cast("double") * col("dy").cast("double"))))
+      .select(col("lag"), col("n_pairs"), col("acf"))
+  }
+
   /** PAA (piecewise aggregate approximation) profile distance between
     * keys — the time-series-similarity primitive (which event types
     * have the same temporal activity shape?): each key's hourly

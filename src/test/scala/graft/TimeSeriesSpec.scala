@@ -421,4 +421,38 @@ class TimeSeriesSpec extends SparkSpec {
       ("B", "02", 1L, Some(7.0)),
       ("B", "03", 0L, Some(7.0))))
   }
+
+  test("hourlyAcf: an alternating hourly series autocorrelates to exactly ±1") {
+    // counts alternate 1, 3, 1, 3, ... over 8 hours → y = 4 − x at odd
+    // lags (corr −1), y = x at even lags (corr +1); both exact because
+    // the moments are integers and num = ±dx cancels to ±1.0 in doubles
+    val hr = 3600000000L
+    val rows = for {
+      h <- 0 until 8
+      k <- 0 until (if (h % 2 == 0) 1 else 3)
+    } yield h.toLong * hr + k * 1000L
+    val ev = rows.toDF("ts_us")
+    val acf = TimeSeries.hourlyAcf(ev, maxLag = 3).orderBy("lag").collect()
+    assert(acf.map(_.getAs[Long]("lag")).toSeq === Seq(1L, 2L, 3L))
+    assert(acf(0).getAs[Double]("acf") === -1.0)
+    assert(acf(1).getAs[Double]("acf") === 1.0)
+    assert(acf(2).getAs[Double]("acf") === -1.0)
+    assert(acf(0).getAs[Long]("n_pairs") === 7L)
+    assert(acf(2).getAs[Long]("n_pairs") === 5L)
+  }
+
+  test("acfServe over the hourly state table equals the batch ACF on the same population") {
+    val hr = 3600000000L
+    val rows = for {
+      h <- 0 until 10
+      k <- 0 until (h % 4 + 1)
+    } yield (s"k${k % 2}", 1.5 + k, h.toLong * hr + k * 7000L)
+    val ev = rows.toDF("event_type", "value", "ts_us")
+    val viaState = TimeSeries.acfServe(TimeSeries.hourlyQuantized(ev), maxLag = 4)
+      .orderBy("lag").collect().toSeq
+    val viaBatch = TimeSeries.hourlyAcf(
+      ev.filter(col("event_type").isNotNull && col("value").isNotNull), maxLag = 4)
+      .orderBy("lag").collect().toSeq
+    assert(viaState === viaBatch)
+  }
 }
