@@ -329,6 +329,51 @@ object Similarity {
         col("shift_d").cast("string").as("shift_sq"))
   }
 
+  /** The mergeable half of the centroid state: per-(label, pos)
+    * quantized component sums with the member count. Partials merge by
+    * plain addition at single-vector grain — micro-batch boundaries
+    * cannot sever anything — so the streaming seam
+    * (streaming/StreamingMonitors.centroidStateSink) maintains THIS
+    * frame. Assumes fixed-dimension embeddings (every vector of a label
+    * contributes every pos), which is what makes the per-label member
+    * count recoverable as max over pos. */
+  def centroidPartials(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(toDouble(col("embedding"))))
+      .groupBy("label", "pos")
+      .agg(sum(floor(col("col") * lit(1000000.0)).cast("long")).as("csum"),
+        count(lit(1)).as("n"))
+
+  /** The serve half of [[centroidDrift]] over two partials frames —
+    * reference corpus vs live merged state: the same cross-multiplied
+    * integer form (C_a·n_b − C_b·n_a per pos, squared-sum in
+    * decimal(38,0), exact decimal string out), so live embedding-drift
+    * monitoring ("is today's stream drifting from the train corpus?")
+    * runs off ONE maintained state table with no re-scan of the stream.
+    * Labels present on only one side appear with zero sums/count on the
+    * other, matching the batch op's conditional-sum convention. */
+  def centroidDriftFromPartials(ref: DataFrame, live: DataFrame): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val sums = ref.select(col("label"), col("pos"), col("csum").as("ca"))
+      .join(live.select(col("label"), col("pos"), col("csum").as("cb")),
+        Seq("label", "pos"), "full_outer")
+      .select(col("label"), col("pos"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val counts = ref.groupBy("label").agg(max("n").as("n_a"))
+      .join(live.groupBy("label").agg(max("n").as("n_b")), Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val diff = d(col("ca")) * d(col("n_b")) - d(col("cb")) * d(col("n_a"))
+    sums.join(broadcast(counts), "label")
+      .groupBy("label")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        sum(diff * diff).as("shift_d"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        col("shift_d").cast("string").as("shift_sq"))
+  }
+
   /** Per-label cohesion rollup — [[centroidOutliers]] ranks individual
     * strays; this scores each CLASS: the mean and worst member→own-
     * centroid cosine, the label-quality table a curation pass reads

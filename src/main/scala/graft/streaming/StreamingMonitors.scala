@@ -945,6 +945,38 @@ object StreamingMonitors {
     else ck).start()
   }
 
+  /** Streaming maintenance of the per-(label, pos) centroid partials
+    * (ops/Similarity.centroidPartials): quantized component sums and
+    * member counts merge by plain addition at single-vector grain, so
+    * micro-batch straddles are harmless. The serve half
+    * (Similarity.centroidDriftFromPartials) compares the merged state
+    * against a reference corpus's partials — live embedding-drift
+    * monitoring ("is today's stream drifting from the train corpus?")
+    * through the same versioned idempotent-replay seam. */
+  def centroidStateSink(embStream: DataFrame, stateDir: String,
+                        checkpoint: Option[String] = None,
+                        availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.sum
+    val writer = embStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = graft.ops.Similarity.centroidPartials(batch)
+        val merged = latestVersionedState(batch.sparkSession, stateDir, batchId) match {
+          case Some(prev) => prev.unionByName(partial)
+            .groupBy("label", "pos")
+            .agg(sum("csum").as("csum"), sum("n").as("n"))
+          case None => partial
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        ()
+      }
+    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow)
+      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else ck).start()
+  }
+
   /** Highest committed state version strictly BELOW `beforeBatch`
     * (so a replayed batch merges against its ORIGINAL predecessor, not
     * its own failed output). Pass Long.MaxValue to read the tip. Shared

@@ -1034,6 +1034,38 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("streamed centroid partials serve the exact batch centroid drift vs a reference") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding", "label").persist()
+    val rows = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    // reference corpus = even vec_ids; the "live" stream = odd vec_ids,
+    // delivered in two micro-batches straddling every label
+    val live = rows.filter(_._1 % 2 == 1)
+    val mem = MemoryStream[(Long, Seq[Float], Int)]
+    val stream = mem.toDF().toDF("vec_id", "embedding", "label")
+    val stateDir = s"${work()}/centroid-state"
+    val q = StreamingMonitors.centroidStateSink(stream, stateDir)
+    try {
+      Seq(1L, 3L).foreach { m =>
+        mem.addData(live.filter(_._1 % 4 == m).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val state = StreamingMonitors.latestVersionedState(spark, stateDir).get
+    val ref = graft.ops.Similarity.centroidPartials(emb.filter(col("vec_id") % 2 === 0))
+    val served = graft.ops.Similarity.centroidDriftFromPartials(ref, state)
+      .orderBy("label").collect().map(_.toSeq)
+    val direct = graft.ops.Similarity.centroidDrift(emb.toDF(), col("vec_id") % 2 === 1)
+      .orderBy("label").collect().map(_.toSeq)
+    emb.unpersist(blocking = false)
+    assert(served === direct)
+    assert(served.nonEmpty)
+  }
+
   test("streamed heavy-hitter sketch serves the batch heavy set against the archive") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
