@@ -380,15 +380,28 @@ object TextAnalysis {
     * sweep is a ≥-join of the 21-row threshold dim against the 21-row
     * histogram: nothing past the first aggregate scales with the corpus,
     * and the corpus totals derive from the histogram, not a second scan. */
-  def qualityCalibration(docs: DataFrame): DataFrame = {
-    val q = quality(docs).select(col("n_tokens"), col("quality_score"))
-    val hist = q
+  def qualityCalibration(docs: DataFrame): DataFrame =
+    qualityCalibrationServe(calibrationPartials(docs))
+
+  /** The mergeable half of [[qualityCalibration]]: the 21-bin exact
+    * micro-unit score histogram with per-bin doc/token counts. Counts at
+    * single-document grain merge by plain addition — the streaming seam
+    * (streaming/StreamingMonitors.calibrationStateSink) maintains THIS
+    * ≤21-row frame, the cheapest state table in the family. */
+  def calibrationPartials(docs: DataFrame): DataFrame =
+    quality(docs).select(col("n_tokens"), col("quality_score"))
       .groupBy(least(
         (floor(col("quality_score") * 1000000.0).cast("long") / lit(50000L)).cast("long"),
         lit(20L)).as("b"))
       .agg(count(lit(1)).as("h_docs"), sum(col("n_tokens").cast("long")).as("h_tokens"))
+
+  /** The serve half of [[qualityCalibration]] over a histogram frame —
+    * live or merged from the streaming state seam: the threshold sweep
+    * is a 21×21 ≥-join against the bounded histogram, with corpus
+    * totals derived from the same frame (no second scan anywhere). */
+  def qualityCalibrationServe(hist: DataFrame): DataFrame = {
     val tot = hist.agg(sum("h_docs").as("tot_docs"), sum("h_tokens").as("tot_tokens"))
-    val thresholds = docs.sparkSession.range(0, 21).select(col("id").as("t"))
+    val thresholds = hist.sparkSession.range(0, 21).select(col("id").as("t"))
     thresholds
       .join(hist, col("b") >= col("t"), "left")
       .groupBy("t")

@@ -945,6 +945,38 @@ object StreamingMonitors {
     else ck).start()
   }
 
+  /** Streaming maintenance of the 21-bin quality-score histogram
+    * (ops/TextAnalysis.calibrationPartials) — the cheapest state table
+    * in the family (≤21 rows, ever): per-bin doc/token counts merge by
+    * plain addition at single-document grain, and the serve half
+    * (TextAnalysis.qualityCalibrationServe) reads the merged histogram
+    * into the live floor-sweep — "what would floor X cost us in tokens
+    * RIGHT NOW" over an unbounded document stream. Same versioned
+    * idempotent-replay contract as the other state sinks. */
+  def calibrationStateSink(docStream: DataFrame, stateDir: String,
+                           checkpoint: Option[String] = None,
+                           availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.sum
+    val writer = docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = graft.ops.TextAnalysis.calibrationPartials(batch)
+        val merged = latestVersionedState(batch.sparkSession, stateDir, batchId) match {
+          case Some(prev) => prev.unionByName(partial)
+            .groupBy("b")
+            .agg(sum("h_docs").as("h_docs"), sum("h_tokens").as("h_tokens"))
+          case None => partial
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        ()
+      }
+    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow)
+      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else ck).start()
+  }
+
   /** Streaming maintenance of the per-(label, pos) centroid partials
     * (ops/Similarity.centroidPartials): quantized component sums and
     * member counts merge by plain addition at single-vector grain, so
