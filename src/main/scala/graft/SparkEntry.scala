@@ -2983,17 +2983,18 @@ object SparkEntry {
         |  SELECT least(CAST(floor(quality_score * 1000000) AS BIGINT) // 50000, 20) AS b,
         |    count(*) AS h_docs, CAST(sum(n_tokens) AS BIGINT) AS h_tokens
         |  FROM q GROUP BY 1),
-        |tot AS (SELECT CAST(sum(h_docs) AS BIGINT) AS tot_docs,
-        |    CAST(sum(h_tokens) AS BIGINT) AS tot_tokens FROM h),
-        |t AS (SELECT unnest(range(21)) AS t)
-        |SELECT CAST(t.t * 5 AS INT) AS floor_pct,
-        |  CAST(coalesce(sum(h.h_docs), 0) AS BIGINT) AS n_docs_pass,
-        |  CAST(coalesce(sum(h.h_tokens), 0) AS BIGINT) AS n_tokens_pass,
-        |  CAST(coalesce(sum(h.h_docs), 0) AS DOUBLE) / tot_docs AS doc_share,
-        |  CAST(coalesce(sum(h.h_tokens), 0) AS DOUBLE) / tot_tokens AS token_share
-        |FROM t LEFT JOIN h ON h.b >= t.t CROSS JOIN tot
-        |GROUP BY t.t, tot_docs, tot_tokens
-        |ORDER BY floor_pct""".stripMargin,
+        |t AS (SELECT unnest(range(21)) AS t),
+        |sweep AS (
+        |  SELECT t.t AS t,
+        |    CAST(coalesce(sum(h.h_docs), 0) AS BIGINT) AS n_docs_pass,
+        |    CAST(coalesce(sum(h.h_tokens), 0) AS BIGINT) AS n_tokens_pass
+        |  FROM t LEFT JOIN h ON h.b >= t.t GROUP BY t.t)
+        |SELECT CAST(t * 5 AS INT) AS floor_pct, n_docs_pass, n_tokens_pass,
+        |  CAST(n_docs_pass AS DOUBLE)
+        |    / CAST(max(n_docs_pass) OVER () AS DOUBLE) AS doc_share,
+        |  CAST(n_tokens_pass AS DOUBLE)
+        |    / CAST(max(n_tokens_pass) OVER () AS DOUBLE) AS token_share
+        |FROM sweep ORDER BY floor_pct""".stripMargin,
 
     // same shingle construction as text_top_shingles, aggregated back
     // per doc against the corpus df

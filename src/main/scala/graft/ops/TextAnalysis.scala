@@ -357,9 +357,14 @@ object TextAnalysis {
     val counts = docs
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
-    val totals = counts.groupBy("source").agg(sum("cnt").as("n_tokens"))
+    // per-source totals as a window over the counts frame, NOT a second
+    // aggregate branch — a derived-frame branch re-executes the whole
+    // counts subtree (two corpus scans); the window keeps the plan one
+    // scan end to end. Skew note: one giant source serializes its
+    // window partition — the sourceGini caveat, vocabulary-bounded.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
     val p = col("cnt").cast("double") / col("n_tokens").cast("double")
-    counts.join(broadcast(totals), "source")
+    counts.withColumn("n_tokens", sum("cnt").over(w))
       .select(col("source"), col("n_tokens"),
         round(-log(p) * p * lit(quantum.toDouble)).cast("long").as("qent"))
       .groupBy("source")
@@ -397,17 +402,21 @@ object TextAnalysis {
 
   /** The serve half of [[qualityCalibration]] over a histogram frame —
     * live or merged from the streaming state seam: the threshold sweep
-    * is a 21×21 ≥-join against the bounded histogram, with corpus
-    * totals derived from the same frame (no second scan anywhere). */
+    * is a 21×21 ≥-join against the bounded histogram, and the corpus
+    * totals are the floor-0 row itself (the sweep is monotone, so
+    * max-over-the-21-rows IS the total) — a window over the bounded
+    * sweep instead of a second pass over the histogram branch, keeping
+    * the whole query one corpus scan. */
   def qualityCalibrationServe(hist: DataFrame): DataFrame = {
-    val tot = hist.agg(sum("h_docs").as("tot_docs"), sum("h_tokens").as("tot_tokens"))
     val thresholds = hist.sparkSession.range(0, 21).select(col("id").as("t"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
     thresholds
       .join(hist, col("b") >= col("t"), "left")
       .groupBy("t")
       .agg(coalesce(sum("h_docs"), lit(0L)).as("n_docs_pass"),
         coalesce(sum("h_tokens"), lit(0L)).as("n_tokens_pass"))
-      .crossJoin(broadcast(tot))
+      .withColumn("tot_docs", max("n_docs_pass").over(all))
+      .withColumn("tot_tokens", max("n_tokens_pass").over(all))
       .select(
         (col("t") * 5L).cast("int").as("floor_pct"),
         col("n_docs_pass"), col("n_tokens_pass"),

@@ -690,7 +690,10 @@ object TimeSeries {
     require(maxLag >= 1 && maxLag <= 168,
       s"hourlyAcf: maxLag=$maxLag must be in [1, 168]")
     val d = (c: Column) => c.cast("decimal(38,0)")
-    val hourly = counts
+    // both sides of the lag self-join read the SAME hourly aggregate —
+    // scope-cache it so the corpus is scanned once, not once per side
+    // (the frame is span-bounded: one row per observed hour)
+    Dedup.withScopedCache(counts) { hourly =>
     val left = hourly
       .withColumn("lag", explode(sequence(lit(1L), lit(maxLag.toLong))))
       .select(col("lag"), (col("h") + col("lag")).as("h_pair"), col("c").as("x"))
@@ -711,6 +714,7 @@ object TimeSeries {
           .otherwise(col("num").cast("double") /
             sqrt(col("dx").cast("double") * col("dy").cast("double"))))
       .select(col("lag"), col("n_pairs"), col("acf"))
+    }
   }
 
   /** PAA (piecewise aggregate approximation) profile distance between

@@ -420,4 +420,36 @@ class PlanContractSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("source entropy computes totals by window, never a second corpus scan") {
+    val p = plan("text_source_entropy")
+    assert(p.contains("Window"), s"per-source totals lost the window form in:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+    assert(p.linesIterator.count(_.contains("documents.parquet")) == 1,
+      s"entropy rescanned the corpus:\n$p")
+  }
+
+  test("quality calibration scans the corpus once; the sweep joins only the bounded histogram") {
+    val p = plan("text_quality_calibration")
+    assert(p.linesIterator.count(_.contains("documents.parquet")) == 1,
+      s"calibration rescanned the corpus:\n$p")
+  }
+
+  test("hourly ACF joins the lag expansion as a hash equi-join over the cached hourly frame") {
+    val p = plan("q_series_acf")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"ACF pair join fell back to a loop join:\n$p")
+    // both self-join sides must read the scoped cache — the corpus is
+    // materialized once, not scanned per side (the raw FileScan strings
+    // inside the printed InMemoryRelation definitions don't execute)
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      s"ACF self-join sides not served from the hourly cache:\n$p")
+  }
+
+  test("codec header decode stays expression-side with no RDD hop") {
+    val p = plan("q_multimodal_codecs")
+    assert(!p.contains("ExistingRDD"), s"codec decode dropped to an RDD scan:\n$p")
+    assert(p.linesIterator.count(_.contains("documents.parquet")) == 1,
+      s"codec decode rescanned the corpus:\n$p")
+  }
 }
