@@ -1021,6 +1021,22 @@ object SparkEntry {
     "q_multimodal_codecs" -> ((s, dir) =>
       Multimodal.decodeCodecHeaders(Multimodal.codecFrame(Tables.documents(s, dir)))
         .orderBy("doc_id")),
+
+    // codec-body DSP: the JPEG body sits at a per-row WALKED offset and
+    // ends before the EOI, so the pixel kernel runs through the
+    // dynamic-offset expression; FLAC PCM is the fixed-42 twin of WAV
+    "q_multimodal_codec_features" -> ((s, dir) =>
+      Multimodal.extractCodecFeatures(Multimodal.codecFrame(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("media_type"), col("container"),
+          when(col("container") === "flac", element_at(col("feature"), 1)).as("pcm_rms"),
+          when(col("container") === "flac", element_at(col("feature"), 2)).as("pcm_zcr"),
+          when(col("container") === "jpeg", element_at(col("feature"), 1)).as("px_mean_b"),
+          when(col("container") === "jpeg", element_at(col("feature"), 2)).as("px_mean_g"),
+          when(col("container") === "jpeg", element_at(col("feature"), 3)).as("px_mean_r"),
+          when(col("container") === "jpeg", element_at(col("feature"), 4)).as("px_std_b"),
+          when(col("container") === "jpeg", element_at(col("feature"), 5)).as("px_std_g"),
+          when(col("container") === "jpeg", element_at(col("feature"), 6)).as("px_std_r"))
+        .orderBy("doc_id")),
   )
 
   // ---- DuckDB oracle -----------------------------------------------------
@@ -3126,6 +3142,65 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 1 THEN CAST(octet_length(CAST(text AS BLOB))
         |       // ((doc_id % 2 + 1) * 2) AS BIGINT) END AS total_samples
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // same independent byte-stream recomputation as q_multimodal (both
+    // codec bodies are exactly the text bytes: the JPEG kernel range
+    // [sof+19, len-2) and the FLAC range [42, len) each cover the text
+    // and nothing else), with the container split on doc_id % 3
+    "q_multimodal_codec_features" ->
+      """WITH flat AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(string_split(text, ''), (c, i) -> {'idx': i - 1, 'v': ord(c)})) AS e
+        |  FROM documents),
+        |b AS (SELECT doc_id, e.idx AS idx, e.v AS v FROM flat),
+        |ch AS (
+        |  SELECT doc_id, idx % 3 AS c, count(*) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS ss
+        |  FROM b GROUP BY 1, 2),
+        |chs AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN c = 0 THEN CAST(s AS DOUBLE) / n END) AS mean_b,
+        |    max(CASE WHEN c = 1 THEN CAST(s AS DOUBLE) / n END) AS mean_g,
+        |    max(CASE WHEN c = 2 THEN CAST(s AS DOUBLE) / n END) AS mean_r,
+        |    max(CASE WHEN c = 0 THEN sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE)) END) AS std_b,
+        |    max(CASE WHEN c = 1 THEN sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE)) END) AS std_g,
+        |    max(CASE WHEN c = 2 THEN sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE)) END) AS std_r
+        |  FROM ch GROUP BY doc_id),
+        |pair AS (
+        |  SELECT doc_id, idx // 2 AS k,
+        |    max(CASE WHEN idx % 2 = 0 THEN v END) AS lo,
+        |    max(CASE WHEN idx % 2 = 1 THEN v END) AS hi
+        |  FROM b GROUP BY 1, 2),
+        |smp AS (
+        |  SELECT doc_id, k,
+        |    lo + 256 * hi - CASE WHEN lo + 256 * hi >= 32768 THEN 65536 ELSE 0 END AS smpv
+        |  FROM pair WHERE hi IS NOT NULL),
+        |sgn AS (
+        |  SELECT doc_id, smpv, lag(smpv) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+        |  FROM smp),
+        |wavs AS (
+        |  SELECT doc_id,
+        |    sqrt(CAST(CAST(sum(smpv * smpv) AS BIGINT) AS DOUBLE) / count(*)) AS pcm_rms,
+        |    CASE WHEN count(*) < 2 THEN 0.0
+        |         ELSE CAST(CAST(sum(CASE WHEN prev IS NOT NULL
+        |                AND ((smpv >= 0) <> (prev >= 0)) THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |              / (count(*) - 1) END AS pcm_zcr
+        |  FROM sgn GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id,
+        |  (['image', 'audio', 'video'])[CAST(d.doc_id % 3 AS INT) + 1] AS media_type,
+        |  CASE WHEN d.doc_id % 3 = 1 THEN 'flac' ELSE 'jpeg' END AS container,
+        |  CASE WHEN d.doc_id % 3 = 1 THEN w.pcm_rms END AS pcm_rms,
+        |  CASE WHEN d.doc_id % 3 = 1 THEN w.pcm_zcr END AS pcm_zcr,
+        |  CASE WHEN d.doc_id % 3 <> 1 THEN c.mean_b END AS px_mean_b,
+        |  CASE WHEN d.doc_id % 3 <> 1 THEN c.mean_g END AS px_mean_g,
+        |  CASE WHEN d.doc_id % 3 <> 1 THEN c.mean_r END AS px_mean_r,
+        |  CASE WHEN d.doc_id % 3 <> 1 THEN c.std_b END AS px_std_b,
+        |  CASE WHEN d.doc_id % 3 <> 1 THEN c.std_g END AS px_std_g,
+        |  CASE WHEN d.doc_id % 3 <> 1 THEN c.std_r END AS px_std_r
+        |FROM documents d
+        |LEFT JOIN chs c ON c.doc_id = d.doc_id
+        |LEFT JOIN wavs w ON w.doc_id = d.doc_id
         |ORDER BY doc_id""".stripMargin,
   )
 

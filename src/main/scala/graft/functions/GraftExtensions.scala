@@ -77,6 +77,15 @@ object GraftExtensions {
         ByteChannelStats(children.head,
           literalInt("graft_byte_channel_stats(payload, offset, stride)", children(1)),
           literalInt("graft_byte_channel_stats(payload, offset, stride)", children(2))): Expression
+      }),
+    (FunctionIdentifier("graft_byte_channel_stats_at"),
+      new ExpressionInfo(classOf[ByteChannelStatsAt].getName, "graft_byte_channel_stats_at"),
+      (children: Seq[Expression]) => {
+        val sig = "graft_byte_channel_stats_at(payload, offsetExpr, stride, tailTrim)"
+        if (children.size != 4) throw new IllegalArgumentException(
+          s"$sig expects 4 arguments, got ${children.size}")
+        ByteChannelStatsAt(children(0), children(1),
+          literalInt(sig, children(2)), literalInt(sig, children(3))): Expression
       }))
 
   /** Idempotent in-session registration (for sessions built without the

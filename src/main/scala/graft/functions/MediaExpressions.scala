@@ -73,13 +73,23 @@ object DspKernel {
     * are Long-safe to the array cap (Σv² ≤ 65025·n ≤ 1.4e14). Returns
     * null when fewer than `stride` bytes remain (some channel would be
     * empty). */
-  def byteChannelStats(p: Array[Byte], offset: Int, stride: Int): GenericArrayData = {
-    if (p.length - offset < stride) return null
+  def byteChannelStats(p: Array[Byte], offset: Int, stride: Int): GenericArrayData =
+    byteChannelStatsRange(p, offset, stride, p.length)
+
+  /** [[byteChannelStats]] over the half-open byte range [offset, end) —
+    * the form a container with a TRAILING marker needs (JPEG bodies end
+    * 2 bytes before the payload: the EOI marker is framing, not pixels).
+    * `end` is clamped to the payload; null when some channel would be
+    * empty. */
+  def byteChannelStatsRange(p: Array[Byte], offset: Int, stride: Int,
+                            end: Int): GenericArrayData = {
+    val stop = math.min(end, p.length)
+    if (offset < 0 || stop - offset < stride) return null
     val sum = new Array[Long](stride)
     val sumSq = new Array[Long](stride)
     val cnt = new Array[Long](stride)
     var i = offset
-    while (i < p.length) {
+    while (i < stop) {
       val c = (i - offset) % stride
       val v = (p(i) & 0xff).toLong
       sum(c) += v
@@ -159,6 +169,46 @@ case class ByteChannelStats(child: Expression, offset: Int, stride: Int)
     copy(child = newChild)
 }
 
+/** `graft_byte_channel_stats_at(payload, offset)`: the DYNAMIC-offset
+  * form of [[ByteChannelStats]] — a marker-walked container (JPEG) puts
+  * its body at a per-row offset, so the offset is a full child
+  * expression rather than a plan-time literal; `tailTrim` bytes at the
+  * payload end are excluded (the EOI marker). A null or negative
+  * runtime offset yields null, never a crash. */
+case class ByteChannelStatsAt(payload: Expression, offset: Expression,
+                              stride: Int, tailTrim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+
+  require(stride > 0, s"stride must be positive, got $stride")
+  require(tailTrim >= 0, s"tailTrim must be non-negative, got $tailTrim")
+
+  override def left: Expression = payload
+  override def right: Expression = offset
+  override def inputTypes: Seq[DataType] =
+    Seq(BinaryType, org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_byte_channel_stats_at"
+
+  override protected def nullSafeEval(p: Any, off: Any): Any = {
+    val bytes = p.asInstanceOf[Array[Byte]]
+    DspKernel.byteChannelStatsRange(bytes, off.asInstanceOf[Int], stride,
+      bytes.length - tailTrim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, off) => s"""
+       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.byteChannelStatsRange(
+       |  $p, $off, $stride, $p.length - $tailTrim);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(payload = newLeft, offset = newRight)
+}
+
 object MediaFunctions {
   /** Codegen'd [rms, zcr] of a 16-bit LE PCM body. */
   def pcmStats(payload: Column, offset: Int): Column =
@@ -167,4 +217,11 @@ object MediaFunctions {
   /** Codegen'd per-channel [means..., stds...] of an interleaved byte body. */
   def byteChannelStats(payload: Column, offset: Int, stride: Int): Column =
     Bridge.column(ByteChannelStats(Bridge.expression(payload), offset, stride))
+
+  /** Codegen'd per-channel stats at a per-row DYNAMIC offset, excluding
+    * `tailTrim` trailing bytes. */
+  def byteChannelStatsAt(payload: Column, offset: Column, stride: Int,
+                         tailTrim: Int): Column =
+    Bridge.column(ByteChannelStatsAt(Bridge.expression(payload),
+      Bridge.expression(offset), stride, tailTrim))
 }

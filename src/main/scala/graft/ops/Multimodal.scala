@@ -278,14 +278,12 @@ object Multimodal {
     * fields read relative to the WALKED SOF0 offset (which the output
     * exposes as `sof_off` so the compare pins the walk itself), FLAC
     * fields unpacked by shift/mask from the STREAMINFO bit group. */
-  def decodeCodecHeaders(media: DataFrame): DataFrame = {
-    val p = col("payload")
+  private def codecHeaderCols(p: Column): Seq[Column] = {
     val isJpeg = (length(p) >= 4) && (hex(substring(p, 1, 2)) === lit("FFD8"))
     val isFlac = (length(p) >= 42) && (hex(substring(p, 1, 4)) === lit("664C6143"))
     val sof = jpegSofOffset(p)
     val packed = beIntAt(p, lit(19L), 8)    // STREAMINFO offset 10 → absolute 19, 1-based
-    media.select(
-      col("doc_id"), col("media_type"),
+    Seq(
       when(isJpeg, "jpeg").when(isFlac, "flac").otherwise("unknown").as("container"),
       length(p).cast("int").as("n_bytes"),
       when(isJpeg, sof).cast("int").as("sof_off"),
@@ -302,4 +300,29 @@ object Multimodal {
         .as("bits_per_sample"),
       when(isFlac, packed.bitwiseAND(lit((1L << 36) - 1))).as("total_samples"))
   }
+
+  def decodeCodecHeaders(media: DataFrame): DataFrame =
+    media.select(
+      Seq(col("doc_id"), col("media_type")) ++ codecHeaderCols(col("payload")): _*)
+
+  /** Feature DSP over the CODEC bodies — the same kernels as
+    * [[extractFeatures]], but the JPEG body sits at a per-row offset
+    * (after the walked SOF0 segment) and ends before the trailing EOI
+    * marker, so the pixel-stats kernel runs through the dynamic-offset
+    * expression (graft.functions.ByteChannelStatsAt: offset is a full
+    * child expression, tailTrim excludes the 2 EOI bytes); the FLAC
+    * body is fixed-offset (42) 16-bit PCM, same as WAV at 44. Given
+    * the same text bodies, these features are bit-identical to the
+    * BMP/WAV ones — the spec pins exactly that. */
+  def extractCodecFeatures(media: DataFrame): DataFrame =
+    media
+      .select((Seq(col("doc_id"), col("media_type")) ++
+        codecHeaderCols(col("payload")) :+ col("payload")): _*)
+      .withColumn("feature",
+        when(col("container") === "flac",
+          graft.functions.MediaFunctions.pcmStats(col("payload"), offset = 42))
+        .when(col("container") === "jpeg",
+          graft.functions.MediaFunctions.byteChannelStatsAt(
+            col("payload"), col("sof_off") + lit(18), stride = 3, tailTrim = 2)))
+      .drop("payload")
 }

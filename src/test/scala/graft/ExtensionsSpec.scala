@@ -94,6 +94,24 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("dynamic-offset channel stats work from SQL and null out on bad offsets") {
+    GraftExtensions.register(spark)
+    // bytes [9,9,1,2,3,4,9,9]: dynamic offset 2 + tailTrim 2 → body [1,2,3,4]
+    // at stride 2 → same values as the fixed-offset test
+    val c = spark.sql(
+      "SELECT graft_byte_channel_stats_at(CAST(x'0909010203040909' AS BINARY), 1 + 1, 2, 2) AS s")
+      .collect()(0).getSeq[Double](0)
+    assert(c === Seq(2.0, 3.0, 1.0, 1.0))
+    // negative runtime offset → null result, not a crash
+    assert(spark.sql(
+      "SELECT graft_byte_channel_stats_at(CAST(x'0102' AS BINARY), -1, 1, 0) AS s")
+      .collect()(0).isNullAt(0))
+    // offset past the trimmed end → null
+    assert(spark.sql(
+      "SELECT graft_byte_channel_stats_at(CAST(x'01020304' AS BINARY), 3, 1, 2) AS s")
+      .collect()(0).isNullAt(0))
+  }
+
   test("SRP hyperplane table cache stays bounded under heterogeneous dims") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

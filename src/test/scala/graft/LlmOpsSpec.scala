@@ -749,6 +749,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(((packed >>> 41) & 7) + 1 === 2)
   }
 
+  test("codec-body DSP equals the BMP/WAV features on the same text bodies") {
+    // mediaFrame and codecFrame wrap the SAME text bytes in different
+    // containers with the same audio/image split — so the dynamic-offset
+    // JPEG kernel (walked SOF + EOI trim) and the fixed-42 FLAC kernel
+    // must land bit-identically on the BMP/WAV feature values; any
+    // off-by-one in the walked body offset or the tail trim breaks this
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaCodec = Multimodal.extractCodecFeatures(Multimodal.codecFrame(docs))
+      .select("doc_id", "feature").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val viaBmpWav = Multimodal.extractFeatures(Multimodal.mediaFrame(docs))
+      .select("doc_id", "feature").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(viaCodec.length === viaBmpWav.length && viaCodec.nonEmpty)
+    assert(viaCodec.toSeq === viaBmpWav.toSeq)
+  }
+
   test("ingest envelopes round-trip through to_json/from_json/explode") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val back = Ingest.splitEnvelopes(Ingest.envelopes(ev))
