@@ -281,17 +281,21 @@ object Multimodal {
   private def codecHeaderCols(p: Column): Seq[Column] = {
     val isJpeg = (length(p) >= 4) && (hex(substring(p, 1, 2)) === lit("FFD8"))
     val isFlac = (length(p) >= 42) && (hex(substring(p, 1, 4)) === lit("664C6143"))
-    val sof = jpegSofOffset(p)
+    // a JPEG whose SOF sits behind more than maxSegments hops (or is
+    // absent) walks out with −1: every SOF-relative field must come
+    // back NULL, never a read at a garbage offset
+    val sofJpeg = when(isJpeg, jpegSofOffset(p))
+    val sof = when(sofJpeg =!= lit(-1L), sofJpeg)
     val packed = beIntAt(p, lit(19L), 8)    // STREAMINFO offset 10 → absolute 19, 1-based
     Seq(
       when(isJpeg, "jpeg").when(isFlac, "flac").otherwise("unknown").as("container"),
       length(p).cast("int").as("n_bytes"),
-      when(isJpeg, sof).cast("int").as("sof_off"),
-      when(isJpeg, conv(hex(p.substr(sof + lit(4L), lit(1))), 16, 10).cast("int"))
+      sof.cast("int").as("sof_off"),
+      conv(hex(p.substr(sof + lit(4L), lit(1))), 16, 10).cast("int")
         .as("sof_precision"),
-      when(isJpeg, beIntAt(p, sof + lit(5L), 2).cast("int")).as("height"),
-      when(isJpeg, beIntAt(p, sof + lit(7L), 2).cast("int")).as("width"),
-      when(isJpeg, conv(hex(p.substr(sof + lit(9L), lit(1))), 16, 10).cast("int"))
+      beIntAt(p, sof + lit(5L), 2).cast("int").as("height"),
+      beIntAt(p, sof + lit(7L), 2).cast("int").as("width"),
+      conv(hex(p.substr(sof + lit(9L), lit(1))), 16, 10).cast("int")
         .as("n_components"),
       when(isFlac, shiftright(packed, 44).cast("int")).as("sample_rate"),
       when(isFlac, (shiftright(packed, 41).bitwiseAND(lit(7L)) + 1L).cast("int"))

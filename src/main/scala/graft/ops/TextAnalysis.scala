@@ -353,10 +353,23 @@ object TextAnalysis {
     * second corpus scan — and join back broadcast (sources are a
     * dimension). Terms are ≥ 0 (p ≤ 1), so round() can't face a negative
     * half-boundary in either engine. */
-  def sourceEntropy(docs: DataFrame, quantum: Long = 1000000L): DataFrame = {
-    val counts = docs
+  def sourceEntropy(docs: DataFrame, quantum: Long = 1000000L): DataFrame =
+    sourceEntropyServe(entropyPartials(docs), quantum)
+
+  /** The mergeable half of [[sourceEntropy]]: per-(source, token)
+    * counts. Vocabulary-grain state — the heaviest state table in the
+    * family, but bounded by the vocabulary, not the corpus, and counts
+    * merge by plain addition; the streaming seam
+    * (streaming/StreamingMonitors.entropyStateSink) maintains THIS
+    * frame. */
+  def entropyPartials(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+
+  /** The serve half of [[sourceEntropy]] over a counts frame — live or
+    * merged from the streaming state seam. */
+  def sourceEntropyServe(counts: DataFrame, quantum: Long = 1000000L): DataFrame = {
     // per-source totals as a window over the counts frame, NOT a second
     // aggregate branch — a derived-frame branch re-executes the whole
     // counts subtree (two corpus scans); the window keeps the plan one

@@ -945,6 +945,37 @@ object StreamingMonitors {
     else ck).start()
   }
 
+  /** Streaming maintenance of the per-(source, token) counts frame
+    * (ops/TextAnalysis.entropyPartials) — vocabulary-grain state, the
+    * heaviest table in the family but corpus-size-independent; counts
+    * merge by plain addition, and the serve half
+    * (TextAnalysis.sourceEntropyServe) reads the merged counts into the
+    * live per-source vocabulary-diversity score. Same versioned
+    * idempotent-replay contract as the other state sinks. */
+  def entropyStateSink(docStream: DataFrame, stateDir: String,
+                       checkpoint: Option[String] = None,
+                       availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.sum
+    val writer = docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = graft.ops.TextAnalysis.entropyPartials(batch)
+        val merged = latestVersionedState(batch.sparkSession, stateDir, batchId) match {
+          case Some(prev) => prev.unionByName(partial)
+            .groupBy("source", "w")
+            .agg(sum("cnt").as("cnt"))
+          case None => partial
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        ()
+      }
+    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow)
+      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else ck).start()
+  }
+
   /** Streaming maintenance of the 21-bin quality-score histogram
     * (ops/TextAnalysis.calibrationPartials) — the cheapest state table
     * in the family (≤21 rows, ever): per-bin doc/token counts merge by

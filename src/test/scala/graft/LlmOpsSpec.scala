@@ -749,6 +749,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(((packed >>> 41) & 7) + 1 === 2)
   }
 
+  test("jpeg walk exhausting its segment bound yields null fields, not a garbage read") {
+    // SOI + nine 3-byte COM segments (one more than the 8-hop bound)
+    // before SOF0: the walk must give up cleanly — sof_off and every
+    // SOF-relative field null — instead of decoding from a wrong offset
+    val segs = "FFFE0003AA" * 9
+    val hexPayload = "FFD8" + segs + "FFC0001108" + "0040" + "0050" +
+      "03012200021101031101" + "FFD9"
+    val df = Seq((1L, "image")).toDF("doc_id", "media_type")
+      .withColumn("payload", unhex(lit(hexPayload)))
+    val r = Multimodal.decodeCodecHeaders(df).collect()(0)
+    assert(r.getAs[String]("container") === "jpeg")
+    assert(r.isNullAt(r.fieldIndex("sof_off")))
+    assert(r.isNullAt(r.fieldIndex("width")) && r.isNullAt(r.fieldIndex("height")))
+    // and the codec feature path must null out too, not read a wrong body
+    val f = Multimodal.extractCodecFeatures(df).collect()(0)
+    assert(f.isNullAt(f.fieldIndex("feature")))
+  }
+
   test("codec-body DSP equals the BMP/WAV features on the same text bodies") {
     // mediaFrame and codecFrame wrap the SAME text bytes in different
     // containers with the same audio/image split — so the dynamic-offset

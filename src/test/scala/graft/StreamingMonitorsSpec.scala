@@ -1034,6 +1034,33 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("streamed token counts serve the exact batch source entropy") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "source").persist()
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = mem.toDF().toDF("doc_id", "text", "source")
+    val stateDir = s"${work()}/entropy-state"
+    val q = StreamingMonitors.entropyStateSink(stream, stateDir)
+    try {
+      (0 until 3).foreach { i =>
+        mem.addData(rows.filter(_._1 % 3 == i).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val state = StreamingMonitors.latestVersionedState(spark, stateDir).get
+    val served = graft.ops.TextAnalysis.sourceEntropyServe(state)
+      .orderBy("source").collect().map(_.toSeq)
+    val direct = graft.ops.TextAnalysis.sourceEntropy(docs.toDF())
+      .orderBy("source").collect().map(_.toSeq)
+    docs.unpersist(blocking = false)
+    assert(served === direct)
+    assert(served.nonEmpty)
+  }
+
   test("streamed calibration histogram serves the exact batch floor sweep") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
