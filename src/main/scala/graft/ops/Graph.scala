@@ -434,6 +434,14 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "pagerankInt: empty graph")
     val base = (scale * (dampDen - dampNum)) / (dampDen * n)
+    // dangling-ness is TOPOLOGY, not rank: derive the no-out-edge node
+    // set once and persist it, instead of re-anti-joining the rank frame
+    // against the full edge list every iteration (the set is what the
+    // per-iteration mass aggregate filters by; only r changes)
+    val dangNodes = if (redistributeDangling)
+      Some(nodes.join(ew.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti").persist())
+    else None
     var r = nodes.select(col("node"), lit(scale / n).as("r")).localCheckpoint(false)
     (1 to iterations).foreach { _ =>
       val contrib = r.join(ew, col("node") === col("src"))
@@ -446,8 +454,8 @@ object Graph {
           expr(s"($dampNum * coalesce(contrib, CAST(0 AS BIGINT))) DIV $dampDen")).as("r"))
       } else {
         // this iteration's dangling mass: one-row aggregate over the rank
-        // rows with no out-edges, broadcast-crossed in (bounded 1×n)
-        val dang = r.join(ew.select("src"), col("node") === col("src"), "left_anti")
+        // rows of the precomputed set, broadcast-crossed in (bounded 1×n)
+        val dang = r.join(dangNodes.get, Seq("node"), "left_semi")
           .agg(coalesce(sum("r"), lit(0L)).cast("long").as("dsum"))
         withContrib.crossJoin(broadcast(dang))
           .select(col("node"), (lit(base) +
@@ -457,6 +465,7 @@ object Graph {
     }
     ew.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
+    dangNodes.foreach(_.unpersist(blocking = false))
     r.select(col("node"), col("r").as("rank_q"),
       (col("r").cast("double") / lit(scale)).as("rank"))
   }
