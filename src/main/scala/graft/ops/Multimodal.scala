@@ -183,11 +183,15 @@ object Multimodal {
       lpad(hex(shiftright(v.cast("long"), 8 * i).bitwiseAND(255L)), 2, "0")): _*)
 
   /** Big-endian integer read of `nBytes` at 1-based DYNAMIC byte offset
-    * `off` (a Column — marker walks land at data-dependent positions). */
+    * `off` (a Column — marker walks land at data-dependent positions).
+    * Bytes are placed by shiftleft, not multiplication: for an 8-byte
+    * read a high byte ≥ 0x80 lands in the sign bit, where `b * 2^56`
+    * overflows the ANSI long multiply but `b << 56` wraps to the
+    * intended bit pattern. */
   private def beIntAt(p: Column, off: Column, nBytes: Int): Column =
     (0 until nBytes).map(i =>
-      conv(hex(p.substr(off + lit(i), lit(1))), 16, 10).cast("long") *
-        lit(1L << (8 * (nBytes - 1 - i)))).reduce(_ + _)
+      shiftleft(conv(hex(p.substr(off + lit(i), lit(1))), 16, 10).cast("long"),
+        8 * (nBytes - 1 - i))).reduce(_ + _)
 
   /** A structurally valid JPEG/JFIF: SOI, APP0 (JFIF 1.1, 72dpi), a COM
     * segment of `comLen` filler bytes (VARIABLE length — this is what
@@ -215,8 +219,13 @@ object Multimodal {
     * group at STREAMINFO offset 10 — built here by integer arithmetic. */
   def flacPayload(sampleRate: Column, channels: Column, data: Column): Column = {
     val totalSamples = (length(data) / (channels * 2)).cast("long")
-    val packed = sampleRate.cast("long") * lit(1L << 44) +
-      (channels.cast("long") - 1L) * lit(1L << 41) +
+    // bit fields are PLACED with shiftleft, never multiplication: a
+    // 20-bit sample rate ≥ 2^19 occupies the long's sign bit, where
+    // `sr * 2^44` raises ANSI overflow but `sr << 44` wraps to the
+    // intended bit pattern (the fields are disjoint, so the additions
+    // below cannot carry)
+    val packed = shiftleft(sampleRate.cast("long"), 44) +
+      shiftleft(channels.cast("long") - 1L, 41) +
       lit(15L * (1L << 36)) +                           // bits/sample − 1 = 15 (16-bit)
       totalSamples
     concat(
@@ -297,7 +306,9 @@ object Multimodal {
       beIntAt(p, sof + lit(7L), 2).cast("int").as("width"),
       conv(hex(p.substr(sof + lit(9L), lit(1))), 16, 10).cast("int")
         .as("n_components"),
-      when(isFlac, shiftright(packed, 44).cast("int")).as("sample_rate"),
+      // UNSIGNED shift: the 20-bit rate's top bit is the long's sign
+      // bit, which an arithmetic shift would smear into the result
+      when(isFlac, shiftrightunsigned(packed, 44).cast("int")).as("sample_rate"),
       when(isFlac, (shiftright(packed, 41).bitwiseAND(lit(7L)) + 1L).cast("int"))
         .as("channels"),
       when(isFlac, (shiftright(packed, 36).bitwiseAND(lit(31L)) + 1L).cast("int"))

@@ -331,4 +331,46 @@ class PropertiesSpec extends SparkSpec {
       assert(got === expected, s"seed $seed (self-loops dropped: ${loops.size})")
     }
   }
+
+  test("property: codec containers round-trip every generated geometry") {
+    // arbitrary dims / sample rates / COM lengths / bodies (including
+    // empty and 1-byte) must decode back exactly: the walked SOF offset,
+    // the BE dimension fields, and the bit-packed FLAC group each
+    // round-trip or the whole container seam is off by one somewhere
+    import graft.ops.Multimodal
+    val geom = for {
+      w <- Gen.chooseNum(1, 65535); h <- Gen.chooseNum(1, 65535)
+      cl <- Gen.chooseNum(1, 13)
+      sr <- Gen.chooseNum(1, 655350); ch <- Gen.chooseNum(1, 8)
+      body <- Gen.asciiPrintableStr
+    } yield (w, h, cl, sr, ch, body)
+    (1L to 5L).foreach { seed =>
+      val cases = sample(Gen.listOfN(20, geom), seed).zipWithIndex
+      val df = cases.map { case ((w, h, cl, sr, ch, body), i) =>
+        (i.toLong, w, h, cl, sr, ch, body)
+      }.toDF("doc_id", "w", "h", "cl", "sr", "chn", "body")
+        .select(col("doc_id"), col("w"), col("h"), col("cl"), col("sr"), col("chn"),
+          when(col("doc_id") % 2 === 0,
+            Multimodal.jpegPayload(col("w"), col("h"), col("cl"), col("body").cast("binary")))
+          .otherwise(
+            Multimodal.flacPayload(col("sr"), col("chn"), col("body").cast("binary")))
+          .as("payload"))
+        .withColumn("media_type", lit("x"))
+      val decoded = Multimodal.decodeCodecHeaders(df.select("doc_id", "media_type", "payload"))
+        .orderBy("doc_id").collect()
+      cases.foreach { case ((w, h, cl, sr, ch, _), i) =>
+        val r = decoded(i)
+        if (i % 2 == 0) {
+          assert(r.getAs[String]("container") === "jpeg", s"seed $seed case $i")
+          assert(r.getAs[Int]("sof_off") === 25 + cl, s"seed $seed case $i")
+          assert(r.getAs[Int]("width") === w && r.getAs[Int]("height") === h,
+            s"seed $seed case $i")
+        } else {
+          assert(r.getAs[String]("container") === "flac", s"seed $seed case $i")
+          assert(r.getAs[Int]("sample_rate") === sr, s"seed $seed case $i")
+          assert(r.getAs[Int]("channels") === ch, s"seed $seed case $i")
+        }
+      }
+    }
+  }
 }
