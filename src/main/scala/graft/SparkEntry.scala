@@ -320,6 +320,11 @@ object SparkEntry {
     "q_series_acf" -> ((s, dir) =>
       TimeSeries.hourlyAcf(Tables.events(s, dir)).orderBy("lag")),
 
+    // the per-metric resolution of the same diagnostic: which TYPES
+    // have a daily cycle (pairs keyed on (type, hour))
+    "q_series_acf_by_type" -> ((s, dir) =>
+      TimeSeries.hourlyAcfByKey(Tables.events(s, dir)).orderBy("key", "lag")),
+
     // daily mix concentration by Gini-Simpson (1 - sum p^2): the
     // log-free entropy surrogate, exact to one division
     "q_type_diversity" -> ((s, dir) =>
@@ -1882,6 +1887,28 @@ object SparkEntry {
         |            sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
         |                 CAST(n * syy - sy * sy AS DOUBLE)) END AS acf
         |FROM m ORDER BY lag""".stripMargin,
+
+    // per-type resolution: identical moment arithmetic with the pair
+    // join keyed on (type, hour)
+    "q_series_acf_by_type" ->
+      """WITH hourly AS (SELECT event_type AS key,
+        |    epoch_us(ts) // 3600000000 AS h, CAST(count(*) AS HUGEINT) AS c
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT a.key, l.lag, a.c AS x, b.c AS y
+        |  FROM (SELECT unnest(range(1, 13)) AS lag) l
+        |  CROSS JOIN hourly a
+        |  JOIN hourly b ON b.key = a.key AND b.h = a.h + l.lag),
+        |m AS (SELECT key, lag, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT key, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+        |       ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+        |            sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |                 CAST(n * syy - sy * sy AS DOUBLE)) END AS acf
+        |FROM m ORDER BY key, lag""".stripMargin,
 
     // the burst gate is the cross-multiplied integer comparison; only
     // the reported peak ratio divides

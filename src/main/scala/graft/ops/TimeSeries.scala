@@ -671,6 +671,47 @@ object TimeSeries {
         .agg(count(lit(1)).as("c")),
       maxLag)
 
+  /** Per-key lag-k autocorrelation — [[hourlyAcf]] resolved to the same
+    * grain as the rest of the per-type monitoring family (valueHourCorr,
+    * burstHours): each event type gets its own seasonality row per lag,
+    * so "clicks have a daily cycle but errors don't" is one query. Same
+    * exact-moment discipline and sparse-pair convention; the pair join
+    * keys on (key, hour), so no type ever correlates against another's
+    * hours. Cost: maxLag × per-key span-hours, corpus-independent. */
+  def hourlyAcfByKey(events: DataFrame, maxLag: Int = 12,
+                     keyCol: String = "event_type"): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 168,
+      s"hourlyAcfByKey: maxLag=$maxLag must be in [1, 168]")
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val counts = events
+      .filter(col("ts_us").isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), floorDiv(col("ts_us"), 3600000000L).as("h"))
+      .agg(count(lit(1)).as("c"))
+    Dedup.withScopedCache(counts) { hourly =>
+      val left = hourly
+        .withColumn("lag", explode(sequence(lit(1L), lit(maxLag.toLong))))
+        .select(col("key"), col("lag"), (col("h") + col("lag")).as("h_pair"),
+          col("c").as("x"))
+      hourly
+        .select(col("key"), col("h").as("h_pair"), col("c").as("y"))
+        .join(left, Seq("key", "h_pair"))
+        .groupBy("key", "lag")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(d(col("x")) * d(col("y"))).as("sxy"),
+          sum(d(col("x")) * d(col("x"))).as("sxx"),
+          sum(d(col("y")) * d(col("y"))).as("syy"))
+        .withColumn("num", d(col("n_pairs")) * col("sxy") - d(col("sx")) * d(col("sy")))
+        .withColumn("dx", d(col("n_pairs")) * col("sxx") - d(col("sx")) * d(col("sx")))
+        .withColumn("dy", d(col("n_pairs")) * col("syy") - d(col("sy")) * d(col("sy")))
+        .withColumn("acf",
+          when(col("dx") === 0 || col("dy") === 0, lit(null).cast("double"))
+            .otherwise(col("num").cast("double") /
+              sqrt(col("dx").cast("double") * col("dy").cast("double"))))
+        .select(col("key"), col("lag"), col("n_pairs"), col("acf"))
+    }
+  }
+
   /** ACF served from the maintained hourly state table — the same
     * (key, bucket_us, n) plain-sum partials the CUSUM/burst sinks keep
     * (streaming/StreamingMonitors.hourlyStateSink): counts merge exactly

@@ -332,6 +332,28 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: codec decode is total over arbitrary binary garbage") {
+    // random bytes — including ones starting with partial magics — must
+    // decode to a row (container 'unknown' unless a real magic matches),
+    // never throw from a walk or a field read off the payload end
+    import graft.ops.Multimodal
+    val bytesGen = Gen.chooseNum(0, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    (1L to 5L).foreach { seed =>
+      val payloads = sample(Gen.listOfN(30, bytesGen), seed) ++ Seq(
+        Array[Byte](),                                       // empty
+        Array(0xFF.toByte, 0xD8.toByte),                     // bare SOI
+        Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte),        // truncated marker
+        "fLaC".getBytes("US-ASCII"))                         // bare magic
+      val df = payloads.zipWithIndex
+        .map { case (p, i) => (i.toLong, "x", p) }
+        .toDF("doc_id", "media_type", "payload")
+      val rows = Multimodal.decodeCodecHeaders(df).collect()
+      assert(rows.length === payloads.length) // total: no exception, no drop
+      rows.foreach(r => assert(r.getAs[String]("container") != null))
+    }
+  }
+
   test("property: codec containers round-trip every generated geometry") {
     // arbitrary dims / sample rates / COM lengths / bodies (including
     // empty and 1-byte) must decode back exactly: the walked SOF offset,

@@ -441,6 +441,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(acf(2).getAs[Long]("n_pairs") === 5L)
   }
 
+  test("hourlyAcfByKey isolates each key's series: a planted cycle shows only on its own key") {
+    // key A alternates 1,3 (period 2 → acf(2) = +1); key B is constant 2
+    // per hour (degenerate variance → null acf); the pair join must
+    // never mix their hours
+    val hr = 3600000000L
+    val rows =
+      (for { h <- 0 until 8; k <- 0 until (if (h % 2 == 0) 1 else 3) }
+        yield ("A", h.toLong * hr + k * 1000L)) ++
+      (for { h <- 0 until 8; k <- 0 until 2 }
+        yield ("B", h.toLong * hr + k * 1000L))
+    val ev = rows.toDF("event_type", "ts_us")
+    val acf = TimeSeries.hourlyAcfByKey(ev, maxLag = 2)
+      .orderBy("key", "lag").collect()
+    assert(acf.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 2L)))
+    assert(acf(0).getAs[Double]("acf") === -1.0) // A lag 1
+    assert(acf(1).getAs[Double]("acf") === 1.0)  // A lag 2
+    assert(acf(2).isNullAt(acf(2).fieldIndex("acf"))) // B: zero variance
+    assert(acf(3).isNullAt(acf(3).fieldIndex("acf")))
+  }
+
   test("acfServe over the hourly state table equals the batch ACF on the same population") {
     val hr = 3600000000L
     val rows = for {
