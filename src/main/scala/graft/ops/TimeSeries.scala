@@ -679,14 +679,29 @@ object TimeSeries {
     * keys on (key, hour), so no type ever correlates against another's
     * hours. Cost: maxLag × per-key span-hours, corpus-independent. */
   def hourlyAcfByKey(events: DataFrame, maxLag: Int = 12,
-                     keyCol: String = "event_type"): DataFrame = {
+                     keyCol: String = "event_type"): DataFrame =
+    acfFromKeyedCounts(
+      events
+        .filter(col("ts_us").isNotNull && col(keyCol).isNotNull)
+        .groupBy(col(keyCol).as("key"), floorDiv(col("ts_us"), 3600000000L).as("h"))
+        .agg(count(lit(1)).as("c")),
+      maxLag)
+
+  /** Per-key ACF served from the SAME hourly state table as
+    * [[acfServe]]/cusumServe/burstServe — the state is already keyed,
+    * so the per-type seasonality table is one more consumer of the one
+    * maintained seam. Population note as [[acfServe]]. */
+  def acfServeByKey(hourly: DataFrame, maxLag: Int = 12): DataFrame =
+    acfFromKeyedCounts(
+      hourly
+        .groupBy(col("key"), floorDiv(col("bucket_us"), 3600000000L).as("h"))
+        .agg(sum("n").as("c")),
+      maxLag)
+
+  private def acfFromKeyedCounts(counts: DataFrame, maxLag: Int): DataFrame = {
     require(maxLag >= 1 && maxLag <= 168,
       s"hourlyAcfByKey: maxLag=$maxLag must be in [1, 168]")
     val d = (c: Column) => c.cast("decimal(38,0)")
-    val counts = events
-      .filter(col("ts_us").isNotNull && col(keyCol).isNotNull)
-      .groupBy(col(keyCol).as("key"), floorDiv(col("ts_us"), 3600000000L).as("h"))
-      .agg(count(lit(1)).as("c"))
     Dedup.withScopedCache(counts) { hourly =>
       val left = hourly
         .withColumn("lag", explode(sequence(lit(1L), lit(maxLag.toLong))))

@@ -475,5 +475,12 @@ class TimeSeriesSpec extends SparkSpec {
       ev.filter(col("event_type").isNotNull && col("value").isNotNull), maxLag = 4)
       .orderBy("lag").collect().toSeq
     assert(viaState === viaBatch)
+    // the keyed face serves from the SAME state table
+    val keyedState = TimeSeries.acfServeByKey(TimeSeries.hourlyQuantized(ev), maxLag = 4)
+      .orderBy("key", "lag").collect().toSeq
+    val keyedBatch = TimeSeries.hourlyAcfByKey(
+      ev.filter(col("value").isNotNull), maxLag = 4)
+      .orderBy("key", "lag").collect().toSeq
+    assert(keyedState === keyedBatch && keyedState.nonEmpty)
   }
 }
