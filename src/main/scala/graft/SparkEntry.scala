@@ -700,6 +700,12 @@ object SparkEntry {
       Tables.documents(s, dir),
       jaccardPairs(s, dir)).orderBy("doc_id")),
 
+    // how BAD is duplication: clusters and docs per cluster size — the
+    // corpus-report curve over the same canonical resolution
+    "dedup_cluster_sizes" -> ((s, dir) => Graph.clusterSizeHistogram(
+      Graph.canonicalize(Tables.documents(s, dir), jaccardPairs(s, dir)))
+      .orderBy("cluster_size")),
+
     // cluster-keyed split over the same pair artifact: near-dups can
     // never straddle the train/eval boundary
     "q_split_leakage_safe" -> ((s, dir) =>
@@ -2532,6 +2538,8 @@ object SparkEntry {
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_canonical" -> CANONICAL_SQL,
+
+    "dedup_cluster_sizes" -> CLUSTER_SIZES_SQL,
     // dedup_simhash / sim_topk_ivf: hash-family/ANN internals are not
     // SQL-expressible; the driver records rows-only checks for them. The
     // planted reductions below ARE hash-checked (identical shingle sets /
@@ -3455,4 +3463,18 @@ object SparkEntry {
        |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS canonical_id
        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Cluster-size histogram over the same recursive canonical closure
+    * (`csz`, not `sizes` — COMPONENT_CTES already binds `sizes` to the
+    * shingle-set cardinalities). */
+  private val CLUSTER_SIZES_SQL =
+    s"""WITH RECURSIVE
+       |$COMPONENT_CTES,
+       |canon AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS canonical_id
+       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+       |csz AS (SELECT canonical_id, count(*) AS cluster_size FROM canon GROUP BY 1)
+       |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  count(*) AS n_clusters,
+       |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+       |FROM csz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 }

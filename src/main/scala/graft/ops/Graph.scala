@@ -117,6 +117,19 @@ object Graph {
             Seq(idCol), "left")
       .select(col(idCol), coalesce(col("comp"), col(idCol).cast("long")).as("canonical_id"))
 
+  /** Duplicate-cluster size histogram over a canonical-id frame — the
+    * corpus-report curve next to [[sourceDupMatrix]]'s WHERE: how BAD is
+    * duplication (a long tail of pair-clusters is routine crawl overlap;
+    * a few giant clusters are template farms worth a source-level fix).
+    * For each cluster size: the cluster count and the docs they hold
+    * (their product — n_docs sums to the corpus). Two aggregates; the
+    * output is at most max-cluster-size rows. */
+  def clusterSizeHistogram(canon: DataFrame): DataFrame =
+    canon.groupBy("canonical_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .select("cluster_size", "n_clusters", "n_docs")
+
   /** Cross-source duplication matrix — which sources copy which: each
     * near-dup pair attributed to its unordered (source, source) cell.
     * The curation dashboard that decides WHERE to point the dedup effort

@@ -304,6 +304,18 @@ class GraphSpec extends SparkSpec {
       s"wrong failure: ${ex.getMessage}")
   }
 
+  test("clusterSizeHistogram partitions the corpus by cluster size") {
+    // one 3-cluster {1,2,3}, one 2-cluster {10,11}, three singletons
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val h = Graph.clusterSizeHistogram(Graph.canonicalize(docs, pairs))
+      .orderBy("cluster_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(h.toSeq === Seq((1L, 3L, 3L), (2L, 1L, 2L), (3L, 1L, 3L)))
+    // n_docs column partitions the corpus exactly
+    assert(h.map(_._3).sum === 8L)
+  }
+
   test("canonicalize maps unpaired docs to themselves and paired docs to the component min") {
     val docs = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (7L, "e"))
       .toDF("doc_id", "text")
