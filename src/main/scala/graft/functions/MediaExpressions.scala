@@ -169,12 +169,13 @@ case class ByteChannelStats(child: Expression, offset: Int, stride: Int)
     copy(child = newChild)
 }
 
-/** `graft_byte_channel_stats_at(payload, offset)`: the DYNAMIC-offset
-  * form of [[ByteChannelStats]] — a marker-walked container (JPEG) puts
-  * its body at a per-row offset, so the offset is a full child
-  * expression rather than a plan-time literal; `tailTrim` bytes at the
-  * payload end are excluded (the EOI marker). A null or negative
-  * runtime offset yields null, never a crash. */
+/** `graft_byte_channel_stats_at(payload, offsetExpr, stride, tailTrim)`:
+  * the DYNAMIC-offset form of [[ByteChannelStats]] — a marker-walked
+  * container (JPEG) puts its body at a per-row offset, so the offset is
+  * a full child expression rather than a plan-time literal; `stride` and
+  * `tailTrim` stay plan-time literals (`tailTrim` bytes at the payload
+  * end are excluded — the EOI marker). A null or negative runtime offset
+  * yields null, never a crash. */
 case class ByteChannelStatsAt(payload: Expression, offset: Expression,
                               stride: Int, tailTrim: Int)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression

@@ -310,12 +310,18 @@ object Similarity {
   def centroidDrift(embeddings: DataFrame, isNew: Column): DataFrame = {
     val d = (c: Column) => c.cast("decimal(38,0)")
     val qv = floor(col("col") * lit(1000000.0)).cast("long")
-    val sums = embeddings
+    // empty embeddings are non-members on BOTH branches: the exploded sum
+    // branch drops them structurally (no pos rows), so the row-count
+    // branch must drop them too or n would count vectors that contributed
+    // nothing to C — the serve face (centroidDriftFromPartials) applies
+    // the identical rule, keeping serve ≡ batch
+    val nonEmpty = embeddings.filter(size(col("embedding")) > 0)
+    val sums = nonEmpty
       .select(col("label"), isNew.as("__new"), posexplode(toDouble(col("embedding"))))
       .groupBy("label", "pos")
       .agg(sum(when(!col("__new"), qv).otherwise(0L)).as("ca"),
         sum(when(col("__new"), qv).otherwise(0L)).as("cb"))
-    val counts = embeddings
+    val counts = nonEmpty
       .select(col("label"), isNew.as("__new"))
       .groupBy("label")
       .agg(sum(when(!col("__new"), 1L).otherwise(0L)).as("n_a"),
@@ -336,9 +342,16 @@ object Similarity {
     * (streaming/StreamingMonitors.centroidStateSink) maintains THIS
     * frame. Assumes fixed-dimension embeddings (every vector of a label
     * contributes every pos), which is what makes the per-label member
-    * count recoverable as max over pos. */
+    * count recoverable as max over pos — and the assumption is ENFORCED,
+    * not just documented: empty embeddings are filtered here (they
+    * contribute no pos rows, so counting them would skew the recovered
+    * n; same rule as [[centroidDrift]]'s batch face), and a RAGGED label
+    * (vectors of differing dimension, which makes n vary across pos and
+    * max(n) diverge from the row count) raises at serve time in
+    * [[centroidDriftFromPartials]] rather than drifting unnoticed. */
   def centroidPartials(embeddings: DataFrame): DataFrame =
     embeddings
+      .filter(size(col("embedding")) > 0)
       .select(col("label"), posexplode(toDouble(col("embedding"))))
       .groupBy("label", "pos")
       .agg(sum(floor(col("col") * lit(1000000.0)).cast("long")).as("csum"),
@@ -351,7 +364,11 @@ object Similarity {
     * monitoring ("is today's stream drifting from the train corpus?")
     * runs off ONE maintained state table with no re-scan of the stream.
     * Labels present on only one side appear with zero sums/count on the
-    * other, matching the batch op's conditional-sum convention. */
+    * other, matching the batch op's conditional-sum convention. A ragged
+    * label — n varying across pos, the signature of mixed-dimension
+    * vectors, which [[centroidPartials]]'s fixed-dim member-count
+    * recovery cannot represent — RAISES here instead of silently
+    * reporting a wrong n. */
   def centroidDriftFromPartials(ref: DataFrame, live: DataFrame): DataFrame = {
     val d = (c: Column) => c.cast("decimal(38,0)")
     val sums = ref.select(col("label"), col("pos"), col("csum").as("ca"))
@@ -360,8 +377,15 @@ object Similarity {
       .select(col("label"), col("pos"),
         coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
-    val counts = ref.groupBy("label").agg(max("n").as("n_a"))
-      .join(live.groupBy("label").agg(max("n").as("n_b")), Seq("label"), "full_outer")
+    val guardedN = (c: Column, side: String) =>
+      when(min(c) =!= max(c), raise_error(concat(
+        lit(s"centroidDriftFromPartials: ragged $side partials for label "),
+        col("label").cast("string"),
+        lit(" — mixed embedding dimensions within a label"))))
+        .otherwise(max(c))
+    val counts = ref.groupBy("label").agg(guardedN(col("n"), "ref").as("n_a"))
+      .join(live.groupBy("label").agg(guardedN(col("n"), "live").as("n_b")),
+        Seq("label"), "full_outer")
       .select(col("label"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))

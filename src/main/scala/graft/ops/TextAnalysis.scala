@@ -352,7 +352,17 @@ object TextAnalysis {
     * heavy lifting); per-source totals derive from the counts frame — no
     * second corpus scan — and join back broadcast (sources are a
     * dimension). Terms are ≥ 0 (p ≤ 1), so round() can't face a negative
-    * half-boundary in either engine. */
+    * half-boundary in either engine.
+    *
+    * Accepted host-pinned convention (the raw-double-sum rule's libm
+    * corollary): the per-term −p·ln p comes from the platform's 1-ulp
+    * (not correctly-rounded) `log`, so a term landing within 1 ulp of a
+    * .5 micro-nat boundary could round to different integers under a
+    * different libm and flip the cross-engine hash. No quantization of a
+    * libm-derived double has a boundary-free form (floor/half-up only
+    * move the boundary); the exposure is ~2⁻⁴⁰ per distinct term and the
+    * oracle runs on the same host, so this is pinned as a convention
+    * rather than papered over with a coarser quantum. */
   def sourceEntropy(docs: DataFrame, quantum: Long = 1000000L): DataFrame =
     sourceEntropyServe(entropyPartials(docs), quantum)
 

@@ -260,6 +260,38 @@ class LlmOpsSpec extends SparkSpec {
       1 -> ((1L, 1L, "2000000000000"))))
   }
 
+  test("centroid partials: empty embeddings are non-members on both faces; ragged labels raise") {
+    import graft.ops.Similarity
+    // an EMPTY embedding must not count as a member (it contributes no
+    // component sums) — and the rule must hold identically on the batch
+    // face and the partials/serve face, or live drift silently diverges
+    val emb = Seq(
+      (0L, Array(0.5f, 0.5f), 0), (1L, Array(0.5f, 0.5f), 0),
+      (2L, Array.empty[Float], 0),
+      (10L, Array(1.0f, 0.0f), 1), (11L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val batch = Similarity.centroidDrift(emb, col("vec_id") % 2 === 1)
+      .orderBy("label").collect().map(_.toSeq)
+    val served = Similarity.centroidDriftFromPartials(
+      Similarity.centroidPartials(emb.filter(col("vec_id") % 2 === 0)),
+      Similarity.centroidPartials(emb.filter(col("vec_id") % 2 === 1)))
+      .orderBy("label").collect().map(_.toSeq)
+    assert(batch === served)
+    assert(batch.head(1) === 1L, "the empty vector must not inflate n_a")
+    // mixed dimensions within a label break the max(n) member-count
+    // recovery — the serve face must raise, never report a wrong n
+    val ragged = Seq(
+      (0L, Array(0.5f, 0.5f), 0), (1L, Array(0.25f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val p = Similarity.centroidPartials(ragged)
+    val e = intercept[Exception] {
+      Similarity.centroidDriftFromPartials(p, p).collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(_.contains("ragged")), s"unexpected: $e")
+  }
+
   test("SRP-LSH near-dup finds planted duplicates without labels, exactly") {
     val base = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("embedding"))
