@@ -53,6 +53,31 @@ object SparkEntry {
     graft.ops.Artifacts.parquetArtifact(s, pairArtifactPath("minhash", dir))(
       Dedup.minhashLsh(Tables.documents(s, dir)))
 
+  /** Resolved-components artifact (id, comp): pointer doubling is
+    * deterministic (min-label fixpoint over a deterministic pair list),
+    * so like the pair list it is a write-once artifact — the closure runs
+    * ONCE per corpus and every consumer in the components family
+    * (components, canonical mapping, cluster histogram, leakage-safe
+    * split, source dup rate) reads the resolved frame. At 100 TB the
+    * closure is the dominant dedup cost and runs as a nightly job; this
+    * is that job's output seam. Keyed by pair generator + sf dir. */
+  private def componentsArtifactPath(tag: String, dir: String): String =
+    new java.io.File("target/graft-artifacts/comps_v1_" + tag + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+
+  private def jaccardComponents(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Artifacts.parquetArtifact(s, componentsArtifactPath("jaccard", dir))(
+      Graph.connectedComponents(jaccardPairs(s, dir)))
+
+  private def minhashComponents(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Artifacts.parquetArtifact(s, componentsArtifactPath("minhash", dir))(
+      Graph.connectedComponents(minhashPairs(s, dir)))
+
+  /** The shared canonical resolution every downstream entry consumes:
+    * one left equi-join of the corpus against the components artifact. */
+  private def canonicalDocs(s: SparkSession, dir: String): DataFrame =
+    Graph.canonicalizeFromComponents(Tables.documents(s, dir), jaccardComponents(s, dir))
+
   private def rawObs(s: SparkSession, dir: String): DataFrame =
     Hrfco.rawObservations(Tables.events(s, dir))
 
@@ -689,27 +714,25 @@ object SparkEntry {
 
     // terminal dedup stage: resolve the jaccard pair list into connected
     // components (min-label + pointer doubling, O(log n) rounds), then map
-    // EVERY corpus doc to its cluster representative. The pair list comes
-    // through the write-once artifact (see pairArtifactPath) — generation
-    // is deterministic, so artifact and recompute are result-identical and
-    // each entry's oracle still certifies the full composition.
-    "dedup_components" -> ((s, dir) => Graph.connectedComponents(
-      jaccardPairs(s, dir)).orderBy("id")),
+    // EVERY corpus doc to its cluster representative. BOTH stages come
+    // through write-once artifacts (see pairArtifactPath /
+    // componentsArtifactPath) — generation and closure are deterministic,
+    // so artifact and recompute are result-identical and each entry's
+    // oracle still certifies the full composition; the whole components
+    // family shares ONE closure run per corpus.
+    "dedup_components" -> ((s, dir) => jaccardComponents(s, dir).orderBy("id")),
 
-    "dedup_canonical" -> ((s, dir) => Graph.canonicalize(
-      Tables.documents(s, dir),
-      jaccardPairs(s, dir)).orderBy("doc_id")),
+    "dedup_canonical" -> ((s, dir) => canonicalDocs(s, dir).orderBy("doc_id")),
 
     // how BAD is duplication: clusters and docs per cluster size — the
     // corpus-report curve over the same canonical resolution
     "dedup_cluster_sizes" -> ((s, dir) => Graph.clusterSizeHistogram(
-      Graph.canonicalize(Tables.documents(s, dir), jaccardPairs(s, dir)))
-      .orderBy("cluster_size")),
+      canonicalDocs(s, dir)).orderBy("cluster_size")),
 
-    // cluster-keyed split over the same pair artifact: near-dups can
-    // never straddle the train/eval boundary
+    // cluster-keyed split over the same canonical resolution: near-dups
+    // can never straddle the train/eval boundary
     "q_split_leakage_safe" -> ((s, dir) =>
-      Sampling.leakageSafeSplit(Tables.documents(s, dir), jaccardPairs(s, dir))
+      Sampling.leakageSafeSplitFromCanon(canonicalDocs(s, dir))
         .orderBy("doc_id")),
 
     // per-user DAILY ingest throttle on the event stream (day bucket:
@@ -725,14 +748,14 @@ object SparkEntry {
     "dedup_source_matrix" -> ((s, dir) => Graph.sourceDupMatrix(
       Tables.documents(s, dir), jaccardPairs(s, dir)).orderBy("source_a", "source_b")),
 
-    "dedup_source_rate" -> ((s, dir) => Graph.sourceDupRate(
-      Tables.documents(s, dir), jaccardPairs(s, dir)).orderBy("source")),
+    "dedup_source_rate" -> ((s, dir) => Graph.sourceDupRateFromCanon(
+      canonicalDocs(s, dir), Tables.documents(s, dir)).orderBy("source")),
 
     // the 100 TB composition: CC over the MinHash-LSH pair generator —
     // same oracle as dedup_components because LSH+verify reproduces the
-    // exact pair set on this corpus (the dedup_minhash contract)
-    "dedup_components_lsh" -> ((s, dir) => Graph.connectedComponents(
-      minhashPairs(s, dir)).orderBy("id")),
+    // exact pair set on this corpus (the dedup_minhash contract); its own
+    // components artifact, keyed by its generator
+    "dedup_components_lsh" -> ((s, dir) => minhashComponents(s, dir).orderBy("id")),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir)).orderBy("id1", "id2")),

@@ -112,8 +112,18 @@ object Graph {
     * broadcast-able when the dup rate is low, AQE-planned otherwise. */
   def canonicalize(docs: DataFrame, pairs: DataFrame,
                    idCol: String = "doc_id"): DataFrame =
+    canonicalizeFromComponents(docs, connectedComponents(pairs), idCol)
+
+  /** [[canonicalize]] over an ALREADY-RESOLVED component frame (id, comp)
+    * — the consumption seam that lets one pointer-doubling run (or a
+    * persisted components artifact; at 100 TB the closure is the dominant
+    * dedup cost and runs as a nightly job) feed every downstream consumer:
+    * canonical mapping, cluster histogram, leakage-safe split, per-source
+    * dup rate. Just the left equi-join back to the corpus. */
+  def canonicalizeFromComponents(docs: DataFrame, components: DataFrame,
+                                 idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol))
-      .join(connectedComponents(pairs).select(col("id").as(idCol), col("comp")),
+      .join(components.select(col("id").as(idCol), col("comp")),
             Seq(idCol), "left")
       .select(col(idCol), coalesce(col("comp"), col(idCol).cast("long")).as("canonical_id"))
 
@@ -154,7 +164,12 @@ object Graph {
     * metric that ranks sources for exclusion. Component resolution once,
     * one join to the source dimension, one aggregate. */
   def sourceDupRate(docs: DataFrame, pairs: DataFrame): DataFrame =
-    canonicalize(docs, pairs)
+    sourceDupRateFromCanon(canonicalize(docs, pairs), docs)
+
+  /** [[sourceDupRate]] over a prebuilt canonical frame — see
+    * [[canonicalizeFromComponents]] for why the resolution is a seam. */
+  def sourceDupRateFromCanon(canon: DataFrame, docs: DataFrame): DataFrame =
+    canon
       .join(docs.select("doc_id", "source"), "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),

@@ -252,8 +252,15 @@ object Sampling {
     * so singleton docs split exactly as before. */
   def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
                        trainBuckets: Int = 230, seed: String = "split:"): DataFrame =
-    Graph.canonicalize(docs, pairs)
-      .withColumn("split", splitColumn(col("canonical_id"), trainBuckets, seed))
+    leakageSafeSplitFromCanon(Graph.canonicalize(docs, pairs), trainBuckets, seed)
+
+  /** [[leakageSafeSplit]] over a prebuilt canonical frame (doc_id,
+    * canonical_id) — see [[Graph.canonicalizeFromComponents]]: the
+    * closure resolution is a shared (at scale, nightly-artifact) seam,
+    * and the split itself is one hash expression over it. */
+  def leakageSafeSplitFromCanon(canon: DataFrame, trainBuckets: Int = 230,
+                                seed: String = "split:"): DataFrame =
+    canon.withColumn("split", splitColumn(col("canonical_id"), trainBuckets, seed))
 
   /** Deterministic Poisson-bootstrap confidence interval for the
     * per-type mean — resampling with NO randomness at run time: each

@@ -18,6 +18,44 @@ class GraphSpec extends SparkSpec {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("components artifact: read-back equals recompute; re-touch runs no closure jobs") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val docs = (0L to 12L).map(Tuple1(_)).toDF("doc_id")
+    val dir = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target/test-out").getAbsoluteFile.toPath, "comps").toString
+    val path = s"$dir/c"
+    val direct = Graph.connectedComponents(pairs)
+    val fromArtifact = graft.ops.Artifacts.parquetArtifact(spark, path)(direct)
+    // longs round-trip parquet exactly: the artifact is a cache, not a fork
+    assert(fromArtifact.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === direct.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // every downstream consumer composed over the artifact equals the
+    // direct pairs-composition — the family shares ONE closure run
+    val canon = Graph.canonicalizeFromComponents(docs, fromArtifact)
+    assert(canon.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Graph.canonicalize(docs, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(graft.ops.Sampling.leakageSafeSplitFromCanon(canon)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+      === graft.ops.Sampling.leakageSafeSplit(docs, pairs)
+        .collect().map(r => (r.getLong(0), r.getString(2))).toMap)
+    // re-touch must READ, not re-resolve: pointer doubling schedules one
+    // job per round plus the seed aggregate; a pure artifact read
+    // schedules at most the footer/listing job
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.ops.Artifacts.parquetArtifact(spark, path)(
+        sys.error("re-touch must not rebuild"): org.apache.spark.sql.DataFrame)
+      org.apache.spark.sql.graft.Bridge.drainListenerBus(spark)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() <= 1, s"components artifact re-touch ran ${jobs.get()} jobs")
+  }
+
   test("a 200-node path converges well inside the round budget") {
     val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("id1", "id2")
     val comp = Graph.connectedComponents(pairs, maxIter = 16).collect()
