@@ -921,6 +921,45 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // rolling-ingest ANN maintenance: assign a NEW batch (vec_id % 8 == 7)
+    // against centroid/codebook artifacts trained on the SEEN corpus and
+    // emit exactly the index rows to append — no retrain, no touch of
+    // seen-corpus state. Rows-only by design (cell/code internals aren't
+    // SQL-expressible); certified by the spec (bit-equal to full-rebuild
+    // assignment on the union) and the _planted serve-through entry below.
+    "sim_index_increment" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 8 =!= 7)
+      val batch = emb.filter(col("vec_id") % 8 === 7)
+      Similarity.indexIncrement(batch,
+        Similarity.centroidArtifact(base, ivfArtifactPath("incr", dir),
+          k = 16, iterations = 2),
+        Similarity.pqCodebookArtifact(base, pqArtifactPath("incr", dir)))
+        .orderBy("vec_id", "sub")
+    }),
+
+    // the increment certificate, end to end: serve top-k THROUGH an
+    // incremented index — stored rows for the base planted corpus plus
+    // indexIncrement rows for a late-arriving batch (the j∈{4,5} cluster
+    // members), models trained on the base only — and the output is brute
+    // force over the full planted corpus, hash-checked against the SAME
+    // oracle as sim_topk_ivfpq_planted: the late siblings are found ONLY
+    // if the appended rows land in the right cells with the right codes.
+    "sim_index_increment_planted" -> ((s, dir) => {
+      val corpus = Similarity.plantedClusterCorpus(Tables.embeddings(s, dir))
+      val isBatch = col("vec_id") >= 1000L && col("vec_id") < 1000000L &&
+        pmod(col("vec_id") - 1000L, lit(6L)) >= 4L
+      val base = corpus.filter(!isBatch)
+      val cents = Similarity.centroidArtifact(base,
+        ivfArtifactPath("incr_planted", dir), k = 16, iterations = 2)
+      val books = Similarity.pqCodebookArtifact(base, pqArtifactPath("incr_planted", dir))
+      val index = Similarity.buildIndex(base, cents, books)
+        .unionByName(Similarity.indexIncrement(corpus.filter(isBatch), cents, books))
+      Similarity.serveFromIndex(corpus, index, cents, books,
+        k = 5, numQueries = 8, nprobe = 3, m = 4, shortlist = 32)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_embed_quantize" -> ((s, dir) => {
       val q = Quantization.quantize(Tables.embeddings(s, dir))
       q.select(
@@ -2708,6 +2747,11 @@ object SparkEntry {
       PLANTED_TOPK_SQL,
 
     "sim_topk_ivfpq_planted" -> PLANTED_TOPK_SQL,
+
+    // the increment certificate serves brute force over the SAME planted
+    // corpus — late-arriving cluster members reachable only through the
+    // indexIncrement-appended rows
+    "sim_index_increment_planted" -> PLANTED_TOPK_SQL,
 
     // identical to sim_topk_ivf_clustered's oracle: the planted corpus is
     // SQL-reconstructible and the certified output IS brute-force top-5

@@ -549,27 +549,71 @@ object Similarity {
                 m: Int = 4, kCode: Int = 16, shortlist: Int = 32,
                 centroids: Option[DataFrame] = None,
                 codebooks: Option[DataFrame] = None): DataFrame = {
+    val cents = broadcast(centroids.getOrElse(
+      trainCentroids(embeddings, numCells, iterations = 2)))
+    val books = broadcast(codebooks.getOrElse(
+      trainPqCodebooks(embeddings, m, kCode, iterations = 2)))
+    serveFromIndex(embeddings, buildIndex(embeddings, cents, books, m),
+      cents, books, k, numQueries, nprobe, m, shortlist)
+  }
+
+  /** The IVF-PQ index rows for a corpus against FIXED model artifacts:
+    * each vector's 1-nearest cell and its m PQ codes — (vec_id, cell,
+    * sub, code), the only corpus-sized frame the serving path probes.
+    * Assignment is strictly per-row (argmin against a broadcast ≤k·m
+    * model), which is what makes the index APPENDABLE — see
+    * [[indexIncrement]]. */
+  def buildIndex(embeddings: DataFrame, centroids: DataFrame,
+                 books: DataFrame, m: Int = 4): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val dim = corpus.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    val cells = assignCells(embeddings, broadcast(centroids), probe = 1)
+      .select(col("vec_id"), col("cell"))
+    pqAssign(subSlices(corpus, m, dim / m), broadcast(books))
+      .join(cells, "vec_id")
+      .select("vec_id", "cell", "sub", "code")
+  }
+
+  /** Incremental ANN index maintenance — the rolling-ingest member of
+    * the family next to Dedup.exactIncrement/minhashLshIncrement: assign
+    * a NEW embedding batch against the STORED centroid + codebook
+    * artifacts ([[centroidArtifact]], [[pqCodebookArtifact]]) and emit
+    * exactly the rows to APPEND to the serving index — no retraining, no
+    * touch of the seen corpus (the batch never joins corpus-sized state;
+    * the model side is a broadcast ≤k·m rows). Because assignment is
+    * per-row, the appended rows are bit-equal to what a full index
+    * rebuild over the union corpus would assign to the same ids (spec'd)
+    * — the index grows by appends, and centroid/codebook refresh stays a
+    * separate OFFLINE decision, exactly how an IVF-PQ deployment ages. */
+  def indexIncrement(batch: DataFrame, centroids: DataFrame,
+                     books: DataFrame, m: Int = 4): DataFrame =
+    buildIndex(batch, centroids, books, m)
+
+  /** IVF-PQ serving over a PREBUILT index frame (vec_id, cell, sub,
+    * code) — stored rows plus any [[indexIncrement]] appends: probe the
+    * query's nprobe cells, ADC-score only the codes in them, exact-rerank
+    * the shortlist. The split of [[topKIvfPq]] that lets the index be a
+    * maintained table rather than a per-query rebuild. */
+  def serveFromIndex(embeddings: DataFrame, index: DataFrame,
+                     centroids: DataFrame, books: DataFrame,
+                     k: Int = 5, numQueries: Int = 8, nprobe: Int = 3,
+                     m: Int = 4, shortlist: Int = 32): DataFrame = {
     require(shortlist >= k,
       s"shortlist=$shortlist < k=$k would silently return fewer than k neighbors")
     val corpus = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val dim = corpus.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
     val subDim = dim / m
-    val cents = broadcast(centroids.getOrElse(
-      trainCentroids(embeddings, numCells, iterations = 2)))
-    val books = broadcast(codebooks.getOrElse(
-      trainPqCodebooks(embeddings, m, kCode, iterations = 2)))
-    val cells = assignCells(embeddings, cents, probe = 1)
-      .select(col("vec_id"), col("cell"))
-    val codes = pqAssign(subSlices(corpus, m, subDim), books).join(cells, "vec_id")
-    val queryCells = assignCells(embeddings.filter(col("vec_id") < numQueries), cents, probe = nprobe)
+    val queryCells = assignCells(embeddings.filter(col("vec_id") < numQueries),
+      broadcast(centroids), probe = nprobe)
       .select(col("vec_id").as("query_id"), col("cell"))
     val adc = subSlices(corpus.filter(col("vec_id") < numQueries), m, subDim)
       .join(broadcast(books), "sub")
       .select(col("vec_id").as("query_id"), col("sub"),
         col("centroid_id").as("code"),
         VectorFunctions.dot(col("sv"), col("cv")).as("dsub"))
-    val short = codes
+    val short = index
       .join(broadcast(queryCells), "cell") // probe restriction: cell equi-join
       .join(broadcast(adc), Seq("query_id", "sub", "code"))
       .filter(col("query_id") =!= col("vec_id"))

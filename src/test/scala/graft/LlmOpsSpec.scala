@@ -414,6 +414,28 @@ class LlmOpsSpec extends SparkSpec {
       === c1.collect().toSeq.map(_.toSeq).sortBy(_.head.asInstanceOf[Long]))
   }
 
+  test("index increment: appended rows are bit-equal to full-rebuild assignment on the union") {
+    // the rolling-ingest contract: assignment against FIXED stored models
+    // is per-row, so incrementing the index with a batch must produce
+    // exactly the rows a full rebuild over the union corpus would assign
+    // to the same ids — any cross-row contamination (retraining, seen-
+    // corpus state) would break the equality
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(col("vec_id") % 8 =!= 7)
+    val batch = emb.filter(col("vec_id") % 8 === 7)
+    val cents = Similarity.trainCentroids(base, k = 16, iterations = 2)
+    val books = Similarity.trainPqCodebooks(base, iterations = 2)
+    val incr = Similarity.indexIncrement(batch, cents, books)
+      .orderBy("vec_id", "sub").collect().map(_.toSeq)
+    val rebuild = Similarity.buildIndex(emb, cents, books)
+      .filter(col("vec_id") % 8 === 7)
+      .orderBy("vec_id", "sub").collect().map(_.toSeq)
+    assert(incr.nonEmpty)
+    assert(incr === rebuild)
+    // and the batch rows are complete: m=4 codes per batch vector
+    assert(incr.length === batch.count() * 4)
+  }
+
   test("PQ: deterministic codebooks, m codes per vector, full shortlist equals brute") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     // bit-identical training across runs — the artifact-is-a-cache premise
