@@ -118,11 +118,105 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     val calAfter = hostCal()
     val jvmCalAfter = jvmCal()
+
+    // ---- in-band self-adjudication --------------------------------------
+    // Three consecutive official records (r9-r11) were host-contaminated
+    // — a degraded host phase mid-run elevated 10-20 queries >2x their
+    // clean-record times, and each round burned an adjudication pass
+    // cross-referencing gate runs after the fact. Close the loop IN the
+    // record: any query that lands >2x its entry in the committed prior
+    // clean record (shipped as a resource; same flag rule as
+    // tools/bench_gate.py — ratio over 2 AND >1s absolute, so sub-second
+    // wobble never flags) is re-run immediately with a fresh
+    // engine-independent jvm-cal snapshot alongside, so the record
+    // carries its own refutation (re-run back in band ⇒ host phase) or
+    // confirmation (still elevated on a clean cal ⇒ real) and needs no
+    // gate archaeology. Queries absent from the record (new this round)
+    // cannot flag. The full bench at sf0.1 runs only on the official
+    // driver pass, so the extra re-runs cost seconds, bounded by the
+    // flag count.
+    def jvmCalOnce(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L; var s = 0L; var i = 0
+      while (i < 300000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; s += x; i += 1 }
+      calSink = s
+      (System.nanoTime() - t0) / 1e9
+    }
+    // SPARK_GRAFT_BENCH_RECORD points at an alternate record file (used
+    // by the gate ritual to adjudicate against a mid-round run, and to
+    // exercise the flag path in testing); default is the committed
+    // resource — the prior round's clean record.
+    val record: Map[String, Double] =
+      try {
+        val txt = sys.env.get("SPARK_GRAFT_BENCH_RECORD") match {
+          case Some(p) => Some(new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+            java.nio.charset.StandardCharsets.UTF_8))
+          case None =>
+            Option(getClass.getResourceAsStream("/graft/bench_record.json")).map { in =>
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            }
+        }
+        txt.map { t =>
+          import org.json4s._
+          org.json4s.jackson.JsonMethods.parse(t) \ "queries" match {
+            case JObject(fields) => fields.collect {
+              case (k, JDouble(v)) => k -> v
+              case (k, JInt(v)) => k -> v.toDouble
+              case (k, JDecimal(v)) => k -> v.toDouble
+            }.toMap
+            case _ => Map.empty[String, Double]
+          }
+        }.getOrElse(Map.empty)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] prior record unreadable: ${e.getMessage}")
+        Map.empty
+      }
+    val flagged = results.collect {
+      case (name, v, true) if record.get(name).exists(r => r > 0 && v > 2 * r && v - r > 1.0) =>
+        (name, v, record(name))
+    }
+    val adjudicated = flagged.map { case (name, mainT, rec) =>
+      val calSnap = jvmCalOnce()
+      def rerunOnce(): Option[Double] = {
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] adjudication rerun of $name failed: ${e.getMessage}")
+          None
+        }
+      }
+      val r1 = rerunOnce()
+      org.apache.spark.sql.graft.Bridge.drainListenerBus(spark)
+      spark.catalog.clearCache()
+      val r2 = rerunOnce()
+      org.apache.spark.sql.graft.Bridge.drainListenerBus(spark)
+      spark.catalog.clearCache()
+      val rerun: Double =
+        (r1.toSeq ++ r2.toSeq).reduceOption((a: Double, b: Double) => math.min(a, b))
+          .getOrElse(-1.0)
+      (name, mainT, rerun, rec, calSnap)
+    }
+    val adjJson = adjudicated.map { case (name, mainT, rerun, rec, calSnap) =>
+      "\"" + name + "\":{\"main\":" + mainT + ",\"rerun\":" + rerun +
+        ",\"record\":" + rec + ",\"jvm_cal\":" + calSnap + "}"
+    }.mkString("{", ",", "}")
+    // a flag stays OPEN only if the immediate re-run ALSO lands >2x the
+    // record (same rule) — those are the engine's to answer; the rest are
+    // self-refuted host wobble, closed inside this very record
+    val flagsOpen = adjudicated.collect {
+      case (name, _, rerun, rec, _) if rerun < 0 || (rerun > 2 * rec && rerun - rec > 1.0) =>
+        "\"" + name + "\""
+    }.mkString("[", ",", "]")
+    val adj = s""""adjudication":$adjJson,"flags_open":$flagsOpen"""
     // "filtered" marks partial runs so they can never be mistaken for the
     // official full-bench line
     val filtered = if (only.isDefined) ""","filtered":true""" else ""
     val cals = s""""host_cal_before":$calBefore,"host_cal_after":$calAfter,"jvm_cal_before":$jvmCalBefore,"jvm_cal_after":$jvmCalAfter"""
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$filtered,$cals,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$filtered,$cals,$adj,"sf":"$sfDir"}"""
     println(fullLine)
     // Self-contained record: the stdout capture is tail-windowed (8 KiB)
     // and the per-query line's FRONT scrolls out past ~90 queries, so the
@@ -142,7 +236,7 @@ object Bench {
     // record lost the total and the dedup family that way). This second
     // line is small and LAST, so any tail capture always carries the total,
     // both calibrations, the query count, and the failure list.
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed$filtered,$cals,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed$filtered,$cals,"n_flagged":${adjudicated.size},"flags_open":$flagsOpen,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
