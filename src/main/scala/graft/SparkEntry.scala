@@ -1110,6 +1110,16 @@ object SparkEntry {
           when(col("container") === "jpeg", element_at(col("feature"), 5)).as("px_std_g"),
           when(col("container") === "jpeg", element_at(col("feature"), 6)).as("px_std_r"))
         .orderBy("doc_id")),
+
+    // progressive-JPEG table/scan census: DQT/DHT counts and per-scan
+    // byte lengths re-derived from the BYTES by the full native marker
+    // walk (length-less scan regions terminated by FF-scan with
+    // stuffing/RSTn framing) — the oracle derives the same integers
+    // analytically from the construction formulas, so a wrong hop, a
+    // missed table, or an off-by-one scan boundary fails the hash
+    "q_multimodal_scan_stats" -> ((s, dir) =>
+      Multimodal.scanStats(Multimodal.scanFrame(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
   )
 
   // ---- DuckDB oracle -----------------------------------------------------
@@ -3243,6 +3253,29 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 1 THEN CAST(16 AS INT) END AS bits_per_sample,
         |  CASE WHEN doc_id % 3 = 1 THEN CAST(octet_length(CAST(text AS BLOB))
         |       // ((doc_id % 2 + 1) * 2) AS BIGINT) END AS total_samples
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // analytic twin of the scan walk: table counts come straight from the
+    // doc_id construction formulas; the near-even scan split means
+    // total = L, min = L // n, max = (L + n - 1) // n (all operands
+    // non-negative). Audio rows are FLAC -> every walk field NULL.
+    "q_multimodal_scan_stats" ->
+      """SELECT doc_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |  CASE WHEN doc_id % 3 = 1 THEN 'flac' ELSE 'jpeg' END AS container,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 2 + 1 AS INT) END AS n_dqt,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 4 + 1 AS INT) END AS n_dht,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 7 % 3 + 1 AS INT) END AS n_scans,
+        |  CASE WHEN doc_id % 3 <> 1
+        |       THEN CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) END AS scan_bytes_total,
+        |  CASE WHEN doc_id % 3 <> 1
+        |       THEN CAST(octet_length(CAST(text AS BLOB)) // (doc_id % 7 % 3 + 1) AS INT)
+        |       END AS scan_bytes_min,
+        |  CASE WHEN doc_id % 3 <> 1
+        |       THEN CAST((octet_length(CAST(text AS BLOB)) + doc_id % 7 % 3)
+        |            // (doc_id % 7 % 3 + 1) AS INT)
+        |       END AS scan_bytes_max
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 

@@ -86,6 +86,13 @@ object GraftExtensions {
           s"$sig expects 4 arguments, got ${children.size}")
         ByteChannelStatsAt(children(0), children(1),
           literalInt(sig, children(2)), literalInt(sig, children(3))): Expression
+      }),
+    (FunctionIdentifier("graft_jpeg_scan_stats"),
+      new ExpressionInfo(classOf[JpegScanStats].getName, "graft_jpeg_scan_stats"),
+      (children: Seq[Expression]) => {
+        if (children.size != 1) throw new IllegalArgumentException(
+          s"graft_jpeg_scan_stats(payload) expects 1 argument, got ${children.size}")
+        JpegScanStats(children.head): Expression
       }))
 
   /** Idempotent in-session registration (for sessions built without the

@@ -115,6 +115,68 @@ object DspKernel {
     }
     new GenericArrayData(out)
   }
+
+  /** Full JPEG marker-stream statistics per ITU T.81: walk every
+    * length-prefixed segment from SOI to EOI, counting quantization
+    * (DQT) and Huffman (DHT) table segments, and measure each
+    * entropy-coded SCAN — the length-LESS region after an SOS header
+    * that a reader must terminate by byte-scanning for the next true
+    * marker, honoring §B.1.1.5 framing: 0xFF00 is a STUFFED data byte
+    * and FFD0-D7 (RSTn) are restart markers, both part of the scan;
+    * any other FFxx ends it. Returns
+    * [n_dqt, n_dht, n_scans, scan_bytes_total, scan_min, scan_max]
+    * (min/max 0 when no scan), or null for a non-JPEG payload or any
+    * malformed stream (truncated segment, lost marker alignment, scan
+    * running off the end) — never a read at a garbage offset. */
+  def jpegScanStats(p: Array[Byte]): GenericArrayData = {
+    if (p.length < 4 || (p(0) & 0xff) != 0xFF || (p(1) & 0xff) != 0xD8) return null
+    var pos = 2
+    var nDqt = 0L
+    var nDht = 0L
+    var nSos = 0L
+    var total = 0L
+    var minScan = Long.MaxValue
+    var maxScan = 0L
+    var done = false
+    while (!done) {
+      if (pos + 1 >= p.length || (p(pos) & 0xff) != 0xFF) return null
+      val m = p(pos + 1) & 0xff
+      if (m == 0xD9) done = true // EOI
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) pos += 2 // standalone
+      else if (m == 0xDA) {
+        if (pos + 3 >= p.length) return null
+        val hdr = ((p(pos + 2) & 0xff) << 8) | (p(pos + 3) & 0xff)
+        if (hdr < 2) return null
+        var k = pos + 2 + hdr
+        val start = k
+        var scanning = true
+        while (scanning) {
+          if (k >= p.length) return null // scan ran off the end
+          if ((p(k) & 0xff) == 0xFF) {
+            if (k + 1 >= p.length) return null // marker cut off
+            val m2 = p(k + 1) & 0xff
+            if (m2 == 0x00 || (m2 >= 0xD0 && m2 <= 0xD7)) k += 2
+            else scanning = false
+          } else k += 1
+        }
+        val scanLen = (k - start).toLong
+        nSos += 1
+        total += scanLen
+        if (scanLen < minScan) minScan = scanLen
+        if (scanLen > maxScan) maxScan = scanLen
+        pos = k
+      } else {
+        if (pos + 3 >= p.length) return null
+        val len = ((p(pos + 2) & 0xff) << 8) | (p(pos + 3) & 0xff)
+        if (len < 2) return null
+        if (m == 0xDB) nDqt += 1
+        if (m == 0xC4) nDht += 1
+        pos += 2 + len
+      }
+    }
+    new GenericArrayData(Array(nDqt, nDht, nSos, total,
+      if (nSos == 0) 0L else minScan, maxScan))
+  }
 }
 
 /** `graft_pcm_stats(payload, offset)`: [rms, zcr] of the 16-bit PCM body
@@ -210,6 +272,32 @@ case class ByteChannelStatsAt(payload: Expression, offset: Expression,
     copy(payload = newLeft, offset = newRight)
 }
 
+/** `graft_jpeg_scan_stats(payload)`:
+  * [n_dqt, n_dht, n_scans, scan_bytes_total, scan_min, scan_max] from a
+  * full JPEG marker walk (see [[DspKernel.jpegScanStats]]); null for
+  * non-JPEG or malformed streams. */
+case class JpegScanStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_jpeg_scan_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DspKernel.jpegScanStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.jpegScanStats($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object MediaFunctions {
   /** Codegen'd [rms, zcr] of a 16-bit LE PCM body. */
   def pcmStats(payload: Column, offset: Int): Column =
@@ -225,4 +313,8 @@ object MediaFunctions {
                          tailTrim: Int): Column =
     Bridge.column(ByteChannelStatsAt(Bridge.expression(payload),
       Bridge.expression(offset), stride, tailTrim))
+
+  /** Codegen'd full-stream JPEG table/scan statistics. */
+  def jpegScanStats(payload: Column): Column =
+    Bridge.column(JpegScanStats(Bridge.expression(payload)))
 }

@@ -340,4 +340,111 @@ object Multimodal {
           graft.functions.MediaFunctions.byteChannelStatsAt(
             col("payload"), col("sof_off") + lit(18), stride = 3, tailTrim = 2)))
       .drop("payload")
+
+  // ---- progressive JPEG: tables + multi-scan ------------------------------
+  // One notch deeper than the SOF walk: a PROGRESSIVE stream (SOF2)
+  // carries several SOS scans, and scan data has NO length field — per
+  // ITU T.81 a reader terminates a scan by byte-scanning for the next
+  // true marker while honoring §B.1.1.5 framing (FF00 stuffing, RSTn).
+  // That walk is genuinely imperative, so it runs as the codegen'd
+  // native expression graft.functions.JpegScanStats rather than a
+  // Catalyst aggregate fold — the (b)-tier custom-Expression path.
+
+  private def dqtHex(id: Int): String =
+    "FFDB0043" + f"$id%02X" + "11" * 64 // len 67: id byte + 64 table bytes
+
+  private def dhtHex(id: Int): String =
+    // len 27 = 2 + 1 + 16 counts + 8 symbols: one code per length 1-8
+    "FFC4001B" + f"${Seq(0x00, 0x01, 0x10, 0x11)(id)}%02X" +
+      "01" * 8 + "00" * 8 + "0001020304050607"
+
+  /** A structurally valid PROGRESSIVE JPEG: SOI, APP0, variable-length
+    * COM, `nDqt` (≤2) quantization tables, `nDht` (≤4) Huffman tables,
+    * SOF2, `nScans` (≤3) SOS scans splitting `text` near-evenly (scan i
+    * gets ⌊L/n⌋ bytes plus one while i < L mod n), EOI. Table counts and
+    * the scan split are per-row data — the reader must walk and
+    * byte-scan, not index a constant layout. `text` must be FF-free
+    * (ASCII corpus text is), as real entropy bytes are by stuffing. */
+  def jpegScanPayload(width: Column, height: Column, comLen: Column,
+                      nDqt: Column, nDht: Column, nScans: Column,
+                      text: Column): Column = {
+    val emptyBin = lit(Array.empty[Byte])
+    val dqts = (0 until 2).map(i =>
+      when(lit(i) < nDqt, unhex(lit(dqtHex(i)))).otherwise(emptyBin))
+    val dhts = (0 until 4).map(i =>
+      when(lit(i) < nDht, unhex(lit(dhtHex(i)))).otherwise(emptyBin))
+    val bodyLen = length(text).cast("long")
+    val base = floor(bodyLen / nScans).cast("long")
+    val rem = pmod(bodyLen, nScans.cast("long"))
+    val scans = (0 until 3).map { i =>
+      val start = lit(i.toLong) * base + least(lit(i.toLong), rem) + lit(1L)
+      val len = base + when(lit(i.toLong) < rem, 1L).otherwise(0L)
+      when(lit(i) < nScans,
+        concat(
+          // SOS: len 8, 1 component (Cs 1, Td/Ta 0), Ss 0, Se 3F, AhAl 0
+          unhex(lit("FFDA000801" + "0100" + "003F00")),
+          text.substr(start.cast("int"), len.cast("int")).cast("binary")))
+        .otherwise(emptyBin)
+    }
+    concat(
+      Seq(
+        unhex(concat(
+          lit("FFD8" +
+            "FFE000104A46494600010100004800480000" +
+            "FFFE"),
+          beHex(comLen.cast("long") + 2L, 2))),
+        lit("x" * 13).substr(lit(1), comLen).cast("binary")) ++
+      dqts ++ dhts ++
+      Seq(unhex(concat(
+        lit("FFC2001108"), // SOF2 (progressive), len 17, precision 8
+        beHex(height, 2), beHex(width, 2),
+        lit("03012200021101031101")))) ++
+      scans :+
+      unhex(lit("FFD9")): _*)
+  }
+
+  /** documents → scan-rich codec frame: audio rows carry FLAC (as in
+    * [[codecFrame]]); image/video rows carry progressive JPEG whose
+    * table counts and scan split vary per row (doc_id-derived), so the
+    * scan walk sees real variable geometry. */
+  def scanFrame(docs: DataFrame): DataFrame = {
+    val data = col("text").cast("binary")
+    val width = (col("doc_id") % 640 + 64).cast("int")
+    val height = (col("doc_id") % 480 + 48).cast("int")
+    val comLen = (col("doc_id") % 13 + 1).cast("int")
+    val nDqt = (col("doc_id") % 2 + 1).cast("int")
+    val nDht = (col("doc_id") % 4 + 1).cast("int")
+    val nScans = (col("doc_id") % 7 % 3 + 1).cast("int")
+    val sampleRate = ((col("doc_id") % 8) * 4000 + 8000).cast("int")
+    val channels = (col("doc_id") % 2 + 1).cast("int")
+    val mediaType = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    docs.select(
+      col("doc_id"), mediaType.as("media_type"),
+      when(mediaType === "audio",
+        flacPayload(sampleRate, channels, data))
+        .otherwise(jpegScanPayload(width, height, comLen, nDqt, nDht, nScans,
+          col("text"))).as("payload"))
+  }
+
+  /** media → per-stream table/scan statistics from the full marker walk:
+    * DQT/DHT segment counts, scan count, and total/min/max entropy-coded
+    * scan byte lengths — all exact integers re-derived from the BYTES by
+    * the native walk (non-JPEG payloads yield nulls, container is read
+    * from the magic prefix). */
+  def scanStats(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val container = when(hex(substring(p, 1, 2)) === lit("FFD8"), "jpeg")
+      .when(hex(substring(p, 1, 4)) === lit("664C6143"), "flac")
+      .otherwise("unknown")
+    val s = graft.functions.MediaFunctions.jpegScanStats(p)
+    media.select(
+      col("doc_id"), col("media_type"), container.as("container"),
+      element_at(s, 1).cast("int").as("n_dqt"),
+      element_at(s, 2).cast("int").as("n_dht"),
+      element_at(s, 3).cast("int").as("n_scans"),
+      element_at(s, 4).as("scan_bytes_total"),
+      element_at(s, 5).cast("int").as("scan_bytes_min"),
+      element_at(s, 6).cast("int").as("scan_bytes_max"))
+  }
 }

@@ -395,4 +395,67 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: progressive scan walk recovers tables and the exact scan split") {
+    // every generated geometry — table counts, scan counts, bodies down
+    // to empty — must walk back to exactly the planted integers: a wrong
+    // hop length, missed stuffing rule, or off-by-one scan boundary
+    // shows up as a wrong count or length here before any driver run
+    import graft.ops.Multimodal
+    val geom = for {
+      w <- Gen.chooseNum(1, 65535); h <- Gen.chooseNum(1, 65535)
+      cl <- Gen.chooseNum(1, 13)
+      nq <- Gen.chooseNum(1, 2); nh <- Gen.chooseNum(1, 4); ns <- Gen.chooseNum(1, 3)
+      body <- Gen.asciiPrintableStr
+    } yield (w, h, cl, nq, nh, ns, body)
+    (1L to 5L).foreach { seed =>
+      val cases = sample(Gen.listOfN(20, geom), seed).zipWithIndex
+      val df = cases.map { case ((w, h, cl, nq, nh, ns, body), i) =>
+        (i.toLong, w, h, cl, nq, nh, ns, body)
+      }.toDF("doc_id", "w", "h", "cl", "nq", "nh", "ns", "body")
+        .select(col("doc_id"), lit("x").as("media_type"),
+          Multimodal.jpegScanPayload(col("w"), col("h"), col("cl"),
+            col("nq"), col("nh"), col("ns"), col("body")).as("payload"))
+      val got = Multimodal.scanStats(df).orderBy("doc_id").collect()
+      cases.foreach { case ((_, _, _, nq, nh, ns, body), i) =>
+        val r = got(i)
+        val L = body.length
+        assert(r.getAs[String]("container") === "jpeg", s"seed $seed case $i")
+        assert(r.getAs[Int]("n_dqt") === nq, s"seed $seed case $i")
+        assert(r.getAs[Int]("n_dht") === nh, s"seed $seed case $i")
+        assert(r.getAs[Int]("n_scans") === ns, s"seed $seed case $i")
+        assert(r.getAs[Long]("scan_bytes_total") === L.toLong, s"seed $seed case $i")
+        assert(r.getAs[Int]("scan_bytes_min") === L / ns, s"seed $seed case $i")
+        assert(r.getAs[Int]("scan_bytes_max") === (L + ns - 1) / ns, s"seed $seed case $i")
+      }
+    }
+  }
+
+  test("property: the scan walk is total over arbitrary binary garbage") {
+    // malformed streams (truncated segments, lost marker alignment,
+    // scans running off the end) must yield NULL stats, never a throw
+    // or a read at a garbage offset
+    import graft.ops.Multimodal
+    val bytesGen = Gen.chooseNum(0, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    (1L to 5L).foreach { seed =>
+      val payloads = sample(Gen.listOfN(30, bytesGen), seed) ++ Seq(
+        Array[Byte](),
+        Array(0xFF.toByte, 0xD8.toByte),                       // bare SOI
+        Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte),          // truncated marker
+        Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xDA.toByte), // SOS, no header
+        Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xDA.toByte,
+          0x00.toByte, 0x02.toByte),                           // scan runs off the end
+        Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte)) // SOI+EOI: 0 scans
+      val df = payloads.zipWithIndex
+        .map { case (p, i) => (i.toLong, "x", p) }
+        .toDF("doc_id", "media_type", "payload")
+      val rows = Multimodal.scanStats(df).orderBy("doc_id").collect()
+      assert(rows.length === payloads.length) // total: no exception, no drop
+      // the well-formed zero-scan stream decodes to explicit zeros
+      val soiEoi = rows.last
+      assert(soiEoi.getAs[Int]("n_scans") === 0)
+      assert(soiEoi.getAs[Long]("scan_bytes_total") === 0L)
+    }
+  }
 }
