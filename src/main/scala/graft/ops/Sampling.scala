@@ -303,36 +303,51 @@ object Sampling {
     val h8 = col("h8")
     val w = thresholds.zipWithIndex
       .foldRight(lit(7L)) { case ((t, i), rest) => when(h8 < t, i.toLong).otherwise(rest) }
-    val hashCol = md5(concat(lit(seed), col("event_id").cast("string"),
-      lit(":"), col("g").cast("string")))
+    // ONE corpus scan, enforced by construction: the exact per-type mean
+    // rides the SAME exploded aggregate as a sentinel "replicate" g = −1
+    // (one row per event, weight 1, no md5 spent), so its group lands at
+    // (type, rep = −4) with swq = Σqv and sw = n — the second corpus
+    // branch the old two-consumer form paid (and at 100 TB the corpus
+    // scan IS the cost) is gone; PlanContractSpec pins the single scan.
+    val hashCol = when(col("g") === -1, lit(""))
+      .otherwise(md5(concat(lit(seed), col("event_id").cast("string"),
+        lit(":"), col("g").cast("string"))))
     val means = q
       .select(col("event_type"), col("event_id"), col("qv"),
-        explode(sequence(lit(0), lit(replicates / 4 - 1))).as("g"))
+        explode(sequence(lit(-1), lit(replicates / 4 - 1))).as("g"))
       .withColumn("h", hashCol)
       .select(col("event_type"), col("qv"), col("g"),
-        posexplode(array((0 until 4).map(j => substring(col("h"), j * 8 + 1, 8)): _*))
+        posexplode(slice(
+          array((0 until 4).map(j => substring(col("h"), j * 8 + 1, 8)): _*),
+          lit(1), when(col("g") === -1, 1).otherwise(4)))
           .as(Seq("j", "h8")))
       .select(col("event_type"), col("qv"),
-        (col("g") * 4 + col("j")).as("rep"), w.as("w"))
+        (col("g") * 4 + col("j")).as("rep"),
+        when(col("g") === -1, lit(1L)).otherwise(w).as("w"))
       .groupBy("event_type", "rep")
       .agg(sum(col("w") * col("qv")).as("swq"), sum(col("w")).as("sw"))
       .filter(col("sw") > 0) // a zero-weight replicate has no mean
       .withColumn("mean_b", col("swq").cast("double") / col("sw"))
+    // rank-select both band endpoints AND pick up the sentinel's exact
+    // totals in one window + one aggregate: the sentinel sorts last
+    // (flag 1) so replicate ranks 1..nb are exactly the old ordering
+    val isSent = col("rep") < 0
     val byType = Window.partitionBy("event_type")
-    val band = means
-      .withColumn("rn", row_number().over(byType.orderBy(col("mean_b"))))
-      .withColumn("nb", count(lit(1)).over(byType))
+    means
+      .withColumn("rn", row_number().over(
+        byType.orderBy(when(isSent, 1).otherwise(0), col("mean_b"))))
+      .withColumn("nb", count(when(!isSent, 1)).over(byType))
       .groupBy("event_type")
       .agg(
-        max(when(col("rn") === greatest(lit(1L), ceil(lit(loP) * col("nb"))),
+        max(when(isSent, col("sw"))).as("n"),
+        max(when(isSent, col("swq"))).as("sq"),
+        max(when(!isSent && col("rn") === greatest(lit(1L), ceil(lit(loP) * col("nb"))),
           col("mean_b"))).as("ci_lo"),
-        max(when(col("rn") === greatest(lit(1L), ceil(lit(hiP) * col("nb"))),
+        max(when(!isSent && col("rn") === greatest(lit(1L), ceil(lit(hiP) * col("nb"))),
           col("mean_b"))).as("ci_hi"))
-    q.groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("qv").as("sq"))
-      .withColumn("mean_q", col("sq").cast("double") / col("n"))
-      .drop("sq")
-      .join(broadcast(band), "event_type")
+      .select(col("event_type"), col("n"),
+        (col("sq").cast("double") / col("n")).as("mean_q"),
+        col("ci_lo"), col("ci_hi"))
   }
 
   /** Per-key rate cap within a time bucket: keep at most `cap` events

@@ -452,4 +452,121 @@ class PlanContractSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("documents.parquet")) == 1,
       s"codec decode rescanned the corpus:\n$p")
   }
+
+  /** Capture every plan EXECUTED while `body` runs — iterative operators
+    * (pagerank) materialize per round, so the returned frame's own plan
+    * shows only the final checkpointed select; the per-iteration shape
+    * lives in the plans the actions ran. */
+  private def executedPlans(body: => Unit): Seq[String] = {
+    val plans = new scala.collection.mutable.ArrayBuffer[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try { body; org.apache.spark.sql.graft.Bridge.drainListenerBus(spark) }
+    finally spark.listenerManager.unregister(listener)
+    plans.synchronized { plans.toSeq }
+  }
+
+  test("pagerank iterations are equi-join + aggregate + left join — never a loop join") {
+    // the bench-tail contract (VERDICT r11 item 6): the per-iteration
+    // recurrence must stay one rank-to-edge equi-join, one aggregate and
+    // one left join back to nodes; a cartesian or non-scalar nested loop
+    // in ANY executed round is a scale regression the result-frame plan
+    // cannot show (iterates are checkpointed)
+    val edges = graft.ops.Graph.eventTransitions(
+      Tables.events(spark, "/root/testdata/sf0.001"))
+    val simple = executedPlans {
+      graft.ops.Graph.pagerankInt(edges, iterations = 2).collect()
+    }
+    assert(simple.nonEmpty)
+    simple.foreach { p =>
+      assert(!p.contains("CartesianProduct"), s"pagerank iteration has a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"simple pagerank must never nested-loop:\n$p")
+    }
+    // the iteration plans (the ones that join) carry the left join back
+    // to the node universe
+    assert(simple.exists(p => p.contains("LeftOuter")),
+      s"no iteration plan shows the left join back to nodes:\n${simple.mkString("\n---\n")}")
+    // dangling redistribution adds EXACTLY the one-row broadcast cross
+    // per iteration — every nested-loop line must be that Cross
+    val dangling = executedPlans {
+      graft.ops.Graph.pagerankInt(edges, iterations = 2,
+        redistributeDangling = true).collect()
+    }
+    dangling.foreach { p =>
+      assert(!p.contains("CartesianProduct"), s"dangling pagerank has a cartesian:\n$p")
+      val badBnlj = p.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin")).filterNot(_.contains("Cross"))
+      assert(badBnlj.isEmpty,
+        s"dangling pagerank has a non-scalar nested loop:\n${badBnlj.mkString("\n")}")
+    }
+  }
+
+  test("bootstrap CI scans the events corpus exactly once") {
+    // B replicates ride ONE explode over ONE scan; a second events scan
+    // means some consumer (totals, bands) re-reads the corpus — at 100 TB
+    // that doubles the dominant IO cost
+    val p = plan("q_bootstrap_ci")
+    assert(p.linesIterator.count(_.contains("events.parquet")) == 1,
+      s"bootstrap CI must scan events exactly once:\n$p")
+  }
+
+  test("incremental LSH probes the stored band table by (band, sig) equi-join") {
+    // the stream-static shape: candidates MUST come from a hash equi-join
+    // on the band signature — losing the keys to a filter-after-join (or
+    // any loop join) turns the nightly increment into batch x seen
+    val p = plan("dedup_incremental_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental LSH lost the equi-join shape:\n$p")
+    val bandJoin = p.linesIterator.filter(l =>
+      (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
+        l.contains("band") && l.contains("sig")).toSeq
+    assert(bandJoin.nonEmpty, s"no (band, sig)-keyed join in:\n$p")
+    // one shared shingling pass serves both sides via the scoped cache
+    val relations = p.linesIterator
+      .filter(_.trim.matches("""^[+:\-\s]*InMemoryRelation.*""")).toSeq
+    assert(relations.nonEmpty, s"expected the scoped postings cache in:\n$p")
+    assert(relations.map(_.replaceAll("""#\d+""", "").replaceAll("""^[+:\-\s]*""", ""))
+      .distinct.size === 1,
+      s"more than one distinct cache in incremental LSH:\n${relations.mkString("\n")}")
+  }
+
+  test("alerts pipeline joins the threshold dim by broadcast, never sort-merge") {
+    val p = plan("q_alerts")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast dim join in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"alerts must stay equi-join-only:\n$p")
+  }
+
+  test("basket increment merges partials by union + re-aggregate with only the scalar cross") {
+    // merge-then-serve must not join fact to fact: the two partials meet
+    // in a Union feeding one aggregate; the only nested loop is the
+    // n_orders scalar broadcast (the basket-lift shape)
+    val p = plan("q_basket_increment")
+    assert(p.contains("Union"), s"expected the partials union in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"basket increment has a cartesian:\n$p")
+    val badBnlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).filterNot(_.contains("Cross"))
+    assert(badBnlj.isEmpty,
+      s"basket increment has a non-scalar nested loop:\n${badBnlj.mkString("\n")}")
+  }
+
+  test("curation rollup stays equi-join-only over one documents scan family") {
+    val p = plan("text_curation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"curation lost the equi-join shape:\n$p")
+    // the postings side must be a single shared cache, not re-shingled
+    val relations = p.linesIterator
+      .filter(_.trim.matches("""^[+:\-\s]*InMemoryRelation.*""")).toSeq
+    assert(relations.map(_.replaceAll("""#\d+""", "").replaceAll("""^[+:\-\s]*""", ""))
+      .distinct.size <= 1,
+      s"more than one distinct cache in curation:\n${relations.mkString("\n")}")
+  }
 }
