@@ -65,8 +65,34 @@ object Bench {
       }
       Seq.fill(3)(once()).min
     }
+    // Memory-bandwidth calibration: the jvm xorshift loop is pure-ALU and
+    // stays flat through host phases that slow MEMORY-BOUND work (round-12
+    // adjudication found untouched queries elevated ~1.4x with jvm-cal
+    // flat at 0.62 — the phase the ALU loop cannot see). This loop streams
+    // a 256 MB long array (far past LLC) so its time tracks DRAM
+    // bandwidth, the resource shuffles and scans actually contend for.
+    val memArr = new Array[Long](32 * 1024 * 1024)
+    java.util.Arrays.fill(memArr, 0x9E3779B97F4A7C15L)
+    def memCal(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        var s = 0L
+        var pass = 0
+        while (pass < 6) {
+          var i = 0
+          // stride 8 longs = one touch per 64 B cache line: the loop is
+          // line-fill-bound, not ALU-bound
+          while (i < memArr.length) { s += memArr(i); i += 8 }
+          pass += 1
+        }
+        calSink = s
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq.fill(3)(once()).min
+    }
     val calBefore = hostCal()
     val jvmCalBefore = jvmCal()
+    val memCalBefore = memCal()
 
     // two executions per query, keep the min: the first run pays JIT +
     // codegen compilation (measured 3-6x on the hot path) and this host's
@@ -118,6 +144,7 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     val calAfter = hostCal()
     val jvmCalAfter = jvmCal()
+    val memCalAfter = memCal()
 
     // ---- in-band self-adjudication --------------------------------------
     // Three consecutive official records (r9-r11) were host-contaminated
@@ -215,7 +242,7 @@ object Bench {
     // "filtered" marks partial runs so they can never be mistaken for the
     // official full-bench line
     val filtered = if (only.isDefined) ""","filtered":true""" else ""
-    val cals = s""""host_cal_before":$calBefore,"host_cal_after":$calAfter,"jvm_cal_before":$jvmCalBefore,"jvm_cal_after":$jvmCalAfter"""
+    val cals = s""""host_cal_before":$calBefore,"host_cal_after":$calAfter,"jvm_cal_before":$jvmCalBefore,"jvm_cal_after":$jvmCalAfter,"mem_cal_before":$memCalBefore,"mem_cal_after":$memCalAfter"""
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$filtered,$cals,$adj,"sf":"$sfDir"}"""
     println(fullLine)
     // Self-contained record: the stdout capture is tail-windowed (8 KiB)

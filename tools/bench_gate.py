@@ -78,8 +78,14 @@ def load_queries(path):
     if src.get("filtered"):
         sys.exit(f"[gate] {path}: filtered (partial) bench run — not comparable")
     cal = {}
+    # "mem" (round 12+) is evidence-only: a DRAM-bandwidth loop that sees
+    # host phases the pure-ALU jvm loop stays flat through; rescaling is
+    # still done by jvm/spark (mem would over-correct CPU-bound queries),
+    # but its drift note is the tiebreaker when jvm is flat and queries
+    # are uniformly elevated.
     for key, names in (("jvm", ("jvm_cal_before", "jvm_cal_after")),
-                       ("spark", ("host_cal_before", "host_cal_after"))):
+                       ("spark", ("host_cal_before", "host_cal_after")),
+                       ("mem", ("mem_cal_before", "mem_cal_after"))):
         vals = [src[k] for k in names
                 if isinstance(src.get(k), (int, float)) and src[k] > 0]
         if vals:
