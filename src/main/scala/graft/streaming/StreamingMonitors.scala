@@ -1040,6 +1040,56 @@ object StreamingMonitors {
     else ck).start()
   }
 
+  /** Streaming maintenance of the IVF-PQ serving index — the streaming
+    * face of ops/Similarity.indexIncrement, completing the rolling-ingest
+    * family (exact dedup, MinHash band table, and centroid partials all
+    * have one; the ANN index was the missing member): each micro-batch is
+    * assigned against the FIXED stored centroid/codebook models (a
+    * broadcast ≤k·m rows — no retraining, no corpus-sized state touch)
+    * and its (vec_id, cell, sub, code) rows are APPENDED to the versioned
+    * index. Assignment is per-row, so the state after any prefix of
+    * batches is bit-equal to a full [[graft.ops.Similarity.buildIndex]]
+    * over the vectors seen so far (spec'd), and
+    * [[graft.ops.Similarity.serveFromIndex]] serves top-k straight from
+    * the maintained state. Same versioned idempotent-replay contract as
+    * The versioning here differs from the merge sinks ON PURPOSE: their
+    * state is BOUNDED (vocab/histogram/centroid grain) so rewriting it
+    * per batch is cheap, but the ANN index is CORPUS-sized — rewriting
+    * it per batch would be O(corpus) per micro-batch. Instead each
+    * version dir holds ONLY its batch's appended rows (O(batch) written
+    * per batch) and [[annIndexState]] reads the union of committed
+    * segments — the log-structured shape a real index maintains, with
+    * the same replay safety: a replayed batch overwrites its OWN keyed
+    * segment, never a neighbor's. */
+  def annIndexStateSink(embStream: DataFrame, stateDir: String,
+                        centroids: DataFrame, books: DataFrame, m: Int = 4,
+                        checkpoint: Option[String] = None,
+                        availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = embStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Similarity.indexIncrement(batch, centroids, books, m)
+          .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        ()
+      }
+    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow)
+      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else ck).start()
+  }
+
+  /** The maintained ANN index: the union of every committed segment
+    * under `stateDir` (one multi-path parquet read — Spark plans it as
+    * ONE scan over all segment files, not a per-segment union). None
+    * when nothing has committed yet. */
+  def annIndexState(spark: org.apache.spark.sql.SparkSession,
+                    stateDir: String): Option[DataFrame] = {
+    val dirs = committedStateVersions(spark, stateDir, Long.MaxValue)
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(_._2.toString): _*))
+  }
+
   /** Highest committed state version strictly BELOW `beforeBatch`
     * (so a replayed batch merges against its ORIGINAL predecessor, not
     * its own failed output). Pass Long.MaxValue to read the tip. Shared
@@ -1047,23 +1097,32 @@ object StreamingMonitors {
   def latestVersionedState(spark: org.apache.spark.sql.SparkSession,
                            stateDir: String,
                            beforeBatch: Long = Long.MaxValue): Option[DataFrame] = {
+    val versions = committedStateVersions(spark, stateDir, beforeBatch)
+    if (versions.isEmpty) None
+    else Some(spark.read.parquet(versions.maxBy(_._1)._2.toString))
+  }
+
+  /** All committed (`_SUCCESS`-marked) `v<batchId>` state dirs under
+    * `stateDir` with batch id strictly below `beforeBatch` — the shared
+    * listing for both the latest-version merge sinks and the segmented
+    * [[annIndexState]] reader. Hadoop-FS resolved, so it works wherever
+    * the state lives (s3a/HDFS/local). */
+  private def committedStateVersions(spark: org.apache.spark.sql.SparkSession,
+                                     stateDir: String, beforeBatch: Long)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] = {
     val path = new org.apache.hadoop.fs.Path(stateDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(path)) None
-    else {
-      val versions = fs.listStatus(path).toSeq
-        .filter(_.isDirectory)
-        .map(_.getPath)
-        .flatMap { p =>
-          val name = p.getName
-          if (name.startsWith("v") && name.drop(1).forall(_.isDigit) &&
-              fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-            Some(name.drop(1).toLong -> p)
-          else None
-        }
-        .filter(_._1 < beforeBatch)
-      if (versions.isEmpty) None
-      else Some(spark.read.parquet(versions.maxBy(_._1)._2.toString))
-    }
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .flatMap { p =>
+        val name = p.getName
+        if (name.startsWith("v") && name.drop(1).forall(_.isDigit) &&
+            fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+          Some(name.drop(1).toLong -> p)
+        else None
+      }
+      .filter(_._1 < beforeBatch)
   }
 }

@@ -1120,6 +1120,46 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("streamed ANN index segments equal the full rebuild and serve exact top-k") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding", "label").persist()
+    val rows = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    // fixed offline models (the artifact contract): trained once, never
+    // touched by the stream
+    val cents = graft.ops.Similarity.trainCentroids(emb.toDF(), k = 16, iterations = 2)
+    val books = graft.ops.Similarity.trainPqCodebooks(emb.toDF(), iterations = 2)
+    val mem = MemoryStream[(Long, Seq[Float], Int)]
+    val stream = mem.toDF().toDF("vec_id", "embedding", "label")
+    val stateDir = s"${work()}/ann-index-state"
+    val q = StreamingMonitors.annIndexStateSink(stream, stateDir, cents, books)
+    try {
+      // three micro-batches by vec_id residue — arbitrary arrival order
+      Seq(0L, 1L, 2L).foreach { m =>
+        mem.addData(rows.filter(_._1 % 3 == m).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val state = StreamingMonitors.annIndexState(spark, stateDir).get
+    // the segmented state is bit-equal to one full rebuild over the union
+    val direct = graft.ops.Similarity.buildIndex(emb.toDF(), cents, books)
+    assert(state.orderBy("vec_id", "sub").collect().map(_.toSeq)
+      === direct.orderBy("vec_id", "sub").collect().map(_.toSeq))
+    // and serving straight from the maintained state reproduces the
+    // one-shot operator exactly
+    val served = graft.ops.Similarity.serveFromIndex(emb.toDF(), state, cents, books)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    val oneShot = graft.ops.Similarity.topKIvfPq(emb.toDF(),
+      centroids = Some(cents), codebooks = Some(books))
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    emb.unpersist(blocking = false)
+    assert(served.nonEmpty)
+    assert(served === oneShot)
+  }
+
   test("streamed heavy-hitter sketch serves the batch heavy set against the archive") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
