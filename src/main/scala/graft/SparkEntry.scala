@@ -757,6 +757,19 @@ object SparkEntry {
     // components artifact, keyed by its generator
     "dedup_components_lsh" -> ((s, dir) => minhashComponents(s, dir).orderBy("id")),
 
+    // incremental closure maintenance: a STORED components frame merged
+    // with a new pair batch through the batch-bounded quotient closure —
+    // no corpus re-walk. The result is split-invariant, so the oracle is
+    // the same full transitive closure as dedup_components: merge ≡
+    // recompute, end to end
+    "dedup_components_increment" -> ((s, dir) => {
+      val pairs = jaccardPairs(s, dir)
+      val isNew = pmod(col("id1") + col("id2"), lit(4L)) === 0L
+      Graph.componentsIncrement(
+        Graph.connectedComponents(pairs.filter(!isNew)),
+        pairs.filter(isNew)).orderBy("id")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir)).orderBy("id1", "id2")),
 
@@ -2571,6 +2584,9 @@ object SparkEntry {
     // the min-label fixpoint the engine's pointer-doubling loop certifies.
     "dedup_components" -> COMPONENTS_SQL,
     "dedup_components_lsh" -> COMPONENTS_SQL,
+    // merge ≡ recompute: the incremental result is split-invariant, so
+    // the full-closure oracle certifies the quotient merge exactly
+    "dedup_components_increment" -> COMPONENTS_SQL,
 
     // the canonical-id CTE then the SAME 256-bucket md5 rule as
     // q_split_census, keyed on the cluster representative

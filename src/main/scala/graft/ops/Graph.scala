@@ -104,6 +104,67 @@ object Graph {
     labels.select(col("id"), col("lab").as("comp"))
   }
 
+  /** Incremental closure maintenance — the rolling-ingest member for the
+    * TERMINAL dedup stage (exact/LSH/ANN increments exist; without this,
+    * every pair-list delta forces a full pointer-doubling re-run over the
+    * corpus): merge a NEW pair batch into a STORED components frame
+    * (id, comp) and return the updated frame, equal to
+    * [[connectedComponents]] over the union pair set (spec'd on random
+    * graphs and oracle-checked end to end).
+    *
+    * The trick is the QUOTIENT graph: each new edge's endpoints map to
+    * their stored roots (themselves when unseen), and the pointer
+    * doubling runs only on the deduped root-root edges — a frame bounded
+    * by the BATCH, never the corpus. Stored labels then remap through
+    * the quotient result with one left equi-join (the unavoidable
+    * update write), and the batch's unseen nodes label themselves
+    * through the same map. Correct because stored roots are the min ids
+    * of their components, so the quotient minimum IS the global minimum
+    * of every merged component. 100 TB shape: O(batch) closure work +
+    * one corpus-sized equi-join remap, vs O(corpus) closure rounds for
+    * the full re-run. */
+  def componentsIncrement(stored: DataFrame, newPairs: DataFrame,
+                          srcCol: String = "id1", dstCol: String = "id2",
+                          maxIter: Int = 64): DataFrame = {
+    Seq(srcCol, dstCol).foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val ok = newPairs.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok,
+        s"componentsIncrement needs integral node ids; $c is ${newPairs.schema(c).dataType}")
+    }
+    val edges = newPairs
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      // self-pairs carry no edge: connectedComponents drops them, and the
+      // incremental result must match it node-for-node
+      .where(col("u") =!= col("v"))
+    val roots = stored.select(col("id"), col("comp"))
+    val quotientEdges = edges
+      .join(roots.select(col("id").as("u"), col("comp").as("cu")), Seq("u"), "left")
+      .join(roots.select(col("id").as("v"), col("comp").as("cv")), Seq("v"), "left")
+      .select(coalesce(col("cu"), col("u")).as("id1"),
+        coalesce(col("cv"), col("v")).as("id2"))
+      .where(col("id1") =!= col("id2"))
+      .distinct()
+    // closure over roots only — batch-bounded, corpus never re-walked
+    val q = connectedComponents(quotientEdges, maxIter = maxIter)
+    val storedUpdated = stored
+      .join(q.select(col("id").as("comp"), col("comp").as("__merged")),
+        Seq("comp"), "left")
+      .select(col("id"), coalesce(col("__merged"), col("comp")).as("comp"))
+    // unseen endpoints: their root is themselves, so the quotient result
+    // keys them directly; untouched unseen nodes label themselves
+    val newNodes = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id")))
+      .distinct()
+      .join(stored.select(col("id")), Seq("id"), "left_anti")
+      .join(q, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    storedUpdated.unionByName(newNodes)
+  }
+
   /** Per-document canonical id: the min doc id of the document's near-dup
     * component, itself for documents in no pair. `SELECT ... WHERE doc_id =
     * canonical_id` (or a join on it) is the deduplicated corpus. The

@@ -332,6 +332,29 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: incremental closure equals the full re-resolution on every random split") {
+    // merge-a-batch must equal recompute-from-scratch for ANY partition
+    // of the edge set — including batches that bridge many stored
+    // components, re-link all-new nodes, or land entirely inside one
+    // component (quotient edge drops to nothing)
+    (1L to 5L).foreach { seed =>
+      val edges = sample(Gen.listOfN(60,
+        Gen.zip(Gen.chooseNum(0L, 39L), Gen.chooseNum(0L, 39L))), 9000 + seed)
+      val full = graft.ops.Graph.connectedComponents(
+          edges.toDF("id1", "id2"), maxIter = 16)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0 until 3).foreach { k =>
+        val (oldE, newE) = edges.zipWithIndex.partition { case (_, i) => i % 3 != k }
+        val stored = graft.ops.Graph.connectedComponents(
+          oldE.map(_._1).toDF("id1", "id2"), maxIter = 16)
+        val got = graft.ops.Graph.componentsIncrement(stored,
+            newE.map(_._1).toDF("id1", "id2"), maxIter = 16)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === full, s"seed $seed split $k")
+      }
+    }
+  }
+
   test("property: codec decode is total over arbitrary binary garbage") {
     // random bytes — including ones starting with partial magics — must
     // decode to a row (container 'unknown' unless a real magic matches),
