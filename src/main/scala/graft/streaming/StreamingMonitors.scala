@@ -1079,6 +1079,38 @@ object StreamingMonitors {
     else ck).start()
   }
 
+  /** Streaming maintenance of the near-dup components state — the
+    * streaming face of ops/Graph.componentsIncrement, closing the loop on
+    * the terminal dedup stage: each micro-batch of near-dup PAIRS (from
+    * any generator — the stored-band-table probe of
+    * `nearDupIncrementStream` is the natural upstream) merges into the
+    * stored (id, comp) frame through the batch-bounded quotient closure,
+    * so the corpus is never re-walked as pairs arrive. State is
+    * node-bounded (paired nodes only) and versioned with the same
+    * idempotent-replay contract as the other merge sinks: a replayed
+    * batch merges against its ORIGINAL predecessor, never its own failed
+    * output. Spec'd: state after any batch sequence ≡ one full
+    * connectedComponents over all pairs seen (merge ≡ recompute). */
+  def closureStateSink(pairStream: DataFrame, stateDir: String,
+                       checkpoint: Option[String] = None,
+                       availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = pairStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val merged = latestVersionedState(batch.sparkSession, stateDir, batchId) match {
+          case Some(prev) => graft.ops.Graph.componentsIncrement(prev, batch)
+          case None => graft.ops.Graph.connectedComponents(batch)
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        ()
+      }
+    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow)
+      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else ck).start()
+  }
+
   /** The maintained ANN index: the union of every committed segment
     * under `stateDir` (one multi-path parquet read — Spark plans it as
     * ONE scan over all segment files, not a per-segment union). None

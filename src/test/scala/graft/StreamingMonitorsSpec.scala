@@ -1120,6 +1120,36 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("streamed pair batches close to the same components as one full resolution") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the real pair list of the test corpus, delivered as three
+    // micro-batches in arrival order a nightly ingest would produce
+    val pairs = graft.ops.Dedup.ngramJaccard(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+      .select("id1", "id2").persist()
+    val rows = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("id1", "id2")
+    val stateDir = s"${work()}/closure-state"
+    val q = StreamingMonitors.closureStateSink(stream, stateDir)
+    try {
+      Seq(0L, 1L, 2L).foreach { m =>
+        mem.addData(rows.filter { case (a, b) => (a + b) % 3 == m }.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val state = StreamingMonitors.latestVersionedState(spark, stateDir).get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = graft.ops.Graph.connectedComponents(pairs.toDF())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.unpersist(blocking = false)
+    assert(state === full)
+    assert(state.nonEmpty)
+  }
+
   test("streamed ANN index segments equal the full rebuild and serve exact top-k") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
