@@ -757,17 +757,20 @@ object SparkEntry {
     // components artifact, keyed by its generator
     "dedup_components_lsh" -> ((s, dir) => minhashComponents(s, dir).orderBy("id")),
 
-    // incremental closure maintenance: a STORED components frame merged
-    // with a new pair batch through the batch-bounded quotient closure —
-    // no corpus re-walk. The result is split-invariant, so the oracle is
-    // the same full transitive closure as dedup_components: merge ≡
-    // recompute, end to end
+    // incremental closure maintenance: a STORED components frame (itself
+    // a write-once artifact — the state a nightly job maintains, read
+    // here, never re-resolved per query) merged with a new pair batch
+    // through the batch-bounded quotient closure — no corpus re-walk.
+    // The result is split-invariant, so the oracle is the same full
+    // transitive closure as dedup_components: merge ≡ recompute, end to
+    // end
     "dedup_components_increment" -> ((s, dir) => {
       val pairs = jaccardPairs(s, dir)
       val isNew = pmod(col("id1") + col("id2"), lit(4L)) === 0L
-      Graph.componentsIncrement(
-        Graph.connectedComponents(pairs.filter(!isNew)),
-        pairs.filter(isNew)).orderBy("id")
+      val stored = graft.ops.Artifacts.parquetArtifact(
+        s, componentsArtifactPath("jaccard_seen", dir))(
+        Graph.connectedComponents(pairs.filter(!isNew)))
+      Graph.componentsIncrement(stored, pairs.filter(isNew)).orderBy("id")
     }),
 
     "dedup_simhash" -> ((s, dir) =>

@@ -508,6 +508,26 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("incremental closure merge stays equi-join-only in every executed round") {
+    // the quotient merge must never degenerate: endpoint->root mapping
+    // and the label remap are left equi-joins, and the quotient
+    // pointer-doubling rounds (captured via the listener — they execute
+    // eagerly) are the same equi-join + aggregate shape as the full
+    // closure
+    import spark.implicits._
+    val stored = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L)).toDF("id", "comp")
+    val batch = Seq((2L, 10L), (20L, 21L)).toDF("id1", "id2")
+    val plans = executedPlans {
+      graft.ops.Graph.componentsIncrement(stored, batch).collect()
+    }
+    assert(plans.nonEmpty)
+    plans.foreach { p =>
+      assert(!p.contains("CartesianProduct"), s"quotient merge has a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"quotient merge has a nested-loop join:\n$p")
+    }
+  }
+
   test("bootstrap CI scans the events corpus exactly once") {
     // B replicates ride ONE explode over ONE scan; a second events scan
     // means some consumer (totals, bands) re-reads the corpus — at 100 TB
