@@ -45,6 +45,14 @@ object SparkEntry {
     new java.io.File("target/graft-artifacts/pq_v1_" + tag + "_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
 
+  /** Stored IVF-PQ index artifact (vec_id, cell, sub, code): integral
+    * columns round-trip parquet exactly and assignment against fixed
+    * models is deterministic — the serving index a deployment stores
+    * (annIndexStateSink maintains the same frame from a stream). */
+  private def idxArtifactPath(tag: String, dir: String): String =
+    new java.io.File("target/graft-artifacts/idx_v1_" + tag + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     graft.ops.Artifacts.parquetArtifact(s, pairArtifactPath("jaccard", dir))(
       Dedup.ngramJaccard(Tables.documents(s, dir)))
@@ -969,7 +977,13 @@ object SparkEntry {
       val cents = Similarity.centroidArtifact(base,
         ivfArtifactPath("incr_planted", dir), k = 16, iterations = 2)
       val books = Similarity.pqCodebookArtifact(base, pqArtifactPath("incr_planted", dir))
-      val index = Similarity.buildIndex(base, cents, books)
+      // the base index is the STORED serving state (what a deployment
+      // keeps on disk and annIndexStateSink maintains) — an artifact,
+      // not a per-query rebuild; only the increment and the serve are
+      // per-run work
+      val index = graft.ops.Artifacts.parquetArtifact(
+          s, idxArtifactPath("incr_planted", dir))(
+          Similarity.buildIndex(base, cents, books))
         .unionByName(Similarity.indexIncrement(corpus.filter(isBatch), cents, books))
       Similarity.serveFromIndex(corpus, index, cents, books,
         k = 5, numQueries = 8, nprobe = 3, m = 4, shortlist = 32)
