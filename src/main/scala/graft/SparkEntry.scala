@@ -990,6 +990,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // embedding-space diversity selection: greedy k-center exemplars
+    // (farthest-first, min-vec_id seed, (mc, vec_id) argmin tie rule) —
+    // the oracle unrolls the same 8 rounds as chained CTEs and the frame
+    // hash-matches bit-for-bit (shared sequential-sum cosine kernel,
+    // order-insensitive max, raw-double argmin compare)
+    "q_diverse_kcenter" -> ((s, dir) =>
+      Similarity.kCenterSelect(Tables.embeddings(s, dir), k = 8).orderBy("rank")),
+
     "q_embed_quantize" -> ((s, dir) => {
       val q = Quantization.quantize(Tables.embeddings(s, dir))
       q.select(
@@ -2703,6 +2711,8 @@ object SparkEntry {
 
     "sim_topk_brute" -> TOPK_SQL,
 
+    "q_diverse_kcenter" -> KCENTER_SQL,
+
     // centroid = mean of floor(e*1e6) integers (exact long sum, pure
     // double mean) — no decimal-cast rounding conventions in play;
     // multi-unnest zips, range() is 0-based like posexplode
@@ -3497,6 +3507,27 @@ object SparkEntry {
       |  FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
       |  WHERE a.vec_id < 8)
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB twin of Similarity.kCenterSelect: the same 8 greedy rounds
+    * unrolled as chained CTEs (seed = min vec_id; per round, coverage
+    * mc = max cosine to the selected set, pick = argmin (mc, vec_id)).
+    * Generated, not hand-written, so k changes in ONE place. */
+  private val KCENTER_SQL: String = {
+    val k = 8
+    val sb = new StringBuilder
+    sb ++= "WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+    sb ++= "s1 AS (SELECT CAST(1 AS INT) AS rank, vec_id, CAST(NULL AS DOUBLE) AS nearest_cos, v FROM corpus ORDER BY vec_id LIMIT 1),\n"
+    sb ++= "m1 AS (SELECT e.vec_id, e.v, list_cosine_similarity(e.v, s.v) AS mc FROM corpus e, s1 s WHERE e.vec_id <> s.vec_id)"
+    for (i <- 2 to k) {
+      sb ++= s",\ns$i AS (SELECT CAST($i AS INT) AS rank, vec_id, mc AS nearest_cos, v FROM m${i - 1} ORDER BY mc ASC, vec_id LIMIT 1)"
+      if (i < k)
+        sb ++= s",\nm$i AS (SELECT m.vec_id, m.v, greatest(m.mc, list_cosine_similarity(m.v, s.v)) AS mc FROM m${i - 1} m, s$i s WHERE m.vec_id <> s.vec_id)"
+    }
+    sb ++= "\nSELECT rank, vec_id, nearest_cos FROM (" +
+      (1 to k).map(i => s"SELECT rank, vec_id, nearest_cos FROM s$i")
+        .mkString(" UNION ALL ") + ") ORDER BY rank"
+    sb.toString
+  }
 
   private val TOPK_SQL =
     """SELECT query_id, rank, neighbor_id, cosine FROM (

@@ -61,6 +61,72 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Greedy k-center (farthest-first) diversity selection — the
+    * coverage-maximizing subset picker a curation pass runs when it wants
+    * k exemplars spanning the embedding space rather than k random draws
+    * (random sampling over-picks dense regions; farthest-first is the
+    * classic 2-approximation to the k-center objective, Gonzalez 1985).
+    * Deterministic end to end: the seed is the MIN vec_id; each round
+    * adds the point whose max-cosine-to-any-selected-center is SMALLEST
+    * (the least-covered point), ties broken by smaller vec_id. Output:
+    * (rank, vec_id, nearest_cos) — the selection order with each pick's
+    * coverage at selection time (the seed's nearest_cos is null).
+    *
+    * 100 TB shape: the selected set is ≤k driver-side rows (the
+    * trainCentroids pattern); each round is ONE map over the corpus —
+    * update mc := greatest(mc, cos(v, newCenter)) against a single
+    * broadcast center — plus one argmin aggregate; iterates are
+    * localCheckpoint'ed so the plan stays one-round deep. k bounded at
+    * 64: this is an exemplar picker, not a sampler (use qualityThin /
+    * stratifiedSample for volume).
+    *
+    * Engine-portable exactly: per-row cosine is the sequential-sum
+    * kernel both engines share, max over selected is order-insensitive,
+    * and the argmin compares raw doubles with the (mc, vec_id) tie rule
+    * — so the DuckDB oracle can unroll the same k rounds and hash-match
+    * the frame bit-for-bit. */
+  def kCenterSelect(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 64, s"kCenterSelect: k=$k out of [1, 64]")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val seedRow = corpus.orderBy("vec_id").limit(1)
+      .collect().headOption.getOrElse(
+        throw new IllegalArgumentException("kCenterSelect: empty corpus"))
+    var selected = Seq[(Int, Long, Option[Double])]((1, seedRow.getLong(0), None))
+    var centerVec: Seq[Double] = seedRow.getSeq[Double](1)
+    // running coverage: per remaining vector, max cosine to any selected
+    // center so far (exact: max of the same per-row doubles in any order)
+    var state = corpus
+      .filter(col("vec_id") =!= seedRow.getLong(0))
+      .select(col("vec_id"), col("v"),
+        cosine(col("v"), typedLit(centerVec)).as("mc"))
+      .localCheckpoint(false)
+    var rank = 2
+    var exhausted = false
+    while (rank <= k && !exhausted) {
+      // one argmin job per round; an empty result means the corpus ran
+      // out before k — stop, don't re-count per round
+      val picks = state.orderBy(col("mc").asc, col("vec_id").asc).limit(1).collect()
+      if (picks.isEmpty) exhausted = true
+      else {
+        val pick = picks.head
+        val pid = pick.getLong(0)
+        centerVec = pick.getSeq[Double](1)
+        selected :+= ((rank, pid, Some(pick.getDouble(2))))
+        state = state
+          .filter(col("vec_id") =!= pid)
+          .select(col("vec_id"), col("v"),
+            greatest(col("mc"), cosine(col("v"), typedLit(centerVec))).as("mc"))
+          .localCheckpoint(false)
+        rank += 1
+      }
+    }
+    selected.toDF("rank", "vec_id", "nearest_cos")
+      .select(col("rank").cast("int").as("rank"), col("vec_id"),
+        col("nearest_cos"))
+  }
+
   /** Planted-cluster corpus for certifying IVF recall on CLUSTERED data
     * (the regime IVF is for — `sim_topk_ivf`'s recall story on the
     * near-random synthetic corpus is only nprobe/#cells). Each seed vector

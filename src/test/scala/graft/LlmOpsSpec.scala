@@ -414,6 +414,32 @@ class LlmOpsSpec extends SparkSpec {
       === c1.collect().toSeq.map(_.toSeq).sortBy(_.head.asInstanceOf[Long]))
   }
 
+  test("k-center selection: hand-computed farthest-first order and monotone coverage") {
+    import graft.ops.Similarity
+    // seed = min id (1,0). Farthest (lowest cosine) is the antipode,
+    // then the orthogonal, then the diagonal — and each pick's coverage
+    // cosine is non-decreasing (the classic farthest-first property)
+    val s = math.sqrt(0.5).toFloat
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(s, s)), (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(emb, k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.map(_._2).toSeq === Seq(0L, 3L, 1L, 2L))
+    assert(got.head._3.isEmpty, "the seed has no prior coverage")
+    val covs = got.tail.map(_._3.get)
+    assert(math.abs(covs(0) - (-1.0)) < 1e-12)
+    assert(math.abs(covs(1) - 0.0) < 1e-12)
+    assert(math.abs(covs(2) - math.sqrt(0.5)) < 1e-9)
+    assert(covs.zip(covs.tail).forall { case (a, b) => a <= b },
+      s"coverage must be non-decreasing: ${covs.mkString(",")}")
+    // k past the corpus size stops at the corpus, never loops
+    assert(Similarity.kCenterSelect(emb, k = 10).count() === 4)
+  }
+
   test("index increment: appended rows are bit-equal to full-rebuild assignment on the union") {
     // the rolling-ingest contract: assignment against FIXED stored models
     // is per-row, so incrementing the index with a batch must produce
