@@ -743,6 +743,25 @@ object SparkEntry {
       Sampling.leakageSafeSplitFromCanon(canonicalDocs(s, dir))
         .orderBy("doc_id")),
 
+    // cluster-representative selection by QUALITY: per near-dup cluster
+    // keep the highest-quality member (micro-quantized exact longs, tie
+    // → min doc_id) — the curation refinement of min-id
+    // canonicalization ("keep the best copy, not the first copy"), over
+    // the same shared closure artifact; one join + one aggregate
+    "dedup_best_of_cluster" -> ((s, dir) => {
+      val qm = TextAnalysis.quality(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          floor(col("quality_score") * 1000000.0).cast("long").as("qm"))
+      canonicalDocs(s, dir).join(qm, "doc_id")
+        .groupBy("canonical_id")
+        .agg(count(lit(1)).as("n_members"),
+          max("qm").as("best_q_micro"),
+          min_by(col("doc_id"), struct((-col("qm")).as("nq"), col("doc_id")))
+            .as("keep_id"))
+        .select("canonical_id", "keep_id", "n_members", "best_q_micro")
+        .orderBy("canonical_id")
+    }),
+
     // per-user DAILY ingest throttle on the event stream (day bucket:
     // this corpus tops out at 3 events per user-hour but 10 per user-day,
     // so the cap provably drops rows here)
@@ -2651,6 +2670,35 @@ object SparkEntry {
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_canonical" -> CANONICAL_SQL,
+
+    // quality-argmax representative over the same recursive closure: the
+    // micro-quantized score is the identical per-row double floored, so
+    // max/argmax compare exact longs in both engines
+    "dedup_best_of_cluster" ->
+      s"""WITH RECURSIVE
+         |$COMPONENT_CTES,
+         |qv AS (SELECT doc_id,
+         |    CAST(floor((ttr * 0.4 + stopword_ratio * 0.3 +
+         |      CASE WHEN n_tokens >= 40 THEN 0.3
+         |           ELSE CAST(n_tokens AS DOUBLE) / 40.0 * 0.3 END) * 1000000.0) AS BIGINT) AS qm
+         |  FROM (
+         |    SELECT doc_id,
+         |      len(string_split(text, ' ')) AS n_tokens,
+         |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) AS ttr,
+         |      CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) AS stopword_ratio
+         |    FROM documents)),
+         |cmap AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS canonical_id
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |sel AS (SELECT cm.canonical_id, cm.doc_id, q.qm,
+         |    row_number() OVER (PARTITION BY cm.canonical_id ORDER BY q.qm DESC, cm.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cm.canonical_id) AS n_members,
+         |    max(q.qm) OVER (PARTITION BY cm.canonical_id) AS best_q_micro
+         |  FROM cmap cm JOIN qv q ON q.doc_id = cm.doc_id)
+         |SELECT canonical_id, doc_id AS keep_id,
+         |  CAST(n_members AS BIGINT) AS n_members, best_q_micro
+         |FROM sel WHERE rn = 1 ORDER BY canonical_id""".stripMargin,
 
     "dedup_cluster_sizes" -> CLUSTER_SIZES_SQL,
     // dedup_simhash / sim_topk_ivf: hash-family/ANN internals are not
