@@ -1111,16 +1111,84 @@ object StreamingMonitors {
     else ck).start()
   }
 
-  /** The maintained ANN index: the union of every committed segment
-    * under `stateDir` (one multi-path parquet read — Spark plans it as
-    * ONE scan over all segment files, not a per-segment union). None
-    * when nothing has committed yet. */
+  /** The maintained ANN index: the newest committed compaction base
+    * (`c<k>`, if any) plus every segment committed after it (`v<i>`,
+    * i > k) — one multi-path parquet read, so Spark plans ONE scan over
+    * all live files, not a per-segment union. None when nothing has
+    * committed yet. */
   def annIndexState(spark: org.apache.spark.sql.SparkSession,
                     stateDir: String): Option[DataFrame] = {
-    val dirs = committedStateVersions(spark, stateDir, Long.MaxValue)
-    if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs.map(_._2.toString): _*))
+    val base = compactionBase(spark, stateDir)
+    val floor = base.map(_._1).getOrElse(Long.MinValue)
+    val dirs = base.map(_._2.toString).toSeq ++
+      committedStateVersions(spark, stateDir, Long.MaxValue)
+        .filter(_._1 > floor).map(_._2.toString)
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
   }
+
+  /** Compact the segmented index log: fold the current state (base +
+    * live segments) into ONE consolidated base `c<maxSegmentId>`, then
+    * best-effort delete the dirs it supersedes. Crash-safe by marker
+    * ordering, never by rename tricks: a `c` dir only counts once its
+    * `_SUCCESS` exists (a crash mid-write leaves an ignored partial);
+    * until the old dirs are actually deleted readers take the NEWEST
+    * base and only segments NEWER than it, so the overlap window reads
+    * consistently; a crash mid-delete just leaves garbage the next
+    * compaction removes. The stream keeps appending `v<batchId>` dirs
+    * with monotone ids, which always sort after the base. At 100 TB
+    * this is the nightly job that keeps the segment count — and the
+    * reader's file listing — bounded. */
+  def compactAnnIndexState(spark: org.apache.spark.sql.SparkSession,
+                           stateDir: String): Unit = {
+    val bases = compactionBases(spark, stateDir)
+    val base = bases.lastOption
+    val floor = base.map(_._1).getOrElse(Long.MinValue)
+    val allSegs = committedStateVersions(spark, stateDir, Long.MaxValue)
+    // garbage an interrupted earlier compaction may have left: superseded
+    // bases and segments the current base already folds in
+    val stale = (bases.dropRight(1).map(_._2) ++
+      allSegs.filter(_._1 <= floor).map(_._2))
+    val segs = allSegs.filter(_._1 > floor)
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def sweep(ps: Seq[org.apache.hadoop.fs.Path]): Unit = ps.foreach { p =>
+      try fs.delete(p, true)
+      catch { case _: java.io.IOException => () } // next compaction retries
+    }
+    if (segs.isEmpty) { sweep(stale); return } // nothing newer than the base
+    val top = segs.map(_._1).max
+    spark.read.parquet(
+      (base.map(_._2.toString).toSeq ++ segs.map(_._2.toString)): _*)
+      .write.mode("overwrite").parquet(s"$stateDir/c$top")
+    // the new base is committed; everything it folded in is garbage
+    sweep(base.map(_._2).toSeq ++ segs.map(_._2) ++ stale)
+  }
+
+  /** Committed compaction bases `c<k>` under `stateDir`, ascending. */
+  private def compactionBases(spark: org.apache.spark.sql.SparkSession,
+                              stateDir: String)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .flatMap { p =>
+        val name = p.getName
+        if (name.startsWith("c") && name.drop(1).nonEmpty &&
+            name.drop(1).forall(_.isDigit) &&
+            fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+          Some(name.drop(1).toLong -> p)
+        else None
+      }
+      .sortBy(_._1)
+  }
+
+  private def compactionBase(spark: org.apache.spark.sql.SparkSession,
+                             stateDir: String)
+      : Option[(Long, org.apache.hadoop.fs.Path)] =
+    compactionBases(spark, stateDir).lastOption
 
   /** Highest committed state version strictly BELOW `beforeBatch`
     * (so a replayed batch merges against its ORIGINAL predecessor, not

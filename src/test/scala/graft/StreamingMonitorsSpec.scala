@@ -1190,6 +1190,52 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(served === oneShot)
   }
 
+  test("index log compaction folds segments into one base and stays append-consistent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding", "label").persist()
+    val rows = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val cents = graft.ops.Similarity.trainCentroids(emb.toDF(), k = 8, iterations = 1)
+    val books = graft.ops.Similarity.trainPqCodebooks(emb.toDF(), kCode = 8, iterations = 1)
+    val mem = MemoryStream[(Long, Seq[Float], Int)]
+    val stateDir = s"${work()}/ann-compact-state"
+    val q = StreamingMonitors.annIndexStateSink(
+      mem.toDF().toDF("vec_id", "embedding", "label"), stateDir, cents, books)
+    try {
+      Seq(0L, 1L).foreach { m =>
+        mem.addData(rows.filter(r => r._1 % 3 == m && r._1 % 3 != 2).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val before = StreamingMonitors.annIndexState(spark, stateDir).get
+      .orderBy("vec_id", "sub").collect().map(_.toSeq)
+    StreamingMonitors.compactAnnIndexState(spark, stateDir)
+    // state is unchanged through compaction, and the log is now ONE base
+    val after = StreamingMonitors.annIndexState(spark, stateDir).get
+      .orderBy("vec_id", "sub").collect().map(_.toSeq)
+    assert(after === before)
+    val dirs = new java.io.File(stateDir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("c")) === 1, s"expected one base in ${dirs.mkString(",")}")
+    assert(!dirs.exists(_.startsWith("v")), s"segments not swept: ${dirs.mkString(",")}")
+    // compaction with nothing new is a no-op
+    StreamingMonitors.compactAnnIndexState(spark, stateDir)
+    assert(StreamingMonitors.annIndexState(spark, stateDir).get
+      .orderBy("vec_id", "sub").collect().map(_.toSeq) === before)
+    // later appends land as segments AFTER the base and read consistently
+    val late = emb.filter(col("vec_id") % 3 === 2)
+    graft.ops.Similarity.indexIncrement(late, cents, books)
+      .write.mode("overwrite").parquet(s"$stateDir/v100")
+    val full = graft.ops.Similarity.buildIndex(emb.toDF(), cents, books)
+      .orderBy("vec_id", "sub").collect().map(_.toSeq)
+    val served = StreamingMonitors.annIndexState(spark, stateDir).get
+      .orderBy("vec_id", "sub").collect().map(_.toSeq)
+    emb.unpersist(blocking = false)
+    assert(served === full)
+  }
+
   test("streamed heavy-hitter sketch serves the batch heavy set against the archive") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
