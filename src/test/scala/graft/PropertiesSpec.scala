@@ -332,6 +332,48 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: k-center selection equals a driver-side greedy model on random vectors") {
+    // farthest-first is fully deterministic (min-id seed, (mc, id)
+    // argmin): the distributed incremental-coverage form must reproduce
+    // a plain driver-side greedy loop exactly, selection order and all
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-8, 8).map(_.toDouble / 8.0))
+      .suchThat(_.exists(_ != 0.0))
+    (1L to 5L).foreach { seed =>
+      val vecs = sample(Gen.listOfN(25, vecGen), 11000 + seed)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val k = 6
+      // driver model
+      var sel = Seq(vecs.minBy(_._1))
+      var mc = vecs.filterNot(_._1 == sel.head._1)
+        .map { case (id, v) => (id, v, cos(v, sel.head._2)) }
+      val order = scala.collection.mutable.ArrayBuffer(sel.head._1 -> Option.empty[Double])
+      (2 to k).foreach { _ =>
+        val pick = mc.minBy { case (id, _, m) => (m, id) }
+        order += (pick._1 -> Some(pick._3))
+        mc = mc.filterNot(_._1 == pick._1)
+          .map { case (id, v, m) => (id, v, math.max(m, cos(v, pick._2))) }
+      }
+      val got = graft.ops.Similarity.kCenterSelect(
+        vecs.map { case (id, v) => (id, v.map(_.toFloat).toArray) }
+          .toDF("vec_id", "embedding"), k = k)
+        .orderBy("rank").collect()
+        .map(r => r.getLong(1) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      assert(got.map(_._1).toSeq === order.map(_._1).toSeq, s"seed $seed order")
+      got.zip(order).foreach { case ((_, g), (_, e)) =>
+        (g, e) match {
+          case (Some(gv), Some(ev)) => assert(math.abs(gv - ev) < 1e-9, s"seed $seed")
+          case (a, b) => assert(a.isEmpty && b.isEmpty, s"seed $seed")
+        }
+      }
+    }
+  }
+
   test("property: incremental closure equals the full re-resolution on every random split") {
     // merge-a-batch must equal recompute-from-scratch for ANY partition
     // of the edge set — including batches that bridge many stored
