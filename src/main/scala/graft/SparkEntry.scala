@@ -778,6 +778,22 @@ object SparkEntry {
     "dedup_source_rate" -> ((s, dir) => Graph.sourceDupRateFromCanon(
       canonicalDocs(s, dir), Tables.documents(s, dir)).orderBy("source")),
 
+    // the volume-weighted companion: source_rate counts DOCS a dedup
+    // pass drops; this weighs them in CHARS — at 100 TB the byte bill,
+    // not the row count, is what the scan budget reads. Same shared
+    // canonical resolution, one join + one aggregate
+    "dedup_savings" -> ((s, dir) =>
+      canonicalDocs(s, dir)
+        .join(Tables.documents(s, dir).select("doc_id", "source", "n_chars"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars_total"),
+          sum(when(col("canonical_id") =!= col("doc_id"), col("n_chars"))
+            .otherwise(0L)).as("chars_dropped"))
+        .withColumn("drop_share",
+          col("chars_dropped").cast("double") / col("chars_total"))
+        .orderBy("source")),
+
     // the 100 TB composition: CC over the MinHash-LSH pair generator —
     // same oracle as dedup_components because LSH+verify reproduces the
     // exact pair set on this corpus (the dedup_minhash contract); its own
@@ -2670,6 +2686,20 @@ object SparkEntry {
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_canonical" -> CANONICAL_SQL,
+
+    "dedup_savings" ->
+      s"""WITH RECURSIVE
+         |$COMPONENT_CTES,
+         |cmap AS (SELECT d.doc_id, d.source, d.n_chars,
+         |    coalesce(c.comp, d.doc_id) AS canonical_id
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+         |  CAST(sum(CASE WHEN canonical_id <> doc_id THEN n_chars ELSE 0 END) AS BIGINT)
+         |    AS chars_dropped,
+         |  CAST(sum(CASE WHEN canonical_id <> doc_id THEN n_chars ELSE 0 END) AS DOUBLE)
+         |    / sum(n_chars) AS drop_share
+         |FROM cmap GROUP BY source ORDER BY source""".stripMargin,
 
     // quality-argmax representative over the same recursive closure: the
     // micro-quantized score is the identical per-row double floored, so
