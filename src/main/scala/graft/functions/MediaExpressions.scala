@@ -141,7 +141,8 @@ object DspKernel {
     while (!done) {
       if (pos + 1 >= p.length || (p(pos) & 0xff) != 0xFF) return null
       val m = p(pos + 1) & 0xff
-      if (m == 0xD9) done = true // EOI
+      if (m == 0xFF) pos += 1 // optional fill byte before a marker (§B.1.1.2)
+      else if (m == 0xD9) done = true // EOI
       else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) pos += 2 // standalone
       else if (m == 0xDA) {
         if (pos + 3 >= p.length) return null

@@ -496,6 +496,26 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("fill bytes before markers are skipped, never parsed as segments") {
+    // T.81 §B.1.1.2: any marker may be preceded by FF fill bytes — a
+    // walker that reads them as a length-prefixed segment would land at
+    // a garbage offset. Splice fills before the EOI of a real stream:
+    // stats must be unchanged (fills are framing, not scan data)
+    import graft.ops.Multimodal
+    val base = Seq((0L, "some scan body text here"))
+      .toDF("doc_id", "body")
+      .select(Multimodal.jpegScanPayload(lit(64), lit(48), lit(3),
+        lit(2), lit(2), lit(2), col("body")).as("p"))
+      .collect().head.getAs[Array[Byte]](0)
+    val clean = graft.functions.DspKernel.jpegScanStats(base)
+    assert(clean != null)
+    val spliced = base.dropRight(2) ++
+      Array(0xFF.toByte, 0xFF.toByte) ++ base.takeRight(2)
+    val withFills = graft.functions.DspKernel.jpegScanStats(spliced)
+    assert(withFills != null, "fill bytes must not fail the walk")
+    assert(withFills.toLongArray().toSeq === clean.toLongArray().toSeq)
+  }
+
   test("property: the scan walk is total over arbitrary binary garbage") {
     // malformed streams (truncated segments, lost marker alignment,
     // scans running off the end) must yield NULL stats, never a throw
