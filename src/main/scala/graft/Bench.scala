@@ -51,20 +51,21 @@ object Bench {
     // inflate it identically and be rescaled away by the gate; this loop
     // measures only the host CPU. bench_gate.py prefers this number when
     // both compared runs carry it.
-    def jvmCal(): Double = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        var x = 0x9E3779B97F4A7C15L
-        var s = 0L
-        var i = 0
-        while (i < 300000000) {
-          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; s += x; i += 1
-        }
-        calSink = s // observable side effect so the JIT can't elide the loop
-        (System.nanoTime() - t0) / 1e9
+    // jvmCalOnce is also the adjudication's per-flag snapshot — ONE loop
+    // body, so the snapshot provably measures the same workload as the
+    // before/after numbers it is read against
+    def jvmCalOnce(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var s = 0L
+      var i = 0
+      while (i < 300000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; s += x; i += 1
       }
-      Seq.fill(3)(once()).min
+      calSink = s // observable side effect so the JIT can't elide the loop
+      (System.nanoTime() - t0) / 1e9
     }
+    def jvmCal(): Double = Seq.fill(3)(jvmCalOnce()).min
     // Memory-bandwidth calibration: the jvm xorshift loop is pure-ALU and
     // stays flat through host phases that slow MEMORY-BOUND work (round-12
     // adjudication found untouched queries elevated ~1.4x with jvm-cal
@@ -152,23 +153,20 @@ object Bench {
     // clean-record times, and each round burned an adjudication pass
     // cross-referencing gate runs after the fact. Close the loop IN the
     // record: any query that lands >2x its entry in the committed prior
-    // clean record (shipped as a resource; same flag rule as
-    // tools/bench_gate.py — ratio over 2 AND >1s absolute, so sub-second
-    // wobble never flags) is re-run immediately with a fresh
+    // clean record (shipped as a resource; the 2x ratio is the VERDICT's
+    // perf-weak rule and the >1s absolute floor is bench_gate.py's
+    // sub-second-wobble guard — NOTE the gate itself fails at 1.5x, so a
+    // 1.5-2x elevation still needs the gate's cal-normalized compare
+    // rather than an in-band re-run) is re-run immediately with a fresh
     // engine-independent jvm-cal snapshot alongside, so the record
     // carries its own refutation (re-run back in band ⇒ host phase) or
     // confirmation (still elevated on a clean cal ⇒ real) and needs no
     // gate archaeology. Queries absent from the record (new this round)
-    // cannot flag. The full bench at sf0.1 runs only on the official
-    // driver pass, so the extra re-runs cost seconds, bounded by the
-    // flag count.
-    def jvmCalOnce(): Double = {
-      val t0 = System.nanoTime()
-      var x = 0x9E3779B97F4A7C15L; var s = 0L; var i = 0
-      while (i < 300000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; s += x; i += 1 }
-      calSink = s
-      (System.nanoTime() - t0) / 1e9
-    }
+    // cannot flag, and a record taken at a DIFFERENT scale factor
+    // disables adjudication entirely (comparing sf0.1 times against an
+    // sf1 run would mass-flag; against sf0.001 it could never fire).
+    // The full bench at sf0.1 runs only on the official driver pass, so
+    // the extra re-runs cost seconds, bounded by the flag count.
     // SPARK_GRAFT_BENCH_RECORD points at an alternate record file (used
     // by the gate ritual to adjudicate against a mid-round run, and to
     // exercise the flag path in testing); default is the committed
@@ -187,7 +185,19 @@ object Bench {
         }
         txt.map { t =>
           import org.json4s._
-          org.json4s.jackson.JsonMethods.parse(t) \ "queries" match {
+          val parsed = org.json4s.jackson.JsonMethods.parse(t)
+          // the record must come from the SAME scale factor: flag ratios
+          // across scales are meaningless (see the comment above). A
+          // record without an "sf" field is refused for the same reason.
+          val recSf = parsed \ "sf" match {
+            case JString(s) => Some(s)
+            case _ => None
+          }
+          if (!recSf.contains(sfDir)) {
+            System.err.println(s"[bench] record sf ${recSf.getOrElse("<absent>")} " +
+              s"!= run sf $sfDir — self-adjudication disabled for this run")
+            Map.empty[String, Double]
+          } else parsed \ "queries" match {
             case JObject(fields) => fields.collect {
               case (k, JDouble(v)) => k -> v
               case (k, JInt(v)) => k -> v.toDouble

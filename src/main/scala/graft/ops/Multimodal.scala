@@ -364,10 +364,16 @@ object Multimodal {
     * gets ⌊L/n⌋ bytes plus one while i < L mod n), EOI. Table counts and
     * the scan split are per-row data — the reader must walk and
     * byte-scan, not index a constant layout. `text` must be FF-free
-    * (ASCII corpus text is), as real entropy bytes are by stuffing. */
+    * (ASCII corpus text is), as real entropy bytes are by stuffing.
+    * `comLen` is capped at 13 like [[jpegPayload]]'s — and ENFORCED: an
+    * out-of-range value raises rather than writing a COM length field
+    * its data silently falls short of (an unwalkable stream). */
   def jpegScanPayload(width: Column, height: Column, comLen: Column,
                       nDqt: Column, nDht: Column, nScans: Column,
                       text: Column): Column = {
+    val comLenChecked = when(comLen < 0 || comLen > 13,
+      raise_error(concat(lit("jpegScanPayload: comLen out of [0, 13]: "),
+        comLen.cast("string")))).otherwise(comLen)
     val emptyBin = lit(Array.empty[Byte])
     val dqts = (0 until 2).map(i =>
       when(lit(i) < nDqt, unhex(lit(dqtHex(i)))).otherwise(emptyBin))
@@ -392,8 +398,8 @@ object Multimodal {
           lit("FFD8" +
             "FFE000104A46494600010100004800480000" +
             "FFFE"),
-          beHex(comLen.cast("long") + 2L, 2))),
-        lit("x" * 13).substr(lit(1), comLen).cast("binary")) ++
+          beHex(comLenChecked.cast("long") + 2L, 2))),
+        lit("x" * 13).substr(lit(1), comLenChecked).cast("binary")) ++
       dqts ++ dhts ++
       Seq(unhex(concat(
         lit("FFC2001108"), // SOF2 (progressive), len 17, precision 8

@@ -619,21 +619,40 @@ object Similarity {
       trainCentroids(embeddings, numCells, iterations = 2)))
     val books = broadcast(codebooks.getOrElse(
       trainPqCodebooks(embeddings, m, kCode, iterations = 2)))
-    serveFromIndex(embeddings, buildIndex(embeddings, cents, books, m),
-      cents, books, k, numQueries, nprobe, m, shortlist)
+    // ONE dim probe shared by the build and serve halves
+    val dim = dimOf(embeddings).getOrElse(
+      throw new IllegalArgumentException("topKIvfPq: empty corpus"))
+    serveFromIndex(embeddings, buildIndexAt(embeddings, cents, books, m, dim),
+      cents, books, k, numQueries, nprobe, m, shortlist, dimHint = Some(dim))
   }
+
+  /** Embedding dimension from the first row — one tiny job; None on an
+    * empty frame (never a head() crash: an empty micro-batch is a
+    * routine streaming event, not an error). */
+  private def dimOf(embeddings: DataFrame): Option[Int] =
+    embeddings.select(size(toDouble(col("embedding"))))
+      .head(1).headOption.map(_.getInt(0))
 
   /** The IVF-PQ index rows for a corpus against FIXED model artifacts:
     * each vector's 1-nearest cell and its m PQ codes — (vec_id, cell,
     * sub, code), the only corpus-sized frame the serving path probes.
     * Assignment is strictly per-row (argmin against a broadcast ≤k·m
     * model), which is what makes the index APPENDABLE — see
-    * [[indexIncrement]]. */
+    * [[indexIncrement]]. An EMPTY corpus yields an empty index frame
+    * with the right schema (annIndexStateSink feeds this from micro-
+    * batches, and empty batches must not kill the stream). */
   def buildIndex(embeddings: DataFrame, centroids: DataFrame,
-                 books: DataFrame, m: Int = 4): DataFrame = {
+                 books: DataFrame, m: Int = 4): DataFrame =
+    dimOf(embeddings) match {
+      case Some(dim) => buildIndexAt(embeddings, centroids, books, m, dim)
+      case None => embeddings.select(col("vec_id"), lit(0L).as("cell"),
+        lit(0).as("sub"), lit(0L).as("code"))
+    }
+
+  private def buildIndexAt(embeddings: DataFrame, centroids: DataFrame,
+                           books: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
     val corpus = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val dim = corpus.select(size(col("v"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
     val cells = assignCells(embeddings, broadcast(centroids), probe = 1)
       .select(col("vec_id"), col("cell"))
     pqAssign(subSlices(corpus, m, dim / m), broadcast(books))
@@ -664,11 +683,14 @@ object Similarity {
   def serveFromIndex(embeddings: DataFrame, index: DataFrame,
                      centroids: DataFrame, books: DataFrame,
                      k: Int = 5, numQueries: Int = 8, nprobe: Int = 3,
-                     m: Int = 4, shortlist: Int = 32): DataFrame = {
+                     m: Int = 4, shortlist: Int = 32,
+                     dimHint: Option[Int] = None): DataFrame = {
     require(shortlist >= k,
       s"shortlist=$shortlist < k=$k would silently return fewer than k neighbors")
     val corpus = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val dim = corpus.select(size(col("v"))).head().getInt(0)
+    // dimHint saves the probe job when the caller already knows the dim
+    val dim = dimHint.orElse(dimOf(embeddings)).getOrElse(
+      throw new IllegalArgumentException("serveFromIndex: empty corpus"))
     require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
     val subDim = dim / m
     val queryCells = assignCells(embeddings.filter(col("vec_id") < numQueries),

@@ -1218,7 +1218,10 @@ object StreamingMonitors {
       .map(_.getPath)
       .flatMap { p =>
         val name = p.getName
-        if (name.startsWith("v") && name.drop(1).forall(_.isDigit) &&
+        // nonEmpty: a dir named bare "v" must not NumberFormatException
+        // the whole state listing
+        if (name.startsWith("v") && name.drop(1).nonEmpty &&
+            name.drop(1).forall(_.isDigit) &&
             fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
           Some(name.drop(1).toLong -> p)
         else None

@@ -460,6 +460,12 @@ class LlmOpsSpec extends SparkSpec {
     assert(incr === rebuild)
     // and the batch rows are complete: m=4 codes per batch vector
     assert(incr.length === batch.count() * 4)
+    // an EMPTY batch yields an empty frame with the index schema — a
+    // routine streaming event (empty micro-batch), never a crash that
+    // would kill annIndexStateSink's query
+    val empty = Similarity.indexIncrement(emb.limit(0), cents, books)
+    assert(empty.columns.toSeq === Seq("vec_id", "cell", "sub", "code"))
+    assert(empty.count() === 0L)
   }
 
   test("PQ: deterministic codebooks, m codes per vector, full shortlist equals brute") {

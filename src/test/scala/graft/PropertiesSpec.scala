@@ -514,6 +514,17 @@ class PropertiesSpec extends SparkSpec {
     val withFills = graft.functions.DspKernel.jpegScanStats(spliced)
     assert(withFills != null, "fill bytes must not fail the walk")
     assert(withFills.toLongArray().toSeq === clean.toLongArray().toSeq)
+    // the generator refuses a comLen its 13-byte filler cannot honor —
+    // an unwalkable stream must raise at build, not null at read
+    val e = intercept[Exception] {
+      Seq((0L, "body")).toDF("doc_id", "body")
+        .select(Multimodal.jpegScanPayload(lit(64), lit(48), lit(20),
+          lit(1), lit(1), lit(1), col("body")))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("comLen")), s"unexpected: $e")
   }
 
   test("property: the scan walk is total over arbitrary binary garbage") {

@@ -1224,6 +1224,13 @@ class StreamingMonitorsSpec extends SparkSpec {
     StreamingMonitors.compactAnnIndexState(spark, stateDir)
     assert(StreamingMonitors.annIndexState(spark, stateDir).get
       .orderBy("vec_id", "sub").collect().map(_.toSeq) === before)
+    // stray dirs that merely LOOK like versions must not crash the
+    // listing: a bare "v" (no digits) with a _SUCCESS inside
+    val stray = new java.io.File(stateDir, "v")
+    stray.mkdirs()
+    new java.io.File(stray, "_SUCCESS").createNewFile()
+    assert(StreamingMonitors.annIndexState(spark, stateDir).get
+      .orderBy("vec_id", "sub").collect().map(_.toSeq) === before)
     // later appends land as segments AFTER the base and read consistently
     val late = emb.filter(col("vec_id") % 3 === 2)
     graft.ops.Similarity.indexIncrement(late, cents, books)
