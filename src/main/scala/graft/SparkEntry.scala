@@ -1033,6 +1033,12 @@ object SparkEntry {
     "q_diverse_kcenter" -> ((s, dir) =>
       Similarity.kCenterSelect(Tables.embeddings(s, dir), k = 8).orderBy("rank")),
 
+    // the selection's PURPOSE: corpus vectors mapped to their nearest
+    // exemplar — the strata a curation pass samples from, with the
+    // coverage census that says whether k exemplars span the space
+    "q_diverse_kcenter_assign" -> ((s, dir) =>
+      Similarity.kCenterAssign(Tables.embeddings(s, dir), k = 8).orderBy("rank")),
+
     "q_embed_quantize" -> ((s, dir) => {
       val q = Quantization.quantize(Tables.embeddings(s, dir))
       q.select(
@@ -2790,6 +2796,7 @@ object SparkEntry {
     "sim_topk_brute" -> TOPK_SQL,
 
     "q_diverse_kcenter" -> KCENTER_SQL,
+    "q_diverse_kcenter_assign" -> KCENTER_ASSIGN_SQL,
 
     // centroid = mean of floor(e*1e6) integers (exact long sum, pure
     // double mean) — no decimal-cast rounding conventions in play;
@@ -3589,9 +3596,11 @@ object SparkEntry {
   /** DuckDB twin of Similarity.kCenterSelect: the same 8 greedy rounds
     * unrolled as chained CTEs (seed = min vec_id; per round, coverage
     * mc = max cosine to the selected set, pick = argmin (mc, vec_id)).
-    * Generated, not hand-written, so k changes in ONE place. */
-  private val KCENTER_SQL: String = {
-    val k = 8
+    * Generated, not hand-written, so k changes in ONE place — and the
+    * CTE chain is shared with the assignment oracle below. */
+  private val KCENTER_K = 8
+  private val KCENTER_CTES: String = {
+    val k = KCENTER_K
     val sb = new StringBuilder
     sb ++= "WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
     sb ++= "s1 AS (SELECT CAST(1 AS INT) AS rank, vec_id, CAST(NULL AS DOUBLE) AS nearest_cos, v FROM corpus ORDER BY vec_id LIMIT 1),\n"
@@ -3601,11 +3610,30 @@ object SparkEntry {
       if (i < k)
         sb ++= s",\nm$i AS (SELECT m.vec_id, m.v, greatest(m.mc, list_cosine_similarity(m.v, s.v)) AS mc FROM m${i - 1} m, s$i s WHERE m.vec_id <> s.vec_id)"
     }
-    sb ++= "\nSELECT rank, vec_id, nearest_cos FROM (" +
-      (1 to k).map(i => s"SELECT rank, vec_id, nearest_cos FROM s$i")
-        .mkString(" UNION ALL ") + ") ORDER BY rank"
+    sb ++= ",\nsel AS (" +
+      (1 to k).map(i => s"SELECT rank, vec_id, nearest_cos, v FROM s$i")
+        .mkString(" UNION ALL ") + ")"
     sb.toString
   }
+
+  private val KCENTER_SQL: String =
+    KCENTER_CTES + "\nSELECT rank, vec_id, nearest_cos FROM sel ORDER BY rank"
+
+  /** The assignment twin: every vector to its most-similar exemplar
+    * ((cos desc, center_id) tie), per-exemplar census with the
+    * micro-quantized-exact mean. */
+  private val KCENTER_ASSIGN_SQL: String =
+    KCENTER_CTES + """,
+      |asg AS (SELECT e.vec_id, sel.rank, sel.vec_id AS center_id,
+      |    list_cosine_similarity(e.v, sel.v) AS c,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(e.v, sel.v) DESC, sel.vec_id) AS rn
+      |  FROM corpus e CROSS JOIN sel)
+      |SELECT rank, center_id, count(*) AS n_assigned,
+      |  CAST(sum(CAST(floor(c * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_cos_micro,
+      |  CAST(sum(CAST(floor(c * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+      |    / count(*) AS mean_cos
+      |FROM asg WHERE rn = 1 GROUP BY rank, center_id ORDER BY rank""".stripMargin
 
   private val TOPK_SQL =
     """SELECT query_id, rank, neighbor_id, cosine FROM (

@@ -127,6 +127,34 @@ object Similarity {
         col("nearest_cos"))
   }
 
+  /** Coverage assignment over the [[kCenterSelect]] exemplars: every
+    * corpus vector maps to its most-similar exemplar (ties by smaller
+    * exemplar id), rolled up to the per-exemplar stratum census —
+    * n_assigned and the micro-quantized-exact mean cosine. This is what
+    * the selection is FOR: the strata a curation pass samples from, and
+    * the coverage report that says whether k exemplars actually span the
+    * space (a stratum with low mean_cos is under-covered — raise k).
+    * One corpus pass against the ≤k broadcast exemplar frame, one
+    * aggregate; the cross join is the bounded-broadcast exception. */
+  def kCenterAssign(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val centers = kCenterSelect(embeddings, k)
+      .select(col("rank"), col("vec_id").as("center_id"))
+      .join(embeddings.select(col("vec_id").as("center_id"),
+        toDouble(col("embedding")).as("cv")), "center_id")
+    embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(centers))
+      .select(col("vec_id"), col("rank"), col("center_id"),
+        cosine(col("v"), col("cv")).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("c").desc, col("center_id"))))
+      .filter(col("rn") === 1)
+      .groupBy("rank", "center_id")
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(floor(col("c") * 1000000.0).cast("long")).as("sum_cos_micro"))
+      .withColumn("mean_cos",
+        col("sum_cos_micro").cast("double") / 1000000.0 / col("n_assigned"))
+  }
+
   /** Planted-cluster corpus for certifying IVF recall on CLUSTERED data
     * (the regime IVF is for — `sim_topk_ivf`'s recall story on the
     * near-random synthetic corpus is only nprobe/#cells). Each seed vector
