@@ -1145,6 +1145,11 @@ object SparkEntry {
     "text_train_ready" -> ((s, dir) =>
       Curation.trainReadyStats(Tables.documents(s, dir))),
 
+    // the capstone budget: docs and tokens surviving the full chain,
+    // priced by SOURCE — what the training run actually reads
+    "text_token_budget" -> ((s, dir) =>
+      Curation.tokenBudget(Tables.documents(s, dir)).orderBy("source")),
+
     // ---- LLM-pipeline: multimodal decode + features ----------------------
     // end-to-end byte round-trip: the BMP/WAV headers are BUILT by
     // expression on the write side, PARSED from the raw bytes on the read
@@ -2990,60 +2995,23 @@ object SparkEntry {
         |  max(quality_score) AS max_quality
         |FROM curated GROUP BY 1 ORDER BY lang""".stripMargin,
 
-    "text_train_ready" ->
-      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws,
-        |    CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5'
-        |         THEN 0 ELSE 1 END AS is_eval
-        |  FROM documents),
-        |idx AS (SELECT doc_id, is_eval, ws,
-        |        unnest(range(1, greatest(len(ws) - 1, 2))) AS i FROM w),
-        |sh AS (SELECT DISTINCT doc_id, is_eval,
-        |       array_to_string(list_slice(ws, i, i + 2), ' ') AS s FROM idx),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |prs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
-        |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |losers AS (
-        |  SELECT DISTINCT id2 AS doc_id FROM prs
-        |  JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
-        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
-        |qual AS (
-        |  SELECT doc_id, lang,
-        |    ttr * 0.4 + stopword_ratio * 0.3 +
-        |      CASE WHEN n_tokens >= 40 THEN 0.3 ELSE CAST(n_tokens AS DOUBLE) / 40.0 * 0.3 END AS quality_score
-        |  FROM (
-        |    SELECT doc_id, lang,
-        |      len(string_split(text, ' ')) AS n_tokens,
-        |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr,
-        |      CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
-        |        / len(string_split(text, ' ')) AS stopword_ratio
-        |    FROM documents)),
-        |bi AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
-        |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)),
-        |bc AS (SELECT doc_id, b, count(*) AS c FROM bi GROUP BY 1, 2),
-        |tb AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
-        |       FROM bc GROUP BY 1),
-        |evsz AS (SELECT doc_id, count(*) AS n FROM sh WHERE is_eval = 1 GROUP BY 1),
-        |cint AS (SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS i
-        |         FROM (SELECT doc_id, s FROM sh WHERE is_eval = 0) t
-        |         JOIN (SELECT doc_id, s FROM sh WHERE is_eval = 1) e ON t.s = e.s
-        |         GROUP BY 1, 2),
-        |contaminated AS (
-        |  SELECT DISTINCT train_id AS doc_id FROM cint
-        |  JOIN evsz ON evsz.doc_id = eval_id
-        |  WHERE CAST(i AS DOUBLE) / evsz.n >= 0.5),
-        |kept AS (
-        |  SELECT q.doc_id, q.lang, q.quality_score FROM qual q
-        |  LEFT JOIN losers l ON q.doc_id = l.doc_id
-        |  LEFT JOIN contaminated c ON q.doc_id = c.doc_id
-        |  LEFT JOIN tb ON tb.doc_id = q.doc_id
-        |  JOIN w ON w.doc_id = q.doc_id
-        |  WHERE l.doc_id IS NULL AND c.doc_id IS NULL
-        |    AND q.quality_score >= 0.46
-        |    AND coalesce(tb.top_bigram_frac, 0.0) <= 0.1
-        |    AND w.is_eval = 0)
+    "text_train_ready" -> (TRAIN_READY_CTES +
+      """
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CAST(quality_score AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS mean_quality
-        |FROM kept GROUP BY 1 ORDER BY lang""".stripMargin,
+        |FROM kept GROUP BY 1 ORDER BY lang""".stripMargin),
+
+    // the post-curation budget by SOURCE: the same kept set, priced in
+    // whitespace tokens — what the training run actually reads
+    "text_token_budget" -> (TRAIN_READY_CTES +
+      """,
+        |dtok AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT d.source, count(*) AS n_docs_kept,
+        |  CAST(sum(d.n_tokens) AS BIGINT) AS n_tokens_kept
+        |FROM kept k JOIN dtok d ON d.doc_id = k.doc_id
+        |GROUP BY 1 ORDER BY d.source""".stripMargin),
 
     "text_tf" ->
       """SELECT lang, token, n, rnk FROM (
@@ -3592,6 +3560,63 @@ object SparkEntry {
       |  FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
       |  WHERE a.vec_id < 8)
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** The full train-ready chain (dedup losers, quality floor,
+    * repetition cap, decontamination, split) shared by the
+    * per-language census and the per-source token budget — the CTE
+    * chain ends at the `kept` doc set, each consumer appends its own
+    * final select (and extra CTEs via a leading comma). */
+  private val TRAIN_READY_CTES: String =
+    """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws,
+        |    CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5'
+        |         THEN 0 ELSE 1 END AS is_eval
+        |  FROM documents),
+        |idx AS (SELECT doc_id, is_eval, ws,
+        |        unnest(range(1, greatest(len(ws) - 1, 2))) AS i FROM w),
+        |sh AS (SELECT DISTINCT doc_id, is_eval,
+        |       array_to_string(list_slice(ws, i, i + 2), ' ') AS s FROM idx),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |prs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |losers AS (
+        |  SELECT DISTINCT id2 AS doc_id FROM prs
+        |  JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+        |qual AS (
+        |  SELECT doc_id, lang,
+        |    ttr * 0.4 + stopword_ratio * 0.3 +
+        |      CASE WHEN n_tokens >= 40 THEN 0.3 ELSE CAST(n_tokens AS DOUBLE) / 40.0 * 0.3 END AS quality_score
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      len(string_split(text, ' ')) AS n_tokens,
+        |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr,
+        |      CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) AS stopword_ratio
+        |    FROM documents)),
+        |bi AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+        |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bi GROUP BY 1, 2),
+        |tb AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+        |       FROM bc GROUP BY 1),
+        |evsz AS (SELECT doc_id, count(*) AS n FROM sh WHERE is_eval = 1 GROUP BY 1),
+        |cint AS (SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS i
+        |         FROM (SELECT doc_id, s FROM sh WHERE is_eval = 0) t
+        |         JOIN (SELECT doc_id, s FROM sh WHERE is_eval = 1) e ON t.s = e.s
+        |         GROUP BY 1, 2),
+        |contaminated AS (
+        |  SELECT DISTINCT train_id AS doc_id FROM cint
+        |  JOIN evsz ON evsz.doc_id = eval_id
+        |  WHERE CAST(i AS DOUBLE) / evsz.n >= 0.5),
+        |kept AS (
+        |  SELECT q.doc_id, q.lang, q.quality_score FROM qual q
+        |  LEFT JOIN losers l ON q.doc_id = l.doc_id
+        |  LEFT JOIN contaminated c ON q.doc_id = c.doc_id
+        |  LEFT JOIN tb ON tb.doc_id = q.doc_id
+        |  JOIN w ON w.doc_id = q.doc_id
+        |  WHERE l.doc_id IS NULL AND c.doc_id IS NULL
+        |    AND q.quality_score >= 0.46
+        |    AND coalesce(tb.top_bigram_frac, 0.0) <= 0.1
+        |    AND w.is_eval = 0)""".stripMargin
 
   /** DuckDB twin of Similarity.kCenterSelect: the same 8 greedy rounds
     * unrolled as chained CTEs (seed = min vec_id; per round, coverage

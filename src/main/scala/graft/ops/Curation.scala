@@ -85,6 +85,20 @@ object Curation {
     }
   }
 
+  /** Per-source post-curation token budget: what a training run will
+    * actually READ — documents and whitespace tokens surviving the full
+    * train-ready chain, per source. The capstone number a data lead asks
+    * of a corpus ("how many tokens survive cleaning, and from where") —
+    * trainReadyStats censuses quality by language; this prices the
+    * budget by source. One join back to the corpus projection + one
+    * aggregate past the chain. */
+  def tokenBudget(docs: DataFrame): DataFrame =
+    trainReady(docs).select("doc_id")
+      .join(docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_kept"), sum("n_tokens").as("n_tokens_kept"))
+
   /** Per-language census of the train-ready corpus. */
   def trainReadyStats(docs: DataFrame): DataFrame =
     trainReady(docs)
