@@ -578,6 +578,29 @@ class PlanContractSpec extends SparkSpec {
       s"basket increment has a non-scalar nested loop:\n${badBnlj.mkString("\n")}")
   }
 
+  test("k-center assignment's only nested loop is the bounded exemplar broadcast") {
+    // the corpus-side pass may cross-join ONLY the ≤k broadcast exemplar
+    // frame; any other loop join (or a cartesian) is a scale regression
+    val p = plan("q_diverse_kcenter_assign")
+    assert(!p.contains("CartesianProduct"), s"kcenter assign has a cartesian:\n$p")
+    val badBnlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).filterNot(_.contains("Cross"))
+    assert(badBnlj.isEmpty,
+      s"kcenter assign has a non-broadcast nested loop:\n${badBnlj.mkString("\n")}")
+  }
+
+  test("token budget shares the train-ready chain's single postings cache") {
+    val p = plan("text_token_budget")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"token budget lost the equi-join shape:\n$p")
+    val relations = p.linesIterator
+      .filter(_.trim.matches("""^[+:\-\s]*InMemoryRelation.*""")).toSeq
+    assert(relations.nonEmpty, s"expected the shared postings cache in:\n$p")
+    assert(relations.map(_.replaceAll("""#\d+""", "").replaceAll("""^[+:\-\s]*""", ""))
+      .distinct.size === 1,
+      s"more than one distinct cache in token budget:\n${relations.mkString("\n")}")
+  }
+
   test("curation rollup stays equi-join-only over one documents scan family") {
     val p = plan("text_curation")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
