@@ -99,7 +99,8 @@ def load_queries(path):
     if queries is None:
         print(f"[gate] note: {os.path.basename(path)} has only the compact "
               f"summary (detailed line truncated) — totals-only compare")
-    return queries, cal, total
+    adj = detail.get("adjudication") if detail else None
+    return queries, cal, total, adj if isinstance(adj, dict) else {}
 
 
 def pick_cal(old_cal, new_cal):
@@ -129,10 +130,44 @@ def main():
     else:
         sys.exit(__doc__)
 
-    old_q, old_cal, old_total = load_queries(old_path)
-    new_q, new_cal, new_total = load_queries(new_path)
+    old_q, old_cal, old_total, _ = load_queries(old_path)
+    new_q, new_cal, new_total, new_adj = load_queries(new_path)
     print(f"[gate] {os.path.basename(old_path)} -> {os.path.basename(new_path)} "
           f"(threshold {threshold}x)")
+
+    # In-band self-adjudication (round 13+): a flagged query's record entry
+    # carries its own re-run, a mem-cal snapshot, and two control-query
+    # times, and Bench closes the flag when the re-run is back in band —
+    # raw, or after dividing out the host slowdown the controls measured
+    # (closed_by: "rerun" / "control"). The gate honors a CLOSED flag by
+    # scoring the query at its adjudicated effective time instead of the
+    # phase-contaminated main-pass time; OPEN flags keep the main time and
+    # fail like any other regression. This is the "zero gate archaeology"
+    # contract: the record refutes (or confirms) itself.
+    if new_adj and new_q is not None:
+        for name, ev in sorted(new_adj.items()):
+            if not isinstance(ev, dict) or name not in new_q:
+                continue
+            rerun = ev.get("rerun", -1)
+            norm = ev.get("norm", 1) or 1
+            if "closed_by" in ev:
+                closed = ev.get("closed_by") or ""
+            else:
+                # round-12 record format: no control evidence; reconstruct
+                # its rerun-only closure rule (2x + 1 s floor)
+                rec = ev.get("record", 0) or 0
+                closed = ("rerun" if isinstance(rerun, (int, float)) and rerun >= 0
+                          and not (rerun > 2 * rec and rerun - rec > 1.0) else "")
+            if closed and isinstance(rerun, (int, float)) and rerun > 0:
+                eff = min(new_q[name], rerun / norm if closed == "control" else rerun)
+                print(f"  adj   {name}: main {new_q[name]:.2f}s -> effective "
+                      f"{eff:.2f}s (closed_by={closed}, rerun {rerun:.2f}s, "
+                      f"norm {norm:.2f}x)")
+                new_q[name] = eff
+            elif not closed:
+                print(f"  adj   {name}: flag OPEN (main {new_q[name]:.2f}s, "
+                      f"rerun {rerun if isinstance(rerun, (int, float)) else -1:.2f}s, "
+                      f"norm {norm:.2f}x) — scored at main time")
 
     # Host-drift normalization: when both runs carry a calibration number
     # and the host speed differs >1.3x, rescale the new run's timings to
