@@ -126,15 +126,27 @@ object Graph {
   def componentsIncrement(stored: DataFrame, newPairs: DataFrame,
                           srcCol: String = "id1", dstCol: String = "id2",
                           maxIter: Int = 64): DataFrame = {
-    Seq(srcCol, dstCol).foreach { c =>
-      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-      val ok = newPairs.schema(c).dataType match {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case _ => false
+    def requireIntegral(df: DataFrame, frame: String, cols: String*): Unit =
+      cols.foreach { c =>
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        val ok = df.schema(c).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+        require(ok,
+          s"componentsIncrement needs integral node ids; $frame.$c is ${df.schema(c).dataType}")
       }
-      require(ok,
-        s"componentsIncrement needs integral node ids; $c is ${newPairs.schema(c).dataType}")
-    }
+    requireIntegral(newPairs, "newPairs", srcCol, dstCol)
+    // `stored` must be genuine [[connectedComponents]] output — comp is
+    // the MIN id of each component and every comp value appears as a
+    // self-labeled root row (id === comp). The merge below leans on that
+    // invariant (the quotient minimum is only the global minimum when
+    // stored labels are component minima), and an arbitrary (id, comp)
+    // labeling — e.g. quality-argmax representatives — would silently
+    // produce wrong merged components. The schema is validated here; the
+    // data-level invariant (roots self-labeled, a full scan) is pinned in
+    // GraphSpec, not re-checked per call at corpus scale.
+    requireIntegral(stored, "stored", "id", "comp")
     val edges = newPairs
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       // self-pairs carry no edge: connectedComponents drops them, and the

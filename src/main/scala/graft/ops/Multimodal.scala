@@ -365,27 +365,37 @@ object Multimodal {
     * the scan split are per-row data — the reader must walk and
     * byte-scan, not index a constant layout. `text` must be FF-free
     * (ASCII corpus text is), as real entropy bytes are by stuffing.
-    * `comLen` is capped at 13 like [[jpegPayload]]'s — and ENFORCED: an
-    * out-of-range value raises rather than writing a COM length field
-    * its data silently falls short of (an unwalkable stream). */
+    * `comLen` is capped at 13 like [[jpegPayload]]'s — and ENFORCED, as
+    * are nDqt/nDht/nScans: an out-of-range value raises rather than
+    * writing a stream that silently under-covers its own body (an
+    * unwalkable COM, or scans that drop the tail of `text`). */
   def jpegScanPayload(width: Column, height: Column, comLen: Column,
                       nDqt: Column, nDht: Column, nScans: Column,
                       text: Column): Column = {
-    val comLenChecked = when(comLen < 0 || comLen > 13,
-      raise_error(concat(lit("jpegScanPayload: comLen out of [0, 13]: "),
-        comLen.cast("string")))).otherwise(comLen)
+    // every count cap is enforced the same way as comLen: only `cap`
+    // slots are generated, so a silently-accepted out-of-range count
+    // would produce a stream that under-covers its own body (nScans = 4
+    // would drop the last quarter of `text`) — fail loudly instead
+    def rangeChecked(c: Column, name: String, lo: Int, hi: Int): Column =
+      when(c < lo || c > hi,
+        raise_error(concat(lit(s"jpegScanPayload: $name out of [$lo, $hi]: "),
+          c.cast("string")))).otherwise(c)
+    val comLenChecked = rangeChecked(comLen, "comLen", 0, 13)
+    val nDqtChecked = rangeChecked(nDqt, "nDqt", 0, 2)
+    val nDhtChecked = rangeChecked(nDht, "nDht", 0, 4)
+    val nScansChecked = rangeChecked(nScans, "nScans", 1, 3)
     val emptyBin = lit(Array.empty[Byte])
     val dqts = (0 until 2).map(i =>
-      when(lit(i) < nDqt, unhex(lit(dqtHex(i)))).otherwise(emptyBin))
+      when(lit(i) < nDqtChecked, unhex(lit(dqtHex(i)))).otherwise(emptyBin))
     val dhts = (0 until 4).map(i =>
-      when(lit(i) < nDht, unhex(lit(dhtHex(i)))).otherwise(emptyBin))
+      when(lit(i) < nDhtChecked, unhex(lit(dhtHex(i)))).otherwise(emptyBin))
     val bodyLen = length(text).cast("long")
-    val base = floor(bodyLen / nScans).cast("long")
-    val rem = pmod(bodyLen, nScans.cast("long"))
+    val base = floor(bodyLen / nScansChecked).cast("long")
+    val rem = pmod(bodyLen, nScansChecked.cast("long"))
     val scans = (0 until 3).map { i =>
       val start = lit(i.toLong) * base + least(lit(i.toLong), rem) + lit(1L)
       val len = base + when(lit(i.toLong) < rem, 1L).otherwise(0L)
-      when(lit(i) < nScans,
+      when(lit(i) < nScansChecked,
         concat(
           // SOS: len 8, 1 component (Cs 1, Td/Ta 0), Ss 0, Se 3F, AhAl 0
           unhex(lit("FFDA000801" + "0100" + "003F00")),

@@ -348,6 +348,11 @@ object Sampling {
       .select(col("event_type"), col("n"),
         (col("sq").cast("double") / col("n")).as("mean_q"),
         col("ci_lo"), col("ci_hi"))
+      // a type whose every replicate drew zero total weight has no band
+      // at all (nb = 0 ⇒ no rank matches): drop it, matching both the
+      // pre-sentinel inner-join semantics and the oracle's pt JOIN lo
+      // JOIN hi, which never emits a null-CI row
+      .filter(col("ci_lo").isNotNull && col("ci_hi").isNotNull)
   }
 
   /** Per-key rate cap within a time bucket: keep at most `cap` events

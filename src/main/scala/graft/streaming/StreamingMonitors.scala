@@ -1118,12 +1118,40 @@ object StreamingMonitors {
     * committed yet. */
   def annIndexState(spark: org.apache.spark.sql.SparkSession,
                     stateDir: String): Option[DataFrame] = {
-    val base = compactionBase(spark, stateDir)
-    val floor = base.map(_._1).getOrElse(Long.MinValue)
-    val dirs = base.map(_._2.toString).toSeq ++
-      committedStateVersions(spark, stateDir, Long.MaxValue)
-        .filter(_._1 > floor).map(_._2.toString)
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+    // Listing bases and segments are two filesystem reads, so a reader
+    // racing a concurrent compactAnnIndexState can observe the OLD base
+    // list but plan AFTER the sweep deleted the folded v<i> dirs —
+    // read.parquet then fails on a vanished path. The compaction
+    // committed a NEWER consistent view before sweeping, so the right
+    // response is to re-list and re-plan: the retry lands on the new
+    // base. Bounded attempts; anything else (or persistent absence)
+    // propagates.
+    def missingPath(e: Throwable): Boolean = e match {
+      case null => false
+      case _: java.io.FileNotFoundException => true
+      case a: org.apache.spark.sql.AnalysisException
+        if a.getMessage != null &&
+           (a.getMessage.contains("PATH_NOT_FOUND") ||
+            a.getMessage.contains("does not exist")) => true
+      case other => missingPath(other.getCause)
+    }
+    var remaining = 4
+    while (true) {
+      remaining -= 1
+      try {
+        val base = compactionBase(spark, stateDir)
+        val floor = base.map(_._1).getOrElse(Long.MinValue)
+        val dirs = base.map(_._2.toString).toSeq ++
+          committedStateVersions(spark, stateDir, Long.MaxValue)
+            .filter(_._1 > floor).map(_._2.toString)
+        // read.parquet resolves the file listing eagerly, so a vanished
+        // dir surfaces HERE (retryable), not at some later action
+        return if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+      } catch {
+        case e: Throwable if remaining > 0 && missingPath(e) => // re-list
+      }
+    }
+    None // unreachable
   }
 
   /** Compact the segmented index log: fold the current state (base +

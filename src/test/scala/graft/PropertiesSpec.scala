@@ -397,6 +397,27 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("componentsIncrement stored-frame contract: min-label self-rooted producer, integral schema") {
+    // the merge's correctness leans on `stored` being genuine
+    // connectedComponents output — comp is the MIN member id and every
+    // comp value appears as a self-labeled root row. Pin the producer
+    // invariant the function can't afford to re-scan for at corpus
+    // scale, and reject frames whose schema can't be component labels.
+    val stored = graft.ops.Graph.connectedComponents(
+      Seq((5L, 2L), (2L, 3L), (11L, 10L), (7L, 7L)).toDF("id1", "id2"),
+      maxIter = 16)
+    val rows = stored.collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.map(_._1).min === comp, s"comp $comp is the member minimum")
+      assert(members.exists(m => m._1 == m._2), s"root $comp is self-labeled")
+    }
+    val bad = Seq(("a", "b")).toDF("id", "comp")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Graph.componentsIncrement(bad, Seq((1L, 2L)).toDF("id1", "id2"))
+    }
+    assert(e.getMessage.contains("stored.id"))
+  }
+
   test("property: codec decode is total over arbitrary binary garbage") {
     // random bytes — including ones starting with partial magics — must
     // decode to a row (container 'unknown' unless a real magic matches),
