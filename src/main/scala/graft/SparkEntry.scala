@@ -1150,6 +1150,20 @@ object SparkEntry {
     "text_token_budget" -> ((s, dir) =>
       Curation.tokenBudget(Tables.documents(s, dir)).orderBy("source")),
 
+    // ---- LLM-pipeline: subword (BPE) tokenization ------------------------
+    // the merge-table artifact (train-once seam like centroids/codebooks),
+    // the per-doc subword pricing it enables, and the train-ready budget
+    // re-priced in the units a trainer actually bills; the oracle unrolls
+    // the identical greedy rounds as chained materialized CTEs
+    "text_bpe_vocab" -> ((s, dir) =>
+      Bpe.trainMerges(Tables.documents(s, dir)).orderBy("rank")),
+    "text_bpe_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Bpe.tokenCounts(docs, Bpe.train(docs)).orderBy("doc_id")
+    }),
+    "text_token_budget_bpe" -> ((s, dir) =>
+      Bpe.tokenBudget(Tables.documents(s, dir)).orderBy("source")),
+
     // ---- LLM-pipeline: multimodal decode + features ----------------------
     // end-to-end byte round-trip: the BMP/WAV headers are BUILT by
     // expression on the write side, PARSED from the raw bytes on the read
@@ -3013,6 +3027,21 @@ object SparkEntry {
         |FROM kept k JOIN dtok d ON d.doc_id = k.doc_id
         |GROUP BY 1 ORDER BY d.source""".stripMargin),
 
+    // the BPE family: merge-table training unrolled round by round, the
+    // per-doc subword pricing, and the train-ready budget in BPE units
+    "text_bpe_vocab" -> BPE_VOCAB_SQL,
+    "text_bpe_tokens" -> BPE_TOKENS_SQL,
+    "text_token_budget_bpe" -> (TRAIN_READY_CTES + ",\n" +
+      BPE_TRAIN_CTES + BPE_APPLY_CTES + """,
+        |dsrc AS (SELECT doc_id, source FROM documents),
+        |dbpe AS (SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |         FROM applied GROUP BY 1)
+        |SELECT s.source, count(*) AS n_docs_kept,
+        |  CAST(sum(d.n_tokens) AS BIGINT) AS n_bpe_tokens_kept
+        |FROM kept k JOIN dsrc s ON s.doc_id = k.doc_id
+        |  JOIN dbpe d ON d.doc_id = k.doc_id
+        |GROUP BY 1 ORDER BY s.source""".stripMargin),
+
     "text_tf" ->
       """SELECT lang, token, n, rnk FROM (
         |  SELECT lang, token, n,
@@ -3617,6 +3646,70 @@ object SparkEntry {
         |    AND q.quality_score >= 0.46
         |    AND coalesce(tb.top_bigram_frac, 0.0) <= 0.1
         |    AND w.is_eval = 0)""".stripMargin
+
+  /** DuckDB twin of Bpe.train: the same 16 greedy merge rounds unrolled
+    * as chained CTEs (weighted word vocab capped by (n desc, seq); per
+    * round, adjacent-pair counts via list_zip, argmax with the
+    * (c desc, t1, t2) tie, merge applied by the shared double-space
+    * replace). MATERIALIZED is load-bearing: p_r and w_r both reference
+    * w_{r-1}, so inlined CTEs would double the plan per round — 2^16
+    * scans of `documents` (observed as an fd-exhaustion failure). */
+  private val BPE_R = 16
+  private val BPE_TRAIN_CTES: String = {
+    val sb = new StringBuilder
+    sb ++= """w0 AS MATERIALIZED (
+      |  SELECT ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS seq,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE word ~ '^[a-z]+$'
+      |  GROUP BY 1 ORDER BY n DESC, seq LIMIT 65536)""".stripMargin
+    for (r <- 1 to BPE_R) {
+      val p = r - 1
+      sb ++= s""",
+        |p$r AS (SELECT z.pr[1] AS t1, z.pr[2] AS t2, CAST(sum(z.n) AS BIGINT) AS c
+        |  FROM (SELECT n, unnest(list_zip(tk[1:len(tk)-1], tk[2:len(tk)])) AS pr
+        |        FROM (SELECT n, string_split(trim(seq), '  ') AS tk FROM w$p)
+        |        WHERE len(tk) > 1) z
+        |  GROUP BY 1, 2),
+        |b$r AS MATERIALIZED (SELECT CAST($r AS INT) AS rank, t1, t2, c FROM p$r ORDER BY c DESC, t1, t2 LIMIT 1),
+        |w$r AS MATERIALIZED (SELECT replace(w.seq, ' ' || b.t1 || '  ' || b.t2 || ' ', ' ' || b.t1 || b.t2 || ' ') AS seq, w.n
+        |  FROM w$p w, b$r b)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** The application fragment: every word re-encoded and replayed
+    * through b1..bR in rank order. LEFT JOIN ON true + chr(1) guards
+    * keep exhausted rounds (empty b_r) from annihilating the frame the
+    * way a bare cross join would. */
+  private val BPE_APPLY_CTES: String = {
+    val repl = (1 to BPE_R).foldLeft("seq0") { (e, r) =>
+      s"replace($e, coalesce(' '||b$r.t1||'  '||b$r.t2||' ', chr(1)), coalesce(' '||b$r.t1||b$r.t2||' ', chr(1)))"
+    }
+    val joins = (1 to BPE_R).map(r => s" LEFT JOIN b$r ON true").mkString
+    s""",
+      |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |wt AS (SELECT doc_id, word,
+      |    CASE WHEN word ~ '^[a-z]+$$' THEN NULL ELSE CAST(1 AS BIGINT) END AS fixed,
+      |    ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS seq0
+      |  FROM dw),
+      |applied AS (SELECT doc_id, coalesce(fixed,
+      |    CAST(len(string_split(trim($repl), '  ')) AS BIGINT)) AS ntok
+      |  FROM wt$joins)""".stripMargin
+  }
+
+  private val BPE_VOCAB_SQL: String =
+    "WITH " + BPE_TRAIN_CTES + ",\nmerges AS (" +
+      (1 to BPE_R).map(r =>
+        s"SELECT rank, t1 AS left_tok, t2 AS right_tok, t1 || t2 AS merged, c AS pair_count FROM b$r")
+        .mkString(" UNION ALL ") +
+      ")\nSELECT * FROM merges ORDER BY rank"
+
+  private val BPE_TOKENS_SQL: String =
+    "WITH " + BPE_TRAIN_CTES + BPE_APPLY_CTES + """
+      |SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_ws_tokens
+      |FROM applied GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin of Similarity.kCenterSelect: the same 8 greedy rounds
     * unrolled as chained CTEs (seed = min vec_id; per round, coverage

@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Subword (BPE) tokenization — the pricing unit a training-data
+  * pipeline actually budgets in. Whitespace tokens (TextAnalysis
+  * .tokenCounts, Curation.tokenBudget) over-count short function words
+  * and under-count rare long ones; a byte-pair-encoded vocabulary prices
+  * every document in the units the trainer consumes.
+  *
+  * Word-level BPE in the classic Sennrich formulation: merges never
+  * cross word boundaries, so the training state is the WEIGHTED WORD
+  * VOCABULARY — one corpus scan collects (word, count), and every merge
+  * round runs on that bounded frame, never the corpus again. The same
+  * train-once/apply-many artifact seam as Similarity's centroids and
+  * codebooks: [[train]] emits the merge table (≤ 64 rows, the k-center
+  * bound), [[tokenCounts]] applies it per row in a single zero-shuffle
+  * corpus scan.
+  *
+  * Sequence encoding — the engine-portability core: a word's token
+  * sequence is one string, tokens separated by DOUBLE spaces with a
+  * single leading/trailing space (" h  e  l  l  o "). Applying merge
+  * (A, B) is then plain `replace(seq, " A  B ", " AB ")`: the
+  * single-space boundaries stop a pair from matching inside a longer
+  * token ("aa a" never matches " a  a "), and sequential leftmost
+  * non-overlapping replacement — the semantics Spark's `replace` and
+  * DuckDB's share — IS BPE's greedy left-to-right merge order, because
+  * each match consumes one boundary space from each side and the
+  * replacement restores them, so back-to-back pairs stay matchable
+  * (" a  a  a  a " → " aa  aa ") while overlapping ones don't
+  * (" a  a  a " → " aa  a "). No regex, no lookaround, no UDF: the
+  * whole family is codegen'd string/array expressions, and the DuckDB
+  * oracle unrolls the identical rounds as chained materialized CTEs and
+  * hash-matches bit-for-bit (the kCenterSelect pattern).
+  *
+  * Scope convention: only all-lowercase-ASCII words (`^[a-z]+$`) enter
+  * the vocabulary and the subword count; any other word prices as ONE
+  * token (an OOV), so the count is total over arbitrary text. Pair
+  * counts count every adjacent occurrence (overlaps included — "aaa"
+  * holds (a,a) twice), ties break (count desc, left, right) — all
+  * conventions the oracle replays exactly.
+  *
+  * 100 TB shape: training is one corpus scan + `nMerges` jobs over a
+  * `vocabLimit`-capped frame (top words by (count desc, word) — the
+  * deterministic bounded-sample seam; frequency-ranked words carry
+  * almost all pair mass, so the cap costs little fidelity), each round
+  * a 1-row collect like the k-center loop. Application is a per-row
+  * expression chain — no shuffle, no state, embarrassingly parallel. */
+object Bpe {
+
+  /** One learned merge: rank-th most frequent adjacent pair at its
+    * round, with the weighted pair count that won it. */
+  final case class Merge(rank: Int, left: String, right: String, count: Long)
+
+  /** The spaced sequence encoding of a word: chars joined by double
+    * spaces, single-space boundaries. */
+  private def seqEncode(word: Column): Column =
+    concat(lit(" "), array_join(split(word, ""), "  "), lit(" "))
+
+  private def applyMerge(seq: Column, a: String, b: String): Column =
+    replace(seq, lit(s" $a  $b "), lit(s" $a$b "))
+
+  /** Train a BPE merge table on the corpus: `nMerges` greedy rounds over
+    * the weighted word vocabulary (capped at `vocabLimit` words by
+    * (count desc, word)). One corpus scan total; each round is one
+    * aggregate + one 1-row collect on the bounded vocab frame. Stops
+    * early when no adjacent pair remains (every word fully merged). */
+  def train(docs: DataFrame, nMerges: Int = 16,
+            vocabLimit: Int = 65536): Seq[Merge] = {
+    require(nMerges >= 1 && nMerges <= 64,
+      s"Bpe.train: nMerges=$nMerges out of [1, 64] — this is a bounded " +
+        "artifact trainer, not an unbounded vocabulary builder")
+    require(vocabLimit >= 1, s"Bpe.train: vocabLimit=$vocabLimit")
+    // ordering by the encoded seq ≡ ordering by word (the encoding maps
+    // each char to a fixed block, preserving lexicographic comparison),
+    // so the cap's tie rule is the oracle's ORDER BY n DESC, seq
+    var state = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(seqEncode(col("word")).as("seq"), col("n"))
+      .orderBy(col("n").desc, col("seq"))
+      .limit(vocabLimit)
+      .localCheckpoint(false) // the ONE corpus scan; rounds run off this
+    var merges = Seq.empty[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val best = state
+        .select(col("n"), split(trim(col("seq")), "  ").as("tk"))
+        .filter(size(col("tk")) > 1)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS t1, tk[i] AS t2))"))
+          .as("pr"))
+        .groupBy(col("pr.t1").as("t1"), col("pr.t2").as("t2"))
+        .agg(sum("n").as("c"))
+        .orderBy(col("c").desc, col("t1"), col("t2"))
+        .limit(1).collect() // 1 row per round, nMerges ≤ 64 enforced
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (best.head.getString(0), best.head.getString(1),
+          best.head.getLong(2))
+        merges :+= Merge(rank, a, b, c)
+        state = state
+          .select(applyMerge(col("seq"), a, b).as("seq"), col("n"))
+          .localCheckpoint(false) // vocabLimit-bounded, lineage cut per round
+        rank += 1
+      }
+    }
+    merges
+  }
+
+  /** [[train]] as the persistable artifact frame:
+    * (rank, left_tok, right_tok, merged, pair_count). */
+  def trainMerges(docs: DataFrame, nMerges: Int = 16,
+                  vocabLimit: Int = 65536): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    train(docs, nMerges, vocabLimit)
+      .map(m => (m.rank, m.left, m.right, m.left + m.right, m.count))
+      .toDF("rank", "left_tok", "right_tok", "merged", "pair_count")
+  }
+
+  /** BPE token count of one word under a trained merge table: encode,
+    * replay every merge in rank order, count tokens. Non-`[a-z]+` words
+    * price as one (OOV) token, so the expression is total. */
+  private def wordTokens(w: Column, merges: Seq[Merge]): Column = {
+    val merged = merges.foldLeft(seqEncode(w)) { (e, m) =>
+      applyMerge(e, m.left, m.right)
+    }
+    when(w.rlike("^[a-z]+$"),
+      size(split(trim(merged), "  ")).cast("long")).otherwise(lit(1L))
+  }
+
+  /** Per-document subword pricing: BPE token count under `merges` next
+    * to the whitespace count it refines. One corpus scan, zero shuffle —
+    * the whole merge replay is a per-row codegen'd expression chain. */
+  def tokenCounts(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+    docs.select(
+      col("doc_id"),
+      aggregate(transform(split(col("text"), " "), wordTokens(_, merges)),
+        lit(0L), _ + _).as("n_bpe_tokens"),
+      size(split(col("text"), " ")).cast("long").as("n_ws_tokens"))
+
+  /** The subword-priced twin of Curation.tokenBudget: documents and BPE
+    * tokens surviving the full train-ready chain, per source — the
+    * budget number in the units the trainer bills. Trains the merge
+    * table on the SAME corpus first (train-once seam), then one join
+    * past the chain + one aggregate, like the whitespace twin. */
+  def tokenBudget(docs: DataFrame, nMerges: Int = 16,
+                  vocabLimit: Int = 65536): DataFrame = {
+    val merges = train(docs, nMerges, vocabLimit)
+    Curation.trainReady(docs).select("doc_id")
+      .join(docs.select(col("doc_id"), col("source"),
+        aggregate(transform(split(col("text"), " "), wordTokens(_, merges)),
+          lit(0L), _ + _).as("n_tokens")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_kept"), sum("n_tokens").as("n_bpe_tokens_kept"))
+  }
+}

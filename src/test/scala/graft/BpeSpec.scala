@@ -1,0 +1,88 @@
+package graft
+
+import graft.ops.Bpe
+import graft.ops.Bpe.Merge
+
+/** Golden and semantics pins for the BPE family. The golden sequence is
+  * HAND-COMPUTED (the classic low/lower/newest/widest corpus), so a
+  * drift in pair counting, tie-breaking, or merge application fails
+  * against arithmetic done on paper, not against the code's own output. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus: low ×5, lower ×2, newest ×6, widest ×3 — spread over docs so
+  // word counts aggregate across rows
+  private def goldenDocs = Seq(
+    (0L, "low low low newest newest"),
+    (1L, "low low lower newest newest"),
+    (2L, "lower newest newest widest"),
+    (3L, "widest widest")
+  ).toDF("doc_id", "text")
+
+  // hand computation: pair counts over the weighted char vocab
+  //   round 1: es 9 (newest 6 + widest 3) ties st 9 → left asc → (e,s)
+  //   round 2: (es,t) 9       round 3: lo 7 ties ow 7 → (l,o)
+  //   round 4: (lo,w) 7       round 5: ew/ne/w-est all 6 → (e,w)
+  //   round 6: (ew,est) 6 vs (n,ew) 6 → "ew" < "n" → (ew,est)
+  private val golden = Seq(
+    Merge(1, "e", "s", 9), Merge(2, "es", "t", 9), Merge(3, "l", "o", 7),
+    Merge(4, "lo", "w", 7), Merge(5, "e", "w", 6), Merge(6, "ew", "est", 6))
+
+  test("train reproduces the hand-computed merge sequence") {
+    assert(Bpe.train(goldenDocs, nMerges = 6) === golden)
+  }
+
+  test("tokenCounts replays merges in rank order; OOV words price as one") {
+    val merges = Bpe.train(goldenDocs, nMerges = 6)
+    // hand-applied: low→[low] 1, lower→[low,e,r] 3, newest→[n,ewest] 2,
+    // widest→[w,i,d,est] 4; "x9" fails ^[a-z]+$ → 1 token
+    val docs = Seq((0L, "low lower newest widest x9")).toDF("doc_id", "text")
+    val row = Bpe.tokenCounts(docs, merges).collect().head
+    assert(row.getLong(1) === 1L + 3L + 2L + 4L + 1L)
+    assert(row.getLong(2) === 5L)
+  }
+
+  test("greedy leftmost overlap semantics: runs merge left-to-right, passes halve") {
+    // 'aaaa aaaa' → (a,a) weighted 6 (3 overlapping pairs × 2 words),
+    // then (aa,aa) 2, then exhausted — train must stop early, and the
+    // double-space replace must merge runs as BPE does: aaa → [aa, a]
+    val docs = Seq((0L, "aaaa aaaa")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, nMerges = 8)
+    assert(merges === Seq(Merge(1, "a", "a", 6), Merge(2, "aa", "aa", 2)))
+    val counts = Bpe.tokenCounts(Seq((0L, "aaa aaaa aaaaa")).toDF("doc_id", "text"), merges)
+      .collect().head
+    // aaa → [aa, a] = 2; aaaa → [aaaa] = 1; aaaaa → [aaaa, a] = 2
+    assert(counts.getLong(1) === 2L + 1L + 2L)
+  }
+
+  test("pair boundaries: a pair never matches across a longer token") {
+    // vocab {ab, b}: seq ' a  b ' must not fire inside ' ab ' — token
+    // count of 'ab' under merge (a,b) is 1, of 'aab' is 2 ([a, ab]...
+    // no: greedy leftmost takes (a,a)? no such merge — [ab? no:
+    // 'aab' = a,a,b → leftmost (a,b) match is at position 2 → [a, ab])
+    val merges = Seq(Merge(1, "a", "b", 1))
+    val counts = Bpe.tokenCounts(
+      Seq((0L, "ab aab abab")).toDF("doc_id", "text"), merges).collect().head
+    // ab→[ab] 1; aab→[a,ab] 2; abab→[ab,ab] 2
+    assert(counts.getLong(1) === 1L + 2L + 2L)
+  }
+
+  test("vocab cap is deterministic: (count desc, word) prefix survives") {
+    val docs = Seq((0L, "bb bb bb aa aa cc")).toDF("doc_id", "text")
+    // vocabLimit 2 keeps bb (3) and aa (2); cc never contributes pairs
+    val merges = Bpe.train(docs, nMerges = 1, vocabLimit = 2)
+    assert(merges === Seq(Merge(1, "b", "b", 3)))
+  }
+
+  test("tokenBudget twin prices the same kept set as the whitespace budget") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ws = graft.ops.Curation.tokenBudget(docs)
+      .select("source", "n_docs_kept").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bpe = Bpe.tokenBudget(docs)
+      .select("source", "n_docs_kept", "n_bpe_tokens_kept").collect()
+    assert(bpe.map(r => r.getString(0) -> r.getLong(1)).toMap === ws)
+    // subword counts refine, never exceed char count; at least 1/word
+    bpe.foreach(r => assert(r.getLong(2) > 0))
+  }
+}
