@@ -169,6 +169,59 @@ object StreamingMonitors {
       .select("batch_id", "seen_id", "jaccard")
   }
 
+  /** Streaming eval-set decontamination — the ingest-time face of
+    * ops/Dedup.decontaminate, closing the one curation member that was
+    * batch-only: each arriving TRAIN doc shingles per row and probes the
+    * STATIC eval n-gram postings (the nightly-frozen benchmark set),
+    * emitting (train_id, eval_id, containment) for every pair at or
+    * above the threshold — the same asymmetric containment
+    * |sh(train) ∩ sh(eval)| / |sh(eval)| as the batch op, so a long
+    * arriving doc quoting a whole short eval doc still scores 1.0.
+    *
+    * Same architecture as [[nearDupIncrementStream]]: the postings probe
+    * is a stream-static equi-join on the shingle key (STATELESS per
+    * micro-batch; candidates only, never train×eval), the exact score is
+    * computed per candidate row from the eval doc's full shingle array
+    * (array_intersect over the codegen'd distinct-shingle kernel — the
+    * identical set arithmetic the batch op expresses as a count), and
+    * the only stateful operator is the windowed max that collapses the
+    * per-shared-shingle copies of a pair (append mode, finalized by the
+    * watermark; the copies carry identical scores, so max is collapse,
+    * not choice). The eval set is bounded by construction (a benchmark
+    * suite, not a corpus), so both eval-side frames broadcast. No df cap
+    * on the streaming face: the batch op's optional maxDocFreq prunes
+    * CORPUS-frequent shingles, a property of the accumulated train side
+    * a single micro-batch cannot see — spec'd stream ≡ batch at the
+    * uncapped default. */
+  def decontaminateStream(stream: DataFrame, evalDocs: DataFrame,
+                          threshold: Double = 0.5, n: Int = 3,
+                          lateness: String = "10 minutes",
+                          window: String = "1 hour"): DataFrame = {
+    import graft.ops.Dedup
+    val evalClean = evalDocs.filter(col("text").isNotNull)
+    val evalSh = evalClean.select(col("doc_id").as("eval_id"),
+      Dedup.shingles(col("text"), n).as("__eval_sh"))
+    val evalPost = evalClean.select(col("doc_id").as("eval_id"),
+      explode(Dedup.shingles(col("text"), n)).as("s"))
+    stream
+      .withWatermark("ts", lateness)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id").as("train_id"), col("ts"),
+        Dedup.shingles(col("text"), n).as("__sh"))
+      .select(col("train_id"), col("ts"), col("__sh"),
+        explode(col("__sh")).as("s"))
+      .join(evalPost, Seq("s")) // stream-static equi-join, stateless
+      .join(evalSh, Seq("eval_id"))
+      .withColumn("containment",
+        size(array_intersect(col("__sh"), col("__eval_sh"))).cast("double") /
+          size(col("__eval_sh")))
+      .filter(col("containment") >= threshold)
+      .groupBy(col("train_id"), col("eval_id"),
+        org.apache.spark.sql.functions.window(col("ts"), window))
+      .agg(max(col("containment")).as("containment"))
+      .select("train_id", "eval_id", "containment")
+  }
+
   /** Streaming nearest-class-prototype attach — the similarity family's
     * streaming face: each arriving embedding is scored against the STATIC
     * per-label prototype table (ops/Similarity.labelPrototypes — bounded,

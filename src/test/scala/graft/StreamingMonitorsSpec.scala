@@ -1316,4 +1316,51 @@ class StreamingMonitorsSpec extends SparkSpec {
       .filter(col("batch_id") === 2L && col("seen_id") === 102L).collect()
     assert(copies.length === 1 && copies(0).getDouble(2) === 1.0)
   }
+
+  test("streaming decontamination emits the batch containment pair set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val evalDocs = Seq(
+      (100L, "a b c d e"),            // fully quoted by train 1
+      (101L, "p q r s t u"))          // only 1/4 shingles in train 2
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = mem.toDF().toDF("doc_id", "text", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamingMonitors.decontaminateStream(stream, evalDocs,
+        lateness = "0 seconds")
+      .writeStream.format("memory").queryName("decon_stream")
+      .option("checkpointLocation", s"${work()}/ckpt")
+      .outputMode("append").start()
+    val t0 = 946684800L * 1000000L
+    val batchRows = Seq(
+      (1L, "x a b c d e y", t0),          // containment 1.0 vs eval 100
+      (2L, "a b c d q r s", t0 + 1),      // 2/3 vs 100; 1/4 vs 101 (dropped)
+      (3L, "nothing shared here at all with benchmarks", t0 + 2))
+    try {
+      batchRows.grouped(2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      // advance the watermark past the pair window so the append agg emits
+      mem.addData((999L, "zz yy xx ww vv", t0 + 7200L * 1000000L)); q.processAllAvailable()
+      mem.addData((998L, "zz yy xx ww vv", t0 + 7201L * 1000000L)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("decon_stream")
+      .filter(col("train_id") < 900L)
+      .select("train_id", "eval_id", "containment")
+    // batch comparison: the SAME docs through ops/Dedup.decontaminate
+    // (uncapped, the streaming face's contract)
+    val combined = (evalDocs.collect().map(r => (r.getLong(0), r.getString(1))) ++
+      batchRows.map(r => (r._1, r._2))).toSeq.toDF("doc_id", "text")
+    val batch = graft.ops.Dedup.decontaminate(combined, col("doc_id") >= 100L)
+      .select("train_id", "eval_id", "containment")
+    assert(streamed.count() > 0, "expected at least one contaminated pair")
+    assert(streamed.exceptAll(batch).count() === 0,
+      "stream emitted a pair (or score) the batch op does not")
+    assert(batch.exceptAll(streamed).count() === 0,
+      "stream missed a pair the batch op finds")
+    // the fully-quoted eval doc scores exactly 1.0 through the stream
+    val full = spark.table("decon_stream")
+      .filter(col("train_id") === 1L && col("eval_id") === 100L).collect()
+    assert(full.length === 1 && full(0).getDouble(2) === 1.0)
+  }
 }
