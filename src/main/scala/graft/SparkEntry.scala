@@ -1218,6 +1218,13 @@ object SparkEntry {
     "q_multimodal_scan_stats" -> ((s, dir) =>
       Multimodal.scanStats(Multimodal.scanFrame(Tables.documents(s, dir)))
         .orderBy("doc_id")),
+
+    // PNG chunk walk: payload BUILT by expression (CRC-32 via Spark's
+    // crc32), PARSED back by the native walk with per-chunk CRC
+    // recompute — crc_bad = 0 across the corpus certifies the framing
+    "q_multimodal_png" -> ((s, dir) =>
+      Multimodal.pngStats(Multimodal.pngFrame(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
   )
 
   // ---- DuckDB oracle -----------------------------------------------------
@@ -3401,6 +3408,27 @@ object SparkEntry {
         |       THEN CAST((octet_length(CAST(text AS BLOB)) + doc_id % 7 % 3)
         |            // (doc_id % 7 % 3 + 1) AS INT)
         |       END AS scan_bytes_max
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // the PNG fields recomputed analytically from the generator's
+    // parameterization (doc_id-derived geometry, body = the text bytes,
+    // 2 + n_idat chunks); a wrong build, walk, or CRC shows as a
+    // mismatch — crc_bad must be 0 everywhere
+    "q_multimodal_png" ->
+      """SELECT doc_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |  CASE WHEN doc_id % 3 = 1 THEN 'flac' ELSE 'png' END AS container,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 640 + 64 AS INT) END AS width,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 480 + 48 AS INT) END AS height,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(8 AS INT) END AS bit_depth,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 2 * 4 + 2 AS INT) END AS color_type,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 7 % 2 AS INT) END AS interlace,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 5 % 4 + 3 AS INT) END AS n_chunks,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 5 % 4 + 1 AS INT) END AS n_idat,
+        |  CASE WHEN doc_id % 3 <> 1
+        |       THEN CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) END AS idat_bytes_total,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(0 AS INT) END AS crc_bad
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 

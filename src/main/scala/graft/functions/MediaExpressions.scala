@@ -178,6 +178,77 @@ object DspKernel {
     new GenericArrayData(Array(nDqt, nDht, nSos, total,
       if (nSos == 0) 0L else minScan, maxScan))
   }
+
+  /** Full PNG chunk walk honoring the ISO/IEC 15948 §5 file structure:
+    * 8-byte signature, then length/type/data/CRC-framed chunks to IEND.
+    * Per chunk the CRC-32 (the zlib polynomial, computed over type+data)
+    * is RECOMPUTED and compared against the stored field — `crcBad`
+    * counts mismatches, so a payload built with Spark's `crc32` proves
+    * the builder and this walk agree bit-for-bit, and a corrupted byte
+    * anywhere in a chunk is visible without decoding anything. Returns
+    * [width, height, bit_depth, color_type, interlace, n_chunks, n_idat,
+    * idat_bytes_total, crc_bad], or null for a non-PNG payload or any
+    * malformed stream (bad signature, IHDR not first or mis-sized,
+    * non-alphabetic chunk type, length past the buffer, truncated CRC,
+    * bytes after IEND) — never a read at a garbage offset. */
+  def pngChunkStats(p: Array[Byte]): GenericArrayData = {
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    if (p.length < 8) return null
+    var i = 0
+    while (i < 8) { if ((p(i) & 0xff) != sig(i)) return null; i += 1 }
+    var pos = 8
+    var nChunks = 0L
+    var nIdat = 0L
+    var idatTotal = 0L
+    var crcBad = 0L
+    var width = 0L; var height = 0L
+    var bitDepth = 0L; var colorType = 0L; var interlace = 0L
+    var sawIhdr = false
+    var done = false
+    while (!done) {
+      if (pos + 8 > p.length) return null // no room for length + type
+      val clen = ((p(pos) & 0xffL) << 24) | ((p(pos + 1) & 0xffL) << 16) |
+        ((p(pos + 2) & 0xffL) << 8) | (p(pos + 3) & 0xffL)
+      if (clen > Int.MaxValue) return null // §5.3: length caps at 2^31-1
+      if (pos + 12 + clen > p.length) return null // data + CRC truncated
+      var t = 0
+      while (t < 4) { // type bytes must be ASCII letters (§5.4)
+        val b = p(pos + 4 + t) & 0xff
+        if (!((b >= 65 && b <= 90) || (b >= 97 && b <= 122))) return null
+        t += 1
+      }
+      val crc = new java.util.zip.CRC32
+      crc.update(p, pos + 4, 4 + clen.toInt)
+      val storedOff = pos + 8 + clen.toInt
+      val stored = ((p(storedOff) & 0xffL) << 24) | ((p(storedOff + 1) & 0xffL) << 16) |
+        ((p(storedOff + 2) & 0xffL) << 8) | (p(storedOff + 3) & 0xffL)
+      if (crc.getValue != stored) crcBad += 1
+      val ty = new String(p, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      nChunks += 1
+      if (ty == "IHDR") {
+        if (pos != 8 || clen != 13) return null // IHDR must be first, 13 bytes
+        val d = pos + 8
+        width = ((p(d) & 0xffL) << 24) | ((p(d + 1) & 0xffL) << 16) |
+          ((p(d + 2) & 0xffL) << 8) | (p(d + 3) & 0xffL)
+        height = ((p(d + 4) & 0xffL) << 24) | ((p(d + 5) & 0xffL) << 16) |
+          ((p(d + 6) & 0xffL) << 8) | (p(d + 7) & 0xffL)
+        bitDepth = p(d + 8) & 0xffL
+        colorType = p(d + 9) & 0xffL
+        interlace = p(d + 12) & 0xffL
+        sawIhdr = true
+      } else if (pos == 8) return null // first chunk must be IHDR
+      else if (ty == "IDAT") { nIdat += 1; idatTotal += clen }
+      else if (ty == "IEND") {
+        if (clen != 0) return null
+        if (storedOff + 4 != p.length) return null // trailing bytes after IEND
+        done = true
+      }
+      pos = storedOff + 4
+    }
+    if (!sawIhdr) return null
+    new GenericArrayData(Array(width, height, bitDepth, colorType, interlace,
+      nChunks, nIdat, idatTotal, crcBad))
+  }
 }
 
 /** `graft_pcm_stats(payload, offset)`: [rms, zcr] of the 16-bit PCM body
@@ -299,7 +370,36 @@ case class JpegScanStats(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_png_chunk_stats(payload)`: IHDR fields + chunk census + CRC
+  * mismatch count from the full PNG chunk walk (null for non-PNG or
+  * malformed streams). */
+case class PngChunkStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_png_chunk_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DspKernel.pngChunkStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.pngChunkStats($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object MediaFunctions {
+  /** Codegen'd PNG chunk-walk census. */
+  def pngChunkStats(payload: Column): Column =
+    Bridge.column(PngChunkStats(Bridge.expression(payload)))
+
   /** Codegen'd [rms, zcr] of a 16-bit LE PCM body. */
   def pcmStats(payload: Column, offset: Int): Column =
     Bridge.column(PcmStats(Bridge.expression(payload), offset))

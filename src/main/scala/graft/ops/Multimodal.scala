@@ -463,4 +463,98 @@ object Multimodal {
       element_at(s, 5).cast("int").as("scan_bytes_min"),
       element_at(s, 6).cast("int").as("scan_bytes_max"))
   }
+
+  /** One PNG chunk by expression: length(4 BE) + type + data + CRC-32
+    * over type+data — the CRC computed by Spark's own `crc32` (the zlib
+    * polynomial PNG mandates), so the reader's independent recompute
+    * checks the BUILDER, not a copied constant. */
+  private def pngChunk(typeHex: String, data: Column): Column = {
+    val typeAndData = concat(unhex(lit(typeHex)), data)
+    concat(unhex(beHex(length(data).cast("long"), 4)), typeAndData,
+      unhex(beHex(crc32(typeAndData), 4)))
+  }
+
+  /** A structurally valid PNG (ISO/IEC 15948 §5): signature, IHDR
+    * (width/height big-endian, bit depth 8, `colorType`, compression 0,
+    * filter 0, `interlace`), `nIdat` (≤4) IDAT chunks splitting `data`
+    * near-evenly (chunk i gets ⌊L/n⌋ bytes plus one while i < L mod n —
+    * the jpegScanPayload split), IEND. Chunk geometry is per-row data,
+    * so the reader must walk length/type/CRC frames, not index a
+    * constant layout. Out-of-range arguments RAISE (the scan-payload
+    * convention): a silently-clamped nIdat would drop part of the body,
+    * and an invalid colorType/interlace would write a stream real
+    * decoders reject. */
+  def pngPayload(width: Column, height: Column, colorType: Column,
+                 interlace: Column, nIdat: Column, data: Column): Column = {
+    def rangeChecked(c: Column, name: String, ok: Column): Column =
+      when(!ok, raise_error(concat(lit(s"pngPayload: $name out of range: "),
+        c.cast("string")))).otherwise(c)
+    val ct = rangeChecked(colorType, "colorType",
+      colorType.isin(0, 2, 3, 4, 6)) // §11.2.2 legal colour types
+    val il = rangeChecked(interlace, "interlace", interlace.isin(0, 1))
+    val n = rangeChecked(nIdat, "nIdat", nIdat >= 1 && nIdat <= 4)
+    val ihdrData = concat(
+      unhex(concat(beHex(width.cast("long"), 4), beHex(height.cast("long"), 4))),
+      unhex(concat(lit("08"), lpad(hex(ct.cast("long")), 2, "0"), lit("0000"),
+        lpad(hex(il.cast("long")), 2, "0"))))
+    val bodyLen = length(data).cast("long")
+    val base = floor(bodyLen / n).cast("long")
+    val rem = pmod(bodyLen, n.cast("long"))
+    val idats = (0 until 4).map { i =>
+      val start = lit(i.toLong) * base + least(lit(i.toLong), rem) + lit(1L)
+      val len = base + when(lit(i.toLong) < rem, 1L).otherwise(0L)
+      when(lit(i) < n,
+        pngChunk("49444154", data.substr(start.cast("int"), len.cast("int"))))
+        .otherwise(lit(Array.empty[Byte]))
+    }
+    concat(
+      Seq(unhex(lit("89504E470D0A1A0A")), pngChunk("49484452", ihdrData)) ++
+      idats :+
+      unhex(lit("0000000049454E44AE426082")): _*) // IEND, fixed CRC
+  }
+
+  /** documents → PNG/FLAC frame: image/video rows carry PNG whose colour
+    * type, interlace flag, and IDAT split vary per row (doc_id-derived);
+    * audio rows carry FLAC as in [[codecFrame]]. */
+  def pngFrame(docs: DataFrame): DataFrame = {
+    val data = col("text").cast("binary")
+    val width = (col("doc_id") % 640 + 64).cast("int")
+    val height = (col("doc_id") % 480 + 48).cast("int")
+    val colorType = (col("doc_id") % 2 * 4 + 2).cast("int") // 2 or 6
+    val interlace = (col("doc_id") % 7 % 2).cast("int")
+    val nIdat = (col("doc_id") % 5 % 4 + 1).cast("int")
+    val sampleRate = ((col("doc_id") % 8) * 4000 + 8000).cast("int")
+    val channels = (col("doc_id") % 2 + 1).cast("int")
+    val mediaType = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    docs.select(
+      col("doc_id"), mediaType.as("media_type"),
+      when(mediaType === "audio", flacPayload(sampleRate, channels, data))
+        .otherwise(pngPayload(width, height, colorType, interlace, nIdat,
+          col("text"))).as("payload"))
+  }
+
+  /** media → IHDR fields + chunk census + CRC integrity from the full
+    * chunk walk — every value re-derived from the BYTES by the native
+    * expression, with the per-chunk CRC-32 recomputed and compared
+    * against the stored field (crc_bad = 0 proves build and walk agree;
+    * non-PNG payloads yield nulls, container is read from the magic). */
+  def pngStats(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val container = when(hex(substring(p, 1, 4)) === lit("89504E47"), "png")
+      .when(hex(substring(p, 1, 4)) === lit("664C6143"), "flac")
+      .otherwise("unknown")
+    val s = graft.functions.MediaFunctions.pngChunkStats(p)
+    media.select(
+      col("doc_id"), col("media_type"), container.as("container"),
+      element_at(s, 1).cast("int").as("width"),
+      element_at(s, 2).cast("int").as("height"),
+      element_at(s, 3).cast("int").as("bit_depth"),
+      element_at(s, 4).cast("int").as("color_type"),
+      element_at(s, 5).cast("int").as("interlace"),
+      element_at(s, 6).cast("int").as("n_chunks"),
+      element_at(s, 7).cast("int").as("n_idat"),
+      element_at(s, 8).as("idat_bytes_total"),
+      element_at(s, 9).cast("int").as("crc_bad"))
+  }
 }

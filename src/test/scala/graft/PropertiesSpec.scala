@@ -575,4 +575,95 @@ class PropertiesSpec extends SparkSpec {
       assert(soiEoi.getAs[Long]("scan_bytes_total") === 0L)
     }
   }
+
+  test("property: PNG chunk walk recovers IHDR fields and the exact IDAT split") {
+    // every generated geometry must walk back to the planted integers
+    // with crc_bad = 0 — the builder's Spark-crc32 and the walker's
+    // independent CRC recompute must agree bit-for-bit
+    import graft.ops.Multimodal
+    val geom = for {
+      w <- Gen.chooseNum(1, 1 << 20); h <- Gen.chooseNum(1, 1 << 20)
+      ct <- Gen.oneOf(0, 2, 3, 4, 6); il <- Gen.chooseNum(0, 1)
+      ni <- Gen.chooseNum(1, 4)
+      body <- Gen.asciiPrintableStr
+    } yield (w, h, ct, il, ni, body)
+    (1L to 5L).foreach { seed =>
+      val cases = sample(Gen.listOfN(20, geom), seed).zipWithIndex
+      val df = cases.map { case ((w, h, ct, il, ni, body), i) =>
+        (i.toLong, w, h, ct, il, ni, body)
+      }.toDF("doc_id", "w", "h", "ct", "il", "ni", "body")
+        .select(col("doc_id"), lit("x").as("media_type"),
+          Multimodal.pngPayload(col("w"), col("h"), col("ct"),
+            col("il"), col("ni"), col("body")).as("payload"))
+      val got = Multimodal.pngStats(df).orderBy("doc_id").collect()
+      cases.foreach { case ((w, h, ct, il, ni, body), i) =>
+        val r = got(i)
+        assert(r.getAs[String]("container") === "png", s"seed $seed case $i")
+        assert(r.getAs[Int]("width") === w, s"seed $seed case $i")
+        assert(r.getAs[Int]("height") === h, s"seed $seed case $i")
+        assert(r.getAs[Int]("bit_depth") === 8, s"seed $seed case $i")
+        assert(r.getAs[Int]("color_type") === ct, s"seed $seed case $i")
+        assert(r.getAs[Int]("interlace") === il, s"seed $seed case $i")
+        assert(r.getAs[Int]("n_chunks") === ni + 2, s"seed $seed case $i")
+        assert(r.getAs[Int]("n_idat") === ni, s"seed $seed case $i")
+        assert(r.getAs[Long]("idat_bytes_total") === body.length.toLong,
+          s"seed $seed case $i")
+        assert(r.getAs[Int]("crc_bad") === 0, s"seed $seed case $i")
+      }
+    }
+  }
+
+  test("PNG CRC integrity: a corrupted data byte counts, truncation nulls, bad args raise") {
+    import graft.ops.Multimodal
+    val base = Seq((0L, "png body payload bytes here"))
+      .toDF("doc_id", "body")
+      .select(Multimodal.pngPayload(lit(64), lit(48), lit(2), lit(0),
+        lit(2), col("body")).as("p"))
+      .collect().head.getAs[Array[Byte]](0)
+    val clean = graft.functions.DspKernel.pngChunkStats(base)
+    assert(clean != null && clean.toLongArray()(8) === 0L)
+    // flip one byte INSIDE the first IDAT's data (signature 8 + IHDR 25
+    // + idat length/type 8 lands at the first body byte): the walk must
+    // still complete — framing intact — but count exactly one bad CRC
+    val corrupted = base.clone()
+    corrupted(8 + 25 + 8) = (corrupted(8 + 25 + 8) ^ 0x01).toByte
+    val flagged = graft.functions.DspKernel.pngChunkStats(corrupted)
+    assert(flagged != null, "a bad CRC is a flag, not a malformed stream")
+    assert(flagged.toLongArray()(8) === 1L)
+    assert(flagged.toLongArray().take(8).toSeq === clean.toLongArray().take(8).toSeq)
+    // truncating mid-chunk is malformed: null, never a garbage-offset read
+    assert(graft.functions.DspKernel.pngChunkStats(base.dropRight(5)) == null)
+    // the generator refuses arguments it cannot frame
+    val e = intercept[Exception] {
+      Seq((0L, "body")).toDF("doc_id", "body")
+        .select(Multimodal.pngPayload(lit(4), lit(4), lit(5), lit(0),
+          lit(1), col("body")))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("colorType")), s"unexpected: $e")
+  }
+
+  test("property: the PNG walk is total over arbitrary binary garbage") {
+    import graft.ops.Multimodal
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val bytesGen = Gen.chooseNum(0, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    (1L to 5L).foreach { seed =>
+      val payloads = sample(Gen.listOfN(30, bytesGen), seed) ++ Seq(
+        Array[Byte](),
+        sig,                                          // bare signature
+        sig ++ Array[Byte](0, 0, 0),                  // truncated length
+        sig ++ Array[Byte](0, 0, 0, 13),              // IHDR length, no type
+        // garbage AFTER the signature with a giant declared length
+        sig ++ Array[Byte](0x7F, -1, -1, -1, 'I', 'H', 'D', 'R'))
+      val df = payloads.zipWithIndex
+        .map { case (p, i) => (i.toLong, "x", p) }
+        .toDF("doc_id", "media_type", "payload")
+      val rows = Multimodal.pngStats(df).orderBy("doc_id").collect()
+      assert(rows.length === payloads.length) // total: no exception, no drop
+      rows.foreach(r => assert(r.getAs[String]("container") != null))
+    }
+  }
 }
