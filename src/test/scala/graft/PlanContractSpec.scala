@@ -612,4 +612,81 @@ class PlanContractSpec extends SparkSpec {
       .distinct.size <= 1,
       s"more than one distinct cache in curation:\n${relations.mkString("\n")}")
   }
+
+  test("triangle closure broadcasts under the edge ceiling, shuffles past it, never loops") {
+    // the top of the cost tail (7.3 s clean at sf0.1): the wedge-closure
+    // probe must stay a hash equi-join in BOTH regimes — broadcast for
+    // graphs under the 8M-oriented-edge ceiling (the query entry's shape
+    // at every test SF), shuffle past it — and never degrade to a
+    // cartesian or nested-loop closure. Duplicated from GraphSpec so the
+    // whole top-10 tail fails THIS suite on a shape regression.
+    // the entry's returned frame is the checkpointed result — the
+    // closure shape lives in the plans EXECUTED while it materializes
+    val plans = executedPlans {
+      SparkEntry.queries("graph_triangles")(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    plans.foreach(p =>
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"triangle closure lost the equi-join shape:\n$p"))
+    assert(plans.exists(_.contains("BroadcastHashJoin")),
+      s"under-ceiling closure must broadcast the adjacency probe:\n${plans.mkString("\n---\n")}")
+    // past the ceiling (forced to 0), the explicit hint is gone and the
+    // closure must become a shuffle join — auto-broadcast disabled so
+    // the tiny test frame can't convert it back
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val (counts, oriented) = graft.ops.Graph.triangleCountsPlan(edges, 0L)
+    val over = counts.queryExecution.executedPlan.toString
+    oriented.unpersist()
+    assert(!over.contains("BroadcastHashJoin") &&
+      (over.contains("SortMergeJoin") || over.contains("ShuffledHashJoin")),
+      s"past the ceiling the closure must shuffle, not broadcast:\n$over")
+  }
+
+  test("the BPE merge table is a materialized bounded artifact, not a lazy recompute") {
+    // the train-once/apply-many seam: consumers read ≤64 collected rows
+    // (LocalTableScan), so no downstream plan can re-trigger the
+    // training rounds the way a lazy lineage would at every action
+    val p = plan("text_bpe_vocab")
+    assert(p.contains("LocalTableScan"),
+      s"expected the collected merge-table artifact:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"the artifact frame must not carry corpus lineage:\n$p")
+  }
+
+  test("BPE training scans the corpus once; every merge round runs off the checkpointed vocab") {
+    // one corpus scan builds the weighted vocab; all subsequent round
+    // jobs (pair count + argmax) must read the localCheckpoint, never
+    // documents again — at 100 TB the rounds are priced on the vocab
+    // frame, and a re-scan per round would dwarf the whole family
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plans = executedPlans {
+      graft.ops.Bpe.train(docs, nMerges = 3)
+    }
+    val corpusScans = plans.count(_.contains("documents.parquet"))
+    assert(corpusScans <= 1,
+      s"BPE training read the corpus $corpusScans times (expected 1):\n" +
+        plans.filter(_.contains("documents.parquet")).mkString("\n---\n"))
+  }
+
+  test("BPE apply is one corpus scan with zero joins") {
+    // the per-row merge replay must stay a codegen'd expression chain:
+    // any join (or second scan) means the apply left the
+    // embarrassingly-parallel shape that makes subword pricing free at
+    // scale
+    val p = plan("text_bpe_tokens")
+    assert(p.linesIterator.count(_.contains("documents.parquet")) == 1,
+      s"BPE apply must scan the corpus exactly once:\n$p")
+    assert(!p.contains("Join"), s"BPE apply must not join:\n$p")
+  }
+
+  test("PNG walk stays expression-side with no RDD hop") {
+    val p = plan("q_multimodal_png")
+    assert(!p.contains("ExistingRDD"), s"PNG walk dropped to an RDD scan:\n$p")
+    assert(p.linesIterator.count(_.contains("documents.parquet")) == 1,
+      s"PNG walk rescanned the corpus:\n$p")
+  }
 }
