@@ -122,15 +122,26 @@ object Bpe {
       .toDF("rank", "left_tok", "right_tok", "merged", "pair_count")
   }
 
-  /** BPE token count of one word under a trained merge table: encode,
-    * replay every merge in rank order, count tokens. Non-`[a-z]+` words
-    * price as one (OOV) token, so the expression is total. */
-  private def wordTokens(w: Column, merges: Seq[Merge]): Column = {
-    val merged = merges.foldLeft(seqEncode(w)) { (e, m) =>
+  /** BPE token count of a whole document under a trained merge table.
+    * Every word encodes into ONE joined sequence string — OOV
+    * (non-`[a-z]+`) words as the single unmergeable token "0", words
+    * separated by a 3-space join (so with each element's boundary
+    * spaces, 5 spaces stand between words) — and the merge replay runs
+    * as `nMerges` GLOBAL replaces over that one string. Equivalent to a
+    * per-word replay: merge patterns carry exactly one boundary space
+    * each side and restore it, so the 5-space word gap can never
+    * match, and global leftmost order restricted to one word IS that
+    * word's leftmost order. The point is codegen: a per-word fold runs
+    * the replace chain inside an interpreted higher-order lambda
+    * (measured ~3x slower); here the lambda only encodes, and the 16
+    * replaces are codegen'd string ops. Token count = non-space runs. */
+  private def docTokens(text: Column, merges: Seq[Merge]): Column = {
+    val encoded = transform(split(text, " "), w =>
+      when(w.rlike("^[a-z]+$"), seqEncode(w)).otherwise(lit(" 0 ")))
+    val replayed = merges.foldLeft(array_join(encoded, "   ")) { (e, m) =>
       applyMerge(e, m.left, m.right)
     }
-    when(w.rlike("^[a-z]+$"),
-      size(split(trim(merged), "  ")).cast("long")).otherwise(lit(1L))
+    size(split(trim(replayed), " +")).cast("long")
   }
 
   /** Per-document subword pricing: BPE token count under `merges` next
@@ -139,8 +150,7 @@ object Bpe {
   def tokenCounts(docs: DataFrame, merges: Seq[Merge]): DataFrame =
     docs.select(
       col("doc_id"),
-      aggregate(transform(split(col("text"), " "), wordTokens(_, merges)),
-        lit(0L), _ + _).as("n_bpe_tokens"),
+      docTokens(col("text"), merges).as("n_bpe_tokens"),
       size(split(col("text"), " ")).cast("long").as("n_ws_tokens"))
 
   /** The subword-priced twin of Curation.tokenBudget: documents and BPE
@@ -153,8 +163,7 @@ object Bpe {
     val merges = train(docs, nMerges, vocabLimit)
     Curation.trainReady(docs).select("doc_id")
       .join(docs.select(col("doc_id"), col("source"),
-        aggregate(transform(split(col("text"), " "), wordTokens(_, merges)),
-          lit(0L), _ + _).as("n_tokens")), "doc_id")
+        docTokens(col("text"), merges).as("n_tokens")), "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs_kept"), sum("n_tokens").as("n_bpe_tokens_kept"))
   }

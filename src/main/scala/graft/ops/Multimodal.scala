@@ -464,14 +464,22 @@ object Multimodal {
       element_at(s, 6).cast("int").as("scan_bytes_max"))
   }
 
+  /** 4-byte big-endian hex of a NON-NEGATIVE value < 2^32: one
+    * hex+lpad, not beHex's per-byte mask chain. The compact form is
+    * load-bearing, not cosmetic: the full PNG payload tree with
+    * per-byte chains overflowed janino's method limit, whole-stage
+    * codegen FAILED, and the entire build stage silently ran
+    * interpreted (measured 5.2 s vs 1.4 s at sf0.1). */
+  private def beHex32(v: Column): Column = lpad(hex(v.cast("long")), 8, "0")
+
   /** One PNG chunk by expression: length(4 BE) + type + data + CRC-32
     * over type+data — the CRC computed by Spark's own `crc32` (the zlib
     * polynomial PNG mandates), so the reader's independent recompute
     * checks the BUILDER, not a copied constant. */
   private def pngChunk(typeHex: String, data: Column): Column = {
     val typeAndData = concat(unhex(lit(typeHex)), data)
-    concat(unhex(beHex(length(data).cast("long"), 4)), typeAndData,
-      unhex(beHex(crc32(typeAndData), 4)))
+    concat(unhex(beHex32(length(data))), typeAndData,
+      unhex(beHex32(crc32(typeAndData))))
   }
 
   /** A structurally valid PNG (ISO/IEC 15948 §5): signature, IHDR
@@ -485,26 +493,40 @@ object Multimodal {
     * and an invalid colorType/interlace would write a stream real
     * decoders reject. */
   def pngPayload(width: Column, height: Column, colorType: Column,
-                 interlace: Column, nIdat: Column, data: Column): Column = {
-    def rangeChecked(c: Column, name: String, ok: Column): Column =
-      when(!ok, raise_error(concat(lit(s"pngPayload: $name out of range: "),
-        c.cast("string")))).otherwise(c)
-    val ct = rangeChecked(colorType, "colorType",
-      colorType.isin(0, 2, 3, 4, 6)) // §11.2.2 legal colour types
-    val il = rangeChecked(interlace, "interlace", interlace.isin(0, 1))
-    val n = rangeChecked(nIdat, "nIdat", nIdat >= 1 && nIdat <= 4)
+                 interlace: Column, nIdat: Column, text: Column): Column = {
+    // ONE guard site, raw columns everywhere else. The per-argument
+    // checked-column form (each use wrapping a CASE + raise_error)
+    // duplicated the guard tree into every of nIdat's ~12 references;
+    // the generated projection method blew janino's 64 KB limit and the
+    // whole build stage silently fell back to interpreted eval
+    // (measured 3x). The single guard rides the bit-depth slot — any
+    // invalid argument still raises before a byte is emitted.
+    val argsOk = colorType.isin(0, 2, 3, 4, 6) && // §11.2.2 legal colour types
+      interlace.isin(0, 1) && nIdat >= 1 && nIdat <= 4
+    val bitDepthGuard = when(argsOk, lit("08")).otherwise(
+      raise_error(concat(lit("pngPayload: invalid colorType/interlace/nIdat: "),
+        colorType.cast("string"), lit("/"), interlace.cast("string"),
+        lit("/"), nIdat.cast("string"))))
+    val ct = colorType
+    val il = interlace
+    val n = nIdat
     val ihdrData = concat(
-      unhex(concat(beHex(width.cast("long"), 4), beHex(height.cast("long"), 4))),
-      unhex(concat(lit("08"), lpad(hex(ct.cast("long")), 2, "0"), lit("0000"),
+      unhex(concat(beHex32(width), beHex32(height))),
+      unhex(concat(bitDepthGuard, lpad(hex(ct.cast("long")), 2, "0"), lit("0000"),
         lpad(hex(il.cast("long")), 2, "0"))))
-    val bodyLen = length(data).cast("long")
+    val bodyLen = length(text).cast("long")
     val base = floor(bodyLen / n).cast("long")
     val rem = pmod(bodyLen, n.cast("long"))
+    // body slices via STRING substr + cast, the jpegScanPayload
+    // convention: substr on a BINARY column drops the whole
+    // chunk-and-CRC subtree out of whole-stage codegen (measured 3x on
+    // the builder), while the string form stays codegen'd
     val idats = (0 until 4).map { i =>
       val start = lit(i.toLong) * base + least(lit(i.toLong), rem) + lit(1L)
       val len = base + when(lit(i.toLong) < rem, 1L).otherwise(0L)
       when(lit(i) < n,
-        pngChunk("49444154", data.substr(start.cast("int"), len.cast("int"))))
+        pngChunk("49444154",
+          text.substr(start.cast("int"), len.cast("int")).cast("binary")))
         .otherwise(lit(Array.empty[Byte]))
     }
     concat(
