@@ -1161,6 +1161,10 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Bpe.tokenCounts(docs, Bpe.train(docs)).orderBy("doc_id")
     }),
+    "text_bpe_segments" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Bpe.segments(docs, Bpe.train(docs)).orderBy("doc_id")
+    }),
     "text_token_budget_bpe" -> ((s, dir) =>
       Bpe.tokenBudget(Tables.documents(s, dir)).orderBy("source")),
 
@@ -3038,6 +3042,7 @@ object SparkEntry {
     // per-doc subword pricing, and the train-ready budget in BPE units
     "text_bpe_vocab" -> BPE_VOCAB_SQL,
     "text_bpe_tokens" -> BPE_TOKENS_SQL,
+    "text_bpe_segments" -> BPE_SEGMENTS_SQL,
     "text_token_budget_bpe" -> (TRAIN_READY_CTES + ",\n" +
       BPE_TRAIN_CTES + BPE_APPLY_CTES + """,
         |dsrc AS (SELECT doc_id, source FROM documents),
@@ -3710,11 +3715,14 @@ object SparkEntry {
     * through b1..bR in rank order. LEFT JOIN ON true + chr(1) guards
     * keep exhausted rounds (empty b_r) from annihilating the frame the
     * way a bare cross join would. */
-  private val BPE_APPLY_CTES: String = {
-    val repl = (1 to BPE_R).foldLeft("seq0") { (e, r) =>
+  private val BPE_REPL: String =
+    (1 to BPE_R).foldLeft("seq0") { (e, r) =>
       s"replace($e, coalesce(' '||b$r.t1||'  '||b$r.t2||' ', chr(1)), coalesce(' '||b$r.t1||b$r.t2||' ', chr(1)))"
     }
-    val joins = (1 to BPE_R).map(r => s" LEFT JOIN b$r ON true").mkString
+  private val BPE_JOINS: String =
+    (1 to BPE_R).map(r => s" LEFT JOIN b$r ON true").mkString
+
+  private val BPE_APPLY_CTES: String =
     s""",
       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
       |wt AS (SELECT doc_id, word,
@@ -3722,9 +3730,29 @@ object SparkEntry {
       |    ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS seq0
       |  FROM dw),
       |applied AS (SELECT doc_id, coalesce(fixed,
-      |    CAST(len(string_split(trim($repl), '  ')) AS BIGINT)) AS ntok
-      |  FROM wt$joins)""".stripMargin
-  }
+      |    CAST(len(string_split(trim($BPE_REPL), '  ')) AS BIGINT)) AS ntok
+      |  FROM wt$BPE_JOINS)""".stripMargin
+
+  /** Segmentation twin: per-word replay reassembled in POSITION order
+    * (the list_transform index lambda), vocabulary words normalized to
+    * single-space token joins, OOV words verbatim (empty → "0"). */
+  private val BPE_SEGMENTS_SQL: String =
+    "WITH " + BPE_TRAIN_CTES + s""",
+      |dw AS (SELECT doc_id, e.i AS i, e.w AS word
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(string_split(text, ' '), (w, i) -> {'i': i, 'w': w})) AS e
+      |        FROM documents)),
+      |wt AS (SELECT doc_id, i, word,
+      |    CASE WHEN word ~ '^[a-z]+$$' THEN NULL
+      |         WHEN length(word) = 0 THEN '0' ELSE word END AS fixed,
+      |    ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS seq0
+      |  FROM dw),
+      |applied AS (SELECT doc_id, i,
+      |    coalesce(fixed, regexp_replace(trim($BPE_REPL), ' +', ' ', 'g')) AS toks
+      |  FROM wt$BPE_JOINS)
+      |SELECT doc_id, string_agg(toks, ' ' ORDER BY i) AS bpe_text,
+      |  CAST(len(string_split(string_agg(toks, ' ' ORDER BY i), ' ')) AS BIGINT) AS n_bpe_tokens
+      |FROM applied GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   private val BPE_VOCAB_SQL: String =
     "WITH " + BPE_TRAIN_CTES + ",\nmerges AS (" +

@@ -122,9 +122,12 @@ object Bpe {
       .toDF("rank", "left_tok", "right_tok", "merged", "pair_count")
   }
 
-  /** BPE token count of a whole document under a trained merge table.
-    * Every word encodes into ONE joined sequence string — OOV
-    * (non-`[a-z]+`) words as the single unmergeable token "0", words
+  /** The replayed sequence of a whole document under a trained merge
+    * table. Every word encodes into ONE joined string — vocabulary
+    * (`[a-z]+`) words as spaced char sequences, OOV words embedded
+    * VERBATIM as one unmergeable token (they contain a non-[a-z] char
+    * and no spaces, so no " A  B " pattern can fire inside them; the
+    * degenerate empty word becomes the placeholder "0"), words
     * separated by a 3-space join (so with each element's boundary
     * spaces, 5 spaces stand between words) — and the merge replay runs
     * as `nMerges` GLOBAL replaces over that one string. Equivalent to a
@@ -134,24 +137,45 @@ object Bpe {
     * word's leftmost order. The point is codegen: a per-word fold runs
     * the replace chain inside an interpreted higher-order lambda
     * (measured ~3x slower); here the lambda only encodes, and the 16
-    * replaces are codegen'd string ops. Token count = non-space runs. */
-  private def docTokens(text: Column, merges: Seq[Merge]): Column = {
+    * replaces are codegen'd string ops. Tokens = non-space runs. */
+  private def docSeq(text: Column, merges: Seq[Merge]): Column = {
     val encoded = transform(split(text, " "), w =>
-      when(w.rlike("^[a-z]+$"), seqEncode(w)).otherwise(lit(" 0 ")))
-    val replayed = merges.foldLeft(array_join(encoded, "   ")) { (e, m) =>
+      when(w.rlike("^[a-z]+$"), seqEncode(w))
+        .when(length(w) === 0, lit(" 0 "))
+        .otherwise(concat(lit(" "), w, lit(" "))))
+    merges.foldLeft(array_join(encoded, "   ")) { (e, m) =>
       applyMerge(e, m.left, m.right)
     }
-    size(split(trim(replayed), " +")).cast("long")
   }
+
+  private def docTokens(text: Column, merges: Seq[Merge]): Column =
+    size(split(trim(docSeq(text, merges)), " +")).cast("long")
 
   /** Per-document subword pricing: BPE token count under `merges` next
     * to the whitespace count it refines. One corpus scan, zero shuffle —
-    * the whole merge replay is a per-row codegen'd expression chain. */
+    * the whole merge replay is a per-row codegen'd expression chain.
+    * STREAMING-TRANSPARENT: a pure per-row select, so the same code
+    * prices an arriving micro-batch against the stored merge artifact
+    * (spec-pinned stream ≡ batch). */
   def tokenCounts(docs: DataFrame, merges: Seq[Merge]): DataFrame =
     docs.select(
       col("doc_id"),
       docTokens(col("text"), merges).as("n_bpe_tokens"),
       size(split(col("text"), " ")).cast("long").as("n_ws_tokens"))
+
+  /** The tokenizer's actual OUTPUT, not just its count: each document's
+    * BPE token sequence as a single-space-joined string (word
+    * boundaries flatten — a token stream is what the trainer consumes),
+    * with the count alongside. OOV words pass through verbatim as one
+    * token. Same one-scan zero-shuffle per-row shape as
+    * [[tokenCounts]]; the oracle replays the identical merges per word
+    * and reassembles in position order. */
+  def segments(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_replace(trim(docSeq(col("text"), merges)), " +", " ").as("bpe_text"))
+      .withColumn("n_bpe_tokens",
+        size(split(col("bpe_text"), " ")).cast("long"))
 
   /** The subword-priced twin of Curation.tokenBudget: documents and BPE
     * tokens surviving the full train-ready chain, per source — the

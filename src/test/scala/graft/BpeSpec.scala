@@ -67,6 +67,16 @@ class BpeSpec extends SparkSpec {
     assert(counts.getLong(1) === 1L + 2L + 2L)
   }
 
+  test("segments emit the hand-applied token stream; OOV words pass through verbatim") {
+    val merges = Bpe.train(goldenDocs, nMerges = 6)
+    val docs = Seq((0L, "low lower newest widest x9")).toDF("doc_id", "text")
+    val row = Bpe.segments(docs, merges).collect().head
+    // hand-applied under the 6 golden merges: low→[low], lower→[low,e,r],
+    // newest→[n,ewest], widest→[w,i,d,est], x9 verbatim
+    assert(row.getString(1) === "low low e r n ewest w i d est x9")
+    assert(row.getLong(2) === 11L)
+  }
+
   test("vocab cap is deterministic: (count desc, word) prefix survives") {
     val docs = Seq((0L, "bb bb bb aa aa cc")).toDF("doc_id", "text")
     // vocabLimit 2 keeps bb (3) and aa (2); cc never contributes pairs

@@ -768,12 +768,17 @@ class StreamingMonitorsSpec extends SparkSpec {
       (3L, "ein langes deutsches wortungetuem zum testen"))
     val mem = MemoryStream[(Long, String)]
     val streamDocs = mem.toDF().toDF("doc_id", "text")
+    // the BPE pricer joins the transparent set: apply against a STORED
+    // merge artifact is a pure per-row expression chain, so arriving
+    // micro-batches price with the same code and no twin
+    val bpeMerges = graft.ops.Bpe.train(rows.toDF("doc_id", "text"), nMerges = 4)
     val ops: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] =
       Seq(
         "quality" -> (df => graft.ops.TextAnalysis.quality(df)),
         "pii" -> (df => graft.ops.TextAnalysis.piiScrub(df)),
         "langid" -> (df => graft.ops.TextAnalysis.langId(
-          df.withColumn("lang", lit("en")))))
+          df.withColumn("lang", lit("en")))),
+        "bpe" -> (df => graft.ops.Bpe.tokenCounts(df, bpeMerges)))
     val queries = ops.map { case (name, op) =>
       name -> op(streamDocs)
         .writeStream.format("memory").queryName(s"text_stream_$name")
