@@ -630,6 +630,15 @@ object SparkEntry {
       Sampling.packSequences(Tables.documents(s, dir), budgetTokens = 2048L)
         .orderBy("doc_id")),
 
+    // the same packer dealing in BPE tokens — pack boundaries land where
+    // the trainer's actual budget runs out, not where whitespace does
+    "q_seq_pack_bpe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Sampling.packSequencesBy(docs,
+        Bpe.tokenCountColumn(col("text"), Bpe.train(docs)), budgetTokens = 2048L)
+        .orderBy("doc_id")
+    }),
+
     // write-path layout key: Z-order interleave of (p_size, floor(price))
     // — the two-dimensional pruning sort key, bit-exact across engines
     "q_zorder_layout" -> ((s, dir) =>
@@ -3043,6 +3052,22 @@ object SparkEntry {
     "text_bpe_vocab" -> BPE_VOCAB_SQL,
     "text_bpe_tokens" -> BPE_TOKENS_SQL,
     "text_bpe_segments" -> BPE_SEGMENTS_SQL,
+    "q_seq_pack_bpe" -> ("WITH " + BPE_TRAIN_CTES + BPE_APPLY_CTES + """,
+      |dtok AS (SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_tokens
+      |         FROM applied GROUP BY 1),
+      |pt AS (SELECT doc_id, md5('pack:' || CAST(doc_id AS VARCHAR)) AS h, n_tokens
+      |       FROM dtok),
+      |ps AS (SELECT doc_id, h, n_tokens,
+      |         CAST(instr('0123456789abcdef', substr(h, 1, 1)) - 1 AS INT) AS shard
+      |       FROM pt),
+      |pc AS (SELECT doc_id, shard, n_tokens,
+      |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |       FROM ps)
+      |SELECT doc_id, shard, n_tokens,
+      |  (cum_tokens - n_tokens) // 2048 AS pack_id,
+      |  (cum_tokens - n_tokens) % 2048 AS pack_offset
+      |FROM pc ORDER BY doc_id""".stripMargin),
     "text_token_budget_bpe" -> (TRAIN_READY_CTES + ",\n" +
       BPE_TRAIN_CTES + BPE_APPLY_CTES + """,
         |dsrc AS (SELECT doc_id, source FROM documents),

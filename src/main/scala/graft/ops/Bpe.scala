@@ -151,6 +151,12 @@ object Bpe {
   private def docTokens(text: Column, merges: Seq[Merge]): Column =
     size(split(trim(docSeq(text, merges)), " +")).cast("long")
 
+  /** The per-row BPE token pricer as a bare column — the composition
+    * seam for consumers that take a token expression (sequence packing,
+    * length bucketing) rather than a frame. */
+  def tokenCountColumn(text: Column, merges: Seq[Merge]): Column =
+    docTokens(text, merges)
+
   /** Per-document subword pricing: BPE token count under `merges` next
     * to the whitespace count it refines. One corpus scan, zero shuffle —
     * the whole merge replay is a per-row codegen'd expression chain.

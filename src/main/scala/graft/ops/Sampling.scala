@@ -135,13 +135,23 @@ object Sampling {
     * At 100 TB, widen to more shards by keying on more hex digits; the
     * per-shard scan is linear and the cumsum never materializes a pack. */
   def packSequences(docs: DataFrame, budgetTokens: Long = 2048L,
-                    seed: String = "pack:"): DataFrame = {
+                    seed: String = "pack:"): DataFrame =
+    packSequencesBy(docs, size(split(col("text"), " ")).cast("long"),
+      budgetTokens, seed)
+
+  /** [[packSequences]] under ANY per-row token pricer — the seam that
+    * lets the packer deal in the units the trainer bills (pass the BPE
+    * counter) without a second implementation. Same sharded window,
+    * same reproducible order, same output contract. */
+  def packSequencesBy(docs: DataFrame, nTokens: Column,
+                      budgetTokens: Long = 2048L,
+                      seed: String = "pack:"): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
     val w = Window.partitionBy("shard").orderBy("h", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col("doc_id"), idHash(col("doc_id"), seed).as("h"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        nTokens.cast("long").as("n_tokens"))
       .withColumn("shard", conv(substring(col("h"), 1, 1), 16, 10).cast("int"))
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .select(

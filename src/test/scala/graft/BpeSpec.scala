@@ -84,6 +84,31 @@ class BpeSpec extends SparkSpec {
     assert(merges === Seq(Merge(1, "b", "b", 3)))
   }
 
+  test("BPE-priced packing deals the exact subword cumsum into packs") {
+    val merges = Bpe.train(goldenDocs, nMerges = 6)
+    val packed = graft.ops.Sampling.packSequencesBy(goldenDocs,
+        Bpe.tokenCountColumn($"text", merges), budgetTokens = 5L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val counts = Bpe.tokenCounts(goldenDocs, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed.map(p => p._1 -> p._3).toMap === counts,
+      "the packer must price docs with the SAME subword counts")
+    // per shard, in (hash, doc_id) order: pack/offset are exactly the
+    // running-total deal at budget 5 — recomputed independently here
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String =
+      md.digest(s"pack:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    packed.groupBy(_._2).foreach { case (shard, rows) =>
+      var cum = 0L
+      // re-derive the shard order from an independent JVM md5
+      rows.sortBy(p => (h(p._1), p._1)).foreach { case (_, _, n, packId, off) =>
+        assert(packId === cum / 5 && off === cum % 5, s"shard $shard")
+        cum += n
+      }
+    }
+  }
+
   test("tokenBudget twin prices the same kept set as the whitespace budget") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val ws = graft.ops.Curation.tokenBudget(docs)
