@@ -1048,6 +1048,12 @@ object SparkEntry {
     "q_diverse_kcenter_assign" -> ((s, dir) =>
       Similarity.kCenterAssign(Tables.embeddings(s, dir), k = 8).orderBy("rank")),
 
+    // top principal direction by portable power iteration — the
+    // spectral axis for drift/whitening/outlier projection; every
+    // loading hash-matches the oracle's unrolled iterations
+    "q_embed_principal" -> ((s, dir) =>
+      Similarity.principalDirection(Tables.embeddings(s, dir)).orderBy("dim")),
+
     "q_embed_quantize" -> ((s, dir) => {
       val q = Quantization.quantize(Tables.embeddings(s, dir))
       q.select(
@@ -2935,6 +2941,8 @@ object SparkEntry {
     "sim_topk_pq_planted" ->
       PLANTED_TOPK_SQL,
 
+    "q_embed_principal" -> PCA_SQL,
+
     "q_embed_quantize" ->
       ("""SELECT vec_id,
         |  list_aggregate(CAST(embedding AS DOUBLE[]), 'min') AS qmin,
@@ -3791,6 +3799,32 @@ object SparkEntry {
       |SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens,
       |  CAST(count(*) AS BIGINT) AS n_ws_tokens
       |FROM applied GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of Similarity.principalDirection: the same 8 power
+    * iterations unrolled (per round: milli-quantized kernel dot,
+    * exact-long matrix application, HUGEINT-exact norm) — every loading
+    * hash-matches bit-for-bit because the one cross-row sum is integer. */
+  private val PCA_K = 8
+  private val PCA_SQL: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),\n"
+    sb ++= "v0 AS (SELECT list_transform(x, xx -> 1.0 / sqrt(CAST(len(x) AS DOUBLE))) AS v FROM e ORDER BY vec_id LIMIT 1)"
+    for (r <- 1 to PCA_K) {
+      val p = r - 1
+      sb ++= s""",
+        |t$r AS (SELECT x, CAST(floor(1000.0 * list_inner_product(x, v)) AS BIGINT) AS t FROM e, v$p),
+        |y$r AS MATERIALIZED (SELECT u.pr.i AS j, CAST(sum(u.t * CAST(floor(1000.0 * u.pr.e) AS BIGINT)) AS BIGINT) AS y
+        |  FROM (SELECT t, unnest(list_transform(x, (e, i) -> {'i': i, 'e': e})) AS pr FROM t$r) u
+        |  GROUP BY 1),
+        |n$r AS (SELECT sqrt(CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE)) AS norm FROM y$r),
+        |v$r AS (SELECT list_transform(l.l, yy -> yy / n.norm) AS v
+        |  FROM (SELECT list(CAST(y AS DOUBLE) ORDER BY j) AS l FROM y$r) l, n$r n)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT y.j - 1 AS dim, CAST(y.y AS DOUBLE) / n.norm AS loading, n.norm / 1e6 AS lambda
+      |FROM y$PCA_K y, n$PCA_K n ORDER BY dim""".stripMargin
+    sb.toString
+  }
 
   /** DuckDB twin of Similarity.kCenterSelect: the same 8 greedy rounds
     * unrolled as chained CTEs (seed = min vec_id; per round, coverage

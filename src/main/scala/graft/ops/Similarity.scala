@@ -786,4 +786,58 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
+
+  /** Top principal direction of the embedding corpus by POWER ITERATION
+    * in engine-portable arithmetic — the spectral op (drift axes,
+    * whitening, outlier projection) the similarity family lacked. Each
+    * of `iters` rounds applies the UNCENTERED second-moment operator:
+    * s_i = x_i·v by the sequential-sum kernel (bit-equal to DuckDB's
+    * list_inner_product), both factors quantize to milli-longs
+    * (t_i = ⌊1000·s_i⌋, q_ij = ⌊1000·x_ij⌋), and y_j = Σ_i t_i·q_ij is
+    * an EXACT long sum — the one cross-row addition, integer so
+    * order-free. The norm is exact too (BigInt Σy_j², one
+    * correctly-rounded toDouble, one sqrt), so the next v is
+    * bit-identical in any engine that replays the same rounds — the
+    * DuckDB oracle unrolls them as chained CTEs and hash-matches every
+    * loading. Uncentered (the raw moment direction, not covariance) by
+    * documented convention: centering needs a portable mean, and
+    * embedding corpora are ~zero-mean by construction.
+    *
+    * Shapes: one corpus scan per round with a d-column map-side-combined
+    * aggregate (d ≤ 256 enforced); each round collects ONE d-long row
+    * (the k-center certificate bound). Overflow-safe while
+    * n · 1e3·max|s| · 1e3·max|x| < 2^63 — for unit-normalized
+    * embeddings that is n ≲ 1e11 vectors; past that, lower the
+    * quantization scale. Seed v₀ = 1/√d on every axis; convergence to
+    * the top eigenvector needs the usual non-orthogonal-seed and
+    * spectral-gap assumptions — `iters` fixes COST, the oracle replays
+    * whatever the iterate is. */
+  def principalDirection(embeddings: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"iters=$iters out of [1, 32]")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val head = embeddings.select(size(col("embedding")).as("d")).limit(1).collect()
+    require(head.nonEmpty, "principalDirection: empty corpus")
+    val d = head.head.getInt(0)
+    require(d >= 1 && d <= 256, s"principalDirection: d=$d out of [1, 256]")
+    val x = toDouble(col("embedding"))
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val t = floor(lit(1000.0) * VectorFunctions.dot(x, typedLit(v.toSeq)))
+        .cast("long")
+      val aggs = (0 until d).map(j =>
+        sum(col("__t") *
+          floor(lit(1000.0) * element_at(col("__x"), j + 1)).cast("long")).as(s"y$j"))
+      val row = embeddings.select(x.as("__x"), t.as("__t"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().head // ONE row of d longs per round
+      val y = Array.tabulate(d)(j => row.getLong(j))
+      val ss = y.foldLeft(BigInt(0))((acc, yj) => acc + BigInt(yj) * BigInt(yj))
+      val norm = math.sqrt(ss.toDouble)
+      lambda = norm / 1e6
+      v = y.map(_.toDouble / norm)
+    }
+    (0 until d).map(j => (j, v(j), lambda)).toDF("dim", "loading", "lambda")
+  }
 }

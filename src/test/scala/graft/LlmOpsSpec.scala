@@ -877,4 +877,49 @@ class LlmOpsSpec extends SparkSpec {
     assert(back.count() === orig.count())
     assert(back.exceptAll(orig).count() === 0)
   }
+
+  test("principal direction matches a driver-side exact replay and finds a planted axis") {
+    // the distributed power iteration must be BIT-equal to a plain JVM
+    // replay of the same quantized rounds (partitioning-invariant: the
+    // one cross-row sum is integer), and on data with an overwhelming
+    // planted axis it must actually find it
+    val d = 6
+    val rnd = new scala.util.Random(42)
+    // planted: strong axis 2, noise elsewhere
+    val vecs = (0L until 40L).map { i =>
+      val sign = if (i % 2 == 0) 1.0f else -1.0f
+      (i, Array.tabulate(d)(j =>
+        if (j == 2) sign * (3.0f + rnd.nextFloat())
+        else (rnd.nextFloat() - 0.5f) * 0.2f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.principalDirection(df, iters = 8)
+      .orderBy("dim").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    // exact model: identical arithmetic, sequential dot, floor-quantized
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to 8) {
+      val y = Array.fill(d)(0L)
+      vecs.foreach { case (_, xf) =>
+        val x = xf.map(_.toDouble)
+        var s = 0.0
+        var j = 0
+        while (j < d) { s += x(j) * v(j); j += 1 }
+        val t = math.floor(1000.0 * s).toLong
+        j = 0
+        while (j < d) { y(j) += t * math.floor(1000.0 * x(j)).toLong; j += 1 }
+      }
+      val ss = y.foldLeft(BigInt(0))((a, yj) => a + BigInt(yj) * BigInt(yj))
+      val norm = math.sqrt(ss.toDouble)
+      lambda = norm / 1e6
+      v = y.map(_.toDouble / norm)
+    }
+    got.foreach { case (dim, loading, lam) =>
+      assert(loading === v(dim), s"dim $dim")
+      assert(lam === lambda)
+    }
+    // the planted axis dominates the direction
+    assert(math.abs(v(2)) > 0.95, s"expected axis 2 to dominate, got ${v.toSeq}")
+  }
 }
