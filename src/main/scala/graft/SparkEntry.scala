@@ -1054,6 +1054,15 @@ object SparkEntry {
     "q_embed_principal" -> ((s, dir) =>
       Similarity.principalDirection(Tables.embeddings(s, dir)).orderBy("dim")),
 
+    // the axis's consumer: every vector's 1-D coordinate on the stored
+    // principal direction (train-once/apply-many, like the BPE pricer)
+    "q_embed_principal_scores" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val axis = Similarity.principalDirection(emb)
+        .orderBy("dim").collect().map(_.getDouble(1)).toSeq
+      Similarity.principalScores(emb, axis).orderBy("vec_id")
+    }),
+
     "q_embed_quantize" -> ((s, dir) => {
       val q = Quantization.quantize(Tables.embeddings(s, dir))
       q.select(
@@ -2942,6 +2951,7 @@ object SparkEntry {
       PLANTED_TOPK_SQL,
 
     "q_embed_principal" -> PCA_SQL,
+    "q_embed_principal_scores" -> PCA_SCORES_SQL,
 
     "q_embed_quantize" ->
       ("""SELECT vec_id,
@@ -3805,7 +3815,7 @@ object SparkEntry {
     * exact-long matrix application, HUGEINT-exact norm) — every loading
     * hash-matches bit-for-bit because the one cross-row sum is integer. */
   private val PCA_K = 8
-  private val PCA_SQL: String = {
+  private val PCA_CTES: String = {
     val sb = new StringBuilder
     sb ++= "WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),\n"
     sb ++= "v0 AS (SELECT list_transform(x, xx -> 1.0 / sqrt(CAST(len(x) AS DOUBLE))) AS v FROM e ORDER BY vec_id LIMIT 1)"
@@ -3820,11 +3830,18 @@ object SparkEntry {
         |v$r AS (SELECT list_transform(l.l, yy -> yy / n.norm) AS v
         |  FROM (SELECT list(CAST(y AS DOUBLE) ORDER BY j) AS l FROM y$r) l, n$r n)""".stripMargin
     }
-    sb ++= s"""
-      |SELECT y.j - 1 AS dim, CAST(y.y AS DOUBLE) / n.norm AS loading, n.norm / 1e6 AS lambda
-      |FROM y$PCA_K y, n$PCA_K n ORDER BY dim""".stripMargin
     sb.toString
   }
+
+  private val PCA_SQL: String = PCA_CTES + s"""
+    |SELECT y.j - 1 AS dim, CAST(y.y AS DOUBLE) / n.norm AS loading, n.norm / 1e6 AS lambda
+    |FROM y$PCA_K y, n$PCA_K n ORDER BY dim""".stripMargin
+
+  /** The projection consumer: each vector's kernel dot with the final
+    * iterate — scores are per-row doubles, oracle-exact. */
+  private val PCA_SCORES_SQL: String = PCA_CTES + s"""
+    |SELECT e.vec_id, list_inner_product(e.x, v.v) AS score
+    |FROM e, v$PCA_K v ORDER BY e.vec_id""".stripMargin
 
   /** DuckDB twin of Similarity.kCenterSelect: the same 8 greedy rounds
     * unrolled as chained CTEs (seed = min vec_id; per round, coverage

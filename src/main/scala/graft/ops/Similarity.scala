@@ -840,4 +840,20 @@ object Similarity {
     }
     (0 until d).map(j => (j, v(j), lambda)).toDF("dim", "loading", "lambda")
   }
+
+  /** Projection of every vector onto a stored principal axis — what the
+    * axis is FOR: the 1-D corpus coordinate a drift monitor tracks and
+    * an outlier screen thresholds. `axis` is the collected `loading`
+    * column of [[principalDirection]]'s frame in dim order (d ≤ 256
+    * doubles — a bounded artifact like centroids), the score is the
+    * same sequential-sum kernel dot, per-row and oracle-exact. One
+    * corpus scan, zero shuffle; STREAMING-TRANSPARENT, so arriving
+    * embeddings score against the stored axis with this same code. */
+  def principalScores(embeddings: DataFrame, axis: Seq[Double]): DataFrame = {
+    require(axis.nonEmpty && axis.size <= 256,
+      s"principalScores: axis size ${axis.size} out of [1, 256]")
+    embeddings.select(col("vec_id"),
+      VectorFunctions.dot(toDouble(col("embedding")), typedLit(axis))
+        .as("score"))
+  }
 }

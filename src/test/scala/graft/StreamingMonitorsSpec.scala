@@ -798,6 +798,34 @@ class StreamingMonitorsSpec extends SparkSpec {
     }
   }
 
+  test("principal-axis scores run unchanged on an embedding stream") {
+    // apply-side of the spectral op: the stored axis is a bounded
+    // artifact and the projection a pure per-row kernel dot, so
+    // arriving embeddings score with the SAME code — transparency, not
+    // a twin (the BPE-pricer pattern)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val axis = graft.ops.Similarity.principalDirection(emb)
+      .orderBy("dim").collect().map(_.getDouble(1)).toSeq
+    val rows = emb.limit(6).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.ops.Similarity.principalScores(
+        mem.toDF().toDF("vec_id", "embedding"), axis)
+      .writeStream.format("memory").queryName("principal_stream")
+      .option("checkpointLocation", s"${work()}/ckpt_principal")
+      .outputMode("append").start()
+    try { mem.addData(rows.toSeq: _*); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("principal_stream")
+    val batch = graft.ops.Similarity.principalScores(
+      rows.toSeq.toDF("vec_id", "embedding"), axis)
+    assert(streamed.count() === 6)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streaming prototype attach assigns the same labels as the batch argmax") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
