@@ -1063,6 +1063,11 @@ object SparkEntry {
       Similarity.principalScores(emb, axis).orderBy("vec_id")
     }),
 
+    // per-class drift screen on the axis coordinate: exact median/MAD
+    // of the projection, count beyond 3·MAD
+    "q_embed_axis_outliers" -> ((s, dir) =>
+      Similarity.axisOutliers(Tables.embeddings(s, dir)).orderBy("label")),
+
     "q_embed_quantize" -> ((s, dir) => {
       val q = Quantization.quantize(Tables.embeddings(s, dir))
       q.select(
@@ -2952,6 +2957,7 @@ object SparkEntry {
 
     "q_embed_principal" -> PCA_SQL,
     "q_embed_principal_scores" -> PCA_SCORES_SQL,
+    "q_embed_axis_outliers" -> PCA_OUTLIERS_SQL,
 
     "q_embed_quantize" ->
       ("""SELECT vec_id,
@@ -3817,7 +3823,7 @@ object SparkEntry {
   private val PCA_K = 8
   private val PCA_CTES: String = {
     val sb = new StringBuilder
-    sb ++= "WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),\n"
+    sb ++= "WITH e AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),\n"
     sb ++= "v0 AS (SELECT list_transform(x, xx -> 1.0 / sqrt(CAST(len(x) AS DOUBLE))) AS v FROM e ORDER BY vec_id LIMIT 1)"
     for (r <- 1 to PCA_K) {
       val p = r - 1
@@ -3842,6 +3848,29 @@ object SparkEntry {
   private val PCA_SCORES_SQL: String = PCA_CTES + s"""
     |SELECT e.vec_id, list_inner_product(e.x, v.v) AS score
     |FROM e, v$PCA_K v ORDER BY e.vec_id""".stripMargin
+
+  /** The drift screen: per-label exact median/MAD of the micro-quantized
+    * axis coordinate (the q_value_mad rank selection) and the k·MAD
+    * outlier count. */
+  private val PCA_OUTLIERS_SQL: String = PCA_CTES + s""",
+    |sq AS (SELECT e.label,
+    |    CAST(floor(1000000.0 * list_inner_product(e.x, v.v)) AS BIGINT) AS qv
+    |  FROM e, v$PCA_K v WHERE e.label IS NOT NULL),
+    |sr AS (SELECT label, qv,
+    |    row_number() OVER (PARTITION BY label ORDER BY qv) AS rn,
+    |    count(*) OVER (PARTITION BY label) AS n FROM sq),
+    |smed AS (SELECT label, qv AS med_q FROM sr WHERE rn = (n + 1) // 2),
+    |sd AS (SELECT sq.label, sq.qv, smed.med_q, abs(sq.qv - smed.med_q) AS dev
+    |       FROM sq JOIN smed USING (label)),
+    |srd AS (SELECT label, dev,
+    |    row_number() OVER (PARTITION BY label ORDER BY dev) AS rn,
+    |    count(*) OVER (PARTITION BY label) AS n FROM sd),
+    |smad AS (SELECT label, dev AS mad_q FROM srd WHERE rn = (n + 1) // 2)
+    |SELECT sd.label, count(*) AS n, max(sd.med_q) AS med_q,
+    |  max(smad.mad_q) AS mad_q,
+    |  CAST(sum(CASE WHEN sd.dev > 3 * smad.mad_q THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+    |FROM sd JOIN smad USING (label)
+    |GROUP BY sd.label ORDER BY sd.label""".stripMargin
 
   /** DuckDB twin of Similarity.kCenterSelect: the same 8 greedy rounds
     * unrolled as chained CTEs (seed = min vec_id; per round, coverage

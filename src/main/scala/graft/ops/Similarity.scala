@@ -856,4 +856,45 @@ object Similarity {
       VectorFunctions.dot(toDouble(col("embedding")), typedLit(axis))
         .as("score"))
   }
+
+  /** Robust outlier screen on the principal-axis coordinate, PER LABEL —
+    * the drift monitor the axis and scores exist to feed: train the
+    * direction once, project every vector, then per class the exact
+    * rank-selected median and MAD of the micro-quantized coordinate and
+    * the count beyond k·MAD (Monitoring.madOutliers' integer discipline
+    * — lower medians by pure rank, no interpolation, the gate on exact
+    * longs). A class whose n_out share jumps batch-over-batch moved
+    * along the corpus's dominant axis — embedding drift in one number.
+    * Label partitioning keeps the rank windows parallel (labels are a
+    * dimension); the same skew note as madOutliers applies if one label
+    * dominates. */
+  def axisOutliers(embeddings: DataFrame, k: Long = 3L,
+                   iters: Int = 8): DataFrame = {
+    require(k >= 1L, s"axisOutliers: k=$k must be >= 1")
+    val axis = principalDirection(embeddings, iters)
+      .orderBy("dim").collect().map(_.getDouble(1)).toSeq
+    val q = embeddings
+      .filter(col("label").isNotNull)
+      .select(col("label"),
+        floor(VectorFunctions.dot(toDouble(col("embedding")), typedLit(axis))
+          * 1000000.0).cast("long").as("qv"))
+    val byLabel = Window.partitionBy("label")
+    val med = q
+      .withColumn("rn", row_number().over(byLabel.orderBy(col("qv"))))
+      .withColumn("n", count(lit(1)).over(byLabel))
+      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .select(col("label"), col("qv").as("med_q"))
+    val dev = q.join(broadcast(med), "label")
+      .withColumn("dev", abs(col("qv") - col("med_q")))
+    val mad = dev
+      .withColumn("rn", row_number().over(byLabel.orderBy(col("dev"))))
+      .withColumn("n", count(lit(1)).over(byLabel))
+      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .select(col("label"), col("dev").as("mad_q"))
+    dev.join(broadcast(mad), "label")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), max("med_q").as("med_q"),
+        max("mad_q").as("mad_q"),
+        sum(when(col("dev") > lit(k) * col("mad_q"), 1L).otherwise(0L)).as("n_out"))
+  }
 }

@@ -922,4 +922,28 @@ class LlmOpsSpec extends SparkSpec {
     // the planted axis dominates the direction
     assert(math.abs(v(2)) > 0.95, s"expected axis 2 to dominate, got ${v.toSeq}")
   }
+
+  test("axis outlier screen equals a driver-side exact median/MAD on the projections") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val axis = Similarity.principalDirection(emb)
+      .orderBy("dim").collect().map(_.getDouble(1)).toSeq
+    val got = Similarity.axisOutliers(emb).orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // independent replay: collected scores, integer median/MAD per label
+    val scores = Similarity.principalScores(emb, axis)
+      .join(emb.select("vec_id", "label"), "vec_id")
+      .collect().map(r => (r.getAs[Int]("label"), math.floor(r.getAs[Double]("score") * 1e6).toLong))
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply(((xs.size + 1) / 2) - 1)
+    val want = scores.groupBy(_._1).map { case (label, rows) =>
+      val qv = rows.map(_._2).toSeq
+      val med = lowerMedian(qv)
+      val dev = qv.map(q => math.abs(q - med))
+      val mad = lowerMedian(dev)
+      label -> (qv.size.toLong, med, mad, dev.count(_ > 3L * mad).toLong)
+    }
+    got.foreach { case (label, n, med, mad, nOut) =>
+      assert((n, med, mad, nOut) === want(label), s"label $label")
+    }
+    assert(got.length === want.size)
+  }
 }
