@@ -222,6 +222,45 @@ object StreamingMonitors {
       .select("train_id", "eval_id", "containment")
   }
 
+  /** Streaming drift monitor on the principal axis — the online face of
+    * ops/Similarity.axisOutliers, completing the spectral family's
+    * train→screen→stream arc: the axis (≤256 doubles) and the per-label
+    * (median, MAD) cut points are STORED artifacts from the nightly
+    * batch screen; each arriving embedding projects per row through the
+    * same kernel dot, quantizes identically, and joins the broadcast
+    * cut table (labels are a dimension — always bounded), and the only
+    * stateful operator is the watermark-finalized per-(label, window)
+    * count/outlier-count aggregate. A label whose windowed n_out share
+    * rises is drifting along the corpus's dominant axis — visible
+    * within a watermark delay of arrival instead of at the next nightly
+    * run. The gate arithmetic is the batch op's exact-long discipline,
+    * so a window's counts equal the batch screen run over the same rows
+    * against the same stored cuts (spec-pinned). */
+  def axisDriftStream(stream: DataFrame, axis: Seq[Double], cuts: DataFrame,
+                      k: Long = 3L, lateness: String = "10 minutes",
+                      window: String = "1 hour"): DataFrame = {
+    require(k >= 1L, s"axisDriftStream: k=$k must be >= 1")
+    require(axis.nonEmpty && axis.size <= 256,
+      s"axisDriftStream: axis size ${axis.size} out of [1, 256]")
+    import graft.ops.Similarity
+    val score = graft.functions.VectorFunctions.dot(
+      Similarity.toDouble(col("embedding")), typedLit(axis))
+    stream
+      .withWatermark("ts", lateness)
+      .filter(col("label").isNotNull)
+      .select(col("label"), col("ts"),
+        floor(score * 1000000.0).cast("long").as("qv"))
+      .join(broadcast(cuts.select(col("label"), col("med_q"), col("mad_q"))),
+        Seq("label")) // stream-static, bounded dim
+      .withColumn("dev", abs(col("qv") - col("med_q")))
+      .groupBy(col("label"),
+        org.apache.spark.sql.functions.window(col("ts"), window))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dev") > lit(k) * col("mad_q"), 1L).otherwise(0L)).as("n_out"))
+      .select(col("label"), col("window.start").as("window_start"),
+        col("n"), col("n_out"))
+  }
+
   /** Streaming nearest-class-prototype attach — the similarity family's
     * streaming face: each arriving embedding is scored against the STATIC
     * per-label prototype table (ops/Similarity.labelPrototypes — bounded,

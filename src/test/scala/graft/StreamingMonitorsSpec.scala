@@ -826,6 +826,51 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming axis drift windows equal the batch screen against the stored cuts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val axis = graft.ops.Similarity.principalDirection(emb)
+      .orderBy("dim").collect().map(_.getDouble(1)).toSeq
+    val cuts = graft.ops.Similarity.axisOutliers(emb)
+      .select("label", "med_q", "mad_q")
+    val t0 = 946684800L * 1000000L
+    val rows = emb.limit(12).collect().zipWithIndex.map { case (r, i) =>
+      (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2), t0 + i)
+    }
+    val mem = MemoryStream[(Long, Array[Float], Int, Long)]
+    val stream = mem.toDF().toDF("vec_id", "embedding", "label", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamingMonitors.axisDriftStream(stream, axis, cuts,
+        lateness = "0 seconds")
+      .writeStream.format("memory").queryName("axis_drift_stream")
+      .option("checkpointLocation", s"${work()}/ckpt_axisdrift")
+      .outputMode("append").start()
+    try {
+      rows.grouped(5).foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+      mem.addData((999L, rows.head._2, 0, t0 + 7200L * 1000000L)); q.processAllAvailable()
+      mem.addData((998L, rows.head._2, 0, t0 + 7201L * 1000000L)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("axis_drift_stream")
+      .filter(col("window_start") < timestamp_micros(lit(t0 + 3600L * 1000000L)))
+      .select("label", "n", "n_out")
+    // batch recomputation of the same window against the same stored cuts
+    val batch = rows.toSeq.toDF("vec_id", "embedding", "label", "ts_us")
+      .select(col("label"),
+        floor(graft.functions.VectorFunctions.dot(
+          graft.ops.Similarity.toDouble(col("embedding")),
+          typedLit(axis)) * 1000000.0).cast("long").as("qv"))
+      .join(cuts, "label")
+      .withColumn("dev", abs(col("qv") - col("med_q")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dev") > lit(3L) * col("mad_q"), 1L).otherwise(0L)).as("n_out"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0, "stream-only window rows")
+    assert(batch.exceptAll(streamed).count() === 0, "stream missed label windows")
+  }
+
   test("streaming prototype attach assigns the same labels as the batch argmax") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
