@@ -1068,6 +1068,12 @@ object SparkEntry {
     "q_embed_axis_outliers" -> ((s, dir) =>
       Similarity.axisOutliers(Tables.embeddings(s, dir)).orderBy("label")),
 
+    // the rank-2 spectral sketch: leading two directions by deflated
+    // power iteration, near-orthogonal (lambdas order once converged)
+    "q_embed_principal2" -> ((s, dir) =>
+      Similarity.principalDirections(Tables.embeddings(s, dir), components = 2)
+        .orderBy("component", "dim")),
+
     "q_embed_quantize" -> ((s, dir) => {
       val q = Quantization.quantize(Tables.embeddings(s, dir))
       q.select(
@@ -2958,6 +2964,7 @@ object SparkEntry {
     "q_embed_principal" -> PCA_SQL,
     "q_embed_principal_scores" -> PCA_SCORES_SQL,
     "q_embed_axis_outliers" -> PCA_OUTLIERS_SQL,
+    "q_embed_principal2" -> PCA2_SQL,
 
     "q_embed_quantize" ->
       ("""SELECT vec_id,
@@ -3821,23 +3828,28 @@ object SparkEntry {
     * exact-long matrix application, HUGEINT-exact norm) — every loading
     * hash-matches bit-for-bit because the one cross-row sum is integer. */
   private val PCA_K = 8
-  private val PCA_CTES: String = {
+  /** One unrolled power-iteration block over CTE `src` (which must
+    * expose vec_id + x DOUBLE[]), all CTE names prefixed so blocks
+    * chain for the deflated multi-component form. */
+  private def pcaIterCtes(src: String, pfx: String): String = {
     val sb = new StringBuilder
-    sb ++= "WITH e AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),\n"
-    sb ++= "v0 AS (SELECT list_transform(x, xx -> 1.0 / sqrt(CAST(len(x) AS DOUBLE))) AS v FROM e ORDER BY vec_id LIMIT 1)"
+    sb ++= s"${pfx}v0 AS (SELECT list_transform(x, xx -> 1.0 / sqrt(CAST(len(x) AS DOUBLE))) AS v FROM $src ORDER BY vec_id LIMIT 1)"
     for (r <- 1 to PCA_K) {
       val p = r - 1
       sb ++= s""",
-        |t$r AS (SELECT x, CAST(floor(1000.0 * list_inner_product(x, v)) AS BIGINT) AS t FROM e, v$p),
-        |y$r AS MATERIALIZED (SELECT u.pr.i AS j, CAST(sum(u.t * CAST(floor(1000.0 * u.pr.e) AS BIGINT)) AS BIGINT) AS y
-        |  FROM (SELECT t, unnest(list_transform(x, (e, i) -> {'i': i, 'e': e})) AS pr FROM t$r) u
+        |${pfx}t$r AS (SELECT x, CAST(floor(1000.0 * list_inner_product(x, v)) AS BIGINT) AS t FROM $src, ${pfx}v$p),
+        |${pfx}y$r AS MATERIALIZED (SELECT u.pr.i AS j, CAST(sum(u.t * CAST(floor(1000.0 * u.pr.e) AS BIGINT)) AS BIGINT) AS y
+        |  FROM (SELECT t, unnest(list_transform(x, (e, i) -> {'i': i, 'e': e})) AS pr FROM ${pfx}t$r) u
         |  GROUP BY 1),
-        |n$r AS (SELECT sqrt(CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE)) AS norm FROM y$r),
-        |v$r AS (SELECT list_transform(l.l, yy -> yy / n.norm) AS v
-        |  FROM (SELECT list(CAST(y AS DOUBLE) ORDER BY j) AS l FROM y$r) l, n$r n)""".stripMargin
+        |${pfx}n$r AS (SELECT sqrt(CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE)) AS norm FROM ${pfx}y$r),
+        |${pfx}v$r AS (SELECT list_transform(l.l, yy -> yy / n.norm) AS v
+        |  FROM (SELECT list(CAST(y AS DOUBLE) ORDER BY j) AS l FROM ${pfx}y$r) l, ${pfx}n$r n)""".stripMargin
     }
     sb.toString
   }
+  private val PCA_CTES: String =
+    "WITH e AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),\n" +
+      pcaIterCtes("e", "")
 
   private val PCA_SQL: String = PCA_CTES + s"""
     |SELECT y.j - 1 AS dim, CAST(y.y AS DOUBLE) / n.norm AS loading, n.norm / 1e6 AS lambda
@@ -3848,6 +3860,23 @@ object SparkEntry {
   private val PCA_SCORES_SQL: String = PCA_CTES + s"""
     |SELECT e.vec_id, list_inner_product(e.x, v.v) AS score
     |FROM e, v$PCA_K v ORDER BY e.vec_id""".stripMargin
+
+  /** Rank-2 twin: component 1's block, a per-row deflation (x minus the
+    * v-coordinate, same kernel dot), then an identical prefixed block
+    * over the residual. */
+  private val PCA2_SQL: String = PCA_CTES + s""",
+    |e2 AS MATERIALIZED (SELECT q.vec_id, q.label,
+    |    list_transform(q.x, (xe, i) -> xe - q.s * q.v[i]) AS x
+    |  FROM (SELECT e.vec_id, e.label, e.x, v.v, list_inner_product(e.x, v.v) AS s
+    |        FROM e, v$PCA_K v) q),
+    |""".stripMargin + pcaIterCtes("e2", "c2") + s"""
+    |SELECT CAST(1 AS INT) AS component, y.j - 1 AS dim,
+    |  CAST(y.y AS DOUBLE) / n.norm AS loading, n.norm / 1e6 AS lambda
+    |FROM y$PCA_K y, n$PCA_K n
+    |UNION ALL
+    |SELECT CAST(2 AS INT), y.j - 1, CAST(y.y AS DOUBLE) / n.norm, n.norm / 1e6
+    |FROM c2y$PCA_K y, c2n$PCA_K n
+    |ORDER BY component, dim""".stripMargin
 
   /** The drift screen: per-label exact median/MAD of the micro-quantized
     * axis coordinate (the q_value_mad rank selection) and the k·MAD

@@ -820,16 +820,25 @@ object Similarity {
     require(head.nonEmpty, "principalDirection: empty corpus")
     val d = head.head.getInt(0)
     require(d >= 1 && d <= 256, s"principalDirection: d=$d out of [1, 256]")
-    val x = toDouble(col("embedding"))
+    val (v, lambda) = powerIterate(
+      embeddings.select(toDouble(col("embedding")).as("__x")), d, iters)
+    (0 until d).map(j => (j, v(j), lambda)).toDF("dim", "loading", "lambda")
+  }
+
+  /** The iteration core over a frame with a `__x: array<double>` column:
+    * `iters` rounds, each one scan + d-column aggregate + one d-long
+    * collect. Shared by the rank-1 and deflated multi-component forms. */
+  private def powerIterate(frame: DataFrame, d: Int,
+                           iters: Int): (Array[Double], Double) = {
     var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     var lambda = 0.0
     for (_ <- 1 to iters) {
-      val t = floor(lit(1000.0) * VectorFunctions.dot(x, typedLit(v.toSeq)))
-        .cast("long")
+      val t = floor(lit(1000.0) *
+        VectorFunctions.dot(col("__x"), typedLit(v.toSeq))).cast("long")
       val aggs = (0 until d).map(j =>
         sum(col("__t") *
           floor(lit(1000.0) * element_at(col("__x"), j + 1)).cast("long")).as(s"y$j"))
-      val row = embeddings.select(x.as("__x"), t.as("__t"))
+      val row = frame.select(col("__x"), t.as("__t"))
         .agg(aggs.head, aggs.tail: _*)
         .collect().head // ONE row of d longs per round
       val y = Array.tabulate(d)(j => row.getLong(j))
@@ -838,7 +847,45 @@ object Similarity {
       lambda = norm / 1e6
       v = y.map(_.toDouble / norm)
     }
-    (0 until d).map(j => (j, v(j), lambda)).toDF("dim", "loading", "lambda")
+    (v, lambda)
+  }
+
+  /** The leading `components` directions by DEFLATED power iteration:
+    * after each converged direction v, every vector sheds its
+    * v-coordinate per row (x ← x − (x·v)·v — the dot through the same
+    * kernel, the update plain per-row double arithmetic, both
+    * engine-portable) and the identical iteration runs on the residual.
+    * Components come out near-orthogonal (exactly orthogonal up to the
+    * milli-quantization residual); their lambda estimates order
+    * decreasingly ONCE CONVERGED — on a nearly flat spectrum a fixed
+    * iteration budget can leave them unordered, which is a property of
+    * power iteration, not of this encoding. The oracle unrolls every
+    * component's rounds and hash-matches each loading.
+    * Cost is `components` × the rank-1 cost — the spectral sketch a
+    * whitening or 2-D drift map actually needs, at components ≤ 4
+    * enforced (this is a top-of-spectrum sketch, not an eigensolver). */
+  def principalDirections(embeddings: DataFrame, components: Int = 2,
+                          iters: Int = 8): DataFrame = {
+    require(components >= 1 && components <= 4,
+      s"principalDirections: components=$components out of [1, 4]")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val head = embeddings.select(size(col("embedding")).as("d")).limit(1).collect()
+    require(head.nonEmpty, "principalDirections: empty corpus")
+    val d = head.head.getInt(0)
+    require(d >= 1 && d <= 256, s"principalDirections: d=$d out of [1, 256]")
+    var frame = embeddings.select(toDouble(col("embedding")).as("__x"))
+    val out = (1 to components).flatMap { c =>
+      val (v, lambda) = powerIterate(frame, d, iters)
+      if (c < components) {
+        val vlit = typedLit(v.toSeq)
+        val s = VectorFunctions.dot(col("__x"), vlit)
+        frame = frame.select(
+          zip_with(col("__x"), vlit, (xe, ve) => xe - s * ve).as("__x"))
+      }
+      (0 until d).map(j => (c, j, v(j), lambda))
+    }
+    out.toDF("component", "dim", "loading", "lambda")
   }
 
   /** Projection of every vector onto a stored principal axis — what the
