@@ -820,8 +820,11 @@ object Similarity {
     require(head.nonEmpty, "principalDirection: empty corpus")
     val d = head.head.getInt(0)
     require(d >= 1 && d <= 256, s"principalDirection: d=$d out of [1, 256]")
+    // checkpoint the projected column once: every round re-reads THIS,
+    // not the corpus — one parquet scan total, not one per iteration
     val (v, lambda) = powerIterate(
-      embeddings.select(toDouble(col("embedding")).as("__x")), d, iters)
+      embeddings.select(toDouble(col("embedding")).as("__x"))
+        .localCheckpoint(false), d, iters)
     (0 until d).map(j => (j, v(j), lambda)).toDF("dim", "loading", "lambda")
   }
 
@@ -874,7 +877,10 @@ object Similarity {
     require(head.nonEmpty, "principalDirections: empty corpus")
     val d = head.head.getInt(0)
     require(d >= 1 && d <= 256, s"principalDirections: d=$d out of [1, 256]")
+    // checkpoint the projection AND each deflation: rounds re-read the
+    // checkpointed frame, never the corpus or the deflation chain
     var frame = embeddings.select(toDouble(col("embedding")).as("__x"))
+      .localCheckpoint(false)
     val out = (1 to components).flatMap { c =>
       val (v, lambda) = powerIterate(frame, d, iters)
       if (c < components) {
@@ -882,6 +888,7 @@ object Similarity {
         val s = VectorFunctions.dot(col("__x"), vlit)
         frame = frame.select(
           zip_with(col("__x"), vlit, (xe, ve) => xe - s * ve).as("__x"))
+          .localCheckpoint(false)
       }
       (0 until d).map(j => (c, j, v(j), lambda))
     }

@@ -683,6 +683,21 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Join"), s"BPE apply must not join:\n$p")
   }
 
+  test("power iteration scans the embedding corpus once, not once per round") {
+    // the projected column is checkpointed before the rounds: every
+    // iteration's aggregate reads the checkpoint, so the corpus is
+    // scanned exactly once (plus the 1-row head probe) — at 100 TB the
+    // scan IS the cost, and 8 rounds x full re-read would dwarf it
+    val plans = executedPlans {
+      graft.ops.Similarity.principalDirection(
+        Tables.embeddings(spark, "/root/testdata/sf0.001")).collect()
+    }
+    val corpusScans = plans.count(_.contains("embeddings.parquet"))
+    assert(corpusScans <= 2, // head probe + the one checkpoint materialization
+      s"power iteration read the corpus $corpusScans times:\n" +
+        plans.filter(_.contains("embeddings.parquet")).mkString("\n---\n"))
+  }
+
   test("PNG walk stays expression-side with no RDD hop") {
     val p = plan("q_multimodal_png")
     assert(!p.contains("ExistingRDD"), s"PNG walk dropped to an RDD scan:\n$p")
