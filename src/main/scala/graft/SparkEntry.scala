@@ -1200,6 +1200,17 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Bpe.segments(docs, Bpe.train(docs)).orderBy("doc_id")
     }),
+    // incremental vocab maintenance: the stored (word, n) artifact is
+    // BPE training's sufficient statistic and a count monoid, so merging
+    // a batch and retraining from counts IS a full retrain — the oracle
+    // is literally the full-corpus training SQL
+    "text_bpe_vocab_increment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val seen = docs.filter(Sampling.splitColumn(col("doc_id")) === "train")
+      val batch = docs.filter(Sampling.splitColumn(col("doc_id")) === "eval")
+      val merged = Bpe.vocabIncrement(Bpe.wordCounts(seen), batch)
+      Bpe.mergesFrame(s, Bpe.trainFromCounts(merged)).orderBy("rank")
+    }),
     "text_token_budget_bpe" -> ((s, dir) =>
       Bpe.tokenBudget(Tables.documents(s, dir)).orderBy("source")),
 
@@ -3083,6 +3094,8 @@ object SparkEntry {
     "text_bpe_vocab" -> BPE_VOCAB_SQL,
     "text_bpe_tokens" -> BPE_TOKENS_SQL,
     "text_bpe_segments" -> BPE_SEGMENTS_SQL,
+    // increment ≡ full retrain by the count-monoid algebra: same SQL
+    "text_bpe_vocab_increment" -> BPE_VOCAB_SQL,
     "q_seq_pack_bpe" -> ("WITH " + BPE_TRAIN_CTES + BPE_APPLY_CTES + """,
       |dtok AS (SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_tokens
       |         FROM applied GROUP BY 1),

@@ -61,13 +61,47 @@ object Bpe {
   private def applyMerge(seq: Column, a: String, b: String): Column =
     replace(seq, lit(s" $a  $b "), lit(s" $a$b "))
 
+  /** The weighted word-count frame (word, n) — BPE training's SUFFICIENT
+    * STATISTIC, and a count monoid: training depends on the corpus only
+    * through these counts, and counts of a union are the summed counts
+    * of the parts. That makes the stored vocab frame the natural
+    * incremental artifact: [[vocabIncrement]] merges a batch without
+    * touching the seen corpus, and [[trainFromCounts]] on the merged
+    * frame is EXACTLY a full retrain (spec'd, and the increment query's
+    * oracle IS the full-corpus training SQL). One corpus scan. */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Merge a NEW batch into a stored word-count frame: union + sum, the
+    * monoid merge — O(batch) new work plus one aggregate over distinct
+    * words, the seen corpus never re-read. The rolling-ingest member
+    * that keeps the tokenizer artifact current (the exactIncrement /
+    * indexIncrement shape, but EXACT by algebra, not by index probing:
+    * retraining on the merged counts equals retraining on the union
+    * corpus bit-for-bit). */
+  def vocabIncrement(stored: DataFrame, newDocs: DataFrame): DataFrame = {
+    require(stored.columns.toSet == Set("word", "n"),
+      s"vocabIncrement: stored must be a (word, n) frame, got ${stored.columns.mkString(",")}")
+    stored.unionByName(wordCounts(newDocs))
+      .groupBy("word").agg(sum("n").as("n"))
+  }
+
   /** Train a BPE merge table on the corpus: `nMerges` greedy rounds over
     * the weighted word vocabulary (capped at `vocabLimit` words by
     * (count desc, word)). One corpus scan total; each round is one
     * aggregate + one 1-row collect on the bounded vocab frame. Stops
     * early when no adjacent pair remains (every word fully merged). */
   def train(docs: DataFrame, nMerges: Int = 16,
-            vocabLimit: Int = 65536): Seq[Merge] = {
+            vocabLimit: Int = 65536): Seq[Merge] =
+    trainFromCounts(wordCounts(docs), nMerges, vocabLimit)
+
+  /** [[train]] from a word-count frame (the stored artifact or a
+    * [[vocabIncrement]] result). */
+  def trainFromCounts(vocab: DataFrame, nMerges: Int = 16,
+                      vocabLimit: Int = 65536): Seq[Merge] = {
     require(nMerges >= 1 && nMerges <= 64,
       s"Bpe.train: nMerges=$nMerges out of [1, 64] — this is a bounded " +
         "artifact trainer, not an unbounded vocabulary builder")
@@ -75,10 +109,7 @@ object Bpe {
     // ordering by the encoded seq ≡ ordering by word (the encoding maps
     // each char to a fixed block, preserving lexicographic comparison),
     // so the cap's tie rule is the oracle's ORDER BY n DESC, seq
-    var state = docs
-      .select(explode(split(col("text"), " ")).as("word"))
-      .filter(col("word").rlike("^[a-z]+$"))
-      .groupBy("word").agg(count(lit(1)).as("n"))
+    var state = vocab
       .select(seqEncode(col("word")).as("seq"), col("n"))
       .orderBy(col("n").desc, col("seq"))
       .limit(vocabLimit)
@@ -111,16 +142,20 @@ object Bpe {
     merges
   }
 
-  /** [[train]] as the persistable artifact frame:
+  /** A merge list as the persistable artifact frame:
     * (rank, left_tok, right_tok, merged, pair_count). */
-  def trainMerges(docs: DataFrame, nMerges: Int = 16,
-                  vocabLimit: Int = 65536): DataFrame = {
-    val spark = docs.sparkSession
+  def mergesFrame(spark: org.apache.spark.sql.SparkSession,
+                  merges: Seq[Merge]): DataFrame = {
     import spark.implicits._
-    train(docs, nMerges, vocabLimit)
+    merges
       .map(m => (m.rank, m.left, m.right, m.left + m.right, m.count))
       .toDF("rank", "left_tok", "right_tok", "merged", "pair_count")
   }
+
+  /** [[train]] as the persistable artifact frame. */
+  def trainMerges(docs: DataFrame, nMerges: Int = 16,
+                  vocabLimit: Int = 65536): DataFrame =
+    mergesFrame(docs.sparkSession, train(docs, nMerges, vocabLimit))
 
   /** The replayed sequence of a whole document under a trained merge
     * table. Every word encodes into ONE joined string — vocabulary

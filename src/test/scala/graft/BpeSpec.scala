@@ -109,6 +109,29 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("vocab increment + retrain equals full training on every random split") {
+    // word counts are the training's sufficient statistic and a monoid:
+    // merging a batch into the stored counts then training must equal
+    // training on the union corpus — for ANY split
+    val rnd = new scala.util.Random(7)
+    val words = Seq("low", "lower", "newest", "widest", "wide", "newer")
+    val docs = (0L until 12L).map(i =>
+      (i, Seq.fill(6)(words(rnd.nextInt(words.size))).mkString(" ")))
+    val full = Bpe.train(docs.toDF("doc_id", "text"), nMerges = 6)
+    (0 until 3).foreach { k =>
+      val (seen, batch) = docs.zipWithIndex.partition(_._2 % 3 != k)
+      val stored = Bpe.wordCounts(seen.map(_._1).toDF("doc_id", "text"))
+      val merged = Bpe.vocabIncrement(stored, batch.map(_._1).toDF("doc_id", "text"))
+      assert(Bpe.trainFromCounts(merged, nMerges = 6) === full, s"split $k")
+    }
+    // a frame that isn't (word, n) is rejected, not silently mis-merged
+    val e = intercept[IllegalArgumentException] {
+      Bpe.vocabIncrement(Seq(("a", 1L)).toDF("token", "n"),
+        Seq((0L, "x")).toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("word, n") || e.getMessage.contains("(word, n)"))
+  }
+
   test("tokenBudget twin prices the same kept set as the whitespace budget") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val ws = graft.ops.Curation.tokenBudget(docs)
