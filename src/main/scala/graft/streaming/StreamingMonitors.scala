@@ -1203,6 +1203,38 @@ object StreamingMonitors {
     else ck).start()
   }
 
+  /** Streaming maintenance of the BPE word-count state — the streaming
+    * face of ops/Bpe.vocabIncrement, keeping the tokenizer's sufficient
+    * statistic current as documents arrive: each micro-batch's word
+    * counts merge into the stored (word, n) frame by the count-monoid
+    * union + re-aggregate, versioned with the same idempotent-replay
+    * contract as the other merge sinks (a replayed batch merges against
+    * its ORIGINAL predecessor). A nightly trainFromCounts over the
+    * latest state retrains the merge table with ZERO corpus reads —
+    * training's input is exactly this state (spec'd: streamed state ≡
+    * wordCounts over everything seen, so retrain-from-state ≡ full
+    * retrain by the [[graft.ops.Bpe]] algebra). State is
+    * distinct-word-bounded, not corpus-bounded. */
+  def bpeVocabStateSink(docStream: DataFrame, stateDir: String,
+                        checkpoint: Option[String] = None,
+                        availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val merged = latestVersionedState(batch.sparkSession, stateDir, batchId) match {
+          case Some(prev) => graft.ops.Bpe.vocabIncrement(prev, batch)
+          case None => graft.ops.Bpe.wordCounts(batch)
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        ()
+      }
+    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow)
+      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else ck).start()
+  }
+
   /** The maintained ANN index: the newest committed compaction base
     * (`c<k>`, if any) plus every segment committed after it (`v<i>`,
     * i > k) — one multi-path parquet read, so Spark plans ONE scan over

@@ -1228,6 +1228,35 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(state.nonEmpty)
   }
 
+  test("streamed BPE vocab state equals the full word counts; retrain-from-state equals full") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").limit(60).persist()
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val stateDir = s"${work()}/bpe-vocab-state"
+    val q = StreamingMonitors.bpeVocabStateSink(stream, stateDir)
+    try {
+      Seq(0L, 1L, 2L).foreach { m =>
+        mem.addData(rows.filter(_._1 % 3 == m).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val state = StreamingMonitors.latestVersionedState(spark, stateDir).get
+    val stateMap = state.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = graft.ops.Bpe.wordCounts(docs.toDF())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stateMap === full)
+    assert(stateMap.nonEmpty)
+    // and the nightly retrain from the state needs zero corpus reads
+    assert(graft.ops.Bpe.trainFromCounts(state, nMerges = 4) ===
+      graft.ops.Bpe.train(docs.toDF(), nMerges = 4))
+    docs.unpersist(blocking = false)
+  }
+
   test("streamed ANN index segments equal the full rebuild and serve exact top-k") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
