@@ -85,7 +85,20 @@ object Bpe {
   def vocabIncrement(stored: DataFrame, newDocs: DataFrame): DataFrame = {
     require(stored.columns.toSet == Set("word", "n"),
       s"vocabIncrement: stored must be a (word, n) frame, got ${stored.columns.mkString(",")}")
-    stored.unionByName(wordCounts(newDocs))
+    // type-validate like componentsIncrement's stored frame: an
+    // arbitrary frame that happens to share the column names must fail
+    // loudly, not silently merge garbage into the artifact
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    require(stored.schema("word").dataType == StringType,
+      s"vocabIncrement: stored.word is ${stored.schema("word").dataType}, need string")
+    val nOk = stored.schema("n").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(nOk,
+      s"vocabIncrement: stored.n is ${stored.schema("n").dataType}, need an integral count")
+    stored.select(col("word"), col("n").cast("long").as("n"))
+      .unionByName(wordCounts(newDocs))
       .groupBy("word").agg(sum("n").as("n"))
   }
 
