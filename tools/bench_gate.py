@@ -21,8 +21,15 @@ cal is available AND rescaling flips a per-query pass/fail outcome, the
 gate exits 3 unless --ack-drift is passed — a masked outcome must be
 acknowledged, not silently normalized.
 
+In-band adjudication (round 13+): when the new run's record carries
+per-flag evidence (re-run, mem-cal snapshot, control-pair times), a
+CLOSED flag's query is scored at its adjudicated effective time instead
+of the phase-contaminated main-pass time; OPEN flags keep the main time
+and fail like any other regression. Round-12-format records (rerun-only
+evidence) are reconstructed under their original closure rule.
+
 Usage:
-  tools/bench_gate.py [old.json new.json] [--threshold 1.5] [--ack-drift]
+  tools/bench_gate.py [old.json new.json] [--threshold=1.5] [--ack-drift]
 
 Exit codes: 0 ok, 1 regression(s), 2 unusable input,
             3 spark-cal rescale changed an outcome (pass --ack-drift).
