@@ -1074,6 +1074,18 @@ object SparkEntry {
       Similarity.principalDirections(Tables.embeddings(s, dir), components = 2)
         .orderBy("component", "dim")),
 
+    // the 2-D drift map: every vector's coordinates on the two trained
+    // axes (c2 by the residual convention — exactly what the deflated
+    // iteration optimized)
+    "q_embed_coords2" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val both = Similarity.principalDirections(emb, components = 2)
+        .orderBy("component", "dim").collect()
+      val a1 = both.filter(_.getInt(0) == 1).map(_.getDouble(2)).toSeq
+      val a2 = both.filter(_.getInt(0) == 2).map(_.getDouble(2)).toSeq
+      Similarity.principalCoords(emb, a1, a2).orderBy("vec_id")
+    }),
+
     "q_embed_quantize" -> ((s, dir) => {
       val q = Quantization.quantize(Tables.embeddings(s, dir))
       q.select(
@@ -2976,6 +2988,7 @@ object SparkEntry {
     "q_embed_principal_scores" -> PCA_SCORES_SQL,
     "q_embed_axis_outliers" -> PCA_OUTLIERS_SQL,
     "q_embed_principal2" -> PCA2_SQL,
+    "q_embed_coords2" -> PCA_COORDS_SQL,
 
     "q_embed_quantize" ->
       ("""SELECT vec_id,
@@ -3877,12 +3890,14 @@ object SparkEntry {
   /** Rank-2 twin: component 1's block, a per-row deflation (x minus the
     * v-coordinate, same kernel dot), then an identical prefixed block
     * over the residual. */
-  private val PCA2_SQL: String = PCA_CTES + s""",
+  private val PCA2_CTES: String = PCA_CTES + s""",
     |e2 AS MATERIALIZED (SELECT q.vec_id, q.label,
     |    list_transform(q.x, (xe, i) -> xe - q.s * q.v[i]) AS x
     |  FROM (SELECT e.vec_id, e.label, e.x, v.v, list_inner_product(e.x, v.v) AS s
     |        FROM e, v$PCA_K v) q),
-    |""".stripMargin + pcaIterCtes("e2", "c2") + s"""
+    |""".stripMargin + pcaIterCtes("e2", "c2")
+
+  private val PCA2_SQL: String = PCA2_CTES + s"""
     |SELECT CAST(1 AS INT) AS component, y.j - 1 AS dim,
     |  CAST(y.y AS DOUBLE) / n.norm AS loading, n.norm / 1e6 AS lambda
     |FROM y$PCA_K y, n$PCA_K n
@@ -3890,6 +3905,14 @@ object SparkEntry {
     |SELECT CAST(2 AS INT), y.j - 1, CAST(y.y AS DOUBLE) / n.norm, n.norm / 1e6
     |FROM c2y$PCA_K y, c2n$PCA_K n
     |ORDER BY component, dim""".stripMargin
+
+  /** The 2-D map: c1 on the corpus frame, c2 on the DEFLATED frame —
+    * the residual-coordinate convention the engine uses. */
+  private val PCA_COORDS_SQL: String = PCA2_CTES + s"""
+    |SELECT e.vec_id, list_inner_product(e.x, a.v) AS c1,
+    |  list_inner_product(e2.x, b.v) AS c2
+    |FROM e JOIN e2 USING (vec_id), v$PCA_K a, c2v$PCA_K b
+    |ORDER BY e.vec_id""".stripMargin
 
   /** The drift screen: per-label exact median/MAD of the micro-quantized
     * axis coordinate (the q_value_mad rank selection) and the k·MAD

@@ -911,6 +911,28 @@ object Similarity {
         .as("score"))
   }
 
+  /** The 2-D spectral map: every vector's coordinates on the leading
+    * two deflated directions — the plane a corpus drift dashboard plots
+    * and a coverage-stratifier bins. IMPORTANT second-coordinate
+    * convention: c2 is the RESIDUAL's coordinate, x·v2 computed after
+    * shedding the v1 component per row (x − (x·v1)·v1), not the raw
+    * x·v2 — with near-orthogonal axes they differ only by the
+    * quantization residual, but only the residual form is exactly what
+    * the deflated iteration optimized, and both engines replay it
+    * identically. One corpus scan, zero shuffle, per-row kernel dots
+    * against two bounded axis artifacts. */
+  def principalCoords(embeddings: DataFrame, axis1: Seq[Double],
+                      axis2: Seq[Double]): DataFrame = {
+    require(axis1.nonEmpty && axis1.size <= 256 && axis2.size == axis1.size,
+      s"principalCoords: axis sizes ${axis1.size}/${axis2.size} invalid")
+    val x = toDouble(col("embedding"))
+    val v1 = typedLit(axis1)
+    val c1 = VectorFunctions.dot(x, v1)
+    val resid = zip_with(x, v1, (xe, ve) => xe - c1 * ve)
+    embeddings.select(col("vec_id"), c1.as("c1"),
+      VectorFunctions.dot(resid, typedLit(axis2)).as("c2"))
+  }
+
   /** Robust outlier screen on the principal-axis coordinate, PER LABEL —
     * the drift monitor the axis and scores exist to feed: train the
     * direction once, project every vector, then per class the exact

@@ -943,6 +943,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(v2.map(x => x * x).sum - 1.0) < 1e-12, "v2 unit norm")
   }
 
+  test("2-D coords: c1 is the axis score, c2 is the residual coordinate, energy bounded") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val both = Similarity.principalDirections(emb, components = 2)
+      .orderBy("component", "dim").collect()
+    val a1 = both.filter(_.getInt(0) == 1).map(_.getDouble(2)).toSeq
+    val a2 = both.filter(_.getInt(0) == 2).map(_.getDouble(2)).toSeq
+    val coords = Similarity.principalCoords(emb, a1, a2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val scores = Similarity.principalScores(emb, a1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    coords.foreach { case (id, c1, _) =>
+      assert(c1 === scores(id), s"vec $id: c1 must BE the axis-1 score")
+    }
+    // projection energy cannot exceed the vector's (unit axes, c2 on the
+    // residual): c1^2 + c2^2 <= ||x||^2 up to the quantization residual
+    val norms = emb.select(col("vec_id"),
+        graft.functions.VectorFunctions.dot(
+          Similarity.toDouble(col("embedding")),
+          Similarity.toDouble(col("embedding"))).as("nn"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    coords.foreach { case (id, c1, c2) =>
+      assert(c1 * c1 + c2 * c2 <= norms(id) * (1.0 + 1e-6) + 1e-9, s"vec $id")
+    }
+  }
+
   test("axis outlier screen equals a driver-side exact median/MAD on the projections") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val axis = Similarity.principalDirection(emb)
