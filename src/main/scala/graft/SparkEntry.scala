@@ -3849,69 +3849,92 @@ object SparkEntry {
       |  CAST(count(*) AS BIGINT) AS n_ws_tokens
       |FROM applied GROUP BY 1 ORDER BY doc_id""".stripMargin
 
-  /** DuckDB twin of Similarity.principalDirection: the same 8 power
-    * iterations unrolled (per round: milli-quantized kernel dot,
-    * exact-long matrix application, HUGEINT-exact norm) — every loading
-    * hash-matches bit-for-bit because the one cross-row sum is integer. */
+  /** DuckDB twin of Similarity.principalDirection: the SAME exact Gram
+    * sketch (one integer-summed pass over the milli-quantized corpus)
+    * and the same 8 driver rounds unrolled as CTEs over that d×d
+    * relation — every cross-term sum is integer (order-free) and every
+    * float step a single correctly-rounded scalar op, so each loading
+    * hash-matches bit-for-bit. */
   private val PCA_K = 8
-  /** One unrolled power-iteration block over CTE `src` (which must
-    * expose vec_id + x DOUBLE[]), all CTE names prefixed so blocks
-    * chain for the deflated multi-component form. */
-  private def pcaIterCtes(src: String, pfx: String): String = {
+  /** The shared one-scan Gram CTEs: per-element milli-longs, exact
+    * HUGEINT-safe pair sums for i ≤ j (1-based, DuckDB list indexing),
+    * mirrored to the full symmetric matrix the rounds multiply by. */
+  private val PCA_GRAM_CTES: String = """qr AS (SELECT vec_id, list_transform(x, xe -> CAST(floor(1000.0 * xe) AS BIGINT)) AS q FROM e),
+    |qx AS MATERIALIZED (SELECT vec_id, u.pr.i AS i, u.pr.e AS e
+    |  FROM (SELECT vec_id, unnest(list_transform(q, (e, i) -> {'i': i, 'e': e})) AS pr FROM qr) u),
+    |gram AS MATERIALIZED (SELECT a.i AS i, b.i AS j, CAST(sum(a.e * b.e) AS BIGINT) AS g
+    |  FROM qx a JOIN qx b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2),
+    |gramfull AS MATERIALIZED (SELECT i, j, g FROM gram UNION ALL SELECT j AS i, i AS j, g FROM gram WHERE i < j),
+    |dims AS MATERIALIZED (SELECT DISTINCT i AS j FROM gram),
+    |dd AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM dims)""".stripMargin
+  /** One unrolled Gram-power block, CTE names prefixed so blocks chain;
+    * `priors` are the earlier components' quantized-axis CTEs the
+    * iterate re-orthogonalizes against each round (the driver's
+    * one-sided deflation, float part per-element only). */
+  private def pcaIterCtes(pfx: String, priors: Seq[String]): String = {
     val sb = new StringBuilder
-    sb ++= s"${pfx}v0 AS (SELECT list_transform(x, xx -> 1.0 / sqrt(CAST(len(x) AS DOUBLE))) AS v FROM $src ORDER BY vec_id LIMIT 1)"
+    sb ++= s"${pfx}v0q AS (SELECT j, CAST(floor(1000000.0 / sqrt(dd.d)) AS BIGINT) AS vq FROM dims, dd)"
     for (r <- 1 to PCA_K) {
       val p = r - 1
       sb ++= s""",
-        |${pfx}t$r AS (SELECT x, CAST(floor(1000.0 * list_inner_product(x, v)) AS BIGINT) AS t FROM $src, ${pfx}v$p),
-        |${pfx}y$r AS MATERIALIZED (SELECT u.pr.i AS j, CAST(sum(u.t * CAST(floor(1000.0 * u.pr.e) AS BIGINT)) AS BIGINT) AS y
-        |  FROM (SELECT t, unnest(list_transform(x, (e, i) -> {'i': i, 'e': e})) AS pr FROM ${pfx}t$r) u
-        |  GROUP BY 1),
-        |${pfx}n$r AS (SELECT sqrt(CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE)) AS norm FROM ${pfx}y$r),
-        |${pfx}v$r AS (SELECT list_transform(l.l, yy -> yy / n.norm) AS v
-        |  FROM (SELECT list(CAST(y AS DOUBLE) ORDER BY j) AS l FROM ${pfx}y$r) l, ${pfx}n$r n)""".stripMargin
+        |${pfx}ya$r AS MATERIALIZED (SELECT g.j AS j, SUM(CAST(g.g AS HUGEINT) * v.vq) AS y
+        |  FROM gramfull g JOIN ${pfx}v${p}q v ON g.i = v.j GROUP BY 1)""".stripMargin
+      var prev = s"${pfx}ya$r"
+      priors.zipWithIndex.foreach { case (u, pi) =>
+        sb ++= s""",
+          |${pfx}dp${r}_$pi AS (SELECT SUM(CAST(u.vq AS HUGEINT) * y.y) AS dp FROM $u u JOIN $prev y ON u.j = y.j),
+          |${pfx}yb${r}_$pi AS MATERIALIZED (SELECT y.j AS j,
+          |    y.y - CAST(floor(CAST(d.dp AS DOUBLE) / 1000000000000.0 * CAST(u.vq AS DOUBLE)) AS HUGEINT) AS y
+          |  FROM $prev y JOIN $u u ON y.j = u.j, ${pfx}dp${r}_$pi d)""".stripMargin
+        prev = s"${pfx}yb${r}_$pi"
+      }
+      sb ++= s""",
+        |${pfx}n$r AS (SELECT sqrt(CAST(SUM(y * y) AS DOUBLE)) AS norm FROM $prev),
+        |${pfx}v$r AS MATERIALIZED (SELECT j, CAST(y AS DOUBLE) / n.norm AS v FROM $prev y, ${pfx}n$r n),
+        |${pfx}v${r}q AS (SELECT j, CAST(floor(1000000.0 * v) AS BIGINT) AS vq FROM ${pfx}v$r)""".stripMargin
     }
     sb.toString
   }
   private val PCA_CTES: String =
     "WITH e AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),\n" +
-      pcaIterCtes("e", "")
+      PCA_GRAM_CTES + ",\n" + pcaIterCtes("", Nil) + s""",
+    |axis1 AS (SELECT list(v ORDER BY j) AS v FROM v$PCA_K)""".stripMargin
 
   private val PCA_SQL: String = PCA_CTES + s"""
-    |SELECT y.j - 1 AS dim, CAST(y.y AS DOUBLE) / n.norm AS loading, n.norm / 1e6 AS lambda
-    |FROM y$PCA_K y, n$PCA_K n ORDER BY dim""".stripMargin
+    |SELECT v.j - 1 AS dim, v.v AS loading, n.norm / 1000000000000.0 AS lambda
+    |FROM v$PCA_K v, n$PCA_K n ORDER BY dim""".stripMargin
 
   /** The projection consumer: each vector's kernel dot with the final
-    * iterate — scores are per-row doubles, oracle-exact. */
+    * axis — scores are per-row doubles, oracle-exact. */
   private val PCA_SCORES_SQL: String = PCA_CTES + s"""
-    |SELECT e.vec_id, list_inner_product(e.x, v.v) AS score
-    |FROM e, v$PCA_K v ORDER BY e.vec_id""".stripMargin
+    |SELECT e.vec_id, list_inner_product(e.x, a.v) AS score
+    |FROM e, axis1 a ORDER BY e.vec_id""".stripMargin
 
-  /** Rank-2 twin: component 1's block, a per-row deflation (x minus the
-    * v-coordinate, same kernel dot), then an identical prefixed block
-    * over the residual. */
-  private val PCA2_CTES: String = PCA_CTES + s""",
-    |e2 AS MATERIALIZED (SELECT q.vec_id, q.label,
-    |    list_transform(q.x, (xe, i) -> xe - q.s * q.v[i]) AS x
-    |  FROM (SELECT e.vec_id, e.label, e.x, v.v, list_inner_product(e.x, v.v) AS s
-    |        FROM e, v$PCA_K v) q),
-    |""".stripMargin + pcaIterCtes("e2", "c2")
+  /** Rank-2 twin: component 2 runs the SAME Gram rounds with the
+    * component-1 quantized axis as deflation prior — zero extra corpus
+    * passes, exactly the driver's arithmetic. */
+  private val PCA2_CTES: String = PCA_CTES + ",\n" +
+    pcaIterCtes("c2", Seq(s"v${PCA_K}q")) + s""",
+    |axis2 AS (SELECT list(v ORDER BY j) AS v FROM c2v$PCA_K)""".stripMargin
 
   private val PCA2_SQL: String = PCA2_CTES + s"""
-    |SELECT CAST(1 AS INT) AS component, y.j - 1 AS dim,
-    |  CAST(y.y AS DOUBLE) / n.norm AS loading, n.norm / 1e6 AS lambda
-    |FROM y$PCA_K y, n$PCA_K n
+    |SELECT CAST(1 AS INT) AS component, v.j - 1 AS dim, v.v AS loading,
+    |  n.norm / 1000000000000.0 AS lambda
+    |FROM v$PCA_K v, n$PCA_K n
     |UNION ALL
-    |SELECT CAST(2 AS INT), y.j - 1, CAST(y.y AS DOUBLE) / n.norm, n.norm / 1e6
-    |FROM c2y$PCA_K y, c2n$PCA_K n
+    |SELECT CAST(2 AS INT), v.j - 1, v.v, n.norm / 1000000000000.0
+    |FROM c2v$PCA_K v, c2n$PCA_K n
     |ORDER BY component, dim""".stripMargin
 
-  /** The 2-D map: c1 on the corpus frame, c2 on the DEFLATED frame —
-    * the residual-coordinate convention the engine uses. */
-  private val PCA_COORDS_SQL: String = PCA2_CTES + s"""
+  /** The 2-D map: c1 on the corpus frame, c2 on the per-row RESIDUAL
+    * (x minus the axis-1 coordinate) — the apply-side convention the
+    * engine's principalCoords uses. */
+  private val PCA_COORDS_SQL: String = PCA2_CTES + s""",
+    |e2 AS MATERIALIZED (SELECT q2.vec_id, list_transform(q2.x, (xe, i) -> xe - q2.s * q2.v[i]) AS x
+    |  FROM (SELECT e.vec_id, e.x, a.v, list_inner_product(e.x, a.v) AS s FROM e, axis1 a) q2)
     |SELECT e.vec_id, list_inner_product(e.x, a.v) AS c1,
     |  list_inner_product(e2.x, b.v) AS c2
-    |FROM e JOIN e2 USING (vec_id), v$PCA_K a, c2v$PCA_K b
+    |FROM e JOIN e2 USING (vec_id), axis1 a, axis2 b
     |ORDER BY e.vec_id""".stripMargin
 
   /** The drift screen: per-label exact median/MAD of the micro-quantized
@@ -3919,8 +3942,8 @@ object SparkEntry {
     * outlier count. */
   private val PCA_OUTLIERS_SQL: String = PCA_CTES + s""",
     |sq AS (SELECT e.label,
-    |    CAST(floor(1000000.0 * list_inner_product(e.x, v.v)) AS BIGINT) AS qv
-    |  FROM e, v$PCA_K v WHERE e.label IS NOT NULL),
+    |    CAST(floor(1000000.0 * list_inner_product(e.x, a.v)) AS BIGINT) AS qv
+    |  FROM e, axis1 a WHERE e.label IS NOT NULL),
     |sr AS (SELECT label, qv,
     |    row_number() OVER (PARTITION BY label ORDER BY qv) AS rn,
     |    count(*) OVER (PARTITION BY label) AS n FROM sq),

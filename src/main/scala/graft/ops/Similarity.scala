@@ -787,110 +787,149 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
-  /** Top principal direction of the embedding corpus by POWER ITERATION
-    * in engine-portable arithmetic — the spectral op (drift axes,
-    * whitening, outlier projection) the similarity family lacked. Each
-    * of `iters` rounds applies the UNCENTERED second-moment operator:
-    * s_i = x_i·v by the sequential-sum kernel (bit-equal to DuckDB's
-    * list_inner_product), both factors quantize to milli-longs
-    * (t_i = ⌊1000·s_i⌋, q_ij = ⌊1000·x_ij⌋), and y_j = Σ_i t_i·q_ij is
-    * an EXACT long sum — the one cross-row addition, integer so
-    * order-free. The norm is exact too (BigInt Σy_j², one
-    * correctly-rounded toDouble, one sqrt), so the next v is
-    * bit-identical in any engine that replays the same rounds — the
-    * DuckDB oracle unrolls them as chained CTEs and hash-matches every
-    * loading. Uncentered (the raw moment direction, not covariance) by
-    * documented convention: centering needs a portable mean, and
-    * embedding corpora are ~zero-mean by construction.
-    *
-    * Shapes: one corpus scan per round with a d-column map-side-combined
-    * aggregate (d ≤ 256 enforced); each round collects ONE d-long row
-    * (the k-center certificate bound). Overflow-safe while
-    * n · 1e3·max|s| · 1e3·max|x| < 2^63 — for unit-normalized
-    * embeddings that is n ≲ 1e11 vectors; past that, lower the
-    * quantization scale. Seed v₀ = 1/√d on every axis; convergence to
-    * the top eigenvector needs the usual non-orthogonal-seed and
-    * spectral-gap assumptions — `iters` fixes COST, the oracle replays
-    * whatever the iterate is. */
+  /** Exact integer Gram sketch of the milli-quantized corpus — the ONE
+    * corpus scan the whole spectral family runs on. Per row each element
+    * quantizes to q_j = ⌊1000·x_j⌋ (exact long); the scan emits every
+    * pair (i ≤ j, q_i·q_j) plus one (-1,-1,size) sentinel and map-side
+    * combines them into the d(d+1)/2 ≤ 33k exact integer second moments
+    * G_ij = Σ_rows q_i·q_j — a bounded collect (d ≤ 256 enforced; the
+    * slice caps the quadratic explode BEFORE the bound check so a
+    * hostile width can't blow up the scan that would reject it). The
+    * sentinel group carries n and min/max row width, so a RAGGED corpus
+    * fails loudly here instead of silently null-padding loadings.
+    * Integer pair sums are order-free, so G is partitioning-invariant
+    * and bit-identical to any engine's replay of the same quantization.
+    * Overflow: |q_i·q_j| ≤ 1e6·max|x|² per row, so the long sums hold
+    * to n·max|x|² ≲ 9e12 — beyond that, lower the quantization scale. */
+  private[ops] final case class GramSketch(d: Int, n: Long, g: Array[Array[Long]])
+
+  private[ops] def gramSketch(embeddings: DataFrame, who: String): GramSketch = {
+    val q = transform(slice(col("embedding"), 1, 257),
+      e => floor(e.cast("double") * lit(1000.0)).cast("long"))
+    val rows = embeddings
+      .select(q.as("q"), size(col("embedding")).cast("long").as("sz"))
+      .select(explode(concat(
+        flatten(transform(sequence(lit(0), size(col("q")) - 1), i =>
+          transform(sequence(i, size(col("q")) - 1), j =>
+            struct(i.as("i"), j.as("j"),
+              (element_at(col("q"), i + 1) * element_at(col("q"), j + 1)).as("v"))))),
+        array(struct(lit(-1).as("i"), lit(-1).as("j"), col("sz").as("v"))))).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(sum(col("p.v")).as("s"), count(lit(1)).as("n"),
+        min(col("p.v")).as("mn"), max(col("p.v")).as("mx"))
+      .collect() // ≤ d(d+1)/2 + 1 rows — bounded like the centroid collects
+    val sentinel = rows.find(_.getInt(0) == -1)
+    require(sentinel.nonEmpty, s"$who: empty corpus")
+    val (n, szMin, szMax) = (sentinel.get.getLong(3), sentinel.get.getLong(4),
+      sentinel.get.getLong(5))
+    require(szMin == szMax,
+      s"$who: ragged embedding dimensions [$szMin, $szMax] — mixed-width corpora have no single axis")
+    require(szMax >= 1L && szMax <= 256L, s"$who: d=$szMax out of [1, 256]")
+    val d = szMax.toInt
+    val g = Array.ofDim[Long](d, d)
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      if (i >= 0) { g(i)(j) = r.getLong(2); g(j)(i) = r.getLong(2) }
+    }
+    GramSketch(d, n, g)
+  }
+
+  /** floor-to-BigInt of an integral double (floor makes it integral;
+    * the conversion is then exact — the same truncation DuckDB's
+    * CAST(floor(·) AS HUGEINT) performs). */
+  private def dfloor(x: Double): BigInt = BigDecimal(math.floor(x)).toBigInt
+
+  /** The driver-side iteration core over an exact Gram sketch: every
+    * cross-term sum is INTEGER (BigInt — order-free, engine-exact) and
+    * every float step is a single correctly-rounded IEEE scalar op, so
+    * the DuckDB oracle replays the rounds as chained CTEs over the same
+    * Gram relation and hash-matches each loading bit-for-bit. Per round
+    * (for component c with stored quantized priors u, scale 1e6):
+    * y = G·v_q exactly; for each prior, the one-sided re-orthogonalization
+    * y ← y − ⌊(Σu_q·y)/1e12·u_q⌋ (the classic deflated power step, its
+    * float part per-ELEMENT only); then norm = √(Σy²) on exact integers,
+    * v = y/norm, v_q = ⌊1e6·v⌋ for the next round. λ = norm/1e12 (the
+    * 1e3 data scale × 1e3 again in G × 1e6 iterate scale). A zero
+    * iterate (all-zero corpus, or a fully-deflated ~rank-c one) has no
+    * principal direction and raises instead of propagating NaN. */
+  private def powerIterateGram(gram: GramSketch, iters: Int,
+                               priors: Seq[Array[Long]]): (Array[Double], Double, Array[Long]) = {
+    val d = gram.d
+    var vq = Array.fill(d)(math.floor(1000000.0 / math.sqrt(d.toDouble)).toLong)
+    var v = Array.fill(d)(0.0)
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      var y = Array.tabulate(d) { j =>
+        var acc = BigInt(0); var k = 0
+        while (k < d) { acc += BigInt(gram.g(j)(k)) * BigInt(vq(k)); k += 1 }
+        acc
+      }
+      priors.foreach { uq =>
+        var dp = BigInt(0); var k = 0
+        while (k < d) { dp += BigInt(uq(k)) * y(k); k += 1 }
+        val dpd = dp.toDouble
+        y = Array.tabulate(d)(j => y(j) - dfloor(dpd / 1.0e12 * uq(j).toDouble))
+      }
+      val normSq = y.foldLeft(BigInt(0))((a, x) => a + x * x)
+      require(normSq.signum != 0,
+        "powerIterate: zero iterate — the (deflated) corpus has no principal direction")
+      val norm = math.sqrt(normSq.toDouble)
+      lambda = norm / 1.0e12
+      v = y.map(_.toDouble / norm)
+      vq = v.map(x => math.floor(1000000.0 * x).toLong)
+    }
+    (v, lambda, vq)
+  }
+
+  /** Top principal direction of the embedding corpus — the spectral op
+    * (drift axes, whitening, outlier projection) the similarity family
+    * lacked — by power iteration over the EXACT GRAM SKETCH: one corpus
+    * scan aggregates the d(d+1)/2 milli-quantized integer second
+    * moments ([[gramSketch]]), then all `iters` rounds run driver-side
+    * on exact integers ([[powerIterateGram]]) — at 100 TB the scan IS
+    * the cost, and this shape pays it exactly once where a per-round
+    * distributed iterate would pay it `iters` times. Uncentered (the
+    * raw moment direction, not covariance) by documented convention:
+    * centering needs a portable mean, and embedding corpora are
+    * ~zero-mean by construction. Seed v₀ = ⌊1e6/√d⌋ on every axis;
+    * convergence to the top eigenvector needs the usual
+    * non-orthogonal-seed and spectral-gap assumptions — `iters` fixes
+    * COST, the oracle replays whatever the iterate is. */
   def principalDirection(embeddings: DataFrame, iters: Int = 8): DataFrame = {
     require(iters >= 1 && iters <= 32, s"iters=$iters out of [1, 32]")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val head = embeddings.select(size(col("embedding")).as("d")).limit(1).collect()
-    require(head.nonEmpty, "principalDirection: empty corpus")
-    val d = head.head.getInt(0)
-    require(d >= 1 && d <= 256, s"principalDirection: d=$d out of [1, 256]")
-    // checkpoint the projected column once: every round re-reads THIS,
-    // not the corpus — one parquet scan total, not one per iteration
-    val (v, lambda) = powerIterate(
-      embeddings.select(toDouble(col("embedding")).as("__x"))
-        .localCheckpoint(false), d, iters)
-    (0 until d).map(j => (j, v(j), lambda)).toDF("dim", "loading", "lambda")
+    val gram = gramSketch(embeddings, "principalDirection")
+    val (v, lambda, _) = powerIterateGram(gram, iters, Nil)
+    (0 until gram.d).map(j => (j, v(j), lambda)).toDF("dim", "loading", "lambda")
   }
 
-  /** The iteration core over a frame with a `__x: array<double>` column:
-    * `iters` rounds, each one scan + d-column aggregate + one d-long
-    * collect. Shared by the rank-1 and deflated multi-component forms. */
-  private def powerIterate(frame: DataFrame, d: Int,
-                           iters: Int): (Array[Double], Double) = {
-    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
-    var lambda = 0.0
-    for (_ <- 1 to iters) {
-      val t = floor(lit(1000.0) *
-        VectorFunctions.dot(col("__x"), typedLit(v.toSeq))).cast("long")
-      val aggs = (0 until d).map(j =>
-        sum(col("__t") *
-          floor(lit(1000.0) * element_at(col("__x"), j + 1)).cast("long")).as(s"y$j"))
-      val row = frame.select(col("__x"), t.as("__t"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect().head // ONE row of d longs per round
-      val y = Array.tabulate(d)(j => row.getLong(j))
-      val ss = y.foldLeft(BigInt(0))((acc, yj) => acc + BigInt(yj) * BigInt(yj))
-      val norm = math.sqrt(ss.toDouble)
-      lambda = norm / 1e6
-      v = y.map(_.toDouble / norm)
-    }
-    (v, lambda)
-  }
-
-  /** The leading `components` directions by DEFLATED power iteration:
-    * after each converged direction v, every vector sheds its
-    * v-coordinate per row (x ← x − (x·v)·v — the dot through the same
-    * kernel, the update plain per-row double arithmetic, both
-    * engine-portable) and the identical iteration runs on the residual.
+  /** The leading `components` directions by DEFLATED power iteration
+    * over the SAME one-scan Gram sketch: each component's rounds
+    * re-orthogonalize the iterate against every already-converged
+    * direction (quantized to the 1e6 grid — the stored-artifact form),
+    * so deflation costs ZERO extra corpus reads where the per-row
+    * residual form paid a full re-materialization per component.
     * Components come out near-orthogonal (exactly orthogonal up to the
-    * milli-quantization residual); their lambda estimates order
-    * decreasingly ONCE CONVERGED — on a nearly flat spectrum a fixed
-    * iteration budget can leave them unordered, which is a property of
-    * power iteration, not of this encoding. The oracle unrolls every
-    * component's rounds and hash-matches each loading.
-    * Cost is `components` × the rank-1 cost — the spectral sketch a
-    * whitening or 2-D drift map actually needs, at components ≤ 4
+    * quantization residual); their lambda estimates order decreasingly
+    * ONCE CONVERGED — on a nearly flat spectrum a fixed iteration
+    * budget can leave them unordered, which is a property of power
+    * iteration, not of this encoding. The oracle unrolls every
+    * component's rounds and hash-matches each loading. components ≤ 4
     * enforced (this is a top-of-spectrum sketch, not an eigensolver). */
   def principalDirections(embeddings: DataFrame, components: Int = 2,
                           iters: Int = 8): DataFrame = {
     require(components >= 1 && components <= 4,
       s"principalDirections: components=$components out of [1, 4]")
+    require(iters >= 1 && iters <= 32, s"iters=$iters out of [1, 32]")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val head = embeddings.select(size(col("embedding")).as("d")).limit(1).collect()
-    require(head.nonEmpty, "principalDirections: empty corpus")
-    val d = head.head.getInt(0)
-    require(d >= 1 && d <= 256, s"principalDirections: d=$d out of [1, 256]")
-    // checkpoint the projection AND each deflation: rounds re-read the
-    // checkpointed frame, never the corpus or the deflation chain
-    var frame = embeddings.select(toDouble(col("embedding")).as("__x"))
-      .localCheckpoint(false)
+    val gram = gramSketch(embeddings, "principalDirections")
+    val priors = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
     val out = (1 to components).flatMap { c =>
-      val (v, lambda) = powerIterate(frame, d, iters)
-      if (c < components) {
-        val vlit = typedLit(v.toSeq)
-        val s = VectorFunctions.dot(col("__x"), vlit)
-        frame = frame.select(
-          zip_with(col("__x"), vlit, (xe, ve) => xe - s * ve).as("__x"))
-          .localCheckpoint(false)
-      }
-      (0 until d).map(j => (c, j, v(j), lambda))
+      val (v, lambda, vq) = powerIterateGram(gram, iters, priors.toSeq)
+      priors += vq
+      (0 until gram.d).map(j => (c, j, v(j), lambda))
     }
     out.toDF("component", "dim", "loading", "lambda")
   }

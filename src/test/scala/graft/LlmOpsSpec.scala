@@ -896,24 +896,25 @@ class LlmOpsSpec extends SparkSpec {
     val got = Similarity.principalDirection(df, iters = 8)
       .orderBy("dim").collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
-    // exact model: identical arithmetic, sequential dot, floor-quantized
-    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    // exact model: a SEQUENTIAL Gram matrix from the raw vecs (the
+    // distributed scan must be partitioning-invariant — its one
+    // cross-row sum is integer), then the same driver rounds
+    val g = Array.ofDim[Long](d, d)
+    vecs.foreach { case (_, xf) =>
+      val q = xf.map(x => math.floor(1000.0 * x.toDouble).toLong)
+      for (i <- 0 until d; j <- 0 until d) g(i)(j) += q(i) * q(j)
+    }
+    var vq = Array.fill(d)(math.floor(1000000.0 / math.sqrt(d.toDouble)).toLong)
+    var v = Array.fill(d)(0.0)
     var lambda = 0.0
     for (_ <- 1 to 8) {
-      val y = Array.fill(d)(0L)
-      vecs.foreach { case (_, xf) =>
-        val x = xf.map(_.toDouble)
-        var s = 0.0
-        var j = 0
-        while (j < d) { s += x(j) * v(j); j += 1 }
-        val t = math.floor(1000.0 * s).toLong
-        j = 0
-        while (j < d) { y(j) += t * math.floor(1000.0 * x(j)).toLong; j += 1 }
-      }
-      val ss = y.foldLeft(BigInt(0))((a, yj) => a + BigInt(yj) * BigInt(yj))
+      val y = Array.tabulate(d)(j =>
+        (0 until d).foldLeft(BigInt(0))((a, k) => a + BigInt(g(j)(k)) * BigInt(vq(k))))
+      val ss = y.foldLeft(BigInt(0))((a, yj) => a + yj * yj)
       val norm = math.sqrt(ss.toDouble)
-      lambda = norm / 1e6
-      v = y.map(_.toDouble / norm)
+      lambda = norm / 1.0e12
+      v = y.map(_.toDouble / norm).toArray
+      vq = v.map(x => math.floor(1000000.0 * x).toLong)
     }
     got.foreach { case (dim, loading, lam) =>
       assert(loading === v(dim), s"dim $dim")
@@ -921,6 +922,24 @@ class LlmOpsSpec extends SparkSpec {
     }
     // the planted axis dominates the direction
     assert(math.abs(v(2)) > 0.95, s"expected axis 2 to dominate, got ${v.toSeq}")
+  }
+
+  test("spectral family raises loudly on ragged or all-zero corpora") {
+    // a mixed-dimension corpus must fail, not silently null-pad
+    // loadings; an all-zero one has no principal direction and must
+    // raise instead of propagating NaN to every consumer
+    val ragged = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.principalDirection(ragged)
+    }
+    assert(e1.getMessage.contains("ragged"), e1.getMessage)
+    val zeros = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.principalDirection(zeros)
+    }
+    assert(e2.getMessage.contains("no principal direction"), e2.getMessage)
   }
 
   test("deflated directions: component 1 unchanged, near-orthogonal, decreasing lambda") {

@@ -683,18 +683,33 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Join"), s"BPE apply must not join:\n$p")
   }
 
-  test("power iteration scans the embedding corpus once, not once per round") {
-    // the projected column is checkpointed before the rounds: every
-    // iteration's aggregate reads the checkpoint, so the corpus is
-    // scanned exactly once (plus the 1-row head probe) — at 100 TB the
-    // scan IS the cost, and 8 rounds x full re-read would dwarf it
+  test("power iteration scans the embedding corpus EXACTLY once") {
+    // the exact Gram sketch is the only distributed work: one scan
+    // aggregates the d(d+1)/2 integer second moments and every round
+    // runs driver-side on them — at 100 TB the scan IS the cost, and
+    // 8 rounds x full re-read (the pre-r14 shape) would dwarf it
     val plans = executedPlans {
       graft.ops.Similarity.principalDirection(
         Tables.embeddings(spark, "/root/testdata/sf0.001")).collect()
     }
     val corpusScans = plans.count(_.contains("embeddings.parquet"))
-    assert(corpusScans <= 2, // head probe + the one checkpoint materialization
+    assert(corpusScans == 1,
       s"power iteration read the corpus $corpusScans times:\n" +
+        plans.filter(_.contains("embeddings.parquet")).mkString("\n---\n"))
+  }
+
+  test("the whole deflated spectral family scans the corpus EXACTLY once") {
+    // deflation runs on the SAME Gram sketch (quantized-prior
+    // re-orthogonalization), so the rank-2 sketch costs zero extra
+    // corpus reads — the pre-r14 shape paid ~16 reads + 3
+    // corpus-sized checkpoint writes for the same output
+    val plans = executedPlans {
+      graft.ops.Similarity.principalDirections(
+        Tables.embeddings(spark, "/root/testdata/sf0.001"), components = 2).collect()
+    }
+    val corpusScans = plans.count(_.contains("embeddings.parquet"))
+    assert(corpusScans == 1,
+      s"deflated spectral family read the corpus $corpusScans times:\n" +
         plans.filter(_.contains("embeddings.parquet")).mkString("\n---\n"))
   }
 
