@@ -95,6 +95,113 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def memCal(): Double = Seq.fill(3)(memCalOnce()).min
+
+    // ---- prior clean record (parsed BEFORE the timed pass: it both seeds
+    // the host-settle precondition below and the self-adjudication after
+    // the loop) ----------------------------------------------------------
+    // SPARK_GRAFT_BENCH_RECORD points at an alternate record file (used
+    // by the gate ritual to adjudicate against a mid-round run, and to
+    // exercise the flag path in testing); default is the committed
+    // resource — the prior round's clean record. The queries map is only
+    // usable at the record's own scale factor; the calibration readings
+    // are pure host probes and scale-independent.
+    val (record: Map[String, Double], recordMemCal: Option[Double],
+         recordJvmCal: Option[Double]) =
+      try {
+        val txt = sys.env.get("SPARK_GRAFT_BENCH_RECORD") match {
+          case Some(p) => Some(new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+            java.nio.charset.StandardCharsets.UTF_8))
+          case None =>
+            Option(getClass.getResourceAsStream("/graft/bench_record.json")).map { in =>
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            }
+        }
+        txt.map { t =>
+          import org.json4s._
+          val parsed = org.json4s.jackson.JsonMethods.parse(t)
+          // the record must come from the SAME scale factor: flag ratios
+          // across scales are meaningless (see the adjudication comment
+          // below). A record without an "sf" field is refused likewise.
+          val recSf = parsed \ "sf" match {
+            case JString(s) => Some(s)
+            case _ => None
+          }
+          def num(v: JValue): Option[Double] = v match {
+            case JDouble(d) => Some(d)
+            case JInt(i) => Some(i.toDouble)
+            case JDecimal(d) => Some(d.toDouble)
+            case _ => None
+          }
+          // the record's clean calibration readings: min of its
+          // before/after pair — the host-settle reference and the
+          // denominator for per-flag bandwidth-phase normalization
+          val mem = Seq(parsed \ "mem_cal_before", parsed \ "mem_cal_after")
+            .flatMap(num).filter(_ > 0)
+          val jvm = Seq(parsed \ "jvm_cal_before", parsed \ "jvm_cal_after")
+            .flatMap(num).filter(_ > 0)
+          val qs =
+            if (!recSf.contains(sfDir)) {
+              System.err.println(s"[bench] record sf ${recSf.getOrElse("<absent>")} " +
+                s"!= run sf $sfDir — self-adjudication disabled for this run")
+              Map.empty[String, Double]
+            } else parsed \ "queries" match {
+              case JObject(fields) => fields.flatMap { case (k, v) => num(v).map(k -> _) }.toMap
+              case _ => Map.empty[String, Double]
+            }
+          (qs, if (mem.isEmpty) None else Some(mem.min),
+            if (jvm.isEmpty) None else Some(jvm.min))
+        }.getOrElse((Map.empty[String, Double], None, None))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] prior record unreadable: ${e.getMessage}")
+        (Map.empty[String, Double], None, None)
+      }
+
+    // ---- host-settle precondition (round 14) ----------------------------
+    // Five consecutive official records were taken on whatever host phase
+    // happened to be live, and the adjudicator then spent the round
+    // REFUTING the resulting flags (16/16 in-band last round). Prevention
+    // beats adjudication: refuse to start the timed pass until the two
+    // engine-independent probes sit inside a tolerance band of the
+    // committed clean record's readings (jvm ≤ 1.10x — the ALU probe is
+    // flat on a clean host; mem ≤ 1.25x — DRAM readings wobble ~10%
+    // clean-to-clean). Bounded: up to 12 attempts, ~4 s apart, then the
+    // run PROCEEDS with settle_ok:false and the full attempt trail in the
+    // record — a refusal to start would leave the round with no official
+    // number at all, which is strictly worse than a flagged one.
+    val settleTrail = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val settleStatus: String =
+      (recordJvmCal, recordMemCal) match {
+        case (Some(jvmRef), Some(memRef)) =>
+          var ok = false
+          var attempt = 0
+          while (!ok && attempt < 12) {
+            val j = jvmCalOnce()
+            val m = memCalOnce()
+            settleTrail += ((j, m))
+            ok = j <= 1.10 * jvmRef && m <= 1.25 * memRef
+            attempt += 1
+            if (!ok && attempt < 12) Thread.sleep(4000)
+          }
+          if (!ok) System.err.println(
+            s"[bench] host did not settle after $attempt probes " +
+              s"(last jvm=${settleTrail.last._1} vs ref $jvmRef, " +
+              s"mem=${settleTrail.last._2} vs ref $memRef) — proceeding, " +
+              "the record carries the trail")
+          if (ok) "settled" else "exhausted"
+        case _ =>
+          System.err.println("[bench] no calibration reference in the prior " +
+            "record — host-settle precondition skipped")
+          "no_reference"
+      }
+    val settleJson = {
+      val refs = s""""ref_jvm":${recordJvmCal.getOrElse(-1.0)},"ref_mem":${recordMemCal.getOrElse(-1.0)}"""
+      val attempts = settleTrail.map { case (j, m) => s"""{"jvm":$j,"mem":$m}""" }
+        .mkString("[", ",", "]")
+      s""""settle":{"status":"$settleStatus",$refs,"attempts":$attempts}"""
+    }
+
     val calBefore = hostCal()
     val jvmCalBefore = jvmCal()
     val memCalBefore = memCal()
@@ -171,59 +278,8 @@ object Bench {
     // sf1 run would mass-flag; against sf0.001 it could never fire).
     // The full bench at sf0.1 runs only on the official driver pass, so
     // the extra re-runs cost seconds, bounded by the flag count.
-    // SPARK_GRAFT_BENCH_RECORD points at an alternate record file (used
-    // by the gate ritual to adjudicate against a mid-round run, and to
-    // exercise the flag path in testing); default is the committed
-    // resource — the prior round's clean record.
-    val (record: Map[String, Double], recordMemCal: Option[Double]) =
-      try {
-        val txt = sys.env.get("SPARK_GRAFT_BENCH_RECORD") match {
-          case Some(p) => Some(new String(
-            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
-            java.nio.charset.StandardCharsets.UTF_8))
-          case None =>
-            Option(getClass.getResourceAsStream("/graft/bench_record.json")).map { in =>
-              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-              finally in.close()
-            }
-        }
-        txt.map { t =>
-          import org.json4s._
-          val parsed = org.json4s.jackson.JsonMethods.parse(t)
-          // the record must come from the SAME scale factor: flag ratios
-          // across scales are meaningless (see the comment above). A
-          // record without an "sf" field is refused for the same reason.
-          val recSf = parsed \ "sf" match {
-            case JString(s) => Some(s)
-            case _ => None
-          }
-          def num(v: JValue): Option[Double] = v match {
-            case JDouble(d) => Some(d)
-            case JInt(i) => Some(i.toDouble)
-            case JDecimal(d) => Some(d.toDouble)
-            case _ => None
-          }
-          if (!recSf.contains(sfDir)) {
-            System.err.println(s"[bench] record sf ${recSf.getOrElse("<absent>")} " +
-              s"!= run sf $sfDir — self-adjudication disabled for this run")
-            (Map.empty[String, Double], None)
-          } else {
-            val qs = parsed \ "queries" match {
-              case JObject(fields) => fields.flatMap { case (k, v) => num(v).map(k -> _) }.toMap
-              case _ => Map.empty[String, Double]
-            }
-            // the record's clean DRAM-bandwidth reading: min of its
-            // before/after mem_cal — the denominator for per-flag
-            // bandwidth-phase normalization below
-            val mem = Seq(parsed \ "mem_cal_before", parsed \ "mem_cal_after")
-              .flatMap(num).filter(_ > 0)
-            (qs, if (mem.isEmpty) None else Some(mem.min))
-          }
-        }.getOrElse((Map.empty[String, Double], None))
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] prior record unreadable: ${e.getMessage}")
-        (Map.empty[String, Double], None)
-      }
+    // (The prior clean record itself is parsed before the timed pass —
+    // it also seeds the host-settle precondition.)
     val flagged = results.collect {
       case (name, v, true) if record.get(name).exists(r => r > 0 && v > 2 * r && v - r > 1.0) =>
         (name, v, record(name))
@@ -281,11 +337,19 @@ object Bench {
       val memRatio = recordMemCal.filter(_ > 0).collect {
         case m if memSnap > 0 => memSnap / m
       }
-      val ctrlRatio = record.get(ctrlPhaseName).filter(_ > 0).collect {
-        case r if ctrlPhase > 0 => ctrlPhase / r
-      }
+      // a flagged control query must not normalize ITSELF: when the flag
+      // is q5 its fresh control run is excluded from the norm, and the
+      // engine-independent mem-cal ratio must be present at all for any
+      // norm > 1 — without it a lone query ratio could launder a real
+      // regression into "host phase" (r13 advice)
+      val ctrlRatio = record.get(ctrlPhaseName)
+        .filter(r => r > 0 && name != ctrlPhaseName).collect {
+          case r if ctrlPhase > 0 => ctrlPhase / r
+        }
       val agreed = Seq(memRatio, ctrlRatio).flatten
-      val norm = if (agreed.isEmpty) 1.0 else math.max(1.0, agreed.min)
+      val norm =
+        if (memRatio.isEmpty || agreed.isEmpty) 1.0
+        else math.max(1.0, agreed.min)
       // closure, in evidence-strength order: "rerun" = plain re-run back
       // in band (the r12 rule, 2x + 1 s floor); "control" = re-run in band
       // after host normalization, at the verdict's tighter 1.3x bar
@@ -319,7 +383,7 @@ object Bench {
     // official full-bench line
     val filtered = if (only.isDefined) ""","filtered":true""" else ""
     val cals = s""""host_cal_before":$calBefore,"host_cal_after":$calAfter,"jvm_cal_before":$jvmCalBefore,"jvm_cal_after":$jvmCalAfter,"mem_cal_before":$memCalBefore,"mem_cal_after":$memCalAfter"""
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$filtered,$cals,$adj,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$filtered,$cals,$settleJson,$adj,"sf":"$sfDir"}"""
     println(fullLine)
     // Self-contained record: the stdout capture is tail-windowed (8 KiB)
     // and the per-query line's FRONT scrolls out past ~90 queries, so the
@@ -339,7 +403,7 @@ object Bench {
     // record lost the total and the dedup family that way). This second
     // line is small and LAST, so any tail capture always carries the total,
     // both calibrations, the query count, and the failure list.
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed$filtered,$cals,"n_flagged":${adjudicated.size},"flags_open":$flagsOpen,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed$filtered,$cals,"settle_status":"$settleStatus","n_flagged":${adjudicated.size},"flags_open":$flagsOpen,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
