@@ -1225,6 +1225,22 @@ object SparkEntry {
     }),
     "text_token_budget_bpe" -> ((s, dir) =>
       Bpe.tokenBudget(Tables.documents(s, dir)).orderBy("source")),
+    // PRODUCTION-DEPTH merge table: the same greedy trainer run to 1024
+    // rounds driver-side on the one-scan word-count statistic. No
+    // unrolled oracle at this depth (rows-only); its structural
+    // companion is text_bpe_vocab — greedy BPE is prefix-consistent, so
+    // the deep table's first 16 rows ARE the oracle-green 16-round
+    // table (BpeSpec pins the prefix equality and the golden sequence)
+    "text_bpe_vocab_deep" -> ((s, dir) =>
+      Bpe.trainDeepMerges(Tables.documents(s, dir), nMerges = 1024).orderBy("rank")),
+    // the deep table's pricing consumer: same per-row codegen'd replay,
+    // depth-independent (a constant-size loop, janino-safe past 64
+    // merges). Rows-only; companion text_bpe_tokens + BpeSpec's
+    // loop-vs-unrolled and driver-replay equalities
+    "text_bpe_tokens_deep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Bpe.tokenCounts(docs, Bpe.trainDeep(docs, nMerges = 1024)).orderBy("doc_id")
+    }),
 
     // ---- LLM-pipeline: multimodal decode + features ----------------------
     // end-to-end byte round-trip: the BMP/WAV headers are BUILT by
@@ -3817,7 +3833,9 @@ object SparkEntry {
 
   /** Segmentation twin: per-word replay reassembled in POSITION order
     * (the list_transform index lambda), vocabulary words normalized to
-    * single-space token joins, OOV words verbatim (empty → "0"). */
+    * single-space token joins, OOV words verbatim (empty → the U+0001
+    * sentinel, outside the input alphabet — never conflated with a
+    * genuine token). */
   private val BPE_SEGMENTS_SQL: String =
     "WITH " + BPE_TRAIN_CTES + s""",
       |dw AS (SELECT doc_id, e.i AS i, e.w AS word
@@ -3826,7 +3844,7 @@ object SparkEntry {
       |        FROM documents)),
       |wt AS (SELECT doc_id, i, word,
       |    CASE WHEN word ~ '^[a-z]+$$' THEN NULL
-      |         WHEN length(word) = 0 THEN '0' ELSE word END AS fixed,
+      |         WHEN length(word) = 0 THEN chr(1) ELSE word END AS fixed,
       |    ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS seq0
       |  FROM dw),
       |applied AS (SELECT doc_id, i,

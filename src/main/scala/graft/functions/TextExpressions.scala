@@ -156,6 +156,60 @@ case class MinHashSigs(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** One pass of a trained BPE merge table over an encoded sequence.
+  *
+  * The ≤64-merge replay unrolls into a fold of Spark `replace` calls —
+  * codegen'd and fast, but ONE nested expression tree, so janino's
+  * 64 KB method limit bounds its depth (past it the whole stage
+  * silently drops to interpreted eval — the q_multimodal_png failure
+  * mode). A production-depth table (1024+ merges) instead runs as a
+  * LOOP over a (pattern, replacement) array held in the kernel: the
+  * generated code is one constant-size call regardless of table depth.
+  * Each step is UTF8String.replace — the identical leftmost
+  * non-overlapping replace-all Spark's `replace` performs — applied in
+  * rank order, so loop ≡ unrolled fold bit-for-bit (BpeSpec pins the
+  * equality). */
+object MergeReplayKernel {
+  def compute(seq: UTF8String, pats: Array[UTF8String],
+              reps: Array[UTF8String]): UTF8String = {
+    var s = seq
+    var i = 0
+    while (i < pats.length) { s = s.replace(pats(i), reps(i)); i += 1 }
+    s
+  }
+}
+
+/** `graft_bpe_replay(seq)`; the merge table is fixed at plan time (it is
+  * the trained artifact, not data). */
+case class MergeReplay(child: Expression, patterns: Array[UTF8String],
+                       replacements: Array[UTF8String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(patterns.length == replacements.length,
+    s"merge table mismatch: ${patterns.length} patterns vs ${replacements.length} replacements")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "graft_bpe_replay"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MergeReplayKernel.compute(input.asInstanceOf[UTF8String], patterns, replacements)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pats = ctx.addReferenceObj("bpePatterns", patterns,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val reps = ctx.addReferenceObj("bpeReplacements", replacements,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MergeReplayKernel$$.MODULE$$.compute($c, $pats, $reps)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Codegen'd distinct word n-gram shingles. */
   def shingles(text: Column, n: Int): Column =
@@ -164,4 +218,11 @@ object TextFunctions {
   /** Codegen'd one-pass MinHash signature array. */
   def minhashSigs(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSigs(Bridge.expression(shingles), numHashes))
+
+  /** Codegen'd depth-independent BPE merge replay: pattern i replaces to
+    * replacement i, in order, each leftmost non-overlapping replace-all. */
+  def mergeReplay(seq: Column, patterns: Seq[String], replacements: Seq[String]): Column =
+    Bridge.column(MergeReplay(Bridge.expression(seq),
+      patterns.map(UTF8String.fromString).toArray,
+      replacements.map(UTF8String.fromString).toArray))
 }

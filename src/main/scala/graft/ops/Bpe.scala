@@ -155,6 +155,117 @@ object Bpe {
     merges
   }
 
+  /** PRODUCTION-DEPTH trainer: the same greedy algorithm past the
+    * unrolled oracle's 64-round bound. The vocabLimit-capped weighted
+    * word vocabulary is the bounded sufficient statistic — ONE corpus
+    * scan builds it, one capped collect brings it to the driver, and
+    * the ≥1024 merge rounds run there with incrementally-maintained
+    * pair counts (the classic Sennrich trainer: only words containing
+    * the winning pair re-count). Identical conventions to [[train]] —
+    * overlap-counted pairs, (count desc, left, right) ties, leftmost
+    * non-overlapping application, early stop on exhaustion — and greedy
+    * BPE is PREFIX-CONSISTENT, so the first k merges of a deep table
+    * ARE the k-round table: the oracle-green 16-round entry is the deep
+    * entry's structural companion, and BpeSpec pins the prefix equality
+    * plus the golden sequence on the deep path.
+    *
+    * 100 TB shape: the corpus cost is ONE scan (the word-count
+    * aggregate); the driver works on ≤ vocabLimit rows — the same
+    * bounded-artifact seam as the k-center exemplars, just a deeper
+    * in-memory loop. Apply-side depth is free: [[docSeq]]'s replay is a
+    * constant-size codegen'd loop over the table. */
+  def trainDeep(docs: DataFrame, nMerges: Int = 1024,
+                vocabLimit: Int = 65536): Seq[Merge] =
+    trainFromCountsDeep(wordCounts(docs), nMerges, vocabLimit)
+
+  /** [[trainDeep]] from a stored word-count frame. */
+  def trainFromCountsDeep(vocab: DataFrame, nMerges: Int = 1024,
+                          vocabLimit: Int = 65536): Seq[Merge] = {
+    require(nMerges >= 1 && nMerges <= 65536,
+      s"Bpe.trainDeep: nMerges=$nMerges out of [1, 65536]")
+    require(vocabLimit >= 1 && vocabLimit <= (1 << 20),
+      s"Bpe.trainDeep: vocabLimit=$vocabLimit out of [1, 2^20]")
+    val rows = vocab
+      .orderBy(col("n").desc, col("word"))
+      .limit(vocabLimit)
+      .collect() // bounded by vocabLimit — the one driver transfer
+    trainDriver(rows.map(r => (r.getString(0), r.getLong(1))), nMerges)
+  }
+
+  /** The driver loop: exact incremental pair bookkeeping. `index` maps a
+    * pair to the word ids that held it when last (re-)encoded — entries
+    * go stale as words merge (append-only sets), so applications
+    * re-check adjacency; `counts` is maintained EXACTLY by +/- deltas,
+    * so selection never sees a stale number. Vocabulary is ^[a-z]+$ by
+    * [[wordCounts]], where JVM string order == UTF8 binary order, so
+    * the tie rule is the distributed trainer's bit-for-bit. */
+  private[ops] def trainDriver(vocab: Array[(String, Long)],
+                               nMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    val words = vocab.map { case (w, n) => (w.map(_.toString).toArray, n) }
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
+    def bump(toks: Array[String], n: Long, id: Int, fresh: Boolean): Unit = {
+      var i = 0
+      while (i < toks.length - 1) {
+        val p = (toks(i), toks(i + 1))
+        counts(p) = counts.getOrElse(p, 0L) + n
+        if (fresh) index.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += id
+        i += 1
+      }
+    }
+    words.zipWithIndex.foreach { case ((t, n), id) => bump(t, n, id, fresh = true) }
+    def applyTo(t: Array[String], a: String, b: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < t.length) {
+        if (i + 1 < t.length && t(i) == a && t(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += t(i); i += 1 }
+      }
+      out.toArray
+    }
+    val merges = mutable.ArrayBuffer.empty[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      var best: (String, String) = null
+      var bestC = 0L
+      counts.foreach { case (p, c) =>
+        if (c > 0 && (best == null || c > bestC || (c == bestC &&
+          (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2))))) {
+          best = p; bestC = c
+        }
+      }
+      if (best == null) exhausted = true
+      else {
+        val (a, b) = best
+        merges += Merge(rank, a, b, bestC)
+        index.getOrElse(best, mutable.ArrayBuffer.empty).distinct.foreach { id =>
+          val (toks, n) = words(id)
+          // stale-entry check: the id may have merged past this pair
+          var holds = false
+          var i = 0
+          while (!holds && i < toks.length - 1) {
+            holds = toks(i) == a && toks(i + 1) == b; i += 1
+          }
+          if (holds) {
+            bump(toks, -n, id, fresh = false)
+            val merged = applyTo(toks, a, b)
+            words(id) = (merged, n)
+            bump(merged, n, id, fresh = true)
+          }
+        }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** [[trainDeep]] as the persistable artifact frame. */
+  def trainDeepMerges(docs: DataFrame, nMerges: Int = 1024,
+                      vocabLimit: Int = 65536): DataFrame =
+    mergesFrame(docs.sparkSession, trainDeep(docs, nMerges, vocabLimit))
+
   /** A merge list as the persistable artifact frame:
     * (rank, left_tok, right_tok, merged, pair_count). */
   def mergesFrame(spark: org.apache.spark.sql.SparkSession,
@@ -175,25 +286,34 @@ object Bpe {
     * (`[a-z]+`) words as spaced char sequences, OOV words embedded
     * VERBATIM as one unmergeable token (they contain a non-[a-z] char
     * and no spaces, so no " A  B " pattern can fire inside them; the
-    * degenerate empty word becomes the placeholder "0"), words
+    * degenerate empty word becomes the U+0001 sentinel), words
     * separated by a 3-space join (so with each element's boundary
     * spaces, 5 spaces stand between words) — and the merge replay runs
     * as `nMerges` GLOBAL replaces over that one string. Equivalent to a
     * per-word replay: merge patterns carry exactly one boundary space
     * each side and restore it, so the 5-space word gap can never
     * match, and global leftmost order restricted to one word IS that
-    * word's leftmost order. The point is codegen: a per-word fold runs
+    * word's leftmost order. The degenerate EMPTY word (consecutive
+    * input spaces) becomes the control char U+0001 — a sentinel
+    * OUTSIDE the input alphabet, so it still prices as one token but
+    * can never be conflated with a genuine document token the way a
+    * printable placeholder would (r13 advice: "0" fabricated tokens
+    * byte-identical to a real OOV "0"). The point is codegen: a per-word fold runs
     * the replace chain inside an interpreted higher-order lambda
     * (measured ~3x slower); here the lambda only encodes, and the 16
     * replaces are codegen'd string ops. Tokens = non-space runs. */
   private def docSeq(text: Column, merges: Seq[Merge]): Column = {
     val encoded = transform(split(text, " "), w =>
       when(w.rlike("^[a-z]+$"), seqEncode(w))
-        .when(length(w) === 0, lit(" 0 "))
+        .when(length(w) === 0, lit(" \u0001 "))
         .otherwise(concat(lit(" "), w, lit(" "))))
-    merges.foldLeft(array_join(encoded, "   ")) { (e, m) =>
-      applyMerge(e, m.left, m.right)
-    }
+    // the replay is a depth-independent codegen'd loop, not an unrolled
+    // replace fold: a fold nests one expression node per merge and
+    // janino's 64 KB method limit silently drops ~64+ merges to
+    // interpreted eval, while a production table carries 1024+
+    graft.functions.TextFunctions.mergeReplay(array_join(encoded, "   "),
+      merges.map(m => s" ${m.left}  ${m.right} "),
+      merges.map(m => s" ${m.left}${m.right} "))
   }
 
   private def docTokens(text: Column, merges: Seq[Merge]): Column =

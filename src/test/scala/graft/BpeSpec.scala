@@ -77,6 +77,20 @@ class BpeSpec extends SparkSpec {
     assert(row.getLong(2) === 11L)
   }
 
+  test("empty words emit the U+0001 sentinel, never a printable fake token") {
+    // consecutive input spaces make an empty word; it must price as one
+    // token but can never be byte-identical to a genuine token (the old
+    // "0" placeholder conflated with a real OOV "0")
+    val merges = Bpe.train(goldenDocs, nMerges = 6)
+    val docs = Seq((0L, "low  0")).toDF("doc_id", "text")
+    val row = Bpe.segments(docs, merges).collect().head
+    assert(row.getString(1) === "low \u0001 0")
+    assert(row.getLong(2) === 3L)
+    val counts = Bpe.tokenCounts(docs, merges).collect().head
+    assert(counts.getLong(1) === 3L) // low + sentinel + the REAL "0"
+    assert(counts.getLong(2) === 3L) // ws split sees the empty word too
+  }
+
   test("vocab cap is deterministic: (count desc, word) prefix survives") {
     val docs = Seq((0L, "bb bb bb aa aa cc")).toDF("doc_id", "text")
     // vocabLimit 2 keeps bb (3) and aa (2); cc never contributes pairs
@@ -130,6 +144,77 @@ class BpeSpec extends SparkSpec {
         Seq((0L, "x")).toDF("doc_id", "text"))
     }
     assert(e.getMessage.contains("word, n") || e.getMessage.contains("(word, n)"))
+  }
+
+  test("deep trainer reproduces the golden sequence and is prefix-consistent with train") {
+    // greedy BPE is prefix-consistent: the first k merges of a deep run
+    // ARE the k-round table — this is what makes the oracle-green
+    // 16-round entry the deep entry's structural companion
+    assert(Bpe.trainDeep(goldenDocs, nMerges = 6) === golden)
+    val deep = Bpe.trainDeep(goldenDocs, nMerges = 1024)
+    assert(deep.take(6) === golden)
+    assert(deep.size > 6, "the deep run must extend past the shallow table")
+    // it must also run TO exhaustion without ever repeating a pair
+    assert(deep.map(m => (m.left, m.right)).distinct.size === deep.size)
+  }
+
+  test("property: deep trainer equals the distributed trainer on random corpora") {
+    // generated corpora (fixed seeds, the raw-ScalaCheck convention):
+    // the driver's incremental pair bookkeeping must match the
+    // distributed per-round aggregate merge-for-merge, counts included
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word: Gen[String] = Gen.choose(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val corpus: Gen[List[String]] = Gen.choose(4, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(2, 6).flatMap(k =>
+        Gen.listOfN(k, word).map(_.mkString(" ")))))
+    (1L to 6L).foreach { seed =>
+      val texts = corpus.pureApply(Gen.Parameters.default, Seed(seed))
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val shallow = Bpe.train(docs, nMerges = 8)
+      val deep = Bpe.trainDeep(docs, nMerges = 8)
+      assert(deep === shallow, s"seed $seed diverged:\n  deep    $deep\n  shallow $shallow")
+    }
+  }
+
+  test("deep apply: the codegen'd loop replay equals a driver replay past 64 merges") {
+    // a merge table deeper than the old unrolled fold could carry must
+    // still price exactly: compare tokenCounts against an independent
+    // in-JVM replay of the same merges in rank order
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcdefgh"
+    val trainTexts = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(Seq.fill(2 + rnd.nextInt(5))(
+        alphabet(rnd.nextInt(alphabet.size))).mkString).mkString(" ")))
+    val trainDocs = trainTexts.toDF("doc_id", "text")
+    val merges = Bpe.trainDeep(trainDocs, nMerges = 512)
+    assert(merges.size > 64, s"need a past-janino-depth table, got ${merges.size}")
+    def replayWord(w: String): Int =
+      if (!w.forall(c => c >= 'a' && c <= 'z') || w.isEmpty) 1
+      else {
+        var toks = w.map(_.toString).toList
+        merges.foreach { m =>
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var rest = toks
+          while (rest.nonEmpty) rest match {
+            case a :: b :: tl if a == m.left && b == m.right =>
+              out += (a + b); rest = tl
+            case h :: tl => out += h; rest = tl
+            case Nil =>
+          }
+          toks = out.toList
+        }
+        toks.size
+      }
+    val applyDocs = trainTexts.take(10).toDF("doc_id", "text")
+    val got = Bpe.tokenCounts(applyDocs, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    trainTexts.take(10).foreach { case (id, text) =>
+      val want = text.split(" ", -1).map(replayWord).sum.toLong
+      assert(got(id) === want, s"doc $id")
+    }
   }
 
   test("tokenBudget twin prices the same kept set as the whitespace budget") {
