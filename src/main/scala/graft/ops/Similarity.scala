@@ -1012,4 +1012,64 @@ object Similarity {
         max("mad_q").as("mad_q"),
         sum(when(col("dev") > lit(k) * col("mad_q"), 1L).otherwise(0L)).as("n_out"))
   }
+
+  /** IVF serving over K-CENTER cells: the same assign/probe/rank
+    * machinery as [[topKIvf]], with the cell centers drawn by the
+    * deterministic farthest-first exemplar picker instead of
+    * hash-seeded Lloyd. Every step — greedy selection, nearest-center
+    * assignment (cosine desc, center-id ties), nprobe probing,
+    * candidate ranking — is engine-portable relational arithmetic, so
+    * unlike the Lloyd path (whose xxhash64 seed draw has no SQL twin)
+    * this serving path has a FULL DuckDB replay: the recall audit over
+    * it is oracle-green on the REAL corpus, not a planted fixture.
+    * Same 100 TB shape as topKIvf: bounded broadcast center set, one
+    * corpus assign pass, equi-join candidate generation. */
+  def topKIvfKCenter(embeddings: DataFrame, k: Int = 5, numQueries: Int = 10,
+                     numCenters: Int = 8, nprobe: Int = 3): DataFrame = {
+    val centers = kCenterSelect(embeddings, numCenters)
+      .select(col("vec_id").as("centroid_id"))
+      .join(embeddings.select(col("vec_id").as("centroid_id"),
+        toDouble(col("embedding")).as("cv")), "centroid_id")
+    val cb = broadcast(centers)
+    val cells = assignCells(embeddings, cb, probe = 1)
+    val queryCells = assignCells(
+      embeddings.filter(col("vec_id") < numQueries), cb, probe = nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+    val scored = queryCells
+      .join(cells.select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+        col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Exact recall@k of an ANN serving result against brute-force truth
+    * — the MEASURED-quality generalization of the planted certificates:
+    * `_planted` fixtures prove recall 1.0 structurally on constructed
+    * data; this reports it on the real corpus, the number a production
+    * serving stack actually monitors. `served` is any (query_id,
+    * neighbor_id, …) frame ([[topKIvf]] / [[topKPqRerank]] /
+    * [[topKIvfPq]] / [[topKIvfKCenter]] output); truth is [[topKBrute]]
+    * over the same bounded query sample. Per query: n_true (k, fewer
+    * only on a sub-k corpus), n_hits = |served ∩ truth| by exact set
+    * intersection, recall = n_hits/n_true — one correctly-rounded
+    * division of small exact longs, engine-portable. Cost: the brute
+    * pass over the bounded query sample (the audit's price); every join
+    * after it runs on k×numQueries rows. Full-probe serving must score
+    * exactly 1.0 — spec-pinned. */
+  def recallAudit(embeddings: DataFrame, served: DataFrame, k: Int = 5,
+                  numQueries: Int = 10): DataFrame = {
+    val truth = topKBrute(embeddings, k, numQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = served.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    truth.join(hit, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_true"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_true")).as("recall"))
+  }
 }
