@@ -185,7 +185,20 @@ object Bpe {
       s"Bpe.trainDeep: nMerges=$nMerges out of [1, 65536]")
     require(vocabLimit >= 1 && vocabLimit <= (1 << 20),
       s"Bpe.trainDeep: vocabLimit=$vocabLimit out of [1, 2^20]")
+    // accept the same stored artifacts vocabIncrement does: validate the
+    // (word, integral n) shape loudly, then widen n to long BEFORE the
+    // collect so an int/short/byte-counted frame doesn't ClassCastException
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    require(vocab.schema("word").dataType == StringType,
+      s"Bpe.trainDeep: vocab.word is ${vocab.schema("word").dataType}, need string")
+    val nOk = vocab.schema("n").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(nOk,
+      s"Bpe.trainDeep: vocab.n is ${vocab.schema("n").dataType}, need an integral count")
     val rows = vocab
+      .select(col("word"), col("n").cast("long").as("n"))
       .orderBy(col("n").desc, col("word"))
       .limit(vocabLimit)
       .collect() // bounded by vocabLimit — the one driver transfer

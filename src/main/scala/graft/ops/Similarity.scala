@@ -789,49 +789,108 @@ object Similarity {
 
   /** Exact integer Gram sketch of the milli-quantized corpus — the ONE
     * corpus scan the whole spectral family runs on. Per row each element
-    * quantizes to q_j = ⌊1000·x_j⌋ (exact long); the scan emits every
-    * pair (i ≤ j, q_i·q_j) plus one (-1,-1,size) sentinel and map-side
-    * combines them into the d(d+1)/2 ≤ 33k exact integer second moments
-    * G_ij = Σ_rows q_i·q_j — a bounded collect (d ≤ 256 enforced; the
-    * slice caps the quadratic explode BEFORE the bound check so a
-    * hostile width can't blow up the scan that would reject it). The
-    * sentinel group carries n and min/max row width, so a RAGGED corpus
-    * fails loudly here instead of silently null-padding loadings.
-    * Integer pair sums are order-free, so G is partitioning-invariant
-    * and bit-identical to any engine's replay of the same quantization.
+    * quantizes to q_j = ⌊1000·x_j⌋ (exact long, codegen'd SQL transform);
+    * a typed [[GramAgg]] aggregator then multiply-adds the row's upper
+    * triangle q_i·q_j into ONE fixed-width primitive long array per
+    * partition (d(d+1)/2 ≤ 33k entries at the 257 slice cap — the cap is
+    * applied BEFORE the bound check so a hostile width can't blow up the
+    * scan that would reject it), merged element-wise up the aggregate
+    * tree and collected as a single bounded row. The buffer also carries
+    * n and min/max row width, so a RAGGED corpus fails loudly here
+    * instead of silently null-padding loadings. Integer sums are
+    * order-free, so G is partitioning-invariant and bit-identical to any
+    * engine's replay of the same quantization — the DuckDB oracle
+    * replays the Gram RELATION, not this encoding, so the r14 struct
+    * explode (d(d+1)/2+1 structs per row into a hash aggregate, ~2081×
+    * row expansion at d=64) was replaced by this zero-expansion
+    * accumulator with no oracle change.
     * Overflow: |q_i·q_j| ≤ 1e6·max|x|² per row, so the long sums hold
     * to n·max|x|² ≲ 9e12 — beyond that, lower the quantization scale. */
   private[ops] final case class GramSketch(d: Int, n: Long, g: Array[Array[Long]])
 
-  private[ops] def gramSketch(embeddings: DataFrame, who: String): GramSketch = {
-    val q = transform(slice(col("embedding"), 1, 257),
-      e => floor(e.cast("double") * lit(1000.0)).cast("long"))
-    val rows = embeddings
-      .select(q.as("q"), size(col("embedding")).cast("long").as("sz"))
-      .select(explode(concat(
-        flatten(transform(sequence(lit(0), size(col("q")) - 1), i =>
-          transform(sequence(i, size(col("q")) - 1), j =>
-            struct(i.as("i"), j.as("j"),
-              (element_at(col("q"), i + 1) * element_at(col("q"), j + 1)).as("v"))))),
-        array(struct(lit(-1).as("i"), lit(-1).as("j"), col("sz").as("v"))))).as("p"))
-      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-      .agg(sum(col("p.v")).as("s"), count(lit(1)).as("n"),
-        min(col("p.v")).as("mn"), max(col("p.v")).as("mx"))
-      .collect() // ≤ d(d+1)/2 + 1 rows — bounded like the centroid collects
-    val sentinel = rows.find(_.getInt(0) == -1)
-    require(sentinel.nonEmpty, s"$who: empty corpus")
-    val (n, szMin, szMax) = (sentinel.get.getLong(3), sentinel.get.getLong(4),
-      sentinel.get.getLong(5))
-    require(szMin == szMax,
-      s"$who: ragged embedding dimensions [$szMin, $szMax] — mixed-width corpora have no single axis")
-    require(szMax >= 1L && szMax <= 256L, s"$who: d=$szMax out of [1, 256]")
-    val d = szMax.toInt
-    val g = Array.ofDim[Long](d, d)
-    rows.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      if (i >= 0) { g(i)(j) = r.getLong(2); g(j)(i) = r.getLong(2) }
+  /** Slice cap on embedding width (> the 256 bound so finish() still
+    * sees an out-of-bound width and rejects it loudly). */
+  private final val GramCap = 257
+  private final val GramTri = GramCap * (GramCap + 1) / 2
+
+  /** Mutable aggregation buffer: row count, min/max row width (the
+    * ragged-corpus sentinel), and the flat upper-triangle sums indexed
+    * at the FIXED cap width — fixed so two buffers always merge
+    * element-wise even when the corpus is ragged (raggedness is
+    * detected at finish, never mis-indexed mid-scan). */
+  private[ops] final case class GramBuf(
+      var n: Long, var szMin: Long, var szMax: Long, g: Array[Long])
+
+  /** The Gram accumulator: per row a d(d+1)/2 multiply-add loop on one
+    * primitive array (no row expansion, no hash-aggregate probes), the
+    * Misra-Gries/[[HeavyHitters]] typed-Aggregator pattern applied to a
+    * fixed-width numeric buffer. Buffers are mutated in place (the
+    * object-hash aggregate keeps one live buffer per partition) and
+    * merged element-wise; an empty or short row contributes nothing to
+    * `g` but still moves the width sentinel, so zero-length embeddings
+    * surface as the intended ragged/width error, not a mid-scan throw. */
+  private[ops] final class GramAgg
+      extends org.apache.spark.sql.expressions.Aggregator[(Array[Long], Long), GramBuf, GramBuf] {
+    override def zero: GramBuf =
+      GramBuf(0L, Long.MaxValue, Long.MinValue, new Array[Long](GramTri))
+    override def reduce(b: GramBuf, row: (Array[Long], Long)): GramBuf = {
+      val (q, sz) = row
+      b.n += 1L
+      if (sz < b.szMin) b.szMin = sz
+      if (sz > b.szMax) b.szMax = sz
+      val w = q.length // ≤ GramCap by the slice
+      var i = 0
+      while (i < w) {
+        val qi = q(i)
+        val base = i * GramCap - i * (i - 1) / 2 - i
+        var j = i
+        while (j < w) { b.g(base + j) += qi * q(j); j += 1 }
+        i += 1
+      }
+      b
     }
-    GramSketch(d, n, g)
+    override def merge(a: GramBuf, b: GramBuf): GramBuf = {
+      a.n += b.n
+      if (b.szMin < a.szMin) a.szMin = b.szMin
+      if (b.szMax > a.szMax) a.szMax = b.szMax
+      var t = 0
+      while (t < GramTri) { a.g(t) += b.g(t); t += 1 }
+      a
+    }
+    override def finish(b: GramBuf): GramBuf = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[GramBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[GramBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  private[ops] def gramSketch(embeddings: DataFrame, who: String): GramSketch = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = transform(slice(col("embedding"), 1, GramCap),
+      e => floor(e.cast("double") * lit(1000.0)).cast("long"))
+    val buf = embeddings
+      // null embeddings carry no axis information — skipped, exactly as
+      // the r14 explode dropped them (explode of a null pair array)
+      .filter(col("embedding").isNotNull)
+      .select(q.as("q"), size(col("embedding")).cast("long").as("sz"))
+      .as[(Array[Long], Long)]
+      .select(new GramAgg().toColumn)
+      .head() // ONE bounded row: the ≤33k-long triangle + width stats
+    require(buf.n > 0L, s"$who: empty corpus")
+    require(buf.szMin == buf.szMax,
+      s"$who: ragged embedding dimensions [${buf.szMin}, ${buf.szMax}] — mixed-width corpora have no single axis")
+    require(buf.szMax >= 1L && buf.szMax <= 256L, s"$who: d=${buf.szMax} out of [1, 256]")
+    val d = buf.szMax.toInt
+    val g = Array.ofDim[Long](d, d)
+    var i = 0
+    while (i < d) {
+      val base = i * GramCap - i * (i - 1) / 2 - i
+      var j = i
+      while (j < d) { g(i)(j) = buf.g(base + j); g(j)(i) = g(i)(j); j += 1 }
+      i += 1
+    }
+    GramSketch(d, buf.n, g)
   }
 
   /** floor-to-BigInt of an integral double (floor makes it integral;
@@ -1064,7 +1123,11 @@ object Similarity {
                   numQueries: Int = 10): DataFrame = {
     val truth = topKBrute(embeddings, k, numQueries)
       .select(col("query_id"), col("neighbor_id"))
-    val hit = served.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    // dedupe served on the pair key BEFORE the join: a served frame with
+    // duplicate (query_id, neighbor_id) rows would otherwise fan out the
+    // left join and inflate n_true past the truth cardinality
+    val hit = served.select(col("query_id"), col("neighbor_id"))
+      .distinct().withColumn("hit", lit(1L))
     truth.join(hit, Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_true"),
