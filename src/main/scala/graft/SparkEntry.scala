@@ -1048,6 +1048,27 @@ object SparkEntry {
     "q_diverse_kcenter_assign" -> ((s, dir) =>
       Similarity.kCenterAssign(Tables.embeddings(s, dir), k = 8).orderBy("rank")),
 
+    // the k-center IVF serving path end-to-end: farthest-first centers,
+    // probe-1 corpus cells, nprobe-3 query fan-out, per-cell candidate
+    // ranking — every step is engine-portable relational arithmetic, so
+    // unlike the Lloyd-trained IVF this ANN serving result hash-matches
+    // a FULL DuckDB replay on the real corpus (no planted certificate)
+    "sim_topk_kcenter" -> ((s, dir) =>
+      Similarity.topKIvfKCenter(Tables.embeddings(s, dir))
+        .orderBy("query_id", "rank")),
+
+    // the serving-quality monitor a production ANN stack actually
+    // tracks: exact recall@5 of the k-center IVF path against
+    // brute-force truth on the bounded query sample — n_true/n_hits by
+    // exact set intersection, recall one exact small-int division;
+    // the oracle replays BOTH sides (brute truth and the k-center
+    // serving path) and the spec pins full-probe recall ≡ 1.0
+    "sim_recall_audit" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.recallAudit(emb, Similarity.topKIvfKCenter(emb))
+        .orderBy("query_id")
+    }),
+
     // top principal direction by portable power iteration — the
     // spectral axis for drift/whitening/outlier projection; every
     // loading hash-matches the oracle's unrolled iterations
@@ -2901,6 +2922,8 @@ object SparkEntry {
 
     "q_diverse_kcenter" -> KCENTER_SQL,
     "q_diverse_kcenter_assign" -> KCENTER_ASSIGN_SQL,
+    "sim_topk_kcenter" -> KCENTER_TOPK_SQL,
+    "sim_recall_audit" -> RECALL_AUDIT_SQL,
 
     // centroid = mean of floor(e*1e6) integers (exact long sum, pure
     // double mean) — no decimal-cast rounding conventions in play;
@@ -4003,6 +4026,55 @@ object SparkEntry {
 
   private val KCENTER_SQL: String =
     KCENTER_CTES + "\nSELECT rank, vec_id, nearest_cos FROM sel ORDER BY rank"
+
+  /** The k-center IVF SERVING replay (DuckDB side of sim_topk_kcenter):
+    * the selected exemplars become cells, the corpus assigns probe-1,
+    * queries probe their 3 nearest cells, candidates rank per query —
+    * the same (cosine desc, id) tie rules as assignCells/topKIvfKCenter,
+    * every cosine the shared sequential-sum kernel. */
+  private val KCENTER_SERVE_CTES: String =
+    KCENTER_CTES + """,
+      |kcenters AS (SELECT vec_id AS centroid_id, v AS cv FROM sel),
+      |kcells AS (SELECT vec_id, v, centroid_id AS cell FROM (
+      |  SELECT e.vec_id, e.v, c.centroid_id,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS crank
+      |  FROM corpus e CROSS JOIN kcenters c) WHERE crank = 1),
+      |kqcells AS (SELECT vec_id AS query_id, v AS qv, centroid_id AS cell FROM (
+      |  SELECT e.vec_id, e.v, c.centroid_id,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS crank
+      |  FROM corpus e CROSS JOIN kcenters c WHERE e.vec_id < 10) WHERE crank <= 3),
+      |kserved AS (SELECT query_id, rank, neighbor_id, cosine FROM (
+      |  SELECT q.query_id, n.vec_id AS neighbor_id,
+      |    list_cosine_similarity(q.qv, n.v) AS cosine,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY list_cosine_similarity(q.qv, n.v) DESC, n.vec_id) AS rank
+      |  FROM kqcells q JOIN kcells n USING (cell)
+      |  WHERE q.query_id <> n.vec_id) WHERE rank <= 5)""".stripMargin
+
+  private val KCENTER_TOPK_SQL: String = KCENTER_SERVE_CTES + """
+    |SELECT query_id, rank, neighbor_id, cosine FROM kserved
+    |ORDER BY query_id, rank""".stripMargin
+
+  /** Recall@5 of the k-center serving path vs brute-force truth — both
+    * sides replayed, intersection by exact pair join, recall one
+    * correctly-rounded division of small exact longs. */
+  private val RECALL_AUDIT_SQL: String = KCENTER_SERVE_CTES + """,
+    |ktruth AS (SELECT query_id, neighbor_id FROM (
+    |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    |    row_number() OVER (PARTITION BY a.vec_id
+    |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id) AS rank
+    |  FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
+    |  WHERE a.vec_id < 10) WHERE rank <= 5),
+    |kservedp AS (SELECT DISTINCT query_id AS sq, neighbor_id AS sn FROM kserved)
+    |SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_true,
+    |  CAST(sum(CASE WHEN s.sn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+    |  CAST(sum(CASE WHEN s.sn IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    |    / count(*) AS recall
+    |FROM ktruth t LEFT JOIN kservedp s
+    |  ON t.query_id = s.sq AND t.neighbor_id = s.sn
+    |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
 
   /** The assignment twin: every vector to its most-similar exemplar
     * ((cos desc, center_id) tie), per-exemplar census with the

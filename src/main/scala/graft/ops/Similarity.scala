@@ -1079,8 +1079,9 @@ object Similarity {
     * assignment (cosine desc, center-id ties), nprobe probing,
     * candidate ranking — is engine-portable relational arithmetic, so
     * unlike the Lloyd path (whose xxhash64 seed draw has no SQL twin)
-    * this serving path has a FULL DuckDB replay: the recall audit over
-    * it is oracle-green on the REAL corpus, not a planted fixture.
+    * this serving path has a FULL DuckDB replay: sim_topk_kcenter
+    * hash-matches it end-to-end and sim_recall_audit's recall over it is
+    * oracle-green on the REAL corpus, not a planted fixture.
     * Same 100 TB shape as topKIvf: bounded broadcast center set, one
     * corpus assign pass, equi-join candidate generation. */
   def topKIvfKCenter(embeddings: DataFrame, k: Int = 5, numQueries: Int = 10,
@@ -1118,7 +1119,8 @@ object Similarity {
     * division of small exact longs, engine-portable. Cost: the brute
     * pass over the bounded query sample (the audit's price); every join
     * after it runs on k×numQueries rows. Full-probe serving must score
-    * exactly 1.0 — spec-pinned. */
+    * exactly 1.0 — spec-pinned (LlmOpsSpec "recall audit"), and the
+    * real-corpus number is the oracle-checked sim_recall_audit entry. */
   def recallAudit(embeddings: DataFrame, served: DataFrame, k: Int = 5,
                   numQueries: Int = 10): DataFrame = {
     val truth = topKBrute(embeddings, k, numQueries)

@@ -440,6 +440,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(Similarity.kCenterSelect(emb, k = 10).count() === 4)
   }
 
+  test("recall audit: full-probe k-center serving scores exactly 1.0; dup served rows don't inflate") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // full probe (nprobe = numCenters) degenerates to brute force — every
+    // neighbor's cell is probed, so recall MUST be exactly 1.0 per query,
+    // not approximately: n_hits == n_true as exact longs
+    val full = Similarity.recallAudit(emb,
+      Similarity.topKIvfKCenter(emb, nprobe = 8, numCenters = 8))
+      .orderBy("query_id").collect()
+    assert(full.length === 10)
+    assert(full.forall(r => r.getLong(1) === 5L && r.getLong(2) === 5L
+      && r.getDouble(3) === 1.0),
+      s"full-probe recall != 1.0: ${full.mkString(",")}")
+    // the audit contract accepts ANY (query_id, neighbor_id, ...) frame:
+    // duplicated served rows must not fan out the truth join — n_true
+    // stays at the truth cardinality and recall is unchanged
+    val served = Similarity.topKIvfKCenter(emb)
+    val once = Similarity.recallAudit(emb, served)
+      .orderBy("query_id").collect().map(_.toSeq)
+    val duped = Similarity.recallAudit(emb, served.unionAll(served))
+      .orderBy("query_id").collect().map(_.toSeq)
+    assert(once.map(_(1)).forall(_ == 5L), "n_true must be the truth cardinality")
+    assert(duped === once)
+    // restricted probing can only lose neighbors, never invent them
+    assert(once.forall(r => r(2).asInstanceOf[Long] <= r(1).asInstanceOf[Long]))
+  }
+
   test("index increment: appended rows are bit-equal to full-rebuild assignment on the union") {
     // the rolling-ingest contract: assignment against FIXED stored models
     // is per-row, so incrementing the index with a batch must produce
