@@ -1324,6 +1324,15 @@ object SparkEntry {
     "q_multimodal_png" -> ((s, dir) =>
       Multimodal.pngStats(Multimodal.pngFrame(Tables.documents(s, dir)))
         .orderBy("doc_id")),
+
+    // ISO-BMFF (MP4) box walk: size/type-framed payload BUILT by
+    // expression (ftyp + moov[mvhd + traks] + mdat split), PARSED back
+    // by the native walk — movie timescale/duration out of mvhd, trak
+    // census from moov's tiled children, mdat byte totals re-derived
+    // from the per-row box geometry
+    "q_multimodal_mp4" -> ((s, dir) =>
+      Multimodal.mp4Stats(Multimodal.mp4Frame(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
   )
 
   // ---- DuckDB oracle -----------------------------------------------------
@@ -3555,6 +3564,25 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 <> 1
         |       THEN CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) END AS idat_bytes_total,
         |  CASE WHEN doc_id % 3 <> 1 THEN CAST(0 AS INT) END AS crc_bad
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // the BMFF fields recomputed analytically from the generator's
+    // parameterization: mvhd timescale/duration and the trak/mdat
+    // census are doc_id-derived, mdat bytes are exactly the text body,
+    // n_boxes = ftyp + moov + n_mdat top-level + mvhd + n_trak children
+    "q_multimodal_mp4" ->
+      """SELECT doc_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |  CASE WHEN doc_id % 3 = 1 THEN 'flac' ELSE 'mp4' END AS container,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 48000 + 1000 AS INT) END AS timescale,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 100000 + 100 AS BIGINT) END AS duration,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 3 + 1 AS INT) END AS n_trak,
+        |  CASE WHEN doc_id % 3 <> 1
+        |       THEN CAST(3 + doc_id % 5 % 4 + 1 + doc_id % 3 + 1 AS INT) END AS n_boxes,
+        |  CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 5 % 4 + 1 AS INT) END AS n_mdat,
+        |  CASE WHEN doc_id % 3 <> 1
+        |       THEN CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) END AS mdat_bytes_total
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 

@@ -249,6 +249,102 @@ object DspKernel {
     new GenericArrayData(Array(width, height, bitDepth, colorType, interlace,
       nChunks, nIdat, idatTotal, crcBad))
   }
+
+  /** Adversarial-input bound on the ISO-BMFF walk: a stream can't make
+    * the walk visit more boxes than this before being declared
+    * malformed. Real files sit orders of magnitude below it (a box
+    * costs ≥ 8 bytes, so 4096 boxes already needs a 32 KB stream built
+    * almost entirely of empty boxes). */
+  private val Mp4MaxBoxes = 4096L
+
+  /** Full ISO-BMFF (MP4) box walk per ISO/IEC 14496-12 §4.2: every box
+    * is size(4 BE)/type(4CC) framed, size==1 switching to a 64-bit
+    * largesize and size==0 meaning to-end-of-file (top level, last box
+    * only). The walk requires `ftyp` first (§4.3), descends ONE
+    * container level — `moov`'s children, which must tile its payload
+    * exactly — parses `mvhd` (version 0 or 1 field layouts) for
+    * timescale/duration, counts `trak` children, and totals `mdat`
+    * payload bytes across the top level. Returns
+    * [timescale, duration, n_trak, n_boxes, n_mdat, mdat_bytes_total]
+    * (n_boxes = top-level boxes + moov children), or null for a
+    * non-BMFF payload or any malformed stream: truncated header, size
+    * < 8 (or largesize < 16), a box past the buffer, a child that
+    * doesn't tile moov, a second moov or mvhd, a missing/short/
+    * unknown-version mvhd, or a walk past [[Mp4MaxBoxes]] — never a
+    * read at a garbage offset. */
+  def mp4BoxStats(p: Array[Byte]): GenericArrayData = {
+    val n = p.length
+    def u32(o: Int): Long = ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+      ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def is(o: Int, t: String): Boolean =
+      (p(o) & 0xff) == t.charAt(0).toInt && (p(o + 1) & 0xff) == t.charAt(1).toInt &&
+        (p(o + 2) & 0xff) == t.charAt(2).toInt && (p(o + 3) & 0xff) == t.charAt(3).toInt
+    if (n < 16 || !is(4, "ftyp")) return null
+    var pos = 0
+    var boxes = 0L
+    var nMdat = 0L; var mdatTotal = 0L; var nTrak = 0L
+    var timescale = 0L; var duration = 0L
+    var sawMoov = false
+    while (pos < n) {
+      boxes += 1
+      if (boxes > Mp4MaxBoxes) return null
+      if (pos + 8 > n) return null
+      var size = u32(pos)
+      var hdr = 8
+      if (size == 1L) {
+        if (pos + 16 > n) return null
+        size = u64(pos + 8); hdr = 16
+        if (size < 16L) return null // also rejects the sign-wrapped huge
+      } else if (size == 0L) {
+        size = (n - pos).toLong // §4.2: extends to end of file
+        if (size < 8L) return null
+      } else if (size < 8L) return null
+      if (size > (n - pos).toLong) return null
+      if (is(pos + 4, "mdat")) { nMdat += 1; mdatTotal += size - hdr }
+      else if (is(pos + 4, "moov")) {
+        if (sawMoov) return null
+        sawMoov = true
+        var c = pos + hdr
+        val end = pos + size.toInt
+        var sawMvhd = false
+        while (c < end) {
+          boxes += 1
+          if (boxes > Mp4MaxBoxes) return null
+          if (c + 8 > end) return null
+          var cs = u32(c)
+          var chdr = 8
+          if (cs == 1L) {
+            if (c + 16 > end) return null
+            cs = u64(c + 8); chdr = 16
+            if (cs < 16L) return null
+          } else if (cs < 8L) return null // size-0 is top-level-only
+          if (cs > (end - c).toLong) return null
+          if (is(c + 4, "mvhd")) {
+            if (sawMvhd) return null
+            sawMvhd = true
+            if (cs < chdr + 4) return null
+            val ver = p(c + chdr) & 0xff
+            if (ver == 0) { // vf(4) cre(4) mod(4) ts(4) dur(4)
+              if (cs < chdr + 20) return null
+              timescale = u32(c + chdr + 12)
+              duration = u32(c + chdr + 16)
+            } else if (ver == 1) { // vf(4) cre(8) mod(8) ts(4) dur(8)
+              if (cs < chdr + 32) return null
+              timescale = u32(c + chdr + 20)
+              duration = u64(c + chdr + 24)
+            } else return null
+          } else if (is(c + 4, "trak")) nTrak += 1
+          c += cs.toInt
+        }
+        if (c != end) return null // children must tile moov exactly
+        if (!sawMvhd) return null
+      }
+      pos += size.toInt
+    }
+    if (!sawMoov) return null
+    new GenericArrayData(Array(timescale, duration, nTrak, boxes, nMdat, mdatTotal))
+  }
 }
 
 /** `graft_pcm_stats(payload, offset)`: [rms, zcr] of the 16-bit PCM body
@@ -370,6 +466,32 @@ case class JpegScanStats(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_mp4_box_stats(payload)`:
+  * [timescale, duration, n_trak, n_boxes, n_mdat, mdat_bytes_total]
+  * from the full ISO-BMFF box walk (see [[DspKernel.mp4BoxStats]]);
+  * null for non-BMFF or malformed streams. */
+case class Mp4BoxStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_mp4_box_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DspKernel.mp4BoxStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.mp4BoxStats($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_png_chunk_stats(payload)`: IHDR fields + chunk census + CRC
   * mismatch count from the full PNG chunk walk (null for non-PNG or
   * malformed streams). */
@@ -418,4 +540,8 @@ object MediaFunctions {
   /** Codegen'd full-stream JPEG table/scan statistics. */
   def jpegScanStats(payload: Column): Column =
     Bridge.column(JpegScanStats(Bridge.expression(payload)))
+
+  /** Codegen'd ISO-BMFF (MP4) box-walk census. */
+  def mp4BoxStats(payload: Column): Column =
+    Bridge.column(Mp4BoxStats(Bridge.expression(payload)))
 }

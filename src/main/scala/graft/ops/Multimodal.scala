@@ -556,6 +556,112 @@ object Multimodal {
           col("text"))).as("payload"))
   }
 
+  /** One ISO-BMFF box by expression: size(4 BE, includes the 8-byte
+    * header) + type + payload — the §4.2 compact form the builder emits
+    * (largesize/size-0 are read-side concerns the walker handles). */
+  private def mp4Box(typeHex: String, payload: Column): Column =
+    concat(unhex(beHex32(length(payload) + 8)), unhex(lit(typeHex)), payload)
+
+  /** The 36-byte identity transform matrix every *hdr box carries
+    * (16.16 / 2.30 fixed point: 0x00010000, ..., 0x40000000). */
+  private val Mp4UnityMatrix: String =
+    "000100000000000000000000" + "000000000001000000000000" + "000000000000000040000000"
+
+  /** A structurally valid ISO-BMFF (MP4) file per ISO/IEC 14496-12:
+    * `ftyp` (isom, minor 0x200, compatible isom/mp41), `moov` holding a
+    * version-0 `mvhd` (movie `timescale`/`duration`, next_track_ID =
+    * nTrak+1) and `nTrak` (≤3) `trak` boxes (each a version-0 `tkhd`
+    * with flags 7, track_ID i+1, the movie duration), then `nMdat` (≤4)
+    * `mdat` boxes splitting `text` near-evenly (chunk i gets ⌊L/n⌋
+    * bytes plus one while i < L mod n — the IDAT/scan split). Box
+    * geometry is per-row data, so the reader must walk size/type frames
+    * and tile moov's children, not index a constant layout.
+    * Out-of-range arguments RAISE (the pngPayload convention), riding
+    * the mvhd version slot — ONE guard site, raw columns elsewhere
+    * (the duplicated-guard-tree janino lesson). */
+  def mp4Payload(timescale: Column, duration: Column, nTrak: Column,
+                 nMdat: Column, text: Column): Column = {
+    val argsOk = nTrak >= 1 && nTrak <= 3 && nMdat >= 1 && nMdat <= 4 &&
+      timescale >= 1 && timescale <= 0xFFFFFFFFL &&
+      duration >= 0 && duration <= 0xFFFFFFFFL
+    val mvhdVersionFlags = when(argsOk, lit("00000000")).otherwise(
+      raise_error(concat(lit("mp4Payload: invalid timescale/duration/nTrak/nMdat: "),
+        timescale.cast("string"), lit("/"), duration.cast("string"), lit("/"),
+        nTrak.cast("string"), lit("/"), nMdat.cast("string"))))
+    val ftyp = unhex(lit("0000001866747970" + "69736F6D" + "00000200" +
+      "69736F6D" + "6D703431")) // 24-byte constant box
+    val mvhd = mp4Box("6D766864", unhex(concat(
+      mvhdVersionFlags, lit("00000000" + "00000000"), // creation, modification
+      beHex32(timescale), beHex32(duration),
+      lit("00010000" + "0100" + "0000" + "0000000000000000"), // rate, volume, reserved
+      lit(Mp4UnityMatrix), lit("00" * 24), // matrix, pre_defined
+      beHex32(nTrak + 1)))) // next_track_ID
+    val traks = (0 until 3).map { i =>
+      when(lit(i) < nTrak,
+        mp4Box("7472616B", mp4Box("746B6864", unhex(concat(
+          lit("00000007" + "00000000" + "00000000"), // v0 flags 7, creation, modification
+          beHex32(lit(i + 1)), lit("00000000"), beHex32(duration), // track_ID, reserved, duration
+          lit("00" * 16), lit(Mp4UnityMatrix), // reserved/layer/group/volume, matrix
+          lit("00000000" + "00000000")))))) // width, height (16.16)
+        .otherwise(lit(Array.empty[Byte]))
+    }
+    val moov = mp4Box("6D6F6F76", concat(mvhd +: traks: _*))
+    val bodyLen = length(text).cast("long")
+    val base = floor(bodyLen / nMdat).cast("long")
+    val rem = pmod(bodyLen, nMdat.cast("long"))
+    // body slices via STRING substr + cast (the jpegScanPayload/PNG
+    // convention: binary substr drops the subtree out of codegen)
+    val mdats = (0 until 4).map { i =>
+      val start = lit(i.toLong) * base + least(lit(i.toLong), rem) + lit(1L)
+      val len = base + when(lit(i.toLong) < rem, 1L).otherwise(0L)
+      when(lit(i) < nMdat,
+        mp4Box("6D646174",
+          text.substr(start.cast("int"), len.cast("int")).cast("binary")))
+        .otherwise(lit(Array.empty[Byte]))
+    }
+    concat(Seq(ftyp, moov) ++ mdats: _*)
+  }
+
+  /** documents → MP4/FLAC frame: image/video rows carry ISO-BMFF whose
+    * movie timescale/duration, track count, and mdat split vary per row
+    * (doc_id-derived); audio rows carry FLAC as in [[codecFrame]]. */
+  def mp4Frame(docs: DataFrame): DataFrame = {
+    val data = col("text").cast("binary")
+    val timescale = (col("doc_id") % 48000 + 1000).cast("int")
+    val duration = (col("doc_id") % 100000 + 100).cast("int")
+    val nTrak = (col("doc_id") % 3 + 1).cast("int")
+    val nMdat = (col("doc_id") % 5 % 4 + 1).cast("int")
+    val sampleRate = ((col("doc_id") % 8) * 4000 + 8000).cast("int")
+    val channels = (col("doc_id") % 2 + 1).cast("int")
+    val mediaType = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    docs.select(
+      col("doc_id"), mediaType.as("media_type"),
+      when(mediaType === "audio", flacPayload(sampleRate, channels, data))
+        .otherwise(mp4Payload(timescale, duration, nTrak, nMdat,
+          col("text"))).as("payload"))
+  }
+
+  /** media → movie-header fields + box census + mdat byte totals from
+    * the full ISO-BMFF walk — every value re-derived from the BYTES by
+    * the native expression (non-BMFF payloads yield nulls, container is
+    * read from the ftyp/fLaC magic). */
+  def mp4Stats(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val container = when(hex(substring(p, 5, 4)) === lit("66747970"), "mp4")
+      .when(hex(substring(p, 1, 4)) === lit("664C6143"), "flac")
+      .otherwise("unknown")
+    val s = graft.functions.MediaFunctions.mp4BoxStats(p)
+    media.select(
+      col("doc_id"), col("media_type"), container.as("container"),
+      element_at(s, 1).cast("int").as("timescale"),
+      element_at(s, 2).as("duration"),
+      element_at(s, 3).cast("int").as("n_trak"),
+      element_at(s, 4).cast("int").as("n_boxes"),
+      element_at(s, 5).cast("int").as("n_mdat"),
+      element_at(s, 6).as("mdat_bytes_total"))
+  }
+
   /** media → IHDR fields + chunk census + CRC integrity from the full
     * chunk walk — every value re-derived from the BYTES by the native
     * expression, with the per-chunk CRC-32 recomputed and compared

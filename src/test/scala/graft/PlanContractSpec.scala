@@ -719,4 +719,11 @@ class PlanContractSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("documents.parquet")) == 1,
       s"PNG walk rescanned the corpus:\n$p")
   }
+
+  test("MP4 walk stays expression-side with no RDD hop") {
+    val p = plan("q_multimodal_mp4")
+    assert(!p.contains("ExistingRDD"), s"MP4 walk dropped to an RDD scan:\n$p")
+    assert(p.linesIterator.count(_.contains("documents.parquet")) == 1,
+      s"MP4 walk rescanned the corpus:\n$p")
+  }
 }

@@ -666,4 +666,109 @@ class PropertiesSpec extends SparkSpec {
       rows.foreach(r => assert(r.getAs[String]("container") != null))
     }
   }
+
+  test("property: MP4 box walk recovers mvhd fields and the exact trak/mdat census") {
+    // every generated geometry must walk back to the planted integers —
+    // the builder's box framing and the walker's size/type hops must
+    // agree byte-for-byte, including the moov-children tiling
+    import graft.ops.Multimodal
+    val geom = for {
+      ts <- Gen.chooseNum(1, Int.MaxValue)
+      dur <- Gen.chooseNum(0, Int.MaxValue)
+      nt <- Gen.chooseNum(1, 3); nm <- Gen.chooseNum(1, 4)
+      body <- Gen.asciiPrintableStr
+    } yield (ts, dur, nt, nm, body)
+    (1L to 5L).foreach { seed =>
+      val cases = sample(Gen.listOfN(20, geom), seed).zipWithIndex
+      val df = cases.map { case ((ts, dur, nt, nm, body), i) =>
+        (i.toLong, ts, dur, nt, nm, body)
+      }.toDF("doc_id", "ts", "dur", "nt", "nm", "body")
+        .select(col("doc_id"), lit("x").as("media_type"),
+          Multimodal.mp4Payload(col("ts"), col("dur"), col("nt"),
+            col("nm"), col("body")).as("payload"))
+      val got = Multimodal.mp4Stats(df).orderBy("doc_id").collect()
+      cases.foreach { case ((ts, dur, nt, nm, body), i) =>
+        val r = got(i)
+        assert(r.getAs[String]("container") === "mp4", s"seed $seed case $i")
+        assert(r.getAs[Int]("timescale") === ts, s"seed $seed case $i")
+        assert(r.getAs[Long]("duration") === dur.toLong, s"seed $seed case $i")
+        assert(r.getAs[Int]("n_trak") === nt, s"seed $seed case $i")
+        assert(r.getAs[Int]("n_boxes") === 3 + nt + nm, s"seed $seed case $i")
+        assert(r.getAs[Int]("n_mdat") === nm, s"seed $seed case $i")
+        assert(r.getAs[Long]("mdat_bytes_total") === body.length.toLong,
+          s"seed $seed case $i")
+      }
+    }
+  }
+
+  test("MP4 walk: largesize/size-0 framing, truncation nulls, bad args raise") {
+    import graft.ops.Multimodal
+    val base = Seq((0L, "mp4 body payload bytes"))
+      .toDF("doc_id", "body")
+      .select(Multimodal.mp4Payload(lit(600), lit(4800), lit(2), lit(1),
+        col("body")).as("p"))
+      .collect().head.getAs[Array[Byte]](0)
+    val clean = graft.functions.DspKernel.mp4BoxStats(base)
+    assert(clean != null &&
+      clean.toLongArray().toSeq === Seq(600L, 4800L, 2L, 6L, 1L, 22L))
+    // re-frame the trailing mdat (8-byte header + 22 body bytes) as a
+    // largesize box: size=1 marker + 64-bit size 38 — same body, and
+    // the walk must count the 16-byte header out of the byte total
+    val mdatAt = base.length - 30
+    val big = base.take(mdatAt) ++
+      Array[Byte](0, 0, 0, 1) ++ "mdat".getBytes ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 38) ++ base.takeRight(22)
+    val bigStats = graft.functions.DspKernel.mp4BoxStats(big)
+    assert(bigStats != null && bigStats.toLongArray().toSeq ===
+      Seq(600L, 4800L, 2L, 6L, 1L, 22L))
+    // size-0 (to end of file) on the trailing mdat: same census
+    val zero = base.clone()
+    zero(mdatAt) = 0; zero(mdatAt + 1) = 0; zero(mdatAt + 2) = 0; zero(mdatAt + 3) = 0
+    val zeroStats = graft.functions.DspKernel.mp4BoxStats(zero)
+    assert(zeroStats != null && zeroStats.toLongArray().toSeq ===
+      Seq(600L, 4800L, 2L, 6L, 1L, 22L))
+    // truncating mid-box is malformed: null, never a garbage-offset read
+    assert(graft.functions.DspKernel.mp4BoxStats(base.dropRight(5)) == null)
+    // a corrupted moov child size breaks the tiling: null
+    val untiled = base.clone()
+    untiled(24 + 11) = (untiled(24 + 11) ^ 0x01).toByte // mvhd size low byte
+    assert(graft.functions.DspKernel.mp4BoxStats(untiled) == null)
+    // the generator refuses arguments it cannot frame
+    val e = intercept[Exception] {
+      Seq((0L, "body")).toDF("doc_id", "body")
+        .select(Multimodal.mp4Payload(lit(600), lit(100), lit(5), lit(1),
+          col("body")))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("nTrak")), s"unexpected: $e")
+  }
+
+  test("property: the MP4 walk is total over arbitrary binary garbage") {
+    import graft.ops.Multimodal
+    val ftypHdr = Array[Byte](0, 0, 0, 24) ++ "ftyp".getBytes
+    val bytesGen = Gen.chooseNum(0, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    (1L to 5L).foreach { seed =>
+      val payloads = sample(Gen.listOfN(30, bytesGen), seed) ++ Seq(
+        Array[Byte](),
+        ftypHdr,                                       // header, body truncated
+        ftypHdr ++ Array.fill(16)(0.toByte),           // ftyp but no moov
+        // giant declared size past the buffer
+        Array[Byte](0x7F, -1, -1, -1) ++ "ftyp".getBytes ++ Array.fill(16)(0.toByte),
+        // largesize marker with a truncated 64-bit size
+        Array[Byte](0, 0, 0, 1) ++ "ftyp".getBytes ++ Array[Byte](0, 0, 0),
+        // an empty-box flood past the hop bound (4200 size-8 boxes) must
+        // be DECLARED malformed by the bound, not walked open-endedly
+        ftypHdr ++ Array.fill(16)(0.toByte) ++
+          Array.fill(4200)(Array[Byte](0, 0, 0, 8) ++ "free".getBytes).flatten)
+      val df = payloads.zipWithIndex
+        .map { case (p, i) => (i.toLong, "x", p) }
+        .toDF("doc_id", "media_type", "payload")
+      val rows = Multimodal.mp4Stats(df).orderBy("doc_id").collect()
+      assert(rows.length === payloads.length) // total: no exception, no drop
+      rows.foreach(r => assert(r.getAs[String]("container") != null))
+    }
+  }
 }
