@@ -1164,6 +1164,11 @@ object SparkEntry {
     "text_unigram_lp" -> ((s, dir) =>
       TextAnalysis.unigramLogLik(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // order-sensitive fluency: corpus-trained bigram log-likelihood with
+    // add-one smoothing, micro-nat quantized before the per-doc sum
+    "text_bigram_lp" -> ((s, dir) =>
+      TextAnalysis.bigramLogLik(Tables.documents(s, dir)).orderBy("doc_id")),
+
     "text_source_scorecard" -> ((s, dir) =>
       TextAnalysis.sourceScorecard(Tables.documents(s, dir)).orderBy("source")),
 
@@ -3250,6 +3255,35 @@ object SparkEntry {
         |  CAST(sum(qlp) AS BIGINT) AS sum_qlp,
         |  CAST(CAST(sum(qlp) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*) AS mean_logprob
         |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // bigram twin: P(w2|w1) = (c12+1)/(c1+V), c1 the bigram-prefix
+    // count, V the distinct-suffix vocabulary (add-one smoothing);
+    // same quantize-before-sum discipline, single-token docs total with
+    // n_bigram 0 and a NULL mean
+    "text_bigram_lp" ->
+      """WITH tkl AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(2, len(tk) + 1),
+        |    i -> {'w1': tk[i - 1], 'w2': tk[i]})) AS b
+        |  FROM tkl WHERE len(tk) >= 2)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bgf GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bgf GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT w2) AS v FROM bgf),
+        |q AS (SELECT f.doc_id,
+        |    CAST(round(ln(CAST(p.c12 + 1 AS DOUBLE) / CAST(c.c1 + vv.v AS DOUBLE))
+        |      * 1000000) AS BIGINT) AS qlp
+        |  FROM bgf f JOIN c12 p ON f.w1 = p.w1 AND f.w2 = p.w2
+        |  JOIN c1 c ON f.w1 = c.w1 CROSS JOIN vv),
+        |agg AS (SELECT doc_id, count(*) AS n_bigram,
+        |    CAST(sum(qlp) AS BIGINT) AS sum_qlp FROM q GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(agg.n_bigram, 0) AS BIGINT) AS n_bigram,
+        |  CAST(coalesce(agg.sum_qlp, 0) AS BIGINT) AS sum_qlp,
+        |  CASE WHEN agg.n_bigram > 0
+        |       THEN CAST(agg.sum_qlp AS DOUBLE) / 1000000.0 / agg.n_bigram
+        |  END AS mean_logprob
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // quality_score reproduced exactly as in text_quality's oracle; the
     // dominant language is the (n, lang)-max per source — the same

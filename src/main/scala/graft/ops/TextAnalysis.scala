@@ -207,6 +207,68 @@ object TextAnalysis {
             .as("mean_logprob"))
     }
 
+  /** Corpus-trained BIGRAM log-likelihood with add-one smoothing — the
+    * fluency scorer above [[unigramLogLik]]: order-sensitive, so
+    * shuffled-word salad scores low where the unigram model can't see
+    * it. P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V): c(w1,w2) the corpus
+    * bigram count, c(w1) the bigram-PREFIX count (w1 in non-final
+    * position), V the distinct-suffix vocabulary — Laplace add-one, so
+    * a rare continuation backs off toward 1/(c(w1)+V) instead of
+    * dominating the mean. Per-doc score = mean ln P over its
+    * n_tok−1 bigrams; a single-token doc has no bigram and reports
+    * n_bigram 0 with a NULL mean (total, never dropped).
+    *
+    * Engine-portable by the unigram discipline: each bigram's logprob is
+    * quantized to integer micro-nats BEFORE the per-doc sum (exact
+    * integer aggregate, order-free), the mean one division of exact
+    * integers. Plan shape: ONE exploded bigram pass cached for its
+    * three consumers (pair counts, prefix counts, score join) plus the
+    * broadcast one-row V cross join; the totality join reads only the
+    * pruned doc_id column. Pair/prefix joins are equi-joins on
+    * vocabulary-sized build sides — at 100 TB they shuffle on the token
+    * keys exactly like the unigram count join, nothing quadratic. */
+  def bigramLogLik(docs: DataFrame, quantum: Long = 1000000L): DataFrame = {
+    val bg = docs
+      // tokenize ONCE per row in its own projection: split referenced
+      // inside the transform lambda re-evaluates per element (quadratic
+      // per doc); then guard BEFORE the sequence — size-1 docs would
+      // otherwise generate the descending sequence(1, 0) and index tk[-1]
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> " +
+          "struct(tk[i - 1] AS w1, tk[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    Dedup.withScopedCache(bg) { b =>
+      val c12 = b.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = b.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val v = b.agg(count_distinct(col("w2")).as("v"))
+      // score bigram TYPES first (vocabulary-sized joins), then probe the
+      // corpus-sized frame exactly once — scoring per occurrence joined
+      // the corpus twice (this plus the split hoist above: 4.1 s → 1.9 s
+      // at sf0.1)
+      val typeScores = c12
+        .join(c1, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .select(col("w1"), col("w2"),
+          round(log((col("c12") + 1).cast("double") /
+            (col("c1") + col("v")).cast("double")) * quantum)
+            .cast("long").as("qlp"))
+      val scored = b
+        .join(typeScores, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigram"), sum(col("qlp")).as("sum_qlp"))
+      docs.select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigram"), lit(0L)).as("n_bigram"),
+          coalesce(col("sum_qlp"), lit(0L)).as("sum_qlp"),
+          when(col("n_bigram") > 0,
+            col("sum_qlp").cast("double") / quantum.toDouble / col("n_bigram"))
+            .as("mean_logprob"))
+    }
+  }
+
   /** Per-source quality scorecard — the dashboard row that ranks sources
     * for inclusion: doc count, exact total token count, how many docs
     * clear the quality floor, and the source's dominant language. One

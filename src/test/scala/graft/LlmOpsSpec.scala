@@ -620,6 +620,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(r(1L)._3 > r(2L)._3 && r(2L)._3 > r(3L)._3 && r(1L)._3 < 0.0)
   }
 
+  test("bigram log-likelihood: quantized sums match a driver-side add-one model") {
+    // corpus bigrams: doc1 (a,b)(b,a)(a,b)(b,c), doc2 (a,b), doc4 (b,c)(c,a);
+    // doc3 is single-token — total output, zero bigrams, NULL mean
+    val docs = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "solo"), (4L, "b c a"))
+      .toDF("doc_id", "text")
+    // the driver model: the exact counts and the same quantize-then-sum
+    val all = Seq("a b a b c", "a b", "b c a")
+      .flatMap(t => { val w = t.split(" "); w.zip(w.tail) })
+    val c12 = all.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = all.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val vocab = all.map(_._2).distinct.size.toLong
+    def qlp(p: (String, String)): Long =
+      math.round(math.log((c12(p) + 1).toDouble / (c1(p._1) + vocab)) * 1e6)
+    def expect(text: String): (Long, Long, Double) = {
+      val w = text.split(" "); val bs = w.zip(w.tail)
+      val s = bs.map(qlp).sum
+      (bs.length.toLong, s, s / 1e6 / bs.length)
+    }
+    val r = TextAnalysis.bigramLogLik(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    Seq(1L -> "a b a b c", 2L -> "a b", 4L -> "b c a").foreach { case (id, t) =>
+      val (n, s, m) = expect(t)
+      assert(r(id).getLong(1) === n, s"doc $id n_bigram")
+      assert(r(id).getLong(2) === s, s"doc $id sum_qlp")
+      assert(r(id).getDouble(3) === m, s"doc $id mean")
+    }
+    assert(r(3L).getLong(1) === 0L && r(3L).getLong(2) === 0L && r(3L).isNullAt(3),
+      "single-token doc must be total with a NULL mean")
+    // order sensitivity: the common continuation (a,b) outscores (b,a)
+    assert(qlp(("a", "b")) > qlp(("b", "a")))
+  }
+
   test("source scorecard: counts, floor pass, dominant language with deterministic tie") {
     val docs = Seq(
       (1L, "the a the a one", "web", "en"),   // high stopword ratio → passes floor

@@ -286,6 +286,12 @@ class PlanContractSpec extends SparkSpec {
     assert(!pu.contains("CartesianProduct"), s"unigram has an unplanned cartesian:\n$pu")
     val bnlj = pu.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
     assert(bnlj === 1, s"unigram must have exactly the one broadcast scalar cross join, found $bnlj:\n$pu")
+    // bigram inherits the shape: the one-row V vocab is the only cross
+    // join; pair/prefix enrichments and the totality join stay equi-joins
+    val pb = plan("text_bigram_lp")
+    assert(!pb.contains("CartesianProduct"), s"bigram has an unplanned cartesian:\n$pb")
+    assert(pb.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) === 1,
+      s"bigram must have exactly the one broadcast scalar cross join:\n$pb")
     // basket lift has the same shape: two broadcast-hash part-count
     // enrichments plus exactly the one n_orders scalar cross join
     val pbl = plan("q_basket_lift")
