@@ -53,6 +53,14 @@ object SparkEntry {
     new java.io.File("target/graft-artifacts/idx_v1_" + tag + "_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
 
+  /** Stored BPE merge-table artifact (rank, left_tok, right_tok,
+    * merged, pair_count): training is bit-deterministic and the frame
+    * round-trips parquet exactly — the nightly tokenizer a deployment
+    * trains once and prices many runs with (Bpe.mergeArtifact). */
+  private def bpeArtifactPath(tag: String, dir: String): String =
+    new java.io.File("target/graft-artifacts/bpe_v1_" + tag + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     graft.ops.Artifacts.parquetArtifact(s, pairArtifactPath("jaccard", dir))(
       Dedup.ngramJaccard(Tables.documents(s, dir)))
@@ -1251,6 +1259,18 @@ object SparkEntry {
     }),
     "text_token_budget_bpe" -> ((s, dir) =>
       Bpe.tokenBudget(Tables.documents(s, dir)).orderBy("source")),
+    // the budget through the ARTIFACT seam: prices against a STORED
+    // merge table (first touch trains and persists, later touches only
+    // read — zero training jobs, spec-pinned), output identical to the
+    // live-trained budget because training is deterministic and the
+    // frame round-trips parquet exactly; hash-checked against the SAME
+    // oracle as the live entry
+    "text_token_budget_stored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Bpe.tokenBudgetFrom(docs,
+        Bpe.mergeArtifact(docs, bpeArtifactPath("budget16", dir), nMerges = 16))
+        .orderBy("source")
+    }),
     // PRODUCTION-DEPTH merge table: the same greedy trainer run to 1024
     // rounds driver-side on the one-scan word-count statistic. No
     // unrolled oracle at this depth (rows-only); its structural
@@ -3179,6 +3199,20 @@ object SparkEntry {
       |  (cum_tokens - n_tokens) % 2048 AS pack_offset
       |FROM pc ORDER BY doc_id""".stripMargin),
     "text_token_budget_bpe" -> (TRAIN_READY_CTES + ",\n" +
+      BPE_TRAIN_CTES + BPE_APPLY_CTES + """,
+        |dsrc AS (SELECT doc_id, source FROM documents),
+        |dbpe AS (SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |         FROM applied GROUP BY 1)
+        |SELECT s.source, count(*) AS n_docs_kept,
+        |  CAST(sum(d.n_tokens) AS BIGINT) AS n_bpe_tokens_kept
+        |FROM kept k JOIN dsrc s ON s.doc_id = k.doc_id
+        |  JOIN dbpe d ON d.doc_id = k.doc_id
+        |GROUP BY 1 ORDER BY s.source""".stripMargin),
+
+    // the stored-artifact face prices with the SAME 16-round table
+    // (deep training is prefix-consistent and the artifact a pure
+    // cache), so its oracle is literally the live entry's SQL
+    "text_token_budget_stored" -> (TRAIN_READY_CTES + ",\n" +
       BPE_TRAIN_CTES + BPE_APPLY_CTES + """,
         |dsrc AS (SELECT doc_id, source FROM documents),
         |dbpe AS (SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_tokens

@@ -279,6 +279,45 @@ object Bpe {
                       vocabLimit: Int = 65536): DataFrame =
     mergesFrame(docs.sparkSession, trainDeep(docs, nMerges, vocabLimit))
 
+  /** Write-once merge-table artifact — the nightly-tokenizer seam: the
+    * first touch trains [[trainDeep]] and persists the frame, every
+    * later touch READS the ≤nMerges-row file (the centroidArtifact
+    * _SUCCESS-probe pattern), so pricing consumers NEVER retrain.
+    * Training is bit-deterministic and the frame round-trips parquet
+    * exactly, so the artifact is a cache, never a semantic fork;
+    * callers own invalidation (retrain on corpus change). */
+  def mergeArtifact(docs: DataFrame, path: String, nMerges: Int = 1024,
+                    vocabLimit: Int = 65536): DataFrame =
+    Artifacts.parquetArtifact(docs.sparkSession, path)(
+      trainDeepMerges(docs, nMerges, vocabLimit).coalesce(1))
+
+  /** A STORED merge frame back to the replayable merge list — the apply
+    * side of the artifact seam, feeding [[tokenCounts]]/[[segments]]/
+    * [[tokenCountColumn]] without a training job. Validates the shape
+    * loudly (the vocabIncrement convention) and re-sorts by rank:
+    * parquet carries no order and replay order IS the model. Bounded by
+    * the trainer's 65536-merge cap — a bigger frame is not a merge
+    * table and fails before the collect. */
+  def mergesFromFrame(frame: DataFrame): Seq[Merge] = {
+    import org.apache.spark.sql.types.StringType
+    val need = Set("rank", "left_tok", "right_tok", "pair_count")
+    require(need.subsetOf(frame.columns.toSet),
+      s"mergesFromFrame: need columns $need, got ${frame.columns.mkString(",")}")
+    require(frame.schema("left_tok").dataType == StringType &&
+      frame.schema("right_tok").dataType == StringType,
+      "mergesFromFrame: left_tok/right_tok must be strings")
+    val rows = frame
+      .select(col("rank").cast("int"), col("left_tok"), col("right_tok"),
+        col("pair_count").cast("long"))
+      .orderBy(col("rank"))
+      .limit(65537)
+      .collect() // bounded by the 65536 cap checked right below
+    require(rows.length <= 65536,
+      s"mergesFromFrame: ${rows.length} rows exceed the 65536-merge cap")
+    rows.map(r => Merge(r.getInt(0), r.getString(1), r.getString(2),
+      r.getLong(3))).toSeq
+  }
+
   /** A merge list as the persistable artifact frame:
     * (rank, left_tok, right_tok, merged, pair_count). */
   def mergesFrame(spark: org.apache.spark.sql.SparkSession,
@@ -355,8 +394,12 @@ object Bpe {
     * boundaries flatten — a token stream is what the trainer consumes),
     * with the count alongside. OOV words pass through verbatim as one
     * token. Same one-scan zero-shuffle per-row shape as
-    * [[tokenCounts]]; the oracle replays the identical merges per word
-    * and reassembles in position order. */
+    * [[tokenCounts]], and STREAMING-TRANSPARENT the same way: the
+    * replay is a pure per-row expression, so arriving micro-batches
+    * segment against the stored merge artifact with this same code
+    * (spec-pinned stream ≡ batch in StreamingMonitorsSpec); the oracle
+    * replays the identical merges per word and reassembles in position
+    * order. */
   def segments(docs: DataFrame, merges: Seq[Merge]): DataFrame =
     docs.select(
       col("doc_id"),
@@ -370,12 +413,20 @@ object Bpe {
     * table on the SAME corpus first (train-once seam), then one join
     * past the chain + one aggregate, like the whitespace twin. */
   def tokenBudget(docs: DataFrame, nMerges: Int = 16,
-                  vocabLimit: Int = 65536): DataFrame = {
-    val merges = train(docs, nMerges, vocabLimit)
+                  vocabLimit: Int = 65536): DataFrame =
+    priceBudget(docs, train(docs, nMerges, vocabLimit))
+
+  /** [[tokenBudget]] against a STORED merge table — the
+    * train-once/apply-many face of the budget: a nightly pipeline
+    * trains [[mergeArtifact]] once and every budget run prices with
+    * the artifact's merges, ZERO training jobs (spec-pinned). */
+  def tokenBudgetFrom(docs: DataFrame, mergeTable: DataFrame): DataFrame =
+    priceBudget(docs, mergesFromFrame(mergeTable))
+
+  private def priceBudget(docs: DataFrame, merges: Seq[Merge]): DataFrame =
     Curation.trainReady(docs).select("doc_id")
       .join(docs.select(col("doc_id"), col("source"),
         docTokens(col("text"), merges).as("n_tokens")), "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs_kept"), sum("n_tokens").as("n_bpe_tokens_kept"))
-  }
 }

@@ -228,4 +228,45 @@ class BpeSpec extends SparkSpec {
     // subword counts refine, never exceed char count; at least 1/word
     bpe.foreach(r => assert(r.getLong(2) > 0))
   }
+
+  test("merge artifact: train once, price many — a re-touch runs zero training jobs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target/test-out").getAbsoluteFile.toPath, "bpe").toString
+    val path = s"$dir/merges"
+    // first touch trains deep and persists the frame
+    val stored = Bpe.mergeArtifact(docs, path, nMerges = 24)
+    assert(new java.io.File(path, "_SUCCESS").exists())
+    // the stored table replays to exactly the live-trained merge list,
+    // and the budget priced THROUGH it equals the live-trained budget
+    assert(Bpe.mergesFromFrame(stored) === Bpe.trainDeep(docs, nMerges = 24))
+    val viaStored16 = Bpe.tokenBudgetFrom(docs,
+      Bpe.mergeArtifact(docs, s"$dir/m16", nMerges = 16))
+      .orderBy("source").collect().map(_.toSeq)
+    assert(viaStored16 === Bpe.tokenBudget(docs).orderBy("source")
+      .collect().map(_.toSeq))
+    // second touch must READ, not retrain: poison the corpus — a
+    // retrain would change counts and the golden prefix — and count
+    // jobs; an artifact read schedules at most the footer-listing job
+    val poisoned = docs.filter(org.apache.spark.sql.functions.col("doc_id") =!= 0)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val again =
+      try {
+        val r = Bpe.mergeArtifact(poisoned, path, nMerges = 24)
+        org.apache.spark.sql.graft.Bridge.drainListenerBus(spark)
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() <= 1,
+      s"second mergeArtifact call ran ${jobs.get()} jobs — it retrained")
+    assert(Bpe.mergesFromFrame(again) === Bpe.mergesFromFrame(stored))
+    // the apply side validates stored frames loudly
+    val junk = Seq((1, "a")).toDF("rank", "left_tok")
+    val e = intercept[IllegalArgumentException](Bpe.mergesFromFrame(junk))
+    assert(e.getMessage.contains("need columns"))
+  }
 }

@@ -778,7 +778,11 @@ class StreamingMonitorsSpec extends SparkSpec {
         "pii" -> (df => graft.ops.TextAnalysis.piiScrub(df)),
         "langid" -> (df => graft.ops.TextAnalysis.langId(
           df.withColumn("lang", lit("en")))),
-        "bpe" -> (df => graft.ops.Bpe.tokenCounts(df, bpeMerges)))
+        "bpe" -> (df => graft.ops.Bpe.tokenCounts(df, bpeMerges)),
+        // the tokenizer's OUTPUT face: segmentation through the
+        // MergeReplay kernel is per-row too, so the emitted bpe_text
+        // stream must equal the batch segmentation verbatim
+        "bpe_segments" -> (df => graft.ops.Bpe.segments(df, bpeMerges)))
     val queries = ops.map { case (name, op) =>
       name -> op(streamDocs)
         .writeStream.format("memory").queryName(s"text_stream_$name")
