@@ -1271,6 +1271,15 @@ object SparkEntry {
         Bpe.mergeArtifact(docs, bpeArtifactPath("budget16", dir), nMerges = 16))
         .orderBy("source")
     }),
+    // tokenizer-quality scorecard: per-source bytes-per-BPE-token — the
+    // compression metric a tokenizer eval tracks; exact integer sums,
+    // one division per source, priced through the SAME stored artifact
+    "text_bpe_compression" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Bpe.compression(docs, Bpe.mergesFromFrame(
+        Bpe.mergeArtifact(docs, bpeArtifactPath("budget16", dir), nMerges = 16)))
+        .orderBy("source")
+    }),
     // PRODUCTION-DEPTH merge table: the same greedy trainer run to 1024
     // rounds driver-side on the one-scan word-count statistic. No
     // unrolled oracle at this depth (rows-only); its structural
@@ -1357,6 +1366,23 @@ object SparkEntry {
     // from the per-row box geometry
     "q_multimodal_mp4" -> ((s, dir) =>
       Multimodal.mp4Stats(Multimodal.mp4Frame(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
+
+    // the MP4 seam's FEATURE step: per-channel stats over the
+    // concatenated mdat payloads the walk locates (global body index
+    // spans mdat boundaries, so the split body featurizes exactly like
+    // the unsplit bytes); FLAC rows run the fixed-offset PCM kernel
+    "q_multimodal_mp4_features" -> ((s, dir) =>
+      Multimodal.mp4Features(Multimodal.mp4Frame(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("media_type"), col("container"),
+          when(col("container") === "flac", element_at(col("feature"), 1)).as("pcm_rms"),
+          when(col("container") === "flac", element_at(col("feature"), 2)).as("pcm_zcr"),
+          when(col("container") === "mp4", element_at(col("feature"), 1)).as("px_mean_b"),
+          when(col("container") === "mp4", element_at(col("feature"), 2)).as("px_mean_g"),
+          when(col("container") === "mp4", element_at(col("feature"), 3)).as("px_mean_r"),
+          when(col("container") === "mp4", element_at(col("feature"), 4)).as("px_std_b"),
+          when(col("container") === "mp4", element_at(col("feature"), 5)).as("px_std_g"),
+          when(col("container") === "mp4", element_at(col("feature"), 6)).as("px_std_r"))
         .orderBy("doc_id")),
   )
 
@@ -3209,6 +3235,22 @@ object SparkEntry {
         |  JOIN dbpe d ON d.doc_id = k.doc_id
         |GROUP BY 1 ORDER BY s.source""".stripMargin),
 
+    // per-source bytes vs BPE tokens off the same 16-round table: exact
+    // integer sums, one division of the two exact totals per source
+    "text_bpe_compression" -> ("WITH " + BPE_TRAIN_CTES + BPE_APPLY_CTES + """,
+      |dbpe AS (SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS nt
+      |         FROM applied GROUP BY 1),
+      |dsrc AS (SELECT doc_id, source,
+      |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb
+      |         FROM documents)
+      |SELECT s.source, count(*) AS n_docs,
+      |  CAST(sum(s.nb) AS BIGINT) AS n_bytes,
+      |  CAST(sum(d.nt) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(CAST(sum(s.nb) AS BIGINT) AS DOUBLE) / CAST(sum(d.nt) AS BIGINT)
+      |    AS bytes_per_token
+      |FROM dsrc s JOIN dbpe d ON s.doc_id = d.doc_id
+      |GROUP BY 1 ORDER BY s.source""".stripMargin),
+
     // the stored-artifact face prices with the SAME 16-round table
     // (deep training is prefix-consistent and the artifact a pure
     // cache), so its oracle is literally the live entry's SQL
@@ -3700,6 +3742,66 @@ object SparkEntry {
         |SELECT d.doc_id AS doc_id,
         |  (['image', 'audio', 'video'])[CAST(d.doc_id % 3 AS INT) + 1] AS media_type,
         |  CASE WHEN d.doc_id % 3 = 1 THEN 'flac' ELSE 'jpeg' END AS container,
+        |  CASE WHEN d.doc_id % 3 = 1 THEN w.pcm_rms END AS pcm_rms,
+        |  CASE WHEN d.doc_id % 3 = 1 THEN w.pcm_zcr END AS pcm_zcr,
+        |  CASE WHEN d.doc_id % 3 <> 1 THEN c.mean_b END AS px_mean_b,
+        |  CASE WHEN d.doc_id % 3 <> 1 THEN c.mean_g END AS px_mean_g,
+        |  CASE WHEN d.doc_id % 3 <> 1 THEN c.mean_r END AS px_mean_r,
+        |  CASE WHEN d.doc_id % 3 <> 1 THEN c.std_b END AS px_std_b,
+        |  CASE WHEN d.doc_id % 3 <> 1 THEN c.std_g END AS px_std_g,
+        |  CASE WHEN d.doc_id % 3 <> 1 THEN c.std_r END AS px_std_r
+        |FROM documents d
+        |LEFT JOIN chs c ON c.doc_id = d.doc_id
+        |LEFT JOIN wavs w ON w.doc_id = d.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // identical byte-stream recomputation for the MP4 seam: the
+    // concatenated mdat payloads ARE the text bytes in order (the
+    // near-even split preserves the global index), so the channel and
+    // PCM math is literally the codec-features oracle with the mp4
+    // container label
+    "q_multimodal_mp4_features" ->
+      """WITH flat AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(string_split(text, ''), (c, i) -> {'idx': i - 1, 'v': ord(c)})) AS e
+        |  FROM documents),
+        |b AS (SELECT doc_id, e.idx AS idx, e.v AS v FROM flat),
+        |ch AS (
+        |  SELECT doc_id, idx % 3 AS c, count(*) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS ss
+        |  FROM b GROUP BY 1, 2),
+        |chs AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN c = 0 THEN CAST(s AS DOUBLE) / n END) AS mean_b,
+        |    max(CASE WHEN c = 1 THEN CAST(s AS DOUBLE) / n END) AS mean_g,
+        |    max(CASE WHEN c = 2 THEN CAST(s AS DOUBLE) / n END) AS mean_r,
+        |    max(CASE WHEN c = 0 THEN sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE)) END) AS std_b,
+        |    max(CASE WHEN c = 1 THEN sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE)) END) AS std_g,
+        |    max(CASE WHEN c = 2 THEN sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE)) END) AS std_r
+        |  FROM ch GROUP BY doc_id),
+        |pair AS (
+        |  SELECT doc_id, idx // 2 AS k,
+        |    max(CASE WHEN idx % 2 = 0 THEN v END) AS lo,
+        |    max(CASE WHEN idx % 2 = 1 THEN v END) AS hi
+        |  FROM b GROUP BY 1, 2),
+        |smp AS (
+        |  SELECT doc_id, k,
+        |    lo + 256 * hi - CASE WHEN lo + 256 * hi >= 32768 THEN 65536 ELSE 0 END AS smpv
+        |  FROM pair WHERE hi IS NOT NULL),
+        |sgn AS (
+        |  SELECT doc_id, smpv, lag(smpv) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+        |  FROM smp),
+        |wavs AS (
+        |  SELECT doc_id,
+        |    sqrt(CAST(CAST(sum(smpv * smpv) AS BIGINT) AS DOUBLE) / count(*)) AS pcm_rms,
+        |    CASE WHEN count(*) < 2 THEN 0.0
+        |         ELSE CAST(CAST(sum(CASE WHEN prev IS NOT NULL
+        |                AND ((smpv >= 0) <> (prev >= 0)) THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |              / (count(*) - 1) END AS pcm_zcr
+        |  FROM sgn GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id,
+        |  (['image', 'audio', 'video'])[CAST(d.doc_id % 3 AS INT) + 1] AS media_type,
+        |  CASE WHEN d.doc_id % 3 = 1 THEN 'flac' ELSE 'mp4' END AS container,
         |  CASE WHEN d.doc_id % 3 = 1 THEN w.pcm_rms END AS pcm_rms,
         |  CASE WHEN d.doc_id % 3 = 1 THEN w.pcm_zcr END AS pcm_zcr,
         |  CASE WHEN d.doc_id % 3 <> 1 THEN c.mean_b END AS px_mean_b,

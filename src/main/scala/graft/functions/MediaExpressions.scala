@@ -345,6 +345,79 @@ object DspKernel {
     if (!sawMoov) return null
     new GenericArrayData(Array(timescale, duration, nTrak, boxes, nMdat, mdatTotal))
   }
+
+  /** Per-channel [means..., stds...] over the CONCATENATED mdat payloads
+    * of an ISO-BMFF stream — the feature step of the MP4 seam, the
+    * byteChannelStats arithmetic applied to the body a box walk locates
+    * (channel = GLOBAL body index mod stride, so a body split across
+    * mdat boxes featurizes identically to the unsplit body). Framing
+    * honors the same §4.2 rules as [[mp4BoxStats]]'s top level (ftyp
+    * first, size/largesize/size-0, the hop bound); moov's interior is
+    * opaque here — features need only the top-level tiling. Null for
+    * non-BMFF/malformed streams or an empty body (some channel would be
+    * empty below `stride` bytes). Exact-integer accumulation with the
+    * byteChannelStats identity and the same BigInteger guard. */
+  def mp4MdatChannelStats(p: Array[Byte], stride: Int): GenericArrayData = {
+    val n = p.length
+    def u32(o: Int): Long = ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+      ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def is(o: Int, t: String): Boolean =
+      (p(o) & 0xff) == t.charAt(0).toInt && (p(o + 1) & 0xff) == t.charAt(1).toInt &&
+        (p(o + 2) & 0xff) == t.charAt(2).toInt && (p(o + 3) & 0xffL) == t.charAt(3).toInt
+    if (n < 16 || !is(4, "ftyp")) return null
+    val sum = new Array[Long](stride)
+    val sumSq = new Array[Long](stride)
+    val cnt = new Array[Long](stride)
+    var body = 0L // global body index — spans mdat boundaries
+    var pos = 0
+    var boxes = 0L
+    while (pos < n) {
+      boxes += 1
+      if (boxes > Mp4MaxBoxes) return null
+      if (pos + 8 > n) return null
+      var size = u32(pos)
+      var hdr = 8
+      if (size == 1L) {
+        if (pos + 16 > n) return null
+        size = u64(pos + 8); hdr = 16
+        if (size < 16L) return null
+      } else if (size == 0L) {
+        size = (n - pos).toLong
+        if (size < 8L) return null
+      } else if (size < 8L) return null
+      if (size > (n - pos).toLong) return null
+      if (is(pos + 4, "mdat")) {
+        var i = pos + hdr
+        val stop = pos + size.toInt
+        while (i < stop) {
+          val c = (body % stride).toInt
+          val v = (p(i) & 0xff).toLong
+          sum(c) += v; sumSq(c) += v * v; cnt(c) += 1
+          body += 1; i += 1
+        }
+      }
+      pos += size.toInt
+    }
+    if (body < stride) return null // some channel empty
+    val out = new Array[Double](2 * stride)
+    var c = 0
+    while (c < stride) {
+      val m = cnt(c)
+      out(c) = sum(c).toDouble / m
+      out(stride + c) =
+        if (m <= ChannelCountLongSafe)
+          math.sqrt((m * sumSq(c) - sum(c) * sum(c)).toDouble / (m * m).toDouble)
+        else {
+          val bn = java.math.BigInteger.valueOf(m)
+          val num = bn.multiply(java.math.BigInteger.valueOf(sumSq(c)))
+            .subtract(java.math.BigInteger.valueOf(sum(c)).pow(2))
+          math.sqrt(num.doubleValue() / bn.pow(2).doubleValue())
+        }
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `graft_pcm_stats(payload, offset)`: [rms, zcr] of the 16-bit PCM body
@@ -492,6 +565,34 @@ case class Mp4BoxStats(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_mp4_mdat_channel_stats(payload, stride)`: per-channel
+  * [means..., stds...] over the concatenated mdat payloads located by
+  * the ISO-BMFF top-level walk (see
+  * [[DspKernel.mp4MdatChannelStats]]); null for non-BMFF/malformed
+  * streams or an empty body. */
+case class Mp4MdatChannelStats(child: Expression, stride: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(stride > 0, s"stride must be positive, got $stride")
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_mp4_mdat_channel_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DspKernel.mp4MdatChannelStats(input.asInstanceOf[Array[Byte]], stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.mp4MdatChannelStats($c, $stride);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_png_chunk_stats(payload)`: IHDR fields + chunk census + CRC
   * mismatch count from the full PNG chunk walk (null for non-PNG or
   * malformed streams). */
@@ -544,4 +645,8 @@ object MediaFunctions {
   /** Codegen'd ISO-BMFF (MP4) box-walk census. */
   def mp4BoxStats(payload: Column): Column =
     Bridge.column(Mp4BoxStats(Bridge.expression(payload)))
+
+  /** Codegen'd per-channel stats over the walked mdat body. */
+  def mp4MdatChannelStats(payload: Column, stride: Int): Column =
+    Bridge.column(Mp4MdatChannelStats(Bridge.expression(payload), stride))
 }

@@ -407,6 +407,27 @@ object Bpe {
       .withColumn("n_bpe_tokens",
         size(split(col("bpe_text"), " ")).cast("long"))
 
+  /** Tokenizer-quality scorecard: per-source corpus BYTES against BPE
+    * tokens — bytes-per-token is THE compression metric a tokenizer
+    * evaluation tracks (a source whose ratio collapses toward 1 is
+    * pricing almost every byte as its own token: boilerplate, foreign
+    * script, or junk the vocabulary never learned). Exact integer sums
+    * (byte and token counts are per-row longs), the ratio ONE
+    * correctly-rounded division of the two exact totals per source —
+    * engine-portable. One corpus scan, the per-row replay chain, one
+    * aggregate; sources are a dimension, so the result is tiny at any
+    * corpus scale. */
+  def compression(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+    docs.select(col("source"),
+        octet_length(col("text")).cast("long").as("nb"),
+        docTokens(col("text"), merges).as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nb").as("n_bytes"),
+        sum("nt").as("n_bpe_tokens"))
+      .select(col("source"), col("n_docs"), col("n_bytes"), col("n_bpe_tokens"),
+        (col("n_bytes").cast("double") / col("n_bpe_tokens"))
+          .as("bytes_per_token"))
+
   /** The subword-priced twin of Curation.tokenBudget: documents and BPE
     * tokens surviving the full train-ready chain, per source — the
     * budget number in the units the trainer bills. Trains the merge

@@ -662,6 +662,26 @@ object Multimodal {
       element_at(s, 6).as("mdat_bytes_total"))
   }
 
+  /** Feature DSP over the MP4 body — the mdat payloads the box walk
+    * locates: per-channel mean/std with a GLOBAL body index spanning
+    * mdat boundaries (graft.functions.Mp4MdatChannelStats), so a body
+    * split across mdat boxes featurizes bit-identically to the unsplit
+    * bytes — the spec pins exactly that against the BMP kernel. FLAC
+    * rows run the fixed-offset PCM kernel as in
+    * [[extractCodecFeatures]]. */
+  def mp4Features(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val container = when(hex(substring(p, 5, 4)) === lit("66747970"), "mp4")
+      .when(hex(substring(p, 1, 4)) === lit("664C6143"), "flac")
+      .otherwise("unknown")
+    val feature = when(container === "flac",
+        graft.functions.MediaFunctions.pcmStats(p, offset = 42))
+      .when(container === "mp4",
+        graft.functions.MediaFunctions.mp4MdatChannelStats(p, stride = 3))
+    media.select(col("doc_id"), col("media_type"),
+      container.as("container"), feature.as("feature"))
+  }
+
   /** media → IHDR fields + chunk census + CRC integrity from the full
     * chunk walk — every value re-derived from the BYTES by the native
     * expression, with the per-chunk CRC-32 recomputed and compared

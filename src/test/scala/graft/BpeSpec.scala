@@ -229,6 +229,19 @@ class BpeSpec extends SparkSpec {
     bpe.foreach(r => assert(r.getLong(2) > 0))
   }
 
+  test("compression scorecard: hand-computed bytes-per-token per source") {
+    val merges = Bpe.train(goldenDocs, nMerges = 6)
+    // hand-applied under the golden table: "low lower" → 1 + 3 = 4 tokens,
+    // 9 bytes; "newest x9" → 2 + 1 (OOV) = 3 tokens, 9 bytes
+    val docs = Seq((0L, "low lower", "a"), (1L, "newest x9", "b"))
+      .toDF("doc_id", "text", "source")
+    val r = Bpe.compression(docs, merges).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r("a") === ((1L, 9L, 4L, 2.25)))
+    assert(r("b") === ((1L, 9L, 3L, 3.0)))
+  }
+
   test("merge artifact: train once, price many — a re-touch runs zero training jobs") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory(

@@ -745,6 +745,45 @@ class PropertiesSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("nTrak")), s"unexpected: $e")
   }
 
+  test("property: MP4 mdat features equal the BMP kernel on the same bytes, any split") {
+    // the global body index spans mdat boundaries, so features over a
+    // body split across 1..4 mdat boxes must be BIT-identical to
+    // byteChannelStats over the raw unsplit bytes — and invariant in
+    // the split count itself
+    import graft.ops.Multimodal
+    val geom = for {
+      nm <- Gen.chooseNum(1, 4)
+      body <- Gen.asciiPrintableStr.suchThat(_.length >= 3)
+    } yield (nm, body)
+    (1L to 5L).foreach { seed =>
+      val cases = sample(Gen.listOfN(15, geom), seed).zipWithIndex
+      val df = cases.map { case ((nm, body), i) => (i.toLong, nm, body) }
+        .toDF("doc_id", "nm", "body")
+        .select(col("doc_id"), lit("x").as("media_type"),
+          Multimodal.mp4Payload(lit(600), lit(4800), lit(1), col("nm"),
+            col("body")).as("payload"),
+          col("body").cast("binary").as("raw"))
+      val got = df
+        .select(col("doc_id"),
+          graft.functions.MediaFunctions.mp4MdatChannelStats(
+            col("payload"), stride = 3).as("viaWalk"),
+          graft.functions.MediaFunctions.byteChannelStats(
+            col("raw"), offset = 0, stride = 3).as("direct"))
+        .orderBy("doc_id").collect()
+      got.foreach { r =>
+        assert(!r.isNullAt(1) && !r.isNullAt(2), s"seed $seed doc ${r.getLong(0)}")
+        assert(r.getSeq[Double](1) === r.getSeq[Double](2),
+          s"seed $seed doc ${r.getLong(0)}: walked features != direct kernel")
+      }
+    }
+    // sub-stride bodies have an empty channel: null, never a division
+    val tiny = Seq((0L, "x", "ab")).toDF("doc_id", "media_type", "body")
+      .select(Multimodal.mp4Payload(lit(1), lit(0), lit(1), lit(1),
+        col("body")).as("p"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(graft.functions.DspKernel.mp4MdatChannelStats(tiny, 3) == null)
+  }
+
   test("property: the MP4 walk is total over arbitrary binary garbage") {
     import graft.ops.Multimodal
     val ftypHdr = Array[Byte](0, 0, 0, 24) ++ "ftyp".getBytes
@@ -769,6 +808,9 @@ class PropertiesSpec extends SparkSpec {
       val rows = Multimodal.mp4Stats(df).orderBy("doc_id").collect()
       assert(rows.length === payloads.length) // total: no exception, no drop
       rows.foreach(r => assert(r.getAs[String]("container") != null))
+      // the feature walk shares the framing rules — total on the same set
+      val feats = Multimodal.mp4Features(df).orderBy("doc_id").collect()
+      assert(feats.length === payloads.length)
     }
   }
 }
