@@ -893,6 +893,106 @@ object Similarity {
     GramSketch(d, buf.n, g)
   }
 
+  /** The Gram sketch as a MERGEABLE bounded partial frame — the
+    * streaming-state form of [[gramSketch]], completing train-side
+    * streaming parity for the spectral family (the apply side already
+    * streams via axisDriftStream/principalScores). Rows: (i ≥ 0, j, v)
+    * the NONZERO upper-triangle integer sums, plus three sentinel rows
+    * carrying the scan stats — (-1,-1, n), (-2,-2, min row width),
+    * (-3,-3, max row width). Data rows and n merge by SUM, the width
+    * sentinels by MIN/MAX per kind
+    * (streaming/StreamingMonitors.gramStateSink applies exactly that),
+    * so the merged state after ANY batch split is bit-identical to one
+    * full scan — integer sums are order-free. An empty batch yields an
+    * EMPTY frame (no state perturbation). Bounded ≤ 33k+3 rows. */
+  def gramPartials(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = transform(slice(col("embedding"), 1, GramCap),
+      e => floor(e.cast("double") * lit(1000.0)).cast("long"))
+    val buf = embeddings
+      .filter(col("embedding").isNotNull)
+      .select(q.as("q"), size(col("embedding")).cast("long").as("sz"))
+      .as[(Array[Long], Long)]
+      .select(new GramAgg().toColumn)
+      .head() // one bounded row (the zero buffer on an empty batch)
+    val rows =
+      if (buf.n == 0L) Seq.empty[(Int, Int, Long)]
+      else {
+        val tri = for {
+          i <- 0 until GramCap
+          j <- i until GramCap
+          v = buf.g(i * GramCap - i * (i - 1) / 2 - i + j)
+          if v != 0L
+        } yield (i, j, v)
+        tri ++ Seq((-1, -1, buf.n), (-2, -2, buf.szMin), (-3, -3, buf.szMax))
+      }
+    rows.toDF("i", "j", "v")
+  }
+
+  /** Rebuild the exact [[GramSketch]] from a merged partial-frame state
+    * — the serve half of the streaming seam, with the same loud
+    * empty/ragged/width checks as the one-shot scan (a missing pair row
+    * is a genuine zero sum; a missing SENTINEL is not a Gram state). */
+  private[ops] def gramFromState(state: DataFrame, who: String): GramSketch = {
+    val rows = state
+      .select(col("i").cast("int"), col("j").cast("int"), col("v").cast("long"))
+      .collect() // bounded like the sketch: ≤ 33k + 3 rows
+    val m = rows.map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val n = m.getOrElse((-1, -1), 0L)
+    require(n > 0L, s"$who: empty corpus")
+    val szMin = m.getOrElse((-2, -2),
+      sys.error(s"$who: state has no min-width sentinel — not a Gram state"))
+    val szMax = m.getOrElse((-3, -3),
+      sys.error(s"$who: state has no max-width sentinel — not a Gram state"))
+    require(szMin == szMax,
+      s"$who: ragged embedding dimensions [$szMin, $szMax] — mixed-width corpora have no single axis")
+    require(szMax >= 1L && szMax <= 256L, s"$who: d=$szMax out of [1, 256]")
+    val d = szMax.toInt
+    val g = Array.ofDim[Long](d, d)
+    m.foreach { case ((i, j), v) =>
+      if (i >= 0) {
+        require(i < d && j >= i && j < d,
+          s"$who: pair ($i, $j) outside the d=$d triangle — not a Gram state")
+        g(i)(j) = v; g(j)(i) = v
+      }
+    }
+    GramSketch(d, n, g)
+  }
+
+  /** [[principalDirection]] served from a STREAMED Gram state — the
+    * train face of the spectral family over the versioned merge seam:
+    * the state after any batch split carries the identical integer
+    * sums, so the served axis is bit-equal to the one-shot corpus train
+    * (spec-pinned in StreamingMonitorsSpec). */
+  def principalDirectionFromState(state: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"iters=$iters out of [1, 32]")
+    val spark = state.sparkSession
+    import spark.implicits._
+    val gram = gramFromState(state, "principalDirectionFromState")
+    val (v, lambda, _) = powerIterateGram(gram, iters, Nil)
+    (0 until gram.d).map(j => (j, v(j), lambda)).toDF("dim", "loading", "lambda")
+  }
+
+  /** [[principalDirections]] served from a streamed Gram state — the
+    * deflated rank-k twin, zero corpus reads at serve time. */
+  def principalDirectionsFromState(state: DataFrame, components: Int = 2,
+                                   iters: Int = 8): DataFrame = {
+    require(components >= 1 && components <= 4,
+      s"principalDirectionsFromState: components=$components out of [1, 4]")
+    require(iters >= 1 && iters <= 32, s"iters=$iters out of [1, 32]")
+    val spark = state.sparkSession
+    import spark.implicits._
+    val gram = gramFromState(state, "principalDirectionsFromState")
+    val priors = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    val out = (1 to components).flatMap { c =>
+      val (v, lambda, vq) = powerIterateGram(gram, iters, priors.toSeq)
+      priors += vq
+      (0 until gram.d).map(j => (c, j, v(j), lambda))
+    }
+    out.toDF("component", "dim", "loading", "lambda")
+  }
+
   /** floor-to-BigInt of an integral double (floor makes it integral;
     * the conversion is then exact — the same truncation DuckDB's
     * CAST(floor(·) AS HUGEINT) performs). */

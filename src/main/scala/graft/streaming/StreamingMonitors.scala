@@ -1132,6 +1132,44 @@ object StreamingMonitors {
     else ck).start()
   }
 
+  /** Streaming maintenance of the exact Gram sketch
+    * (ops/Similarity.gramPartials) — the TRAIN face of the spectral
+    * family over the versioned seam: each micro-batch's bounded partial
+    * frame merges into the stored state (pair sums and the n sentinel
+    * by SUM, the width sentinels by MIN/MAX per kind), and because the
+    * Gram is an order-free integer monoid the state after any batch
+    * split is bit-identical to one full corpus scan —
+    * Similarity.principalDirectionFromState serves the axis with zero
+    * corpus reads (spec'd streamed ≡ batch bit-for-bit). Same versioned
+    * idempotent-replay contract as the other merge sinks. */
+  def gramStateSink(embStream: DataFrame, stateDir: String,
+                    checkpoint: Option[String] = None,
+                    availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, max, min, sum, when}
+    val writer = embStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = graft.ops.Similarity.gramPartials(batch)
+        val merged = latestVersionedState(batch.sparkSession, stateDir, batchId) match {
+          case Some(prev) => prev.unionByName(partial)
+            .groupBy("i", "j")
+            .agg(sum("v").as("sv"), min("v").as("mnv"), max("v").as("mxv"))
+            .select(col("i"), col("j"),
+              when(col("i") === -2, col("mnv"))
+                .when(col("i") === -3, col("mxv"))
+                .otherwise(col("sv")).as("v"))
+          case None => partial
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        ()
+      }
+    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow)
+      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else ck).start()
+  }
+
   /** Streaming maintenance of the IVF-PQ serving index — the streaming
     * face of ops/Similarity.indexIncrement, completing the rolling-ingest
     * family (exact dedup, MinHash band table, and centroid partials all

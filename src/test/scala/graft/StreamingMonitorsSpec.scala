@@ -1170,6 +1170,48 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(served.length === 21)
   }
 
+  test("streamed Gram state serves the exact batch spectral axes, any batch split") {
+    // the Gram is an order-free integer monoid, so the merged state
+    // after ANY micro-batch split must serve axes BIT-equal to the
+    // one-shot corpus train — loadings, lambdas, and the deflated
+    // component 2, doubles and all
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding", "label")
+    val rows = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val mem = MemoryStream[(Long, Seq[Float], Int)]
+    val stream = mem.toDF().toDF("vec_id", "embedding", "label")
+    val stateDir = s"${work()}/gram-state"
+    val q = StreamingMonitors.gramStateSink(stream, stateDir)
+    try {
+      // three uneven batches, plus an empty flush between them
+      Seq(0L, 1L, 2L).foreach { m =>
+        mem.addData(rows.filter(_._1 % 3 == m).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val state = StreamingMonitors.latestVersionedState(spark, stateDir).get
+    val served = graft.ops.Similarity.principalDirectionFromState(state)
+      .orderBy("dim").collect().map(_.toSeq)
+    val direct = graft.ops.Similarity.principalDirection(emb)
+      .orderBy("dim").collect().map(_.toSeq)
+    assert(served === direct) // bit-for-bit, lambdas included
+    val served2 = graft.ops.Similarity.principalDirectionsFromState(state, components = 2)
+      .orderBy("component", "dim").collect().map(_.toSeq)
+    val direct2 = graft.ops.Similarity.principalDirections(emb, components = 2)
+      .orderBy("component", "dim").collect().map(_.toSeq)
+    assert(served2 === direct2)
+    // serving a frame that is not a Gram state fails loudly
+    val junk = Seq((0, 0, 1L)).toDF("i", "j", "v")
+    val e = intercept[RuntimeException](
+      graft.ops.Similarity.principalDirectionFromState(junk))
+    assert(e.getMessage.contains("empty corpus") ||
+      e.getMessage.contains("sentinel"))
+  }
+
   test("streamed centroid partials serve the exact batch centroid drift vs a reference") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
