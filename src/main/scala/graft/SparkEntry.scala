@@ -61,6 +61,13 @@ object SparkEntry {
     new java.io.File("target/graft-artifacts/bpe_v1_" + tag + "_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
 
+  /** Stored bigram-LM artifact (w1, w2, n — pair/prefix/V rows):
+    * exact counts round-trip parquet and training is deterministic,
+    * the TextAnalysis.bigramModel train-once/score-many seam. */
+  private def lmArtifactPath(tag: String, dir: String): String =
+    new java.io.File("target/graft-artifacts/lm_v1_" + tag + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     graft.ops.Artifacts.parquetArtifact(s, pairArtifactPath("jaccard", dir))(
       Dedup.ngramJaccard(Tables.documents(s, dir)))
@@ -1176,6 +1183,19 @@ object SparkEntry {
     // add-one smoothing, micro-nat quantized before the per-doc sum
     "text_bigram_lp" -> ((s, dir) =>
       TextAnalysis.bigramLogLik(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // the fluency scorer's train-once/score-many face: scoring through
+    // the STORED model artifact (pair/prefix/V frame) — on the training
+    // corpus every pair is present, so the served scores hash-match the
+    // live trainer's oracle; unseen pairs/prefixes back off to the
+    // add-one floor (spec'd against a driver model)
+    "text_bigram_lp_stored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.bigramScoreFrom(docs,
+        graft.ops.Artifacts.parquetArtifact(s, lmArtifactPath("bigram", dir))(
+          TextAnalysis.bigramModel(docs).coalesce(1)))
+        .orderBy("doc_id")
+    }),
 
     "text_source_scorecard" -> ((s, dir) =>
       TextAnalysis.sourceScorecard(Tables.documents(s, dir)).orderBy("source")),
@@ -3336,30 +3356,12 @@ object SparkEntry {
     // count, V the distinct-suffix vocabulary (add-one smoothing);
     // same quantize-before-sum discipline, single-token docs total with
     // n_bigram 0 and a NULL mean
-    "text_bigram_lp" ->
-      """WITH tkl AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
-        |  SELECT doc_id, unnest(list_transform(range(2, len(tk) + 1),
-        |    i -> {'w1': tk[i - 1], 'w2': tk[i]})) AS b
-        |  FROM tkl WHERE len(tk) >= 2)),
-        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bgf GROUP BY 1, 2),
-        |c1 AS (SELECT w1, count(*) AS c1 FROM bgf GROUP BY 1),
-        |vv AS (SELECT count(DISTINCT w2) AS v FROM bgf),
-        |q AS (SELECT f.doc_id,
-        |    CAST(round(ln(CAST(p.c12 + 1 AS DOUBLE) / CAST(c.c1 + vv.v AS DOUBLE))
-        |      * 1000000) AS BIGINT) AS qlp
-        |  FROM bgf f JOIN c12 p ON f.w1 = p.w1 AND f.w2 = p.w2
-        |  JOIN c1 c ON f.w1 = c.w1 CROSS JOIN vv),
-        |agg AS (SELECT doc_id, count(*) AS n_bigram,
-        |    CAST(sum(qlp) AS BIGINT) AS sum_qlp FROM q GROUP BY 1)
-        |SELECT d.doc_id,
-        |  CAST(coalesce(agg.n_bigram, 0) AS BIGINT) AS n_bigram,
-        |  CAST(coalesce(agg.sum_qlp, 0) AS BIGINT) AS sum_qlp,
-        |  CASE WHEN agg.n_bigram > 0
-        |       THEN CAST(agg.sum_qlp AS DOUBLE) / 1000000.0 / agg.n_bigram
-        |  END AS mean_logprob
-        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "text_bigram_lp" -> BIGRAM_LP_SQL,
+
+    // scoring THROUGH the stored model artifact: on the training corpus
+    // every pair/prefix is present, so the served scores equal the live
+    // trainer exactly — the oracle is literally the live entry's SQL
+    "text_bigram_lp_stored" -> BIGRAM_LP_SQL,
 
     // quality_score reproduced exactly as in text_quality's oracle; the
     // dominant language is the (n, lang)-max per source — the same
@@ -4289,6 +4291,32 @@ object SparkEntry {
       |  CAST(sum(CAST(floor(c * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
       |    / count(*) AS mean_cos
       |FROM asg WHERE rn = 1 GROUP BY rank, center_id ORDER BY rank""".stripMargin
+
+  /** Shared by text_bigram_lp and its stored-model twin. */
+  private val BIGRAM_LP_SQL: String =
+      """WITH tkl AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(2, len(tk) + 1),
+        |    i -> {'w1': tk[i - 1], 'w2': tk[i]})) AS b
+        |  FROM tkl WHERE len(tk) >= 2)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bgf GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bgf GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT w2) AS v FROM bgf),
+        |q AS (SELECT f.doc_id,
+        |    CAST(round(ln(CAST(p.c12 + 1 AS DOUBLE) / CAST(c.c1 + vv.v AS DOUBLE))
+        |      * 1000000) AS BIGINT) AS qlp
+        |  FROM bgf f JOIN c12 p ON f.w1 = p.w1 AND f.w2 = p.w2
+        |  JOIN c1 c ON f.w1 = c.w1 CROSS JOIN vv),
+        |agg AS (SELECT doc_id, count(*) AS n_bigram,
+        |    CAST(sum(qlp) AS BIGINT) AS sum_qlp FROM q GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(agg.n_bigram, 0) AS BIGINT) AS n_bigram,
+        |  CAST(coalesce(agg.sum_qlp, 0) AS BIGINT) AS sum_qlp,
+        |  CASE WHEN agg.n_bigram > 0
+        |       THEN CAST(agg.sum_qlp AS DOUBLE) / 1000000.0 / agg.n_bigram
+        |  END AS mean_logprob
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin
 
   private val TOPK_SQL =
     """SELECT query_id, rank, neighbor_id, cosine FROM (

@@ -227,18 +227,23 @@ object TextAnalysis {
     * pruned doc_id column. Pair/prefix joins are equi-joins on
     * vocabulary-sized build sides — at 100 TB they shuffle on the token
     * keys exactly like the unigram count join, nothing quadratic. */
-  def bigramLogLik(docs: DataFrame, quantum: Long = 1000000L): DataFrame = {
-    val bg = docs
-      // tokenize ONCE per row in its own projection: split referenced
-      // inside the transform lambda re-evaluates per element (quadratic
-      // per doc); then guard BEFORE the sequence — size-1 docs would
-      // otherwise generate the descending sequence(1, 0) and index tk[-1]
+  /** The exploded (doc_id, w1, w2) bigram occurrence frame every bigram
+    * op shares. Tokenize ONCE per row in its own projection: split
+    * referenced inside the transform lambda re-evaluates per element
+    * (quadratic per doc); then guard BEFORE the sequence — size-1 docs
+    * would otherwise generate the descending sequence(1, 0) and index
+    * tk[-1]. */
+  private def bigramFrame(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(tk) - 1), i -> " +
           "struct(tk[i - 1] AS w1, tk[i] AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  def bigramLogLik(docs: DataFrame, quantum: Long = 1000000L): DataFrame = {
+    val bg = bigramFrame(docs)
     Dedup.withScopedCache(bg) { b =>
       val c12 = b.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       val c1 = b.groupBy("w1").agg(count(lit(1)).as("c1"))
@@ -253,6 +258,70 @@ object TextAnalysis {
         .select(col("w1"), col("w2"),
           round(log((col("c12") + 1).cast("double") /
             (col("c1") + col("v")).cast("double")) * quantum)
+            .cast("long").as("qlp"))
+      val scored = b
+        .join(typeScores, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigram"), sum(col("qlp")).as("sum_qlp"))
+      docs.select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigram"), lit(0L)).as("n_bigram"),
+          coalesce(col("sum_qlp"), lit(0L)).as("sum_qlp"),
+          when(col("n_bigram") > 0,
+            col("sum_qlp").cast("double") / quantum.toDouble / col("n_bigram"))
+            .as("mean_logprob"))
+    }
+  }
+
+  /** The trained bigram LM as ONE persistable frame — the
+    * train-once/score-many artifact the fluency scorer stores (the BPE
+    * merge-table shape applied to the LM): pair rows (w1, w2, n = c12),
+    * prefix rows (w1, NULL, n = c1), and the single vocabulary row
+    * (NULL, NULL, n = V). One corpus scan; the frame is
+    * vocabulary-sized. Counts round-trip parquet exactly and training
+    * is deterministic, so a stored model is a cache, never a fork. */
+  def bigramModel(docs: DataFrame): DataFrame = {
+    val bg = bigramFrame(docs)
+    Dedup.withScopedCache(bg) { b =>
+      val ns = lit(null).cast("string")
+      b.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+        .unionByName(b.groupBy("w1").agg(count(lit(1)).as("n"))
+          .select(col("w1"), ns.as("w2"), col("n")))
+        .unionByName(b.agg(count_distinct(col("w2")).as("n"))
+          .select(ns.as("w1"), ns.as("w2"), col("n")))
+    }
+  }
+
+  /** [[bigramLogLik]] scoring against a STORED model — the serve half:
+    * P(w2|w1) = (c12+1)/(c1+V) with c12/c1 read as 0 when the pair or
+    * prefix is unseen, so the add-one floor 1/(c1+V) (or 1/V for an
+    * unseen prefix) prices out-of-corpus continuations instead of
+    * crashing or skipping them (spec'd against a driver model). On the
+    * training corpus itself every pair is present, so scoring through
+    * the stored model equals [[bigramLogLik]] exactly — the stored
+    * entry shares the live entry's oracle. Same plan discipline: batch
+    * bigram TYPES join the vocabulary-sized model tables, then ONE
+    * corpus-sized probe join; the V row is the only cross join. */
+  def bigramScoreFrom(docs: DataFrame, model: DataFrame,
+                      quantum: Long = 1000000L): DataFrame = {
+    require(model.columns.toSet == Set("w1", "w2", "n"),
+      s"bigramScoreFrom: model must be a (w1, w2, n) frame, got ${model.columns.mkString(",")}")
+    val pairs = model.filter(col("w1").isNotNull && col("w2").isNotNull)
+      .select(col("w1"), col("w2"), col("n").cast("long").as("c12"))
+    val prefixes = model.filter(col("w1").isNotNull && col("w2").isNull)
+      .select(col("w1"), col("n").cast("long").as("c1"))
+    val vRow = model.filter(col("w1").isNull && col("w2").isNull)
+      .select(col("n").cast("long").as("v"))
+    val bg = bigramFrame(docs)
+    Dedup.withScopedCache(bg) { b =>
+      val typeScores = b.select("w1", "w2").distinct()
+        .join(pairs, Seq("w1", "w2"), "left")
+        .join(prefixes, Seq("w1"), "left")
+        .crossJoin(broadcast(vRow))
+        .select(col("w1"), col("w2"),
+          round(log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")) * quantum)
             .cast("long").as("qlp"))
       val scored = b
         .join(typeScores, Seq("w1", "w2"))

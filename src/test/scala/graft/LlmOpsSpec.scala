@@ -652,6 +652,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(qlp(("a", "b")) > qlp(("b", "a")))
   }
 
+  test("bigram stored model: serve equals train on the corpus; unseen bigrams back off") {
+    val train = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "b c a"))
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.bigramModel(train)
+    // on the training corpus, scoring through the stored model is the
+    // live trainer bit-for-bit (every pair and prefix present)
+    val served = TextAnalysis.bigramScoreFrom(train, model)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val live = TextAnalysis.bigramLogLik(train)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(served === live)
+    // out-of-corpus continuations: driver model with add-one backoff.
+    // Corpus counts: c12(a,b)=3, c1(a)=3, c1(b)=3, c1(c)=1, V=3.
+    // "a b" seen; "a c" unseen pair, seen prefix -> (0+1)/(3+3);
+    // "z q" unseen prefix -> (0+1)/(0+3)
+    def q(c12: Long, c1: Long): Long =
+      math.round(math.log((c12 + 1).toDouble / (c1 + 3)) * 1e6)
+    val eval = Seq((10L, "a c"), (11L, "z q"), (12L, "a b"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bigramScoreFrom(eval, model).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(10L) === ((1L, q(0, 3))))
+    assert(r(11L) === ((1L, q(0, 0))))
+    assert(r(12L) === ((1L, q(3, 3))))
+    // a frame that is not a model fails loudly
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.bigramScoreFrom(eval, Seq((1L, "x")).toDF("doc_id", "text")))
+    assert(e.getMessage.contains("model"))
+  }
+
   test("source scorecard: counts, floor pass, dominant language with deterministic tie") {
     val docs = Seq(
       (1L, "the a the a one", "web", "en"),   // high stopword ratio → passes floor
