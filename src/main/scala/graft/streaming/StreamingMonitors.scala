@@ -1132,6 +1132,31 @@ object StreamingMonitors {
     else ck).start()
   }
 
+  /** Streaming fluency scoring against a STORED bigram model — the LM
+    * serving face (the scoring service a curation stream runs): each
+    * micro-batch scores through ops/TextAnalysis.bigramScoreFrom —
+    * stream-static joins against the vocabulary-sized model frame,
+    * ZERO cross-batch state, because a doc's score depends only on its
+    * own row and the fixed model — and lands as its own committed
+    * per-batch output. Spec'd: the union of per-batch outputs equals
+    * batch scoring of the union corpus exactly. */
+  def bigramScoreSink(docsStream: DataFrame, model: DataFrame, outDir: String,
+                      checkpoint: Option[String] = None,
+                      availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docsStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.TextAnalysis.bigramScoreFrom(batch, model)
+          .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+        ()
+      }
+    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow)
+      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else ck).start()
+  }
+
   /** Streaming maintenance of the exact Gram sketch
     * (ops/Similarity.gramPartials) — the TRAIN face of the spectral
     * family over the versioned seam: each micro-batch's bounded partial

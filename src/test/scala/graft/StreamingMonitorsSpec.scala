@@ -1170,6 +1170,39 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(served.length === 21)
   }
 
+  test("streamed bigram scoring equals batch scoring against the stored model") {
+    // scoring is per-doc against a FIXED model (stream-static joins,
+    // zero cross-batch state), so the union of per-batch outputs must
+    // equal one batch scoring of the union corpus — including docs
+    // with out-of-model bigrams (the add-one backoff floor)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val train = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "b c a"))
+      .toDF("doc_id", "text")
+    val model = graft.ops.TextAnalysis.bigramModel(train).persist()
+    model.count()
+    val live = Seq((10L, "a b c"), (11L, "z q"), (12L, "solo"), (13L, "c a b"))
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val outDir = s"${work()}/bigram-scores"
+    val q = StreamingMonitors.bigramScoreSink(stream, model, outDir)
+    try {
+      Seq(0L, 1L).foreach { m =>
+        mem.addData(live.filter(_._1 % 2 == m): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$outDir/*")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val batch = graft.ops.TextAnalysis.bigramScoreFrom(
+      live.toDF("doc_id", "text"), model)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    model.unpersist(blocking = false)
+    assert(streamed === batch)
+    assert(streamed.length === 4)
+  }
+
   test("streamed Gram state serves the exact batch spectral axes, any batch split") {
     // the Gram is an order-free integer monoid, so the merged state
     // after ANY micro-batch split must serve axes BIT-equal to the
