@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the text-dedup hot path.
@@ -210,6 +210,280 @@ case class MergeReplay(child: Expression, patterns: Array[UTF8String],
     copy(child = newChild)
 }
 
+/** A trained BPE merge table compiled for the word-wise encoder.
+  *
+  * The replace-chain replay (MergeReplay over the spaced encoding) scans
+  * the WHOLE document string once per merge — ~N×len byte compares for an
+  * N-deep table, which at production depth (1024+) measured ~7 µs/byte:
+  * fine at sf0.1, a cluster-month at 100 TB. The compiled table instead
+  * interns every producible token to an int id (the 26 chars, then each
+  * LIVE merge's output) and holds the pair table as one open-addressed
+  * long→long map: key = leftId<<32|rightId, value = rank<<32|mergedId.
+  * The encoder then prices each word in O(applicable merges × word len)
+  * int compares — independent of table depth.
+  *
+  * Liveness mirrors the string semantics exactly: a merge whose left or
+  * right token can never be PRODUCED (not a char, not the output of an
+  * earlier live merge) can never fire as a string pattern either, so it
+  * gets no pair entry and its output joins no universe. A duplicate
+  * (left, right) pair keeps its FIRST rank: the first pass removes every
+  * non-overlapping occurrence, and later merges can never re-create the
+  * pair (a merged token never equals either of its parts), so the later
+  * entry is dead in both models. Merge tokens are required to be
+  * `[a-z]+` — the only tokens training over the spaced `[a-z]` encoding
+  * can produce; anything else would make the string pattern depend on
+  * byte content the token model cannot see, so it is rejected loudly.
+  *
+  * BpeSpec pins the encoder bit-for-bit against the replace-chain path —
+  * golden corpus, the real documents table, and adversarial generated
+  * tables (dead merges, duplicates, rank inversions). */
+final class BpeTable private (
+    val tokenBytes: Array[Array[Byte]],
+    val pairKeys: Array[Long],
+    val pairVals: Array[Long],
+    val mask: Int) extends Serializable {
+
+  /** rank<<32|mergedId for the pair leftId<<32|rightId, or -1 if the pair
+    * is not a live merge. */
+  def lookup(key: Long): Long = {
+    var i = (scala.util.hashing.byteswap64(key) & mask).toInt
+    while (true) {
+      val k = pairKeys(i)
+      if (k == key) return pairVals(i)
+      if (k == -1L) return -1L
+      i = (i + 1) & mask
+    }
+    -1L // unreachable: the table keeps ≥ half its slots empty
+  }
+}
+
+object BpeTable {
+  def build(lefts: Seq[String], rights: Seq[String]): BpeTable = {
+    require(lefts.length == rights.length,
+      s"merge table mismatch: ${lefts.length} lefts vs ${rights.length} rights")
+    val toId = new java.util.HashMap[String, Integer]()
+    val tokens = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var c = 'a'
+    while (c <= 'z') {
+      toId.put(c.toString, tokens.length)
+      tokens += Array(c.toByte)
+      c = (c + 1).toChar
+    }
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var rank = 0
+    while (rank < lefts.length) {
+      val l = lefts(rank)
+      val r = rights(rank)
+      require(l.nonEmpty && l.forall(ch => ch >= 'a' && ch <= 'z') &&
+        r.nonEmpty && r.forall(ch => ch >= 'a' && ch <= 'z'),
+        s"merge tokens must be [a-z]+, got ('$l', '$r') at rank $rank")
+      val li = toId.get(l)
+      val ri = toId.get(r)
+      if (li != null && ri != null) { // both producible → the merge is live
+        val key = li.toLong << 32 | ri.toLong
+        if (seen.add(key)) { // duplicate pairs: first rank wins, rest are dead
+          val merged = l + r
+          var mi = toId.get(merged)
+          if (mi == null) {
+            mi = tokens.length
+            toId.put(merged, mi)
+            tokens += merged.getBytes("UTF-8")
+          }
+          entries += key -> (rank.toLong << 32 | mi.toLong)
+        }
+      }
+      rank += 1
+    }
+    var cap = 4
+    while (cap < entries.length * 2) cap <<= 1
+    val keys = Array.fill(cap)(-1L)
+    val vals = new Array[Long](cap)
+    entries.foreach { case (k, v) =>
+      var i = (scala.util.hashing.byteswap64(k) & (cap - 1)).toInt
+      while (keys(i) != -1L) i = (i + 1) & (cap - 1)
+      keys(i) = k
+      vals(i) = v
+    }
+    new BpeTable(tokens.toArray, keys, vals, cap - 1)
+  }
+}
+
+/** The word-wise BPE encoder: the depth-independent fast twin of the
+  * replace-chain replay over the spaced encoding (Bpe.docSeqReplay).
+  *
+  * Identical word model: split on the single space byte with Java
+  * limit -1 semantics (ALL empties kept), an empty word prices as the
+  * U+0001 sentinel, a non-`[a-z]+` word passes verbatim as ONE token,
+  * and a vocabulary word starts as per-char tokens. Merges then apply in
+  * rank order with leftmost non-overlapping sweeps; `minAllowed` renders
+  * the order IRREVOCABLE — a sweep that creates a pair of an
+  * already-passed rank leaves it unmerged, exactly as the global
+  * replace chain would (its pass is over). Both consumers collapse the
+  * spaced encoding anyway (count: non-space runs; segments: single-space
+  * normalize), so the encoder emits the normalized forms directly. */
+object BpeEncodeKernel {
+
+  /** Encode one `[a-z]+` word in place; returns the final token count.
+    * `ids` arrives as the per-char token ids. */
+  private def encodeWord(ids: Array[Int], len: Int, t: BpeTable): Int = {
+    var n = len
+    var minAllowed = 0L
+    while (n > 1) {
+      var bestRank = Long.MaxValue
+      var bestA = 0
+      var bestB = 0
+      var bestM = 0
+      var j = 0
+      while (j < n - 1) {
+        val v = t.lookup(ids(j).toLong << 32 | ids(j + 1).toLong)
+        if (v != -1L) {
+          val rk = v >>> 32
+          if (rk >= minAllowed && rk < bestRank) {
+            bestRank = rk
+            bestA = ids(j)
+            bestB = ids(j + 1)
+            bestM = v.toInt
+          }
+        }
+        j += 1
+      }
+      if (bestRank == Long.MaxValue) return n
+      var w = 0
+      j = 0
+      while (j < n) {
+        if (j < n - 1 && ids(j) == bestA && ids(j + 1) == bestB) {
+          ids(w) = bestM
+          j += 2
+        } else {
+          ids(w) = ids(j)
+          j += 1
+        }
+        w += 1
+      }
+      n = w
+      minAllowed = bestRank + 1
+    }
+    n
+  }
+
+  private def isVocab(b: Array[Byte], s: Int, e: Int): Boolean = {
+    var i = s
+    while (i < e) {
+      if (b(i) < 'a' || b(i) > 'z') return false
+      i += 1
+    }
+    true
+  }
+
+  /** Total BPE token count of the document. */
+  def count(text: UTF8String, t: BpeTable): Long = {
+    val b = text.getBytes
+    var total = 0L
+    var ws = 0
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == ' ') {
+        val len = i - ws
+        if (len == 0 || !isVocab(b, ws, i)) total += 1L // sentinel or OOV
+        else {
+          val ids = new Array[Int](len)
+          var k = 0
+          while (k < len) { ids(k) = b(ws + k) - 'a'; k += 1 }
+          total += encodeWord(ids, len, t)
+        }
+        ws = i + 1
+      }
+      i += 1
+    }
+    total
+  }
+
+  /** The document's BPE token stream, single-space-joined (word
+    * boundaries flatten) — the normalized `segments` form. */
+  def join(text: UTF8String, t: BpeTable): UTF8String = {
+    val b = text.getBytes
+    val out = new java.io.ByteArrayOutputStream(b.length + 16)
+    var first = true
+    def sep(): Unit = { if (!first) out.write(' '); first = false }
+    var ws = 0
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == ' ') {
+        val len = i - ws
+        if (len == 0) { sep(); out.write(1) }
+        else if (!isVocab(b, ws, i)) { sep(); out.write(b, ws, len) }
+        else {
+          val ids = new Array[Int](len)
+          var k = 0
+          while (k < len) { ids(k) = b(ws + k) - 'a'; k += 1 }
+          val n = encodeWord(ids, len, t)
+          k = 0
+          while (k < n) {
+            sep()
+            val tok = t.tokenBytes(ids(k))
+            out.write(tok, 0, tok.length)
+            k += 1
+          }
+        }
+        ws = i + 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
+}
+
+/** `graft_bpe_count(text)`; the merge table is fixed at plan time. */
+case class BpeEncodeCount(child: Expression, lefts: Seq[String], rights: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  private val table = BpeTable.build(lefts, rights)
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_bpe_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeEncodeKernel.count(input.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("bpeTable", table, "graft.functions.BpeTable")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeEncodeKernel$$.MODULE$$.count($c, $t)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_bpe_join(text)`: the single-space-joined token stream. */
+case class BpeEncodeJoin(child: Expression, lefts: Seq[String], rights: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  private val table = BpeTable.build(lefts, rights)
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "graft_bpe_join"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeEncodeKernel.join(input.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("bpeTable", table, "graft.functions.BpeTable")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeEncodeKernel$$.MODULE$$.join($c, $t)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Codegen'd distinct word n-gram shingles. */
   def shingles(text: Column, n: Int): Column =
@@ -225,4 +499,14 @@ object TextFunctions {
     Bridge.column(MergeReplay(Bridge.expression(seq),
       patterns.map(UTF8String.fromString).toArray,
       replacements.map(UTF8String.fromString).toArray))
+
+  /** Word-wise BPE token count of raw text — depth-independent, spec-pinned
+    * bit-equal to counting the merge-replay output. */
+  def bpeCount(text: Column, lefts: Seq[String], rights: Seq[String]): Column =
+    Bridge.column(BpeEncodeCount(Bridge.expression(text), lefts, rights))
+
+  /** Word-wise BPE token stream of raw text, single-space-joined —
+    * spec-pinned bit-equal to the normalized merge-replay output. */
+  def bpeJoin(text: Column, lefts: Seq[String], rights: Seq[String]): Column =
+    Bridge.column(BpeEncodeJoin(Bridge.expression(text), lefts, rights))
 }

@@ -172,7 +172,7 @@ object Bpe {
     * 100 TB shape: the corpus cost is ONE scan (the word-count
     * aggregate); the driver works on ≤ vocabLimit rows — the same
     * bounded-artifact seam as the k-center exemplars, just a deeper
-    * in-memory loop. Apply-side depth is free: [[docSeq]]'s replay is a
+    * in-memory loop. Apply-side depth is free: [[docSeqReplay]]'s replay is a
     * constant-size codegen'd loop over the table. */
   def trainDeep(docs: DataFrame, nMerges: Int = 1024,
                 vocabLimit: Int = 65536): Seq[Merge] =
@@ -354,7 +354,7 @@ object Bpe {
     * the replace chain inside an interpreted higher-order lambda
     * (measured ~3x slower); here the lambda only encodes, and the 16
     * replaces are codegen'd string ops. Tokens = non-space runs. */
-  private def docSeq(text: Column, merges: Seq[Merge]): Column = {
+  private[graft] def docSeqReplay(text: Column, merges: Seq[Merge]): Column = {
     val encoded = transform(split(text, " "), w =>
       when(w.rlike("^[a-z]+$"), seqEncode(w))
         .when(length(w) === 0, lit(" \u0001 "))
@@ -368,8 +368,27 @@ object Bpe {
       merges.map(m => s" ${m.left}${m.right} "))
   }
 
+  /** The replace-chain pricer — [[docSeqReplay]] counted. Retained as the
+    * semantic reference the word-wise encoder is spec-pinned against
+    * (BpeSpec: fast ≡ replay, bit-for-bit). */
+  private[graft] def docTokensReplay(text: Column, merges: Seq[Merge]): Column =
+    size(split(trim(docSeqReplay(text, merges)), " +")).cast("long")
+
+  /** [[docSeqReplay]]'s normalized token stream — the segments form. */
+  private[graft] def docSegmentsReplay(text: Column, merges: Seq[Merge]): Column =
+    regexp_replace(trim(docSeqReplay(text, merges)), " +", " ")
+
+  // The serving path: the word-wise compiled-table encoder
+  // (functions/BpeEncodeKernel). O(applicable merges × word len) int
+  // compares per word instead of O(table depth × doc len) byte compares
+  // per document — the replay chain measured ~7 µs/byte at production
+  // depth (1024 merges), which prices a 100 TB corpus in cluster-months;
+  // the compiled table is depth-independent. Bit-equality with the
+  // replay chain is spec-pinned on the golden corpus, the real documents
+  // table, and adversarial generated tables.
   private def docTokens(text: Column, merges: Seq[Merge]): Column =
-    size(split(trim(docSeq(text, merges)), " +")).cast("long")
+    graft.functions.TextFunctions.bpeCount(text,
+      merges.map(_.left), merges.map(_.right))
 
   /** The per-row BPE token pricer as a bare column — the composition
     * seam for consumers that take a token expression (sequence packing,
@@ -403,7 +422,8 @@ object Bpe {
   def segments(docs: DataFrame, merges: Seq[Merge]): DataFrame =
     docs.select(
       col("doc_id"),
-      regexp_replace(trim(docSeq(col("text"), merges)), " +", " ").as("bpe_text"))
+      graft.functions.TextFunctions.bpeJoin(col("text"),
+        merges.map(_.left), merges.map(_.right)).as("bpe_text"))
       .withColumn("n_bpe_tokens",
         size(split(col("bpe_text"), " ")).cast("long"))
 

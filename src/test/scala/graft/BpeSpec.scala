@@ -217,6 +217,79 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("word-wise encoder ≡ replace-chain replay on the real corpus at production depth") {
+    import org.apache.spark.sql.functions.col
+    // the serving path (compiled-table encoder) must be bit-identical to
+    // the retained replace-chain reference on REAL documents under the
+    // full production-depth table — token streams and counts both
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.trainDeep(docs, nMerges = 1024)
+    assert(merges.size > 64, s"need a production-depth table, got ${merges.size}")
+    val seg = docs.select(col("doc_id"),
+        Bpe.docSegmentsReplay(col("text"), merges).as("want"))
+      .join(Bpe.segments(docs, merges), "doc_id")
+    assert(seg.filter(col("want") =!= col("bpe_text")).count() === 0L,
+      "token streams diverged from the replay reference")
+    val cnt = docs.select(col("doc_id"),
+        Bpe.docTokensReplay(col("text"), merges).as("want"))
+      .join(Bpe.tokenCounts(docs, merges), "doc_id")
+      .filter(col("want") =!= col("n_bpe_tokens")).count()
+    assert(cnt === 0L, "token counts diverged from the replay reference")
+  }
+
+  test("property: encoder ≡ replay under adversarial merge tables") {
+    import org.apache.spark.sql.functions.col
+    // generated corpora (fixed seeds, the raw-ScalaCheck convention)
+    // with multi-space runs, OOV, unicode, and empty words, against
+    // tables holding DEAD merges (unproducible sides), DUPLICATE pairs,
+    // and compound-token chains in arbitrary order — the compiled
+    // table's liveness/first-rank/minAllowed rules must reproduce the
+    // replace chain bit-for-bit on every one
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word: Gen[String] = Gen.frequency(
+      6 -> Gen.choose(1, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd', 'e')).map(_.mkString)),
+      1 -> Gen.oneOf("X9", "a-b", "é", "Ab", "9", ""),
+      1 -> Gen.const(""))
+    val text: Gen[String] = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val tok: Gen[String] = Gen.oneOf(
+      "a", "b", "c", "d", "e", "f", "ab", "bc", "cd", "ea",
+      "abc", "bcd", "abab", "q", "qq")
+    val table: Gen[List[(String, String)]] = Gen.choose(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(tok, tok)))
+    (1L to 8L).foreach { seed =>
+      val texts = Gen.listOfN(6, text)
+        .pureApply(Gen.Parameters.default, Seed(seed))
+      val pairs = table.pureApply(Gen.Parameters.default, Seed(seed + 100))
+      val merges = pairs.zipWithIndex.map { case ((l, r), i) => Merge(i + 1, l, r, 1L) }
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val seg = docs.select(col("doc_id"),
+          Bpe.docSegmentsReplay(col("text"), merges).as("want"))
+        .join(Bpe.segments(docs, merges), "doc_id")
+        .select("doc_id", "want", "bpe_text").collect()
+      seg.foreach(r => assert(r.getString(1) === r.getString(2),
+        s"seed $seed doc ${r.getLong(0)} under $pairs"))
+    }
+    // the empty table is the identity encoding
+    val docs = Seq((0L, "ab  x9 c")).toDF("doc_id", "text")
+    val row = Bpe.segments(docs, Seq.empty).collect().head
+    assert(row.getString(1) === "a b \u0001 x9 c")
+  }
+
+  test("the compiled table rejects non-[a-z]+ merge tokens loudly") {
+    // a stored artifact with a space or uppercase inside a token would
+    // make the string pattern depend on bytes the token model cannot
+    // see — the builder must refuse, not silently diverge
+    val e = intercept[IllegalArgumentException] {
+      Bpe.tokenCounts(Seq((0L, "ab")).toDF("doc_id", "text"),
+        Seq(Merge(1, "a b", "c", 1L))).collect()
+    }
+    assert(e.getMessage.contains("[a-z]+"))
+  }
+
   test("tokenBudget twin prices the same kept set as the whitespace budget") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val ws = graft.ops.Curation.tokenBudget(docs)
