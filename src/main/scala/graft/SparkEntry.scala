@@ -1122,6 +1122,12 @@ object SparkEntry {
       Similarity.principalCoords(emb, a1, a2).orderBy("vec_id")
     }),
 
+    // representation-health check: exact mean pairwise cosine +
+    // mean-vector norm over the unit-normalized corpus, one scan, no
+    // pairwise join (the sum-of-sums identity on micro-quantized coords)
+    "q_embed_isotropy" -> ((s, dir) =>
+      Similarity.isotropy(Tables.embeddings(s, dir))),
+
     "q_embed_quantize" -> ((s, dir) => {
       val q = Quantization.quantize(Tables.embeddings(s, dir))
       q.select(
@@ -3108,6 +3114,29 @@ object SparkEntry {
     "q_embed_axis_outliers" -> PCA_OUTLIERS_SQL,
     "q_embed_principal2" -> PCA2_SQL,
     "q_embed_coords2" -> PCA_COORDS_SQL,
+
+    "q_embed_isotropy" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |b AS (SELECT x, sqrt(list_inner_product(x, x)) AS nr FROM e),
+        |bq AS (SELECT list_transform(x, xe ->
+        |    CAST(floor(1000000.0 * xe / nr) AS BIGINT)) AS q
+        |  FROM b WHERE nr > 0),
+        |qx AS (SELECT u.pr.i AS i, u.pr.e AS e
+        |  FROM (SELECT unnest(list_transform(q, (e, i) -> {'i': i, 'e': e})) AS pr
+        |        FROM bq) u),
+        |dims AS (SELECT i, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(e) AS HUGEINT) AS s, SUM(CAST(e AS HUGEINT) * e) AS t2
+        |  FROM qx GROUP BY i),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS d, max(cnt) AS n,
+        |    SUM(s * s) AS ss, SUM(t2) AS t FROM dims)
+        |SELECT n AS n_vectors, d AS n_dims,
+        |  CAST(ss - t AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * 1000000000000.0)
+        |    AS mean_pair_cosine,
+        |  sqrt(CAST(ss AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000.0
+        |    AS mean_vector_norm
+        |FROM tot""".stripMargin,
 
     "q_embed_quantize" ->
       ("""SELECT vec_id,

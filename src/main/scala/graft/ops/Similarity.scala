@@ -1237,4 +1237,72 @@ object Similarity {
       .select(col("query_id"), col("n_true"), col("n_hits"),
         (col("n_hits").cast("double") / col("n_true")).as("recall"))
   }
+
+  /** Embedding-space anisotropy diagnostics — the representation-health
+    * check a training pipeline runs before trusting cosine similarity
+    * at all. An isotropic embedding space has mean pairwise cosine ≈ 0;
+    * contextual encoders are notoriously anisotropic (all vectors
+    * share a dominant direction), which silently inflates every
+    * similarity score downstream (dedup thresholds, ANN recall, label
+    * cohesion). Two numbers over the unit-normalized corpus:
+    *
+    *  - `mean_pair_cosine`: the exact mean cosine over ALL n(n−1)
+    *    ordered pairs — computed WITHOUT the pairwise join via the
+    *    identity Σ_{r≠s} ⟨u_r,u_s⟩ = ‖Σ_r u_r‖² − Σ_r ‖u_r‖²;
+    *  - `mean_vector_norm`: ‖mean vector‖ — the anisotropy direction's
+    *    magnitude (≈ √mean_pair_cosine for large n).
+    *
+    * Exactness discipline (the gramSketch pattern): each normalized
+    * coordinate quantizes to micro-units (floor(1e6·x/‖x‖), per-row
+    * double ops are engine-exact), then everything is INTEGER sums —
+    * per-dimension S_k and per-dimension Σq² — combined by the identity
+    * above in decimal, with ONE double division at the end. Order-free,
+    * partitioning-invariant, and the oracle replays the identical
+    * relation.
+    *
+    * 100 TB shape: ONE corpus scan, no pairwise join — the explode
+    * shuffles d small integer partials per input partition (map-side
+    * combined), the final reduce is d rows. Null embeddings and
+    * zero-norm rows carry no direction and are excluded; a ragged
+    * corpus (mixed widths — detectable as unequal per-dimension row
+    * counts, dimension 0 is in every surviving row) fails loudly via
+    * raise_error rather than averaging incomparable spaces. Overflow
+    * bound: |S_k| ≤ n·1e6 holds in decimal(19) to n ≈ 1e13 rows,
+    * Σ S_k² ≤ d·n²·1e12 in decimal(38) far past that. */
+  def isotropy(embeddings: DataFrame): DataFrame = {
+    val q = embeddings
+      .filter(col("embedding").isNotNull)
+      .select(toDouble(col("embedding")).as("x"))
+      .select(col("x"), sqrt(VectorFunctions.dot(col("x"), col("x"))).as("nr"))
+      .filter(col("nr") > 0.0)
+      .select(transform(col("x"),
+        e => floor(lit(1000000.0) * e / col("nr"))).as("q"))
+    val dims = q
+      .select(posexplode(col("q")).as(Seq("i", "e")))
+      .groupBy("i")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("e").cast("decimal(19,0)")).as("s"),
+        sum((col("e") * col("e")).cast("decimal(38,0)")).as("t2"))
+    dims
+      .agg(
+        count(lit(1)).as("d"),
+        max("cnt").as("n"),
+        min("cnt").as("cmin"),
+        sum(col("s").cast("decimal(19,0)") * col("s").cast("decimal(19,0)")).as("ss"),
+        sum(col("t2")).as("t"))
+      .select(
+        col("n").as("n_vectors"),
+        when(col("cmin") === col("n"), col("d"))
+          .otherwise(raise_error(format_string(
+            "isotropy: ragged embedding widths (dimension seen %s..%s times)",
+            col("cmin"), col("n")))).as("n_dims"),
+        when(col("n") >= 2L,
+          (col("ss") - col("t")).cast("double") /
+            (col("n").cast("double") * (col("n") - 1L).cast("double") * lit(1.0e12)))
+          .otherwise(raise_error(lit(
+            "isotropy: need at least 2 non-null nonzero vectors"))).as("mean_pair_cosine"),
+        (sqrt(col("ss").cast("double")) / col("n").cast("double") / lit(1000000.0))
+          .as("mean_vector_norm"))
+  }
 }

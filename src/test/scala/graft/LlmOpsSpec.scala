@@ -440,6 +440,58 @@ class LlmOpsSpec extends SparkSpec {
     assert(Similarity.kCenterSelect(emb, k = 10).count() === 4)
   }
 
+  test("isotropy: hand-computed mean pairwise cosine; nulls, zeros, scale drop out") {
+    // e1, e1, e2 — pairs: (1,2) cos 1 twice, the four e1/e2 pairs cos 0
+    // → mean 2/6 = 1/3 EXACTLY (quantized micro-coords are ±1e6/0, so
+    // the sum-of-sums identity is integer-exact here). The third e1 is
+    // scaled — normalization must erase magnitude — and a null row plus
+    // a zero vector carry no direction and must not perturb anything.
+    val rows = Seq(
+      (0L, Some(Array(1.0, 0.0, 0.0))),
+      (1L, Some(Array(4.5, 0.0, 0.0))), // scaled e1
+      (2L, Some(Array(0.0, 1.0, 0.0))),
+      (3L, None),
+      (4L, Some(Array(0.0, 0.0, 0.0)))) // zero norm
+      .toDF("vec_id", "embedding")
+    val r = Similarity.isotropy(rows).collect().head
+    assert(r.getLong(0) === 3L)
+    assert(r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 1.0 / 3.0)
+    // ‖Σu‖ = ‖(2,1,0)‖·1e6 micro-units → √5/3 exactly at this fixture
+    assert(math.abs(r.getDouble(3) - math.sqrt(5.0) / 3.0) < 1e-9)
+
+    // independent driver-side brute force on an irrational fixture:
+    // quantize with the same formula, sum all ordered pairs directly
+    val vecs = Seq(
+      Array(0.3, -1.2, 0.77), Array(-0.9, 0.4, 0.1),
+      Array(2.0, 2.0, -0.5), Array(-0.2, -0.2, -0.2), Array(1.1, 0.0, 0.9))
+    val q = vecs.map { v =>
+      val nr = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => math.floor(1000000.0 * x / nr).toLong)
+    }
+    val n = q.length
+    var num = BigInt(0)
+    for (a <- q; b <- q if !(a eq b))
+      num += (0 until 3).map(k => BigInt(a(k)) * b(k)).sum
+    val want = num.toDouble / (n.toDouble * (n - 1).toDouble * 1.0e12)
+    val got = Similarity.isotropy(
+      vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")).collect().head
+    assert(got.getDouble(2) === want)
+
+    // ragged widths and sub-2 corpora fail loudly, never average
+    val ragged = intercept[Exception] {
+      Similarity.isotropy(Seq((0L, Array(1.0, 0.0)), (1L, Array(1.0, 0.0, 0.0)))
+        .toDF("vec_id", "embedding")).collect()
+    }
+    assert(ragged.getMessage.contains("ragged embedding widths"))
+    val tiny = intercept[Exception] {
+      Similarity.isotropy(Seq((0L, Array(1.0, 0.0)))
+        .toDF("vec_id", "embedding")).collect()
+    }
+    assert(tiny.getMessage.contains("at least 2"))
+  }
+
   test("recall audit: full-probe k-center serving scores exactly 1.0; dup served rows don't inflate") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     // full probe (nprobe = numCenters) degenerates to brute force — every
