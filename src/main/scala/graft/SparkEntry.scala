@@ -1257,6 +1257,13 @@ object SparkEntry {
     "text_token_budget" -> ((s, dir) =>
       Curation.tokenBudget(Tables.documents(s, dir)).orderBy("source")),
 
+    // the mixture PLAN over that budget: α=½ temperature allocation of a
+    // 1B-token budget across sources (sqrt is the one engine-portable
+    // temperature; weights quantize to integer micro-units)
+    "q_mix_temperature" -> ((s, dir) =>
+      Sampling.temperatureMix(Tables.documents(s, dir), 1000000000L)
+        .orderBy("source")),
+
     // ---- LLM-pipeline: subword (BPE) tokenization ------------------------
     // the merge-table artifact (train-once seam like centroids/codebooks),
     // the per-doc subword pricing it enables, and the train-ready budget
@@ -3237,6 +3244,21 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CAST(quality_score AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS mean_quality
         |FROM kept GROUP BY 1 ORDER BY lang""".stripMargin),
+
+    "q_mix_temperature" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT *, CAST(floor(1000000.0 * sqrt(CAST(n_tokens AS DOUBLE)))
+        |    AS BIGINT) AS weight FROM s),
+        |t AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM w)
+        |SELECT source, n_docs, n_tokens, weight,
+        |  CAST(weight AS DOUBLE) / CAST(tw AS DOUBLE) AS share,
+        |  CAST(weight AS DOUBLE) * 1000000000.0 / CAST(tw AS DOUBLE)
+        |    AS alloc_tokens,
+        |  CAST(weight AS DOUBLE) * 1000000000.0 / CAST(tw AS DOUBLE)
+        |    / CAST(n_tokens AS DOUBLE) AS epochs
+        |FROM w, t ORDER BY source""".stripMargin,
 
     // the post-curation budget by SOURCE: the same kept set, priced in
     // whitespace tokens — what the training run actually reads

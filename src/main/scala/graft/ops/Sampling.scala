@@ -248,6 +248,45 @@ object Sampling {
     }
   }
 
+  /** The temperature-mixing PLAN as an oracle-checkable frame — the
+    * token-priced twin of [[mixtureRates]]. mixtureRates answers "what
+    * per-doc keep rate per stratum" driver-side (arbitrary α via
+    * `math.pow`, fine off-plan); this op answers the budgeting question
+    * a run actually starts from: given a token budget B and per-source
+    * token masses n_s, the α=½ temperature allocation
+    * share_s = √n_s / Σ√n_t, alloc_s = share_s·B, epochs_s = alloc_s/n_s
+    * — the standard up-weighting of small sources (mC4/XLM-R style).
+    *
+    * α is FIXED at ½ here on purpose: `sqrt` is IEEE
+    * correctly-rounded in every engine, `pow(x, 0.3)` is not — a
+    * libm-dependent ulp would break the oracle hash. The weight
+    * quantizes to micro-units (floor(1e6·√n), per-row double ops are
+    * engine-exact) so the normalizer is an INTEGER sum — order-free,
+    * partitioning-invariant — and shares/allocations are per-row
+    * divisions of exact integers. Sources are a bounded dimension: one
+    * corpus scan, one tiny aggregate, a window total over ≤ sources
+    * rows. Weight bound: 1e6·√n holds in long to n ≈ 8e25 tokens. */
+  def temperatureMix(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0L, s"temperatureMix: budget $budgetTokens")
+    val perSource = docs
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("weight",
+        floor(lit(1000000.0) * sqrt(col("n_tokens").cast("double"))))
+    val total = Window.partitionBy()
+    perSource
+      .withColumn("tw", sum("weight").over(total))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        (col("weight").cast("double") / col("tw").cast("double")).as("share"),
+        (col("weight").cast("double") * lit(budgetTokens.toDouble) /
+          col("tw").cast("double")).as("alloc_tokens"),
+        (col("weight").cast("double") * lit(budgetTokens.toDouble) /
+          col("tw").cast("double") / col("n_tokens").cast("double")).as("epochs"))
+  }
+
   def deterministicShuffle(docs: DataFrame, seed: String): DataFrame =
     docs.withColumn("shuffle_key", idHash(col("doc_id"), seed))
       .orderBy("shuffle_key")

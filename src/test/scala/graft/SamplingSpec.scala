@@ -293,6 +293,31 @@ class SamplingSpec extends SparkSpec {
     assert(sampled.count() > 0)
   }
 
+  test("temperature mix: hand-computed sqrt allocation on perfect-square masses") {
+    // token masses 9/4/1 → weights 3e6/2e6/1e6 EXACTLY (sqrt of a
+    // perfect square is exact, the micro-floor is a no-op) → shares
+    // 1/2, 1/3, 1/6 and a 6000-token budget deals 3000/2000/1000;
+    // epochs re-price each allocation in the source's own mass
+    val docs = Seq(
+      (0L, "t t t t t", "a"), (1L, "t t t t", "a"), // 9 tokens
+      (2L, "t t t t", "b"), //                         4 tokens
+      (3L, "t", "c") //                                1 token
+    ).toDF("doc_id", "text", "source")
+    val r = Sampling.temperatureMix(docs, budgetTokens = 6000L)
+      .orderBy("source").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getDouble(5), x.getDouble(6)))).toMap
+    assert(r("a") === ((2L, 9L, 3000000L, 0.5, 3000.0, 3000.0 / 9.0)))
+    assert(r("b") === ((1L, 4L, 2000000L, 1.0 / 3.0, 2000.0, 500.0)))
+    assert(r("c") === ((1L, 1L, 1000000L, 1.0 / 6.0, 1000.0, 1000.0)))
+    // shares always sum to 1 within one ulp-per-source; epochs > 1 marks
+    // a source the budget would repeat — here the rare ones
+    assert(math.abs(r.values.map(_._4).sum - 1.0) < 1e-12)
+    val e = intercept[IllegalArgumentException](
+      Sampling.temperatureMix(docs, budgetTokens = 0L))
+    assert(e.getMessage.contains("budget"))
+  }
+
   test("leakage-safe split gives every member of a dup cluster the same assignment") {
     val docs = (0L until 40L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     // clusters {0,1,2} and {10,11}; everything else singleton
