@@ -1215,6 +1215,11 @@ object SparkEntry {
     "text_source_entropy" -> ((s, dir) =>
       TextAnalysis.sourceEntropy(Tables.documents(s, dir)).orderBy("source")),
 
+    // Zipf-law fit over the frequency head: OLS slope/intercept on the
+    // micro-quantized log-rank/log-count line (healthy prose ≈ −1)
+    "text_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfFit(Tables.documents(s, dir))),
+
     // quality-floor threshold sweep: docs/tokens surviving each candidate
     // floor — the curve read before committing to the scorecard floor
     "text_quality_calibration" -> ((s, dir) =>
@@ -3522,6 +3527,29 @@ object SparkEntry {
         |  CAST(sum(qent) AS BIGINT) AS sum_qent,
         |  CAST(CAST(sum(qent) AS BIGINT) AS DOUBLE) / 1000000.0 AS entropy_nats
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+
+    // OLS moments as exact HUGEINT sums of micro-nat points; slope and
+    // intercept are single divisions of the integer cross-products
+    "text_zipf" ->
+      """WITH counts AS (SELECT w, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk
+        |  FROM (SELECT w, cnt FROM counts ORDER BY cnt DESC, w LIMIT 500)),
+        |pts AS (SELECT
+        |    CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        |  FROM top),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx FROM pts)
+        |SELECT k AS n_fit,
+        |  CAST(k * sxy - sx * sy AS DOUBLE)
+        |    / CAST(k * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+        |  CAST(sy * sxx - sx * sxy AS DOUBLE)
+        |    / CAST(k * sxx - sx * sx AS DOUBLE) / 1000000.0 AS intercept_ln
+        |FROM m""".stripMargin,
 
     // quality_score reproduced exactly as in text_quality's oracle, then
     // floored to integer micro-units BEFORE bucketing (the money rule);

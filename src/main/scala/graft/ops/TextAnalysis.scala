@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for a training-data pipeline, over `documents`:
@@ -641,4 +642,61 @@ object TextAnalysis {
       col("doc_id"),
       fingerprintExpr(col("text")).as("content_fp"),
       fingerprintExpr(substring(col("text"), 1, 64)).as("prefix_fp"))
+
+  /** Zipf-law fit over the token frequency spectrum — the vocabulary-
+    * health scalar: natural corpora sit near slope −1 on the
+    * log-rank/log-frequency line; a collapsed slope (≫ −1, flat) marks
+    * boilerplate/template farms, a steep one (≪ −1) a vocabulary
+    * starved of mid-frequency words. The OLS fit runs over the top-K
+    * tokens by (count desc, token) — the frequency head carries the
+    * law; the long tail is where Zipf breaks down in every corpus.
+    *
+    * Exactness discipline (the unigramLogLik micro-nat rule): ln(rank)
+    * and ln(count) quantize to integer micro-nats per row, every OLS
+    * moment (Σx, Σy, Σxy, Σx²) is then an exact integer, and
+    * slope/intercept are single divisions of exact decimal
+    * cross-products — the micro-nat scale cancels in the slope, and one
+    * final /1e6 returns the intercept to nats (the fitted ln count at
+    * rank 1). Moment bounds for K ≤ 1e4 and counts ≤ 1e18 sit inside
+    * decimal(20,0); the cross-products inside decimal(38,0).
+    *
+    * 100 TB shape: one exploded scan → vocabulary aggregate → top-K by
+    * TakeOrdered (distributed, never a global sort), then the fit is
+    * arithmetic over K rows. A sub-2-point spectrum has no line and
+    * fails loudly. */
+  def zipfFit(docs: DataFrame, topK: Int = 500,
+              quantum: Long = 1000000L): DataFrame = {
+    require(topK >= 2, s"zipfFit: topK=$topK needs at least 2 points")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val pts = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(topK) // TakeOrdered
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("w"))))
+      .select(
+        round(log(col("rnk").cast("double")) * quantum).cast("long").as("x"),
+        round(log(col("cnt").cast("double")) * quantum).cast("long").as("y"))
+    pts
+      .agg(
+        count(lit(1)).as("k"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(20,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(20,0)")).as("sxx"))
+      .select(
+        col("k").as("n_fit"),
+        when(col("k") >= 2L,
+          (d19(col("k")) * col("sxy") - d19(col("sx")) * d19(col("sy")))
+            .cast("double") /
+            (d19(col("k")) * col("sxx") - d19(col("sx")) * d19(col("sx")))
+              .cast("double"))
+          .otherwise(raise_error(lit(
+            "zipfFit: need at least 2 distinct tokens to fit a line")))
+          .as("zipf_slope"),
+        ((d19(col("sy")) * col("sxx") - d19(col("sx")) * col("sxy"))
+          .cast("double") /
+          (d19(col("k")) * col("sxx") - d19(col("sx")) * d19(col("sx")))
+            .cast("double") / lit(1000000.0)).as("intercept_ln"))
+  }
 }

@@ -659,6 +659,45 @@ class LlmOpsSpec extends SparkSpec {
     assert(r(3L) === ((1L, 1L, 0.0)))
   }
 
+  test("zipf fit: slope −1 on a perfect 1/r spectrum; exact OLS vs driver moments") {
+    import graft.ops.TextAnalysis
+    // perfect Zipf: counts 12/6/4/3 at ranks 1..4 → ln c = ln 12 − ln r,
+    // so the fitted slope is −1 and the intercept ln 12 (up to the
+    // micro-nat quantization of each point)
+    val words = Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")
+    val perfect = TextAnalysis.zipfFit(
+      Seq((0L, words.mkString(" "))).toDF("doc_id", "text")).collect().head
+    assert(perfect.getLong(0) === 4L)
+    assert(math.abs(perfect.getDouble(1) + 1.0) < 1e-5)
+    assert(math.abs(perfect.getDouble(2) - math.log(12.0)) < 1e-5)
+    // driver-side exact replication of the quantized OLS on the real
+    // corpus: same ranks, same micro-nat points, BigInt moments — the
+    // fit must match to the last bit (same JVM log, exact integer sums)
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = TextAnalysis.zipfFit(real, topK = 50).collect().head
+    val counts = real.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r2 => r2.getString(0) -> r2.getLong(1))
+    val top = counts.sortBy { case (w, c) => (-c, w) }.take(50)
+    val pts = top.zipWithIndex.map { case ((_, c), i) =>
+      (Math.round(math.log(i + 1.0) * 1e6), Math.round(math.log(c.toDouble) * 1e6))
+    }
+    val k = BigInt(pts.length)
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val den = (k * sxx - sx * sx).toDouble
+    assert(got.getLong(0) === top.length.toLong)
+    assert(got.getDouble(1) === (k * sxy - sx * sy).toDouble / den)
+    assert(got.getDouble(2) === (sy * sxx - sx * sxy).toDouble / den / 1e6)
+    // a single-token vocabulary has no line — loud, not NaN
+    val e = intercept[Exception](TextAnalysis.zipfFit(
+      Seq((0L, "x x x")).toDF("doc_id", "text")).collect())
+    assert(e.getMessage.contains("at least 2"))
+  }
+
   test("unigram log-likelihood: quantized sums match a driver-side model, common beats rare") {
     // corpus: N=6 tokens; counts a=3, b=2, z=1
     val docs = Seq((1L, "a a a"), (2L, "b b"), (3L, "z")).toDF("doc_id", "text")
