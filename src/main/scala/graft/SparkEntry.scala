@@ -1215,6 +1215,11 @@ object SparkEntry {
     "text_source_entropy" -> ((s, dir) =>
       TextAnalysis.sourceEntropy(Tables.documents(s, dir)).orderBy("source")),
 
+    // data-mixture drift: KL(source ‖ corpus) over token distributions,
+    // exact integer micro-nats; shares the entropy state frame
+    "text_source_kl" -> ((s, dir) =>
+      TextAnalysis.sourceKl(Tables.documents(s, dir)).orderBy("source")),
+
     // Zipf-law fit over the frequency head: OLS slope/intercept on the
     // micro-quantized log-rank/log-count line (healthy prose ≈ −1)
     "text_zipf" -> ((s, dir) =>
@@ -3527,6 +3532,37 @@ object SparkEntry {
         |  CAST(sum(qent) AS BIGINT) AS sum_qent,
         |  CAST(CAST(sum(qent) AS BIGINT) AS DOUBLE) / 1000000.0 AS entropy_nats
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+
+    // per-token (ln p_s − ln C_w)·p_s quantized to integer micro-nats
+    // BEFORE the per-source sum, mirroring the Spark expression
+    // left-associatively; the scalar +ln N lands on the #sources rollup
+    "text_source_kl" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |counts AS (SELECT source, w, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |aug AS (SELECT source,
+        |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_tokens,
+        |    CAST(sum(cnt) OVER (PARTITION BY w) AS BIGINT) AS cw, cnt
+        |  FROM counts),
+        |q AS (SELECT source, n_tokens,
+        |    CAST(round((ln(CAST(cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |        - ln(CAST(cw AS DOUBLE)))
+        |      * (CAST(cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |      * 1000000) AS BIGINT) AS qkl
+        |  FROM aug),
+        |r AS (SELECT source, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(sum(qkl) AS BIGINT) AS sum_qkl_rel FROM q GROUP BY 1),
+        |f AS (SELECT source, n_tokens,
+        |    CAST(sum(n_tokens) OVER () AS BIGINT) AS corpus_tokens,
+        |    sum_qkl_rel FROM r)
+        |SELECT source, n_tokens, corpus_tokens,
+        |  CAST(sum_qkl_rel
+        |    + CAST(round(ln(CAST(corpus_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+        |    AS BIGINT) AS sum_qkl,
+        |  CAST(CAST(sum_qkl_rel
+        |    + CAST(round(ln(CAST(corpus_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+        |    AS BIGINT) AS DOUBLE) / 1000000.0 AS kl_nats
+        |FROM f ORDER BY source""".stripMargin,
 
     // OLS moments as exact HUGEINT sums of micro-nat points; slope and
     // intercept are single divisions of the integer cross-products

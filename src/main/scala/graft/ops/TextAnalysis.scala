@@ -531,6 +531,51 @@ object TextAnalysis {
         (col("sum_qent").cast("double") / quantum.toDouble).as("entropy_nats"))
   }
 
+  /** Per-source KL divergence from the corpus token distribution —
+    * KL(source ‖ corpus) = Σ_w p_s(w)·ln(p_s(w)·N/C_w) — the data-mixture
+    * drift signal a curation engineer reads next to [[sourceEntropy]]:
+    * a source whose language matches the corpus scores near 0; a
+    * template farm or off-domain crawl scores high. Decomposed as
+    * Σ p_s·(ln p_s − ln C_w) + ln N so the corpus-total term leaves the
+    * vocabulary-grain stage entirely: the per-token stage needs only the
+    * per-source total (source window) and the per-token corpus count
+    * (token window) over the SAME counts frame — one corpus scan, no
+    * second aggregate branch — and the scalar +ln N lands on the
+    * #sources-row rollup, where a global window is free. Per-token terms
+    * are quantized to integer micro-nats BEFORE the per-source sum (the
+    * raw-double-sum rule); terms here CAN be negative (ln p − ln C_w
+    * flips sign), and both engines round doubles half-away-from-zero, so
+    * the boundary convention matches. Shares [[entropyPartials]] as its
+    * mergeable state frame, so the streaming entropy state sink serves
+    * this op too. */
+  def sourceKl(docs: DataFrame, quantum: Long = 1000000L): DataFrame =
+    sourceKlServe(entropyPartials(docs), quantum)
+
+  /** The serve half of [[sourceKl]] over a (source, w, cnt) counts frame
+    * — live or merged from the streaming entropy state seam. */
+  def sourceKlServe(counts: DataFrame, quantum: Long = 1000000L): DataFrame = {
+    val bySource = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val byToken = org.apache.spark.sql.expressions.Window.partitionBy("w")
+    // global window ONLY on the #sources-row rollup (sources are a
+    // dimension; the vocabulary-grain frame never single-partitions)
+    val global = org.apache.spark.sql.expressions.Window.partitionBy()
+    val p = col("cnt").cast("double") / col("n_tokens").cast("double")
+    counts
+      .withColumn("n_tokens", sum("cnt").over(bySource))
+      .withColumn("cw", sum("cnt").over(byToken))
+      .select(col("source"), col("n_tokens"),
+        round((log(p) - log(col("cw").cast("double"))) * p *
+          lit(quantum.toDouble)).cast("long").as("qkl"))
+      .groupBy("source")
+      .agg(max("n_tokens").as("n_tokens"), sum("qkl").as("sum_qkl_rel"))
+      .withColumn("corpus_tokens", sum("n_tokens").over(global))
+      .select(col("source"), col("n_tokens"), col("corpus_tokens"),
+        (col("sum_qkl_rel") +
+          round(log(col("corpus_tokens").cast("double")) *
+            lit(quantum.toDouble)).cast("long")).as("sum_qkl"))
+      .withColumn("kl_nats", col("sum_qkl").cast("double") / quantum.toDouble)
+  }
+
   /** Quality-floor calibration curve: for each candidate floor t = k·5%,
     * how many docs and tokens survive — the sweep a curation engineer
     * reads before committing to [[sourceScorecard]]'s floor (choosing a

@@ -317,8 +317,9 @@ class BpeSpec extends SparkSpec {
 
   test("merge artifact: train once, price many — a re-touch runs zero training jobs") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-    val dir = java.nio.file.Files.createTempDirectory(
-      new java.io.File("target/test-out").getAbsoluteFile.toPath, "bpe").toString
+    val dir = { val b = new java.io.File("target/test-out").getAbsoluteFile.toPath
+      java.nio.file.Files.createDirectories(b)
+      java.nio.file.Files.createTempDirectory(b, "bpe") }.toString
     val path = s"$dir/merges"
     // first touch trains deep and persists the frame
     val stored = Bpe.mergeArtifact(docs, path, nMerges = 24)

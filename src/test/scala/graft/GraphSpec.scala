@@ -21,8 +21,9 @@ class GraphSpec extends SparkSpec {
   test("components artifact: read-back equals recompute; re-touch runs no closure jobs") {
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id1", "id2")
     val docs = (0L to 12L).map(Tuple1(_)).toDF("doc_id")
-    val dir = java.nio.file.Files.createTempDirectory(
-      new java.io.File("target/test-out").getAbsoluteFile.toPath, "comps").toString
+    val dir = { val b = new java.io.File("target/test-out").getAbsoluteFile.toPath
+      java.nio.file.Files.createDirectories(b)
+      java.nio.file.Files.createTempDirectory(b, "comps") }.toString
     val path = s"$dir/c"
     val direct = Graph.connectedComponents(pairs)
     val fromArtifact = graft.ops.Artifacts.parquetArtifact(spark, path)(direct)

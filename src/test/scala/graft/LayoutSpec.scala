@@ -45,8 +45,9 @@ class LayoutSpec extends SparkSpec {
     // overlaps it — min/max stats let the reader skip the rest.
     val n = 128L
     val df = spark.range(n * n).select((col("id") % n).as("x"), (col("id") / n).cast("long").as("y"))
-    val base = java.nio.file.Files.createTempDirectory(
-      new java.io.File("target/test-out").getAbsoluteFile.toPath, "zorder").toString
+    val base = { val b = new java.io.File("target/test-out").getAbsoluteFile.toPath
+      java.nio.file.Files.createDirectories(b)
+      java.nio.file.Files.createTempDirectory(b, "zorder") }.toString
     df.repartition(16).write.parquet(s"$base/flat")
     Layout.clusterByZorder(df, col("x"), col("y"), partitions = 16, bits = 7)
       .drop("zkey").write.parquet(s"$base/z")
@@ -100,8 +101,9 @@ class LayoutSpec extends SparkSpec {
     // the reused broadcast, so the pruning is free). At 100 TB this is
     // the difference between scanning 2 and 8 date/type partitions when
     // the dim filter survives 2 — no static predicate could know which.
-    val base = java.nio.file.Files.createTempDirectory(
-      new java.io.File("target/test-out").getAbsoluteFile.toPath, "dpp").toString
+    val base = { val b = new java.io.File("target/test-out").getAbsoluteFile.toPath
+      java.nio.file.Files.createDirectories(b)
+      java.nio.file.Files.createTempDirectory(b, "dpp") }.toString
     spark.range(800)
       .select((col("id") % 8).cast("string").as("pt"), col("id").as("v"))
       .selectExpr("concat('type_', pt) AS event_type", "v")

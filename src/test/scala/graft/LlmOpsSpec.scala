@@ -380,8 +380,9 @@ class LlmOpsSpec extends SparkSpec {
 
   test("IVF pre-trained centroid artifact reproduces self-training output bit-for-bit") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val dir = java.nio.file.Files.createTempDirectory(
-      new java.io.File("target/test-out").getAbsoluteFile.toPath, "centroids").toString
+    val dir = { val b = new java.io.File("target/test-out").getAbsoluteFile.toPath
+      java.nio.file.Files.createDirectories(b)
+      java.nio.file.Files.createTempDirectory(b, "centroids") }.toString
     val path = s"$dir/c"
     // first touch trains and writes; the artifact is a tiny parquet file
     val c1 = Similarity.centroidArtifact(emb, path, k = 16, iterations = 2)
@@ -581,8 +582,9 @@ class LlmOpsSpec extends SparkSpec {
 
   test("a partial artifact dir without _SUCCESS is rebuilt, not trusted") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val dir = java.nio.file.Files.createTempDirectory(
-      new java.io.File("target/test-out").getAbsoluteFile.toPath, "centroidsPartial").toString
+    val dir = { val b = new java.io.File("target/test-out").getAbsoluteFile.toPath
+      java.nio.file.Files.createDirectories(b)
+      java.nio.file.Files.createTempDirectory(b, "centroidsPartial") }.toString
     val path = s"$dir/c"
     // simulate a crash mid-write: a parquet file landed but no _SUCCESS
     val c1 = Similarity.centroidArtifact(emb, path, k = 4, iterations = 0)
@@ -599,8 +601,9 @@ class LlmOpsSpec extends SparkSpec {
     // exists, so the old local-only probe would retrain on EVERY call.
     // The Hadoop-resolved probe must see the artifact on the second call.
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val dir = java.nio.file.Files.createTempDirectory(
-      new java.io.File("target/test-out").getAbsoluteFile.toPath, "centroidsFsUri").toString
+    val dir = { val b = new java.io.File("target/test-out").getAbsoluteFile.toPath
+      java.nio.file.Files.createDirectories(b)
+      java.nio.file.Files.createTempDirectory(b, "centroidsFsUri") }.toString
     val path = s"file:$dir/c"
     assert(!new java.io.File(path, "_SUCCESS").exists()) // the probe java.io.File can't model
     Similarity.centroidArtifact(emb, path, k = 4, iterations = 0)
@@ -968,6 +971,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(a.getAs[Long]("sum_qent") === qa)
     assert(a.getAs[Double]("entropy_nats") === qa.toDouble / 1e6)
     assert(b.getAs[Long]("n_tokens") === 2L && b.getAs[Long]("sum_qent") === 0L)
+  }
+
+  test("sourceKl: quantized micro-nat terms sum to the exact corpus KL") {
+    // same fixture as sourceEntropy: A = {a:3, b:1} of 4; B = {c:2} of 2;
+    // corpus N=6 with C_a=3, C_b=1, C_c=2
+    val docs = Seq((1L, "a a b", "en", "A", 5L), (2L, "a", "en", "A", 1L),
+                   (3L, "c c", "en", "B", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.sourceKl(docs).orderBy("source").collect()
+    def q(p: Double, cw: Double): Long =
+      math.round((math.log(p) - math.log(cw)) * p * 1e6)
+    val lnN = math.round(math.log(6.0) * 1e6)
+    val a = r(0); val b = r(1)
+    assert(a.getAs[Long]("n_tokens") === 4L)
+    assert(a.getAs[Long]("corpus_tokens") === 6L)
+    val qa = q(3.0 / 4, 3.0) + q(1.0 / 4, 1.0) + lnN
+    assert(a.getAs[Long]("sum_qkl") === qa)
+    assert(a.getAs[Double]("kl_nats") === qa.toDouble / 1e6)
+    val qb = q(1.0, 2.0) + lnN
+    assert(b.getAs[Long]("n_tokens") === 2L && b.getAs[Long]("sum_qkl") === qb)
+    // degenerate: a single source IS the corpus ⇒ KL = 0 up to the
+    // per-term quantization residue (≤ half a micro-nat per distinct token)
+    val solo = Seq((1L, "x y", "en", "S", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r2 = TextAnalysis.sourceKl(solo).collect()(0)
+    assert(math.abs(r2.getAs[Long]("sum_qkl")) <= 2L)
+  }
+
+  test("sourceKl serve over the entropy state frame equals the direct batch form") {
+    val docs = Seq((1L, "a a b", "en", "A", 5L), (2L, "a", "en", "A", 1L),
+                   (3L, "c c", "en", "B", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val viaState = TextAnalysis.sourceKlServe(TextAnalysis.entropyPartials(docs))
+      .orderBy("source").collect()
+    val direct = TextAnalysis.sourceKl(docs).orderBy("source").collect()
+    assert(viaState.toSeq === direct.toSeq)
   }
 
   test("multimodal: JPEG marker walk and FLAC bit-group decode round-trip the built bytes") {

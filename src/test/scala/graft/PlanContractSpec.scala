@@ -435,6 +435,14 @@ class PlanContractSpec extends SparkSpec {
       s"entropy rescanned the corpus:\n$p")
   }
 
+  test("source KL computes both totals by window over one corpus scan, never a join") {
+    val p = plan("text_source_kl")
+    assert(p.contains("Window"), s"windowed totals lost in:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+    assert(p.linesIterator.count(_.contains("documents.parquet")) == 1,
+      s"source KL rescanned the corpus:\n$p")
+  }
+
   test("quality calibration scans the corpus once; the sweep joins only the bounded histogram") {
     val p = plan("text_quality_calibration")
     assert(p.linesIterator.count(_.contains("documents.parquet")) == 1,
