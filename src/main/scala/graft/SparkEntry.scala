@@ -1220,6 +1220,13 @@ object SparkEntry {
     "text_source_kl" -> ((s, dir) =>
       TextAnalysis.sourceKl(Tables.documents(s, dir)).orderBy("source")),
 
+    // portable-HLL cardinality certificate: the md5-register sketch AND
+    // the exact distinct count from one linear plan, realized error
+    // reported next to the estimate (real 100 TB use calls
+    // Sketches.hllRegisters and skips the exact pass)
+    "q_distinct_hll" -> ((s, dir) =>
+      graft.ops.Sketches.hllCertificate(Tables.events(s, dir), col("user_id"))),
+
     // Zipf-law fit over the frequency head: OLS slope/intercept on the
     // micro-quantized log-rank/log-count line (healthy prose ≈ −1)
     "text_zipf" -> ((s, dir) =>
@@ -3532,6 +3539,49 @@ object SparkEntry {
         |  CAST(sum(qent) AS BIGINT) AS sum_qent,
         |  CAST(CAST(sum(qent) AS BIGINT) AS DOUBLE) / 1000000.0 AS entropy_nats
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+
+    // every HLL register replayed from the same md5: bucket = 12-bit hex
+    // prefix mod 512, rank = 61 − bitlen of the next 60 bits (bin() is
+    // minimal in both engines); the indicator sum is EXACT integer
+    // (1 << (63−M_j), absent registers 2^63) with one final double
+    // division; literals mirror the Spark expression left-associatively
+    "q_distinct_hll" ->
+      """WITH vals AS (SELECT user_id AS v, count(*) AS n_occ FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1),
+        |hs AS (SELECT md5('hll:' || CAST(v AS VARCHAR)) AS h FROM vals),
+        |pr AS (SELECT
+        |    CAST(('0x' || substr(h, 1, 3))::BIGINT % 512 AS INTEGER) AS bucket,
+        |    CAST(CASE WHEN ('0x' || substr(h, 4, 15))::BIGINT = 0 THEN 61
+        |      ELSE 61 - length(bin(('0x' || substr(h, 4, 15))::BIGINT))
+        |    END AS INTEGER) AS rho
+        |  FROM hs),
+        |regs AS (SELECT bucket, max(rho) AS m_j, count(*) AS n_vals
+        |  FROM pr GROUP BY 1),
+        |a AS (SELECT count(*) AS n_present,
+        |    sum(1::BIGINT << (63 - m_j)) AS sum_present,
+        |    sum(n_vals) AS n_exact FROM regs),
+        |s AS (SELECT CAST(n_present AS BIGINT) AS n_present,
+        |    CAST(COALESCE(n_exact, 0) AS BIGINT) AS n_exact,
+        |    COALESCE(sum_present, 0)
+        |      + (512 - n_present) * CAST('9223372036854775808' AS HUGEINT)
+        |      AS sum_scaled FROM a),
+        |e AS (SELECT n_present, n_exact,
+        |    CAST(0.7213 AS DOUBLE)
+        |      / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(512.0 AS DOUBLE))
+        |      * CAST(262144.0 AS DOUBLE) * CAST(9.223372036854775808e18 AS DOUBLE)
+        |      / CAST(sum_scaled AS DOUBLE) AS est_raw,
+        |    512 - n_present AS v_zero FROM s),
+        |f AS (SELECT n_present, n_exact,
+        |    CASE WHEN est_raw <= CAST(2.5 AS DOUBLE) * CAST(512.0 AS DOUBLE)
+        |        AND v_zero > 0
+        |      THEN CAST(512.0 AS DOUBLE)
+        |        * ln(CAST(512.0 AS DOUBLE) / CAST(v_zero AS DOUBLE))
+        |      ELSE est_raw END AS est_hll FROM e)
+        |SELECT 512 AS m_registers, n_exact, n_present, est_hll,
+        |  CASE WHEN n_exact > 0 THEN
+        |    (est_hll - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+        |  END AS rel_err
+        |FROM f""".stripMargin,
 
     // per-token (ln p_s − ln C_w)·p_s quantized to integer micro-nats
     // BEFORE the per-source sum, mirroring the Spark expression

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed cardinality sketching — a HyperLogLog built from the
+  * repo's portable md5 hash (Flajolet/Fusy/Gandouet/Meunier 2007), as
+  * relational operators instead of an opaque binary blob: the register
+  * table IS a DataFrame, so it merges by `max`, persists as parquet,
+  * serves from streaming state, and — unlike `approx_count_distinct`'s
+  * engine-private HLL++ — replays bit-for-bit in ANY engine that can
+  * render md5 hex and a minimal binary string (the DuckDB oracle
+  * recomputes every register and the whole estimate).
+  *
+  * Scale shape: the builder is one corpus scan into a ≤m-group hash
+  * aggregate — map-side combine collapses each partition to ≤m rows
+  * before the (tiny) shuffle, so a 1000-executor run moves KBs. The
+  * certificate entry additionally prices the EXACT distinct count
+  * (value-grain shuffle) to report the sketch's realized error; real
+  * 100 TB use calls [[hllRegisters]]/[[hllEstimate]] and skips it. */
+object Sketches {
+
+  /** Register index and rank for one hashed value: bucket = 12-bit hex
+    * prefix mod m (uniform while m divides 4096, i.e. b ≤ 12); rank =
+    * leading zeros in the NEXT 60 hash bits + 1 ∈ [1, 61] (via the
+    * minimal binary rendering both engines share: bitlen = length(bin x),
+    * rank = 61 − bitlen, x = 0 ⇒ 61). */
+  private[ops] def bucketCol(h: Column, m: Int): Column =
+    (conv(substring(h, 1, 3), 16, 10).cast("int") % m).as("bucket")
+
+  private[ops] def rhoCol(h: Column): Column = {
+    val x = conv(substring(h, 4, 15), 16, 10).cast("long")
+    when(x === 0L, 61).otherwise(lit(61) - length(bin(x))).cast("int").as("rho")
+  }
+
+  private def hash(value: Column, seed: String): Column =
+    md5(concat(lit(seed), value.cast("string")))
+
+  private def requireB(b: Int): Int = {
+    require(b >= 4 && b <= 12, s"HLL precision b must be in [4, 12], got $b")
+    1 << b
+  }
+
+  /** The sketch builder — the 100 TB path: one scan, per-partition
+    * combine to ≤m register rows, one tiny shuffle. Output (bucket, m_j)
+    * is the mergeable state: union two register frames and re-max to
+    * merge sketches (see [[hllMerge]]); maintain it from a stream the
+    * same way. */
+  def hllRegisters(df: DataFrame, value: Column, b: Int = 9,
+                   seed: String = "hll:"): DataFrame = {
+    val m = requireB(b)
+    val h = hash(value, seed)
+    df.filter(value.isNotNull)
+      .select(bucketCol(h, m), rhoCol(h))
+      .groupBy("bucket").agg(max("rho").as("m_j"))
+  }
+
+  /** Sketch union: registers merge by plain max — the property that makes
+    * HLL shardable across days/sources/executors with zero error added. */
+  def hllMerge(regsA: DataFrame, regsB: DataFrame): DataFrame =
+    regsA.unionByName(regsB).groupBy("bucket").agg(max("m_j").as("m_j"))
+
+  /** Estimate from a (bucket, m_j) register frame (≤m rows). The raw
+    * harmonic-mean estimate keeps the indicator sum EXACT: each register
+    * contributes the integer 2^(63−m_j) (absent registers contribute
+    * 2^63), summed in decimal(38,0) — no float accumulation — with ONE
+    * final double division; the small-range (linear counting) correction
+    * applies below 2.5m when empty registers remain, exactly as
+    * published. Every double op mirrors the oracle literally. */
+  def hllEstimate(regs: DataFrame, b: Int = 9): DataFrame = {
+    val m = requireB(b)
+    estimateCore(regs.agg(
+      count(lit(1)).as("n_present"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 63 - m_j)").cast(DecimalType(38, 0)))
+        .as("sum_present")), m)
+      .select("m_registers", "n_present", "est_hll")
+  }
+
+  /** The oracle-checked certificate: sketch AND exact distinct count from
+    * one linear plan (value-grain pre-aggregate → register aggregate →
+    * single-row estimate), reporting the realized relative error next to
+    * the estimate. This is the expensive form — the exact count is the
+    * thing the sketch exists to avoid — run at audit time, not per-batch. */
+  def hllCertificate(df: DataFrame, value: Column, b: Int = 9,
+                     seed: String = "hll:"): DataFrame = {
+    val m = requireB(b)
+    val h = hash(col("v"), seed)
+    val regs = df.filter(value.isNotNull).select(value.as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_occ"))
+      .select(bucketCol(h, m), rhoCol(h))
+      .groupBy("bucket").agg(max("rho").as("m_j"), count(lit(1)).as("n_vals"))
+    estimateCore(regs.agg(
+      count(lit(1)).as("n_present"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 63 - m_j)").cast(DecimalType(38, 0)))
+        .as("sum_present"),
+      sum("n_vals").as("n_exact")), m)
+      .select(col("m_registers"), col("n_exact"), col("n_present"),
+        col("est_hll"),
+        when(col("n_exact") > 0L,
+          (col("est_hll") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double")).as("rel_err"))
+  }
+
+  /** Shared final-select: alpha_m·m²·2^63 / Σ 2^(63−M_j) with the
+    * linear-counting branch. All literals combine left-associatively in
+    * the exact order the oracle writes them. */
+  private def estimateCore(agg1: DataFrame, m: Int): DataFrame = {
+    val md = m.toDouble
+    val two63 = lit(9.223372036854775808e18)
+    val withExact = agg1.columns.contains("n_exact")
+    val base = agg1.select(
+      (Seq(
+        lit(m).as("m_registers"),
+        col("n_present").cast("long").as("n_present"),
+        (coalesce(col("sum_present"), lit(0).cast(DecimalType(38, 0))) +
+          (lit(m) - col("n_present")).cast(DecimalType(38, 0)) *
+            lit(BigDecimal(2).pow(63)).cast(DecimalType(38, 0))).as("sum_scaled")) ++
+        (if (withExact) Seq(coalesce(col("n_exact"), lit(0L)).cast("long").as("n_exact"))
+         else Seq.empty)): _*)
+    base.select(
+      (Seq(
+        col("m_registers"), col("n_present"),
+        (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(md)) * lit(md * md) *
+          two63 / col("sum_scaled").cast("double")).as("est_raw"),
+        (lit(m).cast("long") - col("n_present")).as("v_zero")) ++
+        (if (withExact) Seq(col("n_exact")) else Seq.empty)): _*)
+      .withColumn("est_hll",
+        when(col("est_raw") <= lit(2.5) * lit(md) && col("v_zero") > 0L,
+          lit(md) * log(lit(md) / col("v_zero").cast("double")))
+          .otherwise(col("est_raw")))
+  }
+}
