@@ -1220,6 +1220,13 @@ object SparkEntry {
     "text_source_kl" -> ((s, dir) =>
       TextAnalysis.sourceKl(Tables.documents(s, dir)).orderBy("source")),
 
+    // count-min sketch certificate: exact top-20 token counts next to
+    // their 4×1024-cell sketch estimates (overcount ≥ 0 by construction);
+    // one scan — the counts frame is scope-cached like dedup postings
+    "q_heavy_cms" -> ((s, dir) =>
+      graft.ops.Sketches.cmsCertificate(Tables.documents(s, dir))
+        .orderBy(col("n_exact").desc, col("token"))),
+
     // portable-HLL cardinality certificate: the md5-register sketch AND
     // the exact distinct count from one linear plan, realized error
     // reported next to the estimate (real 100 TB use calls
@@ -3539,6 +3546,32 @@ object SparkEntry {
         |  CAST(sum(qent) AS BIGINT) AS sum_qent,
         |  CAST(CAST(sum(qent) AS BIGINT) AS DOUBLE) / 1000000.0 AS entropy_nats
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+
+    // every CMS cell replayed: col_i = 12-bit prefix of md5('cms:i:'‖w)
+    // mod 1024, cells exact integer sums, estimate = min over the 4 rows
+    "q_heavy_cms" ->
+      """WITH counts AS (SELECT w, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |top AS (SELECT w, cnt AS n_exact FROM counts
+        |  ORDER BY cnt DESC, w LIMIT 20),
+        |cells AS (SELECT i AS row,
+        |    CAST(('0x' || substr(md5('cms:' || CAST(i AS VARCHAR) || ':' || w),
+        |      1, 3))::BIGINT % 1024 AS INTEGER) AS col,
+        |    CAST(sum(cnt) AS BIGINT) AS cell
+        |  FROM counts, (SELECT unnest([0, 1, 2, 3]) AS i)
+        |  GROUP BY 1, 2),
+        |probes AS (SELECT t.w, t.n_exact, c.cell
+        |  FROM top t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) r
+        |  JOIN cells c ON c.row = r.i
+        |    AND c.col = CAST(('0x' || substr(
+        |      md5('cms:' || CAST(r.i AS VARCHAR) || ':' || t.w), 1, 3))::BIGINT
+        |      % 1024 AS INTEGER))
+        |SELECT w AS token, CAST(n_exact AS BIGINT) AS n_exact,
+        |  CAST(min(cell) AS BIGINT) AS est_cms,
+        |  CAST(min(cell) - n_exact AS BIGINT) AS overcount
+        |FROM probes GROUP BY w, n_exact
+        |ORDER BY n_exact DESC, token""".stripMargin,
 
     // every HLL register replayed from the same md5: bucket = 12-bit hex
     // prefix mod 512, rank = 61 − bitlen of the next 60 bits (bin() is

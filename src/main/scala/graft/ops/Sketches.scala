@@ -102,6 +102,71 @@ object Sketches {
             col("n_exact").cast("double")).as("rel_err"))
   }
 
+  // ---------------------------------------------------------------------
+  // Count-min sketch (Cormode/Muthukrishnan 2005) — the frequency sibling
+  // of the HLL: d=4 salted md5 rows × w=1024 columns of EXACT counted
+  // cells, so point estimates are never under the truth (min over rows ≥
+  // true count, overcount bounded by 2N/w per row in expectation). Cells
+  // merge by plain SUM — shard/stream union is lossless, the same
+  // monoid discipline as the HLL's max and the BPE vocab's add.
+  // ---------------------------------------------------------------------
+
+  private val cmsDepth = 4
+  private val cmsWidth = 1024
+
+  private def cmsCol(i: Int, token: Column): Column =
+    (conv(substring(md5(concat(lit(s"cms:$i:"), token)), 1, 3), 16, 10)
+      .cast("int") % cmsWidth).as("col")
+
+  /** Sketch cells from a (w, cnt) token-count frame: ≤ d·w = 4096 rows.
+    * The explode is per-VOCAB-row (d structs each), not per-corpus-row —
+    * the corpus was already collapsed by the counts aggregate. */
+  def cmsCells(counts: DataFrame): DataFrame = {
+    val rows = (0 until cmsDepth).map { i =>
+      struct(lit(i).as("row"), cmsCol(i, col("w")).as("col"))
+    }
+    counts
+      .select(explode(array(rows: _*)).as("rc"), col("cnt"))
+      .groupBy(col("rc.row").as("row"), col("rc.col").as("col"))
+      .agg(sum("cnt").as("cell"))
+  }
+
+  /** Sketch union: cells merge by sum (counts are a monoid). */
+  def cmsMerge(cellsA: DataFrame, cellsB: DataFrame): DataFrame =
+    cellsA.unionByName(cellsB).groupBy("row", "col").agg(sum("cell").as("cell"))
+
+  /** Point estimates for a frame of probe tokens (column `w`): min over
+    * the d probed cells. The cells side is ≤4096 rows — broadcast, so a
+    * million-token probe frame runs join-local with zero shuffle. */
+  def cmsEstimate(cells: DataFrame, probes: DataFrame): DataFrame = {
+    val rows = (0 until cmsDepth).map { i =>
+      struct(lit(i).as("row"), cmsCol(i, col("w")).as("col"))
+    }
+    probes
+      .select(col("w"), explode(array(rows: _*)).as("rc"))
+      .select(col("w"), col("rc.row").as("row"), col("rc.col").as("col"))
+      .join(broadcast(cells), Seq("row", "col"))
+      .groupBy("w").agg(min("cell").as("est_cms"))
+  }
+
+  /** The oracle-checked certificate: exact top-k token counts next to
+    * their sketch estimates, overcount on display. ONE corpus scan — the
+    * token-count frame is scope-cached (the dedup postings pattern) and
+    * feeds both the 4096-cell sketch and the exact top-k head. */
+  def cmsCertificate(docs: DataFrame, k: Int = 20): DataFrame = {
+    val counts = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    Dedup.withScopedCache(counts) { c =>
+      val top = c.orderBy(col("cnt").desc, col("w")).limit(k)
+        .select(col("w"), col("cnt").as("n_exact"))
+      cmsEstimate(cmsCells(c), top.select("w"))
+        .join(broadcast(top), Seq("w"))
+        .select(col("w").as("token"), col("n_exact"), col("est_cms"),
+          (col("est_cms") - col("n_exact")).as("overcount"))
+    }
+  }
+
   /** Shared final-select: alpha_m·m²·2^63 / Σ 2^(63−M_j) with the
     * linear-counting branch. All literals combine left-associatively in
     * the exact order the oracle writes them. */

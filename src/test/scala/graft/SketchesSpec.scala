@@ -74,6 +74,44 @@ class SketchesSpec extends SparkSpec {
     assert(cert.isNullAt(cert.fieldIndex("rel_err")))
   }
 
+  test("cms cells replay the salted md5 columns bit-for-bit (JVM recompute)") {
+    val counts = Seq(("alpha", 5L), ("beta", 3L), ("gamma", 2L)).toDF("w", "cnt")
+    val got = Sketches.cmsCells(counts).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val want = (for {
+      (w, c) <- Seq(("alpha", 5L), ("beta", 3L), ("gamma", 2L))
+      i <- 0 until 4
+    } yield ((i, Integer.parseInt(jvmMd5Hex(s"cms:$i:$w").substring(0, 3), 16) % 1024), c))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(got === want)
+  }
+
+  test("cms merge of two shards equals the sketch of the summed counts") {
+    val cA = Seq(("x", 4L), ("y", 1L)).toDF("w", "cnt")
+    val cB = Seq(("y", 2L), ("z", 7L)).toDF("w", "cnt")
+    val whole = Seq(("x", 4L), ("y", 3L), ("z", 7L)).toDF("w", "cnt")
+    val merged = Sketches.cmsMerge(Sketches.cmsCells(cA), Sketches.cmsCells(cB))
+      .orderBy("row", "col").collect().toSeq
+    val direct = Sketches.cmsCells(whole).orderBy("row", "col").collect().toSeq
+    assert(merged === direct)
+  }
+
+  test("cms certificate: estimates never undercount and match the exact head here") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = Sketches.cmsCertificate(docs, k = 20).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L, r.toString)
+      assert(r.getAs[Long]("est_cms") >= r.getAs[Long]("n_exact"), r.toString)
+    }
+    // the exact column really is the corpus count
+    val top = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().orderBy(col("count").desc, col("w")).limit(1).collect()(0)
+    val lead = rows.maxBy(_.getAs[Long]("n_exact"))
+    assert(lead.getAs[String]("token") === top.getString(0))
+    assert(lead.getAs[Long]("n_exact") === top.getLong(1))
+  }
+
   test("hll precision bound rejects out-of-range b before any job") {
     intercept[IllegalArgumentException] {
       Sketches.hllRegisters(Seq(Tuple1(1L)).toDF("user_id"), col("user_id"), b = 13)
