@@ -1337,6 +1337,15 @@ object SparkEntry {
         Bpe.mergeArtifact(docs, bpeArtifactPath("budget16", dir), nMerges = 16)))
         .orderBy("source")
     }),
+    // per-language fertility (BPE tokens per whitespace word) — the
+    // multilingual-equity scorecard, priced through the SAME stored
+    // 16-round artifact as the budget/compression consumers
+    "text_bpe_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Bpe.fertility(docs, Bpe.mergesFromFrame(
+        Bpe.mergeArtifact(docs, bpeArtifactPath("budget16", dir), nMerges = 16)))
+        .orderBy("lang")
+    }),
     // PRODUCTION-DEPTH merge table: the same greedy trainer run to 1024
     // rounds driver-side on the one-scan word-count statistic. No
     // unrolled oracle at this depth (rows-only); its structural
@@ -3329,6 +3338,19 @@ object SparkEntry {
         |FROM kept k JOIN dsrc s ON s.doc_id = k.doc_id
         |  JOIN dbpe d ON d.doc_id = k.doc_id
         |GROUP BY 1 ORDER BY s.source""".stripMargin),
+
+    // per-language BPE tokens vs whitespace words off the same 16-round
+    // table: word-grain rows joined back to the lang column, exact
+    // integer sums, one division per language
+    "text_bpe_fertility" -> ("WITH " + BPE_TRAIN_CTES + BPE_APPLY_CTES + """,
+      |lf AS (SELECT d.lang, a.doc_id, a.ntok
+      |       FROM applied a JOIN documents d USING (doc_id))
+      |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(CAST(sum(ntok) AS BIGINT) AS DOUBLE) / CAST(count(*) AS BIGINT)
+      |    AS fertility
+      |FROM lf GROUP BY lang ORDER BY lang""".stripMargin),
 
     // per-source bytes vs BPE tokens off the same 16-round table: exact
     // integer sums, one division of the two exact totals per source

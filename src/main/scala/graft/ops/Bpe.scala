@@ -448,6 +448,24 @@ object Bpe {
         (col("n_bytes").cast("double") / col("n_bpe_tokens"))
           .as("bytes_per_token"))
 
+  /** Per-language tokenizer fertility — BPE tokens per whitespace word,
+    * the multilingual-equity metric a tokenizer eval tracks (a vocabulary
+    * trained on one language over-segments the others; fertility near 1
+    * is parity, 2+ means that language pays double for every context
+    * window). Same per-row codegen'd replay as [[compression]], grouped
+    * by the document's language; exact integer sums, ONE division per
+    * language at the end. */
+  def fertility(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+    docs.select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nw"),
+        docTokens(col("text"), merges).as("nt"))
+      .groupBy("lang")
+      .agg(countDistinct("doc_id").as("n_docs"), sum("nw").as("n_words"),
+        sum("nt").as("n_bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast("double") / col("n_words"))
+          .as("fertility"))
+
   /** The subword-priced twin of Curation.tokenBudget: documents and BPE
     * tokens surviving the full train-ready chain, per source — the
     * budget number in the units the trainer bills. Trains the merge

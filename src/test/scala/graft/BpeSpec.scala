@@ -315,6 +315,34 @@ class BpeSpec extends SparkSpec {
     assert(r("b") === ((1L, 9L, 3L, 3.0)))
   }
 
+  test("fertility scorecard: hand-computed tokens-per-word per language") {
+    val merges = Bpe.train(goldenDocs, nMerges = 6)
+    // same golden application as the compression spec, keyed by lang:
+    // "low lower" → 1 + 3 = 4 tokens over 2 words; "newest x9" → 2 + 1
+    // (OOV prices as one) = 3 tokens over 2 words
+    val docs = Seq((0L, "low lower", "en"), (1L, "newest x9", "zh"))
+      .toDF("doc_id", "text", "lang")
+    val r = Bpe.fertility(docs, merges).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r("en") === ((1L, 2L, 4L, 2.0)))
+    assert(r("zh") === ((1L, 2L, 3L, 1.5)))
+  }
+
+  test("fertility totals agree with the per-doc tokenCounts frame") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.train(docs)
+    val fert = Bpe.fertility(docs, merges).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val perDoc = Bpe.tokenCounts(docs, merges)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(org.apache.spark.sql.functions.sum("n_ws_tokens").as("nw"),
+        org.apache.spark.sql.functions.sum("n_bpe_tokens").as("nt"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fert === perDoc)
+  }
+
   test("merge artifact: train once, price many — a re-touch runs zero training jobs") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = { val b = new java.io.File("target/test-out").getAbsoluteFile.toPath
