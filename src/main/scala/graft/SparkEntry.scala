@@ -1220,6 +1220,13 @@ object SparkEntry {
     "text_source_kl" -> ((s, dir) =>
       TextAnalysis.sourceKl(Tables.documents(s, dir)).orderBy("source")),
 
+    // DSIR importance weights: per-doc log-likelihood ratio between the
+    // hashed-ngram model of the English subcorpus (the target) and the
+    // whole-corpus model — the data-selection score, exact micro-nats
+    "text_dsir_weights" -> ((s, dir) =>
+      Sampling.dsirWeights(Tables.documents(s, dir), col("lang") === "en")
+        .orderBy("doc_id")),
+
     // count-min sketch certificate: exact top-20 token counts next to
     // their 4×1024-cell sketch estimates (overcount ≥ 0 by construction);
     // one scan — the counts frame is scope-cached like dedup postings
@@ -3568,6 +3575,39 @@ object SparkEntry {
         |  CAST(sum(qent) AS BIGINT) AS sum_qent,
         |  CAST(CAST(sum(qent) AS BIGINT) AS DOUBLE) / 1000000.0 AS entropy_nats
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+
+    // the hashed-ngram models replayed bucket-for-bucket: features =
+    // unigrams + bigrams, bucket = 12-bit md5 prefix mod 4096, add-one
+    // smoothing, per-bucket log-ratio quantized to micro-nats BEFORE the
+    // per-doc sum, literals mirroring the Spark expression
+    "text_dsir_weights" ->
+      """WITH tkl AS (SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+        |    string_split(text, ' ') AS tk FROM documents),
+        |uni AS (SELECT doc_id, is_t, unnest(tk) AS f FROM tkl),
+        |bi AS (SELECT doc_id, is_t,
+        |    unnest(list_transform(range(2, len(tk) + 1),
+        |      i -> tk[i - 1] || ' ' || tk[i])) AS f
+        |  FROM tkl WHERE len(tk) >= 2),
+        |feats AS (SELECT doc_id, is_t,
+        |    CAST(('0x' || substr(md5('dsir:' || f), 1, 3))::BIGINT % 4096
+        |      AS INTEGER) AS bucket
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |bc AS (SELECT bucket, CAST(sum(is_t) AS BIGINT) AS ct,
+        |    count(*) AS cr FROM feats GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+        |    CAST(sum(cr) AS BIGINT) AS nr FROM bc),
+        |ratio AS (SELECT bucket,
+        |    CAST(round((ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 4096 AS DOUBLE))
+        |        - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 4096 AS DOUBLE)))
+        |      * 1000000) AS BIGINT) AS qlr
+        |  FROM bc CROSS JOIN tot)
+        |SELECT f.doc_id, CAST(f.is_t AS INTEGER) AS is_target,
+        |  count(*) AS n_feats, CAST(sum(r.qlr) AS BIGINT) AS sum_qlw,
+        |  CAST(CAST(sum(r.qlr) AS BIGINT) AS DOUBLE) / 1000000.0
+        |    AS logweight_nats
+        |FROM feats f JOIN ratio r USING (bucket)
+        |GROUP BY f.doc_id, f.is_t ORDER BY f.doc_id""".stripMargin,
 
     // every CMS cell replayed: col_i = 12-bit prefix of md5('cms:i:'‖w)
     // mod 1024, cells exact integer sums, estimate = min over the 4 rows

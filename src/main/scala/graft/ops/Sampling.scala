@@ -291,6 +291,59 @@ object Sampling {
     docs.withColumn("shuffle_key", idHash(col("doc_id"), seed))
       .orderBy("shuffle_key")
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much it resembles a TARGET domain, log w(d) = Σ_f [ln p̂_target(f)
+    * − ln p̂_raw(f)] over the doc's hashed n-gram features (unigrams +
+    * bigrams into `buckets` bins — the bounded sufficient statistic that
+    * makes both models ≤buckets rows regardless of corpus size). Raw is
+    * the whole corpus; both models are add-one smoothed, and each
+    * per-bucket log-ratio is quantized to integer micro-nats BEFORE the
+    * per-doc sum (the raw-double-sum rule), so the score is an exact
+    * integer. Plan: the feature frame is scope-cached (the dedup postings
+    * pattern) and feeds (a) the ≤buckets-row count table — global-window
+    * totals over that BOUNDED frame only — and (b) the scoring join
+    * against the broadcast ratio table: one corpus scan, shuffles keyed
+    * by bucket/doc only. Re-sampling is then a per-row keep test against
+    * the weights — [[deterministicShuffle]]/[[splitColumn]] territory —
+    * so the scorer is the whole distributed cost. */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+                  buckets: Int = 4096, quantum: Long = 1000000L): DataFrame = {
+    require(buckets > 0 && 4096 % buckets == 0,
+      s"buckets must divide the 12-bit hash space, got $buckets")
+    val tk = split(col("text"), " ")
+    val uni = docs.select(col("doc_id"), isTarget.cast("int").as("is_t"),
+      explode(tk).as("f"))
+    val bi = docs.select(col("doc_id"), isTarget.cast("int").as("is_t"), tk.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("is_t"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> concat(tk[i - 1], ' ', tk[i]))"))
+        .as("f"))
+    val feats = uni.unionByName(bi).select(col("doc_id"), col("is_t"),
+      (conv(substring(md5(concat(lit("dsir:"), col("f"))), 1, 3), 16, 10)
+        .cast("int") % buckets).as("bucket"))
+    Dedup.withScopedCache(feats) { fr =>
+      val bc = fr.groupBy("bucket")
+        .agg(sum("is_t").cast("long").as("ct"), count(lit(1)).as("cr"))
+      val total = Window.partitionBy() // ≤buckets rows — bounded
+      val ratio = bc
+        .withColumn("nt", sum("ct").over(total))
+        .withColumn("nr", sum("cr").over(total))
+        .select(col("bucket"),
+          round((log((col("ct") + lit(1L)).cast("double") /
+              (col("nt") + lit(buckets.toLong)).cast("double")) -
+            log((col("cr") + lit(1L)).cast("double") /
+              (col("nr") + lit(buckets.toLong)).cast("double"))) *
+            lit(quantum.toDouble)).cast("long").as("qlr"))
+      fr.join(broadcast(ratio), Seq("bucket"))
+        .groupBy("doc_id", "is_t")
+        .agg(count(lit(1)).as("n_feats"), sum("qlr").as("sum_qlw"))
+        .select(col("doc_id"), col("is_t").as("is_target"), col("n_feats"),
+          col("sum_qlw"),
+          (col("sum_qlw").cast("double") / quantum.toDouble).as("logweight_nats"))
+    }
+  }
+
   /** Leakage-safe train/eval split: assignment by the doc's near-dup
     * CLUSTER, not the doc. Hashing raw doc ids lets a near-duplicate of
     * an eval doc land in train — the silent benchmark-inflation path

@@ -378,6 +378,41 @@ class SamplingSpec extends SparkSpec {
     assert(ex.getMessage.contains("bootstrapCI"))
   }
 
+  test("dsir weights: driver-replicated log-ratio model on a hand fixture") {
+    // target = docs 0,1 (all "cat"); raw = everything. Feature sets:
+    // doc0 "cat cat" → uni cat×2 + bigram "cat cat"; doc2 "dog" → uni dog
+    val fix = Seq((0L, "cat cat", "T"), (1L, "cat", "T"), (2L, "dog", "R"))
+      .toDF("doc_id", "text", "cls")
+    val r = Sampling.dsirWeights(fix, col("cls") === "T")
+      .orderBy("doc_id").collect()
+    // driver model: same hashed buckets, add-one, micro-nat quantization
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(f: String): Int = {
+      val hex = md.digest(s"dsir:$f".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 3), 16) % 4096
+    }
+    val featsByDoc = Map(
+      0L -> Seq("cat", "cat", "cat cat"), 1L -> Seq("cat"), 2L -> Seq("dog"))
+    val isT = Map(0L -> true, 1L -> true, 2L -> false)
+    val all = featsByDoc.toSeq.flatMap { case (d, fs) => fs.map(f => (d, bucket(f))) }
+    val ct = all.filter(x => isT(x._1)).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cr = all.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val (nt, nr) = (ct.values.sum, cr.values.sum)
+    def qlr(b: Int): Long = math.round(
+      (math.log((ct.getOrElse(b, 0L) + 1).toDouble / (nt + 4096).toDouble) -
+        math.log((cr(b) + 1).toDouble / (nr + 4096).toDouble)) * 1e6)
+    r.foreach { row =>
+      val d = row.getAs[Long]("doc_id")
+      val want = featsByDoc(d).map(f => qlr(bucket(f))).sum
+      assert(row.getAs[Long]("sum_qlw") === want, s"doc $d")
+      assert(row.getAs[Int]("is_target") === (if (isT(d)) 1 else 0))
+      assert(row.getAs[Long]("n_feats") === featsByDoc(d).size.toLong)
+    }
+    // the target-resembling doc outranks the off-domain one
+    val byDoc = r.map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("logweight_nats")).toMap
+    assert(byDoc(1L) > byDoc(2L))
+  }
+
   test("deterministic shuffle reproduces under the same seed and moves under a new one") {
     val a = Sampling.deterministicShuffle(docs, "epoch1:").select("doc_id")
       .limit(50).as[Long].collect().toSeq
