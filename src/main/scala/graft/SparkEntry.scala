@@ -722,6 +722,18 @@ object SparkEntry {
         all.filter(col("doc_id") < 250)).orderBy("keep_id")
     }),
 
+    // the Bloom pre-filter in front of that anti-join: probe the batch
+    // against the corpus Bloom — zero false negatives structurally, only
+    // the FPR slice of unseen texts pays the exact check. The probe set
+    // plants the corpus's first 50 docs so the no-false-negative invariant
+    // is exercised on real members, not vacuously
+    "dedup_bloom_prefilter" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      graft.ops.Sketches.bloomCertificate(
+        all.filter(col("doc_id") < 250),
+        all.filter(col("doc_id") >= 250 || col("doc_id") < 50), col("text"))
+    }),
+
     // the fuzzy twin: batch docs near-duplicating the accumulated corpus
     // via the banded MinHash table (what a rolling ingest drops nightly)
     "dedup_incremental_lsh" -> ((s, dir) => {
@@ -3575,6 +3587,45 @@ object SparkEntry {
         |  CAST(sum(qent) AS BIGINT) AS sum_qent,
         |  CAST(CAST(sum(qent) AS BIGINT) AS DOUBLE) / 1000000.0 AS entropy_nats
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+
+    // the Bloom set-bit table replayed: 4 positions sliced from one md5
+    // (4 hex chars each, mod 32768), hit ⇔ all 4 set; exact membership
+    // reconciled by full-string join — false negatives must be 0
+    "dedup_bloom_prefilter" ->
+      """WITH corpus AS (SELECT DISTINCT text AS v FROM documents
+        |  WHERE doc_id < 250 AND text IS NOT NULL),
+        |probes AS (SELECT DISTINCT text AS v FROM documents
+        |  WHERE (doc_id >= 250 OR doc_id < 50) AND text IS NOT NULL),
+        |cpos AS (SELECT DISTINCT pos FROM (SELECT unnest([
+        |    ('0x' || substr(md5('bloom:' || v), 1, 4))::BIGINT % 32768,
+        |    ('0x' || substr(md5('bloom:' || v), 5, 4))::BIGINT % 32768,
+        |    ('0x' || substr(md5('bloom:' || v), 9, 4))::BIGINT % 32768,
+        |    ('0x' || substr(md5('bloom:' || v), 13, 4))::BIGINT % 32768
+        |  ]) AS pos FROM corpus)),
+        |ppos AS (SELECT v, unnest([
+        |    ('0x' || substr(md5('bloom:' || v), 1, 4))::BIGINT % 32768,
+        |    ('0x' || substr(md5('bloom:' || v), 5, 4))::BIGINT % 32768,
+        |    ('0x' || substr(md5('bloom:' || v), 9, 4))::BIGINT % 32768,
+        |    ('0x' || substr(md5('bloom:' || v), 13, 4))::BIGINT % 32768
+        |  ]) AS pos FROM probes),
+        |hit AS (SELECT p.v, count(c.pos) = 4 AS bloom_hit
+        |  FROM ppos p LEFT JOIN cpos c ON c.pos = p.pos GROUP BY p.v),
+        |fl AS (SELECT h.bloom_hit, (c.v IS NOT NULL) AS is_member
+        |  FROM hit h LEFT JOIN corpus c ON c.v = h.v),
+        |a AS (SELECT count(*) AS n_probes,
+        |    CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_members,
+        |    CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_bloom_hits,
+        |    CAST(sum(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_false_pos,
+        |    CAST(sum(CASE WHEN NOT bloom_hit AND is_member THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_false_neg FROM fl)
+        |SELECT n_probes, n_members, n_bloom_hits, n_false_pos, n_false_neg,
+        |  CASE WHEN n_probes - n_members > 0 THEN
+        |    CAST(n_false_pos AS DOUBLE) / CAST(n_probes - n_members AS DOUBLE)
+        |  END AS fpr_measured
+        |FROM a""".stripMargin,
 
     // the hashed-ngram models replayed bucket-for-bucket: features =
     // unigrams + bigrams, bucket = 12-bit md5 prefix mod 4096, add-one

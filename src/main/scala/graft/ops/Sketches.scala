@@ -167,6 +167,75 @@ object Sketches {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Bloom filter (Bloom 1970) — the membership sibling: k=4 positions
+  // sliced from ONE md5 (4 hex chars each, 16 bits mod m=32768 — uniform
+  // since 65536 = 2·32768) into a ≤m-row set-bit table. The table is a
+  // DataFrame like the other sketches: bits merge by plain DISTINCT
+  // union, persist as parquet, and broadcast for probe joins. Use: the
+  // incremental-dedup pre-filter — probe a new batch against the corpus
+  // Bloom before paying the exact anti-join; no member ever slips
+  // through (no false negatives, structurally), only an FPR-bounded
+  // slice of non-members pays the exact check.
+  // ---------------------------------------------------------------------
+
+  private val bloomM = 32768
+  private val bloomK = 4
+
+  private def bloomPositionArray(value: Column, seed: String): Column = {
+    val h = md5(concat(lit(seed), value.cast("string")))
+    array((0 until bloomK).map { i =>
+      conv(substring(h, 1 + 4 * i, 4), 16, 10).cast("int") % bloomM
+    }: _*)
+  }
+
+  /** The set-bit table of a value column: ≤m rows, one scan, map-side
+    * distinct combine. */
+  def bloomBits(df: DataFrame, value: Column, seed: String = "bloom:"): DataFrame =
+    df.filter(value.isNotNull)
+      .select(explode(bloomPositionArray(value, seed)).as("pos"))
+      .distinct()
+
+  /** Per-probe verdict: bloom_hit ⇔ all k positions are set. The bits
+    * side is ≤m rows — broadcast; the count-of-matches==k form needs no
+    * bitmap type and no UDF. */
+  def bloomProbe(bits: DataFrame, probes: DataFrame, value: Column,
+                 seed: String = "bloom:"): DataFrame =
+    probes.filter(value.isNotNull)
+      .select(value.as("v")).distinct()
+      .select(col("v"), explode(bloomPositionArray(col("v"), seed)).as("pos"))
+      .join(broadcast(bits.withColumnRenamed("pos", "bpos")),
+        col("pos") === col("bpos"), "left")
+      .groupBy("v")
+      .agg((count(col("bpos")) === bloomK).as("bloom_hit"))
+
+  /** The oracle-checked certificate: probe one corpus slice against the
+    * other slice's Bloom and reconcile with EXACT membership — zero
+    * false negatives is structural (asserted by the oracle: every member
+    * is a hit), and the measured false-positive rate sits next to it. */
+  def bloomCertificate(corpus: DataFrame, probes: DataFrame,
+                       value: Column, seed: String = "bloom:"): DataFrame = {
+    val bits = bloomBits(corpus, value, seed)
+    val members = corpus.filter(value.isNotNull)
+      .select(value.as("v")).distinct().withColumn("is_member", lit(1L))
+    bloomProbe(bits, probes, value, seed)
+      .join(members, Seq("v"), "left")
+      .agg(
+        count(lit(1)).as("n_probes"),
+        sum(coalesce(col("is_member"), lit(0L))).as("n_members"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+        sum(when(col("bloom_hit") && col("is_member").isNull, 1L).otherwise(0L))
+          .as("n_false_pos"),
+        sum(when(!col("bloom_hit") && col("is_member").isNotNull, 1L).otherwise(0L))
+          .as("n_false_neg"))
+      .select(col("n_probes"), col("n_members"), col("n_bloom_hits"),
+        col("n_false_pos"), col("n_false_neg"),
+        when(col("n_probes") - col("n_members") > 0L,
+          col("n_false_pos").cast("double") /
+            (col("n_probes") - col("n_members")).cast("double"))
+          .as("fpr_measured"))
+  }
+
   /** Shared final-select: alpha_m·m²·2^63 / Σ 2^(63−M_j) with the
     * linear-counting branch. All literals combine left-associatively in
     * the exact order the oracle writes them. */

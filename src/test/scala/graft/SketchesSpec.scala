@@ -112,6 +112,35 @@ class SketchesSpec extends SparkSpec {
     assert(lead.getAs[Long]("n_exact") === top.getLong(1))
   }
 
+  test("bloom positions replay the md5 slices bit-for-bit (JVM recompute)") {
+    val vals = Seq("alpha", "beta", "gamma")
+    val df = vals.map(Tuple1(_)).toDF("v")
+    val got = Sketches.bloomBits(df, col("v")).collect().map(_.getInt(0)).toSet
+    val want = vals.flatMap { v =>
+      val h = jvmMd5Hex("bloom:" + v)
+      (0 until 4).map(i => Integer.parseInt(h.substring(4 * i, 4 * i + 4), 16) % 32768)
+    }.toSet
+    assert(got === want)
+  }
+
+  test("bloom certificate: zero false negatives, FPR inside the envelope") {
+    // corpus n=2000, m=32768, k=4 → expected FPR (1−e^{−kn/m})^4 ≈ 0.0022;
+    // md5 is fixed, so the realized rate is a deterministic constant —
+    // pinned under 0.01 (≈4.5× the expectation, generous for one draw)
+    val corpus = (0L until 2000L).map(i => Tuple1(s"doc-$i")).toDF("text")
+    val probes = ((0L until 1000L).map(i => s"doc-$i") ++        // members
+      (0L until 5000L).map(i => s"unseen-$i")).map(Tuple1(_)).toDF("text")
+    val r = Sketches.bloomCertificate(corpus, probes, col("text")).collect()(0)
+    assert(r.getAs[Long]("n_probes") === 6000L)
+    assert(r.getAs[Long]("n_members") === 1000L)
+    assert(r.getAs[Long]("n_false_neg") === 0L)
+    assert(r.getAs[Double]("fpr_measured") < 0.01,
+      s"measured FPR ${r.getAs[Double]("fpr_measured")}")
+    // every member is a hit: hits = members + false positives exactly
+    assert(r.getAs[Long]("n_bloom_hits") ===
+      1000L + r.getAs[Long]("n_false_pos"))
+  }
+
   test("hll precision bound rejects out-of-range b before any job") {
     intercept[IllegalArgumentException] {
       Sketches.hllRegisters(Seq(Tuple1(1L)).toDF("user_id"), col("user_id"), b = 13)
