@@ -1100,6 +1100,68 @@ object StreamingMonitors {
     else ck).start()
   }
 
+  /** Streaming maintenance of the HyperLogLog register table
+    * (ops/Sketches.hllRegisters): registers merge by plain MAX — the
+    * sketch's defining monoid — so the state is a ≤512-row frame that
+    * answers "how many distinct values so far" at any moment via
+    * Sketches.hllEstimate, with zero error added by the sharding. Same
+    * versioned idempotent-replay contract as the other state sinks. */
+  def hllStateSink(stream: DataFrame, stateDir: String,
+                   valueCol: String = "user_id",
+                   checkpoint: Option[String] = None,
+                   availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, max}
+    val writer = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = graft.ops.Sketches.hllRegisters(batch, col(valueCol))
+        val merged = latestVersionedState(batch.sparkSession, stateDir, batchId) match {
+          case Some(prev) => prev.unionByName(partial)
+            .groupBy("bucket").agg(max("m_j").as("m_j"))
+          case None => partial
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        ()
+      }
+    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow)
+      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else ck).start()
+  }
+
+  /** Streaming maintenance of the count-min cell table
+    * (ops/Sketches.cmsCells): cells merge by plain SUM, so the ≤4096-row
+    * state frame answers point-frequency probes at any moment via
+    * Sketches.cmsEstimate with the batch-exact guarantees (never under
+    * the true count). Same versioned idempotent-replay contract as the
+    * other state sinks. */
+  def cmsStateSink(docStream: DataFrame, stateDir: String,
+                   checkpoint: Option[String] = None,
+                   availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, count, explode, lit, split, sum}
+    val writer = docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val counts = batch
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+        val partial = graft.ops.Sketches.cmsCells(counts)
+        val merged = latestVersionedState(batch.sparkSession, stateDir, batchId) match {
+          case Some(prev) => prev.unionByName(partial)
+            .groupBy("row", "col").agg(sum("cell").as("cell"))
+          case None => partial
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        ()
+      }
+    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow)
+      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else ck).start()
+  }
+
   /** Streaming maintenance of the per-(label, pos) centroid partials
     * (ops/Similarity.centroidPartials): quantized component sums and
     * member counts merge by plain addition at single-vector grain, so

@@ -1116,6 +1116,64 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("streamed HLL registers serve the exact batch estimate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id").persist()
+    val rows = events.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("event_id", "user_id")
+    val stateDir = s"${work()}/hll-state"
+    val q = StreamingMonitors.hllStateSink(stream, stateDir)
+    try {
+      (0 until 3).foreach { i =>
+        mem.addData(rows.filter(_._1 % 3 == i).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val state = StreamingMonitors.latestVersionedState(spark, stateDir).get
+    val served = graft.ops.Sketches.hllEstimate(state).collect()(0)
+    val direct = graft.ops.Sketches.hllEstimate(
+      graft.ops.Sketches.hllRegisters(events.toDF(), col("user_id"))).collect()(0)
+    events.unpersist(blocking = false)
+    assert(served.toSeq === direct.toSeq)
+    assert(served.getAs[Long]("n_present") > 0L)
+  }
+
+  test("streamed CMS cells serve the exact batch point estimates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").persist()
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val stateDir = s"${work()}/cms-state"
+    val q = StreamingMonitors.cmsStateSink(stream, stateDir)
+    try {
+      (0 until 3).foreach { i =>
+        mem.addData(rows.filter(_._1 % 3 == i).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val state = StreamingMonitors.latestVersionedState(spark, stateDir).get
+    val probes = Seq("the", "a", "data").toDF("w")
+    val served = graft.ops.Sketches.cmsEstimate(state, probes)
+      .orderBy("w").collect().map(_.toSeq)
+    val batchCounts = docs.toDF()
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val direct = graft.ops.Sketches.cmsEstimate(
+      graft.ops.Sketches.cmsCells(batchCounts), probes)
+      .orderBy("w").collect().map(_.toSeq)
+    docs.unpersist(blocking = false)
+    assert(served === direct)
+    assert(served.nonEmpty)
+  }
+
   test("streamed token counts serve the exact batch source entropy") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
