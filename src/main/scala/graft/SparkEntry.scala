@@ -1253,6 +1253,13 @@ object SparkEntry {
     "q_distinct_hll" -> ((s, dir) =>
       graft.ops.Sketches.hllCertificate(Tables.events(s, dir), col("user_id"))),
 
+    // the same sketch composed relationally: distinct users PER EVENT
+    // TYPE in one pass — what a register-table representation buys over
+    // an opaque blob (GROUP BY composes with it)
+    "q_distinct_hll_by_type" -> ((s, dir) =>
+      graft.ops.Sketches.hllCertificateBy(Tables.events(s, dir),
+        Seq("event_type"), col("user_id")).orderBy("event_type")),
+
     // Zipf-law fit over the frequency head: OLS slope/intercept on the
     // micro-quantized log-rank/log-count line (healthy prose ≈ −1)
     "text_zipf" -> ((s, dir) =>
@@ -3728,6 +3735,47 @@ object SparkEntry {
         |    (est_hll - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
         |  END AS rel_err
         |FROM f""".stripMargin,
+
+    // the per-key composition of the same replay: every stage gains
+    // event_type, one register table per type, same estimate arithmetic
+    "q_distinct_hll_by_type" ->
+      """WITH vals AS (SELECT event_type, user_id AS v, count(*) AS n_occ
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |hs AS (SELECT event_type, md5('hll:' || CAST(v AS VARCHAR)) AS h
+        |  FROM vals),
+        |pr AS (SELECT event_type,
+        |    CAST(('0x' || substr(h, 1, 3))::BIGINT % 512 AS INTEGER) AS bucket,
+        |    CAST(CASE WHEN ('0x' || substr(h, 4, 15))::BIGINT = 0 THEN 61
+        |      ELSE 61 - length(bin(('0x' || substr(h, 4, 15))::BIGINT))
+        |    END AS INTEGER) AS rho
+        |  FROM hs),
+        |regs AS (SELECT event_type, bucket, max(rho) AS m_j,
+        |    count(*) AS n_vals FROM pr GROUP BY 1, 2),
+        |a AS (SELECT event_type, count(*) AS n_present,
+        |    sum(1::BIGINT << (63 - m_j)) AS sum_present,
+        |    sum(n_vals) AS n_exact FROM regs GROUP BY 1),
+        |s AS (SELECT event_type, CAST(n_present AS BIGINT) AS n_present,
+        |    CAST(COALESCE(n_exact, 0) AS BIGINT) AS n_exact,
+        |    COALESCE(sum_present, 0)
+        |      + (512 - n_present) * CAST('9223372036854775808' AS HUGEINT)
+        |      AS sum_scaled FROM a),
+        |e AS (SELECT event_type, n_present, n_exact,
+        |    CAST(0.7213 AS DOUBLE)
+        |      / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(512.0 AS DOUBLE))
+        |      * CAST(262144.0 AS DOUBLE) * CAST(9.223372036854775808e18 AS DOUBLE)
+        |      / CAST(sum_scaled AS DOUBLE) AS est_raw,
+        |    512 - n_present AS v_zero FROM s),
+        |f AS (SELECT event_type, n_present, n_exact,
+        |    CASE WHEN est_raw <= CAST(2.5 AS DOUBLE) * CAST(512.0 AS DOUBLE)
+        |        AND v_zero > 0
+        |      THEN CAST(512.0 AS DOUBLE)
+        |        * ln(CAST(512.0 AS DOUBLE) / CAST(v_zero AS DOUBLE))
+        |      ELSE est_raw END AS est_hll FROM e)
+        |SELECT event_type, 512 AS m_registers, n_exact, n_present, est_hll,
+        |  CASE WHEN n_exact > 0 THEN
+        |    (est_hll - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+        |  END AS rel_err
+        |FROM f ORDER BY event_type""".stripMargin,
 
     // per-token (ln p_s − ln C_w)·p_s quantized to integer micro-nats
     // BEFORE the per-source sum, mirroring the Spark expression

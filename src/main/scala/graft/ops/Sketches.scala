@@ -83,23 +83,47 @@ object Sketches {
     * the estimate. This is the expensive form — the exact count is the
     * thing the sketch exists to avoid — run at audit time, not per-batch. */
   def hllCertificate(df: DataFrame, value: Column, b: Int = 9,
-                     seed: String = "hll:"): DataFrame = {
+                     seed: String = "hll:"): DataFrame =
+    hllCertificateBy(df, Seq.empty, value, b, seed)
+
+  /** Per-key registers — "distinct users per event type" in ONE pass:
+    * the register table gains the key columns and stays ≤ m rows PER KEY,
+    * still max-mergeable shard-by-shard. This is what a sketch-as-relation
+    * buys over an opaque blob: GROUP BY composes with it. */
+  def hllRegistersBy(df: DataFrame, keys: Seq[String], value: Column,
+                     b: Int = 9, seed: String = "hll:"): DataFrame = {
+    val m = requireB(b)
+    val h = hash(value, seed)
+    df.filter(value.isNotNull)
+      .select(keys.map(col) :+ bucketCol(h, m) :+ rhoCol(h): _*)
+      .groupBy((keys :+ "bucket").map(col): _*).agg(max("rho").as("m_j"))
+  }
+
+  /** Per-key certificate: estimate + exact + realized error, one row per
+    * key, one linear plan (the [[hllCertificate]] shape with the key
+    * threaded through every grain). */
+  def hllCertificateBy(df: DataFrame, keys: Seq[String], value: Column,
+                       b: Int = 9, seed: String = "hll:"): DataFrame = {
     val m = requireB(b)
     val h = hash(col("v"), seed)
-    val regs = df.filter(value.isNotNull).select(value.as("v"))
-      .groupBy("v").agg(count(lit(1)).as("n_occ"))
-      .select(bucketCol(h, m), rhoCol(h))
-      .groupBy("bucket").agg(max("rho").as("m_j"), count(lit(1)).as("n_vals"))
-    estimateCore(regs.agg(
+    val kc = keys.map(col)
+    val regs = df.filter(value.isNotNull)
+      .select(kc :+ value.as("v"): _*)
+      .groupBy(kc :+ col("v"): _*).agg(count(lit(1)).as("n_occ"))
+      .select(kc :+ bucketCol(h, m) :+ rhoCol(h): _*)
+      .groupBy(kc :+ col("bucket"): _*)
+      .agg(max("rho").as("m_j"), count(lit(1)).as("n_vals"))
+    val agg1 = regs.groupBy(kc: _*).agg(
       count(lit(1)).as("n_present"),
       sum(expr("shiftleft(CAST(1 AS BIGINT), 63 - m_j)").cast(DecimalType(38, 0)))
         .as("sum_present"),
-      sum("n_vals").as("n_exact")), m)
-      .select(col("m_registers"), col("n_exact"), col("n_present"),
+      sum("n_vals").as("n_exact"))
+    estimateCore(agg1, m, keys)
+      .select(kc ++ Seq(col("m_registers"), col("n_exact"), col("n_present"),
         col("est_hll"),
         when(col("n_exact") > 0L,
           (col("est_hll") - col("n_exact").cast("double")) /
-            col("n_exact").cast("double")).as("rel_err"))
+            col("n_exact").cast("double")).as("rel_err")): _*)
   }
 
   // ---------------------------------------------------------------------
@@ -239,12 +263,14 @@ object Sketches {
   /** Shared final-select: alpha_m·m²·2^63 / Σ 2^(63−M_j) with the
     * linear-counting branch. All literals combine left-associatively in
     * the exact order the oracle writes them. */
-  private def estimateCore(agg1: DataFrame, m: Int): DataFrame = {
+  private def estimateCore(agg1: DataFrame, m: Int,
+                           keys: Seq[String] = Seq.empty): DataFrame = {
     val md = m.toDouble
     val two63 = lit(9.223372036854775808e18)
     val withExact = agg1.columns.contains("n_exact")
+    val kc = keys.map(col)
     val base = agg1.select(
-      (Seq(
+      (kc ++ Seq(
         lit(m).as("m_registers"),
         col("n_present").cast("long").as("n_present"),
         (coalesce(col("sum_present"), lit(0).cast(DecimalType(38, 0))) +
@@ -253,7 +279,7 @@ object Sketches {
         (if (withExact) Seq(coalesce(col("n_exact"), lit(0L)).cast("long").as("n_exact"))
          else Seq.empty)): _*)
     base.select(
-      (Seq(
+      (kc ++ Seq(
         col("m_registers"), col("n_present"),
         (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(md)) * lit(md * md) *
           two63 / col("sum_scaled").cast("double")).as("est_raw"),

@@ -74,6 +74,19 @@ class SketchesSpec extends SparkSpec {
     assert(cert.isNullAt(cert.fieldIndex("rel_err")))
   }
 
+  test("per-key hll certificate equals the single-key certificate slice by slice") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val by = Sketches.hllCertificateBy(events, Seq("event_type"), col("user_id"))
+      .orderBy("event_type").collect()
+    assert(by.nonEmpty)
+    by.foreach { r =>
+      val k = r.getAs[String]("event_type")
+      val solo = Sketches.hllCertificate(
+        events.filter(col("event_type") === k), col("user_id")).collect()(0)
+      assert(r.toSeq.drop(1) === solo.toSeq, s"key $k")
+    }
+  }
+
   test("cms cells replay the salted md5 columns bit-for-bit (JVM recompute)") {
     val counts = Seq(("alpha", 5L), ("beta", 3L), ("gamma", 2L)).toDF("w", "cnt")
     val got = Sketches.cmsCells(counts).collect()
