@@ -238,10 +238,17 @@ object Sketches {
     * false negatives is structural (asserted by the oracle: every member
     * is a hit), and the measured false-positive rate sits next to it. */
   def bloomCertificate(corpus: DataFrame, probes: DataFrame,
-                       value: Column, seed: String = "bloom:"): DataFrame = {
-    val bits = bloomBits(corpus, value, seed)
-    val members = corpus.filter(value.isNotNull)
-      .select(value.as("v")).distinct().withColumn("is_member", lit(1L))
+                       value: Column, seed: String = "bloom:"): DataFrame =
+    Dedup.withScopedCache(
+      corpus.filter(value.isNotNull).select(value.as("v")).distinct()) { cv =>
+      bloomCertificateFromCorpus(cv, probes, value, seed)
+    }
+
+  private def bloomCertificateFromCorpus(cv: DataFrame, probes: DataFrame,
+                                         value: Column, seed: String): DataFrame = {
+    val bits = cv.select(explode(bloomPositionArray(col("v"), seed)).as("pos"))
+      .distinct()
+    val members = cv.withColumn("is_member", lit(1L))
     bloomProbe(bits, probes, value, seed)
       .join(members, Seq("v"), "left")
       .agg(

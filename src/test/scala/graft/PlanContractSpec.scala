@@ -435,6 +435,41 @@ class PlanContractSpec extends SparkSpec {
       s"entropy rescanned the corpus:\n$p")
   }
 
+  test("hll certificate is one linear pass: a single events scan, zero joins") {
+    val p = plan("q_distinct_hll")
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+    assert(p.linesIterator.count(_.contains("events.parquet")) == 1,
+      s"hll rescanned events:\n$p")
+    val pk = plan("q_distinct_hll_by_type")
+    assert(!pk.contains("Join"), s"unexpected join in the per-key form:\n$pk")
+    assert(pk.linesIterator.count(_.contains("events.parquet")) == 1,
+      s"per-key hll rescanned events:\n$pk")
+  }
+
+  test("cms certificate scans the corpus once and joins only by broadcast") {
+    val p = plan("q_heavy_cms")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"sort-merge crept into the cell join:\n$p")
+    // the scoped cache IS the one-scan proof (withScopedCache counts the
+    // input eagerly, so every consumer reads the InMemoryRelation); a
+    // FileScan line-count would miscount the cached plan's re-renderings
+    assert(p.contains("InMemoryTableScan"), s"counts frame lost its cache:\n$p")
+  }
+
+  test("dsir scoring joins the bounded ratio table by broadcast only") {
+    val p = plan("text_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"sort-merge crept into the score join:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"feature frame lost its cache:\n$p")
+  }
+
+  test("bloom certificate caches the corpus values: one corpus-side scan, broadcast probes") {
+    val p = plan("dedup_bloom_prefilter")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    // the corpus side reads its scoped cache; the probe side scans once
+    assert(p.contains("InMemoryTableScan"), s"corpus values lost their cache:\n$p")
+  }
+
   test("source KL computes both totals by window over one corpus scan, never a join") {
     val p = plan("text_source_kl")
     assert(p.contains("Window"), s"windowed totals lost in:\n$p")
