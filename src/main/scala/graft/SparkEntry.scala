@@ -1096,6 +1096,13 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // the Matryoshka question: recall@5 of first-d/2-coordinate serving
+    // vs full-dimension truth — both arms exact brute passes, so the
+    // oracle replays the whole audit
+    "sim_dim_truncation" -> ((s, dir) =>
+      Similarity.dimTruncationAudit(Tables.embeddings(s, dir))
+        .orderBy("query_id")),
+
     // top principal direction by portable power iteration — the
     // spectral axis for drift/whitening/outlier projection; every
     // loading hash-matches the oracle's unrolled iterations
@@ -3076,6 +3083,35 @@ object SparkEntry {
     "q_diverse_kcenter_assign" -> KCENTER_ASSIGN_SQL,
     "sim_topk_kcenter" -> KCENTER_TOPK_SQL,
     "sim_recall_audit" -> RECALL_AUDIT_SQL,
+
+    // both audit arms are exact brute passes: truth over the full
+    // vectors, serving over the first len//2 coordinates
+    "sim_dim_truncation" ->
+      """WITH t AS (SELECT vec_id,
+        |    list_slice(CAST(embedding AS DOUBLE[]), 1, len(embedding) // 2) AS tv
+        |  FROM embeddings),
+        |serv AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.tv, b.tv) DESC, b.vec_id) AS rank
+        |  FROM t a JOIN t b ON a.vec_id <> b.vec_id WHERE a.vec_id < 10)
+        |  WHERE rank <= 5),
+        |truth AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 10)
+        |  WHERE rank <= 5)
+        |SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_true,
+        |  CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) AS recall
+        |FROM truth t LEFT JOIN serv s
+        |  ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
 
     // centroid = mean of floor(e*1e6) integers (exact long sum, pure
     // double mean) — no decimal-cast rounding conventions in play;

@@ -1238,6 +1238,22 @@ object Similarity {
         (col("n_hits").cast("double") / col("n_true")).as("recall"))
   }
 
+  /** Dimension-truncation retrieval audit — the Matryoshka question a
+    * serving team asks before halving its vector store: does top-k under
+    * the FIRST d/2 coordinates still retrieve the full-dimension top-k?
+    * Exact recall@k of truncated-cosine serving vs full-cosine truth
+    * over the bounded query sample — the [[recallAudit]] machinery with
+    * the served side swapped for a brute pass over sliced vectors, so
+    * the whole audit is oracle-replayable (no ANN approximation in
+    * either arm). Cost: two brute passes over the bounded sample; every
+    * join after runs on k×numQueries rows. */
+  def dimTruncationAudit(embeddings: DataFrame, k: Int = 5,
+                         numQueries: Int = 10): DataFrame = {
+    val truncated = embeddings.select(col("vec_id"),
+      expr("slice(embedding, 1, CAST(size(embedding) / 2 AS INT))").as("embedding"))
+    recallAudit(embeddings, topKBrute(truncated, k, numQueries), k, numQueries)
+  }
+
   /** Embedding-space anisotropy diagnostics — the representation-health
     * check a training pipeline runs before trusting cosine similarity
     * at all. An isotropic embedding space has mean pairwise cosine ≈ 0;

@@ -154,6 +154,23 @@ class SketchesSpec extends SparkSpec {
       1000L + r.getAs[Long]("n_false_pos"))
   }
 
+  test("dim truncation audit: a zero tail half makes truncated serving exact") {
+    // vectors whose last half is all zeros: cosine over the first half
+    // IS the full cosine, so recall@k must be exactly 1.0 for every query
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 40L).map { i =>
+      val head = Array.fill(8)(rnd.nextFloat())
+      (i, head ++ Array.fill(8)(0.0f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val r = graft.ops.Similarity.dimTruncationAudit(emb).collect()
+    assert(r.length === 10)
+    r.foreach { row =>
+      assert(row.getAs[Double]("recall") === 1.0, row.toString)
+      assert(row.getAs[Long]("n_hits") === row.getAs[Long]("n_true"))
+    }
+  }
+
   test("hll precision bound rejects out-of-range b before any job") {
     intercept[IllegalArgumentException] {
       Sketches.hllRegisters(Seq(Tuple1(1L)).toDF("user_id"), col("user_id"), b = 13)
