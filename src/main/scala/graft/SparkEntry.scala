@@ -1239,6 +1239,12 @@ object SparkEntry {
     "text_source_kl" -> ((s, dir) =>
       TextAnalysis.sourceKl(Tables.documents(s, dir)).orderBy("source")),
 
+    // seasonal-naive forecast backtest: forecast(h) = actual(h − 24h),
+    // exact micro-unit MAE/bias per type — one scan, dual-role explode,
+    // gap-safe (no row-lag misalignment across missing hours)
+    "q_seasonal_backtest" -> ((s, dir) =>
+      TimeSeries.seasonalBacktest(Tables.events(s, dir)).orderBy("event_type")),
+
     // DSIR importance weights: per-doc log-likelihood ratio between the
     // hashed-ngram model of the English subcorpus (the target) and the
     // whole-corpus model — the data-selection score, exact micro-nats
@@ -3669,6 +3675,27 @@ object SparkEntry {
         |    CAST(n_false_pos AS DOUBLE) / CAST(n_probes - n_members AS DOUBLE)
         |  END AS fpr_measured
         |FROM a""".stripMargin,
+
+    // hourly micro-unit sums matched to their prior-period hour by
+    // integer bucket equi-join; MAE/bias are exact integer sums with
+    // single final divisions mirroring the Spark order
+    "q_seasonal_backtest" ->
+      """WITH q AS (SELECT event_type,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vq
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+        |h AS (SELECT event_type, bucket_us, CAST(sum(vq) AS BIGINT) AS aq
+        |  FROM q GROUP BY 1, 2),
+        |j AS (SELECT a.event_type, a.aq, f.aq AS fq
+        |  FROM h a JOIN h f ON a.event_type = f.event_type
+        |    AND a.bucket_us = f.bucket_us + 86400000000)
+        |SELECT event_type, count(*) AS n_hours,
+        |  CAST(CAST(sum(abs(aq - fq)) AS BIGINT) AS DOUBLE)
+        |    / count(*) / 1000000.0 AS mae,
+        |  CAST(CAST(sum(aq - fq) AS BIGINT) AS DOUBLE)
+        |    / count(*) / 1000000.0 AS bias
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the hashed-ngram models replayed bucket-for-bucket: features =
     // unigrams + bigrams, bucket = 12-bit md5 prefix mod 4096, add-one

@@ -892,4 +892,51 @@ object TimeSeries {
                  / (col("__next_t") - col("__prev_t")).cast("double")))
           .as("interp_value"): _*)
   }
+
+  /** Seasonal-naive forecast backtest — the capacity-planning baseline:
+    * forecast(hour) = actual(hour − period), scored per key as MAE and
+    * signed bias over every hour with a matching prior-period hour.
+    * Per-row values quantize to micro-units BEFORE the hourly sums (raw
+    * double sums are partitioning-dependent; integer sums are exact), so
+    * both error aggregates are exact integers with single final
+    * divisions. ONE corpus scan: each hourly total plays BOTH roles —
+    * actual at its own hour, forecast at hour + period — via a dual-role
+    * explode over the (keys × hours)-bounded frame, never a self-join
+    * re-scan; gap-safe by construction (missing prior hours simply
+    * produce no matched row, where a window lag(24 rows) would silently
+    * misalign across gaps). */
+  def seasonalBacktest(events: DataFrame, periodHours: Int = 24,
+                       quantum: Long = 1000000L): DataFrame = {
+    require(periodHours > 0, s"periodHours must be positive, got $periodHours")
+    val hourUs = 3600000000L
+    val shiftUs = periodHours.toLong * hourUs
+    val hourly = events
+      .filter(col("event_type").isNotNull && col("value").isNotNull &&
+        col("ts_us").isNotNull)
+      .select(col("event_type"),
+        (col("ts_us") - col("ts_us") % hourUs).as("bucket_us"),
+        round(col("value") * lit(quantum.toDouble)).cast("long").as("vq"))
+      .groupBy("event_type", "bucket_us").agg(sum("vq").as("aq"))
+    hourly
+      .select(col("event_type"), explode(array(
+        struct(col("bucket_us"), col("aq").as("actual_q"),
+          lit(null).cast("long").as("forecast_q")),
+        struct((col("bucket_us") + lit(shiftUs)).as("bucket_us"),
+          lit(null).cast("long").as("actual_q"),
+          col("aq").as("forecast_q")))).as("r"))
+      .select(col("event_type"), col("r.bucket_us").as("bucket_us"),
+        col("r.actual_q").as("actual_q"), col("r.forecast_q").as("forecast_q"))
+      .groupBy("event_type", "bucket_us")
+      .agg(max("actual_q").as("aq"), max("forecast_q").as("fq"))
+      .filter(col("aq").isNotNull && col("fq").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(abs(col("aq") - col("fq"))).as("sum_abs_err_q"),
+        sum(col("aq") - col("fq")).as("sum_err_q"))
+      .select(col("event_type"), col("n_hours"),
+        (col("sum_abs_err_q").cast("double") / col("n_hours") /
+          lit(quantum.toDouble)).as("mae"),
+        (col("sum_err_q").cast("double") / col("n_hours") /
+          lit(quantum.toDouble)).as("bias"))
+  }
 }

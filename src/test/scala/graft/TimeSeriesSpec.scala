@@ -483,4 +483,30 @@ class TimeSeriesSpec extends SparkSpec {
       .orderBy("key", "lag").collect().toSeq
     assert(keyedState === keyedBatch && keyedState.nonEmpty)
   }
+
+  test("seasonal backtest: periodic series scores zero error; gaps drop, never misalign") {
+    val hr = 3600000000L
+    // type A: value v(h) = 10 + (h mod 24) exactly periodic over 3 days
+    // -> every matched hour has actual == forecast -> MAE = bias = 0
+    val periodic = (0 until 72).map { h =>
+      ("A", h.toLong * hr + 7L, (10 + h % 24).toDouble)
+    }
+    // type B: two days, but hour 30 is MISSING; hour 54 (= 30 + 24) must
+    // therefore produce NO matched row (a row-lag would misalign instead)
+    val gappy = (24 until 72).filter(h => h != 30).map { h =>
+      ("B", h.toLong * hr + 7L, (100 + h % 24).toDouble)
+    }
+    val events = (periodic ++ gappy).toDF("event_type", "ts_us", "value")
+    val r = graft.ops.TimeSeries.seasonalBacktest(events)
+      .orderBy("event_type").collect()
+    val a = r(0); val b = r(1)
+    assert(a.getAs[String]("event_type") === "A")
+    assert(a.getAs[Long]("n_hours") === 48L) // hours 24..71 have a prior day
+    assert(a.getAs[Double]("mae") === 0.0 && a.getAs[Double]("bias") === 0.0)
+    // B spans hours 24..71 minus {30}: matched hours are 48..71 except
+    // 54 (prior missing) and 30 itself (absent) -> 23 matched, all exact
+    assert(b.getAs[String]("event_type") === "B")
+    assert(b.getAs[Long]("n_hours") === 23L)
+    assert(b.getAs[Double]("mae") === 0.0)
+  }
 }
