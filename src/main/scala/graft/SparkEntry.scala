@@ -1252,6 +1252,12 @@ object SparkEntry {
       Sampling.dsirWeights(Tables.documents(s, dir), col("lang") === "en")
         .orderBy("doc_id")),
 
+    // the resampling step those weights exist for: the top-100 most
+    // target-resembling docs, TakeOrdered shape (never a global sort)
+    "text_dsir_select" -> ((s, dir) =>
+      Sampling.dsirSelect(Tables.documents(s, dir), col("lang") === "en")
+        .orderBy("rank")),
+
     // count-min sketch certificate: exact top-20 token counts next to
     // their 4×1024-cell sketch estimates (overcount ≥ 0 by construction);
     // one scan — the counts frame is scope-cached like dedup postings
@@ -3729,6 +3735,40 @@ object SparkEntry {
         |    AS logweight_nats
         |FROM feats f JOIN ratio r USING (bucket)
         |GROUP BY f.doc_id, f.is_t ORDER BY f.doc_id""".stripMargin,
+
+    // the selection replay: the same DSIR score CTEs, ordered by the
+    // exact integer score with doc_id tie-break, rank over the head only
+    "text_dsir_select" ->
+      """WITH tkl AS (SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+        |    string_split(text, ' ') AS tk FROM documents),
+        |uni AS (SELECT doc_id, is_t, unnest(tk) AS f FROM tkl),
+        |bi AS (SELECT doc_id, is_t,
+        |    unnest(list_transform(range(2, len(tk) + 1),
+        |      i -> tk[i - 1] || ' ' || tk[i])) AS f
+        |  FROM tkl WHERE len(tk) >= 2),
+        |feats AS (SELECT doc_id, is_t,
+        |    CAST(('0x' || substr(md5('dsir:' || f), 1, 3))::BIGINT % 4096
+        |      AS INTEGER) AS bucket
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |bc AS (SELECT bucket, CAST(sum(is_t) AS BIGINT) AS ct,
+        |    count(*) AS cr FROM feats GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+        |    CAST(sum(cr) AS BIGINT) AS nr FROM bc),
+        |ratio AS (SELECT bucket,
+        |    CAST(round((ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 4096 AS DOUBLE))
+        |        - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 4096 AS DOUBLE)))
+        |      * 1000000) AS BIGINT) AS qlr
+        |  FROM bc CROSS JOIN tot),
+        |sc AS (SELECT f.doc_id, f.is_t,
+        |    CAST(sum(r.qlr) AS BIGINT) AS sum_qlw
+        |  FROM feats f JOIN ratio r USING (bucket)
+        |  GROUP BY f.doc_id, f.is_t),
+        |head AS (SELECT * FROM sc ORDER BY sum_qlw DESC, doc_id LIMIT 100)
+        |SELECT CAST(row_number() OVER (ORDER BY sum_qlw DESC, doc_id)
+        |    AS INTEGER) AS rank,
+        |  doc_id, CAST(is_t AS INTEGER) AS is_target, sum_qlw
+        |FROM head ORDER BY rank""".stripMargin,
 
     // every CMS cell replayed: col_i = 12-bit prefix of md5('cms:i:'‖w)
     // mod 1024, cells exact integer sums, estimate = min over the 4 rows

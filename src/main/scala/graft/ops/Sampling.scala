@@ -344,6 +344,23 @@ object Sampling {
     }
   }
 
+  /** The selection face of [[dsirWeights]]: the top-N most
+    * target-resembling documents, ranked by the exact integer score with
+    * doc_id as the total tie-break. TakeOrdered shape (orderBy+limit —
+    * per-partition top-N then a merge of N-row heads, never a global
+    * sort); the display rank is a window over the N selected rows only.
+    * This is the importance-RESAMPLING step run after the scorer: a
+    * budget of N docs drawn from the pool by target resemblance. */
+  def dsirSelect(docs: DataFrame, isTarget: Column, topN: Int = 100,
+                 buckets: Int = 4096): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val head = dsirWeights(docs, isTarget, buckets)
+      .orderBy(col("sum_qlw").desc, col("doc_id")).limit(topN)
+    head.withColumn("rank",
+      row_number().over(Window.orderBy(col("sum_qlw").desc, col("doc_id"))))
+      .select("rank", "doc_id", "is_target", "sum_qlw")
+  }
+
   /** Leakage-safe train/eval split: assignment by the doc's near-dup
     * CLUSTER, not the doc. Hashing raw doc ids lets a near-duplicate of
     * an eval doc land in train — the silent benchmark-inflation path

@@ -1162,6 +1162,35 @@ object StreamingMonitors {
     else ck).start()
   }
 
+  /** Streaming maintenance of the Bloom set-bit table
+    * (ops/Sketches.bloomBits): positions merge by plain DISTINCT union,
+    * so the ≤32768-row state frame is the always-current corpus
+    * membership pre-filter — a new batch probes it
+    * (Sketches.bloomProbe) BEFORE paying the exact anti-join. Same
+    * versioned idempotent-replay contract as the other state sinks. */
+  def bloomStateSink(docStream: DataFrame, stateDir: String,
+                     valueCol: String = "text",
+                     checkpoint: Option[String] = None,
+                     availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    val writer = docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = graft.ops.Sketches.bloomBits(batch, col(valueCol))
+        val merged = latestVersionedState(batch.sparkSession, stateDir, batchId) match {
+          case Some(prev) => prev.unionByName(partial).distinct()
+          case None => partial
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        ()
+      }
+    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow)
+      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else ck).start()
+  }
+
   /** Streaming maintenance of the per-(label, pos) centroid partials
     * (ops/Similarity.centroidPartials): quantized component sums and
     * member counts merge by plain addition at single-vector grain, so

@@ -413,6 +413,16 @@ class SamplingSpec extends SparkSpec {
     assert(byDoc(1L) > byDoc(2L))
   }
 
+  test("dsir selection is exactly the driver-sorted top-N of the weights") {
+    val fix = docs.select("doc_id", "text", "lang")
+    val weights = Sampling.dsirWeights(fix, col("lang") === "en").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("sum_qlw")))
+    val want = weights.sortBy { case (id, w) => (-w, id) }.take(25).map(_._1).toSeq
+    val got = Sampling.dsirSelect(fix, col("lang") === "en", topN = 25)
+      .orderBy("rank").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(got === want)
+  }
+
   test("deterministic shuffle reproduces under the same seed and moves under a new one") {
     val a = Sampling.deterministicShuffle(docs, "epoch1:").select("doc_id")
       .limit(50).as[Long].collect().toSeq

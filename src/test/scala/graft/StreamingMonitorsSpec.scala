@@ -1174,6 +1174,36 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("streamed bloom bits serve the exact batch membership pre-filter") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").persist()
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val stateDir = s"${work()}/bloom-state"
+    val q = StreamingMonitors.bloomStateSink(stream, stateDir)
+    try {
+      (0 until 3).foreach { i =>
+        mem.addData(rows.filter(_._1 % 3 == i).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val state = StreamingMonitors.latestVersionedState(spark, stateDir).get
+    val probes = docs.toDF().limit(30)
+    val served = graft.ops.Sketches.bloomProbe(state, probes, col("text"))
+      .orderBy("v").collect().map(_.toSeq)
+    val direct = graft.ops.Sketches.bloomProbe(
+      graft.ops.Sketches.bloomBits(docs.toDF(), col("text")), probes, col("text"))
+      .orderBy("v").collect().map(_.toSeq)
+    docs.unpersist(blocking = false)
+    assert(served === direct)
+    // every streamed-in doc is a member: no false negatives through the sink
+    assert(served.nonEmpty && direct.nonEmpty)
+  }
+
   test("streamed token counts serve the exact batch source entropy") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
