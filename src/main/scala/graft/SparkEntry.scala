@@ -1181,6 +1181,11 @@ object SparkEntry {
     "sim_lexical_topk" -> ((s, dir) =>
       Dedup.lexicalTopK(Tables.documents(s, dir)).orderBy("doc_id", "rank")),
 
+    // true BM25 (k1=1.2, b=0.75, Lucene idf) over the inverted index —
+    // exact micro-unit contributions, doc-as-query probes, df-capped
+    "sim_bm25_topk" -> ((s, dir) =>
+      Dedup.bm25TopK(Tables.documents(s, dir)).orderBy("query_id", "rank")),
+
     // k-anonymity exposure over (lang, source, ceil-pow2 length) quasi-
     // identifiers — the indirect-identifier audit next to the PII scrub
     "q_anonymity_census" -> ((s, dir) => {
@@ -2536,6 +2541,41 @@ object SparkEntry {
         |  CAST(CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
         |    / count(*) AS late_rate
         |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // the BM25 arithmetic replayed term by term: idf and saturation in
+    // the exact Spark operation order, each contribution quantized to
+    // micro-units BEFORE the per-pair sum
+    "sim_bm25_topk" ->
+      """WITH tf AS (SELECT doc_id, w, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents) GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS n_tokens FROM lens),
+        |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1
+        |  HAVING count(*) <= 1000),
+        |q AS (SELECT doc_id AS query_id, w FROM tf WHERE doc_id < 5),
+        |sc AS (SELECT q.query_id, t.doc_id,
+        |    CAST(round(ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+        |        / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(t.tf AS DOUBLE) * 2.2)
+        |      / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |        * CAST(l.dl AS DOUBLE)
+        |        / (CAST(s.n_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+        |      * 1000000) AS BIGINT) AS qs
+        |  FROM q JOIN tf t ON t.w = q.w AND t.doc_id <> q.query_id
+        |  JOIN dfreq d ON d.w = q.w
+        |  JOIN lens l ON l.doc_id = t.doc_id
+        |  CROSS JOIN stats s),
+        |agg AS (SELECT query_id, doc_id, CAST(sum(qs) AS BIGINT) AS score_q
+        |  FROM sc GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score_q,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_q DESC, doc_id) AS rank FROM agg)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+        |  doc_id AS neighbor_id,
+        |  CAST(score_q AS DOUBLE) / 1000000.0 AS bm25
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // same integer idf surrogate as text_tfidf ((N+1)//(df+1), scaled
     // 10^6), same df cap as the engine, ties by neighbor id

@@ -216,6 +216,58 @@ object Dedup {
         .filter(col("rank") <= k)
     }
 
+  /** True BM25 retrieval (Robertson/Walker; Lucene IDF form) — the
+    * standard lexical ranking next to [[lexicalTopK]]'s integer
+    * heuristic: score(q,d) = Σ_t idf(t)·tf(k1+1)/(tf + k1(1−b+b·|d|/avgdl))
+    * with idf = ln((N−df+0.5)/(df+0.5)+1), k1=1.2, b=0.75. Queries are
+    * the first `numQueries` docs (distinct terms each, the doc-as-query
+    * probe pattern the cosine family uses). Every per-(term,doc)
+    * contribution quantizes to integer micro-units BEFORE the per-pair
+    * sum — exact aggregate, partitioning-invariant, oracle-replayable.
+    *
+    * 100 TB shape: inverted-index joins only (query terms × postings on
+    * the term key, df and length by key join, corpus stats ONE broadcast
+    * scalar row) — never all-pairs; `maxDocFreq` drops ubiquitous terms
+    * before the posting join (their idf ≈ 0, their posting lists are the
+    * quadratic hazard — the [[ngramJaccard]] guard). The tf frame is
+    * scope-cached: one corpus scan feeds tf, df, lengths, stats, and the
+    * query side. */
+  def bm25TopK(docs: DataFrame, k: Int = 5, numQueries: Int = 5,
+               k1: Double = 1.2, b: Double = 0.75, maxDocFreq: Int = 1000,
+               quantum: Long = 1000000L): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    withScopedCache(tf) { t =>
+      val lens = t.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val stats = lens.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens"))
+      val dfreq = t.groupBy("w").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDocFreq)
+      val qterms = t.filter(col("doc_id") < numQueries)
+        .select(col("doc_id").as("query_id"), col("w"))
+      val scored = qterms
+        .join(t, Seq("w"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(dfreq, Seq("w"))
+        .join(lens, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("query_id"), col("doc_id"),
+          round(log((col("n_docs").cast("double") - col("df").cast("double") +
+                lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
+              (col("tf").cast("double") * lit(k1 + 1.0)) /
+              (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) *
+                col("dl").cast("double") /
+                (col("n_tokens").cast("double") / col("n_docs").cast("double")))) *
+              lit(quantum.toDouble)).cast("long").as("qs"))
+        .groupBy("query_id", "doc_id").agg(sum("qs").as("score_q"))
+      val byQ = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("score_q").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(byQ).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("doc_id").as("neighbor_id"),
+          (col("score_q").cast("double") / quantum.toDouble).as("bm25"))
+    }
+  }
+
   /** Eval-set decontamination: every (train, eval) doc pair where the
     * train doc contains at least `threshold` of the eval doc's shingle
     * set — `containment = |sh(train) ∩ sh(eval)| / |sh(eval)|`, the

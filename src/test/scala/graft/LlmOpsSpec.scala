@@ -973,6 +973,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(b.getAs[Long]("n_tokens") === 2L && b.getAs[Long]("sum_qent") === 0L)
   }
 
+  test("bm25TopK matches a driver-replicated model term for term") {
+    // corpus: doc0 is the query; docs 1-3 share terms with varying tf/len
+    val fix = Seq(
+      (0L, "spark query engine"),
+      (1L, "spark spark engine runs fast"),
+      (2L, "query engine"),
+      (3L, "unrelated words entirely here now then")).toDF("doc_id", "text")
+    val got = Dedup.bm25TopK(fix, k = 3, numQueries = 1)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank"), r.getAs[Double]("bm25")))
+    // driver model with the same quantize-before-sum discipline
+    val docsT = Map(
+      0L -> Seq("spark", "query", "engine"),
+      1L -> Seq("spark", "spark", "engine", "runs", "fast"),
+      2L -> Seq("query", "engine"),
+      3L -> Seq("unrelated", "words", "entirely", "here", "now", "then"))
+    val n = docsT.size.toDouble
+    val nTokens = docsT.values.map(_.size).sum.toDouble
+    val avgdl = nTokens / n
+    val dfm = docsT.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    def score(qt: Seq[String], d: Long): Long = {
+      val tfs = docsT(d).groupBy(identity).view.mapValues(_.size).toMap
+      qt.distinct.flatMap { t =>
+        tfs.get(t).map { tf =>
+          val idf = math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0)
+          math.round(idf * (tf * 2.2) /
+            (tf + 1.2 * (0.25 + 0.75 * docsT(d).size / avgdl)) * 1e6)
+        }
+      }.sum
+    }
+    val want = Seq(1L, 2L, 3L).map(d => d -> score(docsT(0L), d))
+      .filter(_._2 != 0L)
+      .sortBy { case (d, s) => (-s, d) }
+      .zipWithIndex.map { case ((d, s), i) => (d, (i + 1).toLong, s.toDouble / 1e6) }
+    assert(got.toSeq === want)
+  }
+
   test("sourceKl: quantized micro-nat terms sum to the exact corpus KL") {
     // same fixture as sourceEntropy: A = {a:3, b:1} of 4; B = {c:2} of 2;
     // corpus N=6 with C_a=3, C_b=1, C_c=2
