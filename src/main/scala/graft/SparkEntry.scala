@@ -1277,6 +1277,12 @@ object SparkEntry {
     "q_distinct_hll" -> ((s, dir) =>
       graft.ops.Sketches.hllCertificate(Tables.events(s, dir), col("user_id"))),
 
+    // audience overlap from sketches alone: est(A∩B) by inclusion-
+    // exclusion over the A/B/union register sets, exact flags beside it
+    "q_distinct_overlap" -> ((s, dir) =>
+      graft.ops.Sketches.hllOverlapCertificate(Tables.events(s, dir),
+        col("event_type"), col("user_id"), "click", "purchase")),
+
     // the same sketch composed relationally: distinct users PER EVENT
     // TYPE in one pass — what a register-table representation buys over
     // an opaque blob (GROUP BY composes with it)
@@ -3878,6 +3884,61 @@ object SparkEntry {
         |    (est_hll - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
         |  END AS rel_err
         |FROM f""".stripMargin,
+
+    // inclusion-exclusion replay: the A/B/union register sets from the
+    // same per-user membership flags, three estimates, exact flag sums
+    "q_distinct_overlap" ->
+      """WITH pv AS (SELECT user_id AS v,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS fa,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS fb
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND (event_type = 'click' OR event_type = 'purchase')
+        |  GROUP BY 1),
+        |rl AS (SELECT v, unnest(['a', 'b', 'u']) AS role, fa, fb FROM pv),
+        |rf AS (SELECT v, role FROM rl
+        |  WHERE (role = 'a' AND fa = 1) OR (role = 'b' AND fb = 1)
+        |     OR role = 'u'),
+        |pr AS (SELECT role,
+        |    CAST(('0x' || substr(md5('hll:' || CAST(v AS VARCHAR)), 1, 3))::BIGINT
+        |      % 512 AS INTEGER) AS bucket,
+        |    CAST(CASE WHEN
+        |      ('0x' || substr(md5('hll:' || CAST(v AS VARCHAR)), 4, 15))::BIGINT = 0
+        |      THEN 61 ELSE 61 - length(bin(
+        |        ('0x' || substr(md5('hll:' || CAST(v AS VARCHAR)), 4, 15))::BIGINT))
+        |    END AS INTEGER) AS rho
+        |  FROM rf),
+        |regs AS (SELECT role, bucket, max(rho) AS m_j FROM pr GROUP BY 1, 2),
+        |a AS (SELECT role, count(*) AS n_present,
+        |    sum(1::BIGINT << (63 - m_j)) AS sum_present FROM regs GROUP BY 1),
+        |s AS (SELECT role, CAST(n_present AS BIGINT) AS n_present,
+        |    COALESCE(sum_present, 0)
+        |      + (512 - n_present) * CAST('9223372036854775808' AS HUGEINT)
+        |      AS sum_scaled FROM a),
+        |e AS (SELECT role, n_present,
+        |    CAST(0.7213 AS DOUBLE)
+        |      / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(512.0 AS DOUBLE))
+        |      * CAST(262144.0 AS DOUBLE) * CAST(9.223372036854775808e18 AS DOUBLE)
+        |      / CAST(sum_scaled AS DOUBLE) AS est_raw,
+        |    512 - n_present AS v_zero FROM s),
+        |f AS (SELECT role,
+        |    CASE WHEN est_raw <= CAST(2.5 AS DOUBLE) * CAST(512.0 AS DOUBLE)
+        |        AND v_zero > 0
+        |      THEN CAST(512.0 AS DOUBLE)
+        |        * ln(CAST(512.0 AS DOUBLE) / CAST(v_zero AS DOUBLE))
+        |      ELSE est_raw END AS est_hll FROM e),
+        |p AS (SELECT max(CASE WHEN role = 'a' THEN est_hll END) AS est_a,
+        |    max(CASE WHEN role = 'b' THEN est_hll END) AS est_b,
+        |    max(CASE WHEN role = 'u' THEN est_hll END) AS est_union FROM f),
+        |x AS (SELECT CAST(sum(fa) AS BIGINT) AS n_a_exact,
+        |    CAST(sum(fb) AS BIGINT) AS n_b_exact,
+        |    CAST(sum(fa * fb) AS BIGINT) AS n_overlap_exact FROM pv)
+        |SELECT n_a_exact, n_b_exact, n_overlap_exact, est_a, est_b, est_union,
+        |  est_a + est_b - est_union AS est_overlap,
+        |  CASE WHEN n_overlap_exact > 0 THEN
+        |    (est_a + est_b - est_union - CAST(n_overlap_exact AS DOUBLE))
+        |      / CAST(n_overlap_exact AS DOUBLE)
+        |  END AS rel_err_overlap
+        |FROM x CROSS JOIN p""".stripMargin,
 
     // the per-key composition of the same replay: every stage gains
     // event_type, one register table per type, same estimate arithmetic

@@ -126,6 +126,56 @@ object Sketches {
             col("n_exact").cast("double")).as("rel_err")): _*)
   }
 
+  /** Set-overlap certificate by inclusion–exclusion over THREE register
+    * sets (A, B, A∪B) — the audience-overlap question ("how many users
+    * did both?") answered from sketches alone: est(A∩B) = est(A) +
+    * est(B) − est(A∪B), since HLL unions are exact register maxes. One
+    * value-grain pass builds per-value membership flags (scope-cached);
+    * a role explode derives all three register sets from it, and the
+    * exact flag sums sit beside the estimates. The overlap estimate is
+    * a DIFFERENCE of estimates, so its relative error is amplified when
+    * |A∩B| ≪ |A∪B| — the certificate exists to measure exactly that. */
+  def hllOverlapCertificate(df: DataFrame, key: Column, value: Column,
+                            keyA: String, keyB: String, b: Int = 9,
+                            seed: String = "hll:"): DataFrame = {
+    val m = requireB(b)
+    val perValue = df
+      .filter(value.isNotNull && (key === keyA || key === keyB))
+      .select(value.as("v"),
+        when(key === keyA, 1L).otherwise(0L).as("fa"),
+        when(key === keyB, 1L).otherwise(0L).as("fb"))
+      .groupBy("v").agg(max("fa").as("fa"), max("fb").as("fb"))
+    Dedup.withScopedCache(perValue) { pu =>
+      val h = hash(col("v"), seed)
+      val regs = pu
+        .select(col("v"), explode(array(
+          when(col("fa") === 1L, "a"), when(col("fb") === 1L, "b"),
+          lit("u"))).as("role"))
+        .filter(col("role").isNotNull)
+        .select(col("role"), bucketCol(h, m), rhoCol(h))
+        .groupBy("role", "bucket").agg(max("rho").as("m_j"))
+      val ests = estimateCore(regs.groupBy("role").agg(
+        count(lit(1)).as("n_present"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 63 - m_j)").cast(DecimalType(38, 0)))
+          .as("sum_present")), m, Seq("role"))
+        .agg(
+          max(when(col("role") === "a", col("est_hll"))).as("est_a"),
+          max(when(col("role") === "b", col("est_hll"))).as("est_b"),
+          max(when(col("role") === "u", col("est_hll"))).as("est_union"))
+      val exact = pu.agg(
+        sum("fa").as("n_a_exact"), sum("fb").as("n_b_exact"),
+        sum(col("fa") * col("fb")).as("n_overlap_exact"))
+      exact.crossJoin(ests)
+        .select(col("n_a_exact"), col("n_b_exact"), col("n_overlap_exact"),
+          col("est_a"), col("est_b"), col("est_union"),
+          (col("est_a") + col("est_b") - col("est_union")).as("est_overlap"),
+          when(col("n_overlap_exact") > 0L,
+            (col("est_a") + col("est_b") - col("est_union") -
+              col("n_overlap_exact").cast("double")) /
+              col("n_overlap_exact").cast("double")).as("rel_err_overlap"))
+    }
+  }
+
   // ---------------------------------------------------------------------
   // Count-min sketch (Cormode/Muthukrishnan 2005) — the frequency sibling
   // of the HLL: d=4 salted md5 rows × w=1024 columns of EXACT counted

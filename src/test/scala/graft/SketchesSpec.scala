@@ -87,6 +87,25 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hll overlap certificate: inclusion-exclusion lands near the planted intersection") {
+    // A = users 0..999, B = users 500..1499 → exact overlap 500; both
+    // slices in the linear-counting regime where the estimates are tight
+    val rows = (0L until 1000L).map(u => ("click", u)) ++
+      (500L until 1500L).map(u => ("purchase", u))
+    val df = rows.toDF("event_type", "user_id")
+    val r = Sketches.hllOverlapCertificate(df, col("event_type"),
+      col("user_id"), "click", "purchase").collect()(0)
+    assert(r.getAs[Long]("n_a_exact") === 1000L)
+    assert(r.getAs[Long]("n_b_exact") === 1000L)
+    assert(r.getAs[Long]("n_overlap_exact") === 500L)
+    // the union estimate can never exceed the sum of the parts
+    assert(r.getAs[Double]("est_union") <=
+      r.getAs[Double]("est_a") + r.getAs[Double]("est_b"))
+    // difference-of-estimates error is amplified; 15% is generous here
+    assert(math.abs(r.getAs[Double]("rel_err_overlap")) < 0.15,
+      s"overlap err ${r.getAs[Double]("rel_err_overlap")}")
+  }
+
   test("cms cells replay the salted md5 columns bit-for-bit (JVM recompute)") {
     val counts = Seq(("alpha", 5L), ("beta", 3L), ("gamma", 2L)).toDF("w", "cnt")
     val got = Sketches.cmsCells(counts).collect()
