@@ -470,6 +470,22 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), s"corpus values lost their cache:\n$p")
   }
 
+  test("bm25 rides the scoped tf cache and never degenerates to a cartesian") {
+    val p = plan("sim_bm25_topk")
+    assert(p.contains("InMemoryTableScan"), s"tf frame lost its cache:\n$p")
+    assert(!p.contains("CartesianProduct"), s"bm25 has a cartesian product:\n$p")
+    // the one-row stats scalar is the only nested-loop join allowed
+    val nlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj <= 1, s"unexpected nested-loop joins ($nlj):\n$p")
+  }
+
+  test("seasonal backtest is one linear events pass: no join, no second scan") {
+    val p = plan("q_seasonal_backtest")
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+    assert(p.linesIterator.count(_.contains("events.parquet")) == 1,
+      s"backtest rescanned events:\n$p")
+  }
+
   test("source KL computes both totals by window over one corpus scan, never a join") {
     val p = plan("text_source_kl")
     assert(p.contains("Window"), s"windowed totals lost in:\n$p")
