@@ -308,7 +308,41 @@ object Bench {
           System.err.println(s"[bench] control $name failed: ${e.getMessage}"); -1.0
         }
       }.getOrElse(-1.0)
+    // ---- adjudication re-settle (round 16) -------------------------------
+    // The settle precondition guards only the START of the run: 22 of 23
+    // official r15 flags were a host phase that developed mid-run, and the
+    // adjudicator's reruns themselves executed under 2-3x controls — the
+    // one genuinely-open flag was adjudicated on evidence as contaminated
+    // as the reading it was meant to judge. Before each flag's rerun,
+    // re-probe the engine-independent cals against the clean record's refs
+    // and WAIT (bounded) for the host to return to flat; if it never
+    // does, the adjudication proceeds but the flag is recorded as
+    // "deferred_host" — an explicit in-band deferral, never presented as
+    // a clean open flag nor laundered closed. Once a re-settle exhausts,
+    // later flags probe with a short budget (the phase evidently
+    // persists; burning 12 waits per flag would add minutes for nothing).
+    var resettleExhausted = false
+    def resettleForAdjudication(): (Boolean, Int) =
+      (recordJvmCal, recordMemCal) match {
+        case (Some(jvmRef), Some(memRef)) =>
+          val maxAttempts = if (resettleExhausted) 2 else 12
+          var ok = false
+          var attempt = 0
+          while (!ok && attempt < maxAttempts) {
+            val j = jvmCalOnce()
+            val m = memCalOnce()
+            ok = j <= 1.10 * jvmRef && m <= 1.25 * memRef
+            attempt += 1
+            if (!ok && attempt < maxAttempts) Thread.sleep(4000)
+          }
+          if (!ok) resettleExhausted = true else resettleExhausted = false
+          (ok, attempt)
+        // no clean-record refs: flatness is unjudgeable, same stance as
+        // the start-of-run precondition (proceed, never block)
+        case _ => (true, 0)
+      }
     val adjudicated = flagged.map { case (name, mainT, rec) =>
+      val (calFlat, resettleAttempts) = resettleForAdjudication()
       val calSnap = jvmCalOnce()
       val memSnap = memCalOnce()
       def rerunOnce(): Option[Double] = {
@@ -353,32 +387,47 @@ object Bench {
       // closure, in evidence-strength order: "rerun" = plain re-run back
       // in band (the r12 rule, 2x + 1 s floor); "control" = re-run in band
       // after host normalization, at the verdict's tighter 1.3x bar
+      // closure, in evidence-strength order as before; a flag that would
+      // stay open but whose adjudication ran under a hot host (re-settle
+      // exhausted) is an explicit DEFERRAL — the evidence against it is
+      // as contaminated as the reading it judges, so the record says so
+      // instead of presenting a contaminated open flag as engine truth
       val closedBy =
         if (rerun >= 0 && !(rerun > 2 * rec && rerun - rec > 1.0)) "rerun"
         else if (rerun >= 0 && {
           val eff = rerun / norm
           !(eff > 1.3 * rec && eff - rec > 1.0)
         }) "control"
+        else if (!calFlat) "deferred_host"
         else ""
-      (name, mainT, rerun, rec, calSnap, memSnap, ctrlFlat, ctrlPhase, norm, closedBy)
+      (name, mainT, rerun, rec, calSnap, memSnap, ctrlFlat, ctrlPhase, norm,
+        closedBy, calFlat, resettleAttempts)
     }
     val adjJson = adjudicated.map {
-      case (name, mainT, rerun, rec, calSnap, memSnap, ctrlFlat, ctrlPhase, norm, closedBy) =>
+      case (name, mainT, rerun, rec, calSnap, memSnap, ctrlFlat, ctrlPhase,
+            norm, closedBy, calFlat, resettleAttempts) =>
         "\"" + name + "\":{\"main\":" + mainT + ",\"rerun\":" + rerun +
           ",\"record\":" + rec + ",\"jvm_cal\":" + calSnap +
           ",\"mem_cal\":" + memSnap + ",\"ctrl_flat\":" + ctrlFlat +
           ",\"ctrl_phase\":" + ctrlPhase + ",\"norm\":" + norm +
+          ",\"cal_flat\":" + calFlat +
+          ",\"resettle_attempts\":" + resettleAttempts +
           ",\"closed_by\":\"" + closedBy + "\"}"
     }.mkString("{", ",", "}")
     // a flag stays OPEN only if the immediate re-run lands >2x the record
     // raw AND >1.3x after dividing out the measured host slowdown — those
-    // are the engine's to answer; the rest are self-refuted host wobble,
-    // closed inside this very record with their evidence attached
+    // are the engine's to answer, PROVIDED the adjudication itself ran on
+    // flat cals; the rest are self-refuted host wobble (closed in-band)
+    // or explicit host deferrals (listed apart, never silently open)
     val flagsOpen = adjudicated.collect {
-      case (name, _, _, _, _, _, _, _, _, closedBy) if closedBy.isEmpty =>
+      case (name, _, _, _, _, _, _, _, _, closedBy, _, _) if closedBy.isEmpty =>
         "\"" + name + "\""
     }.mkString("[", ",", "]")
-    val adj = s""""adjudication":$adjJson,"flags_open":$flagsOpen"""
+    val flagsDeferred = adjudicated.collect {
+      case (name, _, _, _, _, _, _, _, _, closedBy, _, _)
+        if closedBy == "deferred_host" => "\"" + name + "\""
+    }.mkString("[", ",", "]")
+    val adj = s""""adjudication":$adjJson,"flags_open":$flagsOpen,"flags_deferred":$flagsDeferred"""
     // "filtered" marks partial runs so they can never be mistaken for the
     // official full-bench line
     val filtered = if (only.isDefined) ""","filtered":true""" else ""
@@ -403,7 +452,7 @@ object Bench {
     // record lost the total and the dedup family that way). This second
     // line is small and LAST, so any tail capture always carries the total,
     // both calibrations, the query count, and the failure list.
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed$filtered,$cals,"settle_status":"$settleStatus","n_flagged":${adjudicated.size},"flags_open":$flagsOpen,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed$filtered,$cals,"settle_status":"$settleStatus","n_flagged":${adjudicated.size},"flags_open":$flagsOpen,"flags_deferred":$flagsDeferred,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
