@@ -1290,6 +1290,20 @@ object SparkEntry {
       graft.ops.Sketches.hllCertificateBy(Tables.events(s, dir),
         Seq("event_type"), col("user_id")).orderBy("event_type")),
 
+    // KMV overlap: est(A∩B) as (sample fraction)·est(union) — a PRODUCT,
+    // not HLL's difference of three estimates, so small intersections
+    // keep bounded relative error; exact counts beside the estimates
+    "q_distinct_kmv" -> ((s, dir) =>
+      graft.ops.Sketches.kmvOverlapCertificate(Tables.events(s, dir),
+        col("event_type"), col("user_id"), "click", "purchase")),
+
+    // deterministic bottom-k row-sample quantile sketch: per-type
+    // p50/p90 picked from the k hash-smallest rows, exact discrete
+    // quantiles and the realized CDF error measured beside them
+    "q_quantiles_sketch" -> ((s, dir) =>
+      graft.ops.Sketches.quantileCertificate(Tables.events(s, dir))
+        .orderBy("event_type")),
+
     // Zipf-law fit over the frequency head: OLS slope/intercept on the
     // micro-quantized log-rank/log-count line (healthy prose ≈ −1)
     "text_zipf" -> ((s, dir) =>
@@ -3939,6 +3953,100 @@ object SparkEntry {
         |      / CAST(n_overlap_exact AS DOUBLE)
         |  END AS rel_err_overlap
         |FROM x CROSS JOIN p""".stripMargin,
+
+    // KMV replay: bottom-256 of the 60-bit value hashes per role via
+    // row_number windows; estimates (k-1)·2^60/h_k with the <k exact
+    // regime; overlap = (flagged fraction of the union's bottom-k) ×
+    // est_union — every double op mirrors the Spark expression literally
+    "q_distinct_kmv" ->
+      """WITH pv AS (SELECT user_id AS v,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS fa,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS fb
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND (event_type = 'click' OR event_type = 'purchase')
+        |  GROUP BY 1),
+        |hv AS (SELECT
+        |    ('0x' || substr(md5('kmv:' || CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h,
+        |    fa, fb FROM pv),
+        |ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hv WHERE fa = 1),
+        |ea AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+        |    ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |      / CAST(max(h) AS DOUBLE) END AS est_a
+        |  FROM ra WHERE rn <= 256),
+        |rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hv WHERE fb = 1),
+        |eb AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+        |    ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |      / CAST(max(h) AS DOUBLE) END AS est_b
+        |  FROM rb WHERE rn <= 256),
+        |ru AS (SELECT h, fa, fb, row_number() OVER (ORDER BY h) AS rn FROM hv),
+        |ku AS (SELECT CAST(count(*) AS BIGINT) AS k_used,
+        |    CAST(sum(fa * fb) AS BIGINT) AS n_both_in_k,
+        |    CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+        |      ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |        / CAST(max(h) AS DOUBLE) END AS est_union
+        |  FROM ru WHERE rn <= 256),
+        |x AS (SELECT CAST(sum(fa) AS BIGINT) AS n_a_exact,
+        |    CAST(sum(fb) AS BIGINT) AS n_b_exact,
+        |    CAST(sum(fa * fb) AS BIGINT) AS n_overlap_exact FROM pv)
+        |SELECT n_a_exact, n_b_exact, n_overlap_exact, est_a, est_b, est_union,
+        |  k_used, n_both_in_k,
+        |  CAST(n_both_in_k AS DOUBLE) / CAST(k_used AS DOUBLE) AS jaccard_k,
+        |  CAST(n_both_in_k AS DOUBLE) / CAST(k_used AS DOUBLE) * est_union
+        |    AS est_overlap,
+        |  CASE WHEN n_overlap_exact > 0 THEN
+        |    (CAST(n_both_in_k AS DOUBLE) / CAST(k_used AS DOUBLE) * est_union
+        |      - CAST(n_overlap_exact AS DOUBLE)) / CAST(n_overlap_exact AS DOUBLE)
+        |  END AS rel_err_overlap
+        |FROM x CROSS JOIN ea CROSS JOIN eb CROSS JOIN ku""".stripMargin,
+
+    // quantile-sketch replay: per-type bottom-512 rows by md5(event_id),
+    // rank rule ceil(p·n) over (v, h) on the sample and (value, event_id)
+    // on the corpus — the q_quantiles selection — plus the CDF counts
+    "q_quantiles_sketch" ->
+      """WITH base AS (SELECT event_type, event_id, value FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |hs AS (SELECT event_type, value AS v,
+        |    ('0x' || substr(md5('qsk:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM base),
+        |samp AS (SELECT event_type, h, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM hs),
+        |sk AS (SELECT event_type, h, v FROM samp WHERE rn <= 512),
+        |skr AS (SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v, h) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n_s FROM sk),
+        |est AS (SELECT event_type,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n_s) AS BIGINT))
+        |      THEN v END) AS p50_sketch,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n_s) AS BIGINT))
+        |      THEN v END) AS p90_sketch,
+        |    CAST(max(n_s) AS BIGINT) AS n_sample
+        |  FROM skr GROUP BY 1),
+        |exr AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM base),
+        |exq AS (SELECT event_type,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+        |      THEN value END) AS p50_exact,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+        |      THEN value END) AS p90_exact
+        |  FROM exr GROUP BY 1),
+        |cdf AS (SELECT b.event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN b.value <= e.p50_sketch THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_le_p50,
+        |    CAST(sum(CASE WHEN b.value <= e.p90_sketch THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_le_p90
+        |  FROM base b JOIN est e ON b.event_type = e.event_type GROUP BY 1)
+        |SELECT e.event_type, c.n_rows, e.n_sample,
+        |  e.p50_sketch, q.p50_exact,
+        |  abs(CAST(c.n_le_p50 AS DOUBLE) / CAST(c.n_rows AS DOUBLE)
+        |    - CAST(0.5 AS DOUBLE)) AS cdf_err_p50,
+        |  e.p90_sketch, q.p90_exact,
+        |  abs(CAST(c.n_le_p90 AS DOUBLE) / CAST(c.n_rows AS DOUBLE)
+        |    - CAST(0.9 AS DOUBLE)) AS cdf_err_p90
+        |FROM est e JOIN exq q ON e.event_type = q.event_type
+        |JOIN cdf c ON e.event_type = c.event_type
+        |ORDER BY e.event_type""".stripMargin,
 
     // the per-key composition of the same replay: every stage gains
     // event_type, one register table per type, same estimate arithmetic

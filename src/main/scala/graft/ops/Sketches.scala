@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -38,7 +39,11 @@ object Sketches {
     md5(concat(lit(seed), value.cast("string")))
 
   private def requireB(b: Int): Int = {
-    require(b >= 4 && b <= 12, s"HLL precision b must be in [4, 12], got $b")
+    // lower bound 7, not 4: the alpha constant below (0.7213/(1+1.079/m))
+    // is the published approximation only for m >= 128 — at m=16/32/64
+    // the published constants are 0.673/0.697/0.709 and the closed form
+    // would carry ~0.4-1% systematic bias while claiming exactness
+    require(b >= 7 && b <= 12, s"HLL precision b must be in [7, 12], got $b")
     1 << b
   }
 
@@ -211,7 +216,11 @@ object Sketches {
 
   /** Point estimates for a frame of probe tokens (column `w`): min over
     * the d probed cells. The cells side is ≤4096 rows — broadcast, so a
-    * million-token probe frame runs join-local with zero shuffle. */
+    * million-token probe frame runs join-local with zero shuffle. The
+    * probe join is LEFT with absent cells counting 0 — a true count-min
+    * cell never touched by the corpus is implicitly zero, so a probe for
+    * a never-seen token estimates 0 instead of vanishing (inner join) or
+    * over-estimating as the min over only its present cells. */
   def cmsEstimate(cells: DataFrame, probes: DataFrame): DataFrame = {
     val rows = (0 until cmsDepth).map { i =>
       struct(lit(i).as("row"), cmsCol(i, col("w")).as("col"))
@@ -219,8 +228,8 @@ object Sketches {
     probes
       .select(col("w"), explode(array(rows: _*)).as("rc"))
       .select(col("w"), col("rc.row").as("row"), col("rc.col").as("col"))
-      .join(broadcast(cells), Seq("row", "col"))
-      .groupBy("w").agg(min("cell").as("est_cms"))
+      .join(broadcast(cells), Seq("row", "col"), "left")
+      .groupBy("w").agg(min(coalesce(col("cell"), lit(0L))).as("est_cms"))
   }
 
   /** The oracle-checked certificate: exact top-k token counts next to
@@ -315,6 +324,216 @@ object Sketches {
           col("n_false_pos").cast("double") /
             (col("n_probes") - col("n_members")).cast("double"))
           .as("fpr_measured"))
+  }
+
+  // ---------------------------------------------------------------------
+  // K-minimum-values sketch (Bar-Yossef et al. 2002) — the distinct-count
+  // sibling with NATIVE set operations: the state is the k smallest
+  // 60-bit value hashes as a ≤k-row DataFrame, merged by union +
+  // re-bottom-k (a monoid). Where HLL inclusion–exclusion amplifies
+  // relative error when |A∩B| ≪ |A∪B| (a DIFFERENCE of three estimates),
+  // KMV reads the intersection DIRECTLY: the bottom-k of the union is a
+  // uniform sample of the union, so the fraction of it flagged in both
+  // sets estimates the Jaccard index with bounded relative error.
+  // ---------------------------------------------------------------------
+
+  /** 2^60 as an exact double — the hash-space size for 15 hex chars. */
+  private val kmvSpace = 1.152921504606846976e18
+
+  /** A 60-bit hash of one value: the first 15 hex chars of the seeded
+    * md5, always in [0, 2^60) so the long never goes negative and the
+    * fraction h/2^60 is uniform. */
+  private[ops] def kmv60(value: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(seed), value.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** The sketch builder — one scan, distinct by hash (map-side combine
+    * collapses duplicates per partition), then TakeOrdered(k): no global
+    * sort materializes, each partition contributes its own bottom-k. */
+  def kmvSketch(df: DataFrame, value: Column, k: Int = 256,
+                seed: String = "kmv:"): DataFrame = {
+    require(k >= 16, s"KMV k must be >= 16, got $k")
+    df.filter(value.isNotNull)
+      .select(kmv60(value, seed).as("h"))
+      .distinct()
+      .orderBy("h").limit(k)
+  }
+
+  /** Sketch union: union, dedup, re-take the bottom k — the KMV monoid.
+    * Exact for the union's distinct set because the k smallest hashes of
+    * A∪B are all among (bottom-k of A) ∪ (bottom-k of B). */
+  def kmvMerge(skA: DataFrame, skB: DataFrame, k: Int = 256): DataFrame =
+    skA.unionByName(skB).distinct().orderBy("h").limit(k)
+
+  /** Distinct estimate from a sketch frame: (k−1)·2^60 / h_(k) when the
+    * sketch is full, the EXACT retained count when fewer than k distinct
+    * values exist (the sketch then holds every hash). The product
+    * (k−1)·2^60 is exact in double for any sane k, so the single
+    * division is the only rounding step — mirrored literally by the
+    * oracle. */
+  def kmvEstimate(sk: DataFrame, k: Int = 256): DataFrame =
+    sk.agg(count(lit(1)).cast("long").as("n_in_sketch"), max("h").as("h_k"))
+      .select(col("n_in_sketch"),
+        when(col("n_in_sketch") < k, col("n_in_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(kmvSpace) /
+            col("h_k").cast("double")).as("est_kmv"))
+
+  /** The oracle-checked overlap certificate — KMV's reason to exist next
+    * to [[hllOverlapCertificate]]: est(A∩B) = (|K_U ∩ A ∩ B| / |K_U|) ·
+    * est(|A∪B|), a PRODUCT of a sample fraction and one estimate instead
+    * of HLL's difference of three, so small intersections keep bounded
+    * relative error. One value-grain pass builds per-value membership
+    * flags (scope-cached); the three bottom-k sketches are TakeOrdered
+    * heads of the hashed frame (never a global sort); exact counts sit
+    * beside the estimates. Below k distinct values every estimate — and
+    * the overlap — is exact by construction. */
+  def kmvOverlapCertificate(df: DataFrame, key: Column, value: Column,
+                            keyA: String, keyB: String, k: Int = 256,
+                            seed: String = "kmv:"): DataFrame = {
+    require(k >= 16, s"KMV k must be >= 16, got $k")
+    val perValue = df
+      .filter(value.isNotNull && (key === keyA || key === keyB))
+      .select(value.as("v"),
+        when(key === keyA, 1L).otherwise(0L).as("fa"),
+        when(key === keyB, 1L).otherwise(0L).as("fb"))
+      .groupBy("v").agg(max("fa").as("fa"), max("fb").as("fb"))
+    Dedup.withScopedCache(perValue) { pu =>
+      val hv = pu.select(kmv60(col("v"), seed).as("h"), col("fa"), col("fb"))
+      def estFrom(sk: DataFrame, name: String): DataFrame =
+        sk.agg(count(lit(1)).cast("long").as("n_in"), max("h").as("h_k"))
+          .select(
+            when(col("n_in") < k, col("n_in").cast("double"))
+              .otherwise(lit((k - 1).toDouble) * lit(kmvSpace) /
+                col("h_k").cast("double")).as(name))
+      val estA = estFrom(hv.filter(col("fa") === 1L).orderBy("h").limit(k), "est_a")
+      val estB = estFrom(hv.filter(col("fb") === 1L).orderBy("h").limit(k), "est_b")
+      val ku = hv.orderBy("h").limit(k)
+        .agg(count(lit(1)).cast("long").as("k_used"), max("h").as("h_k"),
+          sum(col("fa") * col("fb")).cast("long").as("n_both_in_k"))
+        .select(col("k_used"), col("n_both_in_k"),
+          when(col("k_used") < k, col("k_used").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(kmvSpace) /
+              col("h_k").cast("double")).as("est_union"))
+      val exact = pu.agg(
+        sum("fa").cast("long").as("n_a_exact"),
+        sum("fb").cast("long").as("n_b_exact"),
+        sum(col("fa") * col("fb")).cast("long").as("n_overlap_exact"))
+      exact.crossJoin(estA).crossJoin(estB).crossJoin(ku)
+        .select(col("n_a_exact"), col("n_b_exact"), col("n_overlap_exact"),
+          col("est_a"), col("est_b"), col("est_union"),
+          col("k_used"), col("n_both_in_k"),
+          (col("n_both_in_k").cast("double") / col("k_used").cast("double"))
+            .as("jaccard_k"),
+          (col("n_both_in_k").cast("double") / col("k_used").cast("double") *
+            col("est_union")).as("est_overlap"),
+          when(col("n_overlap_exact") > 0L,
+            (col("n_both_in_k").cast("double") / col("k_used").cast("double") *
+              col("est_union") - col("n_overlap_exact").cast("double")) /
+              col("n_overlap_exact").cast("double")).as("rel_err_overlap"))
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Quantile sketch — a deterministic bottom-k ROW sample (the KMV idea
+  // applied to row identity instead of value identity): hash each row's
+  // UNIQUE key, keep the k hash-smallest rows per group. The state is a
+  // ≤k-row (h, v) frame per key — mergeable by union + re-bottom-k, a
+  // monoid over disjoint row sets — and every selected quantile is an
+  // actual data point picked by the repo's rank rule (ceil(p·n), the
+  // discreteQuantiles convention), so the whole pipeline replays
+  // bit-for-bit in DuckDB. Rank error is the classic sample bound
+  // O(1/√k); the certificate REPORTS the realized CDF error next to the
+  // exact discrete quantile instead of asking for trust.
+  // ---------------------------------------------------------------------
+
+  /** Per-key bottom-k of a frame already shaped (keys..., h, v). */
+  private def bottomKByHash(df: DataFrame, keys: Seq[String], k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("h"))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** The sample builder — one scan, shuffle by key, per-key bottom-k by
+    * row-key hash. `rowKey` MUST be unique per row (an event/doc id):
+    * uniqueness is what makes the sample uniform over ROWS (multiplicity
+    * preserved) and the merge a monoid over disjoint shards. */
+  def quantileSample(df: DataFrame, keys: Seq[String], rowKey: Column,
+                     value: Column, k: Int = 512,
+                     seed: String = "qsk:"): DataFrame = {
+    require(k >= 16, s"quantile sample k must be >= 16, got $k")
+    val kc = keys.map(col)
+    bottomKByHash(
+      df.filter(value.isNotNull && rowKey.isNotNull)
+        .select(kc :+ kmv60(rowKey, seed).as("h") :+ value.as("v"): _*),
+      keys, k)
+  }
+
+  /** Sample union: dedup by (keys, h) — idempotent under batch replay,
+    * harmless on disjoint shards — then re-take the per-key bottom k. */
+  def quantileSampleMerge(sA: DataFrame, sB: DataFrame, keys: Seq[String],
+                          k: Int = 512): DataFrame =
+    bottomKByHash(
+      sA.unionByName(sB)
+        .groupBy((keys :+ "h").map(col): _*).agg(max("v").as("v")),
+      keys, k)
+
+  /** Quantiles from a sample frame: per key, the value at rank
+    * ceil(p·n_s) in (v, h) order — the discreteQuantiles selection rule
+    * applied to the sample, interpolation-free so the result is an
+    * actual sampled data point. */
+  def quantilesFromSample(sample: DataFrame, keys: Seq[String],
+                          ps: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    val kc = keys.map(col)
+    val ranked = sample
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(kc: _*).orderBy(col("v"), col("h"))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(kc: _*)))
+    val aggs = ps.map { p =>
+      max(when(col("__rn") === greatest(lit(1L), ceil(lit(p) * col("__n"))),
+        col("v"))).as(s"p${math.round(p * 100)}_sketch")
+    } :+ max("__n").cast("long").as("n_sample")
+    ranked.groupBy(kc: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The oracle-checked certificate: per event type, the sketch's
+    * p50/p90 next to the EXACT discrete quantiles and the realized CDF
+    * error |F(v_sketch) − p| measured against the full corpus. One
+    * scope-cached corpus projection feeds all three arms (sample window,
+    * exact-rank window — same key partitioning, so the exchange reuses —
+    * and the CDF count join against the broadcast 1-row-per-key
+    * estimates). Real 100 TB use calls [[quantileSample]] /
+    * [[quantilesFromSample]] and skips both exact arms. */
+  def quantileCertificate(events: DataFrame, k: Int = 512,
+                          seed: String = "qsk:"): DataFrame = {
+    val base = events
+      .filter(col("event_type").isNotNull && col("value").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"))
+    Dedup.withScopedCache(base) { b =>
+      val ests = quantilesFromSample(
+        quantileSample(b, Seq("event_type"), col("event_id"), col("value"),
+          k, seed),
+        Seq("event_type"))
+      val exact = Monitoring.discreteQuantiles(b)
+        .select(col("event_type"), col("p50").as("p50_exact"),
+          col("p90").as("p90_exact"))
+      val cdf = b.join(broadcast(ests), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("value") <= col("p50_sketch"), 1L).otherwise(0L))
+            .as("n_le_p50"),
+          sum(when(col("value") <= col("p90_sketch"), 1L).otherwise(0L))
+            .as("n_le_p90"))
+      ests.join(exact, "event_type").join(cdf, "event_type")
+        .select(col("event_type"), col("n_rows"), col("n_sample"),
+          col("p50_sketch"), col("p50_exact"),
+          abs(col("n_le_p50").cast("double") / col("n_rows").cast("double")
+            - lit(0.5)).as("cdf_err_p50"),
+          col("p90_sketch"), col("p90_exact"),
+          abs(col("n_le_p90").cast("double") / col("n_rows").cast("double")
+            - lit(0.9)).as("cdf_err_p90"))
+    }
   }
 
   /** Shared final-select: alpha_m·m²·2^63 / Σ 2^(63−M_j) with the

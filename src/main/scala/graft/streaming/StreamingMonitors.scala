@@ -1191,6 +1191,38 @@ object StreamingMonitors {
     else ck).start()
   }
 
+  /** Streaming maintenance of the per-type quantile sample
+    * (ops/Sketches.quantileSample): the k hash-smallest rows per key
+    * merge by union + dedup + re-bottom-k — a monoid over disjoint row
+    * sets (and idempotent under batch replay, the dedup absorbs it) —
+    * so the ≤k-row-per-key state frame answers "where is the
+    * distribution" at any moment via Sketches.quantilesFromSample with
+    * the O(1/√k) rank bound. Same versioned idempotent-replay contract
+    * as the other state sinks. */
+  def quantileStateSink(eventStream: DataFrame, stateDir: String,
+                        checkpoint: Option[String] = None,
+                        availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    val writer = eventStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = graft.ops.Sketches.quantileSample(
+          batch, Seq("event_type"), col("event_id"), col("value"))
+        val merged = latestVersionedState(batch.sparkSession, stateDir, batchId) match {
+          case Some(prev) =>
+            graft.ops.Sketches.quantileSampleMerge(prev, partial, Seq("event_type"))
+          case None => partial
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        ()
+      }
+    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow)
+      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else ck).start()
+  }
+
   /** Streaming maintenance of the per-(label, pos) centroid partials
     * (ops/Similarity.centroidPartials): quantized component sums and
     * member counts merge by plain addition at single-vector grain, so

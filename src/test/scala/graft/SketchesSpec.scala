@@ -197,5 +197,128 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sketches.hllRegisters(Seq(Tuple1(1L)).toDF("user_id"), col("user_id"), b = 3)
     }
+    // m < 128 would use the closed-form alpha outside its published
+    // domain (the per-m constants differ there) — rejected, not biased
+    intercept[IllegalArgumentException] {
+      Sketches.hllRegisters(Seq(Tuple1(1L)).toDF("user_id"), col("user_id"), b = 6)
+    }
+  }
+
+  test("cms probe for a never-seen token estimates zero, not a vanished row") {
+    // absent cells are implicit zeros in a true count-min: the min must
+    // include them, so an all-absent probe survives with estimate 0 and
+    // a some-absent probe can never exceed its present-cell minimum
+    val counts = Seq(("alpha", 5L), ("beta", 3L)).toDF("w", "cnt")
+    val probes = Seq("alpha", "never-in-corpus").map(Tuple1(_)).toDF("w")
+    val got = Sketches.cmsEstimate(Sketches.cmsCells(counts), probes)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set("alpha", "never-in-corpus"))
+    assert(got("alpha") >= 5L)
+    assert(got("never-in-corpus") === 0L)
+  }
+
+  test("kmv merge of two shards equals the sketch of the union; exact below k") {
+    val a = (0L until 5000L).map(Tuple1(_)).toDF("v")
+    val b = (3000L until 9000L).map(Tuple1(_)).toDF("v") // overlaps a
+    val merged = Sketches.kmvMerge(
+      Sketches.kmvSketch(a, col("v")), Sketches.kmvSketch(b, col("v")))
+      .orderBy("h").collect().toSeq
+    val whole = Sketches.kmvSketch(
+      (0L until 9000L).map(Tuple1(_)).toDF("v"), col("v"))
+      .orderBy("h").collect().toSeq
+    assert(merged === whole)
+    // below k distinct values the sketch holds every hash → exact count
+    val small = (0L until 100L).map(Tuple1(_)).toDF("v")
+    val est = Sketches.kmvEstimate(Sketches.kmvSketch(small, col("v"))).collect()(0)
+    assert(est.getAs[Long]("n_in_sketch") === 100L)
+    assert(est.getAs[Double]("est_kmv") === 100.0)
+  }
+
+  test("kmv estimate lands inside 3 standard errors on 20k distinct") {
+    // (k−1)/h_k estimator, std error ≈ 1/√(k−2) ≈ 6.3% at k=256; md5 is
+    // fixed so the realized error is deterministic (measured −0.60%)
+    val df = (0L until 20000L).map(Tuple1(_)).toDF("v")
+    val est = Sketches.kmvEstimate(Sketches.kmvSketch(df, col("v"))).collect()(0)
+    assert(est.getAs[Long]("n_in_sketch") === 256L)
+    val rel = est.getAs[Double]("est_kmv") / 20000.0 - 1.0
+    assert(math.abs(rel) < 0.19, s"realized kmv error $rel outside 3 std errors")
+  }
+
+  test("kmv overlap keeps bounded error where hll inclusion-exclusion degrades") {
+    // planted SMALL intersection: |A∩B| = 500 of |A∪B| = 20500 (2.4%).
+    // HLL's est(A)+est(B)−est(U) subtracts three ~10-20k estimates to
+    // reach 500, so its per-estimate error is amplified ~40× (measured
+    // +75.3% here); KMV reads the intersection directly off the union's
+    // bottom-k sample (measured +11.7% at the same k=256 state size)
+    val rows = (0L until 10500L).map(u => ("click", u)) ++
+      (10000L until 20500L).map(u => ("purchase", u))
+    val df = rows.toDF("event_type", "user_id")
+    val kmv = Sketches.kmvOverlapCertificate(df, col("event_type"),
+      col("user_id"), "click", "purchase").collect()(0)
+    assert(kmv.getAs[Long]("n_a_exact") === 10500L)
+    assert(kmv.getAs[Long]("n_b_exact") === 10500L)
+    assert(kmv.getAs[Long]("n_overlap_exact") === 500L)
+    val kmvErr = kmv.getAs[Double]("rel_err_overlap")
+    assert(math.abs(kmvErr) < 0.25, s"kmv overlap err $kmvErr")
+    val hll = Sketches.hllOverlapCertificate(df, col("event_type"),
+      col("user_id"), "click", "purchase").collect()(0)
+    val hllErr = hll.getAs[Double]("rel_err_overlap")
+    assert(math.abs(kmvErr) < math.abs(hllErr),
+      s"kmv $kmvErr should beat inclusion-exclusion $hllErr on a small intersection")
+  }
+
+  test("kmv overlap is exact below k: every count reproduced bit-for-bit") {
+    val rows = (0L until 100L).map(u => ("click", u)) ++
+      (80L until 180L).map(u => ("purchase", u))
+    val df = rows.toDF("event_type", "user_id")
+    val r = Sketches.kmvOverlapCertificate(df, col("event_type"),
+      col("user_id"), "click", "purchase").collect()(0)
+    assert(r.getAs[Double]("est_a") === 100.0)
+    assert(r.getAs[Double]("est_b") === 100.0)
+    assert(r.getAs[Double]("est_union") === 180.0)
+    // (20/180)·180 — one rounded division then a multiply, so allow 1 ulp
+    assert(math.abs(r.getAs[Double]("est_overlap") - 20.0) < 1e-9,
+      s"est_overlap ${r.getAs[Double]("est_overlap")}")
+    assert(r.getAs[Long]("n_overlap_exact") === 20L)
+  }
+
+  test("quantile sample merge of two row-shards equals the sample of the whole") {
+    val a = (0L until 4000L).map(i => (i, "t", i.toDouble))
+      .toDF("event_id", "event_type", "value")
+    val b = (4000L until 9000L).map(i => (i, "t", i.toDouble))
+      .toDF("event_id", "event_type", "value")
+    def samp(df: org.apache.spark.sql.DataFrame) =
+      Sketches.quantileSample(df, Seq("event_type"), col("event_id"), col("value"))
+    val merged = Sketches.quantileSampleMerge(samp(a), samp(b), Seq("event_type"))
+      .orderBy("h").collect().toSeq
+    val whole = samp((0L until 9000L).map(i => (i, "t", i.toDouble))
+      .toDF("event_id", "event_type", "value")).orderBy("h").collect().toSeq
+    assert(merged === whole)
+    // replaying a shard is idempotent: the (keys, h) dedup absorbs it
+    val replayed = Sketches.quantileSampleMerge(
+      Sketches.quantileSampleMerge(samp(a), samp(b), Seq("event_type")),
+      samp(b), Seq("event_type")).orderBy("h").collect().toSeq
+    assert(replayed === whole)
+  }
+
+  test("quantile sketch is exact below k and inside the rank envelope above it") {
+    // n ≤ k: the sample IS the data, so the sketch quantile equals the
+    // exact discrete quantile
+    val small = (0L until 300L).map(i => (i, "t", i.toDouble))
+      .toDF("event_id", "event_type", "value")
+    val cs = Sketches.quantileCertificate(small).collect()(0)
+    assert(cs.getAs[Double]("p50_sketch") === cs.getAs[Double]("p50_exact"))
+    assert(cs.getAs[Double]("p90_sketch") === cs.getAs[Double]("p90_exact"))
+    // n = 20000 ≫ k = 512: realized CDF error is a deterministic
+    // constant under the fixed seed (measured 3.05% / 2.20%), pinned
+    // inside the 3/√k ≈ 13.3% envelope
+    val big = (0L until 20000L).map(i => (i, "t", i.toDouble))
+      .toDF("event_id", "event_type", "value")
+    val cb = Sketches.quantileCertificate(big).collect()(0)
+    assert(cb.getAs[Long]("n_sample") === 512L)
+    assert(cb.getAs[Double]("cdf_err_p50") < 0.1,
+      s"p50 cdf err ${cb.getAs[Double]("cdf_err_p50")}")
+    assert(cb.getAs[Double]("cdf_err_p90") < 0.1,
+      s"p90 cdf err ${cb.getAs[Double]("cdf_err_p90")}")
   }
 }

@@ -1204,6 +1204,38 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(served.nonEmpty && direct.nonEmpty)
   }
 
+  test("streamed quantile sample serves the exact batch sketch quantiles") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type").isNotNull && col("value").isNotNull &&
+        col("event_id").isNotNull)
+      .select("event_id", "event_type", "value").persist()
+    val rows = events.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val mem = MemoryStream[(Long, String, Double)]
+    val stream = mem.toDF().toDF("event_id", "event_type", "value")
+    val stateDir = s"${work()}/qsk-state"
+    val q = StreamingMonitors.quantileStateSink(stream, stateDir)
+    try {
+      (0 until 3).foreach { i =>
+        mem.addData(rows.filter(_._1 % 3 == i).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val state = StreamingMonitors.latestVersionedState(spark, stateDir).get
+    val served = graft.ops.Sketches.quantilesFromSample(state, Seq("event_type"))
+      .orderBy("event_type").collect().map(_.toSeq)
+    val direct = graft.ops.Sketches.quantilesFromSample(
+      graft.ops.Sketches.quantileSample(events.toDF(), Seq("event_type"),
+        col("event_id"), col("value")), Seq("event_type"))
+      .orderBy("event_type").collect().map(_.toSeq)
+    events.unpersist(blocking = false)
+    assert(served === direct)
+    assert(served.nonEmpty)
+  }
+
   test("streamed token counts serve the exact batch source entropy") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
