@@ -1075,6 +1075,18 @@ object SparkEntry {
     "q_diverse_kcenter_assign" -> ((s, dir) =>
       Similarity.kCenterAssign(Tables.embeddings(s, dir), k = 8).orderBy("rank")),
 
+    // the increment through the k-center path — unlike the Lloyd IVF's
+    // rows-only increment this one is FULLY oracle-replayed: exemplars
+    // selected from the stored 80% only, the late-arriving 20% assigned
+    // per-row against the broadcast exemplar set, appended rows
+    // hash-checked end to end (and spec'd ≡ full-rebuild assignment)
+    "sim_index_increment_kcenter" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.kCenterIndexIncrement(
+        emb.filter(col("vec_id") % 5 =!= 4), emb.filter(col("vec_id") % 5 === 4))
+        .orderBy("vec_id")
+    }),
+
     // the k-center IVF serving path end-to-end: farthest-first centers,
     // probe-1 corpus cells, nprobe-3 query fan-out, per-cell candidate
     // ranking — every step is engine-portable relational arithmetic, so
@@ -3152,6 +3164,7 @@ object SparkEntry {
     "sim_topk_brute" -> TOPK_SQL,
 
     "q_diverse_kcenter" -> KCENTER_SQL,
+    "sim_index_increment_kcenter" -> KCENTER_INCR_SQL,
     "q_diverse_kcenter_assign" -> KCENTER_ASSIGN_SQL,
     "sim_topk_kcenter" -> KCENTER_TOPK_SQL,
     "sim_recall_audit" -> RECALL_AUDIT_SQL,
@@ -4878,12 +4891,21 @@ object SparkEntry {
     * Generated, not hand-written, so k changes in ONE place — and the
     * CTE chain is shared with the assignment oracle below. */
   private val KCENTER_K = 8
-  private val KCENTER_CTES: String = {
+  /** `seedWhere` restricts the corpus the greedy rounds SELECT FROM
+    * (empty = whole corpus) — the increment oracle seeds its exemplars
+    * from the stored slice only, everything else shares this chain. */
+  private def kcenterCtes(seedWhere: String): String = {
     val k = KCENTER_K
     val sb = new StringBuilder
     sb ++= "WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
-    sb ++= "s1 AS (SELECT CAST(1 AS INT) AS rank, vec_id, CAST(NULL AS DOUBLE) AS nearest_cos, v FROM corpus ORDER BY vec_id LIMIT 1),\n"
-    sb ++= "m1 AS (SELECT e.vec_id, e.v, list_cosine_similarity(e.v, s.v) AS mc FROM corpus e, s1 s WHERE e.vec_id <> s.vec_id)"
+    val src =
+      if (seedWhere.isEmpty) "corpus"
+      else {
+        sb ++= s"seedcorp AS (SELECT vec_id, v FROM corpus WHERE $seedWhere),\n"
+        "seedcorp"
+      }
+    sb ++= s"s1 AS (SELECT CAST(1 AS INT) AS rank, vec_id, CAST(NULL AS DOUBLE) AS nearest_cos, v FROM $src ORDER BY vec_id LIMIT 1),\n"
+    sb ++= s"m1 AS (SELECT e.vec_id, e.v, list_cosine_similarity(e.v, s.v) AS mc FROM $src e, s1 s WHERE e.vec_id <> s.vec_id)"
     for (i <- 2 to k) {
       sb ++= s",\ns$i AS (SELECT CAST($i AS INT) AS rank, vec_id, mc AS nearest_cos, v FROM m${i - 1} ORDER BY mc ASC, vec_id LIMIT 1)"
       if (i < k)
@@ -4894,6 +4916,23 @@ object SparkEntry {
         .mkString(" UNION ALL ") + ")"
     sb.toString
   }
+  private val KCENTER_CTES: String = kcenterCtes("")
+
+  /** The increment replay: exemplars greedily selected from the STORED
+    * slice only, the late-arriving batch assigned per-row (cos desc,
+    * center-id ties) against them — the full incremental-maintenance
+    * path in SQL, which the Lloyd IVF increment can never have. */
+  private val KCENTER_INCR_SQL: String =
+    kcenterCtes("vec_id % 5 <> 4") + """,
+      |kcenters AS (SELECT vec_id AS centroid_id, v AS cv FROM sel),
+      |batch AS (SELECT vec_id, v FROM corpus WHERE vec_id % 5 = 4)
+      |SELECT vec_id, cell, assign_cos FROM (
+      |  SELECT e.vec_id, c.centroid_id AS cell,
+      |    list_cosine_similarity(e.v, c.cv) AS assign_cos,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS crank
+      |  FROM batch e CROSS JOIN kcenters c) WHERE crank = 1
+      |ORDER BY vec_id""".stripMargin
 
   private val KCENTER_SQL: String =
     KCENTER_CTES + "\nSELECT rank, vec_id, nearest_cos FROM sel ORDER BY rank"

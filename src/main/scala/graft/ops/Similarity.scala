@@ -1206,6 +1206,34 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Incremental k-center ANN index maintenance — [[indexIncrement]]'s
+    * fully-replayable twin: assign a NEW embedding batch against the
+    * STORED farthest-first exemplars (the offline artifact) and emit
+    * exactly the (vec_id, cell, assign_cos) rows to append. Assignment
+    * is per-row argmax against a broadcast ≤k-row center set, so the
+    * appended rows are bit-equal to what a full rebuild over the union
+    * corpus assigns to the same ids (spec'd) — and because every step
+    * (greedy selection, cosine, (cos desc, id) ties) is engine-portable
+    * relational arithmetic, the WHOLE increment replays in DuckDB
+    * (sim_index_increment_kcenter), unlike the Lloyd-trained IVF
+    * increment whose hash-seeded centroids have no SQL twin. */
+  def kCenterIndexIncrement(stored: DataFrame, batch: DataFrame,
+                            numCenters: Int = 8): DataFrame = {
+    val centers = kCenterSelect(stored, numCenters)
+      .select(col("vec_id").as("centroid_id"))
+      .join(stored.select(col("vec_id").as("centroid_id"),
+        toDouble(col("embedding")).as("cv")), "centroid_id")
+    val scored = batch
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(centers.select(col("centroid_id"), col("cv"))))
+      .select(col("vec_id"), col("centroid_id"),
+        cosine(col("v"), col("cv")).as("csim"))
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id"))
+    scored.withColumn("crank", row_number().over(w)).filter(col("crank") === 1)
+      .select(col("vec_id"), col("centroid_id").as("cell"),
+        col("csim").as("assign_cos"))
+  }
+
   /** Exact recall@k of an ANN serving result against brute-force truth
     * — the MEASURED-quality generalization of the planted certificates:
     * `_planted` fixtures prove recall 1.0 structurally on constructed

@@ -547,6 +547,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(empty.count() === 0L)
   }
 
+  test("k-center increment equals full-rebuild assignment; serve-through finds late rows") {
+    // same rolling-ingest contract as the Lloyd increment, but through
+    // the fully-replayable k-center path: assignment against the STORED
+    // exemplars is per-row, so the appended rows must be bit-equal to
+    // assigning the union corpus against the same exemplars
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val stored = emb.filter(col("vec_id") % 5 =!= 4)
+    val batch = emb.filter(col("vec_id") % 5 === 4)
+    val incr = Similarity.kCenterIndexIncrement(stored, batch)
+      .orderBy("vec_id").collect().map(_.toSeq)
+    val union = Similarity.kCenterIndexIncrement(stored, emb)
+      .filter(col("vec_id") % 5 === 4)
+      .orderBy("vec_id").collect().map(_.toSeq)
+    assert(incr.nonEmpty)
+    assert(incr === union)
+    // every batch vector lands in exactly one cell, and every cell is a
+    // stored exemplar id (never a batch id — the artifact is frozen)
+    assert(incr.length === batch.count())
+    val storedIds = stored.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(incr.forall(r => storedIds.contains(r(1).asInstanceOf[Long])))
+  }
+
   test("PQ: deterministic codebooks, m codes per vector, full shortlist equals brute") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     // bit-identical training across runs — the artifact-is-a-cache premise
