@@ -661,6 +661,14 @@ object SparkEntry {
         Layout.zorderKey(col("p_size"), floor(col("p_retailprice"))).as("zkey"))
         .orderBy("zkey", "p_partkey")),
 
+    // the better-locality curve over the same two dimensions: the Hilbert
+    // key's rotate/reflect state machine runs in a codegen'd custom
+    // Expression; the oracle unrolls the same 16 levels as chained CTEs
+    "q_hilbert_layout" -> ((s, dir) =>
+      Tables.part(s, dir).select(col("p_partkey"),
+        Layout.hilbertKey(col("p_size"), floor(col("p_retailprice"))).as("hkey"))
+        .orderBy("hkey", "p_partkey")),
+
     // corpus mixing: keep 50% of en, 25% of zh, everything else whole —
     // membership purely per-row off the portable md5, exact vs the oracle
     "q_stratified_sample" -> ((s, dir) =>
@@ -2932,6 +2940,8 @@ object SparkEntry {
          |  ${Layout.zorderSql("p_size", "CAST(floor(p_retailprice) AS BIGINT)")} AS zkey
          |FROM part ORDER BY zkey, p_partkey""".stripMargin,
 
+    "q_hilbert_layout" -> HILBERT_LAYOUT_SQL,
+
     // bounds are first-16-bit hex of ceil(rate*65536)-1: 0.5 → 7fff,
     // 0.25 → 3fff — the same fixed-width-hex compare the split uses
     "q_stratified_sample" ->
@@ -4890,6 +4900,45 @@ object SparkEntry {
     * mc = max cosine to the selected set, pick = argmin (mc, vec_id)).
     * Generated, not hand-written, so k changes in ONE place — and the
     * CTE chain is shared with the assignment oracle below. */
+  /** DuckDB twin of Layout.hilbertKey: the same rotate/reflect walk
+    * unrolled as one CTE per level, each carrying (id, hx, hy, hd) — a
+    * LINEAR chain, where an expression-tree form would duplicate the
+    * coordinate state ~3× per level. Reflection uses n−1 (values stay in
+    * [0, n)), digits by the same (3rx) xor ry table written as a CASE. */
+  private def hilbertCtes(bits: Int, src: String, idCol: String,
+                          xExpr: String, yExpr: String): String = {
+    val n1 = (1L << bits) - 1L
+    val sb = new StringBuilder
+    sb ++= s"WITH h0 AS (SELECT $idCol, (($xExpr) & $n1) AS hx, " +
+      s"(($yExpr) & $n1) AS hy, CAST(0 AS BIGINT) AS hd FROM $src)"
+    for (i <- 0 until bits) {
+      val k = bits - 1 - i
+      val s2 = (1L << k) * (1L << k)
+      sb ++=
+        s""",
+           |h${i + 1} AS (SELECT $idCol,
+           |  CASE WHEN ((hy >> $k) & 1) = 1 THEN hx
+           |       WHEN ((hx >> $k) & 1) = 1 THEN $n1 - hy
+           |       ELSE hy END AS hx,
+           |  CASE WHEN ((hy >> $k) & 1) = 1 THEN hy
+           |       WHEN ((hx >> $k) & 1) = 1 THEN $n1 - hx
+           |       ELSE hx END AS hy,
+           |  hd + $s2 * (CASE
+           |    WHEN ((hx >> $k) & 1) = 1 AND ((hy >> $k) & 1) = 1 THEN 2
+           |    WHEN ((hx >> $k) & 1) = 1 THEN 3
+           |    WHEN ((hy >> $k) & 1) = 1 THEN 1
+           |    ELSE 0 END) AS hd
+           |FROM h$i)""".stripMargin
+    }
+    sb.toString
+  }
+
+  private val HILBERT_LAYOUT_SQL: String =
+    hilbertCtes(16, "part", "p_partkey",
+      "p_size", "CAST(floor(p_retailprice) AS BIGINT)") + """
+      |SELECT p_partkey, hd AS hkey FROM h16
+      |ORDER BY hkey, p_partkey""".stripMargin
+
   private val KCENTER_K = 8
   /** `seedWhere` restricts the corpus the greedy rounds SELECT FROM
     * (empty = whole corpus) — the increment oracle seeds its exemplars

@@ -62,4 +62,26 @@ object Layout {
     keyed.repartitionByRange(partitions, col("zkey"))
       .sortWithinPartitions("zkey")
   }
+
+  /** Hilbert-curve key — Z-order's better-locality sibling: consecutive
+    * key values are always GRID NEIGHBORS (unit Manhattan step), so every
+    * equal-size key range is one connected region with ~25% shorter
+    * perimeter than the Z-curve's blocks, i.e. fewer boundary rows leak
+    * into neighboring files per range predicate at the same file count.
+    * The mapping is a per-level rotate/reflect state machine — not a flat
+    * bit-shuffle — so it lives in a codegen'd custom Expression
+    * (functions/LayoutExpressions.HilbertKey) rather than a Column tree;
+    * same input contract as [[zorderKey]] (mask to `bits`, negative
+    * inputs raise loudly). */
+  def hilbertKey(x: Column, y: Column, bits: Int = 16): Column =
+    graft.functions.LayoutFunctions.hilbertKey(x, y, bits)
+
+  /** Write-path clustering by the Hilbert key — [[clusterByZorder]] with
+    * the better-locality curve. */
+  def clusterByHilbert(df: DataFrame, x: Column, y: Column,
+                       partitions: Int, bits: Int = 16): DataFrame = {
+    val keyed = df.withColumn("hkey", hilbertKey(x, y, bits))
+    keyed.repartitionByRange(partitions, col("hkey"))
+      .sortWithinPartitions("hkey")
+  }
 }

@@ -76,6 +76,94 @@ class LayoutSpec extends SparkSpec {
       s"filter not pushed to the parquet scan:\n$scanStr")
   }
 
+  test("hilbert key: bijective, unit-step adjacent, and inverts the independent d2xy model") {
+    val bits = 3
+    val n = 1 << bits
+    // independent driver-side INVERSE (the standard bottom-up d2xy walk,
+    // reflection s-1 since coordinates are built below s) — the round
+    // trip d2xy(hilbertKey(x,y)) == (x,y) cross-checks the expression
+    // against a differently-shaped model, not against itself
+    def d2xy(d: Long): (Long, Long) = {
+      var (x, y, t) = (0L, 0L, d)
+      var s = 1L
+      while (s < n) {
+        val rx = 1L & (t / 2)
+        val ry = 1L & (t ^ rx)
+        if (ry == 0L) {
+          if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+          val tmp = x; x = y; y = tmp
+        }
+        x += s * rx
+        y += s * ry
+        t /= 4
+        s *= 2
+      }
+      (x, y)
+    }
+    val cells = for (x <- 0L until n; y <- 0L until n) yield (x, y)
+    val keyed = cells.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.hilbertKey(col("x"), col("y"), bits = bits).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // bijection onto [0, n²)
+    assert(keyed.map(_._3).sorted.toSeq === (0L until (n.toLong * n)).toSeq)
+    // round trip through the independent inverse
+    keyed.foreach { case (x, y, d) =>
+      assert(d2xy(d) === ((x, y)), s"d2xy($d) != ($x, $y)")
+    }
+    // the defining Hilbert property Z-order lacks: consecutive key values
+    // are GRID NEIGHBORS — every key range is one connected region
+    val byD = keyed.sortBy(_._3).toSeq
+    byD.sliding(2).foreach {
+      case Seq((x1, y1, d1), (x2, y2, _)) =>
+        assert(math.abs(x2 - x1) + math.abs(y2 - y1) === 1L,
+          s"cells at d=$d1,${d1 + 1} are not adjacent: ($x1,$y1) -> ($x2,$y2)")
+      case _ =>
+    }
+  }
+
+  test("hilbert key masks to the bit width and raises on negative input") {
+    // masking: only the low `bits` bits participate, like zorderKey
+    val masked = Seq((0x1F3L, 0x2A5L)).toDF("x", "y")
+      .select(Layout.hilbertKey(col("x"), col("y"), bits = 4).as("d"))
+      .head().getLong(0)
+    val direct = Seq((0x3L, 0x5L)).toDF("x", "y")
+      .select(Layout.hilbertKey(col("x"), col("y"), bits = 4).as("d"))
+      .head().getLong(0)
+    assert(masked === direct)
+    val e = intercept[Exception] {
+      Seq((-1L, 5L)).toDF("x", "y")
+        .select(Layout.hilbertKey(col("x"), col("y")).as("d")).collect()
+    }
+    assert(e.getMessage.contains("negative input") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative input")))
+  }
+
+  test("hilbert layout prunes the parquet scan on BOTH dimensions like zorder") {
+    // same fixture as the zorder payoff test: 128×128 grid into 16 files.
+    // The Hilbert curve completes each level-2 quadrant before moving on,
+    // so 16 equal key ranges are EXACTLY the 16 aligned 32×32 blocks —
+    // a 16-wide band on either axis overlaps 4 of them
+    val n = 128L
+    val df = spark.range(n * n).select((col("id") % n).as("x"), (col("id") / n).cast("long").as("y"))
+    val base = { val b = new java.io.File("target/test-out").getAbsoluteFile.toPath
+      java.nio.file.Files.createDirectories(b)
+      java.nio.file.Files.createTempDirectory(b, "hilbert") }.toString
+    Layout.clusterByHilbert(df, col("x"), col("y"), partitions = 16, bits = 7)
+      .drop("hkey").write.parquet(s"$base/h")
+    def filesTouched(pred: org.apache.spark.sql.Column): Int =
+      spark.read.parquet(s"$base/h").filter(pred)
+        .select(input_file_name()).distinct().count().toInt
+    val total = spark.read.parquet(s"$base/h")
+      .select(input_file_name()).distinct().count().toInt
+    assert(total === 16)
+    for (dim <- Seq("x", "y")) {
+      val touched = filesTouched(col(dim) < 16)
+      assert(touched <= 4,
+        s"$dim-range touched $touched of 16 hilbert files; expected the 4 overlapping blocks")
+    }
+  }
+
   test("clusterByZorder sorts every partition by the key") {
     val df = (0L until 256L).map(i => (i % 16, i / 16)).toDF("x", "y")
     val parts = Layout.clusterByZorder(df, col("x"), col("y"), partitions = 4, bits = 4)
