@@ -1247,6 +1247,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the TRAINED quality classifier: exact empirical-risk minimization
+    // over a broadcast integer hypothesis grid in micro-ratio feature
+    // space, teacher = the rule-based quality floor — the fitted weights
+    // (it recovers the teacher's own (4,3,3,-5)) hash-checked end to end
+    "text_quality_model" -> ((s, dir) =>
+      graft.ops.QualityModel.train(Tables.documents(s, dir))),
+
+    // the model's corpus scoring: exact integer margin, sign prediction
+    // (ties negative), teacher label alongside — the confusion audit
+    "text_quality_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.QualityModel.scoreFrom(
+        graft.ops.QualityModel.train(docs), docs).orderBy("doc_id")
+    }),
+
+    // the stored-model serving face (the bigramModel artifact pattern):
+    // train once into a ≤513-row parquet artifact, score from it — no
+    // training job on re-touch; shares the live entry's oracle
+    "text_quality_score_stored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.QualityModel.scoreFrom(
+        graft.ops.Artifacts.parquetArtifact(s, lmArtifactPath("quality_erm", dir))(
+          graft.ops.QualityModel.train(docs).coalesce(1)), docs)
+        .orderBy("doc_id")
+    }),
+
     "text_source_scorecard" -> ((s, dir) =>
       TextAnalysis.sourceScorecard(Tables.documents(s, dir)).orderBy("source")),
 
@@ -3617,6 +3643,12 @@ object SparkEntry {
     // trainer exactly — the oracle is literally the live entry's SQL
     "text_bigram_lp_stored" -> BIGRAM_LP_SQL,
 
+    "text_quality_model" -> QUALITY_MODEL_SQL,
+    "text_quality_score" -> QUALITY_SCORE_SQL,
+    // the stored face scores through the SAME trained weights (the
+    // artifact is a cache, never a fork) — shares the live replay
+    "text_quality_score_stored" -> QUALITY_SCORE_SQL,
+
     // quality_score reproduced exactly as in text_quality's oracle; the
     // dominant language is the (n, lang)-max per source — the same
     // struct-max tie rule as Spark's max_by
@@ -4900,6 +4932,59 @@ object SparkEntry {
     * mc = max cosine to the selected set, pick = argmin (mc, vec_id)).
     * Generated, not hand-written, so k changes in ONE place — and the
     * CTE chain is shared with the assignment oracle below. */
+  /** DuckDB twin of QualityModel.train: the teacher rule (text_quality's
+    * replay, micro-quantized), the exact integer ratio features (floor
+    * division both engines share), the same 1944-candidate grid, and the
+    * same (n_err, weights)-lexicographic argmin. */
+  private val QUALITY_MODEL_CTES: String =
+    """WITH lblq AS (SELECT doc_id,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS ttr,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS stopword_ratio,
+      |    len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents),
+      |lbl AS (SELECT doc_id,
+      |    CAST(CASE WHEN CAST(floor((ttr * 0.4 + stopword_ratio * 0.3 +
+      |      CASE WHEN n_tokens >= 40 THEN 0.3
+      |        ELSE CAST(n_tokens AS DOUBLE) / 40.0 * 0.3 END) * 1000000.0) AS BIGINT)
+      |      >= 500000 THEN 1 ELSE -1 END AS BIGINT) AS label
+      |  FROM lblq),
+      |rawf AS (SELECT doc_id,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS sc,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM documents),
+      |feats AS (SELECT f.doc_id,
+      |    (f.nd * 1000000) // f.nt AS x1,
+      |    (f.sc * 1000000) // f.nt AS x2,
+      |    least(f.nt, 40) * 25000 AS x3,
+      |    l.label
+      |  FROM rawf f JOIN lbl l ON f.doc_id = l.doc_id),
+      |cands AS (SELECT a.range AS w1, b.range AS w2, c.range AS w3,
+      |    d.range AS w0
+      |  FROM range(0, 6) a, range(0, 6) b, range(0, 6) c, range(-8, 1) d),
+      |errs AS (SELECT c.w1, c.w2, c.w3, c.w0,
+      |    CAST(sum(CASE WHEN
+      |      ((c.w1*f.x1 + c.w2*f.x2 + c.w3*f.x3 + c.w0*1000000) > 0)
+      |        = (f.label = 1)
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS n_err
+      |  FROM feats f CROSS JOIN cands c GROUP BY 1, 2, 3, 4),
+      |best AS (SELECT CAST(w1 AS BIGINT) AS w1, CAST(w2 AS BIGINT) AS w2,
+      |    CAST(w3 AS BIGINT) AS w3, CAST(w0 AS BIGINT) AS w0, n_err
+      |  FROM errs ORDER BY n_err, w1, w2, w3, w0 LIMIT 1)""".stripMargin
+
+  private val QUALITY_MODEL_SQL: String = QUALITY_MODEL_CTES + """
+    |SELECT w1, w2, w3, w0, n_err FROM best""".stripMargin
+
+  private val QUALITY_SCORE_SQL: String = QUALITY_MODEL_CTES + """
+    |SELECT f.doc_id,
+    |  b.w1*f.x1 + b.w2*f.x2 + b.w3*f.x3 + b.w0*1000000 AS margin,
+    |  CAST(CASE WHEN (b.w1*f.x1 + b.w2*f.x2 + b.w3*f.x3 + b.w0*1000000) > 0
+    |    THEN 1 ELSE -1 END AS BIGINT) AS pred,
+    |  f.label
+    |FROM feats f CROSS JOIN best b ORDER BY f.doc_id""".stripMargin
+
   /** DuckDB twin of Layout.hilbertKey: the same rotate/reflect walk
     * unrolled as one CTE per level, each carrying (id, hx, hy, hd) — a
     * LINEAR chain, where an expression-tree form would duplicate the
