@@ -1462,6 +1462,21 @@ object SparkEntry {
         Bpe.mergeArtifact(docs, bpeArtifactPath("budget16", dir), nMerges = 16)))
         .orderBy("lang")
     }),
+    // the OTHER production tokenizer family beside BPE: hard-EM unigram
+    // LM (SentencePiece-style) — candidate pieces with quantized
+    // micro-nat costs, Viterbi min-cost segmentation, fixed EM rounds in
+    // exact integer arithmetic; the oracle replays the WHOLE trainer
+    // (seed counts, per-position DP CTEs, recount, re-score)
+    "text_ulm_vocab" -> ((s, dir) =>
+      graft.ops.Ulm.vocab(Tables.documents(s, dir)).orderBy("piece")),
+    // its pricing consumer: per-doc ULM token counts over the trained
+    // vocabulary's word universe, one broadcast word→pieces join
+    "text_ulm_tokens" -> ((s, dir) =>
+      graft.ops.Ulm.tokenCounts(Tables.documents(s, dir)).orderBy("doc_id")),
+    // the tokenizer-equity comparison entry in ULM units, beside
+    // text_bpe_fertility's BPE pricing of the same corpus
+    "text_ulm_fertility" -> ((s, dir) =>
+      graft.ops.Ulm.fertility(Tables.documents(s, dir)).orderBy("lang")),
     // PRODUCTION-DEPTH merge table: the same greedy trainer run to 1024
     // rounds driver-side on the one-scan word-count statistic. No
     // unrolled oracle at this depth (rows-only); its structural
@@ -3535,6 +3550,13 @@ object SparkEntry {
       |    AS fertility
       |FROM lf GROUP BY lang ORDER BY lang""".stripMargin),
 
+    // the full hard-EM unigram-LM trainer replayed: seed substring
+    // counts, micro-nat costs, two Viterbi rounds unrolled one CTE per
+    // end position, recount + re-score — then vocab / pricing / equity
+    "text_ulm_vocab" -> ULM_VOCAB_SQL,
+    "text_ulm_tokens" -> ULM_TOKENS_SQL,
+    "text_ulm_fertility" -> ULM_FERTILITY_SQL,
+
     // per-source bytes vs BPE tokens off the same 16-round table: exact
     // integer sums, one division of the two exact totals per source
     "text_bpe_compression" -> ("WITH " + BPE_TRAIN_CTES + BPE_APPLY_CTES + """,
@@ -4932,6 +4954,110 @@ object SparkEntry {
     * mc = max cosine to the selected set, pick = argmin (mc, vec_id)).
     * Generated, not hand-written, so k changes in ONE place — and the
     * CTE chain is shared with the assignment oracle below. */
+  /** DuckDB twin of the Ulm hard-EM trainer: seed substring counts over
+    * the capped word frame, micro-nat costs, and per round the Viterbi
+    * DP unrolled one CTE per end position (≤4 piece-length branches,
+    * per-word (cost, seg) argmin), recount, re-score. Generated, so the
+    * round count and bounds live in ONE place with the engine's. */
+  private def ulmCtes(rounds: Int): String = {
+    val L = graft.ops.Ulm.maxWordLen
+    val P = graft.ops.Ulm.maxPieceLen
+    val V = graft.ops.Ulm.vocabSize
+    val W = graft.ops.Ulm.wordLimit
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH toks AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         |docsw AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n FROM toks
+         |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= $L GROUP BY 1),
+         |words AS MATERIALIZED (SELECT word, n FROM (SELECT word, n,
+         |    row_number() OVER (ORDER BY n DESC, word) AS rn FROM docsw)
+         |  WHERE rn <= $W),
+         |subs AS MATERIALIZED (SELECT substr(w.word, CAST(i.range AS INT), CAST(k.range AS INT)) AS piece, w.n
+         |  FROM words w, range(1, ${L + 1}) i, range(1, ${P + 1}) k
+         |  WHERE i.range + k.range - 1 <= length(w.word)),
+         |subcnt AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM subs GROUP BY 1),
+         |cand AS MATERIALIZED (SELECT piece, cnt FROM (SELECT piece, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, piece) AS rn FROM subcnt)
+         |  WHERE rn <= $V
+         |  UNION SELECT piece, cnt FROM subcnt WHERE length(piece) = 1),
+         |vr AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS v FROM cand),
+         |tot0 AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cand),
+         |c0 AS MATERIALIZED (SELECT c.piece,
+         |    CAST(-round(ln(CAST(c.cnt + 1 AS DOUBLE) / CAST(t.total + v.v AS DOUBLE))
+         |      * 1000000.0) AS BIGINT) AS qcost
+         |  FROM cand c CROSS JOIN tot0 t CROSS JOIN vr v)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+        |b${r}_0 AS MATERIALIZED (SELECT word, n, CAST(0 AS BIGINT) AS cost, '' AS seg FROM words)""".stripMargin
+      for (j <- 1 to L) {
+        val branches = (1 to P).filter(_ <= j).map { k =>
+          s"""SELECT p.word, p.n, p.cost + c.qcost AS cost,
+             |      p.seg || ' ' || c.piece AS seg
+             |    FROM b${r}_${j - k} p JOIN c${r - 1} c
+             |      ON c.piece = substr(p.word, ${j - k + 1}, $k)
+             |    WHERE length(p.word) >= $j""".stripMargin
+        }.mkString("\n    UNION ALL\n    ")
+        sb ++= s""",
+          |b${r}_$j AS MATERIALIZED (SELECT word, n, cost, seg FROM (
+          |  SELECT word, n, cost, seg,
+          |    row_number() OVER (PARTITION BY word ORDER BY cost, seg) AS rn
+          |  FROM ($branches)) WHERE rn = 1)""".stripMargin
+      }
+      val done = (1 to L)
+        .map(j => s"SELECT word, n, seg FROM b${r}_$j WHERE length(word) = $j")
+        .mkString("\n  UNION ALL ")
+      sb ++= s""",
+        |seg$r AS MATERIALIZED (SELECT word, n, ltrim(seg) AS seg FROM (
+        |  $done)),
+        |cnt$r AS MATERIALIZED (SELECT d.piece, CAST(COALESCE(x.c, 0) AS BIGINT) AS cnt
+        |  FROM cand d LEFT JOIN (SELECT piece, CAST(sum(n) AS BIGINT) AS c
+        |    FROM (SELECT n, unnest(string_split(seg, ' ')) AS piece FROM seg$r)
+        |    GROUP BY 1) x ON d.piece = x.piece),
+        |tot$r AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt$r),
+        |c$r AS MATERIALIZED (SELECT c.piece, c.cnt,
+        |    CAST(-round(ln(CAST(c.cnt + 1 AS DOUBLE) / CAST(t.total + v.v AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS qcost
+        |  FROM cnt$r c CROSS JOIN tot$r t CROSS JOIN vr v)""".stripMargin
+    }
+    sb.toString
+  }
+
+  private val ULM_ROUNDS = 2
+
+  private val ULM_VOCAB_SQL: String = ulmCtes(ULM_ROUNDS) + s"""
+    |SELECT piece, cnt, qcost FROM c$ULM_ROUNDS WHERE cnt > 0
+    |ORDER BY piece""".stripMargin
+
+  private def ulmApplyCtes: String = ulmCtes(ULM_ROUNDS) + s""",
+    |wp AS (SELECT word, CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_pieces
+    |  FROM seg$ULM_ROUNDS)""".stripMargin
+
+  private val ULM_TOKENS_SQL: String = ulmApplyCtes + s""",
+    |dw AS (SELECT doc_id, word FROM (SELECT doc_id,
+    |    unnest(string_split(text, ' ')) AS word FROM documents)
+    |  WHERE regexp_matches(word, '^[a-z]+$$')
+    |    AND length(word) <= ${graft.ops.Ulm.maxWordLen}),
+    |ag AS (SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS nw,
+    |    CAST(sum(wp.n_pieces) AS BIGINT) AS np
+    |  FROM dw JOIN wp ON dw.word = wp.word GROUP BY 1)
+    |SELECT d.doc_id, CAST(COALESCE(a.nw, 0) AS BIGINT) AS n_words,
+    |  CAST(COALESCE(a.np, 0) AS BIGINT) AS n_ulm_tokens
+    |FROM documents d LEFT JOIN ag a ON d.doc_id = a.doc_id
+    |ORDER BY d.doc_id""".stripMargin
+
+  private val ULM_FERTILITY_SQL: String = ulmApplyCtes + s""",
+    |dw AS (SELECT doc_id, lang, word FROM (SELECT doc_id, lang,
+    |    unnest(string_split(text, ' ')) AS word FROM documents)
+    |  WHERE regexp_matches(word, '^[a-z]+$$')
+    |    AND length(word) <= ${graft.ops.Ulm.maxWordLen})
+    |SELECT lang, n_docs, n_words, n_ulm_pieces,
+    |  CAST(n_ulm_pieces AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility
+    |FROM (SELECT dw.lang, CAST(count(DISTINCT dw.doc_id) AS BIGINT) AS n_docs,
+    |    CAST(count(*) AS BIGINT) AS n_words,
+    |    CAST(sum(wp.n_pieces) AS BIGINT) AS n_ulm_pieces
+    |  FROM dw JOIN wp ON dw.word = wp.word GROUP BY 1)
+    |ORDER BY lang""".stripMargin
+
   /** DuckDB twin of QualityModel.train: the teacher rule (text_quality's
     * replay, micro-quantized), the exact integer ratio features (floor
     * division both engines share), the same 1944-candidate grid, and the
