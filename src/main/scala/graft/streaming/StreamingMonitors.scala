@@ -1191,6 +1191,35 @@ object StreamingMonitors {
     else ck).start()
   }
 
+  /** Streaming maintenance of the KMV distinct sketch
+    * (ops/Sketches.kmvSketch): the k smallest value hashes merge by
+    * union + dedup + re-bottom-k — the KMV monoid — so the ≤k-row state
+    * answers "how many distinct so far" via Sketches.kmvEstimate and
+    * composes into overlap estimates against other sketches. Same
+    * versioned idempotent-replay contract as the other state sinks. */
+  def kmvStateSink(stream: DataFrame, stateDir: String,
+                   valueCol: String = "user_id",
+                   checkpoint: Option[String] = None,
+                   availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    val writer = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = graft.ops.Sketches.kmvSketch(batch, col(valueCol))
+        val merged = latestVersionedState(batch.sparkSession, stateDir, batchId) match {
+          case Some(prev) => graft.ops.Sketches.kmvMerge(prev, partial)
+          case None => partial
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        ()
+      }
+    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow)
+      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else ck).start()
+  }
+
   /** Streaming maintenance of the per-type quantile sample
     * (ops/Sketches.quantileSample): the k hash-smallest rows per key
     * merge by union + dedup + re-bottom-k — a monoid over disjoint row

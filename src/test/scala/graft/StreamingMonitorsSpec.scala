@@ -1204,6 +1204,32 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(served.nonEmpty && direct.nonEmpty)
   }
 
+  test("streamed KMV sketch serves the exact batch distinct estimate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id").persist()
+    val rows = events.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("event_id", "user_id")
+    val stateDir = s"${work()}/kmv-state"
+    val q = StreamingMonitors.kmvStateSink(stream, stateDir)
+    try {
+      (0 until 3).foreach { i =>
+        mem.addData(rows.filter(_._1 % 3 == i).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val state = StreamingMonitors.latestVersionedState(spark, stateDir).get
+    val served = graft.ops.Sketches.kmvEstimate(state).collect()(0)
+    val direct = graft.ops.Sketches.kmvEstimate(
+      graft.ops.Sketches.kmvSketch(events.toDF(), col("user_id"))).collect()(0)
+    events.unpersist(blocking = false)
+    assert(served.toSeq === direct.toSeq)
+    assert(served.getAs[Long]("n_in_sketch") > 0L)
+  }
+
   test("streamed quantile sample serves the exact batch sketch quantiles") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
