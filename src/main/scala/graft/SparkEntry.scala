@@ -863,6 +863,13 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir)).orderBy("id1", "id2")),
 
+    // the portable md5 twin: the SAME sign-aggregate + pigeonhole
+    // pipeline over a 60-bit md5 slice, so the FULL near-dup pair set
+    // hash-matches a DuckDB replay — the verification face the xxhash64
+    // hot path (rows-only by design) gets checked against
+    "dedup_simhash_md5" -> ((s, dir) =>
+      Dedup.simhashPairsPortable(Tables.documents(s, dir)).orderBy("id1", "id2")),
+
     // simhash's hash family isn't SQL-expressible, but identical shingle
     // SETS imply identical simhash structurally — so planting exact copies
     // (and pairing at hamming 0) reduces the operator to an
@@ -3061,6 +3068,7 @@ object SparkEntry {
     // oracle is the same brute-force inverted-index query.
     "dedup_jaccard" -> JACCARD_SQL,
     "dedup_minhash" -> JACCARD_SQL,
+    "dedup_simhash_md5" -> SIMHASH_MD5_SQL,
     "dedup_jaccard_capped" -> JACCARD_CAPPED_SQL,
 
     // component resolution over the jaccard pairs: DuckDB computes the
@@ -5312,6 +5320,36 @@ object SparkEntry {
       |  SELECT id1, id2, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
       |  FROM pairs JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2)
       |WHERE jaccard >= 0.8 ORDER BY id1, id2""".stripMargin
+
+  /** The portable-SimHash replay: the shared shingle CTEs, the 60-bit
+    * md5 slice, 60 generated sign-sum columns, the fingerprint as a sum
+    * of disjoint powers, 4×15-bit pigeonhole pairing with
+    * bit_count(xor) hamming. */
+  private val SIMHASH_MD5_SQL: String = {
+    val bitSums = (0 until 60).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n      ")
+    val fp = (0 until 60).map(j =>
+      s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM w),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s FROM idx),
+       |hs AS (SELECT doc_id, ('0x' || substr(md5('sh:' || s), 1, 15))::BIGINT AS h FROM sh),
+       |bits AS (SELECT doc_id,
+       |      $bitSums
+       |  FROM hs GROUP BY 1),
+       |fp AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits),
+       |ch AS (SELECT doc_id, simhash, CAST(i.range AS INT) AS chunk_idx,
+       |    (simhash >> CAST(i.range * 15 AS INT)) & 32767 AS chunk
+       |  FROM fp, range(0, 4) i)
+       |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM ch a JOIN ch b
+       |  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY id1, id2""".stripMargin
+  }
 
   /** Capped variant: shingles in more than 5 docs are dropped before BOTH
     * the intersections and the sizes (same universe, or capping would

@@ -481,6 +481,49 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The PORTABLE SimHash twin: same sign-aggregated fingerprint and
+    * pigeonhole pairing as [[simhashPairs]], with the 64-bit xxhash64
+    * replaced by the repo's 60-bit md5 slice (Sketches.kmv60) over the
+    * doc's DISTINCT shingle set — every stage is then SQL-expressible,
+    * so unlike the xxhash64 form (rows-only by design) the FULL pair
+    * set hash-matches a DuckDB replay (dedup_simhash_md5). 60 bits
+    * split into 4×15-bit chunks keeps the ≤3-hamming pigeonhole
+    * guarantee. xxhash64 stays the hot-path choice at scale (one
+    * codegen'd long vs an md5 + hex parse per shingle); this twin is
+    * the verification face. */
+  def simhashPortable(docs: DataFrame, n: Int = 3): DataFrame = {
+    val tok = postings(docs, n).select(col("doc_id"), col("s")).distinct()
+      .withColumn("h", Sketches.kmv60(col("s"), "sh:"))
+    val bitCols = (0 until 60).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$j"))
+    val bitSums = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    bitSums.select(col("doc_id"),
+      (0 until 60).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+        .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** [[simhashPairs]] over the portable fingerprint: 4×15-bit pigeonhole
+    * equi-join, never all-pairs, hamming by bit_count(xor). */
+  def simhashPairsPortable(docs: DataFrame, maxHamming: Int = 3,
+                           n: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4-chunk pigeonhole guarantee (max 3)")
+    val sh = simhashPortable(docs, n)
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 15).bitwiseAND(lit(0x7FFFL))): _*)))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Edit-distance verification over near-dup candidates: exact Levenshtein
     * is O(len²) per pair, so it is NEVER run all-pairs — candidates come
     * from the shingle-Jaccard prefilter, and only those pairs pay the

@@ -176,6 +176,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.get((0L, 1L)).contains(0))
   }
 
+  test("portable simhash replays the md5 sign-aggregate bit-for-bit (JVM recompute)") {
+    // identical docs pair at hamming 0 through the portable twin too
+    val pairs = Dedup.simhashPairsPortable(docs, maxHamming = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.get((0L, 1L)).contains(0L))
+    // fingerprint vs an independent JVM model on one doc's shingle set
+    val text = docs.filter(col("doc_id") === 0L).select("text").head().getString(0)
+    val words = text.split(" ")
+    val shingleSet = (if (words.length <= 2) Seq(words.mkString(" "))
+      else words.sliding(3).map(_.mkString(" ")).toSeq).distinct
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val votes = Array.fill(60)(0L)
+    shingleSet.foreach { s =>
+      val h = java.lang.Long.parseLong(md5Hex("sh:" + s).substring(0, 15), 16)
+      (0 until 60).foreach(j =>
+        votes(j) += (if (((h >> j) & 1L) == 1L) 1L else -1L))
+    }
+    val want = (0 until 60).map(j => if (votes(j) > 0) 1L << j else 0L).sum
+    val got = Dedup.simhashPortable(docs).filter(col("doc_id") === 0L)
+      .head().getLong(1)
+    assert(got === want)
+  }
+
   private val vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f), 0),
     (1L, Array(0.9f, 0.1f, 0.0f), 0),  // close to 0
