@@ -500,9 +500,9 @@ object Sketches {
     * p50/p90 next to the EXACT discrete quantiles and the realized CDF
     * error |F(v_sketch) − p| measured against the full corpus. One
     * scope-cached corpus projection feeds all three arms (sample window,
-    * exact-rank window — same key partitioning, so the exchange reuses —
-    * and the CDF count join against the broadcast 1-row-per-key
-    * estimates). Real 100 TB use calls [[quantileSample]] /
+    * exact-rank window, and the CDF count join against the broadcast
+    * 1-row-per-key estimates) — three cache passes, zero re-reads of
+    * the source. Real 100 TB use calls [[quantileSample]] /
     * [[quantilesFromSample]] and skips both exact arms. */
   def quantileCertificate(events: DataFrame, k: Int = 512,
                           seed: String = "qsk:"): DataFrame = {

@@ -711,6 +711,58 @@ class PlanContractSpec extends SparkSpec {
       s"past the ceiling the closure must shuffle, not broadcast:\n$over")
   }
 
+  test("kmv overlap is three TakeOrdered heads over one cached pass, only scalar crosses") {
+    val p = plan("q_distinct_kmv")
+    // the three bottom-k sketches are TakeOrdered(256) — never a global sort
+    assert("TakeOrderedAndProject\\(limit=256".r.findAllIn(p).size === 3,
+      s"expected three bottom-256 heads in:\n$p")
+    // one value-grain pass, scope-cached, feeds all of them
+    assert(p.contains("InMemoryRelation"), s"per-value flags frame not cached:\n$p")
+    assert(!p.contains("CartesianProduct"), s"kmv overlap has a cartesian:\n$p")
+    val badBnlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).filterNot(_.contains("Cross"))
+    assert(badBnlj.isEmpty,
+      s"kmv overlap has a non-scalar nested loop:\n${badBnlj.mkString("\n")}")
+  }
+
+  test("quantile sketch certificate: cached base, equi-joins only, broadcast estimates") {
+    val p = plan("q_quantiles_sketch")
+    assert(p.contains("InMemoryRelation"), s"corpus projection not cached:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quantile certificate lost the equi-join shape:\n$p")
+    // the 1-row-per-key estimates reach the CDF arm as a broadcast build
+    assert(p.contains("BroadcastHashJoin"), s"estimates not broadcast:\n$p")
+  }
+
+  test("quality-model training is one broadcast grid fan-out ending in TakeOrdered(1)") {
+    val p = plan("text_quality_model")
+    assert(p.contains("TakeOrderedAndProject(limit=1"),
+      s"argmin must be TakeOrdered(1), not a global sort:\n$p")
+    // the hypothesis grid is the broadcast side of the only nested loops
+    val badBnlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).filterNot(_.contains("Cross"))
+    assert(badBnlj.isEmpty && !p.contains("CartesianProduct"),
+      s"non-broadcast grid fan-out:\n$p")
+    // exactly the two feature/label corpus arms — no hidden re-reads
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("doc_id")) <= 2,
+      s"more than two documents scans:\n$p")
+  }
+
+  test("ULM pricing joins the driver-trained word table by broadcast, no corpus lineage") {
+    val p = plan("text_ulm_tokens")
+    // the model side is a collected bounded artifact (LocalTableScan),
+    // so no downstream action can re-trigger training
+    assert(p.contains("LocalTableScan"), s"expected the collected word→pieces table:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"pricing join must broadcast the model:\n$p")
+  }
+
+  test("portable simhash pairs by the pigeonhole equi-join, never all-pairs") {
+    val p = plan("dedup_simhash_md5")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"simhash pairing lost the pigeonhole equi-join:\n$p")
+  }
+
   test("the BPE merge table is a materialized bounded artifact, not a lazy recompute") {
     // the train-once/apply-many seam: consumers read ≤64 collected rows
     // (LocalTableScan), so no downstream plan can re-trigger the
