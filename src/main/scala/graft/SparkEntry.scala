@@ -1484,6 +1484,15 @@ object SparkEntry {
     // text_bpe_fertility's BPE pricing of the same corpus
     "text_ulm_fertility" -> ((s, dir) =>
       graft.ops.Ulm.fertility(Tables.documents(s, dir)).orderBy("lang")),
+    // the stored-segmentation serving face (the bigramModel artifact
+    // pattern): train once into a bounded parquet table, price from it
+    // with zero training jobs on re-touch; shares the live oracle
+    "text_ulm_tokens_stored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.Ulm.tokenCountsFrom(docs,
+        graft.ops.Ulm.segmentArtifact(docs, lmArtifactPath("ulm_seg", dir)))
+        .orderBy("doc_id")
+    }),
     // PRODUCTION-DEPTH merge table: the same greedy trainer run to 1024
     // rounds driver-side on the one-scan word-count statistic. No
     // unrolled oracle at this depth (rows-only); its structural
@@ -3563,6 +3572,9 @@ object SparkEntry {
     // end position, recount + re-score — then vocab / pricing / equity
     "text_ulm_vocab" -> ULM_VOCAB_SQL,
     "text_ulm_tokens" -> ULM_TOKENS_SQL,
+    // the stored face prices through the SAME trained table (the
+    // artifact is a cache, never a fork) — shares the live replay
+    "text_ulm_tokens_stored" -> ULM_TOKENS_SQL,
     "text_ulm_fertility" -> ULM_FERTILITY_SQL,
 
     // per-source bytes vs BPE tokens off the same 16-round table: exact

@@ -157,11 +157,22 @@ object Ulm {
   def vocab(docs: DataFrame, rounds: Int = 2): DataFrame =
     model(docs, rounds)._1
 
-  /** Per-doc ULM token pricing: one broadcast join of the word→pieces
-    * table against the corpus words (the trained-vocabulary universe:
-    * `[a-z]+`, ≤ [[maxWordLen]] chars), zero-word docs priced 0. */
-  def tokenCounts(docs: DataFrame, rounds: Int = 2): DataFrame = {
-    val segs = model(docs, rounds)._2
+  /** The stored word→pieces table through the Artifacts seam — the
+    * train-once/serve-many face (the bigramModel pattern): first touch
+    * trains and writes the ≤[[wordLimit]]-row segmentation table; every
+    * later pricing run reads the parquet, ZERO training jobs. Training
+    * is bit-deterministic and longs/strings round-trip parquet exactly,
+    * so the artifact is a cache, never a fork. */
+  def segmentArtifact(docs: DataFrame, path: String, rounds: Int = 2): DataFrame =
+    Artifacts.parquetArtifact(docs.sparkSession, path)(
+      model(docs, rounds)._2.coalesce(1))
+
+  /** [[tokenCounts]] against a STORED segmentation table. On the
+    * training corpus itself every priced word is in the table, so the
+    * stored face equals the live entry exactly — it shares the oracle. */
+  def tokenCountsFrom(docs: DataFrame, segs: DataFrame): DataFrame = {
+    require(segs.columns.contains("word") && segs.columns.contains("n_pieces"),
+      s"tokenCountsFrom: need (word, n_pieces) columns, got ${segs.columns.mkString(",")}")
     val agg = docWords(docs)
       .join(broadcast(segs.select(col("word"), col("n_pieces"))), "word")
       .groupBy("doc_id")
@@ -172,6 +183,12 @@ object Ulm {
         coalesce(col("nw"), lit(0L)).as("n_words"),
         coalesce(col("np"), lit(0L)).as("n_ulm_tokens"))
   }
+
+  /** Per-doc ULM token pricing: one broadcast join of the word→pieces
+    * table against the corpus words (the trained-vocabulary universe:
+    * `[a-z]+`, ≤ [[maxWordLen]] chars), zero-word docs priced 0. */
+  def tokenCounts(docs: DataFrame, rounds: Int = 2): DataFrame =
+    tokenCountsFrom(docs, model(docs, rounds)._2)
 
   /** Per-language fertility (pieces per priced word) — the
     * Bpe.fertility comparison entry in ULM units, over the trained

@@ -43,6 +43,44 @@ class UlmSpec extends SparkSpec {
     assert(again === Ulm.model(docs)._2.orderBy("word").collect().map(_.toSeq))
   }
 
+  test("segment artifact: train once, price many — a re-touch runs zero training jobs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = { val b = new java.io.File("target/test-out").getAbsoluteFile.toPath
+      java.nio.file.Files.createDirectories(b)
+      java.nio.file.Files.createTempDirectory(b, "ulm") }.toString
+    val path = s"$dir/segs"
+    val stored = Ulm.segmentArtifact(docs, path)
+    assert(new java.io.File(path, "_SUCCESS").exists())
+    // pricing through the stored table equals the live-trained pricing
+    val viaStored = Ulm.tokenCountsFrom(docs, stored)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(viaStored === Ulm.tokenCounts(docs).orderBy("doc_id")
+      .collect().map(_.toSeq))
+    // second touch must READ, not retrain: poison the corpus (a retrain
+    // would change the word statistic) and count scheduled jobs
+    val poisoned = docs.filter(col("doc_id") =!= 0)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val again =
+      try {
+        val r = Ulm.segmentArtifact(poisoned, path)
+        org.apache.spark.sql.graft.Bridge.drainListenerBus(spark)
+        r.collect()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() <= 2,
+      s"second segmentArtifact call ran ${jobs.get()} jobs — it retrained")
+    assert(again.map(_.toSeq).sortBy(_.toString) ===
+      stored.collect().map(_.toSeq).sortBy(_.toString))
+    // the serve side validates stored frames loudly
+    val junk = Seq((1L, "a")).toDF("word", "n")
+    val e = intercept[IllegalArgumentException](Ulm.tokenCountsFrom(docs, junk))
+    assert(e.getMessage.contains("n_pieces"))
+  }
+
   test("pricing covers exactly the trained word universe; fertility sits in its bounds") {
     // uppercase and over-long words are OUTSIDE the vocabulary contract
     // (the oracle's DP unroll bound) — excluded from pricing, loudly
