@@ -669,6 +669,13 @@ object SparkEntry {
         Layout.hilbertKey(col("p_size"), floor(col("p_retailprice"))).as("hkey"))
         .orderBy("hkey", "p_partkey")),
 
+    // weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
+    // priority ln(u)/w from the row's md5 draw, top-100 by priority —
+    // inclusion probability proportional to the weight (doc length
+    // here), the quality-weighted pick a plain shuffle can't express
+    "q_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(Tables.documents(s, dir), col("n_chars"))),
+
     // corpus mixing: keep 50% of en, 25% of zh, everything else whole —
     // membership purely per-row off the portable md5, exact vs the oracle
     "q_stratified_sample" -> ((s, dir) =>
@@ -2998,6 +3005,18 @@ object SparkEntry {
          |FROM part ORDER BY zkey, p_partkey""".stripMargin,
 
     "q_hilbert_layout" -> HILBERT_LAYOUT_SQL,
+
+    // the E-S priority replay: one quantized ln per row, one exact
+    // division, top-100 by (priority desc, doc_id)
+    "q_weighted_sample" ->
+      """WITH p AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |    CAST(round(ln(CAST(
+        |      ('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      + 1 AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)) * 1000000.0)
+        |      AS BIGINT) AS qln
+        |  FROM documents)
+        |SELECT doc_id, w, CAST(qln AS DOUBLE) / CAST(w AS DOUBLE) AS priority
+        |FROM p ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
 
     // bounds are first-16-bit hex of ceil(rate*65536)-1: 0.5 → 7fff,
     // 0.25 → 3fff — the same fixed-width-hex compare the split uses

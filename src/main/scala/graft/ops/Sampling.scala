@@ -291,6 +291,45 @@ object Sampling {
     docs.withColumn("shuffle_key", idHash(col("doc_id"), seed))
       .orderBy("shuffle_key")
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+    * each row draws priority u^(1/w) for a uniform u — here ranked by
+    * the monotone equivalent ln(u)/w — and the k largest priorities are
+    * the sample, which realizes inclusion probabilities proportional to
+    * the weights. The quality-weighted corpus pick the plain
+    * [[deterministicShuffle]] (w ≡ 1) cannot express.
+    *
+    * Portability discipline: u = (h+1)/2^60 from the row's 60-bit md5
+    * slice (never 0, so ln is finite); ln(u) is quantized to integer
+    * micro-nats FIRST (one round per row — the bigram rule), and the
+    * ONLY other float op is the single division of that exact integer
+    * by the exact weight, identical IEEE in any engine — so the ranking
+    * key is bit-stable and the TakeOrdered sample replays in the
+    * oracle. Weights must be strictly positive — zero would make every
+    * u map to priority 0 (ties decided by id, not weight) and a
+    * negative weight flips the ranking; both raise loudly.
+    *
+    * Scale shape: one scan, per-row arithmetic, TakeOrdered(k) — no
+    * shuffle beyond the bounded merge of per-partition heads. */
+  def weightedSample(docs: DataFrame, weight: Column, k: Int = 100,
+                     seed: String = "wsample:"): DataFrame = {
+    require(k >= 1, s"weightedSample: k=$k must be >= 1")
+    val h = conv(substring(md5(concat(lit(seed), col("doc_id").cast("string"))),
+      1, 15), 16, 10).cast("long")
+    val w = weight.cast("long")
+    val guarded = when(w <= 0L,
+      raise_error(concat(lit("weightedSample: non-positive weight "),
+        w.cast("string"), lit(" for doc_id "), col("doc_id").cast("string"))))
+      .otherwise(w)
+    docs
+      .select(col("doc_id"), guarded.as("w"),
+        round(log((h + 1L).cast("double") / lit(1.152921504606846976e18)) *
+          1000000.0).cast("long").as("qln"))
+      .select(col("doc_id"), col("w"),
+        (col("qln").cast("double") / col("w").cast("double")).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document by
     * how much it resembles a TARGET domain, log w(d) = Σ_f [ln p̂_target(f)

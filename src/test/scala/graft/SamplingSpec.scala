@@ -433,4 +433,39 @@ class SamplingSpec extends SparkSpec {
     assert(a === b)
     assert(a !== c)
   }
+
+  test("weighted sample equals the driver-side E-S top-k; weight raises priority") {
+    def jvmMd5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // independent driver model: same md5 draw, quantized ln, one division
+    val rows = docs.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def priority(id: Long, w: Long): Double = {
+      val h = java.lang.Long.parseLong(jvmMd5Hex("wsample:" + id).substring(0, 15), 16)
+      val qln = java.math.BigDecimal.valueOf(
+        math.log((h + 1).toDouble / 1.152921504606846976e18) * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      qln.toDouble / w.toDouble
+    }
+    val want = rows.map { case (id, w) => (id, priority(id, w)) }
+      .sortBy { case (id, p) => (-p, id) }.take(30).map(_._1).toSeq
+    val got = Sampling.weightedSample(docs, col("n_chars"), k = 30)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === want)
+    assert(got.distinct.length === 30) // without replacement by construction
+    // inclusion tracks weight: the SAME draw under a doubled weight has
+    // strictly higher priority (ln u < 0, so dividing by a larger w
+    // moves it toward 0)
+    rows.take(20).foreach { case (id, w) =>
+      assert(priority(id, 2 * w) > priority(id, w), s"doc $id")
+    }
+    // non-positive weights fail loudly, never silently rank
+    val bad = Seq((1L, 0L)).toDF("doc_id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedSample(bad, col("w"), k = 1).collect()
+    }
+    assert(e.getMessage.contains("non-positive weight") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-positive weight")))
+  }
 }
