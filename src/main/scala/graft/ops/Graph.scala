@@ -408,8 +408,8 @@ object Graph {
     * own); the closure join shuffles on (v, w). No cartesian, no driver
     * state. Ids must be non-negative and < 2^40 so (deg, id) packs into
     * one monotone long — violations raise, never wrap; the domain is
-    * validated ONCE by an eager min/max aggregate over the edge frame
-    * (not per row in the key arithmetic, which is the hot path).
+    * validated inside the degree scan (every endpoint passes it anyway),
+    * never per row in the wedge-key arithmetic, which is the hot path.
     *
     * The closure-probe strategy is chosen BY DATA, not by caller
     * knowledge: the deduped oriented edge list is counted (one cheap
@@ -435,25 +435,20 @@ object Graph {
     * frame the caller must unpersist). */
   private[graft] def triangleCountsPlan(
       edges: DataFrame, broadcastMaxEdges: Long): (DataFrame, DataFrame) = {
-    // id-domain guard hoisted OUT of the per-row hot path: one eager
-    // min/max aggregate over the edge frame validates every id before
-    // the wedge stage with the same loud failure. The guard used to sit
-    // inside the key expression, where the branch ran ~6× per edge in
-    // the oriented projection (key() appears twice in each of three
-    // columns) — measurably the hottest per-row cost of the whole
-    // operator. One extra O(m) scan with a 2-column aggregate is noise
-    // next to the wedge join it protects.
-    val bounds = edges.agg(
-      min(least(col("a"), col("b"))).cast("long").as("lo"),
-      max(greatest(col("a"), col("b"))).cast("long").as("hi")).head()
-    if (!bounds.isNullAt(0)) {
-      val lo = bounds.getLong(0)
-      val hi = bounds.getLong(1)
-      if (lo < 0L || hi >= (1L << 40))
-        throw new IllegalArgumentException(
-          s"triangleCounts: id out of [0, 2^40): ${if (lo < 0L) lo else hi}")
-    }
-    val deg = edges.select(col("a").as("node")).union(edges.select(col("b").as("node")))
+    // id-domain guard moved OUT of the wedge-key hot path (where the
+    // branch ran ~6× per edge across the three oriented-projection
+    // columns) and INTO the degree scan, which reads every endpoint
+    // anyway: each id is validated exactly twice per edge inside an
+    // already-running pass — same loud failure, zero extra jobs. (An
+    // eager min/max pre-aggregate was measured first and RETIRED: its
+    // separate O(m) job cost ~0.6 s at sf0.1, more than the codegen'd
+    // guard branch it replaced — interleaved A/B in one JVM, 4 rounds.)
+    val checkedId = (c: Column) =>
+      when(c < 0L || c >= (1L << 40),
+        raise_error(concat(lit("triangleCounts: id out of [0, 2^40): "), c.cast("string"))))
+        .otherwise(c)
+    val deg = edges.select(checkedId(col("a")).as("node"))
+      .union(edges.select(checkedId(col("b")).as("node")))
       .groupBy("node").agg(count(lit(1)).cast("long").as("deg"))
     val key = (d: Column, id: Column) => d * (1L << 40) + id
     // persisted: consumed three times (both wedge sides + the closure
