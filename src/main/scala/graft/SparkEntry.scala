@@ -1357,6 +1357,13 @@ object SparkEntry {
       graft.ops.Sketches.kmvOverlapCertificate(Tables.events(s, dir),
         col("event_type"), col("user_id"), "click", "purchase")),
 
+    // the KMV sketch composed relationally — distinct users PER EVENT
+    // TYPE, k smallest hashes per key by one rank window, estimate and
+    // exact count side by side (the GROUP-BY proof HLL already has)
+    "q_distinct_kmv_by_type" -> ((s, dir) =>
+      graft.ops.Sketches.kmvCertificateBy(Tables.events(s, dir),
+        Seq("event_type"), col("user_id")).orderBy("event_type")),
+
     // deterministic bottom-k row-sample quantile sketch: per-type
     // p50/p90 picked from the k hash-smallest rows, exact discrete
     // quantiles and the realized CDF error measured beside them
@@ -4114,6 +4121,31 @@ object SparkEntry {
         |      - CAST(n_overlap_exact AS DOUBLE)) / CAST(n_overlap_exact AS DOUBLE)
         |  END AS rel_err_overlap
         |FROM x CROSS JOIN ea CROSS JOIN eb CROSS JOIN ku""".stripMargin,
+
+    // the per-key KMV replay: every stage gains event_type, one rank
+    // window per key, same estimator with the <k exact regime
+    "q_distinct_kmv_by_type" ->
+      """WITH pv AS (SELECT event_type, user_id AS v FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |hv AS (SELECT event_type,
+        |    ('0x' || substr(md5('kmv:' || CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM pv),
+        |rk AS (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM hv),
+        |sk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_in_sketch,
+        |    max(h) AS h_k FROM rk WHERE rn <= 256 GROUP BY 1),
+        |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM rk GROUP BY 1),
+        |est AS (SELECT s.event_type, e.n_exact, s.n_in_sketch,
+        |    CASE WHEN s.n_in_sketch < 256 THEN CAST(s.n_in_sketch AS DOUBLE)
+        |      ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |        / CAST(s.h_k AS DOUBLE) END AS est_kmv
+        |  FROM sk s JOIN ex e ON s.event_type = e.event_type)
+        |SELECT event_type, n_exact, n_in_sketch, est_kmv,
+        |  CASE WHEN n_exact > 0 THEN
+        |    (est_kmv - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+        |  END AS rel_err
+        |FROM est ORDER BY event_type""".stripMargin,
 
     // quantile-sketch replay: per-type bottom-512 rows by md5(event_id),
     // rank rule ceil(p·n) over (v, h) on the sample and (value, event_id)

@@ -378,6 +378,40 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble) * lit(kmvSpace) /
             col("h_k").cast("double")).as("est_kmv"))
 
+  /** Per-key KMV certificate — the GROUP-BY composition proof (HLL has
+    * hllCertificateBy; this is the bottom-k sibling): one value-grain
+    * pass builds per-(key, value) rows, the k smallest hashes PER KEY
+    * are selected by a key-partitioned rank window, and each key's
+    * estimate sits beside its exact distinct count and realized error.
+    * State stays ≤k rows per key and merges by the same
+    * union+dedup+re-bottom-k monoid shard-by-shard. */
+  def kmvCertificateBy(df: DataFrame, keys: Seq[String], value: Column,
+                       k: Int = 256, seed: String = "kmv:"): DataFrame = {
+    require(k >= 16, s"KMV k must be >= 16, got $k")
+    val kc = keys.map(col)
+    val perValue = df.filter(value.isNotNull)
+      .select(kc :+ value.as("v"): _*)
+      .groupBy(kc :+ col("v"): _*).agg(count(lit(1)).as("n_occ"))
+      .select(kc :+ kmv60(col("v"), seed).as("h"): _*)
+    val ranked = perValue
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(kc: _*).orderBy(col("h"))))
+    val sk = ranked.filter(col("__rn") <= k)
+      .groupBy(kc: _*)
+      .agg(count(lit(1)).cast("long").as("n_in_sketch"), max("h").as("h_k"))
+    val exact = ranked.groupBy(kc: _*)
+      .agg(count(lit(1)).cast("long").as("n_exact"))
+    sk.join(exact, keys)
+      .select(kc ++ Seq(col("n_exact"), col("n_in_sketch"),
+        when(col("n_in_sketch") < k, col("n_in_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(kmvSpace) /
+            col("h_k").cast("double")).as("est_kmv")): _*)
+      .withColumn("rel_err",
+        when(col("n_exact") > 0L,
+          (col("est_kmv") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double")))
+  }
+
   /** The oracle-checked overlap certificate — KMV's reason to exist next
     * to [[hllOverlapCertificate]]: est(A∩B) = (|K_U ∩ A ∩ B| / |K_U|) ·
     * est(|A∪B|), a PRODUCT of a sample fraction and one estimate instead

@@ -267,6 +267,24 @@ class SketchesSpec extends SparkSpec {
       s"kmv $kmvErr should beat inclusion-exclusion $hllErr on a small intersection")
   }
 
+  test("per-key kmv certificate equals the single-set certificate slice by slice") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val by = Sketches.kmvCertificateBy(events, Seq("event_type"), col("user_id"))
+      .orderBy("event_type").collect()
+    assert(by.nonEmpty)
+    by.foreach { r =>
+      val key = r.getAs[String]("event_type")
+      val slice = events.filter(col("event_type") === key)
+      val est = Sketches.kmvEstimate(
+        Sketches.kmvSketch(slice, col("user_id"))).collect()(0)
+      assert(r.getAs[Long]("n_in_sketch") === est.getAs[Long]("n_in_sketch"), key)
+      assert(r.getAs[Double]("est_kmv") === est.getAs[Double]("est_kmv"), key)
+      val exact = slice.filter(col("user_id").isNotNull)
+        .select("user_id").distinct().count()
+      assert(r.getAs[Long]("n_exact") === exact, key)
+    }
+  }
+
   test("kmv overlap is exact below k: every count reproduced bit-for-bit") {
     val rows = (0L until 100L).map(u => ("click", u)) ++
       (80L until 180L).map(u => ("purchase", u))
