@@ -431,6 +431,12 @@ object SparkEntry {
 
     // CUSUM drift flags via the prefix-min identity (recursive max(0,·)
     // = P - cummin(P)) — two windows, pure integer arithmetic
+    // integer-exact EWMA level tracking over the hourly series: rational
+    // alpha, floor division each step, one per-key fold — the oracle
+    // replays the recurrence with a recursive CTE
+    "q_ewma_hourly" -> ((s, dir) =>
+      TimeSeries.ewmaHourly(Tables.events(s, dir)).orderBy("key", "bucket_us")),
+
     "q_cusum_drift" -> ((s, dir) =>
       TimeSeries.cusumDrift(Tables.events(s, dir)).orderBy("key", "bucket_us")),
 
@@ -2246,6 +2252,29 @@ object SparkEntry {
         |  CAST(c.n_le AS BIGINT) AS n_le
         |FROM edges e JOIN cum c ON c.event_type = e.event_type AND c.qv = e.edge_q
         |ORDER BY e.event_type, e.bin""".stripMargin,
+
+    // the EWMA recurrence replayed stepwise by a recursive CTE over the
+    // row-numbered hourly frame; // is DuckDB's floor division, matching
+    // the engine's explicit posmod floor-div spelling on negatives
+    "q_ewma_hourly" ->
+      """WITH RECURSIVE q AS (SELECT event_type AS key,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS qv
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+        |hourly AS (SELECT key, bucket_us, CAST(sum(qv) AS BIGINT) AS swq
+        |  FROM q GROUP BY 1, 2),
+        |hx AS (SELECT key, bucket_us, swq,
+        |    CAST(row_number() OVER (PARTITION BY key ORDER BY bucket_us) AS BIGINT) AS i
+        |  FROM hourly),
+        |ew AS (
+        |  SELECT key, i, bucket_us, swq, swq AS s FROM hx WHERE i = 1
+        |  UNION ALL
+        |  SELECT h.key, h.i, h.bucket_us, h.swq,
+        |    (1 * h.swq + 3 * e.s) // 4 AS s
+        |  FROM ew e JOIN hx h ON h.key = e.key AND h.i = e.i + 1)
+        |SELECT key, bucket_us, swq, CAST(s AS BIGINT) AS ewma_q
+        |FROM ew ORDER BY key, bucket_us""".stripMargin,
 
     "q_cusum_drift" ->
       """WITH q AS (SELECT event_type AS key,

@@ -565,6 +565,55 @@ object TimeSeries {
       .groupBy("key", "bucket_us")
       .agg(sum("qv").as("swq"), count(lit(1)).as("n"))
 
+  /** Integer-exact exponential smoothing (EWMA) over the hourly series —
+    * the LEVEL tracker beside [[cusumDrift]]'s change detector and
+    * [[burstHours]]' spike detector: s₁ = x₁, s_t = ⌊(α·x_t +
+    * (1−α)·s_{t−1})⌋ with rational α = num/den and FLOOR division each
+    * step, so the whole recurrence is exact integers and a fixed series
+    * is bit-deterministic in any engine (the DuckDB oracle replays it
+    * with a recursive CTE). Floor (not truncation) is used explicitly —
+    * value sums can be negative and the two diverge there.
+    *
+    * Shape: the recurrence is inherently sequential per key, so each
+    * key's hourly points fold in ONE `aggregate` pass over its
+    * collect_list'd series — bounded by the time range (a year of hours
+    * is 8760 rows), the same per-key-sequence discipline as the ACF
+    * family. Keys are independent; the fold never crosses them. */
+  def ewmaHourly(events: DataFrame, keyCol: String = "event_type",
+                 alphaNum: Long = 1L, alphaDen: Long = 4L): DataFrame =
+    ewmaServe(hourlyQuantized(events, keyCol), alphaNum, alphaDen)
+
+  /** The serve half of [[ewmaHourly]] over a stored/streamed hourly
+    * frame (the [[cusumServe]] split — the mergeable hourly state
+    * already has a streaming face, so the smoother gets one for free). */
+  def ewmaServe(hourly: DataFrame, alphaNum: Long = 1L,
+                alphaDen: Long = 4L): DataFrame = {
+    require(alphaNum >= 1L && alphaNum < alphaDen,
+      s"ewma alpha $alphaNum/$alphaDen out of (0, 1)")
+    val beta = alphaDen - alphaNum
+    // floor division spelled portably: t - posmod(t, den) is exactly
+    // divisible, so DIV's truncation equals the mathematical floor
+    val step =
+      s"$alphaNum * e.swq + $beta * element_at(acc, -1).s"
+    val series = hourly
+      .groupBy("key")
+      .agg(sort_array(collect_list(struct(col("bucket_us"), col("swq")))).as("xs"))
+    series
+      .select(col("key"), expr(
+        s"""aggregate(
+           |  slice(xs, 2, size(xs) - 1),
+           |  array(struct(xs[0].bucket_us AS bucket_us, xs[0].swq AS swq,
+           |               CAST(xs[0].swq AS BIGINT) AS s)),
+           |  (acc, e) -> concat(acc, array(struct(
+           |    e.bucket_us AS bucket_us, e.swq AS swq,
+           |    (($step) - ((($step) % $alphaDen + $alphaDen) % $alphaDen))
+           |      DIV $alphaDen AS s)))
+           |)""".stripMargin).as("series"))
+      .select(col("key"), explode(col("series")).as("e"))
+      .select(col("key"), col("e.bucket_us").as("bucket_us"),
+        col("e.swq").as("swq"), col("e.s").as("ewma_q"))
+  }
+
   /** Burst detection over hourly event volume — the SPIKE axis next to
     * [[cusumDrift]]'s sustained-drift axis: an hour bursts when its
     * event count exceeds `factorNum/factorDen` times the mean of the

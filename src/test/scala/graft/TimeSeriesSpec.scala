@@ -352,6 +352,37 @@ class TimeSeriesSpec extends SparkSpec {
       ("B", "C") -> ((2L, "74000000000000"))))
   }
 
+  test("EWMA fold equals the driver recurrence, floors on negatives, handles one hour") {
+    import graft.ops.TimeSeries
+    val h = 3600000000L
+    // two keys: X has positive AND negative hourly sums (floor vs
+    // truncation diverge on the negatives — the case the portable
+    // spelling exists for); Y has a single hour (empty fold tail)
+    val rows = Seq(
+      ("X", 0L, 8.0), ("X", 0L, 4.0), ("X", 1L, -7.0), ("X", 2L, 1.0),
+      ("X", 3L, -60.0), ("Y", 0L, 5.0))
+    val ev = rows.zipWithIndex.map { case ((k, hr, v), i) =>
+      (k, i.toLong, v, hr * h)
+    }.toDF("event_type", "event_id", "value", "ts_us")
+    val got = TimeSeries.ewmaHourly(ev).orderBy("key", "bucket_us")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver recurrence: s1 = x1; s_t = floor((x_t + 3 s_{t-1}) / 4)
+    def series(k: String): Seq[(Long, Long)] = rows.filter(_._1 == k)
+      .map { case (_, hr, v) => (hr, math.floor(v * 1000000.0).toLong) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (hr, vs) => (hr * h, vs.map(_._2).sum) }
+    def fold(xs: Seq[(Long, Long)]): Seq[(Long, Long, Long)] =
+      xs.tail.scanLeft((xs.head._1, xs.head._2, xs.head._2)) {
+        case ((_, _, s), (bu, x)) =>
+          (bu, x, Math.floorDiv(1L * x + 3L * s, 4L))
+      }
+    val want = (fold(series("X")).map { case (b, x, s) => ("X", b, x, s) } ++
+      fold(series("Y")).map { case (b, x, s) => ("Y", b, x, s) }).toArray
+    assert(got === want)
+    // the negative hours really exercised the floor branch
+    assert(got.exists(_._4 < 0L))
+  }
+
   test("CUSUM via the prefix-min identity equals the recursive definition and resets") {
     import graft.ops.TimeSeries
     // one key, six hours: level k_ref-ish, then a drift burst, then quiet
