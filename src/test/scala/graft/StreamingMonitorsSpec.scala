@@ -1048,6 +1048,13 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(served.nonEmpty)
     assert(burstServed === burstDirect)
     assert(burstServed.nonEmpty)
+    // ... and the EWMA level tracker: third consumer of the same seam
+    val ewmaServed = graft.ops.TimeSeries.ewmaServe(state.select("key", "bucket_us", "swq"))
+      .orderBy("key", "bucket_us").collect().map(_.toSeq)
+    val ewmaDirect = graft.ops.TimeSeries.ewmaHourly(ev.toDF())
+      .orderBy("key", "bucket_us").collect().map(_.toSeq)
+    assert(ewmaServed === ewmaDirect)
+    assert(ewmaServed.nonEmpty)
   }
 
   test("streamed (day, hour, type) state serves exact batch diversity AND diurnal peak") {
