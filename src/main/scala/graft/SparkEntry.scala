@@ -5234,7 +5234,7 @@ object SparkEntry {
            |  CASE WHEN ((hy >> $k) & 1) = 1 THEN hy
            |       WHEN ((hx >> $k) & 1) = 1 THEN $n1 - hx
            |       ELSE hx END AS hy,
-           |  hd + $s2 * (CASE
+           |  hd + CAST($s2 AS BIGINT) * (CASE
            |    WHEN ((hx >> $k) & 1) = 1 AND ((hy >> $k) & 1) = 1 THEN 2
            |    WHEN ((hx >> $k) & 1) = 1 THEN 3
            |    WHEN ((hy >> $k) & 1) = 1 THEN 1

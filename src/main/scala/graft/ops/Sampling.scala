@@ -306,7 +306,12 @@ object Sampling {
     * key is bit-stable and the TakeOrdered sample replays in the
     * oracle. Weights must be strictly positive — zero would make every
     * u map to priority 0 (ties decided by id, not weight) and a
-    * negative weight flips the ranking; both raise loudly.
+    * negative weight flips the ranking; both raise loudly. Weights must
+    * also be INTEGRAL: the priority divides the quantized micro-nat by
+    * the weight as an exact long, so a fractional weight would be
+    * silently truncated (0.5 → 0, 2.9 → 2) and distort inclusion
+    * probabilities — a fractional input raises loudly instead (scale
+    * fractional weights to an integer grid upstream, e.g. ×1000).
     *
     * Scale shape: one scan, per-row arithmetic, TakeOrdered(k) — no
     * shuffle beyond the bounded merge of per-partition heads. */
@@ -316,9 +321,16 @@ object Sampling {
     val h = conv(substring(md5(concat(lit(seed), col("doc_id").cast("string"))),
       1, 15), 16, 10).cast("long")
     val w = weight.cast("long")
-    val guarded = when(w <= 0L,
-      raise_error(concat(lit("weightedSample: non-positive weight "),
-        w.cast("string"), lit(" for doc_id "), col("doc_id").cast("string"))))
+    // integrality first: a fractional 0.5 must raise as fractional, not
+    // truncate to 0 and raise the misleading "non-positive weight 0"
+    val guarded = when(weight.cast("double") =!= w.cast("double"),
+      raise_error(concat(lit("weightedSample: fractional weight "),
+        weight.cast("string"), lit(" for doc_id "),
+        col("doc_id").cast("string"),
+        lit(" — weights are exact longs; scale to an integer grid upstream"))))
+      .when(w <= 0L,
+        raise_error(concat(lit("weightedSample: non-positive weight "),
+          w.cast("string"), lit(" for doc_id "), col("doc_id").cast("string"))))
       .otherwise(w)
     docs
       .select(col("doc_id"), guarded.as("w"),

@@ -169,7 +169,18 @@ object Ulm {
 
   /** [[tokenCounts]] against a STORED segmentation table. On the
     * training corpus itself every priced word is in the table, so the
-    * stored face equals the live entry exactly — it shares the oracle. */
+    * stored face equals the live entry exactly — it shares the oracle.
+    *
+    * CAP-INDUCED DROP, stated loudly (like the [[maxWordLen]]
+    * exclusion): the segmentation table is bounded at [[wordLimit]]
+    * distinct words. On a corpus with MORE distinct in-universe words
+    * than the cap, the inner join silently drops out-of-cap words from
+    * BOTH n_words and n_ulm_tokens — they are neither counted nor
+    * priced. Both engines apply the same cap so oracles stay green, and
+    * "every priced word is in the table" holds only below the cap;
+    * raise [[wordLimit]] (or pre-filter the corpus) if full coverage of
+    * a larger vocabulary is required. The same cap governs
+    * [[fertility]]. */
   def tokenCountsFrom(docs: DataFrame, segs: DataFrame): DataFrame = {
     require(segs.columns.contains("word") && segs.columns.contains("n_pieces"),
       s"tokenCountsFrom: need (word, n_pieces) columns, got ${segs.columns.mkString(",")}")

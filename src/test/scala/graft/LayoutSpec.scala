@@ -65,7 +65,12 @@ class LayoutSpec extends SparkSpec {
       // stats bound the files a reader must open; the hash layout smears
       // them everywhere
       assert(z < flat, s"$dim-range touched $z z-ordered files vs $flat unclustered — no pruning win")
-      assert(z <= 4, s"$dim-range touched $z of 16 z-ordered files; expected the 4 overlapping blocks")
+      // repartitionByRange SAMPLES its boundaries (seeded by the global
+      // RDD id, so co-running suites legitimately shift them): a boundary
+      // landing inside a 32×32 block splits it across two files, so the
+      // 4 overlapping blocks may surface as up to ~6 touched files. The
+      // payoff claim is a strict small subset, not an exact tiling.
+      assert(z <= 6, s"$dim-range touched $z of 16 z-ordered files; expected ~4 overlapping blocks (+boundary splits)")
       assert(flat === filesTotal(s"$base/flat"), "baseline unexpectedly clustered")
     }
     // and the predicate actually reaches the scan (row-group skipping
@@ -139,6 +144,17 @@ class LayoutSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("negative input")))
   }
 
+  test("hilbert oracle multiplies level weights as BIGINT (DuckDB INT32 guard)") {
+    // DuckDB binds a bare 2^30 literal as INT32, and 2^30 * (CASE ... 3)
+    // overflows INT32 for any coordinate with bit 15 set — the generated
+    // oracle must cast the top-level weight so the full [0, 2^16) domain
+    // replays (engine-side codegen is exact longs already; verified by
+    // direct DuckDB repro of both forms, round 17)
+    val sql = SparkEntry.oracleSql("q_hilbert_layout")
+    assert(sql.contains(s"CAST(${1L << 30} AS BIGINT) * (CASE"),
+      "hilbert oracle lost the BIGINT cast on the top-level level weight")
+  }
+
   test("hilbert layout prunes the parquet scan on BOTH dimensions like zorder") {
     // same fixture as the zorder payoff test: 128×128 grid into 16 files.
     // The Hilbert curve completes each level-2 quadrant before moving on,
@@ -159,8 +175,11 @@ class LayoutSpec extends SparkSpec {
     assert(total === 16)
     for (dim <- Seq("x", "y")) {
       val touched = filesTouched(col(dim) < 16)
-      assert(touched <= 4,
-        s"$dim-range touched $touched of 16 hilbert files; expected the 4 overlapping blocks")
+      // same sampled-boundary tolerance as the zorder payoff test: the
+      // range partitioner's seed moves with the global RDD id, and a
+      // boundary inside a block adds one touched file per split
+      assert(touched <= 6,
+        s"$dim-range touched $touched of 16 hilbert files; expected ~4 overlapping blocks (+boundary splits)")
     }
   }
 

@@ -467,5 +467,17 @@ class SamplingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("non-positive weight") ||
       Option(e.getCause).exists(_.getMessage.contains("non-positive weight")))
+    // fractional weights raise AS fractional — 0.5 must not truncate to 0
+    // and surface as the misleading "non-positive weight 0", and 2.9 must
+    // not silently price as 2 (distorted inclusion probability)
+    for (bw <- Seq(0.5, 2.9)) {
+      val badFrac = Seq((1L, bw)).toDF("doc_id", "w")
+      val ef = intercept[Exception] {
+        Sampling.weightedSample(badFrac, col("w"), k = 1).collect()
+      }
+      assert(ef.getMessage.contains("fractional weight") ||
+        Option(ef.getCause).exists(_.getMessage.contains("fractional weight")),
+        s"weight $bw: ${ef.getMessage}")
+    }
   }
 }
