@@ -1226,6 +1226,13 @@ object SparkEntry {
     "sim_bm25_topk" -> ((s, dir) =>
       Dedup.bm25TopK(Tables.documents(s, dir)).orderBy("query_id", "rank")),
 
+    // reciprocal-rank fusion of the BM25 arm and the dense arm (depth 10
+    // each, same doc-as-query probes): rrf = Σ 10^6 DIV (60 + rank) —
+    // exact integers, one equi-join of two bounded rank frames
+    "sim_hybrid_topk" -> ((s, dir) =>
+      Similarity.hybridTopK(Tables.documents(s, dir), Tables.embeddings(s, dir))
+        .orderBy("query_id", "rank")),
+
     // k-anonymity exposure over (lang, source, ceil-pow2 length) quasi-
     // identifiers — the indirect-identifier audit next to the PII scrub
     "q_anonymity_census" -> ((s, dir) => {
@@ -2716,6 +2723,60 @@ object SparkEntry {
         |  doc_id AS neighbor_id,
         |  CAST(score_q AS DOUBLE) / 1000000.0 AS bm25
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // both retrieval arms replayed at depth 10 (the BM25 chain above
+    // verbatim, the dense brute scan), then the fusion's exact integer
+    // arithmetic: 10^6 // (60 + rank), missing arm contributes 0
+    "sim_hybrid_topk" ->
+      """WITH tf AS (SELECT doc_id, w, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents) GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS n_tokens FROM lens),
+        |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1
+        |  HAVING count(*) <= 1000),
+        |q AS (SELECT doc_id AS query_id, w FROM tf WHERE doc_id < 5),
+        |sc AS (SELECT q.query_id, t.doc_id,
+        |    CAST(round(ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+        |        / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(t.tf AS DOUBLE) * 2.2)
+        |      / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |        * CAST(l.dl AS DOUBLE)
+        |        / (CAST(s.n_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+        |      * 1000000) AS BIGINT) AS qs
+        |  FROM q JOIN tf t ON t.w = q.w AND t.doc_id <> q.query_id
+        |  JOIN dfreq d ON d.w = q.w
+        |  JOIN lens l ON l.doc_id = t.doc_id
+        |  CROSS JOIN stats s),
+        |agg AS (SELECT query_id, doc_id, CAST(sum(qs) AS BIGINT) AS score_q
+        |  FROM sc GROUP BY 1, 2),
+        |lex AS (SELECT query_id, neighbor_id, lex_rank FROM (
+        |  SELECT query_id, doc_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_q DESC, doc_id) AS BIGINT) AS lex_rank FROM agg)
+        |  WHERE lex_rank <= 10),
+        |dense AS (SELECT query_id, neighbor_id, dense_rank FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS BIGINT)
+        |      AS dense_rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 5)
+        |  WHERE dense_rank <= 10),
+        |fused AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
+        |    coalesce(l.neighbor_id, d.neighbor_id) AS neighbor_id,
+        |    l.lex_rank, d.dense_rank,
+        |    CAST(coalesce(1000000 // (60 + l.lex_rank), 0)
+        |       + coalesce(1000000 // (60 + d.dense_rank), 0) AS BIGINT) AS rrf
+        |  FROM lex l FULL OUTER JOIN dense d
+        |    ON l.query_id = d.query_id AND l.neighbor_id = d.neighbor_id),
+        |rr AS (SELECT query_id, neighbor_id, lex_rank, dense_rank, rrf,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf DESC, neighbor_id) AS BIGINT) AS rank FROM fused)
+        |SELECT query_id, rank, neighbor_id, rrf, lex_rank, dense_rank
+        |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // same integer idf surrogate as text_tfidf ((N+1)//(df+1), scaled
     // 10^6), same df cap as the engine, ties by neighbor id

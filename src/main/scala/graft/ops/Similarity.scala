@@ -61,6 +61,54 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Hybrid dense+sparse retrieval by reciprocal-rank fusion (Cormack,
+    * Clarke & Buettcher 2009) — the production shape that fuses a BM25
+    * lexical arm with a dense-embedding arm instead of shipping either
+    * alone: rrf(d) = Σ_arms floor(10^6 / (rrfK + rank_arm(d))), summed
+    * over the arms that retrieved d within `depth`. Queries are the
+    * doc-as-query probes both arms already use (doc_id/vec_id <
+    * `numQueries` — the documents and embeddings tables share the id
+    * space), and the fused list keeps each query's top `k` by (score
+    * desc, neighbor id).
+    *
+    * Exact-integer on purpose: the classic 1/(60+r) is replaced by the
+    * floor-scaled 10^6 DIV (rrfK + r) — order-identical for any two
+    * single-arm ranks (the map r ↦ 10^6 DIV (60+r) is strictly
+    * decreasing for the rank range any depth here reaches) and exactly
+    * summable, so the fusion replays bit-for-bit in any engine with
+    * integer division; no float accumulation order, ties by neighbor id.
+    *
+    * 100 TB shape: each arm is already bounded (BM25 = df-capped
+    * inverted-index joins; dense = broadcast query block), and the
+    * fusion itself is ONE equi-join of two ≤ numQueries·depth-row rank
+    * frames plus one window — never doc×doc. A doc retrieved by only
+    * one arm keeps that arm's contribution (full outer join, missing
+    * arm contributes 0), which is the standard RRF treatment. */
+  def hybridTopK(docs: DataFrame, embeddings: DataFrame, k: Int = 5,
+                 depth: Int = 10, numQueries: Int = 5,
+                 rrfK: Int = 60): DataFrame = {
+    require(k >= 1 && depth >= 1,
+      s"hybridTopK: k=$k and depth=$depth must be >= 1")
+    val lex = Dedup.bm25TopK(docs, k = depth, numQueries = numQueries)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("lex_rank"))
+    val dense = topKBrute(embeddings, k = depth, numQueries = numQueries)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("dense_rank"))
+    val fused = lex.join(dense, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"), col("lex_rank"),
+        col("dense_rank"),
+        (coalesce(expr(s"1000000L DIV ($rrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000L DIV ($rrfK + dense_rank)"), lit(0L)))
+          .as("rrf"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("neighbor_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "rrf", "lex_rank",
+        "dense_rank")
+  }
+
   /** Greedy k-center (farthest-first) diversity selection — the
     * coverage-maximizing subset picker a curation pass runs when it wants
     * k exemplars spanning the embedding space rather than k random draws

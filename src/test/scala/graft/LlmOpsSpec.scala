@@ -1057,6 +1057,57 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.toSeq === want)
   }
 
+  test("hybridTopK fuses the two arms exactly as the driver-side RRF model") {
+    // texts and embeddings deliberately DISAGREE about neighborhoods so
+    // the fused list mixes both-arm and single-arm entries; the model
+    // fuses the op's own arm outputs (each arm has its own spec), so
+    // this pins the full-outer join, the 10^6 DIV (60+r) contributions,
+    // the missing-arm-contributes-0 rule, and the (rrf desc, id) window
+    val docs = Seq(
+      (0L, "alpha beta gamma"), (1L, "alpha beta delta"),
+      (2L, "alpha epsilon zeta"), (3L, "beta gamma eta"),
+      (4L, "theta iota kappa"), (5L, "gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(0.1f, 0.9f, 0.1f)),
+      (4L, Array(0.0f, 0.0f, 1.0f)), (5L, Array(0.5f, 0.5f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val lex = Dedup.bm25TopK(docs, k = 3, numQueries = 2).collect()
+      .map(r => ((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")),
+        r.getAs[Long]("rank"))).toMap
+    val dense = Similarity.topKBrute(emb, k = 3, numQueries = 2).collect()
+      .map(r => ((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")),
+        r.getAs[Int]("rank").toLong)).toMap
+    def contrib(r: Option[Long]): Long = r.map(x => 1000000L / (60L + x)).getOrElse(0L)
+    val want = (lex.keySet ++ dense.keySet).groupBy(_._1).toSeq.flatMap {
+      case (q, ks) =>
+        ks.toSeq.map { key =>
+          val lr = lex.get(key); val dr = dense.get(key)
+          (key._2, lr, dr, contrib(lr) + contrib(dr))
+        }.sortBy { case (nbr, _, _, rrf) => (-rrf, nbr) }.take(3).zipWithIndex
+          .map { case ((nbr, lr, dr, rrf), i) =>
+            (q, (i + 1).toLong, nbr, rrf, lr, dr) }
+    }.sortBy(t => (t._1, t._2))
+    val got = Similarity.hybridTopK(docs, emb, k = 3, depth = 3, numQueries = 2)
+      .orderBy("query_id", "rank").collect()
+      .map { r =>
+        def opt(c: String): Option[Long] =
+          if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c))
+        (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Long]("rrf"),
+          opt("lex_rank"), opt("dense_rank"))
+      }.toSeq
+    assert(got === want)
+    // the disagreement planted above must actually surface single-arm
+    // rows (missing arm null), or the full-outer path went untested
+    assert(got.exists(t => t._5.isEmpty || t._6.isEmpty),
+      "fixture produced no single-arm fused rows")
+    // and a doc both arms agree on at moderate rank must beat a doc only
+    // one arm found at rank 1: 2*(10^6 DIV 63) > 10^6 DIV 61
+    assert(2L * (1000000L / 63L) > 1000000L / 61L)
+  }
+
   test("sourceKl: quantized micro-nat terms sum to the exact corpus KL") {
     // same fixture as sourceEntropy: A = {a:3, b:1} of 4; B = {c:2} of 2;
     // corpus N=6 with C_a=3, C_b=1, C_c=2
