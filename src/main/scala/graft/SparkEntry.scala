@@ -928,6 +928,20 @@ object SparkEntry {
         .select("id1", "id2").orderBy("id1", "id2")
     }),
 
+    // SemDeDup over the planted-cluster corpus (the embeddings table has
+    // no natural semantic dups — max pairwise cosine ≈ 0.5): k-center
+    // cells bound the pair stage, within-cell cosine >= 0.9 prunes to
+    // the cell-local min-id keeper. Both faces replay fully in DuckDB
+    // through the shared unrolled k-center chain.
+    "dedup_semantic_pairs" -> ((s, dir) =>
+      Similarity.semanticDedupPairs(
+        Similarity.plantedClusterCorpus(Tables.embeddings(s, dir)))
+        .orderBy("id1", "id2")),
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(
+        Similarity.plantedClusterCorpus(Tables.embeddings(s, dir)))
+        .orderBy("vec_id")),
+
     "dedup_editdist" -> ((s, dir) =>
       // candidates come through the same write-once jaccard pair artifact
       // the component-resolution entries consume — the DP verify is the
@@ -3350,6 +3364,21 @@ object SparkEntry {
     "q_diverse_kcenter" -> KCENTER_SQL,
     "sim_index_increment_kcenter" -> KCENTER_INCR_SQL,
     "q_diverse_kcenter_assign" -> KCENTER_ASSIGN_SQL,
+
+    // the SemDeDup faces: planted corpus + k-center chain + within-cell
+    // pair stage shared via SEMDEDUP_CTES
+    "dedup_semantic_pairs" -> (SEMDEDUP_CTES + """
+      |SELECT center_id, id1, id2, cos FROM sempairs
+      |ORDER BY id1, id2""".stripMargin),
+    "dedup_semantic" -> (SEMDEDUP_CTES + """,
+      |pruned AS (SELECT id2 AS vec_id, min(id1) AS pruned_by,
+      |    max(cos) AS max_cos
+      |  FROM sempairs GROUP BY 1)
+      |SELECT g.vec_id, g.center_id, p.pruned_by,
+      |  CAST(CASE WHEN p.pruned_by IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+      |  p.max_cos
+      |FROM asg g LEFT JOIN pruned p ON p.vec_id = g.vec_id
+      |ORDER BY g.vec_id""".stripMargin),
     "sim_topk_kcenter" -> KCENTER_TOPK_SQL,
     "sim_recall_audit" -> RECALL_AUDIT_SQL,
 
@@ -5314,11 +5343,18 @@ object SparkEntry {
   private val KCENTER_K = 8
   /** `seedWhere` restricts the corpus the greedy rounds SELECT FROM
     * (empty = whole corpus) — the increment oracle seeds its exemplars
-    * from the stored slice only, everything else shares this chain. */
-  private def kcenterCtes(seedWhere: String): String = {
+    * from the stored slice only, everything else shares this chain.
+    * `prelude` injects extra leading CTEs and `corpusSql` redefines the
+    * corpus itself (the SemDeDup oracles run the chain over the
+    * reconstructed planted-cluster corpus); the defaults regenerate the
+    * original text byte-for-byte. */
+  private def kcenterCtes(seedWhere: String, prelude: String = "",
+      corpusSql: String =
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")
+      : String = {
     val k = KCENTER_K
     val sb = new StringBuilder
-    sb ++= "WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+    sb ++= s"WITH ${prelude}corpus AS ($corpusSql),\n"
     val src =
       if (seedWhere.isEmpty) "corpus"
       else {
@@ -5338,6 +5374,44 @@ object SparkEntry {
     sb.toString
   }
   private val KCENTER_CTES: String = kcenterCtes("")
+
+  /** The planted-cluster corpus (Similarity.plantedClusterCorpus with
+    * seeds=8, copies=6) reconstructed in SQL — the same construction
+    * PLANTED_TOPK_SQL inlines, shaped as a kcenterCtes prelude. */
+  private val PLANTED_PRELUDE: String =
+    """base AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> x) AS v
+      |  FROM embeddings),
+      |members AS (
+      |  SELECT CASE WHEN j = 0 THEN s.vec_id
+      |              ELSE 1000 + s.vec_id * 6 + j END AS vec_id,
+      |         list_transform(s.v, x -> x + 0.002 * j) AS v
+      |  FROM (SELECT vec_id, v FROM base WHERE vec_id < 8) s
+      |  CROSS JOIN (SELECT unnest(range(6)) AS j) js),
+      |bg AS (SELECT vec_id + 1000000 AS vec_id, v FROM base WHERE vec_id >= 8),
+      |""".stripMargin
+
+  /** k-center chain over the planted corpus + per-row assignment + the
+    * within-cell thresholded pair stage — shared by the SemDeDup pair
+    * and keeper oracles. asg and sempairs are MATERIALIZED: each is
+    * referenced more than once downstream and carries the whole
+    * selection chain (the r13 inlining lesson). */
+  private val SEMDEDUP_CTES: String =
+    kcenterCtes("", PLANTED_PRELUDE,
+      "SELECT vec_id, v FROM members UNION ALL SELECT vec_id, v FROM bg") +
+      """,
+        |asg AS MATERIALIZED (SELECT vec_id, center_id, v FROM (
+        |  SELECT e.vec_id, e.v, sel.vec_id AS center_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, sel.v) DESC, sel.vec_id) AS rn
+        |  FROM corpus e CROSS JOIN sel)
+        |  WHERE rn = 1),
+        |sempairs AS MATERIALIZED (SELECT center_id, id1, id2, cos FROM (
+        |  SELECT a.center_id, a.vec_id AS id1, b.vec_id AS id2,
+        |    list_cosine_similarity(a.v, b.v) AS cos
+        |  FROM asg a JOIN asg b ON a.center_id = b.center_id
+        |    AND a.vec_id < b.vec_id)
+        |  WHERE cos >= 0.9)""".stripMargin
 
   /** The increment replay: exemplars greedily selected from the STORED
     * slice only, the late-arriving batch assigned per-row (cos desc,

@@ -184,24 +184,89 @@ object Similarity {
     * space (a stratum with low mean_cos is under-covered — raise k).
     * One corpus pass against the ≤k broadcast exemplar frame, one
     * aggregate; the cross join is the bounded-broadcast exception. */
-  def kCenterAssign(embeddings: DataFrame, k: Int = 8): DataFrame = {
+  def kCenterAssign(embeddings: DataFrame, k: Int = 8): DataFrame =
+    kCenterAssignRows(embeddings, k)
+      .groupBy("rank", "center_id")
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(floor(col("c") * 1000000.0).cast("long")).as("sum_cos_micro"))
+      .withColumn("mean_cos",
+        col("sum_cos_micro").cast("double") / 1000000.0 / col("n_assigned"))
+
+  /** Per-row nearest-exemplar assignment — the shared first stage of
+    * [[kCenterAssign]]'s census and [[semanticDedup]]'s cells: every
+    * vector against the ≤k broadcast exemplars, winner by (cosine desc,
+    * center id). Carries the double vector `v` so a consumer can score
+    * within-cell pairs without re-reading the corpus. */
+  def kCenterAssignRows(embeddings: DataFrame, k: Int = 8): DataFrame = {
     val centers = kCenterSelect(embeddings, k)
       .select(col("rank"), col("vec_id").as("center_id"))
       .join(embeddings.select(col("vec_id").as("center_id"),
         toDouble(col("embedding")).as("cv")), "center_id")
     embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .crossJoin(broadcast(centers))
-      .select(col("vec_id"), col("rank"), col("center_id"),
+      .select(col("vec_id"), col("v"), col("rank"), col("center_id"),
         cosine(col("v"), col("cv")).as("c"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("c").desc, col("center_id"))))
       .filter(col("rn") === 1)
-      .groupBy("rank", "center_id")
-      .agg(count(lit(1)).as("n_assigned"),
-        sum(floor(col("c") * 1000000.0).cast("long")).as("sum_cos_micro"))
-      .withColumn("mean_cos",
-        col("sum_cos_micro").cast("double") / 1000000.0 / col("n_assigned"))
+      .select("vec_id", "v", "rank", "center_id", "c")
   }
+
+  /** The SemDeDup pair stage (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * vectors are assigned to k-center cells, and only WITHIN-CELL pairs
+    * are cosine-scored — the cells bound the pair stage exactly the way
+    * LSH bands do for the lexical family (pairs per cell ≈ (N/k)²,
+    * never N²; production runs raise k with the corpus so cells stay
+    * bounded — k is small here because the oracle unrolls the k-center
+    * selection as k CTE rounds). Emits every within-cell pair at or
+    * above `threshold`: (center_id, id1, id2, cos), id1 < id2.
+    *
+    * Cross-cell near-duplicates are invisible by construction — the
+    * documented SemDeDup approximation (a pair split across cells is
+    * not scored). Deterministic: the assignment, the pair set, and the
+    * cosines all replay bit-for-bit in DuckDB (the sim_topk_kcenter
+    * precedent), so the pair frame is hash-checkable end to end. */
+  def semanticDedupPairs(embeddings: DataFrame, threshold: Double = 0.9,
+                         k: Int = 8): DataFrame =
+    Dedup.withScopedCache(
+      kCenterAssignRows(embeddings, k).select("vec_id", "center_id", "v"))(
+      semanticDedupPairsFrom(_, threshold))
+
+  private def semanticDedupPairsFrom(asg: DataFrame,
+                                     threshold: Double): DataFrame =
+    asg.select(col("center_id"), col("vec_id").as("id1"), col("v").as("v1"))
+      .join(asg.select(col("center_id"), col("vec_id").as("id2"),
+        col("v").as("v2")), Seq("center_id"))
+      .filter(col("id1") < col("id2"))
+      .select(col("center_id"), col("id1"), col("id2"),
+        cosine(col("v1"), col("v2")).as("cos"))
+      .filter(col("cos") >= threshold)
+
+  /** The SemDeDup keeper terminal: a vector is PRUNED iff some
+    * smaller-id member of its cell sits at or above `threshold` cosine
+    * (keeper = the cell-local min-id representative of each duplicate
+    * neighborhood — the deterministic variant of the paper's
+    * keep-one-per-group rule). Emits one row per vector: (vec_id,
+    * center_id, pruned_by = min such smaller id or null, keep 1/0,
+    * max_cos = the strongest above-threshold smaller neighbor or null).
+    * The pair frame this derives from is [[semanticDedupPairs]]; its
+    * (id1, id2) columns feed Sampling.leakageSafeSplit directly so a
+    * train/eval split never separates semantic duplicates. */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.9,
+                    k: Int = 8): DataFrame =
+    Dedup.withScopedCache(
+      kCenterAssignRows(embeddings, k).select("vec_id", "center_id", "v")) {
+      asg =>
+        val pruned = semanticDedupPairsFrom(asg, threshold)
+          .groupBy(col("id2").as("vec_id"))
+          .agg(min("id1").as("pruned_by"), max("cos").as("max_cos"))
+        asg.select("vec_id", "center_id")
+          .join(pruned, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("center_id"), col("pruned_by"),
+            when(col("pruned_by").isNull, 1L).otherwise(0L).as("keep"),
+            col("max_cos"))
+    }
 
   /** Planted-cluster corpus for certifying IVF recall on CLUSTERED data
     * (the regime IVF is for — `sim_topk_ivf`'s recall story on the

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal, Ingest}
+import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal, Ingest, Sampling}
 
 /** Unit fixtures for the LLM-pipeline operators: known duplicates, known
   * vectors, known strings — independent of the driver test tables. */
@@ -1106,6 +1106,48 @@ class LlmOpsSpec extends SparkSpec {
     // and a doc both arms agree on at moderate rank must beat a doc only
     // one arm found at rank 1: 2*(10^6 DIV 63) > 10^6 DIV 61
     assert(2L * (1000000L / 63L) > 1000000L / 61L)
+  }
+
+  test("semantic dedup prunes planted clusters to min-id keepers and feeds the leakage-safe split") {
+    // three tight clusters on orthogonal axes (intra-cos ≈ 1, inter ≈ 0)
+    // plus a lone w-axis vector that lands in SOME cell but sits below
+    // the threshold against every cellmate — kept, never pruned
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (10L, Array(0.999f, 0.01f, 0.0f, 0.0f)),
+      (11L, Array(0.998f, 0.02f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (12L, Array(0.01f, 0.999f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (13L, Array(0.0f, 0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val keep = Similarity.semanticDedup(emb, threshold = 0.9, k = 3)
+      .collect().map { r =>
+        r.getAs[Long]("vec_id") ->
+          (r.getAs[Long]("keep"),
+            if (r.isNullAt(r.fieldIndex("pruned_by"))) None
+            else Some(r.getAs[Long]("pruned_by")))
+      }.toMap
+    assert(keep.keySet === Set(0L, 1L, 2L, 10L, 11L, 12L, 13L))
+    // keepers are the cell-local min ids of each duplicate neighborhood;
+    // the lone vector survives despite sharing a cell with a cluster
+    for (id <- Seq(0L, 1L, 2L, 13L)) assert(keep(id) === ((1L, None)), s"vec $id")
+    assert(keep(10L) === ((0L, Some(0L))))
+    assert(keep(11L) === ((0L, Some(0L)))) // min pruner, not just any
+    assert(keep(12L) === ((0L, Some(1L))))
+    // pair frame: exactly the within-cluster pairs, id1 < id2
+    val pairs = Similarity.semanticDedupPairs(emb, threshold = 0.9, k = 3)
+    val pairSet = pairs.collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(pairSet === Set((0L, 10L), (0L, 11L), (10L, 11L), (1L, 12L)))
+    pairs.collect().foreach(r => assert(r.getAs[Double]("cos") >= 0.9))
+    // composition: the pair frame drives leakageSafeSplit, so every
+    // semantic-dup cluster gets ONE split assignment (the benchmark-
+    // leakage path SemDeDup exists to close)
+    val docs = emb.select(col("vec_id").as("doc_id"))
+    val split = Sampling.leakageSafeSplit(docs, pairs.select("id1", "id2"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(split(0L) === split(10L) && split(0L) === split(11L))
+    assert(split(1L) === split(12L))
   }
 
   test("sourceKl: quantized micro-nat terms sum to the exact corpus KL") {
