@@ -651,6 +651,20 @@ object SparkEntry {
       Sampling.packSequences(Tables.documents(s, dir), budgetTokens = 2048L)
         .orderBy("doc_id")),
 
+    // whole-doc best-fit-decreasing packing beside the contiguous-fill
+    // spans: per-shard sequential fold (the ewmaServe discipline), bins
+    // never overfill, ties to the smallest bin id; oracle = the same
+    // fold as a recursive CTE
+    "q_seq_pack_bfd" -> ((s, dir) =>
+      Sampling.packSequencesBfd(Tables.documents(s, dir), budgetTokens = 256L)
+        .orderBy("doc_id")),
+
+    // what best-fit bought: per-shard bins/waste vs the greedy next-fit
+    // packer on the same decreasing order
+    "q_seq_pack_waste" -> ((s, dir) =>
+      Sampling.packWasteReport(Tables.documents(s, dir), budgetTokens = 256L)
+        .orderBy("shard")),
+
     // the same packer dealing in BPE tokens — pack boundaries land where
     // the trainer's actual budget runs out, not where whitespace does
     "q_seq_pack_bpe" -> ((s, dir) => {
@@ -3043,6 +3057,42 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rank_in_source <= 100 ORDER BY source, rank_in_source""".stripMargin,
 
+    // the BFD fold replayed as a recursive CTE: one anchor row per
+    // shard, each step filters the open-bin loads for fit, best fit =
+    // max fitting load, list_position takes the FIRST occurrence (= the
+    // smallest bin id on load ties), loads updated by list slicing
+    "q_seq_pack_bfd" -> (BFD_CTES +
+      """
+        |SELECT doc_id, shard, n AS n_tokens, bin
+        |FROM fold WHERE rn >= 1 ORDER BY doc_id""".stripMargin),
+
+    "q_seq_pack_waste" -> (BFD_CTES +
+      """,
+        |nf AS (
+        |  SELECT shard, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS nbins,
+        |         CAST(256 AS BIGINT) AS cur
+        |  FROM (SELECT DISTINCT shard FROM t)
+        |  UNION ALL
+        |  SELECT t.shard, f.rn + 1,
+        |    CASE WHEN f.cur + t.n <= 256 THEN f.nbins ELSE f.nbins + 1 END,
+        |    CASE WHEN f.cur + t.n <= 256 THEN f.cur + t.n ELSE t.n END
+        |  FROM nf f JOIN t ON t.shard = f.shard AND t.rn = f.rn + 1),
+        |blast AS (SELECT shard, max(rn) AS mx FROM fold GROUP BY 1),
+        |bfinal AS (SELECT f.shard, CAST(len(f.loads) AS BIGINT) AS bins_bfd
+        |  FROM fold f JOIN blast l ON f.shard = l.shard AND f.rn = l.mx),
+        |nlast AS (SELECT shard, max(rn) AS mx FROM nf GROUP BY 1),
+        |nfinal AS (SELECT f.shard, f.nbins AS bins_greedy
+        |  FROM nf f JOIN nlast l ON f.shard = l.shard AND f.rn = l.mx),
+        |stats AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS total_tokens
+        |  FROM t GROUP BY 1)
+        |SELECT s.shard, s.n_docs, s.total_tokens, b.bins_bfd,
+        |  b.bins_bfd * 256 - s.total_tokens AS waste_bfd,
+        |  g.bins_greedy, g.bins_greedy * 256 - s.total_tokens AS waste_greedy,
+        |  (g.bins_greedy - b.bins_bfd) * 256 AS waste_delta
+        |FROM stats s JOIN bfinal b USING (shard) JOIN nfinal g USING (shard)
+        |ORDER BY s.shard""".stripMargin),
+
     "q_seq_pack" ->
       """WITH t AS (
         |  SELECT doc_id, md5('pack:' || CAST(doc_id AS VARCHAR)) AS h,
@@ -5339,6 +5389,46 @@ object SparkEntry {
       "p_size", "CAST(floor(p_retailprice) AS BIGINT)") + """
       |SELECT p_partkey, hd AS hkey FROM h16
       |ORDER BY hkey, p_partkey""".stripMargin
+
+  /** The best-fit-decreasing fold (Sampling.packSequencesBfd, budget
+    * 256) as a recursive CTE: per shard, docs advance in (n desc,
+    * doc_id) rank order and each recursion step re-derives the chosen
+    * bin and the updated load list — exact integers, so the per-doc
+    * frame hash-matches the engine's aggregate() fold. */
+  private val BFD_CTES: String =
+    """WITH RECURSIVE t0 AS (
+      |  SELECT doc_id, md5('pack:' || CAST(doc_id AS VARCHAR)) AS h,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, n,
+      |    CAST(instr('0123456789abcdef', substr(h, 1, 1)) - 1 AS INT) AS shard,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY CAST(instr('0123456789abcdef', substr(h, 1, 1)) - 1 AS INT)
+      |      ORDER BY n DESC, doc_id) AS BIGINT) AS rn
+      |  FROM t0),
+      |fold AS (
+      |  SELECT shard, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS doc_id,
+      |         CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS bin,
+      |         CAST([] AS BIGINT[]) AS loads
+      |  FROM (SELECT DISTINCT shard FROM t)
+      |  UNION ALL
+      |  SELECT t.shard, f.rn + 1, t.doc_id, t.n,
+      |    CASE WHEN len(list_filter(f.loads, l -> l + t.n <= 256)) = 0
+      |         THEN CAST(len(f.loads) AS BIGINT)
+      |         ELSE CAST(list_position(f.loads,
+      |           list_max(list_filter(f.loads, l -> l + t.n <= 256))) - 1 AS BIGINT)
+      |    END AS bin,
+      |    CASE WHEN len(list_filter(f.loads, l -> l + t.n <= 256)) = 0
+      |         THEN list_append(f.loads, t.n)
+      |         ELSE f.loads[1:list_position(f.loads,
+      |                list_max(list_filter(f.loads, l -> l + t.n <= 256))) - 1]
+      |              || [f.loads[list_position(f.loads,
+      |                   list_max(list_filter(f.loads, l -> l + t.n <= 256)))] + t.n]
+      |              || f.loads[list_position(f.loads,
+      |                   list_max(list_filter(f.loads, l -> l + t.n <= 256))) + 1:]
+      |    END AS loads
+      |  FROM fold f JOIN t ON t.shard = f.shard AND t.rn = f.rn + 1)""".stripMargin
 
   private val KCENTER_K = 8
   /** `seedWhere` restricts the corpus the greedy rounds SELECT FROM

@@ -160,6 +160,110 @@ object Sampling {
         ((col("cum_tokens") - col("n_tokens")) % budgetTokens).as("pack_offset"))
   }
 
+  /** Best-fit-decreasing sequence packing — WHOLE-DOC bins beside
+    * [[packSequences]]' contiguous-fill spans: the packing discipline an
+    * SFT/eval planner ships when documents must not cross sequence
+    * boundaries, so bins carry real pad waste and the packer's job is to
+    * minimize it. Docs shard by the same first-hex-digit id-hash as
+    * [[packSequences]] (embarrassingly parallel, retry/partitioning
+    * invariant), then each shard folds its docs in (n_tokens desc,
+    * doc_id) order: a doc goes to the open bin with the LEAST remaining
+    * room that still fits (= max load among fitting bins), ties to the
+    * smallest bin id, or opens a new bin when none fits. Emits one row
+    * per doc: (doc_id, shard, n_tokens, bin) with bin ids 0-based per
+    * shard in opening order.
+    *
+    * Docs longer than the budget raise loudly — whole-doc placement is
+    * the contract; truncate or span upstream ([[packSequences]] spans).
+    *
+    * Shape: the fold is inherently sequential per shard, so it runs as
+    * ONE `aggregate` pass over the shard's collect_list'd docs — the
+    * ewmaServe/ACF per-key-fold discipline, bounded by shard size; at
+    * 100 TB widen to more shards by keying on more hex digits (pack
+    * quality is per-shard either way). Exact integers end to end, so
+    * the DuckDB oracle replays the fold as a recursive CTE and the
+    * frame hash-matches. */
+  def packSequencesBfd(docs: DataFrame, budgetTokens: Long = 256L,
+                       seed: String = "pack:"): DataFrame =
+    bfdFold(docs, budgetTokens, seed)
+      .select(col("shard"), explode(col("folded.asg")).as("a"))
+      .select(col("a.doc_id").as("doc_id"), col("shard"),
+        col("a.n").as("n_tokens"), col("a.bin").as("bin"))
+
+  /** Pad-waste accounting for [[packSequencesBfd]] vs the greedy
+    * next-fit packer (same shards, same decreasing order, but only the
+    * CURRENT bin stays open) — the measurable answer to "what did
+    * best-fit buy": per shard, bin counts and waste = bins·budget −
+    * Σ n_tokens for both disciplines, plus the delta. Connects
+    * q_length_buckets' padding arithmetic to an actual packing plan. */
+  def packWasteReport(docs: DataFrame, budgetTokens: Long = 256L,
+                      seed: String = "pack:"): DataFrame = {
+    val b = budgetTokens
+    bfdFold(docs, b, seed)
+      .select(col("shard"),
+        size(col("xs")).cast("long").as("n_docs"),
+        aggregate(col("xs"), lit(0L), (acc, d) => acc + d.getField("n"))
+          .as("total_tokens"),
+        size(col("folded.loads")).cast("long").as("bins_bfd"),
+        expr(
+          s"""aggregate(xs,
+             |  struct(CAST(0 AS BIGINT) AS nbins, CAST($b AS BIGINT) AS cur),
+             |  (acc, d) -> IF(acc.cur + d.n <= $b,
+             |    struct(acc.nbins AS nbins, acc.cur + d.n AS cur),
+             |    struct(acc.nbins + 1L AS nbins, d.n AS cur)),
+             |  acc -> acc.nbins)""".stripMargin).as("bins_greedy"))
+      .select(col("shard"), col("n_docs"), col("total_tokens"),
+        col("bins_bfd"),
+        (col("bins_bfd") * b - col("total_tokens")).as("waste_bfd"),
+        col("bins_greedy"),
+        (col("bins_greedy") * b - col("total_tokens")).as("waste_greedy"),
+        ((col("bins_greedy") - col("bins_bfd")) * b).as("waste_delta"))
+  }
+
+  /** The shared BFD fold: per shard, (xs = docs sorted n-desc/id-asc,
+    * folded = struct(loads, asg)) — loads the open-bin fills in opening
+    * order, asg one (doc_id, bin, n) per doc. */
+  private def bfdFold(docs: DataFrame, budgetTokens: Long,
+                      seed: String): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val b = budgetTokens
+    val guarded = docs
+      .select(col("doc_id"), idHash(col("doc_id"), seed).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("n_tokens",
+        when(col("n_tokens") > b, raise_error(concat(
+          lit(s"packSequencesBfd: doc "), col("doc_id").cast("string"),
+          lit(s" has more tokens than the budget $b — whole-doc placement"),
+          lit(" is the contract; truncate or use packSequences"))))
+          .otherwise(col("n_tokens")))
+      .withColumn("shard", conv(substring(col("h"), 1, 1), 16, 10).cast("int"))
+    // ascending struct sort on (-n, id) = the BFD (n desc, id asc) order;
+    // the fitting-bin choice is array_position of the max fitting load —
+    // FIRST occurrence, so load ties go to the smallest bin id
+    guarded.groupBy("shard")
+      .agg(sort_array(collect_list(struct((-col("n_tokens")).as("neg"),
+        col("doc_id"), col("n_tokens").as("n")))).as("xs"))
+      .withColumn("folded", expr(
+        s"""aggregate(xs,
+           |  struct(CAST(array() AS ARRAY<BIGINT>) AS loads,
+           |    CAST(array() AS ARRAY<STRUCT<doc_id: BIGINT, bin: BIGINT, n: BIGINT>>) AS asg),
+           |  (acc, d) -> IF(
+           |    size(filter(acc.loads, l -> l + d.n <= $b)) = 0,
+           |    struct(
+           |      concat(acc.loads, array(d.n)) AS loads,
+           |      concat(acc.asg, array(struct(d.doc_id AS doc_id,
+           |        CAST(size(acc.loads) AS BIGINT) AS bin, d.n AS n))) AS asg),
+           |    struct(
+           |      transform(acc.loads, (l, i) -> IF(
+           |        i = array_position(acc.loads,
+           |          array_max(filter(acc.loads, l2 -> l2 + d.n <= $b))) - 1,
+           |        l + d.n, l)) AS loads,
+           |      concat(acc.asg, array(struct(d.doc_id AS doc_id,
+           |        array_position(acc.loads,
+           |          array_max(filter(acc.loads, l2 -> l2 + d.n <= $b))) - 1 AS bin,
+           |        d.n AS n))) AS asg)))""".stripMargin))
+  }
+
   /** Quality-proportional thinning — per-doc importance sampling: doc i
     * is kept with probability (targetNum/targetDen) · quality(i), so the
     * surviving corpus is quality-weighted without ranking or sorting

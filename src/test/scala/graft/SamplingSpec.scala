@@ -480,4 +480,63 @@ class SamplingSpec extends SparkSpec {
         s"weight $bw: ${ef.getMessage}")
     }
   }
+
+  private def packShard(id: Long): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"pack:$id".getBytes("UTF-8"))
+    (d(0) >> 4) & 0xF
+  }
+
+  test("BFD packing: best-fit wins over greedy, ties to the smallest bin, oversize raises") {
+    // five same-shard docs (ids brute-forced onto one first-hex-digit
+    // shard so the whole fixture folds in ONE shard), sizes 6,5,4,3,2,
+    // budget 10 — the classic case where best-fit packs 2 bins and
+    // greedy next-fit needs 3
+    val ids = Iterator.iterate(0L)(_ + 1).filter(packShard(_) == 0).take(5).toSeq
+    def doc(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "))
+    val sizes = Seq(6, 5, 4, 3, 2)
+    val docs = ids.zip(sizes).map { case (id, n) => doc(id, n) }.toDF("doc_id", "text")
+    val got = Sampling.packSequencesBfd(docs, budgetTokens = 10L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("bin"))).toMap
+    // BFD trace: 6→bin0; 5 no-fit→bin1; 4 fits both, bin0 fuller→bin0;
+    // 3→bin1; 2→bin1 — note ids ascend with DESCENDING size here, so
+    // the (n desc, id asc) fold order is exactly the id order
+    val wantBins = Seq(0L, 1L, 0L, 1L, 1L)
+    ids.zip(sizes).zip(wantBins).foreach { case ((id, n), b) =>
+      assert(got(id) === ((n.toLong, b)), s"doc $id size $n")
+    }
+    // per-bin loads never exceed the budget, every doc placed once
+    assert(got.size === 5)
+    val loads = got.values.groupBy(_._2).view.mapValues(_.map(_._1).sum)
+    loads.foreach { case (b, l) => assert(l <= 10L, s"bin $b overloaded: $l") }
+    // waste report: BFD 2 bins / zero waste, greedy 3 bins / waste 10
+    val w = Sampling.packWasteReport(docs, budgetTokens = 10L).collect()
+    assert(w.length === 1)
+    val row = w.head
+    assert(row.getAs[Long]("n_docs") === 5L)
+    assert(row.getAs[Long]("total_tokens") === 20L)
+    assert(row.getAs[Long]("bins_bfd") === 2L)
+    assert(row.getAs[Long]("waste_bfd") === 0L)
+    assert(row.getAs[Long]("bins_greedy") === 3L)
+    assert(row.getAs[Long]("waste_greedy") === 10L)
+    assert(row.getAs[Long]("waste_delta") === 10L)
+    // load ties go to the SMALLEST bin id: 6,6 open two bins; the first
+    // 3 fits both at equal load and must land in bin 0
+    val tieIds = Iterator.iterate(0L)(_ + 1).filter(packShard(_) == 1).take(4).toSeq
+    val tieDocs = tieIds.zip(Seq(6, 6, 3, 3)).map { case (id, n) => doc(id, n) }
+      .toDF("doc_id", "text")
+    val tie = Sampling.packSequencesBfd(tieDocs, budgetTokens = 9L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin")).toMap
+    assert(tie(tieIds(0)) === 0L && tie(tieIds(1)) === 1L)
+    assert(tie(tieIds(2)) === 0L, "equal-load tie must go to the smallest bin id")
+    assert(tie(tieIds(3)) === 1L)
+    // whole-doc placement is the contract: oversize raises loudly
+    val over = Seq(doc(0L, 11)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Sampling.packSequencesBfd(over, budgetTokens = 10L).collect()
+    }
+    assert(e.getMessage.contains("whole-doc placement") ||
+      Option(e.getCause).exists(_.getMessage.contains("whole-doc placement")))
+  }
 }
