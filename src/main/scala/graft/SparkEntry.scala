@@ -297,6 +297,12 @@ object SparkEntry {
       Graph.pagerankInt(Graph.eventTransitions(Tables.events(s, dir)))
         .orderBy("node")),
 
+    // synchronous min-tie label propagation over the undirected type
+    // graph — fixed 5 rounds, bit-deterministic; oracle unrolls them
+    "graph_communities" -> ((s, dir) =>
+      Graph.labelPropagation(Graph.eventTransitions(Tables.events(s, dir)))
+        .orderBy("node")),
+
     // exact Markov transition shares over the type graph: integer counts
     // plus one bit-exact double division per row
     "graph_transition_probs" -> ((s, dir) =>
@@ -2199,6 +2205,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "graph_pagerank" -> PAGERANK_SQL,
+    "graph_communities" -> LPA_SQL,
 
     "graph_pagerank_dangling" -> PAGERANK_DANGLING_SQL,
 
@@ -4868,6 +4875,45 @@ object SparkEntry {
        |SELECT node, CAST(r AS BIGINT) AS rank_q,
        |  CAST(r AS DOUBLE) / $scale AS rank
        |FROM it$iters ORDER BY node""".stripMargin
+  }
+
+  /** DuckDB twin of Graph.labelPropagation over Graph.eventTransitions:
+    * the same 5 synchronous min-tie rounds unrolled as chained CTEs (the
+    * pagerank pattern — fixed iteration count, aggregates illegal in a
+    * recursive term). nbrs/nodes/fin are MATERIALIZED: each is
+    * referenced by every round or twice at the end. */
+  private val LPA_SQL: String = {
+    def iter(k: Int) =
+      s"""l$k AS (
+         |  SELECT n.node, coalesce(w.community, n.node) AS community
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT node, community FROM (
+         |      SELECT v.node, v.community,
+         |        row_number() OVER (PARTITION BY v.node
+         |          ORDER BY v.vw DESC, v.community) AS rn
+         |      FROM (SELECT b.node, l.community, CAST(sum(b.w) AS BIGINT) AS vw
+         |            FROM nbrs b JOIN l${k - 1} l ON l.node = b.nbr
+         |            GROUP BY 1, 2) v)
+         |    WHERE rn = 1) w ON w.node = n.node)""".stripMargin
+    s"""WITH seq AS (SELECT user_id, event_type, ts, event_id FROM events
+       |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL),
+       |pairs AS (SELECT event_type AS src,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+       |  FROM seq),
+       |edges AS (SELECT src, dst, count(*) AS m FROM pairs WHERE dst IS NOT NULL
+       |  GROUP BY 1, 2),
+       |und AS (SELECT src, dst, m FROM edges WHERE src <> dst),
+       |nbrs AS MATERIALIZED (SELECT node, nbr, CAST(sum(m) AS BIGINT) AS w FROM (
+       |  SELECT src AS node, dst AS nbr, m FROM und
+       |  UNION ALL SELECT dst AS node, src AS nbr, m FROM und) GROUP BY 1, 2),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |l0 AS (SELECT node, node AS community FROM nodes),
+       |${(1 to 5).map(iter).mkString(",\n")},
+       |fin AS MATERIALIZED (SELECT node, community FROM l5)
+       |SELECT f.node, f.community, c.n_members
+       |FROM fin f JOIN (SELECT community, CAST(count(*) AS BIGINT) AS n_members
+       |  FROM fin GROUP BY 1) c USING (community)
+       |ORDER BY f.node""".stripMargin
   }
 
   private val PAGERANK_SQL: String = pagerankSqlFor(

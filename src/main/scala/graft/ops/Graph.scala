@@ -279,6 +279,63 @@ object Graph {
         (col("m").cast("double") / col("w")).as("p"))
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007)
+    * over a weighted edge list — the community-detection member of the
+    * graph family next to [[pagerankInt]] and [[connectedComponents]].
+    * The graph is treated as UNDIRECTED (per-direction weights summed
+    * per neighbor pair; self-loops dropped — a self vote would just
+    * entrench every init label). Every node starts as its own label;
+    * each of the fixed `iterations` rounds relabels EVERY node
+    * simultaneously to the label with the greatest total incident
+    * weight among its neighbors' PREVIOUS labels, ties to the smallest
+    * label — so the run is bit-deterministic (classic async LPA is
+    * order-dependent; the synchronous + min-tie variant is the
+    * oracle-able one, and the fixed iteration count makes even
+    * bipartite label oscillation deterministic). Neighborless nodes
+    * keep their own label. Emits (node, community, n_members).
+    *
+    * 100 TB shape: per iteration ONE equi-join of the label frame to
+    * the neighbor list, one (node, label) aggregate, one row_number
+    * pick, one left join back to nodes — no cartesian, no driver graph
+    * state; iterates localCheckpoint like pagerankInt so the plan stays
+    * one-round deep. The DuckDB oracle unrolls the same rounds. */
+  def labelPropagation(edges: DataFrame, iterations: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iterations >= 1, "labelPropagation needs at least one iteration")
+    val e = edges
+      .select(col("src"), col("dst"), col("m").cast("long").as("m"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("m") > 0)
+    val und = e.filter(col("src") =!= col("dst"))
+    val nbrs = und.select(col("src").as("node"), col("dst").as("nbr"), col("m"))
+      .unionByName(und.select(col("dst").as("node"), col("src").as("nbr"), col("m")))
+      .groupBy("node", "nbr").agg(sum("m").as("w")).persist()
+    // nodes from the FULL edge list: a self-loop-only node is still a
+    // (singleton) community, not a dropped row
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    var lab = nodes.select(col("node"), col("node").as("community"))
+      .localCheckpoint(false)
+    (1 to iterations).foreach { _ =>
+      val votes = nbrs
+        .join(lab.select(col("node").as("nbr"), col("community")), "nbr")
+        .groupBy("node", "community").agg(sum("w").as("vw"))
+      val winner = votes
+        .withColumn("rn", row_number().over(Window.partitionBy("node")
+          .orderBy(col("vw").desc, col("community"))))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("community").as("next_community"))
+      lab = nodes.join(winner, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("next_community"), col("node")).as("community"))
+        .localCheckpoint(false)
+      lab.count() // sever lineage now, free the prior iterate
+    }
+    nbrs.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    lab.withColumn("n_members",
+      count(lit(1)).over(Window.partitionBy("community")).cast("long"))
+  }
+
   /** Per-user event-chain edges at EVENT granularity: each event links to
     * the user's next event (same (ts, id) order and null filter as
     * [[eventTransitions]]), weight 1. Unlike the type-level graph — where

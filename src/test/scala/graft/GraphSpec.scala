@@ -355,6 +355,57 @@ class GraphSpec extends SparkSpec {
     assert(h.map(_._3).sum === 8L)
   }
 
+  test("label propagation matches a driver-side synchronous model and splits planted communities") {
+    // two heavy triangles joined by ONE weak bridge, plus a self-loop-only
+    // node: LPA must recover the two communities, never merge them across
+    // the bridge, and keep the isolated node as its own singleton
+    val edges = Seq(
+      ("a", "b", 10L), ("b", "c", 10L), ("a", "c", 10L),
+      ("d", "e", 10L), ("e", "f", 10L), ("d", "f", 10L),
+      ("c", "d", 1L),
+      ("z", "z", 5L)).toDF("src", "dst", "m")
+    val got = Graph.labelPropagation(edges, iterations = 5).collect()
+      .map(r => r.getAs[String]("node") ->
+        (r.getAs[String]("community"), r.getAs[Long]("n_members"))).toMap
+    // driver model: same undirected weights, synchronous rounds, min-tie
+    val und = Seq(("a", "b", 10L), ("b", "c", 10L), ("a", "c", 10L),
+      ("d", "e", 10L), ("e", "f", 10L), ("d", "f", 10L), ("c", "d", 1L))
+    val nbrs = (und.map { case (u, v, m) => (u, v, m) } ++
+      und.map { case (u, v, m) => (v, u, m) })
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = Seq("a", "b", "c", "d", "e", "f", "z")
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 5) {
+      lab = nodes.map { n =>
+        val votes = nbrs.collect { case ((`n`, v), w) => (lab(v), w) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        n -> (if (votes.isEmpty) lab(n)
+              else votes.minBy { case (c, w) => (-w, c) }._1)
+      }.toMap
+    }
+    val sizes = lab.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    nodes.foreach { n =>
+      assert(got(n) === ((lab(n), sizes(lab(n)))), s"node $n")
+    }
+    // structure: the triangles resolved to their min labels, the bridge
+    // did not merge them, the self-loop node is a singleton
+    assert(Set("a", "b", "c").map(got(_)._1).size === 1)
+    assert(Set("d", "e", "f").map(got(_)._1).size === 1)
+    assert(got("a")._1 !== got("d")._1)
+    assert(got("z") === (("z", 1L)))
+    // min-label ties: an isolated symmetric pair must converge on the
+    // lexicographically smaller endpoint's label, not oscillate into
+    // nondeterminism (5 rounds, synchronous — deterministic either way)
+    val pair = Seq(("p", "q", 3L)).toDF("src", "dst", "m")
+    val pgot = Graph.labelPropagation(pair, iterations = 4).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[String]("community")).toMap
+    // synchronous swap: after any EVEN round each node is back to the
+    // other's initial label swapped twice — the model decides exactly
+    var plab = Map("p" -> "p", "q" -> "q")
+    for (_ <- 1 to 4) plab = Map("p" -> plab("q"), "q" -> plab("p"))
+    assert(pgot === plab)
+  }
+
   test("canonicalize maps unpaired docs to themselves and paired docs to the component min") {
     val docs = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (7L, "e"))
       .toDF("doc_id", "text")
