@@ -1642,6 +1642,15 @@ object SparkEntry {
       Multimodal.mp4Stats(Multimodal.mp4Frame(Tables.documents(s, dir)))
         .orderBy("doc_id")),
 
+    // WARC (ISO 28500) — the container a Common-Crawl-scale text
+    // pipeline reads FIRST: version-line + named-header + Content-Length
+    // framed records BUILT by expression with doc-id-varied geometry,
+    // re-PARSED from the raw bytes by the native record walk; the
+    // oracle recomputes the census from the construction arithmetic
+    "q_multimodal_warc" -> ((s, dir) =>
+      Multimodal.warcStats(Multimodal.warcFrame(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
+
     // the MP4 seam's FEATURE step: per-channel stats over the
     // concatenated mdat payloads the walk locates (global body index
     // spans mdat boundaries, so the split body featurizes exactly like
@@ -4692,6 +4701,44 @@ object SparkEntry {
         |       THEN CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) END AS mdat_bytes_total
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // the WARC census recomputed ANALYTICALLY from the construction
+    // arithmetic (the q_multimodal_mp4 discipline): per doc, nr = id%4+1
+    // records split text near-evenly; per-record header bytes are the
+    // 65 fixed framing bytes (version line 10, three header names with
+    // ": " and CRLFs 36+6, blank line 2, terminator 4, per warcRecord's
+    // literals) + the type name + the record id + the decimal width of
+    // each Content-Length — never a byte parsed
+    "q_multimodal_warc" ->
+      """WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS nr,
+        |    CAST(length(text) AS BIGINT) AS l FROM documents),
+        |r AS (SELECT d.doc_id, d.nr, d.l, i.i
+        |  FROM d CROSS JOIN (SELECT unnest(range(4)) AS i) i
+        |  WHERE i.i < d.nr),
+        |per AS (SELECT doc_id, i,
+        |    l // nr + CASE WHEN i < l % nr THEN 1 ELSE 0 END AS chunk,
+        |    CASE WHEN i = 0 THEN 'warcinfo'
+        |         ELSE CASE (doc_id + i) % 3 WHEN 0 THEN 'response'
+        |              WHEN 1 THEN 'request' ELSE 'metadata' END
+        |    END AS wtype,
+        |    length('<urn:graft:' || CAST(doc_id AS VARCHAR) || '-'
+        |      || CAST(i AS VARCHAR) || '>') AS ridlen
+        |  FROM r),
+        |agg AS (SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_records,
+        |    CAST(sum(CASE WHEN wtype = 'warcinfo' THEN 1 ELSE 0 END) AS BIGINT) AS n_warcinfo,
+        |    CAST(sum(CASE WHEN wtype = 'response' THEN 1 ELSE 0 END) AS BIGINT) AS n_response,
+        |    CAST(sum(CASE WHEN wtype = 'request' THEN 1 ELSE 0 END) AS BIGINT) AS n_request,
+        |    CAST(sum(CASE WHEN wtype = 'metadata' THEN 1 ELSE 0 END) AS BIGINT) AS n_metadata,
+        |    CAST(0 AS BIGINT) AS n_other,
+        |    CAST(sum(chunk) AS BIGINT) AS payload_bytes,
+        |    CAST(sum(65 + length(wtype) + ridlen
+        |      + length(CAST(chunk AS VARCHAR))) AS BIGINT) AS header_bytes
+        |  FROM per GROUP BY doc_id)
+        |SELECT doc_id, n_records, n_warcinfo, n_response, n_request,
+        |  n_metadata, n_other, payload_bytes, header_bytes,
+        |  payload_bytes + header_bytes AS total_bytes
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // same independent byte-stream recomputation as q_multimodal (both
     // codec bodies are exactly the text bytes: the JPEG kernel range

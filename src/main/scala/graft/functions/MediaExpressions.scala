@@ -418,6 +418,121 @@ object DspKernel {
     }
     new GenericArrayData(out)
   }
+
+  /** Adversarial-input bound on the WARC walk — the Mp4MaxBoxes
+    * discipline: a record costs ≥ ~30 bytes of mandatory framing, so
+    * 4096 records already needs a ~120 KB stream of empty records. */
+  private val WarcMaxRecords = 4096L
+
+  /** Full WARC (ISO 28500) record walk: every record is a
+    * `WARC/1.x` version line, named `Header: value` lines up to a blank
+    * line, a `Content-Length`-framed payload, and a CRLF CRLF
+    * terminator; records concatenate to end-of-stream. Returns
+    * [n_records, n_warcinfo, n_response, n_request, n_metadata,
+    * n_other, payload_bytes, header_bytes] where header_bytes is every
+    * consumed non-payload byte (version lines, headers, blank lines,
+    * terminators) — so payload_bytes + header_bytes == stream length
+    * on success. Null (never a throw, never a garbage-offset read) for:
+    * a non-WARC prefix, an unterminated line, a header line without a
+    * colon, a missing/non-numeric/oversized Content-Length, a payload
+    * past the buffer, a missing terminator, or a walk past
+    * [[WarcMaxRecords]]. Header names match case-insensitively (the
+    * spec's rule); values take optional leading spaces/tabs. */
+  def warcStats(p: Array[Byte]): GenericArrayData = {
+    val n = p.length
+    // CRLF scan from `from` (exclusive upper bound n): index of '\r' of
+    // the first "\r\n", or -1
+    def eol(from: Int): Int = {
+      var i = from
+      while (i + 1 < n) {
+        if (p(i) == '\r' && p(i + 1) == '\n') return i
+        i += 1
+      }
+      -1
+    }
+    def eqIgnoreCase(from: Int, until: Int, s: String): Boolean = {
+      if (until - from != s.length) return false
+      var i = 0
+      while (i < s.length) {
+        val c = p(from + i) & 0xff
+        val lc = if (c >= 'A' && c <= 'Z') c + 32 else c
+        if (lc != s.charAt(i).toInt) return false
+        i += 1
+      }
+      true
+    }
+    var pos = 0
+    var recs = 0L
+    var winfo = 0L; var resp = 0L; var req = 0L; var meta = 0L; var other = 0L
+    var payloadBytes = 0L
+    if (n < 10) return null
+    while (pos < n) {
+      recs += 1
+      if (recs > WarcMaxRecords) return null
+      val recStart = pos
+      // version line: "WARC/" + anything to CRLF (1.0/1.1 both walk)
+      if (pos + 5 > n || p(pos) != 'W' || p(pos + 1) != 'A' ||
+        p(pos + 2) != 'R' || p(pos + 3) != 'C' || p(pos + 4) != '/') return null
+      val ve = eol(pos + 5)
+      if (ve < 0) return null
+      pos = ve + 2
+      var clen = -1L
+      var typ = -1
+      var headersDone = false
+      while (!headersDone) {
+        if (pos + 2 > n) return null
+        if (p(pos) == '\r' && p(pos + 1) == '\n') { pos += 2; headersDone = true }
+        else {
+          val le = eol(pos)
+          if (le < 0) return null
+          // split on the first ':'
+          var colon = pos
+          while (colon < le && p(colon) != ':') colon += 1
+          if (colon >= le) return null
+          var vs = colon + 1
+          while (vs < le && (p(vs) == ' ' || p(vs) == '\t')) vs += 1
+          if (eqIgnoreCase(pos, colon, "content-length")) {
+            if (vs >= le || le - vs > 18) return null // empty or > 18 digits
+            var v = 0L
+            var i = vs
+            while (i < le) {
+              val d = p(i) - '0'
+              if (d < 0 || d > 9) return null
+              v = v * 10 + d
+              i += 1
+            }
+            clen = v
+          } else if (eqIgnoreCase(pos, colon, "warc-type")) {
+            typ =
+              if (eqIgnoreCase(vs, le, "warcinfo")) 0
+              else if (eqIgnoreCase(vs, le, "response")) 1
+              else if (eqIgnoreCase(vs, le, "request")) 2
+              else if (eqIgnoreCase(vs, le, "metadata")) 3
+              else 4
+          }
+          pos = le + 2
+        }
+      }
+      if (clen < 0L || clen > (n - pos).toLong) return null
+      payloadBytes += clen
+      pos += clen.toInt
+      if (pos + 4 > n || p(pos) != '\r' || p(pos + 1) != '\n' ||
+        p(pos + 2) != '\r' || p(pos + 3) != '\n') return null
+      pos += 4
+      typ match {
+        case 0 => winfo += 1
+        case 1 => resp += 1
+        case 2 => req += 1
+        case 3 => meta += 1
+        case _ => other += 1
+      }
+      // defensive: every branch above consumed ≥ 1 byte, but the hop
+      // bound plus this keeps the loop provably finite
+      if (pos <= recStart) return null
+    }
+    new GenericArrayData(Array(recs, winfo, resp, req, meta, other,
+      payloadBytes, n.toLong - payloadBytes))
+  }
 }
 
 /** `graft_pcm_stats(payload, offset)`: [rms, zcr] of the 16-bit PCM body
@@ -593,6 +708,31 @@ case class Mp4MdatChannelStats(child: Expression, stride: Int)
     copy(child = newChild)
 }
 
+/** `graft_warc_record_stats(payload)`: record census + byte accounting
+  * from the full WARC record walk (see [[DspKernel.warcStats]]); null
+  * for non-WARC or malformed streams. */
+case class WarcRecordStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_warc_record_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DspKernel.warcStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.warcStats($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_png_chunk_stats(payload)`: IHDR fields + chunk census + CRC
   * mismatch count from the full PNG chunk walk (null for non-PNG or
   * malformed streams). */
@@ -649,4 +789,8 @@ object MediaFunctions {
   /** Codegen'd per-channel stats over the walked mdat body. */
   def mp4MdatChannelStats(payload: Column, stride: Int): Column =
     Bridge.column(Mp4MdatChannelStats(Bridge.expression(payload), stride))
+
+  /** Codegen'd WARC (ISO 28500) record-walk census. */
+  def warcRecordStats(payload: Column): Column =
+    Bridge.column(WarcRecordStats(Bridge.expression(payload)))
 }

@@ -556,6 +556,79 @@ object Multimodal {
           col("text"))).as("payload"))
   }
 
+  /** One WARC record by expression: version line, the three mandatory
+    * headers a census needs (WARC-Type, WARC-Record-ID, Content-Length),
+    * blank line, the `Content-Length`-framed body, CRLF CRLF terminator
+    * — the ISO 28500 shape a Common-Crawl-scale text pipeline reads
+    * first. Built as STRING concat (documents text is ASCII at every SF,
+    * so char length == byte length — the mp4Payload convention) and cast
+    * to binary by the caller. */
+  private def warcRecord(wtype: Column, rid: Column, body: Column): Column =
+    concat(
+      lit("WARC/1.0\r\nWARC-Type: "), wtype,
+      lit("\r\nWARC-Record-ID: "), rid,
+      lit("\r\nContent-Length: "), length(body).cast("string"),
+      lit("\r\n\r\n"), body, lit("\r\n\r\n"))
+
+  /** A structurally valid WARC/1.0 file per ISO 28500: `nRecords` (≤4)
+    * records — record 0 a `warcinfo`, the rest cycling
+    * response/request/metadata by (variant + i) mod 3 — splitting `text`
+    * near-evenly (the mdat/IDAT split rule), each record carrying its
+    * own Content-Length framing and record id derived from `variant`.
+    * Record geometry is per-row data, so the reader must walk version
+    * lines and Content-Length frames, not index a constant layout.
+    * Out-of-range `nRecords` RAISES, riding record 0's type slot — ONE
+    * guard site (the pngPayload/mp4Payload convention). */
+  def warcPayload(nRecords: Column, variant: Column, text: Column): Column = {
+    val t0 = when(nRecords >= 1 && nRecords <= 4, lit("warcinfo"))
+      .otherwise(raise_error(concat(
+        lit("warcPayload: nRecords out of [1, 4]: "), nRecords.cast("string"))))
+    val bodyLen = length(text).cast("long")
+    val base = floor(bodyLen / nRecords).cast("long")
+    val rem = pmod(bodyLen, nRecords.cast("long"))
+    val records = (0 until 4).map { i =>
+      val start = lit(i.toLong) * base + least(lit(i.toLong), rem) + lit(1L)
+      val len = base + when(lit(i.toLong) < rem, 1L).otherwise(0L)
+      val body = text.substr(start.cast("int"), len.cast("int"))
+      val wtype =
+        if (i == 0) t0
+        else element_at(array(lit("response"), lit("request"), lit("metadata")),
+          ((variant + lit(i)) % 3 + 1).cast("int"))
+      val rid = concat(lit("<urn:graft:"), variant.cast("string"),
+        lit(s"-$i>"))
+      when(lit(i) < nRecords, warcRecord(wtype, rid, body)).otherwise(lit(""))
+    }
+    concat(records: _*).cast("binary")
+  }
+
+  /** documents → WARC frame: every row carries a WARC file whose record
+    * count (1-4), record types, ids, and Content-Length framing vary per
+    * row (doc_id-derived). */
+  def warcFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      warcPayload((col("doc_id") % 4 + 1).cast("int"), col("doc_id"),
+        col("text")).as("payload"))
+
+  /** WARC frame → record census + byte accounting, every value
+    * re-derived from the BYTES by the native record walk (non-WARC
+    * payloads yield nulls). payload_bytes + header_bytes always equals
+    * total_bytes on a well-formed stream — the framing cross-check the
+    * analytic oracle re-derives from the construction arithmetic. */
+  def warcStats(media: DataFrame): DataFrame = {
+    val s = graft.functions.MediaFunctions.warcRecordStats(col("payload"))
+    media.select(
+      col("doc_id"),
+      element_at(s, 1).as("n_records"),
+      element_at(s, 2).as("n_warcinfo"),
+      element_at(s, 3).as("n_response"),
+      element_at(s, 4).as("n_request"),
+      element_at(s, 5).as("n_metadata"),
+      element_at(s, 6).as("n_other"),
+      element_at(s, 7).as("payload_bytes"),
+      element_at(s, 8).as("header_bytes"),
+      length(col("payload")).cast("long").as("total_bytes"))
+  }
+
   /** One ISO-BMFF box by expression: size(4 BE, includes the 8-byte
     * header) + type + payload — the §4.2 compact form the builder emits
     * (largesize/size-0 are read-side concerns the walker handles). */

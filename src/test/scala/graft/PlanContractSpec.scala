@@ -843,4 +843,11 @@ class PlanContractSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("documents.parquet")) == 1,
       s"MP4 walk rescanned the corpus:\n$p")
   }
+
+  test("WARC build+walk stays expression-side with no RDD hop, one scan") {
+    val p = plan("q_multimodal_warc")
+    assert(!p.contains("ExistingRDD"), s"WARC walk dropped to an RDD scan:\n$p")
+    assert(p.linesIterator.count(_.contains("documents.parquet")) == 1,
+      s"WARC walk rescanned the corpus:\n$p")
+  }
 }

@@ -667,6 +667,110 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: WARC walk recovers the planted record census over generated geometry") {
+    // builder and walker must agree byte-for-byte: census counts,
+    // Content-Length-framed payload totals, and the header-byte
+    // accounting (65 fixed framing bytes + type + record id + the
+    // decimal width of each per-record length)
+    import graft.ops.Multimodal
+    val geom = for {
+      nr <- Gen.chooseNum(1, 4)
+      variant <- Gen.chooseNum(0, 999999)
+      body <- Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    } yield (nr, variant.toLong, body)
+    (1L to 5L).foreach { seed =>
+      val cases = sample(Gen.listOfN(15, geom), seed).zipWithIndex
+      val df = cases.map { case ((nr, v, body), i) => (i.toLong, nr, v, body) }
+        .toDF("doc_id", "nr", "variant", "body")
+        .select(col("doc_id"),
+          Multimodal.warcPayload(col("nr"), col("variant"), col("body"))
+            .as("payload"))
+      val got = Multimodal.warcStats(df).orderBy("doc_id").collect()
+      cases.foreach { case ((nr, v, body), i) =>
+        val r = got(i)
+        val l = body.length
+        val chunks = (0 until nr).map(k => l / nr + (if (k < l % nr) 1 else 0))
+        val types = (0 until nr).map(k => if (k == 0) "warcinfo"
+          else Seq("response", "request", "metadata")(((v + k) % 3).toInt))
+        val headers = (0 until nr).map(k => 65 + types(k).length +
+          s"<urn:graft:$v-$k>".length + chunks(k).toString.length)
+        assert(r.getAs[Long]("n_records") === nr.toLong, s"seed $seed case $i")
+        assert(r.getAs[Long]("n_warcinfo") === 1L, s"seed $seed case $i")
+        assert(r.getAs[Long]("n_response") ===
+          types.count(_ == "response").toLong, s"seed $seed case $i")
+        assert(r.getAs[Long]("n_request") ===
+          types.count(_ == "request").toLong, s"seed $seed case $i")
+        assert(r.getAs[Long]("n_metadata") ===
+          types.count(_ == "metadata").toLong, s"seed $seed case $i")
+        assert(r.getAs[Long]("n_other") === 0L, s"seed $seed case $i")
+        assert(r.getAs[Long]("payload_bytes") === l.toLong, s"seed $seed case $i")
+        assert(r.getAs[Long]("header_bytes") === headers.sum.toLong,
+          s"seed $seed case $i")
+        assert(r.getAs[Long]("total_bytes") === (l + headers.sum).toLong,
+          s"seed $seed case $i")
+      }
+    }
+  }
+
+  test("WARC walk: version/case tolerance, other-type census, malformed streams null, bad args raise") {
+    import graft.ops.Multimodal
+    def walk(s: String) =
+      graft.functions.DspKernel.warcStats(s.getBytes("UTF-8"))
+    // WARC/1.1 + case-insensitive header names and type values + an
+    // unknown header whose VALUE contains colons — all per ISO 28500
+    val tolerant = "WARC/1.1\r\n" +
+      "warc-type: RESPONSE\r\n" +
+      "X-Custom: colons: allowed in values\r\n" +
+      "Content-LENGTH: 5\r\n" +
+      "\r\nhello\r\n\r\n"
+    val t = walk(tolerant)
+    assert(t != null && t.toLongArray().toSeq ===
+      Seq(1L, 0L, 1L, 0L, 0L, 0L, 5L, tolerant.length - 5L))
+    // an unrecognized WARC-Type counts as other, never breaks the walk
+    val revisit = "WARC/1.0\r\nWARC-Type: revisit\r\n" +
+      "WARC-Record-ID: <urn:x:1>\r\nContent-Length: 2\r\n\r\nok\r\n\r\n"
+    val rv = walk(revisit)
+    assert(rv != null && rv.toLongArray().toSeq ===
+      Seq(1L, 0L, 0L, 0L, 0L, 1L, 2L, revisit.length - 2L))
+    // malformed: null, never a throw or a garbage-offset read
+    val wellFormed = revisit
+    assert(walk(wellFormed.dropRight(1)) == null)             // truncated terminator
+    assert(walk(wellFormed.replace(": 2\r", ": 3\r")) == null) // payload overruns framing
+    assert(walk(wellFormed.replace(": 2\r", ": 2a\r")) == null) // non-numeric length
+    assert(walk("WARC/1.0\r\nWARC-Type: response\r\n\r\n\r\n\r\n") == null) // no Content-Length
+    assert(walk("WARC/1.0\r\nno colon line\r\n\r\n\r\n\r\n") == null) // colonless header
+    assert(walk("WARC/1.0\r\nContent-Length: 1234567890123456789012\r\n\r\n") == null) // > 18 digits
+    assert(walk("HTTP/1.1 200 OK\r\n\r\n") == null)           // not WARC at all
+    // the generator refuses record counts it cannot frame
+    val e = intercept[Exception] {
+      Seq((0L, "body")).toDF("doc_id", "body")
+        .select(Multimodal.warcPayload(lit(5), col("doc_id"), col("body")))
+        .collect()
+    }
+    def msgs(t2: Throwable): Seq[String] =
+      Option(t2).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("nRecords out of")), s"unexpected: $e")
+  }
+
+  test("property: the WARC walk is total over arbitrary binary garbage") {
+    import graft.ops.Multimodal
+    val bytesGen = Gen.chooseNum(0, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    (1L to 5L).foreach { seed =>
+      val payloads = sample(Gen.listOfN(30, bytesGen), seed) ++ Seq(
+        Array[Byte](),
+        "WARC/1.0\r\n".getBytes("UTF-8"),              // bare version line
+        "WARC/1.0".getBytes("UTF-8"),                  // unterminated version
+        "WARC/1.0\r\nContent-Length: 99999\r\n\r\n".getBytes("UTF-8"),
+        ("WARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n" * 3).getBytes("UTF-8"))
+      val df = payloads.zipWithIndex
+        .map { case (p, i) => (i.toLong, p) }
+        .toDF("doc_id", "payload")
+      val rows = Multimodal.warcStats(df).orderBy("doc_id").collect()
+      assert(rows.length === payloads.length) // total: no exception, no drop
+    }
+  }
+
   test("property: MP4 box walk recovers mvhd fields and the exact trak/mdat census") {
     // every generated geometry must walk back to the planted integers —
     // the builder's box framing and the walker's size/type hops must
