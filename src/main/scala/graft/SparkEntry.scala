@@ -1651,6 +1651,12 @@ object SparkEntry {
       Multimodal.warcStats(Multimodal.warcFrame(Tables.documents(s, dir)))
         .orderBy("doc_id")),
 
+    // the WARC seam's per-record geometry: one row per record with the
+    // payload offset a reader slices by — walk + explode expression-side
+    "q_multimodal_warc_records" -> ((s, dir) =>
+      Multimodal.warcRecords(Multimodal.warcFrame(Tables.documents(s, dir)))
+        .orderBy("doc_id", "rec_idx")),
+
     // the MP4 seam's FEATURE step: per-channel stats over the
     // concatenated mdat payloads the walk locates (global body index
     // spans mdat boundaries, so the split body featurizes exactly like
@@ -4739,6 +4745,39 @@ object SparkEntry {
         |  n_metadata, n_other, payload_bytes, header_bytes,
         |  payload_bytes + header_bytes AS total_bytes
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // per-record geometry recomputed analytically: record i's payload
+    // starts after every prior record's full size (a window sum) plus
+    // its own pre-payload framing (61 fixed bytes + type + id + the
+    // Content-Length decimal width — the 65 above minus the trailing
+    // 4-byte terminator, which follows the payload)
+    "q_multimodal_warc_records" ->
+      """WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS nr,
+        |    CAST(length(text) AS BIGINT) AS l FROM documents),
+        |r AS (SELECT d.doc_id, d.nr, d.l, i.i
+        |  FROM d CROSS JOIN (SELECT unnest(range(4)) AS i) i
+        |  WHERE i.i < d.nr),
+        |per AS (SELECT doc_id, i,
+        |    l // nr + CASE WHEN i < l % nr THEN 1 ELSE 0 END AS chunk,
+        |    CASE WHEN i = 0 THEN 'warcinfo'
+        |         ELSE CASE (doc_id + i) % 3 WHEN 0 THEN 'response'
+        |              WHEN 1 THEN 'request' ELSE 'metadata' END
+        |    END AS wtype,
+        |    length('<urn:graft:' || CAST(doc_id AS VARCHAR) || '-'
+        |      || CAST(i AS VARCHAR) || '>') AS ridlen
+        |  FROM r),
+        |sized AS (SELECT doc_id, i, wtype, chunk,
+        |    61 + length(wtype) + ridlen
+        |      + length(CAST(chunk AS VARCHAR)) AS pre,
+        |    65 + length(wtype) + ridlen
+        |      + length(CAST(chunk AS VARCHAR)) + chunk AS rsize
+        |  FROM per)
+        |SELECT doc_id, CAST(i AS BIGINT) AS rec_idx, wtype,
+        |  CAST(chunk AS BIGINT) AS content_length,
+        |  CAST(coalesce(sum(rsize) OVER (PARTITION BY doc_id ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + pre
+        |    AS BIGINT) AS payload_offset
+        |FROM sized ORDER BY doc_id, rec_idx""".stripMargin,
 
     // same independent byte-stream recomputation as q_multimodal (both
     // codec bodies are exactly the text bytes: the JPEG kernel range

@@ -424,6 +424,79 @@ object DspKernel {
     * 4096 records already needs a ~120 KB stream of empty records. */
   private val WarcMaxRecords = 4096L
 
+  /** Per-record WARC table — the same walk as [[warcStats]] but
+    * emitting one (type_code, content_length, payload_offset) triple
+    * per record, flattened into one long array (record i at indices
+    * 3i..3i+2): type_code 0=warcinfo 1=response 2=request 3=metadata
+    * 4=other, payload_offset the 0-BASED byte offset of the record's
+    * first payload byte — exactly what a reader needs to slice payloads
+    * out of the raw stream without re-parsing. Same malformation rules
+    * and hop bound as the census walk: null, never a partial table. */
+  def warcRecordTable(p: Array[Byte]): GenericArrayData = {
+    val stats = warcStats(p)
+    if (stats == null) return null
+    // second pass collects the per-record geometry; the first pass
+    // already certified the stream well-formed, so this walk cannot
+    // fail — it re-derives offsets with the identical scan rules
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val n = p.length
+    def eol(from: Int): Int = {
+      var i = from
+      while (i + 1 < n) {
+        if (p(i) == '\r' && p(i + 1) == '\n') return i
+        i += 1
+      }
+      -1
+    }
+    def eqIgnoreCase(from: Int, until: Int, s: String): Boolean = {
+      if (until - from != s.length) return false
+      var i = 0
+      while (i < s.length) {
+        val c = p(from + i) & 0xff
+        val lc = if (c >= 'A' && c <= 'Z') c + 32 else c
+        if (lc != s.charAt(i).toInt) return false
+        i += 1
+      }
+      true
+    }
+    var pos = 0
+    while (pos < n) {
+      pos = eol(pos + 5) + 2 // past the version line
+      var clen = 0L
+      var typ = 4
+      var headersDone = false
+      while (!headersDone) {
+        if (p(pos) == '\r' && p(pos + 1) == '\n') { pos += 2; headersDone = true }
+        else {
+          val le = eol(pos)
+          var colon = pos
+          while (p(colon) != ':') colon += 1
+          var vs = colon + 1
+          while (vs < le && (p(vs) == ' ' || p(vs) == '\t')) vs += 1
+          if (eqIgnoreCase(pos, colon, "content-length")) {
+            var v = 0L
+            var i = vs
+            while (i < le) { v = v * 10 + (p(i) - '0'); i += 1 }
+            clen = v
+          } else if (eqIgnoreCase(pos, colon, "warc-type")) {
+            typ =
+              if (eqIgnoreCase(vs, le, "warcinfo")) 0
+              else if (eqIgnoreCase(vs, le, "response")) 1
+              else if (eqIgnoreCase(vs, le, "request")) 2
+              else if (eqIgnoreCase(vs, le, "metadata")) 3
+              else 4
+          }
+          pos = le + 2
+        }
+      }
+      out += typ.toLong
+      out += clen
+      out += pos.toLong
+      pos += clen.toInt + 4
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Full WARC (ISO 28500) record walk: every record is a
     * `WARC/1.x` version line, named `Header: value` lines up to a blank
     * line, a `Content-Length`-framed payload, and a CRLF CRLF
@@ -733,6 +806,32 @@ case class WarcRecordStats(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_warc_record_table(payload)`: per-record
+  * (type_code, content_length, payload_offset) triples flattened into
+  * one long array (see [[DspKernel.warcRecordTable]]); null for
+  * non-WARC or malformed streams. */
+case class WarcRecordTable(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_warc_record_table"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DspKernel.warcRecordTable(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.warcRecordTable($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_png_chunk_stats(payload)`: IHDR fields + chunk census + CRC
   * mismatch count from the full PNG chunk walk (null for non-PNG or
   * malformed streams). */
@@ -793,4 +892,8 @@ object MediaFunctions {
   /** Codegen'd WARC (ISO 28500) record-walk census. */
   def warcRecordStats(payload: Column): Column =
     Bridge.column(WarcRecordStats(Bridge.expression(payload)))
+
+  /** Codegen'd per-record WARC geometry table (flattened triples). */
+  def warcRecordTable(payload: Column): Column =
+    Bridge.column(WarcRecordTable(Bridge.expression(payload)))
 }

@@ -629,6 +629,32 @@ object Multimodal {
       length(col("payload")).cast("long").as("total_bytes"))
   }
 
+  /** WARC frame → one row per RECORD: (doc_id, rec_idx, wtype,
+    * content_length, payload_offset) — the geometry a reader needs to
+    * slice exact payloads out of the raw stream without re-parsing
+    * (payload_offset is the 0-based byte offset of the record's first
+    * payload byte; `substring(payload, payload_offset + 1,
+    * content_length)` recovers the record body bit-exactly, spec'd).
+    * Walk and explode both stay expression-side over one scan. */
+  def warcRecords(media: DataFrame): DataFrame = {
+    val names = array(lit("warcinfo"), lit("response"), lit("request"),
+      lit("metadata"), lit("other"))
+    media
+      .select(col("doc_id"), col("payload"),
+        graft.functions.MediaFunctions.warcRecordTable(col("payload")).as("t"))
+      .select(col("doc_id"), col("payload"), explode(expr(
+        """transform(sequence(0, size(t) DIV 3 - 1), i -> struct(
+          |  CAST(i AS BIGINT) AS rec_idx,
+          |  element_at(t, CAST(3 * i + 1 AS INT)) AS type_code,
+          |  element_at(t, CAST(3 * i + 2 AS INT)) AS content_length,
+          |  element_at(t, CAST(3 * i + 3 AS INT)) AS payload_offset))"""
+          .stripMargin)).as("r"))
+      .select(col("doc_id"), col("r.rec_idx").as("rec_idx"),
+        element_at(names, (col("r.type_code") + 1).cast("int")).as("wtype"),
+        col("r.content_length").as("content_length"),
+        col("r.payload_offset").as("payload_offset"))
+  }
+
   /** One ISO-BMFF box by expression: size(4 BE, includes the 8-byte
     * header) + type + payload — the §4.2 compact form the builder emits
     * (largesize/size-0 are read-side concerns the walker handles). */

@@ -850,4 +850,11 @@ class PlanContractSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("documents.parquet")) == 1,
       s"WARC walk rescanned the corpus:\n$p")
   }
+
+  test("WARC per-record explode stays expression-side with no RDD hop, one scan") {
+    val p = plan("q_multimodal_warc_records")
+    assert(!p.contains("ExistingRDD"), s"WARC records dropped to an RDD scan:\n$p")
+    assert(p.linesIterator.count(_.contains("documents.parquet")) == 1,
+      s"WARC records rescanned the corpus:\n$p")
+  }
 }

@@ -709,6 +709,30 @@ class PropertiesSpec extends SparkSpec {
         assert(r.getAs[Long]("total_bytes") === (l + headers.sum).toLong,
           s"seed $seed case $i")
       }
+      // per-record geometry: slicing the raw stream at each walked
+      // payload_offset recovers the planted chunk BIT-exactly — offsets
+      // are useful, not just consistent (substring is 1-based)
+      val sliced = Multimodal.warcRecords(df).join(df, "doc_id")
+        .select(col("doc_id"), col("rec_idx"), col("wtype"),
+          substring(col("payload"), (col("payload_offset") + 1).cast("int"),
+            col("content_length").cast("int")).cast("string").as("body"))
+        .orderBy("doc_id", "rec_idx").collect()
+      cases.foreach { case ((nr, v, body), i) =>
+        val l = body.length
+        val chunks = (0 until nr).scanLeft(0) { (off, k) =>
+          off + l / nr + (if (k < l % nr) 1 else 0) }
+        val rows = sliced.filter(_.getAs[Long]("doc_id") == i.toLong)
+        assert(rows.length === nr, s"seed $seed case $i")
+        rows.zipWithIndex.foreach { case (row, k) =>
+          val want = body.substring(chunks(k), chunks(k + 1))
+          assert(row.getAs[String]("body") === want,
+            s"seed $seed case $i record $k")
+          val wantType = if (k == 0) "warcinfo"
+            else Seq("response", "request", "metadata")(((v + k) % 3).toInt)
+          assert(row.getAs[String]("wtype") === wantType,
+            s"seed $seed case $i record $k")
+        }
+      }
     }
   }
 
