@@ -962,6 +962,18 @@ object SparkEntry {
         Similarity.plantedClusterCorpus(Tables.embeddings(s, dir)))
         .orderBy("vec_id")),
 
+    // the terminal's incremental-maintenance face: late batch (% 5 = 4,
+    // the sim_index_increment split) pruned against stored KEPT
+    // cellmates and smaller-id batch cellmates, exemplars from the
+    // stored slice only — the whole increment replays in DuckDB
+    "dedup_semantic_increment" -> ((s, dir) => {
+      val planted = Similarity.plantedClusterCorpus(Tables.embeddings(s, dir))
+      Similarity.semanticDedupIncrement(
+        planted.filter(col("vec_id") % 5 =!= 4),
+        planted.filter(col("vec_id") % 5 === 4))
+        .orderBy("vec_id")
+    }),
+
     "dedup_editdist" -> ((s, dir) =>
       // candidates come through the same write-once jaccard pair artifact
       // the component-resolution entries consume — the DP verify is the
@@ -3451,6 +3463,7 @@ object SparkEntry {
       |  p.max_cos
       |FROM asg g LEFT JOIN pruned p ON p.vec_id = g.vec_id
       |ORDER BY g.vec_id""".stripMargin),
+    "dedup_semantic_increment" -> DEDUP_SEM_INCR_SQL,
     "sim_topk_kcenter" -> KCENTER_TOPK_SQL,
     "sim_recall_audit" -> RECALL_AUDIT_SQL,
 
@@ -5634,6 +5647,49 @@ object SparkEntry {
         |  FROM asg a JOIN asg b ON a.center_id = b.center_id
         |    AND a.vec_id < b.vec_id)
         |  WHERE cos >= 0.9)""".stripMargin
+
+  /** The incremental SemDeDup replay: exemplars greedily selected from
+    * the STORED slice of the planted corpus, stored keeper frame by the
+    * within-cell smaller-id rule, then the batch pruned against stored
+    * KEPT cellmates (pruned stored docs never prune — the corpus AS
+    * SERVED) and smaller-id batch cellmates. */
+  private val DEDUP_SEM_INCR_SQL: String = {
+    val assignFrom = (src: String, name: String) =>
+      s"""$name AS MATERIALIZED (SELECT vec_id, center_id, v FROM (
+         |  SELECT e.vec_id, e.v, c.center_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.center_id) AS rn
+         |  FROM $src e CROSS JOIN kc c) WHERE rn = 1)""".stripMargin
+    kcenterCtes("vec_id % 5 <> 4", PLANTED_PRELUDE,
+      "SELECT vec_id, v FROM members UNION ALL SELECT vec_id, v FROM bg") +
+      s""",
+         |stored AS MATERIALIZED (SELECT vec_id, v FROM corpus WHERE vec_id % 5 <> 4),
+         |batch AS MATERIALIZED (SELECT vec_id, v FROM corpus WHERE vec_id % 5 = 4),
+         |kc AS (SELECT vec_id AS center_id, v AS cv FROM sel),
+         |${assignFrom("stored", "sasg")},
+         |sprune AS (SELECT DISTINCT b.vec_id FROM sasg a JOIN sasg b
+         |  ON a.center_id = b.center_id AND a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.v, b.v) >= 0.9),
+         |skept AS MATERIALIZED (SELECT s.vec_id, s.center_id, s.v FROM sasg s
+         |  LEFT JOIN sprune p ON p.vec_id = s.vec_id WHERE p.vec_id IS NULL),
+         |${assignFrom("batch", "basg")},
+         |cand AS (
+         |  SELECT b.vec_id, s.vec_id AS cand_id,
+         |    list_cosine_similarity(b.v, s.v) AS cos
+         |  FROM basg b JOIN skept s ON s.center_id = b.center_id
+         |  UNION ALL
+         |  SELECT b.vec_id, o.vec_id AS cand_id,
+         |    list_cosine_similarity(b.v, o.v) AS cos
+         |  FROM basg b JOIN basg o ON o.center_id = b.center_id
+         |    AND o.vec_id < b.vec_id),
+         |pr AS (SELECT vec_id, min(cand_id) AS pruned_by, max(cos) AS max_cos
+         |  FROM cand WHERE cos >= 0.9 GROUP BY 1)
+         |SELECT g.vec_id, g.center_id, p.pruned_by,
+         |  CAST(CASE WHEN p.pruned_by IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+         |  p.max_cos
+         |FROM basg g LEFT JOIN pr p ON p.vec_id = g.vec_id
+         |ORDER BY g.vec_id""".stripMargin
+  }
 
   /** The increment replay: exemplars greedily selected from the STORED
     * slice only, the late-arriving batch assigned per-row (cos desc,

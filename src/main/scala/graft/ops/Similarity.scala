@@ -268,6 +268,75 @@ object Similarity {
             col("max_cos"))
     }
 
+  /** Incremental SemDeDup — the semantic-dedup terminal's
+    * maintenance face (the [[kCenterIndexIncrement]] pattern): a
+    * late-arriving batch is assigned per-row against exemplars selected
+    * from the STORED corpus only, and each new vector is pruned iff it
+    * sits at or above `threshold` cosine to a stored KEPT cellmate or
+    * to a smaller-id batch cellmate. Two deliberate rules, both
+    * documented: (1) stored PRUNED docs never prune new docs — dedup
+    * runs against the corpus AS SERVED, so a newcomer that duplicates
+    * only an already-discarded doc is genuinely novel to the kept
+    * corpus and survives (spec'd with an on-the-τ-cone fixture);
+    * (2) the in-batch rule matches [[semanticDedup]]'s batch terminal
+    * (any smaller id, kept or not). Emits only the BATCH rows —
+    * (vec_id, center_id, pruned_by, keep, max_cos), the append frame —
+    * stored keepers are untouched by construction.
+    *
+    * Fully replayable: exemplar selection (seed-filtered greedy),
+    * both assignments, the stored keeper frame, and every pruning
+    * cosine are the shared engine-portable kernels, so the WHOLE
+    * increment hash-matches the DuckDB chain
+    * (dedup_semantic_increment). Scale shape: assignments are per-row
+    * argmax against ≤k broadcast centers; both pair stages stay
+    * within-cell. */
+  def semanticDedupIncrement(stored: DataFrame, batch: DataFrame,
+                             threshold: Double = 0.9,
+                             k: Int = 8): DataFrame = {
+    val centers = kCenterSelect(stored, k)
+      .select(col("vec_id").as("center_id"))
+      .join(stored.select(col("vec_id").as("center_id"),
+        toDouble(col("embedding")).as("cv")), "center_id")
+    def assign(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .crossJoin(broadcast(centers))
+        .select(col("vec_id"), col("v"), col("center_id"),
+          cosine(col("v"), col("cv")).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("c").desc, col("center_id"))))
+        .filter(col("rn") === 1)
+        .select("vec_id", "center_id", "v")
+    Dedup.withScopedCache(assign(stored)) { storedAsg =>
+      val storedPruned = storedAsg
+        .select(col("center_id"), col("vec_id").as("id1"), col("v").as("v1"))
+        .join(storedAsg.select(col("center_id"), col("vec_id").as("id2"),
+          col("v").as("v2")), Seq("center_id"))
+        .filter(col("id1") < col("id2") &&
+          cosine(col("v1"), col("v2")) >= threshold)
+        .select(col("id2").as("vec_id")).distinct()
+      val storedKept = storedAsg.join(storedPruned, Seq("vec_id"), "left_anti")
+      val batchAsg = assign(batch)
+      val candStored = batchAsg.as("b")
+        .join(storedKept.as("s"), col("b.center_id") === col("s.center_id"))
+        .select(col("b.vec_id").as("vec_id"), col("s.vec_id").as("cand_id"),
+          cosine(col("b.v"), col("s.v")).as("cos"))
+      val candBatch = batchAsg.as("b")
+        .join(batchAsg.as("o"), col("b.center_id") === col("o.center_id") &&
+          col("o.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("vec_id"), col("o.vec_id").as("cand_id"),
+          cosine(col("b.v"), col("o.v")).as("cos"))
+      val pruned = candStored.unionByName(candBatch)
+        .filter(col("cos") >= threshold)
+        .groupBy("vec_id")
+        .agg(min("cand_id").as("pruned_by"), max("cos").as("max_cos"))
+      batchAsg.select("vec_id", "center_id")
+        .join(pruned, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("center_id"), col("pruned_by"),
+          when(col("pruned_by").isNull, 1L).otherwise(0L).as("keep"),
+          col("max_cos"))
+    }
+  }
+
   /** Planted-cluster corpus for certifying IVF recall on CLUSTERED data
     * (the regime IVF is for — `sim_topk_ivf`'s recall story on the
     * near-random synthetic corpus is only nprobe/#cells). Each seed vector

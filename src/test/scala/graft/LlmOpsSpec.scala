@@ -1150,6 +1150,48 @@ class LlmOpsSpec extends SparkSpec {
     assert(split(1L) === split(12L))
   }
 
+  test("incremental semantic dedup prunes against the corpus AS SERVED, never against pruned docs") {
+    // stored: x-axis pair (0 keeps, 10 at 25 degrees is pruned — cos .906)
+    // and a z-axis lone keeper (2). batch: a near-copy of keeper 0 (20),
+    // a near-copy of keeper 2 (21), a novel w-axis doc (22), its in-batch
+    // dup (23), and the SHARP case (24): 50 degrees in the x-y plane —
+    // within tau of the PRUNED 10 (cos 25deg = .906) but outside tau of
+    // every KEPT doc (cos 50deg = .64 to 0) — it must SURVIVE, because
+    // dedup runs against the corpus as served
+    val c25 = math.cos(math.toRadians(25)).toFloat
+    val s25 = math.sin(math.toRadians(25)).toFloat
+    val c50 = math.cos(math.toRadians(50)).toFloat
+    val s50 = math.sin(math.toRadians(50)).toFloat
+    val stored = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (10L, Array(c25, s25, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (20L, Array(0.999f, 0.01f, 0.0f, 0.0f)),
+      (21L, Array(0.0f, 0.0f, 0.995f, 0.1f)),
+      (22L, Array(0.0f, 0.0f, 0.0f, 1.0f)),
+      (23L, Array(0.01f, 0.0f, 0.0f, 0.999f)),
+      (24L, Array(c50, s50, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedupIncrement(stored, batch,
+      threshold = 0.9, k = 2).collect()
+      .map { r =>
+        r.getAs[Long]("vec_id") -> ((r.getAs[Long]("keep"),
+          if (r.isNullAt(r.fieldIndex("pruned_by"))) None
+          else Some(r.getAs[Long]("pruned_by"))))
+      }.toMap
+    // batch rows only — stored keepers are untouched by construction
+    assert(got.keySet === Set(20L, 21L, 22L, 23L, 24L))
+    assert(got(20L) === ((0L, Some(0L))))  // dup of stored keeper 0
+    assert(got(21L) === ((0L, Some(2L))))  // dup of stored keeper 2
+    assert(got(22L) === ((1L, None)))      // novel direction
+    assert(got(23L) === ((0L, Some(22L)))) // in-batch smaller-id rule
+    // the sharp case: 24 duplicates ONLY the pruned stored doc 10
+    // (cos 25deg = .906 >= .9) and clears every kept doc (cos 50deg =
+    // .64 to keeper 0) — kept, because pruned docs are not served
+    assert(got(24L) === ((1L, None)),
+      "a doc duplicating only a PRUNED stored doc must survive")
+  }
+
   test("sourceKl: quantized micro-nat terms sum to the exact corpus KL") {
     // same fixture as sourceEntropy: A = {a:3, b:1} of 4; B = {c:2} of 2;
     // corpus N=6 with C_a=3, C_b=1, C_c=2
