@@ -1669,6 +1669,12 @@ object SparkEntry {
       Multimodal.warcRecords(Multimodal.warcFrame(Tables.documents(s, dir)))
         .orderBy("doc_id", "rec_idx")),
 
+    // the corpus-wide census monoid row (the streaming face's batch
+    // twin — warcStateSink serves the same sums)
+    "q_multimodal_warc_census" -> ((s, dir) =>
+      Multimodal.warcCensus(Multimodal.warcStats(
+        Multimodal.warcFrame(Tables.documents(s, dir))))),
+
     // the MP4 seam's FEATURE step: per-channel stats over the
     // concatenated mdat payloads the walk locates (global body index
     // spans mdat boundaries, so the split body featurizes exactly like
@@ -4791,6 +4797,38 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + pre
         |    AS BIGINT) AS payload_offset
         |FROM sized ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // the census monoid row: the per-record analytic arithmetic summed
+    // corpus-wide (the built corpus has no malformed files, pinned 0)
+    "q_multimodal_warc_census" ->
+      """WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS nr,
+        |    CAST(length(text) AS BIGINT) AS l FROM documents),
+        |r AS (SELECT d.doc_id, d.nr, d.l, i.i
+        |  FROM d CROSS JOIN (SELECT unnest(range(4)) AS i) i
+        |  WHERE i.i < d.nr),
+        |per AS (SELECT doc_id, i,
+        |    l // nr + CASE WHEN i < l % nr THEN 1 ELSE 0 END AS chunk,
+        |    CASE WHEN i = 0 THEN 'warcinfo'
+        |         ELSE CASE (doc_id + i) % 3 WHEN 0 THEN 'response'
+        |              WHEN 1 THEN 'request' ELSE 'metadata' END
+        |    END AS wtype,
+        |    length('<urn:graft:' || CAST(doc_id AS VARCHAR) || '-'
+        |      || CAST(i AS VARCHAR) || '>') AS ridlen
+        |  FROM r)
+        |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_files,
+        |  CAST(0 AS BIGINT) AS n_malformed,
+        |  CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(sum(CASE WHEN wtype = 'warcinfo' THEN 1 ELSE 0 END) AS BIGINT) AS n_warcinfo,
+        |  CAST(sum(CASE WHEN wtype = 'response' THEN 1 ELSE 0 END) AS BIGINT) AS n_response,
+        |  CAST(sum(CASE WHEN wtype = 'request' THEN 1 ELSE 0 END) AS BIGINT) AS n_request,
+        |  CAST(sum(CASE WHEN wtype = 'metadata' THEN 1 ELSE 0 END) AS BIGINT) AS n_metadata,
+        |  CAST(0 AS BIGINT) AS n_other,
+        |  CAST(sum(chunk) AS BIGINT) AS payload_bytes,
+        |  CAST(sum(65 + length(wtype) + ridlen
+        |    + length(CAST(chunk AS VARCHAR))) AS BIGINT) AS header_bytes,
+        |  CAST(sum(chunk) + sum(65 + length(wtype) + ridlen
+        |    + length(CAST(chunk AS VARCHAR))) AS BIGINT) AS total_bytes
+        |FROM per""".stripMargin,
 
     // same independent byte-stream recomputation as q_multimodal (both
     // codec bodies are exactly the text bytes: the JPEG kernel range

@@ -655,6 +655,33 @@ object Multimodal {
         col("r.payload_offset").as("payload_offset"))
   }
 
+  /** Corpus-wide WARC census over a [[warcStats]] frame: ONE summary
+    * row of pure sums — (n_files, n_malformed, n_records, per-type
+    * counts, payload/header/total bytes) — so the census is a MONOID
+    * (merge = column-wise sum) and gets a streaming face for free
+    * (StreamingMonitors.warcStateSink). Malformed files (the walk's
+    * nulls) are COUNTED, never silently dropped, and contribute to no
+    * byte column, so payload + header ≡ total holds on the census row
+    * exactly as it does per well-formed file. */
+  def warcCensus(stats: DataFrame): DataFrame = {
+    def s(c: String) = coalesce(sum(coalesce(col(c), lit(0L))), lit(0L)).as(c)
+    stats.agg(
+      coalesce(count(lit(1)), lit(0L)).as("n_files"),
+      coalesce(sum(when(col("n_records").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_malformed"),
+      s("n_records"), s("n_warcinfo"), s("n_response"), s("n_request"),
+      s("n_metadata"), s("n_other"), s("payload_bytes"), s("header_bytes"),
+      coalesce(sum(when(col("n_records").isNull, 0L)
+        .otherwise(col("total_bytes"))), lit(0L)).as("total_bytes"))
+  }
+
+  /** The census monoid's merge: column-wise sum of two summary rows. */
+  def warcCensusMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val u = a.unionByName(b)
+    val sums = u.columns.map(c => coalesce(sum(col(c)), lit(0L)).as(c))
+    u.agg(sums.head, sums.tail: _*)
+  }
+
   /** One ISO-BMFF box by expression: size(4 BE, includes the 8-byte
     * header) + type + payload — the §4.2 compact form the builder emits
     * (largesize/size-0 are read-side concerns the walker handles). */

@@ -1220,6 +1220,37 @@ object StreamingMonitors {
     else ck).start()
   }
 
+  /** Streaming maintenance of the WARC corpus census
+    * (ops/Multimodal.warcCensus): each micro-batch of documents is
+    * framed, walked, and reduced to ONE summary row of pure sums —
+    * record/type counts, malformed count, byte accounting — which
+    * merges with the stored state by column-wise sum (the census
+    * monoid). The face an archive-ingest pipeline watches: records
+    * seen, types, bytes, and malformed files COUNTED in-band. Same
+    * versioned idempotent-replay contract as the other state sinks. */
+  def warcStateSink(docStream: DataFrame, stateDir: String,
+                    checkpoint: Option[String] = None,
+                    availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = graft.ops.Multimodal.warcCensus(
+          graft.ops.Multimodal.warcStats(
+            graft.ops.Multimodal.warcFrame(batch)))
+        val merged = latestVersionedState(batch.sparkSession, stateDir, batchId) match {
+          case Some(prev) => graft.ops.Multimodal.warcCensusMerge(prev, partial)
+          case None => partial
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        ()
+      }
+    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow)
+      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else ck).start()
+  }
+
   /** Streaming maintenance of the per-type quantile sample
     * (ops/Sketches.quantileSample): the k hash-smallest rows per key
     * merge by union + dedup + re-bottom-k — a monoid over disjoint row

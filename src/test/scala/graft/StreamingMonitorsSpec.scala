@@ -1702,4 +1702,48 @@ class StreamingMonitorsSpec extends SparkSpec {
       .filter(col("train_id") === 1L && col("eval_id") === 100L).collect()
     assert(full.length === 1 && full(0).getDouble(2) === 1.0)
   }
+
+  test("streamed WARC census serves the exact batch sums; malformed files counted, not dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").persist()
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val stateDir = s"${work()}/warc-state"
+    val q = StreamingMonitors.warcStateSink(stream, stateDir)
+    try {
+      (0 until 3).foreach { i =>
+        mem.addData(rows.filter(_._1 % 3 == i).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val served = StreamingMonitors.latestVersionedState(spark, stateDir)
+      .get.collect()(0)
+    val direct = graft.ops.Multimodal.warcCensus(
+      graft.ops.Multimodal.warcStats(
+        graft.ops.Multimodal.warcFrame(docs.toDF()))).collect()(0)
+    docs.unpersist(blocking = false)
+    assert(served.toSeq === direct.toSeq)
+    assert(served.getAs[Long]("n_files") === rows.length.toLong)
+    assert(served.getAs[Long]("n_malformed") === 0L)
+    assert(served.getAs[Long]("payload_bytes") + served.getAs[Long]("header_bytes")
+      === served.getAs[Long]("total_bytes"))
+    // malformed files are COUNTED and contribute to no byte column
+    val mixed = Seq(
+      (0L, "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 2\r\n\r\nok\r\n\r\n"
+        .getBytes("UTF-8")),
+      (1L, "not a warc stream at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val cen = graft.ops.Multimodal.warcCensus(
+      graft.ops.Multimodal.warcStats(mixed)).collect()(0)
+    assert(cen.getAs[Long]("n_files") === 2L)
+    assert(cen.getAs[Long]("n_malformed") === 1L)
+    assert(cen.getAs[Long]("n_records") === 1L)
+    assert(cen.getAs[Long]("payload_bytes") === 2L)
+    assert(cen.getAs[Long]("payload_bytes") + cen.getAs[Long]("header_bytes")
+      === cen.getAs[Long]("total_bytes"))
+  }
 }
