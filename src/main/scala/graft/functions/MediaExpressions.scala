@@ -510,7 +510,16 @@ object DspKernel {
     * colon, a missing/non-numeric/oversized Content-Length, a payload
     * past the buffer, a missing terminator, or a walk past
     * [[WarcMaxRecords]]. Header names match case-insensitively (the
-    * spec's rule); values take optional leading spaces/tabs. */
+    * spec's rule); values take optional leading spaces/tabs.
+    *
+    * Documented limitations vs full ISO 28500 captures: (1) folded
+    * (continuation) header lines — a line starting with space/tab — are
+    * treated as malformed, not joined to the previous value (the
+    * synthetic corpus never folds; a real-capture walker would consume
+    * them); (2) the walk reads the UNCOMPRESSED stream — real
+    * Common-Crawl `.warc.gz` arrives as one gzip member per record, so
+    * point the gzip member walk ([[gzipMemberStats]]) at the on-disk
+    * bytes first. */
   def warcStats(p: Array[Byte]): GenericArrayData = {
     val n = p.length
     // CRLF scan from `from` (exclusive upper bound n): index of '\r' of

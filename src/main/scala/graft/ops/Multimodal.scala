@@ -577,12 +577,13 @@ object Multimodal {
     * own Content-Length framing and record id derived from `variant`.
     * Record geometry is per-row data, so the reader must walk version
     * lines and Content-Length frames, not index a constant layout.
-    * Out-of-range `nRecords` RAISES, riding record 0's type slot — ONE
-    * guard site (the pngPayload/mp4Payload convention). */
+    * Out-of-range `nRecords` RAISES from the guard wrapping the final
+    * concat — an UNCONDITIONALLY evaluated slot (the mp4Payload
+    * convention; riding record 0's type slot, as an earlier revision
+    * did, left nRecords <= 0 silently yielding an empty payload because
+    * record 0 itself was gated behind `0 < nRecords`). */
   def warcPayload(nRecords: Column, variant: Column, text: Column): Column = {
-    val t0 = when(nRecords >= 1 && nRecords <= 4, lit("warcinfo"))
-      .otherwise(raise_error(concat(
-        lit("warcPayload: nRecords out of [1, 4]: "), nRecords.cast("string"))))
+    val t0 = lit("warcinfo")
     val bodyLen = length(text).cast("long")
     val base = floor(bodyLen / nRecords).cast("long")
     val rem = pmod(bodyLen, nRecords.cast("long"))
@@ -598,7 +599,10 @@ object Multimodal {
         lit(s"-$i>"))
       when(lit(i) < nRecords, warcRecord(wtype, rid, body)).otherwise(lit(""))
     }
-    concat(records: _*).cast("binary")
+    when(nRecords >= 1 && nRecords <= 4, concat(records: _*))
+      .otherwise(raise_error(concat(
+        lit("warcPayload: nRecords out of [1, 4]: "), nRecords.cast("string"))))
+      .cast("binary")
   }
 
   /** documents → WARC frame: every row carries a WARC file whose record

@@ -89,6 +89,15 @@ object Similarity {
                  rrfK: Int = 60): DataFrame = {
     require(k >= 1 && depth >= 1,
       s"hybridTopK: k=$k and depth=$depth must be >= 1")
+    // the floor-scaled map r ↦ 10^6 DIV (rrfK + r) is strictly decreasing
+    // only while (rrfK + r)^2 <= 10^6 — past rank 1000 - rrfK adjacent
+    // ranks collide and ties would silently fall to neighbor-id order, so
+    // the documented order-identical property is ENFORCED, not just true
+    // at the default depth
+    require(depth + rrfK <= 1000,
+      s"hybridTopK: depth + rrfK = ${depth + rrfK} > 1000 breaks the " +
+        "floor-scaled RRF's order-preserving property (10^6 DIV x " +
+        "collides once x^2 > 10^6)")
     val lex = Dedup.bm25TopK(docs, k = depth, numQueries = numQueries)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("lex_rank"))

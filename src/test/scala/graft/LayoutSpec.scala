@@ -71,6 +71,12 @@ class LayoutSpec extends SparkSpec {
       // 4 overlapping blocks may surface as up to ~6 touched files. The
       // payoff claim is a strict small subset, not an exact tiling.
       assert(z <= 6, s"$dim-range touched $z of 16 z-ordered files; expected ~4 overlapping blocks (+boundary splits)")
+      // relative payoff bar alongside the absolute one: clustering must
+      // halve the touched-file count vs the flat layout, so a genuine
+      // clustering regression costing 1-2 extra files still trips even
+      // inside the boundary-split allowance above
+      assert(z <= flat / 2,
+        s"$dim-range touched $z z-ordered files vs $flat flat — clustering no longer halves the scan")
       assert(flat === filesTotal(s"$base/flat"), "baseline unexpectedly clustered")
     }
     // and the predicate actually reaches the scan (row-group skipping
@@ -180,6 +186,10 @@ class LayoutSpec extends SparkSpec {
       // boundary inside a block adds one touched file per split
       assert(touched <= 6,
         s"$dim-range touched $touched of 16 hilbert files; expected ~4 overlapping blocks (+boundary splits)")
+      // relative payoff bar (mirrors the zorder test): the curve must
+      // still confine a 16-wide band to at most half the files
+      assert(touched <= total / 2,
+        s"$dim-range touched $touched of $total hilbert files — clustering no longer halves the scan")
     }
   }
 

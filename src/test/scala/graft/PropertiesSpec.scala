@@ -774,6 +774,16 @@ class PropertiesSpec extends SparkSpec {
     def msgs(t2: Throwable): Seq[String] =
       Option(t2).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("nRecords out of")), s"unexpected: $e")
+    // ...and on the LOW side too: nRecords = 0 must raise, not silently
+    // yield an empty payload (the guard lives on the final concat — an
+    // unconditionally evaluated slot — precisely so the low side cannot
+    // slip past a gated record-0 slot)
+    val e0 = intercept[Exception] {
+      Seq((0L, "body")).toDF("doc_id", "body")
+        .select(Multimodal.warcPayload(lit(0), col("doc_id"), col("body")))
+        .collect()
+    }
+    assert(msgs(e0).exists(_.contains("nRecords out of")), s"unexpected: $e0")
   }
 
   test("property: the WARC walk is total over arbitrary binary garbage") {

@@ -101,7 +101,12 @@ def load_queries(path):
                 print(f"[gate] note: {os.path.basename(path)} host drifted "
                       f"{max(vals) / min(vals):.2f}x DURING the run "
                       f"({key} cal {vals[0]:.2f}s -> {vals[1]:.2f}s)")
-    total = src.get("value") if isinstance(src.get("value"), (int, float)) else None
+    # round 18: records carry an adjudicated_total (per-query min of
+    # main/rerun/interleave — the run's own refutations folded in) beside
+    # the raw sum; prefer it for totals-only compares, same reasoning as
+    # the per-query effective-time rule below
+    total = next((src[k] for k in ("adjudicated_total", "value")
+                  if isinstance(src.get(k), (int, float))), None)
     queries = detail.get("queries") if detail else None
     if queries is None:
         print(f"[gate] note: {os.path.basename(path)} has only the compact "
