@@ -1675,6 +1675,33 @@ object SparkEntry {
       Multimodal.warcCensus(Multimodal.warcStats(
         Multimodal.warcFrame(Tables.documents(s, dir))))),
 
+    // gzip (RFC 1952) — the MEMBER framing real Common-Crawl captures
+    // arrive in (one gzip member per record, concatenated): multi-member
+    // streams BUILT by expression with doc-id-varied geometry (optional
+    // FNAME/FEXTRA fields, per-member MTIME, stored-block splits),
+    // re-PARSED from the raw bytes by the native member walk with CRC32
+    // + ISIZE recomputed per member; the oracle recomputes the census
+    // from the construction arithmetic
+    "q_multimodal_gzip" -> ((s, dir) =>
+      Multimodal.gzipStats(Multimodal.gzipFrame(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
+
+    // the gzip seam's per-member geometry: one row per member with the
+    // header/deflate lengths an indexer records (the cdx offset
+    // discipline) — walk + explode expression-side
+    "q_multimodal_gzip_members" -> ((s, dir) =>
+      Multimodal.gzipMembers(Multimodal.gzipFrame(Tables.documents(s, dir)))
+        .orderBy("doc_id", "member_idx")),
+
+    // the full .warc.gz read path: WARC records wrapped in gzip members
+    // by expression, inflated back (stored-block identity) and run
+    // through the SAME WARC census walk — the oracle is the WARC
+    // census's, verbatim, because the inflated stream is byte-identical
+    // to the uncompressed build
+    "q_multimodal_warc_gz" -> ((s, dir) =>
+      Multimodal.warcGzStats(Multimodal.warcGzFrame(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
+
     // the MP4 seam's FEATURE step: per-channel stats over the
     // concatenated mdat payloads the walk locates (global body index
     // spans mdat boundaries, so the split body featurizes exactly like
@@ -1783,6 +1810,62 @@ object SparkEntry {
       |    END AS message
       |  FROM alerts)
       |""".stripMargin
+
+  /** The analytic WARC census (see the scaladoc at its
+    * q_multimodal_warc use) — ONE definition serving both the
+    * uncompressed read path (q_multimodal_warc) and the .warc.gz path
+    * (q_multimodal_warc_gz), which inflates to the byte-identical
+    * stream by the stored-block identity. */
+  private val WARC_STATS_SQL: String =
+    """WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS nr,
+      |    CAST(length(text) AS BIGINT) AS l FROM documents),
+      |r AS (SELECT d.doc_id, d.nr, d.l, i.i
+      |  FROM d CROSS JOIN (SELECT unnest(range(4)) AS i) i
+      |  WHERE i.i < d.nr),
+      |per AS (SELECT doc_id, i,
+      |    l // nr + CASE WHEN i < l % nr THEN 1 ELSE 0 END AS chunk,
+      |    CASE WHEN i = 0 THEN 'warcinfo'
+      |         ELSE CASE (doc_id + i) % 3 WHEN 0 THEN 'response'
+      |              WHEN 1 THEN 'request' ELSE 'metadata' END
+      |    END AS wtype,
+      |    length('<urn:graft:' || CAST(doc_id AS VARCHAR) || '-'
+      |      || CAST(i AS VARCHAR) || '>') AS ridlen
+      |  FROM r),
+      |agg AS (SELECT doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_records,
+      |    CAST(sum(CASE WHEN wtype = 'warcinfo' THEN 1 ELSE 0 END) AS BIGINT) AS n_warcinfo,
+      |    CAST(sum(CASE WHEN wtype = 'response' THEN 1 ELSE 0 END) AS BIGINT) AS n_response,
+      |    CAST(sum(CASE WHEN wtype = 'request' THEN 1 ELSE 0 END) AS BIGINT) AS n_request,
+      |    CAST(sum(CASE WHEN wtype = 'metadata' THEN 1 ELSE 0 END) AS BIGINT) AS n_metadata,
+      |    CAST(0 AS BIGINT) AS n_other,
+      |    CAST(sum(chunk) AS BIGINT) AS payload_bytes,
+      |    CAST(sum(65 + length(wtype) + ridlen
+      |      + length(CAST(chunk AS VARCHAR))) AS BIGINT) AS header_bytes
+      |  FROM per GROUP BY doc_id)
+      |SELECT doc_id, n_records, n_warcinfo, n_response, n_request,
+      |  n_metadata, n_other, payload_bytes, header_bytes,
+      |  payload_bytes + header_bytes AS total_bytes
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** Shared per-member gzip geometry CTEs — the construction arithmetic
+    * of gzipPayload/gzipFrame (member split, flag cycle, MTIME, block
+    * split, header/deflate lengths), used by both gzip oracles. */
+  private val GZIP_PER_MEMBER_CTES: String =
+    """WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS nm,
+      |    CAST(length(text) AS BIGINT) AS l FROM documents),
+      |r AS (SELECT d.doc_id, d.nm, d.l, i.i
+      |  FROM d CROSS JOIN (SELECT unnest(range(4)) AS i) i
+      |  WHERE i.i < d.nm),
+      |per AS (SELECT doc_id, i,
+      |    l // nm + CASE WHEN i < l % nm THEN 1 ELSE 0 END AS chunk,
+      |    CASE (doc_id + i) % 3 WHEN 1 THEN 8 WHEN 2 THEN 4 ELSE 0 END AS flg,
+      |    (doc_id + i) % 4 + 1 AS nblk,
+      |    (doc_id * 16 + i) % 4294967296 AS mtime
+      |  FROM r),
+      |sized AS (SELECT doc_id, i, chunk, flg, nblk, mtime,
+      |    10 + CASE flg WHEN 8 THEN 9 WHEN 4 THEN 6 ELSE 0 END AS header_len,
+      |    5 * nblk + chunk AS deflate_len
+      |  FROM per)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_raw_parse" -> (C +
@@ -4733,37 +4816,11 @@ object SparkEntry {
     // 65 fixed framing bytes (version line 10, three header names with
     // ": " and CRLFs 36+6, blank line 2, terminator 4, per warcRecord's
     // literals) + the type name + the record id + the decimal width of
-    // each Content-Length — never a byte parsed
-    "q_multimodal_warc" ->
-      """WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS nr,
-        |    CAST(length(text) AS BIGINT) AS l FROM documents),
-        |r AS (SELECT d.doc_id, d.nr, d.l, i.i
-        |  FROM d CROSS JOIN (SELECT unnest(range(4)) AS i) i
-        |  WHERE i.i < d.nr),
-        |per AS (SELECT doc_id, i,
-        |    l // nr + CASE WHEN i < l % nr THEN 1 ELSE 0 END AS chunk,
-        |    CASE WHEN i = 0 THEN 'warcinfo'
-        |         ELSE CASE (doc_id + i) % 3 WHEN 0 THEN 'response'
-        |              WHEN 1 THEN 'request' ELSE 'metadata' END
-        |    END AS wtype,
-        |    length('<urn:graft:' || CAST(doc_id AS VARCHAR) || '-'
-        |      || CAST(i AS VARCHAR) || '>') AS ridlen
-        |  FROM r),
-        |agg AS (SELECT doc_id,
-        |    CAST(count(*) AS BIGINT) AS n_records,
-        |    CAST(sum(CASE WHEN wtype = 'warcinfo' THEN 1 ELSE 0 END) AS BIGINT) AS n_warcinfo,
-        |    CAST(sum(CASE WHEN wtype = 'response' THEN 1 ELSE 0 END) AS BIGINT) AS n_response,
-        |    CAST(sum(CASE WHEN wtype = 'request' THEN 1 ELSE 0 END) AS BIGINT) AS n_request,
-        |    CAST(sum(CASE WHEN wtype = 'metadata' THEN 1 ELSE 0 END) AS BIGINT) AS n_metadata,
-        |    CAST(0 AS BIGINT) AS n_other,
-        |    CAST(sum(chunk) AS BIGINT) AS payload_bytes,
-        |    CAST(sum(65 + length(wtype) + ridlen
-        |      + length(CAST(chunk AS VARCHAR))) AS BIGINT) AS header_bytes
-        |  FROM per GROUP BY doc_id)
-        |SELECT doc_id, n_records, n_warcinfo, n_response, n_request,
-        |  n_metadata, n_other, payload_bytes, header_bytes,
-        |  payload_bytes + header_bytes AS total_bytes
-        |FROM agg ORDER BY doc_id""".stripMargin,
+    // each Content-Length — never a byte parsed. Shared with
+    // q_multimodal_warc_gz: the inflated .warc.gz stream is
+    // byte-identical to the uncompressed build (stored-block identity),
+    // so ONE analytic census covers both read paths.
+    "q_multimodal_warc" -> WARC_STATS_SQL,
 
     // per-record geometry recomputed analytically: record i's payload
     // starts after every prior record's full size (a window sum) plus
@@ -4829,6 +4886,46 @@ object SparkEntry {
         |  CAST(sum(chunk) + sum(65 + length(wtype) + ridlen
         |    + length(CAST(chunk AS VARCHAR))) AS BIGINT) AS total_bytes
         |FROM per""".stripMargin,
+
+    // the gzip member census recomputed ANALYTICALLY from the
+    // construction arithmetic: per doc, nm = id%4+1 members split text
+    // near-evenly; member i's optional field cycles none/FNAME/FEXTRA by
+    // (id+i)%3 (9 = "m<d>-<i>.txt"+NUL / 6 = XLEN+4 extra bytes), its
+    // deflate stream is (id+i)%4+1 stored blocks at 5 framing bytes
+    // each, its trailer 8 bytes; crc_ok = n_members because the walker
+    // RECOMPUTES CRC32+ISIZE and the builder wrote matching values —
+    // never a byte parsed by the oracle
+    "q_multimodal_gzip" -> (GZIP_PER_MEMBER_CTES + """
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_members,
+      |  CAST(sum(CASE WHEN flg = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_fname,
+      |  CAST(sum(CASE WHEN flg = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_fextra,
+      |  CAST(sum(nblk) AS BIGINT) AS n_blocks,
+      |  CAST(sum(header_len) AS BIGINT) AS header_bytes,
+      |  CAST(sum(deflate_len) AS BIGINT) AS deflate_bytes,
+      |  CAST(8 * count(*) AS BIGINT) AS trailer_bytes,
+      |  CAST(sum(chunk) AS BIGINT) AS isize_total,
+      |  CAST(sum(mtime) AS BIGINT) AS mtime_sum,
+      |  CAST(count(*) AS BIGINT) AS crc_ok,
+      |  CAST(sum(header_len + deflate_len + 8) AS BIGINT) AS total_bytes
+      |FROM sized GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // per-member geometry from the same construction CTEs
+    "q_multimodal_gzip_members" -> (GZIP_PER_MEMBER_CTES + """
+      |SELECT doc_id, CAST(i AS BIGINT) AS member_idx,
+      |  CAST(flg AS BIGINT) AS flg, CAST(mtime AS BIGINT) AS mtime,
+      |  CAST(header_len AS BIGINT) AS header_len,
+      |  CAST(deflate_len AS BIGINT) AS deflate_len,
+      |  CAST(nblk AS BIGINT) AS n_blocks,
+      |  CAST(chunk AS BIGINT) AS isize,
+      |  CAST(1 AS BIGINT) AS crc_ok
+      |FROM sized ORDER BY doc_id, member_idx""".stripMargin),
+
+    // the .warc.gz path replays the UNCOMPRESSED census verbatim: the
+    // gzip layer inflates to the byte-identical stream (stored-block
+    // identity, spec'd), so the analytic WARC arithmetic is the oracle
+    // for the compressed read path too
+    "q_multimodal_warc_gz" -> WARC_STATS_SQL,
 
     // same independent byte-stream recomputation as q_multimodal (both
     // codec bodies are exactly the text bytes: the JPEG kernel range

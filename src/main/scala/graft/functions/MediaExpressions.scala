@@ -615,6 +615,173 @@ object DspKernel {
     new GenericArrayData(Array(recs, winfo, resp, req, meta, other,
       payloadBytes, n.toLong - payloadBytes))
   }
+
+  /** Adversarial-input bound on the gzip walks — the WarcMaxRecords
+    * discipline: a member costs ≥ 23 bytes of mandatory framing
+    * (10 header + 5 empty stored block + 8 trailer), so 4096 members
+    * already needs a ~94 KB stream of empty members. */
+  private val GzipMaxMembers = 4096L
+
+  /** Per-stream bound on stored-block hops (an empty non-final block is
+    * 5 bytes, so this caps adversarial block spam at ~320 KB). */
+  private val GzipMaxBlocks = 65536L
+
+  /** RFC 1952 gzip MEMBER-stream walk over STORED-deflate members — the
+    * on-disk shape of a Common-Crawl `.warc.gz` (one member per record,
+    * members concatenated to end-of-stream). Walks, per member: the
+    * 10-byte fixed header (magic 1F 8B, CM 8, FLG, MTIME LE32, XFL, OS),
+    * the optional FEXTRA (XLEN LE16 + XLEN bytes), FNAME / FCOMMENT
+    * (NUL-terminated), FHCRC (2 bytes) fields in the spec's order, then
+    * the deflate stream as RFC 1951 STORED (BTYPE 00) blocks — header
+    * byte, LEN LE16, NLEN = ~LEN, LEN raw bytes, until BFINAL — and the
+    * CRC32 + ISIZE LE32 trailer, recomputing both over the walked data
+    * (`crcOk` certifies the builder, not a copied constant).
+    *
+    * Returns, via `table` (stride 7 per member): [flg, mtime,
+    * header_len, deflate_len, n_blocks, isize, crc_ok] — crc_ok = 1 iff
+    * BOTH the stored CRC32 and the stored ISIZE match the recomputed
+    * values. When `sink` is non-null the stored block data (= the
+    * member's uncompressed bytes — stored blocks hold them verbatim) is
+    * appended in stream order, so concatenating every member inflates
+    * the whole stream without an inflater.
+    *
+    * Null (never a throw, never a garbage-offset read) for: an empty
+    * stream, a bad magic / CM, reserved FLG bits (0xE0), any truncated
+    * field, an unterminated FNAME/FCOMMENT, a non-stored block type
+    * (this is a stored-only walker — real DEFLATE members need an
+    * inflater, documented like warcStats's no-folding rule), an
+    * NLEN complement mismatch, block data past the buffer, or walks
+    * past [[GzipMaxMembers]] / [[GzipMaxBlocks]]. */
+  private def gzipWalk(p: Array[Byte],
+                       sink: java.io.ByteArrayOutputStream):
+      scala.collection.mutable.ArrayBuffer[Long] = {
+    val n = p.length
+    if (n == 0) return null
+    def le16(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    def le32(i: Int): Long =
+      (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+        ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var pos = 0
+    var members = 0L
+    var blocksTotal = 0L
+    while (pos < n) {
+      members += 1
+      if (members > GzipMaxMembers) return null
+      if (pos + 10 > n) return null
+      if ((p(pos) & 0xff) != 0x1f || (p(pos + 1) & 0xff) != 0x8b ||
+        (p(pos + 2) & 0xff) != 8) return null
+      val flg = p(pos + 3) & 0xff
+      if ((flg & 0xe0) != 0) return null
+      val mtime = le32(pos + 4)
+      val hstart = pos
+      pos += 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (pos + 2 > n) return null
+        val xlen = le16(pos)
+        pos += 2 + xlen
+        if (pos > n) return null
+      }
+      if ((flg & 8) != 0) { // FNAME
+        while (pos < n && p(pos) != 0) pos += 1
+        if (pos >= n) return null
+        pos += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT
+        while (pos < n && p(pos) != 0) pos += 1
+        if (pos >= n) return null
+        pos += 1
+      }
+      if ((flg & 2) != 0) { // FHCRC
+        pos += 2
+        if (pos > n) return null
+      }
+      val headerLen = (pos - hstart).toLong
+      val dstart = pos
+      val crc = new java.util.zip.CRC32()
+      var isizeCalc = 0L
+      var blocks = 0L
+      var bfinal = false
+      while (!bfinal) {
+        if (pos + 5 > n) return null
+        val hdr = p(pos) & 0xff
+        if ((hdr & 0x06) != 0) return null // BTYPE != 00: not stored
+        bfinal = (hdr & 1) == 1
+        val len = le16(pos + 1)
+        val nlen = le16(pos + 3)
+        if ((len ^ nlen) != 0xffff) return null
+        if (pos + 5 + len > n) return null
+        crc.update(p, pos + 5, len)
+        if (sink != null) sink.write(p, pos + 5, len)
+        isizeCalc += len
+        pos += 5 + len
+        blocks += 1
+        blocksTotal += 1
+        if (blocksTotal > GzipMaxBlocks) return null
+      }
+      if (pos + 8 > n) return null
+      val crcStored = le32(pos)
+      val isizeStored = le32(pos + 4)
+      val crcOk =
+        if (crcStored == crc.getValue && isizeStored == (isizeCalc & 0xffffffffL)) 1L
+        else 0L
+      val deflateLen = (pos - dstart).toLong
+      pos += 8
+      out += flg.toLong += mtime += headerLen += deflateLen += blocks +=
+        isizeCalc += crcOk
+    }
+    out
+  }
+
+  /** Gzip member-stream census: [n_members, n_fname, n_fextra,
+    * n_blocks, header_bytes, deflate_bytes, isize_total, mtime_sum,
+    * crc_ok] — header_bytes + deflate_bytes + 8·n_members equals stream
+    * length on success (the warcStats byte-accounting cross-check).
+    * Null per [[gzipWalk]]'s malformation rules. */
+  def gzipMemberStats(p: Array[Byte]): GenericArrayData = {
+    val t = gzipWalk(p, null)
+    if (t == null) return null
+    val m = t.length / 7
+    var nFname = 0L; var nFextra = 0L; var blocks = 0L
+    var headerBytes = 0L; var deflateBytes = 0L; var isize = 0L
+    var mtimeSum = 0L; var crcOk = 0L
+    var i = 0
+    while (i < m) {
+      val flg = t(7 * i)
+      if ((flg & 8) != 0) nFname += 1
+      if ((flg & 4) != 0) nFextra += 1
+      mtimeSum += t(7 * i + 1)
+      headerBytes += t(7 * i + 2)
+      deflateBytes += t(7 * i + 3)
+      blocks += t(7 * i + 4)
+      isize += t(7 * i + 5)
+      crcOk += t(7 * i + 6)
+      i += 1
+    }
+    new GenericArrayData(Array(m.toLong, nFname, nFextra, blocks,
+      headerBytes, deflateBytes, isize, mtimeSum, crcOk))
+  }
+
+  /** Per-member gzip geometry table — [[gzipWalk]]'s stride-7 tuples
+    * (flg, mtime, header_len, deflate_len, n_blocks, isize, crc_ok)
+    * flattened into one long array (member i at indices 7i..7i+6).
+    * Null, never a partial table, per the walk's malformation rules. */
+  def gzipMemberTable(p: Array[Byte]): GenericArrayData = {
+    val t = gzipWalk(p, null)
+    if (t == null) null else new GenericArrayData(t.toArray)
+  }
+
+  /** Stored-deflate "inflate": the concatenated block data of every
+    * member in stream order — byte-identical to the original input for
+    * streams our builder wrote (stored blocks hold the bytes verbatim),
+    * so `warcStats(gzipInflateStored(warc_gz))` is the full
+    * Common-Crawl read path with no native inflater. Null per the
+    * walk's malformation rules. */
+  def gzipInflateStored(p: Array[Byte]): Array[Byte] = {
+    val sink = new java.io.ByteArrayOutputStream()
+    val t = gzipWalk(p, sink)
+    if (t == null) null else sink.toByteArray
+  }
 }
 
 /** `graft_pcm_stats(payload, offset)`: [rms, zcr] of the 16-bit PCM body
@@ -841,6 +1008,82 @@ case class WarcRecordTable(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_gzip_member_stats(payload)`: RFC 1952 member-stream census
+  * over stored-deflate members (null for non-gzip or malformed
+  * streams); see [[DspKernel.gzipMemberStats]]. */
+case class GzipMemberStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gzip_member_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DspKernel.gzipMemberStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.gzipMemberStats($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_gzip_member_table(payload)`: per-member (flg, mtime,
+  * header_len, deflate_len, n_blocks, isize, crc_ok) tuples flattened
+  * into one long array (see [[DspKernel.gzipMemberTable]]); null for
+  * non-gzip or malformed streams. */
+case class GzipMemberTable(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gzip_member_table"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DspKernel.gzipMemberTable(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.gzipMemberTable($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_gzip_inflate_stored(payload)`: the concatenated stored-block
+  * data of every member — the uncompressed stream, with no native
+  * inflater (see [[DspKernel.gzipInflateStored]]); null for non-gzip
+  * or malformed streams. */
+case class GzipInflateStored(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gzip_inflate_stored"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DspKernel.gzipInflateStored(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.gzipInflateStored($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_png_chunk_stats(payload)`: IHDR fields + chunk census + CRC
   * mismatch count from the full PNG chunk walk (null for non-PNG or
   * malformed streams). */
@@ -905,4 +1148,16 @@ object MediaFunctions {
   /** Codegen'd per-record WARC geometry table (flattened triples). */
   def warcRecordTable(payload: Column): Column =
     Bridge.column(WarcRecordTable(Bridge.expression(payload)))
+
+  /** Codegen'd RFC 1952 gzip member-stream census. */
+  def gzipMemberStats(payload: Column): Column =
+    Bridge.column(GzipMemberStats(Bridge.expression(payload)))
+
+  /** Codegen'd per-member gzip geometry table (flattened 7-tuples). */
+  def gzipMemberTable(payload: Column): Column =
+    Bridge.column(GzipMemberTable(Bridge.expression(payload)))
+
+  /** Codegen'd stored-deflate inflate (concatenated member data). */
+  def gzipInflateStored(payload: Column): Column =
+    Bridge.column(GzipInflateStored(Bridge.expression(payload)))
 }

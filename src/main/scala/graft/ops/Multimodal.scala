@@ -582,7 +582,14 @@ object Multimodal {
     * convention; riding record 0's type slot, as an earlier revision
     * did, left nRecords <= 0 silently yielding an empty payload because
     * record 0 itself was gated behind `0 < nRecords`). */
-  def warcPayload(nRecords: Column, variant: Column, text: Column): Column = {
+  def warcPayload(nRecords: Column, variant: Column, text: Column): Column =
+    warcPayloadString(nRecords, variant, text).cast("binary")
+
+  /** [[warcPayload]] before the binary cast — the STRING form the
+    * `.warc.gz` builder wraps in gzip members (the stream is ASCII, so
+    * the stored-block builder's string substr slicing stays exact). */
+  private[graft] def warcPayloadString(nRecords: Column, variant: Column,
+                                       text: Column): Column = {
     val t0 = lit("warcinfo")
     val bodyLen = length(text).cast("long")
     val base = floor(bodyLen / nRecords).cast("long")
@@ -602,7 +609,6 @@ object Multimodal {
     when(nRecords >= 1 && nRecords <= 4, concat(records: _*))
       .otherwise(raise_error(concat(
         lit("warcPayload: nRecords out of [1, 4]: "), nRecords.cast("string"))))
-      .cast("binary")
   }
 
   /** documents → WARC frame: every row carries a WARC file whose record
@@ -685,6 +691,176 @@ object Multimodal {
     val sums = u.columns.map(c => coalesce(sum(col(c)), lit(0L)).as(c))
     u.agg(sums.head, sums.tail: _*)
   }
+
+  /** 4-byte LITTLE-endian hex of a non-negative value < 2^32 — gzip
+    * (RFC 1952) is LE where PNG/MP4 are BE; same compact one-hex+lpad
+    * form as [[beHex32]] (the janino method-limit lesson), bytes
+    * re-ordered by substring. */
+  private def leHex32(v: Column): Column = {
+    val be = lpad(hex(v.cast("long")), 8, "0")
+    concat(substring(be, 7, 2), substring(be, 5, 2),
+      substring(be, 3, 2), substring(be, 1, 2))
+  }
+
+  /** 2-byte little-endian hex of a non-negative value < 2^16. */
+  private def leHex16(v: Column): Column = {
+    val be = lpad(hex(v.cast("long")), 4, "0")
+    concat(substring(be, 3, 2), substring(be, 1, 2))
+  }
+
+  /** One RFC 1952 gzip member by expression: the 10-byte fixed header
+    * (magic 1F 8B, CM 8 = deflate, `flg`, MTIME LE32, XFL 0, OS 3), the
+    * FEXTRA (6 bytes: XLEN=4 + subfield "GR" len 0) or FNAME
+    * (`name` + NUL) field `flg` selects, the deflate stream as `nBlk`
+    * RFC 1951 STORED blocks splitting `chunk` near-evenly (header byte
+    * 00/01, LEN LE16, NLEN = 65535 - LEN, raw bytes — stored blocks
+    * keep the builder and the analytic oracle exact with no deflater),
+    * and the CRC32 + ISIZE LE32 trailer — the CRC computed by Spark's
+    * own `crc32` (the polynomial RFC 1952 mandates), so the walker's
+    * independent recompute checks the BUILDER, not a copied constant. */
+  private def gzipMember(flg: Column, mtime: Column, name: Column,
+                         chunk: Column, nBlk: Column): Column = {
+    val header = concat(
+      unhex(concat(lit("1F8B08"), lpad(hex(flg.cast("long")), 2, "0"),
+        leHex32(mtime), lit("0003"))),
+      when(flg === 4, unhex(lit("040047520000")))
+        .when(flg === 8, concat(name.cast("binary"), unhex(lit("00"))))
+        .otherwise(lit(Array.empty[Byte])))
+    val clen = length(chunk).cast("long")
+    val base = floor(clen / nBlk).cast("long")
+    val rem = pmod(clen, nBlk.cast("long"))
+    val blocks = (0 until 4).map { j =>
+      val start = lit(j.toLong) * base + least(lit(j.toLong), rem) + lit(1L)
+      val len = base + when(lit(j.toLong) < rem, 1L).otherwise(0L)
+      val hdrByte = when(lit(j.toLong) === nBlk.cast("long") - 1, lit("01"))
+        .otherwise(lit("00"))
+      when(lit(j) < nBlk,
+        concat(unhex(concat(hdrByte, leHex16(len), leHex16(lit(65535L) - len))),
+          chunk.substr(start.cast("int"), len.cast("int")).cast("binary")))
+        .otherwise(lit(Array.empty[Byte]))
+    }
+    val trailer = unhex(concat(leHex32(crc32(chunk.cast("binary"))),
+      leHex32(clen)))
+    concat(Seq(header) ++ blocks :+ trailer: _*)
+  }
+
+  /** A structurally valid multi-member gzip stream per RFC 1952:
+    * `nMembers` (≤4) members splitting `text` near-evenly (the
+    * warcPayload split rule), member i's optional field cycling
+    * none/FNAME/FEXTRA by (variant + i) mod 3, its MTIME
+    * (variant·16 + i) mod 2^32, and its deflate stream
+    * (variant + i) mod 4 + 1 stored blocks — so member geometry is
+    * per-row data and the reader must walk header fields, block frames,
+    * and trailers, not index a constant layout. Stored blocks bound LEN
+    * at 65535, so `text` is capped there (far above the corpus; the
+    * near-even member/block splits keep every LEN ≤ ⌈65535/1⌉).
+    * Out-of-range arguments RAISE from the guard wrapping the final
+    * concat — the unconditionally-evaluated slot warcPayload uses. */
+  def gzipPayload(nMembers: Column, variant: Column, text: Column): Column = {
+    val bodyLen = length(text).cast("long")
+    val base = floor(bodyLen / nMembers).cast("long")
+    val rem = pmod(bodyLen, nMembers.cast("long"))
+    val members = (0 until 4).map { i =>
+      val start = lit(i.toLong) * base + least(lit(i.toLong), rem) + lit(1L)
+      val len = base + when(lit(i.toLong) < rem, 1L).otherwise(0L)
+      val chunk = text.substr(start.cast("int"), len.cast("int"))
+      val flg = element_at(array(lit(0), lit(8), lit(4)),
+        ((variant + lit(i)) % 3 + 1).cast("int"))
+      val mtime = pmod(variant * 16 + lit(i), lit(4294967296L))
+      val name = concat(lit("m"), (variant % 10).cast("string"),
+        lit(s"-$i.txt"))
+      val nBlk = ((variant + lit(i)) % 4 + 1).cast("int")
+      when(lit(i) < nMembers, gzipMember(flg, mtime, name, chunk, nBlk))
+        .otherwise(lit(Array.empty[Byte]))
+    }
+    when(nMembers >= 1 && nMembers <= 4 && length(text) <= 65535,
+      concat(members: _*))
+      .otherwise(raise_error(concat(
+        lit("gzipPayload: nMembers out of [1, 4] or text > 65535 bytes: "),
+        nMembers.cast("string"), lit("/"), length(text).cast("string"))))
+      .cast("binary")
+  }
+
+  /** documents → gzip frame: every row carries a multi-member gzip
+    * stream whose member count (1-4), optional header fields, MTIMEs,
+    * and stored-block splits vary per row (doc_id-derived). */
+  def gzipFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      gzipPayload((col("doc_id") % 4 + 1).cast("int"), col("doc_id"),
+        col("text")).as("payload"))
+
+  /** documents → `.warc.gz` frame — the on-disk shape of a real
+    * Common-Crawl capture: the doc's WARC stream ([[warcPayload]]'s
+    * geometry, doc_id-varied) wrapped in gzip members
+    * ([[gzipPayload]]'s geometry). Member boundaries split the stream
+    * near-evenly by BYTES, not by record — the census downstream
+    * ([[warcGzStats]]) is framing-agnostic because concatenating the
+    * inflated members recovers the stream regardless of where the
+    * member cuts fall. */
+  def warcGzFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      gzipPayload((col("doc_id") % 4 + 1).cast("int"), col("doc_id"),
+        warcPayloadString((col("doc_id") % 4 + 1).cast("int"), col("doc_id"),
+          col("text"))).as("payload"))
+
+  /** gzip frame → member census + byte accounting, every value
+    * re-derived from the BYTES by the native member walk (non-gzip
+    * payloads yield nulls). header_bytes + deflate_bytes +
+    * trailer_bytes always equals total_bytes on a well-formed stream —
+    * the warcStats framing cross-check, re-derived analytically by the
+    * oracle from the construction arithmetic. crc_ok counts members
+    * whose stored CRC32 AND ISIZE match the walker's recompute — n_members
+    * by construction, certifying builder and walker against each other. */
+  def gzipStats(media: DataFrame): DataFrame = {
+    val s = graft.functions.MediaFunctions.gzipMemberStats(col("payload"))
+    media.select(
+      col("doc_id"),
+      element_at(s, 1).as("n_members"),
+      element_at(s, 2).as("n_fname"),
+      element_at(s, 3).as("n_fextra"),
+      element_at(s, 4).as("n_blocks"),
+      element_at(s, 5).as("header_bytes"),
+      element_at(s, 6).as("deflate_bytes"),
+      (element_at(s, 1) * lit(8L)).as("trailer_bytes"),
+      element_at(s, 7).as("isize_total"),
+      element_at(s, 8).as("mtime_sum"),
+      element_at(s, 9).as("crc_ok"),
+      length(col("payload")).cast("long").as("total_bytes"))
+  }
+
+  /** gzip frame → one row per MEMBER: (doc_id, member_idx, flg, mtime,
+    * header_len, deflate_len, n_blocks, isize, crc_ok) — the geometry
+    * an indexer records per gzip member (Common Crawl's cdx offset
+    * discipline). Walk and explode both stay expression-side over one
+    * scan (the warcRecords shape). */
+  def gzipMembers(media: DataFrame): DataFrame =
+    media
+      .select(col("doc_id"),
+        graft.functions.MediaFunctions.gzipMemberTable(col("payload")).as("t"))
+      .select(col("doc_id"), expr(
+        """inline(transform(sequence(0, size(t) DIV 7 - 1), i -> struct(
+          |  CAST(i AS BIGINT) AS member_idx,
+          |  element_at(t, CAST(7 * i + 1 AS INT)) AS flg,
+          |  element_at(t, CAST(7 * i + 2 AS INT)) AS mtime,
+          |  element_at(t, CAST(7 * i + 3 AS INT)) AS header_len,
+          |  element_at(t, CAST(7 * i + 4 AS INT)) AS deflate_len,
+          |  element_at(t, CAST(7 * i + 5 AS INT)) AS n_blocks,
+          |  element_at(t, CAST(7 * i + 6 AS INT)) AS isize,
+          |  element_at(t, CAST(7 * i + 7 AS INT)) AS crc_ok)))"""
+          .stripMargin))
+
+  /** `.warc.gz` frame → the WARC record census read THROUGH the gzip
+    * layer: inflate the stored members by expression, then run the
+    * SAME [[warcStats]] walk — the full Common-Crawl read path
+    * (gzip member framing → WARC record framing → census) over one
+    * scan, no native inflater, no driver state. Output is column-for-
+    * column [[warcStats]]'s, so the analytic WARC oracle replays it
+    * unchanged (the inflated stream is byte-identical to the
+    * uncompressed build by the stored-block identity, spec'd). */
+  def warcGzStats(media: DataFrame): DataFrame =
+    warcStats(media.select(col("doc_id"),
+      graft.functions.MediaFunctions.gzipInflateStored(col("payload"))
+        .as("payload")))
 
   /** One ISO-BMFF box by expression: size(4 BE, includes the 8-byte
     * header) + type + payload — the §4.2 compact form the builder emits

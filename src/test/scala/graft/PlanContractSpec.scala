@@ -857,4 +857,25 @@ class PlanContractSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("documents.parquet")) == 1,
       s"WARC records rescanned the corpus:\n$p")
   }
+
+  test("gzip build+walk stays expression-side with no RDD hop, one scan") {
+    val p = plan("q_multimodal_gzip")
+    assert(!p.contains("ExistingRDD"), s"gzip walk dropped to an RDD scan:\n$p")
+    assert(p.linesIterator.count(_.contains("documents.parquet")) == 1,
+      s"gzip walk rescanned the corpus:\n$p")
+  }
+
+  test("gzip per-member explode stays expression-side with no RDD hop, one scan") {
+    val p = plan("q_multimodal_gzip_members")
+    assert(!p.contains("ExistingRDD"), s"gzip members dropped to an RDD scan:\n$p")
+    assert(p.linesIterator.count(_.contains("documents.parquet")) == 1,
+      s"gzip members rescanned the corpus:\n$p")
+  }
+
+  test("warc.gz build+inflate+walk stays expression-side with no RDD hop, one scan") {
+    val p = plan("q_multimodal_warc_gz")
+    assert(!p.contains("ExistingRDD"), s"warc.gz path dropped to an RDD scan:\n$p")
+    assert(p.linesIterator.count(_.contains("documents.parquet")) == 1,
+      s"warc.gz path rescanned the corpus:\n$p")
+  }
 }

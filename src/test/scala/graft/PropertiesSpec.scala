@@ -805,6 +805,200 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: gzip member walk recovers the planted geometry, and inflate is the identity") {
+    // builder and walker must agree byte-for-byte: member count, the
+    // flag-selected optional fields, MTIME, the stored-block split, the
+    // per-member byte accounting, and the recomputed CRC32+ISIZE checks
+    // — and concatenating the stored blocks back (the no-inflater
+    // "inflate") must recover the original text bit-exactly
+    import graft.ops.Multimodal
+    val geom = for {
+      nm <- Gen.chooseNum(1, 4)
+      variant <- Gen.chooseNum(0, 999999)
+      body <- Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    } yield (nm, variant.toLong, body)
+    (1L to 5L).foreach { seed =>
+      val cases = sample(Gen.listOfN(15, geom), seed).zipWithIndex
+      val df = cases.map { case ((nm, v, body), i) => (i.toLong, nm, v, body) }
+        .toDF("doc_id", "nm", "variant", "body")
+        .select(col("doc_id"), col("body"),
+          Multimodal.gzipPayload(col("nm"), col("variant"), col("body"))
+            .as("payload"))
+      val got = Multimodal.gzipStats(df.select("doc_id", "payload"))
+        .orderBy("doc_id").collect()
+      cases.foreach { case ((nm, v, body), i) =>
+        val r = got(i)
+        val l = body.length
+        val chunks = (0 until nm).map(k => l / nm + (if (k < l % nm) 1 else 0))
+        val flgs = (0 until nm).map(k => Seq(0, 8, 4)(((v + k) % 3).toInt))
+        val nblks = (0 until nm).map(k => ((v + k) % 4 + 1).toInt)
+        val headers = flgs.map(f => 10 + (if (f == 8) 9 else if (f == 4) 6 else 0))
+        val deflates = nblks.zip(chunks).map { case (b, c) => 5 * b + c }
+        assert(r.getAs[Long]("n_members") === nm.toLong, s"seed $seed case $i")
+        assert(r.getAs[Long]("n_fname") === flgs.count(_ == 8).toLong, s"seed $seed case $i")
+        assert(r.getAs[Long]("n_fextra") === flgs.count(_ == 4).toLong, s"seed $seed case $i")
+        assert(r.getAs[Long]("n_blocks") === nblks.sum.toLong, s"seed $seed case $i")
+        assert(r.getAs[Long]("header_bytes") === headers.sum.toLong, s"seed $seed case $i")
+        assert(r.getAs[Long]("deflate_bytes") === deflates.sum.toLong, s"seed $seed case $i")
+        assert(r.getAs[Long]("trailer_bytes") === 8L * nm, s"seed $seed case $i")
+        assert(r.getAs[Long]("isize_total") === l.toLong, s"seed $seed case $i")
+        assert(r.getAs[Long]("mtime_sum") ===
+          (0 until nm).map(k => (v * 16 + k) % 4294967296L).sum, s"seed $seed case $i")
+        assert(r.getAs[Long]("crc_ok") === nm.toLong,
+          s"seed $seed case $i: a member failed its recomputed CRC32/ISIZE check")
+        assert(r.getAs[Long]("total_bytes") ===
+          (headers.sum + deflates.sum + 8 * nm).toLong, s"seed $seed case $i")
+      }
+      // per-member geometry face agrees with the same model
+      val members = Multimodal.gzipMembers(df.select("doc_id", "payload"))
+        .orderBy("doc_id", "member_idx").collect()
+      cases.foreach { case ((nm, v, body), i) =>
+        val rows = members.filter(_.getAs[Long]("doc_id") == i.toLong)
+        assert(rows.length === nm, s"seed $seed case $i")
+        rows.zipWithIndex.foreach { case (row, k) =>
+          val l = body.length
+          val chunk = l / nm + (if (k < l % nm) 1 else 0)
+          val flg = Seq(0, 8, 4)(((v + k) % 3).toInt)
+          val nblk = ((v + k) % 4 + 1).toInt
+          assert(row.getAs[Long]("flg") === flg.toLong, s"seed $seed case $i member $k")
+          assert(row.getAs[Long]("mtime") === (v * 16 + k) % 4294967296L, s"seed $seed case $i member $k")
+          assert(row.getAs[Long]("header_len") ===
+            (10 + (if (flg == 8) 9 else if (flg == 4) 6 else 0)).toLong, s"seed $seed case $i member $k")
+          assert(row.getAs[Long]("deflate_len") === (5 * nblk + chunk).toLong, s"seed $seed case $i member $k")
+          assert(row.getAs[Long]("n_blocks") === nblk.toLong, s"seed $seed case $i member $k")
+          assert(row.getAs[Long]("isize") === chunk.toLong, s"seed $seed case $i member $k")
+          assert(row.getAs[Long]("crc_ok") === 1L, s"seed $seed case $i member $k")
+        }
+      }
+      // inflate identity: the stored-block concatenation IS the input
+      val inflated = df.select(col("doc_id"), col("body"),
+        graft.functions.MediaFunctions.gzipInflateStored(col("payload"))
+          .cast("string").as("back"))
+        .orderBy("doc_id").collect()
+      inflated.foreach { r =>
+        assert(r.getAs[String]("back") === r.getAs[String]("body"),
+          s"seed $seed doc ${r.getAs[Long]("doc_id")}: inflate not the identity")
+      }
+    }
+  }
+
+  test("gzip walk: optional-field tolerance, malformed streams null, CRC/ISIZE mismatches counted, bad args raise") {
+    import graft.ops.Multimodal
+    def walk(p: Array[Byte]) = graft.functions.DspKernel.gzipMemberStats(p)
+    // a hand-built well-formed member with FCOMMENT + FHCRC — fields the
+    // builder never emits but RFC 1952 allows; the walker must consume
+    // them in the spec's order
+    def wellFormed(data: Array[Byte], flg: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0x1f, 0x8b.toByte, 8, flg.toByte, 1, 0, 0, 0, 0, 3))
+      if ((flg & 4) != 0) out.write(Array[Byte](4, 0, 'G', 'R', 0, 0))
+      if ((flg & 8) != 0) { out.write("n.txt".getBytes("UTF-8")); out.write(0) }
+      if ((flg & 16) != 0) { out.write("a comment".getBytes("UTF-8")); out.write(0) }
+      if ((flg & 2) != 0) out.write(Array[Byte](0x42, 0x42))
+      out.write(Array[Byte](1, (data.length & 0xff).toByte,
+        ((data.length >> 8) & 0xff).toByte,
+        ((data.length ^ 0xffff) & 0xff).toByte,
+        (((data.length ^ 0xffff) >> 8) & 0xff).toByte))
+      out.write(data)
+      val crc = new java.util.zip.CRC32(); crc.update(data)
+      val c = crc.getValue
+      out.write(Array[Byte](c.toByte, (c >> 8).toByte, (c >> 16).toByte,
+        (c >> 24).toByte, data.length.toByte, (data.length >> 8).toByte,
+        (data.length >> 16).toByte, (data.length >> 24).toByte))
+      out.toByteArray
+    }
+    val data = "hello stored world".getBytes("UTF-8")
+    val full = wellFormed(data, 2 | 4 | 8 | 16) // FHCRC+FEXTRA+FNAME+FCOMMENT
+    val s = walk(full)
+    assert(s != null && s.toLongArray()(0) === 1L && s.toLongArray()(8) === 1L)
+    assert(s.toLongArray()(6) === data.length.toLong) // isize_total
+    // two members concatenate
+    val two = wellFormed(data, 0) ++ wellFormed(Array[Byte](), 8)
+    val s2 = walk(two)
+    assert(s2 != null && s2.toLongArray()(0) === 2L && s2.toLongArray()(8) === 2L)
+    // malformed: null, never a throw or a garbage-offset read
+    assert(walk(Array[Byte]()) == null)                       // empty stream
+    assert(walk("not gzip".getBytes("UTF-8")) == null)        // bad magic
+    assert(walk(full.take(9)) == null)                        // truncated header
+    val base = wellFormed(data, 0)
+    assert(walk(base.dropRight(1)) == null)                   // truncated trailer
+    assert(walk(base.updated(2, 7.toByte)) == null)           // CM != deflate
+    assert(walk(base.updated(3, 0x20.toByte)) == null)        // reserved FLG bit
+    assert(walk(base.updated(10, 2.toByte)) == null)          // BTYPE 01: not stored
+    assert(walk(base.updated(13, 0.toByte)) == null)          // NLEN complement broken
+    val named = wellFormed(data, 8)
+    assert(walk(named.take(named.length - data.length - 13 - 5)
+      .map(b => if (b == 0) 'x'.toByte else b)) == null)      // unterminated FNAME
+    // a block claiming more data than the buffer holds
+    assert(walk(base.updated(11, 0xff.toByte).updated(12, 0xff.toByte)
+      .updated(13, 0.toByte).updated(14, 0.toByte)) == null)
+    // CRC / ISIZE corruption is NOT malformation — the member walks,
+    // the mismatch is counted (crc_ok drops), geometry stays exact
+    val badCrc = base.clone(); badCrc(base.length - 8) = (badCrc(base.length - 8) ^ 1).toByte
+    val sc = walk(badCrc)
+    assert(sc != null && sc.toLongArray()(0) === 1L && sc.toLongArray()(8) === 0L)
+    val badIsize = base.clone(); badIsize(base.length - 4) = (badIsize(base.length - 4) ^ 1).toByte
+    val si = walk(badIsize)
+    assert(si != null && si.toLongArray()(0) === 1L && si.toLongArray()(8) === 0L)
+    // the generator refuses member counts it cannot frame — BOTH sides
+    // (the guard is on the final concat, the unconditional slot)
+    def msgs(t2: Throwable): Seq[String] =
+      Option(t2).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    for (bad <- Seq(0, 5)) {
+      val e = intercept[Exception] {
+        Seq((0L, "body")).toDF("doc_id", "body")
+          .select(Multimodal.gzipPayload(lit(bad), col("doc_id"), col("body")))
+          .collect()
+      }
+      assert(msgs(e).exists(_.contains("nMembers out of")), s"unexpected: $e")
+    }
+  }
+
+  test("property: the gzip walk is total over arbitrary binary garbage") {
+    import graft.ops.Multimodal
+    val bytesGen = Gen.chooseNum(0, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    (1L to 5L).foreach { seed =>
+      val payloads = sample(Gen.listOfN(30, bytesGen), seed) ++ Seq(
+        Array[Byte](),
+        Array[Byte](0x1f, 0x8b.toByte),                 // bare magic
+        Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 3), // header, no blocks
+        Array[Byte](0x1f, 0x8b.toByte, 8, 8, 0, 0, 0, 0, 0, 3, 'n'), // FNAME never ends
+        Array[Byte](0x1f, 0x8b.toByte, 8, 4, 0, 0, 0, 0, 0, 3, 0x7f.toByte, 0x7f.toByte)) // XLEN overruns
+      val df = payloads.zipWithIndex
+        .map { case (p, i) => (i.toLong, p) }
+        .toDF("doc_id", "payload")
+      val rows = Multimodal.gzipStats(df).orderBy("doc_id").collect()
+      assert(rows.length === payloads.length) // total: no exception, no drop
+    }
+  }
+
+  test("warc.gz composition: the census through the gzip layer equals the uncompressed census") {
+    // the full Common-Crawl read path — gzip member framing over WARC
+    // record framing — must census identically to reading the stream
+    // uncompressed, for any member/record geometry combination
+    import graft.ops.Multimodal
+    val docs = (0L until 24L).map(i => (i, s"document body $i " * (i.toInt % 7 + 1)))
+      .toDF("doc_id", "text")
+    val direct = Multimodal.warcStats(Multimodal.warcFrame(docs))
+      .orderBy("doc_id").collect()
+    val throughGz = Multimodal.warcGzStats(Multimodal.warcGzFrame(docs))
+      .orderBy("doc_id").collect()
+    assert(throughGz.toSeq === direct.toSeq,
+      "warc.gz path diverged from the uncompressed census")
+    // and the inflated bytes are EXACTLY the uncompressed build
+    val side = Multimodal.warcFrame(docs).withColumnRenamed("payload", "direct")
+    val both = Multimodal.warcGzFrame(docs).join(side, "doc_id")
+      .select(col("doc_id"),
+        graft.functions.MediaFunctions.gzipInflateStored(col("payload"))
+          .as("inflated"), col("direct")).collect()
+    both.foreach { r =>
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("inflated"),
+        r.getAs[Array[Byte]]("direct")),
+        s"doc ${r.getAs[Long]("doc_id")}: inflated stream not byte-identical")
+    }
+  }
+
   test("property: MP4 box walk recovers mvhd fields and the exact trak/mdat census") {
     // every generated geometry must walk back to the planted integers —
     // the builder's box framing and the walker's size/type hops must
