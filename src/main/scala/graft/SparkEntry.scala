@@ -443,6 +443,13 @@ object SparkEntry {
     "q_ewma_hourly" -> ((s, dir) =>
       TimeSeries.ewmaHourly(Tables.events(s, dir)).orderBy("key", "bucket_us")),
 
+    // integer-exact Holt level+trend forecasting: rational alpha/beta,
+    // explicit floor division at BOTH recurrence steps (trend deltas go
+    // negative on declines — where floor and truncation diverge), one
+    // per-key fold off the same hourly seam as the EWMA
+    "q_holt_trend" -> ((s, dir) =>
+      TimeSeries.holtHourly(Tables.events(s, dir)).orderBy("key", "bucket_us")),
+
     "q_cusum_drift" -> ((s, dir) =>
       TimeSeries.cusumDrift(Tables.events(s, dir)).orderBy("key", "bucket_us")),
 
@@ -493,6 +500,14 @@ object SparkEntry {
     "graph_triangles" -> ((s, dir) =>
       Graph.triangleCounts(Graph.coOrderedParts(Tables.lineitem(s, dir)))
         .orderBy("part")),
+
+    // k-core decomposition on the same co-parts graph: fixed-round
+    // synchronous h-operator iterate (degree -> h-index of neighbor
+    // values, provably convergent to coreness), oracle unrolls the
+    // identical rounds
+    "graph_kcore" -> ((s, dir) =>
+      Graph.kCore(Graph.coOrderedParts(Tables.lineitem(s, dir)))
+        .orderBy("node")),
 
     // incremental view maintenance: the engine merges a two-way split of
     // the history; the oracle recomputes directly — the associativity law
@@ -1279,6 +1294,14 @@ object SparkEntry {
       Similarity.hybridTopK(Tables.documents(s, dir), Tables.embeddings(s, dir))
         .orderBy("query_id", "rank")),
 
+    // MRR@5 of the fused stack vs brute-cosine truth: first-true-hit
+    // rank and 10^6 DIV rank per serving list (lex/dense/fused) — the
+    // position-aware quality number recall@k can't provide; the dense
+    // arm is brute force, so its column is the calibration line
+    "sim_mrr_audit" -> ((s, dir) =>
+      Similarity.mrrAudit(Tables.documents(s, dir), Tables.embeddings(s, dir))
+        .orderBy("query_id")),
+
     // k-anonymity exposure over (lang, source, ceil-pow2 length) quasi-
     // identifiers — the indirect-identifier audit next to the PII scrub
     "q_anonymity_census" -> ((s, dir) => {
@@ -1471,6 +1494,17 @@ object SparkEntry {
     // the full raw→train-ready chain in one composed plan
     "text_train_ready" -> ((s, dir) =>
       Curation.trainReadyStats(Tables.documents(s, dir))),
+
+    // C4-style URL hygiene: per-registered-domain census over doc URLs
+    // (derived deterministically — the fixture has no URL column; the
+    // extraction then reads the URL STRING, never the construction)
+    "text_domain_census" -> ((s, dir) =>
+      Curation.domainCensus(Tables.documents(s, dir)).orderBy("domain")),
+
+    // the blocklist gate's census twin: per source, total/blocked/kept
+    // counts under the default broadcast blocklist
+    "text_domain_gated" -> ((s, dir) =>
+      Curation.domainGatedStats(Tables.documents(s, dir)).orderBy("source")),
 
     // the capstone budget: docs and tokens surviving the full chain,
     // priced by SOURCE — what the training run actually reads
@@ -2434,6 +2468,39 @@ object SparkEntry {
         |SELECT key, bucket_us, swq, CAST(s AS BIGINT) AS ewma_q
         |FROM ew ORDER BY key, bucket_us""".stripMargin,
 
+    // Holt level+trend: the same recursive-CTE replay as the EWMA, with
+    // floor division spelled explicitly ((x - posmod(x, den)) // den) —
+    // the trend step's numerator goes negative on declining series, where
+    // DuckDB's truncating // and the recurrence's floor diverge
+    "q_holt_trend" ->
+      """WITH RECURSIVE q AS (SELECT event_type AS key,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS qv
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+        |hourly AS (SELECT key, bucket_us, CAST(sum(qv) AS BIGINT) AS swq
+        |  FROM q GROUP BY 1, 2),
+        |hx AS (SELECT key, bucket_us, swq,
+        |    CAST(row_number() OVER (PARTITION BY key ORDER BY bucket_us) AS BIGINT) AS i
+        |  FROM hourly),
+        |ho AS (
+        |  SELECT key, i, bucket_us, swq, swq AS l, CAST(0 AS BIGINT) AS b
+        |  FROM hx WHERE i = 1
+        |  UNION ALL
+        |  SELECT h.key, h.i, h.bucket_us, h.swq,
+        |    ((1 * h.swq + 3 * (e.l + e.b))
+        |      - (((1 * h.swq + 3 * (e.l + e.b)) % 4 + 4) % 4)) // 4 AS l,
+        |    ((1 * (((1 * h.swq + 3 * (e.l + e.b))
+        |          - (((1 * h.swq + 3 * (e.l + e.b)) % 4 + 4) % 4)) // 4 - e.l)
+        |        + 1 * e.b)
+        |      - (((1 * (((1 * h.swq + 3 * (e.l + e.b))
+        |            - (((1 * h.swq + 3 * (e.l + e.b)) % 4 + 4) % 4)) // 4 - e.l)
+        |          + 1 * e.b) % 2 + 2) % 2)) // 2 AS b
+        |  FROM ho e JOIN hx h ON h.key = e.key AND h.i = e.i + 1)
+        |SELECT key, bucket_us, swq, CAST(l AS BIGINT) AS level_q,
+        |  CAST(b AS BIGINT) AS trend_q, CAST(l + b AS BIGINT) AS forecast_q
+        |FROM ho ORDER BY key, bucket_us""".stripMargin,
+
     "q_cusum_drift" ->
       """WITH q AS (SELECT event_type AS key,
         |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
@@ -2878,56 +2945,40 @@ object SparkEntry {
     // both retrieval arms replayed at depth 10 (the BM25 chain above
     // verbatim, the dense brute scan), then the fusion's exact integer
     // arithmetic: 10^6 // (60 + rank), missing arm contributes 0
-    "sim_hybrid_topk" ->
-      """WITH tf AS (SELECT doc_id, w, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-        |        FROM documents) GROUP BY 1, 2),
-        |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(dl) AS BIGINT) AS n_tokens FROM lens),
-        |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1
-        |  HAVING count(*) <= 1000),
-        |q AS (SELECT doc_id AS query_id, w FROM tf WHERE doc_id < 5),
-        |sc AS (SELECT q.query_id, t.doc_id,
-        |    CAST(round(ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
-        |        / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
-        |      * (CAST(t.tf AS DOUBLE) * 2.2)
-        |      / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
-        |        * CAST(l.dl AS DOUBLE)
-        |        / (CAST(s.n_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
-        |      * 1000000) AS BIGINT) AS qs
-        |  FROM q JOIN tf t ON t.w = q.w AND t.doc_id <> q.query_id
-        |  JOIN dfreq d ON d.w = q.w
-        |  JOIN lens l ON l.doc_id = t.doc_id
-        |  CROSS JOIN stats s),
-        |agg AS (SELECT query_id, doc_id, CAST(sum(qs) AS BIGINT) AS score_q
-        |  FROM sc GROUP BY 1, 2),
-        |lex AS (SELECT query_id, neighbor_id, lex_rank FROM (
-        |  SELECT query_id, doc_id AS neighbor_id,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score_q DESC, doc_id) AS BIGINT) AS lex_rank FROM agg)
-        |  WHERE lex_rank <= 10),
-        |dense AS (SELECT query_id, neighbor_id, dense_rank FROM (
-        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |    CAST(row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS BIGINT)
-        |      AS dense_rank
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-        |  WHERE a.vec_id < 5)
-        |  WHERE dense_rank <= 10),
-        |fused AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
-        |    coalesce(l.neighbor_id, d.neighbor_id) AS neighbor_id,
-        |    l.lex_rank, d.dense_rank,
-        |    CAST(coalesce(1000000 // (60 + l.lex_rank), 0)
-        |       + coalesce(1000000 // (60 + d.dense_rank), 0) AS BIGINT) AS rrf
-        |  FROM lex l FULL OUTER JOIN dense d
-        |    ON l.query_id = d.query_id AND l.neighbor_id = d.neighbor_id),
-        |rr AS (SELECT query_id, neighbor_id, lex_rank, dense_rank, rrf,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY rrf DESC, neighbor_id) AS BIGINT) AS rank FROM fused)
+    "sim_hybrid_topk" -> ("WITH " + HYBRID_RANK_CTES + """
         |SELECT query_id, rank, neighbor_id, rrf, lex_rank, dense_rank
-        |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+        |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // MRR@5 of each serving list (lexical @5, dense @5, fused @5)
+    // against brute-force cosine truth: first-true-hit rank per arm,
+    // rr_scaled = 10^6 // first_rank (0 on all-miss) — the dense arm IS
+    // the truth generator here, so its row is the calibration line
+    "sim_mrr_audit" -> ("WITH " + HYBRID_RANK_CTES + """,
+        |truth AS (SELECT query_id, neighbor_id FROM dense WHERE dense_rank <= 5),
+        |qs AS (SELECT query_id FROM lex UNION SELECT query_id FROM dense),
+        |lh AS (SELECT t.query_id, CAST(min(l.lex_rank) AS BIGINT) AS fr
+        |       FROM truth t JOIN lex l ON l.query_id = t.query_id
+        |         AND l.neighbor_id = t.neighbor_id
+        |       WHERE l.lex_rank <= 5 GROUP BY 1),
+        |dh AS (SELECT t.query_id, CAST(min(d.dense_rank) AS BIGINT) AS fr
+        |       FROM truth t JOIN dense d ON d.query_id = t.query_id
+        |         AND d.neighbor_id = t.neighbor_id
+        |       WHERE d.dense_rank <= 5 GROUP BY 1),
+        |fh AS (SELECT t.query_id, CAST(min(r.rank) AS BIGINT) AS fr
+        |       FROM truth t JOIN rr r ON r.query_id = t.query_id
+        |         AND r.neighbor_id = t.neighbor_id
+        |       WHERE r.rank <= 5 GROUP BY 1)
+        |SELECT q.query_id,
+        |  lh.fr AS lex_first_rank,
+        |  CAST(coalesce(1000000 // lh.fr, 0) AS BIGINT) AS lex_rr,
+        |  dh.fr AS dense_first_rank,
+        |  CAST(coalesce(1000000 // dh.fr, 0) AS BIGINT) AS dense_rr,
+        |  fh.fr AS fused_first_rank,
+        |  CAST(coalesce(1000000 // fh.fr, 0) AS BIGINT) AS fused_rr
+        |FROM qs q LEFT JOIN lh ON lh.query_id = q.query_id
+        |LEFT JOIN dh ON dh.query_id = q.query_id
+        |LEFT JOIN fh ON fh.query_id = q.query_id
+        |ORDER BY q.query_id""".stripMargin),
 
     // same integer idf surrogate as text_tfidf ((N+1)//(df+1), scaled
     // 10^6), same df cap as the engine, ties by neighbor id
@@ -2995,6 +3046,8 @@ object SparkEntry {
         |  SELECT b FROM tri UNION ALL
         |  SELECT c FROM tri)
         |GROUP BY part ORDER BY part""".stripMargin,
+
+    "graph_kcore" -> KCORE_SQL,
 
     // the oracle is the DIRECT rollup — merge(partial(A), partial(B)) must
     // equal partial(A ∪ B); sums are micro-quantized integers (exact)
@@ -3811,6 +3864,25 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CAST(quality_score AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS mean_quality
         |FROM kept GROUP BY 1 ORDER BY lang""".stripMargin),
+
+    // the URL is REBUILT by the same deterministic construction, then the
+    // census extracts host/domain/tld from the string exactly as the
+    // engine does (split on ://, first path segment, strip www., last
+    // dot label)
+    "text_domain_census" -> ("WITH " + DOC_URL_CTES + """
+        |SELECT domain, string_split(domain, '.')[-1] AS tld,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM d GROUP BY 1, 2 ORDER BY domain""".stripMargin),
+
+    "text_domain_gated" -> ("WITH " + DOC_URL_CTES + """,
+        |bl AS (SELECT unnest(['src0-7.net', 'src1-13.io', 'src2-21.org',
+        |                      'src3-34.edu']) AS domain),
+        |m AS (SELECT d.source, CASE WHEN bl.domain IS NULL THEN 0 ELSE 1 END AS blocked
+        |      FROM d LEFT JOIN bl ON bl.domain = d.domain)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(blocked) AS BIGINT) AS n_blocked,
+        |  CAST(count(*) - sum(blocked) AS BIGINT) AS n_kept
+        |FROM m GROUP BY 1 ORDER BY source""".stripMargin),
 
     "q_mix_temperature" ->
       """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -5109,6 +5181,104 @@ object SparkEntry {
        |SELECT node, CAST(r AS BIGINT) AS rank_q,
        |  CAST(r AS DOUBLE) / $scale AS rank
        |FROM it$iters ORDER BY node""".stripMargin
+  }
+
+  /** Shared CTE chain for the URL-hygiene family: rebuild the
+    * deterministic doc URL (`u`), then extract host → registered
+    * domain from the STRING (`h`, `d`) the way the engine does. */
+  private val DOC_URL_CTES: String =
+    """u AS (SELECT doc_id, source, n_chars,
+      |    'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+      |    source || '-' || CAST(doc_id % 100 AS VARCHAR) || '.' ||
+      |    ['com', 'org', 'net', 'io', 'edu'][CAST(doc_id % 5 AS INT) + 1] ||
+      |    '/doc/' || CAST(doc_id AS VARCHAR) AS url
+      |  FROM documents),
+      |h AS (SELECT doc_id, source, n_chars,
+      |    string_split(string_split(url, '://')[2], '/')[1] AS host FROM u),
+      |d AS (SELECT doc_id, source, n_chars,
+      |    CASE WHEN host LIKE 'www.%' THEN substr(host, 5) ELSE host END AS domain
+      |  FROM h)""".stripMargin
+
+  /** Shared CTE chain for the hybrid-retrieval family: BM25 lexical
+    * ranks @10 (`lex`), brute-cosine dense ranks @10 (`dense`), their
+    * floor-scaled RRF fusion (`fused`) and the fused rank frame (`rr`).
+    * sim_hybrid_topk selects the fused top-5 verbatim; sim_mrr_audit
+    * appends the truth/first-hit CTEs on the same chain. */
+  private val HYBRID_RANK_CTES: String =
+    """tf AS (SELECT doc_id, w, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |        FROM documents) GROUP BY 1, 2),
+      |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(dl) AS BIGINT) AS n_tokens FROM lens),
+      |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1
+      |  HAVING count(*) <= 1000),
+      |q AS (SELECT doc_id AS query_id, w FROM tf WHERE doc_id < 5),
+      |sc AS (SELECT q.query_id, t.doc_id,
+      |    CAST(round(ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+      |        / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+      |      * (CAST(t.tf AS DOUBLE) * 2.2)
+      |      / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+      |        * CAST(l.dl AS DOUBLE)
+      |        / (CAST(s.n_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+      |      * 1000000) AS BIGINT) AS qs
+      |  FROM q JOIN tf t ON t.w = q.w AND t.doc_id <> q.query_id
+      |  JOIN dfreq d ON d.w = q.w
+      |  JOIN lens l ON l.doc_id = t.doc_id
+      |  CROSS JOIN stats s),
+      |agg AS (SELECT query_id, doc_id, CAST(sum(qs) AS BIGINT) AS score_q
+      |  FROM sc GROUP BY 1, 2),
+      |lex AS (SELECT query_id, neighbor_id, lex_rank FROM (
+      |  SELECT query_id, doc_id AS neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_q DESC, doc_id) AS BIGINT) AS lex_rank FROM agg)
+      |  WHERE lex_rank <= 10),
+      |dense AS (SELECT query_id, neighbor_id, dense_rank FROM (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS BIGINT)
+      |      AS dense_rank
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      |  WHERE a.vec_id < 5)
+      |  WHERE dense_rank <= 10),
+      |fused AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
+      |    coalesce(l.neighbor_id, d.neighbor_id) AS neighbor_id,
+      |    l.lex_rank, d.dense_rank,
+      |    CAST(coalesce(1000000 // (60 + l.lex_rank), 0)
+      |       + coalesce(1000000 // (60 + d.dense_rank), 0) AS BIGINT) AS rrf
+      |  FROM lex l FULL OUTER JOIN dense d
+      |    ON l.query_id = d.query_id AND l.neighbor_id = d.neighbor_id),
+      |rr AS (SELECT query_id, neighbor_id, lex_rank, dense_rank, rrf,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf DESC, neighbor_id) AS BIGINT) AS rank FROM fused)""".stripMargin
+
+  /** DuckDB twin of Graph.kCore over Graph.coOrderedParts: the same 8
+    * synchronous h-operator rounds unrolled as chained CTEs (the LPA
+    * pattern — fixed iteration count, aggregates illegal in a recursive
+    * term). The h-index subquery is tie-order-invariant, so the
+    * row_number tie rule carries no semantics on either engine. */
+  private val KCORE_SQL: String = {
+    def iter(k: Int) =
+      s"""c$k AS (
+         |  SELECT p.node, CAST(coalesce(h.h, 0) AS BIGINT) AS c
+         |  FROM c${k - 1} p LEFT JOIN (
+         |    SELECT node, max(rn) AS h FROM (
+         |      SELECT b.node, l.c,
+         |        CAST(row_number() OVER (PARTITION BY b.node
+         |          ORDER BY l.c DESC, b.nbr) AS BIGINT) AS rn
+         |      FROM nbrs b JOIN c${k - 1} l ON l.node = b.nbr) v
+         |    WHERE c >= rn GROUP BY node) h ON h.node = p.node)""".stripMargin
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (SELECT DISTINCT a.p AS a, b.p AS b
+       |      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+       |nbrs AS MATERIALIZED (SELECT a AS node, b AS nbr FROM e
+       |  UNION ALL SELECT b, a FROM e),
+       |c0 AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS c
+       |  FROM nbrs GROUP BY 1),
+       |${(1 to 8).map(iter).mkString(",\n")}
+       |SELECT c0.node AS node, c0.c AS degree, c8.c AS core
+       |FROM c0 JOIN c8 USING (node) ORDER BY node""".stripMargin
   }
 
   /** DuckDB twin of Graph.labelPropagation over Graph.eventTransitions:

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the composite a training-data pipeline
@@ -108,4 +108,92 @@ object Curation {
         (sum(col("quality_score").cast("decimal(18,12)")).cast("double") / count(lit(1)))
           .as("mean_quality"))
       .orderBy("lang")
+
+  private val UrlTlds = Seq("com", "org", "net", "io", "edu")
+
+  /** Deterministic per-doc URL — the fixture carries no URL column, so
+    * the census derives one as a pure function of (doc_id, source):
+    * scheme, an id-cycled optional `www.` subdomain, a source+id-bucket
+    * registered name, an id-cycled TLD, and an id path. Every digit of
+    * the construction is engine-portable string arithmetic, so the
+    * DuckDB oracle rebuilds the identical URL and the extraction below
+    * is tested against a real (if synthetic) URL string, not against
+    * the construction's parts. */
+  def docUrl(docId: Column, source: Column): Column =
+    concat(lit("https://"),
+      when(docId % 3 === 0, lit("www.")).otherwise(lit("")),
+      source, lit("-"), (docId % 100).cast("string"), lit("."),
+      element_at(array(UrlTlds.map(lit): _*), (docId % 5).cast("int") + 1),
+      lit("/doc/"), docId.cast("string"))
+
+  /** Host between `://` and the first `/` — the extraction reads the
+    * URL STRING, never the construction. */
+  private def hostOf(url: Column): Column =
+    element_at(split(element_at(split(url, "://"), 2), "/"), 1)
+
+  /** Registered domain: host with a leading `www.` stripped. */
+  private def domainOf(host: Column): Column =
+    when(host.startsWith("www."), substring(host, 5, Int.MaxValue))
+      .otherwise(host)
+
+  private def withDomain(docs: DataFrame): DataFrame =
+    docs.withColumn("__domain",
+      domainOf(hostOf(docUrl(col("doc_id"), col("source")))))
+
+  /** C4-style URL-hygiene census: per registered domain, the TLD and
+    * the document/char volume — the frame a corpus owner reads before
+    * writing a blocklist (C4 dropped whole domains off a curated list;
+    * the census is the evidence that list is written from). One derive
+    * + one aggregate over the corpus scan; domains are unbounded in
+    * general but aggregate keys, never driver state. */
+  def domainCensus(docs: DataFrame): DataFrame =
+    withDomain(docs)
+      .select(col("__domain").as("domain"),
+        element_at(split(col("__domain"), "\\."), -1).as("tld"),
+        col("n_chars"))
+      .groupBy("domain", "tld")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("n_chars"))
+
+  /** Domains a training corpus refuses regardless of content quality —
+    * the literal-list member every C4-shaped pipeline carries. Spread
+    * across sources and TLDs so the gate's census has every branch
+    * non-trivial at the tested SFs. */
+  val DefaultDomainBlocklist: Seq[String] =
+    Seq("src0-7.net", "src1-13.io", "src2-21.org", "src3-34.edu")
+
+  /** Broadcast-blocklist anti-join gate: KEEP documents whose
+    * registered domain is not blocklisted, preserving every input
+    * column — the output frame feeds [[trainReady]] (or any other
+    * stage) unchanged, which is the composition the gate exists for.
+    * The blocklist is bounded by construction (a curated list), so the
+    * anti-join is a broadcast, never a shuffle. */
+  def domainGate(docs: DataFrame,
+                 blocklist: Seq[String] = DefaultDomainBlocklist): DataFrame = {
+    require(blocklist.nonEmpty, "domainGate: empty blocklist gates nothing")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withDomain(docs)
+      .join(broadcast(blocklist.toDF("__domain")), Seq("__domain"), "left_anti")
+      .drop("__domain")
+  }
+
+  /** The gate's census twin: per source, total vs blocked vs kept
+    * document counts — the number a data lead checks before accepting
+    * a blocklist's cost. Same derive, one broadcast left join, one
+    * aggregate. */
+  def domainGatedStats(docs: DataFrame,
+                       blocklist: Seq[String] = DefaultDomainBlocklist): DataFrame = {
+    require(blocklist.nonEmpty, "domainGatedStats: empty blocklist gates nothing")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bl = broadcast(blocklist.toDF("__domain")
+      .withColumn("__blocked", lit(1L)))
+    withDomain(docs)
+      .join(bl, Seq("__domain"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__blocked"), lit(0L))).as("n_blocked"),
+        (count(lit(1)) - sum(coalesce(col("__blocked"), lit(0L)))).as("n_kept"))
+  }
 }

@@ -336,6 +336,68 @@ object Graph {
       count(lit(1)).over(Window.partitionBy("community")).cast("long"))
   }
 
+  /** k-core decomposition by the synchronous h-operator iteration (Lü,
+    * Zhou, Zhang & Stanley 2016, "The H-index of a network node and its
+    * relation to degree and coreness") — the degeneracy member of the
+    * graph family next to [[labelPropagation]], [[triangleCounts]] and
+    * [[connectedComponents]]: c₀(v) = deg(v), and each round replaces
+    * every node's value simultaneously with the H-INDEX of its
+    * neighbors' previous values (the largest h such that ≥ h neighbors
+    * carry value ≥ h). The iterates are proven monotonically
+    * non-increasing and convergent to the coreness, so the classic
+    * sequential peel (which is order-dependent and inherently serial)
+    * is replaced by a fixed number of synchronous rounds every engine
+    * replays identically. Emits (node, degree, core) where `core` is
+    * the `iterations`-th iterate — equal to the true core number once
+    * the iteration has converged (an upper bound before then; the
+    * h-index of a multiset is tie-order-invariant, so the round is
+    * bit-deterministic without any tie rule doing semantic work).
+    *
+    * Edges are UNDIRECTED distinct pairs ([[coOrderedParts]] shape);
+    * self-loops dropped (a self-edge inflates degree but can never
+    * bind a node into a deeper core), so a self-loop-ONLY node has no
+    * qualifying edges and is absent from the output — coreness is
+    * defined over the simple graph. 100 TB shape: per round ONE
+    * equi-join of the value frame to the neighbor list, one rank
+    * window partitioned by node, one max aggregate, one left join back
+    * — no cartesian, no driver graph state; iterates localCheckpoint
+    * like [[pagerankInt]] so the plan stays one-round deep. The DuckDB
+    * oracle unrolls the same rounds. */
+  def kCore(edges: DataFrame, iterations: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iterations >= 1, "kCore needs at least one iteration")
+    val e = edges.select(col("a"), col("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val nbrs = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
+      .persist()
+    val degrees = nbrs.groupBy("node")
+      .agg(count(lit(1)).cast("long").as("degree"))
+    var cur = degrees.select(col("node"), col("degree").as("c"))
+      .localCheckpoint(false)
+    (1 to iterations).foreach { _ =>
+      val vals = nbrs
+        .join(cur.select(col("node").as("nbr"), col("c")), "nbr")
+      val h = vals
+        .withColumn("rn", row_number().over(Window.partitionBy("node")
+          .orderBy(col("c").desc, col("nbr"))).cast("long"))
+        .filter(col("c") >= col("rn"))
+        .groupBy("node").agg(max("rn").as("h"))
+      // every node in the frame has >= 1 neighbor of value >= 1, so the
+      // left-join coalesce is a defensive floor, not a live branch
+      cur = cur.select("node").join(h, Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0L)).as("c"))
+        .localCheckpoint(false)
+      cur.count() // sever lineage now, free the prior iterate
+    }
+    val out = degrees.join(cur, "node")
+      .select(col("node"), col("degree"), col("c").as("core"))
+      .localCheckpoint(true)
+    nbrs.unpersist(blocking = false)
+    out
+  }
+
   /** Per-user event-chain edges at EVENT granularity: each event links to
     * the user's next event (same (ts, id) order and null filter as
     * [[eventTransitions]]), weight 1. Unlike the type-level graph — where

@@ -104,6 +104,17 @@ object Similarity {
     val dense = topKBrute(embeddings, k = depth, numQueries = numQueries)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("dense_rank"))
+    fuseRanks(lex, dense, rrfK).filter(col("rank") <= k)
+  }
+
+  /** The fusion core of [[hybridTopK]], split out so [[mrrAudit]] (and
+    * any spec planting complementary arms) can fuse prebuilt rank
+    * frames without re-running either arm: full-outer equi-join on the
+    * pair key, floor-scaled RRF sum, one rank window. Inputs are
+    * (query_id, neighbor_id, lex_rank) / (query_id, neighbor_id,
+    * dense_rank) frames already bounded to their retrieval depth. */
+  private[graft] def fuseRanks(lex: DataFrame, dense: DataFrame,
+                               rrfK: Int = 60): DataFrame = {
     val fused = lex.join(dense, Seq("query_id", "neighbor_id"), "full_outer")
       .select(col("query_id"), col("neighbor_id"), col("lex_rank"),
         col("dense_rank"),
@@ -113,9 +124,75 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("rrf").desc, col("neighbor_id"))
     fused.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "rrf", "lex_rank",
         "dense_rank")
+  }
+
+  /** MRR@k audit of the hybrid retrieval stack — the graded
+    * ranking-quality metric [[recallAudit]] does not provide (recall@k
+    * is position-blind; a serving list that buries every true neighbor
+    * at rank k scores the same as one that leads with them). Truth is
+    * brute-force cosine top-k over the bounded query sample; each of
+    * the three serving lists — the BM25 lexical arm @k, the dense arm
+    * @k, and the RRF fusion @k — is scored by the rank of its FIRST
+    * true neighbor: rr_scaled = 10^6 DIV first_rank (0 when no true
+    * neighbor appears within k), the same exact-integer discipline as
+    * the fusion itself, so the whole audit replays bit-for-bit in any
+    * engine with integer division (MRR itself = mean of rr_scaled/10^6,
+    * one division the consumer owns). The dense arm IS brute force
+    * here, so its row always reads first_rank 1 — the audit's built-in
+    * calibration line; swap an ANN serving frame into the dense slot
+    * via [[mrrFromRanks]] and the same machinery measures its
+    * degradation, and a spec plants complementary arms against an
+    * INDEPENDENT truth to pin the fusion-beats-both-arms property the
+    * RRF construction exists for.
+    *
+    * 100 TB shape: the brute pass over the bounded query sample is the
+    * audit's price (shared shape with [[recallAudit]]); every join
+    * after it runs on ≤ numQueries·depth rows. */
+  def mrrAudit(docs: DataFrame, embeddings: DataFrame, k: Int = 5,
+               depth: Int = 10, numQueries: Int = 5,
+               rrfK: Int = 60): DataFrame = {
+    require(k >= 1 && depth >= k,
+      s"mrrAudit: need 1 <= k=$k <= depth=$depth")
+    val lex = Dedup.bm25TopK(docs, k = depth, numQueries = numQueries)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("lex_rank"))
+    val dense = topKBrute(embeddings, k = depth, numQueries = numQueries)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("dense_rank"))
+    val truth = dense.filter(col("dense_rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    mrrFromRanks(lex, dense, truth, k, rrfK)
+  }
+
+  /** The generic half of [[mrrAudit]]: score prebuilt lexical/dense
+    * rank frames and their fusion against an EXPLICIT truth set.
+    * Queries are taken from the union of both arms, so an arm that
+    * retrieved nothing for a query still yields that query's row
+    * (all-miss rows read 0, never disappear). */
+  def mrrFromRanks(lex: DataFrame, dense: DataFrame, truth: DataFrame,
+                   k: Int = 5, rrfK: Int = 60): DataFrame = {
+    val fused = fuseRanks(lex, dense, rrfK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val t = truth.select("query_id", "neighbor_id")
+    def firstHit(arm: DataFrame, rankCol: String, out: String): DataFrame =
+      arm.filter(col(rankCol) <= k)
+        .join(t, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id")
+        .agg(min(col(rankCol)).cast("long").as(out))
+    val queries = lex.select("query_id")
+      .unionByName(dense.select("query_id")).distinct()
+    def rr(fr: String): Column =
+      when(col(fr).isNull, 0L).otherwise(expr(s"1000000L DIV $fr"))
+    queries
+      .join(firstHit(lex, "lex_rank", "lex_first_rank"), Seq("query_id"), "left")
+      .join(firstHit(dense, "dense_rank", "dense_first_rank"), Seq("query_id"), "left")
+      .join(firstHit(fused, "rank", "fused_first_rank"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        col("lex_first_rank"), rr("lex_first_rank").as("lex_rr"),
+        col("dense_first_rank"), rr("dense_first_rank").as("dense_rr"),
+        col("fused_first_rank"), rr("fused_first_rank").as("fused_rr"))
   }
 
   /** Greedy k-center (farthest-first) diversity selection — the

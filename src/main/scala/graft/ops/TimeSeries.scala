@@ -614,6 +614,80 @@ object TimeSeries {
         col("e.swq").as("swq"), col("e.s").as("ewma_q"))
   }
 
+  /** Integer-exact Holt (double-exponential) smoothing over the hourly
+    * series — the LEVEL+TREND forecaster beside [[ewmaHourly]]'s pure
+    * level tracker: where EWMA lags a ramping series by construction,
+    * Holt carries an explicit trend term and its one-step-ahead
+    * forecast tracks the ramp. Recurrence with rational α = aNum/aDen,
+    * β = bNum/bDen and FLOOR division at each of the two steps:
+    *
+    *   l₁ = x₁, b₁ = 0
+    *   l_t = ⌊(α·x_t + (1−α)·(l_{t−1} + b_{t−1}))⌋
+    *   b_t = ⌊(β·(l_t − l_{t−1}) + (1−β)·b_{t−1})⌋
+    *   forecast_t = l_t + b_t   (the next-hour prediction)
+    *
+    * Floor (not truncation) explicitly: the trend difference
+    * l_t − l_{t−1} goes NEGATIVE on any declining series even over
+    * all-positive values, which is exactly where the two diverge — the
+    * same portable ((x − posmod(x, den)) DIV den) spelling as the EWMA,
+    * so the whole recurrence is exact integers and the DuckDB oracle
+    * replays it with a recursive CTE. b₁ = 0 (not x₂−x₁) so a
+    * single-hour key is well-defined and the first step is pure level.
+    *
+    * Shape: identical to [[ewmaServe]] — inherently sequential per key,
+    * one `aggregate` fold over the collect_list'd series, bounded by
+    * the time range, keys independent. */
+  def holtHourly(events: DataFrame, keyCol: String = "event_type",
+                 alphaNum: Long = 1L, alphaDen: Long = 4L,
+                 betaNum: Long = 1L, betaDen: Long = 2L): DataFrame =
+    holtServe(hourlyQuantized(events, keyCol), alphaNum, alphaDen,
+      betaNum, betaDen)
+
+  /** The serve half of [[holtHourly]] over a stored/streamed hourly
+    * frame — the seventh consumer of the shared hourly state seam
+    * (streaming/StreamingMonitors.hourlyStateSink): cusum, burst, ewma,
+    * acf, quantiles, and now the trend forecaster all serve off the
+    * SAME (key, bucket_us, swq, n) plain-sum state, because hourly sums
+    * merge exactly across micro-batch straddles. */
+  def holtServe(hourly: DataFrame, alphaNum: Long = 1L,
+                alphaDen: Long = 4L, betaNum: Long = 1L,
+                betaDen: Long = 2L): DataFrame = {
+    require(alphaNum >= 1L && alphaNum < alphaDen,
+      s"holt alpha $alphaNum/$alphaDen out of (0, 1)")
+    require(betaNum >= 1L && betaNum < betaDen,
+      s"holt beta $betaNum/$betaDen out of (0, 1)")
+    val aBar = alphaDen - alphaNum
+    val bBar = betaDen - betaNum
+    // floor division spelled portably (the ewmaServe idiom); the level
+    // expression is inlined twice in the trend step because a struct
+    // field cannot reference its sibling mid-construction
+    def fdiv(x: String, den: Long) =
+      s"((($x) - ((($x) % $den + $den) % $den)) DIV $den)"
+    val lPrev = "element_at(acc, -1).l"
+    val bPrev = "element_at(acc, -1).b"
+    val lNew = fdiv(s"$alphaNum * e.swq + $aBar * ($lPrev + $bPrev)", alphaDen)
+    val bNew = fdiv(s"$betaNum * ($lNew - $lPrev) + $bBar * $bPrev", betaDen)
+    val series = hourly
+      .groupBy("key")
+      .agg(sort_array(collect_list(struct(col("bucket_us"), col("swq")))).as("xs"))
+    series
+      .select(col("key"), expr(
+        s"""aggregate(
+           |  slice(xs, 2, size(xs) - 1),
+           |  array(struct(xs[0].bucket_us AS bucket_us, xs[0].swq AS swq,
+           |               CAST(xs[0].swq AS BIGINT) AS l,
+           |               CAST(0 AS BIGINT) AS b)),
+           |  (acc, e) -> concat(acc, array(struct(
+           |    e.bucket_us AS bucket_us, e.swq AS swq,
+           |    $lNew AS l, $bNew AS b)))
+           |)""".stripMargin).as("series"))
+      .select(col("key"), explode(col("series")).as("e"))
+      .select(col("key"), col("e.bucket_us").as("bucket_us"),
+        col("e.swq").as("swq"), col("e.l").as("level_q"),
+        col("e.b").as("trend_q"),
+        (col("e.l") + col("e.b")).as("forecast_q"))
+  }
+
   /** Burst detection over hourly event volume — the SPIKE axis next to
     * [[cusumDrift]]'s sustained-drift axis: an hour bursts when its
     * event count exceeds `factorNum/factorDen` times the mean of the

@@ -406,6 +406,43 @@ class GraphSpec extends SparkSpec {
     assert(pgot === plab)
   }
 
+  test("k-core h-operator recovers true coreness on a planted core-periphery graph") {
+    // 4-clique (core 3) + pendant chain 4-5-6 (core 1) + a self-loop-only
+    // node (dropped: coreness is over the simple graph)
+    val clique = for (i <- 1L to 4L; j <- (i + 1L) to 4L) yield (i, j)
+    val edges = (clique ++ Seq((4L, 5L), (5L, 6L), (7L, 7L))).toDF("a", "b")
+    val got = Graph.kCore(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 3L)), 2L -> ((3L, 3L)), 3L -> ((3L, 3L)),
+      4L -> ((4L, 3L)), 5L -> ((2L, 1L)), 6L -> ((1L, 1L))))
+    // driver-side h-operator model over the same graph, same 8 rounds —
+    // the engine must match the synchronous iterate exactly, not just
+    // the converged values
+    val und = (clique ++ Seq((4L, 5L), (5L, 6L)))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    def hIndex(vs: Seq[Long]): Long = {
+      val sorted = vs.sorted(Ordering[Long].reverse)
+      sorted.zipWithIndex.takeWhile { case (v, i) => v >= i + 1 }.size.toLong
+    }
+    var c = und.view.mapValues(_.size.toLong).toMap
+    for (_ <- 1 to 8) c = und.map { case (n, ns) => n -> hIndex(ns.map(c)) }
+    assert(got.view.mapValues(_._2).toMap === c)
+    // fixpoint: one more round changes nothing (the iterate converged
+    // well inside the default budget on this shape)
+    val again = Graph.kCore(edges, iterations = 9).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again === got)
+    // the monotone upper-bound property at round 1: a star's center
+    // drops from degree n to h-index 1 in one round
+    val star = (2L to 6L).map(i => (1L, i)).toDF("a", "b")
+    val sgot = Graph.kCore(star, iterations = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sgot(1L) === 1L)
+    assert((2L to 6L).forall(sgot(_) === 1L))
+  }
+
   test("canonicalize maps unpaired docs to themselves and paired docs to the component min") {
     val docs = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (7L, "e"))
       .toDF("doc_id", "text")

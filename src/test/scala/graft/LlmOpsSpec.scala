@@ -1108,6 +1108,56 @@ class LlmOpsSpec extends SparkSpec {
     assert(2L * (1000000L / 63L) > 1000000L / 61L)
   }
 
+  test("MRR audit: fusion beats both arms on planted complementary ranks; all-miss reads zero") {
+    // query 0's only TRUE neighbor is doc 7; each arm buries it at rank 2
+    // behind arm-SPECIFIC junk (doc 1 for lex, doc 2 for dense) — the
+    // complementary regime RRF exists for: the arms agree on 7 and
+    // disagree on their junk, so 7's two rank-2 contributions
+    // (2 × (10^6 DIV 62) = 32258) beat each junk doc's single rank-1
+    // contribution (10^6 DIV 61 = 16393) and the fusion leads with it.
+    // query 1's true neighbor was retrieved by NEITHER arm.
+    val lex = Seq((0L, 1L, 1L), (0L, 7L, 2L), (1L, 3L, 1L))
+      .toDF("query_id", "neighbor_id", "lex_rank")
+    val dense = Seq((0L, 2L, 1L), (0L, 7L, 2L), (1L, 4L, 1L))
+      .toDF("query_id", "neighbor_id", "dense_rank")
+    val truth = Seq((0L, 7L), (1L, 9L)).toDF("query_id", "neighbor_id")
+    val got = Similarity.mrrFromRanks(lex, dense, truth, k = 5)
+      .orderBy("query_id").collect()
+    assert(got.length === 2)
+    def opt(r: org.apache.spark.sql.Row, c: String): Option[Long] =
+      if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c))
+    val q0 = got(0)
+    assert(q0.getAs[Long]("query_id") === 0L)
+    assert(opt(q0, "lex_first_rank") === Some(2L))
+    assert(q0.getAs[Long]("lex_rr") === 500000L)
+    assert(opt(q0, "dense_first_rank") === Some(2L))
+    assert(q0.getAs[Long]("dense_rr") === 500000L)
+    assert(opt(q0, "fused_first_rank") === Some(1L))
+    assert(q0.getAs[Long]("fused_rr") === 1000000L)
+    // the property the fusion exists for, pinned: fused > each arm
+    assert(q0.getAs[Long]("fused_rr") > q0.getAs[Long]("lex_rr"))
+    assert(q0.getAs[Long]("fused_rr") > q0.getAs[Long]("dense_rr"))
+    // all-miss query: the row survives (never disappears) and reads 0
+    val q1 = got(1)
+    assert(q1.getAs[Long]("query_id") === 1L)
+    for (c <- Seq("lex_first_rank", "dense_first_rank", "fused_first_rank"))
+      assert(opt(q1, c) === None, c)
+    for (c <- Seq("lex_rr", "dense_rr", "fused_rr"))
+      assert(q1.getAs[Long](c) === 0L, c)
+    // the real-corpus audit's calibration line: the dense arm IS the
+    // truth generator, so its first hit is rank 1 on every query
+    val audit = Similarity.mrrAudit(
+      Tables.documents(spark, "/root/testdata/sf0.001"),
+      Tables.embeddings(spark, "/root/testdata/sf0.001")).collect()
+    assert(audit.length === 5)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("dense_first_rank") === 1L)
+      assert(r.getAs[Long]("dense_rr") === 1000000L)
+      assert(r.getAs[Long]("fused_rr") >= 0L &&
+        r.getAs[Long]("fused_rr") <= 1000000L)
+    }
+  }
+
   test("semantic dedup prunes planted clusters to min-id keepers and feeds the leakage-safe split") {
     // three tight clusters on orthogonal axes (intra-cos ≈ 1, inter ≈ 0)
     // plus a lone w-axis vector that lands in SOME cell but sits below

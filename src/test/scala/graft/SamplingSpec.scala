@@ -176,6 +176,50 @@ class SamplingSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("domain census extracts from the URL string; blocklist gate keeps columns and composes") {
+    // every construction branch: www-subdomain ids (0, 21), all five TLD
+    // cycle positions, an id past 100 (bucket wraps, path keeps full id)
+    val corpus = Seq(
+      (0L, "alpha beta", "en", "src0", 10L), //  www.src0-0.com
+      (7L, "gamma delta", "en", "src0", 11L), // src0-7.net   (blocklisted)
+      (13L, "epsilon", "fr", "src1", 7L), //     src1-13.io   (blocklisted)
+      (21L, "zeta", "de", "src2", 4L), //        www.src2-21.org (blocklisted)
+      (104L, "eta", "en", "src0", 3L)) //        src0-4.edu
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val census = graft.ops.Curation.domainCensus(corpus).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(census === Map(
+      "src0-0.com" -> (("com", 1L, 10L)),
+      "src0-7.net" -> (("net", 1L, 11L)),
+      "src1-13.io" -> (("io", 1L, 7L)),
+      "src2-21.org" -> (("org", 1L, 4L)),
+      "src0-4.edu" -> (("edu", 1L, 3L))))
+    // the gate drops exactly the blocklisted domains (the www doc 21 is
+    // caught because extraction STRIPS the subdomain before matching)
+    // and preserves every input column for downstream stages
+    val kept = graft.ops.Curation.domainGate(corpus)
+    assert(kept.columns.toSeq ===
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    assert(kept.select("doc_id").as[Long].collect().toSet === Set(0L, 104L))
+    val stats = graft.ops.Curation.domainGatedStats(corpus).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(stats === Map(
+      "src0" -> ((3L, 1L, 2L)), "src1" -> ((1L, 1L, 0L)),
+      "src2" -> ((1L, 1L, 0L))))
+    // composition: the gated frame walks the full train-ready chain
+    val gated = graft.ops.Curation.domainGate(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    val ready = graft.ops.Curation.trainReadyStats(gated).collect()
+    assert(ready.nonEmpty)
+    // an empty blocklist is a configuration error, not a no-op gate
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Curation.domainGate(corpus, Seq.empty)
+    }
+    assert(ex.getMessage.contains("blocklist"))
+  }
+
   test("split column is stateless and stream-safe: streaming assignment equals batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger

@@ -1055,6 +1055,14 @@ class StreamingMonitorsSpec extends SparkSpec {
       .orderBy("key", "bucket_us").collect().map(_.toSeq)
     assert(ewmaServed === ewmaDirect)
     assert(ewmaServed.nonEmpty)
+    // ... and the Holt level+trend forecaster: the same seam serves the
+    // two-recurrence fold too, because it only reads (key, bucket_us, swq)
+    val holtServed = graft.ops.TimeSeries.holtServe(state.select("key", "bucket_us", "swq"))
+      .orderBy("key", "bucket_us").collect().map(_.toSeq)
+    val holtDirect = graft.ops.TimeSeries.holtHourly(ev.toDF())
+      .orderBy("key", "bucket_us").collect().map(_.toSeq)
+    assert(holtServed === holtDirect)
+    assert(holtServed.nonEmpty)
   }
 
   test("streamed (day, hour, type) state serves exact batch diversity AND diurnal peak") {

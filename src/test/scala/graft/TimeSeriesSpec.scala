@@ -383,6 +383,48 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.exists(_._4 < 0L))
   }
 
+  test("Holt fold equals the driver recurrence; trend floors on declines; one hour OK") {
+    import graft.ops.TimeSeries
+    val h = 3600000000L
+    // X ramps then DECLINES: the decline makes l_t - l_{t-1} negative,
+    // exercising the trend step's floor branch over all-positive values;
+    // Y has a single hour (pure level, zero trend, empty fold tail)
+    val rows = Seq(
+      ("X", 0L, 4.0), ("X", 1L, 8.0), ("X", 2L, 16.0), ("X", 3L, 1.0),
+      ("X", 4L, 1.0), ("Y", 0L, 5.0))
+    val ev = rows.zipWithIndex.map { case ((k, hr, v), i) =>
+      (k, i.toLong, v, hr * h)
+    }.toDF("event_type", "event_id", "value", "ts_us")
+    val got = TimeSeries.holtHourly(ev).orderBy("key", "bucket_us")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // driver recurrence: l1 = x1, b1 = 0;
+    //   l_t = floor((x_t + 3 (l + b)) / 4), b_t = floor(((l_t - l) + b) / 2)
+    def series(k: String): Seq[(Long, Long)] = rows.filter(_._1 == k)
+      .map { case (_, hr, v) => (hr * h, math.floor(v * 1000000.0).toLong) }
+    def fold(xs: Seq[(Long, Long)]): Seq[(Long, Long, Long, Long)] =
+      xs.tail.scanLeft((xs.head._1, xs.head._2, xs.head._2, 0L)) {
+        case ((_, _, l, b), (bu, x)) =>
+          val lNew = Math.floorDiv(1L * x + 3L * (l + b), 4L)
+          val bNew = Math.floorDiv(1L * (lNew - l) + 1L * b, 2L)
+          (bu, x, lNew, bNew)
+      }
+    val want = Seq("X", "Y").flatMap(k => fold(series(k)).map {
+      case (bu, x, l, b) => (k, bu, x, l, b, l + b)
+    }).toArray
+    assert(got === want)
+    // the decline really exercised the trend floor branch
+    assert(got.exists(_._5 < 0L), "expected a negative trend hour")
+    // ... and on the ramp the forecast sits ABOVE the pure-level EWMA
+    // (the reason the trend term exists)
+    val ramp = got.filter(r => r._1 == "X" && r._2 == 2L * h).head
+    val ewmaRamp = TimeSeries.ewmaHourly(ev).orderBy("key", "bucket_us")
+      .collect().filter(r => r.getString(0) == "X" && r.getLong(1) == 2L * h)
+      .head.getLong(3)
+    assert(ramp._6 > ewmaRamp, "Holt forecast should lead EWMA on a ramp")
+  }
+
   test("CUSUM via the prefix-min identity equals the recursive definition and resets") {
     import graft.ops.TimeSeries
     // one key, six hours: level k_ref-ish, then a drift burst, then quiet
