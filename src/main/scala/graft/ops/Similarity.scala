@@ -379,48 +379,90 @@ object Similarity {
   def semanticDedupIncrement(stored: DataFrame, batch: DataFrame,
                              threshold: Double = 0.9,
                              k: Int = 8): DataFrame = {
-    val centers = kCenterSelect(stored, k)
+    val centers = semanticCenters(stored, k)
+    Dedup.withScopedCache(assignToCenters(centers)(stored)) { storedAsg =>
+      semanticDedupIncrementAgainst(centers,
+        semanticKeptOf(storedAsg, threshold), None, batch, threshold)
+        .drop("v")
+    }
+  }
+
+  /** The served-state pieces of [[semanticDedupIncrement]], exposed so
+    * the streaming face computes them ONCE from the stored corpus
+    * instead of per micro-batch: the broadcast-scale exemplar frame
+    * (center_id, cv) and, via [[semanticKeptOf]], the kept-corpus
+    * frame the increments prune against. */
+  private[graft] def semanticCenters(stored: DataFrame, k: Int): DataFrame =
+    kCenterSelect(stored, k)
       .select(col("vec_id").as("center_id"))
       .join(stored.select(col("vec_id").as("center_id"),
         toDouble(col("embedding")).as("cv")), "center_id")
-    def assign(df: DataFrame): DataFrame =
-      df.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        .crossJoin(broadcast(centers))
-        .select(col("vec_id"), col("v"), col("center_id"),
-          cosine(col("v"), col("cv")).as("c"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("c").desc, col("center_id"))))
-        .filter(col("rn") === 1)
-        .select("vec_id", "center_id", "v")
-    Dedup.withScopedCache(assign(stored)) { storedAsg =>
-      val storedPruned = storedAsg
-        .select(col("center_id"), col("vec_id").as("id1"), col("v").as("v1"))
-        .join(storedAsg.select(col("center_id"), col("vec_id").as("id2"),
-          col("v").as("v2")), Seq("center_id"))
-        .filter(col("id1") < col("id2") &&
-          cosine(col("v1"), col("v2")) >= threshold)
-        .select(col("id2").as("vec_id")).distinct()
-      val storedKept = storedAsg.join(storedPruned, Seq("vec_id"), "left_anti")
-      val batchAsg = assign(batch)
-      val candStored = batchAsg.as("b")
-        .join(storedKept.as("s"), col("b.center_id") === col("s.center_id"))
-        .select(col("b.vec_id").as("vec_id"), col("s.vec_id").as("cand_id"),
-          cosine(col("b.v"), col("s.v")).as("cos"))
-      val candBatch = batchAsg.as("b")
-        .join(batchAsg.as("o"), col("b.center_id") === col("o.center_id") &&
-          col("o.vec_id") < col("b.vec_id"))
-        .select(col("b.vec_id").as("vec_id"), col("o.vec_id").as("cand_id"),
-          cosine(col("b.v"), col("o.v")).as("cos"))
-      val pruned = candStored.unionByName(candBatch)
-        .filter(col("cos") >= threshold)
-        .groupBy("vec_id")
-        .agg(min("cand_id").as("pruned_by"), max("cos").as("max_cos"))
-      batchAsg.select("vec_id", "center_id")
-        .join(pruned, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("center_id"), col("pruned_by"),
-          when(col("pruned_by").isNull, 1L).otherwise(0L).as("keep"),
-          col("max_cos"))
+
+  /** Per-row argmax assignment against the broadcast ≤k-row center
+    * frame — (vec_id, center_id, v). */
+  private[graft] def assignToCenters(centers: DataFrame)(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(centers))
+      .select(col("vec_id"), col("v"), col("center_id"),
+        cosine(col("v"), col("cv")).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("c").desc, col("center_id"))))
+      .filter(col("rn") === 1)
+      .select("vec_id", "center_id", "v")
+
+  /** The stored corpus AS SERVED: assigned rows minus those pruned by a
+    * smaller-id cellmate at or above the threshold. */
+  private[graft] def semanticKeptOf(storedAsg: DataFrame,
+                                    threshold: Double): DataFrame = {
+    val storedPruned = storedAsg
+      .select(col("center_id"), col("vec_id").as("id1"), col("v").as("v1"))
+      .join(storedAsg.select(col("center_id"), col("vec_id").as("id2"),
+        col("v").as("v2")), Seq("center_id"))
+      .filter(col("id1") < col("id2") &&
+        cosine(col("v1"), col("v2")) >= threshold)
+      .select(col("id2").as("vec_id")).distinct()
+    storedAsg.join(storedPruned, Seq("vec_id"), "left_anti")
+  }
+
+  /** The increment core: prune an assigned batch against (1) stored
+    * KEPT cellmates, (2) optionally the EARLIER-ARRIVAL rows a
+    * streaming run has already decided (any keep status — under
+    * monotone id ingest these are exactly the smaller-id batch-mates
+    * the batch terminal compares against, so stream ≡ batch; under
+    * out-of-order ingest the semantics is earlier-arrival-prunes-later,
+    * documented on the sink), and (3) smaller-id same-batch cellmates.
+    * Emits the batch rows WITH the assigned vector `v` (the streaming
+    * segments need it to serve as future batches' earlier frame; the
+    * batch op drops it). */
+  private[graft] def semanticDedupIncrementAgainst(
+      centers: DataFrame, storedKept: DataFrame, earlier: Option[DataFrame],
+      batch: DataFrame, threshold: Double): DataFrame = {
+    val batchAsg = assignToCenters(centers)(batch)
+    val candStored = batchAsg.as("b")
+      .join(storedKept.as("s"), col("b.center_id") === col("s.center_id"))
+      .select(col("b.vec_id").as("vec_id"), col("s.vec_id").as("cand_id"),
+        cosine(col("b.v"), col("s.v")).as("cos"))
+    val candEarlier = earlier.map { e =>
+      batchAsg.as("b")
+        .join(e.select(col("vec_id").as("__eid"), col("center_id"),
+          col("v").as("__ev")), Seq("center_id"))
+        .select(col("vec_id"), col("__eid").as("cand_id"),
+          cosine(col("v"), col("__ev")).as("cos"))
     }
+    val candBatch = batchAsg.as("b")
+      .join(batchAsg.as("o"), col("b.center_id") === col("o.center_id") &&
+        col("o.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("o.vec_id").as("cand_id"),
+        cosine(col("b.v"), col("o.v")).as("cos"))
+    val pruned = candEarlier.foldLeft(candStored.unionByName(candBatch))(_ unionByName _)
+      .filter(col("cos") >= threshold)
+      .groupBy("vec_id")
+      .agg(min("cand_id").as("pruned_by"), max("cos").as("max_cos"))
+    batchAsg
+      .join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("center_id"), col("pruned_by"),
+        when(col("pruned_by").isNull, 1L).otherwise(0L).as("keep"),
+        col("max_cos"), col("v"))
   }
 
   /** Planted-cluster corpus for certifying IVF recall on CLUSTERED data

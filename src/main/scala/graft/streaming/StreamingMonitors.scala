@@ -1449,6 +1449,68 @@ object StreamingMonitors {
     else ck).start()
   }
 
+  /** Streaming face of the SemDeDup increment — the semantic-dedup
+    * terminal's online maintenance (ops/Similarity.semanticDedupIncrement,
+    * which is batch-only): arriving embeddings are pruned against the
+    * corpus AS SERVED. The served state — the broadcast exemplar frame
+    * and the stored KEPT rows (stored pruned docs never prune) — is
+    * computed ONCE from the stored corpus and persisted across
+    * micro-batches, never recomputed per batch; each batch is
+    * additionally pruned against the EARLIER-ARRIVAL segments (any keep
+    * status) and its own smaller-id cellmates, then appends its decision
+    * rows (vec_id, center_id, pruned_by, keep, max_cos, v) as version
+    * `v<batchId>` — the annIndexStateSink log-structured shape, O(batch)
+    * written per batch, with the same replay contract: a replayed batch
+    * prunes against segments strictly BELOW its id (its original
+    * predecessors, never its own failed output) and overwrites only its
+    * own segment.
+    *
+    * Under monotone id ingest (ids assigned at ingest time — the append
+    * log's natural order) the accumulated state after any prefix of
+    * batches is ROW-EQUAL to one batch semanticDedupIncrement over the
+    * union of those batches (spec'd across straddles, including an
+    * in-batch duplicate pair split across micro-batches); under
+    * out-of-order ingest the in-flight rule degrades to
+    * earlier-arrival-prunes-later, documented here. */
+  def semanticDedupStateSink(embStream: DataFrame, stateDir: String,
+                             stored: DataFrame, threshold: Double = 0.9,
+                             k: Int = 8, checkpoint: Option[String] = None,
+                             availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.Similarity
+    val centers = Similarity.semanticCenters(stored, k).persist()
+    val storedKept = Similarity.semanticKeptOf(
+      Similarity.assignToCenters(centers)(stored), threshold).persist()
+    storedKept.count() // materialize the served state before batch 0
+    val writer = embStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val earlier = semanticDedupState(batch.sparkSession, stateDir,
+          beforeBatch = batchId).map(_.select("vec_id", "center_id", "v"))
+        Similarity.semanticDedupIncrementAgainst(
+            centers, storedKept, earlier, batch, threshold)
+          .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        ()
+      }
+    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow)
+      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else ck).start()
+  }
+
+  /** Union reader over the SemDeDup decision segments: the accumulated
+    * (vec_id, center_id, pruned_by, keep, max_cos, v) frame for every
+    * embedding that has arrived in batches strictly below `beforeBatch`
+    * (tip by default). Segment-per-batch, so the read is a plain
+    * multi-path parquet scan — no merge logic. */
+  def semanticDedupState(spark: org.apache.spark.sql.SparkSession,
+                         stateDir: String,
+                         beforeBatch: Long = Long.MaxValue): Option[DataFrame] = {
+    val dirs = committedStateVersions(spark, stateDir, beforeBatch)
+      .map(_._2.toString)
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
   /** Streaming maintenance of the BPE word-count state — the streaming
     * face of ops/Bpe.vocabIncrement, keeping the tokenizer's sufficient
     * statistic current as documents arrive: each micro-batch's word

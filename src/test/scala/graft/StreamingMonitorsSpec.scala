@@ -955,6 +955,73 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(replayed === direct, "replaying batch 2 changed the served state")
   }
 
+  test("streamed SemDeDup equals the batch increment across straddles; replay is idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // stored corpus: x/y/z-axis exemplars plus one stored PRUNED dup of
+    // the x exemplar (10 → pruned by 0, so the served kept set is {0,1,2})
+    val stored = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (10L, Array(0.999f, 0.01f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // monotone-id batch: 100/101 duplicate stored keepers; 102 and 103
+    // duplicate EACH OTHER on the w axis (near no stored vector) and are
+    // deliberately split across micro-batches — the straddle the
+    // earlier-segment probe exists for; 104 is novel
+    val batchRows = Seq(
+      (100L, Array(0.998f, 0.02f, 0.0f, 0.0f)), //   mb0: pruned by 0
+      (101L, Array(0.0f, 0.999f, 0.01f, 0.0f)), //   mb1: pruned by 1
+      (102L, Array(0.03f, 0.0f, 0.0f, 0.999f)), //   mb1: kept (novel)
+      (103L, Array(0.031f, 0.0f, 0.0f, 0.9989f)), // mb2: pruned by 102
+      (104L, Array(0.0f, 0.03f, 0.0f, -0.999f))) // mb2: kept (novel)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val stateDir = s"${work()}/semdedup-state"
+    val q = StreamingMonitors.semanticDedupStateSink(stream, stateDir,
+      stored, threshold = 0.9, k = 3)
+    try {
+      mem.addData(batchRows.take(1): _*); q.processAllAvailable()
+      mem.addData(batchRows.slice(1, 3): _*); q.processAllAvailable()
+      mem.addData(batchRows.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    def decisions(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "center_id", "pruned_by", "keep", "max_cos")
+        .orderBy("vec_id").collect().map(_.toSeq)
+    val streamed = decisions(
+      StreamingMonitors.semanticDedupState(spark, stateDir).get)
+    val direct = decisions(graft.ops.Similarity.semanticDedupIncrement(
+      stored, batchRows.toDF("vec_id", "embedding"), threshold = 0.9, k = 3))
+    assert(streamed === direct)
+    assert(streamed.length === 5)
+    // the straddle really exercised the earlier-segment probe: 103
+    // (micro-batch 2) was pruned by 102 (micro-batch 1)
+    val byId = StreamingMonitors.semanticDedupState(spark, stateDir).get
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("keep"),
+          if (r.isNullAt(r.fieldIndex("pruned_by"))) None
+          else Some(r.getAs[Long]("pruned_by")))).toMap
+    assert(byId(103L) === ((0L, Some(102L))))
+    assert(byId(102L) === ((1L, None)))
+    assert(byId(104L) === ((1L, None)))
+    assert(byId(100L) === ((0L, Some(0L))))
+    assert(byId(101L) === ((0L, Some(1L))))
+    // replay: recompute batch 2 against its ORIGINAL predecessors
+    // (beforeBatch = 2) and overwrite v2 — the tip must not change
+    val centers = graft.ops.Similarity.semanticCenters(stored, 3)
+    val kept = graft.ops.Similarity.semanticKeptOf(
+      graft.ops.Similarity.assignToCenters(centers)(stored), 0.9)
+    graft.ops.Similarity.semanticDedupIncrementAgainst(centers, kept,
+        StreamingMonitors.semanticDedupState(spark, stateDir, beforeBatch = 2L)
+          .map(_.select("vec_id", "center_id", "v")),
+        batchRows.drop(3).toDF("vec_id", "embedding"), 0.9)
+      .write.mode("overwrite").parquet(s"$stateDir/v2")
+    val replayed = decisions(
+      StreamingMonitors.semanticDedupState(spark, stateDir).get)
+    assert(replayed === direct, "replaying batch 2 changed the state")
+  }
+
   test("heavy sketch state survives a query RESTART: batch ids continue, versions accumulate") {
     // the real restart path (not simulated replay): a file-source query
     // with a checkpoint is stopped and restarted with new files — the
