@@ -1495,6 +1495,14 @@ object SparkEntry {
     "text_train_ready" -> ((s, dir) =>
       Curation.trainReadyStats(Tables.documents(s, dir))),
 
+    // HTML→text extraction: expression-built doc-id-varied page, then
+    // the single-pass codegen'd walk strips tags, elides script/style/
+    // comments, decodes the core entities, and prices the boilerplate
+    // signals; md5 of the extracted text pins the string end to end
+    "text_html_extract" -> ((s, dir) =>
+      TextAnalysis.htmlExtractCensus(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
     // C4-style URL hygiene: per-registered-domain census over doc URLs
     // (derived deterministically — the fixture has no URL column; the
     // extraction then reads the URL STRING, never the construction)
@@ -3864,6 +3872,60 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CAST(quality_score AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS mean_quality
         |FROM kept GROUP BY 1 ORDER BY lang""".stripMargin),
+
+    // the page is REBUILT by the same construction; every census column
+    // is then priced ANALYTICALLY from it (the warcPayload pattern) —
+    // extracted text = title + original text + decoded entity line,
+    // entities = 5 + escaped [&<>] occurrences, tags = 15 + optionals
+    "text_html_extract" ->
+      """WITH w AS (SELECT doc_id, text, 10 + doc_id % 7 AS w FROM documents),
+        |e AS (SELECT doc_id, text, w,
+        |    replace(replace(replace(substr(text, 1, CAST(w AS INT)),
+        |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS anch,
+        |    replace(replace(replace(substr(text, CAST(w AS INT) + 1),
+        |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS rest
+        |  FROM w),
+        |h AS (SELECT doc_id, text, w,
+        |    '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+        |    || '</title>'
+        |    || CASE WHEN doc_id % 3 = 0 THEN '<style>p{margin:0}</style>' ELSE '' END
+        |    || '</head><body>'
+        |    || CASE WHEN doc_id % 4 = 0
+        |         THEN '<script>var x=' || CAST(doc_id AS VARCHAR) || ';</script>'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN '<!--c' || CAST(doc_id AS VARCHAR) || '-->' ELSE '' END
+        |    || '<p><a href="/d/' || CAST(doc_id AS VARCHAR) || '">' || anch
+        |    || '</a>' || rest
+        |    || '</p><p>&amp;&lt;&gt;&quot;&apos;</p></body></html>' AS html
+        |  FROM e),
+        |x AS (SELECT doc_id,
+        |    'Doc ' || CAST(doc_id AS VARCHAR) || text || '&<>"' || chr(39) AS xt,
+        |    CAST(length(html) AS BIGINT) AS n_chars_html,
+        |    CAST(4 + length(CAST(doc_id AS VARCHAR)) + length(text) + 5 AS BIGINT)
+        |      AS n_chars_text,
+        |    CAST(15 + CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END
+        |       + CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_tags,
+        |    CAST(1 AS BIGINT) AS n_anchors,
+        |    CAST(least(w, length(text)) AS BIGINT) AS n_anchor_chars,
+        |    CAST(5 + (length(text) - length(replace(text, '&', '')))
+        |       + (length(text) - length(replace(text, '<', '')))
+        |       + (length(text) - length(replace(text, '>', ''))) AS BIGINT)
+        |      AS n_entities,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 11 ELSE 0 END
+        |       + CASE WHEN doc_id % 4 = 0
+        |           THEN 7 + length(CAST(doc_id AS VARCHAR)) ELSE 0 END
+        |       + CASE WHEN doc_id % 5 = 0
+        |           THEN 1 + length(CAST(doc_id AS VARCHAR)) ELSE 0 END AS BIGINT)
+        |      AS n_elided_chars
+        |  FROM h)
+        |SELECT doc_id, md5(xt) AS text_md5, n_chars_html, n_chars_text, n_tags,
+        |  n_anchors, n_anchor_chars, n_entities, n_elided_chars,
+        |  CAST(0 AS BIGINT) AS malformed,
+        |  1000000 * n_anchor_chars // n_chars_text AS link_density_ppm,
+        |  1000000 * (n_chars_html - n_chars_text) // n_chars_html
+        |    AS markup_ratio_ppm
+        |FROM x ORDER BY doc_id""".stripMargin,
 
     // the URL is REBUILT by the same deterministic construction, then the
     // census extracts host/domain/tld from the string exactly as the

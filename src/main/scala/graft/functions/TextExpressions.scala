@@ -484,6 +484,199 @@ case class BpeEncodeJoin(child: Expression, lefts: Seq[String], rights: Seq[Stri
     copy(child = newChild)
 }
 
+/** Single-pass HTML→text walker — the step between a WARC response
+  * payload and every text operator downstream (tag strip, script/style/
+  * comment elision, entity decode, boilerplate signals: the jusText/C4
+  * shape). One pass over the UTF-8 bytes, no allocation beyond the
+  * output buffer; all counts are CODEPOINTS (continuation bytes skipped)
+  * so they compare against `length()` on both engines.
+  *
+  * Rules (each chosen to be total — any byte string terminates in one
+  * pass, garbage included):
+  *  - `<!--` … `-->` comments are elided (content counted to n_elided).
+  *  - `<` followed by a letter, `/`, `!` or `?` opens a tag token,
+  *    consumed through the next `>`; every tag token counts to n_tags
+  *    (DOCTYPE included; comments excluded). A bare `<` followed by
+  *    anything else is literal text (the lenient-HTML rule).
+  *  - `<script …>` / `<style …>` (ASCII case-insensitive, unless
+  *    self-closing `…/>`) elide their content through the matching
+  *    `</script` / `</style`, whose close tag then counts to n_tags.
+  *  - `<a …>` … `</a>` tracks anchor depth; text codepoints inside any
+  *    anchor count to n_anchor_chars (link density's numerator).
+  *  - the five core entities `&amp; &lt; &gt; &quot; &apos;` decode
+  *    (each counts to n_entities, one decoded text char); any other
+  *    `&…` is literal text.
+  *  - EOF inside a tag, comment, or script/style body sets the
+  *    malformed flag; the partial token contributes nothing to text. */
+object HtmlKernel {
+  private def isAlpha(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+  private def lower(b: Byte): Byte =
+    if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+
+  private def codepoints(b: Array[Byte], from: Int, until: Int): Long = {
+    var n = 0L
+    var i = from
+    while (i < until) { if ((b(i) & 0xC0) != 0x80) n += 1; i += 1 }
+    n
+  }
+
+  /** Index of `what` (ASCII, matched case-insensitively) at or after
+    * `from`, or -1. */
+  private def indexOfAscii(b: Array[Byte], from: Int, what: String): Int = {
+    val w = what.length
+    var i = from
+    while (i + w <= b.length) {
+      var k = 0
+      while (k < w && lower(b(i + k)) == what.charAt(k).toByte) k += 1
+      if (k == w) return i
+      i += 1
+    }
+    -1
+  }
+
+  private val Entities: Array[(String, Byte)] = Array(
+    ("&amp;", '&'.toByte), ("&lt;", '<'.toByte), ("&gt;", '>'.toByte),
+    ("&quot;", '"'.toByte), ("&apos;", '\''.toByte))
+
+  /** The shared walk: returns (textBytes, [n_chars_html, n_chars_text,
+    * n_tags, n_anchors, n_anchor_chars, n_entities, n_elided_chars,
+    * malformed]). */
+  private def walk(html: UTF8String): (Array[Byte], Array[Long]) = {
+    val b = html.getBytes
+    val n = b.length
+    val out = new java.io.ByteArrayOutputStream(n)
+    var nText = 0L; var nTags = 0L; var nAnchors = 0L
+    var nAnchorChars = 0L; var nEntities = 0L; var nElided = 0L
+    var malformed = false
+    var anchorDepth = 0
+    def textByte(c: Byte): Unit = {
+      out.write(c.toInt)
+      if ((c & 0xC0) != 0x80) {
+        nText += 1
+        if (anchorDepth > 0) nAnchorChars += 1
+      }
+    }
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (c == '<') {
+        if (i + 3 < n && b(i + 1) == '!' && b(i + 2) == '-' && b(i + 3) == '-') {
+          val j = indexOfAscii(b, i + 4, "-->")
+          if (j < 0) { malformed = true; nElided += codepoints(b, i + 4, n); i = n }
+          else { nElided += codepoints(b, i + 4, j); i = j + 3 }
+        } else if (i + 1 < n &&
+            (isAlpha(b(i + 1)) || b(i + 1) == '/' || b(i + 1) == '!' || b(i + 1) == '?')) {
+          val j = indexOfAscii(b, i + 1, ">")
+          if (j < 0) { malformed = true; i = n }
+          else {
+            var k = i + 1
+            val closing = b(k) == '/'
+            if (closing) k += 1
+            val ns = k
+            while (k < j && isAlpha(b(k))) k += 1
+            val nameLen = k - ns
+            def nameIs(s: String): Boolean = {
+              if (nameLen != s.length) return false
+              var t = 0
+              while (t < nameLen) {
+                if (lower(b(ns + t)) != s.charAt(t).toByte) return false
+                t += 1
+              }
+              true
+            }
+            nTags += 1
+            val selfClosing = j > i + 1 && b(j - 1) == '/'
+            if (nameIs("a")) {
+              if (closing) { if (anchorDepth > 0) anchorDepth -= 1 }
+              else if (!selfClosing) { anchorDepth += 1; nAnchors += 1 }
+            }
+            if (!closing && !selfClosing && (nameIs("script") || nameIs("style"))) {
+              val close = if (nameIs("script")) "</script" else "</style"
+              val m = indexOfAscii(b, j + 1, close)
+              if (m < 0) { malformed = true; nElided += codepoints(b, j + 1, n); i = n }
+              else {
+                nElided += codepoints(b, j + 1, m)
+                val g = indexOfAscii(b, m, ">")
+                if (g < 0) { malformed = true; i = n }
+                else { nTags += 1; i = g + 1 }
+              }
+            } else i = j + 1
+          }
+        } else { textByte(c); i += 1 }
+      } else if (c == '&') {
+        var matched = -1
+        var e = 0
+        while (matched < 0 && e < Entities.length) {
+          val (pat, _) = Entities(e)
+          val w = pat.length
+          if (i + w <= n) {
+            var t = 0
+            while (t < w && b(i + t) == pat.charAt(t).toByte) t += 1
+            if (t == w) matched = e
+          }
+          e += 1
+        }
+        if (matched >= 0) {
+          textByte(Entities(matched)._2)
+          nEntities += 1
+          i += Entities(matched)._1.length
+        } else { textByte(c); i += 1 }
+      } else { textByte(c); i += 1 }
+    }
+    (out.toByteArray, Array(codepoints(b, 0, n), nText, nTags, nAnchors,
+      nAnchorChars, nEntities, nElided, if (malformed) 1L else 0L))
+  }
+
+  def text(html: UTF8String): UTF8String =
+    UTF8String.fromBytes(walk(html)._1)
+
+  def stats(html: UTF8String): GenericArrayData =
+    new GenericArrayData(walk(html)._2)
+}
+
+/** `graft_html_text(html)`: the extracted text (tags stripped,
+  * script/style/comment elided, core entities decoded). Total — any
+  * string input yields a string, garbage included. */
+case class HtmlTextExtract(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_html_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlKernel.text(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HtmlKernel$$.MODULE$$.text($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_html_stats(html)`: [n_chars_html, n_chars_text, n_tags,
+  * n_anchors, n_anchor_chars, n_entities, n_elided_chars, malformed]
+  * from the same walk (codepoint counts). Total. */
+case class HtmlMarkupStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "graft_html_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlKernel.stats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HtmlKernel$$.MODULE$$.stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Codegen'd distinct word n-gram shingles. */
   def shingles(text: Column, n: Int): Column =
@@ -509,4 +702,12 @@ object TextFunctions {
     * spec-pinned bit-equal to the normalized merge-replay output. */
   def bpeJoin(text: Column, lefts: Seq[String], rights: Seq[String]): Column =
     Bridge.column(BpeEncodeJoin(Bridge.expression(text), lefts, rights))
+
+  /** Codegen'd single-pass HTML→text extraction. */
+  def htmlText(html: Column): Column =
+    Bridge.column(HtmlTextExtract(Bridge.expression(html)))
+
+  /** Codegen'd HTML markup census off the same walk. */
+  def htmlStats(html: Column): Column =
+    Bridge.column(HtmlMarkupStats(Bridge.expression(html)))
 }

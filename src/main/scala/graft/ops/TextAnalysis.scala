@@ -744,4 +744,80 @@ object TextAnalysis {
           (d19(col("k")) * col("sxx") - d19(col("sx")) * d19(col("sx")))
             .cast("double") / lit(1000000.0)).as("intercept_ln"))
   }
+
+  /** Deterministic doc-id-varied HTML page around the doc text — the
+    * builder half of the HTML→text seam (the warcPayload pattern: the
+    * fixture carries no HTML, so a page is CONSTRUCTED by expression
+    * and the extractor is then tested against a real markup stream, not
+    * against the construction's parts). Structure: head with an
+    * id-titled `<title>`, an id-cycled `<style>` block (elided content),
+    * an id-cycled `<script>` block and comment, a body paragraph whose
+    * first 10+(id%7) characters are wrapped in an `<a>` (the link-
+    * density signal), and a trailing paragraph of the five core
+    * entities. Text is HTML-escaped (`& < >` → entities) BEFORE the
+    * anchor split so extraction decodes back to the original text
+    * verbatim — and the escape happens per anchor side so a multi-byte
+    * entity can never straddle the anchor boundary. Every piece is
+    * engine-portable string arithmetic, so the oracle rebuilds the
+    * identical page and prices every census column analytically. */
+  def htmlPayload(docId: Column, text: Column): Column = {
+    def esc(c: Column): Column =
+      replace(replace(replace(c, lit("&"), lit("&amp;")),
+        lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    val w = (lit(10) + (docId % 7)).cast("int")
+    val id = docId.cast("string")
+    concat(
+      lit("<!DOCTYPE html><html><head><title>Doc "), id, lit("</title>"),
+      when(docId % 3 === 0, lit("<style>p{margin:0}</style>")).otherwise(lit("")),
+      lit("</head><body>"),
+      when(docId % 4 === 0,
+        concat(lit("<script>var x="), id, lit(";</script>"))).otherwise(lit("")),
+      when(docId % 5 === 0,
+        concat(lit("<!--c"), id, lit("-->"))).otherwise(lit("")),
+      lit("<p><a href=\"/d/"), id, lit("\">"),
+      esc(text.substr(lit(1), w)),
+      lit("</a>"),
+      esc(text.substr(w + lit(1), length(text))),
+      lit("</p><p>&amp;&lt;&gt;&quot;&apos;</p></body></html>"))
+  }
+
+  /** HTML→text extraction census — per document: the md5 of the
+    * extracted text (pins the extraction end to end, not just counts)
+    * and the markup census off the same single-pass codegen'd walk
+    * (functions/HtmlKernel): codepoint counts of page/text, tag and
+    * anchor tokens, anchor-text chars, decoded entities, elided
+    * script/style/comment content, plus the two boilerplate signals —
+    * link_density_ppm (anchor text over text, the jusText axis) and
+    * markup_ratio_ppm (non-text page share, the C4 axis), both
+    * exact-integer ppm divisions. One scan, all expression-side. */
+  def htmlExtractCensus(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions
+    docs
+      .select(col("doc_id"), htmlPayload(col("doc_id"), col("text")).as("__html"))
+      .select(col("doc_id"),
+        TextFunctions.htmlText(col("__html")).as("__t"),
+        TextFunctions.htmlStats(col("__html")).as("__s"))
+      .select(col("doc_id"), md5(col("__t")).as("text_md5"),
+        col("__s").getItem(0).as("n_chars_html"),
+        col("__s").getItem(1).as("n_chars_text"),
+        col("__s").getItem(2).as("n_tags"),
+        col("__s").getItem(3).as("n_anchors"),
+        col("__s").getItem(4).as("n_anchor_chars"),
+        col("__s").getItem(5).as("n_entities"),
+        col("__s").getItem(6).as("n_elided_chars"),
+        col("__s").getItem(7).as("malformed"))
+      .withColumn("link_density_ppm",
+        expr("1000000L * n_anchor_chars DIV n_chars_text"))
+      .withColumn("markup_ratio_ppm",
+        expr("1000000L * (n_chars_html - n_chars_text) DIV n_chars_html"))
+  }
+
+  /** The composition face: documents with `text` REPLACED by what the
+    * extractor recovers from the constructed page — the frame every
+    * downstream text op (quality, train-ready, tokenization) consumes
+    * when the corpus arrives as WARC response payloads. */
+  def htmlExtractDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+      graft.functions.TextFunctions.htmlText(
+        htmlPayload(col("doc_id"), col("text"))).as("text"))
 }

@@ -805,6 +805,43 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: the HTML walker is total and self-consistent over arbitrary strings") {
+    import graft.functions.TextFunctions
+    val htmlish: Gen[String] = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.const(""), Gen.const("<"), Gen.const("<p"), Gen.const("<!--"),
+      Gen.const("<script>never closed"), Gen.const("<style>p{"),
+      Gen.const("&amp"), Gen.const("&nbsp;"), Gen.const("a < b & c"),
+      Gen.const("<a href=x>link</a> tail"), Gen.const("</a></a>"),
+      Gen.listOf(Gen.oneOf('<', '>', '&', '/', '!', '-', 'a', 's', ' '))
+        .map(_.mkString))
+    (1L to 5L).foreach { seed =>
+      val ss = sample(Gen.listOfN(40, htmlish), seed)
+      val rows = ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("i", "h")
+        .select(col("i"), TextFunctions.htmlText(col("h")).as("t"),
+          TextFunctions.htmlStats(col("h")).as("s"))
+        .orderBy("i").collect()
+      assert(rows.length === ss.length) // total: no exception, no drop
+      rows.zip(ss).foreach { case (r, s) =>
+        val st = r.getSeq[Long](2)
+        assert(st.length === 8)
+        assert(st.forall(_ >= 0L), s"negative count on ${s.take(40)}")
+        // extracted text never exceeds the page, char-for-char
+        assert(st(1) <= st(0), s"text > page on ${s.take(40)}")
+        assert(st(7) === 0L || st(7) === 1L)
+        // the walker's own text length equals its census's text count
+        assert(r.getString(1).codePointCount(0, r.getString(1).length).toLong
+          === st(1), s"census/text disagree on ${s.take(40)}")
+      }
+    }
+    // plain text with no markup chars passes through IDENTICALLY
+    val plain = Seq((0L, "just some plain words, no markup at all"))
+      .toDF("i", "h")
+      .select(TextFunctions.htmlText(col("h")).as("t")).head.getString(0)
+    assert(plain === "just some plain words, no markup at all")
+  }
+
   test("property: gzip member walk recovers the planted geometry, and inflate is the identity") {
     // builder and walker must agree byte-for-byte: member count, the
     // flag-selected optional fields, MTIME, the stored-block split, the

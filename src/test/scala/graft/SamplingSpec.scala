@@ -220,6 +220,76 @@ class SamplingSpec extends SparkSpec {
     assert(ex.getMessage.contains("blocklist"))
   }
 
+  test("HTML extraction recovers the exact text, prices markup, and composes with quality") {
+    import graft.ops.TextAnalysis
+    import graft.functions.TextFunctions
+    // ids exercise every optional branch: 60 takes style+script+comment,
+    // 7 and 13 none; 60's text carries raw & < > (escaped by the builder,
+    // decoded back by the walker); 13 is SHORTER than its anchor width
+    val docs = Seq(
+      (60L, "a & b < c > d plus tail words here", "en", "src0"),
+      (7L, "short doc body", "en", "src1"),
+      (13L, "tiny", "fr", "src2")).toDF("doc_id", "text", "lang", "source")
+    // extraction is exact: title text + original doc text + the decoded
+    // entity line, for every branch combination
+    val texts = docs
+      .select(col("doc_id"), col("text"), TextFunctions.htmlText(
+        TextAnalysis.htmlPayload(col("doc_id"), col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    texts.foreach { case (id, (orig, got)) =>
+      assert(got === s"Doc $id$orig" + "&<>\"'", s"doc $id")
+    }
+    val census = TextAnalysis.htmlExtractCensus(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def c(id: Long, col: String): Long =
+      census(id).getAs[Long](col)
+    // doc 60: all three elided blocks (style 11 + script 7+2 + comment
+    // 1+2), 19 tag tokens, anchor covers W = 10 + 60%7 = 14 chars,
+    // entities = 5 fixed + the three escaped specials
+    assert(c(60L, "n_tags") === 19L)
+    assert(c(60L, "n_elided_chars") === 23L)
+    assert(c(60L, "n_anchors") === 1L)
+    assert(c(60L, "n_anchor_chars") === 14L)
+    assert(c(60L, "n_entities") === 8L)
+    assert(c(60L, "malformed") === 0L)
+    // doc 7: no optional blocks; doc 13: anchor clipped to the 4-char doc
+    assert(c(7L, "n_tags") === 15L)
+    assert(c(7L, "n_elided_chars") === 0L)
+    assert(c(7L, "n_anchor_chars") === 10L)
+    assert(c(13L, "n_anchor_chars") === 4L)
+    // text census: 'Doc ' + digits + text + 5 decoded entity chars
+    texts.foreach { case (id, (orig, _)) =>
+      assert(c(id, "n_chars_text") ===
+        4L + id.toString.length + orig.length + 5L, s"doc $id")
+      assert(c(id, "link_density_ppm") ===
+        1000000L * c(id, "n_anchor_chars") / c(id, "n_chars_text"))
+    }
+    // lenient rules: a bare '<' before a non-tag char is literal text;
+    // unknown entities pass through; EOF inside a tag flags malformed
+    val edge = Seq((0L, "5 < 6 &nbsp; <p>x"), (1L, "<p unclosed"))
+      .toDF("i", "h")
+      .select(col("i"), TextFunctions.htmlText(col("h")).as("t"),
+        TextFunctions.htmlStats(col("h")).as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getSeq[Long](2)))).toMap
+    assert(edge(0L)._1 === "5 < 6 &nbsp; x")
+    assert(edge(0L)._2(7) === 0L)
+    assert(edge(1L)._1 === "")
+    assert(edge(1L)._2(7) === 1L)
+    // composition: quality over the EXTRACTED corpus equals quality over
+    // the analytically expected text — the downstream ops consume the
+    // extractor's output as if the corpus had arrived as clean text
+    val extracted = graft.ops.TextAnalysis.quality(
+        TextAnalysis.htmlExtractDocs(docs))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val expected = graft.ops.TextAnalysis.quality(
+        docs.select(col("doc_id"),
+          concat(lit("Doc "), col("doc_id").cast("string"), col("text"),
+            lit("&<>\"'")).as("text")))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(extracted === expected)
+    assert(extracted.nonEmpty)
+  }
+
   test("split column is stateless and stream-safe: streaming assignment equals batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
