@@ -1503,6 +1503,14 @@ object SparkEntry {
       TextAnalysis.htmlExtractCensus(Tables.documents(s, dir))
         .orderBy("doc_id")),
 
+    // the composed Common-Crawl read path: page → response record →
+    // WARC; the engine walks the record geometry, slices the response
+    // payload back out of the raw bytes, and runs the extraction census
+    // on what the container actually carried
+    "q_multimodal_warc_html" -> ((s, dir) =>
+      Multimodal.warcHtmlTextCensus(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
     // C4-style URL hygiene: per-registered-domain census over doc URLs
     // (derived deterministically — the fixture has no URL column; the
     // extraction then reads the URL STRING, never the construction)
@@ -3877,55 +3885,12 @@ object SparkEntry {
     // is then priced ANALYTICALLY from it (the warcPayload pattern) —
     // extracted text = title + original text + decoded entity line,
     // entities = 5 + escaped [&<>] occurrences, tags = 15 + optionals
-    "text_html_extract" ->
-      """WITH w AS (SELECT doc_id, text, 10 + doc_id % 7 AS w FROM documents),
-        |e AS (SELECT doc_id, text, w,
-        |    replace(replace(replace(substr(text, 1, CAST(w AS INT)),
-        |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS anch,
-        |    replace(replace(replace(substr(text, CAST(w AS INT) + 1),
-        |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS rest
-        |  FROM w),
-        |h AS (SELECT doc_id, text, w,
-        |    '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
-        |    || '</title>'
-        |    || CASE WHEN doc_id % 3 = 0 THEN '<style>p{margin:0}</style>' ELSE '' END
-        |    || '</head><body>'
-        |    || CASE WHEN doc_id % 4 = 0
-        |         THEN '<script>var x=' || CAST(doc_id AS VARCHAR) || ';</script>'
-        |         ELSE '' END
-        |    || CASE WHEN doc_id % 5 = 0
-        |         THEN '<!--c' || CAST(doc_id AS VARCHAR) || '-->' ELSE '' END
-        |    || '<p><a href="/d/' || CAST(doc_id AS VARCHAR) || '">' || anch
-        |    || '</a>' || rest
-        |    || '</p><p>&amp;&lt;&gt;&quot;&apos;</p></body></html>' AS html
-        |  FROM e),
-        |x AS (SELECT doc_id,
-        |    'Doc ' || CAST(doc_id AS VARCHAR) || text || '&<>"' || chr(39) AS xt,
-        |    CAST(length(html) AS BIGINT) AS n_chars_html,
-        |    CAST(4 + length(CAST(doc_id AS VARCHAR)) + length(text) + 5 AS BIGINT)
-        |      AS n_chars_text,
-        |    CAST(15 + CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END
-        |       + CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_tags,
-        |    CAST(1 AS BIGINT) AS n_anchors,
-        |    CAST(least(w, length(text)) AS BIGINT) AS n_anchor_chars,
-        |    CAST(5 + (length(text) - length(replace(text, '&', '')))
-        |       + (length(text) - length(replace(text, '<', '')))
-        |       + (length(text) - length(replace(text, '>', ''))) AS BIGINT)
-        |      AS n_entities,
-        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 11 ELSE 0 END
-        |       + CASE WHEN doc_id % 4 = 0
-        |           THEN 7 + length(CAST(doc_id AS VARCHAR)) ELSE 0 END
-        |       + CASE WHEN doc_id % 5 = 0
-        |           THEN 1 + length(CAST(doc_id AS VARCHAR)) ELSE 0 END AS BIGINT)
-        |      AS n_elided_chars
-        |  FROM h)
-        |SELECT doc_id, md5(xt) AS text_md5, n_chars_html, n_chars_text, n_tags,
-        |  n_anchors, n_anchor_chars, n_entities, n_elided_chars,
-        |  CAST(0 AS BIGINT) AS malformed,
-        |  1000000 * n_anchor_chars // n_chars_text AS link_density_ppm,
-        |  1000000 * (n_chars_html - n_chars_text) // n_chars_html
-        |    AS markup_ratio_ppm
-        |FROM x ORDER BY doc_id""".stripMargin,
+    "text_html_extract" -> HTML_EXTRACT_SQL,
+
+    // the composed Common-Crawl read path shares the SAME analytic oracle:
+    // the WARC walk slices the response payload back bit-identically, so
+    // the expected census is the page construction's, unchanged
+    "q_multimodal_warc_html" -> HTML_EXTRACT_SQL,
 
     // the URL is REBUILT by the same deterministic construction, then the
     // census extracts host/domain/tld from the string exactly as the
@@ -5244,6 +5209,61 @@ object SparkEntry {
        |  CAST(r AS DOUBLE) / $scale AS rank
        |FROM it$iters ORDER BY node""".stripMargin
   }
+
+  /** Analytic oracle of the HTML extraction census — shared verbatim
+    * by text_html_extract (pages built directly) and
+    * q_multimodal_warc_html (pages sliced back out of the WARC by the
+    * record walk): the container round-trip is lossless, so the
+    * expected frame is the construction's either way. */
+  private val HTML_EXTRACT_SQL: String =
+    """WITH w AS (SELECT doc_id, text, 10 + doc_id % 7 AS w FROM documents),
+        |e AS (SELECT doc_id, text, w,
+        |    replace(replace(replace(substr(text, 1, CAST(w AS INT)),
+        |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS anch,
+        |    replace(replace(replace(substr(text, CAST(w AS INT) + 1),
+        |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS rest
+        |  FROM w),
+        |h AS (SELECT doc_id, text, w,
+        |    '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+        |    || '</title>'
+        |    || CASE WHEN doc_id % 3 = 0 THEN '<style>p{margin:0}</style>' ELSE '' END
+        |    || '</head><body>'
+        |    || CASE WHEN doc_id % 4 = 0
+        |         THEN '<script>var x=' || CAST(doc_id AS VARCHAR) || ';</script>'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN '<!--c' || CAST(doc_id AS VARCHAR) || '-->' ELSE '' END
+        |    || '<p><a href="/d/' || CAST(doc_id AS VARCHAR) || '">' || anch
+        |    || '</a>' || rest
+        |    || '</p><p>&amp;&lt;&gt;&quot;&apos;</p></body></html>' AS html
+        |  FROM e),
+        |x AS (SELECT doc_id,
+        |    'Doc ' || CAST(doc_id AS VARCHAR) || text || '&<>"' || chr(39) AS xt,
+        |    CAST(length(html) AS BIGINT) AS n_chars_html,
+        |    CAST(4 + length(CAST(doc_id AS VARCHAR)) + length(text) + 5 AS BIGINT)
+        |      AS n_chars_text,
+        |    CAST(15 + CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END
+        |       + CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_tags,
+        |    CAST(1 AS BIGINT) AS n_anchors,
+        |    CAST(least(w, length(text)) AS BIGINT) AS n_anchor_chars,
+        |    CAST(5 + (length(text) - length(replace(text, '&', '')))
+        |       + (length(text) - length(replace(text, '<', '')))
+        |       + (length(text) - length(replace(text, '>', ''))) AS BIGINT)
+        |      AS n_entities,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 11 ELSE 0 END
+        |       + CASE WHEN doc_id % 4 = 0
+        |           THEN 7 + length(CAST(doc_id AS VARCHAR)) ELSE 0 END
+        |       + CASE WHEN doc_id % 5 = 0
+        |           THEN 1 + length(CAST(doc_id AS VARCHAR)) ELSE 0 END AS BIGINT)
+        |      AS n_elided_chars
+        |  FROM h)
+        |SELECT doc_id, md5(xt) AS text_md5, n_chars_html, n_chars_text, n_tags,
+        |  n_anchors, n_anchor_chars, n_entities, n_elided_chars,
+        |  CAST(0 AS BIGINT) AS malformed,
+        |  1000000 * n_anchor_chars // n_chars_text AS link_density_ppm,
+        |  1000000 * (n_chars_html - n_chars_text) // n_chars_html
+        |    AS markup_ratio_ppm
+        |FROM x ORDER BY doc_id""".stripMargin
 
   /** Shared CTE chain for the URL-hygiene family: rebuild the
     * deterministic doc URL (`u`), then extract host → registered

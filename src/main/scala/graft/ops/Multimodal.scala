@@ -685,6 +685,49 @@ object Multimodal {
         .otherwise(col("total_bytes"))), lit(0L)).as("total_bytes"))
   }
 
+  /** documents → WARC frame whose RESPONSE payload is the doc-id-varied
+    * HTML page (ops/TextAnalysis.htmlPayload) behind a warcinfo record —
+    * the Common-Crawl capture shape, where the bytes a text pipeline
+    * wants sit inside a response record inside a WARC. The stream stays
+    * ASCII (the page builder escapes the doc text), so the builder's
+    * character Content-Length equals the byte framing the walker
+    * re-derives. */
+  def warcHtmlFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(
+        warcRecord(lit("warcinfo"),
+          concat(lit("<urn:graft:html-"), col("doc_id").cast("string"),
+            lit("-0>")),
+          lit("graft-crawl")),
+        warcRecord(lit("response"),
+          concat(lit("<urn:graft:html-"), col("doc_id").cast("string"),
+            lit("-1>")),
+          graft.ops.TextAnalysis.htmlPayload(col("doc_id"), col("text"))))
+        .cast("binary").as("payload"))
+
+  /** The COMPOSED Common-Crawl read path, end to end: walk the WARC's
+    * record geometry ([[warcRecords]] — the native Content-Length walk,
+    * not the construction), slice the response payload back out of the
+    * raw bytes at the walked (offset, length), decode it as the HTML
+    * page, and run the full HTML→text extraction census on what the
+    * container actually carried. Spec'd row-equal to
+    * [[graft.ops.TextAnalysis.htmlExtractCensus]] over the same docs —
+    * the container round-trip is lossless — and the oracle is shared
+    * verbatim with `text_html_extract` for the same reason. One scan;
+    * the geometry join is doc-keyed (one response row per doc). */
+  def warcHtmlTextCensus(docs: DataFrame): DataFrame = {
+    val frame = warcHtmlFrame(docs)
+    val resp = warcRecords(frame).filter(col("wtype") === "response")
+      .select(col("doc_id"), col("content_length"), col("payload_offset"))
+    val pages = frame.join(resp, "doc_id")
+      .select(col("doc_id"),
+        col("payload")
+          .substr((col("payload_offset") + 1L).cast("int"),
+            col("content_length").cast("int"))
+          .cast("string").as("__html"))
+    graft.ops.TextAnalysis.htmlCensusFrom(pages)
+  }
+
   /** The census monoid's merge: column-wise sum of two summary rows. */
   def warcCensusMerge(a: DataFrame, b: DataFrame): DataFrame = {
     val u = a.unionByName(b)

@@ -790,10 +790,17 @@ object TextAnalysis {
     * link_density_ppm (anchor text over text, the jusText axis) and
     * markup_ratio_ppm (non-text page share, the C4 axis), both
     * exact-integer ppm divisions. One scan, all expression-side. */
-  def htmlExtractCensus(docs: DataFrame): DataFrame = {
+  def htmlExtractCensus(docs: DataFrame): DataFrame =
+    htmlCensusFrom(docs.select(col("doc_id"),
+      htmlPayload(col("doc_id"), col("text")).as("__html")))
+
+  /** The census half over any (doc_id, __html) page frame — shared by
+    * [[htmlExtractCensus]] (pages built directly) and the composed
+    * WARC read path (pages sliced back out of a container by the
+    * record walk: ops/Multimodal.warcHtmlTextCensus). */
+  private[ops] def htmlCensusFrom(pages: DataFrame): DataFrame = {
     import graft.functions.TextFunctions
-    docs
-      .select(col("doc_id"), htmlPayload(col("doc_id"), col("text")).as("__html"))
+    pages
       .select(col("doc_id"),
         TextFunctions.htmlText(col("__html")).as("__t"),
         TextFunctions.htmlStats(col("__html")).as("__s"))

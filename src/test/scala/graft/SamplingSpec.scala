@@ -290,6 +290,27 @@ class SamplingSpec extends SparkSpec {
     assert(extracted.nonEmpty)
   }
 
+  test("WARC→HTML→text composition: the container round-trip is lossless") {
+    import graft.ops.{Multimodal, TextAnalysis}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // the composed path must equal the direct page census row-for-row:
+    // the record walk sliced the response payload back bit-identically
+    val composed = Multimodal.warcHtmlTextCensus(docs)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val direct = TextAnalysis.htmlExtractCensus(docs)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(composed === direct)
+    assert(composed.length === docs.count())
+    // ... and the frame really is a two-record WARC per doc (the walk
+    // went through the container, not around it)
+    val stats = Multimodal.warcStats(Multimodal.warcHtmlFrame(docs)).collect()
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_records") === 2L)
+      assert(r.getAs[Long]("n_warcinfo") === 1L)
+      assert(r.getAs[Long]("n_response") === 1L)
+    }
+  }
+
   test("split column is stateless and stream-safe: streaming assignment equals batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
