@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The container-builder expression trees (gzip/WARC/HTML seams) compile
+  // into very large generated classes; a full 253-query bench pass filled
+  // HotSpot's default 240m code cache mid-run, which DISABLES the JIT
+  // ("CodeHeap 'non-profiled nmethods' is full") and drops every later
+  // query to interpreter speed. Codegen-heavy Spark needs code-cache
+  // headroom the same way it needs driver heap.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -841,10 +841,24 @@ object Multimodal {
     * inflated members recovers the stream regardless of where the
     * member cuts fall. */
   def warcGzFrame(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      gzipPayload((col("doc_id") % 4 + 1).cast("int"), col("doc_id"),
+    // STAGED through its own projection on purpose: gzipPayload
+    // references its `text` argument ~40 times (per-member chunk
+    // slices, block frames, CRC32, lengths), so inlining the
+    // warcPayloadString tree there multiplies an already-large
+    // expression ~40-fold — measured at sf0.1 as a 700-second query
+    // behind a 140 MiB codegen'd task binary. Two projections keep the
+    // WARC string computed ONCE per row into a column the gzip framing
+    // then references cheaply (Catalyst's CollapseProject declines to
+    // re-inline a non-cheap alias referenced more than once, so the
+    // stage survives optimization); same value, same single scan,
+    // ~40x less work.
+    docs
+      .select(col("doc_id"),
         warcPayloadString((col("doc_id") % 4 + 1).cast("int"), col("doc_id"),
-          col("text"))).as("payload"))
+          col("text")).as("__warc"))
+      .select(col("doc_id"),
+        gzipPayload((col("doc_id") % 4 + 1).cast("int"), col("doc_id"),
+          col("__warc")).as("payload"))
 
   /** gzip frame → member census + byte accounting, every value
     * re-derived from the BYTES by the native member walk (non-gzip
