@@ -799,21 +799,39 @@ object Multimodal {
     * near-even member/block splits keep every LEN ≤ ⌈65535/1⌉).
     * Out-of-range arguments RAISE from the guard wrapping the final
     * concat — the unconditionally-evaluated slot warcPayload uses. */
-  def gzipPayload(nMembers: Column, variant: Column, text: Column): Column = {
+  def gzipPayload(nMembers: Column, variant: Column, text: Column): Column =
+    gzipPayloadFromChunks(nMembers, variant, text,
+      gzipChunks(nMembers, text))
+
+  /** The near-even member split of [[gzipPayload]] as four slice
+    * expressions — split out so the FRAME builders can stage them into
+    * their own projection (each chunk is referenced ~6+ times by the
+    * member assembly: length, block slices, CRC32). */
+  private def gzipChunks(nMembers: Column, text: Column): Seq[Column] = {
     val bodyLen = length(text).cast("long")
     val base = floor(bodyLen / nMembers).cast("long")
     val rem = pmod(bodyLen, nMembers.cast("long"))
-    val members = (0 until 4).map { i =>
+    (0 until 4).map { i =>
       val start = lit(i.toLong) * base + least(lit(i.toLong), rem) + lit(1L)
       val len = base + when(lit(i.toLong) < rem, 1L).otherwise(0L)
-      val chunk = text.substr(start.cast("int"), len.cast("int"))
+      text.substr(start.cast("int"), len.cast("int"))
+    }
+  }
+
+  /** Member assembly over prebuilt chunk expressions (or staged chunk
+    * COLUMNS — the frame builders' path). Identical tree to the inline
+    * form when the chunks are the inline slices. */
+  private def gzipPayloadFromChunks(nMembers: Column, variant: Column,
+                                    text: Column,
+                                    chunks: Seq[Column]): Column = {
+    val members = (0 until 4).map { i =>
       val flg = element_at(array(lit(0), lit(8), lit(4)),
         ((variant + lit(i)) % 3 + 1).cast("int"))
       val mtime = pmod(variant * 16 + lit(i), lit(4294967296L))
       val name = concat(lit("m"), (variant % 10).cast("string"),
         lit(s"-$i.txt"))
       val nBlk = ((variant + lit(i)) % 4 + 1).cast("int")
-      when(lit(i) < nMembers, gzipMember(flg, mtime, name, chunk, nBlk))
+      when(lit(i) < nMembers, gzipMember(flg, mtime, name, chunks(i), nBlk))
         .otherwise(lit(Array.empty[Byte]))
     }
     when(nMembers >= 1 && nMembers <= 4 && length(text) <= 65535,
@@ -824,13 +842,33 @@ object Multimodal {
       .cast("binary")
   }
 
+  /** Staged gzip assembly over a (doc_id, __gzsrc) frame — the
+    * warcGzFrame staging lesson applied one level deeper: projection 1
+    * slices each member's chunk ONCE into a column; projection 2
+    * assembles the members from the chunk COLUMNS. The member assembly
+    * references each chunk ~6+ times (length, four block slices,
+    * CRC32), so the inline form re-evaluates every slice — and
+    * replicates its start/length arithmetic — per reference;
+    * CollapseProject declines to re-inline the non-cheap multiply-
+    * referenced aliases, so the stage survives optimization. Same
+    * value, same single scan. */
+  private def gzipFrameFrom(src: DataFrame): DataFrame = {
+    val nMembers = (col("doc_id") % 4 + 1).cast("int")
+    val staged = src.select(
+      Seq(col("doc_id"), col("__gzsrc")) ++
+        gzipChunks(nMembers, col("__gzsrc")).zipWithIndex.map {
+          case (c, i) => c.as(s"__chunk$i")
+        }: _*)
+    staged.select(col("doc_id"),
+      gzipPayloadFromChunks(nMembers, col("doc_id"), col("__gzsrc"),
+        (0 until 4).map(i => col(s"__chunk$i"))).as("payload"))
+  }
+
   /** documents → gzip frame: every row carries a multi-member gzip
     * stream whose member count (1-4), optional header fields, MTIMEs,
     * and stored-block splits vary per row (doc_id-derived). */
   def gzipFrame(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      gzipPayload((col("doc_id") % 4 + 1).cast("int"), col("doc_id"),
-        col("text")).as("payload"))
+    gzipFrameFrom(docs.select(col("doc_id"), col("text").as("__gzsrc")))
 
   /** documents → `.warc.gz` frame — the on-disk shape of a real
     * Common-Crawl capture: the doc's WARC stream ([[warcPayload]]'s
@@ -841,24 +879,18 @@ object Multimodal {
     * inflated members recovers the stream regardless of where the
     * member cuts fall. */
   def warcGzFrame(docs: DataFrame): DataFrame =
-    // STAGED through its own projection on purpose: gzipPayload
-    // references its `text` argument ~40 times (per-member chunk
-    // slices, block frames, CRC32, lengths), so inlining the
-    // warcPayloadString tree there multiplies an already-large
-    // expression ~40-fold — measured at sf0.1 as a 700-second query
-    // behind a 140 MiB codegen'd task binary. Two projections keep the
-    // WARC string computed ONCE per row into a column the gzip framing
-    // then references cheaply (Catalyst's CollapseProject declines to
-    // re-inline a non-cheap alias referenced more than once, so the
-    // stage survives optimization); same value, same single scan,
-    // ~40x less work.
-    docs
-      .select(col("doc_id"),
-        warcPayloadString((col("doc_id") % 4 + 1).cast("int"), col("doc_id"),
-          col("text")).as("__warc"))
-      .select(col("doc_id"),
-        gzipPayload((col("doc_id") % 4 + 1).cast("int"), col("doc_id"),
-          col("__warc")).as("payload"))
+    // STAGED on purpose: the gzip framing references its source string
+    // ~40 times (per-member chunk slices, block frames, CRC32,
+    // lengths), so inlining the warcPayloadString tree there multiplied
+    // an already-large expression ~40-fold — measured at sf0.1 as a
+    // 700-second query behind a 140 MiB codegen'd task binary. The WARC
+    // string is computed ONCE per row into a column, then the staged
+    // gzip assembly (gzipFrameFrom — itself two projections, chunks
+    // then members) references it cheaply. Same value, same single
+    // scan, ~40x less work (24s measured after the first stage alone).
+    gzipFrameFrom(docs.select(col("doc_id"),
+      warcPayloadString((col("doc_id") % 4 + 1).cast("int"), col("doc_id"),
+        col("text")).as("__gzsrc")))
 
   /** gzip frame → member census + byte accounting, every value
     * re-derived from the BYTES by the native member walk (non-gzip
