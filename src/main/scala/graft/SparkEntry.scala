@@ -1511,6 +1511,12 @@ object SparkEntry {
       Multimodal.warcHtmlTextCensus(Tables.documents(s, dir))
         .orderBy("doc_id")),
 
+    // C4-style LINE-level dedup: fixed 8-word windows, boilerplate =
+    // a line in >= 2 distinct docs; per-doc census + exact ppm + md5 of
+    // the doc reassembled without its boilerplate lines
+    "text_line_dedup" -> ((s, dir) =>
+      Dedup.lineDedup(Tables.documents(s, dir)).orderBy("doc_id")),
+
     // C4-style URL hygiene: per-registered-domain census over doc URLs
     // (derived deterministically — the fixture has no URL column; the
     // extraction then reads the URL STRING, never the construction)
@@ -3891,6 +3897,28 @@ object SparkEntry {
     // the WARC walk slices the response payload back bit-identically, so
     // the expected census is the page construction's, unchanged
     "q_multimodal_warc_html" -> HTML_EXTRACT_SQL,
+
+    // the same fixed-window line derivation, the same distinct-doc
+    // boilerplate rule, and the same in-order reassembly (string_agg
+    // ORDER BY i FILTER = the sorted-collect transform)
+    "text_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |l0 AS (SELECT doc_id, toks,
+        |    unnest(range(CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS i FROM t),
+        |ln AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |    array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS line FROM l0),
+        |c AS (SELECT line, count(DISTINCT doc_id) AS nd FROM ln GROUP BY 1),
+        |j AS (SELECT ln.doc_id, ln.i, ln.line, c.nd
+        |      FROM ln JOIN c USING (line))
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_lines,
+        |  md5(coalesce(string_agg(line, ' ' ORDER BY i)
+        |        FILTER (WHERE nd < 2), '')) AS kept_md5,
+        |  1000000 * CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    // count(*) AS dup_line_ppm
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the URL is REBUILT by the same deterministic construction, then the
     // census extracts host/domain/tld from the string exactly as the

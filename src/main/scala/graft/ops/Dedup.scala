@@ -661,4 +661,56 @@ object Dedup {
       .select(col("id1"), col("id2"), col("label"), col("cosine"))
     exact.unionByName(lsh)
   }
+
+  /** C4-style LINE-level dedup census — the boilerplate remover that
+    * works at line grain where the rest of the family works at document
+    * grain (C4 dropped any three-sentence span occurring more than once
+    * in the corpus; headers, footers, and navigation chrome survive
+    * every document-level dedup because the documents CARRYING them
+    * differ). Lines are fixed `lineWords`-word windows — the fixture's
+    * text carries no newlines, so line structure is derived (the
+    * docUrl/htmlPayload discipline), and the derivation is engine-
+    * portable slicing so the oracle replays it. A line is BOILERPLATE
+    * when its exact text occurs in at least `minDocs` DISTINCT
+    * documents. Per document: the line census, the exact boilerplate
+    * ppm, and the md5 of the document REASSEMBLED without its
+    * boilerplate lines in original line order — the rewrite is pinned,
+    * not just priced.
+    *
+    * 100 TB shape: one explode to line grain (corpus tokens /
+    * lineWords rows), one distinct-doc aggregate on the line key
+    * (aggregate keys, never driver state), one equi-join back (the hot
+    * boilerplate keys arrive PRE-aggregated — one row per distinct
+    * line, so no skewed build side), one per-doc aggregate. The token
+    * array is staged once per row before the window transform (the
+    * gzip chunk-staging lesson: a lambda re-evaluates its captured
+    * expressions per element). */
+  def lineDedup(docs: DataFrame, lineWords: Int = 8,
+                minDocs: Int = 2): DataFrame = {
+    require(lineWords >= 1, s"lineDedup: lineWords=$lineWords must be >= 1")
+    require(minDocs >= 2,
+      s"lineDedup: minDocs=$minDocs < 2 would flag every line as boilerplate")
+    val lines = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, cast(ceil(size(__toks) / ${lineWords}.0) as int) - 1),
+           |  i -> array_join(slice(__toks, i * $lineWords + 1, $lineWords), ' '))"""
+          .stripMargin)))
+      .toDF("doc_id", "i", "line")
+    val counts = lines.groupBy("line")
+      .agg(countDistinct("doc_id").as("nd"))
+    lines.join(counts, "line")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("nd") >= minDocs, 1L).otherwise(0L)).as("n_dup_lines"),
+        expr(s"""md5(array_join(transform(
+             |  sort_array(collect_list(CASE WHEN nd < $minDocs
+             |                          THEN struct(i, line) END)),
+             |  s -> s.line), ' '))""".stripMargin).as("kept_md5"))
+      .withColumn("dup_line_ppm",
+        expr("1000000L * n_dup_lines DIV n_lines"))
+  }
 }

@@ -1108,6 +1108,46 @@ class LlmOpsSpec extends SparkSpec {
     assert(2L * (1000000L / 63L) > 1000000L / 61L)
   }
 
+  test("line dedup flags only the cross-doc boilerplate window and pins the reassembly") {
+    // an 8-word boilerplate header shared VERBATIM by docs 1 and 2 at
+    // the first window boundary; everything after differs; doc 3 is
+    // fully unique — the C4 regime document-level dedup cannot touch
+    val boiler = "nav home about contact login search terms privacy"
+    val a = boiler + " alpha beta gamma delta epsilon zeta eta theta iota"
+    val b = boiler + " one two three four five six seven eight nine"
+    val c = "totally unique words that appear in no other document here"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.lineDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))).toMap
+    // driver model: the same fixed-window slicing and reassembly
+    def lines(t: String): Seq[String] =
+      t.split(" ").grouped(8).map(_.mkString(" ")).toSeq
+    val all = Seq(1L -> a, 2L -> b, 3L -> c).flatMap { case (id, t) =>
+      lines(t).map(id -> _)
+    }
+    val nd = all.distinct.groupBy(_._2).view.mapValues(_.size).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    Seq(1L -> a, 2L -> b, 3L -> c).foreach { case (id, t) =>
+      val ls = lines(t)
+      val dup = ls.count(nd(_) >= 2)
+      val kept = ls.filter(nd(_) < 2).mkString(" ")
+      assert(got(id) === ((ls.size.toLong, dup.toLong, md5hex(kept),
+        1000000L * dup / ls.size)), s"doc $id")
+    }
+    // the boilerplate really was flagged in BOTH carriers and nowhere else
+    assert(got(1L)._2 === 1L)
+    assert(got(2L)._2 === 1L)
+    assert(got(3L)._2 === 0L)
+    // guards: a 1-doc threshold would flag everything — refused
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.lineDedup(docs, minDocs = 1)
+    }
+    assert(ex.getMessage.contains("minDocs"))
+  }
+
   test("MRR audit: fusion beats both arms on planted complementary ranks; all-miss reads zero") {
     // query 0's only TRUE neighbor is doc 7; each arm buries it at rank 2
     // behind arm-SPECIFIC junk (doc 1 for lex, doc 2 for dense) — the
