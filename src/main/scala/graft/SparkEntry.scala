@@ -1528,6 +1528,12 @@ object SparkEntry {
     "text_domain_gated" -> ((s, dir) =>
       Curation.domainGatedStats(Tables.documents(s, dir)).orderBy("source")),
 
+    // the C4 "badwords" token gate's census: exact whitespace-token
+    // match against a plan-time literal list — a pure per-row filter,
+    // no join; per source, total/blocked/kept counts
+    "text_token_gated" -> ((s, dir) =>
+      Curation.tokenGatedStats(Tables.documents(s, dir)).orderBy("source")),
+
     // the capstone budget: docs and tokens surviving the full chain,
     // priced by SOURCE — what the training run actually reads
     "text_token_budget" -> ((s, dir) =>
@@ -3928,6 +3934,18 @@ object SparkEntry {
         |SELECT domain, string_split(domain, '.')[-1] AS tld,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
         |FROM d GROUP BY 1, 2 ORDER BY domain""".stripMargin),
+
+    "text_token_gated" ->
+      """WITH m AS (SELECT source,
+        |    CASE WHEN text IS NULL THEN 1
+        |         WHEN list_has_any(string_split(text, ' '),
+        |                           ['dup', 'spamword', 'badtoken']) THEN 1
+        |         ELSE 0 END AS blocked
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(blocked) AS BIGINT) AS n_blocked,
+        |  CAST(count(*) - sum(blocked) AS BIGINT) AS n_kept
+        |FROM m GROUP BY 1 ORDER BY source""".stripMargin,
 
     "text_domain_gated" -> ("WITH " + DOC_URL_CTES + """,
         |bl AS (SELECT unnest(['src0-7.net', 'src1-13.io', 'src2-21.org',

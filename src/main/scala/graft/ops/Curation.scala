@@ -178,6 +178,44 @@ object Curation {
       .drop("__domain")
   }
 
+  /** Tokens a training corpus refuses documents for regardless of
+    * source — the C4 "badwords" literal-list member beside the domain
+    * blocklist. One token live on the fixture corpus (`dup`, ~5% of
+    * docs) and two dead, so both gate branches stay non-trivial. */
+  val DefaultTokenBlocklist: Seq[String] =
+    Seq("dup", "spamword", "badtoken")
+
+  /** C4-style token blocklist gate: KEEP documents containing NO
+    * blocklisted token, by exact whitespace-token match (the C4 rule —
+    * substring matching over-blocks: a blocked "ass" must not take
+    * "class" down with it). The list is a plan-time literal array, so
+    * the gate is a pure per-row `arrays_overlap` filter — scan speed,
+    * no join, no shuffle, nothing broadcast at runtime. Preserves every
+    * input column (the [[domainGate]] composition contract). */
+  def tokenGate(docs: DataFrame,
+                blocked: Seq[String] = DefaultTokenBlocklist): DataFrame = {
+    require(blocked.nonEmpty, "tokenGate: empty blocklist gates nothing")
+    docs.filter(col("text").isNotNull &&
+      !arrays_overlap(split(col("text"), " "),
+        array(blocked.map(lit): _*)))
+  }
+
+  /** The token gate's census twin: per source, total vs blocked vs
+    * kept document counts (null-text docs count as blocked — they
+    * can't certify themselves clean). */
+  def tokenGatedStats(docs: DataFrame,
+                      blocked: Seq[String] = DefaultTokenBlocklist): DataFrame = {
+    require(blocked.nonEmpty, "tokenGatedStats: empty blocklist gates nothing")
+    val hit = when(col("text").isNull, lit(true))
+      .otherwise(arrays_overlap(split(col("text"), " "),
+        array(blocked.map(lit): _*)))
+    docs
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_blocked"),
+        sum(when(hit, 0L).otherwise(1L)).as("n_kept"))
+  }
+
   /** The gate's census twin: per source, total vs blocked vs kept
     * document counts — the number a data lead checks before accepting
     * a blocklist's cost. Same derive, one broadcast left join, one

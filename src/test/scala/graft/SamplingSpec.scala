@@ -290,6 +290,36 @@ class SamplingSpec extends SparkSpec {
     assert(extracted.nonEmpty)
   }
 
+  test("token gate blocks on exact tokens only, keeps columns, and refuses an empty list") {
+    // "ass" blocked must NOT take "class" down: exact-token, not substring
+    val docs = Seq(
+      (1L, "clean words only here", "en", "srcA"),
+      (2L, "contains ass somewhere", "en", "srcA"),
+      (3L, "the class keyword is fine", "fr", "srcB"),
+      (4L, null.asInstanceOf[String], "de", "srcB")) // null can't certify clean
+      .toDF("doc_id", "text", "lang", "source")
+    val kept = graft.ops.Curation.tokenGate(docs, Seq("ass", "unused"))
+    assert(kept.columns.toSeq === Seq("doc_id", "text", "lang", "source"))
+    assert(kept.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+    val stats = graft.ops.Curation.tokenGatedStats(docs, Seq("ass", "unused"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(stats === Map("srcA" -> ((2L, 1L, 1L)), "srcB" -> ((2L, 1L, 1L))))
+    // the default list is live on the real corpus: 'dup' blocks a
+    // minority, and gate + stats agree on the kept count
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val realStats = graft.ops.Curation.tokenGatedStats(real)
+      .agg(sum("n_docs"), sum("n_blocked"), sum("n_kept")).head
+    assert(realStats.getLong(1) > 0L, "default list should block some docs")
+    assert(realStats.getLong(1) < realStats.getLong(0) / 2,
+      "default list should block a minority")
+    assert(graft.ops.Curation.tokenGate(real).count() === realStats.getLong(2))
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Curation.tokenGate(docs, Seq.empty)
+    }
+    assert(ex.getMessage.contains("blocklist"))
+  }
+
   test("WARC→HTML→text composition: the container round-trip is lossless") {
     import graft.ops.{Multimodal, TextAnalysis}
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
