@@ -1197,6 +1197,16 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // the recall audit's position-aware sibling: rank of the FIRST
+    // brute-truth neighbor in the k-center-served list, rr = 10^6 DIV
+    // rank (0 on all-miss) — measures real ANN serving degradation,
+    // not just set overlap
+    "sim_mrr_kcenter" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mrrServedAudit(emb, Similarity.topKIvfKCenter(emb))
+        .orderBy("query_id")
+    }),
+
     // the Matryoshka question: recall@5 of first-d/2-coordinate serving
     // vs full-dimension truth — both arms exact brute passes, so the
     // oracle replays the whole audit
@@ -3636,6 +3646,7 @@ object SparkEntry {
     "dedup_semantic_increment" -> DEDUP_SEM_INCR_SQL,
     "sim_topk_kcenter" -> KCENTER_TOPK_SQL,
     "sim_recall_audit" -> RECALL_AUDIT_SQL,
+    "sim_mrr_kcenter" -> MRR_KCENTER_SQL,
 
     // both audit arms are exact brute passes: truth over the full
     // vectors, serving over the first len//2 coordinates
@@ -6191,6 +6202,27 @@ object SparkEntry {
     |FROM ktruth t LEFT JOIN kservedp s
     |  ON t.query_id = s.sq AND t.neighbor_id = s.sn
     |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+
+  /** The recall audit's position-aware sibling over the same CTE
+    * chain: first-true-hit rank in the k-center-served list, 10^6 DIV
+    * rank, 0 on all-miss — queries from the truth side, so all-miss
+    * rows survive. */
+  private val MRR_KCENTER_SQL: String = KCENTER_SERVE_CTES + """,
+    |ktruth AS (SELECT query_id, neighbor_id FROM (
+    |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    |    row_number() OVER (PARTITION BY a.vec_id
+    |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id) AS rank
+    |  FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
+    |  WHERE a.vec_id < 10) WHERE rank <= 5),
+    |kfh AS (SELECT t.query_id, CAST(min(s.rank) AS BIGINT) AS fr
+    |        FROM ktruth t JOIN kserved s
+    |          ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id
+    |        GROUP BY 1),
+    |kqs AS (SELECT DISTINCT query_id FROM ktruth)
+    |SELECT q.query_id, kfh.fr AS first_rank,
+    |  CAST(coalesce(1000000 // kfh.fr, 0) AS BIGINT) AS rr_scaled
+    |FROM kqs q LEFT JOIN kfh ON kfh.query_id = q.query_id
+    |ORDER BY q.query_id""".stripMargin
 
   /** The assignment twin: every vector to its most-similar exemplar
     * ((cos desc, center_id) tie), per-exemplar census with the

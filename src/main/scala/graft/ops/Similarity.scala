@@ -1576,6 +1576,33 @@ object Similarity {
         (col("n_hits").cast("double") / col("n_true")).as("recall"))
   }
 
+  /** Position-aware ANN serving quality — [[recallAudit]]'s MRR
+    * sibling: per query, the rank of the FIRST brute-truth neighbor in
+    * the SERVED list (rr_scaled = 10^6 DIV first_rank, 0 on all-miss,
+    * the exact-integer discipline of the RRF family). recall@k is
+    * position-blind — a serving list that buries every true neighbor
+    * at rank k scores the same as one that leads with them — and
+    * unlike [[mrrAudit]]'s dense calibration arm, the served frame
+    * here is a real ANN path, so the number measures actual serving
+    * degradation. Queries come from the truth side, so a query whose
+    * served list misses everything still yields its row at 0. Same
+    * cost shape as [[recallAudit]]: one brute pass over the bounded
+    * query sample, then k×numQueries-row joins. Fully replayable on
+    * the k-center serving path (the sim_topk_kcenter precedent). */
+  def mrrServedAudit(embeddings: DataFrame, served: DataFrame, k: Int = 5,
+                     numQueries: Int = 10): DataFrame = {
+    val truth = topKBrute(embeddings, k, numQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val fh = served.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(min("rank").cast("long").as("first_rank"))
+    truth.select("query_id").distinct()
+      .join(fh, Seq("query_id"), "left")
+      .select(col("query_id"), col("first_rank"),
+        when(col("first_rank").isNull, 0L)
+          .otherwise(expr("1000000L DIV first_rank")).as("rr_scaled"))
+  }
+
   /** Dimension-truncation retrieval audit — the Matryoshka question a
     * serving team asks before halving its vector store: does top-k under
     * the FIRST d/2 coordinates still retrieve the full-dimension top-k?

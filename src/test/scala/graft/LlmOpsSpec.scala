@@ -544,6 +544,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(once.forall(r => r(2).asInstanceOf[Long] <= r(1).asInstanceOf[Long]))
   }
 
+  test("MRR of a served ranking: full probe is exact, buried truth is priced, all-miss reads zero") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // full probe degenerates to brute force, so the FIRST served
+    // neighbor is always a truth member: first_rank 1, rr 10^6 exactly
+    val full = Similarity.mrrServedAudit(emb,
+      Similarity.topKIvfKCenter(emb, nprobe = 8, numCenters = 8))
+      .orderBy("query_id").collect()
+    assert(full.length === 10)
+    assert(full.forall(r => r.getLong(1) === 1L && r.getLong(2) === 1000000L))
+    // a served list that BURIES the truth behind junk is priced by
+    // position — the axis recall@k cannot see: construct query 0's
+    // serving with two non-truth rows ahead of a true neighbor
+    val truth0 = Similarity.topKBrute(emb).collect()
+      .filter(_.getAs[Long]("query_id") == 0L).map(_.getAs[Long]("neighbor_id"))
+    val junk = Seq(9000L, 9001L).filterNot(truth0.contains)
+    val buried = Seq(
+      (0L, junk(0), 1L), (0L, junk(1), 2L), (0L, truth0.head, 3L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val priced = Similarity.mrrServedAudit(emb, buried)
+      .orderBy("query_id").collect()
+    assert(priced.length === 10) // queries come from the TRUTH side
+    val q0 = priced.find(_.getLong(0) == 0L).get
+    assert(q0.getLong(1) === 3L && q0.getLong(2) === 333333L)
+    // every other query's served list is empty: the row survives at 0
+    priced.filter(_.getLong(0) != 0L).foreach { r =>
+      assert(r.isNullAt(1) && r.getLong(2) === 0L)
+    }
+  }
+
   test("index increment: appended rows are bit-equal to full-rebuild assignment on the union") {
     // the rolling-ingest contract: assignment against FIXED stored models
     // is per-row, so incrementing the index with a batch must produce
