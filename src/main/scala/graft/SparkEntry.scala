@@ -5273,7 +5273,8 @@ object SparkEntry {
     * record walk): the container round-trip is lossless, so the
     * expected frame is the construction's either way. */
   private val HTML_EXTRACT_SQL: String =
-    """WITH w AS (SELECT doc_id, text, 10 + doc_id % 7 AS w FROM documents),
+    """WITH w AS (SELECT doc_id, text, 10 + doc_id % 7 AS w FROM documents
+        |  WHERE text IS NOT NULL),
         |e AS (SELECT doc_id, text, w,
         |    replace(replace(replace(substr(text, 1, CAST(w AS INT)),
         |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS anch,

@@ -120,10 +120,12 @@ object Curation {
     * is tested against a real (if synthetic) URL string, not against
     * the construction's parts. */
   def docUrl(docId: Column, source: Column): Column =
+    // pmod, not %: a negative doc_id must cycle, not drive element_at to
+    // index 0/negative at runtime (the gzip/WARC builders' MTIME rule)
     concat(lit("https://"),
-      when(docId % 3 === 0, lit("www.")).otherwise(lit("")),
-      source, lit("-"), (docId % 100).cast("string"), lit("."),
-      element_at(array(UrlTlds.map(lit): _*), (docId % 5).cast("int") + 1),
+      when(pmod(docId, lit(3)) === 0, lit("www.")).otherwise(lit("")),
+      source, lit("-"), pmod(docId, lit(100)).cast("string"), lit("."),
+      element_at(array(UrlTlds.map(lit): _*), pmod(docId, lit(5)).cast("int") + 1),
       lit("/doc/"), docId.cast("string"))
 
   /** Host between `://` and the first `/` — the extraction reads the
@@ -225,7 +227,10 @@ object Curation {
     require(blocklist.nonEmpty, "domainGatedStats: empty blocklist gates nothing")
     val spark = docs.sparkSession
     import spark.implicits._
-    val bl = broadcast(blocklist.toDF("__domain")
+    // distinct: a caller-supplied list with a repeated domain must not
+    // fan the left join out and inflate the census (left_anti is immune,
+    // a plain left join is not)
+    val bl = broadcast(blocklist.distinct.toDF("__domain")
       .withColumn("__blocked", lit(1L)))
     withDomain(docs)
       .join(bl, Seq("__domain"), "left")

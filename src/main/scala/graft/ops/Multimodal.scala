@@ -564,10 +564,14 @@ object Multimodal {
     * so char length == byte length — the mp4Payload convention) and cast
     * to binary by the caller. */
   private def warcRecord(wtype: Column, rid: Column, body: Column): Column =
+    // octet_length, not length: Content-Length is a BYTE count and the
+    // record walk slices bytes — a non-ASCII body is multi-byte in the
+    // UTF-8 binary cast, so a character count would under-frame it and
+    // every later record would mis-slice
     concat(
       lit("WARC/1.0\r\nWARC-Type: "), wtype,
       lit("\r\nWARC-Record-ID: "), rid,
-      lit("\r\nContent-Length: "), length(body).cast("string"),
+      lit("\r\nContent-Length: "), octet_length(body).cast("string"),
       lit("\r\n\r\n"), body, lit("\r\n\r\n"))
 
   /** A structurally valid WARC/1.0 file per ISO 28500: `nRecords` (≤4)
@@ -688,10 +692,11 @@ object Multimodal {
   /** documents → WARC frame whose RESPONSE payload is the doc-id-varied
     * HTML page (ops/TextAnalysis.htmlPayload) behind a warcinfo record —
     * the Common-Crawl capture shape, where the bytes a text pipeline
-    * wants sit inside a response record inside a WARC. The stream stays
-    * ASCII (the page builder escapes the doc text), so the builder's
-    * character Content-Length equals the byte framing the walker
-    * re-derives. */
+    * wants sit inside a response record inside a WARC. Records frame
+    * their bodies with octet_length (byte count), so the geometry the
+    * walker re-derives is exact even when the doc text is non-ASCII
+    * (escaping & < > does NOT ASCII-fy the text — multi-byte
+    * codepoints pass through the page builder untouched). */
   def warcHtmlFrame(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       concat(

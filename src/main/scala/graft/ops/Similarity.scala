@@ -1593,7 +1593,11 @@ object Similarity {
                      numQueries: Int = 10): DataFrame = {
     val truth = topKBrute(embeddings, k, numQueries)
       .select(col("query_id"), col("neighbor_id"))
+    // enforce the @k contract here, not by caller convention: a served
+    // frame deeper than k must not score hits beyond position k (the
+    // per-arm rank <= k filter mrrFromRanks already applies)
     val fh = served.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .filter(col("rank") <= k)
       .join(truth, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(min("rank").cast("long").as("first_rank"))
     truth.select("query_id").distinct()

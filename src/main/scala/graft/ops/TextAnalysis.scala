@@ -791,8 +791,12 @@ object TextAnalysis {
     * markup_ratio_ppm (non-text page share, the C4 axis), both
     * exact-integer ppm divisions. One scan, all expression-side. */
   def htmlExtractCensus(docs: DataFrame): DataFrame =
-    htmlCensusFrom(docs.select(col("doc_id"),
-      htmlPayload(col("doc_id"), col("text")).as("__html")))
+    // null text builds no page (htmlPayload's concat propagates null) —
+    // filter it out on BOTH sides (the lineDedup discipline) rather than
+    // emit an all-null stats row the oracle's CASE arithmetic wouldn't
+    htmlCensusFrom(docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        htmlPayload(col("doc_id"), col("text")).as("__html")))
 
   /** The census half over any (doc_id, __html) page frame — shared by
     * [[htmlExtractCensus]] (pages built directly) and the composed
