@@ -1774,6 +1774,20 @@ object SparkEntry {
       Multimodal.warcGzStats(Multimodal.warcGzFrame(Tables.documents(s, dir)))
         .orderBy("doc_id")),
 
+    // the REAL-capture read path: WARC streams compressed with actual
+    // zlib deflate (dynamic/fixed Huffman via java.util.zip.Deflater,
+    // level cycling 1-9 by doc) and read back by OUR RFC 1951 inflater.
+    // gz_crc_ok = 1 is the built-in certificate: the walker recomputes
+    // CRC32 + ISIZE over what IT inflates, so a match proves the
+    // inflater against zlib's compressor byte for byte; the WARC census
+    // columns then prove the inflated stream parses identically to the
+    // uncompressed build (one analytic oracle, no byte ever parsed by
+    // DuckDB)
+    "q_multimodal_gzip_real" -> ((s, dir) =>
+      Multimodal.warcGzRealStats(
+        Multimodal.warcGzRealFrame(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
+
     // the MP4 seam's FEATURE step: per-channel stats over the
     // concatenated mdat payloads the walk locates (global body index
     // spans mdat boundaries, so the split body featurizes exactly like
@@ -5082,6 +5096,47 @@ object SparkEntry {
     // identity, spec'd), so the analytic WARC arithmetic is the oracle
     // for the compressed read path too
     "q_multimodal_warc_gz" -> WARC_STATS_SQL,
+
+    // the REAL-deflate path: the same analytic WARC arithmetic (the
+    // round trip is lossless), extended with the gzip certificate
+    // columns the construction determines — ONE member, a fixed 10-byte
+    // header, isize = the WARC stream's full byte length, and crc_ok =
+    // 1 because the walker recomputes CRC32/ISIZE over its own inflate
+    // output (Deflater-dependent values never reach the frame)
+    "q_multimodal_gzip_real" ->
+      """WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS nr,
+        |    CAST(length(text) AS BIGINT) AS l FROM documents),
+        |r AS (SELECT d.doc_id, d.nr, d.l, i.i
+        |  FROM d CROSS JOIN (SELECT unnest(range(4)) AS i) i
+        |  WHERE i.i < d.nr),
+        |per AS (SELECT doc_id, i,
+        |    l // nr + CASE WHEN i < l % nr THEN 1 ELSE 0 END AS chunk,
+        |    CASE WHEN i = 0 THEN 'warcinfo'
+        |         ELSE CASE (doc_id + i) % 3 WHEN 0 THEN 'response'
+        |              WHEN 1 THEN 'request' ELSE 'metadata' END
+        |    END AS wtype,
+        |    length('<urn:graft:' || CAST(doc_id AS VARCHAR) || '-'
+        |      || CAST(i AS VARCHAR) || '>') AS ridlen
+        |  FROM r),
+        |agg AS (SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_records,
+        |    CAST(sum(CASE WHEN wtype = 'warcinfo' THEN 1 ELSE 0 END) AS BIGINT) AS n_warcinfo,
+        |    CAST(sum(CASE WHEN wtype = 'response' THEN 1 ELSE 0 END) AS BIGINT) AS n_response,
+        |    CAST(sum(CASE WHEN wtype = 'request' THEN 1 ELSE 0 END) AS BIGINT) AS n_request,
+        |    CAST(sum(CASE WHEN wtype = 'metadata' THEN 1 ELSE 0 END) AS BIGINT) AS n_metadata,
+        |    CAST(0 AS BIGINT) AS n_other,
+        |    CAST(sum(chunk) AS BIGINT) AS payload_bytes,
+        |    CAST(sum(65 + length(wtype) + ridlen
+        |      + length(CAST(chunk AS VARCHAR))) AS BIGINT) AS header_bytes
+        |  FROM per GROUP BY doc_id)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS gz_members,
+        |  CAST(10 AS BIGINT) AS gz_header_bytes,
+        |  payload_bytes + header_bytes AS gz_isize,
+        |  CAST(1 AS BIGINT) AS gz_crc_ok,
+        |  n_records, n_warcinfo, n_response, n_request,
+        |  n_metadata, n_other, payload_bytes, header_bytes,
+        |  payload_bytes + header_bytes AS total_bytes
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // same independent byte-stream recomputation as q_multimodal (both
     // codec bodies are exactly the text bytes: the JPEG kernel range

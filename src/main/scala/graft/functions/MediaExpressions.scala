@@ -622,36 +622,273 @@ object DspKernel {
     * already needs a ~94 KB stream of empty members. */
   private val GzipMaxMembers = 4096L
 
-  /** Per-stream bound on stored-block hops (an empty non-final block is
-    * 5 bytes, so this caps adversarial block spam at ~320 KB). */
+  /** Per-stream bound on deflate-block hops (an empty non-final stored
+    * block is 5 bytes and an empty fixed-Huffman block ~10 bits, so
+    * this caps adversarial block spam cheaply). */
   private val GzipMaxBlocks = 65536L
 
-  /** RFC 1952 gzip MEMBER-stream walk over STORED-deflate members — the
-    * on-disk shape of a Common-Crawl `.warc.gz` (one member per record,
-    * members concatenated to end-of-stream). Walks, per member: the
-    * 10-byte fixed header (magic 1F 8B, CM 8, FLG, MTIME LE32, XFL, OS),
-    * the optional FEXTRA (XLEN LE16 + XLEN bytes), FNAME / FCOMMENT
-    * (NUL-terminated), FHCRC (2 bytes) fields in the spec's order, then
-    * the deflate stream as RFC 1951 STORED (BTYPE 00) blocks — header
-    * byte, LEN LE16, NLEN = ~LEN, LEN raw bytes, until BFINAL — and the
-    * CRC32 + ISIZE LE32 trailer, recomputing both over the walked data
-    * (`crcOk` certifies the builder, not a copied constant).
+  /** Per-stream bound on total INFLATED bytes — the deflate-bomb guard
+    * a stored-only walker never needed (stored blocks cannot expand;
+    * a dynamic-Huffman stream expands up to ~1032x). Past the cap the
+    * walk returns null, never an OOM. */
+  private val GzipMaxInflate = 1 << 26
+
+  // RFC 1951 §3.2.5 length/distance alphabets: base values + extra-bit
+  // widths for length symbols 257..285 and distance symbols 0..29.
+  private val LBase = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19,
+    23, 27, 31, 35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258)
+  private val LExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
+    2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0)
+  private val DBase = Array(1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65,
+    97, 129, 193, 257, 385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145,
+    8193, 12289, 16385, 24577)
+  private val DExtra = Array(0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6,
+    6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13)
+
+  /** §3.2.7 code-length-code transmission order. */
+  private val ClOrder = Array(16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12,
+    3, 13, 2, 14, 1, 15)
+
+  /** Fixed-Huffman literal/length code lengths (§3.2.6): 0-143 → 8,
+    * 144-255 → 9, 256-279 → 7, 280-287 → 8; all 30 distance codes 5. */
+  private val FixedLitLens: Array[Int] = {
+    val a = new Array[Int](288)
+    var i = 0
+    while (i < 288) {
+      a(i) = if (i < 144) 8 else if (i < 256) 9 else if (i < 280) 7 else 8
+      i += 1
+    }
+    a
+  }
+  private val FixedDistLens: Array[Int] = Array.fill(30)(5)
+
+  /** Canonical-Huffman decoding table (§3.2.2): per-length code counts
+    * plus symbols sorted by (code length, symbol) — the compact
+    * first/count bit-serial walk of zlib's public-domain `puff.c`
+    * REFERENCE inflater structure (written here from the RFC's
+    * canonical-code construction, not copied). Over-subscribed length
+    * sets flag `bad`; incomplete sets are legal (§3.2.7 allows a
+    * single-distance-code tree) and fail only if the stream uses an
+    * unassigned code. */
+  private final class Huffman(lengths: Array[Int], n: Int) {
+    val count = new Array[Int](16)
+    val symbol = new Array[Int](n)
+    var bad = false
+    locally {
+      var i = 0
+      while (i < n) { count(lengths(i)) += 1; i += 1 }
+      var left = 1
+      var len = 1
+      while (len <= 15) {
+        left <<= 1
+        left -= count(len)
+        if (left < 0) bad = true
+        len += 1
+      }
+      val offs = new Array[Int](16)
+      len = 1
+      while (len < 15) { offs(len + 1) = offs(len) + count(len); len += 1 }
+      i = 0
+      while (i < n) {
+        if (lengths(i) != 0) {
+          symbol(offs(lengths(i))) = i
+          offs(lengths(i)) += 1
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** One gzip MEMBER's deflate stream, inflated per RFC 1951 — stored
+    * (BTYPE 00), fixed-Huffman (01), and dynamic-Huffman (10) blocks,
+    * with the LZ77 window being the member's own output buffer (gzip
+    * members are independent deflate streams, so back-references never
+    * cross a member boundary). Bit-serial LSB-first reader; `ok = false`
+    * (never a throw, never a garbage read) on any malformation: BTYPE
+    * 11, stored LEN/NLEN complement mismatch, an over-subscribed code,
+    * an unassigned code, literal/length symbol > 285, distance symbol
+    * > 29, a back-reference past the member start, input overrun, block
+    * spam past `maxBlocks`, or output past `maxOut` (the bomb guard). */
+  private final class MemberInflater(p: Array[Byte], start: Int,
+                                     maxOut: Int, maxBlocks: Long) {
+    private val n = p.length
+    private var bitPos: Long = start.toLong << 3
+    var out: Array[Byte] = new Array[Byte](256)
+    var outLen = 0
+    var blocks = 0L
+    var endPos = -1 // byte position just past the deflate stream
+    private var ok = true
+
+    private def bits(k: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < k) {
+        val bi = (bitPos >> 3).toInt
+        if (bi >= n) { ok = false; return 0 }
+        v |= ((p(bi) >> (bitPos & 7L).toInt) & 1) << i
+        bitPos += 1
+        i += 1
+      }
+      v
+    }
+
+    private def put(b: Byte): Unit = {
+      if (outLen >= maxOut) { ok = false; return }
+      if (outLen == out.length) {
+        val g = new Array[Byte](math.min(maxOut, out.length << 1).max(out.length + 1))
+        System.arraycopy(out, 0, g, 0, outLen)
+        out = g
+      }
+      out(outLen) = b
+      outLen += 1
+    }
+
+    private def decode(h: Huffman): Int = {
+      var code = 0
+      var first = 0
+      var index = 0
+      var len = 1
+      while (len <= 15) {
+        code |= bits(1)
+        if (!ok) return -1
+        val c = h.count(len)
+        if (code - first < c) return h.symbol(index + (code - first))
+        index += c
+        first = (first + c) << 1
+        code <<= 1
+        len += 1
+      }
+      ok = false
+      -1
+    }
+
+    private def codes(lit: Huffman, dist: Huffman): Unit = {
+      var done = false
+      while (ok && !done) {
+        val sym = decode(lit)
+        if (!ok) return
+        if (sym < 256) put(sym.toByte)
+        else if (sym == 256) done = true
+        else if (sym > 285) ok = false
+        else {
+          val li = sym - 257
+          val length = LBase(li) + bits(LExtra(li))
+          val ds = decode(dist)
+          if (!ok) return
+          if (ds > 29) { ok = false; return }
+          val d = DBase(ds) + bits(DExtra(ds))
+          if (!ok) return
+          if (d > outLen) { ok = false; return }
+          var i = 0
+          while (i < length && ok) { put(out(outLen - d)); i += 1 }
+        }
+      }
+    }
+
+    private def stored(): Unit = {
+      bitPos = (bitPos + 7L) & ~7L
+      val len = bits(16)
+      val nlen = bits(16)
+      if (!ok) return
+      if ((len ^ nlen) != 0xffff) { ok = false; return }
+      val bp = (bitPos >> 3).toInt
+      if (bp + len > n) { ok = false; return }
+      var i = 0
+      while (i < len && ok) { put(p(bp + i)); i += 1 }
+      bitPos += len.toLong << 3
+    }
+
+    private def dynamic(): Unit = {
+      val hlit = bits(5) + 257
+      val hdist = bits(5) + 1
+      val hclen = bits(4) + 4
+      if (!ok) return
+      if (hlit > 286 || hdist > 30) { ok = false; return }
+      val clLens = new Array[Int](19)
+      var i = 0
+      while (i < hclen && ok) { clLens(ClOrder(i)) = bits(3); i += 1 }
+      if (!ok) return
+      val cl = new Huffman(clLens, 19)
+      if (cl.bad) { ok = false; return }
+      val lens = new Array[Int](hlit + hdist)
+      i = 0
+      while (i < hlit + hdist && ok) {
+        val sym = decode(cl)
+        if (!ok) return
+        if (sym < 16) { lens(i) = sym; i += 1 }
+        else {
+          var rep = 0
+          var v = 0
+          if (sym == 16) {
+            if (i == 0) { ok = false; return }
+            v = lens(i - 1)
+            rep = 3 + bits(2)
+          } else if (sym == 17) rep = 3 + bits(3)
+          else rep = 11 + bits(7)
+          if (!ok) return
+          if (i + rep > hlit + hdist) { ok = false; return }
+          var j = 0
+          while (j < rep) { lens(i) = v; i += 1; j += 1 }
+        }
+      }
+      if (!ok) return
+      if (lens(256) == 0) { ok = false; return } // no end-of-block code
+      val lit = new Huffman(lens, hlit)
+      val dst = new Huffman(java.util.Arrays.copyOfRange(lens, hlit, hlit + hdist), hdist)
+      if (lit.bad || dst.bad) { ok = false; return }
+      codes(lit, dst)
+    }
+
+    /** Runs the block loop; true iff the member inflated cleanly. */
+    def run(): Boolean = {
+      var bfinal = false
+      val fixedLit = new Huffman(FixedLitLens, 288)
+      val fixedDist = new Huffman(FixedDistLens, 30)
+      while (ok && !bfinal) {
+        bfinal = bits(1) == 1
+        val btype = bits(2)
+        if (ok) {
+          blocks += 1
+          if (blocks > maxBlocks) ok = false
+          else btype match {
+            case 0 => stored()
+            case 1 => codes(fixedLit, fixedDist)
+            case 2 => dynamic()
+            case _ => ok = false
+          }
+        }
+      }
+      if (ok) endPos = ((bitPos + 7L) >> 3).toInt
+      ok
+    }
+  }
+
+  /** RFC 1952 gzip MEMBER-stream walk with a REAL RFC 1951 inflater —
+    * the on-disk shape of a Common-Crawl `.warc.gz` (one member per
+    * record, members concatenated to end-of-stream). Walks, per member:
+    * the 10-byte fixed header (magic 1F 8B, CM 8, FLG, MTIME LE32, XFL,
+    * OS), the optional FEXTRA (XLEN LE16 + XLEN bytes), FNAME /
+    * FCOMMENT (NUL-terminated), FHCRC (2 bytes) fields in the spec's
+    * order, then the deflate stream — stored (BTYPE 00), fixed-Huffman
+    * (01), AND dynamic-Huffman (10) blocks via [[MemberInflater]], so
+    * real Deflater/zlib captures walk, not just the builder's stored
+    * blocks — and the CRC32 + ISIZE LE32 trailer, recomputing both over
+    * the INFLATED data (`crcOk` certifies the inflater and the builder
+    * against each other, not a copied constant).
     *
     * Returns, via `table` (stride 7 per member): [flg, mtime,
     * header_len, deflate_len, n_blocks, isize, crc_ok] — crc_ok = 1 iff
     * BOTH the stored CRC32 and the stored ISIZE match the recomputed
-    * values. When `sink` is non-null the stored block data (= the
-    * member's uncompressed bytes — stored blocks hold them verbatim) is
-    * appended in stream order, so concatenating every member inflates
-    * the whole stream without an inflater.
+    * values. When `sink` is non-null each member's inflated bytes are
+    * appended in stream order, so concatenating every member recovers
+    * the uncompressed stream.
     *
     * Null (never a throw, never a garbage-offset read) for: an empty
     * stream, a bad magic / CM, reserved FLG bits (0xE0), any truncated
-    * field, an unterminated FNAME/FCOMMENT, a non-stored block type
-    * (this is a stored-only walker — real DEFLATE members need an
-    * inflater, documented like warcStats's no-folding rule), an
-    * NLEN complement mismatch, block data past the buffer, or walks
-    * past [[GzipMaxMembers]] / [[GzipMaxBlocks]]. */
+    * field, an unterminated FNAME/FCOMMENT, any [[MemberInflater]]
+    * malformation (BTYPE 11, NLEN mismatch, bad Huffman code sets,
+    * out-of-window references, input overrun), or walks past
+    * [[GzipMaxMembers]] / [[GzipMaxBlocks]] / [[GzipMaxInflate]]. */
   private def gzipWalk(p: Array[Byte],
                        sink: java.io.ByteArrayOutputStream):
       scala.collection.mutable.ArrayBuffer[Long] = {
@@ -665,6 +902,7 @@ object DspKernel {
     var pos = 0
     var members = 0L
     var blocksTotal = 0L
+    var inflatedTotal = 0L
     while (pos < n) {
       members += 1
       if (members > GzipMaxMembers) return null
@@ -698,27 +936,17 @@ object DspKernel {
       }
       val headerLen = (pos - hstart).toLong
       val dstart = pos
+      val inf = new MemberInflater(p, dstart,
+        (GzipMaxInflate - inflatedTotal).toInt, GzipMaxBlocks - blocksTotal)
+      if (!inf.run()) return null
       val crc = new java.util.zip.CRC32()
-      var isizeCalc = 0L
-      var blocks = 0L
-      var bfinal = false
-      while (!bfinal) {
-        if (pos + 5 > n) return null
-        val hdr = p(pos) & 0xff
-        if ((hdr & 0x06) != 0) return null // BTYPE != 00: not stored
-        bfinal = (hdr & 1) == 1
-        val len = le16(pos + 1)
-        val nlen = le16(pos + 3)
-        if ((len ^ nlen) != 0xffff) return null
-        if (pos + 5 + len > n) return null
-        crc.update(p, pos + 5, len)
-        if (sink != null) sink.write(p, pos + 5, len)
-        isizeCalc += len
-        pos += 5 + len
-        blocks += 1
-        blocksTotal += 1
-        if (blocksTotal > GzipMaxBlocks) return null
-      }
+      crc.update(inf.out, 0, inf.outLen)
+      if (sink != null) sink.write(inf.out, 0, inf.outLen)
+      val isizeCalc = inf.outLen.toLong
+      val blocks = inf.blocks
+      blocksTotal += inf.blocks
+      inflatedTotal += inf.outLen.toLong
+      pos = inf.endPos
       if (pos + 8 > n) return null
       val crcStored = le32(pos)
       val isizeStored = le32(pos + 4)
@@ -771,16 +999,50 @@ object DspKernel {
     if (t == null) null else new GenericArrayData(t.toArray)
   }
 
-  /** Stored-deflate "inflate": the concatenated block data of every
-    * member in stream order — byte-identical to the original input for
-    * streams our builder wrote (stored blocks hold the bytes verbatim),
-    * so `warcStats(gzipInflateStored(warc_gz))` is the full
-    * Common-Crawl read path with no native inflater. Null per the
-    * walk's malformation rules. */
-  def gzipInflateStored(p: Array[Byte]): Array[Byte] = {
+  /** Full gzip inflate: every member's inflated bytes concatenated in
+    * stream order — stored, fixed-Huffman, and dynamic-Huffman deflate
+    * per [[gzipWalk]]'s real inflater, so
+    * `warcStats(gzipInflate(warc_gz))` is the complete Common-Crawl
+    * read path over REAL captures (zlib/Deflater output), not just the
+    * builder's stored blocks. Null per the walk's malformation rules. */
+  def gzipInflate(p: Array[Byte]): Array[Byte] = {
     val sink = new java.io.ByteArrayOutputStream()
     val t = gzipWalk(p, sink)
     if (t == null) null else sink.toByteArray
+  }
+
+  /** The inflater's builder twin: wrap `data` as ONE RFC 1952 member —
+    * fixed 10-byte header (FLG 0, MTIME 0, XFL 0, OS 255 "unknown"),
+    * REAL deflate via `java.util.zip.Deflater` (raw/nowrap mode at the
+    * given level — level 6 emits dynamic-Huffman blocks for natural
+    * text, exactly what real `.warc.gz` captures carry), CRC32 + ISIZE
+    * trailer. The walker recomputes both trailer values over what IT
+    * inflates, so `crc_ok = n_members` downstream certifies the
+    * inflater against zlib's compressor — a built-in correctness
+    * certificate needing no byte-level oracle. */
+  def gzipDeflate(data: Array[Byte], level: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    out.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0,
+      0xff.toByte))
+    val d = new java.util.zip.Deflater(level, true)
+    try {
+      d.setInput(data)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) {
+        val k = d.deflate(buf)
+        out.write(buf, 0, k)
+      }
+    } finally d.end()
+    val crc = new java.util.zip.CRC32()
+    crc.update(data, 0, data.length)
+    val c = crc.getValue
+    val isz = data.length.toLong & 0xffffffffL
+    var i = 0
+    while (i < 4) { out.write(((c >>> (8 * i)) & 0xff).toInt); i += 1 }
+    i = 0
+    while (i < 4) { out.write(((isz >>> (8 * i)) & 0xff).toInt); i += 1 }
+    out.toByteArray
   }
 }
 
@@ -1059,25 +1321,52 @@ case class GzipMemberTable(child: Expression)
     copy(child = newChild)
 }
 
-/** `graft_gzip_inflate_stored(payload)`: the concatenated stored-block
-  * data of every member — the uncompressed stream, with no native
-  * inflater (see [[DspKernel.gzipInflateStored]]); null for non-gzip
-  * or malformed streams. */
-case class GzipInflateStored(child: Expression)
+/** `graft_gzip_inflate(payload)`: the concatenated inflated bytes of
+  * every member — stored, fixed-, and dynamic-Huffman deflate per the
+  * real RFC 1951 inflater (see [[DspKernel.gzipInflate]]); null for
+  * non-gzip or malformed streams. */
+case class GzipInflate(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
-  override def prettyName: String = "graft_gzip_inflate_stored"
+  override def prettyName: String = "graft_gzip_inflate"
 
   override protected def nullSafeEval(input: Any): Any =
-    DspKernel.gzipInflateStored(input.asInstanceOf[Array[Byte]])
+    DspKernel.gzipInflate(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
-       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.gzipInflateStored($c);
+       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.gzipInflate($c);
        |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_gzip_deflate(payload, level)`: the single-member gzip wrap of
+  * `payload` compressed with REAL deflate at the given level (see
+  * [[DspKernel.gzipDeflate]]) — the builder side of the real-capture
+  * read-path certificate. Never null on non-null input. */
+case class GzipDeflate(child: Expression, level: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(level >= 0 && level <= 9,
+    s"gzip deflate level must be in [0, 9], got $level")
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_gzip_deflate"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DspKernel.gzipDeflate(input.asInstanceOf[Array[Byte]], level)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.gzipDeflate($c, $level);
      """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -1157,7 +1446,11 @@ object MediaFunctions {
   def gzipMemberTable(payload: Column): Column =
     Bridge.column(GzipMemberTable(Bridge.expression(payload)))
 
-  /** Codegen'd stored-deflate inflate (concatenated member data). */
-  def gzipInflateStored(payload: Column): Column =
-    Bridge.column(GzipInflateStored(Bridge.expression(payload)))
+  /** Codegen'd full gzip inflate (stored + fixed + dynamic Huffman). */
+  def gzipInflate(payload: Column): Column =
+    Bridge.column(GzipInflate(Bridge.expression(payload)))
+
+  /** Codegen'd single-member gzip wrap via real deflate (zlib level). */
+  def gzipDeflate(payload: Column, level: Int = 6): Column =
+    Bridge.column(GzipDeflate(Bridge.expression(payload), level))
 }

@@ -953,8 +953,63 @@ object Multimodal {
     * uncompressed build by the stored-block identity, spec'd). */
   def warcGzStats(media: DataFrame): DataFrame =
     warcStats(media.select(col("doc_id"),
-      graft.functions.MediaFunctions.gzipInflateStored(col("payload"))
+      graft.functions.MediaFunctions.gzipInflate(col("payload"))
         .as("payload")))
+
+  /** documents → `.warc.gz` frame compressed with REAL deflate: the
+    * doc's WARC stream ([[warcPayloadString]], doc_id-varied geometry)
+    * wrapped as ONE gzip member whose deflate stream is
+    * `java.util.zip.Deflater` output at level (doc_id % 9) + 1 —
+    * dynamic-Huffman blocks for natural text, the shape every actual
+    * Common-Crawl capture carries and the stored-block builder cannot
+    * produce. Staged (the warcGzFrame lesson): the WARC string is
+    * computed once into a column before the deflate expression
+    * consumes it. */
+  def warcGzRealFrame(docs: DataFrame): DataFrame = {
+    val staged = docs.select(col("doc_id"),
+      warcPayloadString((col("doc_id") % 4 + 1).cast("int"), col("doc_id"),
+        col("text")).as("__warcsrc"))
+    val levels = (1 to 9).map { lvl =>
+      when(col("doc_id") % 9 === (lvl - 1),
+        graft.functions.MediaFunctions.gzipDeflate(
+          col("__warcsrc").cast("binary"), lvl))
+    }
+    staged.select(col("doc_id"),
+      coalesce(levels: _*).as("payload"))
+  }
+
+  /** The real-capture read path's self-certifying census: per doc, the
+    * gzip member walk's certificate columns (gz_members, gz_crc_ok —
+    * the walker RECOMPUTES CRC32 + ISIZE over what IT inflates, so
+    * gz_crc_ok = 1 proves the inflater against zlib's compressor;
+    * gz_header_bytes = 10 and gz_isize = the WARC stream's byte length
+    * are analytic) joined with the full WARC record census over the
+    * INFLATED bytes. Deflater-dependent values (deflate_len, n_blocks)
+    * stay out of the frame — the oracle prices only what the
+    * construction determines. One scan, all expression-side. */
+  def warcGzRealStats(media: DataFrame): DataFrame = {
+    val g = graft.functions.MediaFunctions.gzipMemberStats(col("payload"))
+    val staged = media.select(col("doc_id"),
+      element_at(g, 1).as("gz_members"),
+      element_at(g, 5).as("gz_header_bytes"),
+      element_at(g, 7).as("gz_isize"),
+      element_at(g, 9).as("gz_crc_ok"),
+      graft.functions.MediaFunctions.gzipInflate(col("payload"))
+        .as("payload"))
+    val s = graft.functions.MediaFunctions.warcRecordStats(col("payload"))
+    staged.select(
+      col("doc_id"), col("gz_members"), col("gz_header_bytes"),
+      col("gz_isize"), col("gz_crc_ok"),
+      element_at(s, 1).as("n_records"),
+      element_at(s, 2).as("n_warcinfo"),
+      element_at(s, 3).as("n_response"),
+      element_at(s, 4).as("n_request"),
+      element_at(s, 5).as("n_metadata"),
+      element_at(s, 6).as("n_other"),
+      element_at(s, 7).as("payload_bytes"),
+      element_at(s, 8).as("header_bytes"),
+      length(col("payload")).cast("long").as("total_bytes"))
+  }
 
   /** One ISO-BMFF box by expression: size(4 BE, includes the 8-byte
     * header) + type + payload — the §4.2 compact form the builder emits

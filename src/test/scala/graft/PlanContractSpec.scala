@@ -878,4 +878,11 @@ class PlanContractSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("documents.parquet")) == 1,
       s"warc.gz path rescanned the corpus:\n$p")
   }
+
+  test("real-deflate build+inflate+walk stays expression-side with no RDD hop, one scan") {
+    val p = plan("q_multimodal_gzip_real")
+    assert(!p.contains("ExistingRDD"), s"real-deflate path dropped to an RDD scan:\n$p")
+    assert(p.linesIterator.count(_.contains("documents.parquet")) == 1,
+      s"real-deflate path rescanned the corpus:\n$p")
+  }
 }

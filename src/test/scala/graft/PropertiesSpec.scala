@@ -909,7 +909,7 @@ class PropertiesSpec extends SparkSpec {
       }
       // inflate identity: the stored-block concatenation IS the input
       val inflated = df.select(col("doc_id"), col("body"),
-        graft.functions.MediaFunctions.gzipInflateStored(col("payload"))
+        graft.functions.MediaFunctions.gzipInflate(col("payload"))
           .cast("string").as("back"))
         .orderBy("doc_id").collect()
       inflated.foreach { r =>
@@ -961,7 +961,7 @@ class PropertiesSpec extends SparkSpec {
     assert(walk(base.dropRight(1)) == null)                   // truncated trailer
     assert(walk(base.updated(2, 7.toByte)) == null)           // CM != deflate
     assert(walk(base.updated(3, 0x20.toByte)) == null)        // reserved FLG bit
-    assert(walk(base.updated(10, 2.toByte)) == null)          // BTYPE 01: not stored
+    assert(walk(base.updated(10, 6.toByte)) == null)          // BTYPE 11: reserved
     assert(walk(base.updated(13, 0.toByte)) == null)          // NLEN complement broken
     val named = wellFormed(data, 8)
     assert(walk(named.take(named.length - data.length - 13 - 5)
@@ -989,6 +989,110 @@ class PropertiesSpec extends SparkSpec {
       }
       assert(msgs(e).exists(_.contains("nMembers out of")), s"unexpected: $e")
     }
+  }
+
+  test("property: the real RFC 1951 inflater matches java.util.zip round-trips at every level and strategy") {
+    // the inflater must read what ANY conforming deflater writes:
+    // levels 1-9 (dynamic Huffman on natural text, stored on
+    // incompressible noise), HUFFMAN_ONLY and FILTERED strategies, and
+    // level 0 (all stored) — each member's inflate must be the identity
+    // and the walker's recomputed CRC32/ISIZE must match the trailer
+    // zlib wrote (crc_ok = 1 certifies the inflater against zlib)
+    def member(data: Array[Byte], level: Int, strategy: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte))
+      val d = new java.util.zip.Deflater(level, true)
+      d.setStrategy(strategy)
+      d.setInput(data); d.finish()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      val crc = new java.util.zip.CRC32(); crc.update(data)
+      val c = crc.getValue
+      out.write(Array[Byte](c.toByte, (c >> 8).toByte, (c >> 16).toByte,
+        (c >> 24).toByte, data.length.toByte, (data.length >> 8).toByte,
+        (data.length >> 16).toByte, (data.length >> 24).toByte))
+      out.toByteArray
+    }
+    import java.util.zip.Deflater._
+    val textGen = Gen.chooseNum(0, 2000).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        (8, Gen.alphaNumChar), (2, Gen.const(' ')))).map(_.mkString.getBytes("UTF-8")))
+    val noiseGen = Gen.chooseNum(0, 500).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    val cases = for {
+      data <- Gen.oneOf(textGen, noiseGen)
+      level <- Gen.chooseNum(0, 9)
+      strategy <- Gen.oneOf(DEFAULT_STRATEGY, FILTERED, HUFFMAN_ONLY)
+    } yield (data, level, strategy)
+    (1L to 5L).foreach { seed =>
+      sample(Gen.listOfN(40, cases), seed).zipWithIndex.foreach {
+        case ((data, level, strategy), i) =>
+          val m = member(data, level, strategy)
+          val back = graft.functions.DspKernel.gzipInflate(m)
+          assert(back != null,
+            s"seed $seed case $i (level $level strat $strategy): inflate nulled")
+          assert(java.util.Arrays.equals(back, data),
+            s"seed $seed case $i (level $level strat $strategy): not the identity")
+          val s = graft.functions.DspKernel.gzipMemberStats(m)
+          assert(s.toLongArray()(8) === 1L,
+            s"seed $seed case $i: recomputed CRC32/ISIZE mismatch")
+      }
+      // members of DIFFERENT levels/strategies concatenate into one
+      // stream, and back-references never cross the member seam
+      val parts = sample(Gen.listOfN(4, cases), seed + 100)
+      val stream = parts.map { case (d, l, st) => member(d, l, st) }
+        .foldLeft(Array.empty[Byte])(_ ++ _)
+      if (stream.nonEmpty) {
+        val joined = graft.functions.DspKernel.gzipInflate(stream)
+        assert(java.util.Arrays.equals(joined,
+          parts.map(_._1).foldLeft(Array.empty[Byte])(_ ++ _)),
+          s"seed $seed: concatenated members did not inflate to concatenated data")
+        val st = graft.functions.DspKernel.gzipMemberStats(stream)
+        assert(st.toLongArray()(0) === parts.length.toLong &&
+          st.toLongArray()(8) === parts.length.toLong, s"seed $seed")
+      }
+    }
+    // the engine-side builder twin round-trips through the expression path
+    val docs = (0L until 20L)
+      .map(i => (i, s"deflate me properly $i " * (i.toInt % 9 + 1)))
+      .toDF("doc_id", "text")
+    val rt = docs.select(col("doc_id"), col("text"),
+      graft.functions.MediaFunctions.gzipInflate(
+        graft.functions.MediaFunctions.gzipDeflate(
+          col("text").cast("binary"), 6)).cast("string").as("back"))
+      .collect()
+    rt.foreach(r => assert(r.getAs[String]("back") === r.getAs[String]("text"),
+      s"doc ${r.getAs[Long]("doc_id")}: expression round-trip broke"))
+  }
+
+  test("real-deflate malformation: corrupt Huffman streams null, never throw, and the bomb guard holds") {
+    def walk(p: Array[Byte]) = graft.functions.DspKernel.gzipMemberStats(p)
+    def deflated(data: Array[Byte]): Array[Byte] =
+      graft.functions.DspKernel.gzipDeflate(data, 6)
+    val base = deflated(("a real dynamic huffman stream, repetitive " * 40).getBytes("UTF-8"))
+    assert(walk(base) != null)
+    // flip bits THROUGHOUT the deflate body: every corruption must end
+    // in null or a walked member with crc_ok = 0 — never a throw
+    (10 until base.length - 8).foreach { i =>
+      val bad = base.clone(); bad(i) = (bad(i) ^ 0x55).toByte
+      val s = walk(bad) // may be null (structural break) or crc-flagged
+      if (s != null) {
+        val a = s.toLongArray()
+        assert(a(0) >= 1L, s"byte $i: walked to a nonsense member count")
+      }
+    }
+    // truncation anywhere inside the deflate stream nulls
+    (11 until base.length - 1).foreach { i =>
+      assert(walk(base.take(i)) == null, s"truncation at $i not nulled")
+    }
+    // a back-reference before the member start (hand-built: fixed-Huffman
+    // block whose first symbol is a length/distance pair) nulls
+    // 0b110 = bfinal 1, btype 01; then symbol 257 (len 3) = 0000001,
+    // distance 0 (dist 1) = 00000 — references output that doesn't exist
+    val badRef = Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte,
+      0x03, 0x02, 0x00, 0, 0, 0, 0, 0, 0, 0, 0)
+    assert(walk(badRef) == null, "out-of-window back-reference not nulled")
   }
 
   test("property: the gzip walk is total over arbitrary binary garbage") {
@@ -1027,7 +1131,7 @@ class PropertiesSpec extends SparkSpec {
     val side = Multimodal.warcFrame(docs).withColumnRenamed("payload", "direct")
     val both = Multimodal.warcGzFrame(docs).join(side, "doc_id")
       .select(col("doc_id"),
-        graft.functions.MediaFunctions.gzipInflateStored(col("payload"))
+        graft.functions.MediaFunctions.gzipInflate(col("payload"))
           .as("inflated"), col("direct")).collect()
     both.foreach { r =>
       assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("inflated"),
