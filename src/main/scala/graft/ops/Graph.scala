@@ -361,8 +361,11 @@ object Graph {
     * equi-join of the value frame to the neighbor list, one rank
     * window partitioned by node, one max aggregate, one left join back
     * — no cartesian, no driver graph state; iterates localCheckpoint
-    * like [[pagerankInt]] so the plan stays one-round deep. The DuckDB
-    * oracle unrolls the same rounds. */
+    * like [[pagerankInt]] so the plan stays one-round deep, and the
+    * materializing action each round counts CHANGED values so the loop
+    * stops at the fixpoint (provably ≡ running all `iterations` rounds
+    * — a converged h-iterate is stationary — so the DuckDB oracle
+    * still unrolls the full fixed count). */
   def kCore(edges: DataFrame, iterations: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(iterations >= 1, "kCore needs at least one iteration")
@@ -376,7 +379,15 @@ object Graph {
       .agg(count(lit(1)).cast("long").as("degree"))
     var cur = degrees.select(col("node"), col("degree").as("c"))
       .localCheckpoint(false)
-    (1 to iterations).foreach { _ =>
+    // convergence-aware: the per-round materializing action (needed
+    // anyway to sever lineage) counts CHANGED values instead of rows;
+    // at 0 the iterate is a fixpoint, every remaining round would be
+    // the identity, so stopping early serves the exact `iterations`-th
+    // iterate the oracle unrolls while skipping dead rounds (the
+    // census's slowest query bought its tail back)
+    var round = 0
+    var converged = false
+    while (round < iterations && !converged) {
       val vals = nbrs
         .join(cur.select(col("node").as("nbr"), col("c")), "nbr")
       val h = vals
@@ -386,10 +397,13 @@ object Graph {
         .groupBy("node").agg(max("rn").as("h"))
       // every node in the frame has >= 1 neighbor of value >= 1, so the
       // left-join coalesce is a defensive floor, not a live branch
-      cur = cur.select("node").join(h, Seq("node"), "left")
-        .select(col("node"), coalesce(col("h"), lit(0L)).as("c"))
+      val next = cur.join(h, Seq("node"), "left")
+        .select(col("node"), col("c").as("c_prev"),
+          coalesce(col("h"), lit(0L)).as("c"))
         .localCheckpoint(false)
-      cur.count() // sever lineage now, free the prior iterate
+      converged = next.filter(col("c") =!= col("c_prev")).count() == 0L
+      cur = next.select("node", "c")
+      round += 1
     }
     val out = degrees.join(cur, "node")
       .select(col("node"), col("degree"), col("c").as("core"))

@@ -177,7 +177,8 @@ object Sampling {
     * the contract; truncate or span upstream ([[packSequences]] spans).
     *
     * Shape: the fold is inherently sequential per shard, so it runs as
-    * ONE `aggregate` pass over the shard's collect_list'd docs — the
+    * ONE linear pass of the codegen'd sequential-recurrence kernel over
+    * the shard's collect_list'd docs — the
     * ewmaServe/ACF per-key-fold discipline, bounded by shard size; at
     * 100 TB widen to more shards by keying on more hex digits (pack
     * quality is per-shard either way). Exact integers end to end, so
@@ -186,7 +187,7 @@ object Sampling {
   def packSequencesBfd(docs: DataFrame, budgetTokens: Long = 256L,
                        seed: String = "pack:"): DataFrame =
     bfdFold(docs, budgetTokens, seed)
-      .select(col("shard"), explode(col("folded.asg")).as("a"))
+      .select(col("shard"), explode(col("asg")).as("a"))
       .select(col("a.doc_id").as("doc_id"), col("shard"),
         col("a.n").as("n_tokens"), col("a.bin").as("bin"))
 
@@ -204,7 +205,8 @@ object Sampling {
         size(col("xs")).cast("long").as("n_docs"),
         aggregate(col("xs"), lit(0L), (acc, d) => acc + d.getField("n"))
           .as("total_tokens"),
-        size(col("folded.loads")).cast("long").as("bins_bfd"),
+        // bins in opening order, so the bin count is the max id + 1
+        (expr("array_max(transform(asg, a -> a.bin))") + 1L).as("bins_bfd"),
         expr(
           s"""aggregate(xs,
              |  struct(CAST(0 AS BIGINT) AS nbins, CAST($b AS BIGINT) AS cur),
@@ -221,8 +223,12 @@ object Sampling {
   }
 
   /** The shared BFD fold: per shard, (xs = docs sorted n-desc/id-asc,
-    * folded = struct(loads, asg)) — loads the open-bin fills in opening
-    * order, asg one (doc_id, bin, n) per doc. */
+    * asg = one (doc_id, bin, n) per doc, bins 0-based in opening
+    * order). The placement runs in the codegen'd linear-time fold
+    * (functions/RecurrenceKernel, kind bfd) — same best-fit rule as
+    * the retired `aggregate` HOF (greatest fitting load, FIRST index
+    * on ties, the array_position discipline) without the per-step
+    * accumulator concat that copied the whole assignment again. */
   private def bfdFold(docs: DataFrame, budgetTokens: Long,
                       seed: String): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
@@ -237,31 +243,12 @@ object Sampling {
           lit(" is the contract; truncate or use packSequences"))))
           .otherwise(col("n_tokens")))
       .withColumn("shard", conv(substring(col("h"), 1, 1), 16, 10).cast("int"))
-    // ascending struct sort on (-n, id) = the BFD (n desc, id asc) order;
-    // the fitting-bin choice is array_position of the max fitting load —
-    // FIRST occurrence, so load ties go to the smallest bin id
+    // ascending struct sort on (-n, id) = the BFD (n desc, id asc) order
     guarded.groupBy("shard")
       .agg(sort_array(collect_list(struct((-col("n_tokens")).as("neg"),
         col("doc_id"), col("n_tokens").as("n")))).as("xs"))
-      .withColumn("folded", expr(
-        s"""aggregate(xs,
-           |  struct(CAST(array() AS ARRAY<BIGINT>) AS loads,
-           |    CAST(array() AS ARRAY<STRUCT<doc_id: BIGINT, bin: BIGINT, n: BIGINT>>) AS asg),
-           |  (acc, d) -> IF(
-           |    size(filter(acc.loads, l -> l + d.n <= $b)) = 0,
-           |    struct(
-           |      concat(acc.loads, array(d.n)) AS loads,
-           |      concat(acc.asg, array(struct(d.doc_id AS doc_id,
-           |        CAST(size(acc.loads) AS BIGINT) AS bin, d.n AS n))) AS asg),
-           |    struct(
-           |      transform(acc.loads, (l, i) -> IF(
-           |        i = array_position(acc.loads,
-           |          array_max(filter(acc.loads, l2 -> l2 + d.n <= $b))) - 1,
-           |        l + d.n, l)) AS loads,
-           |      concat(acc.asg, array(struct(d.doc_id AS doc_id,
-           |        array_position(acc.loads,
-           |          array_max(filter(acc.loads, l2 -> l2 + d.n <= $b))) - 1 AS bin,
-           |        d.n AS n))) AS asg)))""".stripMargin))
+      .withColumn("asg",
+        graft.functions.RecurrenceFunctions.bfdFold(col("xs"), b))
   }
 
   /** Quality-proportional thinning — per-doc importance sampling: doc i

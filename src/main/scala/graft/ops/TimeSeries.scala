@@ -575,10 +575,11 @@ object TimeSeries {
     * value sums can be negative and the two diverge there.
     *
     * Shape: the recurrence is inherently sequential per key, so each
-    * key's hourly points fold in ONE `aggregate` pass over its
-    * collect_list'd series — bounded by the time range (a year of hours
-    * is 8760 rows), the same per-key-sequence discipline as the ACF
-    * family. Keys are independent; the fold never crosses them. */
+    * key's hourly points fold in ONE linear pass of the codegen'd
+    * sequential-recurrence kernel over its collect_list'd series —
+    * bounded by the time range (a year of hours is 8760 rows), the
+    * same per-key-sequence discipline as the ACF family. Keys are
+    * independent; the fold never crosses them. */
   def ewmaHourly(events: DataFrame, keyCol: String = "event_type",
                  alphaNum: Long = 1L, alphaDen: Long = 4L): DataFrame =
     ewmaServe(hourlyQuantized(events, keyCol), alphaNum, alphaDen)
@@ -590,26 +591,17 @@ object TimeSeries {
                 alphaDen: Long = 4L): DataFrame = {
     require(alphaNum >= 1L && alphaNum < alphaDen,
       s"ewma alpha $alphaNum/$alphaDen out of (0, 1)")
-    val beta = alphaDen - alphaNum
-    // floor division spelled portably: t - posmod(t, den) is exactly
-    // divisible, so DIV's truncation equals the mathematical floor
-    val step =
-      s"$alphaNum * e.swq + $beta * element_at(acc, -1).s"
-    val series = hourly
+    // the recurrence runs in the codegen'd linear-time fold
+    // (functions/RecurrenceKernel — Math.floorDiv IS the portable
+    // `(x - posmod(x, den)) DIV den` floor the oracle replays), not an
+    // `aggregate` HOF whose per-step accumulator concat copies the
+    // whole series again: O(n) per key, bit-identical output
+    hourly
       .groupBy("key")
       .agg(sort_array(collect_list(struct(col("bucket_us"), col("swq")))).as("xs"))
-    series
-      .select(col("key"), expr(
-        s"""aggregate(
-           |  slice(xs, 2, size(xs) - 1),
-           |  array(struct(xs[0].bucket_us AS bucket_us, xs[0].swq AS swq,
-           |               CAST(xs[0].swq AS BIGINT) AS s)),
-           |  (acc, e) -> concat(acc, array(struct(
-           |    e.bucket_us AS bucket_us, e.swq AS swq,
-           |    (($step) - ((($step) % $alphaDen + $alphaDen) % $alphaDen))
-           |      DIV $alphaDen AS s)))
-           |)""".stripMargin).as("series"))
-      .select(col("key"), explode(col("series")).as("e"))
+      .select(col("key"), explode(
+        graft.functions.RecurrenceFunctions.ewmaFold(
+          col("xs"), alphaNum, alphaDen)).as("e"))
       .select(col("key"), col("e.bucket_us").as("bucket_us"),
         col("e.swq").as("swq"), col("e.s").as("ewma_q"))
   }
@@ -635,8 +627,8 @@ object TimeSeries {
     * single-hour key is well-defined and the first step is pure level.
     *
     * Shape: identical to [[ewmaServe]] — inherently sequential per key,
-    * one `aggregate` fold over the collect_list'd series, bounded by
-    * the time range, keys independent. */
+    * one linear codegen'd fold over the collect_list'd series, bounded
+    * by the time range, keys independent. */
   def holtHourly(events: DataFrame, keyCol: String = "event_type",
                  alphaNum: Long = 1L, alphaDen: Long = 4L,
                  betaNum: Long = 1L, betaDen: Long = 2L): DataFrame =
@@ -656,32 +648,16 @@ object TimeSeries {
       s"holt alpha $alphaNum/$alphaDen out of (0, 1)")
     require(betaNum >= 1L && betaNum < betaDen,
       s"holt beta $betaNum/$betaDen out of (0, 1)")
-    val aBar = alphaDen - alphaNum
-    val bBar = betaDen - betaNum
-    // floor division spelled portably (the ewmaServe idiom); the level
-    // expression is inlined twice in the trend step because a struct
-    // field cannot reference its sibling mid-construction
-    def fdiv(x: String, den: Long) =
-      s"((($x) - ((($x) % $den + $den) % $den)) DIV $den)"
-    val lPrev = "element_at(acc, -1).l"
-    val bPrev = "element_at(acc, -1).b"
-    val lNew = fdiv(s"$alphaNum * e.swq + $aBar * ($lPrev + $bPrev)", alphaDen)
-    val bNew = fdiv(s"$betaNum * ($lNew - $lPrev) + $bBar * $bPrev", betaDen)
-    val series = hourly
+    // same linear-time codegen'd fold as ewmaServe — the two-register
+    // (level, trend) recurrence with Math.floorDiv at BOTH steps, so
+    // declining series floor (not truncate) exactly as the oracle's
+    // recursive CTE does
+    hourly
       .groupBy("key")
       .agg(sort_array(collect_list(struct(col("bucket_us"), col("swq")))).as("xs"))
-    series
-      .select(col("key"), expr(
-        s"""aggregate(
-           |  slice(xs, 2, size(xs) - 1),
-           |  array(struct(xs[0].bucket_us AS bucket_us, xs[0].swq AS swq,
-           |               CAST(xs[0].swq AS BIGINT) AS l,
-           |               CAST(0 AS BIGINT) AS b)),
-           |  (acc, e) -> concat(acc, array(struct(
-           |    e.bucket_us AS bucket_us, e.swq AS swq,
-           |    $lNew AS l, $bNew AS b)))
-           |)""".stripMargin).as("series"))
-      .select(col("key"), explode(col("series")).as("e"))
+      .select(col("key"), explode(
+        graft.functions.RecurrenceFunctions.holtFold(
+          col("xs"), alphaNum, alphaDen, betaNum, betaDen)).as("e"))
       .select(col("key"), col("e.bucket_us").as("bucket_us"),
         col("e.swq").as("swq"), col("e.l").as("level_q"),
         col("e.b").as("trend_q"),

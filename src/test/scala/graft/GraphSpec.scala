@@ -434,6 +434,13 @@ class GraphSpec extends SparkSpec {
     val again = Graph.kCore(edges, iterations = 9).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(again === got)
+    // convergence-aware early stop ≡ the fixed iterate: a 100-round
+    // budget must serve the identical frame (and return promptly — the
+    // changed-count action stops the loop at the fixpoint instead of
+    // running 100 dead rounds)
+    val budget100 = Graph.kCore(edges, iterations = 100).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(budget100 === got)
     // the monotone upper-bound property at round 1: a star's center
     // drops from degree n to h-index 1 in one round
     val star = (2L to 6L).map(i => (1L, i)).toDF("a", "b")

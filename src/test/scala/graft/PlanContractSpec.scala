@@ -879,6 +879,21 @@ class PlanContractSpec extends SparkSpec {
       s"warc.gz path rescanned the corpus:\n$p")
   }
 
+  test("ewma/holt/bfd recurrences run in the codegen'd linear fold, never the quadratic HOF") {
+    // the optimized LOGICAL plan prints full projection lists — the
+    // physical string hides result expressions inside the aggregate
+    // node (q_seq_pack_bfd's fold collapses there), so the physical
+    // form can't certify presence
+    Seq("q_ewma_hourly", "q_holt_trend", "q_seq_pack_bfd").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("graft_seq_recurrence"),
+        s"$q does not use the sequential-recurrence kernel:\n$p")
+      assert(!p.contains("aggregate(lambdafunction"),
+        s"$q still folds through an aggregate HOF (per-step accumulator copy):\n$p")
+    }
+  }
+
   test("real-deflate build+inflate+walk stays expression-side with no RDD hop, one scan") {
     val p = plan("q_multimodal_gzip_real")
     assert(!p.contains("ExistingRDD"), s"real-deflate path dropped to an RDD scan:\n$p")

@@ -991,6 +991,135 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: the linear recurrence fold equals the retired HOF aggregate form bit for bit") {
+    // ewmaServe/holtServe/bfdFold moved from the O(n²) `aggregate(...,
+    // concat(acc, ...))` shape to the codegen'd RecurrenceKernel — the
+    // HOF forms are replayed HERE as the independent model, including
+    // negative sums (where floor != truncation) and load-tie packing
+    val seriesGen = for {
+      n <- Gen.chooseNum(1, 40)
+      xs <- Gen.listOfN(n, Gen.chooseNum(-5000000L, 5000000L))
+    } yield xs
+    (1L to 5L).foreach { seed =>
+      val keys = sample(Gen.listOfN(8, seriesGen), seed)
+      val hourly = keys.zipWithIndex.flatMap { case (xs, k) =>
+        xs.zipWithIndex.map { case (x, t) =>
+          (s"k$k", t.toLong * 3600000000L, x, 1L)
+        }
+      }.toDF("key", "bucket_us", "swq", "n")
+      // EWMA vs the HOF replica at alpha = 1/4
+      val got = graft.ops.TimeSeries.ewmaServe(hourly, 1L, 4L)
+        .orderBy("key", "bucket_us").collect()
+      val hof = hourly.groupBy("key")
+        .agg(sort_array(collect_list(struct(col("bucket_us"), col("swq")))).as("xs"))
+        .select(col("key"), explode(expr(
+          """aggregate(
+            |  slice(xs, 2, size(xs) - 1),
+            |  array(struct(xs[0].bucket_us AS bucket_us, xs[0].swq AS swq,
+            |               CAST(xs[0].swq AS BIGINT) AS s)),
+            |  (acc, e) -> concat(acc, array(struct(
+            |    e.bucket_us AS bucket_us, e.swq AS swq,
+            |    ((1 * e.swq + 3 * element_at(acc, -1).s)
+            |      - (((1 * e.swq + 3 * element_at(acc, -1).s) % 4 + 4) % 4))
+            |      DIV 4 AS s)))
+            |)""".stripMargin)).as("e"))
+        .select(col("key"), col("e.bucket_us"), col("e.swq"),
+          col("e.s").as("ewma_q"))
+        .orderBy("key", "bucket_us").collect()
+      assert(got.toSeq === hof.toSeq, s"seed $seed: ewma diverged from the HOF form")
+      // Holt vs a driver-side integer model at alpha 1/4, beta 1/2
+      val holtGot = graft.ops.TimeSeries.holtServe(hourly, 1L, 4L, 1L, 2L)
+        .orderBy("key", "bucket_us").collect()
+      val model = keys.zipWithIndex.flatMap { case (xs, k) =>
+        var l = 0L; var b = 0L
+        xs.zipWithIndex.map { case (x, t) =>
+          if (t == 0) { l = x; b = 0L }
+          else {
+            val lp = l
+            l = Math.floorDiv(1L * x + 3L * (lp + b), 4L)
+            b = Math.floorDiv(1L * (l - lp) + 1L * b, 2L)
+          }
+          (s"k$k", t.toLong * 3600000000L, x, l, b, l + b)
+        }
+      }.sortBy(r => (r._1, r._2))
+      assert(holtGot.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq === model.toSeq,
+        s"seed $seed: holt diverged from the driver model")
+    }
+    // BFD vs the retired HOF packer, load ties included
+    val docsGen = for {
+      n <- Gen.chooseNum(1, 60)
+      toks <- Gen.listOfN(n, Gen.chooseNum(1L, 256L))
+    } yield toks
+    (1L to 5L).foreach { seed =>
+      val toks = sample(docsGen, seed)
+      val docs = toks.zipWithIndex
+        .map { case (t, i) => (i.toLong, ("w " * t.toInt).trim) }
+        .toDF("doc_id", "text")
+      val got = graft.ops.Sampling.packSequencesBfd(docs, 256L)
+        .orderBy("doc_id").collect()
+      val hof = docs
+        .select(col("doc_id"),
+          md5(concat(lit("pack:"), col("doc_id").cast("string"))).as("h"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("shard", conv(substring(col("h"), 1, 1), 16, 10).cast("int"))
+        .groupBy("shard")
+        .agg(sort_array(collect_list(struct((-col("n_tokens")).as("neg"),
+          col("doc_id"), col("n_tokens").as("n")))).as("xs"))
+        .withColumn("folded", expr(
+          """aggregate(xs,
+            |  struct(CAST(array() AS ARRAY<BIGINT>) AS loads,
+            |    CAST(array() AS ARRAY<STRUCT<doc_id: BIGINT, bin: BIGINT, n: BIGINT>>) AS asg),
+            |  (acc, d) -> IF(
+            |    size(filter(acc.loads, l -> l + d.n <= 256)) = 0,
+            |    struct(
+            |      concat(acc.loads, array(d.n)) AS loads,
+            |      concat(acc.asg, array(struct(d.doc_id AS doc_id,
+            |        CAST(size(acc.loads) AS BIGINT) AS bin, d.n AS n))) AS asg),
+            |    struct(
+            |      transform(acc.loads, (l, i) -> IF(
+            |        i = array_position(acc.loads,
+            |          array_max(filter(acc.loads, l2 -> l2 + d.n <= 256))) - 1,
+            |        l + d.n, l)) AS loads,
+            |      concat(acc.asg, array(struct(d.doc_id AS doc_id,
+            |        array_position(acc.loads,
+            |          array_max(filter(acc.loads, l2 -> l2 + d.n <= 256))) - 1 AS bin,
+            |        d.n AS n))) AS asg)))""".stripMargin))
+        .select(col("shard"), explode(col("folded.asg")).as("a"))
+        .select(col("a.doc_id").as("doc_id"), col("shard"),
+          col("a.n").as("n_tokens"), col("a.bin").as("bin"))
+        .orderBy("doc_id").collect()
+      assert(got.toSeq === hof.toSeq, s"seed $seed: BFD diverged from the HOF form")
+    }
+  }
+
+  test("the recurrence fold scales linearly: a 10k-hour series folds in one pass") {
+    // the quadratic HOF shape copied the whole accumulator per step —
+    // ~5·10⁷ struct copies at this length; the kernel walks once. The
+    // driver model pins every value, so this is both the long-series
+    // correctness check and an implicit linearity check (a quadratic
+    // fold here would blow the suite budget, not just this test)
+    val n = 10000
+    val xs = (0 until n).map(t => ((t * 2654435761L) % 10000000L) - 5000000L)
+    val hourly = xs.zipWithIndex
+      .map { case (x, t) => ("k", t.toLong * 3600000000L, x, 1L) }
+      .toDF("key", "bucket_us", "swq", "n")
+    val got = graft.ops.TimeSeries.holtServe(hourly, 1L, 4L, 1L, 2L)
+      .orderBy("bucket_us").collect()
+    assert(got.length === n)
+    var l = 0L; var b = 0L
+    xs.zipWithIndex.foreach { case (x, t) =>
+      if (t == 0) { l = x; b = 0L }
+      else {
+        val lp = l
+        l = Math.floorDiv(x + 3L * (lp + b), 4L)
+        b = Math.floorDiv((l - lp) + b, 2L)
+      }
+      assert(got(t).getLong(3) === l && got(t).getLong(4) === b,
+        s"hour $t diverged from the driver model")
+    }
+  }
+
   test("property: the real RFC 1951 inflater matches java.util.zip round-trips at every level and strategy") {
     // the inflater must read what ANY conforming deflater writes:
     // levels 1-9 (dynamic Huffman on natural text, stored on
