@@ -1527,6 +1527,14 @@ object SparkEntry {
     "text_line_dedup" -> ((s, dir) =>
       Dedup.lineDedup(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // exact substring dedup by prefix-doubling suffix ranks (Lee et al.
+    // 2021): every position whose 32-token window recurs — anywhere /
+    // cross-doc — flagged via log2(32) doubling rounds of rank classing
+    // (no window string ever materialized); the oracle unrolls the same
+    // five rounds
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.substringDedup(Tables.documents(s, dir)).orderBy("doc_id")),
+
     // C4-style URL hygiene: per-registered-domain census over doc URLs
     // (derived deterministically — the fixture has no URL column; the
     // extraction then reads the URL STRING, never the construction)
@@ -3951,6 +3959,13 @@ object SparkEntry {
         |    // count(*) AS dup_line_ppm
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // the prefix-doubling rounds replayed verbatim: rank0 classes
+    // single tokens (class id = min packed doc_id*2^20+p key), each
+    // round refines by the (rank(p), rank(p+s)) pair for s = 1,2,4,8,16,
+    // then the per-class occurrence/distinct-doc stats and the per-doc
+    // census — the same relations as the engine, never a window string
+    "dedup_substring" -> SUBSTR_DEDUP_SQL,
+
     // the URL is REBUILT by the same deterministic construction, then the
     // census extracts host/domain/tld from the string exactly as the
     // engine does (split on ://, first path segment, strip www., last
@@ -5377,6 +5392,46 @@ object SparkEntry {
         |  1000000 * (n_chars_html - n_chars_text) // n_chars_html
         |    AS markup_ratio_ppm
         |FROM x ORDER BY doc_id""".stripMargin
+
+  /** The prefix-doubling substring-dedup oracle: the engine's rounds
+    * unrolled as CTEs (the kCore unrolling pattern) — rank0 on single
+    * tokens, five doubling refinements to 32-token windows, per-class
+    * stats, per-doc census with short docs carried at zero. */
+  private val SUBSTR_DEDUP_SQL: String = {
+    val rounds = Seq(1, 2, 4, 8, 16).zipWithIndex.map { case (s, i) =>
+      s"""p${i + 1} AS (SELECT a.doc_id, a.p, a.key, a.r, b.r AS r2
+         |  FROM r$i a JOIN r$i b ON a.doc_id = b.doc_id AND b.p = a.p + $s),
+         |c${i + 1} AS (SELECT r, r2, min(key) AS nr FROM p${i + 1} GROUP BY r, r2),
+         |r${i + 1} AS (SELECT doc_id, p, key, nr AS r
+         |  FROM p${i + 1} JOIN c${i + 1} USING (r, r2))""".stripMargin
+    }.mkString(",\n")
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |    CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS p
+      |  FROM documents WHERE text IS NOT NULL),
+      |k AS (SELECT doc_id, p, doc_id * 1048576 + p AS key, w FROM tok),
+      |c0 AS (SELECT w, min(key) AS r FROM k GROUP BY w),
+      |r0 AS (SELECT k.doc_id, k.p, k.key, c0.r FROM k JOIN c0 USING (w)),
+      |""".stripMargin + rounds + """,
+      |st AS (SELECT r, CAST(count(*) AS BIGINT) AS n_occ,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |  FROM r5 GROUP BY r),
+      |j AS (SELECT a.doc_id, st.n_occ, st.n_docs FROM r5 a JOIN st USING (r)),
+      |cen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+      |    CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_repeat_windows,
+      |    CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_crossdoc_windows
+      |  FROM j GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(coalesce(c.n_windows, 0) AS BIGINT) AS n_windows,
+      |  CAST(coalesce(c.n_repeat_windows, 0) AS BIGINT) AS n_repeat_windows,
+      |  CAST(coalesce(c.n_crossdoc_windows, 0) AS BIGINT)
+      |    AS n_crossdoc_windows,
+      |  CAST(CASE WHEN coalesce(c.n_windows, 0) > 0
+      |       THEN 1000000 * c.n_repeat_windows // c.n_windows
+      |       ELSE 0 END AS BIGINT) AS repeat_ppm
+      |FROM documents d LEFT JOIN cen c USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** Shared CTE chain for the URL-hygiene family: rebuild the
     * deterministic doc URL (`u`), then extract host → registered

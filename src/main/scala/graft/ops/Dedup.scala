@@ -713,4 +713,87 @@ object Dedup {
       .withColumn("dup_line_ppm",
         expr("1000000L * n_dup_lines DIV n_lines"))
   }
+
+  /** Positions a doc can encode before [[substringDedup]]'s packed
+    * (doc_id, position) key overflows — 2^20 tokens per doc, far above
+    * any real document, checked loudly per row. */
+  private val SubstrMaxPos = 1048576L
+
+  /** Exact substring dedup by prefix-doubling suffix ranks — the
+    * suffix-array method of Lee et al. 2021 ("Deduplicating Training
+    * Data Makes Language Models Better") re-expressed as bounded
+    * doubling rounds: [[lineDedup]] sees only FIXED non-overlapping
+    * 8-word windows, so a repeat that straddles or mis-aligns with the
+    * line grid is invisible to it; this flags EVERY position whose
+    * `windowTokens`-token window recurs — anywhere in the corpus for
+    * `n_repeat_windows`, in ≥ 2 distinct docs for
+    * `n_crossdoc_windows` — which is exactly "all repeats ≥ L tokens"
+    * (a repeat of length ≥ L contains a flagged L-window at every
+    * start it spans).
+    *
+    * Construction (Manber–Myers prefix doubling, the distributed
+    * form): rank₀ classes positions by their single token (class id =
+    * the class's MIN packed (doc_id · 2^20 + p) key — injective across
+    * classes because the representative belongs to the class); round s
+    * refines rank to 2s-token windows by classing the PAIR
+    * (rank(p), rank(p+s)) the same way. After log₂(windowTokens)
+    * rounds two positions share a rank iff their windowTokens-token
+    * windows are EQUAL — no window string is ever materialized (the
+    * 50-token windows of the paper would be a 50× corpus blowup; ranks
+    * keep every round at one long per position).
+    *
+    * 100 TB shape: log₂ L rounds of {one (doc_id, p) equi-join, one
+    * (r, r2) aggregate, one (r, r2) equi-join back} over corpus-token-
+    * count rows — no global window, no driver state, no materialized
+    * window strings; iterates localCheckpoint like the kCore/pagerank
+    * rounds so each round's frame computes once. The DuckDB oracle
+    * unrolls the same rounds. Census: per doc, full-window count,
+    * repeated-window count (≥ 2 occurrences corpus-wide), cross-doc
+    * repeated count (≥ 2 distinct docs), and the integer ppm rate;
+    * docs shorter than the window (or null-text) carry zero windows. */
+  def substringDedup(docs: DataFrame, windowTokens: Int = 32): DataFrame = {
+    require(windowTokens >= 2 && (windowTokens & (windowTokens - 1)) == 0,
+      s"substringDedup: windowTokens=$windowTokens must be a power of two >= 2")
+    val keyed = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("w"),
+        when(col("doc_id") >= 0L && col("p") < SubstrMaxPos,
+          col("doc_id") * SubstrMaxPos + col("p"))
+          .otherwise(raise_error(concat(
+            lit("substringDedup: (doc_id, position) outside the packed key "),
+            lit("range: "), col("doc_id").cast("string"), lit("/"),
+            col("p").cast("string")))).as("key"))
+    val r0 = keyed.groupBy("w").agg(min("key").as("r"))
+    var cur = keyed.join(r0, "w")
+      .select(col("doc_id"), col("p"), col("key"), col("r"))
+      .localCheckpoint(false)
+    var s = 1L
+    while (s < windowTokens) {
+      val shifted = cur.select(col("doc_id"), (col("p") - s).as("p"),
+        col("r").as("r2"))
+      val pairs = cur.join(shifted, Seq("doc_id", "p"))
+      val classes = pairs.groupBy("r", "r2").agg(min("key").as("nr"))
+      cur = pairs.join(classes, Seq("r", "r2"))
+        .select(col("doc_id"), col("p"), col("key"), col("nr").as("r"))
+        .localCheckpoint(false)
+      s <<= 1
+    }
+    val stats = cur.groupBy("r")
+      .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"))
+    val census = cur.join(stats, "r")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("n_occ") >= 2L, 1L).otherwise(0L)).as("n_repeat_windows"),
+        sum(when(col("n_docs") >= 2L, 1L).otherwise(0L)).as("n_crossdoc_windows"))
+    docs.select("doc_id").join(census, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_repeat_windows"), lit(0L)).as("n_repeat_windows"),
+        coalesce(col("n_crossdoc_windows"), lit(0L)).as("n_crossdoc_windows"))
+      .withColumn("repeat_ppm",
+        when(col("n_windows") > 0L,
+          expr("1000000L * n_repeat_windows DIV n_windows")).otherwise(0L))
+  }
 }

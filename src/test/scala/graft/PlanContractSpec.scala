@@ -894,6 +894,14 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("substring dedup rounds are equi-joins and aggregates, never a cartesian") {
+    val p = plan("dedup_substring")
+    assert(!p.contains("CartesianProduct"),
+      s"substring dedup degenerated to a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup degenerated to a nested-loop join:\n$p")
+  }
+
   test("real-deflate build+inflate+walk stays expression-side with no RDD hop, one scan") {
     val p = plan("q_multimodal_gzip_real")
     assert(!p.contains("ExistingRDD"), s"real-deflate path dropped to an RDD scan:\n$p")

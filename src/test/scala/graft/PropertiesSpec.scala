@@ -991,6 +991,79 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: prefix-doubling rank classes equal direct window-string classes") {
+    // the whole correctness of substringDedup rests on one claim: after
+    // log2(L) doubling rounds, two positions share a rank IFF their
+    // L-token windows are equal strings — so the census must match a
+    // driver model that brute-materializes every window
+    import graft.ops.Dedup
+    val wordy: Gen[String] = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dog", "cat")).map(_.mkString(" ")))
+    val L = 4
+    (1L to 5L).foreach { seed =>
+      val texts = sample(Gen.listOfN(20, wordy), seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.substringDedup(docs, windowTokens = L)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // driver model: every L-gram string, grouped
+      val wins = texts.zipWithIndex.flatMap { case (t, i) =>
+        val toks = t.split(" ", -1)
+        (0 to toks.length - L).map(p => (i.toLong, toks.slice(p, p + L).mkString(" ")))
+      }
+      val occ = wins.groupBy(_._2).view.mapValues(_.size).toMap
+      val dd = wins.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size).toMap
+      val model = texts.indices.map { i =>
+        val mine = wins.filter(_._1 == i.toLong).map(_._2)
+        (i.toLong, mine.size.toLong,
+          mine.count(w => occ(w) >= 2).toLong,
+          mine.count(w => dd(w) >= 2).toLong)
+      }
+      assert(got.toSeq === model,
+        s"seed $seed: doubling classes diverged from brute window strings")
+    }
+  }
+
+  test("substring dedup flags the misaligned cross-doc repeat that line dedup cannot see") {
+    import graft.ops.Dedup
+    // a 50-token run planted at offset 3 of doc 0 and offset 7 of doc 1:
+    // different alignments mod 8, so the two docs' fixed 8-word lines
+    // never coincide — lineDedup finds ZERO duplicate lines, while the
+    // suffix-rank windows flag every covered position in both docs
+    val repeat = (0 until 50).map(k => s"r$k").mkString(" ")
+    val docA = ((0 until 3).map(k => s"a$k") :+ repeat).mkString(" ") +
+      " " + (0 until 9).map(k => s"az$k").mkString(" ")
+    val docB = ((0 until 7).map(k => s"b$k") :+ repeat).mkString(" ") +
+      " " + (0 until 5).map(k => s"bz$k").mkString(" ")
+    val docs = Seq((0L, docA), (1L, docB)).toDF("doc_id", "text")
+    val line = Dedup.lineDedup(docs).orderBy("doc_id").collect()
+    assert(line.forall(_.getAs[Long]("n_dup_lines") === 0L),
+      "line dedup unexpectedly saw the misaligned repeat")
+    val sub = Dedup.substringDedup(docs, windowTokens = 32)
+      .orderBy("doc_id").collect()
+    // 50-token repeat → 19 fully-contained 32-windows per doc
+    sub.foreach { r =>
+      assert(r.getAs[Long]("n_crossdoc_windows") === 19L,
+        s"doc ${r.getLong(0)}: expected 19 flagged cross-doc windows, " +
+          s"got ${r.getAs[Long]("n_crossdoc_windows")}")
+    }
+    // short and null docs carry zero windows, not dropped rows
+    val edge = Seq((0L, "tiny doc"), (1L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val er = Dedup.substringDedup(edge, windowTokens = 32)
+      .orderBy("doc_id").collect()
+    assert(er.length === 2 && er.forall(_.getAs[Long]("n_windows") === 0L))
+    // the packed key refuses what it cannot encode
+    val bad = Seq((-1L, ("w " * 40).trim)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.substringDedup(bad, windowTokens = 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("packed key")), s"unexpected: $e")
+  }
+
   test("property: the linear recurrence fold equals the retired HOF aggregate form bit for bit") {
     // ewmaServe/holtServe/bfdFold moved from the O(n²) `aggregate(...,
     // concat(acc, ...))` shape to the codegen'd RecurrenceKernel — the
