@@ -68,6 +68,15 @@ object SparkEntry {
     new java.io.File("target/graft-artifacts/lm_v1_" + tag + "_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
 
+  /** Stored cdx index artifact (record geometry × owning gzip member):
+    * both walks are deterministic byte arithmetic and every column is
+    * integral or a type name, so the seekable index round-trips parquet
+    * exactly — the read-side artifact a Common-Crawl consumer builds
+    * once per crawl and serves random access from. */
+  private def cdxArtifactPath(tag: String, dir: String): String =
+    new java.io.File("target/graft-artifacts/cdx_v1_" + tag + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     graft.ops.Artifacts.parquetArtifact(s, pairArtifactPath("jaccard", dir))(
       Dedup.ngramJaccard(Tables.documents(s, dir)))
@@ -1535,6 +1544,16 @@ object SparkEntry {
     "dedup_substring" -> ((s, dir) =>
       Dedup.substringDedup(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // IMAGE near-dup: 64-bit integer average hash over the BMP pixel
+    // walk (codegen'd, 16 hex chars), planted one-byte-perturbed twins,
+    // hamming-banded pair join through the simhash pigeonhole — the
+    // multimodal member of the dedup family; the oracle rebuilds both
+    // pixel streams and replays hash, banding, and exact hamming
+    "dedup_image_ahash" -> ((s, dir) =>
+      Dedup.imageAHashPairs(Multimodal.imageAHash(
+        Multimodal.imageNearDupFrame(Tables.documents(s, dir))))
+        .orderBy("id1", "id2")),
+
     // C4-style URL hygiene: per-registered-domain census over doc URLs
     // (derived deterministically — the fixture has no URL column; the
     // extraction then reads the URL STRING, never the construction)
@@ -1781,6 +1800,15 @@ object SparkEntry {
     "q_multimodal_warc_gz" -> ((s, dir) =>
       Multimodal.warcGzStats(Multimodal.warcGzFrame(Tables.documents(s, dir)))
         .orderBy("doc_id")),
+
+    // the cdx seekable-index artifact over the .warc.gz frame: record
+    // geometry joined with the gzip member whose inflated span holds
+    // the payload start — built once at the Artifacts seam, served
+    // from parquet; the oracle re-derives both walks analytically
+    "q_multimodal_cdx" -> ((s, dir) =>
+      graft.ops.Artifacts.parquetArtifact(s, cdxArtifactPath("warcgz", dir))(
+        Multimodal.cdxIndex(Multimodal.warcGzFrame(Tables.documents(s, dir))))
+        .orderBy("doc_id", "rec_idx")),
 
     // the REAL-capture read path: WARC streams compressed with actual
     // zlib deflate (dynamic/fixed Huffman via java.util.zip.Deflater,
@@ -3966,6 +3994,61 @@ object SparkEntry {
     // census — the same relations as the engine, never a window string
     "dedup_substring" -> SUBSTR_DEDUP_SQL,
 
+    // the average hash replayed from the construction: pixel stream =
+    // the text bytes (ord on the verified-ASCII corpus), cells by the
+    // floor mapping 64*i // n, bit = the cross-multiplied mean test,
+    // nibbles MSB-first into hex; candidates by shared 4-hex-char
+    // chunk, hamming re-derived exactly as sum |b1 - b2| over the 64
+    // cell bits (= the engine's per-chunk bit_count(xor) sum)
+    "dedup_image_ahash" ->
+      """WITH img AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 1),
+        |alli AS (SELECT doc_id, text FROM img
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'x' || substr(text, 2) AS text
+        |  FROM img WHERE doc_id % 30 = 0),
+        |dims AS (SELECT doc_id, text, CAST(length(text) // 3 AS BIGINT) AS n
+        |  FROM alli WHERE length(text) >= 3),
+        |px AS (SELECT doc_id, n, 64 * u.i // n AS cell,
+        |    ord(substr(text, CAST(3 * u.i + 1 AS INT), 1))
+        |      + ord(substr(text, CAST(3 * u.i + 2 AS INT), 1))
+        |      + ord(substr(text, CAST(3 * u.i + 3 AS INT), 1)) AS gray
+        |  FROM dims, unnest(range(dims.n)) AS u(i)),
+        |cl AS (SELECT doc_id, cell, CAST(sum(gray) AS BIGINT) AS cs,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM px GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, CAST(sum(cs) AS BIGINT) AS total
+        |  FROM cl GROUP BY 1),
+        |grid AS (SELECT d.doc_id, d.n, g.c AS cell
+        |  FROM dims d, unnest(range(64)) AS g(c)),
+        |bits AS (SELECT grid.doc_id, grid.cell,
+        |    CASE WHEN coalesce(cl.cs, 0) * grid.n
+        |              > tt.total * coalesce(cl.cnt, 0)
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM grid
+        |  LEFT JOIN cl ON cl.doc_id = grid.doc_id AND cl.cell = grid.cell
+        |  JOIN tt ON tt.doc_id = grid.doc_id),
+        |nib AS (SELECT doc_id, cell // 4 AS k,
+        |    sum(b * CASE cell % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+        |            WHEN 2 THEN 2 ELSE 1 END) AS v
+        |  FROM bits GROUP BY 1, 2),
+        |hash AS (SELECT doc_id,
+        |    string_agg(substr('0123456789abcdef', CAST(v + 1 AS INT), 1),
+        |      '' ORDER BY k) AS ahash
+        |  FROM nib GROUP BY 1),
+        |ch AS (SELECT doc_id, ahash, c.c AS chunk_idx,
+        |    substr(ahash, CAST(4 * c.c + 1 AS INT), 4) AS chunk
+        |  FROM hash, unnest(range(4)) AS c(c)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM ch a JOIN ch b ON a.chunk_idx = b.chunk_idx
+        |    AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+        |ham AS (SELECT c.id1, c.id2,
+        |    CAST(sum(abs(x.b - y.b)) AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bits x ON x.doc_id = c.id1
+        |  JOIN bits y ON y.doc_id = c.id2 AND y.cell = x.cell
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY id1, id2""".stripMargin,
+
     // the URL is REBUILT by the same deterministic construction, then the
     // census extracts host/domain/tld from the string exactly as the
     // engine does (split on ://, first path segment, strip www., last
@@ -5111,6 +5194,69 @@ object SparkEntry {
     // identity, spec'd), so the analytic WARC arithmetic is the oracle
     // for the compressed read path too
     "q_multimodal_warc_gz" -> WARC_STATS_SQL,
+
+    // the cdx index re-derived with no byte parsed: record geometry
+    // from the WARC construction arithmetic (the warc_records CTEs),
+    // member geometry from the gzip construction arithmetic over the
+    // warc stream's total length (near-even byte split, optional-field
+    // and block-count cycles), record -> member by the uncompressed
+    // span containment the engine's range filter applies
+    "q_multimodal_cdx" ->
+      """WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS nr,
+        |    CAST(length(text) AS BIGINT) AS l FROM documents),
+        |r AS (SELECT d.doc_id, d.nr, d.l, i.i
+        |  FROM d CROSS JOIN (SELECT unnest(range(4)) AS i) i
+        |  WHERE i.i < d.nr),
+        |per AS (SELECT doc_id, i,
+        |    l // nr + CASE WHEN i < l % nr THEN 1 ELSE 0 END AS chunk,
+        |    CASE WHEN i = 0 THEN 'warcinfo'
+        |         ELSE CASE (doc_id + i) % 3 WHEN 0 THEN 'response'
+        |              WHEN 1 THEN 'request' ELSE 'metadata' END
+        |    END AS wtype,
+        |    length('<urn:graft:' || CAST(doc_id AS VARCHAR) || '-'
+        |      || CAST(i AS VARCHAR) || '>') AS ridlen
+        |  FROM r),
+        |sized AS (SELECT doc_id, i, wtype, chunk,
+        |    61 + length(wtype) + ridlen
+        |      + length(CAST(chunk AS VARCHAR)) AS pre,
+        |    65 + length(wtype) + ridlen
+        |      + length(CAST(chunk AS VARCHAR)) + chunk AS rsize
+        |  FROM per),
+        |recs AS (SELECT doc_id, CAST(i AS BIGINT) AS rec_idx, wtype,
+        |    CAST(chunk AS BIGINT) AS content_length,
+        |    CAST(coalesce(sum(rsize) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + pre
+        |      AS BIGINT) AS payload_offset
+        |  FROM sized),
+        |tot AS (SELECT doc_id, CAST(sum(rsize) AS BIGINT) AS wl
+        |  FROM sized GROUP BY 1),
+        |m AS (SELECT t.doc_id, t.wl, t.doc_id % 4 + 1 AS nm, mi.i AS member_idx
+        |  FROM tot t CROSS JOIN (SELECT unnest(range(4)) AS i) mi
+        |  WHERE mi.i < t.doc_id % 4 + 1),
+        |msized AS (SELECT doc_id, member_idx,
+        |    wl // nm + CASE WHEN member_idx < wl % nm THEN 1 ELSE 0 END AS mchunk,
+        |    10 + CASE (doc_id + member_idx) % 3 WHEN 1 THEN 9 WHEN 2 THEN 6
+        |         ELSE 0 END
+        |      + 5 * ((doc_id + member_idx) % 4 + 1) AS overhead
+        |  FROM m),
+        |mfull AS (SELECT doc_id, member_idx, mchunk,
+        |    CAST(overhead + mchunk + 8 AS BIGINT) AS member_clen,
+        |    CAST(coalesce(sum(overhead + mchunk + 8) OVER (
+        |      PARTITION BY doc_id ORDER BY member_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS member_offset,
+        |    CAST(coalesce(sum(mchunk) OVER (
+        |      PARTITION BY doc_id ORDER BY member_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS member_ustart
+        |  FROM msized)
+        |SELECT r.doc_id, r.rec_idx, r.wtype, r.content_length,
+        |  r.payload_offset, CAST(f.member_idx AS BIGINT) AS member_idx,
+        |  f.member_offset, f.member_clen, f.member_ustart
+        |FROM recs r JOIN mfull f ON f.doc_id = r.doc_id
+        |  AND r.payload_offset >= f.member_ustart
+        |  AND r.payload_offset < f.member_ustart + f.mchunk
+        |ORDER BY r.doc_id, r.rec_idx""".stripMargin,
 
     // the REAL-deflate path: the same analytic WARC arithmetic (the
     // round trip is lossless), extended with the gzip certificate

@@ -1011,6 +1011,55 @@ object DspKernel {
     if (t == null) null else sink.toByteArray
   }
 
+  /** 64-bit AVERAGE HASH of a BMP's pixel stream — the integer aHash
+    * that closes the multimodal family into the dedup family: the
+    * pixel sequence (3-byte pixels from offset 54) downsamples to 64
+    * cells by the floor mapping cell(i) = ⌊64·i / n⌋, each cell's
+    * grayscale is the plain byte sum (b+g+r, no luma weights — no
+    * transcendentals anywhere, so a SQL oracle replays every bit), and
+    * bit j is the exact cross-multiplied mean test
+    * cellSum_j · n > total · cnt_j (empty cells of a sub-64-pixel
+    * image read 0 > 0 = unset). Packed MSB-first into 16 lowercase hex
+    * chars — a STRING so banding is substring slicing and no sign bit
+    * ever overflows an engine's int64. Overflow-safe by construction:
+    * cellSum·n ≤ 765·n²/64 stays under 2^63 for any n the JVM's 2 GB
+    * array cap admits. Null for non-BMP bytes or an empty pixel
+    * stream. Perceptually: equal up to small pixel noise → small
+    * hamming distance, the property the banded pair join exploits. */
+  def bmpAHash(p: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    if (p.length < 57 || p(0) != 'B' || p(1) != 'M') return null
+    val n = (p.length - 54) / 3
+    if (n == 0) return null
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val off = 54 + 3 * i
+      val gray = (p(off) & 0xff) + (p(off + 1) & 0xff) + (p(off + 2) & 0xff)
+      val cell = ((64L * i) / n).toInt
+      sums(cell) += gray
+      cnts(cell) += 1
+      i += 1
+    }
+    var total = 0L
+    var j = 0
+    while (j < 64) { total += sums(j); j += 1 }
+    val hex = new Array[Byte](16)
+    var k = 0
+    while (k < 16) {
+      var v = 0
+      var b = 0
+      while (b < 4) {
+        val c = 4 * k + b
+        v = (v << 1) | (if (sums(c) * n > total * cnts(c)) 1 else 0)
+        b += 1
+      }
+      hex(k) = (if (v < 10) '0' + v else 'a' + v - 10).toByte
+      k += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(hex)
+  }
+
   /** The inflater's builder twin: wrap `data` as ONE RFC 1952 member —
     * fixed 10-byte header (FLG 0, MTIME 0, XFL 0, OS 255 "unknown"),
     * REAL deflate via `java.util.zip.Deflater` (raw/nowrap mode at the
@@ -1346,6 +1395,30 @@ case class GzipInflate(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_bmp_ahash(payload)`: 64-bit average hash of a BMP pixel
+  * stream as 16 lowercase hex chars (see [[DspKernel.bmpAHash]]);
+  * null for non-BMP or pixel-less payloads. */
+case class BmpAHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bmp_ahash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DspKernel.bmpAHash(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.bmpAHash($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_gzip_deflate(payload, level)`: the single-member gzip wrap of
   * `payload` compressed with REAL deflate at the given level (see
   * [[DspKernel.gzipDeflate]]) — the builder side of the real-capture
@@ -1453,4 +1526,8 @@ object MediaFunctions {
   /** Codegen'd single-member gzip wrap via real deflate (zlib level). */
   def gzipDeflate(payload: Column, level: Int = 6): Column =
     Bridge.column(GzipDeflate(Bridge.expression(payload), level))
+
+  /** Codegen'd 64-bit BMP average hash (16 hex chars). */
+  def bmpAHash(payload: Column): Column =
+    Bridge.column(BmpAHash(Bridge.expression(payload)))
 }

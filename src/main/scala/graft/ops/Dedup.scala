@@ -524,6 +524,43 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** IMAGE near-dup pairs over a (doc_id, ahash) frame — the multimodal
+    * member of the dedup family: hamming-close 64-bit average hashes
+    * (ops/Multimodal.imageAHash; 16 hex chars) paired through the SAME
+    * pigeonhole discipline as [[simhashPairs]] — 4×16-bit chunks by
+    * SUBSTRING slicing (the hash is hex text, so a chunk is 4 chars and
+    * no engine's int64 sign bit is ever touched), candidate join is an
+    * equi-join on (chunk index, chunk value), never all-pairs, and the
+    * exact hamming is the sum of per-chunk bit_count(xor) over the
+    * parsed chunks. The 4-chunk split guarantees recall only to
+    * hamming ≤ 3; larger thresholds are rejected rather than silently
+    * lossy. Null hashes (non-BMP rows) drop before the join. */
+  def imageAHashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4-chunk pigeonhole guarantee (max 3)")
+    val chunks = hashes.filter(col("ahash").isNotNull)
+      .select(col("doc_id"), col("ahash"),
+        posexplode(array((0 until 4).map(i =>
+          substring(col("ahash"), i * 4 + 1, 4)): _*)))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+    val hamming = (0 until 4).map { i =>
+      bit_count(
+        conv(substring(col("a.ahash"), i * 4 + 1, 4), 16, 10).cast("long")
+          .bitwiseXOR(
+            conv(substring(col("b.ahash"), i * 4 + 1, 4), 16, 10).cast("long")))
+        .cast("long")
+    }.reduce(_ + _)
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Edit-distance verification over near-dup candidates: exact Levenshtein
     * is O(len²) per pair, so it is NEVER run all-pairs — candidates come
     * from the shingle-Jaccard prefilter, and only those pairs pay the

@@ -82,6 +82,36 @@ object Multimodal {
         .otherwise(bmpPayload(width, height, data)).as("payload"))
   }
 
+  /** documents → BMP frame with PLANTED near-duplicates — the image
+    * half of [[mediaFrame]] (doc_id % 3 ≠ 1 rows) plus, for every
+    * thirtieth doc, a twin whose pixel stream differs in ONE byte (the
+    * first body byte replaced with 'x', twin id = doc_id + 10^6): the
+    * perturbation a frame-grab or re-encode introduces, which exact
+    * dedup can never see and the average hash must survive. Every
+    * piece is engine-portable string arithmetic, so the oracle
+    * rebuilds both streams and replays the hash bit for bit. */
+  def imageNearDupFrame(docs: DataFrame): DataFrame = {
+    val imgs = docs.filter(col("doc_id") % 3 =!= 1)
+    val width = (col("doc_id") % 640 + 64).cast("int")
+    val height = (col("doc_id") % 480 + 48).cast("int")
+    val base = imgs.select(col("doc_id"),
+      bmpPayload(width, height, col("text").cast("binary")).as("payload"))
+    val twins = imgs.filter(col("doc_id") % 30 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        bmpPayload(width, height,
+          concat(lit("x"), substring(col("text"), 2, Int.MaxValue))
+            .cast("binary")).as("payload"))
+    base.unionByName(twins)
+  }
+
+  /** BMP frame → (doc_id, ahash): the codegen'd 64-bit average hash
+    * (functions/BmpAHash) as 16 hex chars, straight off the payload
+    * BYTES — non-BMP rows carry null and are dropped by the pair join
+    * downstream (ops/Dedup.imageAHashPairs). */
+  def imageAHash(media: DataFrame): DataFrame =
+    media.select(col("doc_id"),
+      graft.functions.MediaFunctions.bmpAHash(col("payload")).as("ahash"))
+
   /** Little-endian integer read of `nBytes` at 1-based byte offset `off`
     * — the exact mirror image of leHex on the write side, again nothing
     * but built-in codegen'd expressions (substring on binary → hex →
@@ -709,6 +739,47 @@ object Multimodal {
             lit("-1>")),
           graft.ops.TextAnalysis.htmlPayload(col("doc_id"), col("text"))))
         .cast("binary").as("payload"))
+
+  /** cdx-style SEEKABLE INDEX over a `.warc.gz` frame — the read-side
+    * artifact Common Crawl consumers actually use: per WARC record,
+    * the record geometry in the UNCOMPRESSED stream (rec_idx, wtype,
+    * content_length, payload_offset) joined with the gzip member whose
+    * inflated span contains the payload start (member_idx,
+    * member_offset = the member's byte offset in the COMPRESSED
+    * stream, member_clen = its compressed length, member_ustart = the
+    * uncompressed offset where the member's data begins) — so a
+    * reader FETCHES member_offset onward, inflates only what it needs,
+    * and slices the record without touching the rest of the file
+    * (spec'd bit-exact, including payloads straddling member seams).
+    * Composition of the two existing walks ([[gzipMembers]] +
+    * [[warcRecords]] over [[warcGzStats]]' inflate); the member match
+    * is a doc-keyed equi-join with a range post-filter (≤ 4 members
+    * per doc), never a cartesian. Deterministic, so it is a write-once
+    * parquet artifact at the Artifacts seam (the components/BPE/IVF
+    * discipline). */
+  def cdxIndex(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("member_idx")
+    val mem = gzipMembers(media)
+      .select(col("doc_id"), col("member_idx"), col("isize"),
+        (col("header_len") + col("deflate_len") + lit(8L)).as("member_clen"))
+      .select(col("doc_id"), col("member_idx"), col("member_clen"),
+        (sum(col("member_clen")).over(w) - col("member_clen"))
+          .as("member_offset"),
+        (sum(col("isize")).over(w) - col("isize")).as("member_ustart"),
+        sum(col("isize")).over(w).as("__uend"))
+    val recs = warcRecords(media.select(col("doc_id"),
+      graft.functions.MediaFunctions.gzipInflate(col("payload"))
+        .as("payload")))
+      .select("doc_id", "rec_idx", "wtype", "content_length",
+        "payload_offset")
+    recs.join(mem, Seq("doc_id"))
+      .filter(col("payload_offset") >= col("member_ustart") &&
+        col("payload_offset") < col("__uend"))
+      .select(col("doc_id"), col("rec_idx"), col("wtype"),
+        col("content_length"), col("payload_offset"), col("member_idx"),
+        col("member_offset"), col("member_clen"), col("member_ustart"))
+  }
 
   /** The COMPOSED Common-Crawl read path, end to end: walk the WARC's
     * record geometry ([[warcRecords]] — the native Content-Length walk,

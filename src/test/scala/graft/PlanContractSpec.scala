@@ -894,6 +894,14 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("image aHash pairs by the pigeonhole equi-join, never all-pairs") {
+    val p = plan("dedup_image_ahash")
+    assert(!p.contains("CartesianProduct"),
+      s"image near-dup degenerated to a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"image near-dup degenerated to a nested-loop join:\n$p")
+  }
+
   test("substring dedup rounds are equi-joins and aggregates, never a cartesian") {
     val p = plan("dedup_substring")
     assert(!p.contains("CartesianProduct"),

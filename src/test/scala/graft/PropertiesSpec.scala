@@ -991,6 +991,112 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("cdx index serves random access: seek the indexed member, inflate locally, slice the record bit-exactly") {
+    import graft.ops.Multimodal
+    val docs = (0L until 16L)
+      .map(i => (i, s"record payload body $i " * (i.toInt % 5 + 2)))
+      .toDF("doc_id", "text")
+    val frame = Multimodal.warcGzFrame(docs)
+    val cdx = Multimodal.cdxIndex(frame).collect()
+    assert(cdx.nonEmpty)
+    val raws = frame.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload"))
+      .toMap
+    cdx.foreach { row =>
+      val doc = row.getAs[Long]("doc_id")
+      val comp = raws(doc)
+      val full = graft.functions.DspKernel.gzipInflate(comp)
+      val off = row.getAs[Long]("payload_offset").toInt
+      val clen = row.getAs[Long]("content_length").toInt
+      val want = java.util.Arrays.copyOfRange(full, off, off + clen)
+      val mo = row.getAs[Long]("member_offset").toInt
+      val mclen = row.getAs[Long]("member_clen").toInt
+      val ustart = row.getAs[Long]("member_ustart").toInt
+      // the indexed (member_offset, member_clen) span is a VALID
+      // standalone gzip member whose data is exactly the uncompressed
+      // stream from member_ustart — the seek contract
+      val one = graft.functions.DspKernel.gzipInflate(
+        java.util.Arrays.copyOfRange(comp, mo, mo + mclen))
+      assert(one != null, s"doc $doc: indexed member span is not a valid member")
+      assert(java.util.Arrays.equals(one,
+        java.util.Arrays.copyOfRange(full, ustart, ustart + one.length)),
+        s"doc $doc: member data diverged from the uncompressed span")
+      assert(off >= ustart && off < ustart + one.length,
+        s"doc $doc: payload start not inside the indexed member")
+      // random access: inflate from the indexed member FORWARD only
+      // (bytes before member_offset are never touched) and slice the
+      // payload at the local offset — bit-identical to the direct read
+      val local = graft.functions.DspKernel.gzipInflate(
+        java.util.Arrays.copyOfRange(comp, mo, comp.length))
+      val got = java.util.Arrays.copyOfRange(local, off - ustart,
+        off - ustart + clen)
+      assert(java.util.Arrays.equals(got, want),
+        s"doc $doc rec ${row.getAs[Long]("rec_idx")}: sliced payload diverged")
+    }
+  }
+
+  test("property: BMP average hash matches a driver model; planted low-bit noise survives the bands") {
+    import graft.ops.{Dedup, Multimodal}
+    // driver model of the kernel: cells by 64*i/n floor mapping, byte-sum
+    // grayscale, cross-multiplied mean test, MSB-first hex nibbles
+    def model(body: Array[Byte]): Option[String] = {
+      val n = body.length / 3
+      if (n == 0) return None
+      val sums = new Array[Long](64); val cnts = new Array[Long](64)
+      (0 until n).foreach { i =>
+        val g = (body(3 * i) & 0xff) + (body(3 * i + 1) & 0xff) + (body(3 * i + 2) & 0xff)
+        val c = ((64L * i) / n).toInt
+        sums(c) += g; cnts(c) += 1
+      }
+      val total = sums.sum
+      Some((0 until 16).map { k =>
+        val v = (0 until 4).foldLeft(0) { (acc, b) =>
+          (acc << 1) | (if (sums(4 * k + b) * n > total * cnts(4 * k + b)) 1 else 0)
+        }
+        "0123456789abcdef"(v)
+      }.mkString)
+    }
+    val bodyGen = Gen.chooseNum(0, 400).flatMap(m =>
+      Gen.listOfN(m, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    (1L to 5L).foreach { seed =>
+      val bodies = sample(Gen.listOfN(20, bodyGen), seed)
+      val df = bodies.zipWithIndex.map { case (b, i) =>
+        val p = new java.io.ByteArrayOutputStream()
+        p.write('B'); p.write('M'); p.write(new Array[Byte](52)); p.write(b)
+        (i.toLong, p.toByteArray)
+      }.toDF("doc_id", "payload")
+      val got = Multimodal.imageAHash(df).orderBy("doc_id").collect()
+        .map(r => Option(r.getString(1)))
+      assert(got.toSeq === bodies.map(model).toSeq,
+        s"seed $seed: kernel diverged from the driver model")
+    }
+    // planted near-dup: STRONG-contrast pixel rows (cells far from the
+    // mean), then low-bit noise in a few pixels — the perceptual-dup
+    // shape a re-encode introduces. The hash must be IDENTICAL (every
+    // cell stays on its side of the mean), so the banded join recovers
+    // the pair at hamming 0; an unrelated inverted image must NOT pair.
+    val strong = Array.tabulate(64 * 6 * 3)(i => if ((i / (6 * 3)) % 2 == 0) 10.toByte else 200.toByte)
+    val noisy = strong.clone()
+    (0 until 20).foreach(k => noisy(k * 17) = (noisy(k * 17) ^ 0x3).toByte)
+    val inverted = strong.map(b => (255 - (b & 0xff)).toByte)
+    def bmp(b: Array[Byte]): Array[Byte] = {
+      val p = new java.io.ByteArrayOutputStream()
+      p.write('B'); p.write('M'); p.write(new Array[Byte](52)); p.write(b)
+      p.toByteArray
+    }
+    val planted = Seq((0L, bmp(strong)), (1L, bmp(noisy)), (2L, bmp(inverted)))
+      .toDF("doc_id", "payload")
+    val pairs = Dedup.imageAHashPairs(Multimodal.imageAHash(planted))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((0L, 1L, 0L)),
+      s"expected exactly the planted (0,1) pair at hamming 0, got ${pairs.toSeq}")
+    // totality: non-BMP and pixel-less payloads null, never throw
+    val junk = Seq((0L, Array[Byte]()), (1L, "nope".getBytes("UTF-8")),
+      (2L, bmp(Array[Byte]()))).toDF("doc_id", "payload")
+    val nulls = Multimodal.imageAHash(junk).collect()
+    assert(nulls.length === 3 && nulls.forall(_.isNullAt(1)))
+  }
+
   test("property: prefix-doubling rank classes equal direct window-string classes") {
     // the whole correctness of substringDedup rests on one claim: after
     // log2(L) doubling rounds, two positions share a rank IFF their
