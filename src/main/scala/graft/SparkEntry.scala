@@ -1565,6 +1565,14 @@ object SparkEntry {
     "text_domain_gated" -> ((s, dir) =>
       Curation.domainGatedStats(Tables.documents(s, dir)).orderBy("source")),
 
+    // PSL-aware URL hygiene: registered domains under multi-label
+    // public suffixes (cdn.foo.co.uk -> foo.co.uk) via a plan-time
+    // literal suffix CASE chain — the extraction that survives real
+    // URLs where the last-dot-label rule calls the TLD "uk"
+    "text_domain_psl" -> ((s, dir) =>
+      Curation.domainCensusPsl(Tables.documents(s, dir))
+        .orderBy("domain", "suffix")),
+
     // the C4 "badwords" token gate's census: exact whitespace-token
     // match against a plan-time literal list — a pure per-row filter,
     // no join; per source, total/blocked/kept counts
@@ -4057,6 +4065,46 @@ object SparkEntry {
         |SELECT domain, string_split(domain, '.')[-1] AS tld,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
         |FROM d GROUP BY 1, 2 ORDER BY domain""".stripMargin),
+
+    // PSL URL rebuilt (www/cdn cycles, multi-label suffix cycle), host
+    // from the string, registered domain by the longest-suffix CASE
+    // chain with the two-label fallback — the same per-row rules
+    "text_domain_psl" ->
+      """WITH u AS (SELECT doc_id, source, n_chars,
+        |    'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN 'cdn.' ELSE '' END ||
+        |    source || '-' || CAST(doc_id % 100 AS VARCHAR) || '.' ||
+        |    (['com', 'co.uk', 'org', 'com.au', 'io'])[CAST(doc_id % 5 AS INT) + 1]
+        |    || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |h AS (SELECT n_chars,
+        |    string_split(string_split(url, '://')[2], '/')[1] AS host FROM u),
+        |d AS (SELECT n_chars,
+        |    CASE
+        |      WHEN host LIKE '%.gov.uk' THEN
+        |        string_split(substr(host, 1, length(host) - 7), '.')[-1] || '.gov.uk'
+        |      WHEN host LIKE '%.com.au' THEN
+        |        string_split(substr(host, 1, length(host) - 7), '.')[-1] || '.com.au'
+        |      WHEN host LIKE '%.co.uk' THEN
+        |        string_split(substr(host, 1, length(host) - 6), '.')[-1] || '.co.uk'
+        |      WHEN host LIKE '%.ac.uk' THEN
+        |        string_split(substr(host, 1, length(host) - 6), '.')[-1] || '.ac.uk'
+        |      WHEN host LIKE '%.co.jp' THEN
+        |        string_split(substr(host, 1, length(host) - 6), '.')[-1] || '.co.jp'
+        |      WHEN len(string_split(host, '.')) >= 2 THEN
+        |        string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+        |      ELSE host END AS domain,
+        |    CASE
+        |      WHEN host LIKE '%.gov.uk' THEN 'gov.uk'
+        |      WHEN host LIKE '%.com.au' THEN 'com.au'
+        |      WHEN host LIKE '%.co.uk' THEN 'co.uk'
+        |      WHEN host LIKE '%.ac.uk' THEN 'ac.uk'
+        |      WHEN host LIKE '%.co.jp' THEN 'co.jp'
+        |      ELSE string_split(host, '.')[-1] END AS suffix
+        |  FROM h)
+        |SELECT domain, suffix, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM d GROUP BY 1, 2 ORDER BY domain, suffix""".stripMargin,
 
     "text_token_gated" ->
       """WITH m AS (SELECT source,

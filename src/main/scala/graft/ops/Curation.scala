@@ -218,6 +218,77 @@ object Curation {
         sum(when(hit, 0L).otherwise(1L)).as("n_kept"))
   }
 
+  /** Multi-label public suffixes the naive "last dot label" TLD rule
+    * breaks on — the bounded curated-list shape (the real public
+    * suffix list is ~9k entries, still broadcast-sized; these are the
+    * canonical cases). None is a suffix of another, so match order
+    * cannot change a result, but the extraction still sorts longest-
+    * first as the PSL algorithm specifies. */
+  val DefaultPublicSuffixes: Seq[String] =
+    Seq("co.uk", "ac.uk", "gov.uk", "com.au", "co.jp")
+
+  /** PSL-aware registered domain of a host: the label immediately left
+    * of the longest matching public suffix, plus the suffix — so
+    * `cdn.news.bbc.co.uk` → `bbc.co.uk` where the last-label rule
+    * would call the TLD `uk` and [[domainOf]]'s www-strip would keep
+    * the whole host. Hosts under a single-label TLD fall back to the
+    * last two labels (a bare one-label host maps to itself).
+    * Subdomain depth never matters — labels are taken from the RIGHT,
+    * so www/cdn/anything drop without a strip list. Plan-time literal
+    * suffixes: a pure per-row CASE chain, no join, no shuffle. */
+  def registeredDomain(host: Column,
+                       suffixes: Seq[String] = DefaultPublicSuffixes): Column = {
+    val labels = split(host, "\\.")
+    val fallback = when(size(labels) >= 2,
+      concat(element_at(labels, -2), lit("."), element_at(labels, -1)))
+      .otherwise(host)
+    val arms = suffixes.sortBy(s => -s.length).map { sfx =>
+      val cut = length(host) - lit(sfx.length + 1)
+      when(host.endsWith("." + sfx),
+        concat(element_at(split(host.substr(lit(1), cut), "\\."), -1),
+          lit("." + sfx)))
+    }
+    coalesce(arms :+ fallback: _*)
+  }
+
+  /** The public suffix the census keys on beside the domain: the
+    * longest matching multi-label suffix, else the last label. */
+  def publicSuffixOf(host: Column,
+                     suffixes: Seq[String] = DefaultPublicSuffixes): Column =
+    coalesce(suffixes.sortBy(s => -s.length).map(sfx =>
+      when(host.endsWith("." + sfx), lit(sfx))) :+
+      element_at(split(host, "\\."), -1): _*)
+
+  /** [[docUrl]]'s PSL sibling: TLD cycle includes multi-label suffixes
+    * and an id-cycled extra `cdn.` subdomain, so the suffix-aware
+    * extraction has every branch live (www-strip, deep subdomain,
+    * multi-label and single-label suffixes). Same engine-portable
+    * string arithmetic. */
+  private val PslTlds = Seq("com", "co.uk", "org", "com.au", "io")
+
+  def docUrlPsl(docId: Column, source: Column): Column =
+    concat(lit("https://"),
+      when(pmod(docId, lit(3)) === 0, lit("www.")).otherwise(lit("")),
+      when(pmod(docId, lit(7)) === 0, lit("cdn.")).otherwise(lit("")),
+      source, lit("-"), pmod(docId, lit(100)).cast("string"), lit("."),
+      element_at(array(PslTlds.map(lit): _*), pmod(docId, lit(5)).cast("int") + 1),
+      lit("/doc/"), docId.cast("string"))
+
+  /** PSL-aware URL-hygiene census: per (registered domain, public
+    * suffix), document/char volume — [[domainCensus]] with the
+    * extraction that survives real URLs (`foo.co.uk` is one
+    * registrant's domain, not everything under `.uk`). Same shape:
+    * one derive + one aggregate, domains are aggregate keys. */
+  def domainCensusPsl(docs: DataFrame): DataFrame = {
+    val host = hostOf(docUrlPsl(col("doc_id"), col("source")))
+    docs
+      .select(registeredDomain(host).as("domain"),
+        publicSuffixOf(host).as("suffix"), col("n_chars"))
+      .groupBy("domain", "suffix")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("n_chars"))
+  }
+
   /** The gate's census twin: per source, total vs blocked vs kept
     * document counts — the number a data lead checks before accepting
     * a blocklist's cost. Same derive, one broadcast left join, one

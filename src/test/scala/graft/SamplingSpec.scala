@@ -220,6 +220,49 @@ class SamplingSpec extends SparkSpec {
     assert(ex.getMessage.contains("blocklist"))
   }
 
+  test("PSL-aware registered domains: multi-label suffixes, deep subdomains, two-label fallback") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Curation
+    // the extraction rules, straight on hosts: the longest matching
+    // public suffix takes the label to its left; www/cdn/any depth
+    // drops because labels come from the RIGHT; single-label TLDs fall
+    // back to the last two labels; a bare label maps to itself
+    val cases = Seq(
+      ("www.foo.co.uk", "foo.co.uk", "co.uk"),
+      ("cdn.news.bbc.co.uk", "bbc.co.uk", "co.uk"),
+      ("a.b.c.example.com.au", "example.com.au", "com.au"),
+      ("plain.example.com", "example.com", "com"),
+      ("www.example.org", "example.org", "org"),
+      ("example.io", "example.io", "io"),
+      ("localhost", "localhost", "localhost"),
+      ("ox.ac.uk", "ox.ac.uk", "ac.uk"),
+      ("hmrc.gov.uk", "hmrc.gov.uk", "gov.uk"),
+      ("sony.co.jp", "sony.co.jp", "co.jp"))
+    val got = cases.map(_._1).toDF("host")
+      .select(col("host"), Curation.registeredDomain(col("host")).as("d"),
+        Curation.publicSuffixOf(col("host")).as("s"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq === cases)
+    // the census keys (domain, suffix) and counts per registered
+    // domain, multi-label branches live via the builder's cycles
+    val corpus = Seq(
+      (1L, "a", "en", "src0", 5L),  //     src0-1.co.uk
+      (6L, "b", "en", "src0", 7L),  // www.src0-6.co.uk  (same registrant)
+      (3L, "c", "en", "src1", 9L),  // www.src1-3.com.au
+      (0L, "d", "en", "src2", 2L),  // www.cdn.src2-0.com
+      (4L, "e", "en", "src2", 1L))  //     src2-4.io
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val census = Curation.domainCensusPsl(corpus).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(census === Set(
+      ("src0-1.co.uk", "co.uk", 1L, 5L),
+      ("src0-6.co.uk", "co.uk", 1L, 7L),
+      ("src1-3.com.au", "com.au", 1L, 9L),
+      ("src2-0.com", "com", 1L, 2L),
+      ("src2-4.io", "io", 1L, 1L)))
+  }
+
   test("HTML extraction recovers the exact text, prices markup, and composes with quality") {
     import graft.ops.TextAnalysis
     import graft.functions.TextFunctions
