@@ -1544,6 +1544,12 @@ object SparkEntry {
     "dedup_substring" -> ((s, dir) =>
       Dedup.substringDedup(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // the removal face: every token covered by a repeated 32-window is
+    // CUT (the ExactSubstr rule — all occurrences) and the doc
+    // reassembled; per-doc counts + kept-md5 + exact ppm
+    "dedup_substring_remove" -> ((s, dir) =>
+      Dedup.substringDedupRemove(Tables.documents(s, dir)).orderBy("doc_id")),
+
     // IMAGE near-dup: 64-bit integer average hash over the BMP pixel
     // walk (codegen'd, 16 hex chars), planted one-byte-perturbed twins,
     // hamming-banded pair join through the simhash pigeonhole — the
@@ -1817,6 +1823,15 @@ object SparkEntry {
       graft.ops.Artifacts.parquetArtifact(s, cdxArtifactPath("warcgz", dir))(
         Multimodal.cdxIndex(Multimodal.warcGzFrame(Tables.documents(s, dir))))
         .orderBy("doc_id", "rec_idx")),
+
+    // the FULL real-capture chain: HTML pages inside WARC response
+    // records compressed with actual zlib deflate, read back end to end
+    // by OUR inflater -> record walk -> payload slice -> extraction
+    // census; the oracle is text_html_extract's verbatim because the
+    // round trip is lossless and the inflater is CRC-certified
+    "q_multimodal_warc_gz_html" -> ((s, dir) =>
+      Multimodal.warcGzRealHtmlCensus(Tables.documents(s, dir))
+        .orderBy("doc_id")),
 
     // the REAL-capture read path: WARC streams compressed with actual
     // zlib deflate (dynamic/fixed Huffman via java.util.zip.Deflater,
@@ -3972,6 +3987,9 @@ object SparkEntry {
     // the WARC walk slices the response payload back bit-identically, so
     // the expected census is the page construction's, unchanged
     "q_multimodal_warc_html" -> HTML_EXTRACT_SQL,
+    // the real-deflate chain inflates to the byte-identical WARC/HTML
+    // stream, so the extraction census oracle serves it verbatim too
+    "q_multimodal_warc_gz_html" -> HTML_EXTRACT_SQL,
 
     // the same fixed-window line derivation, the same distinct-doc
     // boilerplate rule, and the same in-order reassembly (string_agg
@@ -4001,6 +4019,10 @@ object SparkEntry {
     // then the per-class occurrence/distinct-doc stats and the per-doc
     // census — the same relations as the engine, never a window string
     "dedup_substring" -> SUBSTR_DEDUP_SQL,
+
+    // the removal tail over the same doubling CTEs: running-max
+    // coverage, FILTERed in-order reassembly
+    "dedup_substring_remove" -> SUBSTR_REMOVE_SQL,
 
     // the average hash replayed from the construction: pixel stream =
     // the text bytes (ord on the verified-ASCII corpus), cells by the
@@ -5587,11 +5609,11 @@ object SparkEntry {
         |    AS markup_ratio_ppm
         |FROM x ORDER BY doc_id""".stripMargin
 
-  /** The prefix-doubling substring-dedup oracle: the engine's rounds
-    * unrolled as CTEs (the kCore unrolling pattern) — rank0 on single
-    * tokens, five doubling refinements to 32-token windows, per-class
-    * stats, per-doc census with short docs carried at zero. */
-  private val SUBSTR_DEDUP_SQL: String = {
+  /** The prefix-doubling CTE prefix shared by both substring-dedup
+    * oracles: token grain with packed keys, rank0 on single tokens,
+    * five doubling refinements to 32-token windows (the kCore
+    * unrolling pattern) — ends at `r5`. */
+  private val SUBSTR_CTES: String = {
     val rounds = Seq(1, 2, 4, 8, 16).zipWithIndex.map { case (s, i) =>
       s"""p${i + 1} AS (SELECT a.doc_id, a.p, a.key, a.r, b.r AS r2
          |  FROM r$i a JOIN r$i b ON a.doc_id = b.doc_id AND b.p = a.p + $s),
@@ -5605,7 +5627,12 @@ object SparkEntry {
       |k AS (SELECT doc_id, p, doc_id * 1048576 + p AS key, w FROM tok),
       |c0 AS (SELECT w, min(key) AS r FROM k GROUP BY w),
       |r0 AS (SELECT k.doc_id, k.p, k.key, c0.r FROM k JOIN c0 USING (w)),
-      |""".stripMargin + rounds + """,
+      |""".stripMargin + rounds
+  }
+
+  /** Per-doc repeat census over the doubling ranks. */
+  private val SUBSTR_DEDUP_SQL: String = {
+    SUBSTR_CTES + """,
       |st AS (SELECT r, CAST(count(*) AS BIGINT) AS n_occ,
       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
       |  FROM r5 GROUP BY r),
@@ -5625,6 +5652,31 @@ object SparkEntry {
       |       ELSE 0 END AS BIGINT) AS repeat_ppm
       |FROM documents d LEFT JOIN cen c USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** The removal face: flagged starts cover [p, p+32); token covered
+    * iff the running max of flag ends over p' <= p exceeds p; kept
+    * reassembly md5'd in order (the lineDedup FILTER/string_agg
+    * pattern). */
+  private val SUBSTR_REMOVE_SQL: String = {
+    SUBSTR_CTES + """,
+      |st AS (SELECT r, CAST(count(*) AS BIGINT) AS n_occ FROM r5 GROUP BY r),
+      |fl AS (SELECT a.doc_id, a.p, a.p + 32 AS flag_end
+      |  FROM r5 a JOIN st USING (r) WHERE st.n_occ >= 2),
+      |cv AS (SELECT k.doc_id, k.p, k.w,
+      |    max(fl.flag_end) OVER (PARTITION BY k.doc_id ORDER BY k.p
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cov_end
+      |  FROM k LEFT JOIN fl ON fl.doc_id = k.doc_id AND fl.p = k.p),
+      |m AS (SELECT doc_id, p, w,
+      |    CASE WHEN cov_end IS NOT NULL AND cov_end > p THEN 1 ELSE 0 END
+      |      AS covered
+      |  FROM cv)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(covered) AS BIGINT) AS n_removed,
+      |  md5(coalesce(string_agg(w, ' ' ORDER BY p)
+      |        FILTER (WHERE covered = 0), '')) AS kept_md5,
+      |  1000000 * CAST(sum(covered) AS BIGINT) // count(*) AS removed_ppm
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** Shared CTE chain for the URL-hygiene family: rebuild the

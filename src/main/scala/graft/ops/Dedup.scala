@@ -788,10 +788,10 @@ object Dedup {
     * repeated-window count (≥ 2 occurrences corpus-wide), cross-doc
     * repeated count (≥ 2 distinct docs), and the integer ppm rate;
     * docs shorter than the window (or null-text) carry zero windows. */
-  def substringDedup(docs: DataFrame, windowTokens: Int = 32): DataFrame = {
-    require(windowTokens >= 2 && (windowTokens & (windowTokens - 1)) == 0,
-      s"substringDedup: windowTokens=$windowTokens must be a power of two >= 2")
-    val keyed = docs
+  /** The shared token grain of the substring-dedup family: (doc_id, p,
+    * w, key) with the packed key guarded loudly. */
+  private def substrTokens(docs: DataFrame): DataFrame =
+    docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("p", "w")))
@@ -802,6 +802,13 @@ object Dedup {
             lit("substringDedup: (doc_id, position) outside the packed key "),
             lit("range: "), col("doc_id").cast("string"), lit("/"),
             col("p").cast("string")))).as("key"))
+
+  /** The prefix-doubling rank rounds over a [[substrTokens]] frame:
+    * (doc_id, p, key, r) where equal `r` ⟺ equal windowTokens-token
+    * windows (full windows only survive the rounds). */
+  private def doublingRanks(keyed: DataFrame, windowTokens: Int): DataFrame = {
+    require(windowTokens >= 2 && (windowTokens & (windowTokens - 1)) == 0,
+      s"substringDedup: windowTokens=$windowTokens must be a power of two >= 2")
     val r0 = keyed.groupBy("w").agg(min("key").as("r"))
     var cur = keyed.join(r0, "w")
       .select(col("doc_id"), col("p"), col("key"), col("r"))
@@ -817,6 +824,12 @@ object Dedup {
         .localCheckpoint(false)
       s <<= 1
     }
+    cur
+  }
+
+  def substringDedup(docs: DataFrame, windowTokens: Int = 32): DataFrame = {
+    val keyed = substrTokens(docs)
+    val cur = doublingRanks(keyed, windowTokens)
     val stats = cur.groupBy("r")
       .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"))
     val census = cur.join(stats, "r")
@@ -832,5 +845,44 @@ object Dedup {
       .withColumn("repeat_ppm",
         when(col("n_windows") > 0L,
           expr("1000000L * n_repeat_windows DIV n_windows")).otherwise(0L))
+  }
+
+  /** The REMOVAL face of [[substringDedup]] — Lee et al.'s actual
+    * edit, the ExactSubstr rule: every token covered by ANY repeated
+    * window (all occurrences, not all-but-one) is cut, and the doc is
+    * reassembled from what survives. Coverage without a flags×tokens
+    * fan-out: a flagged start p covers tokens [p, p + L), so token t
+    * is covered iff the running MAX of (flagged p + L) over p ≤ t
+    * exceeds t — ONE window function at token grain after a 1:1 left
+    * join of flags onto their own positions. Emits per doc: token
+    * count, removed count, md5 of the kept reassembly (in order), and
+    * the exact removed ppm — the lineDedup census discipline one
+    * level below line grain. Null-text docs carry no tokens and no
+    * row (both sides, the lineDedup rule). */
+  def substringDedupRemove(docs: DataFrame, windowTokens: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = substrTokens(docs)
+    val cur = doublingRanks(keyed, windowTokens)
+    val stats = cur.groupBy("r").agg(count(lit(1)).as("n_occ"))
+    val flagged = cur.join(stats, "r").filter(col("n_occ") >= 2L)
+      .select(col("doc_id"), col("p"),
+        (col("p") + windowTokens).as("flag_end"))
+    val w = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed.select("doc_id", "p", "w")
+      .join(flagged, Seq("doc_id", "p"), "left")
+      .withColumn("cov_end", max("flag_end").over(w))
+      .withColumn("covered",
+        col("cov_end").isNotNull && col("cov_end") > col("p"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("covered"), 1L).otherwise(0L)).as("n_removed"),
+        expr("""md5(array_join(transform(
+             |  sort_array(collect_list(CASE WHEN NOT covered
+             |                          THEN struct(p, w) END)),
+             |  s -> s.w), ' '))""".stripMargin).as("kept_md5"))
+      .withColumn("removed_ppm",
+        expr("1000000L * n_removed DIV n_tokens"))
   }
 }

@@ -804,6 +804,41 @@ object Multimodal {
     graft.ops.TextAnalysis.htmlCensusFrom(pages)
   }
 
+  /** The FULL real-capture chain's frame: the doc's HTML page inside a
+    * WARC response record ([[warcHtmlFrame]]) compressed with REAL
+    * deflate ([[graft.functions.DspKernel.gzipDeflate]], level 6 — the
+    * zlib default every crawler ships). This is byte-for-byte the shape
+    * an actual Common-Crawl capture arrives in: dynamic-Huffman gzip
+    * members over WARC records over HTML. */
+  def warcGzRealHtmlFrame(docs: DataFrame): DataFrame =
+    warcHtmlFrame(docs).select(col("doc_id"),
+      graft.functions.MediaFunctions.gzipDeflate(col("payload"), 6)
+        .as("payload"))
+
+  /** The real-capture read CHAIN end to end: inflate the dynamic-
+    * Huffman gzip by OUR inflater, walk the WARC record geometry,
+    * slice the response payload at the walked (offset, length), decode
+    * the HTML, run the extraction census — .warc.gz → WARC → HTML →
+    * text over actual zlib bytes, nothing stored-block about it. The
+    * round trip is lossless, so the oracle is [[warcHtmlTextCensus]]'s
+    * (= `text_html_extract`'s) verbatim, and the inflater is already
+    * certified per member by the recomputed CRC32/ISIZE
+    * (q_multimodal_gzip_real). */
+  def warcGzRealHtmlCensus(docs: DataFrame): DataFrame = {
+    val inflated = warcGzRealHtmlFrame(docs).select(col("doc_id"),
+      graft.functions.MediaFunctions.gzipInflate(col("payload"))
+        .as("payload"))
+    val resp = warcRecords(inflated).filter(col("wtype") === "response")
+      .select(col("doc_id"), col("content_length"), col("payload_offset"))
+    val pages = inflated.join(resp, "doc_id")
+      .select(col("doc_id"),
+        col("payload")
+          .substr((col("payload_offset") + 1L).cast("int"),
+            col("content_length").cast("int"))
+          .cast("string").as("__html"))
+    graft.ops.TextAnalysis.htmlCensusFrom(pages)
+  }
+
   /** The census monoid's merge: column-wise sum of two summary rows. */
   def warcCensusMerge(a: DataFrame, b: DataFrame): DataFrame = {
     val u = a.unionByName(b)

@@ -1128,7 +1128,45 @@ class PropertiesSpec extends SparkSpec {
       }
       assert(got.toSeq === model,
         s"seed $seed: doubling classes diverged from brute window strings")
+      // and the REMOVAL face equals a brute driver model: cut every
+      // token covered by any repeated window, md5 the reassembly
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val rmGot = graft.ops.Dedup.substringDedupRemove(docs, windowTokens = L)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getLong(4)))
+      val rmModel = texts.zipWithIndex.map { case (t, i) =>
+        val toks = t.split(" ", -1)
+        val flags = (0 to toks.length - L)
+          .filter(p => occ(toks.slice(p, p + L).mkString(" ")) >= 2)
+        val covered = toks.indices.map(x => flags.exists(p => p <= x && x < p + L))
+        val kept = toks.indices.filterNot(covered).map(toks).mkString(" ")
+        (i.toLong, toks.length.toLong, covered.count(identity).toLong,
+          md5hex(kept), 1000000L * covered.count(identity) / toks.length)
+      }
+      assert(rmGot.toSeq === rmModel,
+        s"seed $seed: removal face diverged from the brute model")
     }
+  }
+
+  test("real-deflate WARC->HTML->text chain censuses identically to the direct extraction") {
+    // the END-TO-END Common-Crawl shape over actual zlib bytes: html
+    // page -> warc response record -> dynamic-Huffman gzip -> OUR
+    // inflater -> record walk -> payload slice -> extraction census
+    // must equal extracting from the page directly (lossless round
+    // trip through two container layers and a real codec)
+    import graft.ops.{Multimodal, TextAnalysis}
+    val docs = (0L until 24L)
+      .map(i => (i, s"crawled page body $i with words " * (i.toInt % 5 + 1)))
+      .toDF("doc_id", "text")
+    val direct = TextAnalysis.htmlExtractCensus(docs)
+      .orderBy("doc_id").collect()
+    val viaChain = Multimodal.warcGzRealHtmlCensus(docs)
+      .orderBy("doc_id").collect()
+    assert(viaChain.toSeq === direct.toSeq,
+      "the real-deflate chain diverged from the direct extraction")
   }
 
   test("substring dedup flags the misaligned cross-doc repeat that line dedup cannot see") {
@@ -1154,6 +1192,19 @@ class PropertiesSpec extends SparkSpec {
         s"doc ${r.getLong(0)}: expected 19 flagged cross-doc windows, " +
           s"got ${r.getAs[Long]("n_crossdoc_windows")}")
     }
+    // the removal face cuts exactly the repeat's token span in both
+    // docs and reassembles the unique remainder
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rem = Dedup.substringDedupRemove(docs).orderBy("doc_id").collect()
+    val keptA = ((0 until 3).map(k => s"a$k") ++ (0 until 9).map(k => s"az$k")).mkString(" ")
+    val keptB = ((0 until 7).map(k => s"b$k") ++ (0 until 5).map(k => s"bz$k")).mkString(" ")
+    assert(rem.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getString(3), r.getLong(4))).toSeq === Seq(
+      (0L, 62L, 50L, md5hex(keptA), 1000000L * 50 / 62),
+      (1L, 62L, 50L, md5hex(keptB), 1000000L * 50 / 62)),
+      "removal did not cut exactly the planted repeat span")
     // short and null docs carry zero windows, not dropped rows
     val edge = Seq((0L, "tiny doc"), (1L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
