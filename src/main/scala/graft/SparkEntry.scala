@@ -68,6 +68,19 @@ object SparkEntry {
     new java.io.File("target/graft-artifacts/lm_v1_" + tag + "_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
 
+  /** Stored suffix-rank artifact (doc_id, p, key, r): the doubling
+    * rounds are the dominant cost of the substring-dedup family and
+    * both faces (census + removal) consume the SAME ranks — integral
+    * columns, deterministic min-key class ids, so the frame
+    * round-trips parquet exactly (the pair-list/components seam). */
+  private def substrRanksPath(dir: String): String =
+    new java.io.File("target/graft-artifacts/substr_v1_w32_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+
+  private def substrRanks(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Artifacts.parquetArtifact(s, substrRanksPath(dir))(
+      Dedup.substringRanks(Tables.documents(s, dir)))
+
   /** Stored cdx index artifact (record geometry × owning gzip member):
     * both walks are deterministic byte arithmetic and every column is
     * integral or a type name, so the seekable index round-trips parquet
@@ -1541,14 +1554,18 @@ object SparkEntry {
     // cross-doc — flagged via log2(32) doubling rounds of rank classing
     // (no window string ever materialized); the oracle unrolls the same
     // five rounds
+    // census and removal SHARE the stored rank artifact (the doubling
+    // rounds run once per corpus, the pair-list seam)
     "dedup_substring" -> ((s, dir) =>
-      Dedup.substringDedup(Tables.documents(s, dir)).orderBy("doc_id")),
+      Dedup.substringDedupFromRanks(Tables.documents(s, dir),
+        substrRanks(s, dir)).orderBy("doc_id")),
 
     // the removal face: every token covered by a repeated 32-window is
     // CUT (the ExactSubstr rule — all occurrences) and the doc
     // reassembled; per-doc counts + kept-md5 + exact ppm
     "dedup_substring_remove" -> ((s, dir) =>
-      Dedup.substringDedupRemove(Tables.documents(s, dir)).orderBy("doc_id")),
+      Dedup.substringDedupRemoveFromRanks(Tables.documents(s, dir),
+        substrRanks(s, dir)).orderBy("doc_id")),
 
     // IMAGE near-dup: 64-bit integer average hash over the BMP pixel
     // walk (codegen'd, 16 hex chars), planted one-byte-perturbed twins,

@@ -827,9 +827,22 @@ object Dedup {
     cur
   }
 
-  def substringDedup(docs: DataFrame, windowTokens: Int = 32): DataFrame = {
-    val keyed = substrTokens(docs)
-    val cur = doublingRanks(keyed, windowTokens)
+  /** The doubling ranks as a STORABLE frame — every column integral
+    * and the construction deterministic (min-key class ids), so the
+    * frame round-trips parquet exactly and is a write-once artifact
+    * (the pair-list/components seam): the rounds are the dominant cost
+    * of the substring family, and the census and the removal face both
+    * consume the SAME ranks, so a deployment computes them once per
+    * corpus per window size. */
+  def substringRanks(docs: DataFrame, windowTokens: Int = 32): DataFrame =
+    doublingRanks(substrTokens(docs), windowTokens)
+
+  def substringDedup(docs: DataFrame, windowTokens: Int = 32): DataFrame =
+    substringDedupFromRanks(docs, substringRanks(docs, windowTokens))
+
+  /** [[substringDedup]] over stored/shared ranks. */
+  def substringDedupFromRanks(docs: DataFrame, ranks: DataFrame): DataFrame = {
+    val cur = ranks
     val stats = cur.groupBy("r")
       .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"))
     val census = cur.join(stats, "r")
@@ -859,10 +872,18 @@ object Dedup {
     * the exact removed ppm — the lineDedup census discipline one
     * level below line grain. Null-text docs carry no tokens and no
     * row (both sides, the lineDedup rule). */
-  def substringDedupRemove(docs: DataFrame, windowTokens: Int = 32): DataFrame = {
+  def substringDedupRemove(docs: DataFrame, windowTokens: Int = 32): DataFrame =
+    substringDedupRemoveFromRanks(docs, substringRanks(docs, windowTokens),
+      windowTokens)
+
+  /** [[substringDedupRemove]] over stored/shared ranks (the token grain
+    * is re-derived from the corpus — one scan — because the ranks frame
+    * carries only full-window positions). */
+  def substringDedupRemoveFromRanks(docs: DataFrame, ranks: DataFrame,
+                                    windowTokens: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyed = substrTokens(docs)
-    val cur = doublingRanks(keyed, windowTokens)
+    val cur = ranks
     val stats = cur.groupBy("r").agg(count(lit(1)).as("n_occ"))
     val flagged = cur.join(stats, "r").filter(col("n_occ") >= 2L)
       .select(col("doc_id"), col("p"),

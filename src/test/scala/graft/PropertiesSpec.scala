@@ -1151,6 +1151,31 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("substring rank artifact: read-back faces equal the inline recompute") {
+    // the doubling rounds are the family's dominant cost and both
+    // faces consume the same ranks — the artifact must be a pure
+    // cache, never a semantic fork (integral columns round-trip
+    // parquet exactly)
+    import graft.ops.{Artifacts, Dedup}
+    val docs = (0L until 12L)
+      .map(i => (i, s"shared prefix tokens here then unique tail t$i " * 2))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("substr_ranks")
+      .toString
+    val stored = Artifacts.parquetArtifact(spark, path)(
+      Dedup.substringRanks(docs, windowTokens = 4))
+    val census = Dedup.substringDedupFromRanks(docs, stored)
+      .orderBy("doc_id").collect()
+    assert(census.toSeq ===
+      Dedup.substringDedup(docs, windowTokens = 4).orderBy("doc_id")
+        .collect().toSeq, "census face diverged through the artifact")
+    val removal = Dedup.substringDedupRemoveFromRanks(docs, stored,
+      windowTokens = 4).orderBy("doc_id").collect()
+    assert(removal.toSeq ===
+      Dedup.substringDedupRemove(docs, windowTokens = 4).orderBy("doc_id")
+        .collect().toSeq, "removal face diverged through the artifact")
+  }
+
   test("real-deflate WARC->HTML->text chain censuses identically to the direct extraction") {
     // the END-TO-END Common-Crawl shape over actual zlib bytes: html
     // page -> warc response record -> dynamic-Huffman gzip -> OUR
