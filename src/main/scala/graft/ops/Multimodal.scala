@@ -96,8 +96,14 @@ object Multimodal {
     val height = (col("doc_id") % 480 + 48).cast("int")
     val base = imgs.select(col("doc_id"),
       bmpPayload(width, height, col("text").cast("binary")).as("payload"))
+    // fail fast if a twin id could collide with a REAL doc id — the
+    // planted-twin trick only works while the id spaces are disjoint
     val twins = imgs.filter(col("doc_id") % 30 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select(when(col("doc_id") < 1000000L, col("doc_id") + 1000000L)
+        .otherwise(raise_error(concat(
+          lit("imageNearDupFrame: doc_id "), col("doc_id").cast("string"),
+          lit(" >= 10^6 would collide with the twin id space"))))
+        .as("doc_id"),
         bmpPayload(width, height,
           concat(lit("x"), substring(col("text"), 2, Int.MaxValue))
             .cast("binary")).as("payload"))
