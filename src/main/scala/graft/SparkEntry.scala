@@ -1577,6 +1577,14 @@ object SparkEntry {
         Multimodal.imageNearDupFrame(Tables.documents(s, dir))))
         .orderBy("id1", "id2")),
 
+    // the gradient twin: 65-cell difference hash (adjacent-cell
+    // comparisons — the axis that survives brightness ramps aHash
+    // cannot), same planted twins, same pigeonhole bands
+    "dedup_image_dhash" -> ((s, dir) =>
+      Dedup.imageHashPairs(Multimodal.imageDHash(
+        Multimodal.imageNearDupFrame(Tables.documents(s, dir))), "dhash")
+        .orderBy("id1", "id2")),
+
     // C4-style URL hygiene: per-registered-domain census over doc URLs
     // (derived deterministically — the fixture has no URL column; the
     // extraction then reads the URL STRING, never the construction)
@@ -4083,6 +4091,56 @@ object SparkEntry {
         |  FROM nib GROUP BY 1),
         |ch AS (SELECT doc_id, ahash, c.c AS chunk_idx,
         |    substr(ahash, CAST(4 * c.c + 1 AS INT), 4) AS chunk
+        |  FROM hash, unnest(range(4)) AS c(c)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM ch a JOIN ch b ON a.chunk_idx = b.chunk_idx
+        |    AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+        |ham AS (SELECT c.id1, c.id2,
+        |    CAST(sum(abs(x.b - y.b)) AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bits x ON x.doc_id = c.id1
+        |  JOIN bits y ON y.doc_id = c.id2 AND y.cell = x.cell
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY id1, id2""".stripMargin,
+
+    // the dHash replay: 65 cells under the same floor mapping, bit c =
+    // the cross-multiplied adjacent comparison mean(c) > mean(c+1)
+    // (missing cells read 0), then the same banding + exact hamming
+    "dedup_image_dhash" ->
+      """WITH img AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 1),
+        |alli AS (SELECT doc_id, text FROM img
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'x' || substr(text, 2) AS text
+        |  FROM img WHERE doc_id % 30 = 0),
+        |dims AS (SELECT doc_id, text, CAST(length(text) // 3 AS BIGINT) AS n
+        |  FROM alli WHERE length(text) >= 3),
+        |px AS (SELECT doc_id, n, 65 * u.i // n AS cell,
+        |    ord(substr(text, CAST(3 * u.i + 1 AS INT), 1))
+        |      + ord(substr(text, CAST(3 * u.i + 2 AS INT), 1))
+        |      + ord(substr(text, CAST(3 * u.i + 3 AS INT), 1)) AS gray
+        |  FROM dims, unnest(range(dims.n)) AS u(i)),
+        |cl AS (SELECT doc_id, cell, CAST(sum(gray) AS BIGINT) AS cs,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM px GROUP BY 1, 2),
+        |grid AS (SELECT d.doc_id, g.c AS cell
+        |  FROM dims d, unnest(range(64)) AS g(c)),
+        |bits AS (SELECT grid.doc_id, grid.cell,
+        |    CASE WHEN coalesce(a.cs, 0) * coalesce(b.cnt, 0)
+        |              > coalesce(b.cs, 0) * coalesce(a.cnt, 0)
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM grid
+        |  LEFT JOIN cl a ON a.doc_id = grid.doc_id AND a.cell = grid.cell
+        |  LEFT JOIN cl b ON b.doc_id = grid.doc_id AND b.cell = grid.cell + 1),
+        |nib AS (SELECT doc_id, cell // 4 AS k,
+        |    sum(b * CASE cell % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+        |            WHEN 2 THEN 2 ELSE 1 END) AS v
+        |  FROM bits GROUP BY 1, 2),
+        |hash AS (SELECT doc_id,
+        |    string_agg(substr('0123456789abcdef', CAST(v + 1 AS INT), 1),
+        |      '' ORDER BY k) AS dhash
+        |  FROM nib GROUP BY 1),
+        |ch AS (SELECT doc_id, dhash, c.c AS chunk_idx,
+        |    substr(dhash, CAST(4 * c.c + 1 AS INT), 4) AS chunk
         |  FROM hash, unnest(range(4)) AS c(c)),
         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
         |  FROM ch a JOIN ch b ON a.chunk_idx = b.chunk_idx

@@ -1026,38 +1026,72 @@ object DspKernel {
     * array cap admits. Null for non-BMP bytes or an empty pixel
     * stream. Perceptually: equal up to small pixel noise → small
     * hamming distance, the property the banded pair join exploits. */
-  def bmpAHash(p: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+  /** Grayscale cell sums/counts of a BMP pixel stream under the floor
+    * mapping cell(i) = ⌊nCells·i / n⌋ — the shared downsample of the
+    * aHash/dHash pair. Null for non-BMP or pixel-less payloads. */
+  private def bmpCells(p: Array[Byte], nCells: Int): (Array[Long], Array[Long]) = {
     if (p.length < 57 || p(0) != 'B' || p(1) != 'M') return null
     val n = (p.length - 54) / 3
     if (n == 0) return null
-    val sums = new Array[Long](64)
-    val cnts = new Array[Long](64)
+    val sums = new Array[Long](nCells)
+    val cnts = new Array[Long](nCells)
     var i = 0
     while (i < n) {
       val off = 54 + 3 * i
       val gray = (p(off) & 0xff) + (p(off + 1) & 0xff) + (p(off + 2) & 0xff)
-      val cell = ((64L * i) / n).toInt
+      val cell = ((nCells.toLong * i) / n).toInt
       sums(cell) += gray
       cnts(cell) += 1
       i += 1
     }
-    var total = 0L
-    var j = 0
-    while (j < 64) { total += sums(j); j += 1 }
+    (sums, cnts)
+  }
+
+  /** 64 bits → 16 lowercase hex chars, MSB-first nibbles. */
+  private def hashHex(bit: Int => Boolean): org.apache.spark.unsafe.types.UTF8String = {
     val hex = new Array[Byte](16)
     var k = 0
     while (k < 16) {
       var v = 0
       var b = 0
       while (b < 4) {
-        val c = 4 * k + b
-        v = (v << 1) | (if (sums(c) * n > total * cnts(c)) 1 else 0)
+        v = (v << 1) | (if (bit(4 * k + b)) 1 else 0)
         b += 1
       }
       hex(k) = (if (v < 10) '0' + v else 'a' + v - 10).toByte
       k += 1
     }
     org.apache.spark.unsafe.types.UTF8String.fromBytes(hex)
+  }
+
+  def bmpAHash(p: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    val cells = bmpCells(p, 64)
+    if (cells == null) return null
+    val (sums, cnts) = cells
+    val n = (p.length - 54) / 3
+    var total = 0L
+    var j = 0
+    while (j < 64) { total += sums(j); j += 1 }
+    hashHex(c => sums(c) * n > total * cnts(c))
+  }
+
+  /** 64-bit DIFFERENCE HASH — the GRADIENT twin of [[bmpAHash]]: 65
+    * cells under the same floor mapping, bit j = the exact
+    * cross-multiplied comparison mean(cell j) > mean(cell j+1)
+    * (sums(j)·cnts(j+1) > sums(j+1)·cnts(j) — empty cells read
+    * 0 > 0 = unset). aHash thresholds against the GLOBAL mean, so a
+    * smooth brightness ramp (vignette, exposure gradient) flips every
+    * cell that crosses it; dHash compares ADJACENT cells, so local
+    * ordering — and therefore the hash — survives exactly the edits
+    * aHash cannot (and vice versa: dHash is blind to global-level
+    * changes aHash sees). The pair is the standard perceptual-dup
+    * toolkit; both are banding-ready hex. Same overflow bound as the
+    * aHash (765·n²/65 < 2^63 for any JVM-representable stream). */
+  def bmpDHash(p: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    val cells = bmpCells(p, 65)
+    if (cells == null) return null
+    val (sums, cnts) = cells
+    hashHex(c => sums(c) * cnts(c + 1) > sums(c + 1) * cnts(c))
   }
 
   /** The inflater's builder twin: wrap `data` as ONE RFC 1952 member —
@@ -1419,6 +1453,30 @@ case class BmpAHash(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_bmp_dhash(payload)`: 64-bit difference hash of a BMP pixel
+  * stream as 16 lowercase hex chars (see [[DspKernel.bmpDHash]]);
+  * null for non-BMP or pixel-less payloads. */
+case class BmpDHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bmp_dhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DspKernel.bmpDHash(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.bmpDHash($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_gzip_deflate(payload, level)`: the single-member gzip wrap of
   * `payload` compressed with REAL deflate at the given level (see
   * [[DspKernel.gzipDeflate]]) — the builder side of the real-capture
@@ -1530,4 +1588,8 @@ object MediaFunctions {
   /** Codegen'd 64-bit BMP average hash (16 hex chars). */
   def bmpAHash(payload: Column): Column =
     Bridge.column(BmpAHash(Bridge.expression(payload)))
+
+  /** Codegen'd 64-bit BMP difference hash (16 hex chars). */
+  def bmpDHash(payload: Column): Column =
+    Bridge.column(BmpDHash(Bridge.expression(payload)))
 }

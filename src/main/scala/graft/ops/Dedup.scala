@@ -535,19 +535,26 @@ object Dedup {
     * parsed chunks. The 4-chunk split guarantees recall only to
     * hamming ≤ 3; larger thresholds are rejected rather than silently
     * lossy. Null hashes (non-BMP rows) drop before the join. */
-  def imageAHashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def imageAHashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    imageHashPairs(hashes, "ahash", maxHamming)
+
+  /** The same pigeonhole pair join over any 16-hex-char perceptual
+    * hash column — aHash and its gradient twin dHash
+    * (ops/Multimodal.imageDHash) band identically. */
+  def imageHashPairs(hashes: DataFrame, hashCol: String,
+                     maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"maxHamming=$maxHamming exceeds the 4-chunk pigeonhole guarantee (max 3)")
-    val chunks = hashes.filter(col("ahash").isNotNull)
-      .select(col("doc_id"), col("ahash"),
+    val chunks = hashes.filter(col(hashCol).isNotNull)
+      .select(col("doc_id"), col(hashCol),
         posexplode(array((0 until 4).map(i =>
-          substring(col("ahash"), i * 4 + 1, 4)): _*)))
+          substring(col(hashCol), i * 4 + 1, 4)): _*)))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
     val hamming = (0 until 4).map { i =>
       bit_count(
-        conv(substring(col("a.ahash"), i * 4 + 1, 4), 16, 10).cast("long")
+        conv(substring(col(s"a.$hashCol"), i * 4 + 1, 4), 16, 10).cast("long")
           .bitwiseXOR(
-            conv(substring(col("b.ahash"), i * 4 + 1, 4), 16, 10).cast("long")))
+            conv(substring(col(s"b.$hashCol"), i * 4 + 1, 4), 16, 10).cast("long")))
         .cast("long")
     }.reduce(_ + _)
     chunks.as("a")

@@ -118,6 +118,14 @@ object Multimodal {
     media.select(col("doc_id"),
       graft.functions.MediaFunctions.bmpAHash(col("payload")).as("ahash"))
 
+  /** BMP frame → (doc_id, dhash): the codegen'd 64-bit difference hash
+    * (functions/BmpDHash) — the gradient axis beside [[imageAHash]]'s
+    * level axis: adjacent-cell comparisons survive the smooth
+    * brightness ramps that flip aHash bits (and vice versa; spec'd). */
+  def imageDHash(media: DataFrame): DataFrame =
+    media.select(col("doc_id"),
+      graft.functions.MediaFunctions.bmpDHash(col("payload")).as("dhash"))
+
   /** Little-endian integer read of `nBytes` at 1-based byte offset `off`
     * — the exact mirror image of leHex on the write side, again nothing
     * but built-in codegen'd expressions (substring on binary → hex →

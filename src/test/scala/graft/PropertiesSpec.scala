@@ -1097,6 +1097,69 @@ class PropertiesSpec extends SparkSpec {
     assert(nulls.length === 3 && nulls.forall(_.isNullAt(1)))
   }
 
+  test("property: BMP difference hash matches a driver model and survives the ramp aHash cannot") {
+    import graft.ops.{Dedup, Multimodal}
+    def bmp(b: Array[Byte]): Array[Byte] = {
+      val p = new java.io.ByteArrayOutputStream()
+      p.write('B'); p.write('M'); p.write(new Array[Byte](52)); p.write(b)
+      p.toByteArray
+    }
+    // driver model: 65 cells by the floor mapping, bit c = the exact
+    // cross-multiplied adjacent comparison
+    def dmodel(body: Array[Byte]): Option[String] = {
+      val n = body.length / 3
+      if (n == 0) return None
+      val sums = new Array[Long](65); val cnts = new Array[Long](65)
+      (0 until n).foreach { i =>
+        val g = (body(3 * i) & 0xff) + (body(3 * i + 1) & 0xff) + (body(3 * i + 2) & 0xff)
+        val c = ((65L * i) / n).toInt
+        sums(c) += g; cnts(c) += 1
+      }
+      Some((0 until 16).map { k =>
+        val v = (0 until 4).foldLeft(0) { (acc, b) =>
+          val c = 4 * k + b
+          (acc << 1) | (if (sums(c) * cnts(c + 1) > sums(c + 1) * cnts(c)) 1 else 0)
+        }
+        "0123456789abcdef"(v)
+      }.mkString)
+    }
+    val bodyGen = Gen.chooseNum(0, 400).flatMap(m =>
+      Gen.listOfN(m, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    (1L to 5L).foreach { seed =>
+      val bodies = sample(Gen.listOfN(20, bodyGen), seed)
+      val df = bodies.zipWithIndex.map { case (b, i) => (i.toLong, bmp(b)) }
+        .toDF("doc_id", "payload")
+      val got = Multimodal.imageDHash(df).orderBy("doc_id").collect()
+        .map(r => Option(r.getString(1)))
+      assert(got.toSeq === bodies.map(dmodel).toSeq,
+        s"seed $seed: dHash kernel diverged from the driver model")
+    }
+    // the complementary axis: a smooth brightness ramp preserves
+    // every adjacent-cell ordering (dHash identical) while pushing
+    // dark cells past the global mean (aHash flips) — the vignette /
+    // exposure-gradient edit class
+    val n = 390 // 65 cells x 6 px, pattern period 12 px = 2 cells
+    val base = Array.tabulate(n * 3)(i =>
+      if ((i / (6 * 3)) % 2 == 0) 10.toByte else 60.toByte)
+    val ramped = base.zipWithIndex.map { case (b, i) =>
+      ((b & 0xff) + (180 * (i / 3)) / n).toByte
+    }
+    val dBase = graft.functions.DspKernel.bmpDHash(bmp(base)).toString
+    val dRamp = graft.functions.DspKernel.bmpDHash(bmp(ramped)).toString
+    assert(dBase === dRamp, "dHash did not survive the brightness ramp")
+    val aBase = graft.functions.DspKernel.bmpAHash(bmp(base)).toString
+    val aRamp = graft.functions.DspKernel.bmpAHash(bmp(ramped)).toString
+    assert(aBase !== aRamp,
+      "aHash unexpectedly survived the ramp — the axes are not complementary")
+    // and the dHash bands recover the ramped near-dup where the aHash
+    // bands cannot: the pair frame under each hash
+    val frame = Seq((0L, bmp(base)), (1L, bmp(ramped))).toDF("doc_id", "payload")
+    val dPairs = Dedup.imageHashPairs(Multimodal.imageDHash(frame), "dhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dPairs.toSeq === Seq((0L, 1L, 0L)),
+      s"dHash bands missed the ramped twin: ${dPairs.toSeq}")
+  }
+
   test("property: prefix-doubling rank classes equal direct window-string classes") {
     // the whole correctness of substringDedup rests on one claim: after
     // log2(L) doubling rounds, two positions share a rank IFF their
