@@ -93,6 +93,34 @@ object GraftExtensions {
         if (children.size != 1) throw new IllegalArgumentException(
           s"graft_jpeg_scan_stats(payload) expects 1 argument, got ${children.size}")
         JpegScanStats(children.head): Expression
+      }),
+    (FunctionIdentifier("graft_gzip_inflate"),
+      new ExpressionInfo(classOf[GzipInflate].getName, "graft_gzip_inflate"),
+      (children: Seq[Expression]) => {
+        if (children.size != 1) throw new IllegalArgumentException(
+          s"graft_gzip_inflate(payload) expects 1 argument, got ${children.size}")
+        GzipInflate(children.head): Expression
+      }),
+    (FunctionIdentifier("graft_gzip_deflate"),
+      new ExpressionInfo(classOf[GzipDeflate].getName, "graft_gzip_deflate"),
+      (children: Seq[Expression]) => {
+        arity2("graft_gzip_deflate(payload, level)", children)
+        GzipDeflate(children.head,
+          literalInt("graft_gzip_deflate(payload, level)", children(1))): Expression
+      }),
+    (FunctionIdentifier("graft_bmp_ahash"),
+      new ExpressionInfo(classOf[BmpAHash].getName, "graft_bmp_ahash"),
+      (children: Seq[Expression]) => {
+        if (children.size != 1) throw new IllegalArgumentException(
+          s"graft_bmp_ahash(payload) expects 1 argument, got ${children.size}")
+        BmpAHash(children.head): Expression
+      }),
+    (FunctionIdentifier("graft_bmp_dhash"),
+      new ExpressionInfo(classOf[BmpDHash].getName, "graft_bmp_dhash"),
+      (children: Seq[Expression]) => {
+        if (children.size != 1) throw new IllegalArgumentException(
+          s"graft_bmp_dhash(payload) expects 1 argument, got ${children.size}")
+        BmpDHash(children.head): Expression
       }))
 
   /** Idempotent in-session registration (for sessions built without the

@@ -112,6 +112,34 @@ class ExtensionsSpec extends SparkSpec {
       .collect()(0).isNullAt(0))
   }
 
+  test("gzip deflate/inflate and the perceptual-hash pair are callable from SQL") {
+    GraftExtensions.register(spark)
+    // the real-deflate round trip, entirely in SQL: compress at a
+    // literal level, inflate with our RFC 1951 inflater, decode back
+    val rt = spark.sql(
+      "SELECT CAST(graft_gzip_inflate(graft_gzip_deflate(" +
+        "CAST('squeeze me properly please, repetitive repetitive' AS BINARY), 6)) AS STRING) AS s")
+      .collect()(0).getString(0)
+    assert(rt === "squeeze me properly please, repetitive repetitive")
+    // level must be a literal; garbage inflate nulls, never throws
+    intercept[Exception] {
+      spark.sql("SELECT graft_gzip_deflate(CAST('x' AS BINARY), length('xxx'))").collect()
+    }
+    assert(spark.sql("SELECT graft_gzip_inflate(CAST('not gzip' AS BINARY)) AS s")
+      .collect()(0).isNullAt(0))
+    // both hashes over a minimal BMP: 'BM' + 52 header bytes + 3 pixels
+    val bmpHex = "424d" + "00" * 52 + "0a0a0a" + "c8c8c8" + "0a0a0a"
+    val h = spark.sql(
+      s"SELECT graft_bmp_ahash(CAST(x'$bmpHex' AS BINARY)) AS a, " +
+        s"graft_bmp_dhash(CAST(x'$bmpHex' AS BINARY)) AS d").collect()(0)
+    assert(h.getString(0).length === 16 && h.getString(1).length === 16)
+    assert(h.getString(0) === graft.functions.DspKernel.bmpAHash(
+      java.util.HexFormat.of().parseHex(bmpHex)).toString)
+    // non-BMP payloads null out
+    assert(spark.sql("SELECT graft_bmp_ahash(CAST('nope' AS BINARY)) AS a")
+      .collect()(0).isNullAt(0))
+  }
+
   test("SRP hyperplane table cache stays bounded under heterogeneous dims") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
