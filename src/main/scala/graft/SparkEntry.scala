@@ -1535,6 +1535,16 @@ object SparkEntry {
       TextAnalysis.htmlExtractCensus(Tables.documents(s, dir))
         .orderBy("doc_id")),
 
+    // the decode gate between container payloads and every string op:
+    // doc-id-cycled ill-formed UTF-8 planted after the text bytes,
+    // censused and REPAIRED (one U+FFFD per maximal subpart — the JDK
+    // decoder's policy, property-pinned against new String(bytes)); the
+    // oracle derives byte/codepoint/repair counts and the repaired
+    // string's md5 from the construction classes, exact for any text
+    "text_utf8_census" -> ((s, dir) =>
+      TextAnalysis.utf8Census(TextAnalysis.rawBytesFrame(
+        Tables.documents(s, dir))).orderBy("doc_id")),
+
     // the composed Common-Crawl read path: page → response record →
     // WARC; the engine walks the record geometry, slices the response
     // payload back out of the raw bytes, and runs the extraction census
@@ -1872,6 +1882,41 @@ object SparkEntry {
         Multimodal.warcGzRealFrame(Tables.documents(s, dir)))
         .orderBy("doc_id")),
 
+    // POSIX ustar (tar) — the container WebDataset shards multimodal
+    // training samples into: per-doc archives BUILT by expression
+    // (`<doc_id>.{txt,cls,json}` members, computed header checksums,
+    // NUL padding, two zero terminator blocks), re-PARSED from the raw
+    // bytes by the native header-chain walk with the checksum
+    // RECOMPUTED per member; the oracle re-derives the census from the
+    // construction arithmetic
+    "q_multimodal_tar" -> ((s, dir) =>
+      Multimodal.tarStats(Multimodal.tarFrame(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
+
+    // the tar seam's per-member geometry: one row per member with the
+    // (sample key, field, body offset) a WebDataset shard reader seeks
+    // by — walk + explode expression-side
+    "q_multimodal_tar_members" -> ((s, dir) =>
+      Multimodal.tarMembers(Multimodal.tarFrame(Tables.documents(s, dir)))
+        .orderBy("doc_id", "member_idx")),
+
+    // WebDataset SAMPLE reassembly: members grouped by their numeric
+    // basename into (key -> {txt, cls, json}) samples — the grouping a
+    // shard reader performs before training; aggregation keys only
+    "q_multimodal_wds" -> ((s, dir) =>
+      Multimodal.wdsSamples(Multimodal.tarFrame(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
+
+    // the REAL WebDataset shard read path: the tar archive compressed
+    // with actual zlib deflate (level cycling 1-9 by doc) and read back
+    // by OUR RFC 1951 inflater, then the SAME ustar walk — gz_crc_ok =
+    // 1 is the walker-recomputed certificate; the tar census columns
+    // prove the inflated archive parses identically to the uncompressed
+    // build (one analytic oracle, no byte ever parsed by DuckDB)
+    "q_multimodal_tar_gz" -> ((s, dir) =>
+      Multimodal.tarGzStats(Multimodal.tarGzFrame(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
+
     // the MP4 seam's FEATURE step: per-channel stats over the
     // concatenated mdat payloads the walk locates (global body index
     // spans mdat boundaries, so the split body featurizes exactly like
@@ -2036,6 +2081,26 @@ object SparkEntry {
       |    10 + CASE flg WHEN 8 THEN 9 WHEN 4 THEN 6 ELSE 0 END AS header_len,
       |    5 * nblk + chunk AS deflate_len
       |  FROM per)""".stripMargin
+
+  /** Per-member arithmetic of the WebDataset tar builder: member i of
+    * doc d is `<d>.{txt,cls,json}` with body bytes (strlen — BYTE
+    * length) text / 1-char label / the json template, mtime
+    * (d·16+i) mod 2^33, padded to the 512 block. Shared by the tar
+    * census, geometry, sample, and .tar.gz oracles. */
+  private val TAR_PER_MEMBER_CTES: String =
+    """WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS nm,
+      |    CAST(strlen(text) AS BIGINT) AS s0,
+      |    CAST(strlen(CAST(doc_id % 10 AS VARCHAR)) AS BIGINT) AS s1,
+      |    CAST(14 + strlen(CAST(doc_id AS VARCHAR))
+      |      + strlen(CAST(strlen(text) AS VARCHAR)) AS BIGINT) AS s2
+      |  FROM documents),
+      |sized AS (SELECT d.doc_id, d.nm, i.i,
+      |    CASE i.i WHEN 0 THEN d.s0 WHEN 1 THEN d.s1 ELSE d.s2 END AS msize,
+      |    ((CASE i.i WHEN 0 THEN d.s0 WHEN 1 THEN d.s1 ELSE d.s2 END
+      |      + 511) // 512) * 512 AS padded,
+      |    (d.doc_id * 16 + i.i) % 8589934592 AS mtime
+      |  FROM d CROSS JOIN (SELECT unnest(range(3)) AS i) i
+      |  WHERE i.i < d.nm)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_raw_parse" -> (C +
@@ -4008,6 +4073,28 @@ object SparkEntry {
     // entities = 5 + escaped [&<>] occurrences, tags = 15 + optionals
     "text_html_extract" -> HTML_EXTRACT_SQL,
 
+    // per planted class: (extra bytes, extra output codepoints, repairs,
+    // repaired suffix) — class 1 C3 28 → U+FFFD + '('; 2 C0 AF → two
+    // U+FFFDs; 3 ED A0 80 → ONE (the JDK decodes the CESU surrogate
+    // structurally and substitutes the whole 3-byte unit — the kernel
+    // matches it exactly);
+    // 4 F0 90 28 → U+FFFD + '(' (the valid two-byte prefix is ONE
+    // maximal subpart); DuckDB's md5 hashes the VARCHAR's UTF-8 bytes,
+    // same as the engine's over the repaired string
+    "text_utf8_census" ->
+      """WITH d AS (SELECT doc_id, text, doc_id % 5 AS cls FROM documents)
+        |SELECT doc_id,
+        |  CAST(strlen(text) + CASE cls WHEN 1 THEN 2 WHEN 2 THEN 2
+        |    WHEN 3 THEN 3 WHEN 4 THEN 3 ELSE 0 END AS BIGINT) AS n_bytes,
+        |  CAST(length(text) + CASE cls WHEN 1 THEN 2 WHEN 2 THEN 2
+        |    WHEN 3 THEN 1 WHEN 4 THEN 2 ELSE 0 END AS BIGINT) AS n_cp_out,
+        |  CAST(CASE cls WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 1
+        |    WHEN 4 THEN 1 ELSE 0 END AS BIGINT) AS n_bad,
+        |  md5(text || CASE cls WHEN 1 THEN '�(' WHEN 2 THEN '��'
+        |    WHEN 3 THEN '�' WHEN 4 THEN '�('
+        |    ELSE '' END) AS clean_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     // the composed Common-Crawl read path shares the SAME analytic oracle:
     // the WARC walk slices the response payload back bit-identically, so
     // the expected census is the page construction's, unchanged
@@ -5443,6 +5530,69 @@ object SparkEntry {
         |  n_metadata, n_other, payload_bytes, header_bytes,
         |  payload_bytes + header_bytes AS total_bytes
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // the tar census re-derived from the construction arithmetic:
+    // member bodies are the text (BYTE length — strlen, never the char
+    // count), the 1-char label, and the json template; checksum/magic
+    // verification counts equal n_members by construction (the walker
+    // recomputes both from the bytes, certifying the builder)
+    "q_multimodal_tar" -> (TAR_PER_MEMBER_CTES + """
+        |SELECT doc_id, CAST(nm AS BIGINT) AS n_members,
+        |  CAST(sum(msize) AS BIGINT) AS body_bytes,
+        |  CAST(sum(padded - msize) AS BIGINT) AS pad_bytes,
+        |  CAST(nm AS BIGINT) AS chksum_ok,
+        |  CAST(nm AS BIGINT) AS ustar_ok,
+        |  CAST(1 AS BIGINT) AS n_txt,
+        |  CAST(CASE WHEN nm >= 2 THEN 1 ELSE 0 END AS BIGINT) AS n_cls,
+        |  CAST(CASE WHEN nm >= 3 THEN 1 ELSE 0 END AS BIGINT) AS n_json,
+        |  CAST(0 AS BIGINT) AS n_other,
+        |  CAST(sum(mtime) AS BIGINT) AS mtime_sum,
+        |  CAST(nm + sum(padded) // 512 + 2 AS BIGINT) AS n_blocks,
+        |  CAST(nm * 512 + sum(padded) + 1024 AS BIGINT) AS total_bytes
+        |FROM sized GROUP BY doc_id, nm ORDER BY doc_id""".stripMargin),
+
+    "q_multimodal_tar_members" -> (TAR_PER_MEMBER_CTES + """
+        |SELECT doc_id, CAST(i AS BIGINT) AS member_idx,
+        |  CAST(doc_id AS BIGINT) AS sample_id,
+        |  CAST(i + 1 AS BIGINT) AS ext_code,
+        |  CAST(512 * (i + 1) + COALESCE(SUM(padded) OVER (
+        |    PARTITION BY doc_id ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS body_offset,
+        |  CAST(msize AS BIGINT) AS size,
+        |  CAST(mtime AS BIGINT) AS mtime,
+        |  CAST(1 AS BIGINT) AS chksum_ok
+        |FROM sized ORDER BY doc_id, member_idx""".stripMargin),
+
+    "q_multimodal_wds" -> (TAR_PER_MEMBER_CTES + """
+        |SELECT doc_id, CAST(doc_id AS BIGINT) AS sample_id,
+        |  CAST(nm AS BIGINT) AS n_fields,
+        |  CAST(1 AS BIGINT) AS has_txt,
+        |  CAST(CASE WHEN nm >= 2 THEN 1 ELSE 0 END AS BIGINT) AS has_cls,
+        |  CAST(CASE WHEN nm >= 3 THEN 1 ELSE 0 END AS BIGINT) AS has_json,
+        |  CAST(sum(msize) AS BIGINT) AS body_bytes
+        |FROM sized GROUP BY doc_id, nm ORDER BY doc_id""".stripMargin),
+
+    // the .tar.gz path: the same analytic tar arithmetic (the real
+    // deflate round trip is lossless), extended with the gzip
+    // certificate columns the construction determines — ONE member,
+    // isize = the archive's full byte length, crc_ok = 1 because the
+    // walker recomputes CRC32/ISIZE over its own inflate output
+    "q_multimodal_tar_gz" -> (TAR_PER_MEMBER_CTES + """
+        |SELECT doc_id, CAST(1 AS BIGINT) AS gz_members,
+        |  CAST(nm * 512 + sum(padded) + 1024 AS BIGINT) AS gz_isize,
+        |  CAST(1 AS BIGINT) AS gz_crc_ok,
+        |  CAST(nm AS BIGINT) AS n_members,
+        |  CAST(sum(msize) AS BIGINT) AS body_bytes,
+        |  CAST(sum(padded - msize) AS BIGINT) AS pad_bytes,
+        |  CAST(nm AS BIGINT) AS chksum_ok,
+        |  CAST(nm AS BIGINT) AS ustar_ok,
+        |  CAST(1 AS BIGINT) AS n_txt,
+        |  CAST(CASE WHEN nm >= 2 THEN 1 ELSE 0 END AS BIGINT) AS n_cls,
+        |  CAST(CASE WHEN nm >= 3 THEN 1 ELSE 0 END AS BIGINT) AS n_json,
+        |  CAST(sum(mtime) AS BIGINT) AS mtime_sum,
+        |  CAST(nm + sum(padded) // 512 + 2 AS BIGINT) AS n_blocks
+        |FROM sized GROUP BY doc_id, nm ORDER BY doc_id""".stripMargin),
 
     // same independent byte-stream recomputation as q_multimodal (both
     // codec bodies are exactly the text bytes: the JPEG kernel range

@@ -121,6 +121,34 @@ object GraftExtensions {
         if (children.size != 1) throw new IllegalArgumentException(
           s"graft_bmp_dhash(payload) expects 1 argument, got ${children.size}")
         BmpDHash(children.head): Expression
+      }),
+    (FunctionIdentifier("graft_tar_stats"),
+      new ExpressionInfo(classOf[TarStats].getName, "graft_tar_stats"),
+      (children: Seq[Expression]) => {
+        if (children.size != 1) throw new IllegalArgumentException(
+          s"graft_tar_stats(payload) expects 1 argument, got ${children.size}")
+        TarStats(children.head): Expression
+      }),
+    (FunctionIdentifier("graft_tar_member_table"),
+      new ExpressionInfo(classOf[TarMemberTable].getName, "graft_tar_member_table"),
+      (children: Seq[Expression]) => {
+        if (children.size != 1) throw new IllegalArgumentException(
+          s"graft_tar_member_table(payload) expects 1 argument, got ${children.size}")
+        TarMemberTable(children.head): Expression
+      }),
+    (FunctionIdentifier("graft_utf8_stats"),
+      new ExpressionInfo(classOf[Utf8Stats].getName, "graft_utf8_stats"),
+      (children: Seq[Expression]) => {
+        if (children.size != 1) throw new IllegalArgumentException(
+          s"graft_utf8_stats(bytes) expects 1 argument, got ${children.size}")
+        Utf8Stats(children.head): Expression
+      }),
+    (FunctionIdentifier("graft_utf8_sanitize"),
+      new ExpressionInfo(classOf[Utf8Sanitize].getName, "graft_utf8_sanitize"),
+      (children: Seq[Expression]) => {
+        if (children.size != 1) throw new IllegalArgumentException(
+          s"graft_utf8_sanitize(bytes) expects 1 argument, got ${children.size}")
+        Utf8Sanitize(children.head): Expression
       }))
 
   /** Idempotent in-session registration (for sessions built without the

@@ -1011,6 +1011,175 @@ object DspKernel {
     if (t == null) null else sink.toByteArray
   }
 
+  /** Member-count backstop for the tar walk — same role as
+    * [[GzipMaxMembers]]: a runaway header chain becomes null, not an
+    * unbounded table. */
+  private val TarMaxMembers = 65536L
+
+  /** POSIX ustar (tar) header-chain walk — the container WebDataset
+    * shards training samples into (one `<key>.<field>` member per
+    * sample field, 512-byte headers, bodies NUL-padded to the block
+    * size, two zero blocks at end-of-archive). Walks, per member: the
+    * 100-byte NUL-terminated name, the 12-byte octal `size` and
+    * `mtime` fields (leading spaces tolerated, NUL/space terminated —
+    * the historical writer variance), the 8-byte octal `chksum`, the
+    * `ustar\0` magic at offset 257, then skips the body and its
+    * padding. The header checksum is RECOMPUTED as the unsigned byte
+    * sum of the block with the chksum field read as eight spaces (the
+    * ustar rule) — `chksum_ok` certifies builder and walker against
+    * each other, never nulls on mismatch (the CRC32 discipline).
+    *
+    * Returns stride-7 tuples per member:
+    * [sample_id, ext_code, body_offset, size, mtime, chksum_ok,
+    * ustar_ok]. WebDataset addressing: `sample_id` is the numeric
+    * basename (name up to the last '.'; −1 when absent or non-numeric)
+    * and `ext_code` classifies the field by extension
+    * (1 = txt, 2 = cls, 3 = json, 0 = other) — the (key, field) pair a
+    * shard reader groups on.
+    *
+    * Null (never a throw, never a misaligned read) for: a stream whose
+    * length is not a positive multiple of 512, a header without a
+    * parseable octal size/mtime/chksum, a body running past
+    * end-of-stream, a missing or short (< 2 blocks) zero-block
+    * terminator, any non-zero block after the terminator begins, or
+    * more than [[TarMaxMembers]] members. */
+  private def tarWalk(p: Array[Byte]):
+      scala.collection.mutable.ArrayBuffer[Long] = {
+    val n = p.length
+    if (n == 0 || n % 512 != 0 || n < 1024) return null
+    // strict-field octal parse over [from, from+len): leading spaces,
+    // >=1 octal digit, then only NUL/space fill to the field end
+    def octal(from: Int, len: Int): Long = {
+      var i = from
+      val end = from + len
+      while (i < end && p(i) == ' '.toByte) i += 1
+      var v = 0L
+      var digits = 0
+      while (i < end && p(i) >= '0'.toByte && p(i) <= '7'.toByte) {
+        v = v * 8 + (p(i) - '0'.toByte)
+        digits += 1
+        i += 1
+      }
+      if (digits == 0) return -1L
+      while (i < end) {
+        if (p(i) != 0 && p(i) != ' '.toByte) return -1L
+        i += 1
+      }
+      v
+    }
+    def zeroBlock(at: Int): Boolean = {
+      var i = at
+      while (i < at + 512) { if (p(i) != 0) return false; i += 1 }
+      true
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var pos = 0
+    var members = 0L
+    while (pos < n && !zeroBlock(pos)) {
+      members += 1
+      if (members > TarMaxMembers) return null
+      val size = octal(pos + 124, 12)
+      val mtime = octal(pos + 136, 12)
+      val chk = octal(pos + 148, 8)
+      if (size < 0 || mtime < 0 || chk < 0) return null
+      // recompute: unsigned byte sum with the chksum field as spaces
+      var sum = 0L
+      var i = pos
+      while (i < pos + 512) {
+        sum += (if (i - pos >= 148 && i - pos < 156) 0x20 else p(i) & 0xff)
+        i += 1
+      }
+      val chksumOk = if (sum == chk) 1L else 0L
+      val ustarOk =
+        if (p(pos + 257) == 'u'.toByte && p(pos + 258) == 's'.toByte &&
+          p(pos + 259) == 't'.toByte && p(pos + 260) == 'a'.toByte &&
+          p(pos + 261) == 'r'.toByte && p(pos + 262) == 0) 1L
+        else 0L
+      // name → (sample_id, ext_code): basename digits and extension
+      var nameEnd = pos
+      while (nameEnd < pos + 100 && p(nameEnd) != 0) nameEnd += 1
+      var lastDot = -1
+      i = pos
+      while (i < nameEnd) { if (p(i) == '.'.toByte) lastDot = i; i += 1 }
+      var sampleId = -1L
+      var extCode = 0L
+      if (lastDot > pos) {
+        var allDigits = lastDot - pos <= 18
+        var v = 0L
+        i = pos
+        while (allDigits && i < lastDot) {
+          if (p(i) >= '0'.toByte && p(i) <= '9'.toByte)
+            v = v * 10 + (p(i) - '0'.toByte)
+          else allDigits = false
+          i += 1
+        }
+        if (allDigits) sampleId = v
+        val extLen = nameEnd - lastDot - 1
+        def extIs(s: String): Boolean =
+          extLen == s.length && (0 until extLen).forall(k =>
+            p(lastDot + 1 + k) == s.charAt(k).toByte)
+        extCode =
+          if (extIs("txt")) 1L else if (extIs("cls")) 2L
+          else if (extIs("json")) 3L else 0L
+      }
+      val bodyOffset = (pos + 512).toLong
+      val padded = ((size + 511L) / 512L) * 512L
+      if (bodyOffset + padded > n) return null
+      out += sampleId += extCode += bodyOffset += size += mtime +=
+        chksumOk += ustarOk
+      pos = (bodyOffset + padded).toInt
+    }
+    // end-of-archive: >=2 all-zero blocks, nothing but zeros after
+    if (n - pos < 1024) return null
+    while (pos < n) {
+      if (!zeroBlock(pos)) return null
+      pos += 512
+    }
+    out
+  }
+
+  /** Tar archive census: [n_members, body_bytes, pad_bytes, chksum_ok,
+    * ustar_ok, n_txt, n_cls, n_json, n_other, mtime_sum, n_blocks] —
+    * n_members·512 + body_bytes + pad_bytes + terminator/padding zeros
+    * always equals n_blocks·512 on a well-formed archive (the
+    * warcStats byte-accounting cross-check, re-derived analytically by
+    * the oracle). Null per [[tarWalk]]'s malformation rules. */
+  def tarStats(p: Array[Byte]): GenericArrayData = {
+    val t = tarWalk(p)
+    if (t == null) return null
+    val m = t.length / 7
+    var bodyBytes = 0L; var padBytes = 0L; var chksumOk = 0L
+    var ustarOk = 0L; var nTxt = 0L; var nCls = 0L; var nJson = 0L
+    var nOther = 0L; var mtimeSum = 0L
+    var i = 0
+    while (i < m) {
+      val ext = t(7 * i + 1)
+      val size = t(7 * i + 3)
+      bodyBytes += size
+      padBytes += ((size + 511L) / 512L) * 512L - size
+      mtimeSum += t(7 * i + 4)
+      chksumOk += t(7 * i + 5)
+      ustarOk += t(7 * i + 6)
+      if (ext == 1L) nTxt += 1
+      else if (ext == 2L) nCls += 1
+      else if (ext == 3L) nJson += 1
+      else nOther += 1
+      i += 1
+    }
+    new GenericArrayData(Array(m.toLong, bodyBytes, padBytes, chksumOk,
+      ustarOk, nTxt, nCls, nJson, nOther, mtimeSum, (p.length / 512).toLong))
+  }
+
+  /** Per-member tar geometry table — [[tarWalk]]'s stride-7 tuples
+    * (sample_id, ext_code, body_offset, size, mtime, chksum_ok,
+    * ustar_ok) flattened into one long array (member i at indices
+    * 7i..7i+6). Null, never a partial table, per the walk's
+    * malformation rules. */
+  def tarMemberTable(p: Array[Byte]): GenericArrayData = {
+    val t = tarWalk(p)
+    if (t == null) null else new GenericArrayData(t.toArray)
+  }
+
   /** 64-bit AVERAGE HASH of a BMP's pixel stream — the integer aHash
     * that closes the multimodal family into the dedup family: the
     * pixel sequence (3-byte pixels from offset 54) downsamples to 64
@@ -1429,6 +1598,57 @@ case class GzipInflate(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_tar_stats(payload)`: POSIX ustar archive census
+  * (see [[DspKernel.tarStats]]); null for non-tar or malformed
+  * archives. */
+case class TarStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_tar_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DspKernel.tarStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.tarStats($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_tar_member_table(payload)`: per-member (sample_id, ext_code,
+  * body_offset, size, mtime, chksum_ok, ustar_ok) tuples flattened
+  * into one long array (see [[DspKernel.tarMemberTable]]); null for
+  * non-tar or malformed archives. */
+case class TarMemberTable(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_tar_member_table"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DspKernel.tarMemberTable(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.tarMemberTable($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_bmp_ahash(payload)`: 64-bit average hash of a BMP pixel
   * stream as 16 lowercase hex chars (see [[DspKernel.bmpAHash]]);
   * null for non-BMP or pixel-less payloads. */
@@ -1584,6 +1804,14 @@ object MediaFunctions {
   /** Codegen'd single-member gzip wrap via real deflate (zlib level). */
   def gzipDeflate(payload: Column, level: Int = 6): Column =
     Bridge.column(GzipDeflate(Bridge.expression(payload), level))
+
+  /** Codegen'd POSIX ustar archive census. */
+  def tarStats(payload: Column): Column =
+    Bridge.column(TarStats(Bridge.expression(payload)))
+
+  /** Codegen'd per-member tar geometry table (flattened 7-tuples). */
+  def tarMemberTable(payload: Column): Column =
+    Bridge.column(TarMemberTable(Bridge.expression(payload)))
 
   /** Codegen'd 64-bit BMP average hash (16 hex chars). */
   def bmpAHash(payload: Column): Column =

@@ -635,6 +635,148 @@ object HtmlKernel {
     new GenericArrayData(walk(html)._2)
 }
 
+/** Strict UTF-8 validation, census, and repair over RAW bytes — the
+  * decode gate a web-scale text pipeline runs between container payloads
+  * (WARC/tar slices are bytes, not strings) and every string operator
+  * downstream. Validity per RFC 3629 / Unicode Table 3-7: ASCII,
+  * C2–DF lead + one continuation, E0/ED with their narrowed second-byte
+  * ranges (no overlongs, no surrogates), F0/F4 with theirs (no overlongs,
+  * nothing past U+10FFFF). Ill-formed input substitutes ONE U+FFFD per
+  * MAXIMAL SUBPART (Unicode §3.9: the longest initial subsequence that is
+  * a prefix of some well-formed sequence, else one byte) — the policy the
+  * JDK decoder implements, so `new String(bytes, UTF_8)` is the
+  * independent model the property spec pins against. */
+object Utf8Kernel {
+
+  /** The U+FFFD replacement character's UTF-8 encoding. */
+  private val Fffd = Array[Byte](0xEF.toByte, 0xBF.toByte, 0xBD.toByte)
+
+  /** One walk serving both faces: counts always; repaired bytes only
+    * when `sink` is non-null. Returns
+    * [n_bytes, n_cp_out, n_ascii, n_2byte, n_3byte, n_4byte, n_bad]. */
+  private def walk(p: Array[Byte],
+                   sink: java.io.ByteArrayOutputStream): Array[Long] = {
+    val n = p.length
+    var ascii = 0L; var n2 = 0L; var n3 = 0L; var n4 = 0L; var bad = 0L
+    var i = 0
+    while (i < n) {
+      val b0 = p(i) & 0xff
+      if (b0 < 0x80) {
+        ascii += 1
+        if (sink != null) sink.write(b0)
+        i += 1
+      } else {
+        // (length, second-byte range) per lead; -1 marks an invalid lead
+        var len = -1; var lo = 0x80; var hi = 0xBF
+        if (b0 >= 0xC2 && b0 <= 0xDF) len = 2
+        else if (b0 == 0xE0) { len = 3; lo = 0xA0 }
+        else if (b0 == 0xED) { len = 3; hi = 0x9F }
+        else if (b0 >= 0xE1 && b0 <= 0xEF) len = 3
+        else if (b0 == 0xF0) { len = 4; lo = 0x90 }
+        else if (b0 == 0xF4) { len = 4; hi = 0x8F }
+        else if (b0 >= 0xF1 && b0 <= 0xF3) len = 4
+        if (len < 0) { // invalid lead: the one-byte maximal subpart
+          bad += 1
+          if (sink != null) sink.write(Fffd)
+          i += 1
+        } else {
+          // consume the longest valid prefix; stop at first offender.
+          // One deliberate JDK-exact deviation from strict Unicode §3.9:
+          // a CESU surrogate ED A0..BF [80..BF] decodes structurally and
+          // only then fails Character.isSurrogate in sun.nio.cs.UTF_8,
+          // which substitutes the WHOLE unit (malformedForLength(3); 2
+          // when the tail byte is absent or not a continuation) — where
+          // the strict maximal-subpart rule would emit one U+FFFD per
+          // byte. Matching the JDK keeps `new String(bytes, UTF_8)` a
+          // carve-out-free independent model over EVERY input.
+          var consumed = 1
+          var okPrefix = true
+          if (i + 1 < n) {
+            val b1 = p(i + 1) & 0xff
+            if (b1 >= lo && b1 <= hi) consumed = 2
+            else {
+              okPrefix = false
+              if (b0 == 0xED && b1 >= 0xA0 && b1 <= 0xBF) {
+                consumed = 2
+                if (i + 2 < n && (p(i + 2) & 0xC0) == 0x80) consumed = 3
+              }
+            }
+          }
+          var k = 2
+          while (okPrefix && consumed == k && k < len && i + k < n) {
+            val bk = p(i + k) & 0xff
+            if (bk >= 0x80 && bk <= 0xBF) { consumed = k + 1; k += 1 }
+            else okPrefix = false
+          }
+          if (okPrefix && consumed == len) { // well-formed sequence
+            if (len == 2) n2 += 1 else if (len == 3) n3 += 1 else n4 += 1
+            if (sink != null) sink.write(p, i, len)
+            i += len
+          } else { // truncated or broken: FFFD for the consumed prefix
+            bad += 1
+            if (sink != null) sink.write(Fffd)
+            i += consumed
+          }
+        }
+      }
+    }
+    Array(n.toLong, ascii + n2 + n3 + n4 + bad, ascii, n2, n3, n4, bad)
+  }
+
+  def stats(p: Array[Byte]): GenericArrayData =
+    new GenericArrayData(walk(p, null))
+
+  def sanitize(p: Array[Byte]): UTF8String = {
+    val sink = new java.io.ByteArrayOutputStream(p.length + 8)
+    walk(p, sink)
+    UTF8String.fromBytes(sink.toByteArray)
+  }
+}
+
+/** `graft_utf8_stats(bytes)`: [n_bytes, n_cp_out, n_ascii, n_2byte,
+  * n_3byte, n_4byte, n_bad] over raw bytes (see [[Utf8Kernel]]).
+  * Total — garbage counts, never throws. */
+case class Utf8Stats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.BinaryType)
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "graft_utf8_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Utf8Kernel.stats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Utf8Kernel$$.MODULE$$.stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_utf8_sanitize(bytes)`: the repaired STRING — well-formed
+  * sequences verbatim, one U+FFFD per maximal ill-formed subpart (the
+  * JDK decoder's policy). Total. */
+case class Utf8Sanitize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.BinaryType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_utf8_sanitize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Utf8Kernel.sanitize(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Utf8Kernel$$.MODULE$$.sanitize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_html_text(html)`: the extracted text (tags stripped,
   * script/style/comment elided, core entities decoded). Total — any
   * string input yields a string, garbage included. */
@@ -702,6 +844,14 @@ object TextFunctions {
     * spec-pinned bit-equal to the normalized merge-replay output. */
   def bpeJoin(text: Column, lefts: Seq[String], rights: Seq[String]): Column =
     Bridge.column(BpeEncodeJoin(Bridge.expression(text), lefts, rights))
+
+  /** Codegen'd UTF-8 byte census (validity classes + repair count). */
+  def utf8Stats(bytes: Column): Column =
+    Bridge.column(Utf8Stats(Bridge.expression(bytes)))
+
+  /** Codegen'd UTF-8 repair: bytes → string, U+FFFD per maximal subpart. */
+  def utf8Sanitize(bytes: Column): Column =
+    Bridge.column(Utf8Sanitize(Bridge.expression(bytes)))
 
   /** Codegen'd single-pass HTML→text extraction. */
   def htmlText(html: Column): Column =

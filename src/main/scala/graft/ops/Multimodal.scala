@@ -1131,6 +1131,227 @@ object Multimodal {
       length(col("payload")).cast("long").as("total_bytes"))
   }
 
+  /** The NUL character tar pads fields, bodies, and the end-of-archive
+    * blocks with — built from the code point so the source file never
+    * carries a raw control byte. */
+  private val Nul: String = 0.toChar.toString
+
+  /** Unsigned byte sum of an ASCII column — the ustar checksum's unit
+    * of account. Interpreted HOF, but only ever over the VARIABLE
+    * header fields (a ≤ ~25-char name, two 11-digit octal strings);
+    * every fixed field's sum is the plan-time constant
+    * [[TarFixedHeaderByteSum]]. */
+  private def asciiByteSum(s: Column): Column =
+    aggregate(split(s, ""), lit(0L), (acc, c) => acc + ascii(c))
+
+  /** Byte sum of every FIXED field in the builder's ustar header: mode
+    * "0000644\0", uid/gid "0000000\0", typeflag '0', magic "ustar\0" +
+    * version "00", uname "graft" (NUL-padded — NULs count 0), the
+    * chksum field read as eight spaces (the ustar recompute rule), and
+    * all-NUL linkname/gname/devmajor/devminor/prefix/pad. */
+  private val TarFixedHeaderByteSum: Long =
+    ("0000644" + Nul + "0000000" + Nul + "0000000" + Nul +
+      "0" + "ustar" + Nul + "00" + "graft").map(_.toLong).sum + 8L * 32L
+
+  /** Zero-padded octal of a non-negative value — tar's numeric field
+    * encoding (11 digits for size/mtime, 6 for chksum). */
+  private def tarOctal(v: Column, width: Int): Column =
+    lpad(conv(v.cast("string"), 10, 8), width, "0")
+
+  /** One 512-byte POSIX ustar header by expression: NUL-padded name,
+    * mode 0644, uid/gid 0, 11-digit octal size and mtime, the 6-digit
+    * octal checksum COMPUTED (fixed-field constant + the variable
+    * fields' byte sums + the eight-spaces rule), typeflag '0',
+    * `ustar\0` magic + version "00", uname "graft" — so the walker's
+    * independent checksum recompute certifies the BUILDER, not a copied
+    * constant. `name` and the octal strings must be ASCII (they are by
+    * construction: digits + a fixed extension). */
+  private def tarHeader(name: Column, size: Column, mtime: Column): Column = {
+    val sizeOct = tarOctal(size, 11)
+    val mtimeOct = tarOctal(mtime, 11)
+    val chksum = lit(TarFixedHeaderByteSum) + asciiByteSum(name) +
+      asciiByteSum(sizeOct) + asciiByteSum(mtimeOct)
+    concat(
+      rpad(name, 100, Nul),
+      lit("0000644" + Nul + "0000000" + Nul + "0000000" + Nul),
+      sizeOct, lit(Nul),
+      mtimeOct, lit(Nul),
+      tarOctal(chksum, 6), lit(Nul + " "),
+      lit("0"),
+      lit(Nul * 100),
+      lit("ustar" + Nul + "00"),
+      rpad(lit("graft"), 32, Nul),
+      lit(Nul * (32 + 8 + 8 + 155 + 12)))
+  }
+
+  /** One tar member: the 512-byte header, the body BYTES (size framed
+    * by octet_length — byte count, never characters: a multi-byte body
+    * must not mis-frame the block walk), NUL-padded to the 512
+    * boundary. */
+  private def tarMember(name: Column, body: Column, mtime: Column): Column = {
+    val size = octet_length(body).cast("long")
+    val pad = pmod(lit(512L) - pmod(size, lit(512L)), lit(512L))
+    concat(
+      tarHeader(name, size, mtime).cast("binary"),
+      body.cast("binary"),
+      lit(Nul * 511).substr(lit(1), pad.cast("int")).cast("binary"))
+  }
+
+  /** A WebDataset-shaped POSIX ustar archive per doc: `nMembers` (≤3)
+    * members keyed by the doc's numeric basename — `<doc_id>.txt` (the
+    * text), `<doc_id>.cls` (the label, doc_id mod 10), `<doc_id>.json`
+    * (typed metadata: id + byte length) — each with a doc_id-varied
+    * mtime, closed by the spec's two zero blocks. The (key, field)
+    * naming IS the WebDataset convention: a shard reader groups members
+    * by basename to reassemble samples. Out-of-range arguments RAISE
+    * from the guard wrapping the final concat (the warcPayload
+    * unconditionally-evaluated-slot rule). */
+  private def tarArchiveFromParts(nMembers: Column, names: Seq[Column],
+                                  bodies: Seq[Column],
+                                  mtimes: Seq[Column]): Column = {
+    val members = (0 until 3).map { i =>
+      when(lit(i) < nMembers, tarMember(names(i), bodies(i), mtimes(i)))
+        .otherwise(lit(Array.empty[Byte]))
+    }
+    when(nMembers >= 1 && nMembers <= 3,
+      concat(members :+ lit(Nul * 1024).cast("binary"): _*))
+      .otherwise(raise_error(concat(
+        lit("tarArchive: nMembers out of [1, 3]: "), nMembers.cast("string"))))
+  }
+
+  /** documents → WebDataset tar frame — STAGED (the warcGzFrame
+    * lesson): projection 1 computes each member's name and body ONCE
+    * into columns (the member assembly references its body ~4 times:
+    * octet_length for the size field and its checksum, the pad
+    * arithmetic, the bytes themselves); projection 2 assembles the
+    * archive from the staged columns. Same value, same single scan. */
+  def tarFrame(docs: DataFrame): DataFrame = {
+    val key = col("doc_id").cast("string")
+    val staged = docs.select(
+      col("doc_id"),
+      concat(key, lit(".txt")).as("__name0"),
+      concat(key, lit(".cls")).as("__name1"),
+      concat(key, lit(".json")).as("__name2"),
+      col("text").as("__body0"),
+      pmod(col("doc_id"), lit(10L)).cast("string").as("__body1"),
+      concat(lit("{\"id\":"), key, lit(",\"len\":"),
+        octet_length(col("text")).cast("string"), lit("}")).as("__body2"))
+    val nMembers = (col("doc_id") % 3 + 1).cast("int")
+    val mtimes = (0 until 3).map(i =>
+      pmod(col("doc_id") * 16 + lit(i.toLong), lit(8589934592L)))
+    staged.select(col("doc_id"),
+      tarArchiveFromParts(nMembers,
+        (0 until 3).map(i => col(s"__name$i")),
+        (0 until 3).map(i => col(s"__body$i")),
+        mtimes).as("payload"))
+  }
+
+  /** tar frame → archive census + byte accounting, every value
+    * re-derived from the BYTES by the native header-chain walk
+    * (non-tar payloads yield nulls). n_members·512 + body_bytes +
+    * pad_bytes + 1024 equals n_blocks·512 on the builder's archives —
+    * the framing cross-check the oracle re-derives analytically.
+    * chksum_ok counts members whose ustar header checksum matches the
+    * walker's recompute — n_members by construction, certifying
+    * builder and walker against each other. */
+  def tarStats(media: DataFrame): DataFrame = {
+    val s = graft.functions.MediaFunctions.tarStats(col("payload"))
+    media.select(
+      col("doc_id"),
+      element_at(s, 1).as("n_members"),
+      element_at(s, 2).as("body_bytes"),
+      element_at(s, 3).as("pad_bytes"),
+      element_at(s, 4).as("chksum_ok"),
+      element_at(s, 5).as("ustar_ok"),
+      element_at(s, 6).as("n_txt"),
+      element_at(s, 7).as("n_cls"),
+      element_at(s, 8).as("n_json"),
+      element_at(s, 9).as("n_other"),
+      element_at(s, 10).as("mtime_sum"),
+      element_at(s, 11).as("n_blocks"),
+      length(col("payload")).cast("long").as("total_bytes"))
+  }
+
+  /** tar frame → one row per MEMBER: (doc_id, member_idx, sample_id,
+    * ext_code, body_offset, size, mtime, chksum_ok) — the (key, field)
+    * geometry a WebDataset shard reader seeks by. Walk and explode
+    * both stay expression-side over one scan (the gzipMembers shape). */
+  def tarMembers(media: DataFrame): DataFrame =
+    media
+      .select(col("doc_id"),
+        graft.functions.MediaFunctions.tarMemberTable(col("payload")).as("t"))
+      .select(col("doc_id"), expr(
+        """inline(transform(sequence(0, size(t) DIV 7 - 1), i -> struct(
+          |  CAST(i AS BIGINT) AS member_idx,
+          |  element_at(t, CAST(7 * i + 1 AS INT)) AS sample_id,
+          |  element_at(t, CAST(7 * i + 2 AS INT)) AS ext_code,
+          |  element_at(t, CAST(7 * i + 3 AS INT)) AS body_offset,
+          |  element_at(t, CAST(7 * i + 4 AS INT)) AS size,
+          |  element_at(t, CAST(7 * i + 5 AS INT)) AS mtime,
+          |  element_at(t, CAST(7 * i + 6 AS INT)) AS chksum_ok)))"""
+          .stripMargin))
+
+  /** WebDataset SAMPLE census: tar members grouped by their numeric
+    * basename — the reassembly a shard reader performs before training
+    * (key → {txt, cls, json} fields). Per (doc_id, sample_id):
+    * field count, per-extension presence, and the sample's body bytes.
+    * Aggregation keys only — no driver state, no fan-out join; at
+    * 100 TB this is one partial-aggregated pass over the member rows. */
+  def wdsSamples(media: DataFrame): DataFrame =
+    tarMembers(media)
+      .groupBy(col("doc_id"), col("sample_id"))
+      .agg(
+        count(lit(1)).as("n_fields"),
+        max(when(col("ext_code") === 1L, 1L).otherwise(0L)).as("has_txt"),
+        max(when(col("ext_code") === 2L, 1L).otherwise(0L)).as("has_cls"),
+        max(when(col("ext_code") === 3L, 1L).otherwise(0L)).as("has_json"),
+        sum(col("size")).as("body_bytes"))
+
+  /** documents → `.tar.gz` frame — the on-disk shape of a REAL
+    * WebDataset shard: the doc's tar archive compressed with actual
+    * zlib deflate at level (doc_id % 9) + 1 (dynamic-Huffman blocks).
+    * Staged: the archive bytes are computed once into a column before
+    * the deflate expression consumes them (the warcGzFrame lesson). */
+  def tarGzFrame(docs: DataFrame): DataFrame = {
+    val staged = tarFrame(docs).select(col("doc_id"),
+      col("payload").as("__tarsrc"))
+    val levels = (1 to 9).map { lvl =>
+      when(col("doc_id") % 9 === (lvl - 1),
+        graft.functions.MediaFunctions.gzipDeflate(col("__tarsrc"), lvl))
+    }
+    staged.select(col("doc_id"), coalesce(levels: _*).as("payload"))
+  }
+
+  /** `.tar.gz` frame → the tar census read THROUGH the real gzip
+    * layer: our RFC 1951 inflater recovers the archive (gz_crc_ok = 1
+    * is the walker-recomputed certificate against zlib's compressor),
+    * then the SAME ustar walk runs — the full WebDataset shard read
+    * path over one scan. gz_isize = the archive's byte length is
+    * analytic (the round trip is lossless); deflater-dependent values
+    * stay out of the frame (the warcGzRealStats pricing rule). */
+  def tarGzStats(media: DataFrame): DataFrame = {
+    val g = graft.functions.MediaFunctions.gzipMemberStats(col("payload"))
+    val staged = media.select(col("doc_id"),
+      element_at(g, 1).as("gz_members"),
+      element_at(g, 7).as("gz_isize"),
+      element_at(g, 9).as("gz_crc_ok"),
+      graft.functions.MediaFunctions.gzipInflate(col("payload"))
+        .as("payload"))
+    val s = graft.functions.MediaFunctions.tarStats(col("payload"))
+    staged.select(
+      col("doc_id"), col("gz_members"), col("gz_isize"), col("gz_crc_ok"),
+      element_at(s, 1).as("n_members"),
+      element_at(s, 2).as("body_bytes"),
+      element_at(s, 3).as("pad_bytes"),
+      element_at(s, 4).as("chksum_ok"),
+      element_at(s, 5).as("ustar_ok"),
+      element_at(s, 6).as("n_txt"),
+      element_at(s, 7).as("n_cls"),
+      element_at(s, 8).as("n_json"),
+      element_at(s, 10).as("mtime_sum"),
+      element_at(s, 11).as("n_blocks"))
+  }
+
   /** One ISO-BMFF box by expression: size(4 BE, includes the 8-byte
     * header) + type + payload — the §4.2 compact form the builder emits
     * (largesize/size-0 are read-side concerns the walker handles). */

@@ -831,4 +831,37 @@ object TextAnalysis {
     docs.select(col("doc_id"), col("lang"), col("source"),
       graft.functions.TextFunctions.htmlText(
         htmlPayload(col("doc_id"), col("text"))).as("text"))
+
+  /** documents → RAW-byte frame with doc_id-cycled ill-formed UTF-8
+    * planted after the text — the wire shape a crawler actually hands a
+    * pipeline (container payloads are bytes, and real captures carry
+    * mojibake): class 0 clean, 1 broken 2-byte pair (C3 28 — one
+    * maximal subpart + '('), 2 overlong slash (C0 AF — two invalid
+    * leads), 3 CESU surrogate (ED A0 80 — the JDK substitutes the
+    * whole structurally-decodable unit ONCE), 4 truncated 4-byte (F0 90 28 — a two-byte valid
+    * prefix + '('). Each class's repair is construction-determined, so
+    * the census oracle is exact for ANY text. */
+  def rawBytesFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text").cast("binary"),
+        element_at(array(
+          lit(Array.empty[Byte]), unhex(lit("C328")), unhex(lit("C0AF")),
+          unhex(lit("EDA080")), unhex(lit("F09028"))),
+          (pmod(col("doc_id"), lit(5L)) + 1).cast("int"))).as("payload"))
+
+  /** RAW bytes → the decode-gate census: byte/codepoint accounting,
+    * repair count, and the md5 of the REPAIRED string (one U+FFFD per
+    * maximal ill-formed subpart — the JDK policy, property-pinned).
+    * Pure per-row kernel work over one scan; at 100 TB this is the
+    * first pass after the container walk, before any string operator. */
+  def utf8Census(frame: DataFrame): DataFrame = {
+    val s = graft.functions.TextFunctions.utf8Stats(col("payload"))
+    frame.select(
+      col("doc_id"),
+      element_at(s, 1).as("n_bytes"),
+      element_at(s, 2).as("n_cp_out"),
+      element_at(s, 7).as("n_bad"),
+      md5(graft.functions.TextFunctions.utf8Sanitize(col("payload"))
+        .cast("binary")).as("clean_md5"))
+  }
 }

@@ -140,6 +140,43 @@ class ExtensionsSpec extends SparkSpec {
       .collect()(0).isNullAt(0))
   }
 
+  test("tar walk functions are callable from SQL, composing with the inflater") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a real shard built by the expression builder, censused FROM SQL
+    // through the .tar.gz layer — gzip inflate feeding the tar walk
+    graft.ops.Multimodal.tarGzFrame(
+      Seq((7L, "sql-surface shard"), (8L, "two members here"))
+        .toDF("doc_id", "text"))
+      .createOrReplaceTempView("shards")
+    val r = spark.sql(
+      """SELECT doc_id,
+        |  element_at(graft_tar_stats(graft_gzip_inflate(payload)), 1) AS n_members,
+        |  size(graft_tar_member_table(graft_gzip_inflate(payload))) DIV 7 AS n_rows
+        |FROM shards ORDER BY doc_id""".stripMargin).collect()
+    assert(r(0).getLong(1) === 2L && r(0).getLong(2) === 2L) // doc 7: 7%3+1
+    assert(r(1).getLong(1) === 3L && r(1).getLong(2) === 3L) // doc 8: 8%3+1
+    // non-tar payloads null out, never throw
+    assert(spark.sql("SELECT graft_tar_stats(CAST('not a tar' AS BINARY)) AS s")
+      .collect()(0).isNullAt(0))
+  }
+
+  test("utf8 decode gate is callable from SQL and total on garbage bytes") {
+    GraftExtensions.register(spark)
+    // repair + census from SQL: a broken 2-byte pair becomes U+FFFD '('
+    val r = spark.sql(
+      "SELECT graft_utf8_sanitize(CAST(x'68690AC328' AS BINARY)) AS s, " +
+        "element_at(graft_utf8_stats(CAST(x'68690AC328' AS BINARY)), 7) AS bad")
+      .collect()(0)
+    assert(r.getString(0) === "hi\n�(")
+    assert(r.getLong(1) === 1L)
+    // pure garbage repairs to SOMETHING, never throws or nulls
+    val g = spark.sql(
+      "SELECT graft_utf8_sanitize(CAST(x'FFFEFD' AS BINARY)) AS s").collect()(0)
+    assert(g.getString(0) === "���")
+  }
+
   test("SRP hyperplane table cache stays bounded under heterogeneous dims") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

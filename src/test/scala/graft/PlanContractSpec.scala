@@ -879,6 +879,26 @@ class PlanContractSpec extends SparkSpec {
       s"warc.gz path rescanned the corpus:\n$p")
   }
 
+  test("tar build+walk stays expression-side with no RDD hop, one scan") {
+    Seq("q_multimodal_tar", "q_multimodal_tar_members", "q_multimodal_tar_gz")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("ExistingRDD"), s"$q dropped to an RDD scan:\n$p")
+        assert(p.linesIterator.count(_.contains("documents.parquet")) == 1,
+          s"$q rescanned the corpus:\n$p")
+      }
+  }
+
+  test("WebDataset sample reassembly is one scan + one partial-aggregated grouping") {
+    val p = plan("q_multimodal_wds")
+    assert(!p.contains("ExistingRDD"), s"wds grouping dropped to an RDD scan:\n$p")
+    assert(p.linesIterator.count(_.contains("documents.parquet")) == 1,
+      s"wds grouping rescanned the corpus:\n$p")
+    // map-side combine before the exchange: partial_ aggregates present
+    assert(p.contains("partial_"),
+      s"wds grouping shuffles raw member rows (no map-side combine):\n$p")
+  }
+
   test("ewma/holt/bfd recurrences run in the codegen'd linear fold, never the quadratic HOF") {
     // the optimized LOGICAL plan prints full projection lists — the
     // physical string hides result expressions inside the aggregate

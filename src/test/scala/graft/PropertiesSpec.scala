@@ -16,6 +16,10 @@ class PropertiesSpec extends SparkSpec {
   private def sample[T](g: Gen[T], seed: Long): T =
     g.pureApply(Gen.Parameters.default, Seed(seed))
 
+  /** NUL as a string, from the code point — test sources carry no raw
+    * control bytes (the ops/Multimodal.Nul rule). */
+  private val TNul: String = 0.toChar.toString
+
   private val anyString: Gen[String] = Gen.oneOf(
     Gen.alphaNumStr, Gen.asciiPrintableStr, Gen.const(""), Gen.const(" "),
     Gen.const(null: String), Gen.numStr.map(s => " " + s + " "),
@@ -1732,5 +1736,259 @@ class PropertiesSpec extends SparkSpec {
       val feats = Multimodal.mp4Features(df).orderBy("doc_id").collect()
       assert(feats.length === payloads.length)
     }
+  }
+
+  test("property: tar walk recovers the planted WebDataset geometry, byte-framed") {
+    // builder and walker certify each other: member count, per-field
+    // sizes (BYTE lengths — the multi-byte bodies below break any
+    // char-count framing), block padding, mtimes, the RECOMPUTED header
+    // checksums, and the sample reassembly a WebDataset reader performs
+    import graft.ops.Multimodal
+    val bodyGen: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr, Gen.const(""),
+      Gen.alphaNumStr.map(_ + "é日𐍈"), // 2-, 3-, 4-byte UTF-8 tails
+      Gen.listOfN(600, Gen.alphaNumChar).map(_.mkString)) // >512B body
+    (1L to 5L).foreach { seed =>
+      val texts = sample(Gen.listOfN(15, bodyGen), seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val frame = Multimodal.tarFrame(docs)
+      // driver model: the construction arithmetic, byte-denominated
+      def model(i: Long, t: String): (Int, Seq[Long], Seq[Long]) = {
+        val nm = (i % 3 + 1).toInt
+        val tb = t.getBytes("UTF-8").length.toLong
+        val sizes = Seq(tb, 1L,
+          (s"""{"id":$i,"len":$tb}""").length.toLong).take(nm)
+        val mtimes = (0 until nm).map(k => (i * 16 + k) % 8589934592L)
+        (nm, sizes, mtimes)
+      }
+      val stats = Multimodal.tarStats(frame).orderBy("doc_id").collect()
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val (nm, sizes, mtimes) = model(i.toLong, t)
+        val padded = sizes.map(s => (s + 511) / 512 * 512)
+        val r = stats(i)
+        assert(r.getAs[Long]("n_members") === nm.toLong, s"seed $seed doc $i")
+        assert(r.getAs[Long]("body_bytes") === sizes.sum, s"seed $seed doc $i")
+        assert(r.getAs[Long]("pad_bytes") === padded.sum - sizes.sum, s"seed $seed doc $i")
+        assert(r.getAs[Long]("chksum_ok") === nm.toLong,
+          s"seed $seed doc $i: a header failed its recomputed checksum")
+        assert(r.getAs[Long]("ustar_ok") === nm.toLong, s"seed $seed doc $i")
+        assert(r.getAs[Long]("n_txt") === 1L, s"seed $seed doc $i")
+        assert(r.getAs[Long]("n_cls") === (if (nm >= 2) 1L else 0L), s"seed $seed doc $i")
+        assert(r.getAs[Long]("n_json") === (if (nm >= 3) 1L else 0L), s"seed $seed doc $i")
+        assert(r.getAs[Long]("n_other") === 0L, s"seed $seed doc $i")
+        assert(r.getAs[Long]("mtime_sum") === mtimes.sum, s"seed $seed doc $i")
+        assert(r.getAs[Long]("n_blocks") === nm + padded.sum / 512 + 2, s"seed $seed doc $i")
+        assert(r.getAs[Long]("total_bytes") === 512L * nm + padded.sum + 1024L,
+          s"seed $seed doc $i")
+      }
+      // per-member geometry face agrees with the same model
+      val members = Multimodal.tarMembers(frame)
+        .orderBy("doc_id", "member_idx").collect()
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val (nm, sizes, mtimes) = model(i.toLong, t)
+        val rows = members.filter(_.getAs[Long]("doc_id") == i.toLong)
+        assert(rows.length === nm, s"seed $seed doc $i")
+        var offset = 0L
+        rows.zipWithIndex.foreach { case (row, k) =>
+          offset += 512L
+          assert(row.getAs[Long]("sample_id") === i.toLong, s"seed $seed doc $i member $k")
+          assert(row.getAs[Long]("ext_code") === (k + 1).toLong, s"seed $seed doc $i member $k")
+          assert(row.getAs[Long]("body_offset") === offset, s"seed $seed doc $i member $k")
+          assert(row.getAs[Long]("size") === sizes(k), s"seed $seed doc $i member $k")
+          assert(row.getAs[Long]("mtime") === mtimes(k), s"seed $seed doc $i member $k")
+          assert(row.getAs[Long]("chksum_ok") === 1L, s"seed $seed doc $i member $k")
+          offset += (sizes(k) + 511) / 512 * 512
+        }
+      }
+      // sample reassembly: one complete sample per doc, fields grouped
+      val samples = Multimodal.wdsSamples(frame).orderBy("doc_id").collect()
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val (nm, sizes, _) = model(i.toLong, t)
+        val r = samples(i)
+        assert(r.getAs[Long]("sample_id") === i.toLong, s"seed $seed doc $i")
+        assert(r.getAs[Long]("n_fields") === nm.toLong, s"seed $seed doc $i")
+        assert(r.getAs[Long]("has_txt") === 1L, s"seed $seed doc $i")
+        assert(r.getAs[Long]("has_cls") === (if (nm >= 2) 1L else 0L), s"seed $seed doc $i")
+        assert(r.getAs[Long]("has_json") === (if (nm >= 3) 1L else 0L), s"seed $seed doc $i")
+        assert(r.getAs[Long]("body_bytes") === sizes.sum, s"seed $seed doc $i")
+      }
+    }
+  }
+
+  test("tar walk: checksum verification, malformation nulls, totality over garbage") {
+    import graft.ops.Multimodal
+    def walk(p: Array[Byte]) = graft.functions.DspKernel.tarStats(p)
+    // spec-side independent header writer — NOT the builder's expression
+    // tree: a second implementation of the ustar layout the walker is
+    // checked against (the hand-built-header discipline of the gzip spec)
+    def header(name: String, size: Long, mtime: Long,
+               breakChksum: Boolean = false, magic: String = "ustar" + TNul,
+               sizeField: String = null): Array[Byte] = {
+      val h = new Array[Byte](512)
+      def put(at: Int, s: String): Unit =
+        s.getBytes("ISO-8859-1").zipWithIndex.foreach { case (b, k) => h(at + k) = b }
+      put(0, name)
+      put(100, "0000644" + TNul + "0000000" + TNul + "0000000" + TNul)
+      put(124, if (sizeField != null) sizeField
+               else f"${java.lang.Long.toOctalString(size)}%11s".replace(' ', '0'))
+      put(136, f"${java.lang.Long.toOctalString(mtime)}%11s".replace(' ', '0'))
+      put(156, "0")
+      put(257, magic + "00")
+      put(265, "graft")
+      (148 until 156).foreach(k => h(k) = ' ')
+      val sum = h.map(_ & 0xff).sum + (if (breakChksum) 1 else 0)
+      put(148, f"${java.lang.Long.toOctalString(sum)}%6s".replace(' ', '0') + TNul + " ")
+      h
+    }
+    def pad512(b: Array[Byte]): Array[Byte] =
+      b ++ new Array[Byte](((b.length + 511) / 512 * 512) - b.length)
+    val end = new Array[Byte](1024)
+    val body = "hello webdataset".getBytes("UTF-8")
+    // a well-formed single-member archive from the INDEPENDENT writer
+    val good = header("7.txt", body.length.toLong, 42L) ++ pad512(body) ++ end
+    val g = walk(good)
+    assert(g != null)
+    assert(g.getLong(0) === 1L)   // n_members
+    assert(g.getLong(1) === body.length.toLong)
+    assert(g.getLong(3) === 1L)   // chksum_ok
+    assert(g.getLong(4) === 1L)   // ustar_ok
+    assert(g.getLong(5) === 1L)   // n_txt
+    assert(g.getLong(9) === 42L)  // mtime_sum
+    // a corrupted checksum is COUNTED, not nulled (the CRC discipline)
+    val badSum = header("7.txt", body.length.toLong, 42L, breakChksum = true) ++
+      pad512(body) ++ end
+    val b = walk(badSum)
+    assert(b != null && b.getLong(0) === 1L && b.getLong(3) === 0L)
+    // GNU old-magic counts ustar_ok = 0 but still walks
+    val gnu = header("7.txt", body.length.toLong, 42L, magic = "ustar ") ++
+      pad512(body) ++ end
+    val u = walk(gnu)
+    assert(u != null && u.getLong(0) === 1L && u.getLong(4) === 0L)
+    // non-numeric basename / foreign extension classify, never null
+    val other = header("readme.md", body.length.toLong, 7L) ++ pad512(body) ++ end
+    val o = walk(other)
+    assert(o != null && o.getLong(8) === 1L) // n_other
+    val t = graft.functions.DspKernel.tarMemberTable(other)
+    assert(t != null && t.getLong(0) === -1L && t.getLong(1) === 0L)
+    // malformations null: bad octal size, truncated body, missing
+    // terminator, short terminator, trailing garbage, misaligned length
+    assert(walk(header("7.txt", 1L, 1L, sizeField = "0000000009" + TNul) ++
+      pad512(body) ++ end) == null)
+    assert(walk(header("7.txt", 4096L, 1L) ++ pad512(body) ++ end) == null)
+    assert(walk(header("7.txt", body.length.toLong, 1L) ++ pad512(body)) == null)
+    assert(walk(header("7.txt", body.length.toLong, 1L) ++ pad512(body) ++
+      new Array[Byte](512)) == null)
+    assert(walk(good ++ pad512("junk".getBytes)) == null)
+    assert(walk(good.dropRight(1)) == null)
+    assert(walk(Array.empty[Byte]) == null)
+    // totality: arbitrary binary garbage never throws
+    val garbage = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+      .map(_.toArray)
+    (1L to 20L).foreach { seed =>
+      val p = sample(garbage, seed)
+      walk(p); graft.functions.DspKernel.tarMemberTable(p) // no throw
+    }
+    // expression totality over a mixed frame: no exception, one row per row
+    val df = Seq((0L, good), (1L, badSum), (2L, Array[Byte](1, 2, 3)),
+      (3L, new Array[Byte](1024))).toDF("doc_id", "payload")
+    assert(Multimodal.tarStats(df).count() === 4L)
+  }
+
+  test("property: utf8 sanitize and census match the JDK decoder on arbitrary bytes") {
+    // the JDK's CharsetDecoder implements the same Unicode §3.9 maximal-
+    // subpart U+FFFD policy — a fully independent model, so random bytes
+    // pin the kernel's validity table AND its substitution boundaries
+    val bytes = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+      .map(_.toArray)
+    // bias toward NEAR-valid streams: valid UTF-8 with planted corruption
+    val nearValid = for {
+      s <- Gen.listOf(Gen.oneOf(Gen.alphaNumChar.map(_.toString),
+        Gen.const("é"), Gen.const("日"), Gen.const("𐍈"))).map(_.mkString)
+      junk <- Gen.listOf(Gen.chooseNum(0x80, 0xFF).map(_.toByte)).map(_.toArray)
+      cut <- Gen.chooseNum(0, 3)
+    } yield s.getBytes("UTF-8").dropRight(cut) ++ junk
+    (1L to 30L).foreach { seed =>
+      val p = sample(if (seed % 2 == 0) bytes else nearValid, seed)
+      val got = graft.functions.Utf8Kernel.sanitize(p).toString
+      val want = new String(p, java.nio.charset.StandardCharsets.UTF_8)
+      assert(got === want, s"seed $seed: sanitize diverged from the JDK decoder")
+      val s = graft.functions.Utf8Kernel.stats(p)
+      assert(s.getLong(0) === p.length.toLong, s"seed $seed")
+      assert(s.getLong(1) === s.getLong(2) + s.getLong(3) + s.getLong(4) +
+        s.getLong(5) + s.getLong(6), s"seed $seed: class counts don't sum")
+      assert(s.getLong(1) === got.codePointCount(0, got.length).toLong,
+        s"seed $seed: n_cp_out vs the repaired string")
+      assert(s.getLong(6) === got.count(_ == '�').toLong,
+        s"seed $seed: n_bad vs the substitution count")
+      // idempotence: the repaired bytes are WELL-FORMED (a raw-byte
+      // pass-through of an invalid sequence would hide behind
+      // UTF8String.toString's own substitution — this pins the bytes)
+      val fixed = graft.functions.Utf8Kernel.sanitize(p).getBytes
+      val s2 = graft.functions.Utf8Kernel.stats(fixed)
+      assert(s2.getLong(6) === 0L, s"seed $seed: sanitize output ill-formed")
+      assert(graft.functions.Utf8Kernel.sanitize(fixed).toString === got,
+        s"seed $seed: sanitize not idempotent")
+    }
+  }
+
+  test("utf8 census: corruption classes, BOM/NUL validity, truncation at EOF") {
+    import graft.ops.TextAnalysis
+    def stats(hex: String) = graft.functions.Utf8Kernel.stats(
+      java.util.HexFormat.of().parseHex(hex))
+    // well-formed edge codepoints count in their classes: NUL (ascii),
+    // BOM EF BB BF (3-byte), DF BF (2-byte max), F4 8F BF BF (U+10FFFF)
+    val ok = stats("00" + "EFBBBF" + "DFBF" + "F48FBFBF")
+    assert(Seq(ok.getLong(2), ok.getLong(3), ok.getLong(4), ok.getLong(5),
+      ok.getLong(6)) === Seq(1L, 1L, 1L, 1L, 0L))
+    // overlong/surrogate/out-of-range leads never decode: C0 80, ED A0 80,
+    // F5 90 80 80 — every byte its own subpart (leads invalid, orphans)
+    assert(stats("C080").getLong(6) === 2L)
+    assert(stats("EDA080").getLong(6) === 1L) // JDK: whole CESU unit
+    assert(stats("F5908080").getLong(6) === 4L)
+    // truncation at EOF: one FFFD for the whole valid prefix
+    assert(stats("E282").getLong(6) === 1L)
+    assert(stats("F09080").getLong(6) === 1L)
+    // the planted-class frame repairs to text + the class suffix exactly
+    import spark.implicits._
+    val docs = (0L to 9L).map(i => (i, s"döc$i")).toDF("doc_id", "text")
+    val rows = TextAnalysis.utf8Census(TextAnalysis.rawBytesFrame(docs))
+      .orderBy("doc_id").collect()
+    val suffix = Seq("", "�(", "��", "�", "�(")
+    (0 to 9).foreach { i =>
+      val want = s"döc$i" + suffix(i % 5)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(want.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(rows(i).getAs[String]("clean_md5") === md, s"doc $i repaired wrong")
+      assert(rows(i).getAs[Long]("n_bad") === Seq(0L, 1L, 2L, 1L, 1L)(i % 5))
+    }
+  }
+
+  test("tar.gz composition: the shard census through real deflate equals the uncompressed census") {
+    import graft.ops.Multimodal
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(120)
+    val direct = Multimodal.tarStats(Multimodal.tarFrame(docs))
+      .orderBy("doc_id").collect()
+    val viaGz = Multimodal.tarGzStats(Multimodal.tarGzFrame(docs))
+      .orderBy("doc_id").collect()
+    assert(direct.length === viaGz.length)
+    direct.zip(viaGz).foreach { case (d, g) =>
+      assert(g.getAs[Long]("gz_members") === 1L)
+      assert(g.getAs[Long]("gz_crc_ok") === 1L,
+        s"doc ${d.getAs[Long]("doc_id")}: inflater failed its CRC certificate")
+      assert(g.getAs[Long]("gz_isize") === d.getAs[Long]("total_bytes"))
+      Seq("n_members", "body_bytes", "pad_bytes", "chksum_ok", "ustar_ok",
+        "n_txt", "n_cls", "n_json", "mtime_sum", "n_blocks").foreach { c =>
+        assert(g.getAs[Long](c) === d.getAs[Long](c),
+          s"doc ${d.getAs[Long]("doc_id")} column $c diverged through the gzip layer")
+      }
+    }
+    // and the sample reassembly reads identically through the layer
+    val inflated = Multimodal.tarGzFrame(docs).select(col("doc_id"),
+      graft.functions.MediaFunctions.gzipInflate(col("payload")).as("payload"))
+    val s1 = Multimodal.wdsSamples(Multimodal.tarFrame(docs)).orderBy("doc_id").collect()
+    val s2 = Multimodal.wdsSamples(inflated).orderBy("doc_id").collect()
+    assert(s1.map(_.toString).toSeq === s2.map(_.toString).toSeq)
   }
 }
