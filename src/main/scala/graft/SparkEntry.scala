@@ -1917,6 +1917,41 @@ object SparkEntry {
       Multimodal.tarGzStats(Multimodal.tarGzFrame(Tables.documents(s, dir)))
         .orderBy("doc_id")),
 
+    // ZIP (PKWARE APPNOTE) — the other container datasets ship in:
+    // WebDataset-trio entries BUILT by expression (stored method,
+    // computed CRC32s, central directory, EOCD), re-PARSED by the
+    // native three-layer walk with the CRC recomputed per entry and the
+    // directory cross-checked field-for-field; the oracle re-derives
+    // the census from the construction arithmetic
+    "q_multimodal_zip" -> ((s, dir) =>
+      Multimodal.zipStats(Multimodal.zipFrame(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
+
+    // the zip seam's per-entry geometry: (sample key, field, header and
+    // data offsets, sizes, verification bits) — walk + explode
+    // expression-side
+    "q_multimodal_zip_entries" -> ((s, dir) =>
+      Multimodal.zipEntries(Multimodal.zipFrame(Tables.documents(s, dir)))
+        .orderBy("doc_id", "entry_idx")),
+
+    // the REFERENCE-implementation read path: java.util.zip's
+    // ZipOutputStream writes each doc as a DEFLATED entry (streaming
+    // data descriptor, level cycling 1-9), and OUR walker + RFC 1951
+    // inflater read it back — crc_ok = cd_ok = 1 certify the reader
+    // against the JDK's writer; deflater-dependent csize stays out of
+    // the frame (one analytic oracle)
+    "q_multimodal_zip_real" -> ((s, dir) =>
+      Multimodal.zipRealStats(Multimodal.zipRealFrame(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
+
+    // container dispatch: a mixed tar/zip/gzip/WARC ingest directory
+    // sniffed by magic bytes (pure built-in hex/substring expressions)
+    // and censused by type — the routing pass a heterogeneous 100 TB
+    // ingest runs before any walker
+    "q_multimodal_sniff" -> ((s, dir) =>
+      Multimodal.sniffCensus(Multimodal.mixedContainerFrame(
+        Tables.documents(s, dir))).orderBy("container")),
+
     // the MP4 seam's FEATURE step: per-channel stats over the
     // concatenated mdat payloads the walk locates (global body index
     // spans mdat boundaries, so the split body featurizes exactly like
@@ -5572,6 +5607,77 @@ object SparkEntry {
         |  CAST(CASE WHEN nm >= 3 THEN 1 ELSE 0 END AS BIGINT) AS has_json,
         |  CAST(sum(msize) AS BIGINT) AS body_bytes
         |FROM sized GROUP BY doc_id, nm ORDER BY doc_id""".stripMargin),
+
+    // zip: the same trio arithmetic with zip framing — entry bytes are
+    // 30+nlen+size (local header + name + stored data), directory
+    // entries 46+nlen, EOCD 22; DOS dtime is the builder's
+    // (doc_id·16+i) mod 2^16 (= the tar mtime mod 2^16); every
+    // verification counter equals n_entries by construction
+    "q_multimodal_zip" -> (TAR_PER_MEMBER_CTES + """,
+        |z AS (SELECT doc_id, nm, i, msize, mtime % 65536 AS dtime,
+        |    strlen(CAST(doc_id AS VARCHAR))
+        |      + CASE i WHEN 2 THEN 5 ELSE 4 END AS nlen
+        |  FROM sized)
+        |SELECT doc_id, CAST(nm AS BIGINT) AS n_entries,
+        |  CAST(nm AS BIGINT) AS n_stored,
+        |  CAST(0 AS BIGINT) AS n_deflated,
+        |  CAST(sum(msize) AS BIGINT) AS usize_total,
+        |  CAST(sum(msize) AS BIGINT) AS csize_total,
+        |  CAST(nm AS BIGINT) AS crc_ok,
+        |  CAST(nm AS BIGINT) AS cd_ok,
+        |  CAST(sum(dtime) AS BIGINT) AS dtime_sum,
+        |  CAST(1 AS BIGINT) AS n_txt,
+        |  CAST(CASE WHEN nm >= 2 THEN 1 ELSE 0 END AS BIGINT) AS n_cls,
+        |  CAST(CASE WHEN nm >= 3 THEN 1 ELSE 0 END AS BIGINT) AS n_json,
+        |  CAST(sum(30 + nlen + msize) + sum(46 + nlen) + 22 AS BIGINT)
+        |    AS total_bytes
+        |FROM z GROUP BY doc_id, nm ORDER BY doc_id""".stripMargin),
+
+    "q_multimodal_zip_entries" -> (TAR_PER_MEMBER_CTES + """,
+        |z AS (SELECT doc_id, nm, i, msize, mtime % 65536 AS dtime,
+        |    strlen(CAST(doc_id AS VARCHAR))
+        |      + CASE i WHEN 2 THEN 5 ELSE 4 END AS nlen
+        |  FROM sized)
+        |SELECT doc_id, CAST(i AS BIGINT) AS entry_idx,
+        |  CAST(doc_id AS BIGINT) AS sample_id,
+        |  CAST(i + 1 AS BIGINT) AS ext_code,
+        |  CAST(0 AS BIGINT) AS method,
+        |  CAST(COALESCE(SUM(30 + nlen + msize) OVER (
+        |    PARTITION BY doc_id ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS lfh_offset,
+        |  CAST(30 + nlen + COALESCE(SUM(30 + nlen + msize) OVER (
+        |    PARTITION BY doc_id ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS data_offset,
+        |  CAST(msize AS BIGINT) AS csize,
+        |  CAST(msize AS BIGINT) AS usize,
+        |  CAST(dtime AS BIGINT) AS dtime,
+        |  CAST(1 AS BIGINT) AS crc_ok,
+        |  CAST(1 AS BIGINT) AS cd_ok
+        |FROM z ORDER BY doc_id, entry_idx""".stripMargin),
+
+    // the dispatch census: routing is doc_id mod 4 by construction, so
+    // the per-type counts are pure arithmetic
+    "q_multimodal_sniff" ->
+      """SELECT CASE doc_id % 4 WHEN 0 THEN 'tar' WHEN 1 THEN 'zip'
+        |    WHEN 2 THEN 'gzip' ELSE 'warc' END AS container,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY container""".stripMargin,
+
+    // the JDK-written zip: one deflated .txt entry per doc; usize is
+    // the text's BYTE length, the verification bits are the walker's
+    // recomputed certificates, dtime 0 is the pinned midnight
+    "q_multimodal_zip_real" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS n_entries,
+        |  CAST(0 AS BIGINT) AS n_stored,
+        |  CAST(1 AS BIGINT) AS n_deflated,
+        |  CAST(strlen(text) AS BIGINT) AS usize_total,
+        |  CAST(1 AS BIGINT) AS crc_ok,
+        |  CAST(1 AS BIGINT) AS cd_ok,
+        |  CAST(0 AS BIGINT) AS dtime_sum,
+        |  CAST(1 AS BIGINT) AS n_txt
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the .tar.gz path: the same analytic tar arithmetic (the real
     // deflate round trip is lossless), extended with the gzip

@@ -136,6 +136,20 @@ object GraftExtensions {
           s"graft_tar_member_table(payload) expects 1 argument, got ${children.size}")
         TarMemberTable(children.head): Expression
       }),
+    (FunctionIdentifier("graft_zip_stats"),
+      new ExpressionInfo(classOf[ZipStats].getName, "graft_zip_stats"),
+      (children: Seq[Expression]) => {
+        if (children.size != 1) throw new IllegalArgumentException(
+          s"graft_zip_stats(payload) expects 1 argument, got ${children.size}")
+        ZipStats(children.head): Expression
+      }),
+    (FunctionIdentifier("graft_zip_entry_table"),
+      new ExpressionInfo(classOf[ZipEntryTable].getName, "graft_zip_entry_table"),
+      (children: Seq[Expression]) => {
+        if (children.size != 1) throw new IllegalArgumentException(
+          s"graft_zip_entry_table(payload) expects 1 argument, got ${children.size}")
+        ZipEntryTable(children.head): Expression
+      }),
     (FunctionIdentifier("graft_utf8_stats"),
       new ExpressionInfo(classOf[Utf8Stats].getName, "graft_utf8_stats"),
       (children: Seq[Expression]) => {

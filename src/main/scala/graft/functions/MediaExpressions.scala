@@ -1180,6 +1180,236 @@ object DspKernel {
     if (t == null) null else new GenericArrayData(t.toArray)
   }
 
+  /** Entry-count backstop for the zip walk. */
+  private val ZipMaxEntries = 65536L
+
+  /** ZIP (PKWARE APPNOTE) walk — the other container datasets ship in:
+    * sequential local-file-header chain, then the central directory,
+    * then the end-of-central-directory record, every layer VERIFIED
+    * against the others. Per entry: the 30-byte LFH (sig PK\3\4,
+    * version, flags, method, DOS time/date, CRC32, compressed /
+    * uncompressed sizes, name), the data — STORED bytes or a real
+    * deflate stream via [[MemberInflater]] (so zlib-written zips walk),
+    * with CRC32 and both sizes RECOMPUTED (`crc_ok` certifies builder
+    * and walker, or the JDK's ZipOutputStream and our inflater, against
+    * each other) — and the streaming data descriptor (flag bit 3,
+    * `PK\7\8`-signed or bare) the JDK writes after DEFLATED entries.
+    * Central-directory entries cross-check name bytes, method, CRC,
+    * sizes, and LFH offset per entry (`cd_ok` counts matches); the EOCD
+    * must agree on entry count, directory size, and offset.
+    *
+    * Returns stride-10 tuples per entry: [sample_id, ext_code, method,
+    * lfh_offset, data_offset, csize, usize, dtime, crc_ok, cd_ok] —
+    * sample_id/ext_code per the tar walk's WebDataset naming rule.
+    *
+    * Null (never a throw) for: no PK\3\4 at offset 0, a truncated
+    * header/data/descriptor, a STORED entry with flag bit 3 (size
+    * unknowable mid-stream), any inflater malformation, a compressed
+    * size disagreeing with the inflater's consumed span, a missing or
+    * count/size/offset-inconsistent EOCD, trailing bytes past the
+    * EOCD's declared comment, or more than [[ZipMaxEntries]] entries. */
+  private def zipWalk(p: Array[Byte]):
+      scala.collection.mutable.ArrayBuffer[Long] = {
+    val n = p.length
+    if (n < 22) return null
+    def le16(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    def le32(i: Int): Long =
+      (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+        ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+    def sig(i: Int, c: Int, d: Int): Boolean =
+      i + 4 <= n && (p(i) & 0xff) == 0x50 && (p(i + 1) & 0xff) == 0x4b &&
+        (p(i + 2) & 0xff) == c && (p(i + 3) & 0xff) == d
+    // name → (sample_id, ext_code), the tar walk's WebDataset rule
+    def nameKey(from: Int, len: Int): (Long, Long) = {
+      var lastDot = -1
+      var i = from
+      while (i < from + len) { if (p(i) == '.'.toByte) lastDot = i; i += 1 }
+      if (lastDot < 0) return (-1L, 0L)
+      var sampleId = -1L
+      var allDigits = lastDot - from > 0 && lastDot - from <= 18
+      var v = 0L
+      i = from
+      while (allDigits && i < lastDot) {
+        if (p(i) >= '0'.toByte && p(i) <= '9'.toByte)
+          v = v * 10 + (p(i) - '0'.toByte)
+        else allDigits = false
+        i += 1
+      }
+      if (allDigits) sampleId = v
+      val extLen = from + len - lastDot - 1
+      def extIs(s: String): Boolean =
+        extLen == s.length && (0 until extLen).forall(k =>
+          p(lastDot + 1 + k) == s.charAt(k).toByte)
+      val ext = if (extIs("txt")) 1L else if (extIs("cls")) 2L
+        else if (extIs("json")) 3L else 0L
+      (sampleId, ext)
+    }
+    // pass 1: the local chain, with per-entry recompute
+    case class Lfh(nameOff: Int, nameLen: Int, method: Int, dtime: Int,
+                   crcCalc: Long, csize: Long, usize: Long,
+                   offset: Long, dataOff: Long, crcOk: Long)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[Lfh]
+    var pos = 0
+    while (sig(pos, 3, 4)) {
+      if (entries.length >= ZipMaxEntries) return null
+      if (pos + 30 > n) return null
+      val flags = le16(pos + 6)
+      val method = le16(pos + 8)
+      val dtime = le16(pos + 10)
+      val crcHdr = le32(pos + 14)
+      val csizeHdr = le32(pos + 18)
+      val usizeHdr = le32(pos + 22)
+      val nameLen = le16(pos + 26)
+      val extraLen = le16(pos + 28)
+      val nameOff = pos + 30
+      val dstart = nameOff + nameLen + extraLen
+      if (dstart > n) return null
+      val hasDesc = (flags & 8) != 0
+      var csize = csizeHdr; var usize = usizeHdr
+      var dataEnd = -1
+      val crc = new java.util.zip.CRC32()
+      if (method == 0) {
+        if (hasDesc) return null // stored size unknowable mid-stream
+        if (dstart + csize > n) return null
+        crc.update(p, dstart, csize.toInt)
+        usize = csize
+        dataEnd = dstart + csize.toInt
+      } else if (method == 8) {
+        val inf = new MemberInflater(p, dstart, GzipMaxInflate,
+          GzipMaxBlocks)
+        if (!inf.run()) return null
+        crc.update(inf.out, 0, inf.outLen)
+        val span = (inf.endPos - dstart).toLong
+        if (!hasDesc && csizeHdr != span) return null
+        csize = span
+        usize = inf.outLen.toLong
+        dataEnd = inf.endPos
+      } else return null
+      // streaming descriptor: signed (PK\7\8 + 12) or bare (12)
+      var crcRef = crcHdr; var csizeRef = csizeHdr; var usizeRef = usizeHdr
+      if (hasDesc) {
+        var d = dataEnd
+        if (sig(d, 7, 8)) d += 4
+        if (d + 12 > n) return null
+        crcRef = le32(d); csizeRef = le32(d + 4); usizeRef = le32(d + 8)
+        dataEnd = d + 12
+      }
+      val crcOk =
+        if (crcRef == crc.getValue && csizeRef == csize &&
+          usizeRef == (usize & 0xffffffffL)) 1L else 0L
+      entries += Lfh(nameOff, nameLen, method, dtime, crc.getValue,
+        csize, usize, pos.toLong, dstart.toLong, crcOk)
+      pos = dataEnd
+    }
+    // pass 2: the central directory cross-check
+    val cdStart = pos
+    val cdOk = new Array[Long](entries.length)
+    var idx = 0
+    while (sig(pos, 1, 2)) {
+      if (pos + 46 > n || idx >= entries.length) return null
+      val e = entries(idx)
+      val method = le16(pos + 10)
+      val crcCd = le32(pos + 16)
+      val csizeCd = le32(pos + 20)
+      val usizeCd = le32(pos + 24)
+      val nameLen = le16(pos + 28)
+      val extraLen = le16(pos + 30)
+      val commentLen = le16(pos + 32)
+      val lfhOff = le32(pos + 42)
+      if (pos + 46 + nameLen + extraLen + commentLen > n) return null
+      val nameEq = nameLen == e.nameLen && (0 until nameLen).forall(k =>
+        p(pos + 46 + k) == p(e.nameOff + k))
+      cdOk(idx) =
+        if (nameEq && method == e.method && crcCd == e.crcCalc &&
+          csizeCd == e.csize && usizeCd == (e.usize & 0xffffffffL) &&
+          lfhOff == e.offset) 1L
+        else 0L
+      idx += 1
+      pos += 46 + nameLen + extraLen + commentLen
+    }
+    if (idx != entries.length) return null
+    // pass 3: the end record must agree with both walks
+    if (!sig(pos, 5, 6) || pos + 22 > n) return null
+    val eocdEntries = le16(pos + 10)
+    val cdSize = le32(pos + 12)
+    val cdOffset = le32(pos + 16)
+    val commentLen = le16(pos + 20)
+    if (eocdEntries != entries.length || cdSize != (pos - cdStart).toLong ||
+      cdOffset != cdStart.toLong || pos + 22 + commentLen != n) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    idx = 0
+    while (idx < entries.length) {
+      val e = entries(idx)
+      val (sampleId, extCode) = nameKey(e.nameOff, e.nameLen)
+      out += sampleId += extCode += e.method.toLong += e.offset +=
+        e.dataOff += e.csize += e.usize +=
+        e.dtime.toLong += e.crcOk += cdOk(idx)
+      idx += 1
+    }
+    out
+  }
+
+  /** ZIP census: [n_entries, n_stored, n_deflated, usize_total,
+    * csize_total, crc_ok, cd_ok, dtime_sum, n_txt, n_cls, n_json] —
+    * crc_ok/cd_ok at n_entries certify data and directory against the
+    * walker's recompute. Null per [[zipWalk]]'s malformation rules. */
+  def zipStats(p: Array[Byte]): GenericArrayData = {
+    val t = zipWalk(p)
+    if (t == null) return null
+    val m = t.length / 10
+    var stored = 0L; var deflated = 0L; var usize = 0L; var csize = 0L
+    var crcOk = 0L; var cdOk = 0L; var dtime = 0L
+    var nTxt = 0L; var nCls = 0L; var nJson = 0L
+    var i = 0
+    while (i < m) {
+      val ext = t(10 * i + 1)
+      if (t(10 * i + 2) == 0L) stored += 1 else deflated += 1
+      csize += t(10 * i + 5)
+      usize += t(10 * i + 6)
+      dtime += t(10 * i + 7)
+      crcOk += t(10 * i + 8)
+      cdOk += t(10 * i + 9)
+      if (ext == 1L) nTxt += 1 else if (ext == 2L) nCls += 1
+      else if (ext == 3L) nJson += 1
+      i += 1
+    }
+    new GenericArrayData(Array(m.toLong, stored, deflated, usize, csize,
+      crcOk, cdOk, dtime, nTxt, nCls, nJson))
+  }
+
+  /** Per-entry zip geometry table — [[zipWalk]]'s stride-10 tuples
+    * (sample_id, ext_code, method, lfh_offset, data_offset, csize,
+    * usize, dtime, crc_ok, cd_ok) flattened into one long array. Null,
+    * never a partial table, per the walk's malformation rules. */
+  def zipEntryTable(p: Array[Byte]): GenericArrayData = {
+    val t = zipWalk(p)
+    if (t == null) null else new GenericArrayData(t.toArray)
+  }
+
+  /** The zip walker's builder twin from the OTHER side of the fence:
+    * `java.util.zip.ZipOutputStream` writes the archive (one DEFLATED
+    * entry at the given level — real dynamic-Huffman data, streaming
+    * data descriptor, central directory, EOCD, exactly the layout every
+    * JDK/zlib producer emits), so the walker's recomputed CRC32 / size
+    * / directory checks certify OUR reader against the reference
+    * implementation, not against our own builder. The entry time is
+    * pinned to a fixed LocalDateTime (DOS-time encoding is
+    * timezone-free through setTimeLocal), so the bytes are
+    * deterministic per (name, data, level). */
+  def zipReal(name: Array[Byte], data: Array[Byte], level: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 128)
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.setLevel(level)
+    val e = new java.util.zip.ZipEntry(
+      new String(name, java.nio.charset.StandardCharsets.UTF_8))
+    e.setTimeLocal(java.time.LocalDateTime.of(2020, 1, 1, 0, 0, 0))
+    zos.putNextEntry(e)
+    zos.write(data)
+    zos.closeEntry()
+    zos.close()
+    bos.toByteArray
+  }
+
   /** 64-bit AVERAGE HASH of a BMP's pixel stream — the integer aHash
     * that closes the multimodal family into the dedup family: the
     * pixel sequence (3-byte pixels from offset 54) downsamples to 64
@@ -1598,6 +1828,90 @@ case class GzipInflate(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_zip_stats(payload)`: ZIP archive census with per-entry CRC32
+  * and central-directory cross-checks (see [[DspKernel.zipStats]]);
+  * null for non-zip or malformed archives. */
+case class ZipStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_zip_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DspKernel.zipStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.zipStats($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_zip_entry_table(payload)`: per-entry (sample_id, ext_code,
+  * method, lfh_offset, data_offset, csize, usize, dtime, crc_ok,
+  * cd_ok) tuples flattened into one long array (see
+  * [[DspKernel.zipEntryTable]]); null for non-zip or malformed
+  * archives. */
+case class ZipEntryTable(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_zip_entry_table"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DspKernel.zipEntryTable(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.zipEntryTable($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_zip_real(name, data, level)`: a REAL single-entry zip written
+  * by `java.util.zip.ZipOutputStream` (DEFLATED, streaming descriptor,
+  * pinned entry time) — the reference-implementation twin the walker is
+  * certified against (see [[DspKernel.zipReal]]). */
+case class ZipReal(name: Expression, data: Expression, level: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+
+  require(level >= 0 && level <= 9,
+    s"zip deflate level must be in [0, 9], got $level")
+
+  override def left: Expression = name
+  override def right: Expression = data
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = name.nullable || data.nullable
+  override def prettyName: String = "graft_zip_real"
+
+  override protected def nullSafeEval(n: Any, d: Any): Any =
+    DspKernel.zipReal(n.asInstanceOf[Array[Byte]],
+      d.asInstanceOf[Array[Byte]], level)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (n, d) => s"""
+       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.zipReal($n, $d, $level);
+     """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(name = newLeft, data = newRight)
+}
+
 /** `graft_tar_stats(payload)`: POSIX ustar archive census
   * (see [[DspKernel.tarStats]]); null for non-tar or malformed
   * archives. */
@@ -1804,6 +2118,19 @@ object MediaFunctions {
   /** Codegen'd single-member gzip wrap via real deflate (zlib level). */
   def gzipDeflate(payload: Column, level: Int = 6): Column =
     Bridge.column(GzipDeflate(Bridge.expression(payload), level))
+
+  /** Codegen'd ZIP archive census (CRC + central-directory verified). */
+  def zipStats(payload: Column): Column =
+    Bridge.column(ZipStats(Bridge.expression(payload)))
+
+  /** Codegen'd per-entry zip geometry table (flattened 10-tuples). */
+  def zipEntryTable(payload: Column): Column =
+    Bridge.column(ZipEntryTable(Bridge.expression(payload)))
+
+  /** Codegen'd reference-implementation zip writer (ZipOutputStream). */
+  def zipReal(name: Column, data: Column, level: Int = 6): Column =
+    Bridge.column(ZipReal(Bridge.expression(name),
+      Bridge.expression(data), level))
 
   /** Codegen'd POSIX ustar archive census. */
   def tarStats(payload: Column): Column =

@@ -1352,6 +1352,220 @@ object Multimodal {
       element_at(s, 11).as("n_blocks"))
   }
 
+  /** One STORED zip entry's local header + data by expression, per
+    * PKWARE APPNOTE §4.3.7: sig PK\3\4, version 20, flags 0, method 0,
+    * DOS time/date, CRC32 (Spark's own `crc32` — the walker's recompute
+    * certifies the BUILDER), csize = usize = octet_length (bytes, never
+    * chars), name. */
+  private def zipLocal(name: Column, body: Column, dtime: Column,
+                       ddate: Column): Column = {
+    val size = octet_length(body).cast("long")
+    concat(
+      unhex(concat(lit("504B03041400" + "0000" + "0000"),
+        leHex16(dtime), leHex16(ddate),
+        leHex32(crc32(body.cast("binary"))),
+        leHex32(size), leHex32(size),
+        leHex16(octet_length(name).cast("long")), lit("0000"))),
+      name.cast("binary"),
+      body.cast("binary"))
+  }
+
+  /** The matching central-directory entry (§4.3.12): same fields plus
+    * version-made-by, empty comment/disk/attr fields, and the entry's
+    * local-header offset. */
+  private def zipCentral(name: Column, body: Column, dtime: Column,
+                         ddate: Column, lfhOffset: Column): Column = {
+    val size = octet_length(body).cast("long")
+    concat(
+      unhex(concat(lit("504B0102" + "1400" + "1400" + "0000" + "0000"),
+        leHex16(dtime), leHex16(ddate),
+        leHex32(crc32(body.cast("binary"))),
+        leHex32(size), leHex32(size),
+        leHex16(octet_length(name).cast("long")),
+        lit("0000" + "0000" + "0000" + "0000" + "00000000"),
+        leHex32(lfhOffset))),
+      name.cast("binary"))
+  }
+
+  /** documents → WebDataset-shaped STORED zip frame: the tar trio
+    * (`<doc_id>.{txt,cls,json}`, nMembers = doc_id mod 3 + 1) as zip
+    * entries — local chain, central directory, EOCD, all by expression
+    * with the entry CRCs computed (not copied), so the walker's
+    * three-layer cross-check certifies the builder. STAGED like
+    * tarFrame: names/bodies once into columns, assembly referencing
+    * only columns. */
+  def zipFrame(docs: DataFrame): DataFrame = {
+    val key = col("doc_id").cast("string")
+    val staged = docs.select(
+      col("doc_id"),
+      concat(key, lit(".txt")).as("__name0"),
+      concat(key, lit(".cls")).as("__name1"),
+      concat(key, lit(".json")).as("__name2"),
+      col("text").as("__body0"),
+      pmod(col("doc_id"), lit(10L)).cast("string").as("__body1"),
+      concat(lit("{\"id\":"), key, lit(",\"len\":"),
+        octet_length(col("text")).cast("string"), lit("}")).as("__body2"))
+    val nMembers = (col("doc_id") % 3 + 1).cast("int")
+    def dtime(i: Int) = pmod(col("doc_id") * 16 + lit(i.toLong), lit(65536L))
+    def ddate(i: Int) = pmod(col("doc_id") * 7 + lit(i.toLong), lit(65536L))
+    def name(i: Int) = col(s"__name$i")
+    def body(i: Int) = col(s"__body$i")
+    def entryLen(i: Int) =
+      lit(30L) + octet_length(name(i)) + octet_length(body(i))
+    def cdLen(i: Int) = lit(46L) + octet_length(name(i)).cast("long")
+    val lfhOffsets = (0 until 3).map(i =>
+      (0 until i).map(j => when(lit(j) < nMembers, entryLen(j)).otherwise(0L))
+        .foldLeft(lit(0L))(_ + _))
+    val locals = (0 until 3).map(i =>
+      when(lit(i) < nMembers, zipLocal(name(i), body(i), dtime(i), ddate(i)))
+        .otherwise(lit(Array.empty[Byte])))
+    val centrals = (0 until 3).map(i =>
+      when(lit(i) < nMembers,
+        zipCentral(name(i), body(i), dtime(i), ddate(i), lfhOffsets(i)))
+        .otherwise(lit(Array.empty[Byte])))
+    val cdOffset = (0 until 3).map(i =>
+      when(lit(i) < nMembers, entryLen(i)).otherwise(0L))
+      .foldLeft(lit(0L))(_ + _)
+    val cdSize = (0 until 3).map(i =>
+      when(lit(i) < nMembers, cdLen(i)).otherwise(0L))
+      .foldLeft(lit(0L))(_ + _)
+    val eocd = unhex(concat(lit("504B0506" + "0000" + "0000"),
+      leHex16(nMembers.cast("long")), leHex16(nMembers.cast("long")),
+      leHex32(cdSize), leHex32(cdOffset), lit("0000")))
+    staged.select(col("doc_id"),
+      when(nMembers >= 1 && nMembers <= 3,
+        concat(locals ++ centrals :+ eocd: _*))
+        .otherwise(raise_error(concat(
+          lit("zipFrame: nMembers out of [1, 3]: "),
+          nMembers.cast("string")))).as("payload"))
+  }
+
+  /** zip frame → archive census, every value re-derived from the BYTES
+    * by the native three-layer walk (local chain re-CRC'd, central
+    * directory cross-checked entry-for-entry, EOCD count/size/offset
+    * verified; non-zip payloads yield nulls). crc_ok = cd_ok =
+    * n_entries by construction. */
+  def zipStats(media: DataFrame): DataFrame = {
+    val s = graft.functions.MediaFunctions.zipStats(col("payload"))
+    media.select(
+      col("doc_id"),
+      element_at(s, 1).as("n_entries"),
+      element_at(s, 2).as("n_stored"),
+      element_at(s, 3).as("n_deflated"),
+      element_at(s, 4).as("usize_total"),
+      element_at(s, 5).as("csize_total"),
+      element_at(s, 6).as("crc_ok"),
+      element_at(s, 7).as("cd_ok"),
+      element_at(s, 8).as("dtime_sum"),
+      element_at(s, 9).as("n_txt"),
+      element_at(s, 10).as("n_cls"),
+      element_at(s, 11).as("n_json"),
+      length(col("payload")).cast("long").as("total_bytes"))
+  }
+
+  /** zip frame → one row per ENTRY: the (sample key, field, offsets,
+    * sizes, verification bits) geometry an extractor seeks by. Walk and
+    * explode both expression-side over one scan. */
+  def zipEntries(media: DataFrame): DataFrame =
+    media
+      .select(col("doc_id"),
+        graft.functions.MediaFunctions.zipEntryTable(col("payload")).as("t"))
+      .select(col("doc_id"), expr(
+        """inline(transform(sequence(0, size(t) DIV 10 - 1), i -> struct(
+          |  CAST(i AS BIGINT) AS entry_idx,
+          |  element_at(t, CAST(10 * i + 1 AS INT)) AS sample_id,
+          |  element_at(t, CAST(10 * i + 2 AS INT)) AS ext_code,
+          |  element_at(t, CAST(10 * i + 3 AS INT)) AS method,
+          |  element_at(t, CAST(10 * i + 4 AS INT)) AS lfh_offset,
+          |  element_at(t, CAST(10 * i + 5 AS INT)) AS data_offset,
+          |  element_at(t, CAST(10 * i + 6 AS INT)) AS csize,
+          |  element_at(t, CAST(10 * i + 7 AS INT)) AS usize,
+          |  element_at(t, CAST(10 * i + 8 AS INT)) AS dtime,
+          |  element_at(t, CAST(10 * i + 9 AS INT)) AS crc_ok,
+          |  element_at(t, CAST(10 * i + 10 AS INT)) AS cd_ok)))"""
+          .stripMargin))
+
+  /** documents → REAL zip frame: `java.util.zip.ZipOutputStream` writes
+    * each doc's `<doc_id>.txt` as a DEFLATED entry (level cycling 1–9
+    * by doc, streaming data descriptor, pinned entry time) — the
+    * reference-implementation bytes OUR walker and inflater are
+    * certified against. Staged name/body columns feed the kernel. */
+  def zipRealFrame(docs: DataFrame): DataFrame = {
+    val staged = docs.select(col("doc_id"),
+      concat(col("doc_id").cast("string"), lit(".txt")).cast("binary")
+        .as("__name"),
+      col("text").cast("binary").as("__body"))
+    val levels = (1 to 9).map { lvl =>
+      when(col("doc_id") % 9 === (lvl - 1),
+        graft.functions.MediaFunctions.zipReal(col("__name"), col("__body"), lvl))
+    }
+    staged.select(col("doc_id"), coalesce(levels: _*).as("payload"))
+  }
+
+  /** REAL zip frame → the census columns the CONSTRUCTION determines
+    * (csize is deflater-dependent and stays out — the
+    * warcGzRealStats pricing rule): one deflated `.txt` entry, the
+    * walker's recomputed CRC and directory checks as certificates,
+    * dtime = 0 (the pinned midnight). */
+  def zipRealStats(media: DataFrame): DataFrame = {
+    val s = graft.functions.MediaFunctions.zipStats(col("payload"))
+    media.select(
+      col("doc_id"),
+      element_at(s, 1).as("n_entries"),
+      element_at(s, 2).as("n_stored"),
+      element_at(s, 3).as("n_deflated"),
+      element_at(s, 4).as("usize_total"),
+      element_at(s, 6).as("crc_ok"),
+      element_at(s, 7).as("cd_ok"),
+      element_at(s, 8).as("dtime_sum"),
+      element_at(s, 9).as("n_txt"))
+  }
+
+  /** Magic-byte container detection — the DISPATCH a mixed-format
+    * ingest runs before any walker: every container the family parses,
+    * identified from its signature bytes (BMP 'BM', RIFF/WAVE, JPEG
+    * FFD8FF, PNG, FLAC 'fLaC', ISO-BMFF 'ftyp' at offset 4, gzip 1F8B,
+    * zip PK\3\4 (or the empty-archive PK\5\6), ustar magic at offset
+    * 257, WARC 'WARC/'). Pure built-in expressions (hex/substring
+    * comparisons) — codegen'd, no custom kernel, scan speed. */
+  def containerOf(p: Column): Column = {
+    val h4 = hex(substring(p, 1, 4))
+    when(hex(substring(p, 1, 2)) === "424D", "bmp")
+      .when(h4 === "52494646" &&
+        hex(substring(p, 9, 4)) === "57415645", "wav")
+      .when(hex(substring(p, 1, 3)) === "FFD8FF", "jpeg")
+      .when(h4 === "89504E47", "png")
+      .when(h4 === "664C6143", "flac")
+      .when(hex(substring(p, 5, 4)) === "66747970", "mp4")
+      .when(hex(substring(p, 1, 2)) === "1F8B", "gzip")
+      .when(h4 === "504B0304" || h4 === "504B0506", "zip")
+      .when(hex(substring(p, 258, 6)) === "757374617200", "tar")
+      .when(hex(substring(p, 1, 5)) === "574152432F", "warc")
+      .otherwise("unknown")
+  }
+
+  /** A MIXED-container corpus: docs route to tar / zip / gzip / WARC
+    * builders by doc_id mod 4 — the fixture shape of an ingest
+    * directory holding heterogeneous shards. Four filtered builder
+    * passes (fixture-side cost); the OPERATOR under test
+    * ([[containerOf]] + [[sniffCensus]]) is per-row + one aggregate. */
+  def mixedContainerFrame(docs: DataFrame): DataFrame = {
+    def part(k: Int, f: DataFrame => DataFrame): DataFrame =
+      f(docs.filter(pmod(col("doc_id"), lit(4L)) === k))
+        .select(col("doc_id"), col("payload"))
+    part(0, tarFrame)
+      .unionByName(part(1, zipFrame))
+      .unionByName(part(2, gzipFrame))
+      .unionByName(part(3, warcFrame))
+  }
+
+  /** The dispatch census: how many shards of each container type the
+    * ingest directory holds — one map-side-combined aggregate over the
+    * sniffed type. */
+  def sniffCensus(media: DataFrame): DataFrame =
+    media.select(containerOf(col("payload")).as("container"))
+      .groupBy("container").agg(count(lit(1)).as("n_docs"))
+
   /** One ISO-BMFF box by expression: size(4 BE, includes the 8-byte
     * header) + type + payload — the §4.2 compact form the builder emits
     * (largesize/size-0 are read-side concerns the walker handles). */

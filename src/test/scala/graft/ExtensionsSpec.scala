@@ -162,6 +162,27 @@ class ExtensionsSpec extends SparkSpec {
       .collect()(0).isNullAt(0))
   }
 
+  test("zip walk functions are callable from SQL over a JDK-written archive") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.ops.Multimodal.zipRealFrame(
+      Seq((4L, "zipped from sql"), (9L, "another doc")).toDF("doc_id", "text"))
+      .createOrReplaceTempView("zips")
+    val r = spark.sql(
+      """SELECT doc_id,
+        |  element_at(graft_zip_stats(payload), 1) AS n_entries,
+        |  element_at(graft_zip_stats(payload), 6) AS crc_ok,
+        |  size(graft_zip_entry_table(payload)) DIV 10 AS n_rows
+        |FROM zips ORDER BY doc_id""".stripMargin).collect()
+    r.foreach { row =>
+      assert(row.getLong(1) === 1L && row.getLong(2) === 1L && row.getLong(3) === 1L)
+    }
+    // non-zip payloads null out, never throw
+    assert(spark.sql("SELECT graft_zip_stats(CAST('PK nope' AS BINARY)) AS s")
+      .collect()(0).isNullAt(0))
+  }
+
   test("utf8 decode gate is callable from SQL and total on garbage bytes") {
     GraftExtensions.register(spark)
     // repair + census from SQL: a broken 2-byte pair becomes U+FFFD '('

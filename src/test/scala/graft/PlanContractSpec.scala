@@ -889,6 +889,16 @@ class PlanContractSpec extends SparkSpec {
       }
   }
 
+  test("zip build+walk (stored, entries, JDK-real) stays expression-side, one scan each") {
+    Seq("q_multimodal_zip", "q_multimodal_zip_entries", "q_multimodal_zip_real")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("ExistingRDD"), s"$q dropped to an RDD scan:\n$p")
+        assert(p.linesIterator.count(_.contains("documents.parquet")) == 1,
+          s"$q rescanned the corpus:\n$p")
+      }
+  }
+
   test("WebDataset sample reassembly is one scan + one partial-aggregated grouping") {
     val p = plan("q_multimodal_wds")
     assert(!p.contains("ExistingRDD"), s"wds grouping dropped to an RDD scan:\n$p")

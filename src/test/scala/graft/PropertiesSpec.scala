@@ -1895,6 +1895,157 @@ class PropertiesSpec extends SparkSpec {
     assert(Multimodal.tarStats(df).count() === 4L)
   }
 
+  test("property: zip walk recovers the planted stored geometry through all three layers") {
+    import graft.ops.Multimodal
+    val bodyGen: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr, Gen.const(""),
+      Gen.alphaNumStr.map(_ + "é日𐍈"),
+      Gen.listOfN(300, Gen.alphaNumChar).map(_.mkString))
+    (1L to 5L).foreach { seed =>
+      val texts = sample(Gen.listOfN(12, bodyGen), seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val frame = Multimodal.zipFrame(docs)
+      def model(i: Long, t: String): (Int, Seq[Long], Seq[Long], Seq[Long]) = {
+        val nm = (i % 3 + 1).toInt
+        val tb = t.getBytes("UTF-8").length.toLong
+        val sizes = Seq(tb, 1L, (s"""{"id":$i,"len":$tb}""").length.toLong).take(nm)
+        val nlens = Seq(4L, 4L, 5L).map(_ + i.toString.length).take(nm)
+        val dtimes = (0 until nm).map(k => (i * 16 + k) % 65536L)
+        (nm, sizes, nlens, dtimes)
+      }
+      val stats = Multimodal.zipStats(frame).orderBy("doc_id").collect()
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val (nm, sizes, nlens, dtimes) = model(i.toLong, t)
+        val r = stats(i)
+        assert(r.getAs[Long]("n_entries") === nm.toLong, s"seed $seed doc $i")
+        assert(r.getAs[Long]("n_stored") === nm.toLong, s"seed $seed doc $i")
+        assert(r.getAs[Long]("n_deflated") === 0L, s"seed $seed doc $i")
+        assert(r.getAs[Long]("usize_total") === sizes.sum, s"seed $seed doc $i")
+        assert(r.getAs[Long]("csize_total") === sizes.sum, s"seed $seed doc $i")
+        assert(r.getAs[Long]("crc_ok") === nm.toLong,
+          s"seed $seed doc $i: an entry failed its recomputed CRC32")
+        assert(r.getAs[Long]("cd_ok") === nm.toLong,
+          s"seed $seed doc $i: a directory entry diverged from its local header")
+        assert(r.getAs[Long]("dtime_sum") === dtimes.sum, s"seed $seed doc $i")
+        assert(r.getAs[Long]("total_bytes") ===
+          sizes.zip(nlens).map { case (s, l) => 30 + l + s }.sum +
+            nlens.map(46L + _).sum + 22L, s"seed $seed doc $i")
+      }
+      val entries = Multimodal.zipEntries(frame)
+        .orderBy("doc_id", "entry_idx").collect()
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val (nm, sizes, nlens, dtimes) = model(i.toLong, t)
+        val rows = entries.filter(_.getAs[Long]("doc_id") == i.toLong)
+        assert(rows.length === nm, s"seed $seed doc $i")
+        var offset = 0L
+        rows.zipWithIndex.foreach { case (row, k) =>
+          assert(row.getAs[Long]("sample_id") === i.toLong, s"seed $seed doc $i entry $k")
+          assert(row.getAs[Long]("ext_code") === (k + 1).toLong, s"seed $seed doc $i entry $k")
+          assert(row.getAs[Long]("method") === 0L, s"seed $seed doc $i entry $k")
+          assert(row.getAs[Long]("lfh_offset") === offset, s"seed $seed doc $i entry $k")
+          assert(row.getAs[Long]("data_offset") === offset + 30 + nlens(k), s"seed $seed doc $i entry $k")
+          assert(row.getAs[Long]("csize") === sizes(k), s"seed $seed doc $i entry $k")
+          assert(row.getAs[Long]("usize") === sizes(k), s"seed $seed doc $i entry $k")
+          assert(row.getAs[Long]("dtime") === dtimes(k), s"seed $seed doc $i entry $k")
+          assert(row.getAs[Long]("crc_ok") === 1L && row.getAs[Long]("cd_ok") === 1L,
+            s"seed $seed doc $i entry $k")
+          offset += 30 + nlens(k) + sizes(k)
+        }
+      }
+    }
+  }
+
+  test("zip walk: JDK-written archives, corruption counted, malformation nulls, totality") {
+    def walk(p: Array[Byte]) = graft.functions.DspKernel.zipStats(p)
+    // the REFERENCE implementation writes a mixed archive: two DEFLATED
+    // entries (streaming descriptors) and one STORED (sizes up front) —
+    // our walker and inflater must read back what the JDK produced
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    val t0 = java.time.LocalDateTime.of(2021, 6, 15, 12, 0, 0)
+    def put(name: String, data: Array[Byte], stored: Boolean): Unit = {
+      val e = new java.util.zip.ZipEntry(name)
+      e.setTimeLocal(t0)
+      if (stored) {
+        e.setMethod(java.util.zip.ZipEntry.STORED)
+        e.setSize(data.length.toLong)
+        e.setCompressedSize(data.length.toLong)
+        val c = new java.util.zip.CRC32(); c.update(data)
+        e.setCrc(c.getValue)
+      }
+      zos.putNextEntry(e); zos.write(data); zos.closeEntry()
+    }
+    put("12.txt", ("deflate me, repetitive repetitive " * 40).getBytes("UTF-8"), stored = false)
+    put("12.cls", "7".getBytes("UTF-8"), stored = true)
+    put("12.json", """{"id":12}""".getBytes("UTF-8"), stored = false)
+    zos.close()
+    val jdk = bos.toByteArray
+    val s = walk(jdk)
+    assert(s != null, "JDK-written zip must walk")
+    assert(s.getLong(0) === 3L) // n_entries
+    assert(s.getLong(1) === 1L && s.getLong(2) === 2L) // stored / deflated
+    assert(s.getLong(5) === 3L, "crc_ok must certify the inflater against the JDK")
+    assert(s.getLong(6) === 3L, "cd_ok must cross-check the JDK's directory")
+    assert(s.getLong(8) === 1L && s.getLong(9) === 1L && s.getLong(10) === 1L)
+    // a corrupted STORED data byte: counted (crc_ok, cd_ok drop), not nulled
+    val storedDataOff = {
+      val t = graft.functions.DspKernel.zipEntryTable(jdk)
+      // entry 1 is the stored .cls — its data_offset is slot 10*1+5 (1-based 5th)
+      t.getLong(10 * 1 + 4).toInt
+    }
+    val corrupt = jdk.clone()
+    corrupt(storedDataOff) = (corrupt(storedDataOff) ^ 0x01).toByte
+    val c = walk(corrupt)
+    assert(c != null && c.getLong(0) === 3L)
+    assert(c.getLong(5) === 2L, "corrupted entry must fail its CRC")
+    // truncation, bad EOCD count, trailing garbage: null
+    assert(walk(jdk.dropRight(1)) == null)
+    val badCount = jdk.clone()
+    badCount(jdk.length - 12) = 9 // EOCD total-entries field
+    assert(walk(badCount) == null)
+    assert(walk(jdk ++ Array[Byte](0)) == null)
+    assert(walk(Array.empty[Byte]) == null)
+    assert(walk("PK not really".getBytes("UTF-8")) == null)
+    // totality over arbitrary binary garbage
+    val garbage = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    (1L to 20L).foreach { seed =>
+      val p = sample(garbage, seed)
+      walk(p); graft.functions.DspKernel.zipEntryTable(p) // no throw
+    }
+  }
+
+  test("container sniff identifies every family the engine parses, unknown on garbage") {
+    import graft.ops.Multimodal
+    val docs = (0L to 11L).map(i => (i, s"sniff me properly $i")).toDF("doc_id", "text")
+    def detected(frame: org.apache.spark.sql.DataFrame): Set[String] =
+      frame.select(Multimodal.containerOf(col("payload")).as("c"))
+        .distinct().collect().map(_.getString(0)).toSet
+    // each builder family lands on exactly its own magic
+    assert(detected(Multimodal.mediaFrame(docs)) === Set("bmp", "wav"))
+    assert(detected(Multimodal.codecFrame(docs)) === Set("jpeg", "flac"))
+    // png/mp4 frames carry FLAC rows for their audio share — both magics
+    val png = detected(Multimodal.pngFrame(docs))
+    assert(png.contains("png") && png.subsetOf(Set("png", "flac")))
+    val mp4 = detected(Multimodal.mp4Frame(docs))
+    assert(mp4.contains("mp4") && mp4.subsetOf(Set("mp4", "flac")))
+    assert(detected(Multimodal.tarFrame(docs)) === Set("tar"))
+    assert(detected(Multimodal.zipFrame(docs)) === Set("zip"))
+    assert(detected(Multimodal.zipRealFrame(docs)) === Set("zip"))
+    assert(detected(Multimodal.gzipFrame(docs)) === Set("gzip"))
+    assert(detected(Multimodal.tarGzFrame(docs)) === Set("gzip"))
+    assert(detected(Multimodal.warcFrame(docs)) === Set("warc"))
+    // the mixed frame routes by doc_id mod 4 and sniffs back exactly so
+    val census = Multimodal.sniffCensus(Multimodal.mixedContainerFrame(docs))
+      .orderBy("container").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(census === Seq(("gzip", 3L), ("tar", 3L), ("warc", 3L), ("zip", 3L)))
+    // garbage and short payloads: unknown, never a throw
+    val junk = Seq((0L, Array[Byte](1, 2, 3)), (1L, Array.empty[Byte]),
+      (2L, "P".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    assert(detected(junk) === Set("unknown"))
+  }
+
   test("property: utf8 sanitize and census match the JDK decoder on arbitrary bytes") {
     // the JDK's CharsetDecoder implements the same Unicode §3.9 maximal-
     // subpart U+FFFD policy — a fully independent model, so random bytes
