@@ -1952,6 +1952,17 @@ object SparkEntry {
       Multimodal.sniffCensus(Multimodal.mixedContainerFrame(
         Tables.documents(s, dir))).orderBy("container")),
 
+    // the corpus-wide tar/zip census monoids (ONE summary row each —
+    // the batch twins of the streaming state sinks, which merge the
+    // same row column-wise per micro-batch)
+    "q_multimodal_tar_census" -> ((s, dir) =>
+      Multimodal.tarCensus(Multimodal.tarStats(
+        Multimodal.tarFrame(Tables.documents(s, dir))))),
+
+    "q_multimodal_zip_census" -> ((s, dir) =>
+      Multimodal.zipCensus(Multimodal.zipStats(
+        Multimodal.zipFrame(Tables.documents(s, dir))))),
+
     // the MP4 seam's FEATURE step: per-channel stats over the
     // concatenated mdat payloads the walk locates (global body index
     // spans mdat boundaries, so the split body featurizes exactly like
@@ -5656,6 +5667,48 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS crc_ok,
         |  CAST(1 AS BIGINT) AS cd_ok
         |FROM z ORDER BY doc_id, entry_idx""".stripMargin),
+
+    // the corpus-level sums of the same tar/zip construction arithmetic
+    "q_multimodal_tar_census" -> (TAR_PER_MEMBER_CTES + """
+        |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_shards,
+        |  CAST(0 AS BIGINT) AS n_malformed,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(msize) AS BIGINT) AS body_bytes,
+        |  CAST(sum(padded - msize) AS BIGINT) AS pad_bytes,
+        |  CAST(count(*) AS BIGINT) AS chksum_ok,
+        |  CAST(count(*) AS BIGINT) AS ustar_ok,
+        |  CAST(sum(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_txt,
+        |  CAST(sum(CASE WHEN i = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cls,
+        |  CAST(sum(CASE WHEN i = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_json,
+        |  CAST(0 AS BIGINT) AS n_other,
+        |  CAST(sum(mtime) AS BIGINT) AS mtime_sum,
+        |  CAST(count(*) + sum(padded) // 512
+        |    + 2 * count(DISTINCT doc_id) AS BIGINT) AS n_blocks,
+        |  CAST(512 * count(*) + sum(padded)
+        |    + 1024 * count(DISTINCT doc_id) AS BIGINT) AS total_bytes
+        |FROM sized""".stripMargin),
+
+    "q_multimodal_zip_census" -> (TAR_PER_MEMBER_CTES + """,
+        |z AS (SELECT doc_id, nm, i, msize, mtime % 65536 AS dtime,
+        |    strlen(CAST(doc_id AS VARCHAR))
+        |      + CASE i WHEN 2 THEN 5 ELSE 4 END AS nlen
+        |  FROM sized)
+        |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_archives,
+        |  CAST(0 AS BIGINT) AS n_malformed,
+        |  CAST(count(*) AS BIGINT) AS n_entries,
+        |  CAST(count(*) AS BIGINT) AS n_stored,
+        |  CAST(0 AS BIGINT) AS n_deflated,
+        |  CAST(sum(msize) AS BIGINT) AS usize_total,
+        |  CAST(sum(msize) AS BIGINT) AS csize_total,
+        |  CAST(count(*) AS BIGINT) AS crc_ok,
+        |  CAST(count(*) AS BIGINT) AS cd_ok,
+        |  CAST(sum(dtime) AS BIGINT) AS dtime_sum,
+        |  CAST(sum(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_txt,
+        |  CAST(sum(CASE WHEN i = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cls,
+        |  CAST(sum(CASE WHEN i = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_json,
+        |  CAST(sum(30 + nlen + msize) + sum(46 + nlen)
+        |    + 22 * count(DISTINCT doc_id) AS BIGINT) AS total_bytes
+        |FROM z""".stripMargin),
 
     // the dispatch census: routing is doc_id mod 4 by construction, so
     // the per-type counts are pure arithmetic

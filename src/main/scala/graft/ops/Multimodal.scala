@@ -1205,7 +1205,9 @@ object Multimodal {
     * naming IS the WebDataset convention: a shard reader groups members
     * by basename to reassemble samples. Out-of-range arguments RAISE
     * from the guard wrapping the final concat (the warcPayload
-    * unconditionally-evaluated-slot rule). */
+    * unconditionally-evaluated-slot rule). Doc ids are non-negative by
+    * the corpus contract; a negative id still frames a valid archive
+    * ('-' is ASCII) but classifies as sample_id −1 on the read side. */
   private def tarArchiveFromParts(nMembers: Column, names: Seq[Column],
                                   bodies: Seq[Column],
                                   mtimes: Seq[Column]): Column = {
@@ -1306,6 +1308,38 @@ object Multimodal {
         max(when(col("ext_code") === 2L, 1L).otherwise(0L)).as("has_cls"),
         max(when(col("ext_code") === 3L, 1L).otherwise(0L)).as("has_json"),
         sum(col("size")).as("body_bytes"))
+
+  /** Corpus-wide tar census over a [[tarStats]] frame: ONE summary row
+    * (a sum monoid — the stream face merges partials column-wise via
+    * [[warcCensusMerge]]). Malformed archives (the walk's nulls) are
+    * COUNTED in-band and contribute to no byte column. */
+  def tarCensus(stats: DataFrame): DataFrame = {
+    def s(c: String) = coalesce(sum(coalesce(col(c), lit(0L))), lit(0L)).as(c)
+    stats.agg(
+      coalesce(count(lit(1)), lit(0L)).as("n_shards"),
+      coalesce(sum(when(col("n_members").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_malformed"),
+      s("n_members"), s("body_bytes"), s("pad_bytes"), s("chksum_ok"),
+      s("ustar_ok"), s("n_txt"), s("n_cls"), s("n_json"), s("n_other"),
+      s("mtime_sum"), s("n_blocks"),
+      coalesce(sum(when(col("n_members").isNull, 0L)
+        .otherwise(col("total_bytes"))), lit(0L)).as("total_bytes"))
+  }
+
+  /** Corpus-wide zip census over a [[zipStats]] frame — the same sum
+    * monoid (one row, malformed counted in-band, stream-mergeable). */
+  def zipCensus(stats: DataFrame): DataFrame = {
+    def s(c: String) = coalesce(sum(coalesce(col(c), lit(0L))), lit(0L)).as(c)
+    stats.agg(
+      coalesce(count(lit(1)), lit(0L)).as("n_archives"),
+      coalesce(sum(when(col("n_entries").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_malformed"),
+      s("n_entries"), s("n_stored"), s("n_deflated"), s("usize_total"),
+      s("csize_total"), s("crc_ok"), s("cd_ok"), s("dtime_sum"),
+      s("n_txt"), s("n_cls"), s("n_json"),
+      coalesce(sum(when(col("n_entries").isNull, 0L)
+        .otherwise(col("total_bytes"))), lit(0L)).as("total_bytes"))
+  }
 
   /** documents → `.tar.gz` frame — the on-disk shape of a REAL
     * WebDataset shard: the doc's tar archive compressed with actual

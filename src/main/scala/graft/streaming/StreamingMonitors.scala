@@ -1251,6 +1251,59 @@ object StreamingMonitors {
     else ck).start()
   }
 
+  /** Streaming twin of the corpus-wide tar census
+    * (ops/Multimodal.tarCensus): per micro-batch the shard census runs
+    * on the batch alone, then merges into the stored one-row state by
+    * column-wise sum — the same sum-monoid contract as
+    * [[warcStateSink]], versioned for idempotent replay. */
+  def tarStateSink(docStream: DataFrame, stateDir: String,
+                   checkpoint: Option[String] = None,
+                   availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = graft.ops.Multimodal.tarCensus(
+          graft.ops.Multimodal.tarStats(
+            graft.ops.Multimodal.tarFrame(batch)))
+        val merged = latestVersionedState(batch.sparkSession, stateDir, batchId) match {
+          case Some(prev) => graft.ops.Multimodal.warcCensusMerge(prev, partial)
+          case None => partial
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        ()
+      }
+    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow)
+      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else ck).start()
+  }
+
+  /** Streaming twin of the corpus-wide zip census — same sum-monoid
+    * contract over ops/Multimodal.zipCensus. */
+  def zipStateSink(docStream: DataFrame, stateDir: String,
+                   checkpoint: Option[String] = None,
+                   availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = graft.ops.Multimodal.zipCensus(
+          graft.ops.Multimodal.zipStats(
+            graft.ops.Multimodal.zipFrame(batch)))
+        val merged = latestVersionedState(batch.sparkSession, stateDir, batchId) match {
+          case Some(prev) => graft.ops.Multimodal.warcCensusMerge(prev, partial)
+          case None => partial
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        ()
+      }
+    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow)
+      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else ck).start()
+  }
+
   /** Streaming maintenance of the per-type quantile sample
     * (ops/Sketches.quantileSample): the k hash-smallest rows per key
     * merge by union + dedup + re-bottom-k — a monoid over disjoint row

@@ -1778,6 +1778,77 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(full.length === 1 && full(0).getDouble(2) === 1.0)
   }
 
+  test("streamed tar census serves the exact batch sums; malformed shards counted, not dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").limit(200).persist()
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val stateDir = s"${work()}/tar-state"
+    val q = StreamingMonitors.tarStateSink(stream, stateDir)
+    try {
+      (0 until 3).foreach { i =>
+        mem.addData(rows.filter(_._1 % 3 == i).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val served = StreamingMonitors.latestVersionedState(spark, stateDir)
+      .get.collect()(0)
+    val direct = graft.ops.Multimodal.tarCensus(
+      graft.ops.Multimodal.tarStats(
+        graft.ops.Multimodal.tarFrame(docs.toDF()))).collect()(0)
+    docs.unpersist(blocking = false)
+    assert(served.toSeq === direct.toSeq)
+    assert(served.getAs[Long]("n_shards") === rows.length.toLong)
+    assert(served.getAs[Long]("n_malformed") === 0L)
+    assert(served.getAs[Long]("chksum_ok") === served.getAs[Long]("n_members"))
+    // the block accounting closes: headers + bodies + pads + terminators
+    assert(512L * served.getAs[Long]("n_members") + served.getAs[Long]("body_bytes")
+      + served.getAs[Long]("pad_bytes") + 1024L * served.getAs[Long]("n_shards")
+      === served.getAs[Long]("total_bytes"))
+    // a malformed shard is COUNTED in-band, contributing to no sum
+    val mixed = Seq((0L, "not a tar".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val cen = graft.ops.Multimodal.tarCensus(
+      graft.ops.Multimodal.tarStats(mixed)).collect()(0)
+    assert(cen.getAs[Long]("n_shards") === 1L)
+    assert(cen.getAs[Long]("n_malformed") === 1L)
+    assert(cen.getAs[Long]("n_members") === 0L)
+    assert(cen.getAs[Long]("total_bytes") === 0L)
+  }
+
+  test("streamed zip census serves the exact batch sums across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").limit(200).persist()
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val stateDir = s"${work()}/zip-state"
+    val q = StreamingMonitors.zipStateSink(stream, stateDir)
+    try {
+      (0 until 3).foreach { i =>
+        mem.addData(rows.filter(_._1 % 3 == i).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val served = StreamingMonitors.latestVersionedState(spark, stateDir)
+      .get.collect()(0)
+    val direct = graft.ops.Multimodal.zipCensus(
+      graft.ops.Multimodal.zipStats(
+        graft.ops.Multimodal.zipFrame(docs.toDF()))).collect()(0)
+    docs.unpersist(blocking = false)
+    assert(served.toSeq === direct.toSeq)
+    assert(served.getAs[Long]("n_archives") === rows.length.toLong)
+    assert(served.getAs[Long]("crc_ok") === served.getAs[Long]("n_entries"))
+    assert(served.getAs[Long]("cd_ok") === served.getAs[Long]("n_entries"))
+  }
+
   test("streamed WARC census serves the exact batch sums; malformed files counted, not dropped") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
