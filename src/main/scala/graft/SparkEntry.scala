@@ -1545,6 +1545,27 @@ object SparkEntry {
       TextAnalysis.utf8Census(TextAnalysis.rawBytesFrame(
         Tables.documents(s, dir))).orderBy("doc_id")),
 
+    // crawl-frontier URL canonicalization: doc_id-cycled wire noise
+    // (case, default port, tracking params, fragment, trailing slash)
+    // normalized by RE2-safe regex steps the oracle replays verbatim —
+    // raw and canonical STRINGS hash-compared end to end
+    "text_url_canon" -> ((s, dir) =>
+      Curation.urlFrontier(Tables.documents(s, dir))
+        .orderBy("doc_id", "url_raw")),
+
+    // the frontier dedup census: fetch volume saved by canonicalization
+    // (a kept query param is a DIFFERENT resource and must NOT merge)
+    "text_url_dedup" -> ((s, dir) =>
+      Curation.urlDedupCensus(Curation.urlFrontier(
+        Tables.documents(s, dir)))),
+
+    // code-vs-prose routing: symbol density, camelCase, keyword and
+    // indent counts in exact integer ppm; the gate a mixed corpus runs
+    // before language-ID or perplexity scoring
+    "text_code_detect" -> ((s, dir) =>
+      TextAnalysis.codeDetect(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
     // the composed Common-Crawl read path: page → response record →
     // WARC; the engine walks the record geometry, slices the response
     // payload back out of the raw bytes, and runs the extraction census
@@ -2147,6 +2168,49 @@ object SparkEntry {
       |    (d.doc_id * 16 + i.i) % 8589934592 AS mtime
       |  FROM d CROSS JOIN (SELECT unnest(range(3)) AS i) i
       |  WHERE i.i < d.nm)""".stripMargin
+
+  /** The messy-URL construction and canonicalization of
+    * Curation.messyUrl/canonicalUrl, replayed step-for-step in DuckDB
+    * RE2 (patterns identical by the RE2-safe design; replacements use
+    * \1 where Spark uses $1 — same values). */
+  private val URL_FRONTIER_CTES: String =
+    """WITH base AS (SELECT doc_id,
+      |    'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+      |      || source || '-' || CAST(doc_id % 100 AS VARCHAR) || '.'
+      |      || (['com','org','net','io','edu'])[CAST(doc_id % 5 AS INT) + 1]
+      |      || '/doc/' || CAST(doc_id AS VARCHAR) AS u
+      |  FROM documents),
+      |messy AS (SELECT doc_id,
+      |    CASE doc_id % 6
+      |      WHEN 1 THEN upper(regexp_extract(u, '^(https://[^/]*)', 1))
+      |        || regexp_replace(u, '^https://[^/]*', '')
+      |      WHEN 2 THEN regexp_replace(u, '^(https://[^/]*)', '\1:443')
+      |      WHEN 3 THEN u || '?utm_source=feed&ref=r1&utm_campaign=c9'
+      |      WHEN 4 THEN u || '#section-5'
+      |      WHEN 5 THEN u || '/'
+      |      ELSE u END AS m
+      |  FROM base),
+      |frontier AS (
+      |  SELECT doc_id, u AS url_raw FROM base
+      |  UNION ALL SELECT doc_id, m AS url_raw FROM messy),
+      |canon AS (SELECT doc_id, url_raw,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(
+      |                lower(regexp_extract(regexp_replace(url_raw, '#.*', ''),
+      |                  '^([A-Za-z]+://[^/?]*)', 1))
+      |                || regexp_replace(regexp_replace(url_raw, '#.*', ''),
+      |                  '^[A-Za-z]+://[^/?]*', ''),
+      |                '^(https://[^/?:]*):443([/?]|$)', '\1\2'),
+      |              '^(http://[^/?:]*):80([/?]|$)', '\1\2'),
+      |            '([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*&', '\1', 'g'),
+      |          '([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*&', '\1', 'g'),
+      |        '[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*$', ''),
+      |      '([^/])/$', '\1') AS url_canonical
+      |  FROM frontier)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_raw_parse" -> (C +
@@ -4140,6 +4204,41 @@ object SparkEntry {
         |    WHEN 3 THEN '�' WHEN 4 THEN '�('
         |    ELSE '' END) AS clean_md5
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the messy-URL construction and every canonicalization step
+    // replayed in DuckDB's RE2 (same patterns — RE2-safe by design;
+    // replacement syntax differs, \1 vs $1, the VALUES are identical)
+    "text_url_canon" -> (URL_FRONTIER_CTES + """
+        |SELECT doc_id, url_raw, url_canonical
+        |FROM canon ORDER BY doc_id, url_raw""".stripMargin),
+
+    "text_url_dedup" -> (URL_FRONTIER_CTES + """
+        |SELECT CAST(sum(n_raw) AS BIGINT) AS n_urls,
+        |  CAST(count(*) AS BIGINT) AS n_canonical,
+        |  CAST(sum(n_raw - 1) AS BIGINT) AS n_merged
+        |FROM (SELECT url_canonical, count(*) AS n_raw
+        |      FROM canon GROUP BY url_canonical)""".stripMargin),
+
+    "text_code_detect" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '[{}();=<>\[\]]')) AS BIGINT)
+        |    AS n_symbols,
+        |  CAST(len(regexp_extract_all(text, '\b[a-z][a-z0-9]*[A-Z]'))
+        |    AS BIGINT) AS n_camel,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b(def|class|return|import|void|int|function|var|const|if|else|for|while)\b'))
+        |    AS BIGINT) AS n_keywords,
+        |  CAST(len(regexp_extract_all(text, '\n  +[^ ]')) AS BIGINT)
+        |    AS n_indented,
+        |  CAST(1000000 * len(regexp_extract_all(text, '[{}();=<>\[\]]'))
+        |    // greatest(length(text), 1) AS BIGINT) AS symbol_ppm,
+        |  (1000000 * len(regexp_extract_all(text, '[{}();=<>\[\]]'))
+        |     // greatest(length(text), 1) >= 40000
+        |   OR (len(regexp_extract_all(text,
+        |        '\b(def|class|return|import|void|int|function|var|const|if|else|for|while)\b')) >= 3
+        |       AND len(regexp_extract_all(text, '[{}();=<>\[\]]')) >= 5)
+        |   OR len(regexp_extract_all(text, '\n  +[^ ]')) >= 3) AS is_code
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the composed Common-Crawl read path shares the SAME analytic oracle:
     // the WARC walk slices the response payload back bit-identically, so

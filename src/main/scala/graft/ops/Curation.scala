@@ -289,6 +289,82 @@ object Curation {
         sum("n_chars").cast("long").as("n_chars"))
   }
 
+  /** [[docUrl]] with doc_id-cycled WIRE NOISE layered on — the mess a
+    * crawl frontier actually holds for one logical resource, applied
+    * to the URL STRING (the extraction discipline, never the
+    * construction's parts): class = pmod(doc_id, 6): 0 clean,
+    * 1 uppercased scheme+host (case-insensitive per RFC 3986 §6.2.2.1),
+    * 2 explicit default port :443, 3 tracking params bracketing a KEPT
+    * param (utm_source, ref, utm_campaign — the scrub must be
+    * selective, not drop-the-query), 4 a fragment, 5 a trailing slash.
+    * Every class is engine-portable string/regex arithmetic. */
+  def messyUrl(docId: Column, source: Column): Column = {
+    val base = docUrl(docId, source)
+    val cls = pmod(docId, lit(6))
+    when(cls === 1, concat(
+      upper(regexp_extract(base, "^(https://[^/]*)", 1)),
+      regexp_replace(base, "^https://[^/]*", "")))
+      .when(cls === 2, regexp_replace(base, "^(https://[^/]*)", "$1:443"))
+      .when(cls === 3, concat(base,
+        lit("?utm_source=feed&ref=r1&utm_campaign=c9")))
+      .when(cls === 4, concat(base, lit("#section-5")))
+      .when(cls === 5, concat(base, lit("/")))
+      .otherwise(base)
+  }
+
+  /** Crawl-frontier URL canonicalization — the normalization a fetch
+    * queue applies before dedup (RFC 3986 §6 + the tracking-param
+    * scrub): strip the fragment, lowercase scheme+host, drop the
+    * scheme-default port, remove utm_ / gclid / fbclid params while
+    * KEEPING the rest of the query (separators re-tidied), and strip
+    * one trailing slash (empty path ≡ root). Pure per-row regex at
+    * scan speed; every pattern is RE2-safe (no lookaround, no
+    * backreference in the PATTERN) so the DuckDB oracle replays the
+    * identical steps. The mid-string tracking scrub runs two passes —
+    * a global replace does not rescan its own output, so a run of ≥3
+    * ADJACENT tracking params can leak one; two passes cover runs of
+    * ≤3 (and the planted classes exactly). */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val lowHost = concat(
+      lower(regexp_extract(noFrag, "^([A-Za-z]+://[^/?]*)", 1)),
+      regexp_replace(noFrag, "^[A-Za-z]+://[^/?]*", ""))
+    val noPort = regexp_replace(
+      regexp_replace(lowHost, "^(https://[^/?:]*):443([/?]|$)", "$1$2"),
+      "^(http://[^/?:]*):80([/?]|$)", "$1$2")
+    val trackMid = "([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*&"
+    val trackEnd = "[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*$"
+    val noTrack = regexp_replace(
+      regexp_replace(regexp_replace(noPort, trackMid, "$1"), trackMid, "$1"),
+      trackEnd, "")
+    regexp_replace(noTrack, "([^/])/$", "$1")
+  }
+
+  /** The frontier frame: per doc, the CLEAN form and the messy wire
+    * form of the same resource, each with its canonicalization — the
+    * input a fetch-dedup pass runs on. */
+  def urlFrontier(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array(
+        docUrl(col("doc_id"), col("source")),
+        messyUrl(col("doc_id"), col("source")))).as("url_raw"))
+      .withColumn("url_canonical", canonicalUrl(col("url_raw")))
+
+  /** Frontier dedup census: how many wire URLs collapse after
+    * canonicalization — fetch volume saved before a byte is
+    * downloaded. One aggregate over the canonical key (unbounded in
+    * general, aggregate keys only — never driver state). A kept query
+    * param is a DIFFERENT resource (class 3 does not collapse):
+    * canonicalization must never merge what it cannot prove equal. */
+  def urlDedupCensus(frontier: DataFrame): DataFrame =
+    frontier
+      .groupBy(col("url_canonical"))
+      .agg(count(lit(1)).as("n_raw"))
+      .agg(
+        sum(col("n_raw")).as("n_urls"),
+        count(lit(1)).as("n_canonical"),
+        sum(col("n_raw") - 1).as("n_merged"))
+
   /** The gate's census twin: per source, total vs blocked vs kept
     * document counts — the number a data lead checks before accepting
     * a blocklist's cost. Same derive, one broadcast left join, one

@@ -832,6 +832,37 @@ object TextAnalysis {
       graft.functions.TextFunctions.htmlText(
         htmlPayload(col("doc_id"), col("text"))).as("text"))
 
+  /** Code-vs-prose detection — the routing signal a mixed web corpus
+    * needs before language-ID or quality scoring (code pages poison
+    * prose perplexity and vice versa; StarCoder-era pipelines gate on
+    * exactly these surface statistics). Pure per-row regex counts in
+    * exact integer ppm (the piiScrub pattern discipline: plain
+    * classes, ASCII word boundaries — RE2-safe so the oracle replays
+    * them): code-symbol density, camelCase identifiers, language
+    * keywords as whole words, and indented lines. The verdict is a
+    * threshold OR over the signals — a heuristic gate, priced by its
+    * inputs which are all exact. */
+  private val CodeSymbolRe = "[{}();=<>\\[\\]]"
+  private val CamelRe = "\\b[a-z][a-z0-9]*[A-Z]"
+  private val CodeKwRe =
+    "\\b(def|class|return|import|void|int|function|var|const|if|else|for|while)\\b"
+  private val IndentRe = "\\n  +[^ ]"
+
+  def codeDetect(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      regexp_count(col("text"), lit(CodeSymbolRe)).cast("long").as("n_symbols"),
+      regexp_count(col("text"), lit(CamelRe)).cast("long").as("n_camel"),
+      regexp_count(col("text"), lit(CodeKwRe)).cast("long").as("n_keywords"),
+      regexp_count(col("text"), lit(IndentRe)).cast("long").as("n_indented"))
+      .withColumn("symbol_ppm",
+        expr("1000000L * n_symbols DIV greatest(n_chars, 1)"))
+      .withColumn("is_code",
+        (col("symbol_ppm") >= 40000L) ||
+          (col("n_keywords") >= 3L && col("n_symbols") >= 5L) ||
+          col("n_indented") >= 3L)
+
   /** documents → RAW-byte frame with doc_id-cycled ill-formed UTF-8
     * planted after the text — the wire shape a crawler actually hands a
     * pipeline (container payloads are bytes, and real captures carry

@@ -747,4 +747,68 @@ class SamplingSpec extends SparkSpec {
     assert(e.getMessage.contains("whole-doc placement") ||
       Option(e.getCause).exists(_.getMessage.contains("whole-doc placement")))
   }
+
+  test("url canonicalization: every noise class collapses except the kept-param class") {
+    import spark.implicits._
+    import graft.ops.Curation
+    // hand cases pin each normalization step on the STRING, including
+    // the two-pass coverage of adjacent tracking params and the rule
+    // that a kept param never merges
+    val cases = Seq(
+      ("https://EX.COM/a", "https://ex.com/a"),                 // host case
+      ("HTTPS://EX.COM/a", "https://ex.com/a"),                 // scheme case
+      ("https://ex.com:443/a", "https://ex.com/a"),             // default port
+      ("http://ex.com:80/a", "http://ex.com/a"),                // http default
+      ("https://ex.com:4433/a", "https://ex.com:4433/a"),       // NOT default
+      ("https://ex.com/a#frag", "https://ex.com/a"),            // fragment
+      ("https://ex.com/a/", "https://ex.com/a"),                // trailing slash
+      ("https://ex.com/", "https://ex.com"),                    // root slash
+      ("https://ex.com/a?utm_source=x", "https://ex.com/a"),    // lone tracker
+      ("https://ex.com/a?utm_source=x&utm_medium=y&ref=r",      // adjacent pair
+        "https://ex.com/a?ref=r"),
+      ("https://ex.com/a?ref=r&gclid=123", "https://ex.com/a?ref=r"),
+      ("https://ex.com/a?ref=r", "https://ex.com/a?ref=r"))     // kept param
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), Curation.canonicalUrl(col("u")).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq === cases)
+    // the frontier: clean + messy per doc; every class collapses to the
+    // clean canonical except class 3, whose kept param is a DIFFERENT
+    // resource
+    val docs = (0L to 11L).map(i => (i, "t", "en", s"src${i % 3}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val frontier = Curation.urlFrontier(docs)
+    val perDoc = frontier.groupBy("doc_id")
+      .agg(countDistinct(col("url_canonical")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L to 11L).foreach { i =>
+      val expected = if (i % 6 == 3) 2L else 1L
+      assert(perDoc(i) === expected, s"doc $i (class ${i % 6})")
+    }
+    val census = Curation.urlDedupCensus(frontier).collect()(0)
+    assert(census.getAs[Long]("n_urls") === 24L)
+    assert(census.getAs[Long]("n_canonical") === 14L) // 12 + two class-3
+    assert(census.getAs[Long]("n_merged") === 10L)
+  }
+
+  test("code detect: planted code routes true, prose false, signals exact") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val code =
+      "def f(x):\n  if x > 0:\n    return x\n  else:\n    return -x\n" +
+        "class Foo:\n  var myCount = 0;"
+    val prose = "the river rose gently and the village watched it pass " +
+      "with the patience of people who had seen many floods"
+    val docs = Seq((0L, code), (1L, prose), (2L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.codeDetect(docs).orderBy("doc_id").collect()
+    assert(rows(0).getAs[Boolean]("is_code") === true)
+    assert(rows(0).getAs[Long]("n_keywords") >= 5L) // def/if/return/else/class/var
+    assert(rows(0).getAs[Long]("n_indented") >= 4L)
+    assert(rows(0).getAs[Long]("n_camel") === 1L)   // myCount
+    assert(rows(1).getAs[Boolean]("is_code") === false)
+    assert(rows(1).getAs[Long]("n_symbols") === 0L)
+    // empty text: the greatest() guard keeps the ppm division total
+    assert(rows(2).getAs[Long]("symbol_ppm") === 0L)
+    assert(rows(2).getAs[Boolean]("is_code") === false)
+  }
 }
