@@ -1566,6 +1566,14 @@ object SparkEntry {
       TextAnalysis.codeDetect(Tables.documents(s, dir))
         .orderBy("doc_id")),
 
+    // CCNet-style perplexity buckets: head/middle/tail rank terciles of
+    // mean bigram log-prob under the corpus-trained LM (exact micro-nat
+    // floor means, doc_id tie-break) — the split a web corpus takes
+    // before mixture weighting
+    "text_ppl_buckets" -> ((s, dir) =>
+      TextAnalysis.pplBuckets(Tables.documents(s, dir))
+        .orderBy("bucket")),
+
     // the composed Common-Crawl read path: page → response record →
     // WARC; the engine walks the record geometry, slices the response
     // payload back out of the raw bytes, and runs the extraction census
@@ -1615,6 +1623,31 @@ object SparkEntry {
       Dedup.imageHashPairs(Multimodal.imageDHash(
         Multimodal.imageNearDupFrame(Tables.documents(s, dir))), "dhash")
         .orderBy("id1", "id2")),
+
+    // the AUDIO member of the perceptual-hash family: 65 time bands of
+    // mean |amplitude| over the WAV PCM stream, adjacent-band gradient
+    // bits (uniform-gain invariant), planted one-byte twins recovered
+    // through the SAME pigeonhole bands — dedup closed across text,
+    // image, and audio
+    "dedup_audio_dhash" -> ((s, dir) =>
+      Dedup.imageHashPairs(Multimodal.audioDHash(
+        Multimodal.audioNearDupFrame(Tables.documents(s, dir))), "dhash")
+        .orderBy("id1", "id2")),
+
+    // ONE terminal resolution across modalities: the image-aHash and
+    // audio-dHash pair lists union into the SAME pointer-doubling
+    // closure the text family uses — perceptual dup clusters for the
+    // whole media corpus from one shared components engine
+    "dedup_media_components" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val img = Dedup.imageAHashPairs(Multimodal.imageAHash(
+        Multimodal.imageNearDupFrame(docs)))
+      val aud = Dedup.imageHashPairs(Multimodal.audioDHash(
+        Multimodal.audioNearDupFrame(docs)), "dhash")
+      Graph.connectedComponents(
+        img.select("id1", "id2").unionByName(aud.select("id1", "id2")))
+        .orderBy("id")
+    }),
 
     // C4-style URL hygiene: per-registered-domain census over doc URLs
     // (derived deterministically — the fixture has no URL column; the
@@ -2211,6 +2244,99 @@ object SparkEntry {
       |        '[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*$', ''),
       |      '([^/])/$', '\1') AS url_canonical
       |  FROM frontier)""".stripMargin
+
+  /** The image aHash pair chain (pixels -> cells -> bits -> hex ->
+    * pigeonhole candidates -> exact hamming), shared by the image
+    * pair oracle and the cross-modality components closure. Ends at
+    * CTE `ham`. */
+  private val IMAGE_AHASH_CTES: String =
+    """img AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 1),
+        |alli AS (SELECT doc_id, text FROM img
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'x' || substr(text, 2) AS text
+        |  FROM img WHERE doc_id % 30 = 0),
+        |dims AS (SELECT doc_id, text, CAST(length(text) // 3 AS BIGINT) AS n
+        |  FROM alli WHERE length(text) >= 3),
+        |px AS (SELECT doc_id, n, 64 * u.i // n AS cell,
+        |    ord(substr(text, CAST(3 * u.i + 1 AS INT), 1))
+        |      + ord(substr(text, CAST(3 * u.i + 2 AS INT), 1))
+        |      + ord(substr(text, CAST(3 * u.i + 3 AS INT), 1)) AS gray
+        |  FROM dims, unnest(range(dims.n)) AS u(i)),
+        |cl AS (SELECT doc_id, cell, CAST(sum(gray) AS BIGINT) AS cs,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM px GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, CAST(sum(cs) AS BIGINT) AS total
+        |  FROM cl GROUP BY 1),
+        |grid AS (SELECT d.doc_id, d.n, g.c AS cell
+        |  FROM dims d, unnest(range(64)) AS g(c)),
+        |bits AS (SELECT grid.doc_id, grid.cell,
+        |    CASE WHEN coalesce(cl.cs, 0) * grid.n
+        |              > tt.total * coalesce(cl.cnt, 0)
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM grid
+        |  LEFT JOIN cl ON cl.doc_id = grid.doc_id AND cl.cell = grid.cell
+        |  JOIN tt ON tt.doc_id = grid.doc_id),
+        |nib AS (SELECT doc_id, cell // 4 AS k,
+        |    sum(b * CASE cell % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+        |            WHEN 2 THEN 2 ELSE 1 END) AS v
+        |  FROM bits GROUP BY 1, 2),
+        |hash AS (SELECT doc_id,
+        |    string_agg(substr('0123456789abcdef', CAST(v + 1 AS INT), 1),
+        |      '' ORDER BY k) AS ahash
+        |  FROM nib GROUP BY 1),
+        |ch AS (SELECT doc_id, ahash, c.c AS chunk_idx,
+        |    substr(ahash, CAST(4 * c.c + 1 AS INT), 4) AS chunk
+        |  FROM hash, unnest(range(4)) AS c(c)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM ch a JOIN ch b ON a.chunk_idx = b.chunk_idx
+        |    AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+        |ham AS (SELECT c.id1, c.id2,
+        |    CAST(sum(abs(x.b - y.b)) AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bits x ON x.doc_id = c.id1
+        |  JOIN bits y ON y.doc_id = c.id2 AND y.cell = x.cell
+        |  GROUP BY 1, 2)""".stripMargin
+
+  /** The audio dHash pair chain (samples -> bands -> gradient bits ->
+    * pigeonhole candidates -> exact hamming), a_-prefixed so it
+    * composes beside the image chain. Ends at CTE `a_ham`. */
+  private val AUDIO_DHASH_CTES: String =
+    """a_aud AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+        |a_all AS (SELECT doc_id, text FROM a_aud
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'x' || substr(text, 2) AS text
+        |  FROM a_aud WHERE doc_id % 30 = 1),
+        |a_dims AS (SELECT doc_id, text, CAST(length(text) // 2 AS BIGINT) AS n
+        |  FROM a_all WHERE length(text) >= 2),
+        |a_raw AS (SELECT doc_id, n, u.i AS i,
+        |    ord(substr(text, CAST(2 * u.i + 1 AS INT), 1))
+        |      + 256 * ord(substr(text, CAST(2 * u.i + 2 AS INT), 1)) AS v
+        |  FROM a_dims, unnest(range(a_dims.n)) AS u(i)),
+        |a_smp AS (SELECT doc_id, n, 65 * i // n AS band,
+        |    abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS amp
+        |  FROM a_raw),
+        |a_bl AS (SELECT doc_id, band, CAST(sum(amp) AS BIGINT) AS bs,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM a_smp GROUP BY 1, 2),
+        |a_grid AS (SELECT d.doc_id, g.c AS c
+        |  FROM a_dims d, unnest(range(64)) AS g(c)),
+        |a_bits AS (SELECT a_grid.doc_id, a_grid.c,
+        |    CASE WHEN coalesce(a.bs, 0) * coalesce(b.cnt, 0)
+        |              > coalesce(b.bs, 0) * coalesce(a.cnt, 0)
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM a_grid
+        |  LEFT JOIN a_bl a ON a.doc_id = a_grid.doc_id AND a.band = a_grid.c
+        |  LEFT JOIN a_bl b ON b.doc_id = a_grid.doc_id AND b.band = a_grid.c + 1),
+        |a_chk AS (SELECT doc_id, c // 16 AS chunk_idx,
+        |    sum(b << CAST(15 - c % 16 AS INT)) AS chunk
+        |  FROM a_bits GROUP BY 1, 2),
+        |a_cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM a_chk a JOIN a_chk b ON a.chunk_idx = b.chunk_idx
+        |    AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+        |a_ham AS (SELECT c.id1, c.id2,
+        |    CAST(sum(abs(x.b - y.b)) AS BIGINT) AS hamming
+        |  FROM a_cand c
+        |  JOIN a_bits x ON x.doc_id = c.id1
+        |  JOIN a_bits y ON y.doc_id = c.id2 AND y.c = x.c
+        |  GROUP BY 1, 2)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_raw_parse" -> (C +
@@ -4287,58 +4413,36 @@ object SparkEntry {
     // nibbles MSB-first into hex; candidates by shared 4-hex-char
     // chunk, hamming re-derived exactly as sum |b1 - b2| over the 64
     // cell bits (= the engine's per-chunk bit_count(xor) sum)
-    "dedup_image_ahash" ->
-      """WITH img AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 1),
-        |alli AS (SELECT doc_id, text FROM img
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, 'x' || substr(text, 2) AS text
-        |  FROM img WHERE doc_id % 30 = 0),
-        |dims AS (SELECT doc_id, text, CAST(length(text) // 3 AS BIGINT) AS n
-        |  FROM alli WHERE length(text) >= 3),
-        |px AS (SELECT doc_id, n, 64 * u.i // n AS cell,
-        |    ord(substr(text, CAST(3 * u.i + 1 AS INT), 1))
-        |      + ord(substr(text, CAST(3 * u.i + 2 AS INT), 1))
-        |      + ord(substr(text, CAST(3 * u.i + 3 AS INT), 1)) AS gray
-        |  FROM dims, unnest(range(dims.n)) AS u(i)),
-        |cl AS (SELECT doc_id, cell, CAST(sum(gray) AS BIGINT) AS cs,
-        |    CAST(count(*) AS BIGINT) AS cnt FROM px GROUP BY 1, 2),
-        |tt AS (SELECT doc_id, CAST(sum(cs) AS BIGINT) AS total
-        |  FROM cl GROUP BY 1),
-        |grid AS (SELECT d.doc_id, d.n, g.c AS cell
-        |  FROM dims d, unnest(range(64)) AS g(c)),
-        |bits AS (SELECT grid.doc_id, grid.cell,
-        |    CASE WHEN coalesce(cl.cs, 0) * grid.n
-        |              > tt.total * coalesce(cl.cnt, 0)
-        |         THEN 1 ELSE 0 END AS b
-        |  FROM grid
-        |  LEFT JOIN cl ON cl.doc_id = grid.doc_id AND cl.cell = grid.cell
-        |  JOIN tt ON tt.doc_id = grid.doc_id),
-        |nib AS (SELECT doc_id, cell // 4 AS k,
-        |    sum(b * CASE cell % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
-        |            WHEN 2 THEN 2 ELSE 1 END) AS v
-        |  FROM bits GROUP BY 1, 2),
-        |hash AS (SELECT doc_id,
-        |    string_agg(substr('0123456789abcdef', CAST(v + 1 AS INT), 1),
-        |      '' ORDER BY k) AS ahash
-        |  FROM nib GROUP BY 1),
-        |ch AS (SELECT doc_id, ahash, c.c AS chunk_idx,
-        |    substr(ahash, CAST(4 * c.c + 1 AS INT), 4) AS chunk
-        |  FROM hash, unnest(range(4)) AS c(c)),
-        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        |  FROM ch a JOIN ch b ON a.chunk_idx = b.chunk_idx
-        |    AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
-        |ham AS (SELECT c.id1, c.id2,
-        |    CAST(sum(abs(x.b - y.b)) AS BIGINT) AS hamming
-        |  FROM cand c
-        |  JOIN bits x ON x.doc_id = c.id1
-        |  JOIN bits y ON y.doc_id = c.id2 AND y.cell = x.cell
-        |  GROUP BY 1, 2)
+    "dedup_image_ahash" -> ("WITH " + IMAGE_AHASH_CTES + """
         |SELECT id1, id2, hamming FROM ham WHERE hamming <= 3
-        |ORDER BY id1, id2""".stripMargin,
+        |ORDER BY id1, id2""".stripMargin),
 
     // the dHash replay: 65 cells under the same floor mapping, bit c =
     // the cross-multiplied adjacent comparison mean(c) > mean(c+1)
     // (missing cells read 0), then the same banding + exact hamming
+    // the audio dHash replay: int16 LE samples from the WAV body (char
+    // pairs — signed high byte), 65 floor-mapped time bands of |s|,
+    // adjacent cross-multiplied gradient bits, 16-bit-chunk pigeonhole
+    // candidates, exact hamming — the whole chain from the construction
+    "dedup_audio_dhash" -> ("WITH " + AUDIO_DHASH_CTES + """
+        |SELECT id1, id2, hamming FROM a_ham WHERE hamming <= 3
+        |ORDER BY id1, id2""".stripMargin),
+
+    // both pair chains replayed side by side (the audio chain is
+    // a_-prefixed so the CTE namespaces compose), then the same
+    // min-label recursive closure as the text components oracle
+    "dedup_media_components" -> ("WITH RECURSIVE " + IMAGE_AHASH_CTES +
+      ",\n" + AUDIO_DHASH_CTES + """,
+        |pe AS (SELECT id1, id2 FROM ham WHERE hamming <= 3
+        |  UNION SELECT id1, id2 FROM a_ham WHERE hamming <= 3),
+        |me AS (SELECT id1 AS u, id2 AS v FROM pe UNION SELECT id2, id1 FROM pe),
+        |mreach(id, lab) AS (
+        |  SELECT u, u FROM me
+        |  UNION
+        |  SELECT me.u, r.lab FROM mreach r JOIN me ON me.v = r.id),
+        |mcomp AS (SELECT id, min(lab) AS comp FROM mreach GROUP BY id)
+        |SELECT id, comp FROM mcomp ORDER BY id""".stripMargin),
+
     "dedup_image_dhash" ->
       """WITH img AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 1),
         |alli AS (SELECT doc_id, text FROM img
@@ -4648,6 +4752,27 @@ object SparkEntry {
     // every pair/prefix is present, so the served scores equal the live
     // trainer exactly — the oracle is literally the live entry's SQL
     "text_bigram_lp_stored" -> BIGRAM_LP_SQL,
+
+    // the same LM replay, then the exact floor mean (pmod subtracted so
+    // the quotient divides exactly — any division semantics agree), the
+    // (mq desc, doc_id) rank, and the rank-tercile buckets
+    "text_ppl_buckets" -> ("WITH " + BIGRAM_LP_CTES + """,
+        |scored AS (SELECT doc_id, n_bigram, sum_qlp,
+        |    (sum_qlp - ((sum_qlp % n_bigram) + n_bigram) % n_bigram)
+        |      // n_bigram AS mq
+        |  FROM agg WHERE n_bigram > 0),
+        |rk AS (SELECT doc_id, n_bigram, mq,
+        |    row_number() OVER (ORDER BY mq DESC, doc_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM scored),
+        |bk AS (SELECT CASE WHEN rn * 3 <= n THEN 'head'
+        |    WHEN rn * 3 <= n * 2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |    n_bigram, mq FROM rk)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_bigram) AS BIGINT) AS n_bigrams,
+        |  CAST(min(mq) AS BIGINT) AS min_mq,
+        |  CAST(max(mq) AS BIGINT) AS max_mq
+        |FROM bk GROUP BY 1 ORDER BY bucket""".stripMargin),
 
     "text_quality_model" -> QUALITY_MODEL_SQL,
     "text_quality_score" -> QUALITY_SCORE_SQL,
@@ -7081,8 +7206,8 @@ object SparkEntry {
       |FROM asg WHERE rn = 1 GROUP BY rank, center_id ORDER BY rank""".stripMargin
 
   /** Shared by text_bigram_lp and its stored-model twin. */
-  private val BIGRAM_LP_SQL: String =
-      """WITH tkl AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  private val BIGRAM_LP_CTES: String =
+      """tkl AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
         |  SELECT doc_id, unnest(list_transform(range(2, len(tk) + 1),
         |    i -> {'w1': tk[i - 1], 'w2': tk[i]})) AS b
@@ -7096,7 +7221,10 @@ object SparkEntry {
         |  FROM bgf f JOIN c12 p ON f.w1 = p.w1 AND f.w2 = p.w2
         |  JOIN c1 c ON f.w1 = c.w1 CROSS JOIN vv),
         |agg AS (SELECT doc_id, count(*) AS n_bigram,
-        |    CAST(sum(qlp) AS BIGINT) AS sum_qlp FROM q GROUP BY 1)
+        |    CAST(sum(qlp) AS BIGINT) AS sum_qlp FROM q GROUP BY 1)""".stripMargin
+
+  private val BIGRAM_LP_SQL: String =
+    "WITH " + BIGRAM_LP_CTES + """
         |SELECT d.doc_id,
         |  CAST(coalesce(agg.n_bigram, 0) AS BIGINT) AS n_bigram,
         |  CAST(coalesce(agg.sum_qlp, 0) AS BIGINT) AS sum_qlp,

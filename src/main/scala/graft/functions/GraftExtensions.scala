@@ -122,6 +122,13 @@ object GraftExtensions {
           s"graft_bmp_dhash(payload) expects 1 argument, got ${children.size}")
         BmpDHash(children.head): Expression
       }),
+    (FunctionIdentifier("graft_wav_dhash"),
+      new ExpressionInfo(classOf[WavDHash].getName, "graft_wav_dhash"),
+      (children: Seq[Expression]) => {
+        if (children.size != 1) throw new IllegalArgumentException(
+          s"graft_wav_dhash(payload) expects 1 argument, got ${children.size}")
+        WavDHash(children.head): Expression
+      }),
     (FunctionIdentifier("graft_tar_stats"),
       new ExpressionInfo(classOf[TarStats].getName, "graft_tar_stats"),
       (children: Seq[Expression]) => {

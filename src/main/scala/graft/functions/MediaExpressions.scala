@@ -1493,6 +1493,48 @@ object DspKernel {
     hashHex(c => sums(c) * cnts(c + 1) > sums(c + 1) * cnts(c))
   }
 
+  /** (|sample| sums, counts) over `nCells` floor-mapped TIME bands of
+    * the 16-bit LE PCM stream at offset 44 of a canonical WAV
+    * (RIFF/WAVE magic checked); a trailing odd byte is not a sample.
+    * Null for non-WAV or sample-less payloads. */
+  private def wavBands(p: Array[Byte], nCells: Int): (Array[Long], Array[Long]) = {
+    if (p.length < 46 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' ||
+      p(3) != 'F' || p(8) != 'W' || p(9) != 'A' || p(10) != 'V' ||
+      p(11) != 'E') return null
+    val n = (p.length - 44) / 2
+    if (n == 0) return null
+    val sums = new Array[Long](nCells)
+    val cnts = new Array[Long](nCells)
+    var i = 0
+    while (i < n) {
+      val off = 44 + 2 * i
+      val s = (p(off + 1) << 8) | (p(off) & 0xff) // signed high byte
+      sums(((nCells.toLong * i) / n).toInt) += (if (s < 0) -s else s)
+      cnts(((nCells.toLong * i) / n).toInt) += 1
+      i += 1
+    }
+    (sums, cnts)
+  }
+
+  /** 64-bit DIFFERENCE HASH of a WAV's PCM stream — the audio member of
+    * the perceptual-hash family (the BMP dHash's temporal twin): 65
+    * floor-mapped time bands of mean |amplitude|, bit c the exact
+    * cross-multiplied adjacent comparison
+    * sum_c · cnt_{c+1} > sum_{c+1} · cnt_c — the loudness-envelope
+    * GRADIENT, invariant to uniform gain the way the image dHash is
+    * invariant to brightness. Overflow-exact for every representable
+    * payload: |s| ≤ 32768, bands hold ≤ ⌈n/65⌉+1 samples, and the JVM's
+    * ~2.1 GB array cap bounds n ≤ 1.07e9, so each cross product is
+    * ≤ 32768·(1.66e7)² ≈ 9.0e18 < 2^63. Same 16-hex-char packing, so
+    * the simhash pigeonhole banding applies unchanged. Null for
+    * non-WAV bytes or an empty sample stream. */
+  def wavDHash(p: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    val bands = wavBands(p, 65)
+    if (bands == null) return null
+    val (sums, cnts) = bands
+    hashHex(c => sums(c) * cnts(c + 1) > sums(c + 1) * cnts(c))
+  }
+
   /** The inflater's builder twin: wrap `data` as ONE RFC 1952 member —
     * fixed 10-byte header (FLG 0, MTIME 0, XFL 0, OS 255 "unknown"),
     * REAL deflate via `java.util.zip.Deflater` (raw/nowrap mode at the
@@ -2011,6 +2053,30 @@ case class BmpDHash(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_wav_dhash(payload)`: 64-bit temporal difference hash of a
+  * WAV's PCM stream as 16 lowercase hex chars (see
+  * [[DspKernel.wavDHash]]); null for non-WAV or sample-less payloads. */
+case class WavDHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wav_dhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DspKernel.wavDHash(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.wavDHash($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_gzip_deflate(payload, level)`: the single-member gzip wrap of
   * `payload` compressed with REAL deflate at the given level (see
   * [[DspKernel.gzipDeflate]]) — the builder side of the real-capture
@@ -2147,4 +2213,8 @@ object MediaFunctions {
   /** Codegen'd 64-bit BMP difference hash (16 hex chars). */
   def bmpDHash(payload: Column): Column =
     Bridge.column(BmpDHash(Bridge.expression(payload)))
+
+  /** Codegen'd 64-bit WAV temporal difference hash (16 hex chars). */
+  def wavDHash(payload: Column): Column =
+    Bridge.column(WavDHash(Bridge.expression(payload)))
 }

@@ -126,6 +126,43 @@ object Multimodal {
     media.select(col("doc_id"),
       graft.functions.MediaFunctions.bmpDHash(col("payload")).as("dhash"))
 
+  /** documents → WAV frame with PLANTED near-duplicates — the audio
+    * half of [[mediaFrame]] (doc_id % 3 = 1 rows) plus, for every
+    * thirtieth audio doc, a twin whose PCM stream differs in ONE byte
+    * (the first body byte replaced with 'x' — one sample's low byte,
+    * the re-encode/transcode wobble exact dedup can never see). The
+    * twin keeps the ORIGINAL doc's sample rate and channel count (a
+    * re-encode of the same recording); twin id = doc_id + 10^6 with
+    * the imageNearDupFrame collision guard. */
+  def audioNearDupFrame(docs: DataFrame): DataFrame = {
+    val auds = docs.filter(col("doc_id") % 3 === 1)
+    val sampleRate = ((col("doc_id") % 8) * 4000 + 8000).cast("int")
+    val channels = (col("doc_id") % 2 + 1).cast("int")
+    val base = auds.select(col("doc_id"),
+      wavPayload(sampleRate, channels, col("text").cast("binary"))
+        .as("payload"))
+    val twins = auds.filter(col("doc_id") % 30 === 1)
+      .select(when(col("doc_id") < 1000000L, col("doc_id") + 1000000L)
+        .otherwise(raise_error(concat(
+          lit("audioNearDupFrame: doc_id "), col("doc_id").cast("string"),
+          lit(" >= 10^6 would collide with the twin id space"))))
+        .as("doc_id"),
+        wavPayload(sampleRate, channels,
+          concat(lit("x"), substring(col("text"), 2, Int.MaxValue))
+            .cast("binary")).as("payload"))
+    base.unionByName(twins)
+  }
+
+  /** WAV frame → (doc_id, dhash): the codegen'd 64-bit temporal
+    * difference hash (functions/WavDHash) — the loudness-envelope
+    * gradient, the audio member of the perceptual-hash family; feeds
+    * the SAME pigeonhole pair join as the image hashes
+    * (ops/Dedup.imageHashPairs), closing dedup across all three
+    * modalities. */
+  def audioDHash(media: DataFrame): DataFrame =
+    media.select(col("doc_id"),
+      graft.functions.MediaFunctions.wavDHash(col("payload")).as("dhash"))
+
   /** Little-endian integer read of `nBytes` at 1-based byte offset `off`
     * — the exact mirror image of leHex on the write side, again nothing
     * but built-in codegen'd expressions (substring on binary → hex →

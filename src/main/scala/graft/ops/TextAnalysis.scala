@@ -339,6 +339,42 @@ object TextAnalysis {
     }
   }
 
+  /** CCNet-style perplexity bucketing — the head/middle/tail split a
+    * web corpus takes before mixture weighting (Wenzek et al. 2020):
+    * docs rank by MEAN bigram log-probability under the corpus-trained
+    * LM ([[bigramScoreFrom]]'s exact micro-nat integers), highest
+    * first (head = lowest perplexity), and the rank terciles become
+    * the buckets. Exactness: the per-doc mean is the FLOOR division of
+    * a (possibly negative) micro-nat sum — pmod is subtracted first so
+    * the quotient is an exact integer under ANY division semantics,
+    * engine-independently; ranking breaks ties by doc_id. The global
+    * rank window is the oracle-able exact face (one sort of
+    * doc-grain rows); at 100 TB the boundaries come from a quantile
+    * sketch instead (the q_quantiles_approx trade, documented there).
+    * Docs without a bigram carry no LM evidence and are excluded. */
+  def pplBuckets(docs: DataFrame, quantum: Long = 1000000L): DataFrame = {
+    val scored = bigramScoreFrom(docs, bigramModel(docs), quantum)
+      .filter(col("n_bigram") > 0)
+      .select(col("doc_id"), col("n_bigram"),
+        expr("(sum_qlp - pmod(sum_qlp, n_bigram)) DIV n_bigram").as("mq"))
+    val byScore = Window.orderBy(col("mq").desc, col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(byScore).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy().orderBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).cast("long"))
+      .withColumn("bucket",
+        when(col("rn") * 3 <= col("n"), "head")
+          .when(col("rn") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_bigram").as("n_bigrams"),
+        min("mq").as("min_mq"),
+        max("mq").as("max_mq"))
+  }
+
   /** Per-source quality scorecard — the dashboard row that ranks sources
     * for inclusion: doc count, exact total token count, how many docs
     * clear the quality floor, and the source's dominant language. One

@@ -790,6 +790,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(r(1L)._3 > r(2L)._3 && r(2L)._3 > r(3L)._3 && r(1L)._3 < 0.0)
   }
 
+  test("ppl buckets: rank terciles partition exactly, ordered head >= middle >= tail") {
+    import graft.ops.TextAnalysis
+    // 10 scorable docs: a planted head doc repeats the corpus's most
+    // common bigram (highest mean log-prob = lowest perplexity) and a
+    // planted tail doc is one-off gibberish (every bigram unique)
+    val head = "the cat " * 12
+    val tail = "zq xv jk wm pf bd ln rs tg hc"
+    val mids = (0 until 8).map(i => s"the cat sat on mat $i the cat")
+    val docs = (Seq(head.trim, tail) ++ mids).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextAnalysis.pplBuckets(docs).collect()
+      .map(r => r.getAs[String]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("min_mq"), r.getAs[Long]("max_mq")))
+      .toMap
+    // 10 docs → tercile sizes 3/3/4 by the rank rule rn*3 <= n / <= 2n
+    assert(out("head")._1 === 3L)
+    assert(out("middle")._1 === 3L)
+    assert(out("tail")._1 === 4L)
+    // bucket score ranges are totally ordered (rank-exact split)
+    assert(out("head")._2 >= out("middle")._3,
+      "head's worst doc must score >= middle's best")
+    assert(out("middle")._2 >= out("tail")._3,
+      "middle's worst doc must score >= tail's best")
+    // the planted extremes land where CCNet puts them
+    val scored = TextAnalysis.bigramScoreFrom(docs,
+      TextAnalysis.bigramModel(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> Option(r.get(3)).map(_ => r.getDouble(3)))
+      .toMap
+    assert(scored(0L).get > scored(1L).get,
+      "the repeated-bigram doc must out-score the gibberish doc")
+  }
+
   test("bigram log-likelihood: quantized sums match a driver-side add-one model") {
     // corpus bigrams: doc1 (a,b)(b,a)(a,b)(b,c), doc2 (a,b), doc4 (b,c)(c,a);
     // doc3 is single-token — total output, zero bigrams, NULL mean

@@ -2015,6 +2015,93 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: audio dHash matches a driver model, survives gain, twins survive the bands") {
+    import graft.ops.Multimodal
+    // driver model: int16 LE samples from offset 44, 65 |amplitude|
+    // bands, adjacent cross-multiplied gradient bits, MSB-first hex
+    def model(p: Array[Byte]): String = {
+      val n = (p.length - 44) / 2
+      val sums = new Array[Long](65); val cnts = new Array[Long](65)
+      (0 until n).foreach { i =>
+        val s = (p(44 + 2 * i + 1) << 8) | (p(44 + 2 * i) & 0xff)
+        val band = ((65L * i) / n).toInt
+        sums(band) += math.abs(s); cnts(band) += 1
+      }
+      (0 until 64).map(c =>
+        if (sums(c) * cnts(c + 1) > sums(c + 1) * cnts(c)) 1 else 0)
+        .grouped(4).map(g => "%x".format(g.foldLeft(0)((a, b) => (a << 1) | b)))
+        .mkString
+    }
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val body = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        body(2 * i) = (s & 0xff).toByte; body(2 * i + 1) = (s >> 8).toByte
+      }
+      "RIFF....WAVE".getBytes("ISO-8859-1") ++ new Array[Byte](32) ++ body
+    }
+    val rnd = new java.util.Random(11)
+    (1 to 8).foreach { k =>
+      val samples = Array.fill(40 + rnd.nextInt(4000))(rnd.nextInt(65536).toShort)
+      val p = wav(samples)
+      val got = graft.functions.DspKernel.wavDHash(p)
+      assert(got != null && got.toString === model(p), s"case $k")
+      // uniform gain halves/doubles every band sum together: the
+      // gradient bits are invariant (the dHash axis property)
+      val gained = wav(samples.map(s => (s / 2).toShort))
+      assert(graft.functions.DspKernel.wavDHash(gained).toString ===
+        model(gained), s"case $k gained-model")
+    }
+    // exact uniform doubling (no rounding): gain invariance holds
+    val base = Array.tabulate(513)(i => ((i % 97) - 48).toShort)
+    assert(graft.functions.DspKernel.wavDHash(wav(base)).toString ===
+      graft.functions.DspKernel.wavDHash(wav(base.map(s => (s * 2).toShort))).toString,
+      "uniform 2x gain must not move a gradient bit")
+    // non-WAV and sample-less payloads null, never throw
+    assert(graft.functions.DspKernel.wavDHash("not a wav".getBytes) == null)
+    assert(graft.functions.DspKernel.wavDHash(wav(Array.empty[Short])) == null)
+    // the planted one-byte twins come back through the pigeonhole bands
+    import spark.implicits._
+    val docs = (0L to 61L).map(i => (i, ("loudness shape " * 20) + i))
+      .toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.imageHashPairs(
+      Multimodal.audioDHash(Multimodal.audioNearDupFrame(docs)), "dhash")
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    Seq(1L, 31L, 61L).foreach { i =>
+      assert(pairs.contains((i, i + 1000000L)),
+        s"planted twin of audio doc $i not recovered")
+    }
+  }
+
+  test("cross-modality components: image and audio twins resolve in one closure") {
+    import graft.ops.{Dedup, Graph, Multimodal}
+    import spark.implicits._
+    val docs = (0L to 61L).map(i => (i, ("steady signal body " * 20) + i))
+      .toDF("doc_id", "text")
+    val img = Dedup.imageAHashPairs(Multimodal.imageAHash(
+      Multimodal.imageNearDupFrame(docs)))
+    val aud = Dedup.imageHashPairs(Multimodal.audioDHash(
+      Multimodal.audioNearDupFrame(docs)), "dhash")
+    val comp = Graph.connectedComponents(
+      img.select("id1", "id2").unionByName(aud.select("id1", "id2")))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("comp"))).toMap
+    // each planted twin lands in its base doc's cluster — image
+    // (doc_id % 30 = 0, the non-audio share) and audio (doc_id % 30 = 1)
+    // resolved by the SAME closure in one pass
+    Seq(0L, 30L, 60L).foreach { i =>
+      assert(comp(i + 1000000L) === comp(i), s"image twin of $i split off")
+    }
+    Seq(1L, 31L, 61L).foreach { i =>
+      assert(comp(i + 1000000L) === comp(i), s"audio twin of $i split off")
+    }
+    // the modalities never share a node: id spaces are disjoint by
+    // construction (doc_id mod 3 routes), so no cluster spans both
+    val imgIds = img.select("id1").union(img.select("id2"))
+      .collect().map(_.getLong(0)).toSet
+    val audIds = aud.select("id1").union(aud.select("id2"))
+      .collect().map(_.getLong(0)).toSet
+    assert(imgIds.intersect(audIds).isEmpty)
+  }
+
   test("container sniff identifies every family the engine parses, unknown on garbage") {
     import graft.ops.Multimodal
     val docs = (0L to 11L).map(i => (i, s"sniff me properly $i")).toDF("doc_id", "text")
