@@ -1956,6 +1956,56 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: zip walk matches java.util.zip on random archives at every level") {
+    // the reference implementation writes; our walker must recover the
+    // exact entry census — entry count, methods, byte totals, and a
+    // clean CRC + directory verdict — for ANY mix of stored/deflated
+    // entries, sizes (incl. empty), names, and compression levels
+    val entryGen = for {
+      ext <- Gen.oneOf("txt", "cls", "json", "bin")
+      stored <- Gen.oneOf(true, false)
+      data <- Gen.oneOf(
+        Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+        Gen.alphaNumStr.map(s => (s * 8).getBytes("UTF-8")))
+    } yield (ext, stored, data)
+    (1L to 10L).foreach { seed =>
+      val entries = sample(Gen.chooseNum(0, 9).flatMap(n =>
+        Gen.listOfN(n, entryGen)), seed)
+      val level = (seed % 9 + 1).toInt
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      zos.setLevel(level)
+      entries.zipWithIndex.foreach { case ((ext, stored, data), i) =>
+        val e = new java.util.zip.ZipEntry(s"$i.$ext")
+        e.setTimeLocal(java.time.LocalDateTime.of(2020, 1, 1, 0, 0, 0))
+        if (stored) {
+          e.setMethod(java.util.zip.ZipEntry.STORED)
+          e.setSize(data.length.toLong)
+          e.setCompressedSize(data.length.toLong)
+          val c = new java.util.zip.CRC32(); c.update(data); e.setCrc(c.getValue)
+        }
+        zos.putNextEntry(e); zos.write(data); zos.closeEntry()
+      }
+      zos.close()
+      val s = graft.functions.DspKernel.zipStats(bos.toByteArray)
+      assert(s != null, s"seed $seed: JDK archive must walk")
+      assert(s.getLong(0) === entries.length.toLong, s"seed $seed")
+      assert(s.getLong(1) === entries.count(_._2).toLong, s"seed $seed stored")
+      assert(s.getLong(2) === entries.count(!_._2).toLong, s"seed $seed deflated")
+      assert(s.getLong(3) === entries.map(_._3.length.toLong).sum, s"seed $seed usize")
+      assert(s.getLong(5) === entries.length.toLong,
+        s"seed $seed: an entry failed its recomputed CRC against the JDK writer")
+      assert(s.getLong(6) === entries.length.toLong,
+        s"seed $seed: the central directory diverged from the local chain")
+      // the geometry face agrees entry-for-entry on sample keys
+      val t = graft.functions.DspKernel.zipEntryTable(bos.toByteArray)
+      entries.zipWithIndex.foreach { case ((ext, _, data), i) =>
+        assert(t.getLong(10 * i) === i.toLong, s"seed $seed entry $i key")
+        assert(t.getLong(10 * i + 6) === data.length.toLong, s"seed $seed entry $i usize")
+      }
+    }
+  }
+
   test("zip walk: JDK-written archives, corruption counted, malformation nulls, totality") {
     def walk(p: Array[Byte]) = graft.functions.DspKernel.zipStats(p)
     // the REFERENCE implementation writes a mixed archive: two DEFLATED
