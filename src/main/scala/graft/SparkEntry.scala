@@ -1637,17 +1637,20 @@ object SparkEntry {
     // ONE terminal resolution across modalities: the image-aHash and
     // audio-dHash pair lists union into the SAME pointer-doubling
     // closure the text family uses — perceptual dup clusters for the
-    // whole media corpus from one shared components engine
-    "dedup_media_components" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val img = Dedup.imageAHashPairs(Multimodal.imageAHash(
-        Multimodal.imageNearDupFrame(docs)))
-      val aud = Dedup.imageHashPairs(Multimodal.audioDHash(
-        Multimodal.audioNearDupFrame(docs)), "dhash")
-      Graph.connectedComponents(
-        img.select("id1", "id2").unionByName(aud.select("id1", "id2")))
-        .orderBy("id")
-    }),
+    // whole media corpus from one shared components engine. Rides the
+    // Artifacts seam (the jaccardComponents shape): at 100 TB the
+    // closure is a nightly job and every consumer reads its parquet
+    "dedup_media_components" -> ((s, dir) =>
+      graft.ops.Artifacts.parquetArtifact(s,
+        componentsArtifactPath("media", dir)) {
+        val docs = Tables.documents(s, dir)
+        val img = Dedup.imageAHashPairs(Multimodal.imageAHash(
+          Multimodal.imageNearDupFrame(docs)))
+        val aud = Dedup.imageHashPairs(Multimodal.audioDHash(
+          Multimodal.audioNearDupFrame(docs)), "dhash")
+        Graph.connectedComponents(
+          img.select("id1", "id2").unionByName(aud.select("id1", "id2")))
+      }.orderBy("id")),
 
     // C4-style URL hygiene: per-registered-domain census over doc URLs
     // (derived deterministically — the fixture has no URL column; the
