@@ -1574,6 +1574,13 @@ object SparkEntry {
       TextAnalysis.pplBuckets(Tables.documents(s, dir))
         .orderBy("bucket")),
 
+    // gate-redundancy diagnostic: Cohen's kappa between the Gopher
+    // minimum-length gate and the exact-integer repetition cap — how
+    // much the second filter agrees with the first beyond chance;
+    // every term an exact integer, ONE double division
+    "text_gate_kappa" -> ((s, dir) =>
+      Curation.gateKappa(Tables.documents(s, dir))),
+
     // the composed Common-Crawl read path: page → response record →
     // WARC; the engine walks the record geometry, slices the response
     // payload back out of the raw bytes, and runs the extraction census
@@ -4347,6 +4354,33 @@ object SparkEntry {
         |  CAST(sum(n_raw - 1) AS BIGINT) AS n_merged
         |FROM (SELECT url_canonical, count(*) AS n_raw
         |      FROM canon GROUP BY url_canonical)""".stripMargin),
+
+    // the same exact-integer gates replayed: Gopher length (>= 40
+    // tokens) and the cross-multiplied repetition cap (bigram-less docs
+    // pass vacuously), then the kappa identity over the 2x2 marginals
+    "text_gate_kappa" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, len(ws) AS n_tokens FROM w),
+        |bi AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+        |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bi GROUP BY 1, 2),
+        |tb AS (SELECT doc_id, max(c) AS top_bc,
+        |       CAST(sum(c) AS BIGINT) AS n_bigrams FROM bc GROUP BY 1),
+        |g AS (SELECT t.doc_id,
+        |    CASE WHEN t.n_tokens >= 40 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN tb.doc_id IS NULL OR tb.top_bc * 10 <= tb.n_bigrams
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM tok t LEFT JOIN tb ON tb.doc_id = t.doc_id),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a) AS BIGINT) AS ap, CAST(sum(b) AS BIGINT) AS bp,
+        |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+        |  FROM g)
+        |SELECT n AS n_docs, ap AS a_pos, bp AS b_pos, agree AS n_agree,
+        |  CASE WHEN n * n - ap * bp - (n - ap) * (n - bp) <> 0
+        |    THEN CAST(n * agree - ap * bp - (n - ap) * (n - bp) AS DOUBLE)
+        |       / CAST(n * n - ap * bp - (n - ap) * (n - bp) AS DOUBLE)
+        |  END AS kappa
+        |FROM s""".stripMargin,
 
     "text_code_detect" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,

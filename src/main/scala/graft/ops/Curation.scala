@@ -365,6 +365,60 @@ object Curation {
         count(lit(1)).as("n_canonical"),
         sum(col("n_raw") - 1).as("n_merged"))
 
+  /** Cohen's kappa between two curation gates — the REDUNDANCY
+    * diagnostic a pipeline owner reads before stacking filters: high
+    * agreement beyond chance means the second gate mostly re-rejects
+    * what the first already caught. Gate A is the Gopher minimum-length
+    * rule (≥ 40 whitespace tokens); gate B is the repetition cap in its
+    * EXACT integer form (10 · top bigram count ≤ bigram count — the
+    * trainReady 0.1 cap cross-multiplied, so no double ever compares;
+    * a doc too short for a bigram passes vacuously, the trainReady
+    * rule). kappa = (n·agree − ap·bp − an·bn) / (n² − ap·bp − an·bn):
+    * every term an exact integer (decimal(38,0) products so a
+    * trillion-doc corpus cannot overflow), ONE double division at the
+    * end; a degenerate table (pe = 1: both gates constant) yields null
+    * rather than 0/0. One corpus scan + one bigram aggregate + one
+    * two-row-safe summary — scan-shaped at any scale. */
+  def gateKappa(docs: DataFrame): DataFrame = {
+    val ws = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val topBigram = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "t")))
+      .withColumn("nx", lead("t", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("p")))
+      .filter(col("nx").isNotNull)
+      .groupBy(col("doc_id"), concat_ws(" ", col("t"), col("nx")).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_bc"), sum("c").as("n_bigrams"))
+    val gated = ws.join(topBigram, Seq("doc_id"), "left")
+      .select(
+        when(col("n_tokens") >= 40L, 1L).otherwise(0L).as("a"),
+        when(coalesce(col("top_bc") * 10 <= col("n_bigrams"), lit(true)), 1L)
+          .otherwise(0L).as("b"))
+    val d38 = "decimal(38,0)"
+    gated.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("a")).as("a_pos"),
+      sum(col("b")).as("b_pos"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("n_docs"), col("a_pos"), col("b_pos"), col("n_agree"),
+        (col("n_docs").cast(d38) * col("n_agree")
+          - col("a_pos").cast(d38) * col("b_pos")
+          - (col("n_docs") - col("a_pos")).cast(d38) * (col("n_docs") - col("b_pos")))
+          .as("__num"),
+        (col("n_docs").cast(d38) * col("n_docs")
+          - col("a_pos").cast(d38) * col("b_pos")
+          - (col("n_docs") - col("a_pos")).cast(d38) * (col("n_docs") - col("b_pos")))
+          .as("__den"))
+      .select(col("n_docs"), col("a_pos"), col("b_pos"), col("n_agree"),
+        when(col("__den") =!= 0,
+          col("__num").cast("double") / col("__den").cast("double"))
+          .as("kappa"))
+  }
+
   /** The gate's census twin: per source, total vs blocked vs kept
     * document counts — the number a data lead checks before accepting
     * a blocklist's cost. Same derive, one broadcast left join, one

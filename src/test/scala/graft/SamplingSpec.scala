@@ -791,6 +791,41 @@ class SamplingSpec extends SparkSpec {
     assert(census.getAs[Long]("n_merged") === 10L)
   }
 
+  test("gate kappa matches a driver 2x2 model; degenerate tables yield null") {
+    import spark.implicits._
+    import graft.ops.Curation
+    // plant all four cells of the 2x2 gate table: long+clean (A=B=1),
+    // long+repetitive (A=1,B=0), a short doc (A=0, and B=0 too: with 3
+    // bigrams ANY top bigram exceeds the 10% cap — short docs fail the
+    // repetition gate by arithmetic, exactly as trainReady's fraction
+    // form does), and a single-token doc (A=0, B vacuously 1 — the
+    // trainReady no-bigram rule)
+    val long = ("w" + (1 to 45).map(i => s" t$i").mkString)  // 46 distinct tokens
+    val longRep = ("spam ham " * 25).trim                     // top bigram >> 10%
+    val docs = Seq(
+      (0L, long), (1L, long + " tail"), (2L, longRep),
+      (3L, "short clean text here"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val r = Curation.gateKappa(docs).collect()(0)
+    // driver model: a = [1,1,1,0,0], b = [1,1,0,0,1]
+    val (n, ap, bp, agree) = (5L, 3L, 3L, 3L)
+    assert(r.getAs[Long]("n_docs") === n)
+    assert(r.getAs[Long]("a_pos") === ap)
+    assert(r.getAs[Long]("b_pos") === bp)
+    assert(r.getAs[Long]("n_agree") === agree)
+    val num = (n * agree - ap * bp - (n - ap) * (n - bp)).toDouble
+    val den = (n * n - ap * bp - (n - ap) * (n - bp)).toDouble
+    assert(r.getAs[Double]("kappa") === num / den)
+    assert(r.getAs[Double]("kappa") > 0.0 && r.getAs[Double]("kappa") < 1.0,
+      "partially agreeing gates must land strictly between chance and perfect")
+    // perfect agreement with variation: kappa = 1
+    val agreeDocs = Seq((0L, long), (1L, "short one")).toDF("doc_id", "text")
+    assert(Curation.gateKappa(agreeDocs).collect()(0).getAs[Double]("kappa") === 1.0)
+    // degenerate table (both gates constant): pe = 1 -> null, not 0/0
+    val allPass = Seq((0L, long), (1L, long + " more")).toDF("doc_id", "text")
+    assert(Curation.gateKappa(allPass).collect()(0).isNullAt(4))
+  }
+
   test("code detect: planted code routes true, prose false, signals exact") {
     import spark.implicits._
     import graft.ops.TextAnalysis
