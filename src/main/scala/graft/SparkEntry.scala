@@ -1290,6 +1290,34 @@ object SparkEntry {
 
     // ---- LLM-pipeline: text analysis -------------------------------------
     "text_langid" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // TRAINED language ID, the model half: char-bigram naive Bayes as
+    // one persistable (lang, g, n) frame — pair counts, per-lang
+    // totals, one vocabulary row; the routed replacement for the
+    // vowel-shape heuristic above (kept as the spec-side comparison)
+    "text_langid_model" -> ((s, dir) =>
+      TextAnalysis.langIdModel(Tables.documents(s, dir))
+        .orderBy(col("lang").asc_nulls_first, col("g").asc_nulls_first)),
+
+    // ... and the scoring half: per doc the add-one NB likelihood in
+    // exact micro-nat integers under every language, argmax routed
+    // with the lang-ascending tie rule — trained and scored on the
+    // corpus, every step replayed by the oracle
+    "text_langid_trained" -> ((s, dir) =>
+      TextAnalysis.langIdTrained(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
+    // the train-once/score-many face: scoring through the STORED model
+    // artifact — training is deterministic and counts round-trip
+    // parquet exactly, so the served labels hash-match the live
+    // trainer's oracle with ZERO training jobs on re-touch
+    "text_langid_trained_stored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.langIdScoreFrom(docs,
+        graft.ops.Artifacts.parquetArtifact(s, lmArtifactPath("langid_nb", dir))(
+          TextAnalysis.langIdModel(docs).coalesce(1)))
+        .orderBy("doc_id")
+    }),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -1572,6 +1600,15 @@ object SparkEntry {
     // before mixture weighting
     "text_ppl_buckets" -> ((s, dir) =>
       TextAnalysis.pplBuckets(Tables.documents(s, dir))
+        .orderBy("bucket")),
+
+    // the 100 TB face of the same split: tercile CUT POINTS from a
+    // deterministic bottom-k row sample (TakeOrdered — no global rank
+    // window, no single-task corpus sort), then one broadcast compare
+    // at scan speed; the portable md5 row hash makes the sample — and
+    // so the whole face — oracle-replayable, not merely rows-only
+    "text_ppl_buckets_sketch" -> ((s, dir) =>
+      TextAnalysis.pplBucketsSketch(Tables.documents(s, dir))
         .orderBy("bucket")),
 
     // gate-redundancy diagnostic: Cohen's kappa between the Gopher
@@ -2249,9 +2286,9 @@ object SparkEntry {
       |                  '^[A-Za-z]+://[^/?]*', ''),
       |                '^(https://[^/?:]*):443([/?]|$)', '\1\2'),
       |              '^(http://[^/?:]*):80([/?]|$)', '\1\2'),
-      |            '([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*&', '\1', 'g'),
-      |          '([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*&', '\1', 'g'),
-      |        '[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*$', ''),
+      |            '&(utm_[a-z]+|gclid|fbclid)=[^&#]*', '', 'g'),
+      |          '\?(utm_[a-z]+|gclid|fbclid)=[^&#]*&', '?'),
+      |        '\?(utm_[a-z]+|gclid|fbclid)=[^&#]*$', ''),
       |      '([^/])/$', '\1') AS url_canonical
       |  FROM frontier)""".stripMargin
 
@@ -4247,6 +4284,27 @@ object SparkEntry {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    // the NB model frame rebuilt whole: per-(lang, bigram) counts,
+    // per-lang totals, one vocabulary row — column-for-column the
+    // stored artifact
+    "text_langid_model" -> ("WITH " + LANGID_NB_CTES + """
+        |SELECT lang, g, n FROM (
+        |  SELECT lang, g, CAST(count(*) AS BIGINT) AS n FROM gf GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT lang, NULL AS g, CAST(count(*) AS BIGINT) AS n FROM gf GROUP BY 1
+        |  UNION ALL
+        |  SELECT NULL AS lang, NULL AS g,
+        |    CAST(count(DISTINCT g) AS BIGINT) AS n FROM gf)
+        |ORDER BY lang ASC NULLS FIRST, g ASC NULLS FIRST""".stripMargin),
+
+    // scoring replayed whole: add-one NB in exact micro-nat integers
+    // (quantize-before-sum, the bigram-LM discipline), argmax with the
+    // lang-ascending tie rule as a doc-grain rank window
+    "text_langid_trained" -> LANGID_SCORE_SQL,
+    // the stored face scores through the SAME trained counts (the
+    // artifact is a cache, never a fork) — shares the live replay
+    "text_langid_trained_stored" -> LANGID_SCORE_SQL,
+
     "text_quality" ->
       """SELECT doc_id, n_chars, n_tokens, ttr, stopword_ratio, avg_word_len,
         |  ttr * 0.4 + stopword_ratio * 0.3 +
@@ -4805,6 +4863,36 @@ object SparkEntry {
         |bk AS (SELECT CASE WHEN rn * 3 <= n THEN 'head'
         |    WHEN rn * 3 <= n * 2 THEN 'middle' ELSE 'tail' END AS bucket,
         |    n_bigram, mq FROM rk)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_bigram) AS BIGINT) AS n_bigrams,
+        |  CAST(min(mq) AS BIGINT) AS min_mq,
+        |  CAST(max(mq) AS BIGINT) AS max_mq
+        |FROM bk GROUP BY 1 ORDER BY bucket""".stripMargin),
+
+    // the sketch face replayed whole: the 60-bit md5 row hash, the
+    // bottom-k sample, the tercile-rank cut values, and the per-row
+    // VALUE comparison (boundary-tied docs land together in the upper
+    // bucket — the documented tie rule the exact face's rank split
+    // does not share)
+    "text_ppl_buckets_sketch" -> ("WITH " + BIGRAM_LP_CTES + """,
+        |scored AS (SELECT doc_id, n_bigram, sum_qlp,
+        |    (sum_qlp - ((sum_qlp % n_bigram) + n_bigram) % n_bigram)
+        |      // n_bigram AS mq
+        |  FROM agg WHERE n_bigram > 0),
+        |hs AS (SELECT mq,
+        |    ('0x' || substr(md5('pplq:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM scored),
+        |samp AS (SELECT h, mq, row_number() OVER (ORDER BY h) AS srn FROM hs),
+        |sk AS (SELECT h, mq FROM samp WHERE srn <= 512),
+        |skr AS (SELECT mq, row_number() OVER (ORDER BY mq DESC, h) AS rn,
+        |    count(*) OVER () AS n_s FROM sk),
+        |cuts AS (SELECT
+        |    max(CASE WHEN rn = greatest(1, n_s // 3) THEN mq END) AS cut_head,
+        |    max(CASE WHEN rn = greatest(1, (n_s * 2) // 3) THEN mq END) AS cut_mid
+        |  FROM skr),
+        |bk AS (SELECT CASE WHEN mq >= cut_head THEN 'head'
+        |    WHEN mq >= cut_mid THEN 'middle' ELSE 'tail' END AS bucket,
+        |    n_bigram, mq FROM scored CROSS JOIN cuts)
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_bigram) AS BIGINT) AS n_bigrams,
         |  CAST(min(mq) AS BIGINT) AS min_mq,
@@ -7259,6 +7347,42 @@ object SparkEntry {
         |  JOIN c1 c ON f.w1 = c.w1 CROSS JOIN vv),
         |agg AS (SELECT doc_id, count(*) AS n_bigram,
         |    CAST(sum(qlp) AS BIGINT) AS sum_qlp FROM q GROUP BY 1)""".stripMargin
+
+  /** The char-bigram frame both langid-NB oracles build on: one row
+    * per 2-char window occurrence, labeled by the doc's lang. */
+  private val LANGID_NB_CTES: String =
+    """gf AS (SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, length(text)),
+        |      i -> substr(text, CAST(i AS INT), 2))) AS g
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) >= 2 AND lang IS NOT NULL)""".stripMargin
+
+  /** Shared by text_langid_trained and its stored-model twin. */
+  private val LANGID_SCORE_SQL: String =
+    "WITH " + LANGID_NB_CTES + """,
+        |sgf AS (SELECT doc_id, lang AS actual_lang,
+        |    unnest(list_transform(range(1, length(text)),
+        |      i -> substr(text, CAST(i AS INT), 2))) AS g
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 2),
+        |pr AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS c FROM gf GROUP BY 1, 2),
+        |tt AS (SELECT lang, CAST(count(*) AS BIGINT) AS tot FROM gf GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS v FROM gf),
+        |ts AS (SELECT d.g, t.lang,
+        |    CAST(round(ln(CAST(coalesce(p.c, 0) + 1 AS DOUBLE)
+        |      / CAST(t.tot + vv.v AS DOUBLE)) * 1000000) AS BIGINT) AS qlp
+        |  FROM (SELECT DISTINCT g FROM sgf) d
+        |  CROSS JOIN tt t
+        |  LEFT JOIN pr p ON p.lang = t.lang AND p.g = d.g
+        |  CROSS JOIN vv),
+        |byd AS (SELECT s.doc_id, s.actual_lang, ts.lang,
+        |    CAST(sum(ts.qlp) AS BIGINT) AS score
+        |  FROM sgf s JOIN ts ON ts.g = s.g GROUP BY 1, 2, 3),
+        |rk AS (SELECT doc_id, actual_lang, lang, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, lang) AS rn FROM byd)
+        |SELECT doc_id, lang AS predicted_lang, actual_lang,
+        |  score AS score_qnat, lang = actual_lang AS match
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   private val BIGRAM_LP_SQL: String =
     "WITH " + BIGRAM_LP_CTES + """

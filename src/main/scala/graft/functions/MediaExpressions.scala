@@ -1032,7 +1032,12 @@ object DspKernel {
     * Returns stride-7 tuples per member:
     * [sample_id, ext_code, body_offset, size, mtime, chksum_ok,
     * ustar_ok]. WebDataset addressing: `sample_id` is the numeric
-    * basename (name up to the last '.'; −1 when absent or non-numeric)
+    * basename (name up to the last '.'; −1 when absent, non-numeric,
+    * or LONGER THAN 18 DIGITS — the overflow-free Long parse bound, so
+    * a 19-digit basename like 10^18's doc_id reads as −1 rather than
+    * wrapping; the q_multimodal_tar_members oracle's sample_id =
+    * doc_id identity therefore assumes doc_id < 10^18, recorded here
+    * beside the existing non-negative-doc_id corpus contract)
     * and `ext_code` classifies the field by extension
     * (1 = txt, 2 = cls, 3 = json, 0 = other) — the (key, field) pair a
     * shard reader groups on.

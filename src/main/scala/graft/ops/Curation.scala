@@ -320,10 +320,13 @@ object Curation {
     * one trailing slash (empty path ≡ root). Pure per-row regex at
     * scan speed; every pattern is RE2-safe (no lookaround, no
     * backreference in the PATTERN) so the DuckDB oracle replays the
-    * identical steps. The mid-string tracking scrub runs two passes —
-    * a global replace does not rescan its own output, so a run of ≥3
-    * ADJACENT tracking params can leak one; two passes cover runs of
-    * ≤3 (and the planted classes exactly). */
+    * identical steps. The tracking scrub is ORDER-INDEPENDENT: each
+    * match consumes its LEADING separator and ends exactly where the
+    * next candidate's separator begins, so one global pass clears a
+    * run of ANY length of `&`-led trackers (non-overlapping matches
+    * chain); the one tracker a global pass cannot reach — directly
+    * after the `?` — is handled by two single-match anchored passes
+    * (promote the next kept param, or drop a sole trailing tracker). */
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*", "")
     val lowHost = concat(
@@ -332,11 +335,12 @@ object Curation {
     val noPort = regexp_replace(
       regexp_replace(lowHost, "^(https://[^/?:]*):443([/?]|$)", "$1$2"),
       "^(http://[^/?:]*):80([/?]|$)", "$1$2")
-    val trackMid = "([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*&"
-    val trackEnd = "[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*$"
+    val trackAmp = "&(utm_[a-z]+|gclid|fbclid)=[^&#]*"
+    val trackQMid = "\\?(utm_[a-z]+|gclid|fbclid)=[^&#]*&"
+    val trackQEnd = "\\?(utm_[a-z]+|gclid|fbclid)=[^&#]*$"
     val noTrack = regexp_replace(
-      regexp_replace(regexp_replace(noPort, trackMid, "$1"), trackMid, "$1"),
-      trackEnd, "")
+      regexp_replace(regexp_replace(noPort, trackAmp, ""), trackQMid, "?"),
+      trackQEnd, "")
     regexp_replace(noTrack, "([^/])/$", "$1")
   }
 

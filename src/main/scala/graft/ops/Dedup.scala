@@ -763,6 +763,11 @@ object Dedup {
     * any real document, checked loudly per row. */
   private val SubstrMaxPos = 1048576L
 
+  /** Doc ids the packed key can hold beside 2^20 positions — 2^43, so
+    * doc_id·2^20 + p stays under 2^63. Checked loudly per row like the
+    * position bound: a corpus that outgrows it must fail, not wrap. */
+  private val SubstrMaxDoc = 1L << 43
+
   /** Exact substring dedup by prefix-doubling suffix ranks — the
     * suffix-array method of Lee et al. 2021 ("Deduplicating Training
     * Data Makes Language Models Better") re-expressed as bounded
@@ -803,7 +808,8 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("p", "w")))
       .select(col("doc_id"), col("p").cast("long").as("p"), col("w"),
-        when(col("doc_id") >= 0L && col("p") < SubstrMaxPos,
+        when(col("doc_id") >= 0L && col("doc_id") < SubstrMaxDoc &&
+          col("p") < SubstrMaxPos,
           col("doc_id") * SubstrMaxPos + col("p"))
           .otherwise(raise_error(concat(
             lit("substringDedup: (doc_id, position) outside the packed key "),

@@ -82,6 +82,19 @@ object Multimodal {
         .otherwise(bmpPayload(width, height, data)).as("payload"))
   }
 
+  /** The ASCII-fixture gate shared by the perceptual-hash frames: pass
+    * text through untouched iff its char count equals its UTF-8 byte
+    * count (1:1 encoding ⟺ pure ASCII; null passes — it carries no
+    * payload), else raise. Scan-speed per-row arithmetic, no regex. */
+  private def asciiGuarded(docs: DataFrame, who: String): DataFrame =
+    docs.withColumn("text",
+      when(col("text").isNull ||
+        length(col("text")) === octet_length(col("text")), col("text"))
+        .otherwise(raise_error(concat(
+          lit(who + ": non-ASCII text in doc "), col("doc_id").cast("string"),
+          lit(" — the code-point oracle replay is byte-denominated only " +
+            "for ASCII fixtures")))))
+
   /** documents → BMP frame with PLANTED near-duplicates — the image
     * half of [[mediaFrame]] (doc_id % 3 ≠ 1 rows) plus, for every
     * thirtieth doc, a twin whose pixel stream differs in ONE byte (the
@@ -89,9 +102,17 @@ object Multimodal {
     * perturbation a frame-grab or re-encode introduces, which exact
     * dedup can never see and the average hash must survive. Every
     * piece is engine-portable string arithmetic, so the oracle
-    * rebuilds both streams and replays the hash bit for bit. */
+    * rebuilds both streams and replays the hash bit for bit.
+    *
+    * ASCII-fixture invariant, asserted loudly: the engine hashes the
+    * UTF-8 BYTES of the text body while the oracle replays it from
+    * per-character code points — the two denominations agree only
+    * while every character is single-byte, so a non-ASCII fixture doc
+    * must FAIL here, not silently diverge downstream (the check is
+    * `length = octet_length`, true iff the UTF-8 encoding is 1:1). */
   def imageNearDupFrame(docs: DataFrame): DataFrame = {
-    val imgs = docs.filter(col("doc_id") % 3 =!= 1)
+    val imgs = asciiGuarded(docs.filter(col("doc_id") % 3 =!= 1),
+      "imageNearDupFrame")
     val width = (col("doc_id") % 640 + 64).cast("int")
     val height = (col("doc_id") % 480 + 48).cast("int")
     val base = imgs.select(col("doc_id"),
@@ -133,9 +154,14 @@ object Multimodal {
     * the re-encode/transcode wobble exact dedup can never see). The
     * twin keeps the ORIGINAL doc's sample rate and channel count (a
     * re-encode of the same recording); twin id = doc_id + 10^6 with
-    * the imageNearDupFrame collision guard. */
+    * the imageNearDupFrame collision guard — and the same loudly
+    * asserted ASCII-fixture invariant (the 2-byte LE sample pairing
+    * makes audio MORE sensitive to a byte/char mismatch than the
+    * image walk's 3-byte gray sum: one multi-byte character shifts
+    * every later sample's pairing). */
   def audioNearDupFrame(docs: DataFrame): DataFrame = {
-    val auds = docs.filter(col("doc_id") % 3 === 1)
+    val auds = asciiGuarded(docs.filter(col("doc_id") % 3 === 1),
+      "audioNearDupFrame")
     val sampleRate = ((col("doc_id") % 8) * 4000 + 8000).cast("int")
     val channels = (col("doc_id") % 2 + 1).cast("int")
     val base = auds.select(col("doc_id"),

@@ -36,6 +36,100 @@ object TextAnalysis {
       .withColumn("match", col("predicted_lang") === col("actual_lang"))
   }
 
+  /** The character-bigram frame language-ID trains and scores on: one
+    * row per OCCURRENCE of each 2-char window (per-character grain —
+    * the curation-stack routing signal CCNet/C4/fastText build on char
+    * n-grams); docs shorter than 2 chars carry no rows. Both engines
+    * slice by code point (substring is UTF-8-aware in each), so the
+    * frame replays verbatim. */
+  private def charBigramFrame(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull && length(col("text")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+          .as("g"))
+
+  /** TRAINED language ID, the model half: a char-bigram naive-Bayes
+    * classifier as ONE persistable frame (the bigramModel shape) —
+    * pair rows (lang, g, n = count of bigram g in lang-labeled text),
+    * prefix rows (lang, NULL, n = total bigram count of the lang), and
+    * the single vocabulary row (NULL, NULL, n = V, distinct bigrams
+    * corpus-wide). Counts round-trip parquet exactly and training is
+    * deterministic, so a stored model is a cache, never a fork — the
+    * production stack trains nightly and scores at scan speed. One
+    * corpus scan; the frame is (langs × char-bigram vocabulary)-sized,
+    * broadcast-small at any corpus scale. */
+  def langIdModel(docs: DataFrame): DataFrame = {
+    // unlabeled docs cannot train a supervised router; the NULL slot in
+    // the model frame is reserved for the prefix/vocabulary rows
+    val grams = charBigramFrame(docs).filter(col("lang").isNotNull)
+    Dedup.withScopedCache(grams) { b =>
+      val ns = lit(null).cast("string")
+      b.groupBy("lang", "g").agg(count(lit(1)).as("n"))
+        .unionByName(b.groupBy("lang").agg(count(lit(1)).as("n"))
+          .select(col("lang"), ns.as("g"), col("n")))
+        .unionByName(b.agg(count_distinct(col("g")).as("n"))
+          .select(ns.as("lang"), ns.as("g"), col("n")))
+    }
+  }
+
+  /** TRAINED language ID, the scoring half: per doc, the add-one NB
+    * likelihood of its char-bigram stream under every language in the
+    * model — P(g|lang) = (c+1)/(tot+V), priced in exact micro-nat
+    * integers (the bigram-LM quantize-before-sum discipline, so both
+    * engines sum identical longs) — and the argmax as the routed
+    * label, ties broken by lang ascending (deterministic, replayed as
+    * a rank window at doc grain — partitioned, never global). Plan
+    * shape: batch gram TYPES cross the bounded lang list and join the
+    * vocabulary-sized model tables once; the corpus-sized stream is
+    * probed by ONE join (fan-out = n_langs, a dimension); unseen
+    * grams price at the add-one floor instead of crashing. Gram-less
+    * docs (< 2 chars) carry no evidence and are excluded, the
+    * pplBuckets rule. */
+  def langIdScoreFrom(docs: DataFrame, model: DataFrame,
+                      quantum: Long = 1000000L): DataFrame = {
+    require(model.columns.toSet == Set("lang", "g", "n"),
+      s"langIdScoreFrom: model must be a (lang, g, n) frame, got ${model.columns.mkString(",")}")
+    val pairs = model.filter(col("lang").isNotNull && col("g").isNotNull)
+      .select(col("lang"), col("g"), col("n").cast("long").as("c"))
+    val totals = model.filter(col("lang").isNotNull && col("g").isNull)
+      .select(col("lang"), col("n").cast("long").as("tot"))
+    val vRow = model.filter(col("lang").isNull && col("g").isNull)
+      .select(col("n").cast("long").as("v"))
+    val grams = charBigramFrame(docs)
+      .select(col("doc_id"), col("lang").as("actual_lang"), col("g"))
+    Dedup.withScopedCache(grams) { b =>
+      val typeScores = b.select("g").distinct()
+        .crossJoin(broadcast(totals))
+        .join(pairs, Seq("lang", "g"), "left")
+        .crossJoin(broadcast(vRow))
+        .select(col("g"), col("lang"),
+          round(log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+            (col("tot") + col("v")).cast("double")) * quantum)
+            .cast("long").as("qlp"))
+      val byDoc = b
+        .join(typeScores, Seq("g"))
+        .groupBy(col("doc_id"), col("actual_lang"), col("lang"))
+        .agg(sum(col("qlp")).as("score"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang"))))
+        .filter(col("rk") === 1)
+      byDoc.select(col("doc_id"),
+        col("lang").as("predicted_lang"),
+        col("actual_lang"),
+        col("score").as("score_qnat"),
+        (col("lang") === col("actual_lang")).as("match"))
+    }
+  }
+
+  /** [[langIdModel]] + [[langIdScoreFrom]] composed — the live-trained
+    * face; the stored-artifact face reads the model frame back from
+    * parquet and shares this entry's oracle (training is deterministic
+    * and counts round-trip exactly). */
+  def langIdTrained(docs: DataFrame): DataFrame =
+    langIdScoreFrom(docs, langIdModel(docs))
+
   /** Quality signals: length, type-token ratio, stopword ratio, word
     * shape; combined into one score for threshold-filtering a corpus.
     * The tokenization is staged into its own projection so the split runs
@@ -373,6 +467,60 @@ object TextAnalysis {
         sum("n_bigram").as("n_bigrams"),
         min("mq").as("min_mq"),
         max("mq").as("max_mq"))
+  }
+
+  /** The 100 TB face of [[pplBuckets]] — the SAME head/middle/tail
+    * split served from tercile CUT POINTS instead of a global rank:
+    * the exact face's one unpartitioned window (every doc-grain row
+    * through a single task) is replaced by (1) a deterministic
+    * bottom-k row sample of the scored corpus (the
+    * [[Sketches.quantileSample]] idea with TakeOrdered instead of a
+    * window — each partition contributes its own bottom-k by the
+    * portable 60-bit md5 row hash, no global sort materializes),
+    * (2) two cut values read at the sample's tercile ranks (a window
+    * over the ≤k-row frame — the limit(k) precedent), and (3) one
+    * broadcast of the 1-row cut frame joined back for a per-row
+    * comparison at scan speed. Rank error is the classic O(1/√k)
+    * sample bound; with k ≥ corpus size and no mq ties at a boundary
+    * the buckets equal the exact face's (spec'd, with the tie rule:
+    * the sketch buckets by VALUE, so boundary-tied docs land together
+    * in the upper bucket where the exact face splits them by rank).
+    * Every step — hash, ranks, floor arithmetic — replays in DuckDB,
+    * so this face is oracle-checked like the exact one. */
+  def pplBucketsSketch(docs: DataFrame, k: Int = 512,
+                       quantum: Long = 1000000L): DataFrame = {
+    require(k >= 16, s"pplBucketsSketch: sample k must be >= 16, got $k")
+    val scored = bigramScoreFrom(docs, bigramModel(docs), quantum)
+      .filter(col("n_bigram") > 0)
+      .select(col("doc_id"), col("n_bigram"),
+        expr("(sum_qlp - pmod(sum_qlp, n_bigram)) DIV n_bigram").as("mq"))
+    Dedup.withScopedCache(scored) { sc =>
+      val sample = sc
+        .select(Sketches.kmv60(col("doc_id"), "pplq:").as("h"), col("mq"))
+        .orderBy("h").limit(k)
+      val ranked = sample
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("mq").desc, col("h"))).cast("long"))
+        .withColumn("n_s", count(lit(1)).over(
+          Window.partitionBy().orderBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)).cast("long"))
+      val cuts = ranked.agg(
+        max(when(col("rn") === greatest(lit(1L), expr("n_s DIV 3")),
+          col("mq"))).as("cut_head"),
+        max(when(col("rn") === greatest(lit(1L), expr("(n_s * 2) DIV 3")),
+          col("mq"))).as("cut_mid"))
+      sc.crossJoin(broadcast(cuts))
+        .withColumn("bucket",
+          when(col("mq") >= col("cut_head"), "head")
+            .when(col("mq") >= col("cut_mid"), "middle")
+            .otherwise("tail"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_bigram").as("n_bigrams"),
+          min("mq").as("min_mq"),
+          max("mq").as("max_mq"))
+    }
   }
 
   /** Per-source quality scorecard — the dashboard row that ranks sources

@@ -1231,25 +1231,10 @@ object StreamingMonitors {
   def warcStateSink(docStream: DataFrame, stateDir: String,
                     checkpoint: Option[String] = None,
                     availableNow: Boolean = false)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val writer = docStream.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val partial = graft.ops.Multimodal.warcCensus(
-          graft.ops.Multimodal.warcStats(
-            graft.ops.Multimodal.warcFrame(batch)))
-        val merged = latestVersionedState(batch.sparkSession, stateDir, batchId) match {
-          case Some(prev) => graft.ops.Multimodal.warcCensusMerge(prev, partial)
-          case None => partial
-        }
-        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-        ()
-      }
-    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
-    (if (availableNow)
-      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    else ck).start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    censusStateSink(docStream, stateDir, checkpoint, availableNow)(b =>
+      graft.ops.Multimodal.warcCensus(
+        graft.ops.Multimodal.warcStats(graft.ops.Multimodal.warcFrame(b))))
 
   /** Streaming twin of the corpus-wide tar census
     * (ops/Multimodal.tarCensus): per micro-batch the shard census runs
@@ -1259,38 +1244,37 @@ object StreamingMonitors {
   def tarStateSink(docStream: DataFrame, stateDir: String,
                    checkpoint: Option[String] = None,
                    availableNow: Boolean = false)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val writer = docStream.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val partial = graft.ops.Multimodal.tarCensus(
-          graft.ops.Multimodal.tarStats(
-            graft.ops.Multimodal.tarFrame(batch)))
-        val merged = latestVersionedState(batch.sparkSession, stateDir, batchId) match {
-          case Some(prev) => graft.ops.Multimodal.warcCensusMerge(prev, partial)
-          case None => partial
-        }
-        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-        ()
-      }
-    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
-    (if (availableNow)
-      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    else ck).start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    censusStateSink(docStream, stateDir, checkpoint, availableNow)(b =>
+      graft.ops.Multimodal.tarCensus(
+        graft.ops.Multimodal.tarStats(graft.ops.Multimodal.tarFrame(b))))
 
   /** Streaming twin of the corpus-wide zip census — same sum-monoid
     * contract over ops/Multimodal.zipCensus. */
   def zipStateSink(docStream: DataFrame, stateDir: String,
                    checkpoint: Option[String] = None,
                    availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    censusStateSink(docStream, stateDir, checkpoint, availableNow)(b =>
+      graft.ops.Multimodal.zipCensus(
+        graft.ops.Multimodal.zipStats(graft.ops.Multimodal.zipFrame(b))))
+
+  /** The ONE container-census sink body the warc/tar/zip faces share:
+    * run `batchCensus` on the micro-batch alone, merge the one-row
+    * result into the stored state by the census sum monoid
+    * (ops/Multimodal.warcCensusMerge — all three censuses share its
+    * column-wise-sum shape), write `v<batchId>` — the versioned
+    * idempotent-replay contract verbatim. Factored so the
+    * checkpoint/trigger/overwrite boilerplate exists ONCE. */
+  private def censusStateSink(docStream: DataFrame, stateDir: String,
+                              checkpoint: Option[String],
+                              availableNow: Boolean)
+                             (batchCensus: DataFrame => DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = docStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val partial = graft.ops.Multimodal.zipCensus(
-          graft.ops.Multimodal.zipStats(
-            graft.ops.Multimodal.zipFrame(batch)))
+        val partial = batchCensus(batch)
         val merged = latestVersionedState(batch.sparkSession, stateDir, batchId) match {
           case Some(prev) => graft.ops.Multimodal.warcCensusMerge(prev, partial)
           case None => partial

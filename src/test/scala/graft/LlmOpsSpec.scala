@@ -822,6 +822,114 @@ class LlmOpsSpec extends SparkSpec {
       "the repeated-bigram doc must out-score the gibberish doc")
   }
 
+  test("ppl sketch buckets equal the exact face when the sample holds the corpus") {
+    import graft.ops.TextAnalysis
+    // fixture with DISTINCT mean scores (no boundary ties — the tie
+    // rule is pinned separately below): with k >= n the bottom-k
+    // sample IS the corpus, so the value cuts at ranks
+    // floor(n/3)/floor(2n/3) reproduce the rank terciles exactly
+    val head = "the cat " * 12
+    val tail = "zq xv jk wm pf bd ln rs tg hc"
+    val mids = (0 until 8).map(i =>
+      (("the cat " * (2 + i)).trim + s" mat$i x$i"))
+    val docs = (Seq(head.trim, tail) ++ mids).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // precondition the whole test rests on: all 10 means distinct
+    val mqs = graft.ops.TextAnalysis.bigramScoreFrom(docs,
+      graft.ops.TextAnalysis.bigramModel(docs)).collect()
+      .map(r => r.getLong(2) / math.max(r.getLong(1), 1)).toSeq
+    assert(mqs.distinct.size === mqs.size, s"fixture scores tied: $mqs")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_bigrams"),
+          r.getAs[Long]("min_mq"), r.getAs[Long]("max_mq"))).toMap
+    val exact = asMap(TextAnalysis.pplBuckets(docs))
+    val sketch = asMap(TextAnalysis.pplBucketsSketch(docs, k = 512))
+    assert(sketch === exact,
+      "full-sample sketch buckets must equal the exact rank terciles")
+    // the documented tie rule: docs TIED at a cut value land together
+    // in the upper bucket (the exact face splits them by doc_id rank)
+    val same = "tied text body " * 6
+    val tied = (0L to 5L).map(i => (i, same.trim)).toDF("doc_id", "text")
+    val st = asMap(TextAnalysis.pplBucketsSketch(tied))
+    assert(st("head")._1 === 6L && !st.contains("middle") && !st.contains("tail"),
+      s"all-tied corpus must land whole in head under the value rule: $st")
+    // under-sampled corpora still PARTITION (every doc lands in exactly
+    // one bucket) and keep the bucket ordering head >= middle >= tail
+    val many = (0 until 120).map(i =>
+      (i.toLong, s"the cat sat on mat $i the cat " * (1 + i % 3)))
+      .toDF("doc_id", "text")
+    val sm = asMap(TextAnalysis.pplBucketsSketch(many, k = 16))
+    assert(sm.values.map(_._1).sum === 120L, s"buckets must partition: $sm")
+    if (sm.contains("head") && sm.contains("middle"))
+      assert(sm("head")._3 >= sm("middle")._4,
+        "head's worst doc must score >= middle's best")
+    if (sm.contains("middle") && sm.contains("tail"))
+      assert(sm("middle")._3 >= sm("tail")._4,
+        "middle's worst doc must score >= tail's best")
+  }
+
+  test("trained langid: NB routes the distinct-script corpus the heuristic cannot") {
+    import graft.ops.TextAnalysis
+    // four languages with genuinely different character distributions
+    // (the real routing signal); ~6 docs each with shared function-word
+    // noise so the problem is not trivially separable by one token
+    val en = Seq("the quick brown fox jumps over the lazy dog",
+      "a stitch in time saves nine they say", "all that glitters is not gold",
+      "the early bird catches the worm", "practice makes perfect they insist",
+      "better late than never the saying goes")
+    val de = Seq("der schnelle braune fuchs springt ueber den faulen hund",
+      "uebung macht den meister sagt man", "wer zuletzt lacht lacht am besten",
+      "der fruehe vogel faengt den wurm", "aller anfang ist schwer bekanntlich",
+      "ende gut alles gut sagt der volksmund")
+    val es = Seq("el rapido zorro marron salta sobre el perro perezoso",
+      "mas vale tarde que nunca dicen", "no es oro todo lo que reluce",
+      "a quien madruga dios le ayuda", "la practica hace al maestro claro",
+      "el que rie ultimo rie mejor")
+    val zh = Seq("zhong wen pin yin ce shi zi fu chuan la",
+      "xue xi shi jian chang le jiu hui shu lian",
+      "zao qi de niao er you chong chi ne",
+      "shu neng sheng qiao gu ren shuo de dui",
+      "xiao de zui hou de ren xiao de zui hao",
+      "wan shi kai tou nan da jia dou zhi dao")
+    val docs = (en.map(("en", _)) ++ de.map(("de", _)) ++
+      es.map(("es", _)) ++ zh.map(("zh", _))).zipWithIndex
+      .map { case ((l, t), i) => (i.toLong, t, l) }
+      .toDF("doc_id", "text", "lang")
+    val nb = TextAnalysis.langIdTrained(docs).collect()
+    val nbAcc = nb.count(_.getAs[Boolean]("match")).toDouble / nb.length
+    val heur = TextAnalysis.langId(docs).collect()
+    val heurAcc = heur.count(_.getAs[Boolean]("match")).toDouble / heur.length
+    assert(nbAcc > heurAcc,
+      s"trained NB ($nbAcc) must beat the vowel heuristic ($heurAcc)")
+    assert(nbAcc >= 0.95, s"NB must route the training corpus: $nbAcc")
+    // the stored model is a cache, never a fork: scoring through a
+    // parquet round-trip serves identical rows
+    val dir = java.nio.file.Files.createTempDirectory("langid-nb").toString
+    TextAnalysis.langIdModel(docs).write.mode("overwrite").parquet(dir)
+    val stored = TextAnalysis.langIdScoreFrom(docs, spark.read.parquet(dir))
+      .orderBy("doc_id").collect().toSeq
+    val live = TextAnalysis.langIdTrained(docs).orderBy("doc_id").collect().toSeq
+    assert(stored === live, "stored-model scoring diverged from live")
+    // unseen grams price at the add-one floor and still route
+    // deterministically (no crash, no skip): a pure-OOV doc scores
+    // n_grams * round(ln(1/(tot_lang+V))*1e6) per lang — the driver
+    // model predicts the winner (smallest total, tie by lang asc)
+    val model = TextAnalysis.langIdModel(docs).collect()
+    val v = model.find(r => r.isNullAt(0) && r.isNullAt(1)).get.getLong(2)
+    val oovText = "#### @@@@ $$$$"
+    val expected = model.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+      .map(r => r.getString(0) ->
+        (oovText.length - 1).toLong *
+          math.round(math.log(1.0 / (r.getLong(2) + v)) * 1e6))
+      .sortBy { case (l, s) => (-s, l) }.head._1
+    val oov = Seq((99L, oovText, "en")).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.langIdScoreFrom(oov, TextAnalysis.langIdModel(docs))
+      .collect()(0)
+    assert(r.getAs[String]("predicted_lang") === expected,
+      s"OOV doc must route by the add-one floor (expected $expected)")
+  }
+
   test("bigram log-likelihood: quantized sums match a driver-side add-one model") {
     // corpus bigrams: doc1 (a,b)(b,a)(a,b)(b,c), doc2 (a,b), doc4 (b,c)(c,a);
     // doc3 is single-token — total output, zero bigrams, NULL mean

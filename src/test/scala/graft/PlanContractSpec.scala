@@ -944,6 +944,27 @@ class PlanContractSpec extends SparkSpec {
       s"substring dedup degenerated to a nested-loop join:\n$p")
   }
 
+  test("ppl sketch face: no window reads an unbounded frame (the exact face's scale defect stays retired)") {
+    // the exact face ranks the whole corpus through ONE partition by
+    // design (it is the oracle twin); the sketch face must not — its
+    // only windows are the sample ranks, and the sample is limit(k)
+    val exec = graft.ops.TextAnalysis.pplBucketsSketch(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .queryExecution.sparkPlan
+    val windows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"expected the sample-rank window in:\n$exec")
+    windows.foreach { w =>
+      assert(w.find(n => n.nodeName.contains("TakeOrderedAndProject") ||
+        n.nodeName.contains("GlobalLimit")).isDefined,
+        s"a window reads an unbounded frame:\n$w")
+    }
+    val p = exec.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the bottom-k sample must be TakeOrdered, not a global sort:\n$p")
+  }
+
   test("real-deflate build+inflate+walk stays expression-side with no RDD hop, one scan") {
     val p = plan("q_multimodal_gzip_real")
     assert(!p.contains("ExistingRDD"), s"real-deflate path dropped to an RDD scan:\n$p")

@@ -1311,6 +1311,13 @@ class PropertiesSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("packed key")), s"unexpected: $e")
+    // ... and the UPPER doc_id bound fails as loudly as the lower one
+    // (doc_id·2^20 at 2^43 would wrap Long silently without the guard)
+    val big = Seq((1L << 43, ("w " * 40).trim)).toDF("doc_id", "text")
+    val eb = intercept[Exception] {
+      Dedup.substringDedup(big, windowTokens = 4).collect()
+    }
+    assert(msgs(eb).exists(_.contains("packed key")), s"unexpected: $eb")
   }
 
   test("property: the linear recurrence fold equals the retired HOF aggregate form bit for bit") {
@@ -2120,6 +2127,33 @@ class PropertiesSpec extends SparkSpec {
       assert(pairs.contains((i, i + 1000000L)),
         s"planted twin of audio doc $i not recovered")
     }
+  }
+
+  test("the perceptual-hash frames assert the ASCII-fixture invariant loudly") {
+    // the engine hashes UTF-8 BYTES; the oracle replays per-character
+    // code points — a non-ASCII fixture doc must fail at the frame, not
+    // silently desynchronize the 2-byte sample pairing downstream
+    import graft.ops.Multimodal
+    import spark.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val bad = Seq((1L, "loudness shäpe body"), (3L, "plain ascii body"))
+      .toDF("doc_id", "text")
+    val ea = intercept[Exception] {
+      Multimodal.audioNearDupFrame(bad).collect()
+    }
+    assert(msgs(ea).exists(_.contains("non-ASCII")), s"unexpected: $ea")
+    val ei = intercept[Exception] {
+      Multimodal.imageNearDupFrame(
+        Seq((0L, "pixël body")).toDF("doc_id", "text")).collect()
+    }
+    assert(msgs(ei).exists(_.contains("non-ASCII")), s"unexpected: $ei")
+    // pure-ASCII (and null) text passes untouched: docs 1 and 4 are
+    // audio rows (% 3 = 1), doc 1 plants a twin (% 30 = 1) — 3 rows,
+    // no raise
+    val ok = Seq((1L, "plain ascii body " * 4), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(Multimodal.audioNearDupFrame(ok).count() === 3L)
   }
 
   test("cross-modality components: image and audio twins resolve in one closure") {

@@ -767,7 +767,18 @@ class SamplingSpec extends SparkSpec {
       ("https://ex.com/a?utm_source=x&utm_medium=y&ref=r",      // adjacent pair
         "https://ex.com/a?ref=r"),
       ("https://ex.com/a?ref=r&gclid=123", "https://ex.com/a?ref=r"),
-      ("https://ex.com/a?ref=r", "https://ex.com/a?ref=r"))     // kept param
+      ("https://ex.com/a?ref=r", "https://ex.com/a?ref=r"),     // kept param
+      // order-independent scrub: runs of 4+ ADJACENT trackers (the
+      // shape the old two-pass mid-scrub leaked one of) clear fully,
+      // wherever the kept param sits — before, after, or absent
+      ("https://ex.com/a?utm_a=1&utm_b=2&utm_c=3&utm_d=4&ref=r",
+        "https://ex.com/a?ref=r"),
+      ("https://ex.com/a?ref=r&utm_a=1&gclid=2&fbclid=3&utm_d=4",
+        "https://ex.com/a?ref=r"),
+      ("https://ex.com/a?utm_a=1&utm_b=2&ref=r&utm_c=3&utm_d=4&utm_e=5",
+        "https://ex.com/a?ref=r"),
+      ("https://ex.com/a?utm_a=1&utm_b=2&utm_c=3&utm_d=4&utm_e=5",
+        "https://ex.com/a"))
     val got = cases.map(_._1).toDF("u")
       .select(col("u"), Curation.canonicalUrl(col("u")).as("c"))
       .collect().map(r => (r.getString(0), r.getString(1)))
