@@ -1587,6 +1587,29 @@ object SparkEntry {
       Curation.urlDedupCensus(Curation.urlFrontier(
         Tables.documents(s, dir)))),
 
+    // RFC 9309 robots parse: per-domain robots.txt (deterministic
+    // fixture classes — bot-specific override, block-all + re-allow,
+    // shared user-agent group) → the (domain, agent, rule, prefix)
+    // rule table a crawl frontier broadcasts
+    "text_robots_rules" -> ((s, dir) =>
+      Curation.robotsRules(Curation.robotsTable(Tables.documents(s, dir)))
+        .orderBy("domain", "line_no", "agent")),
+
+    // ... and the gate itself: per doc the winning rule under
+    // longest-prefix-wins with Allow breaking ties (exact agent group
+    // beats the catch-all) — the politeness filter that completes
+    // canonicalUrl → url_dedup → robots
+    "text_robots_gate" -> ((s, dir) =>
+      Curation.robotsGate(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
+    // the fetch budget the gate leaves: per source, docs and tokens a
+    // polite crawler may actually pull — the census the frontier's
+    // owner reads before dispatching the fleet
+    "text_robots_budget" -> ((s, dir) =>
+      Curation.robotsBudget(Tables.documents(s, dir))
+        .orderBy("source")),
+
     // code-vs-prose routing: symbol density, camelCase, keyword and
     // indent counts in exact integer ppm; the gate a mixed corpus runs
     // before language-ID or perplexity scoring
@@ -4283,6 +4306,24 @@ object SparkEntry {
         |    lang AS actual_lang
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "text_robots_rules" -> ("WITH " + ROBOTS_CTES + """
+        |SELECT domain, agent, rule, prefix, line_no FROM rules
+        |ORDER BY domain, line_no, agent""".stripMargin),
+
+    "text_robots_gate" -> ("WITH " + ROBOTS_CTES + """
+        |SELECT doc_id, domain, path, rule, prefix, allowed FROM gate
+        |ORDER BY doc_id""".stripMargin),
+
+    "text_robots_budget" -> ("WITH " + ROBOTS_CTES + """
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN g.allowed THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_allowed,
+        |  CAST(sum(CASE WHEN g.allowed
+        |      THEN coalesce(len(string_split(d.text, ' ')), 0)
+        |      ELSE 0 END) AS BIGINT) AS n_tokens_allowed
+        |FROM gate g JOIN documents d ON g.doc_id = d.doc_id
+        |GROUP BY 1 ORDER BY d.source""".stripMargin),
 
     // the NB model frame rebuilt whole: per-(lang, bigram) counts,
     // per-lang totals, one vocabulary row — column-for-column the
@@ -7347,6 +7388,83 @@ object SparkEntry {
         |  JOIN c1 c ON f.w1 = c.w1 CROSS JOIN vv),
         |agg AS (SELECT doc_id, count(*) AS n_bigram,
         |    CAST(sum(qlp) AS BIGINT) AS sum_qlp FROM q GROUP BY 1)""".stripMargin
+
+  /** The robots parse + gate replayed whole (RFC 9309): the per-domain
+    * robots.txt fixture classes, line split, comment strip, the
+    * user-agent grouping window, empty-pattern drop, exact-agent-else-*
+    * group choice, and longest-prefix-wins with Allow on ties. Shared
+    * by the rules, gate, and budget oracles; ends at CTEs `rules`,
+    * `cand`, and `gate`. */
+  private val ROBOTS_CTES: String =
+    """ub AS (SELECT doc_id, source,
+        |    'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+        |      || source || '-' || CAST(doc_id % 100 AS VARCHAR) || '.'
+        |      || (['com','org','net','io','edu'])[CAST(doc_id % 5 AS INT) + 1]
+        |      || '/doc/' || CAST(doc_id AS VARCHAR) AS u
+        |  FROM documents),
+        |cand AS (SELECT doc_id, u AS url,
+        |    CASE WHEN h LIKE 'www.%' THEN substr(h, 5) ELSE h END AS domain,
+        |    CASE WHEN length(p) = 0 THEN '/' ELSE p END AS path
+        |  FROM (SELECT doc_id, u,
+        |      string_split(string_split(u, '://')[2], '/')[1] AS h,
+        |      regexp_replace(u, '^[A-Za-z]+://[^/?]*', '') AS p
+        |    FROM ub)),
+        |rtxt AS (SELECT domain,
+        |    CASE length(domain) % 3
+        |      WHEN 0 THEN '# catch-all stands down; the bot group rules'
+        |        || chr(10) || 'User-agent: *' || chr(10) || 'Disallow:'
+        |        || chr(10) || chr(10) || 'User-agent: graftbot' || chr(10)
+        |        || 'Disallow: /doc' || chr(10) || 'Allow: /doc/1' || chr(10)
+        |      WHEN 1 THEN 'User-agent: *' || chr(10) || 'Disallow: /'
+        |        || chr(10) || 'Allow: /doc' || chr(10)
+        |        || 'Disallow: /doc/13' || chr(10)
+        |      ELSE 'User-agent: graftbot' || chr(10) || 'User-agent: otherbot'
+        |        || chr(10) || 'Allow: /doc/2' || chr(10) || 'Disallow: /doc/2'
+        |        || chr(10) || 'Disallow: /doc/3' || chr(10) || chr(10)
+        |        || 'User-agent: *' || chr(10) || 'Disallow: /' || chr(10)
+        |    END AS robots_txt
+        |  FROM (SELECT DISTINCT domain FROM cand)),
+        |lns AS (SELECT domain, CAST(u.i AS BIGINT) AS line_no,
+        |    trim(regexp_replace(ls[CAST(u.i + 1 AS INT)], '#.*', '')) AS ln
+        |  FROM (SELECT domain, string_split(robots_txt, chr(10)) AS ls
+        |        FROM rtxt), unnest(range(len(ls))) u(i)),
+        |typ AS (SELECT domain, line_no,
+        |    CASE WHEN lower(ln) LIKE 'user-agent:%' THEN 'ua'
+        |         WHEN lower(ln) LIKE 'allow:%' THEN 'allow'
+        |         WHEN lower(ln) LIKE 'disallow:%' THEN 'disallow' END AS kind,
+        |    trim(substr(ln, strpos(ln, ':') + 1)) AS value
+        |  FROM lns
+        |  WHERE lower(ln) LIKE 'user-agent:%' OR lower(ln) LIKE 'allow:%'
+        |    OR lower(ln) LIKE 'disallow:%'),
+        |bnd AS (SELECT domain, line_no, kind, value,
+        |    CASE WHEN kind = 'ua' AND coalesce(lag(kind) OVER
+        |        (PARTITION BY domain ORDER BY line_no), '-') <> 'ua'
+        |      THEN 1 ELSE 0 END AS boundary
+        |  FROM typ),
+        |grpd AS (SELECT domain, line_no, kind, value,
+        |    sum(boundary) OVER (PARTITION BY domain ORDER BY line_no) AS grp
+        |  FROM bnd),
+        |rules AS (SELECT r.domain, a.agent, r.rule, r.prefix, r.line_no
+        |  FROM (SELECT domain, grp, lower(value) AS agent FROM grpd
+        |        WHERE kind = 'ua') a
+        |  JOIN (SELECT domain, grp, kind AS rule, value AS prefix, line_no
+        |        FROM grpd WHERE kind <> 'ua' AND length(value) > 0) r
+        |    ON a.domain = r.domain AND a.grp = r.grp),
+        |arule AS (SELECT * FROM rules WHERE agent = 'graftbot'),
+        |appl AS (SELECT * FROM arule
+        |  UNION ALL
+        |  SELECT * FROM rules r WHERE r.agent = '*' AND NOT EXISTS
+        |    (SELECT 1 FROM arule a WHERE a.domain = r.domain)),
+        |best AS (SELECT doc_id, rule, prefix FROM (
+        |  SELECT c.doc_id, r.rule, r.prefix,
+        |      row_number() OVER (PARTITION BY c.doc_id
+        |        ORDER BY length(r.prefix) DESC, r.rule, r.line_no) AS rk
+        |    FROM cand c JOIN appl r ON c.domain = r.domain
+        |    WHERE substr(c.path, 1, length(r.prefix)) = r.prefix)
+        |  WHERE rk = 1),
+        |gate AS (SELECT c.doc_id, c.domain, c.path, b.rule, b.prefix,
+        |    (b.rule IS NULL OR b.rule = 'allow') AS allowed
+        |  FROM cand c LEFT JOIN best b ON c.doc_id = b.doc_id)""".stripMargin
 
   /** The char-bigram frame both langid-NB oracles build on: one row
     * per 2-char window occurrence, labeled by the doc's lang. */

@@ -423,6 +423,141 @@ object Curation {
           .as("kappa"))
   }
 
+  // ---------------------------------------------------------------------
+  // Robots/politeness gate — the crawl frontier's OTHER mandatory
+  // filter (RFC 9309), completing canonicalUrl → url_dedup → robots:
+  // parse per-domain robots.txt into a rule table (user-agent groups,
+  // Allow/Disallow path prefixes), then gate candidate URLs by
+  // longest-prefix-wins with Allow breaking ties. Pure string/prefix
+  // arithmetic end to end — RE2-safe, engine-portable — so the DuckDB
+  // oracle replays parse, grouping, and precedence verbatim.
+  // ---------------------------------------------------------------------
+
+  /** Deterministic per-domain robots.txt — the fixture carries no
+    * crawl metadata, so the corpus derives one as a pure function of
+    * the registered domain (the docUrl discipline): three classes by
+    * length(domain) % 3 keep every gate branch live — (0) a
+    * bot-specific group that beats the catch-all, with an empty
+    * Disallow (matches nothing per RFC) and a comment line; (1) a
+    * block-all with a longest-prefix re-allow and a deeper re-block;
+    * (2) two user-agent lines SHARING one group (the RFC grouping
+    * rule) plus an equal-length Allow/Disallow tie. */
+  def robotsTxtOf(domain: Column): Column = {
+    val cls = pmod(length(domain), lit(3))
+    when(cls === 0, lit("# catch-all stands down; the bot group rules\n" +
+      "User-agent: *\nDisallow:\n\n" +
+      "User-agent: graftbot\nDisallow: /doc\nAllow: /doc/1\n"))
+      .when(cls === 1, lit("User-agent: *\nDisallow: /\n" +
+        "Allow: /doc\nDisallow: /doc/13\n"))
+      .otherwise(lit("User-agent: graftbot\nUser-agent: otherbot\n" +
+        "Allow: /doc/2\nDisallow: /doc/2\nDisallow: /doc/3\n\n" +
+        "User-agent: *\nDisallow: /\n"))
+  }
+
+  /** One robots.txt row per registered domain in the corpus. */
+  def robotsTable(docs: DataFrame): DataFrame =
+    withDomain(docs).select(col("__domain").as("domain")).distinct()
+      .withColumn("robots_txt", robotsTxtOf(col("domain")))
+
+  /** robots.txt → rule table (domain, agent, rule, prefix, line_no):
+    * lines split and comment-stripped; `User-agent:` / `Allow:` /
+    * `Disallow:` recognized case-insensitively (RFC 9309 §2.1), values
+    * trimmed; CONSECUTIVE user-agent lines share the group they start
+    * (the boundary is a ua line whose predecessor is not one — one lag
+    * + running sum per domain), and each group's rules fan out to each
+    * of its agents. Empty-pattern rules match nothing per the RFC and
+    * are dropped at parse. Rules before any user-agent line belong to
+    * no group and vanish in the agent join. Windows are per-domain —
+    * a robots.txt is a bounded file, never corpus-grain. */
+  def robotsRules(robots: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = robots.select(col("domain"),
+      posexplode(split(col("robots_txt"), "\n")).as(Seq("line_no", "raw")))
+      .select(col("domain"), col("line_no").cast("long").as("line_no"),
+        trim(regexp_replace(col("raw"), "#.*", "")).as("ln"))
+    val typed = lines.select(col("domain"), col("line_no"),
+      when(lower(col("ln")).startsWith("user-agent:"), "ua")
+        .when(lower(col("ln")).startsWith("allow:"), "allow")
+        .when(lower(col("ln")).startsWith("disallow:"), "disallow")
+        .as("kind"),
+      trim(expr("substring(ln, instr(ln, ':') + 1)")).as("value"))
+      .filter(col("kind").isNotNull)
+    val w = Window.partitionBy("domain").orderBy("line_no")
+    val grouped = typed
+      .withColumn("boundary",
+        when(col("kind") === "ua" &&
+          coalesce(lag("kind", 1).over(w), lit("-")) =!= "ua", 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum("boundary").over(w))
+    val agents = grouped.filter(col("kind") === "ua")
+      .select(col("domain"), col("grp"), lower(col("value")).as("agent"))
+    val rules = grouped
+      .filter(col("kind") =!= "ua" && length(col("value")) > 0)
+      .select(col("domain"), col("grp"), col("kind").as("rule"),
+        col("value").as("prefix"), col("line_no"))
+    agents.join(rules, Seq("domain", "grp"))
+      .select("domain", "agent", "rule", "prefix", "line_no")
+  }
+
+  /** The candidate frame the gate runs on: per doc its canonical URL,
+    * registered domain, and path (empty path reads as "/", RFC 9309's
+    * normalization). */
+  private def robotsCandidates(docs: DataFrame): DataFrame =
+    withDomain(docs).select(col("doc_id"), col("__domain").as("domain"),
+      docUrl(col("doc_id"), col("source")).as("url"))
+      .withColumn("path", {
+        val p = regexp_replace(col("url"), "^[A-Za-z]+://[^/?]*", "")
+        when(length(p) === 0, lit("/")).otherwise(p)
+      })
+
+  /** RFC 9309 verdicts, one row per doc: the group is the EXACT agent
+    * match when the domain defines one, else the `*` group (most-
+    * specific user-agent wins); among matching rules the LONGEST
+    * prefix wins and Allow beats Disallow on a length tie ('allow' <
+    * 'disallow' makes the rule-ascending sort exactly that tie rule);
+    * no matching rule means allowed. Emits (doc_id, domain, path,
+    * rule, prefix, allowed). Plan shape: the rule table is
+    * domain-keyed and bounded per domain, so the candidate×rule join
+    * is an equi-join with bounded fan-out; the verdict pick is a
+    * window at doc grain (partitioned); unmatched docs come back via
+    * one left join. */
+  def robotsGate(docs: DataFrame, agent: String = "graftbot"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val urls = robotsCandidates(docs)
+    val rules = robotsRules(robotsTable(docs))
+    val agentRules = rules.filter(col("agent") === lit(agent.toLowerCase))
+    val applicable = agentRules.unionByName(
+      rules.filter(col("agent") === "*")
+        .join(agentRules.select("domain").distinct(), Seq("domain"), "left_anti"))
+    val best = urls.join(applicable, Seq("domain"))
+      .filter(expr("substring(path, 1, length(prefix)) = prefix"))
+      .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(length(col("prefix")).desc, col("rule"), col("line_no"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("rule"), col("prefix"))
+    urls.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("domain"), col("path"),
+        col("rule"), col("prefix"),
+        (col("rule").isNull || col("rule") === "allow").as("allowed"))
+  }
+
+  /** The gate's census twin, composing with the curation chain the
+    * [[domainGate]] way: per source, how many documents (and
+    * whitespace tokens) the politeness gate would actually let a
+    * crawler fetch — the budget a corpus owner reads before pointing
+    * the fleet at a frontier. One gate + one join back to the corpus
+    * projection + one aggregate. */
+  def robotsBudget(docs: DataFrame, agent: String = "graftbot"): DataFrame =
+    robotsGate(docs, agent)
+      .join(docs.select(col("doc_id"), col("source"),
+        coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
+          .as("n_tokens")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+        sum(when(col("allowed"), col("n_tokens")).otherwise(0L))
+          .as("n_tokens_allowed"))
+
   /** The gate's census twin: per source, total vs blocked vs kept
     * document counts — the number a data lead checks before accepting
     * a blocklist's cost. Same derive, one broadcast left join, one

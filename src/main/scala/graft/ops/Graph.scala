@@ -365,7 +365,22 @@ object Graph {
     * materializing action each round counts CHANGED values so the loop
     * stops at the fixpoint (provably ≡ running all `iterations` rounds
     * — a converged h-iterate is stationary — so the DuckDB oracle
-    * still unrolls the full fixed count). */
+    * still unrolls the full fixed count).
+    *
+    * FRONTIER iterate (the standard distributed-kcore refinement): a
+    * node's h value is a pure function of its NEIGHBORS' values, so a
+    * round only needs to recompute nodes with at least one neighbor
+    * whose value changed last round — everyone else is provably
+    * stationary and keeps its value through the left join. The frontier
+    * (changed-node set) comes free from the same materializing action
+    * that detects convergence (one aggregate returns total and changed
+    * counts together); while the frontier is DENSE (≥ half the nodes,
+    * always round 0) the candidate derivation would cost more than it
+    * saves, so the round falls back to the full-graph join — two longs
+    * of driver state decide, never a collected node set. Output is
+    * BIT-IDENTICAL to the full iterate by the stationarity argument
+    * (spec'd against a driver model on random graphs), so the oracle
+    * is untouched. */
   def kCore(edges: DataFrame, iterations: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(iterations >= 1, "kCore needs at least one iteration")
@@ -379,29 +394,40 @@ object Graph {
       .agg(count(lit(1)).cast("long").as("degree"))
     var cur = degrees.select(col("node"), col("degree").as("c"))
       .localCheckpoint(false)
-    // convergence-aware: the per-round materializing action (needed
-    // anyway to sever lineage) counts CHANGED values instead of rows;
-    // at 0 the iterate is a fixpoint, every remaining round would be
-    // the identity, so stopping early serves the exact `iterations`-th
-    // iterate the oracle unrolls while skipping dead rounds (the
-    // census's slowest query bought its tail back)
     var round = 0
     var converged = false
+    var nNodes = -1L              // learned by round 0's aggregate
+    var lastChanged = Long.MaxValue // round 0 recomputes everyone
+    var frontier: DataFrame = null
     while (round < iterations && !converged) {
-      val vals = nbrs
+      val dense = nNodes < 0L || lastChanged * 2 >= nNodes
+      val scope =
+        if (dense) nbrs
+        else nbrs.join(
+          nbrs.join(frontier.select(col("node").as("nbr")), "nbr")
+            .select("node").distinct(), "node")
+      val vals = scope
         .join(cur.select(col("node").as("nbr"), col("c")), "nbr")
       val h = vals
         .withColumn("rn", row_number().over(Window.partitionBy("node")
           .orderBy(col("c").desc, col("nbr"))).cast("long"))
         .filter(col("c") >= col("rn"))
         .groupBy("node").agg(max("rn").as("h"))
-      // every node in the frame has >= 1 neighbor of value >= 1, so the
-      // left-join coalesce is a defensive floor, not a live branch
+      // a node outside the recompute scope is stationary and keeps c;
+      // inside the scope every node has >= 1 neighbor of value >= 1,
+      // so the coalesce is the frontier keep-rule, not a zero floor
       val next = cur.join(h, Seq("node"), "left")
         .select(col("node"), col("c").as("c_prev"),
-          coalesce(col("h"), lit(0L)).as("c"))
+          coalesce(col("h"), col("c")).as("c"))
         .localCheckpoint(false)
-      converged = next.filter(col("c") =!= col("c_prev")).count() == 0L
+      // ONE action serves convergence, frontier density, and lineage
+      val stats = next.agg(
+        count(lit(1)).cast("long"),
+        sum(when(col("c") =!= col("c_prev"), 1L).otherwise(0L))).head()
+      nNodes = stats.getLong(0)
+      lastChanged = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+      converged = lastChanged == 0L
+      frontier = next.filter(col("c") =!= col("c_prev")).select("node")
       cur = next.select("node", "c")
       round += 1
     }

@@ -1538,14 +1538,41 @@ object StreamingMonitors {
   /** Union reader over the SemDeDup decision segments: the accumulated
     * (vec_id, center_id, pruned_by, keep, max_cos, v) frame for every
     * embedding that has arrived in batches strictly below `beforeBatch`
-    * (tip by default). Segment-per-batch, so the read is a plain
-    * multi-path parquet scan — no merge logic. */
+    * (tip by default). Reads the newest committed compaction base
+    * `c<k>` (if [[compactSemanticDedupState]] has run) plus every
+    * segment above it — still one multi-path parquet scan, no merge
+    * logic. A `beforeBatch` at or below the base id would need rows the
+    * fold can no longer separate — the compactor keeps the newest
+    * segment live precisely so the one replayable batch stays above
+    * the base, so that call is a contract violation and fails loudly.
+    * Bounded retry on vanished paths (the [[annIndexState]] rule): a
+    * reader racing a compaction's delete re-lists and lands on the
+    * newer consistent view. */
   def semanticDedupState(spark: org.apache.spark.sql.SparkSession,
                          stateDir: String,
                          beforeBatch: Long = Long.MaxValue): Option[DataFrame] = {
-    val dirs = committedStateVersions(spark, stateDir, beforeBatch)
-      .map(_._2.toString)
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+    var remaining = 4
+    while (true) {
+      remaining -= 1
+      try {
+        val base = compactionBase(spark, stateDir)
+        base.foreach { case (bid, _) =>
+          require(beforeBatch > bid,
+            s"semanticDedupState: beforeBatch=$beforeBatch is not above the " +
+              s"compacted base c$bid — only batches newer than the base can " +
+              "replay (compactSemanticDedupState keeps the newest segment " +
+              "live to guarantee exactly that)")
+        }
+        val floor = base.map(_._1).getOrElse(Long.MinValue)
+        val dirs = base.map(_._2.toString).toSeq ++
+          committedStateVersions(spark, stateDir, beforeBatch)
+            .filter(_._1 > floor).map(_._2.toString)
+        return if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+      } catch {
+        case e: Throwable if remaining > 0 && stateMissingPath(e) => // re-list
+      }
+    }
+    None // unreachable
   }
 
   /** Streaming maintenance of the BPE word-count state — the streaming
@@ -1595,15 +1622,6 @@ object StreamingMonitors {
     // response is to re-list and re-plan: the retry lands on the new
     // base. Bounded attempts; anything else (or persistent absence)
     // propagates.
-    def missingPath(e: Throwable): Boolean = e match {
-      case null => false
-      case _: java.io.FileNotFoundException => true
-      case a: org.apache.spark.sql.AnalysisException
-        if a.getMessage != null &&
-           (a.getMessage.contains("PATH_NOT_FOUND") ||
-            a.getMessage.contains("does not exist")) => true
-      case other => missingPath(other.getCause)
-    }
     var remaining = 4
     while (true) {
       remaining -= 1
@@ -1617,10 +1635,23 @@ object StreamingMonitors {
         // dir surfaces HERE (retryable), not at some later action
         return if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
       } catch {
-        case e: Throwable if remaining > 0 && missingPath(e) => // re-list
+        case e: Throwable if remaining > 0 && stateMissingPath(e) => // re-list
       }
     }
     None // unreachable
+  }
+
+  /** A vanished state dir (a reader racing a compaction/sweep delete)
+    * anywhere in a throwable's cause chain — the retryable class the
+    * segmented-state readers re-list on. */
+  private def stateMissingPath(e: Throwable): Boolean = e match {
+    case null => false
+    case _: java.io.FileNotFoundException => true
+    case a: org.apache.spark.sql.AnalysisException
+      if a.getMessage != null &&
+         (a.getMessage.contains("PATH_NOT_FOUND") ||
+          a.getMessage.contains("does not exist")) => true
+    case other => stateMissingPath(other.getCause)
   }
 
   /** Compact the segmented index log: fold the current state (base +
@@ -1659,6 +1690,89 @@ object StreamingMonitors {
       .write.mode("overwrite").parquet(s"$stateDir/c$top")
     // the new base is committed; everything it folded in is garbage
     sweep(base.map(_._2).toSeq ++ segs.map(_._2) ++ stale)
+  }
+
+  /** Retention for the ~15 latest-wins snapshot sinks (basket, heavy,
+    * hourly, typeTime, scorecard, entropy, calibration, hll, cms,
+    * bloom, kmv, warc/tar/zip, quantile, centroid, gram, bpeVocab …):
+    * every micro-batch writes a full `v<batchId>` snapshot and only the
+    * newest is ever read, so a long-running stream accumulates
+    * superseded versions without bound. The sweep deletes committed
+    * versions older than the newest `keep` — the ANN compaction's
+    * delete discipline generalized to the latest-wins shape (no fold
+    * needed: the newest snapshot IS the whole state).
+    *
+    * Safety, by the same marker-ordering argument as
+    * [[compactAnnIndexState]]: readers take the newest committed
+    * version, which is always kept; `keep >= 2` (enforced) covers the
+    * reader that listed just before a newer version committed AND the
+    * one replayable batch under the checkpoint contract (the last,
+    * possibly uncommitted-in-checkpoint batch merges against its
+    * ORIGINAL predecessor — the newest committed version below it,
+    * inside the kept window by construction). Uncommitted dirs (no
+    * `_SUCCESS` — an in-flight or crashed write) are never touched; a
+    * failed delete is left for the next sweep. Idempotent. At 100 TB
+    * this is the same nightly job slot as the index compaction. */
+  def sweepVersionedState(spark: org.apache.spark.sql.SparkSession,
+                          stateDir: String, keep: Int = 2): Unit = {
+    require(keep >= 2,
+      s"sweepVersionedState: keep=$keep < 2 breaks the reader-race and " +
+        "replay-predecessor guarantees (see scaladoc)")
+    val versions = committedStateVersions(spark, stateDir, Long.MaxValue)
+      .sortBy(_._1)
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    versions.dropRight(keep).foreach { case (_, p) =>
+      try { fs.delete(p, true); () }
+      catch { case _: java.io.IOException => () } // next sweep retries
+    }
+  }
+
+  /** Compaction for the SemDeDup decision LOG — the one log-structured
+    * state whose reader unions EVERY segment
+    * ([[semanticDedupState]]), so an unbounded stream unboundedly
+    * grows both the file listing and the per-batch predecessor read.
+    * Folds all committed segments EXCEPT THE NEWEST into one base
+    * `c<highestFoldedId>` (the state is a row union, so the fold is a
+    * rewrite, not a merge), then deletes what the base supersedes.
+    *
+    * Replay-prunes-against-predecessors SURVIVES the fold: the newest
+    * segment stays live because the only batch the checkpoint contract
+    * can replay is the newest (or its successor), and a replayed batch
+    * k must read strictly below k — with the newest segment unfolded,
+    * the base id is always < k, so `beforeBatch = k` reads base + (no
+    * newer committed segments below k) = exactly its original
+    * predecessors. [[semanticDedupState]] enforces the contract with a
+    * loud require. Crash-safe by the [[compactAnnIndexState]] marker
+    * ordering: the base counts only once `_SUCCESS` exists; readers
+    * take the newest base and only segments above it, so the
+    * overlap window reads consistently; a crash mid-delete leaves
+    * garbage the next compaction removes. */
+  def compactSemanticDedupState(spark: org.apache.spark.sql.SparkSession,
+                                stateDir: String): Unit = {
+    val bases = compactionBases(spark, stateDir)
+    val base = bases.lastOption
+    val floor = base.map(_._1).getOrElse(Long.MinValue)
+    val allSegs = committedStateVersions(spark, stateDir, Long.MaxValue)
+      .sortBy(_._1)
+    val stale = bases.dropRight(1).map(_._2) ++
+      allSegs.filter(_._1 <= floor).map(_._2)
+    val segs = allSegs.filter(_._1 > floor)
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def sweep(ps: Seq[org.apache.hadoop.fs.Path]): Unit = ps.foreach { p =>
+      try { fs.delete(p, true); () }
+      catch { case _: java.io.IOException => () }
+    }
+    // the NEWEST committed segment stays live (the replay window);
+    // with <= 1 segment above the base there is nothing to fold
+    val foldable = segs.dropRight(1)
+    if (foldable.isEmpty) { sweep(stale); return }
+    val top = foldable.map(_._1).max
+    spark.read.parquet(
+      (base.map(_._2.toString).toSeq ++ foldable.map(_._2.toString)): _*)
+      .write.mode("overwrite").parquet(s"$stateDir/c$top")
+    sweep(base.map(_._2).toSeq ++ foldable.map(_._2) ++ stale)
   }
 
   /** Committed compaction bases `c<k>` under `stateDir`, ascending. */

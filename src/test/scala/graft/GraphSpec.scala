@@ -450,6 +450,38 @@ class GraphSpec extends SparkSpec {
     assert((2L to 6L).forall(sgot(_) === 1L))
   }
 
+  test("frontier k-core equals the full synchronous iterate on random graphs") {
+    // the frontier refinement only recomputes nodes with a changed
+    // neighbor — correct iff that set covers every node whose h value
+    // CAN change; random graphs across densities (sparse → the frontier
+    // path runs; dense → the fallback runs) must all match the plain
+    // driver-side synchronous model round for round, including budgets
+    // that stop BEFORE convergence (the upper-bound iterates)
+    def hIndex(vs: Seq[Long]): Long = {
+      val sorted = vs.sorted(Ordering[Long].reverse)
+      sorted.zipWithIndex.takeWhile { case (v, i) => v >= i + 1 }.size.toLong
+    }
+    val rnd = new scala.util.Random(20)
+    for (trial <- 1 to 6) {
+      val n = 8 + rnd.nextInt(25)
+      val p = Seq(0.08, 0.2, 0.5)(trial % 3)
+      val raw = for {
+        i <- 1L to n; j <- (i + 1L) to n
+        if rnd.nextDouble() < p
+      } yield (i, j)
+      if (raw.nonEmpty) {
+        val budget = 1 + rnd.nextInt(9)
+        val got = Graph.kCore(raw.toDF("a", "b"), iterations = budget)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        val und = raw.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+        var c = und.view.mapValues(_.size.toLong).toMap
+        for (_ <- 1 to budget) c = und.map { case (nd, ns) => nd -> hIndex(ns.map(c)) }
+        assert(got === c, s"trial $trial (n=$n p=$p budget=$budget)")
+      }
+    }
+  }
+
   test("canonicalize maps unpaired docs to themselves and paired docs to the component min") {
     val docs = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (7L, "e"))
       .toDF("doc_id", "text")

@@ -802,6 +802,53 @@ class SamplingSpec extends SparkSpec {
     assert(census.getAs[Long]("n_merged") === 10L)
   }
 
+  test("robots parse: grouping, case, comments, empty patterns, and headerless rules") {
+    import graft.ops.Curation
+    val robots = Seq(("ex.com",
+      "junk: x\nDisallow: /lost\n# comment line\nUser-Agent: A\n" +
+        "user-agent: B\nDisallow: /a\nAllow:\n\nUser-agent: *\n" +
+        "DISALLOW: /b # tail comment\n")).toDF("domain", "robots_txt")
+    val got = Curation.robotsRules(robots)
+      .select("agent", "rule", "prefix").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set(
+      // two consecutive user-agent lines share ONE group (RFC 9309),
+      // agents lowercased, field names case-insensitive, comments
+      // stripped wherever they sit, empty patterns dropped, and the
+      // pre-group "Disallow: /lost" belongs to no agent and vanishes
+      ("a", "disallow", "/a"), ("b", "disallow", "/a"),
+      ("*", "disallow", "/b")), s"unexpected rule table: $got")
+  }
+
+  test("robots gate precedence: longest prefix wins, Allow breaks ties, exact agent beats *") {
+    import graft.ops.Curation
+    // (doc_id, source) chosen so length(domain) % 3 hits every fixture
+    // class: "src-7.net"/"src-13.io" are class 0 (bot-specific group),
+    // "src-10.com"/"src-30.com" class 1 (block-all + re-allow),
+    // "s-25.com"/"s-35.com"/"s-55.com" class 2 (shared group + tie)
+    val docs = Seq((7L, "src"), (13L, "src"), (10L, "src"), (130L, "src"),
+      (25L, "s"), (35L, "s"), (55L, "s"))
+      .map { case (i, src) => (i, "body text", "en", src) }
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Curation.robotsGate(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(5)))).toMap
+    assert(got(7L)  === (("src-7.net", false)),  "class 0: Disallow /doc must block /doc/7")
+    assert(got(13L) === (("src-13.io", true)),   "class 0: Allow /doc/1 (longer) must beat Disallow /doc")
+    assert(got(10L) === (("src-10.com", true)),  "class 1: Allow /doc must beat Disallow /")
+    assert(got(130L) === (("src-30.com", false)), "class 1: Disallow /doc/13 (longest) must re-block")
+    assert(got(25L) === (("s-25.com", true)),    "class 2: Allow wins the equal-length tie")
+    assert(got(35L) === (("s-35.com", false)),   "class 2: Disallow /doc/3 blocks")
+    assert(got(55L) === (("s-55.com", true)),    "class 2: no matching rule means allowed")
+    // agent specificity: otherbot has no group in class 0 -> the
+    // catch-all (empty Disallow = no restriction) applies; in class 2
+    // it SHARES graftbot's group and never sees the * block-all
+    val other = Curation.robotsGate(docs, agent = "otherbot").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(other(7L) === true, "class 0: otherbot falls back to the empty catch-all")
+    assert(other(25L) === true && other(35L) === false,
+      "class 2: otherbot shares graftbot's group verbatim")
+  }
+
   test("gate kappa matches a driver 2x2 model; degenerate tables yield null") {
     import spark.implicits._
     import graft.ops.Curation

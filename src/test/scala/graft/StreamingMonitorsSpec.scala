@@ -1022,6 +1022,112 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(replayed === direct, "replaying batch 2 changed the state")
   }
 
+  test("sweepVersionedState keeps the newest snapshots, spares in-flight dirs, and is idempotent") {
+    import spark.implicits._
+    val stateDir = s"${work()}/sweep-state"
+    (0L to 4L).foreach { i =>
+      Seq((i, i * 10)).toDF("k", "n").write.parquet(s"$stateDir/v$i")
+    }
+    // an UNCOMMITTED dir (crashed/in-flight write: no _SUCCESS) must
+    // never be touched — its batch may still be writing
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stateDir/v9"))
+    // a reader that listed BEFORE the sweep reads the newest version,
+    // which the sweep keeps — capture it now, collect after
+    val preSweep = StreamingMonitors.latestVersionedState(spark, stateDir).get
+    StreamingMonitors.sweepVersionedState(spark, stateDir, keep = 2)
+    def dirs() = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(dirs() === Seq("v3", "v4", "v9"),
+      s"sweep must keep the newest 2 committed + the in-flight dir: ${dirs()}")
+    assert(preSweep.collect().map(_.getLong(1)).toSeq === Seq(40L),
+      "the pre-sweep reader's newest-version frame must survive")
+    // idempotent: a second sweep changes nothing
+    StreamingMonitors.sweepVersionedState(spark, stateDir, keep = 2)
+    assert(dirs() === Seq("v3", "v4", "v9"))
+    // the safety floor is enforced, not advisory
+    val e = intercept[IllegalArgumentException] {
+      StreamingMonitors.sweepVersionedState(spark, stateDir, keep = 1)
+    }
+    assert(e.getMessage.contains("keep"), s"unexpected: $e")
+    // ... and the replay contract holds post-sweep: the one replayable
+    // batch (5, after newest committed 4) still finds its predecessor
+    assert(StreamingMonitors.latestVersionedState(spark, stateDir,
+      beforeBatch = 5L).get.collect().map(_.getLong(0)).toSeq === Seq(4L))
+  }
+
+  test("SemDeDup segment compaction: fold preserves the state, the replay window, and the live stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stored = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val batchRows = Seq(
+      (100L, Array(0.998f, 0.02f, 0.0f, 0.0f)), //   mb0: pruned by 0
+      (101L, Array(0.0f, 0.999f, 0.01f, 0.0f)), //   mb1: pruned by 1
+      (102L, Array(0.03f, 0.0f, 0.0f, 0.999f)), //   mb1: kept (novel)
+      (103L, Array(0.031f, 0.0f, 0.0f, 0.9989f)), // mb2: pruned by 102
+      (104L, Array(0.0f, 0.03f, 0.0f, -0.999f))) // mb2: kept (novel)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val stateDir = s"${work()}/semdedup-compact"
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dirs() = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+      .map(_.getPath.getName).sorted.toSeq
+    def decisions() = StreamingMonitors.semanticDedupState(spark, stateDir)
+      .get.select("vec_id", "center_id", "pruned_by", "keep", "max_cos")
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val q = StreamingMonitors.semanticDedupStateSink(stream, stateDir,
+      stored, threshold = 0.9, k = 3)
+    try {
+      mem.addData(batchRows.take(1): _*); q.processAllAvailable()
+      mem.addData(batchRows.slice(1, 3): _*); q.processAllAvailable()
+      val before = decisions()
+      // compact MID-STREAM: folds v0 into base c0, keeps v1 (the
+      // newest segment — the replay window) live
+      StreamingMonitors.compactSemanticDedupState(spark, stateDir)
+      assert(dirs() === Seq("c0", "v1"), s"unexpected layout: ${dirs()}")
+      assert(decisions() === before, "the fold changed the served state")
+      // the live stream continues against base + live segments: mb2's
+      // 103 must still find its pruner 102 (sitting in v1)
+      mem.addData(batchRows.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    val direct = graft.ops.Similarity.semanticDedupIncrement(
+      stored, batchRows.toDF("vec_id", "embedding"), threshold = 0.9, k = 3)
+      .select("vec_id", "center_id", "pruned_by", "keep", "max_cos")
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(decisions() === direct,
+      "stream-through-a-compaction diverged from the batch increment")
+    // compact again: v1 folds, v2 (newest) stays live; state unchanged
+    StreamingMonitors.compactSemanticDedupState(spark, stateDir)
+    assert(dirs() === Seq("c1", "v2"), s"unexpected layout: ${dirs()}")
+    assert(decisions() === direct)
+    // the replay window survives the fold: batch 2 re-reads its
+    // ORIGINAL predecessors (now the base) and overwrites only v2
+    val centers = graft.ops.Similarity.semanticCenters(stored, 3)
+    val kept = graft.ops.Similarity.semanticKeptOf(
+      graft.ops.Similarity.assignToCenters(centers)(stored), 0.9)
+    graft.ops.Similarity.semanticDedupIncrementAgainst(centers, kept,
+        StreamingMonitors.semanticDedupState(spark, stateDir, beforeBatch = 2L)
+          .map(_.select("vec_id", "center_id", "v")),
+        batchRows.drop(3).toDF("vec_id", "embedding"), 0.9)
+      .write.mode("overwrite").parquet(s"$stateDir/v2")
+    assert(decisions() === direct, "post-compaction replay changed the state")
+    // ... and a beforeBatch INSIDE the base is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      StreamingMonitors.semanticDedupState(spark, stateDir, beforeBatch = 1L)
+    }
+    assert(e.getMessage.contains("base"), s"unexpected: $e")
+    // idempotent when nothing new: re-compacting the (base, one live
+    // segment) layout must not fold the replay window away
+    StreamingMonitors.compactSemanticDedupState(spark, stateDir)
+    assert(dirs() === Seq("c1", "v2"))
+  }
+
   test("heavy sketch state survives a query RESTART: batch ids continue, versions accumulate") {
     // the real restart path (not simulated replay): a file-source query
     // with a checkpoint is stopped and restarted with new files — the
