@@ -1917,6 +1917,22 @@ object SparkEntry {
       Multimodal.pngStats(Multimodal.pngFrame(Tables.documents(s, dir)))
         .orderBy("doc_id")),
 
+    // EXIF metadata walk: APP1/TIFF IFD chains BUILT by expression in
+    // BOTH byte orders (pointer IFDs + a next-IFD thumbnail chain),
+    // re-PARSED from the bytes by the native IFD walk — endianness,
+    // tag census, and the GPS half the scrub face erases; the oracle
+    // recomputes every column analytically from the construction
+    "q_multimodal_exif" -> ((s, dir) =>
+      Multimodal.exifStats(Multimodal.exifFrame(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
+
+    // ... and the GPS scrub read back through the SAME walk: the
+    // multimodal counterpart of text_pii — coordinates zeroed,
+    // structure (tags, types, counts, offsets) bit-for-bit preserved
+    "q_multimodal_exif_scrub" -> ((s, dir) =>
+      Multimodal.exifScrubStats(Multimodal.exifFrame(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
+
     // ISO-BMFF (MP4) box walk: size/type-framed payload BUILT by
     // expression (ftyp + moov[mvhd + traks] + mdat split), PARSED back
     // by the native walk — movie timescale/duration out of mvhd, trak
@@ -5727,6 +5743,15 @@ object SparkEntry {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // every EXIF column analytic from the construction: 3 IFDs both
+    // layouts (IFD0+Exif+GPS vs IFD0+Exif+thumbnail-IFD1), tag counts
+    // 5+2+3 vs 4+2+1, values straight from the doc_id arithmetic
+    "q_multimodal_exif" -> EXIF_STATS_SQL(scrubbed = false),
+
+    // the scrub face: identical census except the coordinate
+    // numerators read 0 — structure preserved is WHAT the oracle pins
+    "q_multimodal_exif_scrub" -> EXIF_STATS_SQL(scrubbed = true),
+
     // the BMFF fields recomputed analytically from the generator's
     // parameterization: mvhd timescale/duration and the trak/mdat
     // census are doc_id-derived, mdat bytes are exactly the text body,
@@ -7388,6 +7413,29 @@ object SparkEntry {
         |  JOIN c1 c ON f.w1 = c.w1 CROSS JOIN vv),
         |agg AS (SELECT doc_id, count(*) AS n_bigram,
         |    CAST(sum(qlp) AS BIGINT) AS sum_qlp FROM q GROUP BY 1)""".stripMargin
+
+  /** The EXIF census recomputed analytically from the construction
+    * (the q_multimodal_mp4 discipline); the scrub face differs only in
+    * the two coordinate numerators reading 0. */
+  private def EXIF_STATS_SQL(scrubbed: Boolean): String = {
+    val lat = if (scrubbed) "0" else "doc_id % 90"
+    val lon = if (scrubbed) "0" else "doc_id % 180"
+    s"""SELECT doc_id,
+       |  CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS endian,
+       |  CAST(3 AS BIGINT) AS n_ifds,
+       |  CAST(CASE WHEN doc_id % 4 <> 3 THEN 10 ELSE 7 END AS BIGINT) AS n_tags,
+       |  CAST(doc_id % 8 + 1 AS BIGINT) AS orientation,
+       |  CAST(doc_id % 640 + 64 AS BIGINT) AS width_tag,
+       |  CAST(doc_id % 800 + 100 AS BIGINT) AS iso,
+       |  CAST(doc_id % 4000 + 320 AS BIGINT) AS pixel_x,
+       |  CAST(CASE WHEN doc_id % 4 <> 3 THEN 1 ELSE 0 END AS BIGINT) AS has_gps,
+       |  CAST(CASE WHEN doc_id % 4 <> 3 THEN 3 ELSE 0 END AS BIGINT) AS n_gps_tags,
+       |  CAST(CASE WHEN doc_id % 4 <> 3 THEN $lat ELSE -1 END AS BIGINT)
+       |    AS gps_lat_num,
+       |  CAST(CASE WHEN doc_id % 4 <> 3 THEN $lon ELSE -1 END AS BIGINT)
+       |    AS gps_lon_num
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 
   /** The robots parse + gate replayed whole (RFC 9309): the per-domain
     * robots.txt fixture classes, line split, comment strip, the

@@ -1573,6 +1573,193 @@ object DspKernel {
     while (i < 4) { out.write(((isz >>> (8 * i)) & 0xff).toInt); i += 1 }
     out.toByteArray
   }
+
+  // -----------------------------------------------------------------
+  // EXIF — the APP1/TIFF IFD metadata half of the JPEG seam (the scan
+  // walk above reads the pixels' framing; this reads what the camera
+  // WROTE about them, incl. the GPS position that is the multimodal
+  // counterpart of text PII). Reference geometry: TIFF 6.0 §2 (IFD
+  // layout, left-justified inline values) + EXIF 2.3 (the 0x8769 Exif
+  // and 0x8825 GPS pointer tags).
+  // -----------------------------------------------------------------
+
+  /** Byte sizes of TIFF field types 1–10 (BYTE ASCII SHORT LONG
+    * RATIONAL SBYTE UNDEFINED SSHORT SLONG SRATIONAL); index 0 unused.
+    * Unknown types fail the walk — strict, never a guess. */
+  private val TiffTypeSize: Array[Int] =
+    Array(0, 1, 1, 2, 4, 8, 1, 1, 2, 4, 8)
+
+  /** IFDs one stream may chain before the walk refuses (main chain +
+    * pointer IFDs combined) — a cycle/fan-out guard, far above any
+    * real camera file (IFD0 + IFD1 + Exif + GPS + interop = 5). */
+  private val ExifMaxIfds = 8
+
+  /** Find the Exif TIFF block inside a JPEG: hop marker segments from
+    * SOI until an APP1 whose payload starts `Exif\0\0`; returns
+    * (tiffBase, tiffLen) or null. Stops (no EXIF → null) at SOS/EOI —
+    * APP1 must precede the scan per EXIF 2.3 §4.5.4. */
+  private def exifTiffSpan(p: Array[Byte]): Array[Int] = {
+    val n = p.length
+    if (n < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return null
+    var pos = 2
+    while (pos + 3 < n) {
+      if ((p(pos) & 0xff) != 0xff) return null // lost marker alignment
+      var m = p(pos + 1) & 0xff
+      while (m == 0xff && pos + 2 < n) { pos += 1; m = p(pos + 1) & 0xff } // fill bytes
+      if (m == 0xd9 || m == 0xda) return null // EOI/SOS before any Exif APP1
+      if (pos + 3 >= n) return null
+      val len = ((p(pos + 2) & 0xff) << 8) | (p(pos + 3) & 0xff)
+      if (len < 2 || pos + 2 + len > n) return null // truncated segment
+      if (m == 0xe1 && len >= 8 &&
+        p(pos + 4) == 'E'.toByte && p(pos + 5) == 'x'.toByte &&
+        p(pos + 6) == 'i'.toByte && p(pos + 7) == 'f'.toByte &&
+        p(pos + 8) == 0 && p(pos + 9) == 0)
+        return Array(pos + 10, len - 8)
+      pos += 2 + len
+    }
+    null
+  }
+
+  /** Walk the TIFF IFD chain and visit every entry.
+    * `visit(ifdKind, entryOff, tag, typ, cnt, valueField)` — ifdKind
+    * 0 = main chain, 1 = Exif IFD, 2 = GPS IFD; entryOff is the
+    * absolute offset of the entry's 12 bytes; valueField is the raw
+    * u32 of the value/offset field (caller decodes per type). Returns
+    * [endian, n_ifds, n_tags] or null for malformed streams. */
+  private def tiffWalk(p: Array[Byte], base: Int, tlen: Int)
+                      (visit: (Int, Int, Int, Int, Long, Long) => Boolean)
+      : Array[Long] = {
+    if (tlen < 8 || base + tlen > p.length) return null
+    val be =
+      if (p(base) == 'M'.toByte && p(base + 1) == 'M'.toByte) true
+      else if (p(base) == 'I'.toByte && p(base + 1) == 'I'.toByte) false
+      else return null
+    def u16(off: Int): Int = {
+      val a = p(base + off) & 0xff; val b = p(base + off + 1) & 0xff
+      if (be) (a << 8) | b else (b << 8) | a
+    }
+    def u32(off: Int): Long = {
+      val a = (p(base + off) & 0xff).toLong; val b = (p(base + off + 1) & 0xff).toLong
+      val c = (p(base + off + 2) & 0xff).toLong; val d = (p(base + off + 3) & 0xff).toLong
+      if (be) (a << 24) | (b << 16) | (c << 8) | d
+      else (d << 24) | (c << 16) | (b << 8) | a
+    }
+    if (u16(2) != 42) return null
+    var nIfds = 0L
+    var nTags = 0L
+    val seen = new scala.collection.mutable.HashSet[Long]
+    // (offset, kind) work list: the main next-IFD chain enqueues kind 0,
+    // pointer tags enqueue their kind — bounded by ExifMaxIfds
+    var queue = List((u32(4), 0))
+    while (queue.nonEmpty) {
+      val (off, kind) = queue.head
+      queue = queue.tail
+      if (off < 8 || off + 2 > tlen) return null
+      if (!seen.add(off)) return null // pointer cycle
+      nIfds += 1
+      if (nIfds > ExifMaxIfds) return null
+      val cnt = u16(off.toInt)
+      val entriesEnd = off + 2 + 12L * cnt
+      if (entriesEnd + 4 > tlen) return null
+      var i = 0
+      while (i < cnt) {
+        val eo = (off + 2 + 12L * i).toInt
+        val tag = u16(eo)
+        val typ = u16(eo + 2)
+        val c = u32(eo + 4)
+        if (typ < 1 || typ > 10) return null
+        val size = TiffTypeSize(typ) * c
+        val vf = u32(eo + 8)
+        if (size > 4 && (vf < 8 || vf + size > tlen)) return null // dangling offset
+        if (!visit(kind, base + eo, tag, typ, c, vf)) return null
+        if (kind == 0 && tag == 0x8769 && typ == 4 && c == 1)
+          queue = (vf, 1) :: queue
+        if (kind == 0 && tag == 0x8825 && typ == 4 && c == 1)
+          queue = (vf, 2) :: queue
+        nTags += 1
+        i += 1
+      }
+      val next = u32(entriesEnd.toInt)
+      if (kind == 0 && next != 0) queue = (next, 0) :: queue
+    }
+    Array(if (be) 1L else 0L, nIfds, nTags)
+  }
+
+  /** `graft_exif_stats(payload)`: the APP1/TIFF IFD census —
+    * [endian, n_ifds, n_tags, orientation, width_tag, iso, pixel_x,
+    * has_gps, n_gps_tags, gps_lat_num, gps_lon_num]; -1 where a tag is
+    * absent. Null (never a throw) for: no SOI, lost marker alignment,
+    * no Exif APP1 before SOS/EOI, truncated segment, bad byte-order
+    * mark or magic, an IFD/value running past the TIFF block, an
+    * unknown field type, a pointer cycle, or > [[ExifMaxIfds]] IFDs. */
+  def exifStats(p: Array[Byte]): GenericArrayData = {
+    val span = exifTiffSpan(p)
+    if (span == null) return null
+    val base = span(0); val tlen = span(1)
+    val be = p(base) == 'M'.toByte
+    def u16v(off: Int): Long = {
+      val a = (p(off) & 0xff).toLong; val b = (p(off + 1) & 0xff).toLong
+      if (be) (a << 8) | b else (b << 8) | a
+    }
+    def u32at(off: Int): Long = {
+      val a = (p(off) & 0xff).toLong; val b = (p(off + 1) & 0xff).toLong
+      val c = (p(off + 2) & 0xff).toLong; val d = (p(off + 3) & 0xff).toLong
+      if (be) (a << 24) | (b << 16) | (c << 8) | d
+      else (d << 24) | (c << 16) | (b << 8) | a
+    }
+    var orientation = -1L; var width = -1L; var iso = -1L; var pixx = -1L
+    var hasGps = 0L; var nGpsTags = 0L; var latNum = -1L; var lonNum = -1L
+    val head = tiffWalk(p, base, tlen) { (kind, eo, tag, typ, cnt, vf) =>
+      if (kind == 2) { hasGps = 1L; nGpsTags += 1 }
+      (kind, tag) match {
+        case (0, 0x0112) if typ == 3 && cnt == 1 => orientation = u16v(eo + 8)
+        case (0, 0x0100) if cnt == 1 =>
+          width = if (typ == 3) u16v(eo + 8) else vf
+        case (1, 0x8827) if typ == 3 && cnt == 1 => iso = u16v(eo + 8)
+        case (1, 0xA002) if cnt == 1 =>
+          pixx = if (typ == 3) u16v(eo + 8) else vf
+        case (2, 0x0002) if typ == 5 && cnt >= 1 =>
+          latNum = u32at(base + vf.toInt) // first rational's numerator
+        case (2, 0x0004) if typ == 5 && cnt >= 1 =>
+          lonNum = u32at(base + vf.toInt)
+        case _ => ()
+      }
+      true
+    }
+    if (head == null) return null
+    new GenericArrayData(Array(head(0), head(1), head(2), orientation,
+      width, iso, pixx, hasGps, nGpsTags, latNum, lonNum))
+  }
+
+  /** `graft_exif_gps_scrub(payload)`: the payload with every GPS IFD
+    * entry's VALUE erased — inline values zeroed in the 4-byte field,
+    * out-of-line values zeroed at their data offset — and the
+    * structure (tags, types, counts, offsets, every other byte)
+    * preserved, so the scrubbed file still walks clean and the census
+    * reconciles: identical except the GPS value columns read 0. The
+    * text_pii discipline applied to the multimodal seam. Null exactly
+    * when [[exifStats]] is null (a file the walk cannot certify cannot
+    * be certified scrubbed either). */
+  def exifGpsScrub(p: Array[Byte]): Array[Byte] = {
+    val span = exifTiffSpan(p)
+    if (span == null) return null
+    val base = span(0); val tlen = span(1)
+    val out = java.util.Arrays.copyOf(p, p.length)
+    val head = tiffWalk(p, base, tlen) { (kind, eo, tag, typ, cnt, vf) =>
+      if (kind == 2) {
+        val size = TiffTypeSize(typ) * cnt
+        if (size <= 4) {
+          var i = 0
+          while (i < 4) { out(eo + 8 + i) = 0; i += 1 }
+        } else {
+          var i = 0
+          while (i < size) { out(base + vf.toInt + i) = 0; i += 1 }
+        }
+      }
+      true
+    }
+    if (head == null) null else out
+  }
 }
 
 /** `graft_pcm_stats(payload, offset)`: [rms, zcr] of the 16-bit PCM body
@@ -2134,10 +2321,68 @@ case class PngChunkStats(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_exif_stats(payload)`: the JPEG APP1/TIFF IFD metadata census
+  * (endianness, IFD chain size, tag census, orientation/width/ISO/
+  * pixel-dimension tag values, GPS presence and first lat/lon
+  * numerators); null for streams without a certifiable Exif block. */
+case class JpegExifStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_exif_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DspKernel.exifStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.exifStats($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_exif_gps_scrub(payload)`: the payload with every GPS IFD
+  * entry's value bytes zeroed, structure preserved — the multimodal
+  * counterpart of the text PII scrub. Null iff the stats walk is. */
+case class JpegExifGpsScrub(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_exif_gps_scrub"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DspKernel.exifGpsScrub(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.DspKernel$$.MODULE$$.exifGpsScrub($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object MediaFunctions {
   /** Codegen'd PNG chunk-walk census. */
   def pngChunkStats(payload: Column): Column =
     Bridge.column(PngChunkStats(Bridge.expression(payload)))
+
+  /** Codegen'd JPEG APP1/TIFF IFD metadata census. */
+  def exifStats(payload: Column): Column =
+    Bridge.column(JpegExifStats(Bridge.expression(payload)))
+
+  /** Codegen'd GPS-value scrub (structure-preserving). */
+  def exifGpsScrub(payload: Column): Column =
+    Bridge.column(JpegExifGpsScrub(Bridge.expression(payload)))
 
   /** Codegen'd [rms, zcr] of a 16-bit LE PCM body. */
   def pcmStats(payload: Column, offset: Int): Column =

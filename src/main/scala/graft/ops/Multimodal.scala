@@ -1812,4 +1812,127 @@ object Multimodal {
       element_at(s, 8).as("idat_bytes_total"),
       element_at(s, 9).cast("int").as("crc_bad"))
   }
+
+  // ---------------------------------------------------------------------
+  // EXIF — the JPEG metadata seam: an APP1 segment carrying a TIFF 6.0
+  // IFD chain (EXIF 2.3), BUILT by expression with doc-id-varied
+  // geometry in BOTH byte orders, re-PARSED by the native IFD walk
+  // (functions/JpegExifStats), and GPS-scrubbed structure-preservingly
+  // (JpegExifGpsScrub) — the multimodal counterpart of text_pii.
+  // ---------------------------------------------------------------------
+
+  /** One JPEG-with-EXIF payload per doc, every field a pure function of
+    * doc_id so the census oracle is analytic (the PNG/MP4 discipline):
+    * endianness II/MM by doc_id % 2 (EVERY multi-byte integer obeys
+    * it); layout A (doc_id % 4 ≠ 3) carries IFD0 (width, orientation,
+    * out-of-line Make, Exif + GPS pointers) + Exif IFD (ISO, pixel-x)
+    * + GPS IFD (inline ASCII ref, two out-of-line RATIONAL triples);
+    * layout B drops GPS but chains a thumbnail IFD1 off IFD0's
+    * next-IFD link (so the chain walk, not just the pointer hops, has
+    * a live branch). Inline values are LEFT-justified in the 4-byte
+    * field per TIFF 6.0 §2 in both byte orders. A COM segment is
+    * planted BEFORE the APP1 every seventh doc so the marker hop has
+    * a live branch. Whole payload assembled as one hex string →
+    * unhex, nothing but codegen'd builtins. */
+  def exifPayload(docId: Column): Column = {
+    val isBE = pmod(docId, lit(2)) === 1
+    def u16(v: Column): Column = when(isBE, beHex(v, 2)).otherwise(leHex(v, 2))
+    def u32(v: Column): Column = when(isBE, beHex(v, 4)).otherwise(leHex(v, 4))
+    def ent(tag: Int, typ: Int, cnt: Int, valHex: Column): Column =
+      concat(u16(lit(tag)), u16(lit(typ)), u32(lit(cnt)), valHex)
+    def shortVal(v: Column): Column = concat(u16(v), lit("0000"))
+    val width = pmod(docId, lit(640)) + 64
+    val orient = pmod(docId, lit(8)) + 1
+    val iso = pmod(docId, lit(800)) + 100
+    val pixx = pmod(docId, lit(4000)) + 320
+    val latd = pmod(docId, lit(90))
+    val latm = pmod(docId, lit(60))
+    val lond = pmod(docId, lit(180))
+    val lonm = pmod(docId * 7, lit(60))
+    val makeHex = lit("677261667400") // "graft\0", 6 bytes, order-free
+    val header = concat(when(isBE, lit("4D4D")).otherwise(lit("4949")),
+      u16(lit(42)), u32(lit(8)))
+    val exifIfd = concat(u16(lit(2)),
+      ent(0x8827, 3, 1, shortVal(iso)),
+      ent(0xA002, 4, 1, u32(pixx)),
+      u32(lit(0)))
+    // layout A: 8 + (2 + 5*12 + 4) = 74 Make, 80 Exif IFD, 110 GPS IFD,
+    // 152/176 the two RATIONAL triples, 200 total
+    val tiffA = concat(header,
+      u16(lit(5)),
+      ent(0x0100, 4, 1, u32(width)),
+      ent(0x0112, 3, 1, shortVal(orient)),
+      ent(0x010F, 2, 6, u32(lit(74))),
+      ent(0x8769, 4, 1, u32(lit(80))),
+      ent(0x8825, 4, 1, u32(lit(110))),
+      u32(lit(0)),
+      makeHex,
+      exifIfd,
+      u16(lit(3)),
+      ent(0x0001, 2, 2, lit("4E000000")), // "N\0" inline, left-justified
+      ent(0x0002, 5, 3, u32(lit(152))),
+      ent(0x0004, 5, 3, u32(lit(176))),
+      u32(lit(0)),
+      u32(latd), u32(lit(1)), u32(latm), u32(lit(1)), u32(lit(0)), u32(lit(1)),
+      u32(lond), u32(lit(1)), u32(lonm), u32(lit(1)), u32(lit(0)), u32(lit(1)))
+    // layout B: 8 + (2 + 4*12 + 4) = 62 Make, 68 Exif IFD, 98 IFD1
+    // (thumbnail Compression tag) via the NEXT-IFD link, 116 total
+    val tiffB = concat(header,
+      u16(lit(4)),
+      ent(0x0100, 4, 1, u32(width)),
+      ent(0x0112, 3, 1, shortVal(orient)),
+      ent(0x010F, 2, 6, u32(lit(62))),
+      ent(0x8769, 4, 1, u32(lit(68))),
+      u32(lit(98)),
+      makeHex,
+      exifIfd,
+      u16(lit(1)),
+      ent(0x0103, 3, 1, shortVal(lit(6))),
+      u32(lit(0)))
+    val hasGps = pmod(docId, lit(4)) =!= 3
+    // APP1 length = 2 (itself) + 6 (Exif id) + TIFF: 208 / 124
+    val app1 = concat(lit("FFE1"),
+      when(hasGps, beHex(lit(208), 2)).otherwise(beHex(lit(124), 2)),
+      lit("457869660000"),
+      when(hasGps, tiffA).otherwise(tiffB))
+    val com = when(pmod(docId, lit(7)) === 0,
+      lit("FFFE000C" + "637261776C2D6D657461")) // COM len 12, "crawl-meta"
+      .otherwise(lit(""))
+    unhex(concat(lit("FFD8"), com, app1, lit("FFD9")))
+  }
+
+  /** documents → (doc_id, payload) EXIF frame. */
+  def exifFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), exifPayload(col("doc_id")).as("payload"))
+
+  /** EXIF frame → metadata census, every value re-derived from the
+    * BYTES by the native IFD walk: endianness, IFD-chain size, tag
+    * census, the four planted tag values, and the GPS half — presence,
+    * tag count, first latitude/longitude numerators (the coordinates
+    * the scrub face erases). */
+  def exifStats(media: DataFrame): DataFrame = {
+    val s = graft.functions.MediaFunctions.exifStats(col("payload"))
+    media.select(
+      col("doc_id"),
+      when(element_at(s, 1) === 1L, "MM").otherwise("II").as("endian"),
+      element_at(s, 2).as("n_ifds"),
+      element_at(s, 3).as("n_tags"),
+      element_at(s, 4).as("orientation"),
+      element_at(s, 5).as("width_tag"),
+      element_at(s, 6).as("iso"),
+      element_at(s, 7).as("pixel_x"),
+      element_at(s, 8).as("has_gps"),
+      element_at(s, 9).as("n_gps_tags"),
+      element_at(s, 10).as("gps_lat_num"),
+      element_at(s, 11).as("gps_lon_num"))
+  }
+
+  /** The scrub face: the SAME census read over GPS-scrubbed payloads —
+    * identical except the coordinate numerators read 0 (structure is
+    * preserved: tag counts and presence don't move). The spec
+    * reconciles scrub ≡ census column-for-column. */
+  def exifScrubStats(media: DataFrame): DataFrame =
+    exifStats(media.select(col("doc_id"),
+      graft.functions.MediaFunctions.exifGpsScrub(col("payload"))
+        .as("payload")))
 }

@@ -2129,6 +2129,115 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("exif walk: hand-built TIFFs decode exactly; garbage, cycles, and truncations null") {
+    import graft.functions.DspKernel
+    // hand-assemble a JPEG wrapper + TIFF in BOTH byte orders with an
+    // independent byte-level writer (not the engine's hex builder)
+    def jpeg(tiff: Array[Byte]): Array[Byte] = {
+      val len = 2 + 6 + tiff.length
+      Array(0xff, 0xd8, 0xff, 0xe1, len >> 8, len & 0xff,
+        'E', 'x', 'i', 'f', 0, 0).map(_.toByte) ++ tiff ++
+        Array(0xff.toByte, 0xd9.toByte)
+    }
+    def tiff(be: Boolean)(words: Seq[(Int, Long)]): Array[Byte] = {
+      // words: (byteWidth, value) pairs laid down in the tiff order
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      out ++= (if (be) "MM" else "II").getBytes("ISO-8859-1")
+      def w(width: Int, v: Long): Unit = {
+        val bs = (0 until width).map(i => ((v >> (8 * i)) & 0xff).toByte)
+        out ++= (if (be) bs.reverse else bs)
+      }
+      w(2, 42); w(4, 8)
+      words.foreach { case (width, v) => w(width, v) }
+      out.toArray
+    }
+    // one IFD: orientation=5 (inline SHORT, left-justified = written
+    // as a 2-byte value then 2 raw zero bytes) + width=321 (LONG)
+    def oneIfd(be: Boolean): Array[Byte] = {
+      val pre = tiff(be)(Seq((2, 2L),
+        (2, 0x0100L), (2, 4L), (4, 1L), (4, 321L),
+        (2, 0x0112L), (2, 3L), (4, 1L), (2, 5L)))
+      val tail = tiff(be)(Seq((4, 0L))).drop(8) // just the next-IFD zero
+      pre ++ Array[Byte](0, 0) ++ tail
+    }
+    Seq(false, true).foreach { be =>
+      val s = DspKernel.exifStats(jpeg(oneIfd(be)))
+      assert(s != null, s"be=$be walk nulled")
+      val a = s.toLongArray()
+      assert(a.toSeq === Seq(if (be) 1L else 0L, 1L, 2L, 5L, 321L,
+        -1L, -1L, 0L, 0L, -1L, -1L), s"be=$be: ${a.toSeq}")
+    }
+    // a GPS pointer that points BACK at IFD0 is a cycle -> null
+    val cyc = tiff(false)(Seq((2, 1L),
+      (2, 0x8825L), (2, 4L), (4, 1L), (4, 8L), (4, 0L)))
+    assert(DspKernel.exifStats(jpeg(cyc)) == null, "pointer cycle must null")
+    // unknown field type -> null (strict, never a guess)
+    val badType = tiff(false)(Seq((2, 1L),
+      (2, 0x0100L), (2, 11L), (4, 1L), (4, 1L), (4, 0L)))
+    assert(DspKernel.exifStats(jpeg(badType)) == null)
+    // garbage totality: random bytes never throw
+    val rnd = new java.util.Random(7)
+    (1 to 300).foreach { k =>
+      val junk = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(junk)
+      DspKernel.exifStats(junk); DspKernel.exifGpsScrub(junk)
+      // ... including junk behind a valid JPEG/APP1 preamble
+      val framed = jpeg(junk)
+      DspKernel.exifStats(framed); DspKernel.exifGpsScrub(framed)
+      assert(true, s"case $k survived")
+    }
+    // truncation sweep: every prefix that cuts the APP1 segment nulls,
+    // never throws; the two prefixes that only lose the EOI still walk
+    // (metadata precedes the scan by the APP1 placement rule)
+    val full = jpeg(oneIfd(false))
+    (0 until full.length - 2).foreach { cut =>
+      val t = java.util.Arrays.copyOf(full, cut)
+      assert(DspKernel.exifStats(t) == null, s"prefix $cut must not walk")
+      DspKernel.exifGpsScrub(t)
+    }
+    val whole = DspKernel.exifStats(full).toLongArray().toSeq
+    Seq(full.length - 2, full.length - 1).foreach { cut =>
+      assert(DspKernel.exifStats(java.util.Arrays.copyOf(full, cut))
+        .toLongArray().toSeq === whole, s"EOI-only cut $cut must still walk")
+    }
+  }
+
+  test("exif gps scrub: coordinates zeroed, every structural byte preserved") {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    // layout A (gps, both endians), layout B (no gps), COM-prefixed
+    val docs = Seq(0L, 1L, 3L, 7L, 14L, 21L).map(i => (i, "x"))
+      .toDF("doc_id", "text")
+    val frames = Multimodal.exifFrame(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val scrubbed = frames.map { case (id, p) =>
+      id -> graft.functions.DspKernel.exifGpsScrub(p)
+    }
+    // no-GPS payloads come back BIT-IDENTICAL (nothing to erase)
+    Seq(3L, 7L).foreach { id =>
+      assert(java.util.Arrays.equals(frames(id), scrubbed(id)),
+        s"doc $id (layout B) must be untouched")
+    }
+    // GPS payloads: same length, and the census reconciles — identical
+    // except the coordinate numerators read 0
+    Seq(0L, 1L, 14L, 21L).foreach { id =>
+      assert(frames(id).length === scrubbed(id).length)
+      val a = graft.functions.DspKernel.exifStats(frames(id)).toLongArray()
+      val b = graft.functions.DspKernel.exifStats(scrubbed(id)).toLongArray()
+      assert(b.toSeq === (a.take(9).toSeq ++ Seq(0L, 0L)),
+        s"doc $id census did not reconcile: ${a.toSeq} vs ${b.toSeq}")
+      // the erasure is real: the original coordinates were nonzero for
+      // ids where doc_id % 90 != 0
+      if (id % 90 != 0) assert(a(9) === id % 90 && b(9) === 0L)
+    }
+    // scrub of the scrub is a fixpoint
+    Seq(0L, 1L).foreach { id =>
+      assert(java.util.Arrays.equals(scrubbed(id),
+        graft.functions.DspKernel.exifGpsScrub(scrubbed(id))),
+        s"doc $id scrub must be idempotent")
+    }
+  }
+
   test("the perceptual-hash frames assert the ASCII-fixture invariant loudly") {
     // the engine hashes UTF-8 BYTES; the oracle replays per-character
     // code points — a non-ASCII fixture doc must fail at the frame, not
