@@ -1377,6 +1377,30 @@ object StreamingMonitors {
     else ck).start()
   }
 
+  /** Streaming language-ID routing against a STORED NB model — the
+    * [[bigramScoreSink]] shape applied to the trained router
+    * (ops/TextAnalysis.langIdScoreFrom): stream-static joins against
+    * the (langs × char-bigram vocabulary)-sized model frame, ZERO
+    * cross-batch state (a doc's label depends only on its own chars
+    * and the fixed model), per-batch committed output. Spec'd: the
+    * union of per-batch outputs equals batch scoring of the union. */
+  def langIdScoreSink(docsStream: DataFrame, model: DataFrame, outDir: String,
+                      checkpoint: Option[String] = None,
+                      availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docsStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.TextAnalysis.langIdScoreFrom(batch, model)
+          .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+        ()
+      }
+    val ck = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow)
+      ck.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else ck).start()
+  }
+
   /** Streaming maintenance of the exact Gram sketch
     * (ops/Similarity.gramPartials) — the TRAIN face of the spectral
     * family over the versioned seam: each micro-batch's bounded partial

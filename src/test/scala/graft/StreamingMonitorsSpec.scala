@@ -1537,6 +1537,42 @@ class StreamingMonitorsSpec extends SparkSpec {
     assert(streamed.length === 4)
   }
 
+  test("streamed langid routing equals batch scoring against the stored NB model") {
+    // same stream-static contract as the bigram scorer: labels depend
+    // only on the doc's own chars and the FIXED model, so per-batch
+    // outputs union to exactly one batch scoring of the union — OOV
+    // docs route by the add-one floor either way
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val train = Seq((1L, "the quick brown fox", "en"),
+      (2L, "der schnelle braune fuchs", "de"),
+      (3L, "el rapido zorro marron", "es"))
+      .toDF("doc_id", "text", "lang")
+    val model = graft.ops.TextAnalysis.langIdModel(train).persist()
+    model.count()
+    val live = Seq((10L, "the lazy dog", "en"), (11L, "den faulen hund", "de"),
+      (12L, "#### @@@@", "en"), (13L, "el perro perezoso", "es"))
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = mem.toDF().toDF("doc_id", "text", "lang")
+    val outDir = s"${work()}/langid-scores"
+    val q = StreamingMonitors.langIdScoreSink(stream, model, outDir)
+    try {
+      Seq(0L, 1L).foreach { m =>
+        mem.addData(live.filter(_._1 % 2 == m): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$outDir/*")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val batch = graft.ops.TextAnalysis.langIdScoreFrom(
+      live.toDF("doc_id", "text", "lang"), model)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    model.unpersist(blocking = false)
+    assert(streamed === batch)
+    assert(streamed.length === 4)
+  }
+
   test("streamed Gram state serves the exact batch spectral axes, any batch split") {
     // the Gram is an order-free integer monoid, so the merged state
     // after ANY micro-batch split must serve axes BIT-equal to the
