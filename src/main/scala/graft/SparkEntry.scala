@@ -1610,6 +1610,15 @@ object SparkEntry {
       Curation.robotsBudget(Tables.documents(s, dir))
         .orderBy("source")),
 
+    // ... and the politeness TIME budget: Crawl-delay parsed per
+    // user-agent group (participating in the RFC grouping even though
+    // the path rules don't emit it), exact-agent else catch-all else
+    // the 1 s default, times the allowed count — the number that
+    // decides how many crawler slots a domain needs
+    "text_robots_crawl_time" -> ((s, dir) =>
+      Curation.robotsCrawlTime(Tables.documents(s, dir))
+        .orderBy("domain")),
+
     // code-vs-prose routing: symbol density, camelCase, keyword and
     // indent counts in exact integer ppm; the gate a mixed corpus runs
     // before language-ID or perplexity scoring
@@ -1633,6 +1642,14 @@ object SparkEntry {
     "text_ppl_buckets_sketch" -> ((s, dir) =>
       TextAnalysis.pplBucketsSketch(Tables.documents(s, dir))
         .orderBy("bucket")),
+
+    // the split CCNet actually ships: per-LANGUAGE terciles (a global
+    // cut would let a verbose language crowd out a terse one) — the
+    // same sketch discipline keyed by lang, per-lang bottom-k samples
+    // and one broadcast langs×1 cut frame
+    "text_ppl_buckets_by_lang" -> ((s, dir) =>
+      TextAnalysis.pplBucketsSketchByLang(Tables.documents(s, dir))
+        .orderBy("lang", "bucket")),
 
     // gate-redundancy diagnostic: Cohen's kappa between the Gopher
     // minimum-length gate and the exact-integer repetition cap — how
@@ -4341,6 +4358,24 @@ object SparkEntry {
         |FROM gate g JOIN documents d ON g.doc_id = d.doc_id
         |GROUP BY 1 ORDER BY d.source""".stripMargin),
 
+    // the politeness budget: exact-agent delay else the catch-all's
+    // else the 1 s default, times the allowed count — per domain
+    "text_robots_crawl_time" -> ("WITH " + ROBOTS_CTES + """
+        |, alw AS (SELECT domain,
+        |    CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_allowed
+        |  FROM gate GROUP BY 1)
+        |SELECT a.domain, a.n_allowed,
+        |  CAST(coalesce(da.delay_s, ds.delay_s, 1) AS BIGINT) AS delay_s,
+        |  CAST(a.n_allowed * coalesce(da.delay_s, ds.delay_s, 1) AS BIGINT)
+        |    AS est_serial_s
+        |FROM alw a
+        |LEFT JOIN (SELECT domain, delay_s FROM dly WHERE agent = 'graftbot') da
+        |  ON a.domain = da.domain
+        |LEFT JOIN (SELECT domain, delay_s FROM dly WHERE agent = '*') ds
+        |  ON a.domain = ds.domain
+        |ORDER BY a.domain""".stripMargin),
+
     // the NB model frame rebuilt whole: per-(lang, bigram) counts,
     // per-lang totals, one vocabulary row — column-for-column the
     // stored artifact
@@ -4955,6 +4990,39 @@ object SparkEntry {
         |  CAST(min(mq) AS BIGINT) AS min_mq,
         |  CAST(max(mq) AS BIGINT) AS max_mq
         |FROM bk GROUP BY 1 ORDER BY bucket""".stripMargin),
+
+    // the per-language replay: identical machinery with every stage
+    // keyed by lang (PARTITION BY lang in the sample/rank windows,
+    // per-lang cut rows)
+    "text_ppl_buckets_by_lang" -> ("WITH " + BIGRAM_LP_CTES + """,
+        |scored AS (SELECT a.doc_id, d.lang, a.n_bigram, a.sum_qlp,
+        |    (a.sum_qlp - ((a.sum_qlp % a.n_bigram) + a.n_bigram) % a.n_bigram)
+        |      // a.n_bigram AS mq
+        |  FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+        |  WHERE a.n_bigram > 0),
+        |hs AS (SELECT lang, mq,
+        |    ('0x' || substr(md5('pplq:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM scored),
+        |samp AS (SELECT lang, h, mq,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h) AS srn FROM hs),
+        |sk AS (SELECT lang, h, mq FROM samp WHERE srn <= 512),
+        |skr AS (SELECT lang, mq,
+        |    row_number() OVER (PARTITION BY lang ORDER BY mq DESC, h) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n_s FROM sk),
+        |cuts AS (SELECT lang,
+        |    max(CASE WHEN rn = greatest(1, n_s // 3) THEN mq END) AS cut_head,
+        |    max(CASE WHEN rn = greatest(1, (n_s * 2) // 3) THEN mq END) AS cut_mid
+        |  FROM skr GROUP BY 1),
+        |bk AS (SELECT s.lang,
+        |    CASE WHEN s.mq >= c.cut_head THEN 'head'
+        |      WHEN s.mq >= c.cut_mid THEN 'middle' ELSE 'tail' END AS bucket,
+        |    s.n_bigram, s.mq
+        |  FROM scored s JOIN cuts c ON s.lang = c.lang)
+        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_bigram) AS BIGINT) AS n_bigrams,
+        |  CAST(min(mq) AS BIGINT) AS min_mq,
+        |  CAST(max(mq) AS BIGINT) AS max_mq
+        |FROM bk GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin),
 
     "text_quality_model" -> QUALITY_MODEL_SQL,
     "text_quality_score" -> QUALITY_SCORE_SQL,
@@ -7463,9 +7531,10 @@ object SparkEntry {
         |        || chr(10) || 'User-agent: *' || chr(10) || 'Disallow:'
         |        || chr(10) || chr(10) || 'User-agent: graftbot' || chr(10)
         |        || 'Disallow: /doc' || chr(10) || 'Allow: /doc/1' || chr(10)
+        |        || 'Crawl-delay: 2' || chr(10)
         |      WHEN 1 THEN 'User-agent: *' || chr(10) || 'Disallow: /'
         |        || chr(10) || 'Allow: /doc' || chr(10)
-        |        || 'Disallow: /doc/13' || chr(10)
+        |        || 'Disallow: /doc/13' || chr(10) || 'Crawl-delay: 1' || chr(10)
         |      ELSE 'User-agent: graftbot' || chr(10) || 'User-agent: otherbot'
         |        || chr(10) || 'Allow: /doc/2' || chr(10) || 'Disallow: /doc/2'
         |        || chr(10) || 'Disallow: /doc/3' || chr(10) || chr(10)
@@ -7479,11 +7548,12 @@ object SparkEntry {
         |typ AS (SELECT domain, line_no,
         |    CASE WHEN lower(ln) LIKE 'user-agent:%' THEN 'ua'
         |         WHEN lower(ln) LIKE 'allow:%' THEN 'allow'
-        |         WHEN lower(ln) LIKE 'disallow:%' THEN 'disallow' END AS kind,
+        |         WHEN lower(ln) LIKE 'disallow:%' THEN 'disallow'
+        |         WHEN lower(ln) LIKE 'crawl-delay:%' THEN 'delay' END AS kind,
         |    trim(substr(ln, strpos(ln, ':') + 1)) AS value
         |  FROM lns
         |  WHERE lower(ln) LIKE 'user-agent:%' OR lower(ln) LIKE 'allow:%'
-        |    OR lower(ln) LIKE 'disallow:%'),
+        |    OR lower(ln) LIKE 'disallow:%' OR lower(ln) LIKE 'crawl-delay:%'),
         |bnd AS (SELECT domain, line_no, kind, value,
         |    CASE WHEN kind = 'ua' AND coalesce(lag(kind) OVER
         |        (PARTITION BY domain ORDER BY line_no), '-') <> 'ua'
@@ -7492,12 +7562,21 @@ object SparkEntry {
         |grpd AS (SELECT domain, line_no, kind, value,
         |    sum(boundary) OVER (PARTITION BY domain ORDER BY line_no) AS grp
         |  FROM bnd),
+        |ag AS (SELECT domain, grp, lower(value) AS agent FROM grpd
+        |  WHERE kind = 'ua'),
         |rules AS (SELECT r.domain, a.agent, r.rule, r.prefix, r.line_no
-        |  FROM (SELECT domain, grp, lower(value) AS agent FROM grpd
-        |        WHERE kind = 'ua') a
+        |  FROM ag a
         |  JOIN (SELECT domain, grp, kind AS rule, value AS prefix, line_no
-        |        FROM grpd WHERE kind <> 'ua' AND length(value) > 0) r
+        |        FROM grpd WHERE kind IN ('allow', 'disallow')
+        |          AND length(value) > 0) r
         |    ON a.domain = r.domain AND a.grp = r.grp),
+        |dly AS (SELECT d.domain, a.agent,
+        |    CAST(min(CAST(d.value AS BIGINT)) AS BIGINT) AS delay_s
+        |  FROM ag a
+        |  JOIN (SELECT domain, grp, value FROM grpd
+        |        WHERE kind = 'delay' AND regexp_matches(value, '^[0-9]+$')) d
+        |    ON a.domain = d.domain AND a.grp = d.grp
+        |  GROUP BY 1, 2),
         |arule AS (SELECT * FROM rules WHERE agent = 'graftbot'),
         |appl AS (SELECT * FROM arule
         |  UNION ALL

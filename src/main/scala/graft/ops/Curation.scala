@@ -446,9 +446,10 @@ object Curation {
     val cls = pmod(length(domain), lit(3))
     when(cls === 0, lit("# catch-all stands down; the bot group rules\n" +
       "User-agent: *\nDisallow:\n\n" +
-      "User-agent: graftbot\nDisallow: /doc\nAllow: /doc/1\n"))
+      "User-agent: graftbot\nDisallow: /doc\nAllow: /doc/1\n" +
+      "Crawl-delay: 2\n"))
       .when(cls === 1, lit("User-agent: *\nDisallow: /\n" +
-        "Allow: /doc\nDisallow: /doc/13\n"))
+        "Allow: /doc\nDisallow: /doc/13\nCrawl-delay: 1\n"))
       .otherwise(lit("User-agent: graftbot\nUser-agent: otherbot\n" +
         "Allow: /doc/2\nDisallow: /doc/2\nDisallow: /doc/3\n\n" +
         "User-agent: *\nDisallow: /\n"))
@@ -469,7 +470,14 @@ object Curation {
     * are dropped at parse. Rules before any user-agent line belong to
     * no group and vanish in the agent join. Windows are per-domain —
     * a robots.txt is a bounded file, never corpus-grain. */
-  def robotsRules(robots: DataFrame): DataFrame = {
+  /** The shared line parse + grouping both rule families read:
+    * (domain, grp, line_no, kind, value) with kind one of ua / allow /
+    * disallow / delay. Crawl-delay participates in GROUPING (a rule
+    * line between user-agent lines ends the header block per RFC 9309
+    * section 2.1 -- dropping it from the parse would wrongly merge the
+    * surrounding groups) even though [[robotsRules]] does not emit
+    * it. */
+  private def robotsGrouped(robots: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lines = robots.select(col("domain"),
       posexplode(split(col("robots_txt"), "\n")).as(Seq("line_no", "raw")))
@@ -479,24 +487,72 @@ object Curation {
       when(lower(col("ln")).startsWith("user-agent:"), "ua")
         .when(lower(col("ln")).startsWith("allow:"), "allow")
         .when(lower(col("ln")).startsWith("disallow:"), "disallow")
+        .when(lower(col("ln")).startsWith("crawl-delay:"), "delay")
         .as("kind"),
       trim(expr("substring(ln, instr(ln, ':') + 1)")).as("value"))
       .filter(col("kind").isNotNull)
     val w = Window.partitionBy("domain").orderBy("line_no")
-    val grouped = typed
+    typed
       .withColumn("boundary",
         when(col("kind") === "ua" &&
           coalesce(lag("kind", 1).over(w), lit("-")) =!= "ua", 1L)
           .otherwise(0L))
       .withColumn("grp", sum("boundary").over(w))
-    val agents = grouped.filter(col("kind") === "ua")
+  }
+
+  /** Per-group agents: the user-agent lines, lowercased. */
+  private def robotsAgents(grouped: DataFrame): DataFrame =
+    grouped.filter(col("kind") === "ua")
       .select(col("domain"), col("grp"), lower(col("value")).as("agent"))
+
+  def robotsRules(robots: DataFrame): DataFrame = {
+    val grouped = robotsGrouped(robots)
     val rules = grouped
-      .filter(col("kind") =!= "ua" && length(col("value")) > 0)
+      .filter(col("kind").isin("allow", "disallow") && length(col("value")) > 0)
       .select(col("domain"), col("grp"), col("kind").as("rule"),
         col("value").as("prefix"), col("line_no"))
-    agents.join(rules, Seq("domain", "grp"))
+    robotsAgents(grouped).join(rules, Seq("domain", "grp"))
       .select("domain", "agent", "rule", "prefix", "line_no")
+  }
+
+  /** The politeness half the path rules don't carry: per (domain,
+    * agent) the Crawl-delay seconds -- not in RFC 9309 but honored by
+    * every production crawler, and the number that actually prices a
+    * fetch plan. Non-numeric values are dropped (the real-crawler
+    * behavior); a group with several delay lines serves the MINIMUM
+    * (conservative, deterministic). */
+  def robotsDelays(robots: DataFrame): DataFrame = {
+    val grouped = robotsGrouped(robots)
+    val delays = grouped
+      .filter(col("kind") === "delay" && col("value").rlike("^[0-9]+$"))
+      .select(col("domain"), col("grp"),
+        col("value").cast("long").as("delay_s"))
+    robotsAgents(grouped).join(delays, Seq("domain", "grp"))
+      .groupBy("domain", "agent")
+      .agg(min("delay_s").as("delay_s"))
+  }
+
+  /** The fetch-time budget a POLITE serial crawler pays per domain:
+    * allowed-URL count (from [[robotsGate]]) x the effective delay for
+    * the agent (exact-agent group's delay if one exists, else the `*`
+    * group's, else the 1-second default every polite crawler ships) --
+    * the number that decides how many crawler slots a domain needs.
+    * Delay tables are (domain, agent)-bounded dimensions -> broadcast
+    * joins; the census stays at domain grain (aggregate keys). */
+  def robotsCrawlTime(docs: DataFrame, agent: String = "graftbot"): DataFrame = {
+    val delays = robotsDelays(robotsTable(docs))
+    val agentD = delays.filter(col("agent") === lit(agent.toLowerCase))
+      .select(col("domain"), col("delay_s").as("d_agent"))
+    val starD = delays.filter(col("agent") === "*")
+      .select(col("domain"), col("delay_s").as("d_star"))
+    robotsGate(docs, agent)
+      .groupBy("domain")
+      .agg(sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"))
+      .join(broadcast(agentD), Seq("domain"), "left")
+      .join(broadcast(starD), Seq("domain"), "left")
+      .select(col("domain"), col("n_allowed"),
+        coalesce(col("d_agent"), col("d_star"), lit(1L)).as("delay_s"))
+      .withColumn("est_serial_s", col("n_allowed") * col("delay_s"))
   }
 
   /** The candidate frame the gate runs on: per doc its canonical URL,

@@ -564,6 +564,51 @@ object TextAnalysis {
     }
   }
 
+  /** [[pplBucketsSketch]] PER LANGUAGE — the split CCNet actually
+    * ships (Wenzek et al. 2020 buckets each language separately; a
+    * global cut would let a verbose language crowd out a terse one):
+    * the SAME sketch discipline keyed by lang — a per-lang bottom-k
+    * row sample ([[Sketches.quantileSample]], the q_quantiles_sketch
+    * precedent: per-key bottom-k by the portable row hash), per-lang
+    * tercile cut values over the ≤k-per-lang sample, and one
+    * broadcast of the langs×1 cut frame (languages are a dimension)
+    * joined back for the per-row comparison. Same tie rule, same
+    * O(1/√k) per-lang rank bound, fully oracle-replayable. */
+  def pplBucketsSketchByLang(docs: DataFrame, k: Int = 512,
+                             quantum: Long = 1000000L): DataFrame = {
+    require(k >= 16, s"pplBucketsSketchByLang: sample k must be >= 16, got $k")
+    val scored = bigramScoreFrom(docs, bigramModel(docs), quantum)
+      .filter(col("n_bigram") > 0)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_bigram"),
+        expr("(sum_qlp - pmod(sum_qlp, n_bigram)) DIV n_bigram").as("mq"))
+    Dedup.withScopedCache(scored) { sc =>
+      val sample = Sketches.quantileSample(sc, Seq("lang"), col("doc_id"),
+        col("mq"), k, seed = "pplq:")
+      val ranked = sample
+        .withColumn("rn", row_number().over(Window.partitionBy("lang")
+          .orderBy(col("v").desc, col("h"))).cast("long"))
+        .withColumn("n_s", count(lit(1)).over(
+          Window.partitionBy("lang")).cast("long"))
+      val cuts = ranked.groupBy("lang").agg(
+        max(when(col("rn") === greatest(lit(1L), expr("n_s DIV 3")),
+          col("v"))).as("cut_head"),
+        max(when(col("rn") === greatest(lit(1L), expr("(n_s * 2) DIV 3")),
+          col("v"))).as("cut_mid"))
+      sc.join(broadcast(cuts), Seq("lang"))
+        .withColumn("bucket",
+          when(col("mq") >= col("cut_head"), "head")
+            .when(col("mq") >= col("cut_mid"), "middle")
+            .otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_bigram").as("n_bigrams"),
+          min("mq").as("min_mq"),
+          max("mq").as("max_mq"))
+    }
+  }
+
   /** Per-source quality scorecard — the dashboard row that ranks sources
     * for inclusion: doc count, exact total token count, how many docs
     * clear the quality floor, and the source's dominant language. One

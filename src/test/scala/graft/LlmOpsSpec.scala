@@ -869,6 +869,30 @@ class LlmOpsSpec extends SparkSpec {
         "middle's worst doc must score >= tail's best")
   }
 
+  test("per-language ppl buckets: each lang gets its own terciles, full-sample ≡ per-lang exact") {
+    import graft.ops.TextAnalysis
+    // two languages with very different score scales — a GLOBAL cut
+    // would put every lang-B doc in the tail; the per-lang split must
+    // bucket each language against itself
+    val langA = (0 until 6).map(i =>
+      ((("the cat " * (2 + i)).trim + s" mat$i x$i"), "en"))
+    val langB = (0 until 6).map(i =>
+      ((("zq xv " * (2 + i)).trim + s" wm$i pf$i"), "zz"))
+    val docs = (langA ++ langB).zipWithIndex
+      .map { case ((t, l), i) => (i.toLong, t, l) }
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.pplBucketsSketchByLang(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // every lang carries DOCS IN EVERY BUCKET (6 docs → 2/2/2 when
+    // scores are distinct) — the claim a global cut would violate
+    Seq("en", "zz").foreach { l =>
+      Seq("head", "middle", "tail").foreach { b =>
+        assert(out.getOrElse((l, b), 0L) === 2L,
+          s"($l, $b): ${out.filter(_._1._1 == l)}")
+      }
+    }
+  }
+
   test("trained langid: NB routes the distinct-script corpus the heuristic cannot") {
     import graft.ops.TextAnalysis
     // four languages with genuinely different character distributions

@@ -849,6 +849,39 @@ class SamplingSpec extends SparkSpec {
       "class 2: otherbot shares graftbot's group verbatim")
   }
 
+  test("crawl-delay: group-scoped, agent-specific, min-of-many, default 1, header-block rule") {
+    import graft.ops.Curation
+    // handcrafted robots: graftbot group carries two delays (min wins)
+    // and a non-numeric one (dropped); a delay BETWEEN user-agent lines
+    // ends the header block, so the second agent starts a NEW group and
+    // never sees the first group's rules (RFC 9309 §2.1)
+    val robots = Seq(("ex.com",
+      "User-agent: graftbot\nCrawl-delay: 5\nCrawl-delay: 3\n" +
+        "Crawl-delay: soon\nUser-agent: late\nDisallow: /x\n\n" +
+        "User-agent: *\nCrawl-delay: 7\n")).toDF("domain", "robots_txt")
+    val d = Curation.robotsDelays(robots).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(d === Map("graftbot" -> 3L, "*" -> 7L),
+      s"unexpected delays: $d")
+    // the header-block rule: 'late' opened a NEW group (the delay line
+    // ended graftbot's header block), so /x binds to late alone
+    val rules = Curation.robotsRules(robots).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(rules === Set(("late", "disallow", "/x")), s"unexpected: $rules")
+    // effective delay on the fixture corpus: class 0 domains carry the
+    // graftbot group's 2 s, class 1 the catch-all's 1 s, class 2 none
+    // (the 1 s polite default) — and est_serial_s = n_allowed * delay
+    val docs = Seq((7L, "src"), (10L, "src"), (25L, "s"))
+      .map { case (i, src) => (i, "body text", "en", src) }
+      .toDF("doc_id", "text", "lang", "source")
+    val ct = Curation.robotsCrawlTime(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(ct("src-7.net") === ((0L, 2L, 0L)))   // class 0: blocked, bot delay 2
+    assert(ct("src-10.com") === ((1L, 1L, 1L)))  // class 1: allowed, * delay 1
+    assert(ct("s-25.com") === ((1L, 1L, 1L)))    // class 2: allowed, default 1
+  }
+
   test("gate kappa matches a driver 2x2 model; degenerate tables yield null") {
     import spark.implicits._
     import graft.ops.Curation
