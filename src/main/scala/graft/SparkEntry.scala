@@ -1619,6 +1619,27 @@ object SparkEntry {
       Curation.robotsCrawlTime(Tables.documents(s, dir))
         .orderBy("domain")),
 
+    // sitemap walk (sitemaps.org): per-domain TWO-LEVEL sitemaps —
+    // a sitemapindex over urlset chunks capped at the protocol file
+    // bound (cap 7 here so the index level carries real multi-chunk
+    // traffic at test scale; production keeps the 50k default) —
+    // built by expression, then parsed back off the XML STRINGS:
+    // index → chunk locs → equi-join fetch → per-URL loc/lastmod/
+    // priority with the optional fields NULL when omitted
+    "text_sitemap_entries" -> ((s, dir) =>
+      Curation.sitemapEntries(Tables.documents(s, dir), cap = 7)
+        .orderBy("domain", "loc")),
+
+    // ... and the frontier seed census the walk feeds: per domain,
+    // what the sitemap advertises vs what the corpus already has vs
+    // what a POLITE crawler may fetch of the new (robots precedence on
+    // each listed URL) and the serial cost at the effective
+    // Crawl-delay — discovery, dedup, politeness, and budget composed
+    // into one domain-grain frame
+    "text_sitemap_frontier" -> ((s, dir) =>
+      Curation.sitemapFrontier(Tables.documents(s, dir), cap = 7)
+        .orderBy("domain")),
+
     // code-vs-prose routing: symbol density, camelCase, keyword and
     // indent counts in exact integer ppm; the gate a mixed corpus runs
     // before language-ID or perplexity scoring
@@ -4375,6 +4396,51 @@ object SparkEntry {
         |LEFT JOIN (SELECT domain, delay_s FROM dly WHERE agent = '*') ds
         |  ON a.domain = ds.domain
         |ORDER BY a.domain""".stripMargin),
+
+    // the sitemap walk replayed whole: build (chunking, optional-field
+    // omissions, index), then parse back off the XML strings
+    "text_sitemap_entries" -> ("WITH " + ROBOTS_CTES + SITEMAP_CTES + """
+        |SELECT domain, chunk_no, loc, lastmod, priority FROM sent
+        |ORDER BY domain, loc""".stripMargin),
+
+    // the frontier seed census: listed vs already-have vs new vs
+    // politely-fetchable, priced at the effective Crawl-delay
+    "text_sitemap_frontier" -> ("WITH " + ROBOTS_CTES + SITEMAP_CTES + """
+        |, scand AS (SELECT domain, loc,
+        |    CASE WHEN length(p) = 0 THEN '/' ELSE p END AS path
+        |  FROM (SELECT domain, loc,
+        |      regexp_replace(loc, '^[A-Za-z]+://[^/?]*', '') AS p FROM sent)),
+        |sbest AS (SELECT domain, loc, rule FROM (
+        |    SELECT c.domain, c.loc, r.rule,
+        |      row_number() OVER (PARTITION BY c.domain, c.loc
+        |        ORDER BY length(r.prefix) DESC, r.rule, r.line_no) AS rk
+        |    FROM scand c JOIN appl r ON c.domain = r.domain
+        |    WHERE substr(c.path, 1, length(r.prefix)) = r.prefix)
+        |  WHERE rk = 1),
+        |scen AS (SELECT e.domain,
+        |    CAST(count(*) AS BIGINT) AS n_listed,
+        |    CAST(sum(CASE WHEN cu.url IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_in_corpus,
+        |    CAST(sum(CASE WHEN cu.url IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN cu.url IS NULL
+        |        AND (b.rule IS NULL OR b.rule = 'allow') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_fetchable
+        |  FROM sent e
+        |  LEFT JOIN (SELECT DISTINCT domain, url FROM cand) cu
+        |    ON e.domain = cu.domain AND e.loc = cu.url
+        |  LEFT JOIN sbest b ON e.domain = b.domain AND e.loc = b.loc
+        |  GROUP BY 1)
+        |SELECT f.domain, f.n_listed, f.n_in_corpus, f.n_new, f.n_fetchable,
+        |  CAST(coalesce(da.delay_s, ds.delay_s, 1) AS BIGINT) AS delay_s,
+        |  CAST(f.n_fetchable * coalesce(da.delay_s, ds.delay_s, 1) AS BIGINT)
+        |    AS est_fetch_s
+        |FROM scen f
+        |LEFT JOIN (SELECT domain, delay_s FROM dly WHERE agent = 'graftbot') da
+        |  ON f.domain = da.domain
+        |LEFT JOIN (SELECT domain, delay_s FROM dly WHERE agent = '*') ds
+        |  ON f.domain = ds.domain
+        |ORDER BY f.domain""".stripMargin),
 
     // the NB model frame rebuilt whole: per-(lang, bigram) counts,
     // per-lang totals, one vocabulary row — column-for-column the
@@ -7592,6 +7658,62 @@ object SparkEntry {
         |gate AS (SELECT c.doc_id, c.domain, c.path, b.rule, b.prefix,
         |    (b.rule IS NULL OR b.rule = 'allow') AS allowed
         |  FROM cand c LEFT JOIN best b ON c.doc_id = b.doc_id)""".stripMargin
+
+  /** The sitemap build + walk replayed whole on top of [[ROBOTS_CTES]]
+    * (reusing `cand` for the per-domain URL list, `appl` for the
+    * precedence rules, `dly` for the effective delay): the two
+    * discovered-only URLs per domain, the `<url>` blocks with their
+    * mod-4 optional-field omissions, the cap-7 chunking, the
+    * sitemapindex, and the parse back off the XML strings — ends at
+    * CTE `sent` (domain, chunk_no, loc, lastmod, priority). Portable
+    * pmod spelled ((x % m) + m) % m for the negative sort keys. */
+  private val SITEMAP_CTES: String =
+    """,smu AS (SELECT domain, CAST(doc_id AS BIGINT) AS ord, url AS loc FROM cand
+        |  UNION ALL
+        |  SELECT domain, CAST(-1 AS BIGINT), 'https://' || domain || '/doc/new-1'
+        |  FROM (SELECT DISTINCT domain FROM cand)
+        |  UNION ALL
+        |  SELECT domain, CAST(-2 AS BIGINT), 'https://' || domain || '/private/new-2'
+        |  FROM (SELECT DISTINCT domain FROM cand)),
+        |smb AS (SELECT domain, ord,
+        |    '<url><loc>' || loc || '</loc>'
+        |    || CASE WHEN ((ord % 4) + 4) % 4 = 0 THEN '' ELSE
+        |         '<lastmod>' || strftime(DATE '2020-01-01'
+        |           + CAST(((ord % 365) + 365) % 365 AS INT), '%Y-%m-%d')
+        |         || '</lastmod>' END
+        |    || CASE WHEN ((ord % 4) + 4) % 4 = 1 THEN '' ELSE
+        |         '<priority>0.' || CAST(((ord % 10) + 10) % 10 AS VARCHAR)
+        |         || '</priority>' END
+        |    || '</url>' AS blk,
+        |    row_number() OVER (PARTITION BY domain ORDER BY ord) AS rn
+        |  FROM smu),
+        |smc AS (SELECT domain, CAST((rn - 1) // 7 AS BIGINT) AS chunk_no,
+        |    '<?xml version="1.0" encoding="UTF-8"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        |      || string_agg(blk, '' ORDER BY ord) || '</urlset>' AS xml
+        |  FROM smb GROUP BY 1, 2),
+        |smi AS (SELECT domain,
+        |    '<?xml version="1.0" encoding="UTF-8"?><sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        |      || string_agg('<sitemap><loc>https://' || domain || '/sitemap-'
+        |          || CAST(chunk_no AS VARCHAR) || '.xml</loc></sitemap>',
+        |          '' ORDER BY chunk_no)
+        |      || '</sitemapindex>' AS xml
+        |  FROM smc GROUP BY 1),
+        |sic AS (SELECT domain,
+        |    CAST(regexp_extract(regexp_extract(blk, '<loc>([^<]*)</loc>', 1),
+        |      'sitemap-([0-9]+)\.xml$', 1) AS BIGINT) AS chunk_no
+        |  FROM (SELECT domain, unnest(regexp_extract_all(xml,
+        |      '(?s)<sitemap(?:\s[^>]*)?>(.*?)</sitemap>', 1)) AS blk FROM smi)),
+        |sie AS (SELECT c.domain, c.chunk_no, unnest(regexp_extract_all(k.xml,
+        |      '(?s)<url(?:\s[^>]*)?>(.*?)</url>', 1)) AS blk
+        |  FROM sic c JOIN smc k
+        |    ON c.domain = k.domain AND c.chunk_no = k.chunk_no),
+        |sent AS (SELECT domain, chunk_no,
+        |    regexp_extract(blk, '<loc>([^<]*)</loc>', 1) AS loc,
+        |    nullif(regexp_extract(blk, '<lastmod>([^<]*)</lastmod>', 1), '')
+        |      AS lastmod,
+        |    CAST(nullif(regexp_extract(blk, '<priority>([^<]*)</priority>', 1),
+        |      '') AS DOUBLE) AS priority
+        |  FROM sie)""".stripMargin
 
   /** The char-bigram frame both langid-NB oracles build on: one row
     * per 2-char window occurrence, labeled by the doc's lang. */

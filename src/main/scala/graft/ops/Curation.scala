@@ -539,20 +539,33 @@ object Curation {
     * the number that decides how many crawler slots a domain needs.
     * Delay tables are (domain, agent)-bounded dimensions -> broadcast
     * joins; the census stays at domain grain (aggregate keys). */
-  def robotsCrawlTime(docs: DataFrame, agent: String = "graftbot"): DataFrame = {
+  def robotsCrawlTime(docs: DataFrame, agent: String = "graftbot"): DataFrame =
+    withEffectiveDelay(
+      robotsGate(docs, agent)
+        .groupBy("domain")
+        .agg(sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed")),
+      docs, agent)
+      .select(col("domain"), col("n_allowed"), col("delay_s"))
+      .withColumn("est_serial_s", col("n_allowed") * col("delay_s"))
+
+  /** Append the effective Crawl-delay to a domain-keyed frame: the
+    * exact-agent group's delay if one exists, else the `*` group's,
+    * else the 1-second polite default — the coalesce
+    * [[robotsCrawlTime]] and [[sitemapFrontier]] share. Delay tables
+    * are (domain, agent)-bounded dimensions → broadcast joins. */
+  private def withEffectiveDelay(perDomain: DataFrame, docs: DataFrame,
+                                 agent: String): DataFrame = {
     val delays = robotsDelays(robotsTable(docs))
     val agentD = delays.filter(col("agent") === lit(agent.toLowerCase))
-      .select(col("domain"), col("delay_s").as("d_agent"))
+      .select(col("domain"), col("delay_s").as("__d_agent"))
     val starD = delays.filter(col("agent") === "*")
-      .select(col("domain"), col("delay_s").as("d_star"))
-    robotsGate(docs, agent)
-      .groupBy("domain")
-      .agg(sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"))
+      .select(col("domain"), col("delay_s").as("__d_star"))
+    perDomain
       .join(broadcast(agentD), Seq("domain"), "left")
       .join(broadcast(starD), Seq("domain"), "left")
-      .select(col("domain"), col("n_allowed"),
-        coalesce(col("d_agent"), col("d_star"), lit(1L)).as("delay_s"))
-      .withColumn("est_serial_s", col("n_allowed") * col("delay_s"))
+      .withColumn("delay_s",
+        coalesce(col("__d_agent"), col("__d_star"), lit(1L)))
+      .drop("__d_agent", "__d_star")
   }
 
   /** The candidate frame the gate runs on: per doc its canonical URL,
@@ -578,23 +591,39 @@ object Curation {
     * window at doc grain (partitioned); unmatched docs come back via
     * one left join. */
   def robotsGate(docs: DataFrame, agent: String = "graftbot"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val urls = robotsCandidates(docs)
-    val rules = robotsRules(robotsTable(docs))
-    val agentRules = rules.filter(col("agent") === lit(agent.toLowerCase))
-    val applicable = agentRules.unionByName(
-      rules.filter(col("agent") === "*")
-        .join(agentRules.select("domain").distinct(), Seq("domain"), "left_anti"))
-    val best = urls.join(applicable, Seq("domain"))
-      .filter(expr("substring(path, 1, length(prefix)) = prefix"))
-      .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
-        .orderBy(length(col("prefix")).desc, col("rule"), col("line_no"))))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("rule"), col("prefix"))
+    val best = gateVerdict(urls, robotsRules(robotsTable(docs)), agent,
+      keyCols = Seq("doc_id"))
     urls.join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("domain"), col("path"),
         col("rule"), col("prefix"),
         (col("rule").isNull || col("rule") === "allow").as("allowed"))
+  }
+
+  /** The RFC 9309 precedence engine [[robotsGate]] and
+    * [[sitemapFrontier]] share: for a candidate frame carrying
+    * (`keyCols`…, domain, path), the winning rule per key — exact-agent
+    * group beats `*`, longest prefix wins, Allow beats Disallow on
+    * equal length (the rule-ascending sort), line order last. Emits
+    * (keyCols…, rule, prefix); keys with no matching rule are absent
+    * (the caller's left join reads that as allowed). The rule table is
+    * domain-keyed and bounded per domain (a robots.txt is a file), so
+    * the candidate×rule join has bounded fan-out and the verdict
+    * window is partitioned at key grain — never corpus-global. */
+  private def gateVerdict(cands: DataFrame, rules: DataFrame,
+                          agent: String, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agentRules = rules.filter(col("agent") === lit(agent.toLowerCase))
+    val applicable = agentRules.unionByName(
+      rules.filter(col("agent") === "*")
+        .join(agentRules.select("domain").distinct(), Seq("domain"), "left_anti"))
+    cands.join(applicable, Seq("domain"))
+      .filter(expr("substring(path, 1, length(prefix)) = prefix"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(length(col("prefix")).desc, col("rule"), col("line_no"))))
+      .filter(col("rk") === 1)
+      .select(keyCols.map(col) :+ col("rule") :+ col("prefix"): _*)
   }
 
   /** The gate's census twin, composing with the curation chain the
@@ -613,6 +642,196 @@ object Curation {
         sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
         sum(when(col("allowed"), col("n_tokens")).otherwise(0L))
           .as("n_tokens_allowed"))
+
+  // ---------------------------------------------------------------------
+  // Sitemap seam — the crawl frontier's DISCOVERY channel (the
+  // sitemaps.org protocol), completing robots' may-I-fetch with
+  // sitemap's what-is-there: build per-domain TWO-LEVEL sitemaps (a
+  // sitemapindex over urlset chunks, each capped at the protocol's
+  // 50,000-URL file bound), parse them back by string arithmetic both
+  // engines share, and census the frontier a polite crawler would
+  // actually fetch. The protocol cap is what makes the per-file
+  // aggregation scale-safe: a chunk's collect is ≤cap rows BY
+  // CONSTRUCTION, never corpus-grain, and a 10M-URL domain is 200
+  // bounded files, not one unbounded one.
+  // ---------------------------------------------------------------------
+
+  private val SitemapUrlsetHeader =
+    "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"
+  private val SitemapIndexHeader =
+    "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"
+
+  /** The URL list a domain's sitemap advertises: every corpus URL of
+    * the domain (ordered by doc_id — the deterministic listing order)
+    * plus two DISCOVERED-ONLY URLs per domain the corpus does not
+    * contain (sort keys −1/−2, so they land in chunk 0 under any cap),
+    * keeping the frontier census's new-URL branch live — a real
+    * sitemap's whole point is listing pages the crawler has not seen.
+    * `/doc/new-1` and `/private/new-2` split across the robots fixture
+    * classes (class 0 blocks the first and allows the second; class 1
+    * the reverse; class 2 allows both), so gate×discovery composition
+    * is exercised in every branch. */
+  private def sitemapUrls(docs: DataFrame): DataFrame = {
+    val corpus = withDomain(docs).select(
+      col("__domain").as("domain"),
+      col("doc_id").as("ord"),
+      docUrl(col("doc_id"), col("source")).as("loc"))
+    val extras = withDomain(docs).select(col("__domain").as("domain"))
+      .distinct()
+      .select(col("domain"), explode(array(
+        struct(lit(-1L).as("ord"),
+          concat(lit("https://"), col("domain"), lit("/doc/new-1")).as("loc")),
+        struct(lit(-2L).as("ord"),
+          concat(lit("https://"), col("domain"), lit("/private/new-2")).as("loc"))))
+        .as("e"))
+      .select(col("domain"), col("e.ord").as("ord"), col("e.loc").as("loc"))
+    corpus.unionByName(extras)
+  }
+
+  /** One `<url>` element: loc always; lastmod (a date cycled off the
+    * sort key) omitted when ord ≡ 0 (mod 4) and priority (one decimal
+    * digit, built as a STRING so both engines parse the identical
+    * literal) omitted when ord ≡ 1 (mod 4) — both optional per the
+    * protocol, and the omission branches keep the parser's null paths
+    * live. pmod, not %: the discovered rows carry negative sort keys. */
+  private def sitemapUrlBlock(ord: Column, loc: Column): Column =
+    concat(lit("<url><loc>"), loc, lit("</loc>"),
+      when(pmod(ord, lit(4)) === 0, lit(""))
+        .otherwise(concat(lit("<lastmod>"),
+          date_format(date_add(to_date(lit("2020-01-01")),
+            pmod(ord, lit(365)).cast("int")), "yyyy-MM-dd"),
+          lit("</lastmod>"))),
+      when(pmod(ord, lit(4)) === 1, lit(""))
+        .otherwise(concat(lit("<priority>0."),
+          pmod(ord, lit(10)).cast("string"), lit("</priority>"))),
+      lit("</url>"))
+
+  /** The urlset chunk files, (domain, chunk_no, xml): URLs in listing
+    * order, `cap` per file (the protocol bound — `require`d, because
+    * the bound is exactly what makes the per-chunk collect safe), each
+    * chunk one well-formed urlset document. The sort inside each chunk
+    * is by the ≤cap-element collected array, not a corpus sort. */
+  def sitemapChunks(docs: DataFrame, cap: Int = 50000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap >= 1 && cap <= 50000,
+      s"sitemapChunks: cap must be within the protocol's 1..50000 file bound, got $cap")
+    val w = Window.partitionBy("domain").orderBy("ord")
+    sitemapUrls(docs)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("chunk_no", expr(s"CAST((rn - 1) DIV $cap AS BIGINT)"))
+      .withColumn("blk", sitemapUrlBlock(col("ord"), col("loc")))
+      .groupBy("domain", "chunk_no")
+      .agg(concat(lit(SitemapUrlsetHeader),
+        array_join(expr("transform(array_sort(collect_list(struct(ord, blk))), x -> x.blk)"), ""),
+        lit("</urlset>")).as("xml"))
+  }
+
+  /** The sitemapindex file, (domain, xml): one `<sitemap><loc>` per
+    * chunk at the conventional `/sitemap-<n>.xml` location. The
+    * per-domain collect is the CHUNK list — corpus URLs ÷ cap, bounded
+    * small by construction. */
+  def sitemapIndexTable(docs: DataFrame, cap: Int = 50000): DataFrame =
+    sitemapChunks(docs, cap)
+      .groupBy("domain")
+      .agg(sort_array(collect_list(col("chunk_no"))).as("__chunks"))
+      .select(col("domain"), concat(lit(SitemapIndexHeader),
+        array_join(transform(col("__chunks"), c =>
+          concat(lit("<sitemap><loc>https://"), col("domain"),
+            lit("/sitemap-"), c.cast("string"),
+            lit(".xml</loc></sitemap>"))), ""),
+        lit("</sitemapindex>")).as("xml"))
+
+  /** Parse a sitemapindex: (domain, chunk_loc, chunk_no) from each
+    * `<sitemap>` block. The parse reads the XML STRING (non-greedy
+    * block regexes, RE2-safe in both engines), never the
+    * construction. */
+  def sitemapIndexEntries(index: DataFrame): DataFrame =
+    index.select(col("domain"),
+      // `(?:\s[^>]*)?` tolerates attributed tags from third-party
+      // builders while never matching the <sitemapindex> wrapper
+      explode(expr(
+        "regexp_extract_all(xml, '(?s)<sitemap(?:\\\\s[^>]*)?>(.*?)</sitemap>', 1)"))
+        .as("blk"))
+      .select(col("domain"),
+        regexp_extract(col("blk"), "<loc>([^<]*)</loc>", 1).as("chunk_loc"))
+      .withColumn("chunk_no",
+        regexp_extract(col("chunk_loc"), "sitemap-([0-9]+)\\.xml$", 1)
+          .cast("long"))
+
+  /** Walk index → chunks → entries: the index's chunk locs resolve
+    * against the chunk table (the equi-join IS the fetch — in
+    * production the join target is the fetched file body, here the
+    * builder's table stands in, the robotsTable discipline), then each
+    * urlset parses to (domain, chunk_no, loc, lastmod, priority) with
+    * the optional fields NULL when absent. Entry grain ≈ corpus grain;
+    * every step is an equi-join or a per-row regex. */
+  def sitemapEntriesFrom(index: DataFrame, chunks: DataFrame): DataFrame = {
+    def opt(c: Column): Column = when(length(c) === 0, lit(null)).otherwise(c)
+    sitemapIndexEntries(index)
+      .join(chunks, Seq("domain", "chunk_no"))
+      .select(col("domain"), col("chunk_no"),
+        // attribute-tolerant, and `<url` + `(?:\s…)?` never matches the
+        // <urlset> wrapper (its next char is neither \s nor >)
+        explode(expr(
+          "regexp_extract_all(xml, '(?s)<url(?:\\\\s[^>]*)?>(.*?)</url>', 1)"))
+          .as("blk"))
+      .select(col("domain"), col("chunk_no"),
+        regexp_extract(col("blk"), "<loc>([^<]*)</loc>", 1).as("loc"),
+        opt(regexp_extract(col("blk"), "<lastmod>([^<]*)</lastmod>", 1))
+          .as("lastmod"),
+        opt(regexp_extract(col("blk"), "<priority>([^<]*)</priority>", 1))
+          .cast("double").as("priority"))
+  }
+
+  /** Build + walk composed over the corpus fixture — the registered
+    * face. */
+  def sitemapEntries(docs: DataFrame, cap: Int = 50000): DataFrame =
+    sitemapEntriesFrom(sitemapIndexTable(docs, cap), sitemapChunks(docs, cap))
+
+  /** The frontier seed census, per domain: how much the sitemap
+    * advertises (n_listed), how much the crawler already has
+    * (n_in_corpus, by exact canonical-URL match), how much is NEW, how
+    * much of the new a POLITE crawler may actually fetch (n_fetchable
+    * = new ∧ robots-allowed, the [[gateVerdict]] precedence on the
+    * listed URL's path), and what fetching it costs serially
+    * (n_fetchable × the effective Crawl-delay). This is the number a
+    * crawl scheduler reads per domain before assigning fleet slots —
+    * discovery, dedup, politeness, and budget in ONE domain-grain
+    * frame. Plan shape: entry-grain equi-joins (corpus-URL match,
+    * rule verdict), one aggregate at domain grain, two broadcast delay
+    * joins. */
+  def sitemapFrontier(docs: DataFrame, agent: String = "graftbot",
+                      cap: Int = 50000): DataFrame = {
+    val entries = sitemapEntries(docs, cap)
+    val cands = entries.select(col("domain"), col("loc"), {
+      val p = regexp_replace(col("loc"), "^[A-Za-z]+://[^/?]*", "")
+      when(length(p) === 0, lit("/")).otherwise(p).as("path")
+    })
+    val best = gateVerdict(cands, robotsRules(robotsTable(docs)), agent,
+      keyCols = Seq("domain", "loc"))
+    val corpusUrls = withDomain(docs)
+      .select(col("__domain").as("domain"),
+        docUrl(col("doc_id"), col("source")).as("loc"))
+      .distinct()
+      .withColumn("__have", lit(1L))
+    val census = entries
+      .join(corpusUrls, Seq("domain", "loc"), "left")
+      .join(best, Seq("domain", "loc"), "left")
+      .withColumn("__new", when(col("__have").isNull, 1L).otherwise(0L))
+      .withColumn("__ok",
+        when(col("rule").isNull || col("rule") === "allow", 1L).otherwise(0L))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_listed"),
+        sum(lit(1L) - col("__new")).as("n_in_corpus"),
+        sum(col("__new")).as("n_new"),
+        sum(col("__new") * col("__ok")).as("n_fetchable"))
+    withEffectiveDelay(census, docs, agent)
+      .select(col("domain"), col("n_listed"), col("n_in_corpus"),
+        col("n_new"), col("n_fetchable"), col("delay_s"),
+        (col("n_fetchable") * col("delay_s")).as("est_fetch_s"))
+  }
 
   /** The gate's census twin: per source, total vs blocked vs kept
     * document counts — the number a data lead checks before accepting

@@ -882,6 +882,101 @@ class SamplingSpec extends SparkSpec {
     assert(ct("s-25.com") === ((1L, 1L, 1L)))    // class 2: allowed, default 1
   }
 
+  test("sitemap build + walk: chunk cap, index resolution, optional-field omissions") {
+    import graft.ops.Curation
+    // ONE domain (ids congruent mod 100 share source-10.com), five
+    // corpus docs + the two discovered rows = 7 URLs; cap 2 -> 4
+    // chunks ((-2,-1 | 10,110 | 210,310 | 410)): the discovered rows'
+    // negative sort keys land them in chunk 0 under any cap
+    val docs = Seq(10L, 110L, 210L, 310L, 410L)
+      .map(i => (i, "body", "en", "src"))
+      .toDF("doc_id", "text", "lang", "source")
+    val chunks = Curation.sitemapChunks(docs, cap = 2)
+    assert(chunks.count() === 4L, "7 URLs at cap 2 must make 4 chunks")
+    val entries = Curation.sitemapEntries(docs, cap = 2).collect()
+      .map(r => r.getString(2) ->
+        ((r.getLong(1), Option(r.getString(3)), Option(r.get(4))))).toMap
+    assert(entries.size === 7, s"walk must return all 7 listed URLs: $entries")
+    // discovered rows in chunk 0; corpus rows in listing order behind
+    // them (doc 210 carries the www. subdomain — stripped in the
+    // domain key, kept in the listed URL string)
+    assert(entries("https://src-10.com/private/new-2")._1 === 0L) // ord -2
+    assert(entries("https://src-10.com/doc/new-1")._1 === 0L)     // ord -1
+    assert(entries("https://src-10.com/doc/110")._1 === 1L)
+    assert(entries("https://www.src-10.com/doc/210")._1 === 2L)
+    assert(entries("https://src-10.com/doc/410")._1 === 3L)       // 7th listed
+    // field cycling: ord 110 -> lastmod day-of-year 111, priority 0.0
+    val d110 = entries("https://src-10.com/doc/110")
+    assert(d110._2 === Some("2020-04-20"), s"lastmod must cycle off ord: $d110")
+    assert(d110._3 === Some(0.0), s"priority must parse as the 0.<d> literal: $d110")
+    // null-branch liveness: ord 0 mod 4 omits lastmod, 1 mod 4 omits priority
+    val omit = Seq(4L, 5L).map(i => (i, "body", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val om = Curation.sitemapEntries(omit, cap = 50000).collect()
+      .map(r => r.getString(2) ->
+        ((Option(r.getString(3)), Option(r.get(4))))).toMap
+    assert(om("https://s-4.edu/doc/4") === ((None, Some(0.4))),
+      "ord 4 (0 mod 4) must omit lastmod")
+    assert(om("https://s-5.com/doc/5") === ((Some("2020-01-06"), None)),
+      "ord 5 (1 mod 4) must omit priority")
+    // the protocol bound is enforced, not advisory
+    intercept[IllegalArgumentException] { Curation.sitemapChunks(docs, cap = 0) }
+    intercept[IllegalArgumentException] { Curation.sitemapChunks(docs, cap = 50001) }
+  }
+
+  test("sitemap parse reads noisy third-party XML, not just our builder's") {
+    import graft.ops.Curation
+    // whitespace between tags, attributes on <url>, an unknown child
+    // element, and a multi-line block: the STRING parse must not care
+    val chunkXml =
+      """<?xml version="1.0"?><urlset xmlns="x">
+        |  <url changefreq="daily">
+        |    <loc>https://ex.com/a</loc>
+        |    <lastmod>2021-02-03</lastmod>
+        |    <unknown>zzz</unknown>
+        |  </url>
+        |  <url><loc>https://ex.com/b</loc><priority>0.9</priority></url>
+        |</urlset>""".stripMargin
+    val indexXml = "<sitemapindex>\n  <sitemap>\n    " +
+      "<loc>https://ex.com/sitemap-0.xml</loc>\n  </sitemap>\n</sitemapindex>"
+    val entries = Curation.sitemapEntriesFrom(
+      Seq(("ex.com", indexXml)).toDF("domain", "xml"),
+      Seq(("ex.com", 0L, chunkXml)).toDF("domain", "chunk_no", "xml"))
+      .collect().map(r => r.getString(2) ->
+        ((Option(r.getString(3)), Option(r.get(4))))).toMap
+    assert(entries === Map(
+      "https://ex.com/a" -> ((Some("2021-02-03"), None)),
+      "https://ex.com/b" -> ((None, Some(0.9)))), s"unexpected: $entries")
+  }
+
+  test("sitemap frontier: discovery routes through the robots gate and the delay") {
+    import graft.ops.Curation
+    // the robots-gate spec's domains, one per fixture class:
+    // class 0 (src-7.net, graftbot group: Disallow /doc, Allow /doc/1,
+    // delay 2): /doc/new-1 blocked, /private/new-2 unmatched -> allowed;
+    // class 1 (src-10.com, *: Disallow /, Allow /doc, delay 1):
+    // /doc/new-1 allowed, /private/new-2 blocked;
+    // class 2 (s-25.com, shared group, no delay -> default 1): both new
+    // URLs unmatched -> allowed
+    val docs = Seq((7L, "src"), (10L, "src"), (25L, "s"))
+      .map { case (i, src) => (i, "body text", "en", src) }
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Curation.sitemapFrontier(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got("src-7.net") === ((3L, 1L, 2L, 1L, 2L, 2L)),
+      s"class 0: 1 fetchable new URL at delay 2: $got")
+    assert(got("src-10.com") === ((3L, 1L, 2L, 1L, 1L, 1L)),
+      s"class 1: /doc/new-1 re-allowed, /private blocked: $got")
+    assert(got("s-25.com") === ((3L, 1L, 2L, 2L, 1L, 2L)),
+      s"class 2: both new URLs allowed at the default delay: $got")
+    // corpus URLs the sitemap lists are never "new": n_listed =
+    // n_in_corpus + n_new and n_fetchable <= n_new hold by construction
+    got.values.foreach { case (l, c, n, f, _, _) =>
+      assert(l === c + n && f <= n)
+    }
+  }
+
   test("gate kappa matches a driver 2x2 model; degenerate tables yield null") {
     import spark.implicits._
     import graft.ops.Curation
