@@ -45,9 +45,19 @@ object TextAnalysis {
   private def charBigramFrame(docs: DataFrame): DataFrame =
     docs
       .filter(col("text").isNotNull && length(col("text")) >= 2)
+      // split once, slice by O(1) array index: substring(text, i, 2)
+      // re-scans the UTF-8 byte stream from the start for every i —
+      // O(L²) per document. split-then-index is the linear form of the
+      // SAME code-point windows (split('') is code-point-aware, pinned
+      // by spec against the substring form on supplementary-plane
+      // text). The array is hoisted into its OWN projection: referenced
+      // twice in the lambda, CollapseProject keeps the alias instead of
+      // inlining the split per element.
+      .select(col("doc_id"), col("lang"), split(col("text"), "").as("__c"))
       .select(col("doc_id"), col("lang"),
         explode(expr(
-          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+          "transform(sequence(1, size(__c) - 1), i -> " +
+            "concat(element_at(__c, i), element_at(__c, i + 1)))"))
           .as("g"))
 
   /** TRAINED language ID, the model half: a char-bigram naive-Bayes

@@ -954,6 +954,29 @@ class LlmOpsSpec extends SparkSpec {
       s"OOV doc must route by the add-one floor (expected $expected)")
   }
 
+  test("langid gram frame windows by CODE POINT, including the supplementary plane") {
+    import graft.ops.TextAnalysis
+    // the split-then-index gram build (the linear form that replaced
+    // the O(L^2) per-position substring scan) must slice the identical
+    // code-point windows: mix BMP text, a supplementary-plane musical
+    // symbol (a surrogate PAIR in UTF-16 — a split that broke pairs
+    // would emit lone-surrogate garbage grams), CJK, and an emoji
+    val texts = Seq((1L, "ab𝄞cd", "x"),      // a𝄞 in the middle
+      (2L, "😀😀ok", "y"),           // two emoji lead
+      (3L, "中文ab", "x"))
+    val docs = texts.toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langIdModel(docs).collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // driver model: window adjacent CODE POINTS
+    val expected = texts.flatMap { case (_, t, l) =>
+      val cps = t.codePoints().toArray
+      cps.sliding(2).filter(_.length == 2).map(w =>
+        (l, new String(w, 0, 2)))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got === expected, s"gram frame diverged from code-point windows: $got")
+  }
+
   test("bigram log-likelihood: quantized sums match a driver-side add-one model") {
     // corpus bigrams: doc1 (a,b)(b,a)(a,b)(b,c), doc2 (a,b), doc4 (b,c)(c,a);
     // doc3 is single-token — total output, zero bigrams, NULL mean
