@@ -157,6 +157,13 @@ object GraftExtensions {
           s"graft_zip_entry_table(payload) expects 1 argument, got ${children.size}")
         ZipEntryTable(children.head): Expression
       }),
+    (FunctionIdentifier("graft_char_bigram_counts"),
+      new ExpressionInfo(classOf[CharBigramCounts].getName, "graft_char_bigram_counts"),
+      (children: Seq[Expression]) => {
+        if (children.size != 1) throw new IllegalArgumentException(
+          s"graft_char_bigram_counts(text) expects 1 argument, got ${children.size}")
+        CharBigramCounts(children.head): Expression
+      }),
     (FunctionIdentifier("graft_utf8_stats"),
       new ExpressionInfo(classOf[Utf8Stats].getName, "graft_utf8_stats"),
       (children: Seq[Expression]) => {

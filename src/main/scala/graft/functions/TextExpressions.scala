@@ -819,6 +819,89 @@ case class HtmlMarkupStats(child: Expression)
     copy(child = newChild)
 }
 
+/** One-pass char-bigram TYPE counts — the language-ID gram build.
+  *
+  * The langid faces originally exploded one row per bigram OCCURRENCE
+  * (`transform(sequence(...))` + explode + groupBy) and re-aggregated
+  * to type grain; this kernel walks the UTF-8 byte stream ONCE, slices
+  * every adjacent code-point pair at byte boundaries (byte-boundary
+  * slicing IS code-point slicing on the valid UTF-8 every Spark string
+  * carries — fromString encodes through the UTF-8 encoder), and counts
+  * types in first-occurrence order (deterministic output; order never
+  * reaches results — every consumer aggregates). Strings under 2 code
+  * points return an empty array, the `length(text) >= 2` rule. */
+object CharBigramKernel {
+  private def cpLen(b: Byte): Int = {
+    val u = b & 0xFF
+    if (u < 0x80) 1
+    else if ((u & 0xE0) == 0xC0) 2
+    else if ((u & 0xF0) == 0xE0) 3
+    else if ((u & 0xF8) == 0xF0) 4
+    else 1 // continuation/invalid byte: advance one, stay total
+  }
+
+  def counts(s: UTF8String): GenericArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    // code-point start offsets + one end sentinel
+    var starts = new Array[Int](math.min(n + 1, 64))
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (m == starts.length) starts = java.util.Arrays.copyOf(starts, m * 2)
+      starts(m) = i; m += 1
+      i += cpLen(b(i))
+    }
+    if (m < 2) return new GenericArrayData(Array.empty[Any])
+    if (m == starts.length) starts = java.util.Arrays.copyOf(starts, m + 1)
+    starts(m) = n
+    val map = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var k = 0
+    while (k < m - 1) {
+      val g = UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(b, starts(k), starts(k + 2)))
+      val c = map.get(g)
+      if (c == null) map.put(g, Array(1L)) else c(0) += 1L
+      k += 1
+    }
+    val out = new Array[Any](map.size)
+    val it = map.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue()(0)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_char_bigram_counts(text)`: array of (g, n) structs — each
+  * adjacent code-point pair and its occurrence count, one kernel pass
+  * (see [[CharBigramKernel]]). */
+case class CharBigramCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    new org.apache.spark.sql.types.StructType()
+      .add("g", StringType, nullable = false)
+      .add("n", LongType, nullable = false),
+    containsNull = false)
+  override def prettyName: String = "graft_char_bigram_counts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharBigramKernel.counts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CharBigramKernel$$.MODULE$$.counts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Codegen'd distinct word n-gram shingles. */
   def shingles(text: Column, n: Int): Column =
@@ -844,6 +927,11 @@ object TextFunctions {
     * spec-pinned bit-equal to the normalized merge-replay output. */
   def bpeJoin(text: Column, lefts: Seq[String], rights: Seq[String]): Column =
     Bridge.column(BpeEncodeJoin(Bridge.expression(text), lefts, rights))
+
+  /** Codegen'd one-pass char-bigram type counts (the langid gram
+    * build): array of (g, n) structs. */
+  def charBigramCounts(text: Column): Column =
+    Bridge.column(CharBigramCounts(Bridge.expression(text)))
 
   /** Codegen'd UTF-8 byte census (validity classes + repair count). */
   def utf8Stats(bytes: Column): Column =

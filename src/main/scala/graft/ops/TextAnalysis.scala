@@ -36,29 +36,26 @@ object TextAnalysis {
       .withColumn("match", col("predicted_lang") === col("actual_lang"))
   }
 
-  /** The character-bigram frame language-ID trains and scores on: one
-    * row per OCCURRENCE of each 2-char window (per-character grain —
-    * the curation-stack routing signal CCNet/C4/fastText build on char
-    * n-grams); docs shorter than 2 chars carry no rows. Both engines
-    * slice by code point (substring is UTF-8-aware in each), so the
-    * frame replays verbatim. */
-  private def charBigramFrame(docs: DataFrame): DataFrame =
+  /** The character-bigram TYPE-COUNT frame language-ID trains and
+    * scores on: (doc_id, lang, g, cnt) — every adjacent code-point
+    * pair of a doc with its occurrence count (the curation-stack
+    * routing signal CCNet/C4/fastText build on char n-grams), emitted
+    * at TYPE grain by the one-pass codegen'd kernel
+    * ([[graft.functions.CharBigramKernel]]): no per-occurrence explode,
+    * no re-aggregation shuffle, no per-position substring re-scan.
+    * Docs shorter than 2 code points carry no rows. The kernel slices
+    * byte boundaries = code points, pinned by spec against a
+    * driver-side codePoints window model on supplementary-plane
+    * text; the DuckDB oracles keep the per-occurrence substr replay
+    * (sum over occurrences ≡ the counts, exactly). */
+  private def charBigramCountsFrame(docs: DataFrame): DataFrame =
     docs
       .filter(col("text").isNotNull && length(col("text")) >= 2)
-      // split once, slice by O(1) array index: substring(text, i, 2)
-      // re-scans the UTF-8 byte stream from the start for every i —
-      // O(L²) per document. split-then-index is the linear form of the
-      // SAME code-point windows (split('') is code-point-aware, pinned
-      // by spec against the substring form on supplementary-plane
-      // text). The array is hoisted into its OWN projection: referenced
-      // twice in the lambda, CollapseProject keeps the alias instead of
-      // inlining the split per element.
-      .select(col("doc_id"), col("lang"), split(col("text"), "").as("__c"))
       .select(col("doc_id"), col("lang"),
-        explode(expr(
-          "transform(sequence(1, size(__c) - 1), i -> " +
-            "concat(element_at(__c, i), element_at(__c, i + 1)))"))
-          .as("g"))
+        explode(graft.functions.TextFunctions.charBigramCounts(col("text")))
+          .as("e"))
+      .select(col("doc_id"), col("lang"),
+        col("e.g").as("g"), col("e.n").as("cnt"))
 
   /** TRAINED language ID, the model half: a char-bigram naive-Bayes
     * classifier as ONE persistable frame (the bigramModel shape) —
@@ -73,11 +70,11 @@ object TextAnalysis {
   def langIdModel(docs: DataFrame): DataFrame = {
     // unlabeled docs cannot train a supervised router; the NULL slot in
     // the model frame is reserved for the prefix/vocabulary rows
-    val grams = charBigramFrame(docs).filter(col("lang").isNotNull)
+    val grams = charBigramCountsFrame(docs).filter(col("lang").isNotNull)
     Dedup.withScopedCache(grams) { b =>
       val ns = lit(null).cast("string")
-      b.groupBy("lang", "g").agg(count(lit(1)).as("n"))
-        .unionByName(b.groupBy("lang").agg(count(lit(1)).as("n"))
+      b.groupBy("lang", "g").agg(sum("cnt").as("n"))
+        .unionByName(b.groupBy("lang").agg(sum("cnt").as("n"))
           .select(col("lang"), ns.as("g"), col("n")))
         .unionByName(b.agg(count_distinct(col("g")).as("n"))
           .select(ns.as("lang"), ns.as("g"), col("n")))
@@ -107,15 +104,14 @@ object TextAnalysis {
       .select(col("lang"), col("n").cast("long").as("tot"))
     val vRow = model.filter(col("lang").isNull && col("g").isNull)
       .select(col("n").cast("long").as("v"))
-    // compress the per-occurrence stream to (doc, gram) COUNTS before
-    // anything joins it: the probe join and its n_langs fan-out then
-    // run at type-per-doc grain (each doc repeats its grams heavily),
-    // and sum(qlp · cnt) ≡ the per-occurrence sum exactly — integer
-    // multiply, no result change, one map-side-combinable aggregate
-    // instead of a corpus-sized shuffle through the join
-    val gcnt = charBigramFrame(docs)
-      .groupBy(col("doc_id"), col("lang").as("actual_lang"), col("g"))
-      .agg(count(lit(1)).as("cnt"))
+    // (doc, gram) COUNTS straight from the kernel — the probe join and
+    // its n_langs fan-out run at type-per-doc grain (each doc repeats
+    // its grams heavily), and sum(qlp · cnt) ≡ the per-occurrence sum
+    // exactly: integer multiply, no result change, zero shuffles
+    // before the join
+    val gcnt = charBigramCountsFrame(docs)
+      .select(col("doc_id"), col("lang").as("actual_lang"),
+        col("g"), col("cnt"))
     Dedup.withScopedCache(gcnt) { b =>
       val typeScores = b.select("g").distinct()
         .crossJoin(broadcast(totals))
@@ -149,9 +145,7 @@ object TextAnalysis {
     * half — the model's pair/total counts are sums of the per-doc
     * counts (exact regroup, identical values); measured ~2× at sf0.1. */
   def langIdTrained(docs: DataFrame, quantum: Long = 1000000L): DataFrame = {
-    val gcnt = charBigramFrame(docs)
-      .groupBy(col("doc_id"), col("lang"), col("g"))
-      .agg(count(lit(1)).as("cnt"))
+    val gcnt = charBigramCountsFrame(docs)
     Dedup.withScopedCache(gcnt) { b =>
       val labeled = b.filter(col("lang").isNotNull)
       val pairs = labeled.groupBy("lang", "g").agg(sum("cnt").as("c"))

@@ -73,6 +73,49 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: char-bigram kernel equals the code-point window model on unicode strings") {
+    import graft.functions.TextFunctions
+    // the one-pass kernel replaced the per-occurrence explode — any
+    // divergence on supplementary-plane slicing or count aggregation
+    // breaks the three langid oracles
+    val uniChar: Gen[String] = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const("中"), Gen.const("文"),
+      Gen.const("𝄞"), Gen.const("😀"), Gen.const("é"), Gen.const(" "))
+    val uniStr: Gen[String] = Gen.listOf(uniChar).map(_.mkString)
+    (1L to 10L).foreach { seed =>
+      val ss = sample(Gen.listOfN(40, uniStr), seed)
+      val got = ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          explode(TextFunctions.charBigramCounts(col("text"))).as("e"))
+        .select(col("doc_id"), col("e.g"), col("e.n")).collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val expected = ss.zipWithIndex.flatMap { case (s, i) =>
+        val cps = s.codePoints().toArray
+        cps.sliding(2).filter(_.length == 2)
+          .map(w => (i.toLong, new String(w, 0, 2))).toSeq
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(got === expected, s"kernel diverged from code-point windows at seed $seed")
+    }
+    // degenerate inputs: empty, one code point (a surrogate PAIR in
+    // UTF-16 — a char-naive walk would emit a phantom bigram), null
+    val edge = Seq((1L, ""), (2L, "𝄞"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.charBigramCounts(col("text")).as("a"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(edge(1L).getSeq[Any](1).isEmpty, "empty string must count nothing")
+    assert(edge(2L).getSeq[Any](1).isEmpty, "one code point carries no window")
+    assert(edge(3L).isNullAt(1), "null text must stay null")
+    // SQL surface, with the documented first-occurrence order
+    graft.functions.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_char_bigram_counts('abcab') AS a").collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(viaSql === Seq(("ab", 2L), ("bc", 1L), ("ca", 1L)),
+      s"SQL surface diverged: $viaSql")
+  }
+
   test("property: floorDiv is true floor division over arbitrary longs") {
     val xs = (1 to 200).map(i =>
       sample(Gen.chooseNum(Long.MinValue / 4, Long.MaxValue / 4), 9000 + i))
