@@ -1640,6 +1640,15 @@ object SparkEntry {
       Curation.sitemapFrontier(Tables.documents(s, dir), cap = 7)
         .orderBy("domain")),
 
+    // the robots → sitemap discovery handshake: Sitemap directives
+    // advertised per domain (group- and position-independent per the
+    // protocol), resolved against the index actually serving the
+    // domain, with the chunk fan-out behind the resolved index —
+    // zero directives is the convention-fallback branch
+    "text_robots_sitemaps" -> ((s, dir) =>
+      Curation.robotsSitemapCensus(Tables.documents(s, dir), cap = 7)
+        .orderBy("domain")),
+
     // code-vs-prose routing: symbol density, camelCase, keyword and
     // indent counts in exact integer ppm; the gate a mixed corpus runs
     // before language-ID or perplexity scoring
@@ -4441,6 +4450,30 @@ object SparkEntry {
         |LEFT JOIN (SELECT domain, delay_s FROM dly WHERE agent = '*') ds
         |  ON f.domain = ds.domain
         |ORDER BY f.domain""".stripMargin),
+
+    // the discovery handshake: Sitemap directives parsed off the raw
+    // comment-stripped lines (group-independent), resolved against the
+    // conventional index URL, chunk fan-out counted from the index
+    "text_robots_sitemaps" -> ("WITH " + ROBOTS_CTES + SITEMAP_CTES + """
+        |, sdir AS (SELECT domain, line_no,
+        |    trim(substr(ln, strpos(ln, ':') + 1)) AS sitemap_url
+        |  FROM lns WHERE lower(ln) LIKE 'sitemap:%'
+        |    AND length(trim(substr(ln, strpos(ln, ':') + 1))) > 0),
+        |scc AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_chunks
+        |  FROM sic GROUP BY 1),
+        |sdc AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_directives,
+        |    CAST(sum(CASE WHEN sitemap_url =
+        |        'https://' || domain || '/sitemap-index.xml'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resolved
+        |  FROM sdir GROUP BY 1)
+        |SELECT dom.domain,
+        |  CAST(coalesce(sdc.n_directives, 0) AS BIGINT) AS n_directives,
+        |  CAST(coalesce(sdc.n_resolved, 0) AS BIGINT) AS n_resolved,
+        |  CAST(coalesce(scc.n_chunks, 0) AS BIGINT) AS n_chunks
+        |FROM (SELECT DISTINCT domain FROM cand) dom
+        |LEFT JOIN sdc ON dom.domain = sdc.domain
+        |LEFT JOIN scc ON dom.domain = scc.domain
+        |ORDER BY dom.domain""".stripMargin),
 
     // the NB model frame rebuilt whole: per-(lang, bigram) counts,
     // per-lang totals, one vocabulary row — column-for-column the
@@ -7593,7 +7626,8 @@ object SparkEntry {
         |    FROM ub)),
         |rtxt AS (SELECT domain,
         |    CASE length(domain) % 3
-        |      WHEN 0 THEN '# catch-all stands down; the bot group rules'
+        |      WHEN 0 THEN 'Sitemap: https://' || domain || '/sitemap-index.xml'
+        |        || chr(10) || '# catch-all stands down; the bot group rules'
         |        || chr(10) || 'User-agent: *' || chr(10) || 'Disallow:'
         |        || chr(10) || chr(10) || 'User-agent: graftbot' || chr(10)
         |        || 'Disallow: /doc' || chr(10) || 'Allow: /doc/1' || chr(10)
@@ -7605,6 +7639,7 @@ object SparkEntry {
         |        || chr(10) || 'Allow: /doc/2' || chr(10) || 'Disallow: /doc/2'
         |        || chr(10) || 'Disallow: /doc/3' || chr(10) || chr(10)
         |        || 'User-agent: *' || chr(10) || 'Disallow: /' || chr(10)
+        |        || 'Sitemap: https://' || domain || '/sitemap-index.xml' || chr(10)
         |    END AS robots_txt
         |  FROM (SELECT DISTINCT domain FROM cand)),
         |lns AS (SELECT domain, CAST(u.i AS BIGINT) AS line_no,

@@ -444,15 +444,22 @@ object Curation {
     * rule) plus an equal-length Allow/Disallow tie. */
   def robotsTxtOf(domain: Column): Column = {
     val cls = pmod(length(domain), lit(3))
-    when(cls === 0, lit("# catch-all stands down; the bot group rules\n" +
-      "User-agent: *\nDisallow:\n\n" +
-      "User-agent: graftbot\nDisallow: /doc\nAllow: /doc/1\n" +
-      "Crawl-delay: 2\n"))
+    // the Sitemap directive (the discovery handshake every production
+    // crawler reads first) appears top-of-file in class 0 and
+    // end-of-file in class 2 — position-independent per the protocol —
+    // and is ABSENT in class 1, the convention-fallback branch
+    when(cls === 0, concat(lit("Sitemap: https://"), domain,
+      lit("/sitemap-index.xml\n" +
+        "# catch-all stands down; the bot group rules\n" +
+        "User-agent: *\nDisallow:\n\n" +
+        "User-agent: graftbot\nDisallow: /doc\nAllow: /doc/1\n" +
+        "Crawl-delay: 2\n")))
       .when(cls === 1, lit("User-agent: *\nDisallow: /\n" +
         "Allow: /doc\nDisallow: /doc/13\nCrawl-delay: 1\n"))
-      .otherwise(lit("User-agent: graftbot\nUser-agent: otherbot\n" +
+      .otherwise(concat(lit("User-agent: graftbot\nUser-agent: otherbot\n" +
         "Allow: /doc/2\nDisallow: /doc/2\nDisallow: /doc/3\n\n" +
-        "User-agent: *\nDisallow: /\n"))
+        "User-agent: *\nDisallow: /\n" +
+        "Sitemap: https://"), domain, lit("/sitemap-index.xml\n")))
   }
 
   /** One robots.txt row per registered domain in the corpus. */
@@ -477,12 +484,17 @@ object Curation {
     * section 2.1 -- dropping it from the parse would wrongly merge the
     * surrounding groups) even though [[robotsRules]] does not emit
     * it. */
-  private def robotsGrouped(robots: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val lines = robots.select(col("domain"),
+  /** Comment-stripped trimmed lines, (domain, line_no, ln) — shared by
+    * the group parser and the group-independent Sitemap directive. */
+  private def robotsLines(robots: DataFrame): DataFrame =
+    robots.select(col("domain"),
       posexplode(split(col("robots_txt"), "\n")).as(Seq("line_no", "raw")))
       .select(col("domain"), col("line_no").cast("long").as("line_no"),
         trim(regexp_replace(col("raw"), "#.*", "")).as("ln"))
+
+  private def robotsGrouped(robots: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = robotsLines(robots)
     val typed = lines.select(col("domain"), col("line_no"),
       when(lower(col("ln")).startsWith("user-agent:"), "ua")
         .when(lower(col("ln")).startsWith("allow:"), "allow")
@@ -530,6 +542,51 @@ object Curation {
     robotsAgents(grouped).join(delays, Seq("domain", "grp"))
       .groupBy("domain", "agent")
       .agg(min("delay_s").as("delay_s"))
+  }
+
+  /** The `Sitemap:` directives a robots.txt advertises — the discovery
+    * handshake a production crawler reads FIRST: group-INDEPENDENT per
+    * the protocol (a sitemap line neither joins nor terminates a
+    * user-agent group — it is untyped to the group parser), position-
+    * independent (the fixture plants one top-of-file and one
+    * end-of-file), field name case-insensitive, value trimmed, empty
+    * values dropped. (domain, line_no, sitemap_url). */
+  def robotsSitemaps(robots: DataFrame): DataFrame =
+    robotsLines(robots)
+      .filter(lower(col("ln")).startsWith("sitemap:"))
+      .select(col("domain"), col("line_no"),
+        trim(expr("substring(ln, instr(ln, ':') + 1)")).as("sitemap_url"))
+      .filter(length(col("sitemap_url")) > 0)
+
+  /** The robots → sitemap discovery handshake, per domain: how many
+    * Sitemap directives the domain's robots.txt advertises, how many
+    * RESOLVE against the sitemap index actually serving the domain
+    * (exact URL match on the conventional `/sitemap-index.xml`
+    * location the index table publishes), and how many chunk files
+    * the resolved index fans out to — zero directives is the
+    * convention-fallback branch a crawler must also survive. Bounded
+    * dimensions end to end: directives and index rows are
+    * domain-grain. */
+  def robotsSitemapCensus(docs: DataFrame, cap: Int = 50000): DataFrame = {
+    val dirs = robotsSitemaps(robotsTable(docs))
+    val idx = sitemapIndexTable(docs, cap)
+      .select(col("domain"),
+        concat(lit("https://"), col("domain"), lit("/sitemap-index.xml"))
+          .as("index_url"))
+    val chunks = sitemapIndexEntries(sitemapIndexTable(docs, cap))
+      .groupBy("domain").agg(count(lit(1)).as("n_chunks"))
+    withDomain(docs).select(col("__domain").as("domain")).distinct()
+      .join(dirs.join(idx, Seq("domain"), "left")
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_directives"),
+          sum(when(col("sitemap_url") === col("index_url"), 1L)
+            .otherwise(0L)).as("n_resolved")),
+        Seq("domain"), "left")
+      .join(chunks, Seq("domain"), "left")
+      .select(col("domain"),
+        coalesce(col("n_directives"), lit(0L)).as("n_directives"),
+        coalesce(col("n_resolved"), lit(0L)).as("n_resolved"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"))
   }
 
   /** The fetch-time budget a POLITE serial crawler pays per domain:

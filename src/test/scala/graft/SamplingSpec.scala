@@ -977,6 +977,40 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("robots Sitemap directive: group-independent, case-insensitive, resolution census") {
+    import graft.ops.Curation
+    // a Sitemap line INSIDE a user-agent group must neither join the
+    // group (no rule row) nor terminate its header block (both agents
+    // still share the rule), and must parse wherever it sits; field
+    // name case-insensitive; empty values dropped
+    val robots = Seq(("ex.com",
+      "User-agent: a\nSITEMAP: https://ex.com/sm.xml\nUser-agent: b\n" +
+        "Disallow: /x\nsitemap:\nSitemap: https://ex.com/other.xml\n"))
+      .toDF("domain", "robots_txt")
+    val dirs = Curation.robotsSitemaps(robots).collect()
+      .map(r => r.getString(2)).toSet
+    assert(dirs === Set("https://ex.com/sm.xml", "https://ex.com/other.xml"),
+      s"directive parse diverged: $dirs")
+    val rules = Curation.robotsRules(robots).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(rules === Set(("a", "disallow", "/x"), ("b", "disallow", "/x")),
+      s"a sitemap line must not perturb the grouping: $rules")
+    // the fixture handshake: class 0 (top-of-file) and class 2
+    // (end-of-file) advertise exactly the index actually serving the
+    // domain; class 1 carries none — the convention-fallback branch —
+    // yet still counts its chunks (1 corpus URL + 2 discovered = 3
+    // URLs, one chunk at the 50k default cap)
+    val docs = Seq((7L, "src"), (10L, "src"), (25L, "s"))
+      .map { case (i, src) => (i, "body text", "en", src) }
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Curation.robotsSitemapCensus(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("src-7.net") === ((1L, 1L, 1L)), s"class 0: $got")
+    assert(got("src-10.com") === ((0L, 0L, 1L)), s"class 1: $got")
+    assert(got("s-25.com") === ((1L, 1L, 1L)), s"class 2: $got")
+  }
+
   test("gate kappa matches a driver 2x2 model; degenerate tables yield null") {
     import spark.implicits._
     import graft.ops.Curation
