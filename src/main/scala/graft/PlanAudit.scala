@@ -10,7 +10,8 @@ object PlanAudit {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_classify", "q1_pricing_summary", "q3_top_orders", "q_latest_per_station",
         "q_asof_attribution", "q_range_sessions", "text_train_ready",
-        "q_funnel", "q_resample_ffill", "q7_bilateral_trade", "q18_large_orders")
+        "q_funnel", "q_resample_ffill", "q7_bilateral_trade", "q18_large_orders",
+        "text_langid_trained", "text_sitemap_frontier")
     val spark = Tables.configured(SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
