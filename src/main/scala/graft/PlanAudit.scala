@@ -12,15 +12,19 @@ object PlanAudit {
         "q_asof_attribution", "q_range_sessions", "text_train_ready",
         "q_funnel", "q_resample_ffill", "q7_bilateral_trade", "q18_large_orders",
         "text_langid_trained", "text_sitemap_frontier")
-    val spark = Tables.configured(SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    // env-overridable so plan captures can run at the bench's scale factor
+    // and core count (join strategy / AQE decisions are size-dependent)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = Tables.configured(SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
       println(s"\n===== $n =====")
-      SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
       // scoped caches eager-materialize at plan-construction time (so bench
       // runs are reproducible); an explain-only audit never consumes them,
       // so release here or each audited cached plan stays resident

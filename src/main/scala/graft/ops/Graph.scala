@@ -417,6 +417,11 @@ object Graph {
             .select("node").distinct(), "node")
       val vals = scope
         .join(cur.select(col("node").as("nbr"), col("c")), "nbr")
+      // (an aggregate-first h — groupBy (node, c) counts then
+      // max(min(c, running_count)) — was measured and REJECTED this
+      // round: in early rounds values are degrees, so distinct-(node,c)
+      // ≈ degree and the extra hash-aggregate pass costs more than the
+      // smaller window sort saves; 10.3 → 11.9 s at sf0.1)
       val h = vals
         .withColumn("rn", row_number().over(Window.partitionBy("node")
           .orderBy(col("c").desc, col("nbr"))).cast("long"))
@@ -685,18 +690,20 @@ object Graph {
     * own rank). Dangling nodes (no out-edges) leak their damped mass in
     * the default simple variant; `redistributeDangling = true` instead
     * spreads each iteration's dangling mass D uniformly — every node's
-    * contribution gains the scalar `D div n` before damping, computed as
-    * a one-row aggregate cross-joined in broadcast (never a driver
-    * round-trip), so the recurrence stays integer-exact and
-    * engine-portable (the oracle computes the same scalar per unrolled
-    * iteration). On a graph with no dangling nodes D = 0 every iteration
-    * and the two variants are bit-identical (spec'd).
+    * contribution gains the scalar `D div n` before damping. D is read
+    * by the SAME one-row aggregate that materializes each iterate
+    * (bounded driver state — one long, the kCore frontier-stats
+    * pattern) and folded into the next update as a literal, so the
+    * recurrence stays integer-exact and engine-portable (the oracle
+    * computes the same scalar per unrolled iteration). On a graph with
+    * no dangling nodes D = 0 every iteration and the two variants are
+    * bit-identical (spec'd).
     *
     * 100 TB shape: per iteration one equi-join of ranks to edges, one
     * aggregate, one left join back to nodes — no cartesian, no driver
-    * graph state (the driver holds two scalars: n and the loop counter);
-    * iterates are lazily `localCheckpoint`ed like connectedComponents so
-    * the plan stays one-round deep. */
+    * graph state (the driver holds three scalars: n, the loop counter,
+    * and the dangling mass); iterates are lazily `localCheckpoint`ed
+    * like connectedComponents so the plan stays one-round deep. */
   def pagerankInt(edges: DataFrame, iterations: Int = 5,
                   scale: Long = 1000000000000L,
                   dampNum: Long = 85, dampDen: Long = 100,
@@ -709,20 +716,46 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull && col("m") > 0)
     val outw = e.groupBy("src").agg(sum("m").as("w"))
     val ew = e.join(outw, "src").persist()
-    val nodes = ew.select(col("src").as("node"))
-      .union(ew.select(col("dst").as("node"))).distinct().persist()
-    val n = nodes.count()
+    // dangling-ness is TOPOLOGY, not rank: carried as ONE boolean column
+    // on the persisted node frame (left join against the distinct
+    // out-edge sources), so each iteration's dangling-mass scalar is a
+    // plain conditional sum over the rank frame that the materializing
+    // action computes anyway. The old shape instead semi-joined the rank
+    // frame against a separate dangling-node set, aggregated, and
+    // broadcast-crossed the 1-row result back in — a broadcast build plus
+    // two joins per iteration. The scalar now crosses iterations as a
+    // DRIVER LONG (the kCore frontier-stats pattern: bounded driver
+    // state, never a collected frame) and is folded into the update
+    // expression as a literal — `dsum DIV n` precomputed with Long
+    // division, identical floor semantics on the non-negative mass.
+    val nodesBase = ew.select(col("src").as("node"))
+      .union(ew.select(col("dst").as("node"))).distinct()
+    // the simple variant never reads the flag: keep its node frame (and
+    // per-iteration action) byte-identical to the flag-free shape
+    val nodes = (if (redistributeDangling)
+      nodesBase
+        .join(ew.select(col("src").as("node")).distinct()
+          .withColumn("__has_out", lit(true)), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__has_out"), lit(false)).as("has_out"))
+    else nodesBase).persist()
+    val (n, nDang) = if (redistributeDangling) {
+      val cnt0 = nodes.agg(
+        count(lit(1)).cast("long").as("n"),
+        coalesce(sum(when(!col("has_out"), 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_dang")).head()
+      (cnt0.getLong(0), cnt0.getLong(1))
+    } else (nodes.count(), 0L)
     require(n > 0, "pagerankInt: empty graph")
     val base = (scale * (dampDen - dampNum)) / (dampDen * n)
-    // dangling-ness is TOPOLOGY, not rank: derive the no-out-edge node
-    // set once and persist it, instead of re-anti-joining the rank frame
-    // against the full edge list every iteration (the set is what the
-    // per-iteration mass aggregate filters by; only r changes)
-    val dangNodes = if (redistributeDangling)
-      Some(nodes.join(ew.select(col("src").as("node")).distinct(),
-        Seq("node"), "left_anti").persist())
-    else None
-    var r = nodes.select(col("node"), lit(scale / n).as("r")).localCheckpoint(false)
+    val rCols: Seq[Column] =
+      if (redistributeDangling) Seq(col("node"), col("has_out"))
+      else Seq(col("node"))
+    var r = nodes.select(rCols :+ lit(scale / n).as("r"): _*)
+      .localCheckpoint(false)
+    // iteration i redistributes Σ r_{i-1} over dangling nodes; r_0 is
+    // uniform at scale/n, so the first scalar costs no job at all
+    var dsum: Long = nDang * (scale / n)
     (1 to iterations).foreach { _ =>
       val contrib = r.join(ew, col("node") === col("src"))
         .select(col("dst"),
@@ -733,19 +766,21 @@ object Graph {
         withContrib.select(col("node"), (lit(base) +
           expr(s"($dampNum * coalesce(contrib, CAST(0 AS BIGINT))) DIV $dampDen")).as("r"))
       } else {
-        // this iteration's dangling mass: one-row aggregate over the rank
-        // rows of the precomputed set, broadcast-crossed in (bounded 1×n)
-        val dang = r.join(dangNodes.get, Seq("node"), "left_semi")
-          .agg(coalesce(sum("r"), lit(0L)).cast("long").as("dsum"))
-        withContrib.crossJoin(broadcast(dang))
-          .select(col("node"), (lit(base) +
-            expr(s"($dampNum * (coalesce(contrib, CAST(0 AS BIGINT)) + dsum DIV $n)) DIV $dampDen")).as("r"))
+        val dd = dsum / n // non-negative mass: / is the same floor as DIV
+        withContrib.select(col("node"), col("has_out"), (lit(base) +
+          expr(s"($dampNum * (coalesce(contrib, CAST(0 AS BIGINT)) + $dd)) DIV $dampDen")).as("r"))
       }).localCheckpoint(false)
-      r.count() // materialize: sever lineage NOW, free the prior iterate
+      if (redistributeDangling) {
+        // ONE action materializes the iterate (severs lineage, frees the
+        // prior one) AND reads the next iteration's dangling scalar
+        dsum = r.agg(coalesce(sum(when(!col("has_out"), col("r"))), lit(0L))
+          .cast("long").as("dsum")).head().getLong(0)
+      } else {
+        r.count() // materialize: sever lineage NOW, free the prior iterate
+      }
     }
     ew.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
-    dangNodes.foreach(_.unpersist(blocking = false))
     r.select(col("node"), col("r").as("rank_q"),
       (col("r").cast("double") / lit(scale)).as("rank"))
   }

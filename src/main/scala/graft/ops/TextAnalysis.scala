@@ -478,6 +478,38 @@ object TextAnalysis {
     }
   }
 
+  /** Fused self-scoring for the ppl-bucket family: scores the corpus
+    * against the model trained on ITSELF over ONE scoped cache of the
+    * exploded bigram frame — `bigramScoreFrom(docs, bigramModel(docs))`
+    * computes the same values but materializes the bigram explode
+    * TWICE (once inside the model's scope, once inside the scorer's).
+    * On the training corpus every observed pair/prefix is present in
+    * the model, so the inner count joins here price each bigram type
+    * exactly like the left-join + coalesce path: qlp is bit-identical,
+    * and restricting to docs with >= 1 bigram matches the callers'
+    * `filter(n_bigram > 0)` on the totality-joined frame row for row.
+    * (The [[bigramLogLik]] plan, minus the totality join the ppl faces
+    * immediately filter away; measured 2x fewer corpus explodes per
+    * ppl query at sf0.1.) */
+  private def bigramSelfScored(docs: DataFrame, quantum: Long): DataFrame = {
+    val bg = bigramFrame(docs)
+    Dedup.withScopedCache(bg) { b =>
+      val c12 = b.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = b.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val v = b.agg(count_distinct(col("w2")).as("v"))
+      val typeScores = c12
+        .join(c1, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .select(col("w1"), col("w2"),
+          round(log((col("c12") + 1).cast("double") /
+            (col("c1") + col("v")).cast("double")) * quantum)
+            .cast("long").as("qlp"))
+      b.join(typeScores, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigram"), sum(col("qlp")).as("sum_qlp"))
+    }
+  }
+
   /** CCNet-style perplexity bucketing — the head/middle/tail split a
     * web corpus takes before mixture weighting (Wenzek et al. 2020):
     * docs rank by MEAN bigram log-probability under the corpus-trained
@@ -492,8 +524,7 @@ object TextAnalysis {
     * sketch instead (the q_quantiles_approx trade, documented there).
     * Docs without a bigram carry no LM evidence and are excluded. */
   def pplBuckets(docs: DataFrame, quantum: Long = 1000000L): DataFrame = {
-    val scored = bigramScoreFrom(docs, bigramModel(docs), quantum)
-      .filter(col("n_bigram") > 0)
+    val scored = bigramSelfScored(docs, quantum)
       .select(col("doc_id"), col("n_bigram"),
         expr("(sum_qlp - pmod(sum_qlp, n_bigram)) DIV n_bigram").as("mq"))
     val byScore = Window.orderBy(col("mq").desc, col("doc_id"))
@@ -535,8 +566,7 @@ object TextAnalysis {
   def pplBucketsSketch(docs: DataFrame, k: Int = 512,
                        quantum: Long = 1000000L): DataFrame = {
     require(k >= 16, s"pplBucketsSketch: sample k must be >= 16, got $k")
-    val scored = bigramScoreFrom(docs, bigramModel(docs), quantum)
-      .filter(col("n_bigram") > 0)
+    val scored = bigramSelfScored(docs, quantum)
       .select(col("doc_id"), col("n_bigram"),
         expr("(sum_qlp - pmod(sum_qlp, n_bigram)) DIV n_bigram").as("mq"))
     Dedup.withScopedCache(scored) { sc =>
@@ -581,8 +611,7 @@ object TextAnalysis {
   def pplBucketsSketchByLang(docs: DataFrame, k: Int = 512,
                              quantum: Long = 1000000L): DataFrame = {
     require(k >= 16, s"pplBucketsSketchByLang: sample k must be >= 16, got $k")
-    val scored = bigramScoreFrom(docs, bigramModel(docs), quantum)
-      .filter(col("n_bigram") > 0)
+    val scored = bigramSelfScored(docs, quantum)
       .join(docs.select("doc_id", "lang"), "doc_id")
       .select(col("doc_id"), col("lang"), col("n_bigram"),
         expr("(sum_qlp - pmod(sum_qlp, n_bigram)) DIV n_bigram").as("mq"))
