@@ -112,9 +112,35 @@ object Bpe {
     trainFromCounts(wordCounts(docs), nMerges, vocabLimit)
 
   /** [[train]] from a word-count frame (the stored artifact or a
-    * [[vocabIncrement]] result). */
+    * [[vocabIncrement]] result). Delegates to the driver greedy loop of
+    * [[trainFromCountsDeep]]: greedy BPE is prefix-consistent and the
+    * two trainers are merge-for-merge identical (BpeSpec pins the
+    * property on random corpora, counts included), and the shallow
+    * per-round Spark shape paid 2 jobs PER MERGE over a
+    * vocabLimit-bounded frame — 32 driver round-trips at the default
+    * depth where one capped collect (the deep/artifact path's
+    * documented bounded transfer) suffices. The distributed per-round
+    * implementation stays as [[trainFromCountsDistributed]], both as
+    * the spec's comparison subject and as the escape hatch for a vocab
+    * cap too large to collect. */
   def trainFromCounts(vocab: DataFrame, nMerges: Int = 16,
                       vocabLimit: Int = 65536): Seq[Merge] = {
+    require(nMerges >= 1 && nMerges <= 64,
+      s"Bpe.train: nMerges=$nMerges out of [1, 64] — this is a bounded " +
+        "artifact trainer, not an unbounded vocabulary builder")
+    require(vocabLimit >= 1, s"Bpe.train: vocabLimit=$vocabLimit")
+    trainFromCountsDeep(vocab, nMerges, vocabLimit)
+  }
+
+  /** The per-round DISTRIBUTED trainer the shallow entry used before
+    * delegating to the driver loop: each round aggregates pair counts
+    * over the capped vocab frame and TakeOrdered-collects the single
+    * winner. Kept (package-visible) so BpeSpec can keep pinning the
+    * driver loop against an independently-computed merge sequence —
+    * and for a deployment whose vocab cap genuinely cannot collect. */
+  private[graft] def trainFromCountsDistributed(
+      vocab: DataFrame, nMerges: Int = 16,
+      vocabLimit: Int = 65536): Seq[Merge] = {
     require(nMerges >= 1 && nMerges <= 64,
       s"Bpe.train: nMerges=$nMerges out of [1, 64] — this is a bounded " +
         "artifact trainer, not an unbounded vocabulary builder")

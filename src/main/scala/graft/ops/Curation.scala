@@ -63,25 +63,33 @@ object Curation {
       // useLsh swaps the quadratic-within-posting-list exact pair join for
       // banded MinHash candidates + exact verify — same threshold, same
       // shared postings, output identical up to LSH's documented
-      // false-negative rate; the 100 TB default
-      val pairs =
-        if (useLsh) Dedup.minhashFrom(tok, jaccardThreshold)
-        else Dedup.jaccardFrom(tok, jaccardThreshold, Int.MaxValue)
-      val losers = pairs.select(col("id2").as("doc_id")).distinct()
-      val contaminated = Dedup.decontaminateFrom(
-          tok.withColumn("__eval", Sampling.splitColumn(col("doc_id")) === "eval"),
-          contaminationThreshold, Int.MaxValue)
-        .select(col("train_id").as("doc_id")).distinct()
+      // false-negative rate; the 100 TB default. The exact path instead
+      // derives BOTH drop verdicts (Jaccard losers + contaminated train
+      // docs) from ONE postings self-join — the Jaccard pair stream
+      // already contains every train×eval pair, so the decontamination
+      // join was a second enumeration of a subset of it
+      // (Dedup.trainReadyDropSet; anti-joins only remove rows, so one
+      // anti-join against the union set is row-identical to the two
+      // sequential anti-joins it replaces).
+      val dropped =
+        if (useLsh) {
+          val pairs = Dedup.minhashFrom(tok, jaccardThreshold)
+          val losers = pairs.select(col("id2").as("doc_id")).distinct()
+          val contaminated = Dedup.decontaminateFrom(
+              tok.withColumn("__eval", Sampling.splitColumn(col("doc_id")) === "eval"),
+              contaminationThreshold, Int.MaxValue)
+            .select(col("train_id").as("doc_id")).distinct()
+          losers.unionByName(contaminated).distinct()
+        } else Dedup.trainReadyDropSet(tok, jaccardThreshold, contaminationThreshold)
       docs.select("doc_id", "lang")
         .join(quality, "doc_id")
         .filter(col("quality_score") >= qualityFloor)
-        .join(losers, Seq("doc_id"), "left_anti")
         .filter(Sampling.splitColumn(col("doc_id")) === "train")
         // LEFT join: a doc too short to have a bigram (one word) has no
         // repetition row — that's vacuously unrepetitive, not a drop
         .join(rep, Seq("doc_id"), "left")
         .filter(coalesce(col("top_bigram_frac"), lit(0.0)) <= repetitionCap)
-        .join(contaminated, Seq("doc_id"), "left_anti")
+        .join(dropped, Seq("doc_id"), "left_anti")
     }
   }
 

@@ -303,6 +303,49 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Fused drop-set for Curation.trainReady's exact path: the Jaccard
+    * pair scoring and the eval-contamination scoring both consume
+    * postings-pair intersections, and the Jaccard SELF-join already
+    * enumerates every train×eval pair the decontamination join would
+    * build again — so ONE self-join + ONE pair aggregate serves both
+    * verdicts, and the two downstream anti-joins collapse into one
+    * (anti-joins only remove rows, so a single anti-join against the
+    * union set is row-identical to applying them in sequence).
+    * Per surviving pair (id1 < id2, sizes na/nb from the same postings
+    * universe):
+    *   - jaccard = inter/(na+nb-inter) >= jaccardThreshold drops id2
+    *     (keep-lowest, exactly [[jaccardFrom]]'s verdict);
+    *   - one endpoint eval, the other train (the binary
+    *     Sampling.splitColumn universe) with inter/n_eval >=
+    *     containmentThreshold drops the TRAIN endpoint (exactly
+    *     [[decontaminateFrom]]'s verdict — the eval doc's size is the
+    *     denominator).
+    * Both divisions are the same double expressions as the standalone
+    * operators, so the fused verdicts are bit-identical. */
+  private[ops] def trainReadyDropSet(tok: DataFrame, jaccardThreshold: Double,
+                                     containmentThreshold: Double): DataFrame = {
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = tok.as("a")
+      .join(tok.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    val e1 = Sampling.splitColumn(col("id1")) === "eval"
+    val e2 = Sampling.splitColumn(col("id2")) === "eval"
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("n", "na"), "id1")
+      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("n", "nb"), "id2")
+      .select(explode(array(
+        when(col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
+          >= jaccardThreshold, col("id2")),
+        when(e1 && !e2 &&
+          col("inter").cast("double") / col("na") >= containmentThreshold, col("id2")),
+        when(e2 && !e1 &&
+          col("inter").cast("double") / col("nb") >= containmentThreshold, col("id1"))
+      )).as("doc_id"))
+      .filter(col("doc_id").isNotNull)
+      .distinct()
+  }
+
   /** jaccard = |∩| / (|A|+|B|-|∩|), filtered at threshold. */
   private def jaccardFilter(inter: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
     inter

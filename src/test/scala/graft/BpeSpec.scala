@@ -173,7 +173,10 @@ class BpeSpec extends SparkSpec {
       val texts = corpus.pureApply(Gen.Parameters.default, Seed(seed))
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
-      val shallow = Bpe.train(docs, nMerges = 8)
+      // train() now delegates to the driver loop, so the distributed
+      // per-round trainer is exercised explicitly — the pin stays a
+      // comparison of two INDEPENDENT implementations
+      val shallow = Bpe.trainFromCountsDistributed(Bpe.wordCounts(docs), nMerges = 8)
       val deep = Bpe.trainDeep(docs, nMerges = 8)
       assert(deep === shallow, s"seed $seed diverged:\n  deep    $deep\n  shallow $shallow")
     }
