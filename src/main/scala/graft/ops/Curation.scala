@@ -470,10 +470,18 @@ object Curation {
         "Sitemap: https://"), domain, lit("/sitemap-index.xml\n")))
   }
 
-  /** One robots.txt row per registered domain in the corpus. */
+  /** One robots.txt row per registered domain in the corpus.
+    * Checkpointed EAGERLY: the frame is domain-grain (a bounded
+    * dimension) but derives from a corpus scan + distinct, and every
+    * consumer fans out into several subtrees (rules + agents + delays
+    * + sitemap lines) whose differing projections defeat exchange
+    * reuse — without the checkpoint text_robots_crawl_time's plan
+    * re-ran the corpus scan 12 times (12 parquet scans / 46 window
+    * nodes at sf0.001; 4 scans / 8 windows after). */
   def robotsTable(docs: DataFrame): DataFrame =
     withDomain(docs).select(col("__domain").as("domain")).distinct()
       .withColumn("robots_txt", robotsTxtOf(col("domain")))
+      .localCheckpoint()
 
   /** robots.txt → rule table (domain, agent, rule, prefix, line_no):
     * lines split and comment-stripped; `User-agent:` / `Allow:` /
@@ -531,8 +539,12 @@ object Curation {
       .filter(col("kind").isin("allow", "disallow") && length(col("value")) > 0)
       .select(col("domain"), col("grp"), col("kind").as("rule"),
         col("value").as("prefix"), col("line_no"))
+    // rules-per-domain is file-bounded; every gate consumer reads the
+    // frame at least twice (exact-agent filter + the star/anti pair),
+    // so materialize the tiny table once instead of re-parsing
     robotsAgents(grouped).join(rules, Seq("domain", "grp"))
       .select("domain", "agent", "rule", "prefix", "line_no")
+      .localCheckpoint()
   }
 
   /** The politeness half the path rules don't carry: per (domain,
@@ -547,9 +559,12 @@ object Curation {
       .filter(col("kind") === "delay" && col("value").rlike("^[0-9]+$"))
       .select(col("domain"), col("grp"),
         col("value").cast("long").as("delay_s"))
+    // (domain, agent)-grain dimension read twice by every delay
+    // coalesce (exact-agent + star branches) — materialize once
     robotsAgents(grouped).join(delays, Seq("domain", "grp"))
       .groupBy("domain", "agent")
       .agg(min("delay_s").as("delay_s"))
+      .localCheckpoint()
   }
 
   /** The `Sitemap:` directives a robots.txt advertises — the discovery
@@ -663,15 +678,19 @@ object Curation {
     * is an equi-join with bounded fan-out; the verdict pick is a
     * window at doc grain (partitioned); unmatched docs come back via
     * one left join. */
-  def robotsGate(docs: DataFrame, agent: String = "graftbot"): DataFrame = {
-    val urls = robotsCandidates(docs)
-    val best = gateVerdict(urls, robotsRules(robotsTable(docs)), agent,
-      keyCols = Seq("doc_id"))
-    urls.join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("domain"), col("path"),
-        col("rule"), col("prefix"),
-        (col("rule").isNull || col("rule") === "allow").as("allowed"))
-  }
+  def robotsGate(docs: DataFrame, agent: String = "graftbot"): DataFrame =
+    // the doc-grain candidate frame (domain extraction + URL + path
+    // normalization per doc) feeds both the verdict join and the
+    // totality left join with different projections, so the scan was
+    // re-run per consumer — scope-cache the one derivation
+    Dedup.withScopedCache(robotsCandidates(docs)) { urls =>
+      val best = gateVerdict(urls, robotsRules(robotsTable(docs)), agent,
+        keyCols = Seq("doc_id"))
+      urls.join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("domain"), col("path"),
+          col("rule"), col("prefix"),
+          (col("rule").isNull || col("rule") === "allow").as("allowed"))
+    }
 
   /** The RFC 9309 precedence engine behind [[robotsGate]] (the
     * frontier census fuses the same precedence into its one-pass left
