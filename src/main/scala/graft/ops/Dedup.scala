@@ -588,7 +588,15 @@ object Dedup {
                      maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"maxHamming=$maxHamming exceeds the 4-chunk pigeonhole guarantee (max 3)")
-    val chunks = hashes.filter(col(hashCol).isNotNull)
+    // both sides of the pigeonhole self-join consume the hash frame,
+    // and the hash column is the expensive part (a full BMP/WAV payload
+    // build + pixel/PCM walk per row) — scope-cache the (doc_id, hash)
+    // projection so the perceptual hash is computed once per doc, not
+    // once per join side (the self-join's differing aliases defeat
+    // exchange reuse; the cached frame is two narrow columns)
+    withScopedCache(hashes.filter(col(hashCol).isNotNull)
+      .select(col("doc_id"), col(hashCol))) { h =>
+    val chunks = h
       .select(col("doc_id"), col(hashCol),
         posexplode(array((0 until 4).map(i =>
           substring(col(hashCol), i * 4 + 1, 4)): _*)))
@@ -609,6 +617,7 @@ object Dedup {
         hamming.as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    }
   }
 
   /** Edit-distance verification over near-dup candidates: exact Levenshtein

@@ -402,10 +402,14 @@ object Similarity {
     * (center_id, cv) and, via [[semanticKeptOf]], the kept-corpus
     * frame the increments prune against. */
   private[graft] def semanticCenters(stored: DataFrame, k: Int): DataFrame =
+    // ≤k rows, but the derivation joins the stored corpus and every
+    // consumer broadcast-builds it separately (stored + batch
+    // assignment) — materialize once so the corpus join runs once
     kCenterSelect(stored, k)
       .select(col("vec_id").as("center_id"))
       .join(stored.select(col("vec_id").as("center_id"),
         toDouble(col("embedding")).as("cv")), "center_id")
+      .localCheckpoint()
 
   /** Per-row argmax assignment against the broadcast ≤k-row center
     * frame — (vec_id, center_id, v). */
@@ -445,8 +449,14 @@ object Similarity {
     * batch op drops it). */
   private[graft] def semanticDedupIncrementAgainst(
       centers: DataFrame, storedKept: DataFrame, earlier: Option[DataFrame],
-      batch: DataFrame, threshold: Double): DataFrame = {
-    val batchAsg = assignToCenters(centers)(batch)
+      batch: DataFrame, threshold: Double): DataFrame =
+    // the assigned batch feeds FIVE subtrees (stored/earlier/in-batch
+    // candidate joins — the in-batch self-join twice — plus the final
+    // totality join), and each re-ran the assignment window and the
+    // batch derivation behind it (20 corpus scans in
+    // dedup_semantic_increment's plan; 5 after). Batch-grain, so the
+    // scope cache is bounded by the increment itself.
+    Dedup.withScopedCache(assignToCenters(centers)(batch)) { batchAsg =>
     val candStored = batchAsg.as("b")
       .join(storedKept.as("s"), col("b.center_id") === col("s.center_id"))
       .select(col("b.vec_id").as("vec_id"), col("s.vec_id").as("cand_id"),
