@@ -1610,8 +1610,12 @@ object Similarity {
     * the k-center serving path (the sim_topk_kcenter precedent). */
   def mrrServedAudit(embeddings: DataFrame, served: DataFrame, k: Int = 5,
                      numQueries: Int = 10): DataFrame = {
+    // consumed twice (hit join + query totality): materialize the
+    // ≤ k·numQueries-row truth once so the brute pass behind it runs
+    // once, not per consumer (the mrrAudit arm-checkpoint pattern)
     val truth = topKBrute(embeddings, k, numQueries)
       .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
     // enforce the @k contract here, not by caller convention: a served
     // frame deeper than k must not score hits beyond position k (the
     // per-arm rank <= k filter mrrFromRanks already applies)
