@@ -324,22 +324,28 @@ object Dedup {
     * operators, so the fused verdicts are bit-identical. */
   private[ops] def trainReadyDropSet(tok: DataFrame, jaccardThreshold: Double,
                                      containmentThreshold: Double): DataFrame = {
+    // the eval flag is a pure function of doc_id: evaluate its md5 ONCE
+    // per doc on the sizes frame and let the pair joins carry it — an
+    // earlier draft evaluated splitColumn on both pair columns, paying
+    // two md5s per INTERSECTING PAIR (the stream is orders of magnitude
+    // larger than the doc set; measured 1.9x the query's record)
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .withColumn("e", Sampling.splitColumn(col("doc_id")) === "eval")
     val inter = tok.as("a")
       .join(tok.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("inter"))
-    val e1 = Sampling.splitColumn(col("id1")) === "eval"
-    val e2 = Sampling.splitColumn(col("id2")) === "eval"
     inter
-      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("n", "na"), "id1")
-      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("n", "nb"), "id2")
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("na"),
+        col("e").as("ea")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("nb"),
+        col("e").as("eb")), "id2")
       .select(explode(array(
         when(col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
           >= jaccardThreshold, col("id2")),
-        when(e1 && !e2 &&
+        when(col("ea") && !col("eb") &&
           col("inter").cast("double") / col("na") >= containmentThreshold, col("id2")),
-        when(e2 && !e1 &&
+        when(col("eb") && !col("ea") &&
           col("inter").cast("double") / col("nb") >= containmentThreshold, col("id1"))
       )).as("doc_id"))
       .filter(col("doc_id").isNotNull)
